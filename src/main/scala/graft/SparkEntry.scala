@@ -14,6 +14,12 @@ object SparkEntry {
   /** Modules in SURVEY.md §2 inventory order. */
   private def modules: Seq[QueryModule] = Seq(
     gold.Aggregates,
+    gold.Dims,
+    analytics.Joins,
+    analytics.Windows,
+    analytics.SetOps,
+    analytics.Funnel,
+    silver.SemiStructured,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

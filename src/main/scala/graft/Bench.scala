@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement discipline (VERDICT r1 "What's wrong" #1/#2/#5):
+  *   - action is a `noop`-format write, NOT `count()`: count lets Catalyst
+  *     drop the contract-mandated global ORDER BY (EliminateSorts) and
+  *     prune every projection expression, so it times a cheaper plan than
+  *     Verify executes. The noop sink executes the full physical plan and
+  *     discards rows.
+  *   - one warm-up pass (flagship on sf0.001) absorbs JVM/codegen startup
+  *     so per-query numbers aren't polluted by whichever query runs first.
+  *   - queries run in sorted-name order (stable attribution).
+  *   - the metric JSON is printed once AND written to BENCH_LOCAL.json so
+  *     the driver never has to scrape it out of sbt's [info]-prefixed logs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +28,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Warm-up: flagship query on the smallest SF, untimed.
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -46,10 +46,40 @@ object SetOps extends QueryModule {
     all.except(f).orderBy($"custkey")
   }
 
+  /** Production shape of U2 (VERDICT r1 #4): the INTERSECT semantics as a
+    * single scan + one narrow groupBy(custkey) with conditional flags —
+    * one shuffle of (key, two booleans) instead of two full-leg shuffles
+    * through the set-op machinery. At 100 TB this is the plan to run; the
+    * set-op twins above stay registered as the U2/U3 operator evidence. */
+  def intersectBuyersOnePass(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(max(when($"o_orderstatus" === "F", 1).otherwise(0)).as("has_f"),
+           max(when($"o_orderstatus" === "O", 1).otherwise(0)).as("has_o"))
+      .filter($"has_f" === 1 && $"has_o" === 1)
+      .select($"custkey")
+      .orderBy($"custkey")
+  }
+
+  /** Production shape of U3: EXCEPT as the same single-pass conditional
+    * aggregation (customers with orders but none finished). */
+  def exceptBuyersOnePass(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(max(when($"o_orderstatus" === "F", 1).otherwise(0)).as("has_f"))
+      .filter($"has_f" === 0)
+      .select($"custkey")
+      .orderBy($"custkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q18_union_segments"   -> unionSegments,
     "q19_intersect_buyers" -> intersectBuyers,
     "q20_except_buyers"    -> exceptBuyers,
+    "q38_intersect_onepass" -> intersectBuyersOnePass,
+    "q39_except_onepass"    -> exceptBuyersOnePass,
   )
 
   val oracles = Map(
@@ -67,6 +97,17 @@ object SetOps extends QueryModule {
       """SELECT o_custkey AS custkey FROM orders
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q38_intersect_onepass" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |GROUP BY o_custkey
+        |HAVING MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 1
+        |   AND MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 1
+        |ORDER BY custkey""".stripMargin,
+    "q39_except_onepass" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |GROUP BY o_custkey
+        |HAVING MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
         |ORDER BY custkey""".stripMargin,
   )
 }

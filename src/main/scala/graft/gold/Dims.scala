@@ -21,14 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dims extends QueryModule {
 
-  /** Generated calendar dimension covering the orders date range. */
-  def dimDate(spark: SparkSession): DataFrame = {
+  /** Generated calendar dimension. Bounds are derived from the fact's own
+    * min/max date (a two-row aggregate feeding sequence+explode — no
+    * collect, no hardcoded range), so an out-of-range order can never be
+    * silently dropped by the inner calendar join. */
+  def dimDateFor(facts: DataFrame, dateCol: org.apache.spark.sql.Column): DataFrame = {
+    val spark = facts.sparkSession
     import spark.implicits._
-    spark.range(1)
-      .select(explode(sequence(
-        lit(java.sql.Date.valueOf("1995-01-01")),
-        lit(java.sql.Date.valueOf("2001-12-31")),
-        expr("INTERVAL 1 DAY"))).as("date_key"))
+    facts
+      .agg(min(to_date(dateCol)).as("dmin"), max(to_date(dateCol)).as("dmax"))
+      .select(explode(sequence($"dmin", $"dmax", expr("INTERVAL 1 DAY"))).as("date_key"))
       .select($"date_key",
         year($"date_key").as("yr"),
         quarter($"date_key").as("qtr"),
@@ -39,7 +41,7 @@ object Dims extends QueryModule {
   def revenueByQuarter(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, d)
-    o.join(broadcast(dimDate(spark)), to_date($"o_orderdate") === $"date_key")
+    o.join(broadcast(dimDateFor(o, o("o_orderdate"))), to_date($"o_orderdate") === $"date_key")
       .groupBy($"yr", $"qtr")
       .agg(count(lit(1)).as("n_orders"),
            msum($"o_totalprice").as("revenue"))

@@ -94,7 +94,7 @@ object SemiStructured extends QueryModule {
 
   val oracles = Map(
     "q21_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events

@@ -20,6 +20,10 @@ object SparkEntry {
     analytics.SetOps,
     analytics.Funnel,
     silver.SemiStructured,
+    ext.Dedup,
+    ext.TextOps,
+    ext.Similarity,
+    ext.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

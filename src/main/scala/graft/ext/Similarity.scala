@@ -1,0 +1,194 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.12 [ext]).
+  *
+  * Three shapes, ordered by scale ambition:
+  *
+  *   - exact brute-force top-k for a bounded query set: the query side is
+  *     tiny (|Q| = 8) and broadcast; the candidate side streams through a
+  *     BroadcastNestedLoopJoin at O(N·|Q|) — the canonical exact-kNN
+  *     baseline. NOT an N×N cross join; cost grows linearly in N.
+  *   - IVF-style probe: each vector carries a stored cell assignment (the
+  *     `label` column — in production the output of an offline k-means);
+  *     a query probes its own cell via an equi-join on cell id, so the
+  *     work per query is O(cell size) and the whole thing is one hash
+  *     join — the 100-TB path.
+  *   - near-dup pairs: sign-LSH blocking (8 leading-dimension sign bits →
+  *     256 buckets) + exact cosine verification within buckets; pair
+  *     generation is a bucketed self-join, never all-pairs.
+  *
+  * Determinism: cosine = dot/(‖a‖·‖b‖) where dot and squared norms are
+  * exact DECIMAL(38,25) sums of per-element double products (element
+  * order cannot perturb them), and the final sqrt/divide is the same
+  * scalar double pipeline in Spark and DuckDB — bit-identical results,
+  * so ranking and thresholds are oracle-checkable.
+  */
+object Similarity extends QueryModule {
+
+  private val Dec = DecimalType(38, 25)
+
+  /** Exact order-independent dot product of two float arrays, as double. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** Exact L2 norm of a float array, as double. */
+  private def normDec(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
+      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double"))
+
+  private val nQueries = 8
+  private val topK = 5
+
+  /** E3: exact cosine top-k, bounded broadcast query set vs all vectors. */
+  def cosineTopkExact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), normDec($"embedding").as("qn"))
+    val c = emb
+      .select($"vec_id".as("vid"), $"embedding".as("cv"), normDec($"embedding").as("cn"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vid")
+    c.join(broadcast(q), $"qid" =!= $"vid")
+      .withColumn("cosine", dotDec($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= topK)
+      .select($"qid", $"vid", round($"cosine", 6).as("cosine"), $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** E3 scale path: IVF-style probe of the query's stored cell (`label`
+    * = cell id). One equi-join on cell, exact rerank within the cell. */
+  def annIvfTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        normDec($"embedding").as("qn"), $"label".as("cell"))
+    val c = emb.select($"vec_id".as("vid"), $"embedding".as("cv"),
+      normDec($"embedding").as("cn"), $"label".as("cell"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vid")
+    c.join(broadcast(q), Seq("cell"))
+      .filter($"qid" =!= $"vid")
+      .withColumn("cosine", dotDec($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"cell", $"vid", round($"cosine", 6).as("cosine"), $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Sign-LSH blocking key: sign bits of the 8 leading dimensions. */
+  private def signKey(v: Column): Column =
+    concat((1 to 8).map(i => (element_at(v, i) > 0).cast("int").cast("string")): _*)
+
+  /** E2/E3: embedding near-duplicate pairs — sign-LSH buckets, exact
+    * cosine ≥ 0.4 verification inside each bucket. */
+  def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding", normDec($"embedding").as("nrm"),
+        signKey($"embedding").as("sig"))
+    val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"sig")
+    val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"sig")
+    a.join(b, Seq("sig"))
+      .filter($"v1" < $"v2")
+      .withColumn("cosine", dotDec($"e1", $"e2") / ($"n1" * $"n2"))
+      .filter($"cosine" >= 0.4)
+      .select($"v1", $"v2", round($"cosine", 6).as("cosine"))
+      .orderBy($"v1", $"v2")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q33_cosine_topk_exact" -> cosineTopkExact,
+    "q34_ann_ivf_topk"      -> annIvfTopk,
+    "q43_embedding_neardup" -> embeddingNearDup,
+  )
+
+  /** DuckDB mirror of dot/norm: unnest + exact DECIMAL(38,25) sums. */
+  private val normsCte =
+    """norms AS (
+      |  SELECT vec_id,
+      |    sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      |  GROUP BY vec_id
+      |)""".stripMargin
+
+  val oracles = Map(
+    "q33_cosine_topk_exact" ->
+      s"""WITH $normsCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, q.embedding AS qv, c.embedding AS cv
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $nQueries
+         |), dots AS (
+         |  SELECT qid, vid,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT qid, vid, qv, cv, unnest(generate_series(1, len(qv))) AS i FROM pairs)
+         |  GROUP BY qid, vid
+         |), cosv AS (
+         |  SELECT qid, vid, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON vid = nc.vec_id)
+         |SELECT qid, vid, ROUND(cosine, 6) AS cosine, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+         |  FROM cosv)
+         |WHERE rnk <= $topK
+         |ORDER BY qid, rnk""".stripMargin,
+    "q34_ann_ivf_topk" ->
+      s"""WITH $normsCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, q.label AS cell, c.vec_id AS vid,
+         |         q.embedding AS qv, c.embedding AS cv
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.label = c.label AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $nQueries
+         |), dots AS (
+         |  SELECT qid, cell, vid,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT qid, cell, vid, qv, cv, unnest(generate_series(1, len(qv))) AS i FROM pairs)
+         |  GROUP BY qid, cell, vid
+         |), cosv AS (
+         |  SELECT qid, cell, vid, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON vid = nc.vec_id)
+         |SELECT qid, cell, vid, ROUND(cosine, 6) AS cosine, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+         |  FROM cosv)
+         |WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+    "q43_embedding_neardup" ->
+      s"""WITH $normsCte,
+         |sigs AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[7] > 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) AS sig
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS e1, b.embedding AS e2
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |), dots AS (
+         |  SELECT v1, v2,
+         |    CAST(SUM(CAST(CAST(e1[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT v1, v2, e1, e2, unnest(generate_series(1, len(e1))) AS i FROM pairs)
+         |  GROUP BY v1, v2
+         |), cosv AS (
+         |  SELECT v1, v2, dot / (na.nrm * nb.nrm) AS cosine
+         |  FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id)
+         |SELECT v1, v2, ROUND(cosine, 6) AS cosine
+         |FROM cosv WHERE cosine >= 0.4
+         |ORDER BY v1, v2""".stripMargin,
+  )
+}

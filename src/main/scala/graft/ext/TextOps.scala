@@ -1,0 +1,242 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis tier (SURVEY.md §2.12 [ext]): tokenization + term
+  * statistics, TF-IDF, n-gram language-ID heuristic, quality scoring,
+  * token counting, and rolling-hash document fingerprinting — the text
+  * half of a training-data pipeline.
+  *
+  * Scale shape: every query is explode → groupBy (one shuffle keyed on
+  * term/doc) or pure per-row scalar expressions inside whole-stage
+  * codegen. No collect, no crossJoin; the only broadcast is the 1-row
+  * corpus-size scalar for IDF. All arithmetic is integer or
+  * identical-op-order double, so every query is DuckDB-oracle-checked.
+  */
+object TextOps extends QueryModule {
+
+  /** (doc_id, term) exploded token rows, lowercased. */
+  private def tokens(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+  }
+
+  /** E4: corpus term statistics — occurrences + document frequency. */
+  def termCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, d)
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"term")
+  }
+
+  /** E4: TF-IDF, top-3 terms per document. IDF's corpus size N is a
+    * 1-row aggregate broadcast-joined on a constant key — no collect.
+    * score = tf · ln(N/df) evaluated in the same op order in both legs. */
+  def tfidfTopTerms(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tf = tokens(spark, d).groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs_total"))
+      .withColumn("one", lit(1))
+    val scored = tf.join(df, "term")
+      .withColumn("one", lit(1))
+      .join(broadcast(n), "one")
+      .withColumn("score", $"tf" * log($"n_docs_total".cast("double") / $"df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", round($"score", 6).as("score"), $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** E4: language-ID heuristic — character-trigram profiles per labeled
+    * language (top-40 trigrams by frequency), score = |doc trigrams ∩
+    * profile|, predict argmax. Output is the confusion matrix. All
+    * integer arithmetic. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val tri = docs.select($"doc_id", $"lang",
+      explode(transform(sequence(lit(1), length($"text") - 2),
+        i => $"text".substr(i, lit(3)))).as("tg"))
+    val profW = Window.partitionBy($"plang").orderBy($"cnt".desc, $"tg")
+    val profile = tri.groupBy($"lang".as("plang"), $"tg")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prnk", row_number().over(profW))
+      .filter($"prnk" <= 40)
+      .select($"plang", $"tg")
+    val docTri = tri.select($"doc_id", $"tg").distinct()
+    val scores = docTri.join(broadcast(profile), "tg")
+      .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("score"))
+    val predW = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+    val pred = scores.withColumn("rn", row_number().over(predW))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"plang".as("lang_pred"))
+    docs.select($"doc_id", $"lang".as("lang_actual"))
+      .join(pred, "doc_id")
+      .groupBy($"lang_actual", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang_actual", $"lang_pred")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and")
+
+  /** E4: per-document quality scoring — token counts, stopword/unique
+    * ratios, mean token length, and a quality bucket. Pure per-row
+    * scalar pipeline (whole-stage codegen, no shuffle at all). */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_uniq", size(array_distinct($"toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter($"toks", t => t.isInCollection(stopwords))).cast("long"))
+      .withColumn("sum_len",
+        aggregate($"toks", lit(0L), (a, t) => a + length(t)))
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("uniq_ratio", $"n_uniq".cast("double") / $"n_tokens")
+      .withColumn("avg_token_len", $"sum_len".cast("double") / $"n_tokens")
+      .withColumn("quality",
+        when($"n_tokens" < 10, "short")
+          .when($"uniq_ratio" > 0.3, "good")
+          .otherwise("flagged"))
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"n_stop", $"sum_len",
+        $"stop_ratio", $"uniq_ratio", $"avg_token_len", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** E4: token counting per source — whitespace tokens and a BPE-ish
+    * greedy-chunk regex tokenizer (≤3-letter chunks / digit runs /
+    * other), aggregated per source. */
+  def tokenStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bpePattern = "[a-z]{1,3}|[0-9]+|\\S"
+    Tables.documents(spark, d)
+      .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+      .withColumn("n_bpe", size(regexp_extract_all($"text", lit(bpePattern), lit(0))).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_ws").as("ws_tokens"),
+           sum($"n_bpe").as("bpe_tokens"))
+      .withColumn("avg_ws_tokens", $"ws_tokens".cast("double") / $"n_docs")
+      .orderBy($"source")
+  }
+
+  private val P = 1000000007L
+
+  /** E4: polynomial rolling-hash fingerprint — chars fold into a token
+    * code (base 31 mod p), token codes fold into the document
+    * fingerprint (base 131 mod p). Nested array folds, all inside
+    * codegen; no shuffle. */
+  def rollingFingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tokCode = (t: org.apache.spark.sql.Column) =>
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+        lit(0L), (a, c) => (a * 31L + c) % P)
+    Tables.documents(spark, d)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("fingerprint",
+        aggregate(transform($"toks", tokCode), lit(0L), (a, c) => (a * 131L + c) % P))
+      .select($"doc_id", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q23_term_counts"         -> termCounts,
+    "q32_tfidf_top_terms"     -> tfidfTopTerms,
+    "q35_lang_id"             -> langId,
+    "q36_quality_score"       -> qualityScore,
+    "q37_token_stats"         -> tokenStats,
+    "q40_rolling_fingerprint" -> rollingFingerprint,
+  )
+
+  val oracles = Map(
+    "q23_term_counts" ->
+      """SELECT w AS term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |GROUP BY term
+        |ORDER BY term""".stripMargin,
+    "q32_tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, tf * ln(CAST(nd AS DOUBLE) / df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, rnk
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q35_lang_id" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang, substr(text, i, 3) AS tg
+        |  FROM (SELECT doc_id, lang, text, unnest(generate_series(1, strlen(text) - 2)) AS i
+        |        FROM documents)
+        |), profile AS (
+        |  SELECT plang, tg FROM (
+        |    SELECT lang AS plang, tg, count(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY count(*) DESC, tg) AS prnk
+        |    FROM tri GROUP BY lang, tg)
+        |  WHERE prnk <= 40
+        |), doctri AS (SELECT DISTINCT doc_id, tg FROM tri),
+        |scores AS (
+        |  SELECT doc_id, plang, count(*) AS score
+        |  FROM doctri JOIN profile USING (tg) GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT doc_id, plang AS lang_pred FROM (
+        |    SELECT doc_id, plang,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1)
+        |SELECT d.lang AS lang_actual, p.lang_pred, count(*) AS n_docs
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2
+        |ORDER BY lang_actual, lang_pred""".stripMargin,
+    "q36_quality_score" ->
+      """SELECT doc_id,
+        |  len(ws) AS n_tokens,
+        |  len(list_distinct(ws)) AS n_uniq,
+        |  len(list_filter(ws, t -> t IN ('the','a','of','to','in','and'))) AS n_stop,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(ws, t -> CAST(strlen(t) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+        |  CAST(len(list_filter(ws, t -> t IN ('the','a','of','to','in','and'))) AS DOUBLE) / len(ws) AS stop_ratio,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(ws, t -> CAST(strlen(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(ws) AS avg_token_len,
+        |  CASE WHEN len(ws) < 10 THEN 'short'
+        |       WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3 THEN 'good'
+        |       ELSE 'flagged' END AS quality
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q37_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,3}|[0-9]+|\S'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_ws_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q40_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    string_split(lower(text), ' '),
+        |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |           generate_series(1, strlen(t)),
+        |           i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1000000007))),
+        |  (a, c) -> (a * 131 + c) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

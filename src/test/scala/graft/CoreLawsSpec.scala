@@ -1,0 +1,81 @@
+package graft
+
+import graft.ingest.Tables
+import org.apache.spark.sql.functions._
+
+/** Algebraic laws of the core operator surface (SURVEY.md §5.2), on the
+  * smallest driver tables — complements the driver's oracle-differential
+  * gate with structural invariants the oracle can't express. */
+class CoreLawsSpec extends SparkSpec {
+
+  test("explode row-count law: exploded rows == sum(size(arrays))") {
+    import spark.implicits._
+    val nested = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(collect_list(struct($"l_linenumber", $"l_partkey")).as("items"))
+    val expected = nested.agg(sum(size($"items"))).first().getLong(0)
+    val exploded = nested.select($"l_orderkey", explode($"items")).count()
+    assert(exploded === expected)
+  }
+
+  test("flatten ∘ nest = identity on lineitem projection") {
+    import spark.implicits._
+    val plain = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    val roundtrip = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", struct($"l_linenumber", $"l_partkey", $"l_quantity").as("item"))
+      .groupBy($"l_orderkey").agg(collect_list($"item").as("items"))
+      .select($"l_orderkey", explode($"items").as("item"))
+      .select($"l_orderkey", $"item.l_linenumber", $"item.l_partkey", $"item.l_quantity")
+    assert(roundtrip.exceptAll(plain).isEmpty && plain.exceptAll(roundtrip).isEmpty)
+  }
+
+  test("left join zero-fills: row count preserved, no null keys dropped") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val joined = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+    assert(joined.count() === c.count())
+    // customers without orders appear with n_orders = 0, not dropped
+    val noOrders = c.join(o.select($"o_custkey"), c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(joined.filter($"n_orders" === 0).count() === noOrders)
+  }
+
+  test("set-op duplicate semantics: intersect/except deduplicate (SQL set semantics)") {
+    import spark.implicits._
+    val a = Seq(1, 1, 2, 2, 3).toDF("k")
+    val b = Seq(2, 2, 3, 4).toDF("k")
+    assert(a.intersect(b).collect().map(_.getInt(0)).sorted === Array(2, 3))
+    assert(a.except(b).collect().map(_.getInt(0)).sorted === Array(1))
+    assert(a.unionByName(b).distinct().count() === 4)
+  }
+
+  test("semi + anti join partition the left relation") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val f = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F").select($"o_custkey")
+    val semi = c.join(f, c("c_custkey") === f("o_custkey"), "left_semi").count()
+    val anti = c.join(f, c("c_custkey") === f("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val row = analytics.Funnel.funnel(spark, sfDir).first()
+    val users = row.getAs[Long]("n_users")
+    val s1 = row.getAs[Long]("stage_view")
+    val s2 = row.getAs[Long]("stage_view_click")
+    val s3 = row.getAs[Long]("stage_view_click_purchase")
+    assert(users >= s1 && s1 >= s2 && s2 >= s3 && s3 >= 0)
+  }
+
+  test("derived dim_date covers the fact's full date range (no silent row loss)") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val joined = o.join(
+      gold.Dims.dimDateFor(o, o("o_orderdate")),
+      to_date($"o_orderdate") === $"date_key")
+    assert(joined.count() === o.count())
+  }
+}

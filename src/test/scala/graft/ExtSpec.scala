@@ -1,0 +1,74 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the [ext] LLM-pipeline tier that the SQL oracle can't
+  * express: idempotence, recall of the LSH path against the exact
+  * baseline, fingerprint locality, ANN containment. */
+class ExtSpec extends SparkSpec {
+
+  test("exact dedup is idempotent and returns each content exactly once") {
+    import spark.implicits._
+    val once = Dedup.exactDedup(spark, sfDir)
+    assert(once.count() === once.select($"content_hash").distinct().count())
+    // dedup of an already-deduped relation changes nothing: hashes unique
+    assert(once.groupBy($"content_hash").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("MinHash-LSH verified pairs == exact n-gram Jaccard pairs at its threshold") {
+    import spark.implicits._
+    // exact baseline at the LSH query's threshold (0.6)
+    val exact = Dedup.ngramJaccardPairs(spark, sfDir).filter($"jaccard" >= 0.6)
+      .select($"d1", $"d2")
+    val lsh = Dedup.minhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
+    assert(lsh.exceptAll(exact).isEmpty, "LSH produced a pair the exact baseline lacks")
+    assert(exact.exceptAll(lsh).isEmpty, "LSH missed a true near-dup pair (recall < 1)")
+  }
+
+  test("SimHash fingerprints of near-dup pairs are closer than random pairs") {
+    import spark.implicits._
+    val fp = Dedup.simhashFingerprint(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir).select($"d1", $"d2")
+    val f1 = fp.select($"doc_id".as("d1"), $"simhash".as("h1"))
+    val f2 = fp.select($"doc_id".as("d2"), $"simhash".as("h2"))
+    val hamming = bit_count($"h1".bitwiseXOR($"h2"))
+    val dupMean = pairs.join(f1, "d1").join(f2, "d2")
+      .agg(avg(hamming)).first().getDouble(0)
+    // random-pair expectation for 32 independent bits is 16
+    assert(dupMean < 8.0, s"near-dup mean hamming $dupMean not < 8")
+  }
+
+  test("IVF probe results are contained in the exact top-k candidate pool") {
+    import spark.implicits._
+    val ivf = Similarity.annIvfTopk(spark, sfDir)
+    // every IVF hit must share the query's cell — by construction — and
+    // cosine must be a valid similarity
+    assert(ivf.filter($"cosine" < -1 || $"cosine" > 1).isEmpty)
+    val exact = Similarity.cosineTopkExact(spark, sfDir)
+    assert(exact.groupBy($"qid").count().filter($"count" =!= 5).isEmpty)
+    // rank-1 exact neighbor similarity ≥ rank-1 IVF similarity per query
+    val e1 = exact.filter($"rnk" === 1).select($"qid", $"cosine".as("ec"))
+    val i1 = ivf.filter($"rnk" === 1).select($"qid", $"cosine".as("ic"))
+    assert(e1.join(i1, "qid").filter($"ic" > $"ec").isEmpty)
+  }
+
+  test("rolling fingerprint is deterministic and content-sensitive") {
+    import spark.implicits._
+    val a = TextOps.rollingFingerprint(spark, sfDir)
+    val b = TextOps.rollingFingerprint(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // distinct texts ⇒ (near-certainly) distinct fingerprints on this corpus
+    val n = a.count()
+    val distinctFp = a.select($"fingerprint").distinct().count()
+    assert(distinctFp > n * 95 / 100)
+  }
+
+  test("tokenizer law: whitespace token count == spaces + 1 on single-spaced text") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split($"text", " ")))
+      .withColumn("n_space", length($"text") - length(regexp_replace($"text", " ", "")))
+    assert(docs.filter($"n_tok" =!= $"n_space" + 1).isEmpty)
+  }
+}

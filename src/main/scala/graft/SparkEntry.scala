@@ -24,6 +24,12 @@ object SparkEntry {
     ext.TextOps,
     ext.Similarity,
     ext.Multimodal,
+    ingest.PipelineQueries,
+    silver.ReferenceEtl,
+    analytics.Scalars,
+    analytics.Sessions,
+    gold.Backfill,
+    streaming.MicroBatch,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.analytics
+
+import graft.QueryModule
+import graft.ingest.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scalar-function families flagged partial in VERDICT r1 (§2.9):
+  * string (concat_ws/split/regexp_extract/substring), array higher-order
+  * (transform/aggregate — recompute order totals from the nested items
+  * without re-scanning), and JSON construction/extraction
+  * (to_json/get_json_object). All per-row codegen expressions; the only
+  * shuffles are the final oracle-mandated sorts / single groupBy.
+  */
+object Scalars extends QueryModule {
+
+  /** String family over the customer dim: split + element access,
+    * regexp_extract of the numeric id, concat_ws composition, substring,
+    * length, lower. */
+  def stringFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .select(
+        $"c_custkey",
+        element_at(split($"c_name", "#"), 1).as("name_prefix"),
+        regexp_extract($"c_name", "([0-9]+)$", 1).as("name_digits"),
+        concat_ws("|", lower($"c_mktsegment"), $"c_nationkey".cast("string")).as("seg_nation"),
+        substring($"c_name", 1, 8).as("name_head"),
+        length($"c_name").cast("long").as("name_len"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Array higher-order family: collect the per-order items once, then
+    * recompute item count / total quantity / extended total with
+    * `transform` + `aggregate` folds over the array — no second scan of
+    * lineitem, exact decimal accumulation inside the fold. */
+  def arrayFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val money = DecimalType(18, 6)
+    Tables.lineitem(spark, d)
+      .select($"l_orderkey", struct($"l_quantity", $"l_extendedprice").as("item"))
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"item").as("items"))
+      .select(
+        $"l_orderkey",
+        size($"items").cast("long").as("n_items"),
+        aggregate($"items", lit(0).cast(money),
+          (acc, x) => (acc + x.getField("l_quantity").cast(money)).cast(money))
+          .cast("double").as("total_qty"),
+        aggregate(
+          transform($"items", x =>
+            (x.getField("l_quantity") * x.getField("l_extendedprice")).cast(money)),
+          lit(0).cast(money), (acc, v) => (acc + v).cast(money))
+          .cast("double").as("gross_value"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** JSON family: parse the props payload (get_json_object), rebuild a
+    * typed JSON payload (to_json of a struct of string/int fields —
+    * formatting of strings and integers is identical in both engines),
+    * and extract back out of the rebuilt payload. */
+  def jsonFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select($"event_id", $"event_type", $"props")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .withColumn("payload", to_json(struct($"event_type", $"k")))
+      .withColumn("k2", get_json_object($"payload", "$.k").cast("int"))
+      .select($"event_id", $"k", $"payload", $"k2")
+      .orderBy($"event_id")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q54_string_funcs" -> stringFuncs,
+    "q55_array_funcs"  -> arrayFuncs,
+    "q56_json_funcs"   -> jsonFuncs,
+  )
+
+  val oracles = Map(
+    "q54_string_funcs" ->
+      """SELECT c_custkey,
+        |  string_split(c_name, '#')[1] AS name_prefix,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
+        |  concat_ws('|', lower(c_mktsegment), CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+        |  substr(c_name, 1, 8) AS name_head,
+        |  CAST(strlen(c_name) AS BIGINT) AS name_len
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q55_array_funcs" ->
+      """SELECT l_orderkey,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS gross_value
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "q56_json_funcs" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  to_json({event_type: event_type, k: TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS payload,
+        |  TRY_CAST(json_extract_string(to_json({event_type: event_type, k: TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)}), '$.k') AS INTEGER) AS k2
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+  )
+}

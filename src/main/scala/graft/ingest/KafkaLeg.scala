@@ -1,0 +1,69 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Kafka leg (SURVEY.md §2.1 S3/S4) — the reference's ingestion boundary:
+  * producers publish JSON keyed by user_id (user_events_producer.py:
+  * 103-109,141-143), a bounded consumer drains a topic window to landing
+  * JSONL (ingest_kafka_to_landing.py:34-100).
+  *
+  * The sandbox ships no Kafka broker and no spark-sql-kafka connector
+  * jar, so these paths are compiled but NOT registered as driver queries;
+  * the `format("kafka")` data source resolves at runtime when the
+  * connector is on the classpath. The file-buffer micro-batch in
+  * [[graft.streaming.MicroBatch]] covers the same T1/T2 semantics
+  * testably — which is faithful to the reference, whose own ETL never
+  * reads Kafka directly either (it reads the JSONL buffer).
+  */
+object KafkaLeg {
+
+  /** S3 (bounded batch): drain an offset window of a topic, parse JSON
+    * values against an explicit schema — the consumer's
+    * poll-window-then-write semantics as one batch read. */
+  def readTopicBatch(spark: SparkSession, bootstrap: String, topic: String,
+                     schema: StructType,
+                     startingOffsets: String = "earliest",
+                     endingOffsets: String = "latest"): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("endingOffsets", endingOffsets)
+      .load()
+      .select(col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), schema).as("v"))
+      .select(col("key"), col("v.*"))
+
+  /** S3 (streaming): topic → landing JSONL micro-batches with checkpoint
+    * — the consumer loop as readStream + AvailableNow. */
+  def streamTopicToLanding(spark: SparkSession, bootstrap: String, topic: String,
+                           landingDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("value"))
+      .writeStream
+      .format("text")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S4 (sink): publish rows keyed by a column (partition affinity per
+    * user — the reference producers' `key=user_id`). */
+  def writeTopic(df: DataFrame, bootstrap: String, topic: String,
+                 keyCol: String): Unit =
+    df.select(col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.QueryModule
+import graft.ingest.{Landing, Tables}
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming leg (SURVEY.md §2.10 T1/T2/T4).
+  *
+  * The reference deliberately does micro-batch via a file buffer — a
+  * consumer writes bounded JSONL batch files, Spark processes them as
+  * batches (Stream_Analytics_Platform.md:11,21-24). The Spark-native
+  * equivalent is a file-source stream with `Trigger.AvailableNow`:
+  *
+  *   - T1 (bounded micro-batches): AvailableNow drains exactly the files
+  *     present, in file-batch increments, then stops.
+  *   - T2 (at-least-once → effectively exactly-once): the checkpoint dir
+  *     replaces the consumer group's committed offsets; a re-run
+  *     reprocesses nothing, so the parquet sink stays stable — which the
+  *     oracle check proves (same hash on every Verify run).
+  *   - T4 (watermark + event-time window): not required for parity, but
+  *     the windowed variant runs a 1-day tumbling event-time window with
+  *     a watermark through the same trigger.
+  *
+  * At scale: the file source lists/partitions new files across executors
+  * like any FileScan; state for the windowed agg is bounded by
+  * (days × event types).
+  */
+object MicroBatch extends QueryModule {
+
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+  private val wireSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType),
+    StructField("ts_str", StringType)))
+
+  /** Landing fixture shared with the batch ingest queries. */
+  private def ensureLanding(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val wire = Tables.events(spark, d).select(
+      $"event_id", $"user_id", $"event_type", $"value",
+      date_format($"ts", tsFmt).as("ts_str"))
+    Landing.ensureJsonlFixture(wire, d, "events_jsonl")
+  }
+
+  /** T1+T2: file-buffer micro-batch stream → typed transform → parquet
+    * sink with checkpoint → batch read-back aggregate. */
+  def streamMicrobatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val sink = Landing.fixtureDir(d, "stream_sink_events")
+    val ckpt = Landing.fixtureDir(d, "stream_ckpt_events")
+    val q = spark.readStream.schema(wireSchema).json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .filter($"event_type".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           msum($"value").as("total_value"),
+           count($"ts").as("n_ts"))
+      .orderBy($"event_type")
+  }
+
+  /** T4: watermarked 1-day event-time tumbling window over the same
+    * stream, complete-mode memory sink (bounded result). */
+  def streamWindowed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val name = "stream_windowed_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val q = spark.readStream.schema(wireSchema).json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), msumDec($"value").as("total_dec"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select($"w.start".cast("date").as("day"), $"event_type",
+        $"n_events", $"total_dec".cast("double").as("total_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q57_stream_microbatch" -> streamMicrobatch,
+    "q58_stream_windowed"   -> streamWindowed,
+  )
+
+  val oracles = Map(
+    "q57_stream_microbatch" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  COUNT(ts) AS n_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q58_stream_windowed" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+  )
+}

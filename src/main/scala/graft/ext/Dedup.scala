@@ -76,26 +76,32 @@ object Dedup extends QueryModule {
   private val nHashes = 18
   private val nBands = 6   // 6 bands × 3 rows each
 
-  /** MinHash signature columns mh0..mh17: min over shingles of a salted
-    * md5. Lexicographic min over hex strings is a uniform permutation —
-    * no hex→int conversion needed, and DuckDB computes the identical
-    * value. */
-  private def signature(sh: DataFrame): DataFrame = {
-    val mhs = (0 until nHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
-  }
-
-  /** E2: MinHash-LSH near-duplicate pairs, exact-Jaccard verified. */
+  /** E2: MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+    *
+    * Plan shape: ONE shuffle builds the per-doc distinct-shingle set
+    * (collect_set); everything downstream — the 18 minhashes
+    * (`array_min` over a per-row `transform`, no second aggregation),
+    * the band hashes, and the Jaccard verification arrays — derives
+    * per-row from that persisted set table, so the expensive
+    * tokenize→explode→aggregate pipeline runs once, not once per join
+    * leg ("caching policies for intermediate DataFrames",
+    * Stream_Analytics_Platform.md:91). At 100 TB the set/signature table
+    * would be checkpointed to parquet instead of memory-persisted; the
+    * dataflow is identical. */
   def minhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, d)
-    // band j = hash of minhashes [3j, 3j+3)
+    val sets = shingles(spark, d)
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("sset"))
+      .withColumn("n", size($"sset").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = (0 until nHashes).map(i =>
+      array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
     val bandCols = (0 until nBands).map { j =>
       struct(lit(j).as("bidx"),
         md5(concat_ws("|", col(s"mh${3 * j}"), col(s"mh${3 * j + 1}"), col(s"mh${3 * j + 2}"))).as("bhash"))
     }
-    val bands = signature(sh)
+    val bands = sets.select(($"doc_id" +: mh): _*)
       .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.bidx".as("bidx"), $"b.bhash".as("bhash"))
     val cand = bands.as("x")
@@ -104,8 +110,6 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sets = sh.groupBy($"doc_id")
-      .agg(collect_set($"shingle").as("sset"), count(lit(1)).as("n"))
     val v1 = sets.select($"doc_id".as("d1"), $"sset".as("s1"), $"n".as("n1"))
     val v2 = sets.select($"doc_id".as("d2"), $"sset".as("s2"), $"n".as("n2"))
     cand.join(v1, "d1").join(v2, "d2")
@@ -120,6 +124,9 @@ object Dedup extends QueryModule {
     * self-join (no LSH, no all-pairs: only docs sharing a shingle meet). */
   def ngramJaccardPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // NOT persisted: the exploded shingle stream is cheap to recompute
+    // inside whole-stage codegen; measured, caching it costs more than
+    // the recompute (unlike the aggregated set table in the LSH query)
     val sh = shingles(spark, d)
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

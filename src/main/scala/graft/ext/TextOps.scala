@@ -63,9 +63,12 @@ object TextOps extends QueryModule {
   def langId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
+    // persisted: feeds both the profile build and the per-doc scoring leg
+    // (one trigram explode instead of two)
     val tri = docs.select($"doc_id", $"lang",
       explode(transform(sequence(lit(1), length($"text") - 2),
         i => $"text".substr(i, lit(3)))).as("tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profW = Window.partitionBy($"plang").orderBy($"cnt".desc, $"tg")
     val profile = tri.groupBy($"lang".as("plang"), $"tg")
       .agg(count(lit(1)).as("cnt"))

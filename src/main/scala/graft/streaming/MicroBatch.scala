@@ -31,6 +31,8 @@ import org.apache.spark.sql.types._
   */
 object MicroBatch extends QueryModule {
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
   private val wireSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
@@ -77,7 +79,10 @@ object MicroBatch extends QueryModule {
   def streamWindowed(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val landing = ensureLanding(spark, d)
-    val name = "stream_windowed_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // unique per start: a memory-sink query name cannot be reused within
+    // one JVM session (bench runs each query twice)
+    val name = "stream_windowed_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + runSeq.incrementAndGet()
     val q = spark.readStream.schema(wireSchema).json(landing)
       .withColumn("ts", to_timestamp($"ts_str", tsFmt))
       .withWatermark("ts", "1 hour")

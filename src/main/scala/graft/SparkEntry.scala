@@ -28,6 +28,7 @@ object SparkEntry {
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,
+    analytics.Advanced,
     gold.Backfill,
     streaming.MicroBatch,
   )

@@ -1,0 +1,136 @@
+package graft.analytics
+
+import graft.QueryModule
+import graft.ingest.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join/aggregate surface beyond the reference's strict requirements —
+  * operators a user of a general analytics engine reaches for next, all
+  * natively Spark (SURVEY.md §2.4 "free from Spark if needed", §2.5 A9,
+  * A3's approximate path):
+  *
+  *   - ROLLUP grouping sets (subtotal + grand-total rows in one pass),
+  *   - full outer join (RI audit without losing either side),
+  *   - as-of join (each event matched to the most recent order at or
+  *     before its timestamp — the time-series enrichment shape; equi-key
+  *     hash join + per-event top-1 window, no range cross product),
+  *   - approx_count_distinct (HLL++) beside the exact count.
+  */
+object Advanced extends QueryModule {
+
+  /** A9: ROLLUP over (region, nation) — per-nation rows, per-region
+    * subtotals, grand total in one aggregation pass. */
+  def rollupRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("revenue"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Full outer join: order-count per customer keyed from either side —
+    * no row of either relation is lost. */
+  def fullOuterAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d).select($"c_custkey", $"c_mktsegment")
+    val o = Tables.orders(spark, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_mktsegment".as("segment"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"custkey")
+  }
+
+  /** As-of join: each purchase event enriched with the customer's most
+    * recent order on or before the event date. Equi-join on the key,
+    * then keep the latest-qualifying order per event via one window —
+    * the classic as-of shape without an interval cross product. Skew on
+    * hot users is AQE skew-join territory. */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val w = Window.partitionBy($"event_id")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"ts",
+        $"o_orderkey".as("asof_orderkey"),
+        $"o_orderdate".cast("date").as("asof_orderdate"),
+        $"o_totalprice".as("asof_totalprice"))
+      .orderBy($"event_id")
+  }
+
+  /** A3 approximate path: HLL++ distinct beside the exact count.
+    * No SQL oracle (estimator internals are engine-specific); the
+    * relative-error invariant is asserted in tests, and the driver
+    * records a rows-present check. */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+           approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q60_rollup_revenue"  -> rollupRevenue,
+    "q61_full_outer_audit" -> fullOuterAudit,
+    "q62_asof_join"       -> asofJoin,
+    "q63_approx_distinct" -> approxDistinct,
+  )
+
+  val oracles = Map(
+    "q60_rollup_revenue" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q61_full_outer_audit" ->
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_mktsegment AS segment,
+        |  COALESCE(n_orders, 0) AS n_orders
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q62_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), ranked AS (
+        |  SELECT ev.event_id, ev.user_id, ev.ts,
+        |    o_orderkey, o_orderdate, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM ev LEFT JOIN orders
+        |    ON ev.user_id = o_custkey AND o_orderdate <= ev.ts)
+        |SELECT event_id, user_id, ts,
+        |  o_orderkey AS asof_orderkey,
+        |  CAST(o_orderdate AS DATE) AS asof_orderdate,
+        |  o_totalprice AS asof_totalprice
+        |FROM ranked WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    // q63_approx_distinct: deliberately no oracle (HLL++ sketch values
+    // are engine-specific); invariant asserted in ExtSpec.
+  )
+}

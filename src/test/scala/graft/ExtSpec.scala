@@ -64,6 +64,25 @@ class ExtSpec extends SparkSpec {
     assert(distinctFp > n * 95 / 100)
   }
 
+  test("approx_count_distinct stays within its relative-error bound") {
+    import spark.implicits._
+    val res = graft.analytics.Advanced.approxDistinct(spark, sfDir)
+      .withColumn("rel_err",
+        abs($"approx_users" - $"exact_users").cast("double") / $"exact_users")
+    // rsd configured at 2%; allow 3 sigma
+    assert(res.filter($"rel_err" > 0.06).isEmpty)
+  }
+
+  test("as-of join: matched order is at or before the event, none missed") {
+    import spark.implicits._
+    val res = graft.analytics.Advanced.asofJoin(spark, sfDir)
+    assert(res.filter($"asof_orderdate" > $"ts".cast("date")).isEmpty)
+    // every purchase event appears exactly once
+    val nPurchases = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase").count()
+    assert(res.count() === nPurchases)
+  }
+
   test("tokenizer law: whitespace token count == spaces + 1 on single-spaced text") {
     import spark.implicits._
     val docs = graft.ingest.Tables.documents(spark, sfDir)

@@ -90,8 +90,18 @@ object Similarity extends QueryModule {
   private def signKey(v: Column): Column =
     concat((1 to 8).map(i => (element_at(v, i) > 0).cast("int").cast("string")): _*)
 
+  /** Plain double dot product — NOT order-stable across engines, used
+    * only as a pre-filter with a wide safety margin. */
+  private def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** E2/E3: embedding near-duplicate pairs — sign-LSH buckets, exact
-    * cosine ≥ 0.4 verification inside each bucket. */
+    * cosine ≥ 0.4 verification inside each bucket. Candidates are first
+    * screened with a cheap double dot at threshold 0.35: double-vs-exact
+    * drift is ~1e-10, five orders below the 0.05 margin, so no pair with
+    * exact cosine ≥ 0.4 can be screened out — the expensive
+    * decimal-exact cosine then runs only on survivors. */
   def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
@@ -101,6 +111,7 @@ object Similarity extends QueryModule {
     val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"sig")
     a.join(b, Seq("sig"))
       .filter($"v1" < $"v2")
+      .filter(dotFast($"e1", $"e2") / ($"n1" * $"n2") >= 0.35)
       .withColumn("cosine", dotDec($"e1", $"e2") / ($"n1" * $"n2"))
       .filter($"cosine" >= 0.4)
       .select($"v1", $"v2", round($"cosine", 6).as("cosine"))

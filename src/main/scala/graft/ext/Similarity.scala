@@ -90,11 +90,13 @@ object Similarity extends QueryModule {
   private def signKey(v: Column): Column =
     concat((1 to 8).map(i => (element_at(v, i) > 0).cast("int").cast("string")): _*)
 
-  /** Plain double dot product — NOT order-stable across engines, used
-    * only as a pre-filter with a wide safety margin. */
-  private def dotFast(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Plain double dot product via the codegen'd native expression
+    * (graft.functions.DotProductF32) — NOT order-stable across engines,
+    * used only as a pre-filter with a wide safety margin. */
+  private def dotFast(spark: SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_dot", a, b)
+  }
 
   /** E2/E3: embedding near-duplicate pairs — sign-LSH buckets, exact
     * cosine ≥ 0.4 verification inside each bucket. Candidates are first
@@ -111,7 +113,7 @@ object Similarity extends QueryModule {
     val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"sig")
     a.join(b, Seq("sig"))
       .filter($"v1" < $"v2")
-      .filter(dotFast($"e1", $"e2") / ($"n1" * $"n2") >= 0.35)
+      .filter(dotFast(spark)($"e1", $"e2") / ($"n1" * $"n2") >= 0.35)
       .withColumn("cosine", dotDec($"e1", $"e2") / ($"n1" * $"n2"))
       .filter($"cosine" >= 0.4)
       .select($"v1", $"v2", round($"cosine", 6).as("cosine"))

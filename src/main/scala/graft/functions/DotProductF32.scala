@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `array<float>` columns
+  * as double (each element widened to double before multiplying, matching
+  * the `zip_with`/`aggregate` formulation bit-for-bit).
+  *
+  * Why a custom Expression (SURVEY.md §7.3): the similarity tier's hot
+  * inner loop is a 64-element fold per candidate pair. The higher-order
+  * `aggregate(zip_with(...))` builds an intermediate array and evaluates
+  * a lambda per element; this expression compiles to a tight primitive
+  * `for` loop inside whole-stage codegen — no allocation, no lambda
+  * dispatch — with an interpreted `nullSafeEval` fallback. It is used
+  * where exactness permits plain double arithmetic (pre-screens, norms
+  * feeding monotone thresholds); the decimal-exact path remains the
+  * oracle-determinism tool.
+  *
+  * Assumes non-null array elements (embedding vectors). Mismatched
+  * lengths dot the common prefix.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: `GraftExtensions` for `spark.sql.extensions`-configured
+  * sessions, `GraftFunctions.register` for programmatic use. After
+  * either, the function is callable as `graft_dot(a, b)` from SQL or via
+  * `call_function("graft_dot", ...)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotProductDescriptor)
+}
+
+object GraftFunctions {
+  private[functions] val dotProductDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProductF32(children.head, children(1)))
+
+  /** Idempotent programmatic registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotProductDescriptor
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

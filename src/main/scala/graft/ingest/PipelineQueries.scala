@@ -126,12 +126,51 @@ object PipelineQueries extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** S6/T3: bucketed co-located join — both sides pre-bucketed on the
+    * join key (4 buckets, sorted), so the join plan has NO Exchange on
+    * either side: the shuffle was paid once at write time and every
+    * subsequent join/agg on the key rides it. The no-shuffle property is
+    * asserted in PipelineSpec; here the result is oracle-checked. */
+  private[graft] def bucketedTableNames(d: String): (String, String) = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    (s"graft_orders_b_$key", s"graft_cust_b_$key")
+  }
+
+  def bucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (ordersT, custT) = bucketedTableNames(d)
+    if (!spark.catalog.tableExists(ordersT)) {
+      // the in-memory catalog resets per JVM but spark-warehouse/ persists:
+      // clear any stale location from a previous run before re-creating
+      Seq(ordersT, custT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      Sinks.bucketedTable(Tables.orders(spark, d)
+        .select($"o_custkey", $"o_totalprice"), 4, "o_custkey", ordersT)
+      Sinks.bucketedTable(Tables.customer(spark, d)
+        .select($"c_custkey", $"c_mktsegment"), 4, "c_custkey", custT)
+    }
+    spark.table(ordersT)
+      .join(spark.table(custT), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q45_jsonl_roundtrip"     -> jsonlRoundtrip,
     "q46_multiline_dim"       -> multilineDimRoundtrip,
     "q47_lineage_load"        -> lineageLoad,
     "q48_csv_sink_roundtrip"  -> csvSinkRoundtrip,
     "q49_partitioned_write"   -> partitionedWriteRoundtrip,
+    "q64_bucketed_join"       -> bucketedJoin,
   )
 
   val oracles = Map(
@@ -174,5 +213,11 @@ object PipelineQueries extends QueryModule {
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q64_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

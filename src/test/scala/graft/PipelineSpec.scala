@@ -88,6 +88,46 @@ class PipelineSpec extends SparkSpec {
     assert(res(2L) === ((1L, 1L)), "user 2: 1 session")
   }
 
+  test("bucketed join plans with NO shuffle exchange on either side") {
+    // disable auto-broadcast so the tiny test tables take the
+    // shuffled-join path whose exchange elision we are asserting
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      checkBucketedPlan()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def checkBucketedPlan(): Unit = {
+    import spark.implicits._
+    // materialize (also creates the bucketed tables on first run)
+    ingest.PipelineQueries.bucketedJoin(spark, sfDir).collect()
+    val (ordersT, custT) = ingest.PipelineQueries.bucketedTableNames(sfDir)
+    // bare bucketed-table join: no agg, no sort — with both sides
+    // pre-bucketed on the key, the final plan must contain NO Exchange
+    val j = spark.table(ordersT)
+      .join(spark.table(custT), $"o_custkey" === $"c_custkey")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled-family join over bucketed tables:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not re-shuffle:\n$plan")
+  }
+
+  test("salted join is row-identical to the plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail: the salted plan must agree exactly
+    val left = spark.range(0, 10000)
+      .select((when($"id" < 9000, 1L).otherwise($"id")).as("k"), $"id".as("row_id"))
+    val right = Seq((1L, "hot"), (9500L, "cold"), (42L, "unmatched-on-left-tail")).toDF("k", "v")
+    val plain = left.join(right, "k").select($"k", $"row_id", $"v")
+    val salted = graft.util.Skew.saltedEquiJoin(left, right, "k", $"row_id", 8)
+      .select($"k", $"row_id", $"v")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() === plain.count())
+  }
+
   test("lineage load quarantines corrupt rows without dropping good ones") {
     import spark.implicits._
     val out = ingest.PipelineQueries.lineageLoad(spark, sfDir)

@@ -120,10 +120,52 @@ object Similarity extends QueryModule {
       .orderBy($"v1", $"v2")
   }
 
+  /** E3 full IVF: centroids computed from the data (exact decimal
+    * per-dimension means over each stored cell), each query probes its
+    * `nprobe`=2 nearest centroids by cosine, exact rerank within the
+    * probed cells only. The centroid table is K=10 rows — broadcast —
+    * and candidate work per query is O(probed-cell sizes): the complete
+    * IVF dataflow (train → assign → probe → rerank) with every stage
+    * deterministic and oracle-mirrored. */
+  def annCentroidProbe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    // centroid components: exact decimal mean per (cell, dim)
+    val comp = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast("double").cast(Dec)).cast("double") / count(lit(1))).as("c"))
+    val cent = comp.groupBy($"label")
+      .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("cnrm", normDec($"cvec"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), normDec($"embedding").as("qn"))
+    // probe: rank centroids per query, keep nprobe = 2
+    val probeW = Window.partitionBy($"qid").orderBy($"ccos".desc, $"label")
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("ccos", dotDec($"qv", $"cvec") / ($"qn" * $"cnrm"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter($"prn" <= 2)
+      .select($"qid", $"qv", $"qn", $"label".as("cell"))
+    // exact rerank within probed cells
+    val c = emb.select($"vec_id".as("vid"), $"embedding".as("cv"),
+      normDec($"embedding").as("cn"), $"label".as("cell"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vid")
+    c.join(broadcast(probes), Seq("cell"))
+      .filter($"qid" =!= $"vid")
+      .withColumn("cosine", dotDec($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"vid", $"cell", round($"cosine", 6).as("cosine"), $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "q33_cosine_topk_exact" -> cosineTopkExact,
-    "q34_ann_ivf_topk"      -> annIvfTopk,
-    "q43_embedding_neardup" -> embeddingNearDup,
+    "q33_cosine_topk_exact"  -> cosineTopkExact,
+    "q34_ann_ivf_topk"       -> annIvfTopk,
+    "q43_embedding_neardup"  -> embeddingNearDup,
+    "q65_ann_centroid_probe" -> annCentroidProbe,
   )
 
   /** DuckDB mirror of dot/norm: unnest + exact DECIMAL(38,25) sums. */
@@ -172,6 +214,55 @@ object Similarity extends QueryModule {
          |  SELECT qid, cell, vid, dot / (nq.nrm * nc.nrm) AS cosine
          |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON vid = nc.vec_id)
          |SELECT qid, cell, vid, ROUND(cosine, 6) AS cosine, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+         |  FROM cosv)
+         |WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+    "q65_ann_centroid_probe" ->
+      s"""WITH $normsCte,
+         |dims AS (
+         |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM dims GROUP BY label, pos
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM comp GROUP BY label
+         |), cnorms AS (
+         |  SELECT label, sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,25))) AS DOUBLE)) AS cnrm
+         |  FROM comp GROUP BY label
+         |), qcpairs AS (
+         |  SELECT q.vec_id AS qid, ct.label AS cell, q.embedding AS qv, ct.cvec AS cvec
+         |  FROM embeddings q CROSS JOIN cent ct
+         |  WHERE q.vec_id < $nQueries
+         |), qc AS (
+         |  SELECT qid, cell,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * cvec[i] AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT qid, cell, qv, cvec, unnest(generate_series(1, len(cvec))) AS i FROM qcpairs)
+         |  GROUP BY qid, cell
+         |), probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY dot / (qn.nrm * cn.cnrm) DESC, cell) AS prn
+         |    FROM qc JOIN norms qn ON qid = qn.vec_id JOIN cnorms cn ON cell = cn.label)
+         |  WHERE prn <= 2
+         |), pairs AS (
+         |  SELECT p.qid, c.vec_id AS vid, c.label AS cell, qe.embedding AS qv, c.embedding AS cv
+         |  FROM probes p
+         |  JOIN embeddings c ON c.label = p.cell
+         |  JOIN embeddings qe ON qe.vec_id = p.qid
+         |  WHERE c.vec_id <> p.qid
+         |), dots AS (
+         |  SELECT qid, vid, cell,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT qid, vid, cell, qv, cv, unnest(generate_series(1, len(qv))) AS i FROM pairs)
+         |  GROUP BY qid, vid, cell
+         |), cosv AS (
+         |  SELECT qid, vid, cell, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON vid = nc.vec_id)
+         |SELECT qid, vid, cell, ROUND(cosine, 6) AS cosine, rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
          |  FROM cosv)
          |WHERE rnk <= 3

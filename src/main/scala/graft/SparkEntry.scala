@@ -29,6 +29,7 @@ object SparkEntry {
     analytics.Scalars,
     analytics.Sessions,
     analytics.Advanced,
+    analytics.TimeWindows,
     gold.Backfill,
     streaming.MicroBatch,
   )

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native event-time windowing beyond the reference's needs: Spark's
+  * `session_window` (gap-based sessions as a first-class grouping —
+  * the declarative twin of the q59 lag/cumsum formulation, and the
+  * construct the streaming leg would use for per-user session aggs),
+  * and exact interpolated percentiles.
+  *
+  * The session_window oracle re-derives identical sessions with window
+  * functions (session start = min ts, end = max ts + gap), proving the
+  * two formulations equivalent — both engines at exact µs precision.
+  */
+object TimeWindows extends QueryModule {
+
+  private val gap = "30 minutes"
+
+  /** session_window grouping per user: one row per session with start,
+    * end (last event + gap), and event count. */
+  def sessionWindowAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont` on identical inputs). */
+  def percentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min($"o_totalprice").as("pmin"),
+        max($"o_totalprice").as("pmax"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q66_session_window" -> sessionWindowAgg,
+    "q67_percentiles"    -> percentiles,
+  )
+
+  val oracles = Map(
+    "q66_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessioned
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q67_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  MIN(o_totalprice) AS pmin,
+        |  MAX(o_totalprice) AS pmax
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -71,9 +71,26 @@ object Dims extends QueryModule {
       .orderBy($"orderkey")
   }
 
+  /** The fact_user_activity star build (Stream_Analytics_Phase_2.md:150):
+    * event stream ⋈ customer dim ⋈ generated date dim, rolled up to
+    * (date, segment, event_type) with activity measures. */
+  def factUserActivity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val c = Tables.customer(spark, d)
+    e.join(c, e("user_id") === c("c_custkey"))
+      .groupBy(to_date($"ts").as("activity_date"),
+        $"c_mktsegment".as("segment"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"user_id").as("n_users"),
+           msum($"value").as("total_value"))
+      .orderBy($"activity_date", $"segment", $"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q24_revenue_by_quarter"   -> revenueByQuarter,
     "q29_fact_orders_enriched" -> factOrdersEnriched,
+    "q69_fact_user_activity"   -> factUserActivity,
   )
 
   val oracles = Map(
@@ -94,5 +111,14 @@ object Dims extends QueryModule {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY orderkey""".stripMargin,
+    "q69_fact_user_activity" ->
+      """SELECT CAST(ts AS DATE) AS activity_date,
+        |  c_mktsegment AS segment, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY activity_date, segment, event_type
+        |ORDER BY activity_date, segment, event_type""".stripMargin,
   )
 }

@@ -101,9 +101,48 @@ object MicroBatch extends QueryModule {
       .orderBy($"day", $"event_type")
   }
 
+  /** T4+: watermarked stream-stream inner join — purchase events joined
+    * to the same user's error events in the preceding hour (the
+    * streaming twin of the batch time-proximity join q08). Both sides
+    * carry watermarks so join state is bounded; with AvailableNow over
+    * the bounded fixture the emitted matches equal the batch join, which
+    * is exactly what the oracle checks. */
+  def streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val sink = Landing.fixtureDir(d, "stream_join_sink")
+    val ckpt = Landing.fixtureDir(d, "stream_join_ckpt")
+    def src = spark.readStream.schema(wireSchema).json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = src.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val q = purchases.join(errors,
+        purchases("user_id") === errors("e_user") &&
+          errors("e_ts") < purchases("p_ts") &&
+          errors("e_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"user_id", $"p_ts", $"e_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy($"user_id")
+      .agg(countDistinct($"purchase_id").as("n_purchases_with_errors"),
+           count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
     "q58_stream_windowed"   -> streamWindowed,
+    "q68_stream_stream_join" -> streamStreamJoin,
   )
 
   val oracles = Map(
@@ -114,6 +153,17 @@ object MicroBatch extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q68_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT p.user_id,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases_with_errors,
+        |  COUNT(*) AS n_pairs
+        |FROM e p JOIN e err
+        |  ON err.user_id = p.user_id AND err.event_type = 'error'
+        | AND err.ts < p.ts AND err.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id
+        |ORDER BY p.user_id""".stripMargin,
     "q58_stream_windowed" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
         |  event_type, COUNT(*) AS n_events,

@@ -41,16 +41,29 @@ object Bench {
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query is recorded as NEGATIVE elapsed time — never
+      // indistinguishable from a fast success (ADVICE r2)
+      val ok = try { run(fn(spark, sfDir)); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    def jsonFor(f: ((String, Double)) => (String, Double)): String = {
+      val mapped = results.map(f)
+      val qs = mapped.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = mapped.map { case (_, v) => math.abs(v) }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full-precision, full-name JSON goes to BENCH_LOCAL.json; stdout gets
+    // a compact line (qNN keys, 2 dp) because the driver keeps only the
+    // LAST 2000 chars of output — the full-name line is ~2.4k chars and
+    // was truncated past parseability in rounds 1-2 ("parsed": null).
+    val full = jsonFor(identity)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }
     spark.stop()
+    println(jsonFor { case (k, v) =>
+      (k.split("_", 2).head, math.rint(v * 100) / 100) })
   }
 }

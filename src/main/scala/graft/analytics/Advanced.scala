@@ -76,20 +76,46 @@ object Advanced extends QueryModule {
       .orderBy($"event_id")
   }
 
-  /** A3 approximate path: HLL++ distinct beside the exact count.
-    * No SQL oracle (estimator internals are engine-specific); the
-    * relative-error invariant is asserted in tests, and the driver
-    * records a rows-present check. */
+  /** A3 approximate path: HLL++ distinct beside the exact count. The
+    * raw estimate is engine-specific (DuckDB's HLL lands on different
+    * values), so the registered output carries the exact count plus a
+    * deterministic `approx_ok` flag — |approx−exact|/exact within 2.5×
+    * the configured 2% rsd — which the DuckDB oracle reproduces as a
+    * constant TRUE. Spark's HLL++ is deterministic for fixed input, so
+    * the flag is hash-stable; the tighter invariant is also asserted in
+    * ExtSpec. */
   def approxDistinct(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, d)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_users"),
            approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .withColumn("approx_ok",
+        abs($"approx_users" - $"exact_users").cast("double") / $"exact_users" <= 0.05)
+      .select($"event_type", $"exact_users", $"approx_ok")
       .orderBy($"event_type")
   }
 
+  /** A9 companion: PIVOT — event counts per user-cohort day, one column
+    * per event type. Explicit value list keeps the plan a single hash
+    * aggregation (no distinct-value discovery scan) and the output
+    * schema static — the shape that survives 100× data growth. */
+  def pivotEventMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"day", $"click".as("n_click"), $"error".as("n_error"),
+        $"purchase".as("n_purchase"), $"signup".as("n_signup"),
+        $"view".as("n_view"))
+      .orderBy($"day")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q44_pivot_events"    -> pivotEventMatrix,
     "q60_rollup_revenue"  -> rollupRevenue,
     "q61_full_outer_audit" -> fullOuterAudit,
     "q62_asof_join"       -> asofJoin,
@@ -97,6 +123,16 @@ object Advanced extends QueryModule {
   )
 
   val oracles = Map(
+    "q44_pivot_events" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) FILTER (event_type = 'click')    AS n_click,
+        |  COUNT(*) FILTER (event_type = 'error')    AS n_error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+        |  COUNT(*) FILTER (event_type = 'view')     AS n_view
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
     "q60_rollup_revenue" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -130,7 +166,16 @@ object Advanced extends QueryModule {
         |  o_totalprice AS asof_totalprice
         |FROM ranked WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
-    // q63_approx_distinct: deliberately no oracle (HLL++ sketch values
-    // are engine-specific); invariant asserted in ExtSpec.
+    // q63: the estimate itself is engine-specific, so the checked
+    // surface is the exact count + the within-bound flag (constant TRUE
+    // in the oracle — a hash mismatch means Spark's estimator left its
+    // error envelope).
+    "q63_approx_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

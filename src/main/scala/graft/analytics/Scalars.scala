@@ -85,7 +85,7 @@ object Scalars extends QueryModule {
         |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
         |  concat_ws('|', lower(c_mktsegment), CAST(c_nationkey AS VARCHAR)) AS seg_nation,
         |  substr(c_name, 1, 8) AS name_head,
-        |  CAST(strlen(c_name) AS BIGINT) AS name_len
+        |  CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q55_array_funcs" ->

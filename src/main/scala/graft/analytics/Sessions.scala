@@ -47,8 +47,25 @@ object Sessions extends QueryModule {
         $"n_events_total".cast("double") / $"n_sessions")
   }
 
+  /** The mapGroupsWithState sessionizer (streaming/StatefulSessions) run
+    * over the batch event table — same per-user O(1) state transition
+    * Spark would run per micro-batch, registered so the custom-state API
+    * surface is oracle-checked, not just unit-tested. One shuffle on
+    * user_id (groupByKey), per-group in-memory sort bounded by a user's
+    * event count. */
+  def statefulSessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[graft.streaming.StatefulSessions.Ev]
+    graft.streaming.StatefulSessions.sessionCounts(evs)
+      .toDF()
+      .orderBy($"user_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q59_sessionize" -> sessionize,
+    "q70_stateful_sessions" -> statefulSessions,
   )
 
   val oracles = Map(
@@ -75,5 +92,21 @@ object Sessions extends QueryModule {
         |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
         |  CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_events_per_session
         |FROM per_session""".stripMargin,
+    "q70_stateful_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

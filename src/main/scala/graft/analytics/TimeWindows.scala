@@ -55,14 +55,14 @@ object TimeWindows extends QueryModule {
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         |), flagged AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessioned AS (
         |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start,

@@ -139,8 +139,30 @@ object Windows extends QueryModule {
       .limit(15)
   }
 
+  /** Distribution analytics — ntile / percent_rank / cume_dist / lead —
+    * per-segment customer-spend quartiles. Windows are partitioned by
+    * market segment (bounded partitions at any scale, unlike a single
+    * global window over all customers); total order inside the window
+    * via (spend DESC, custkey). */
+  def spendQuartiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(msum($"o_totalprice").as("spend"))
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"spend".desc, $"o_custkey")
+    Tables.customer(spark, d)
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .select($"c_mktsegment".as("segment"), $"o_custkey".as("custkey"), $"spend",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lead($"spend", 1).over(w).as("next_spend"))
+      .orderBy($"segment", $"spend".desc, $"custkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q11_rank_parts_per_brand" -> rankPartsPerBrand,
+    "q72_spend_quartiles"      -> spendQuartiles,
     "q12_running_revenue"      -> runningRevenue,
     "q13_moving_avg_revenue"   -> movingAvgRevenue,
     "q14_revenue_share_nation" -> revenueShareByNation,
@@ -156,6 +178,19 @@ object Windows extends QueryModule {
       |  FROM orders GROUP BY order_date)""".stripMargin
 
   val oracles = Map(
+    "q72_spend_quartiles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment AS segment, o_custkey AS custkey, spend,
+        |  ntile(4)       OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist()    OVER w AS cume,
+        |  lead(spend, 1) OVER w AS next_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)
+        |ORDER BY segment, spend DESC, custkey""".stripMargin,
     "q11_rank_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice, rn, rnk, drnk FROM (
         |  SELECT p_brand, p_partkey, p_name, p_retailprice,

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.QueryModule
-import graft.ingest.Tables
+import graft.ingest.{Landing, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,19 +82,22 @@ object Dedup extends QueryModule {
     * (collect_set); everything downstream — the 18 minhashes
     * (`array_min` over a per-row `transform`, no second aggregation),
     * the band hashes, and the Jaccard verification arrays — derives
-    * per-row from that persisted set table, so the expensive
+    * per-row from that checkpointed set table, so the expensive
     * tokenize→explode→aggregate pipeline runs once, not once per join
     * leg ("caching policies for intermediate DataFrames",
-    * Stream_Analytics_Platform.md:91). At 100 TB the set/signature table
-    * would be checkpointed to parquet instead of memory-persisted; the
-    * dataflow is identical. */
+    * Stream_Analytics_Platform.md:91). The set table is checkpointed to
+    * a parquet fixture rather than `persist()`ed: persist would leak
+    * MEMORY_AND_DISK blocks for the JVM lifetime on every invocation
+    * (no post-action unpersist hook in the query contract), and the
+    * parquet checkpoint is exactly the 100-TB pattern anyway. */
   def minhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sets = shingles(spark, d)
-      .groupBy($"doc_id")
-      .agg(collect_set($"shingle").as("sset"))
-      .withColumn("n", size($"sset").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = Landing.ensureParquetFixture(
+      shingles(spark, d)
+        .groupBy($"doc_id")
+        .agg(collect_set($"shingle").as("sset"))
+        .withColumn("n", size($"sset").cast("long")),
+      d, "minhash_shingle_sets")
     val mh = (0 until nHashes).map(i =>
       array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
     val bandCols = (0 until nBands).map { j =>
@@ -162,11 +165,44 @@ object Dedup extends QueryModule {
     agged.select($"doc_id", fp.as("simhash")).orderBy($"doc_id")
   }
 
+  /** E2: SimHash near-dup PAIR SEARCH — bands the 32-bit fingerprint
+    * into 4 byte-bands; only docs sharing a band ever meet (pigeonhole:
+    * hamming ≤ 3 over 4 bands guarantees ≥1 identical band, so recall
+    * at the ≤3 threshold is exact, not approximate). Candidates verify
+    * with `bit_count(xor)`. Fingerprints come from the one-shuffle
+    * simhash aggregation, checkpointed once and reused by both the band
+    * and verify legs — the same no-O(n²) shape as the MinHash path but
+    * with a 64× smaller signature (one long vs 18 md5s). */
+  def simhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val fps = Landing.ensureParquetFixture(
+      simhashFingerprint(spark, d), d, "simhash_fps")
+    val bandCols = (0 until 4).map(j =>
+      struct(lit(j).as("bidx"),
+        shiftright($"simhash", 8 * j).bitwiseAND(lit(255L)).as("bval")))
+    val bands = fps.select($"doc_id", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"b.bidx", $"b.bval")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val f1 = fps.select($"doc_id".as("d1"), $"simhash".as("fp1"))
+    val f2 = fps.select($"doc_id".as("d2"), $"simhash".as("fp2"))
+    cand.join(f1, "d1").join(f2, "d2")
+      .withColumn("hamming", bit_count($"fp1".bitwiseXOR($"fp2")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q22_exact_dedup"           -> exactDedup,
     "q30_minhash_neardup_pairs" -> minhashNearDupPairs,
     "q42_ngram_jaccard_pairs"   -> ngramJaccardPairs,
     "q31_simhash_fingerprint"   -> simhashFingerprint,
+    "q71_simhash_neardup_pairs" -> simhashNearDupPairs,
   )
 
   private val pairOracle =
@@ -206,5 +242,19 @@ object Dedup extends QueryModule {
     "q30_minhash_neardup_pairs" -> pairOracle.format("0.6"),
     "q42_ngram_jaccard_pairs"   -> pairOracle.format("0.5"),
     "q31_simhash_fingerprint"   -> simhashOracle,
+    "q71_simhash_neardup_pairs" ->
+      s"""WITH fps AS ($simhashOracle),
+         |bands AS (
+         |  SELECT doc_id, b.bidx, (simhash >> (8 * b.bidx)) & 255 AS bval
+         |  FROM fps, (SELECT unnest(range(4)) AS bidx) b
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(f1.simhash, f2.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN fps f1 ON d1 = f1.doc_id JOIN fps f2 ON d2 = f2.doc_id
+         |WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
   )
 }

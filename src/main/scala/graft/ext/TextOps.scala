@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.QueryModule
-import graft.ingest.Tables
+import graft.ingest.{Landing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,12 +63,14 @@ object TextOps extends QueryModule {
   def langId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
-    // persisted: feeds both the profile build and the per-doc scoring leg
-    // (one trigram explode instead of two)
-    val tri = docs.select($"doc_id", $"lang",
-      explode(transform(sequence(lit(1), length($"text") - 2),
-        i => $"text".substr(i, lit(3)))).as("tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpointed (not persist()ed — that leaked cache blocks for the
+    // JVM lifetime with no unpersist hook): feeds both the profile build
+    // and the per-doc scoring leg, one trigram explode instead of two
+    val tri = Landing.ensureParquetFixture(
+      docs.select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"text") - 2),
+          i => $"text".substr(i, lit(3)))).as("tg")),
+      d, "langid_trigrams")
     val profW = Window.partitionBy($"plang").orderBy($"cnt".desc, $"tg")
     val profile = tri.groupBy($"lang".as("plang"), $"tg")
       .agg(count(lit(1)).as("cnt"))
@@ -184,7 +186,7 @@ object TextOps extends QueryModule {
     "q35_lang_id" ->
       """WITH tri AS (
         |  SELECT doc_id, lang, substr(text, i, 3) AS tg
-        |  FROM (SELECT doc_id, lang, text, unnest(generate_series(1, strlen(text) - 2)) AS i
+        |  FROM (SELECT doc_id, lang, text, unnest(generate_series(1, length(text) - 2)) AS i
         |        FROM documents)
         |), profile AS (
         |  SELECT plang, tg FROM (
@@ -212,11 +214,11 @@ object TextOps extends QueryModule {
         |  len(list_distinct(ws)) AS n_uniq,
         |  len(list_filter(ws, t -> t IN ('the','a','of','to','in','and'))) AS n_stop,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(ws, t -> CAST(strlen(t) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+        |    list_transform(ws, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS sum_len,
         |  CAST(len(list_filter(ws, t -> t IN ('the','a','of','to','in','and'))) AS DOUBLE) / len(ws) AS stop_ratio,
         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(ws, t -> CAST(strlen(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(ws) AS avg_token_len,
+        |    list_transform(ws, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(ws) AS avg_token_len,
         |  CASE WHEN len(ws) < 10 THEN 'short'
         |       WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3 THEN 'good'
         |       ELSE 'flagged' END AS quality
@@ -235,7 +237,7 @@ object TextOps extends QueryModule {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |    string_split(lower(text), ' '),
         |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-        |           generate_series(1, strlen(t)),
+        |           generate_series(1, length(t)),
         |           i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
         |         (a, c) -> (a * 31 + c) % 1000000007))),
         |  (a, c) -> (a * 131 + c) % 1000000007) AS fingerprint

@@ -82,6 +82,23 @@ object Landing {
     dir
   }
 
+  /** Checkpoint an intermediate DataFrame to a parquet fixture (written
+    * once per (sf, name), then read back). This is the scale-correct
+    * alternative to `persist()` for tables reused across query legs AND
+    * across Verify/Bench invocations: no CacheManager entry leaks for
+    * the JVM lifetime, re-runs hit the materialized parquet, and at
+    * 100 TB the same pattern is a cluster-storage checkpoint. */
+  def ensureParquetFixture(df: DataFrame, sfDir: String, name: String): DataFrame = {
+    val dir = fixtureDir(sfDir, name)
+    val marker = Paths.get(dir, "_FIXTURE_OK")
+    if (!Files.exists(marker)) {
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      Files.write(marker, Array.emptyByteArray,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Write a bounded dimension as ONE multiLine JSON array file — the
     * static `customers.json` fixture shape. Dim tables are bounded by
     * contract (reference dims: 1k/2k rows), so streaming them through the

@@ -112,7 +112,16 @@ object MicroBatch extends QueryModule {
     val landing = ensureLanding(spark, d)
     val sink = Landing.fixtureDir(d, "stream_join_sink")
     val ckpt = Landing.fixtureDir(d, "stream_join_ckpt")
-    def src = spark.readStream.schema(wireSchema).json(landing)
+    // The fixture's JSONL files are not time-ordered, so a multi-batch
+    // drain could let the 1-hour watermark evict state holding
+    // cross-batch matches. maxFilesPerTrigger far above the fixture's
+    // file count guarantees AvailableNow drains it as ONE batch; at
+    // production scale the landing feed is time-ordered per batch file
+    // (the consumer writes them in arrival order), so the watermark
+    // bound is the real state cap there.
+    def src = spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1000000")
+      .json(landing)
       .withColumn("ts", to_timestamp($"ts_str", tsFmt))
     val purchases = src.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))

@@ -78,4 +78,39 @@ class CoreLawsSpec extends SparkSpec {
       to_date($"o_orderdate") === $"date_key")
     assert(joined.count() === o.count())
   }
+
+  test("mapGroupsWithState sessionizer agrees with the window-function sessionizer") {
+    import spark.implicits._
+    // two independent formulations of gap-based sessions (q70 vs q59)
+    // must produce identical global totals
+    val stateful = analytics.Sessions.statefulSessions(spark, sfDir)
+      .agg(sum($"n_sessions").as("s"), sum($"n_events").as("e")).first()
+    val windowed = analytics.Sessions.sessionize(spark, sfDir).first()
+    assert(stateful.getLong(0) === windowed.getAs[Long]("n_sessions"))
+    assert(stateful.getLong(1) === windowed.getAs[Long]("n_events_total"))
+  }
+
+  test("simhash banding has exact recall at hamming <= 3: every close pair shares a band") {
+    import spark.implicits._
+    // all-pairs ground truth at sf0.001 scale vs the banded candidate set
+    val fps = ext.Dedup.simhashFingerprint(spark, sfDir)
+      .select($"doc_id", $"simhash")
+    val a = fps.select($"doc_id".as("d1"), $"simhash".as("f1"))
+    val b = fps.select($"doc_id".as("d2"), $"simhash".as("f2"))
+    val truth = a.crossJoin(b).filter($"d1" < $"d2")
+      .filter(bit_count($"f1".bitwiseXOR($"f2")) <= 3)
+      .select($"d1", $"d2")
+    val banded = ext.Dedup.simhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
+    assert(truth.exceptAll(banded).isEmpty)
+  }
+
+  test("pivot matrix row-sums equal the unpivoted per-day counts") {
+    import spark.implicits._
+    val piv = analytics.Advanced.pivotEventMatrix(spark, sfDir)
+      .withColumn("total", $"n_click" + $"n_error" + $"n_purchase" + $"n_signup" + $"n_view")
+      .select($"day", $"total")
+    val flat = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("total"))
+    assert(piv.exceptAll(flat).isEmpty && flat.exceptAll(piv).isEmpty)
+  }
 }

@@ -32,6 +32,7 @@ object SparkEntry {
     analytics.TimeWindows,
     gold.Backfill,
     streaming.MicroBatch,
+    plans.TopKQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -76,8 +76,10 @@ case class DotProductF32(left: Expression, right: Expression)
   * either, the function is callable as `graft_dot(a, b)` from SQL or via
   * `call_function("graft_dot", ...)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ingest.Tables
+import graft.plans.{GraftOps, TopKPerGroupExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native TopKPerGroup operator: row-for-row equivalence with the
+  * window-function formulation, plan shape, and edge cases. */
+class TopKSpec extends SparkSpec {
+
+  test("native top-k equals the window row_number formulation") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sfDir)
+      .select($"p_brand", $"p_partkey", $"p_name", $"p_retailprice")
+    val native = GraftOps.topKPerGroup(parts, Seq("p_brand"),
+      Seq("p_retailprice" -> true, "p_partkey" -> false), 3)
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    val windowed = parts.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+    assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
+  }
+
+  test("physical plan contains partial and final TopKPerGroupExec, no sort") {
+    val parts = Tables.part(spark, sfDir)
+    val df = GraftOps.topKPerGroup(parts, Seq("p_brand"),
+      Seq("p_retailprice" -> true, "p_partkey" -> false), 3)
+    df.collect() // finalize any adaptive re-planning
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectNodes(q.plan)
+      case other => other +: other.children.flatMap(collectNodes)
+    }
+    val nodes = collectNodes(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+    val topks = nodes.collect { case t: TopKPerGroupExec => t }
+    assert(topks.map(_.partial).sorted === Seq(false, true))
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("sort")))
+  }
+
+  test("k larger than any group returns every row; k=1 returns one per group") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 5), ("b", 3), ("b", 3)).toDF("g", "v")
+    val all = GraftOps.topKPerGroup(df, Seq("g"), Seq("v" -> false), 100)
+    assert(all.count() === 5)
+    val one = GraftOps.topKPerGroup(df, Seq("g"), Seq("v" -> true), 1)
+    assert(one.count() === 2)
+    assert(one.filter($"g" === "b").select($"v").as[Int].head() === 5)
+  }
+
+  test("null group keys and null sort values are kept and ordered") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1)), (None, Some(2)), (None, None), (Some("a"), None))
+      .toDF("g", "v")
+    val top = GraftOps.topKPerGroup(df, Seq("g"), Seq("v" -> false), 1)
+    // one row per group incl. the null group; ASC NULLS FIRST keeps nulls
+    assert(top.count() === 2)
+    assert(top.filter($"g".isNull).select($"v").first().isNullAt(0))
+    assert(top.filter($"g" === "a").select($"v").first().isNullAt(0))
+  }
+}

@@ -145,6 +145,37 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
+  private val stopShingleDf = 5
+
+  /** E2 at scale: the q42 inverted-index join with the stop-shingle
+    * guard the production shape needs — shingles appearing in more than
+    * `stopShingleDf` docs are dropped before the self-join. Cost of the
+    * index join is Σ df² per shingle; one boilerplate-ish shingle shared
+    * by 1e5 docs is a 1e10-pair bucket at 100 TB, and near-dup evidence
+    * lives in the RARE shingles anyway. Jaccard is computed over the
+    * surviving (non-stop) sets in both legs, so the query stays exactly
+    * oracle-comparable. */
+  def ngramJaccardCapped(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, d)
+    val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > stopShingleDf)
+      .select($"shingle")
+    val cold = sh.join(hot, Seq("shingle"), "left_anti")
+    val inter = cold.as("a")
+      .join(cold.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = cold.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val s1 = sizes.select($"doc_id".as("d1"), $"n".as("n1"))
+    val s2 = sizes.select($"doc_id".as("d2"), $"n".as("n2"))
+    inter.join(s1, "d1").join(s2, "d2")
+      .withColumn("jaccard", $"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"n_common", $"n1", $"n2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
   /** Hex nibble value of char `idx` (1-based) of md5 column `h`. */
   private def nib(h: Column, idx: Int): Column =
     conv(substring(h, idx, 1), 16, 10).cast("int")
@@ -203,6 +234,7 @@ object Dedup extends QueryModule {
     "q42_ngram_jaccard_pairs"   -> ngramJaccardPairs,
     "q31_simhash_fingerprint"   -> simhashFingerprint,
     "q71_simhash_neardup_pairs" -> simhashNearDupPairs,
+    "q74_ngram_jaccard_capped"  -> ngramJaccardCapped,
   )
 
   private val pairOracle =
@@ -241,6 +273,22 @@ object Dedup extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "q30_minhash_neardup_pairs" -> pairOracle.format("0.6"),
     "q42_ngram_jaccard_pairs"   -> pairOracle.format("0.5"),
+    "q74_ngram_jaccard_capped" ->
+      s"""$shingleCte, hot AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $stopShingleDf
+         |), cold AS (
+         |  SELECT doc_id, shingle FROM sh
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)
+         |), pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+         |  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sizes AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1)
+         |SELECT d1, d2, n_common, s1.n AS n1, s2.n AS n2,
+         |  CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
     "q31_simhash_fingerprint"   -> simhashOracle,
     "q71_simhash_neardup_pairs" ->
       s"""WITH fps AS ($simhashOracle),

@@ -34,6 +34,46 @@ object Multimodal extends QueryModule {
     throw new UnsupportedOperationException(
       "media codec not available in this environment; wire a real decoder here")
 
+  /** Typed row for the batch-decode stage. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String, source: String)
+  case class MediaFeatures(doc_id: Long, lang: String, source: String,
+                           byte_len: Long, f_mod: Long, f_mix: Long)
+
+  /** Deterministic fake codec standing in for [[decodeStub]]: derives
+    * features from payload length only, so the DuckDB oracle reproduces
+    * it from `octet_length` regardless of text encoding. A real decoder
+    * drops in with the same batch signature. */
+  def fakeDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Long]] =
+    payloads.map { p =>
+      val n = p.length.toLong
+      Array(n, n % 251L, (n * 31L + 7L) % 1000L)
+    }
+
+  private val decodeBatchSize = 64
+
+  /** E5: the real batch-decode plumbing — typed Dataset, repartition by
+    * a content-hash prefix (spreads hot media uniformly; no partition
+    * ever keys on source/size skew), then `mapPartitions` feeding the
+    * codec fixed-size batches (the Scala analogue of `mapInPandas`
+    * Arrow batches). Only the codec body is fake; schema, partitioning,
+    * batch shape and row accounting are production-real. */
+  def mediaBatchDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"lang", $"source")
+      .repartition(crc32(md5($"payload")))
+      .as[MediaRow]
+    rows.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        val feats = fakeDecodeBatch(batch.map(_.payload))
+        batch.lazyZip(feats).map { (r, f) =>
+          MediaFeatures(r.doc_id, r.lang, r.source, f(0), f(1), f(2))
+        }
+      }
+    }.toDF()
+      .orderBy($"doc_id")
+  }
+
   /** E5: multimodal row assembly + deterministic feature extraction.
     * Binary payload + metadata struct + embedding, flattened features. */
   def multimodalFeatures(spark: SparkSession, d: String): DataFrame = {
@@ -56,6 +96,7 @@ object Multimodal extends QueryModule {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q41_multimodal_features" -> multimodalFeatures,
+    "q75_media_batch_decode"  -> mediaBatchDecode,
   )
 
   val oracles = Map(
@@ -67,6 +108,13 @@ object Multimodal extends QueryModule {
         |  CAST(len(embedding) AS BIGINT) AS emb_dim,
         |  lang, source
         |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q75_media_batch_decode" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 251 AS BIGINT) AS f_mod,
+        |  CAST((octet_length(encode(text)) * 31 + 7) % 1000 AS BIGINT) AS f_mix
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
   )
 }

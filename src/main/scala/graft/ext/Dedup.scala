@@ -35,16 +35,23 @@ object Dedup extends QueryModule {
 
   /** Word 3-shingles, distinct per doc: (doc_id, shingle) exploded rows.
     * Docs with < 3 tokens are excluded in BOTH legs (a sequence with a
-    * negative bound would otherwise run backwards in Spark). */
+    * negative bound would otherwise run backwards in Spark).
+    * Checkpointed once per corpus — the shingle table is the shared
+    * input artifact of the whole near-dup tier (inverted-index joins
+    * q42/q74, SimHash votes q31/q71, MinHash signature build), so every
+    * consumer scans the parquet instead of re-running the
+    * tokenize→explode pipeline per join leg. */
   private[ext] def shingles(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(array_distinct(
-        transform(sequence(lit(1), size($"toks") - 2),
-          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
-            element_at($"toks", i + 2))))).as("shingle"))
+    Landing.ensureParquetFixture(
+      Tables.documents(spark, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"toks") - 2),
+            i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+              element_at($"toks", i + 2))))).as("shingle")),
+      d, "shingle_rows")
   }
 
   /** Shared DuckDB CTE prefix producing the same (doc_id, shingle) rows. */

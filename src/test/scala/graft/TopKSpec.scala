@@ -52,6 +52,30 @@ class TopKSpec extends SparkSpec {
     assert(one.filter($"g" === "b").select($"v").as[Int].head() === 5)
   }
 
+  test("property: native top-k == window formulation on random skewed data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // skewed keys (few groups, heavy repetition) + duplicate values to
+    // stress tie-breaking; unique id column provides the total order
+    val rowsGen = Gen.listOfN(500, for {
+      g <- Gen.chooseNum(0, 7)
+      v <- Gen.chooseNum(0, 19)
+    } yield (g, v))
+    (1L to 5L).foreach { seed =>
+      val rows = rowsGen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+      val df = rows.toDF("g", "v", "id").repartition(13)
+      val native = GraftOps.topKPerGroup(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 4)
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 4).drop("rn")
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+        s"seed=$seed")
+    }
+  }
+
   test("null group keys and null sort values are kept and ordered") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (None, None), (Some("a"), None))

@@ -94,9 +94,34 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  private val framesPerDoc = 3
+  private val frameLen = 64
+
+  /** E5: frame sampling — the every-k-th-frame decode shape for video
+    * payloads: three evenly-spaced fixed-length frames per payload
+    * (stride derived from payload size), fingerprinted per frame. Pure
+    * codegen expressions, one output row per sampled frame. Frames are
+    * character-indexed so the DuckDB oracle is byte-exact regardless of
+    * encoding (md5 of a string hashes its UTF-8 bytes in both engines). */
+  def mediaFrameSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("stride",
+        greatest(lit(1), floor(length($"text") / framesPerDoc).cast("int")))
+      .select($"doc_id", $"text", $"stride",
+        explode(sequence(lit(0), lit(framesPerDoc - 1))).as("frame_idx"))
+      .withColumn("frame", $"text".substr($"frame_idx" * $"stride" + 1, lit(frameLen)))
+      .filter(length($"frame") > 0)
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        length($"frame").cast("long").as("frame_chars"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q41_multimodal_features" -> multimodalFeatures,
     "q75_media_batch_decode"  -> mediaBatchDecode,
+    "q78_media_frame_sample"  -> mediaFrameSample,
   )
 
   val oracles = Map(
@@ -109,6 +134,22 @@ object Multimodal extends QueryModule {
         |  lang, source
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "q78_media_frame_sample" ->
+      """WITH strided AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(1, CAST(FLOOR(length(text) / 3) AS INT)) AS stride
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    substr(text, i * stride + 1, 64) AS frame
+        |  FROM strided, (SELECT unnest(range(3)) AS i)
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_chars,
+        |  md5(frame) AS frame_md5
+        |FROM frames
+        |WHERE length(frame) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q75_media_batch_decode" ->
       """SELECT doc_id, lang, source,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

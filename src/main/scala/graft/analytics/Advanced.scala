@@ -127,8 +127,42 @@ object Advanced extends QueryModule {
       .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Interval (range) join via bucketing — the theta→equi rewrite a
+    * 100-TB range join needs: OVERLAPPING 70-day campaign windows
+    * (stride 50, so a date can fall in two) joined to orders on
+    * `o_orderdate BETWEEN start AND end`. No equi key exists, so both
+    * sides are bucketed into epoch-weeks — campaigns exploded to every
+    * week they cover, orders to their single week — and the join becomes
+    * an EQUI join on the bucket plus the exact range filter. Work is
+    * O(rows × weeks-per-campaign), never a cross product; the campaign
+    * side stays broadcast-size. Campaign bounds are fixed calendar
+    * facts (campaigns are real-world constants, not data-derived — an
+    * out-of-range order matching nothing is correct semantics). */
+  def intervalCampaignJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val anchor = to_date(lit("1995-01-01"))
+    val campaigns = spark.range(50).toDF("campaign_id")
+      .withColumn("cstart", date_add(anchor, ($"campaign_id" * 50).cast("int")))
+      .withColumn("cend", date_add($"cstart", 69))
+    val epochDay = (c: org.apache.spark.sql.Column) =>
+      datediff(c, to_date(lit("1970-01-01")))
+    val cweeks = campaigns
+      .withColumn("wk", explode(sequence(
+        floor(epochDay($"cstart") / 7).cast("int"),
+        floor(epochDay($"cend") / 7).cast("int"))))
+    val o = Tables.orders(spark, d)
+      .withColumn("odate", to_date($"o_orderdate"))
+      .withColumn("wk", floor(epochDay($"odate") / 7).cast("int"))
+    o.join(broadcast(cweeks), Seq("wk"))
+      .filter($"odate" >= $"cstart" && $"odate" <= $"cend")
+      .groupBy($"campaign_id", $"cstart", $"cend")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("revenue"))
+      .orderBy($"campaign_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q44_pivot_events"    -> pivotEventMatrix,
+    "q80_interval_join"   -> intervalCampaignJoin,
     "q76_cube_orders"     -> cubeOrders,
     "q60_rollup_revenue"  -> rollupRevenue,
     "q61_full_outer_audit" -> fullOuterAudit,
@@ -147,6 +181,20 @@ object Advanced extends QueryModule {
         |FROM events
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+    "q80_interval_join" ->
+      """WITH campaigns AS (
+        |  SELECT c AS campaign_id,
+        |    DATE '1995-01-01' + INTERVAL (c * 50) DAY AS cstart,
+        |    DATE '1995-01-01' + INTERVAL (c * 50 + 69) DAY AS cend
+        |  FROM (SELECT unnest(range(50)) AS c)
+        |)
+        |SELECT campaign_id, CAST(cstart AS DATE) AS cstart, CAST(cend AS DATE) AS cend,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM campaigns JOIN orders
+        |  ON CAST(o_orderdate AS DATE) BETWEEN cstart AND cend
+        |GROUP BY 1, 2, 3
+        |ORDER BY campaign_id""".stripMargin,
     "q76_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

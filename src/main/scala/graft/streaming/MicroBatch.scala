@@ -186,11 +186,43 @@ object MicroBatch extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** T2 made explicit with `foreachBatch`: each micro-batch lands in a
+    * batch-id-keyed directory with overwrite mode, so a replayed batch
+    * (crash between sink write and checkpoint commit — the at-least-once
+    * window) overwrites its own output instead of duplicating it. That
+    * idempotent-sink + checkpoint pair is exactly-once end to end, which
+    * the oracle observes: the read-back aggregate equals the clean batch
+    * table on every re-run. */
+  def streamForeachBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val outRoot = Landing.fixtureDir(d, "febatch_out")
+    val ckpt = Landing.fixtureDir(d, "febatch_ckpt")
+    val q = spark.readStream.schema(wireSchema).json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outRoot/batch_$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outRoot/batch_*")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"user_id").as("n_users"),
+           msum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
     "q77_stream_dedup"      -> streamDedup,
+    "q81_stream_foreachbatch" -> streamForeachBatch,
   )
 
   val oracles = Map(
@@ -212,6 +244,13 @@ object MicroBatch extends QueryModule {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.user_id
         |ORDER BY p.user_id""".stripMargin,
+    "q81_stream_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q77_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_id) AS n_distinct,

@@ -160,9 +160,29 @@ object Advanced extends QueryModule {
       .orderBy($"campaign_id")
   }
 
+  /** T3 skew path, registered: the salted fact⋈dim equi-join — the
+    * event stream's user_id key salted into 8 buckets (deterministic
+    * hash salt, dim exploded once per bucket) — must be row-identical
+    * to the plain join, which is exactly what the plain-SQL oracle
+    * checks. At 100 TB this is the static fallback when AQE's runtime
+    * skew split can't apply (custom partitioners, deliberate plans). */
+  def saltedUserJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+    val users = Tables.customer(spark, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.util.Skew.saltedEquiJoin(ev, users, "user_id", $"event_id", buckets = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_purchases"), msum($"value").as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q44_pivot_events"    -> pivotEventMatrix,
     "q80_interval_join"   -> intervalCampaignJoin,
+    "q82_salted_join"     -> saltedUserJoin,
     "q76_cube_orders"     -> cubeOrders,
     "q60_rollup_revenue"  -> rollupRevenue,
     "q61_full_outer_audit" -> fullOuterAudit,
@@ -181,6 +201,13 @@ object Advanced extends QueryModule {
         |FROM events
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+    "q82_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q80_interval_join" ->
       """WITH campaigns AS (
         |  SELECT c AS campaign_id,

@@ -104,6 +104,22 @@ class CoreLawsSpec extends SparkSpec {
     assert(truth.exceptAll(banded).isEmpty)
   }
 
+  test("bucketed interval join equals the brute-force range join") {
+    import spark.implicits._
+    // q80's theta->equi rewrite must produce exactly the pairs the
+    // direct (unbucketed) range predicate produces
+    val anchor = to_date(lit("1995-01-01"))
+    val campaigns = spark.range(50).toDF("campaign_id")
+      .withColumn("cstart", date_add(anchor, ($"campaign_id" * 50).cast("int")))
+      .withColumn("cend", date_add($"cstart", 69))
+    val o = Tables.orders(spark, sfDir).withColumn("odate", to_date($"o_orderdate"))
+    val brute = o.join(campaigns, $"odate" >= $"cstart" && $"odate" <= $"cend")
+      .groupBy($"campaign_id").agg(count(lit(1)).as("n"))
+    val bucketed = analytics.Advanced.intervalCampaignJoin(spark, sfDir)
+      .select($"campaign_id", $"n_orders".as("n"))
+    assert(bucketed.exceptAll(brute).isEmpty && brute.exceptAll(bucketed).isEmpty)
+  }
+
   test("pivot matrix row-sums equal the unpivoted per-day counts") {
     import spark.implicits._
     val piv = analytics.Advanced.pivotEventMatrix(spark, sfDir)

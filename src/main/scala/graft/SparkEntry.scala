@@ -31,6 +31,7 @@ object SparkEntry {
     analytics.Advanced,
     analytics.TimeWindows,
     gold.Backfill,
+    silver.MergeUpsert,
     streaming.MicroBatch,
     plans.TopKQueries,
   )

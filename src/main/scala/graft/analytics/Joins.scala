@@ -90,8 +90,51 @@ object Joins extends QueryModule {
       .orderBy($"purchase_id")
   }
 
+  /** J5 proper: lineage self-join on `original_transaction_id`. The
+    * reference's producer gives every refund/chargeback a pointer to the
+    * transaction it reverses and flips the total negative
+    * (transaction_events_producer.py:109-112,142-143); the consumer's
+    * value is netting those against the original sales. The fixture
+    * derives a deterministic refund stream from orders (every 9th order
+    * refunded, every 33rd charged back, full amount, negative), links
+    * each back to its original through the lineage key, and reports
+    * gross / refunded / net revenue by the ORIGINAL order's month —
+    * attributes a refund event does not carry itself, which is what
+    * forces the join.
+    *
+    * Scale: the lineage join is a plain equi-shuffle on the original key
+    * (N/9 ⋈ N); the month-grain net join is agg⋈agg, broadcast-sized. */
+  def refundLineage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+    def synth(mod: Int, off: Long, typ: String) =
+      o.filter($"o_orderkey" % mod === 0).select(
+        ($"o_orderkey" + off).as("transaction_id"),
+        $"o_orderkey".as("original_transaction_id"),
+        (-$"o_totalprice").as("total"),
+        lit(typ).as("transaction_type"))
+    val refunds = synth(9, 5000000000L, "refund")
+      .unionByName(synth(33, 6000000000L, "chargeback"))
+    val orig = o.select($"o_orderkey", $"o_orderdate")
+    val refundAgg = refunds
+      .join(orig, refunds("original_transaction_id") === orig("o_orderkey"))
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n_refund_events"), msum($"total").as("refunded_amount"))
+    val gross = o
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("gross_revenue"))
+    gross.join(refundAgg, Seq("order_month"), "left")
+      .select($"order_month", $"n_orders",
+        coalesce($"n_refund_events", lit(0L)).as("n_refund_events"),
+        $"gross_revenue",
+        coalesce($"refunded_amount", lit(0.0)).as("refunded_amount"),
+        ($"gross_revenue" + coalesce($"refunded_amount", lit(0.0))).as("net_revenue"))
+      .orderBy($"order_month")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q04_top_brands_by_revenue"   -> topBrandsByRevenue,
+    "q85_refund_lineage"          -> refundLineage,
     "q05_customers_no_orders"     -> customersNoOrders,
     "q06_customer_order_summary"  -> customerOrderSummary,
     "q07_customers_with_f_orders" -> customersWithFinishedOrders,
@@ -99,6 +142,35 @@ object Joins extends QueryModule {
   )
 
   val oracles = Map(
+    "q85_refund_lineage" ->
+      """WITH refunds AS (
+        |  SELECT o_orderkey + 5000000000 AS transaction_id,
+        |    o_orderkey AS original_transaction_id,
+        |    -o_totalprice AS total, 'refund' AS transaction_type
+        |  FROM orders WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 6000000000, o_orderkey, -o_totalprice, 'chargeback'
+        |  FROM orders WHERE o_orderkey % 33 = 0
+        |), linked AS (
+        |  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month, r.total
+        |  FROM refunds r JOIN orders o ON r.original_transaction_id = o.o_orderkey
+        |), refund_agg AS (
+        |  SELECT order_month, COUNT(*) AS n_refund_events,
+        |    CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE) AS refunded_amount
+        |  FROM linked GROUP BY order_month
+        |), gross AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gross_revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT g.order_month, g.n_orders,
+        |  COALESCE(r.n_refund_events, 0) AS n_refund_events,
+        |  g.gross_revenue,
+        |  COALESCE(r.refunded_amount, 0.0) AS refunded_amount,
+        |  g.gross_revenue + COALESCE(r.refunded_amount, 0.0) AS net_revenue
+        |FROM gross g LEFT JOIN refund_agg r USING (order_month)
+        |ORDER BY order_month""".stripMargin,
     "q04_top_brands_by_revenue" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

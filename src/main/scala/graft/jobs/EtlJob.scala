@@ -90,6 +90,29 @@ object EtlJob {
         "event_type", projectUserEvents))
   }
 
+  /** Gold-zone validation gate — the reference DAG's `validate_outputs`
+    * task (dag_streamflow.py:27-40, wired after the ETL at :85-92): the
+    * run FAILS when the gold zone holds no CSV data file (searched
+    * recursively, like the reference's rglob). Returns the relative
+    * paths found; throws otherwise — an empty gold zone must fail the
+    * pipeline run, not pass silently. */
+  def validateOutputs(goldDir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(goldDir)
+    val files =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
+      else java.nio.file.Files.walk(root).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".csv"))
+        .map(root.relativize(_).toString).sorted.toSeq
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"gold validation failed: no CSV files found in $goldDir or its subfolders")
+    println(s"[etl] validation successful, ${files.size} gold files:")
+    files.foreach(f => println(s"[etl]  - $f"))
+    files
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val input = opts.getOrElse("--input_path",
@@ -101,6 +124,8 @@ object EtlJob {
       .appName("graft-etl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, input, output) finally spark.stop()
+    // DAG chain: etl_job >> validate_outputs (dag_streamflow.py:92)
+    try { run(spark, input, output); validateOutputs(output) }
+    finally spark.stop()
   }
 }

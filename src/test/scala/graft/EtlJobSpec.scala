@@ -52,6 +52,22 @@ class EtlJobSpec extends SparkSpec {
     assert(counts("user_events") === 1L)
   }
 
+  test("validate_outputs gate: populated gold passes, empty gold fails the run") {
+    val landing = Files.createTempDirectory("graft_etl_landing3").toString
+    val gold = Files.createTempDirectory("graft_etl_gold3").toString
+    writeLanding(landing)
+    EtlJob.run(spark, landing, gold)
+    val found = EtlJob.validateOutputs(gold)
+    assert(found.size >= 2, "one csv per entity expected")
+    assert(found.exists(_.startsWith("transaction")) && found.exists(_.startsWith("user_events")))
+    // empty gold zone (nothing landed) must FAIL, not pass silently
+    val emptyGold = Files.createTempDirectory("graft_etl_gold_empty").toString
+    val e = intercept[IllegalStateException](EtlJob.validateOutputs(emptyGold))
+    assert(e.getMessage.contains("gold validation failed"))
+    // a nonexistent dir fails the same way
+    intercept[IllegalStateException](EtlJob.validateOutputs(emptyGold + "/nope"))
+  }
+
   private def Sinksdir(dir: String): Array[java.io.File] =
     new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
 }

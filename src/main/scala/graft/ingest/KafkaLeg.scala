@@ -56,12 +56,20 @@ object KafkaLeg {
     q.awaitTermination()
   }
 
-  /** S4 (sink): publish rows keyed by a column (partition affinity per
-    * user — the reference producers' `key=user_id`). */
+  /** S4 wire contract: key = `keyCol` as string (partition affinity per
+    * user — the reference producers' `key=user_id`,
+    * user_events_producer.py:141-143), value = the whole row as JSON.
+    * Factored out of [[writeTopic]] so the projection is contract-tested
+    * brokerlessly (KafkaContractSpec): `from_json(value) ≡ row` and
+    * `key ≡ keyCol` — only the broker hop itself needs the connector. */
+  def wireProjection(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S4 (sink): publish rows keyed by a column. */
   def writeTopic(df: DataFrame, bootstrap: String, topic: String,
                  keyCol: String): Unit =
-    df.select(col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+    wireProjection(df, keyCol)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

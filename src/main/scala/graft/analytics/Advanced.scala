@@ -179,8 +179,29 @@ object Advanced extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** T3 skew path, production variant: the TWO-PASS hot-key-only salted
+    * join (graft.util.Skew.hotKeySaltedJoin) — count keys, broadcast the
+    * hot set (keys with ≥ 8 purchase events), salt ONLY those; cold keys
+    * join plain with zero dim replication. Same oracle as q82: the
+    * result must be row-identical to the unsalted join no matter how
+    * the hot/cold split falls at a given SF. */
+  def hotKeySaltedUserJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+    val users = Tables.customer(spark, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.util.Skew.hotKeySaltedJoin(ev, users, "user_id", $"event_id",
+        buckets = 8, hotThreshold = 8L)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_purchases"), msum($"value").as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q44_pivot_events"    -> pivotEventMatrix,
+    "q86_hotkey_salted_join" -> hotKeySaltedUserJoin,
     "q80_interval_join"   -> intervalCampaignJoin,
     "q82_salted_join"     -> saltedUserJoin,
     "q76_cube_orders"     -> cubeOrders,
@@ -202,6 +223,13 @@ object Advanced extends QueryModule {
         |GROUP BY day
         |ORDER BY day""".stripMargin,
     "q82_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q86_hotkey_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_purchases,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey

@@ -25,8 +25,26 @@ object TopKQueries extends QueryModule {
       .orderBy($"p_brand", $"p_retailprice".desc, $"p_partkey")
   }
 
+  /** The operator where it actually pays: top-3 events per USER — a
+    * high-cardinality group (every user is a group) over the fact
+    * stream, which is exactly the shape where the map-side k-cap
+    * shrinks the exchange (each map partition ships at most k rows per
+    * group it saw, vs the window twin shuffling every row and sorting
+    * every partition). */
+  def topEventsPerUserNative(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+    GraftOps.topKPerGroup(ev,
+        groupCols = Seq("user_id"),
+        sort = Seq("value" -> true, "event_id" -> false),
+        k = 3)
+      .orderBy($"user_id", $"value".desc, $"event_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q73_topk_native" -> topPartsNative,
+    "q87_topk_user_events" -> topEventsPerUserNative,
   )
 
   val oracles = Map(
@@ -36,5 +54,11 @@ object TopKQueries extends QueryModule {
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3
         |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
+    "q87_topk_user_events" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
   )
 }

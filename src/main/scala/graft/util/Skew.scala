@@ -37,4 +37,29 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The 100-TB variant the header promises: two-pass HOT-KEY-ONLY
+    * salting. Pass 1 counts left-side keys and keeps those at or above
+    * `hotThreshold` — a set that is small BY DEFINITION (a key is hot
+    * because it owns a large share of the rows, so there can only be a
+    * few). Pass 2 splits both sides on broadcast semi/anti joins against
+    * that set: hot rows take the salted join (right side replicated
+    * `buckets`× for hot keys ONLY), cold rows take the plain equi-join
+    * untouched. Result ≡ plain join, row for row — the cold path pays
+    * zero replication, which is what makes this affordable where
+    * [[saltedEquiJoin]]'s uniform `buckets`× dim explosion is not. */
+  def hotKeySaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftSpread: Column, buckets: Int,
+                       hotThreshold: Long): DataFrame = {
+    val hot = broadcast(
+      left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= hotThreshold)
+        .select(col(key)))
+    val leftHot   = left.join(hot, Seq(key), "left_semi")
+    val leftCold  = left.join(hot, Seq(key), "left_anti")
+    val rightHot  = right.join(hot, Seq(key), "left_semi")
+    val rightCold = right.join(hot, Seq(key), "left_anti")
+    saltedEquiJoin(leftHot, rightHot, key, leftSpread, buckets)
+      .unionByName(leftCold.join(rightCold, Seq(key)))
+  }
 }

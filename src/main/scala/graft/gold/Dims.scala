@@ -87,13 +87,94 @@ object Dims extends QueryModule {
       .orderBy($"activity_date", $"segment", $"event_type")
   }
 
+  /** SCD Type-2 version table: deterministic snapshot history of
+    * dim_customer (initial segment from 1992-01-01; every 4th customer
+    * re-segmented 1995-07-01; every 16th again 1997-01-01), with
+    * [valid_from, valid_to) intervals closed by `lead()` over the
+    * version sequence per key and an is_current flag — the dimension
+    * half of the warehouse's slowly-changing-history pattern, built as
+    * one window pass (no self-join). */
+  private def scd2Versions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d)
+    val v1 = c.select($"c_custkey", $"c_mktsegment".as("segment"),
+      to_date(lit("1992-01-01")).as("valid_from"))
+    val v2 = c.filter($"c_custkey" % 4 === 0)
+      .select($"c_custkey", concat(lit("R1-"), $"c_mktsegment").as("segment"),
+        to_date(lit("1995-07-01")).as("valid_from"))
+    val v3 = c.filter($"c_custkey" % 16 === 0)
+      .select($"c_custkey", lit("PREMIUM").as("segment"),
+        to_date(lit("1997-01-01")).as("valid_from"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_custkey").orderBy($"valid_from")
+    v1.unionByName(v2).unionByName(v3)
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+  }
+
+  /** q89: the SCD2 history table itself. */
+  def scd2CustomerDim(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    scd2Versions(spark, d).orderBy($"c_custkey", $"valid_from")
+  }
+
+  /** q90: point-in-time consumer — each order joined to the dim version
+    * valid AT its order date (equi on the key + half-open interval
+    * residual; Spark evaluates the range post hash-match, no
+    * nested-loop), revenue attributed to the HISTORICAL segment. */
+  def scd2PointInTimeRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+    val dim = scd2Versions(spark, d)
+    o.join(dim, o("o_custkey") === dim("c_custkey") &&
+        to_date($"o_orderdate") >= $"valid_from" &&
+        ($"valid_to".isNull || to_date($"o_orderdate") < $"valid_to"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("revenue"))
+      .orderBy($"segment")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q24_revenue_by_quarter"   -> revenueByQuarter,
     "q29_fact_orders_enriched" -> factOrdersEnriched,
     "q69_fact_user_activity"   -> factUserActivity,
+    "q89_scd2_customer_dim"    -> scd2CustomerDim,
+    "q90_scd2_pointintime"     -> scd2PointInTimeRevenue,
   )
 
+  private val scd2VersionsCte =
+    """versions AS (
+      |  SELECT c_custkey, c_mktsegment AS segment, DATE '1992-01-01' AS valid_from
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'R1-' || c_mktsegment, DATE '1995-07-01'
+      |  FROM customer WHERE c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'PREMIUM', DATE '1997-01-01'
+      |  FROM customer WHERE c_custkey % 16 = 0
+      |), scd2 AS (
+      |  SELECT c_custkey, segment, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
+      |    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) IS NULL AS is_current
+      |  FROM versions
+      |)""".stripMargin
+
   val oracles = Map(
+    "q89_scd2_customer_dim" ->
+      s"""WITH $scd2VersionsCte
+         |SELECT c_custkey, segment, valid_from, valid_to, is_current
+         |FROM scd2
+         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q90_scd2_pointintime" ->
+      s"""WITH $scd2VersionsCte
+         |SELECT segment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         |FROM orders JOIN scd2
+         |  ON o_custkey = c_custkey
+         | AND CAST(o_orderdate AS DATE) >= valid_from
+         | AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+         |GROUP BY segment
+         |ORDER BY segment""".stripMargin,
     "q24_revenue_by_quarter" ->
       """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
         |  COUNT(*) AS n_orders,

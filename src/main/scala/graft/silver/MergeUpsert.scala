@@ -56,14 +56,24 @@ object MergeUpsert extends QueryModule {
   }
 
   /** The MERGE: upsert `delta` into the parquet table at `silverDir`.
-    * First call (no table yet) is the initial load. */
+    * First call (no table yet) is the initial load.
+    *
+    * `tombstoneCol`: when set, a winning record with that boolean column
+    * true is REMOVED from the table — Snowflake's
+    * `WHEN MATCHED AND <flag> THEN DELETE` arm. Deletion is itself
+    * versioned (a tombstone only wins if its version is latest), so a
+    * late-arriving stale update cannot resurrect a deleted key within
+    * the retained version history. */
   def merge(silverDir: String, delta: DataFrame, keyCols: Seq[String],
-            versionCol: String, partitionCol: String): Unit = {
+            versionCol: String, partitionCol: String,
+            tombstoneCol: Option[String] = None): Unit = {
     val spark = delta.sparkSession
+    def dropTombstones(df: DataFrame): DataFrame =
+      tombstoneCol.fold(df)(tc => df.filter(!col(tc)))
     val exists = Files.isDirectory(Paths.get(silverDir)) &&
       Files.list(Paths.get(silverDir)).toArray.nonEmpty
     if (!exists) {
-      latestWins(delta.withColumn("_src", lit(1)), keyCols, versionCol)
+      dropTombstones(latestWins(delta.withColumn("_src", lit(1)), keyCols, versionCol))
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(silverDir)
     } else {
       // touched-partition set: bounded by contract (a batch spans O(days))
@@ -71,16 +81,27 @@ object MergeUpsert extends QueryModule {
       val base = spark.read.parquet(silverDir)
         .filter(col(partitionCol).isin(touched: _*)) // partition-pruned scan
         .withColumn("_src", lit(0))
-      val merged = latestWins(
-        base.unionByName(delta.withColumn("_src", lit(1))), keyCols, versionCol)
+      val merged = dropTombstones(latestWins(
+        base.unionByName(delta.withColumn("_src", lit(1))), keyCols, versionCol))
       // stage first: Spark refuses to overwrite a path it is reading, and
       // a mid-write failure must not corrupt silver (write-then-swap).
       val staging = silverDir.stripSuffix("/") + "__staging"
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      spark.read.parquet(staging)
+      val stagingDf = spark.read.parquet(staging)
+      stagingDf
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic") // replace touched partitions only
         .partitionBy(partitionCol).parquet(silverDir)
+      // dynamic overwrite replaces only partitions PRESENT in the output:
+      // a tombstone batch that empties a whole partition leaves no row to
+      // carry it, so stale files would survive — drop those explicitly.
+      if (tombstoneCol.isDefined) {
+        val survivors = stagingDf.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0).toString).toSet
+        touched.map(_.toString).filterNot(survivors)
+          .foreach(v => graft.util.Fs.deleteRecursively(
+            s"$silverDir/$partitionCol=$v"))
+      }
       graft.util.Fs.deleteRecursively(staging)
     }
   }
@@ -110,6 +131,43 @@ object MergeUpsert extends QueryModule {
       .withColumn("event_id", $"event_id" + 1000000000L)
       .withColumn("load_seq", lit(2L))
     updates.unionByName(inserts)
+  }
+
+  /** Delete-variant fixtures: the table carries a tombstone column
+    * (false everywhere in the base), and the refresh batch mixes
+    * corrections (every 5th key) with deletions (every 11th key not
+    * already updated — disjoint sets, so no same-version tie), again
+    * confined to day-of-month ≤ 7. */
+  private[graft] def baseEventsDel(spark: SparkSession, d: String): DataFrame =
+    baseEvents(spark, d).withColumn("deleted", lit(false))
+
+  private[graft] def deltaEventsDel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = baseEventsDel(spark, d).filter(dayofmonth($"ts") <= 7)
+    val updates = base.filter($"event_id" % 5 === 0)
+      .withColumn("value", $"value" + 1000.0)
+      .withColumn("load_seq", lit(2L))
+    val deletes = base.filter($"event_id" % 11 === 0 && $"event_id" % 5 =!= 0)
+      .withColumn("load_seq", lit(2L))
+      .withColumn("deleted", lit(true))
+    updates.unionByName(deletes)
+  }
+
+  /** q88: MERGE with the DELETE arm — tombstoned keys leave the table,
+    * corrected keys update, new versions win. Idempotent like q83. */
+  def mergeDelete(spark: SparkSession, d: String): DataFrame = {
+    val silverDir = Landing.fixtureDir(d, "silver_merge_del")
+    val marker = Paths.get(silverDir + "__init_ok")
+    if (!Files.exists(marker)) {
+      graft.util.Fs.deleteRecursively(silverDir)
+      merge(silverDir, baseEventsDel(spark, d), Seq("event_id"), "load_seq",
+        "event_date", tombstoneCol = Some("deleted"))
+      Files.write(marker, Array.emptyByteArray,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    merge(silverDir, deltaEventsDel(spark, d), Seq("event_id"), "load_seq",
+      "event_date", tombstoneCol = Some("deleted"))
+    refreshedSummary(spark, silverDir)
   }
 
   private def refreshedSummary(spark: SparkSession, silverDir: String): DataFrame = {
@@ -195,6 +253,7 @@ object MergeUpsert extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q83_merge_upsert" -> mergeUpsert,
     "q84_stream_merge_upsert" -> streamMergeUpsert,
+    "q88_merge_delete" -> mergeDelete,
   )
 
   /** Oracle: MERGE ≡ QUALIFY row_number() = 1 over base ∪ delta (version
@@ -232,5 +291,35 @@ object MergeUpsert extends QueryModule {
   val oracles = Map(
     "q83_merge_upsert" -> mergeOracle,
     "q84_stream_merge_upsert" -> mergeOracle,
+    "q88_merge_delete" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |    CAST(1 AS BIGINT) AS load_seq, FALSE AS deleted
+        |  FROM events
+        |), delta AS (
+        |  SELECT event_id, user_id, event_type, value + 1000 AS value, ts,
+        |    event_date, CAST(2 AS BIGINT) AS load_seq, FALSE AS deleted
+        |  FROM base WHERE event_id % 5 = 0 AND EXTRACT(day FROM ts) <= 7
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |    event_date, CAST(2 AS BIGINT), TRUE
+        |  FROM base WHERE event_id % 11 = 0 AND event_id % 5 <> 0
+        |    AND EXTRACT(day FROM ts) <= 7
+        |), merged AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id
+        |      ORDER BY load_seq DESC) AS rn
+        |    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT event_date, event_type, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN load_seq = 2 THEN 1 END) AS n_upserted,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM merged
+        |WHERE NOT deleted
+        |GROUP BY event_date, event_type
+        |ORDER BY event_date, event_type""".stripMargin,
   )
 }

@@ -52,6 +52,29 @@ class MergeUpsertSpec extends SparkSpec {
     assert(snapshot(silver) === once)
   }
 
+  test("merge DELETE arm: tombstoned keys leave the table, re-apply is a no-op") {
+    val silver = freshDir("silver_del")
+    val base = MergeUpsert.baseEventsDel(spark, sfDir)
+    val delta = MergeUpsert.deltaEventsDel(spark, sfDir)
+    MergeUpsert.merge(silver, base, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    MergeUpsert.merge(silver, delta, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    val after = spark.read.parquet(silver)
+    val nDeletes = delta.filter(col("deleted")).count()
+    assert(nDeletes > 0, "fixture must exercise the delete arm")
+    // every tombstoned key is gone; no deleted=true row survives
+    val victims = delta.filter(col("deleted")).select("event_id")
+    assert(after.join(victims, Seq("event_id"), "left_semi").count() === 0)
+    assert(after.filter(col("deleted")).count() === 0)
+    assert(after.count() === base.count() - nDeletes)
+    // idempotence with deletes
+    val once = snapshot(silver)
+    MergeUpsert.merge(silver, delta, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    assert(snapshot(silver) === once)
+  }
+
   test("merge: untouched partitions are not rewritten (dynamic overwrite prunes)") {
     val silver = freshDir("silver_prune")
     MergeUpsert.merge(silver, MergeUpsert.baseEvents(spark, sfDir),

@@ -24,6 +24,7 @@ object SparkEntry {
     ext.TextOps,
     ext.Similarity,
     ext.Multimodal,
+    ext.TrainPrep,
     ingest.PipelineQueries,
     silver.ReferenceEtl,
     analytics.Scalars,

@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation tier (SURVEY.md §2.12 [ext] — the
+  * operations a 100-TB LLM corpus pipeline needs between cleaning and
+  * the trainer):
+  *
+  *   - q91 leakage-safe train/test split: the unit of assignment is the
+  *     document's SOURCE, not the document — every document of a source
+  *     lands in the same split, so near-duplicate documents within a
+  *     source can never straddle the train/test boundary (the classic
+  *     eval-contamination leak). Assignment is a pure deterministic
+  *     hash of the source key: no shuffle at all for the split itself,
+  *     stable under re-runs and re-partitioning, and any desired ratio
+  *     is a threshold on the 256-bucket space (205/256 ≈ 80/20).
+  *   - q92 token-budget shard packing: the concat-and-chunk layout —
+  *     documents are packed in deterministic order into shards of
+  *     ≤ budget tokens by cumulative token offset. Packing is PER
+  *     SOURCE (window partitioned by source, ordered by doc_id): each
+  *     group packs sequentially, groups pack in parallel — the
+  *     scale-correct form; a single global ordered cumsum would
+  *     serialize the corpus through one partition at 100 TB.
+  *
+  * md5 is the one hash both engines compute identically (lowercase
+  * hex), so the split is oracle-mirrored bucket for bucket.
+  */
+object TrainPrep extends QueryModule {
+
+  /** Deterministic bucket in [0, 256): first two hex chars of md5. */
+  private def md5Bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 2), 16, 10).cast("int")
+
+  private val trainBuckets = 205 // of 256 ≈ 80/20
+  private val shardBudget = 512  // tokens per packed shard
+
+  /** The assignment itself: adds the `split` column keyed on source. */
+  def assignSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("split",
+      when(md5Bucket(col("source")) < trainBuckets, "train").otherwise("test"))
+
+  /** q91: group-aware 80/20 split, summarized per (split, lang). */
+  def trainTestSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    assignSplit(Tables.documents(spark, d))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct($"source").as("n_sources"),
+           sum($"n_chars").as("total_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** q92: per-source token-budget packing, one row per packed shard. */
+  def tokenPacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("shard_idx", floor($"off" / shardBudget))
+      .groupBy($"source", $"shard_idx")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("shard_tokens"),
+           min($"doc_id").as("first_doc"),
+           max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard_idx")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q91_train_test_split" -> trainTestSplit,
+    "q92_token_packing"    -> tokenPacking,
+  )
+
+  val oracles = Map(
+    "q91_train_test_split" ->
+      s"""WITH split_docs AS (
+         |  SELECT *, CASE WHEN
+         |      (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1)
+         |      < $trainBuckets
+         |    THEN 'train' ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM split_docs
+         |GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin,
+    "q92_token_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |), packed AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM toks
+         |)
+         |SELECT source, CAST(FLOOR(off / $shardBudget) AS BIGINT) AS shard_idx,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM packed
+         |GROUP BY source, shard_idx
+         |ORDER BY source, shard_idx""".stripMargin,
+  )
+}

@@ -45,9 +45,37 @@ object TimeWindows extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** q93: the 100-TB twin of q67 — `approx_percentile` (Greenwald-Khanna
+    * sketch: one pass, mergeable partials, bounded memory) where the
+    * exact `percentile` collects every value per group. The sketch's
+    * rank-error guarantee (≤ 1/accuracy = 1e-4 here) is certified the
+    * q63 way: the approx value must land between the exact 0.49 and
+    * 0.51 (resp. 0.89/0.91) quantiles — a ±0.01 RANK envelope, 100×
+    * the guaranteed bound, so the flag is deterministically true and
+    * the whole row set stays oracle-hashable. */
+  def approxPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"),
+        expr("percentile(o_totalprice, 0.49)").as("lo50"),
+        expr("percentile(o_totalprice, 0.51)").as("hi50"),
+        expr("percentile(o_totalprice, 0.89)").as("lo90"),
+        expr("percentile(o_totalprice, 0.91)").as("hi90"))
+      .select($"o_orderstatus", $"p50", $"p90",
+        ($"a50" >= $"lo50" && $"a50" <= $"hi50" &&
+         $"a90" >= $"lo90" && $"a90" <= $"hi90").as("approx_ok"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q66_session_window" -> sessionWindowAgg,
     "q67_percentiles"    -> percentiles,
+    "q93_approx_percentiles" -> approxPercentiles,
   )
 
   val oracles = Map(
@@ -77,6 +105,14 @@ object TimeWindows extends QueryModule {
         |  quantile_cont(o_totalprice, 0.9) AS p90,
         |  MIN(o_totalprice) AS pmin,
         |  MAX(o_totalprice) AS pmax
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q93_approx_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  TRUE AS approx_ok
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

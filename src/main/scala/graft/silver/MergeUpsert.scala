@@ -238,15 +238,17 @@ object MergeUpsert extends QueryModule {
         .start()
       q.awaitTermination()
     }
-    val silverReady = Files.isDirectory(Paths.get(silverDir))
-    if (!silverReady) initBase()
-    drain()
-    // committed checkpoint + missing silver (partial fixture cleanup):
-    // wipe the checkpoint and replay — the merge's idempotence makes the
-    // replay converge to the same state (see q81's self-heal).
+    // Orphan checkpoint (committed ckpt but silver table gone — partial
+    // fixture cleanup) must be detected BEFORE draining: a drain against
+    // the committed checkpoint is a no-op, so re-initializing the base
+    // alone would silently skip the delta merge. Wiping the checkpoint
+    // with the base forces a full replay, and the merge's idempotence
+    // makes the replay converge to the same state (see q81's self-heal).
     if (!Files.isDirectory(Paths.get(silverDir))) {
-      graft.util.Fs.deleteRecursively(ckpt); initBase(); drain()
+      graft.util.Fs.deleteRecursively(ckpt)
+      initBase()
     }
+    drain()
     refreshedSummary(spark, silverDir)
   }
 

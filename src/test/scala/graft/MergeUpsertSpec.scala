@@ -75,6 +75,30 @@ class MergeUpsertSpec extends SparkSpec {
     assert(snapshot(silver) === once)
   }
 
+  test("merge: base read is partition-pruned at the scan (PartitionFilters + numFiles)") {
+    val silver = freshDir("silver_plan")
+    MergeUpsert.merge(silver, MergeUpsert.baseEvents(spark, sfDir),
+      Seq("event_id"), "load_seq", "event_date")
+    val touched = MergeUpsert.deltaEvents(spark, sfDir)
+      .select(col("event_date")).distinct().collect().map(_.get(0))
+    // the exact read shape merge() builds for the base side
+    val base = spark.read.parquet(silver)
+      .filter(col("event_date").isin(touched: _*))
+    base.write.format("noop").mode("overwrite").save()
+    val scan = base.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    assert(scan.get.metadata("PartitionFilters").replaceAll("[\\[\\]\\s]", "").nonEmpty,
+      "isin(touched) must reach the scan as a partition filter")
+    val filesRead = scan.get.metrics("numFiles").value
+    val filesTotal = Files.walk(Paths.get(silver)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .count(f => f.getFileName.toString.endsWith(".parquet"))
+    assert(filesRead < filesTotal,
+      s"pruned scan read $filesRead of $filesTotal files — no pruning happened")
+  }
+
   test("merge: untouched partitions are not rewritten (dynamic overwrite prunes)") {
     val silver = freshDir("silver_prune")
     MergeUpsert.merge(silver, MergeUpsert.baseEvents(spark, sfDir),

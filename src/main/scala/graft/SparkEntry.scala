@@ -31,6 +31,7 @@ object SparkEntry {
     analytics.Sessions,
     analytics.Advanced,
     analytics.TimeWindows,
+    analytics.SqlSurface,
     gold.Backfill,
     silver.MergeUpsert,
     streaming.MicroBatch,

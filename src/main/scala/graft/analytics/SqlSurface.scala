@@ -1,0 +1,39 @@
+package graft.analytics
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `spark.sql(...)` entry point, exercised end-to-end: tables
+  * registered as temp views, the query phrased entirely in SQL (join +
+  * decimal-exact aggregate + window over the aggregate), driven through
+  * the same Catalyst pipeline as the DataFrame API — and the text is
+  * deliberately ANSI enough that the DuckDB oracle runs the IDENTICAL
+  * statement, so the check is dialect-for-dialect.
+  */
+object SqlSurface extends QueryModule {
+
+  private val stmt =
+    """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  RANK() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) DESC,
+      |             o_orderpriority) AS rnk
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** q94: the statement above via spark.sql over temp views. */
+  def sqlApi(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    Tables.customer(spark, d).createOrReplaceTempView("customer")
+    spark.sql(stmt)
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q94_sql_api" -> sqlApi,
+  )
+
+  /** Same text, verbatim — that is the point. */
+  val oracles = Map("q94_sql_api" -> stmt)
+}

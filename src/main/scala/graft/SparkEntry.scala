@@ -33,7 +33,9 @@ object SparkEntry {
     analytics.TimeWindows,
     analytics.SqlSurface,
     gold.Backfill,
+    gold.Incremental,
     silver.MergeUpsert,
+    silver.Quality,
     streaming.MicroBatch,
     plans.TopKQueries,
   )

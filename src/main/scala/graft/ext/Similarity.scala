@@ -104,8 +104,15 @@ object Similarity extends QueryModule {
     * scheme generalized from Hamming to angular distance. */
   private val lshBands = 4
 
+  /** clamp(8..16, ceil(log2 n)) — integer-exact (bit length), NOT via
+    * float log: Math.log(4096)/Math.log(2) = 12.000000000000002 rounds
+    * UP while DuckDB's log2 intrinsic gives exactly 12, so a float
+    * formula would silently diverge the two legs at any power-of-two
+    * corpus size. The oracle mirrors with an integer search (smallest r
+    * with 2^r ≥ N). */
   private def lshBits(n: Long): Int =
-    math.min(16, math.max(8, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+    math.min(16, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
 
   /** Band j (0-based) key: signs of dims j·r+1 .. j·r+r as array<bool>. */
   private def bandKey(v: Column, j: Int, r: Int): Column =
@@ -312,8 +319,13 @@ object Similarity extends QueryModule {
     "q43_embedding_neardup" ->
       s"""WITH $normsCte,
          |params AS (
-         |  SELECT LEAST(16, GREATEST(8, CAST(CEIL(LOG2(COUNT(*))) AS INT))) AS r
-         |  FROM embeddings
+         |  -- integer-exact ceil(log2 N): smallest r with 2^r >= N
+         |  -- (2^r and N are both exact in doubles here, so the compare
+         |  -- is exact; a float LOG2 would misround at powers of two)
+         |  SELECT LEAST(16, GREATEST(8, MIN(rr))) AS r
+         |  FROM (SELECT unnest(generate_series(0, 62)) AS rr),
+         |       (SELECT COUNT(*) AS n FROM embeddings)
+         |  WHERE POWER(2, rr) >= n
          |), bands AS (
          |  SELECT e.vec_id, j.band,
          |    [x > 0 FOR x IN e.embedding[j.band*p.r+1 : (j.band+1)*p.r]] AS key

@@ -26,6 +26,7 @@ object SparkEntry {
     ext.Multimodal,
     ext.TrainPrep,
     ingest.PipelineQueries,
+    ingest.Compaction,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

@@ -65,6 +65,8 @@ object Bench {
         if (ok) dt else -dt
       }
       val good = times.filter(_ >= 0).sorted
+      if (good.size != times.size) // flaky: some reps failed — say so
+        System.err.println(s"[bench] $name failed ${times.size - good.size}/${times.size} reps")
       val med =
         if (good.isEmpty) times.min  // all reps failed: most-negative sentinel
         else good(good.size / 2)     // upper median of successful reps

@@ -120,6 +120,27 @@ class CoreLawsSpec extends SparkSpec {
     assert(bucketed.exceptAll(brute).isEmpty && brute.exceptAll(bucketed).isEmpty)
   }
 
+  test("hot-key salted join ≡ plain join for every threshold/bucket split") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+    val users = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val plain = ev.join(users, Seq("user_id"))
+      .select($"user_id", $"event_id", $"value", $"c_mktsegment")
+    // threshold 1 = every key hot (degenerates to the uniform salted
+    // join); Long.MaxValue = no key hot (degenerates to the plain join);
+    // middle values exercise a genuine split — all must be row-identical
+    for (threshold <- Seq(1L, 3L, 8L, Long.MaxValue); buckets <- Seq(2, 8)) {
+      val salted = graft.util.Skew.hotKeySaltedJoin(
+          ev, users, "user_id", $"event_id", buckets, threshold)
+        .select($"user_id", $"event_id", $"value", $"c_mktsegment")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"mismatch at threshold=$threshold buckets=$buckets")
+    }
+  }
+
   test("pivot matrix row-sums equal the unpivoted per-day counts") {
     import spark.implicits._
     val piv = analytics.Advanced.pivotEventMatrix(spark, sfDir)

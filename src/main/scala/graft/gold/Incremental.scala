@@ -28,6 +28,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * gold. IncrementalSpec proves both directions (replay = no-op; a NEW
   * batch id with the same rows does add — the ledger, not luck, is the
   * guard).
+  *
+  * Commit-atomicity caveat: the table swap and the ledger marker are
+  * two writes; a crash exactly between them re-applies the batch on
+  * restart. Closing that window needs a transactional table format or
+  * a write-ahead ledger committed with the data (what Structured
+  * Streaming's checkpoint does for q84's MERGE path, where the sink
+  * update is latest-wins and therefore replay-safe without a ledger).
   */
 object Incremental extends QueryModule {
 

@@ -25,8 +25,11 @@ object SparkEntry {
     ext.Similarity,
     ext.Multimodal,
     ext.TrainPrep,
+    ext.Curation,
+    ext.Mixing,
     ingest.PipelineQueries,
     ingest.Compaction,
+    ingest.ColumnarFormats,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

@@ -1,0 +1,225 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation tier (SURVEY.md §2.12 [ext]) — the cleaning passes a
+  * 100-TB pretraining pipeline runs between raw ingest and train-prep:
+  *
+  *   - q98 PII redaction: regex scrub of emails/phones with a residual
+  *     audit (count of PII patterns surviving redaction — the contract
+  *     a compliance pass actually has to certify, not just "we ran the
+  *     regex"). Pure per-row codegen'd string ops: map-only over the
+  *     corpus, no shuffle except the final small summary aggregate.
+  *     The corpus carries no real PII, so the contact-card column is
+  *     synthesized deterministically from customer fields; the
+  *     REDACTION pipeline (match → count → replace → verify) is the
+  *     operator under test and is mirrored exactly in the oracle.
+  *   - q99 boilerplate detection: 5-gram document frequency across the
+  *     corpus — the header/footer/template text that near-dedup misses
+  *     because it rides inside otherwise-distinct documents. One
+  *     explode + one map-side-combinable groupBy; the df counter
+  *     shuffles (gram, partial-count) pairs, never document text.
+  *   - q100 eval-contamination check: which training documents share a
+  *     4-gram with the held-out eval set. The eval side of the join is
+  *     tiny by nature (benchmark suites are MBs against a 100-TB
+  *     corpus), so it is broadcast — the corpus side stays map-only,
+  *     no shuffle of the big table at any scale.
+  *   - q101 stratified sampling: per-language keep rates (down-weight
+  *     the dominant language, keep the tail) via the same deterministic
+  *     md5-bucket device as q91's split — no RNG, stable under re-runs
+  *     and repartitioning, exactly mirrorable in SQL.
+  *   - q102 intra-document repetition: Rae et al. (Gopher, 2021)-style
+  *     quality signal — the fraction of a document's trigrams that are
+  *     repeats. Per-document explode + groupBy on doc_id: one narrow
+  *     shuffle keyed by the table's own primary key.
+  */
+object Curation extends QueryModule {
+
+  private val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val phoneRe = "[0-9]{3}-555-[0-9]{4}"
+  private val boilerplateMinDf = 3
+  private val enKeepBuckets = 128 // en kept at 128/256 = 50%, other langs 100%
+
+  /** Split into words, emit all n-grams as a per-row array column. */
+  private def grams(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+  }
+
+  /** DuckDB CTE producing the same DISTINCT (doc_id, gram) rows. */
+  private def gramCte(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString("||' '||")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, $parts AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-${n - 1})) AS i FROM tok)
+       |)""".stripMargin
+  }
+
+  /** The redaction pipeline itself, reusable on any string column:
+    * (n_emails, n_phones, redacted text). */
+  def redactPii(card: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(card, lit(emailRe), lit(0))),
+    size(regexp_extract_all(card, lit(phoneRe), lit(0))),
+    regexp_replace(regexp_replace(card, emailRe, "[EMAIL]"), phoneRe, "[PHONE]"),
+  )
+
+  /** q98: scrub synthesized contact cards, audit residual PII per segment. */
+  def piiRedaction(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val card = concat($"c_name", lit(" contact "),
+      lower(regexp_replace($"c_name", "[^a-zA-Z0-9]", "")), lit("@example.com or "),
+      lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-555-"),
+      lpad(($"c_custkey" % 10000).cast("string"), 4, "0"))
+    val (nEmail, nPhone, redacted) = redactPii(card)
+    Tables.customer(spark, d)
+      .select($"c_mktsegment", nEmail.as("n_email"), nPhone.as("n_phone"),
+        redacted.as("redacted"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"n_email").cast("long").as("emails_redacted"),
+        sum($"n_phone").cast("long").as("phones_redacted"),
+        sum(when($"redacted".rlike(s"$emailRe|$phoneRe"), 1).otherwise(0))
+          .cast("long").as("residual_pii"),
+        min(md5($"redacted")).as("sample_hash"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** q100's held-out eval set: every 53rd document. */
+  private def isEval(docId: Column): Column = docId % 53 === 0
+
+  /** Distinct (doc_id, gram) pairs for the whole corpus. */
+  private def docGrams(spark: SparkSession, d: String, n: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .filter(size(split($"text", " ")) >= n)
+      .select($"doc_id", explode(grams($"text", n)).as("gram"))
+      .distinct()
+  }
+
+  /** q99: 5-grams appearing in >= boilerplateMinDf distinct documents. */
+  def boilerplateNgrams(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    docGrams(spark, d, 5)
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" >= boilerplateMinDf)
+      .orderBy($"df".desc, $"gram")
+  }
+
+  /** q100: training docs sharing any 4-gram with the eval set. The eval
+    * gram table is broadcast — the corpus side never shuffles. */
+  def contaminationCheck(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = docGrams(spark, d, 4)
+    val evalGrams = g.filter(isEval($"doc_id")).select($"gram").distinct()
+    g.filter(!isEval($"doc_id"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic bucket in [0, 256): first two hex chars of md5. */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 2), 16, 10).cast("int")
+
+  /** q101: language-stratified deterministic sample, summarized. */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val keep = md5Bucket($"doc_id".cast("string")) <
+      when($"lang" === "en", enKeepBuckets).otherwise(256)
+    Tables.documents(spark, d)
+      .withColumn("kept", keep)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"kept", 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when($"kept", $"n_chars").otherwise(0L)).cast("long").as("kept_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** q102: per-document repeated-trigram fraction (Gopher-style). */
+  def docRepetition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", explode(grams($"text", 3)).as("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct($"gram").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - $"n_distinct".cast("double") / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q98_pii_redaction"      -> piiRedaction,
+    "q99_boilerplate_ngrams" -> boilerplateNgrams,
+    "q100_contamination_check" -> contaminationCheck,
+    "q101_stratified_sample" -> stratifiedSample,
+    "q102_doc_repetition"    -> docRepetition,
+  )
+
+  val oracles = Map(
+    "q98_pii_redaction" ->
+      s"""WITH profile AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    c_name || ' contact ' || lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+         |      || '@example.com or ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         |      || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS card
+         |  FROM customer
+         |), red AS (
+         |  SELECT c_mktsegment,
+         |    len(regexp_extract_all(card, '$emailRe')) AS n_email,
+         |    len(regexp_extract_all(card, '$phoneRe')) AS n_phone,
+         |    regexp_replace(regexp_replace(card, '$emailRe', '[EMAIL]', 'g'),
+         |                   '$phoneRe', '[PHONE]', 'g') AS redacted
+         |  FROM profile
+         |)
+         |SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+         |  CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+         |  CAST(SUM(CASE WHEN regexp_matches(redacted, '$emailRe|$phoneRe')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii,
+         |  min(md5(redacted)) AS sample_hash
+         |FROM red GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q99_boilerplate_ngrams" ->
+      s"""${gramCte(5)}
+         |SELECT gram, COUNT(*) AS df FROM sh
+         |GROUP BY gram HAVING COUNT(*) >= $boilerplateMinDf
+         |ORDER BY df DESC, gram""".stripMargin,
+    "q100_contamination_check" ->
+      s"""${gramCte(4)},
+         |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 53 = 0),
+         |tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % 53 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_hit
+         |FROM tr JOIN ev USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_stratified_sample" ->
+      s"""WITH rated AS (
+         |  SELECT lang, source, n_chars,
+         |    CASE WHEN lang = 'en' THEN $enKeepBuckets ELSE 256 END AS keep_buckets,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+         |  FROM documents
+         |)
+         |SELECT lang, source, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN bucket < keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN bucket < keep_buckets THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM rated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q102_doc_repetition" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS gram
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3))
+         |)
+         |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+         |  1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS rep_ratio
+         |FROM tg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

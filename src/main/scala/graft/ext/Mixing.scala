@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing (SURVEY §2.12 [ext]) — the weighted-interleave pass
+  * that turns N cleaned corpora into ONE training stream with target
+  * sampling ratios (e.g. 3× en against the tail languages): every
+  * pretraining run feeds the trainer a mixed, sharded sequence, and the
+  * mixing has to be deterministic so a resumed run sees the same order.
+  *
+  * Semantics (q104): each source's documents get per-source positions
+  * 1,2,3,…; a document's interleave key is `position / weight`, so a
+  * weight-3 source emits 3 documents for every 1 of a weight-1 source
+  * until it drains (no epoch-repeat here — one pass over the corpus).
+  * The merged order is then cut into fixed-size shards; the output is
+  * per-shard composition, which is exactly the realized-vs-target
+  * mixing-ratio audit a pipeline stores next to the run config.
+  *
+  * Scale shape: the merged order needs a GLOBAL row number, and the
+  * naive `row_number() OVER (ORDER BY …)` is a single-reducer sort — at
+  * corpus scale the one window task would process every row. This module
+  * instead enumerates in two passes (`withGlobalPosition`), the same
+  * scheme Spark's own `zipWithIndex` uses:
+  *   1. `repartitionByRange` on the interleave key (the only full
+  *      shuffle — parallel range sort, no single task sees the corpus),
+  *   2. count rows per range partition (a tiny per-partition aggregate
+  *      collected to the driver — one long per partition, NOT data),
+  *   3. per-partition local rank + broadcast prefix-sum offset = exact
+  *      global position, computed with full parallelism.
+  */
+object Mixing extends QueryModule {
+
+  private val shardSize = 64
+  private val enWeight = 3 // en emitted 3:1 against every other language
+
+  /** Exact global 1-based position along `sortCols` without a global
+    * single-reducer sort. `nPart` fixes the range-partition fan-out so
+    * the enumeration is deterministic run to run. */
+  def withGlobalPosition(df: DataFrame, sortCols: Seq[Column], nPart: Int,
+                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    // pass 1: per-partition row counts — |result| = nPart, never data-sized
+    val counts = sorted.groupBy($"_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart).scanLeft(0L) {
+      (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetDf = spark.createDataFrame(
+      (0 until nPart).map(pid => (pid, offsets(pid)))).toDF("_pid", "_offset")
+    // pass 2: rank locally within each range partition (window keyed by
+    // _pid — parallelism = nPart, no global collapse), add the offset
+    val local = Window.partitionBy($"_pid").orderBy(sortCols: _*)
+    sorted
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn(outCol, row_number().over(local) + $"_offset")
+      .drop("_pid", "_offset")
+  }
+
+  /** q104: weighted source interleave → fixed-size shards → per-shard
+    * realized composition. */
+  def corpusMixing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perSource = Window.partitionBy($"source").orderBy($"doc_id")
+    val keyed = Tables.documents(spark, d)
+      .withColumn("rn", row_number().over(perSource))
+      .withColumn("w", when($"lang" === "en", enWeight).otherwise(1))
+      .withColumn("ikey", $"rn".cast("double") / $"w")
+    val positioned = withGlobalPosition(
+      keyed, Seq($"ikey", $"source", $"doc_id"), nPart = 8, outCol = "gpos")
+    positioned
+      .groupBy(floor(($"gpos" - 1) / shardSize).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lang" === "en", 1).otherwise(0)).cast("long").as("n_en"),
+        min($"gpos").as("first_pos"),
+        max($"gpos").as("last_pos"))
+      .orderBy($"shard")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q104_corpus_mixing" -> corpusMixing,
+  )
+
+  val oracles = Map(
+    "q104_corpus_mixing" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, source, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         |    CASE WHEN lang = 'en' THEN $enWeight ELSE 1 END AS w
+         |  FROM documents
+         |), ordered AS (
+         |  SELECT doc_id, source, lang,
+         |    ROW_NUMBER() OVER (ORDER BY CAST(rn AS DOUBLE)/w, source, doc_id) AS gpos
+         |  FROM pos
+         |)
+         |SELECT CAST(FLOOR((gpos-1)/$shardSize) AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  MIN(gpos) AS first_pos, MAX(gpos) AS last_pos
+         |FROM ordered GROUP BY shard ORDER BY shard""".stripMargin,
+  )
+}

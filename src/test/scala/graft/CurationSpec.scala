@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-curation tier beyond the aggregate oracles. */
+class CurationSpec extends SparkSpec {
+
+  test("q98: redaction is complete and count-exact on a crafted card") {
+    import spark.implicits._
+    val df = Seq(
+      "write to a@b.com or bob9@mail.org, call 123-555-0001 now",
+      "no pii here at all",
+    ).toDF("card")
+    val (ne, np, red) = Curation.redactPii($"card")
+    val rows = df.select(ne.as("ne"), np.as("np"), red.as("red")).collect()
+    assert(rows(0).getInt(0) === 2)
+    assert(rows(0).getInt(1) === 1)
+    assert(rows(0).getString(2) === "write to [EMAIL] or [EMAIL], call [PHONE] now")
+    assert(rows(1).getInt(0) === 0 && rows(1).getInt(1) === 0)
+    assert(rows(1).getString(2) === "no pii here at all")
+  }
+
+  test("q100: eval side of the contamination join is broadcast (corpus never shuffles)") {
+    val plan = Curation.contaminationCheck(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the eval gram set broadcast, got:\n$plan")
+  }
+
+  test("q101: sample assignment is deterministic under repartitioning") {
+    val a = Curation.stratifiedSample(spark, sfDir).collect()
+    val b = Curation.stratifiedSample(spark, sfDir)
+      .repartition(7).sort("lang", "source").collect()
+    assert(a.toSeq === b.toSeq)
+    // en is genuinely down-sampled, non-en kept whole
+    val bylang = Curation.stratifiedSample(spark, sfDir)
+      .groupBy("lang").agg(sum("n_total").as("t"), sum("n_kept").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bylang.foreach { case (lang, (t, k)) =>
+      if (lang == "en") assert(k < t) else assert(k === t)
+    }
+  }
+
+  test("q102: repetition ratio bounds and trigram accounting") {
+    import spark.implicits._
+    val rep = Curation.docRepetition(spark, sfDir)
+    assert(rep.filter($"rep_ratio" < 0 || $"rep_ratio" > 1).count() === 0)
+    assert(rep.filter($"n_distinct" > $"n_grams").count() === 0)
+    // n_grams = tokens - 2 for every doc with >= 3 tokens
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).as("n_tok"))
+      .filter($"n_tok" >= 3)
+    val bad = rep.join(docs, "doc_id")
+      .filter($"n_grams" =!= $"n_tok" - 2)
+    assert(bad.count() === 0)
+  }
+
+  test("q103: ORC round-trip preserves rows, schema, and the partition column") {
+    val src = graft.ingest.Tables.documents(spark, sfDir)
+    val agg = graft.ingest.ColumnarFormats.orcRoundtrip(spark, sfDir)
+    assert(agg.agg(sum("n_docs")).head.getLong(0) === src.count())
+    // partition column survives with full cardinality
+    assert(agg.select("lang").distinct().count() ===
+      src.select("lang").distinct().count())
+  }
+}

@@ -27,6 +27,7 @@ object SparkEntry {
     ext.TrainPrep,
     ext.Curation,
     ext.Mixing,
+    ext.DedupClusters,
     ingest.PipelineQueries,
     ingest.Compaction,
     ingest.ColumnarFormats,

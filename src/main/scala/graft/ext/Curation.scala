@@ -43,12 +43,10 @@ object Curation extends QueryModule {
   private val boilerplateMinDf = 3
   private val enKeepBuckets = 128 // en kept at 128/256 = 50%, other langs 100%
 
-  /** Split into words, emit all n-grams as a per-row array column. */
-  private def grams(text: Column, n: Int): Column = {
-    val ws = split(text, " ")
+  /** All n-grams of a pre-split token array, as a per-row array column. */
+  private def grams(ws: Column, n: Int): Column =
     transform(sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
-  }
 
   /** DuckDB CTE producing the same DISTINCT (doc_id, gram) rows. */
   private def gramCte(n: Int): String = {
@@ -94,13 +92,16 @@ object Curation extends QueryModule {
   /** q100's held-out eval set: every 53rd document. */
   private def isEval(docId: Column): Column = docId % 53 === 0
 
-  /** Distinct (doc_id, gram) pairs for the whole corpus. */
+  /** Distinct (doc_id, gram) pairs for the whole corpus. Distinctness is
+    * established PER ROW (`array_distinct` before the explode) — a
+    * global `.distinct()` would shuffle every gram string a second time
+    * for something each document can decide locally. */
   private def docGrams(spark: SparkSession, d: String, n: Int): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
-      .filter(size(split($"text", " ")) >= n)
-      .select($"doc_id", explode(grams($"text", n)).as("gram"))
-      .distinct()
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(array_distinct(grams($"toks", n))).as("gram"))
   }
 
   /** q99: 5-grams appearing in >= boilerplateMinDf distinct documents. */
@@ -142,15 +143,20 @@ object Curation extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
-  /** q102: per-document repeated-trigram fraction (Gopher-style). */
+  /** q102: per-document repeated-trigram fraction (Gopher-style).
+    * Entirely per-row — total trigrams is `tokens - 2` and the distinct
+    * count is `array_distinct` on the row's own gram array, so the only
+    * shuffle in the plan is the output's contract ORDER BY. The oracle
+    * derives the identical numbers the relational way (explode +
+    * COUNT/COUNT DISTINCT per doc). */
   def docRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", explode(grams($"text", 3)).as("gram"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct($"gram").as("n_distinct"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        (size($"toks") - 2).cast("long").as("n_grams"),
+        size(array_distinct(grams($"toks", 3))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         lit(1.0) - $"n_distinct".cast("double") / $"n_grams")
       .orderBy($"doc_id")

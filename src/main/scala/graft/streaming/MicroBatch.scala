@@ -244,8 +244,42 @@ object MicroBatch extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** T+: stream–static enrichment — the most common production
+    * streaming join: a fact stream enriched against a dimension table.
+    * The join is STATELESS (no watermark, no join state — each
+    * micro-batch joins against the dim as-of that batch, so a dim
+    * update is picked up by the next trigger), and the dim side is
+    * broadcast: the stream side never shuffles, which is the only
+    * shape that holds when the stream is the 100-TB leg. Sink +
+    * checkpoint follow the q57 exactly-once contract. */
+  def streamStaticEnrich(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val sink = Landing.fixtureDir(d, "stream_enrich_sink")
+    val ckpt = Landing.fixtureDir(d, "stream_enrich_ckpt")
+    val dim = Tables.customer(spark, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val q = spark.readStream.schema(wireSchema).json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .join(broadcast(dim), Seq("user_id"), "left") // unknown users kept
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy(coalesce($"segment", lit("UNKNOWN")).as("segment"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           msum($"value").as("total_value"))
+      .orderBy($"segment", $"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
+    "q105_stream_static_enrich" -> streamStaticEnrich,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
     "q77_stream_dedup"      -> streamDedup,
@@ -253,6 +287,13 @@ object MicroBatch extends QueryModule {
   )
 
   val oracles = Map(
+    "q105_stream_static_enrich" ->
+      """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment, e.event_type
+        |ORDER BY segment, e.event_type""".stripMargin,
     "q57_stream_microbatch" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ext.{Dedup, DedupClusters}
+import org.apache.spark.sql.functions._
+
+/** Laws of the connected-component dedup resolution. */
+class DedupClustersSpec extends SparkSpec {
+
+  test("q106: every near-dup edge lands inside one cluster (no split pairs)") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir).select($"d1", $"d2")
+    val clusters = DedupClusters.dedupClusters(spark, sfDir)
+    // rebuild the node→rep map from the cluster table via the member range
+    // check: join each pair's endpoints to their cluster rows
+    val labels = clusters.select($"cluster_rep", $"n_members")
+    // direct invariant via the query itself: a pair whose endpoints map to
+    // different reps would violate transitivity. Recompute labels the same
+    // way the operator stores them:
+    val labelMap = spark.read.parquet(
+      graft.ingest.Landing.fixtureDir(sfDir, "dedup_cc_labels"))
+    val split = pairs
+      .join(labelMap.withColumnRenamed("node", "d1").withColumnRenamed("lbl", "l1"), "d1")
+      .join(labelMap.withColumnRenamed("node", "d2").withColumnRenamed("lbl", "l2"), "d2")
+      .filter($"l1" =!= $"l2")
+    assert(split.count() === 0)
+    // every rep is the minimum member of its own cluster
+    assert(clusters.filter($"cluster_rep" =!= $"min_doc").count() === 0)
+    // clusters resolve pairs, so every cluster has at least 2 members
+    assert(clusters.filter($"n_members" < 2).count() === 0)
+    assert(labels.count() === clusters.count())
+  }
+
+  test("q106: members across clusters are disjoint and cover all paired docs") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
+    val pairedDocs = pairs.select($"d1".as("doc")).union(pairs.select($"d2".as("doc"))).distinct()
+    val labelMap = spark.read.parquet(
+      graft.ingest.Landing.fixtureDir(sfDir, "dedup_cc_labels"))
+    assert(labelMap.select("node").distinct().count() === labelMap.count())
+    assert(labelMap.count() === pairedDocs.count())
+  }
+}

@@ -162,8 +162,71 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  private val sourceCap = 4 // max docs kept per source
+
+  /** q107: per-source document caps — the domain-cap pass that keeps a
+    * handful of over-represented sources (SEO farms, mirrors) from
+    * dominating the corpus. Keep the `sourceCap` longest documents per
+    * source (doc_id tiebreak), via the native TopKPerGroup operator:
+    * each map partition ships at most k rows per source it saw, so the
+    * exchange carries O(k · sources), never the corpus. */
+  def sourceCaps(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select($"source", $"doc_id", $"lang", $"n_chars")
+    graft.plans.GraftOps.topKPerGroup(docs,
+        groupCols = Seq("source"),
+        sort = Seq("n_chars" -> true, "doc_id" -> false),
+        k = sourceCap)
+      .orderBy($"source", $"n_chars".desc, $"doc_id")
+  }
+
+  private val repMax = 0.03 // drop docs with > 3% repeated trigrams
+
+  /** q108: the composite curation funnel — near-dup drop (keep each
+    * cluster's canonical doc), repetition-quality filter, then the
+    * stratified sample, reported as a per-language funnel audit (the
+    * stage-by-stage retention table a corpus release ships with).
+    *
+    * Plan shape: every stage is a per-row predicate except the cluster
+    * membership, which is a LEFT join against the checkpointed label
+    * table — small (only docs that have a near-dup pair) and keyed by
+    * the corpus primary key, so at 100 TB it is a broadcast or a
+    * co-partitioned join, never a second pass over the text. */
+  def curationPipeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val labels = DedupClusters.ccLabels(spark, d)
+      .select($"node".as("doc_id"), $"lbl")
+    val keepDedup = $"lbl".isNull || ($"lbl" === $"doc_id")
+    val keepQual = keepDedup &&
+      (lit(1.0) - $"n_distinct".cast("double") / $"n_grams") <= repMax
+    val keepSample = keepQual && (md5Bucket($"doc_id".cast("string")) <
+      when($"lang" === "en", enKeepBuckets).otherwise(256))
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"n_chars", split($"text", " ").as("toks"))
+      .select($"doc_id", $"lang", $"n_chars",
+        greatest(size($"toks") - 2, lit(1)).cast("long").as("n_grams"),
+        // < 3 tokens: no trigrams exist — score such docs as repetition 0
+        // (n_distinct = n_grams), and never hand `sequence` a negative
+        // bound (it would run backwards)
+        when(size($"toks") >= 3,
+            size(array_distinct(grams($"toks", 3))).cast("long"))
+          .otherwise(greatest(size($"toks") - 2, lit(1)).cast("long"))
+          .as("n_distinct"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(keepDedup, 1).otherwise(0)).cast("long").as("n_dedup"),
+        sum(when(keepQual, 1).otherwise(0)).cast("long").as("n_quality"),
+        sum(when(keepSample, 1).otherwise(0)).cast("long").as("n_final"),
+        sum(when(keepSample, $"n_chars").otherwise(0L)).cast("long").as("final_chars"))
+      .orderBy($"lang")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q98_pii_redaction"      -> piiRedaction,
+    "q107_source_caps"       -> sourceCaps,
+    "q108_curation_pipeline" -> curationPipeline,
     "q99_boilerplate_ngrams" -> boilerplateNgrams,
     "q100_contamination_check" -> contaminationCheck,
     "q101_stratified_sample" -> stratifiedSample,
@@ -171,6 +234,66 @@ object Curation extends QueryModule {
   )
 
   val oracles = Map(
+    "q108_curation_pipeline" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok)
+         |), pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |edges0 AS (
+         |  SELECT d1, d2
+         |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges0
+         |  UNION ALL SELECT d2, d1 FROM edges0
+         |), reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+         |), lblmap AS (
+         |  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+         |), tg AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct
+         |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok))
+         |  GROUP BY doc_id
+         |), flags AS (
+         |  SELECT d.lang, d.n_chars,
+         |    (l.node IS NULL OR l.lbl = d.doc_id) AS keep_dedup,
+         |    (l.node IS NULL OR l.lbl = d.doc_id) AND
+         |      1.0 - CAST(COALESCE(t.n_distinct, 1) AS DOUBLE)
+         |          / COALESCE(t.n_grams, 1) <= $repMax AS keep_qual,
+         |    (l.node IS NULL OR l.lbl = d.doc_id) AND
+         |      1.0 - CAST(COALESCE(t.n_distinct, 1) AS DOUBLE)
+         |          / COALESCE(t.n_grams, 1) <= $repMax AND
+         |      (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+         |      < CASE WHEN d.lang = 'en' THEN $enKeepBuckets ELSE 256 END AS keep_sample
+         |  FROM documents d
+         |  LEFT JOIN tg t ON t.doc_id = d.doc_id
+         |  LEFT JOIN lblmap l ON l.node = d.doc_id
+         |)
+         |SELECT lang, COUNT(*) AS n_raw,
+         |  CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |  CAST(SUM(CASE WHEN keep_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN keep_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(SUM(CASE WHEN keep_sample THEN n_chars ELSE 0 END) AS BIGINT) AS final_chars
+         |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
+    "q107_source_caps" ->
+      s"""SELECT source, doc_id, lang, n_chars FROM (
+         |  SELECT source, doc_id, lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= $sourceCap
+         |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
     "q98_pii_redaction" ->
       s"""WITH profile AS (
          |  SELECT c_custkey, c_mktsegment,

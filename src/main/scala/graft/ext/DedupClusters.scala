@@ -41,8 +41,9 @@ object DedupClusters extends QueryModule {
   private val maxRounds = 20
 
   /** Converged (node, lbl) labeling of the near-dup pair graph,
-    * computed once per fixture dir and checkpointed. */
-  private def ccLabels(spark: SparkSession, d: String): DataFrame = {
+    * computed once per fixture dir and checkpointed. Shared with the
+    * composite curation pipeline (q108). */
+  private[ext] def ccLabels(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dir = Landing.fixtureDir(d, "dedup_cc_labels")
     val marker = Paths.get(dir + "__cc_ok")

@@ -56,6 +56,32 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("q107: cap respected and operator ≡ window formulation") {
+    import spark.implicits._
+    val capped = Curation.sourceCaps(spark, sfDir)
+    assert(capped.groupBy("source").count().filter($"count" > 4).count() === 0)
+    val windowTwin = graft.ingest.Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rn" <= 4)
+      .select("source", "doc_id", "lang", "n_chars")
+    assert(capped.except(windowTwin).count() === 0)
+    assert(windowTwin.except(capped).count() === 0)
+  }
+
+  test("q108: funnel stages are monotone and dedup drops exactly the non-canonical members") {
+    import spark.implicits._
+    val funnel = Curation.curationPipeline(spark, sfDir)
+    val bad = funnel.filter(
+      $"n_raw" < $"n_dedup" || $"n_dedup" < $"n_quality" || $"n_quality" < $"n_final")
+    assert(bad.count() === 0)
+    val clusters = graft.ext.DedupClusters.dedupClusters(spark, sfDir)
+    val dropped = clusters.agg(sum($"n_members" - 1)).head.getLong(0)
+    val totals = funnel.agg(sum("n_raw").as("raw"), sum("n_dedup").as("dedup")).head
+    assert(totals.getLong(0) - totals.getLong(1) === dropped)
+  }
+
   test("q103: ORC round-trip preserves rows, schema, and the partition column") {
     val src = graft.ingest.Tables.documents(spark, sfDir)
     val agg = graft.ingest.ColumnarFormats.orcRoundtrip(spark, sfDir)

@@ -65,17 +65,27 @@ object EtlJob {
         if (!raw.columns.contains(requiredCol)) {
           println(s"[etl] $outName: required column '$requiredCol' missing — skipped"); -1L
         } else {
-          val flat = transform(raw)
-          // cache: count + write + preview are three actions over one plan
-          // (the caching policy the reference spec'd but never implemented,
+          // Row count and the null-key DQ counter ride the WRITE action
+          // via the Observation API — no separate count() pass over the
+          // data (the reference re-executes its plan for count→write→head,
+          // etl_job.py:66-76; a 100-TB job cannot afford a second scan
+          // just to learn how many rows it wrote).
+          val obs = new org.apache.spark.sql.Observation(s"etl_$outName")
+          val flat = transform(raw).observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(when(col(requiredCol).isNull, 1).otherwise(0)).as("null_keys"))
+          // cache: write + preview are two actions over one plan (the
+          // caching policy the reference spec'd but never implemented,
           // Stream_Analytics_Platform.md:91)
           flat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val n = flat.count()
           Sinks.csvSink(flat, s"$outputPath/$outName")
+          val metrics = obs.get
+          val n = metrics("n_rows").asInstanceOf[Long]
+          val nullKeys = Option(metrics("null_keys")).fold(0L)(_.asInstanceOf[Long])
           // O1: head preview, reference etl_job.py:76
           flat.take(10).foreach(r => println(s"[etl] $outName preview: $r"))
           flat.unpersist()
-          println(s"[etl] $outName: $n rows → $outputPath/$outName")
+          println(s"[etl] $outName: $n rows ($nullKeys null $requiredCol) → $outputPath/$outName")
           n
         }
       } catch {

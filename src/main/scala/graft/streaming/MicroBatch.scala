@@ -277,9 +277,43 @@ object MicroBatch extends QueryModule {
       .orderBy($"segment", $"event_type")
   }
 
+  /** T4++: event-time SESSIONIZATION in the streaming engine — native
+    * `session_window` (gap-merged state, MergingSessionsExec) under a
+    * watermark, the streaming twin of the batch q66. Complete-mode
+    * memory sink keeps every session (the fixture is bounded); in a
+    * continuous deployment the same query runs in update/append mode
+    * and the watermark is what bounds session state — sessions older
+    * than the horizon are finalized and evicted, which is the only
+    * shape that survives an unbounded stream. */
+  def streamSessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val name = "stream_sessions_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + runSeq.incrementAndGet()
+    val q = spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1000000") // unordered fixture: one batch
+      .json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
     "q105_stream_static_enrich" -> streamStaticEnrich,
+    "q109_stream_sessions" -> streamSessions,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
     "q77_stream_dedup"      -> streamDedup,
@@ -287,6 +321,28 @@ object MicroBatch extends QueryModule {
   )
 
   val oracles = Map(
+    // identical derivation to q66's batch oracle: the streaming engine
+    // must produce the same sessions as the batch session_window
+    "q109_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessioned
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "q105_stream_static_enrich" ->
       """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
         |  e.event_type, COUNT(*) AS n_events,

@@ -96,6 +96,34 @@ object Advanced extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q110: MERGEABLE sketch rollup — the incremental-distinct pattern a
+    * 100-TB warehouse actually runs: per-day Datasketches HLL sketches
+    * built once (the artifact a nightly job would STORE next to its
+    * partition), then weekly distinct users answered by UNIONING the
+    * member-day sketch binaries — never rescanning the events. `hll_union_agg`
+    * over pre-built `hll_sketch_agg` state is exactly that two-level
+    * plan; the registered surface is the exact count + the
+    * error-envelope flag (q63's device: Datasketches lgK=12 has rsd
+    * ~1.6%, the 5% gate is deterministic TRUE, and DuckDB mirrors it
+    * as a constant). */
+  def hllSketchRollup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, d)
+      .groupBy(date_trunc("week", $"ts").as("week"), to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val weekly = daily
+      .groupBy($"week")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val exact = Tables.events(spark, d)
+      .groupBy(date_trunc("week", $"ts").as("week"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(weekly, "week")
+      .withColumn("approx_ok",
+        abs($"approx_users" - $"exact_users").cast("double") / $"exact_users" <= 0.05)
+      .select($"week".cast("date").as("week"), $"exact_users", $"approx_ok")
+      .orderBy($"week")
+  }
+
   /** A9 companion: PIVOT — event counts per user-cohort day, one column
     * per event type. Explicit value list keeps the plan a single hash
     * aggregation (no distinct-value discovery scan) and the output
@@ -209,6 +237,7 @@ object Advanced extends QueryModule {
     "q61_full_outer_audit" -> fullOuterAudit,
     "q62_asof_join"       -> asofJoin,
     "q63_approx_distinct" -> approxDistinct,
+    "q110_hll_sketch_rollup" -> hllSketchRollup,
   )
 
   val oracles = Map(
@@ -301,5 +330,14 @@ object Advanced extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q110: like q63, the estimate itself is engine-specific; the hashed
+    // surface is the exact weekly distinct + the envelope flag.
+    "q110_hll_sketch_rollup" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events
+        |GROUP BY week
+        |ORDER BY week""".stripMargin,
   )
 }

@@ -72,13 +72,54 @@ object Scalars extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Datetime family over the orders dates: interval arithmetic,
+    * month/quarter boundaries, day differences, month spans, epoch
+    * days. Functions chosen for exact cross-dialect agreement (Spark
+    * `dayofweek` and DuckDB `dow` number weekdays differently, so the
+    * ISO `weekday()`-compatible form is derived via date_format u ≡
+    * isodow). All per-row codegen; the only shuffle is the sort. */
+  def datetimeFuncs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("od"))
+      .select(
+        $"o_orderkey",
+        $"od",
+        date_add($"od", 30).as("due_date"),
+        add_months($"od", 3).as("review_date"),
+        last_day($"od").as("month_end"),
+        trunc($"od", "quarter").as("quarter_start"),
+        datediff(to_date(lit("2026-01-01")), $"od").cast("long").as("age_days"),
+        months_between(to_date(lit("2026-01-01")), trunc($"od", "month"))
+          .cast("long").as("age_months"),
+        // ISO weekday (1=Mon..7=Sun): Spark's dayofweek is 1=Sun..7=Sat
+        // and the 'u' datetime pattern is gone in Spark 3+, so derive it
+        (((dayofweek($"od") + 5) % 7) + 1).cast("int").as("isodow"),
+        unix_date($"od").cast("long").as("epoch_day"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q54_string_funcs" -> stringFuncs,
     "q55_array_funcs"  -> arrayFuncs,
     "q56_json_funcs"   -> jsonFuncs,
+    "q111_datetime_funcs" -> datetimeFuncs,
   )
 
   val oracles = Map(
+    "q111_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS review_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days,
+        |  CAST(date_diff('month', date_trunc('month', CAST(o_orderdate AS DATE)), DATE '2026-01-01') AS BIGINT) AS age_months,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS isodow,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q54_string_funcs" ->
       """SELECT c_custkey,
         |  string_split(c_name, '#')[1] AS name_prefix,

@@ -30,10 +30,35 @@ object SqlSurface extends QueryModule {
     spark.sql(stmt)
   }
 
+  /** Explicit GROUPING SETS (completing §2.5 beyond ROLLUP q60 / CUBE
+    * q76): three hand-picked grouping sets — (status, priority),
+    * (status), () — in ONE aggregation pass, with GROUPING() flags
+    * carrying subtotal provenance. One Expand + one hash aggregate;
+    * no per-set rescan. ANSI enough to run verbatim in both engines. */
+  private val gsStmt =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q112: explicit grouping sets via spark.sql. */
+  def groupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    spark.sql(gsStmt)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
+    "q112_grouping_sets" -> groupingSets,
   )
 
   /** Same text, verbatim — that is the point. */
-  val oracles = Map("q94_sql_api" -> stmt)
+  val oracles = Map(
+    "q94_sql_api" -> stmt,
+    "q112_grouping_sets" -> gsStmt,
+  )
 }

@@ -223,10 +223,39 @@ object Curation extends QueryModule {
       .orderBy($"lang")
   }
 
+  private val fuzzyMaxDist = 3
+
+  /** q113: entity-resolution fuzzy match — near-identical name variants
+    * found by edit distance. The scale-correct shape has two guards the
+    * naive all-pairs levenshtein lacks:
+    *   1. pairwise comparison runs on the DISTINCT-name dictionary
+    *      (with per-name row counts carried as weights), never on the
+    *      row level — dictionaries are orders of magnitude smaller than
+    *      the tables they describe;
+    *   2. candidate pairs are BLOCKED on a cheap structural key (the
+    *      head noun) so the quadratic term is per-block, not global.
+    * Output: name pairs within distance <= 3 plus each side's row
+    * weight — what a dedup-review queue actually consumes. */
+  def fuzzyMatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, d)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+      .withColumn("noun", element_at(split($"p_name", " "), 2))
+    val a = names.select($"p_name".as("name1"), $"n_rows".as("n1"), $"noun")
+    val b = names.select($"p_name".as("name2"), $"n_rows".as("n2"), $"noun")
+    a.join(b, Seq("noun"))
+      .filter($"name1" < $"name2")
+      .withColumn("dist", levenshtein($"name1", $"name2").cast("long"))
+      .filter($"dist" <= fuzzyMaxDist && $"dist" >= 1)
+      .select($"name1", $"name2", $"dist", $"n1", $"n2")
+      .orderBy($"name1", $"name2")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q98_pii_redaction"      -> piiRedaction,
     "q107_source_caps"       -> sourceCaps,
     "q108_curation_pipeline" -> curationPipeline,
+    "q113_fuzzy_match"       -> fuzzyMatch,
     "q99_boilerplate_ngrams" -> boilerplateNgrams,
     "q100_contamination_check" -> contaminationCheck,
     "q101_stratified_sample" -> stratifiedSample,
@@ -234,6 +263,18 @@ object Curation extends QueryModule {
   )
 
   val oracles = Map(
+    "q113_fuzzy_match" ->
+      s"""WITH names AS (
+         |  SELECT p_name, COUNT(*) AS n_rows,
+         |    string_split(p_name, ' ')[2] AS noun
+         |  FROM part GROUP BY p_name
+         |)
+         |SELECT a.p_name AS name1, b.p_name AS name2,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         |  a.n_rows AS n1, b.n_rows AS n2
+         |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $fuzzyMaxDist
+         |ORDER BY name1, name2""".stripMargin,
     "q108_curation_pipeline" ->
       s"""WITH RECURSIVE tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

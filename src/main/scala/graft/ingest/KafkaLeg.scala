@@ -20,6 +20,18 @@ import org.apache.spark.sql.types.StructType
   */
 object KafkaLeg {
 
+  /** S3 parse contract: what the source does to the broker's
+    * (key binary, value binary) rows — key to string, value parsed
+    * against the explicit schema, struct flattened. Factored out of
+    * [[readTopicBatch]] so the parse leg is contract-tested
+    * brokerlessly (KafkaContractSpec proves
+    * `sourceProjection(wireProjection(df)) ≡ df` plus the key): only
+    * the broker hop itself needs the connector. */
+  def sourceProjection(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), schema).as("v"))
+      .select(col("key"), col("v.*"))
+
   /** S3 (bounded batch): drain an offset window of a topic, parse JSON
     * values against an explicit schema — the consumer's
     * poll-window-then-write semantics as one batch read. */
@@ -27,15 +39,14 @@ object KafkaLeg {
                      schema: StructType,
                      startingOffsets: String = "earliest",
                      endingOffsets: String = "latest"): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("endingOffsets", endingOffsets)
-      .load()
-      .select(col("key").cast("string").as("key"),
-        from_json(col("value").cast("string"), schema).as("v"))
-      .select(col("key"), col("v.*"))
+    sourceProjection(
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .option("endingOffsets", endingOffsets)
+        .load(),
+      schema)
 
   /** S3 (streaming): topic → landing JSONL micro-batches with checkpoint
     * — the consumer loop as readStream + AvailableNow. */

@@ -48,4 +48,19 @@ class KafkaContractSpec extends SparkSpec {
       get_json_object($"value", "$.user_id") =!= $"key" || $"key".isNull)
     assert(mismatched.count() === 0)
   }
+
+  test("S3∘S4: source parse of the sink wire is the identity (full broker round-trip)") {
+    import spark.implicits._
+    val src = wireEvents
+    // simulate the broker hop: the connector hands back key/value as BINARY
+    val offWire = KafkaLeg.wireProjection(src, "user_id")
+      .select($"key".cast("binary").as("key"), $"value".cast("binary").as("value"))
+    val parsed = KafkaLeg.sourceProjection(offWire, wireSchema)
+    assert(parsed.select($"key").filter($"key".isNull).count() === 0)
+    val roundTripped = parsed.drop("key")
+    assert(roundTripped.exceptAll(src).count() === 0, "parsed rows not in source")
+    assert(src.exceptAll(roundTripped).count() === 0, "rows lost in the round trip")
+    // and the key still identifies its own row after the binary hop
+    assert(parsed.filter($"key" =!= $"user_id".cast("string")).count() === 0)
+  }
 }

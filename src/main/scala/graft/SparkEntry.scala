@@ -28,6 +28,7 @@ object SparkEntry {
     ext.Curation,
     ext.Mixing,
     ext.DedupClusters,
+    ext.Sketches,
     ingest.PipelineQueries,
     ingest.Compaction,
     ingest.ColumnarFormats,

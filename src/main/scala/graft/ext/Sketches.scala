@@ -1,0 +1,116 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch tier (SURVEY §2.12 [ext]) beyond the HLL
+  * distinct family (q63/q110): the two other sketches a 100-TB pipeline
+  * leans on, each with its error bound CERTIFIED in the output the same
+  * way q63/q93/q110 certify theirs.
+  *
+  *   - q114 Count-Min heavy hitters (Cormode & Muthukrishnan 2005): the
+  *     corpus term-frequency sketch. One map-side-combinable aggregate
+  *     builds a fixed-size (eps, confidence) sketch — the artifact a
+  *     production pipeline stores per shard and MERGES, never a full
+  *     term dictionary. CMS never undercounts, and overcounts by at
+  *     most eps·N w.h.p.; both sides of that envelope are checked
+  *     against the exact counts for the top terms.
+  *   - q115 Bloom-filter semi-join pruning: the membership artifact
+  *     behind runtime join filters — build a filter on the dimension's
+  *     key set, probe the fact side map-only. No false negatives (no
+  *     qualifying row is ever dropped — the property that makes the
+  *     pruning SAFE), false positives bounded by the configured fpp
+  *     (checked with 5× headroom).
+  *
+  * Only the sketch BINARIES reach the driver (a few KB each) — never
+  * data. Both sketches are deterministic for fixed input and seed, so
+  * the certified flags are hash-stable.
+  */
+object Sketches extends QueryModule {
+
+  private val cmsEps = 0.001
+  private val cmsConf = 0.99
+  private val cmsSeed = 42
+  private val topK = 20
+  private val bloomFpp = 0.01
+
+  /** q114: exact top-K corpus terms, each certified inside the CMS
+    * error envelope. */
+  def cmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("term"))
+    // ONE pass builds the mergeable sketch; the binary (w·d counters,
+    // here 2719×5 longs) is the only thing collected
+    val skBytes = words
+      .agg(count_min_sketch($"term", lit(cmsEps), lit(cmsConf), lit(cmsSeed))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val total = cms.totalCount()
+    val maxOver = math.ceil(cmsEps * total).toLong
+    // exact top-K (deterministic tiebreak) — the small reference set the
+    // sketch is judged against
+    val topTerms = words.groupBy($"term").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"term").limit(topK)
+    val estimate = udf((t: String) => cms.estimateCount(t))
+    topTerms
+      .withColumn("est", estimate($"term"))
+      .withColumn("cms_ok", $"est" >= $"n_exact" && $"est" <= $"n_exact" + maxOver)
+      .select($"term", $"n_exact", $"cms_ok")
+      .orderBy($"n_exact".desc, $"term")
+  }
+
+  /** q115: Bloom semi-join pruning of events against the customer key
+    * set, certified: zero false negatives, false positives within 5×
+    * the configured fpp. */
+  def bloomSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, d)
+    val nKeys = cust.count()
+    val bf = cust.stat.bloomFilter("c_custkey", nKeys, bloomFpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probe = udf((k: Long) => bc.value.mightContain(k))
+    val ev = Tables.events(spark, d).select($"event_id", $"user_id")
+    val exact = ev.join(cust.select($"c_custkey"),
+        ev("user_id") === cust("c_custkey"), "left_semi")
+      .count()
+    val agg = ev
+      .withColumn("hit", probe($"user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"hit", 1).otherwise(0)).cast("long").as("n_pass"))
+      .head()
+    val nEvents = agg.getAs[Long]("n_events")
+    val nPass = agg.getAs[Long]("n_pass")
+    val fpBudget = math.ceil(5 * bloomFpp * (nEvents - exact)).toLong
+    Seq((nEvents, exact,
+        nPass >= exact,                 // no false negatives: pruning is safe
+        nPass - exact <= fpBudget))     // false positives within budget
+      .toDF("n_events", "n_matching", "no_false_negatives", "fp_within_budget")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q114_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q115_bloom_semijoin"    -> bloomSemiJoin,
+  )
+
+  val oracles = Map(
+    "q114_cms_heavy_hitters" ->
+      s"""SELECT term, COUNT(*) AS n_exact, TRUE AS cms_ok
+         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |GROUP BY term
+         |ORDER BY n_exact DESC, term
+         |LIMIT $topK""".stripMargin,
+    "q115_bloom_semijoin" ->
+      """SELECT COUNT(*) AS n_events,
+        |  (SELECT COUNT(*) FROM events e
+        |   WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |    AS n_matching,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_within_budget
+        |FROM events""".stripMargin,
+  )
+}

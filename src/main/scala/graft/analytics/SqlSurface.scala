@@ -51,14 +51,45 @@ object SqlSurface extends QueryModule {
     spark.sql(gsStmt)
   }
 
+  /** RECURSIVE CTE (Spark 4 finally has it): the reference's `dim_date`
+    * generation done the recursive way — anchor at the first event day,
+    * recurse one day forward until the last, LEFT JOIN daily counts so
+    * gap days surface as zero (the property a calendar dim exists for).
+    * The statement is crafted to be byte-identical in BOTH engines
+    * (DATE + INTERVAL re-cast to DATE, since the engines disagree on
+    * the raw sum's type), so the oracle runs the very same recursion.
+    * Recursion depth = calendar span in days — bounded by the data's
+    * own time range, far under Spark's level limit. */
+  private val recStmt =
+    """WITH RECURSIVE cal(d) AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM cal
+      |  WHERE d < (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)
+      |)
+      |SELECT c.d, COUNT(e.event_id) AS n_events
+      |FROM cal c LEFT JOIN
+      |  (SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ed FROM events) e
+      |  ON e.ed = c.d
+      |GROUP BY c.d
+      |ORDER BY c.d""".stripMargin
+
+  /** q116: recursive calendar + zero-filled daily counts via spark.sql. */
+  def recursiveCalendar(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    spark.sql(recStmt)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
     "q112_grouping_sets" -> groupingSets,
+    "q116_recursive_calendar" -> recursiveCalendar,
   )
 
   /** Same text, verbatim — that is the point. */
   val oracles = Map(
     "q94_sql_api" -> stmt,
     "q112_grouping_sets" -> gsStmt,
+    "q116_recursive_calendar" -> recStmt,
   )
 }

@@ -56,6 +56,29 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("q98 property: redaction is idempotent and complete on random PII-laced text") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+    val email = for { a <- word; b <- word } yield s"$a@$b.com"
+    val phone = Gen.chooseNum(0, 9999).map(n => f"${n % 1000}%03d-555-$n%04d")
+    val piece = Gen.oneOf(word, email, phone)
+    val textGen = Gen.listOfN(12, piece).map(_.mkString(" "))
+    val texts = (1L to 40L).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i))).toList
+    assert(texts.size >= 35) // suchThat may drop a few seeds
+    val df = texts.toDF("card")
+    val (ne, np, red) = Curation.redactPii($"card")
+    val once = df.select(red.as("card"))
+    // complete: no email/phone pattern survives one pass
+    val (ne2, np2, red2) = Curation.redactPii($"card")
+    val counts = once.select(ne2.as("ne"), np2.as("np"), red2.as("red"))
+    assert(counts.filter($"ne" =!= 0 || $"np" =!= 0).count() === 0)
+    // idempotent: a second pass changes nothing
+    assert(counts.filter($"red" =!= $"card").count() === 0)
+  }
+
   test("q107: cap respected and operator ≡ window formulation") {
     import spark.implicits._
     val capped = Curation.sourceCaps(spark, sfDir)

@@ -99,14 +99,59 @@ object Scalars extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Statistical aggregates, made hash-exact: Spark's `var_samp` /
+    * `stddev_samp` (Welford-style) and DuckDB's disagree in the last
+    * ulps because float summation is order-dependent, so the builtins
+    * can never survive a hash compare. Instead both engines compute the
+    * IDENTICAL formula over exact decimal moments (the `Det` discipline
+    * extended to the second moment): per-row double products cast to
+    * decimal at a scale ≥ their true scale (2dp inputs → 4dp products:
+    * grid points, no tie-breaking), decimal sums (exact, order-free),
+    * one double expression at the end with the same association in both
+    * SQL texts. Map-side-combinable single-pass aggregation — the same
+    * shape as the builtin, just deterministic. */
+  def momentStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val big = DecimalType(38, 6)
+    Tables.orders(spark, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("s1"),
+        sum(($"o_totalprice" * $"o_totalprice").cast(big)).cast("double").as("s2"))
+      .select($"o_orderstatus", $"n",
+        ($"s1" / $"n").as("mean"),
+        // s2 exceeds double's 17 significant digits, so the two engines'
+        // decimal→double conversions can differ by one ulp; quantizing
+        // the RESULT to cents (≤13 sig digits — exactly representable,
+        // so decimal→double is exact in both) absorbs it
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+          .cast(DecimalType(24, 2)).cast("double").as("var_samp"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+          .cast(DecimalType(24, 2)).cast("double").as("stddev_samp"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q54_string_funcs" -> stringFuncs,
     "q55_array_funcs"  -> arrayFuncs,
     "q56_json_funcs"   -> jsonFuncs,
     "q111_datetime_funcs" -> datetimeFuncs,
+    "q117_moment_stats" -> momentStats,
   )
 
   val oracles = Map(
+    "q117_moment_stats" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, n,
+        |  s1 / n AS mean,
+        |  CAST(CAST((s2 - s1 * s1 / n) / (n - 1) AS DECIMAL(24,2)) AS DOUBLE) AS var_samp,
+        |  CAST(CAST(sqrt((s2 - s1 * s1 / n) / (n - 1)) AS DECIMAL(24,2)) AS DOUBLE) AS stddev_samp
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
     "q111_datetime_funcs" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS od,

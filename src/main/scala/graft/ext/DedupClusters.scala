@@ -40,6 +40,60 @@ object DedupClusters extends QueryModule {
 
   private val maxRounds = 20
 
+  /** Connected components of an undirected pair list `(d1, d2)`:
+    * returns the converged `(node, lbl)` labeling, lbl = the component's
+    * minimum node. Each round does ONE hop of neighbor propagation plus
+    * ONE pointer jump (`lbl := lbl(lbl)` — path halving), so label
+    * distance-to-minimum shrinks geometrically and convergence is
+    * O(log diameter) rounds, not O(diameter): a 200-node chain
+    * converges in ~8 rounds where plain propagation needs 199
+    * (proven on exactly that graph in DedupClustersSpec). Every step is
+    * a keyed join or aggregate; the driver sees one scalar COUNT per
+    * round; per-round intermediates are persisted and released when the
+    * next round lands. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.toDF("d1", "d2")
+      .select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.toDF("d1", "d2").select($"d2".as("src"), $"d1".as("dst")))
+      .persist()
+    // localCheckpoint (eager) rather than persist: the jump step joins
+    // the round's result with ITSELF, so without lineage truncation the
+    // logical plan doubles every round — exponential tree growth that
+    // OOMs the analyzer long before the data is big. Checkpointing cuts
+    // the plan back to a leaf each round; blocks of dereferenced rounds
+    // are released by the context cleaner.
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node").localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("lbl"))
+      // toDF on both branches mints fresh attribute ids: the checkpointed
+      // LogicalRDD keeps its child's ids, so a raw self-referencing union
+      // here trips Catalyst's constraint rewrite on duplicate attributes
+      val hop = labels.toDF("node", "lbl").union(prop.toDF("node", "lbl"))
+        .groupBy($"node").agg(min($"lbl").as("lbl"))
+      // pointer jump: adopt the label OF the label when smaller
+      val next = hop.as("h")
+        .join(hop.select($"node".as("jn"), $"lbl".as("jlbl")).as("j"),
+          col("h.lbl") === col("j.jn"), "left")
+        .select(col("h.node").as("node"),
+          least(col("h.lbl"), coalesce(col("j.jlbl"), col("h.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    edges.unpersist()
+    labels
+  }
+
   /** Converged (node, lbl) labeling of the near-dup pair graph,
     * computed once per fixture dir and checkpointed. Shared with the
     * composite curation pipeline (q108). */
@@ -48,30 +102,10 @@ object DedupClusters extends QueryModule {
     val dir = Landing.fixtureDir(d, "dedup_cc_labels")
     val marker = Paths.get(dir + "__cc_ok")
     if (!Files.exists(marker)) {
-      val pairs = Dedup.ngramJaccardPairs(spark, d).select($"d1", $"d2")
-      val edges = pairs.union(pairs.select($"d2", $"d1"))
-        .toDF("src", "dst").persist()
-      var labels = edges.select($"src".as("node")).distinct()
-        .withColumn("lbl", $"node").persist()
-      var converged = false
-      var round = 0
-      while (!converged && round < maxRounds) {
-        val prop = edges.join(labels, edges("src") === labels("node"))
-          .select(edges("dst").as("node"), labels("lbl"))
-        val next = labels.select($"node", $"lbl").union(prop)
-          .groupBy($"node").agg(min($"lbl").as("lbl")).persist()
-        val changed = next.as("n")
-          .join(labels.as("o"), "node")
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        round += 1
-      }
-      require(converged, s"label propagation did not converge in $maxRounds rounds")
+      val labels = connectedComponents(
+        Dedup.ngramJaccardPairs(spark, d).select($"d1", $"d2"))
       labels.write.mode("overwrite").parquet(dir)
       labels.unpersist()
-      edges.unpersist()
       Files.write(marker, Array.emptyByteArray)
     }
     spark.read.parquet(dir)

@@ -30,6 +30,17 @@ class DedupClustersSpec extends SparkSpec {
     assert(labels.count() === clusters.count())
   }
 
+  test("pointer jumping: a 200-node chain converges within the round cap") {
+    import spark.implicits._
+    // path graph 0-1-2-…-199: plain one-hop propagation needs 199 rounds,
+    // far past the cap — the label-of-label jump must get there in O(log n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupClusters.connectedComponents(chain)
+    assert(labels.count() === 200)
+    assert(labels.filter($"lbl" =!= 0L).count() === 0, "all nodes label to the minimum")
+    labels.unpersist()
+  }
+
   test("q106: members across clusters are disjoint and cover all paired docs") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir)

@@ -131,15 +131,56 @@ object Scalars extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** Bivariate statistics by the same device: Pearson correlation of
+    * quantity vs extended price per return flag, from exact decimal
+    * cross-moments. The builtin `corr` is unusable for hash comparison
+    * for the same order-dependence reason as var_samp; the final
+    * correlation is quantized to 6dp (it lives in [-1,1], so every
+    * quantized value is exactly representable) to absorb conversion
+    * ulps on the huge intermediate moments. */
+  def correlation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val big = DecimalType(38, 6)
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 6))).cast("double").as("sx"),
+        sum($"l_extendedprice".cast(DecimalType(18, 6))).cast("double").as("sy"),
+        sum(($"l_quantity" * $"l_quantity").cast(big)).cast("double").as("sxx"),
+        sum(($"l_extendedprice" * $"l_extendedprice").cast(big)).cast("double").as("syy"),
+        sum(($"l_quantity" * $"l_extendedprice").cast(big)).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+          .cast(DecimalType(10, 6)).cast("double").as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q54_string_funcs" -> stringFuncs,
     "q55_array_funcs"  -> arrayFuncs,
     "q56_json_funcs"   -> jsonFuncs,
     "q111_datetime_funcs" -> datetimeFuncs,
     "q117_moment_stats" -> momentStats,
+    "q118_correlation" -> correlation,
   )
 
   val oracles = Map(
+    "q118_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(10,6)) AS DOUBLE)
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q117_moment_stats" ->
       """WITH m AS (
         |  SELECT o_orderstatus, COUNT(*) AS n,

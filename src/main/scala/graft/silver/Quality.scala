@@ -52,11 +52,73 @@ object Quality extends QueryModule {
     violations.unionByName(valid).orderBy($"rule")
   }
 
+  /** q119: single-pass column profiling — the ANALYZE/statistics pass a
+    * warehouse runs to drive its optimizer and data docs: per column,
+    * null count, distinct count, min and max (rendered as strings;
+    * doubles go through DECIMAL(18,2) first because raw double→string
+    * formatting differs between engines). ONE scan computes every
+    * measure; the per-column rows are then unpivoted from the single
+    * 1-row aggregate, so table size never multiplies by column count. */
+  def columnProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val s = Tables.customer(spark, d).agg(
+      count(lit(1)).as("n"),
+      count($"c_custkey").as("nn_key"), countDistinct($"c_custkey").as("nd_key"),
+      min($"c_custkey").cast("string").as("min_key"),
+      max($"c_custkey").cast("string").as("max_key"),
+      count($"c_name").as("nn_name"), countDistinct($"c_name").as("nd_name"),
+      min($"c_name").as("min_name"), max($"c_name").as("max_name"),
+      count($"c_acctbal").as("nn_bal"), countDistinct($"c_acctbal").as("nd_bal"),
+      min($"c_acctbal").cast(money).cast("string").as("min_bal"),
+      max($"c_acctbal").cast(money).cast("string").as("max_bal"),
+      count($"c_mktsegment").as("nn_seg"), countDistinct($"c_mktsegment").as("nd_seg"),
+      min($"c_mktsegment").as("min_seg"), max($"c_mktsegment").as("max_seg"))
+    Seq(
+      ("c_custkey", "nn_key", "nd_key", "min_key", "max_key"),
+      ("c_name", "nn_name", "nd_name", "min_name", "max_name"),
+      ("c_acctbal", "nn_bal", "nd_bal", "min_bal", "max_bal"),
+      ("c_mktsegment", "nn_seg", "nd_seg", "min_seg", "max_seg"))
+      .map { case (cn, nn, nd, mn, mx) =>
+        s.select(lit(cn).as("col_name"), (col("n") - col(nn)).as("n_null"),
+          col(nd).as("n_distinct"), col(mn).as("min_value"), col(mx).as("max_value"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy($"col_name")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q95_dq_quarantine" -> dqSummary,
+    "q119_column_profile" -> columnProfile,
   )
 
   val oracles = Map(
+    "q119_column_profile" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(c_custkey) AS nn_key, COUNT(DISTINCT c_custkey) AS nd_key,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_key,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_key,
+        |    COUNT(c_name) AS nn_name, COUNT(DISTINCT c_name) AS nd_name,
+        |    MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+        |    COUNT(c_acctbal) AS nn_bal, COUNT(DISTINCT c_acctbal) AS nd_bal,
+        |    CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS min_bal,
+        |    CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS max_bal,
+        |    COUNT(c_mktsegment) AS nn_seg, COUNT(DISTINCT c_mktsegment) AS nd_seg,
+        |    MIN(c_mktsegment) AS min_seg, MAX(c_mktsegment) AS max_seg
+        |  FROM customer
+        |)
+        |SELECT col_name, n_null, n_distinct, min_value, max_value FROM (
+        |  SELECT 'c_custkey' AS col_name, n - nn_key AS n_null, nd_key AS n_distinct,
+        |    min_key AS min_value, max_key AS max_value FROM s
+        |  UNION ALL
+        |  SELECT 'c_name', n - nn_name, nd_name, min_name, max_name FROM s
+        |  UNION ALL
+        |  SELECT 'c_acctbal', n - nn_bal, nd_bal, min_bal, max_bal FROM s
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', n - nn_seg, nd_seg, min_seg, max_seg FROM s
+        |)
+        |ORDER BY col_name""".stripMargin,
     "q95_dq_quarantine" ->
       """WITH dirty AS (
         |  SELECT event_id, user_id,

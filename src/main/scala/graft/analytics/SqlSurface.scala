@@ -59,7 +59,14 @@ object SqlSurface extends QueryModule {
     * (DATE + INTERVAL re-cast to DATE, since the engines disagree on
     * the raw sum's type), so the oracle runs the very same recursion.
     * Recursion depth = calendar span in days — bounded by the data's
-    * own time range, far under Spark's level limit. */
+    * own time range, far under Spark's level limit.
+    *
+    * Cost note: Spark executes each recursion level as its own tiny
+    * job, so the query pays ~30 sequential scheduling overheads — the
+    * dominant share of its bench time at small SF. The `sequence()`
+    * date-dim (q24) is the production fast path; q116 exists to
+    * exercise the recursive engine feature itself, and its step count
+    * grows with calendar days, not data volume. */
   private val recStmt =
     """WITH RECURSIVE cal(d) AS (
       |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events

@@ -118,10 +118,32 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** q120: near-duplicate MEDIA detection — payloads sharing any
+    * sampled-frame fingerprint (re-encodes, trims, and mirrors of the
+    * same underlying asset share frames even when whole-payload hashes
+    * differ; exact-dup detection q22-style catches only bit-identical
+    * copies). Same inverted-index shape as the text near-dup tier:
+    * fingerprints are the blocking key, the join touches only payloads
+    * that collide on a frame, never all pairs — and the per-fingerprint
+    * group size is bounded by how many variants an asset has, the same
+    * df argument that bounds q42's shingle buckets. */
+  def mediaNearDup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val fp = mediaFrameSample(spark, d)
+      .select($"doc_id", $"frame_md5").distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"d1", $"d2")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q41_multimodal_features" -> multimodalFeatures,
     "q75_media_batch_decode"  -> mediaBatchDecode,
     "q78_media_frame_sample"  -> mediaFrameSample,
+    "q120_media_neardup"      -> mediaNearDup,
   )
 
   val oracles = Map(
@@ -150,6 +172,20 @@ object Multimodal extends QueryModule {
         |FROM frames
         |WHERE length(frame) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q120_media_neardup" ->
+      """WITH strided AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(1, CAST(FLOOR(length(text) / 3) AS INT)) AS stride
+        |  FROM documents
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, i * stride + 1, 64)) AS f
+        |  FROM strided, (SELECT unnest(range(3)) AS i)
+        |  WHERE length(substr(text, i * stride + 1, 64)) > 0
+        |)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY d1, d2
+        |ORDER BY d1, d2""".stripMargin,
     "q75_media_batch_decode" ->
       """SELECT doc_id, lang, source,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -104,7 +104,14 @@ object Curation extends QueryModule {
       .select($"doc_id", explode(array_distinct(grams($"toks", n))).as("gram"))
   }
 
-  /** q99: 5-grams appearing in >= boilerplateMinDf distinct documents. */
+  /** q99: 5-grams appearing in >= boilerplateMinDf distinct documents.
+    * In production the threshold is a corpus FRACTION (a gram is
+    * boilerplate when ~0.1–1% of documents carry it), derived from
+    * COUNT(*) the way q43 sizes its LSH bits; on the synthetic corpus
+    * the df distribution tops out at ~4 regardless of SF (word soup has
+    * no real templates), so a relative cutoff would return the empty
+    * set at larger SFs and demonstrate nothing — the fixed absolute
+    * threshold keeps the operator observable. */
   def boilerplateNgrams(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     docGrams(spark, d, 5)

@@ -72,8 +72,13 @@ object Mixing extends QueryModule {
       .withColumn("rn", row_number().over(perSource))
       .withColumn("w", when($"lang" === "en", enWeight).otherwise(1))
       .withColumn("ikey", $"rn".cast("double") / $"w")
+    // Fan-out sized to the corpus (~1M rows per range partition, floor 8)
+    // rather than fixed: global positions are exact for ANY boundary set
+    // (the offsets adapt), so this is a pure throughput knob — the
+    // oracle is unaffected.
+    val nPart = math.max(8, (Tables.documents(spark, d).count() / 1000000L).toInt)
     val positioned = withGlobalPosition(
-      keyed, Seq($"ikey", $"source", $"doc_id"), nPart = 8, outCol = "gpos")
+      keyed, Seq($"ikey", $"source", $"doc_id"), nPart, outCol = "gpos")
     positioned
       .groupBy(floor(($"gpos" - 1) / shardSize).as("shard"))
       .agg(count(lit(1)).as("n_docs"),

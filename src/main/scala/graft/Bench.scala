@@ -51,43 +51,62 @@ object Bench {
     // Per-query repeats with MEDIAN (VERDICT r3 "What's wrong" #1): a single
     // timed pass cannot distinguish a transient machine stall (the r3
     // q15/q16 17x "spike" — a contiguous sorted-order block all elevated at
-    // once) from a real plan regression. The median of 3 reps absorbs a
-    // one-off stall, making the driver's 2x regression gate trustworthy.
+    // once) from a real plan regression. Reps are INTERLEAVED round-robin
+    // across queries (rep-pass 1 of all queries, then pass 2, then pass 3 —
+    // VERDICT r4 "Next round" #1): back-to-back reps let one multi-second
+    // stall cover all 3 reps of the same query and survive the median (the
+    // r4 q04/q20/q21 4-7x inflation); with passes separated by a full sweep
+    // of the suite, a stall lands on DIFFERENT queries each pass and the
+    // per-query median rejects it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed query is recorded as NEGATIVE elapsed time — never
-        // indistinguishable from a fast success (ADVICE r2)
-        val ok = try { run(fn(spark, sfDir)); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
-      }
+    val timesByQuery = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      // a failed query is recorded as NEGATIVE elapsed time — never
+      // indistinguishable from a fast success (ADVICE r2)
+      val ok = try { run(fn(spark, sfDir)); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      timesByQuery(name) = timesByQuery(name) :+ (if (ok) dt else -dt)
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = timesByQuery(name)
       val good = times.filter(_ >= 0).sorted
       if (good.size != times.size) // flaky: some reps failed — say so
         System.err.println(s"[bench] $name failed ${times.size - good.size}/${times.size} reps")
       val med =
         if (good.isEmpty) times.min  // all reps failed: most-negative sentinel
         else good(good.size / 2)     // upper median of successful reps
-      name -> med
+      val mn = if (good.isEmpty) times.min else good.head
+      name -> (med, mn)
     }
-    def jsonFor(f: ((String, Double)) => (String, Double)): String = {
-      val mapped = results.map(f)
+    def jsonFor(f: ((String, Double)) => (String, Double),
+                includeMin: Boolean): String = {
+      val mapped = results.map { case (k, (med, _)) => f((k, med)) }
       val qs = mapped.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = mapped.map { case (_, v) => math.abs(v) }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // min-of-reps rides along in the full-precision file only (the stdout
+      // line must stay under the driver's 2000-char tail) for stall
+      // diagnosis (VERDICT r4 #1): a query whose median is far above its
+      // min was stalled during the run, not slow.
+      val minsPart = if (!includeMin) "" else {
+        val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+          .mkString("{", ",", "}")
+        s""","queries_min":$mins"""
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$minsPart,"sf":"$sfDir"}"""
     }
     // Full-precision, full-name JSON goes to BENCH_LOCAL.json; stdout gets
     // a compact line (qNN keys, 2 dp) because the driver keeps only the
     // LAST 2000 chars of output — the full-name line is ~2.4k chars and
     // was truncated past parseability in rounds 1-2 ("parsed": null).
-    val full = jsonFor(identity)
+    val full = jsonFor(identity, includeMin = true)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full)
     catch { case _: Throwable => () }
     spark.stop()
-    println(jsonFor { case (k, v) =>
-      (k.split("_", 2).head, math.rint(v * 100) / 100) })
+    println(jsonFor({ case (k, v) =>
+      (k.split("_", 2).head, math.rint(v * 100) / 100) }, includeMin = false))
   }
 }

@@ -119,7 +119,11 @@ object Scalars extends QueryModule {
         sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("s1"),
         sum(($"o_totalprice" * $"o_totalprice").cast(big)).cast("double").as("s2"))
       .select($"o_orderstatus", $"n",
-        ($"s1" / $"n").as("mean"),
+        // mean gets the same quantize round-trip as var/stddev (ADVICE r4):
+        // once a group's s1 exceeds 2^53 in scaled units the decimal→double
+        // conversion can differ by one ulp between engines; 6dp keeps the
+        // quotient ≤13 sig digits — exactly representable in both
+        ($"s1" / $"n").cast(DecimalType(24, 6)).cast("double").as("mean"),
         // s2 exceeds double's 17 significant digits, so the two engines'
         // decimal→double conversions can differ by one ulp; quantizing
         // the RESULT to cents (≤13 sig digits — exactly representable,
@@ -189,7 +193,7 @@ object Scalars extends QueryModule {
         |  FROM orders GROUP BY o_orderstatus
         |)
         |SELECT o_orderstatus, n,
-        |  s1 / n AS mean,
+        |  CAST(CAST(s1 / n AS DECIMAL(24,6)) AS DOUBLE) AS mean,
         |  CAST(CAST((s2 - s1 * s1 / n) / (n - 1) AS DECIMAL(24,2)) AS DOUBLE) AS var_samp,
         |  CAST(CAST(sqrt((s2 - s1 * s1 / n) / (n - 1)) AS DECIMAL(24,2)) AS DOUBLE) AS stddev_samp
         |FROM m ORDER BY o_orderstatus""".stripMargin,

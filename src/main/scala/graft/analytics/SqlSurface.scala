@@ -53,26 +53,36 @@ object SqlSurface extends QueryModule {
 
   /** RECURSIVE CTE (Spark 4 finally has it): the reference's `dim_date`
     * generation done the recursive way — anchor at the first event day,
-    * recurse one day forward until the last, LEFT JOIN daily counts so
-    * gap days surface as zero (the property a calendar dim exists for).
-    * The statement is crafted to be byte-identical in BOTH engines
-    * (DATE + INTERVAL re-cast to DATE, since the engines disagree on
-    * the raw sum's type), so the oracle runs the very same recursion.
-    * Recursion depth = calendar span in days — bounded by the data's
-    * own time range, far under Spark's level limit.
+    * recurse forward until the last, LEFT JOIN daily counts so gap days
+    * surface as zero (the property a calendar dim exists for). The
+    * statement is crafted to be byte-identical in BOTH engines (DATE +
+    * INTERVAL re-cast to DATE, since the engines disagree on the raw
+    * sum's type), so the oracle runs the very same recursion.
     *
-    * Cost note: Spark executes each recursion level as its own tiny
-    * job, so the query pays ~30 sequential scheduling overheads — the
-    * dominant share of its bench time at small SF. The `sequence()`
-    * date-dim (q24) is the production fast path; q116 exists to
-    * exercise the recursive engine feature itself, and its step count
-    * grows with calendar days, not data volume. */
+    * LEVEL-BATCHED (VERDICT r4 "Next round" #6): Spark executes each
+    * recursion level as its own sequential job, so a day-per-level
+    * recursion pays one scheduling overhead PER CALENDAR DAY (~30 jobs
+    * = 4.4 s at sf0.1, and unbounded growth for multi-year spans). The
+    * recursion here instead steps one FORTNIGHT per level — 14× fewer
+    * sequential jobs — and a non-recursive day-offset expansion
+    * (anchors × VALUES 0..13, bounded by the max date) fills in the
+    * days, all inside one parallel stage. Levels = ceil(span/14); the
+    * batch width is a pure scheduling knob, invisible to the result.
+    * The `sequence()` date-dim (q24) remains the production fast path;
+    * q116 exercises the recursive engine feature itself. */
   private val recStmt =
-    """WITH RECURSIVE cal(d) AS (
+    """WITH RECURSIVE wk(d) AS (
       |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events
       |  UNION ALL
-      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM cal
-      |  WHERE d < (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)
+      |  SELECT CAST(d + INTERVAL 14 DAY AS DATE) AS d FROM wk
+      |  WHERE CAST(d + INTERVAL 14 DAY AS DATE) <=
+      |    (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)
+      |),
+      |cal AS (
+      |  SELECT CAST(w.d + o.i * INTERVAL 1 DAY AS DATE) AS d
+      |  FROM wk w CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13)) AS o(i)
+      |  WHERE CAST(w.d + o.i * INTERVAL 1 DAY AS DATE) <=
+      |    (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)
       |)
       |SELECT c.d, COUNT(e.event_id) AS n_events
       |FROM cal c LEFT JOIN

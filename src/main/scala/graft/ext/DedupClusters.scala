@@ -97,7 +97,7 @@ object DedupClusters extends QueryModule {
   /** Converged (node, lbl) labeling of the near-dup pair graph,
     * computed once per fixture dir and checkpointed. Shared with the
     * composite curation pipeline (q108). */
-  private[ext] def ccLabels(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def ccLabels(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dir = Landing.fixtureDir(d, "dedup_cc_labels")
     val marker = Paths.get(dir + "__cc_ok")

@@ -44,8 +44,17 @@ object Mixing extends QueryModule {
                          outCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // localCheckpoint pins the range partitioning ONCE (ADVICE r4): the
+    // range partitioner samples upstream rows, so evaluating the plan twice
+    // (pass-1 counts, pass-2 rank) could re-sample different boundaries
+    // under stage retry / speculative execution and make pass-2 partition
+    // sizes disagree with pass-1's — duplicate or skipped positions. Both
+    // passes below read the same materialized blocks. (On a real cluster
+    // prefer checkpoint() to reliable storage — localCheckpoint dies with
+    // an executor; semantics are identical.)
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // pass 1: per-partition row counts — |result| = nPart, never data-sized
     val counts = sorted.groupBy($"_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

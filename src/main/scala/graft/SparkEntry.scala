@@ -35,7 +35,10 @@ object SparkEntry {
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,
-    analytics.Advanced,
+    analytics.Olap,
+    analytics.ExtendedJoins,
+    analytics.SkewQueries,
+    analytics.SketchRollups,
     analytics.TimeWindows,
     analytics.SqlSurface,
     gold.Backfill,

@@ -115,7 +115,7 @@ class CoreLawsSpec extends SparkSpec {
     val o = Tables.orders(spark, sfDir).withColumn("odate", to_date($"o_orderdate"))
     val brute = o.join(campaigns, $"odate" >= $"cstart" && $"odate" <= $"cend")
       .groupBy($"campaign_id").agg(count(lit(1)).as("n"))
-    val bucketed = analytics.Advanced.intervalCampaignJoin(spark, sfDir)
+    val bucketed = analytics.ExtendedJoins.intervalCampaignJoin(spark, sfDir)
       .select($"campaign_id", $"n_orders".as("n"))
     assert(bucketed.exceptAll(brute).isEmpty && brute.exceptAll(bucketed).isEmpty)
   }
@@ -143,7 +143,7 @@ class CoreLawsSpec extends SparkSpec {
 
   test("pivot matrix row-sums equal the unpivoted per-day counts") {
     import spark.implicits._
-    val piv = analytics.Advanced.pivotEventMatrix(spark, sfDir)
+    val piv = analytics.Olap.pivotEventMatrix(spark, sfDir)
       .withColumn("total", $"n_click" + $"n_error" + $"n_purchase" + $"n_signup" + $"n_view")
       .select($"day", $"total")
     val flat = Tables.events(spark, sfDir)

@@ -87,7 +87,7 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     // the registered query folds the bound into approx_ok; every group
     // must be inside the envelope (this is what the oracle hash checks)
-    val res = graft.analytics.Advanced.approxDistinct(spark, sfDir)
+    val res = graft.analytics.SketchRollups.approxDistinct(spark, sfDir)
     assert(res.filter(!$"approx_ok").isEmpty)
     // tighter 3-sigma check on the raw estimate (rsd configured at 2%)
     val raw = graft.ingest.Tables.events(spark, sfDir)
@@ -101,7 +101,7 @@ class ExtSpec extends SparkSpec {
 
   test("as-of join: matched order is at or before the event, none missed") {
     import spark.implicits._
-    val res = graft.analytics.Advanced.asofJoin(spark, sfDir)
+    val res = graft.analytics.ExtendedJoins.asofJoin(spark, sfDir)
     assert(res.filter($"asof_orderdate" > $"ts".cast("date")).isEmpty)
     // every purchase event appears exactly once
     val nPurchases = graft.ingest.Tables.events(spark, sfDir)

@@ -45,7 +45,6 @@ object ScaleGen {
     val docRows = if (args.length > 2) args(2).toLong else 50000L
     val embRows = if (args.length > 3) args(3).toLong else 8000L
     val seed = if (args.length > 4) args(4).toLong else 42L
-
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,6 +52,15 @@ object ScaleGen {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, dstDir, docRows, embRows, seed)
+    println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed}""")
+    // only stop a context this main created itself — getOrCreate may have
+    // joined an existing session (e.g. under test)
+  }
+
+  /** The generation itself, callable on an existing session (tests). */
+  def generate(spark: SparkSession, srcDir: String, dstDir: String,
+               docRows: Long, embRows: Long, seed: Long): Unit = {
     import spark.implicits._
 
     // ---- documents ------------------------------------------------
@@ -122,8 +130,5 @@ object ScaleGen {
       .withColumn("g", genVec($"id"))
       .select($"id".as("vec_id"), $"g._1".as("embedding"), $"g._2".cast("int").as("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/embeddings.parquet")
-
-    println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed}""")
-    spark.stop()
   }
 }

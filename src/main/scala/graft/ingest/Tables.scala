@@ -15,13 +15,52 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Parallelism-matched LAYOUT for the compute-heavy tables. The
+    * driver's parquet files are single-file, SINGLE-ROW-GROUP — and a
+    * row group is the unit of scan parallelism, so every scan (and the
+    * partial aggregate fused above it) runs as ONE task no matter how
+    * many cores the session has; `files.maxPartitionBytes` cannot help
+    * because byte-ranges of one row group collapse onto one reader. At
+    * cluster scale tables arrive as many files and this never happens;
+    * locally the engine re-lays the table out ONCE per (sf, table,
+    * parallelism) into a multi-file fixture and every subsequent scan
+    * reads the splits in parallel — the same layout-management job
+    * (file count ≈ available parallelism) a production table service
+    * performs, in the opposite direction of q97's small-file
+    * compaction. Pure layout: same rows, same schema; every registered
+    * query imposes its own total order, so results are unaffected.
+    *
+    * Applied where scan-task compute dominates: lineitem (the 600k-row
+    * fact every decimal-moment aggregate scans), orders (the exact
+    * per-group percentile collections), documents (5k rows, but each
+    * explodes into ~50 shingles × 18 hashes in the dedup tier) and
+    * embeddings (64-dim dot products per row). NOT events: the
+    * streaming/merge legs write many derived fixtures from it, and
+    * fanning those writes out 32× was measured to cost more than the
+    * scan win (full-suite total 77-78 s with this set vs 88.3 s with
+    * events split too, vs 76.2 s with no splits but a 2.0-2.5 s heavy
+    * tail — q118 2.01→0.69, q93 1.79→1.20, q42 2.50→1.60, q33
+    * 1.52→0.44, q79 1.51→0.84 at sf0.1). */
+  private def splitTable(spark: SparkSession, d: String, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val n = spark.sparkContext.defaultParallelism
+    val dir = Landing.fixtureDir(d, s"split_${name}_$n")
+    val marker = Paths.get(dir + "__ok")
+    if (!Files.exists(marker)) {
+      table(spark, d, name).repartition(n)
+        .write.mode("overwrite").parquet(dir)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    spark.read.parquet(dir)
+  }
+
   def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
   def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
-  def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
-  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame   = splitTable(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = splitTable(spark, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's µs timestamp
     * type refuses outright. Sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
@@ -34,6 +73,6 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
-  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+  def documents(spark: SparkSession, d: String): DataFrame  = splitTable(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = splitTable(spark, d, "embeddings")
 }

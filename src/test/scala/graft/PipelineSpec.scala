@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   * sessionization across micro-batches. */
 class PipelineSpec extends SparkSpec {
 
+  test("S8: parallelism-matched layout is pure layout — split tables equal the source rows") {
+    // the invariant every query now rests on: Tables.lineitem/orders/
+    // documents/embeddings read a multi-file re-layout, which must be
+    // row-identical to the driver's single-file original
+    for (t <- Seq("lineitem", "orders", "documents")) {
+      val direct = ingest.Tables.table(spark, sfDir, t)
+      val split = t match {
+        case "lineitem"  => ingest.Tables.lineitem(spark, sfDir)
+        case "orders"    => ingest.Tables.orders(spark, sfDir)
+        case "documents" => ingest.Tables.documents(spark, sfDir)
+      }
+      assert(split.exceptAll(direct).count() === 0, s"$t: split has extra rows")
+      assert(direct.exceptAll(split).count() === 0, s"$t: split lost rows")
+      assert(split.rdd.getNumPartitions > 1, s"$t: layout did not split")
+    }
+  }
+
   test("P3: missing entity glob skips cleanly instead of failing") {
     val empty = java.nio.file.Files.createTempDirectory("graft_empty").toString
     val r = silver.ReferenceEtl.processEntity(

@@ -45,7 +45,12 @@ object TextOps extends QueryModule {
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs_total"))
       .withColumn("one", lit(1))
-    val scored = tf.join(df, "term")
+    // df is the term DICTIONARY — vocabulary-sized, orders of magnitude
+    // smaller than the (doc, term) matrix — so broadcast it instead of
+    // re-shuffling tf on term: tf keeps its (doc_id, term) partitioning
+    // and flows map-side into the per-doc window. (A beyond-memory
+    // vocabulary would fall back to the shuffle join.)
+    val scored = tf.join(broadcast(df), "term")
       .withColumn("one", lit(1))
       .join(broadcast(n), "one")
       .withColumn("score", $"tf" * log($"n_docs_total".cast("double") / $"df"))

@@ -1,0 +1,105 @@
+package graft.jobs
+
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Engine-side analogue of the reference's orchestration semantics
+  * (dag_streamflow.py): `retries: 3, retry_delay: 1 minute`
+  * (dag_streamflow.py:15-16), task graph
+  * `ingest_user_events / ingest_transaction_events >> etl_job >>
+  * validate_outputs` (dag_streamflow.py:58-88), independent tasks
+  * eligible to run in parallel, and a failed task marking its
+  * downstream `upstream_failed` rather than running it.
+  *
+  * This deliberately covers the RETRY/CHAINING semantics only — the
+  * executable part of the DAG contract. Scheduling triggers
+  * (`schedule_interval`, `catchup`) are wall-clock scheduler state, not
+  * engine semantics, and stay out of scope (SURVEY §0/§3); the
+  * reference's own DAG sets `schedule_interval=None` anyway.
+  *
+  * The sleeper is injected so specs assert the REQUESTED backoff
+  * delays without waiting a minute per retry — the same seam a
+  * production runner uses for testability.
+  */
+object Orchestration {
+
+  sealed trait Status
+  case object Success extends Status
+  /** Failed after exhausting 1 + retries attempts. */
+  final case class Failed(attempts: Int, last: Throwable) extends Status
+  /** Never attempted: some transitive upstream failed. */
+  case object UpstreamFailed extends Status
+
+  /** One DAG task: `retries` re-attempts after the first failure, with
+    * `retryDelayMs` between attempts — the reference's
+    * `default_args` shape. */
+  final case class Task(id: String,
+                        upstream: Seq[String] = Nil,
+                        retries: Int = 3,
+                        retryDelayMs: Long = 60000L)(val body: () => Unit)
+
+  /** Execute the DAG: topological waves, tasks within a wave running
+    * concurrently (the two ingest legs), each task retried per its own
+    * policy. Returns the terminal status of every task. */
+  def run(tasks: Seq[Task],
+          sleep: Long => Unit = Thread.sleep)
+         (implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Status] = {
+    val byId = tasks.map(t => t.id -> t).toMap
+    require(byId.size == tasks.size, "duplicate task id")
+    tasks.foreach(t => t.upstream.foreach(u =>
+      require(byId.contains(u), s"${t.id}: unknown upstream $u")))
+    val status = mutable.Map.empty[String, Status]
+
+    def attempt(t: Task): Status = {
+      var n = 0
+      while (true) {
+        n += 1
+        try { t.body(); return Success }
+        catch {
+          case e: Throwable =>
+            if (n > t.retries) return Failed(n, e)
+            sleep(t.retryDelayMs)
+        }
+      }
+      sys.error("unreachable")
+    }
+
+    var remaining = tasks
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.upstream.forall(status.contains))
+      require(ready.nonEmpty, s"dependency cycle among ${remaining.map(_.id)}")
+      val (runnable, skipped) = ready.partition(_.upstream.forall(u => status(u) == Success))
+      skipped.foreach(t => status(t.id) = UpstreamFailed)
+      // independent runnable tasks execute concurrently (the DAG's
+      // parallel ingest legs); Await re-joins the wave before its
+      // downstream becomes eligible
+      val done = Await.result(
+        Future.sequence(runnable.map(t => Future(t.id -> attempt(t)))),
+        Duration.Inf)
+      done.foreach { case (id, s) => status(id) = s }
+      remaining = blocked
+    }
+    status.toMap
+  }
+
+  /** The reference's `streamflow_main` task graph over THIS engine's
+    * legs: two parallel ingest tasks (the file-buffer micro-batch
+    * stands in for the Kafka consumers, faithful to the reference ETL
+    * which also reads the landing buffer), the flatten ETL, and the
+    * gold validation gate — with the reference's retry policy. Bodies
+    * are injected so the graph is testable with both real legs and
+    * fault-injecting stubs. */
+  def streamflowDag(ingestUserEvents: () => Unit,
+                    ingestTransactionEvents: () => Unit,
+                    etlJob: () => Unit,
+                    validateOutputs: () => Unit,
+                    retryDelayMs: Long = 60000L): Seq[Task] = Seq(
+    Task("ingest_user_events", retries = 3, retryDelayMs = retryDelayMs)(ingestUserEvents),
+    Task("ingest_transaction_events", retries = 3, retryDelayMs = retryDelayMs)(ingestTransactionEvents),
+    Task("etl_job", upstream = Seq("ingest_user_events", "ingest_transaction_events"),
+      retries = 3, retryDelayMs = retryDelayMs)(etlJob),
+    Task("validate_outputs", upstream = Seq("etl_job"),
+      retries = 3, retryDelayMs = retryDelayMs)(validateOutputs),
+  )
+}

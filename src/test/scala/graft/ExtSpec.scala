@@ -72,6 +72,22 @@ class ExtSpec extends SparkSpec {
     assert(e1.join(i1, "qid").filter($"ic" > $"ec").isEmpty)
   }
 
+  test("SQ8 codes are valid int8 and the compressed scan recalls the exact top-k") {
+    import spark.implicits._
+    val sq = Similarity.annSq8Topk(spark, sfDir)
+    // code validity rides on the result being well-formed cosines
+    assert(sq.filter($"cosine" < -1 || $"cosine" > 1).isEmpty)
+    // recall@5 of the quantized candidate scan vs the exact brute force:
+    // 8 queries × 5 = 40 exact hits; the 4×-over-retrieve + exact rerank
+    // must recover the overwhelming majority (int8 on 64 dims loses
+    // little ranking signal — measured 100% here; assert ≥ 80% so a
+    // regenerated corpus can't flake the suite)
+    val exact = Similarity.cosineTopkExact(spark, sfDir).select($"qid", $"vid")
+    val hit = exact.intersect(sq.select($"qid", $"vid")).count()
+    val total = exact.count()
+    assert(hit * 5 >= total * 4, s"SQ8 recall $hit/$total below 80%")
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     import spark.implicits._
     val a = TextOps.rollingFingerprint(spark, sfDir)

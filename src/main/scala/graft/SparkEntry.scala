@@ -32,6 +32,7 @@ object SparkEntry {
     ingest.PipelineQueries,
     ingest.Compaction,
     ingest.ColumnarFormats,
+    ingest.ZOrder,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

@@ -26,10 +26,12 @@ class PlanShapeSpec extends SparkSpec {
   // q32 broadcasts the 1-row corpus count, q33 the 8-row query set,
   // q65 the K-row centroid/probe tables, q116 the 14-row day-offset
   // VALUES expansion of the level-batched recursive calendar (anchors ×
-  // offsets — both sides calendar-sized, never data-sized).
+  // offsets — both sides calendar-sized, never data-sized), q121 the
+  // 1-row absmax quantizer and the 8-row query-code set (the SQ8 scan
+  // streams the code table past the broadcast query codes, O(N·|Q|)).
   private val allowedNestedLoop = Set(
     "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
-    "q116_recursive_calendar")
+    "q116_recursive_calendar", "q121_ann_sq8")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ingest.{Tables, ZOrder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** The two claims the z-order layout makes, executed:
+  *
+  *   1. purity — re-laying the table out on the Morton curve changes
+  *      WHERE rows live, never WHICH rows exist;
+  *   2. skipping — a 2-d box reads a smaller FRACTION of the z-ordered
+  *      table's files than of a single-dimension layout's files (the
+  *      product-of-selectivities vs one-selectivity claim), measured
+  *      from the executed scan's own numFiles metric, not inferred.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec => q +: nodes(q.plan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+
+  /** Files actually read by the scan under df — the plan we inspect is
+    * the plan we execute (a `df.write` would spawn a fresh
+    * QueryExecution and leave THIS plan's metrics at zero). */
+  private def filesRead(df: DataFrame): Long = {
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    qe.executedPlan.execute().count()
+    val scans = nodes(qe.executedPlan).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan in plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("z-order layout is pure: same rows as the source, row for row") {
+    import spark.implicits._
+    val src = Tables.orders(spark, sfDir)
+    val laid = ZOrder.zorderLayout(spark, sfDir).select(src.columns.map(col => $"$col"): _*)
+    assert(laid.exceptAll(src).isEmpty, "layout has rows the source lacks")
+    assert(src.exceptAll(laid).isEmpty, "layout dropped source rows")
+  }
+
+  test("pruned box read returns exactly the box rows") {
+    import spark.implicits._
+    val (klo, khi, dlo, dhi) = ZOrder.box(spark, sfDir)
+    val expect = Tables.orders(spark, sfDir)
+      .filter($"o_custkey".between(klo, khi) &&
+        org.apache.spark.sql.functions.to_date($"o_orderdate").between(
+          java.sql.Date.valueOf(dlo), java.sql.Date.valueOf(dhi)))
+    val got = ZOrder.prunedBoxRead(spark, sfDir)
+      .select(expect.columns.map(col => $"$col"): _*)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "z-pruned read is not the box")
+  }
+
+  test("2-d box reads a smaller file fraction of the z layout than of the linear layout") {
+    import spark.implicits._
+    val zAll = ZOrder.zorderLayout(spark, sfDir)
+    val linAll = ZOrder.linearLayout(spark, sfDir)
+    val zTotal = filesRead(zAll)
+    val linTotal = filesRead(linAll)
+    val zBox = filesRead(ZOrder.prunedBoxRead(spark, sfDir))
+    // the linear layout prunes on its ONE dimension (customer bucket
+    // cells 0..hi), then needs the same residual — the date range cannot
+    // prune anything
+    val (klo, khi, dlo, dhi) = ZOrder.box(spark, sfDir)
+    val linCells = linAll.filter($"o_custkey".between(klo, khi))
+      .select($"cell").distinct().collect().map(_.getInt(0)).toSeq
+    val linBox = filesRead(linAll.filter($"cell".isin(linCells: _*))
+      .filter($"o_custkey".between(klo, khi) &&
+        org.apache.spark.sql.functions.to_date($"o_orderdate").between(
+          java.sql.Date.valueOf(dlo), java.sql.Date.valueOf(dhi))))
+    assert(zBox > 0 && linBox > 0)
+    // fractions: z ≈ product of selectivities, linear ≈ one selectivity
+    val zFrac = zBox.toDouble / zTotal
+    val linFrac = linBox.toDouble / linTotal
+    assert(zFrac < linFrac,
+      s"z-order read $zBox/$zTotal = $zFrac of files; linear read $linBox/$linTotal = $linFrac")
+  }
+}

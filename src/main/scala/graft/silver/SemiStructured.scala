@@ -85,14 +85,58 @@ object SemiStructured extends QueryModule {
       .orderBy($"tier", $"o_orderstatus")
   }
 
+  /** P6+: the Spark 4 VARIANT path — `parse_json` to the binary
+    * variant encoding, typed `variant_get` path extraction (nested
+    * field, array element), `try_variant_get` for an absent path.
+    *
+    * Why this beats `from_json` at 100 TB: no fixed schema argument
+    * (schema drift in the wire payload cannot break the reader), no
+    * schema-inference pass over the corpus, and the variant binary
+    * keeps field access O(path) instead of re-parsing text per
+    * expression. The wire JSON here is built in-flight from order
+    * columns, so the oracle needs no JSON at all: extraction must
+    * reproduce the plain-column aggregate — parse∘extract ≡ identity,
+    * the same law the q25 nest/flatten round-trip pins. */
+  def variantExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wire = Tables.orders(spark, d).select(
+      to_json(struct(
+        $"o_orderkey".as("id"),
+        struct($"o_orderstatus".as("status"), $"o_totalprice".as("total")).as("meta"),
+        array($"o_orderpriority").as("tags"))).as("payload"))
+    wire
+      .withColumn("v", parse_json($"payload"))
+      .select(
+        variant_get($"v", "$.meta.status", "string").as("status"),
+        variant_get($"v", "$.meta.total", "double").as("total"),
+        variant_get($"v", "$.tags[0]", "string").as("priority"),
+        try_variant_get($"v", "$.absent.path", "string").as("missing"))
+      .groupBy($"status", $"priority")
+      .agg(count(lit(1)).as("n_orders"),
+           msum($"total").as("revenue"),
+           count($"missing").as("n_missing")) // absent path ⇒ all-null ⇒ 0
+      .orderBy($"status", $"priority")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q21_json_extract"          -> jsonExtract,
     "q25_nest_flatten_roundtrip" -> nestFlattenRoundtrip,
     "q26_column_ops"            -> columnOps,
     "q27_order_tiers"           -> orderTiers,
+    "q124_variant_extract"      -> variantExtract,
   )
 
   val oracles = Map(
+    // no JSON on the oracle side: variant parse∘extract must equal the
+    // plain projection of the same columns
+    "q124_variant_extract" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(0 AS BIGINT) AS n_missing
+        |FROM orders
+        |GROUP BY status, priority
+        |ORDER BY status, priority""".stripMargin,
     "q21_json_extract" ->
       """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  COUNT(*) AS n_events,

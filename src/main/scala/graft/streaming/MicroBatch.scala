@@ -310,10 +310,59 @@ object MicroBatch extends QueryModule {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** T4+++: the `transformWithState` sessionizer (Spark 4's
+    * arbitrary-state API — named ValueState under the REQUIRED RocksDB
+    * state-store provider) run as a real streaming query over the
+    * landing buffer. Same per-user gap transition as q70's
+    * mapGroupsWithState (the shared `StatefulSessions` state machine),
+    * so the q70 oracle pins both APIs to the same sessions. The
+    * provider swap is scoped to this query and restored — the other
+    * streaming legs keep the default HDFS-backed store. */
+  def streamTransformWithState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val name = "stream_tws_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + runSeq.incrementAndGet()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(wireSchema)
+        .option("maxFilesPerTrigger", "1000000") // unordered fixture: one batch
+        .json(landing)
+        .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+        .select($"user_id", unix_micros($"ts").as("ts_us"))
+        .as[StatefulSessions.Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulSessions.SessionProcessor(StatefulSessions.defaultGapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .orderBy($"user_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
     "q105_stream_static_enrich" -> streamStaticEnrich,
     "q109_stream_sessions" -> streamSessions,
+    "q123_stream_transform_with_state" -> streamTransformWithState,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
     "q77_stream_dedup"      -> streamDedup,
@@ -321,6 +370,24 @@ object MicroBatch extends QueryModule {
   )
 
   val oracles = Map(
+    // q70's oracle verbatim: mapGroupsWithState, transformWithState and
+    // the SQL window derivation must all agree on the same sessions
+    "q123_stream_transform_with_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // identical derivation to q66's batch oracle: the streaming engine
     // must produce the same sessions as the batch session_window
     "q109_stream_sessions" ->

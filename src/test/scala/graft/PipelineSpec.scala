@@ -105,6 +105,42 @@ class PipelineSpec extends SparkSpec {
     assert(res(2L) === ((1L, 1L)), "user 2: 1 session")
   }
 
+  test("transformWithState carries session state across micro-batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val query = input.toDS().groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulSessions.SessionProcessor(StatefulSessions.defaultGapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("tws_test").outputMode("update").start()
+      val us = 1000000L
+      // same script as the mapGroupsWithState test above — the two
+      // arbitrary-state APIs must walk the same state machine
+      input.addData(Ev(1L, 0L), Ev(1L, 10 * us))
+      query.processAllAvailable()
+      input.addData(Ev(1L, 10 * us + 31 * 60 * us), Ev(2L, 0L))
+      query.processAllAvailable()
+      val res = spark.table("tws_test")
+        .groupBy($"user_id").agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      query.stop()
+      assert(res(1L) === ((2L, 3L)), "user 1: 2 sessions over 3 events")
+      assert(res(2L) === ((1L, 1L)), "user 2: 1 session")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("bucketed join plans with NO shuffle exchange on either side") {
     // disable auto-broadcast so the tiny test tables take the
     // shuffled-join path whose exchange elision we are asserting

@@ -56,6 +56,28 @@ class ZOrderSpec extends SparkSpec {
       "z-pruned read is not the box")
   }
 
+  test("sorted-within-partition layout is pure and smaller on disk than the unsorted twin") {
+    import spark.implicits._
+    // build both twins (identical content, identical partition count)
+    val sortedAgg = ZOrder.ensureEventsLayout(spark, sfDir, sorted = true)
+    val unsortedAgg = ZOrder.ensureEventsLayout(spark, sfDir, sorted = false)
+    // purity at row level: both layouts hold exactly the events table
+    val src = ingest.Tables.events(spark, sfDir)
+    val back = spark.read.parquet(ZOrder.eventsLayoutDir(sfDir, sorted = true))
+      .select(src.columns.map(col => $"$col"): _*)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // and the aggregates agree (what the oracle hashes)
+    assert(sortedAgg.exceptAll(unsortedAgg).isEmpty)
+    def bytes(dir: String): Long =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val sBytes = bytes(ZOrder.eventsLayoutDir(sfDir, sorted = true))
+    val uBytes = bytes(ZOrder.eventsLayoutDir(sfDir, sorted = false))
+    info(s"sorted=$sBytes bytes, unsorted=$uBytes bytes, ratio=${sBytes.toDouble / uBytes}")
+    assert(sBytes < uBytes,
+      s"sorting within partitions did not shrink the files: $sBytes vs $uBytes")
+  }
+
   test("2-d box reads a smaller file fraction of the z layout than of the linear layout") {
     import spark.implicits._
     val zAll = ZOrder.zorderLayout(spark, sfDir)

@@ -123,26 +123,45 @@ object ZOrder extends QueryModule {
     (mnk, hik, mnd, hid)
   }
 
-  /** Covered z-cells of the box: the bucket rectangle's Morton codes. */
-  def boxCells(spark: SparkSession, d: String): Seq[Long] = {
+  /** Covered z-cells of an ARBITRARY box: the bucket rectangle's Morton
+    * codes. Complete by bucket monotonicity — every row inside the box
+    * has bucket ranks inside [bucket(lo), bucket(hi)], so no covered
+    * cell is missed (the property ZOrderSpec fuzzes with random boxes). */
+  def cellsFor(spark: SparkSession, d: String,
+               klo: Long, khi: Long,
+               dlo: java.time.LocalDate, dhi: java.time.LocalDate): Seq[Long] = {
     val (mnk, mxk, mnd, mxd) = boundsOf(spark, d)
-    val (_, hik, _, hid) = box(spark, d)
-    val bxHi = bucketOf(hik, mnk, mxk)
-    val byHi = bucketOf(java.time.temporal.ChronoUnit.DAYS.between(mnd, hid),
-      0L, java.time.temporal.ChronoUnit.DAYS.between(mnd, mxd))
-    for (bx <- 0L to bxHi; by <- 0L to byHi) yield zOf(bx, by)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(mnd, mxd)
+    def dayOff(x: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(mnd, x)
+    val (bxLo, bxHi) = (bucketOf(klo, mnk, mxk), bucketOf(khi, mnk, mxk))
+    val (byLo, byHi) = (bucketOf(dayOff(dlo), 0L, span), bucketOf(dayOff(dhi), 0L, span))
+    for (bx <- bxLo to bxHi; by <- byLo to byHi) yield zOf(bx, by)
   }
 
-  /** Prune the layout to the box's z-cells, then apply the raw residual
-    * predicate — the complete skip-then-verify read path. */
-  def prunedBoxRead(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  /** Covered z-cells of the demonstration [[box]]. */
+  def boxCells(spark: SparkSession, d: String): Seq[Long] = {
     val (klo, khi, dlo, dhi) = box(spark, d)
+    cellsFor(spark, d, klo, khi, dlo, dhi)
+  }
+
+  /** Prune the layout to a box's z-cells, then apply the raw residual
+    * predicate — the complete skip-then-verify read path. */
+  def prunedRead(spark: SparkSession, d: String,
+                 klo: Long, khi: Long,
+                 dlo: java.time.LocalDate, dhi: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
     zorderLayout(spark, d)
-      .filter($"cell".isin(boxCells(spark, d): _*))
+      .filter($"cell".isin(cellsFor(spark, d, klo, khi, dlo, dhi): _*))
       .filter($"o_custkey".between(klo, khi) &&
         to_date($"o_orderdate").between(
           lit(java.sql.Date.valueOf(dlo)), lit(java.sql.Date.valueOf(dhi))))
+  }
+
+  /** [[prunedRead]] of the demonstration box. */
+  def prunedBoxRead(spark: SparkSession, d: String): DataFrame = {
+    val (klo, khi, dlo, dhi) = box(spark, d)
+    prunedRead(spark, d, klo, khi, dlo, dhi)
   }
 
   /** S6+/T3: the registered query — box aggregate over the z-pruned

@@ -78,6 +78,34 @@ class ZOrderSpec extends SparkSpec {
       s"sorting within partitions did not shrink the files: $sBytes vs $uBytes")
   }
 
+  test("pruning is complete for arbitrary boxes: pruned read == raw filter (fuzzed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_date
+    val src = Tables.orders(spark, sfDir)
+    val row = src.agg(
+      org.apache.spark.sql.functions.min($"o_custkey"),
+      org.apache.spark.sql.functions.max($"o_custkey"),
+      org.apache.spark.sql.functions.min(to_date($"o_orderdate")),
+      org.apache.spark.sql.functions.max(to_date($"o_orderdate"))).first()
+    val (mnk, mxk) = (row.getLong(0), row.getLong(1))
+    val (mnd, mxd) = (row.getDate(2).toLocalDate, row.getDate(3).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(mnd, mxd)
+    val rnd = new scala.util.Random(7) // deterministic fuzz
+    (1 to 5).foreach { i =>
+      val k1 = mnk + math.abs(rnd.nextLong()) % (mxk - mnk + 1)
+      val k2 = mnk + math.abs(rnd.nextLong()) % (mxk - mnk + 1)
+      val (klo, khi) = (math.min(k1, k2), math.max(k1, k2))
+      val d1 = rnd.nextLong(span + 1); val d2 = rnd.nextLong(span + 1)
+      val (dlo, dhi) = (mnd.plusDays(math.min(d1, d2)), mnd.plusDays(math.max(d1, d2)))
+      val pruned = ZOrder.prunedRead(spark, sfDir, klo, khi, dlo, dhi)
+        .select(src.columns.map(col => $"$col"): _*)
+      val raw = src.filter($"o_custkey".between(klo, khi) &&
+        to_date($"o_orderdate").between(java.sql.Date.valueOf(dlo), java.sql.Date.valueOf(dhi)))
+      assert(pruned.exceptAll(raw).isEmpty && raw.exceptAll(pruned).isEmpty,
+        s"box $i [$klo..$khi]x[$dlo..$dhi]: pruned read != raw filter")
+    }
+  }
+
   test("2-d box reads a smaller file fraction of the z layout than of the linear layout") {
     import spark.implicits._
     val zAll = ZOrder.zorderLayout(spark, sfDir)

@@ -118,4 +118,42 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  // The other half of the AQE story: a shuffle whose static partition
+  // count (spark.sql.shuffle.partitions) is far too high for the actual
+  // data volume gets its reducers COALESCED at runtime — the knob that
+  // makes one cluster-wide shuffle-partition setting survive both the
+  // 100-TB fact shuffle and the KB-sized dim aggregate that shares the
+  // session. Static over-partitioning is otherwise pure scheduler
+  // overhead (1000s of empty reducers).
+  test("AQE coalesce: a tiny shuffle runs with fewer reducers than the static setting") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default true trades coalescing for cores-parallelism; turn it off
+      // to exercise the size-targeted behavior the 100-TB setting uses
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "200") // cluster-wide default
+      val agg = spark.range(1000).select(($"id" % 7).as("k"), $"id".as("v"))
+        .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+      assert(agg.collect().length === 7)
+      val reads = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r }
+      assert(reads.nonEmpty, "expected an AQE shuffle read in the executed plan")
+      val reducers = reads.map(_.partitionSpecs.length).min
+      assert(reducers < 200,
+        s"AQE did not coalesce: $reducers reducers for a 7-group KB-sized shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -113,13 +113,26 @@ object Landing {
     * 100 TB the same pattern is a cluster-storage checkpoint. */
   def ensureParquetFixture(df: DataFrame, sfDir: String, name: String): DataFrame = {
     val dir = fixtureDir(sfDir, name)
+    ensureBuilt(dir)(d => df.write.mode(SaveMode.Overwrite).parquet(d))
+    df.sparkSession.read.parquet(dir)
+  }
+
+  /** The ONE build-once convention every fixture/layout builder shares
+    * (review r5 — three hand-rolled marker schemes meant cleanup
+    * tooling keyed on `_FIXTURE_OK` could not see sibling `__ok`
+    * markers, and a wiped dir beside a stale sibling marker would
+    * silently serve a missing table): marker INSIDE the directory, so
+    * wiping the directory always forces a rebuild. Spark readers
+    * ignore underscore-prefixed files. */
+  def ensureBuilt(dir: String)(build: String => Unit): String = {
     val marker = Paths.get(dir, "_FIXTURE_OK")
     if (!Files.exists(marker)) {
-      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      graft.util.Fs.deleteRecursively(dir)
+      build(dir)
       Files.write(marker, Array.emptyByteArray,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    df.sparkSession.read.parquet(dir)
+    dir
   }
 
   /** Write a bounded dimension as ONE multiLine JSON array file — the

@@ -42,14 +42,9 @@ object Tables {
     * tail — q118 2.01→0.69, q93 1.79→1.20, q42 2.50→1.60, q33
     * 1.52→0.44, q79 1.51→0.84 at sf0.1). */
   private def splitTable(spark: SparkSession, d: String, name: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val n = spark.sparkContext.defaultParallelism
-    val dir = Landing.fixtureDir(d, s"split_${name}_$n")
-    val marker = Paths.get(dir + "__ok")
-    if (!Files.exists(marker)) {
-      table(spark, d, name).repartition(n)
-        .write.mode("overwrite").parquet(dir)
-      Files.write(marker, Array.emptyByteArray)
+    val dir = Landing.ensureBuilt(Landing.fixtureDir(d, s"split_${name}_$n")) { dd =>
+      table(spark, d, name).repartition(n).write.mode("overwrite").parquet(dd)
     }
     spark.read.parquet(dir)
   }

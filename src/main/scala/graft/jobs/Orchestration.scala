@@ -55,11 +55,15 @@ object Orchestration {
       var n = 0
       while (true) {
         n += 1
+        // NonFatal only: an OOM/StackOverflow must kill the runner, not
+        // be retried 1+retries times against a corrupted JVM
         try { t.body(); return Success }
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             if (n > t.retries) return Failed(n, e)
-            sleep(t.retryDelayMs)
+            // blocking{}: a wave of sleeping retries must not pin the
+            // fixed-size global pool and starve its runnable siblings
+            scala.concurrent.blocking { sleep(t.retryDelayMs) }
         }
       }
       sys.error("unreachable")

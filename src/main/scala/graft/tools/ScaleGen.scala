@@ -45,6 +45,9 @@ object ScaleGen {
     val docRows = if (args.length > 2) args(2).toLong else 50000L
     val embRows = if (args.length > 3) args(3).toLong else 8000L
     val seed = if (args.length > 4) args(4).toLong else 42L
+    // detect create-vs-join so this main only stops a session it owns
+    // (tests call generate() on their own session and never pass here)
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -52,10 +55,10 @@ object ScaleGen {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, dstDir, docRows, embRows, seed)
-    println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed}""")
-    // only stop a context this main created itself — getOrCreate may have
-    // joined an existing session (e.g. under test)
+    try {
+      generate(spark, srcDir, dstDir, docRows, embRows, seed)
+      println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed}""")
+    } finally if (preExisting.isEmpty) spark.stop()
   }
 
   /** The generation itself, callable on an existing session (tests). */

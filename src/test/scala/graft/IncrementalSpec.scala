@@ -53,38 +53,73 @@ class IncrementalSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(gold + "__applied_b1")))
   }
 
-  test("crash mid-swap (only some partitions flipped): replay converges, no double-count") {
+  test("torn data phase: other batches' files untouched byte-for-byte; replay converges") {
     val gold = {
-      val t = Files.createTempDirectory("graft_gold_midswap").toString
+      val t = Files.createTempDirectory("graft_gold_torn").toString
       graft.util.Fs.deleteRecursively(t); t
     }
     val ev = Tables.events(spark, sfDir)
     val delta = Incremental.toGoldGrain(ev.filter(dayofmonth(col("ts")) <= 7))
     def total(): Long =
       spark.read.parquet(gold).agg(sum("n_events")).head.getLong(0)
+    def filesOf(batch: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(gold)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.contains(s"batch_id=$batch"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
     Incremental.refreshAdditive(gold, delta, "hist")
     val once = total()
+    val histFiles = filesOf("hist")
     Incremental.refreshAdditive(gold, delta, "b1")
     val applied = total()
-    // simulate a crash that flipped only SOME partitions: roll one
-    // event_date partition back to its pre-b1 state (hist rows only)
-    // and drop the marker — the on-disk table is now half-applied
+    assert(applied === 2 * once)
+    // per-batch partitioning: applying b1 must not have rewritten a
+    // single hist file (the crash-isolation property — the old
+    // base-union design rewrote whole date partitions)
+    assert(filesOf("hist") === histFiles,
+      "applying b1 touched hist's files — batch isolation broken")
+    // simulate a crash that tore b1's own data phase: one of ITS leaf
+    // dirs vanishes, the marker never landed
     import spark.implicits._
     val someDate = spark.read.parquet(gold)
+      .filter($"batch_id" === "b1")
       .select($"event_date").distinct().orderBy($"event_date").head.get(0)
-    val partDir = gold + s"/event_date=$someDate"
-    val rolledBack = spark.read.parquet(gold)
-      .filter($"event_date" === lit(someDate) && $"batch_id" === "hist")
-      .drop("event_date").cache()
-    rolledBack.count()
-    graft.util.Fs.deleteRecursively(partDir)
-    rolledBack.write.parquet(partDir)
-    rolledBack.unpersist()
+    graft.util.Fs.deleteRecursively(gold + s"/event_date=$someDate/batch_id=b1")
     Files.delete(java.nio.file.Paths.get(gold + "__applied_b1"))
-    assert(total() < applied, "rollback must have removed some of b1")
-    // restart replays b1: partitions that kept b1 get it deduped then
-    // re-added; the rolled-back partition gets it added — exactly once
+    assert(total() < applied, "tear must have removed some of b1")
+    // restart replays b1: its partitions are rewritten in full, hist
+    // stays byte-identical — exactly once
     Incremental.refreshAdditive(gold, delta, "b1")
-    assert(total() === applied, "mid-swap replay must converge to exactly-once")
+    assert(total() === applied, "torn-phase replay must converge to exactly-once")
+    assert(filesOf("hist") === histFiles,
+      "replaying b1 touched hist's files — batch isolation broken")
+  }
+
+  test("unpublished batch is invisible to the published (ledger-filtered) read") {
+    val gold = {
+      val t = Files.createTempDirectory("graft_gold_pub").toString
+      graft.util.Fs.deleteRecursively(t); t
+    }
+    val delta = Incremental.toGoldGrain(
+      Tables.events(spark, sfDir).filter(dayofmonth(col("ts")) <= 7))
+    def publishedTotal(): Long = {
+      import spark.implicits._
+      spark.read.parquet(gold)
+        .filter($"batch_id".isin(Incremental.appliedBatches(gold): _*))
+        .agg(sum("n_events")).head.getLong(0)
+    }
+    Incremental.refreshAdditive(gold, delta, "hist")
+    val once = publishedTotal()
+    // b1's data phase lands but the publish phase does not (crash
+    // between the two): readers must not see b1
+    Incremental.refreshAdditive(gold, delta, "b1")
+    Files.delete(java.nio.file.Paths.get(gold + "__applied_b1"))
+    assert(Incremental.appliedBatches(gold) === Seq("hist"))
+    assert(publishedTotal() === once,
+      "an unpublished batch leaked into the published read")
+    // replay publishes; now it counts
+    Incremental.refreshAdditive(gold, delta, "b1")
+    assert(publishedTotal() === 2 * once)
   }
 }

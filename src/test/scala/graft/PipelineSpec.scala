@@ -16,12 +16,13 @@ class PipelineSpec extends SparkSpec {
     // the invariant every query now rests on: Tables.lineitem/orders/
     // documents/embeddings read a multi-file re-layout, which must be
     // row-identical to the driver's single-file original
-    for (t <- Seq("lineitem", "orders", "documents")) {
+    for (t <- Seq("lineitem", "orders", "documents", "embeddings")) {
       val direct = ingest.Tables.table(spark, sfDir, t)
       val split = t match {
-        case "lineitem"  => ingest.Tables.lineitem(spark, sfDir)
-        case "orders"    => ingest.Tables.orders(spark, sfDir)
-        case "documents" => ingest.Tables.documents(spark, sfDir)
+        case "lineitem"   => ingest.Tables.lineitem(spark, sfDir)
+        case "orders"     => ingest.Tables.orders(spark, sfDir)
+        case "documents"  => ingest.Tables.documents(spark, sfDir)
+        case "embeddings" => ingest.Tables.embeddings(spark, sfDir)
       }
       assert(split.exceptAll(direct).count() === 0, s"$t: split has extra rows")
       assert(direct.exceptAll(split).count() === 0, s"$t: split lost rows")

@@ -108,6 +108,17 @@ object Incremental extends QueryModule {
     * The oracle is the FULL recompute over all events — incremental
     * maintenance must be indistinguishable from it. */
   def incrementalGold(spark: SparkSession, d: String): DataFrame = {
+    val goldDir = ensureGoldTable(spark, d)
+    // the table stores per-batch partials — the PUBLISHED read filters
+    // to ledgered batch ids (read-committed: an in-flight batch is
+    // invisible) and aggregates them (one shuffle, identical shape to
+    // reading final rows pre-grouped)
+    readAsOf(spark, goldDir, appliedBatches(goldDir))
+  }
+
+  /** Build (idempotently) the two-batch gold fixture both q96 and q126
+    * read: the "hist" backfill then the "b1" increment. */
+  private def ensureGoldTable(spark: SparkSession, d: String): String = {
     import spark.implicits._
     // _v3: batch_id moved into the PARTITION key (crash-isolated
     // per-batch commit) — older fixture layouts must not be read
@@ -122,23 +133,53 @@ object Incremental extends QueryModule {
       toGoldGrain(ev.filter(dayofmonth($"ts") > 7)), batchId = "hist")
     refreshAdditive(goldDir,
       toGoldGrain(ev.filter(dayofmonth($"ts") <= 7)), batchId = "b1")
-    // the table stores per-batch partials — the PUBLISHED read filters
-    // to ledgered batch ids (read-committed: an in-flight batch is
-    // invisible) and aggregates them (one shuffle, identical shape to
-    // reading final rows pre-grouped)
+    goldDir
+  }
+
+  /** Aggregate the gold partials restricted to a BATCH SUBSET. */
+  private def readAsOf(spark: SparkSession, goldDir: String,
+                       batches: Seq[String]): DataFrame = {
+    import spark.implicits._
     spark.read.parquet(goldDir)
-      .filter($"batch_id".isin(appliedBatches(goldDir): _*))
+      .filter($"batch_id".isin(batches: _*))
       .groupBy($"event_date", $"event_type")
       .agg(sum($"n_events").as("n_events"),
         sum($"total_dec").cast(Money).cast("double").as("total_value"))
       .orderBy($"event_date", $"event_type")
   }
 
+  /** q126: TIME TRAVEL on the batch ledger. Because every batch's rows
+    * live in their own partitions and the ledger records publication
+    * order, any historical snapshot of the gold table is just a
+    * batch_id prefix filter — no file rewinding, no log replay, no
+    * table format needed. This query reads the same table q96 builds
+    * AS OF the moment only the "hist" backfill had landed (before the
+    * b1 increment); the oracle recomputes that snapshot from the raw
+    * events, so the snapshot semantics — not merely the filter — are
+    * what hash-matches. The scale shape is a partition-pruned scan:
+    * batch_id is a partition column, so time travel reads ONLY the
+    * snapshot's directories. */
+  def goldTimeTravel(spark: SparkSession, d: String): DataFrame = {
+    val goldDir = ensureGoldTable(spark, d)
+    readAsOf(spark, goldDir, Seq("hist"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q96_incremental_gold" -> incrementalGold,
+    "q126_gold_time_travel" -> goldTimeTravel,
   )
 
   val oracles = Map(
+    // the snapshot as of the hist backfill: only day-of-month > 7
+    // events existed in the table then
+    "q126_gold_time_travel" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE date_part('day', CAST(ts AS TIMESTAMP)) > 7
+        |GROUP BY event_date, event_type
+        |ORDER BY event_date, event_type""".stripMargin,
     "q96_incremental_gold" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
         |  COUNT(*) AS n_events,

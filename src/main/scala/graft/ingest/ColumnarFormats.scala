@@ -42,11 +42,51 @@ object ColumnarFormats extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** q127: SCHEMA EVOLUTION across file generations — the drift every
+    * long-lived table accumulates: files written before a column
+    * existed sit next to files written after. The fixture lands two
+    * generations (gen=1: pre-1998 orders WITHOUT o_orderpriority;
+    * gen=2: 1998+ orders with it); `mergeSchema` unions the file
+    * schemas at read time and back-fills the missing column with
+    * nulls, so ONE reader serves the whole history — no rewrite of
+    * petabytes of old files to add a column. The oracle reconstructs
+    * the same view from the raw table (priority known only where the
+    * writing generation carried it), pinning the null semantics, not
+    * just the row count. */
+  def schemaEvolution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = "1998-01-01"
+    val dir = Landing.ensureBuilt(Landing.fixtureDir(d, "orders_evolving")) { dd =>
+      val o = Tables.orders(spark, d)
+      o.filter($"o_orderdate" < cutoff)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+        .write.parquet(dd + "/gen=1")
+      o.filter($"o_orderdate" >= cutoff)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate",
+          $"o_orderpriority")
+        .write.parquet(dd + "/gen=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce($"o_orderpriority", lit("(pre-schema)")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"priority")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q103_orc_roundtrip" -> orcRoundtrip,
+    "q127_schema_evolution" -> schemaEvolution,
   )
 
   val oracles = Map(
+    "q127_schema_evolution" ->
+      """SELECT CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |            THEN o_orderpriority ELSE '(pre-schema)' END AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY priority
+        |ORDER BY priority""".stripMargin,
     "q103_orc_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

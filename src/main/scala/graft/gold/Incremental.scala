@@ -97,9 +97,9 @@ object Incremental extends QueryModule {
     val parent = dir.getParent
     if (parent == null || !Files.isDirectory(parent)) Seq.empty
     else {
-      val names = Files.list(parent).toArray.toSeq
-        .map(p => p.asInstanceOf[java.nio.file.Path].getFileName.toString)
-      names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+      graft.util.Fs.listClosed(parent)
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
     }
   }
 

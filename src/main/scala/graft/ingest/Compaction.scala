@@ -69,8 +69,7 @@ object Compaction extends QueryModule {
       compactPartitioned(spark, dir, "event_date")
       Files.write(marker, Array.emptyByteArray)
     }
-    val perPartition = Files.walk(Paths.get(dir)).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
+    val perPartition = graft.util.Fs.walkClosed(Paths.get(dir))
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .groupBy(_.getParent.getFileName.toString)
     require(perPartition.nonEmpty && perPartition.values.forall(_.length == 1),

@@ -71,7 +71,7 @@ object Landing {
     dirTokens.computeIfAbsent(sfDir, d => {
       try {
         val p = Paths.get(d)
-        val listing = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        val listing = graft.util.Fs.listClosed(p)
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .map(f => s"${f.getFileName}:${Files.size(f)}")
           .sorted.mkString(",")

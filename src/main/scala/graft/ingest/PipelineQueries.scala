@@ -147,8 +147,7 @@ object PipelineQueries extends QueryModule {
         val loc = java.nio.file.Paths.get(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
         if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          graft.util.Fs.walkClosed(loc).reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       }

@@ -110,8 +110,7 @@ object EtlJob {
     val root = java.nio.file.Paths.get(goldDir)
     val files =
       if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
-      else java.nio.file.Files.walk(root).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
+      else graft.util.Fs.walkClosed(root)
         .filter(f => java.nio.file.Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".csv"))
         .map(root.relativize(_).toString).sorted.toSeq

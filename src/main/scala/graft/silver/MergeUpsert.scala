@@ -56,24 +56,35 @@ object MergeUpsert extends QueryModule {
   }
 
   /** The MERGE: upsert `delta` into the parquet table at `silverDir`.
-    * First call (no table yet) is the initial load.
+    * First call (no table yet) is the initial load. An EMPTY delta is a
+    * no-op (a zero-row micro-batch must not kill the streaming leg —
+    * review r5: staging an empty frame writes no part files and the
+    * read-back throws).
     *
-    * `tombstoneCol`: when set, a winning record with that boolean column
-    * true is REMOVED from the table — Snowflake's
-    * `WHEN MATCHED AND <flag> THEN DELETE` arm. Deletion is itself
-    * versioned (a tombstone only wins if its version is latest), so a
-    * late-arriving stale update cannot resurrect a deleted key within
-    * the retained version history. */
+    * Tombstones (the `WHEN MATCHED AND <flag> THEN DELETE` arm) are
+    * RETAINED as stored rows, not physically dropped: under
+    * at-least-once delivery a redelivered EARLIER batch can arrive
+    * after the delete, and only a stored tombstone can outversion it
+    * in [[latestWins]] (review r5 — the previous physical drop meant a
+    * replayed stale batch found no competitor and resurrected the key).
+    * Readers see the CURRENT view through [[readCurrent]], which
+    * filters tombstoned keys; a retention/compaction pass (q97's
+    * machinery) may purge tombstones older than the redelivery
+    * horizon. A welcome structural consequence: a batch that deletes a
+    * whole partition still writes rows (the tombstones) into it, so
+    * dynamic overwrite replaces the partition normally and no
+    * out-of-band file deletion is needed. */
   def merge(silverDir: String, delta: DataFrame, keyCols: Seq[String],
             versionCol: String, partitionCol: String,
             tombstoneCol: Option[String] = None): Unit = {
     val spark = delta.sparkSession
-    def dropTombstones(df: DataFrame): DataFrame =
-      tombstoneCol.fold(df)(tc => df.filter(!col(tc)))
-    val exists = Files.isDirectory(Paths.get(silverDir)) &&
-      Files.list(Paths.get(silverDir)).toArray.nonEmpty
+    if (delta.isEmpty) return // zero-row batch: nothing to merge
+    val exists = Files.isDirectory(Paths.get(silverDir)) && {
+      val s = Files.list(Paths.get(silverDir))
+      try s.findFirst().isPresent finally s.close()
+    }
     if (!exists) {
-      dropTombstones(latestWins(delta.withColumn("_src", lit(1)), keyCols, versionCol))
+      latestWins(delta.withColumn("_src", lit(1)), keyCols, versionCol)
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(silverDir)
     } else {
       // touched-partition set: bounded by contract (a batch spans O(days))
@@ -81,30 +92,27 @@ object MergeUpsert extends QueryModule {
       val base = spark.read.parquet(silverDir)
         .filter(col(partitionCol).isin(touched: _*)) // partition-pruned scan
         .withColumn("_src", lit(0))
-      val merged = dropTombstones(latestWins(
-        base.unionByName(delta.withColumn("_src", lit(1))), keyCols, versionCol))
+      val merged = latestWins(
+        base.unionByName(delta.withColumn("_src", lit(1))), keyCols, versionCol)
       // stage first: Spark refuses to overwrite a path it is reading, and
       // a mid-write failure must not corrupt silver (write-then-swap).
       val staging = silverDir.stripSuffix("/") + "__staging"
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      val stagingDf = spark.read.parquet(staging)
-      stagingDf
+      spark.read.parquet(staging)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic") // replace touched partitions only
         .partitionBy(partitionCol).parquet(silverDir)
-      // dynamic overwrite replaces only partitions PRESENT in the output:
-      // a tombstone batch that empties a whole partition leaves no row to
-      // carry it, so stale files would survive — drop those explicitly.
-      if (tombstoneCol.isDefined) {
-        val survivors = stagingDf.select(col(partitionCol)).distinct()
-          .collect().map(_.get(0).toString).toSet
-        touched.map(_.toString).filterNot(survivors)
-          .foreach(v => graft.util.Fs.deleteRecursively(
-            s"$silverDir/$partitionCol=$v"))
-      }
       graft.util.Fs.deleteRecursively(staging)
     }
   }
+
+  /** The CURRENT view of a silver table: tombstoned keys filtered out
+    * at read time (the stored tombstones are what defend deletes
+    * against redelivered stale batches). */
+  def readCurrent(spark: SparkSession, silverDir: String,
+                  tombstoneCol: Option[String] = None): DataFrame =
+    tombstoneCol.fold(spark.read.parquet(silverDir))(tc =>
+      spark.read.parquet(silverDir).filter(!col(tc)))
 
   // ------------------------------------------------------------- fixtures
 
@@ -158,6 +166,10 @@ object MergeUpsert extends QueryModule {
   def mergeDelete(spark: SparkSession, d: String): DataFrame = {
     val silverDir = Landing.fixtureDir(d, "silver_merge_del")
     val marker = Paths.get(silverDir + "__init_ok")
+    // orphan marker (table wiped, sibling marker survived a partial
+    // cleanup — review r5): without this, merge() would rebuild the
+    // table from the delta alone
+    if (!Files.isDirectory(Paths.get(silverDir))) Files.deleteIfExists(marker)
     if (!Files.exists(marker)) {
       graft.util.Fs.deleteRecursively(silverDir)
       merge(silverDir, baseEventsDel(spark, d), Seq("event_id"), "load_seq",
@@ -167,12 +179,13 @@ object MergeUpsert extends QueryModule {
     }
     merge(silverDir, deltaEventsDel(spark, d), Seq("event_id"), "load_seq",
       "event_date", tombstoneCol = Some("deleted"))
-    refreshedSummary(spark, silverDir)
+    refreshedSummary(spark, silverDir, tombstoneCol = Some("deleted"))
   }
 
-  private def refreshedSummary(spark: SparkSession, silverDir: String): DataFrame = {
+  private def refreshedSummary(spark: SparkSession, silverDir: String,
+                               tombstoneCol: Option[String] = None): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(silverDir)
+    readCurrent(spark, silverDir, tombstoneCol)
       .groupBy($"event_date", $"event_type")
       .agg(count(lit(1)).as("n_rows"),
            count(when($"load_seq" === 2L, 1)).as("n_upserted"),
@@ -186,6 +199,8 @@ object MergeUpsert extends QueryModule {
   def mergeUpsert(spark: SparkSession, d: String): DataFrame = {
     val silverDir = Landing.fixtureDir(d, "silver_merge_events")
     val marker = Paths.get(silverDir + "__init_ok")
+    // orphan marker heal — see mergeDelete
+    if (!Files.isDirectory(Paths.get(silverDir))) Files.deleteIfExists(marker)
     if (!Files.exists(marker)) {
       graft.util.Fs.deleteRecursively(silverDir)
       merge(silverDir, baseEvents(spark, d), Seq("event_id"), "load_seq", "event_date")

@@ -42,14 +42,16 @@ object Quality extends QueryModule {
     * `__valid__`). */
   def dqSummary(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val tagged = tagViolations(dirtyEvents(spark, d))
-    val violations = tagged
-      .select(explode($"failed_rules").as("rule"))
+    // genuinely ONE scan (review r5: the former two-branch union
+    // evaluated the tagged frame twice): a valid row explodes into the
+    // `__valid__` sentinel, a violating row into its failed rules, and
+    // a single explode+groupBy counts both
+    tagViolations(dirtyEvents(spark, d))
+      .select(explode(
+        when(size($"failed_rules") === 0, array(lit("__valid__")))
+          .otherwise($"failed_rules")).as("rule"))
       .groupBy($"rule").agg(count(lit(1)).as("n_rows"))
-    val valid = tagged.filter(size($"failed_rules") === 0)
-      .agg(count(lit(1)).as("n_rows"))
-      .select(lit("__valid__").as("rule"), $"n_rows")
-    violations.unionByName(valid).orderBy($"rule")
+      .orderBy($"rule")
   }
 
   /** q119: single-pass column profiling — the ANALYZE/statistics pass a

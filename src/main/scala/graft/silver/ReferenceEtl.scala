@@ -89,12 +89,29 @@ object ReferenceEtl extends QueryModule {
 
   /** P3: per-entity graceful skip — the reference gates each branch on
     * input presence and expected columns (etl_job.py:26,78-81,93,126-129).
-    * Returns None (skip) instead of failing the whole pipeline. */
+    * Returns None (skip) instead of failing the whole pipeline.
+    *
+    * The column check consults the WIRE data, not the imposed schema:
+    * the reference's `"transaction_type" in df.columns` works because
+    * its frame is schema-INFERRED from the files, while this engine
+    * imposes explicit schemas — under which every declared column
+    * always "exists" and the gate would be vacuous (review r5; the
+    * files would pass with an all-null column the reference would have
+    * skipped). One codegen'd pass over the raw lines asks whether ANY
+    * record carries the key — the same answer inference would give,
+    * without paying type inference. */
   def processEntity(spark: SparkSession, landingDir: String, entity: String,
                     schema: StructType, requiredCol: String): Option[DataFrame] =
     try {
-      val df = Landing.readJsonl(spark, Landing.entityGlob(landingDir, entity), schema)
-      if (!df.columns.contains(requiredCol)) None else Some(df)
+      val glob = Landing.entityGlob(landingDir, entity)
+      val anyHas = spark.read.text(glob)
+        .select(map_contains_key(
+          from_json(col("value"), MapType(StringType, StringType)),
+          requiredCol).as("has"))
+        .agg(coalesce(max(col("has")), lit(false)).as("any"))
+        .head().getBoolean(0)
+      if (!anyHas) None
+      else Some(Landing.readJsonl(spark, glob, schema))
     } catch {
       case _: AnalysisException => None // no files matched the glob
     }

@@ -57,7 +57,9 @@ object MicroBatch extends QueryModule {
     val ckpt = Landing.fixtureDir(d, "stream_ckpt_events")
     val q = spark.readStream.schema(wireSchema).json(landing)
       .withColumn("ts", to_timestamp($"ts_str", tsFmt))
-      .filter($"event_type".isNotNull)
+      // no null-dropping here: the oracle groups nulls, so the engine
+      // must too (a dead filter today, a silent divergence the day the
+      // feed carries a null event_type — review r5)
       .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
       .writeStream
       .format("parquet")
@@ -213,28 +215,51 @@ object MicroBatch extends QueryModule {
     }
     // Read back by LISTING the batch dirs, never by glob: an unmatched
     // glob throws PATH_NOT_FOUND whose stack trace polluted the r3 bench
-    // stdout (VERDICT r3 "What's wrong" #3). If a committed checkpoint
-    // exists but the batch dirs are gone (partial fixture cleanup),
-    // AvailableNow emits zero batches — self-heal by wiping the
-    // checkpoint and re-draining once, exactly a backfill replay.
+    // stdout (VERDICT r3 "What's wrong" #3). Self-heal compares the
+    // dirs on disk against the checkpoint's COMMITTED batch ids — a
+    // PARTIAL loss (some batch dirs gone under a committed checkpoint)
+    // must also replay, not just the all-gone case (review r5: the
+    // nonEmpty-only check silently dropped the missing batch's rows).
+    // The heal wipes checkpoint AND output and re-drains once — exactly
+    // a backfill replay; the idempotent batch-id-keyed sink makes it
+    // converge.
     def batchDirs(): Seq[String] = {
       val root = java.nio.file.Paths.get(outRoot)
       if (!java.nio.file.Files.isDirectory(root)) Nil
-      else java.nio.file.Files.list(root).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.startsWith("batch_"))
-        .map(_.toString).toSeq
-    }
-    drain()
-    val dirs = {
-      val first = batchDirs()
-      if (first.nonEmpty) first
       else {
-        graft.util.Fs.deleteRecursively(ckpt)
-        drain()
-        batchDirs()
+        val s = java.nio.file.Files.list(root)
+        try s.toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith("batch_"))
+          .map(_.toString).toSeq
+        finally s.close()
       }
     }
+    def committedIds(): Set[Long] = {
+      val c = java.nio.file.Paths.get(ckpt, "commits")
+      if (!java.nio.file.Files.isDirectory(c)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(c)
+        try s.toArray
+          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .map(_.toLong).toSet
+        finally s.close()
+      }
+    }
+    def healthy(): Boolean = {
+      val have = batchDirs()
+        .map(_.split("batch_").last).filter(_.forall(_.isDigit))
+        .map(_.toLong).toSet
+      have.nonEmpty && committedIds().subsetOf(have)
+    }
+    drain()
+    if (!healthy()) {
+      graft.util.Fs.deleteRecursively(ckpt)
+      graft.util.Fs.deleteRecursively(outRoot)
+      drain()
+    }
+    val dirs = batchDirs()
     require(dirs.nonEmpty, s"foreachBatch produced no batch dirs under $outRoot")
     spark.read.parquet(dirs: _*)
       .groupBy($"event_type")

@@ -52,7 +52,7 @@ class MergeUpsertSpec extends SparkSpec {
     assert(snapshot(silver) === once)
   }
 
-  test("merge DELETE arm: tombstoned keys leave the table, re-apply is a no-op") {
+  test("merge DELETE arm: tombstoned keys leave the CURRENT view, re-apply is a no-op") {
     val silver = freshDir("silver_del")
     val base = MergeUpsert.baseEventsDel(spark, sfDir)
     val delta = MergeUpsert.deltaEventsDel(spark, sfDir)
@@ -60,18 +60,54 @@ class MergeUpsertSpec extends SparkSpec {
       tombstoneCol = Some("deleted"))
     MergeUpsert.merge(silver, delta, Seq("event_id"), "load_seq", "event_date",
       tombstoneCol = Some("deleted"))
-    val after = spark.read.parquet(silver)
+    val current = MergeUpsert.readCurrent(spark, silver, Some("deleted"))
     val nDeletes = delta.filter(col("deleted")).count()
     assert(nDeletes > 0, "fixture must exercise the delete arm")
-    // every tombstoned key is gone; no deleted=true row survives
+    // every tombstoned key is gone from the CURRENT view
     val victims = delta.filter(col("deleted")).select("event_id")
-    assert(after.join(victims, Seq("event_id"), "left_semi").count() === 0)
-    assert(after.filter(col("deleted")).count() === 0)
-    assert(after.count() === base.count() - nDeletes)
+    assert(current.join(victims, Seq("event_id"), "left_semi").count() === 0)
+    assert(current.filter(col("deleted")).count() === 0)
+    assert(current.count() === base.count() - nDeletes)
+    // ...but the tombstones are RETAINED in storage (the resurrection
+    // defense: only a stored tombstone can outversion a replayed batch)
+    val stored = spark.read.parquet(silver)
+    assert(stored.filter(col("deleted")).count() === nDeletes)
     // idempotence with deletes
     val once = snapshot(silver)
     MergeUpsert.merge(silver, delta, Seq("event_id"), "load_seq", "event_date",
       tombstoneCol = Some("deleted"))
+    assert(snapshot(silver) === once)
+  }
+
+  test("redelivered stale batch cannot resurrect a deleted key") {
+    val silver = freshDir("silver_resurrect")
+    val base = MergeUpsert.baseEventsDel(spark, sfDir)
+    val delta = MergeUpsert.deltaEventsDel(spark, sfDir)
+    MergeUpsert.merge(silver, base, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    MergeUpsert.merge(silver, delta, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    val current = MergeUpsert.readCurrent(spark, silver, Some("deleted"))
+    val visibleAfterDelete = current.count()
+    // at-least-once delivery: the ORIGINAL base batch (load_seq=1) is
+    // redelivered AFTER the delete batch — the stored tombstones
+    // (load_seq=2) must outversion it, or deleted keys come back
+    MergeUpsert.merge(silver, base, Seq("event_id"), "load_seq", "event_date",
+      tombstoneCol = Some("deleted"))
+    val replayed = MergeUpsert.readCurrent(spark, silver, Some("deleted"))
+    val victims = delta.filter(col("deleted")).select("event_id")
+    assert(replayed.join(victims, Seq("event_id"), "left_semi").count() === 0,
+      "a redelivered stale batch resurrected deleted keys")
+    assert(replayed.count() === visibleAfterDelete)
+  }
+
+  test("merge: an empty delta is a no-op (zero-row micro-batch must not fail)") {
+    val silver = freshDir("silver_empty")
+    val base = MergeUpsert.baseEvents(spark, sfDir)
+    MergeUpsert.merge(silver, base, Seq("event_id"), "load_seq", "event_date")
+    val once = snapshot(silver)
+    MergeUpsert.merge(silver, base.filter(col("event_id") < 0), // empty
+      Seq("event_id"), "load_seq", "event_date")
     assert(snapshot(silver) === once)
   }
 

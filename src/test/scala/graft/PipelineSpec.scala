@@ -55,6 +55,24 @@ class PipelineSpec extends SparkSpec {
     assert(gated.isDefined && gated.get.count() === 2)
   }
 
+  test("P3: entity whose wire records lack the required column is SKIPPED") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing_miss").toString
+    // files exist, records parse — but no record carries transaction_type
+    Seq("t1", "t2").toDF("transaction_id")
+      .write.mode("overwrite").json(s"$dir/sub")
+    val gated = silver.ReferenceEtl.processEntity(
+      spark, s"$dir/sub", "part",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("transaction_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("transaction_type", org.apache.spark.sql.types.StringType))),
+      "transaction_type")
+    // the imposed schema DECLARES the column; the gate must still skip,
+    // because the wire data never carries it (the reference's inferred-
+    // frame check would have skipped too)
+    assert(gated.isEmpty, "gate passed a frame whose wire data lacks the required column")
+  }
+
   test("S6: bucketed table write → table readable, bucket metadata present") {
     import spark.implicits._
     val df = Tables.customer(spark, sfDir).select($"c_custkey", $"c_acctbal")

@@ -163,6 +163,46 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Hashed-feature space size and weight-table modulus for the linear
+    * classifier: 2^12 buckets, weights in milli-units −1000..1000 via a
+    * Knuth multiplicative scramble of the bucket id. */
+  private val clsBuckets = 4096L
+  private val clsScramble = 2654435761L
+  private val clsMod = 2001L
+
+  /** E4: hashed linear text classifier — the fastText-style quality
+    * model shape (bag of hashed tokens → frozen linear weights → logit
+    * → keep/drop). In production the weight table is the output of
+    * offline training and arrives broadcast; here it is a deterministic
+    * pseudo-weight function of the bucket id (a Knuth multiplicative
+    * scramble) so the oracle can mirror it exactly, and the logit is
+    * kept in integer milli-units — no float path anywhere, bit-exact on
+    * both engines.
+    *
+    * Scale shape: pure per-row scalar work (char-fold hash → bucket →
+    * weight → sum) entirely inside whole-stage codegen; zero shuffles,
+    * zero joins — a map-only corpus pass, the cheapest possible 100-TB
+    * plan. A real weight table swaps the weight lambda for a broadcast
+    * map lookup; nothing else changes. */
+  def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tokCode = (t: org.apache.spark.sql.Column) =>
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+        lit(0L), (a, c) => (a * 31L + c) % P)
+    val tokWeight = (t: org.apache.spark.sql.Column) =>
+      ((tokCode(t) % clsBuckets) * clsScramble) % clsMod - (clsMod - 1L) / 2L
+    Tables.documents(spark, d)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("logit_milli",
+        aggregate(transform($"toks", tokWeight), lit(0L), (a, c) => a + c))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        $"logit_milli",
+        ($"logit_milli" > 0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q23_term_counts"         -> termCounts,
     "q32_tfidf_top_terms"     -> tfidfTopTerms,
@@ -170,6 +210,7 @@ object TextOps extends QueryModule {
     "q36_quality_score"       -> qualityScore,
     "q37_token_stats"         -> tokenStats,
     "q40_rolling_fingerprint" -> rollingFingerprint,
+    "q129_quality_classifier" -> qualityClassifier,
   )
 
   val oracles = Map(
@@ -251,5 +292,21 @@ object TextOps extends QueryModule {
         |  (a, c) -> (a * 131 + c) % 1000000007) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q129_quality_classifier" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      string_split(lower(text), ' '),
+         |      t -> ((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |              generate_series(1, length(t)),
+         |              i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |            (a, c) -> (a * 31 + c) % 1000000007)
+         |            % $clsBuckets) * $clsScramble) % $clsMod - ${(clsMod - 1L) / 2L})),
+         |    (a, c) -> a + c) AS logit_milli
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, logit_milli, logit_milli > 0 AS keep
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin,
   )
 }

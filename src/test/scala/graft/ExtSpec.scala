@@ -132,4 +132,54 @@ class ExtSpec extends SparkSpec {
       .withColumn("n_space", length($"text") - length(regexp_replace($"text", " ", "")))
     assert(docs.filter($"n_tok" =!= $"n_space" + 1).isEmpty)
   }
+
+  test("semantic dedup: kept+dropped partition the corpus, drops are witnessed, cell minima survive") {
+    import spark.implicits._
+    val emb = graft.ingest.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".as("cell"))
+    val kept = Similarity.semanticDedup(spark, sfDir)
+    val dropped = emb.join(kept.select($"vec_id"), Seq("vec_id"), "left_anti")
+    // partition law: kept ⊎ dropped = corpus, no overlap
+    assert(kept.count() + dropped.count() === emb.count())
+    assert(kept.join(dropped, Seq("vec_id")).isEmpty)
+    // the lowest id of every cell can have no lower-id neighbor → always kept
+    val minima = emb.groupBy($"cell").agg(min($"vec_id").as("vec_id"))
+    assert(minima.join(kept, Seq("vec_id"), "left_anti").isEmpty,
+      "a cell's lowest-id vector was dropped")
+    // every dropped vector has a same-cell lower-id witness at cosine ≥ τ:
+    // re-derive the within-cell pair set and check containment
+    val full = graft.ingest.Tables.embeddings(spark, sfDir)
+    val a = full.select($"label".as("cell"), $"vec_id".as("v1"), $"embedding".as("e1"))
+    val b = full.select($"label".as("cell"), $"vec_id".as("v2"), $"embedding".as("e2"))
+    graft.functions.GraftFunctions.register(spark)
+    val witnesses = a.join(b, Seq("cell")).filter($"v1" < $"v2")
+      .withColumn("cos", call_function("graft_dot", $"e1", $"e2") /
+        (sqrt(call_function("graft_dot", $"e1", $"e1")) *
+         sqrt(call_function("graft_dot", $"e2", $"e2"))))
+      // double-dot witness check at a tolerance far below the 0.05 screen margin
+      .filter($"cos" >= 0.4 - 1e-6)
+      .select($"v2".as("vec_id")).distinct()
+    assert(dropped.join(witnesses, Seq("vec_id"), "left_anti").isEmpty,
+      "a dropped vector has no within-cell near-duplicate witness")
+  }
+
+  test("quality classifier: deterministic, map-only, keep flag consistent with logit") {
+    import spark.implicits._
+    val r1 = TextOps.qualityClassifier(spark, sfDir)
+    // one scored row per document
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+    assert(r1.count() === docs.count())
+    // keep ⇔ logit > 0, on every row
+    assert(r1.filter($"keep" =!= ($"logit_milli" > 0L)).isEmpty)
+    // deterministic: scoring twice yields identical rows
+    val r2 = TextOps.qualityClassifier(spark, sfDir)
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+    // logit magnitude is bounded by n_tokens · max|weight| (weights are
+    // milli-units in [-1000, 1000])
+    assert(r1.filter(abs($"logit_milli") > $"n_tokens" * 1000L).isEmpty)
+    // map-only plan: no exchange anywhere before the presentation sort
+    val plan = r1.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      "classifier plan shuffles — expected a pure map pass")
+  }
 }

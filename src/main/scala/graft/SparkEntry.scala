@@ -33,6 +33,7 @@ object SparkEntry {
     ingest.Compaction,
     ingest.ColumnarFormats,
     ingest.ZOrder,
+    ingest.StatsManifest,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

@@ -150,6 +150,61 @@ object MicroBatch extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** T4+: watermarked stream-stream LEFT OUTER join — q68's pairing,
+    * but purchases with NO error in the preceding hour are kept as
+    * null-extended rows. The engine can only emit an outer row once the
+    * watermark PROVES no matching error can still arrive, so purchases
+    * inside the final watermark delay of the feed are still sitting in
+    * join state when an AvailableNow drain terminates — they are
+    * neither matched nor null-extended yet. Both legs therefore
+    * restrict to the certainty horizon (purchases ≥ 2 h before the
+    * feed's last event: strictly below the final watermark, so their
+    * outer/match verdict is committed): inside it, streaming left-outer
+    * ≡ batch left-outer, which is what the oracle checks. The horizon
+    * is one scalar aggregate over the bounded fixture — at production
+    * scale it is "now minus the watermark delay", known without any
+    * scan. */
+  def streamOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val sink = Landing.fixtureDir(d, "stream_outer_sink")
+    val ckpt = Landing.fixtureDir(d, "stream_outer_ckpt")
+    // single-batch drain for the same reason as q68 (unordered fixture
+    // files vs the 1-hour state eviction)
+    def src = spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", "1000000")
+      .json(landing)
+      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = src.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val q = purchases.join(errors,
+        purchases("user_id") === errors("e_user") &&
+          errors("e_ts") < purchases("p_ts") &&
+          errors("e_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select($"purchase_id", $"user_id", $"p_ts", $"e_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val horizon = graft.ingest.Tables.events(spark, d)
+      .agg(max($"ts")).first().getTimestamp(0)
+    spark.read.parquet(sink)
+      .filter($"p_ts" <= lit(horizon) - expr("INTERVAL 2 HOURS"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"purchase_id").as("n_purchases"),
+        sum(when($"e_ts".isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when($"e_ts".isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
   /** E1×T: streaming dedup — the landing feed re-delivers every event
     * twice (the at-least-once redelivery scenario);
     * `dropDuplicatesWithinWatermark` on the event key collapses them
@@ -390,6 +445,7 @@ object MicroBatch extends QueryModule {
     "q123_stream_transform_with_state" -> streamTransformWithState,
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
+    "q131_stream_outer_join" -> streamOuterJoin,
     "q77_stream_dedup"      -> streamDedup,
     "q81_stream_foreachbatch" -> streamForeachBatch,
   )
@@ -458,6 +514,19 @@ object MicroBatch extends QueryModule {
         |  ON err.user_id = p.user_id AND err.event_type = 'error'
         | AND err.ts < p.ts AND err.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id
+        |ORDER BY p.user_id""".stripMargin,
+    "q131_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |h AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS horizon FROM events)
+        |SELECT p.user_id,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases,
+        |  COUNT(*) FILTER (WHERE err.user_id IS NULL) AS n_clean,
+        |  COUNT(err.user_id) AS n_pairs
+        |FROM e p LEFT JOIN e err
+        |  ON err.user_id = p.user_id AND err.event_type = 'error'
+        | AND err.ts < p.ts AND err.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND p.ts <= (SELECT horizon FROM h)
         |GROUP BY p.user_id
         |ORDER BY p.user_id""".stripMargin,
     "q81_stream_foreachbatch" ->

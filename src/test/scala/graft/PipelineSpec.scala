@@ -124,6 +124,17 @@ class PipelineSpec extends SparkSpec {
     assert(res(2L) === ((1L, 1L)), "user 2: 1 session")
   }
 
+  test("stream left-outer join exercises BOTH arms inside the certainty horizon") {
+    import spark.implicits._
+    // the oracle proves equality with the batch left join; this pins that
+    // the result is not vacuously inner (null-extended rows exist) nor
+    // vacuously unmatched (real pairs exist) — outer semantics live
+    val res = graft.streaming.MicroBatch.streamOuterJoin(spark, sfDir)
+      .agg(sum($"n_clean").as("clean"), sum($"n_pairs").as("pairs")).first()
+    assert(res.getLong(0) > 0L, "no null-extended purchases — outer arm never exercised")
+    assert(res.getLong(1) > 0L, "no matched pairs — join arm never exercised")
+  }
+
   test("transformWithState carries session state across micro-batches (RocksDB store)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -163,6 +163,23 @@ class ExtSpec extends SparkSpec {
       "a dropped vector has no within-cell near-duplicate witness")
   }
 
+  test("incremental near-dup == full pass restricted to delta pairs; base index is delta-free") {
+    import spark.implicits._
+    val incr = Dedup.incrementalNearDup(spark, sfDir)
+    // equivalence law: incremental probing reports exactly the full
+    // pass's pairs that touch the arriving batch — nothing missed by
+    // probing only the stored index, nothing invented
+    val full = Dedup.minhashNearDupPairs(spark, sfDir)
+      .filter($"d1" % 10 === 0 || $"d2" % 10 === 0)
+    assert(incr.exceptAll(full).isEmpty, "incremental invented a pair")
+    assert(full.exceptAll(incr).isEmpty, "incremental missed a delta-touching pair")
+    // the persisted artifact must hold only the settled corpus
+    val idx = spark.read.parquet(
+      graft.ingest.Landing.fixtureDir(sfDir, "minhash_band_index_base"))
+    assert(idx.filter($"doc_id" % 10 === 0).isEmpty,
+      "base band index contains delta docs")
+  }
+
   test("quality classifier: deterministic, map-only, keep flag consistent with logit") {
     import spark.implicits._
     val r1 = TextOps.qualityClassifier(spark, sfDir)

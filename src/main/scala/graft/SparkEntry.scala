@@ -34,6 +34,7 @@ object SparkEntry {
     ingest.ColumnarFormats,
     ingest.ZOrder,
     ingest.StatsManifest,
+    ingest.DynamicPruning,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

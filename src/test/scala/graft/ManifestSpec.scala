@@ -60,6 +60,29 @@ class ManifestSpec extends SparkSpec {
     assert(pruned.count() === raw.count())
   }
 
+  test("DPP: the quarter filter on the dim prunes the fact's partitions at runtime") {
+    import spark.implicits._
+    val df = graft.ingest.DynamicPruning.dppQuarterScan(spark, sfDir)
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    qe.executedPlan.execute().count()
+    // the scan must carry a runtime dynamicpruning subquery in its
+    // partition filters — not a static month list
+    val scans = nodes(qe.executedPlan).collect { case f: FileSourceScanExec => f }
+    val factScan = scans.find(_.toString.contains("o_month")).getOrElse(fail("no fact scan"))
+    assert(factScan.toString.contains("dynamicpruning"),
+      "fact scan has no dynamic pruning subquery in its partition filters")
+    // and it must have actually skipped most of the layout: quarter 2 is
+    // ~3 of 12 months of files
+    // file_path, not file_name: partition dirs can hold same-named files
+    val total = spark.read.parquet(
+      graft.ingest.Landing.fixtureDir(sfDir, "dpp_orders_bymonth"))
+      .select(col("_metadata.file_path")).distinct().count()
+    val opened = factScan.metrics("numFiles").value
+    assert(opened * 2 < total,
+      s"DPP opened $opened of $total files — pruning did not engage")
+  }
+
   test("pruning is lossless for arbitrary ranges (fuzz)") {
     import spark.implicits._
     val man = StatsManifest.manifest(spark, sfDir)

@@ -72,10 +72,32 @@ object TimeWindows extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** Hopping (sliding) event-time windows — `window(ts, 6h slide 3h)`:
+    * every event lands in windowDur/slide = 2 overlapping windows, the
+    * construct for "6-hour rolling traffic, refreshed every 3 hours".
+    * Window starts are epoch-aligned to the slide, so the oracle can
+    * re-derive membership arithmetically: the two starts are
+    * slide·(⌊ts/slide⌋ − k) for k ∈ {0,1}, and with window = 2·slide
+    * both are always in range — each event contributes to exactly two
+    * groups, no boundary cases. The same expression runs unchanged
+    * under `readStream` + watermark (q58's tumbling shape with a slide
+    * arg); scale cost is the 2× row fan-out into one shuffle, the same
+    * plan family as tumbling. */
+  def hoppingWindowAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "6 hours", "3 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Det.msum($"value").as("total_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n_events", $"total_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q66_session_window" -> sessionWindowAgg,
     "q67_percentiles"    -> percentiles,
     "q93_approx_percentiles" -> approxPercentiles,
+    "q134_hopping_window" -> hoppingWindowAgg,
   )
 
   val oracles = Map(
@@ -116,5 +138,19 @@ object TimeWindows extends QueryModule {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // slide = 10800000000 µs (3 h); both k=0 and k=1 windows always
+    // contain the event because window = 2·slide
+    "q134_hopping_window" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |hop AS (
+        |  SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 10800000000 - k) * 10800000000) AS w_start
+        |  FROM e, (SELECT unnest(generate_series(0, 1)) AS k)
+        |)
+        |SELECT w_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM hop
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
   )
 }

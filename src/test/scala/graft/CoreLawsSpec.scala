@@ -150,4 +150,12 @@ class CoreLawsSpec extends SparkSpec {
       .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("total"))
     assert(piv.exceptAll(flat).isEmpty && flat.exceptAll(piv).isEmpty)
   }
+
+  test("hopping window fan-out law: with window = 2·slide every event lands in exactly 2 windows") {
+    import spark.implicits._
+    val hopped = analytics.TimeWindows.hoppingWindowAgg(spark, sfDir)
+      .agg(sum($"n_events")).first().getLong(0)
+    val n = Tables.events(spark, sfDir).count()
+    assert(hopped === 2 * n, s"hopping fan-out $hopped != 2 * $n")
+  }
 }

@@ -61,10 +61,28 @@ object Olap extends QueryModule {
       .orderBy($"day")
   }
 
+  /** §2.5 completion: UNPIVOT (melt) — the inverse reshape of q44's
+    * pivot, via the first-class `Dataset.unpivot` API (wide day×type
+    * matrix back to long (day, event_type, n) rows). Pivot ∘ unpivot
+    * round-trips losslessly because q44 zero-fills; the long form is
+    * the shape every downstream groupBy wants, and unpivot is pure
+    * per-row reshaping — map-only, no shuffle beyond q44's own. */
+  def unpivotEventMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    pivotEventMatrix(spark, d)
+      .unpivot(Array($"day"),
+        Array($"n_click", $"n_error", $"n_purchase", $"n_signup", $"n_view"),
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter($"n" > 0) // the zero-fill is pivot presentation, not data
+      .orderBy($"day", $"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q60_rollup_revenue" -> rollupRevenue,
     "q76_cube_orders"    -> cubeOrders,
     "q44_pivot_events"   -> pivotEventMatrix,
+    "q135_unpivot_events" -> unpivotEventMatrix,
   )
 
   val oracles = Map(
@@ -94,5 +112,10 @@ object Olap extends QueryModule {
         |FROM events
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+    "q135_unpivot_events" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
   )
 }

@@ -97,10 +97,38 @@ object SqlSurface extends QueryModule {
     spark.sql(recStmt)
   }
 
+  /** LATERAL correlated subquery in FROM (ANSI's "for each outer row,
+    * run this parameterized subquery") — the remaining §2.5 SQL shape:
+    * each customer's two priciest orders, the per-row-top-N idiom that
+    * predates QUALIFY. Catalyst decorrelates the correlated limit into
+    * a join + per-key window rather than re-executing the subquery per
+    * outer row — the plan is the same shuffle family as q11's window
+    * top-N, so it scales like one. Inner-join semantics: order-less
+    * customers drop out in both engines. Byte-identical text in both. */
+  private val latStmt =
+    """SELECT c_custkey, o_orderkey, o_totalprice, rnk
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2
+      |) t
+      |ORDER BY c_custkey, rnk""".stripMargin
+
+  /** q136: LATERAL top-N per outer row via spark.sql. */
+  def lateralTopN(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    Tables.customer(spark, d).createOrReplaceTempView("customer")
+    spark.sql(latStmt)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
     "q112_grouping_sets" -> groupingSets,
     "q116_recursive_calendar" -> recursiveCalendar,
+    "q136_lateral_topn" -> lateralTopN,
   )
 
   /** Same text, verbatim — that is the point. */
@@ -108,5 +136,6 @@ object SqlSurface extends QueryModule {
     "q94_sql_api" -> stmt,
     "q112_grouping_sets" -> gsStmt,
     "q116_recursive_calendar" -> recStmt,
+    "q136_lateral_topn" -> latStmt,
   )
 }

@@ -160,6 +160,49 @@ object Scalars extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Reconciliation-fingerprint alphabet fold: md5's first 15 hex
+    * nibbles as one bigint (< 16^15 ≈ 1.15e18, inside int64). */
+  private val fpNibbles = 15
+  /** Largest prime below 2^53: the published fingerprint is the exact
+    * decimal row-hash sum reduced mod this, so it fits a BIGINT in any
+    * engine/driver and still flips on a single changed row. */
+  private val fpMod = 9007199254740881L
+
+  /** Content fingerprint for cross-system reconciliation — the check
+    * you run after COPYING a table (migration, replication, backfill)
+    * to certify source ≡ destination without moving the data again:
+    * per row a canonical projection is hashed (md5 → 15-nibble bigint),
+    * and the per-group fingerprint is the EXACT sum of row hashes
+    * (DECIMAL(38,0) — overflow-free at any cardinality) reduced mod a
+    * sub-2^53 prime. Summation is order- and partition-independent, so
+    * two engines computing it over arbitrarily-partitioned copies agree
+    * bit-for-bit — here proven by DuckDB arriving at the same
+    * fingerprints from the same parquet. Map-only + one aggregate; at
+    * 100 TB it costs one scan, the cheapest possible certificate.
+    * Canonical projection sticks to int/string/date renderings the
+    * engines format identically. */
+  /** The fingerprint over any relation: canonical projection supplied
+    * by the caller, grouped by `key`. */
+  def fingerprintOf(df: DataFrame, key: String, canon: org.apache.spark.sql.Column): DataFrame = {
+    val terms = (1 to fpNibbles).map { i =>
+      s"(position(substr(h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, fpNibbles - i).toLong}L"
+    }.mkString(" + ")
+    df.withColumn("h", md5(canon))
+      .withColumn("rh", expr(s"CAST($terms AS BIGINT)"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("rh").cast(DecimalType(38, 0))) % fpMod).cast("long").as("fingerprint"))
+      .orderBy(col(key))
+  }
+
+  def tableFingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    fingerprintOf(Tables.lineitem(spark, d), "l_returnflag",
+      concat_ws("|",
+        $"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus",
+        to_date($"l_shipdate")))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q54_string_funcs" -> stringFuncs,
     "q55_array_funcs"  -> arrayFuncs,
@@ -167,9 +210,32 @@ object Scalars extends QueryModule {
     "q111_datetime_funcs" -> datetimeFuncs,
     "q117_moment_stats" -> momentStats,
     "q118_correlation" -> correlation,
+    "q137_table_fingerprint" -> tableFingerprint,
   )
 
+  /** DuckDB twin of the nibble fold (strpos arg order differs from
+    * Spark's `position(x IN y)`, the value is the same). */
+  private val fpOracle = {
+    val terms = (1 to fpNibbles).map { i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, fpNibbles - i).toLong}"
+    }.mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT l_returnflag,
+       |    md5(l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|'
+       |        || l_linestatus || '|' || CAST(l_shipdate AS DATE)) AS h
+       |  FROM lineitem
+       |), rh AS (
+       |  SELECT l_returnflag, $terms AS rh FROM hashed
+       |)
+       |SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(rh AS DECIMAL(38,0))) % $fpMod AS BIGINT) AS fingerprint
+       |FROM rh
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val oracles = Map(
+    "q137_table_fingerprint" -> fpOracle,
     "q118_correlation" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

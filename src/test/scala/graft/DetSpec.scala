@@ -33,6 +33,25 @@ class DetSpec extends SparkSpec {
     }
   }
 
+  test("table fingerprint: partition/order independent, single-row sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 500).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "A" else "B"))
+    val df = rows.toDF("id", "payload", "grp")
+    val canon = concat_ws("|", $"id", $"payload", $"grp")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Scalars.fingerprintOf(d, "grp", canon)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val base = fp(df)
+    // invariance: arbitrary repartition/shuffle order yields the same print
+    assert(fp(df.repartition(13).sortWithinPartitions($"payload")) === base)
+    // sensitivity: one changed row flips exactly its group's fingerprint
+    val tampered = rows.updated(9, (10L, "v10-CORRUPT", "A")).toDF("id", "payload", "grp")
+    val t = fp(tampered)
+    assert(t("A") !== base("A"), "fingerprint missed a changed row")
+    assert(t("B") === base("B"), "unrelated group's fingerprint moved")
+  }
+
   test("msum equals exact BigDecimal sum for 2dp inputs") {
     import spark.implicits._
     (11L to 20L).foreach { seed =>

@@ -71,9 +71,36 @@ object TrainPrep extends QueryModule {
       .orderBy($"source", $"shard_idx")
   }
 
+  private val chunkLen = 64    // tokens per chunk
+  private val chunkStride = 48 // overlap = chunkLen - chunkStride = 16
+
+  /** q138: overlapping document chunking — the split-before-tokenize
+    * step for context-window-bounded training: each document becomes
+    * ⌊(n−1)/stride⌋+1 chunks of ≤ [[chunkLen]] tokens starting every
+    * [[chunkStride]] (16-token overlap so no span is ever cut without
+    * a chunk that contains it whole). Pure per-row explode inside
+    * codegen — map-only, no shuffle, chunk count ∝ corpus tokens.
+    * Chunks are reported content-exact as md5 so the dump stays
+    * metadata-sized; every token position is covered by ≥1 chunk
+    * (coverage law in TrainPrepSpec). */
+  def docChunking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("k", explode(sequence(lit(0L), expr(s"(n - 1) div $chunkStride"))))
+      .withColumn("chunk",
+        slice($"toks", ($"k" * chunkStride + 1).cast("int"), lit(chunkLen)))
+      .select($"doc_id", $"k".cast("long").as("chunk_idx"),
+        size($"chunk").cast("long").as("n_tokens_chunk"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q91_train_test_split" -> trainTestSplit,
     "q92_token_packing"    -> tokenPacking,
+    "q138_doc_chunking"    -> docChunking,
   )
 
   val oracles = Map(
@@ -109,5 +136,20 @@ object TrainPrep extends QueryModule {
          |FROM packed
          |GROUP BY source, shard_idx
          |ORDER BY source, shard_idx""".stripMargin,
+    "q138_doc_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), ks AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, (n - 1) // $chunkStride)) AS k
+         |  FROM t
+         |)
+         |SELECT doc_id, k AS chunk_idx,
+         |  CAST(len(toks[k*$chunkStride+1 : least(k*$chunkStride+$chunkLen, n)]) AS BIGINT) AS n_tokens_chunk,
+         |  md5(array_to_string(toks[k*$chunkStride+1 : least(k*$chunkStride+$chunkLen, n)], ' ')) AS chunk_md5
+         |FROM ks
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

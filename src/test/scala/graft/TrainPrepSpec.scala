@@ -35,4 +35,27 @@ class TrainPrepSpec extends SparkSpec {
       .filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1)
     assert(bad.count() === 0)
   }
+
+  test("q138: chunking covers every token position, starts step by the stride") {
+    import spark.implicits._
+    val stride = 48L
+    val chunks = TrainPrep.docChunking(spark, sfDir)
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val per = chunks.groupBy($"doc_id").agg(
+      min($"chunk_idx").as("k0"),
+      max($"chunk_idx").as("kmax"),
+      count(lit(1)).as("n_chunks"),
+      max($"chunk_idx" * stride + $"n_tokens_chunk").as("right_edge"))
+      .join(docs, "doc_id")
+    // chunk indices are 0..kmax contiguous (count == kmax+1); with
+    // stride < chunk length that means zero gaps between chunks
+    val bad = per.filter(
+      $"k0" =!= 0L || $"n_chunks" =!= $"kmax" + 1 ||
+        // the final chunk's right edge reaches the last token exactly
+        $"right_edge" =!= $"n" ||
+        // chunk count matches the closed-form ⌊(n−1)/stride⌋+1
+        $"kmax" =!= expr(s"(n - 1) div $stride"))
+    assert(bad.isEmpty, "chunk coverage law violated")
+  }
 }

@@ -203,6 +203,44 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  private val vocabSize = 1000
+  private val encodeLen = 16 // positions encoded per doc (prefix)
+
+  /** Frequency-ranked vocabulary: top-[[vocabSize]] tokens by corpus
+    * count (ties broken lexically), id 1..V — trained once per corpus
+    * and checkpointed, the tokenizer-artifact pattern. */
+  def vocab(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Landing.ensureParquetFixture(
+      tokens(spark, d).groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(
+          Window.orderBy($"cnt".desc, $"term")).cast("long"))
+        .filter($"id" <= vocabSize)
+        .select($"term", $"id"),
+      d, "vocab_top1000")
+  }
+
+  /** E4: vocabulary encoding — text to token-id sequences, the final
+    * text→ints step before training. The vocabulary is the stored
+    * artifact above (broadcast at encode time: V rows, never a
+    * corpus-sized shuffle); out-of-vocabulary tokens map to 0. Only the
+    * first [[encodeLen]] positions are emitted here to keep the result
+    * relation bounded — the full encode is the same plan with the
+    * slice removed. One broadcast hash join inside codegen; cost is a
+    * single corpus pass. */
+  def vocabEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = vocab(spark, d)
+    Tables.documents(spark, d)
+      .select($"doc_id",
+        posexplode(slice(split(lower($"text"), " "), 1, encodeLen))
+          .as(Seq("pos0", "term")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"term")
+      .join(broadcast(v), Seq("term"), "left")
+      .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("token_id"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q23_term_counts"         -> termCounts,
     "q32_tfidf_top_terms"     -> tfidfTopTerms,
@@ -211,6 +249,7 @@ object TextOps extends QueryModule {
     "q37_token_stats"         -> tokenStats,
     "q40_rolling_fingerprint" -> rollingFingerprint,
     "q129_quality_classifier" -> qualityClassifier,
+    "q139_vocab_encode"       -> vocabEncode,
   )
 
   val oracles = Map(
@@ -308,5 +347,20 @@ object TextOps extends QueryModule {
          |SELECT doc_id, n_tokens, logit_milli, logit_milli > 0 AS keep
          |FROM scored
          |ORDER BY doc_id""".stripMargin,
+    "q139_vocab_encode" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+         |), vocab AS (
+         |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS id
+         |  FROM tok GROUP BY term
+         |  QUALIFY id <= $vocabSize
+         |), pref AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS term
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, least($encodeLen, len(ws)))) AS i) g
+         |)
+         |SELECT doc_id, pos, COALESCE(id, 0) AS token_id
+         |FROM pref LEFT JOIN vocab USING (term)
+         |ORDER BY doc_id, pos""".stripMargin,
   )
 }

@@ -180,9 +180,10 @@ object Scalars extends QueryModule {
     * fingerprints from the same parquet. Map-only + one aggregate; at
     * 100 TB it costs one scan, the cheapest possible certificate.
     * Canonical projection sticks to int/string/date renderings the
-    * engines format identically. */
-  /** The fingerprint over any relation: canonical projection supplied
-    * by the caller, grouped by `key`. */
+    * engines format identically.
+    *
+    * This general form fingerprints any relation: canonical projection
+    * supplied by the caller, grouped by `key`. */
   def fingerprintOf(df: DataFrame, key: String, canon: org.apache.spark.sql.Column): DataFrame = {
     val terms = (1 to fpNibbles).map { i =>
       s"(position(substr(h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, fpNibbles - i).toLong}L"

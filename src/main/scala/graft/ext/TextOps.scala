@@ -145,20 +145,24 @@ object TextOps extends QueryModule {
 
   private val P = 1000000007L
 
+  /** Char-fold token hash (base 31 mod [[P]]) — shared by the q40
+    * fingerprint and the q129 classifier; both oracles mirror this
+    * exact formula, so there is ONE copy to keep in lockstep. */
+  private def tokCode(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, c) => (a * 31L + c) % P)
+
   /** E4: polynomial rolling-hash fingerprint — chars fold into a token
     * code (base 31 mod p), token codes fold into the document
     * fingerprint (base 131 mod p). Nested array folds, all inside
     * codegen; no shuffle. */
   def rollingFingerprint(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val tokCode = (t: org.apache.spark.sql.Column) =>
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
-        lit(0L), (a, c) => (a * 31L + c) % P)
     Tables.documents(spark, d)
       .withColumn("toks", split(lower($"text"), " "))
       .withColumn("fingerprint",
-        aggregate(transform($"toks", tokCode), lit(0L), (a, c) => (a * 131L + c) % P))
+        aggregate(transform($"toks", t => tokCode(t)), lit(0L), (a, c) => (a * 131L + c) % P))
       .select($"doc_id", $"fingerprint")
       .orderBy($"doc_id")
   }
@@ -186,10 +190,6 @@ object TextOps extends QueryModule {
     * map lookup; nothing else changes. */
   def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val tokCode = (t: org.apache.spark.sql.Column) =>
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
-        lit(0L), (a, c) => (a * 31L + c) % P)
     val tokWeight = (t: org.apache.spark.sql.Column) =>
       ((tokCode(t) % clsBuckets) * clsScramble) % clsMod - (clsMod - 1L) / 2L
     Tables.documents(spark, d)

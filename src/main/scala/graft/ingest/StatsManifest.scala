@@ -89,10 +89,15 @@ object StatsManifest extends QueryModule {
       .filter($"mx" >= lit(java.sql.Date.valueOf(lo)) &&
         $"mn" <= lit(java.sql.Date.valueOf(hi)))
       .select($"file").collect().map(r => s"$lay/${r.getString(0)}")
-    require(keep.nonEmpty, s"no file's stats intersect [$lo, $hi]")
-    spark.read.parquet(keep.toIndexedSeq: _*)
-      .filter(to_date($"l_shipdate").between(
-        lit(java.sql.Date.valueOf(lo)), lit(java.sql.Date.valueOf(hi))))
+    // an out-of-span range intersects nothing: the correct answer is the
+    // raw filter's — zero rows, same schema (the pruned read must stay a
+    // pure access path; review r5 replaced a require() here that crashed
+    // instead of returning empty)
+    val base =
+      if (keep.isEmpty) spark.read.parquet(lay).where(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(to_date($"l_shipdate").between(
+      lit(java.sql.Date.valueOf(lo)), lit(java.sql.Date.valueOf(hi))))
   }
 
   /** The demonstration range: the middle third of the table's ship-date

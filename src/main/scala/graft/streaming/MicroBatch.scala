@@ -109,68 +109,24 @@ object MicroBatch extends QueryModule {
     * carry watermarks so join state is bounded; with AvailableNow over
     * the bounded fixture the emitted matches equal the batch join, which
     * is exactly what the oracle checks. */
-  def streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+  /** Shared purchase/error watermarked stream pair + time-bound join
+    * predicate for q68/q131: drains the landing feed, writes the joined
+    * rows (join type supplied) to the named parquet sink, returns the
+    * sink read back.
+    *
+    * The fixture's JSONL files are not time-ordered, so a multi-batch
+    * drain could let the 1-hour watermark evict state holding
+    * cross-batch matches. maxFilesPerTrigger far above the fixture's
+    * file count guarantees AvailableNow drains it as ONE batch; at
+    * production scale the landing feed is time-ordered per batch file
+    * (the consumer writes them in arrival order), so the watermark
+    * bound is the real state cap there. */
+  private def purchaseErrorJoinSink(spark: SparkSession, d: String,
+                                    name: String, joinType: String): DataFrame = {
     import spark.implicits._
     val landing = ensureLanding(spark, d)
-    val sink = Landing.fixtureDir(d, "stream_join_sink")
-    val ckpt = Landing.fixtureDir(d, "stream_join_ckpt")
-    // The fixture's JSONL files are not time-ordered, so a multi-batch
-    // drain could let the 1-hour watermark evict state holding
-    // cross-batch matches. maxFilesPerTrigger far above the fixture's
-    // file count guarantees AvailableNow drains it as ONE batch; at
-    // production scale the landing feed is time-ordered per batch file
-    // (the consumer writes them in arrival order), so the watermark
-    // bound is the real state cap there.
-    def src = spark.readStream.schema(wireSchema)
-      .option("maxFilesPerTrigger", "1000000")
-      .json(landing)
-      .withColumn("ts", to_timestamp($"ts_str", tsFmt))
-    val purchases = src.filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val errors = src.filter($"event_type" === "error")
-      .select($"user_id".as("e_user"), $"ts".as("e_ts"))
-      .withWatermark("e_ts", "1 hour")
-    val q = purchases.join(errors,
-        purchases("user_id") === errors("e_user") &&
-          errors("e_ts") < purchases("p_ts") &&
-          errors("e_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select($"purchase_id", $"user_id", $"p_ts", $"e_ts")
-      .writeStream
-      .format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(sink)
-      .groupBy($"user_id")
-      .agg(countDistinct($"purchase_id").as("n_purchases_with_errors"),
-           count(lit(1)).as("n_pairs"))
-      .orderBy($"user_id")
-  }
-
-  /** T4+: watermarked stream-stream LEFT OUTER join — q68's pairing,
-    * but purchases with NO error in the preceding hour are kept as
-    * null-extended rows. The engine can only emit an outer row once the
-    * watermark PROVES no matching error can still arrive, so purchases
-    * inside the final watermark delay of the feed are still sitting in
-    * join state when an AvailableNow drain terminates — they are
-    * neither matched nor null-extended yet. Both legs therefore
-    * restrict to the certainty horizon (purchases ≥ 2 h before the
-    * feed's last event: strictly below the final watermark, so their
-    * outer/match verdict is committed): inside it, streaming left-outer
-    * ≡ batch left-outer, which is what the oracle checks. The horizon
-    * is one scalar aggregate over the bounded fixture — at production
-    * scale it is "now minus the watermark delay", known without any
-    * scan. */
-  def streamOuterJoin(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val landing = ensureLanding(spark, d)
-    val sink = Landing.fixtureDir(d, "stream_outer_sink")
-    val ckpt = Landing.fixtureDir(d, "stream_outer_ckpt")
-    // single-batch drain for the same reason as q68 (unordered fixture
-    // files vs the 1-hour state eviction)
+    val sink = Landing.fixtureDir(d, s"${name}_sink")
+    val ckpt = Landing.fixtureDir(d, s"${name}_ckpt")
     def src = spark.readStream.schema(wireSchema)
       .option("maxFilesPerTrigger", "1000000")
       .json(landing)
@@ -185,7 +141,7 @@ object MicroBatch extends QueryModule {
         purchases("user_id") === errors("e_user") &&
           errors("e_ts") < purchases("p_ts") &&
           errors("e_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR"),
-        "leftOuter")
+        joinType)
       .select($"purchase_id", $"user_id", $"p_ts", $"e_ts")
       .writeStream
       .format("parquet")
@@ -194,9 +150,50 @@ object MicroBatch extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val horizon = graft.ingest.Tables.events(spark, d)
-      .agg(max($"ts")).first().getTimestamp(0)
     spark.read.parquet(sink)
+  }
+
+  def streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    purchaseErrorJoinSink(spark, d, "stream_join", "inner")
+      .groupBy($"user_id")
+      .agg(countDistinct($"purchase_id").as("n_purchases_with_errors"),
+           count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  /** T4+: watermarked stream-stream LEFT OUTER join — q68's pairing,
+    * but purchases with NO error in the preceding hour are kept as
+    * null-extended rows. The engine can only emit an outer row once the
+    * watermark PROVES no matching error can still arrive, so purchases
+    * inside the final watermark delay of the feed are still sitting in
+    * join state when an AvailableNow drain terminates — they are
+    * neither matched nor null-extended yet. Both legs therefore
+    * restrict to the certainty horizon: strictly below the final
+    * GLOBAL watermark, so every kept purchase has a committed
+    * outer/match verdict, and inside it streaming left-outer ≡ batch
+    * left-outer, which is what the oracle checks.
+    *
+    * The global watermark is the MIN over both inputs' per-stream
+    * watermarks — min(max p_ts, max e_ts) − 1 h — NOT "last event of
+    * the feed minus 1 h" (review r5: deriving the horizon from the
+    * all-events max silently under-shoots whenever the final stretch
+    * of the feed happens to contain no error (or no purchase) event,
+    * leaving in-horizon purchases stuck in state and the compare
+    * corpus-timing-dependent). The extra hour of margin on top keeps
+    * the bound strict. One scalar aggregate over the bounded fixture —
+    * at production scale it is "now minus the delays", known without
+    * any scan. */
+  def streamOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val joined = purchaseErrorJoinSink(spark, d, "stream_outer", "leftOuter")
+    val ev = graft.ingest.Tables.events(spark, d)
+    val wmRow = ev.agg(
+      max(when($"event_type" === "purchase", $"ts")).as("max_p"),
+      max(when($"event_type" === "error", $"ts")).as("max_e")).first()
+    val horizon = Seq(wmRow.getTimestamp(0), wmRow.getTimestamp(1)).min(
+      Ordering.by((t: java.sql.Timestamp) => t.getTime))
+    joined
       .filter($"p_ts" <= lit(horizon) - expr("INTERVAL 2 HOURS"))
       .groupBy($"user_id")
       .agg(countDistinct($"purchase_id").as("n_purchases"),
@@ -518,7 +515,10 @@ object MicroBatch extends QueryModule {
         |ORDER BY p.user_id""".stripMargin,
     "q131_stream_outer_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |h AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS horizon FROM events)
+        |h AS (SELECT LEAST(
+        |    MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END),
+        |    MAX(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END))
+        |  - INTERVAL 2 HOUR AS horizon FROM events)
         |SELECT p.user_id,
         |  COUNT(DISTINCT p.event_id) AS n_purchases,
         |  COUNT(*) FILTER (WHERE err.user_id IS NULL) AS n_clean,

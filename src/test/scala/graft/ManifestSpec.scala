@@ -103,5 +103,9 @@ class ManifestSpec extends SparkSpec {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"pruned read diverges from raw filter on [$lo, $hi]")
     }
+    // out-of-span range: every file's stats miss it — must be empty, not a crash
+    val far = mxd.plusYears(50)
+    assert(StatsManifest.prunedRead(spark, sfDir, far, far.plusDays(30)).isEmpty,
+      "disjoint range should return zero rows")
   }
 }

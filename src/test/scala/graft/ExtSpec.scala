@@ -163,6 +163,15 @@ class ExtSpec extends SparkSpec {
       "a dropped vector has no within-cell near-duplicate witness")
   }
 
+  test("prefix-filtered join == full inverted-index join (exactness of prefix filtering)") {
+    import spark.implicits._
+    val full = Dedup.ngramJaccardPairs(spark, sfDir)
+    val pref = Dedup.prefixJaccardPairs(spark, sfDir)
+    assert(pref.exceptAll(full).isEmpty, "prefix join invented a pair")
+    assert(full.exceptAll(pref).isEmpty,
+      "prefix filtering missed a true pair — completeness theorem violated")
+  }
+
   test("incremental near-dup == full pass restricted to delta pairs; base index is delta-free") {
     import spark.implicits._
     val incr = Dedup.incrementalNearDup(spark, sfDir)

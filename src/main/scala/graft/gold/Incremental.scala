@@ -80,13 +80,20 @@ object Incremental extends QueryModule {
   def refreshAdditive(goldDir: String, delta: DataFrame, batchId: String): Unit = {
     val ledger = Paths.get(goldDir + s"__applied_$batchId")
     if (Files.exists(ledger)) return // published batch: fast-path skip
+    writePartials(goldDir, delta, batchId)
+    Files.write(ledger, Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** The data phase alone: dynamic overwrite of the batch's own
+    * (event_date, batch_id) leaves — idempotent, crash-isolated,
+    * invisible until some ledger publishes the batch id. */
+  private[graft] def writePartials(goldDir: String, delta: DataFrame,
+                                   batchId: String): Unit =
     delta.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date", "batch_id").parquet(goldDir)
-    Files.write(ledger, Array.emptyByteArray,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-  }
 
   /** Batch ids the ledger has PUBLISHED for this table — the read-side
     * filter that makes an in-flight or torn batch invisible. Marker
@@ -164,9 +171,94 @@ object Incremental extends QueryModule {
     readAsOf(spark, goldDir, Seq("hist"))
   }
 
+  // ---- multi-table transactions (q141) ----------------------------------
+
+  /** Second gold grain for the pair: per (event_date, user_id) activity
+    * — additive partials like [[toGoldGrain]], different rollup axis. */
+  def toUserGrain(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(Money)).cast(Money).as("total_dec"))
+
+  /** Cross-TABLE transaction: both tables' data phases run first, then
+    * ONE shared marker publishes the batch for the pair. Readers
+    * resolve their batch frontier from the SHARED ledger, so no reader
+    * can ever observe table A at batch n and table B at batch n−1 —
+    * the inconsistency single-table ledgers permit when two tables are
+    * derived from the same feed but published independently (the
+    * multi-table-transaction gap of most lakehouse formats). Crash
+    * anywhere before the marker: both tables' new leaves exist but are
+    * unpublished and invisible; replay rewrites them in full and
+    * publishes. Crash after: fast-path skip. Same two-phase machinery
+    * as [[refreshAdditive]], with the publish hoisted above the pair. */
+  private[graft] def refreshPair(dirA: String, dirB: String,
+                                 events: DataFrame, batchId: String): Unit = {
+    val marker = Paths.get(dirA + s"__txn_$batchId")
+    if (Files.exists(marker)) return
+    writePartials(dirA, toGoldGrain(events), batchId)
+    writePartials(dirB, toUserGrain(events), batchId)
+    Files.write(marker, Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Batch ids the PAIR ledger has published (markers sit beside table
+    * A's directory with the `__txn_` separator). */
+  private[graft] def appliedTxns(dirA: String): Seq[String] = {
+    val dir = Paths.get(dirA).toAbsolutePath
+    val prefix = dir.getFileName.toString + "__txn_"
+    val parent = dir.getParent
+    if (parent == null || !Files.isDirectory(parent)) Seq.empty
+    else graft.util.Fs.listClosed(parent)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+  }
+
+  private[graft] def ensureGoldPair(spark: SparkSession, d: String): (String, String) = {
+    import spark.implicits._
+    val a = Landing.fixtureDir(d, "gold_pair_bytype_v1")
+    val b = Landing.fixtureDir(d, "gold_pair_byuser_v1")
+    // orphan markers surviving a partial fixture cleanup: wipe so the
+    // rebuild re-applies both batches (same guard as ensureGoldTable)
+    if (!Files.isDirectory(Paths.get(a)) || !Files.isDirectory(Paths.get(b)))
+      Seq("hist", "b1").foreach(t => Files.deleteIfExists(Paths.get(a + s"__txn_$t")))
+    val ev = Tables.events(spark, d)
+    refreshPair(a, b, ev.filter(dayofmonth($"ts") > 7), batchId = "hist")
+    refreshPair(a, b, ev.filter(dayofmonth($"ts") <= 7), batchId = "b1")
+    (a, b)
+  }
+
+  /** q141: the consistent-pair read. Both tables are read AT THE SAME
+    * transaction frontier and joined per day; `consistent` asserts the
+    * invariant the shared ledger guarantees — the two rollups account
+    * for exactly the same underlying events. The oracle recomputes both
+    * aggregates from the raw feed, so the flag must be TRUE for every
+    * day and the measures must match the from-scratch derivation. */
+  def multiTableSnapshot(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (a, b) = ensureGoldPair(spark, d)
+    val txns = appliedTxns(a)
+    val byType = spark.read.parquet(a)
+      .filter($"batch_id".isin(txns: _*))
+      .groupBy($"event_date")
+      .agg(sum($"n_events").as("n_events_types"),
+        sum($"total_dec").cast(Money).cast("double").as("revenue"))
+    val byUser = spark.read.parquet(b)
+      .filter($"batch_id".isin(txns: _*))
+      .groupBy($"event_date")
+      .agg(sum($"n_events").as("n_events_users"),
+        countDistinct($"user_id").as("n_users"))
+    byType.join(byUser, "event_date")
+      .select($"event_date", $"n_events_types", $"n_events_users",
+        ($"n_events_types" === $"n_events_users").as("consistent"),
+        $"revenue", $"n_users")
+      .orderBy($"event_date")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q96_incremental_gold" -> incrementalGold,
     "q126_gold_time_travel" -> goldTimeTravel,
+    "q141_multi_table_snapshot" -> multiTableSnapshot,
   )
 
   val oracles = Map(
@@ -187,5 +279,21 @@ object Incremental extends QueryModule {
         |FROM events
         |GROUP BY event_date, event_type
         |ORDER BY event_date, event_type""".stripMargin,
+    "q141_multi_table_snapshot" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type, user_id, value
+        |  FROM events
+        |), t AS (
+        |  SELECT d, COUNT(*) AS n1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM e GROUP BY d
+        |), u AS (
+        |  SELECT d, COUNT(*) AS n2, COUNT(DISTINCT user_id) AS n_users
+        |  FROM e GROUP BY d
+        |)
+        |SELECT t.d AS event_date, n1 AS n_events_types, n2 AS n_events_users,
+        |  n1 = n2 AS consistent, revenue, n_users
+        |FROM t JOIN u ON t.d = u.d
+        |ORDER BY event_date""".stripMargin,
   )
 }

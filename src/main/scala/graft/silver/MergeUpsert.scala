@@ -267,10 +267,45 @@ object MergeUpsert extends QueryModule {
     refreshedSummary(spark, silverDir)
   }
 
+  /** q142: snapshot-diff CDC — the inverse of the MERGE family: given
+    * two GENERATIONS of a dimension (no changelog was kept), emit the
+    * change feed that transforms v1 into v2. One full outer join on the
+    * key classifies every row: key only in v1 → delete, only in v2 →
+    * insert, in both with different payload → update (unchanged rows
+    * are dropped — the feed is the DELTA, which at 100 TB is the point:
+    * downstream consumers replay changes, not snapshots). This is how a
+    * warehouse bootstraps CDC out of periodic full exports.
+    *
+    * v2 is derived deterministically from v1 so the oracle can mirror
+    * it: custkey % 89 == 0 rows deleted, % 97 == 0 get acctbal + 10,
+    * % 101 == 0 cloned to a new key (+ 1,000,000) as inserts. */
+  def snapshotDiffCdc(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val v2base = v1.filter($"c_custkey" % 89 =!= 0)
+      .withColumn("c_acctbal",
+        when($"c_custkey" % 97 === 0, $"c_acctbal" + 10.0).otherwise($"c_acctbal"))
+    val v2new = v1.filter($"c_custkey" % 101 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name", $"c_acctbal")
+    val v2 = v2base.unionByName(v2new)
+    val o = v1.select($"c_custkey", $"c_acctbal".as("old_acctbal"))
+    val n = v2.select($"c_custkey", $"c_acctbal".as("new_acctbal"))
+    o.join(n, Seq("c_custkey"), "full_outer")
+      .withColumn("op",
+        when($"old_acctbal".isNull, "insert")
+          .when($"new_acctbal".isNull, "delete")
+          .when($"old_acctbal" =!= $"new_acctbal", "update"))
+      .filter($"op".isNotNull)
+      .select($"op", $"c_custkey", $"old_acctbal", $"new_acctbal")
+      .orderBy($"op", $"c_custkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q83_merge_upsert" -> mergeUpsert,
     "q84_stream_merge_upsert" -> streamMergeUpsert,
     "q88_merge_delete" -> mergeDelete,
+    "q142_snapshot_diff_cdc" -> snapshotDiffCdc,
   )
 
   /** Oracle: MERGE ≡ QUALIFY row_number() = 1 over base ∪ delta (version
@@ -308,6 +343,27 @@ object MergeUpsert extends QueryModule {
   val oracles = Map(
     "q83_merge_upsert" -> mergeOracle,
     "q84_stream_merge_upsert" -> mergeOracle,
+    "q142_snapshot_diff_cdc" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM v1 WHERE c_custkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM v1 WHERE c_custkey % 101 = 0
+        |), diff AS (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |         WHEN n.c_custkey IS NULL THEN 'delete'
+        |         WHEN o.c_acctbal <> n.c_acctbal THEN 'update' END AS op
+        |  FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey
+        |)
+        |SELECT op, c_custkey, old_acctbal, new_acctbal
+        |FROM diff WHERE op IS NOT NULL
+        |ORDER BY op, c_custkey""".stripMargin,
     "q88_merge_delete" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -95,20 +95,24 @@ object Incremental extends QueryModule {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date", "batch_id").parquet(goldDir)
 
+  /** Marker ids published beside `dir` with the given separator — the
+    * one listing both ledgers ([[appliedBatches]], [[appliedTxns]])
+    * share. */
+  private def listMarkers(dir0: String, sep: String): Seq[String] = {
+    val dir = Paths.get(dir0).toAbsolutePath
+    val prefix = dir.getFileName.toString + sep
+    val parent = dir.getParent
+    if (parent == null || !Files.isDirectory(parent)) Seq.empty
+    else graft.util.Fs.listClosed(parent)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+  }
+
   /** Batch ids the ledger has PUBLISHED for this table — the read-side
     * filter that makes an in-flight or torn batch invisible. Marker
     * files are siblings of the table directory. */
-  def appliedBatches(goldDir: String): Seq[String] = {
-    val dir = Paths.get(goldDir).toAbsolutePath
-    val prefix = dir.getFileName.toString + "__applied_"
-    val parent = dir.getParent
-    if (parent == null || !Files.isDirectory(parent)) Seq.empty
-    else {
-      graft.util.Fs.listClosed(parent)
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
-    }
-  }
+  def appliedBatches(goldDir: String): Seq[String] =
+    listMarkers(goldDir, "__applied_")
 
   /** q96: gold initialized from the "historical" events (day-of-month
     * > 7), then the day ≤ 7 batch arrives and is added incrementally.
@@ -174,12 +178,13 @@ object Incremental extends QueryModule {
   // ---- multi-table transactions (q141) ----------------------------------
 
   /** Second gold grain for the pair: per (event_date, user_id) activity
-    * — additive partials like [[toGoldGrain]], different rollup axis. */
+    * — additive partials like [[toGoldGrain]], different rollup axis
+    * (counts only: the by-user table carries no money measure, so none
+    * is stored). */
   def toUserGrain(events: DataFrame): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast(Money)).cast(Money).as("total_dec"))
+      .agg(count(lit(1)).as("n_events"))
 
   /** Cross-TABLE transaction: both tables' data phases run first, then
     * ONE shared marker publishes the batch for the pair. Readers
@@ -204,24 +209,28 @@ object Incremental extends QueryModule {
 
   /** Batch ids the PAIR ledger has published (markers sit beside table
     * A's directory with the `__txn_` separator). */
-  private[graft] def appliedTxns(dirA: String): Seq[String] = {
-    val dir = Paths.get(dirA).toAbsolutePath
-    val prefix = dir.getFileName.toString + "__txn_"
-    val parent = dir.getParent
-    if (parent == null || !Files.isDirectory(parent)) Seq.empty
-    else graft.util.Fs.listClosed(parent)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
-  }
+  private[graft] def appliedTxns(dirA: String): Seq[String] =
+    listMarkers(dirA, "__txn_")
 
   private[graft] def ensureGoldPair(spark: SparkSession, d: String): (String, String) = {
     import spark.implicits._
-    val a = Landing.fixtureDir(d, "gold_pair_bytype_v1")
-    val b = Landing.fixtureDir(d, "gold_pair_byuser_v1")
-    // orphan markers surviving a partial fixture cleanup: wipe so the
-    // rebuild re-applies both batches (same guard as ensureGoldTable)
-    if (!Files.isDirectory(Paths.get(a)) || !Files.isDirectory(Paths.get(b)))
-      Seq("hist", "b1").foreach(t => Files.deleteIfExists(Paths.get(a + s"__txn_$t")))
+    // _v2: by-user grain dropped its unread money measure
+    val a = Landing.fixtureDir(d, "gold_pair_bytype_v2")
+    val b = Landing.fixtureDir(d, "gold_pair_byuser_v2")
+    // heal ANY state that is not exactly the two-batch fixture: orphan
+    // markers after a partial cleanup, or residue of a crashed test that
+    // published extra transactions (review r5: the old guard only knew
+    // the two hardcoded ids, so a stray txn poisoned the fixture
+    // permanently). Wiping both dirs + every txn marker and rebuilding
+    // is idempotent and cheap at fixture scale.
+    val expected = Set("hist", "b1")
+    val txns = appliedTxns(a)
+    val dirsOk = Files.isDirectory(Paths.get(a)) && Files.isDirectory(Paths.get(b))
+    if (!dirsOk || !txns.toSet.subsetOf(expected)) {
+      graft.util.Fs.deleteRecursively(a)
+      graft.util.Fs.deleteRecursively(b)
+      appliedTxns(a).foreach(t => Files.deleteIfExists(Paths.get(a + s"__txn_$t")))
+    }
     val ev = Tables.events(spark, d)
     refreshPair(a, b, ev.filter(dayofmonth($"ts") > 7), batchId = "hist")
     refreshPair(a, b, ev.filter(dayofmonth($"ts") <= 7), batchId = "b1")
@@ -235,8 +244,16 @@ object Incremental extends QueryModule {
     * aggregates from the raw feed, so the flag must be TRUE for every
     * day and the measures must match the from-scratch derivation. */
   def multiTableSnapshot(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val (a, b) = ensureGoldPair(spark, d)
+    readPair(spark, a, b)
+  }
+
+  /** The consistent-pair read at the CURRENT shared frontier, no
+    * fixture ensure — the piece the torn-txn spec drives directly
+    * (going through ensureGoldPair would heal the extra transaction it
+    * is testing). */
+  private[graft] def readPair(spark: SparkSession, a: String, b: String): DataFrame = {
+    import spark.implicits._
     val txns = appliedTxns(a)
     val byType = spark.read.parquet(a)
       .filter($"batch_id".isin(txns: _*))

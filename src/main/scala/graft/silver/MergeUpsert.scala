@@ -289,13 +289,18 @@ object MergeUpsert extends QueryModule {
     val v2new = v1.filter($"c_custkey" % 101 === 0)
       .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name", $"c_acctbal")
     val v2 = v2base.unionByName(v2new)
-    val o = v1.select($"c_custkey", $"c_acctbal".as("old_acctbal"))
-    val n = v2.select($"c_custkey", $"c_acctbal".as("new_acctbal"))
+    // presence flags, NOT payload nullness, classify the sides (review
+    // r5: a legitimately-NULL payload on a key present in both
+    // generations must read as unchanged/update, never insert/delete),
+    // and the update test is null-safe (<=> negated) so null↔value
+    // transitions surface as updates
+    val o = v1.select($"c_custkey", lit(true).as("in_old"), $"c_acctbal".as("old_acctbal"))
+    val n = v2.select($"c_custkey", lit(true).as("in_new"), $"c_acctbal".as("new_acctbal"))
     o.join(n, Seq("c_custkey"), "full_outer")
       .withColumn("op",
-        when($"old_acctbal".isNull, "insert")
-          .when($"new_acctbal".isNull, "delete")
-          .when($"old_acctbal" =!= $"new_acctbal", "update"))
+        when($"in_old".isNull, "insert")
+          .when($"in_new".isNull, "delete")
+          .when(!($"old_acctbal" <=> $"new_acctbal"), "update"))
       .filter($"op".isNotNull)
       .select($"op", $"c_custkey", $"old_acctbal", $"new_acctbal")
       .orderBy($"op", $"c_custkey")
@@ -358,7 +363,7 @@ object MergeUpsert extends QueryModule {
         |    o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal,
         |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
         |         WHEN n.c_custkey IS NULL THEN 'delete'
-        |         WHEN o.c_acctbal <> n.c_acctbal THEN 'update' END AS op
+        |         WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update' END AS op
         |  FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey
         |)
         |SELECT op, c_custkey, old_acctbal, new_acctbal

@@ -126,32 +126,40 @@ class IncrementalSpec extends SparkSpec {
   test("cross-table txn: a torn pair write is invisible in BOTH tables; replay completes atomically") {
     import spark.implicits._
     val (a, b) = Incremental.ensureGoldPair(spark, sfDir)
-    def snapshot() = Incremental.multiTableSnapshot(spark, sfDir).collect().toSeq
+    // read at the current frontier WITHOUT the ensure: ensureGoldPair's
+    // self-heal would wipe the extra transaction this test publishes
+    def snapshot() = Incremental.readPair(spark, a, b).collect().toSeq
     val before = snapshot()
     // every published day must satisfy the pair invariant
     assert(before.forall(_.getAs[Boolean]("consistent")),
       "published snapshot violates the cross-table invariant")
     // torn transaction: batch b2's data lands in table A only — no
-    // marker, table B untouched (the crash window between the phases)
-    val b2 = Incremental.toGoldGrain(
-      Tables.events(spark, sfDir).filter(dayofmonth(col("ts")) === 8))
-    Incremental.writePartials(a, b2, "b2")
-    assert(Incremental.appliedTxns(a) === Seq("b1", "hist"))
-    assert(snapshot() === before,
-      "a torn cross-table transaction leaked into the consistent read")
-    // replay runs BOTH data phases (A's idempotent rewrite, B's first
-    // write) and publishes; the new frontier is consistent again
-    Incremental.refreshPair(a, b,
-      Tables.events(spark, sfDir).filter(dayofmonth(col("ts")) === 8), "b2")
-    val after = snapshot()
-    assert(Incremental.appliedTxns(a) === Seq("b1", "b2", "hist"))
-    assert(after.forall(_.getAs[Boolean]("consistent")))
-    assert(after.map(_.getAs[Long]("n_events_types")).sum >
-      before.map(_.getAs[Long]("n_events_types")).sum,
-      "the completed transaction added no rows")
-    // cleanup: remove b2 so the fixture stays two-batch for q141 runs
-    graft.util.Fs.deleteRecursively(a); graft.util.Fs.deleteRecursively(b)
-    Seq("hist", "b1", "b2").foreach(t =>
-      Files.deleteIfExists(java.nio.file.Paths.get(a + s"__txn_$t")))
+    // marker, table B untouched (the crash window between the phases).
+    // try/finally: a failed assertion must not strand the b2 residue —
+    // ensureGoldPair would heal it anyway (any txn outside {hist, b1}
+    // triggers a rebuild), but the spec cleans up after itself.
+    try {
+      val b2 = Incremental.toGoldGrain(
+        Tables.events(spark, sfDir).filter(dayofmonth(col("ts")) === 8))
+      Incremental.writePartials(a, b2, "b2")
+      assert(Incremental.appliedTxns(a) === Seq("b1", "hist"))
+      assert(snapshot() === before,
+        "a torn cross-table transaction leaked into the consistent read")
+      // replay runs BOTH data phases (A's idempotent rewrite, B's first
+      // write) and publishes; the new frontier is consistent again
+      Incremental.refreshPair(a, b,
+        Tables.events(spark, sfDir).filter(dayofmonth(col("ts")) === 8), "b2")
+      val after = snapshot()
+      assert(Incremental.appliedTxns(a) === Seq("b1", "b2", "hist"))
+      assert(after.forall(_.getAs[Boolean]("consistent")))
+      assert(after.map(_.getAs[Long]("n_events_types")).sum >
+        before.map(_.getAs[Long]("n_events_types")).sum,
+        "the completed transaction added no rows")
+    } finally {
+      // remove b2 so the fixture stays two-batch for q141 runs
+      graft.util.Fs.deleteRecursively(a); graft.util.Fs.deleteRecursively(b)
+      Seq("hist", "b1", "b2").foreach(t =>
+        Files.deleteIfExists(java.nio.file.Paths.get(a + s"__txn_$t")))
+    }
   }
 }

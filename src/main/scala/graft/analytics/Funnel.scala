@@ -33,8 +33,38 @@ object Funnel extends QueryModule {
         .as("stage_view_click_purchase"))
   }
 
+  /** A8+: strict event-SEQUENCE detection — purchases completing an
+    * ordered view → click → purchase path within 24 hours (any
+    * occurrence, not q28's first-occurrence stage funnel; the
+    * MATCH_RECOGNIZE shape). Linear per user, no triple self-join: in
+    * (ts, event_id) total order, `last_view` carries the latest view
+    * strictly before each row and `best_anchor` the latest such view
+    * already attached to a click strictly before the row — so a
+    * purchase completes a path iff best_anchor is within the bound.
+    * Maximality argument: if ANY valid (v, c, p) triple exists,
+    * best_anchor ≥ v, so the check cannot miss it; and best_anchor is
+    * itself witnessed by a valid (v*, c*, p). Two stacked running
+    * maxes over ONE per-user sort — the 100-TB shape; the oracle runs
+    * the identical window derivation, pinning the total-order
+    * semantics across engines. */
+  def eventSequence(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(spark, d)
+      .withColumn("last_view", max(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("best_anchor", max(when($"event_type" === "click", $"last_view")).over(w))
+      .filter($"event_type" === "purchase" && $"best_anchor".isNotNull &&
+        $"ts" <= $"best_anchor" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_seq_purchases"))
+      .orderBy($"user_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q28_funnel" -> funnel,
+    "q143_event_sequence" -> eventSequence,
   )
 
   val oracles = Map(
@@ -50,5 +80,27 @@ object Funnel extends QueryModule {
         |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS stage_view_click,
         |  COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS stage_view_click_purchase
         |FROM per_user""".stripMargin,
+    "q143_event_sequence" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), anno AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+        |  FROM e
+        |), anno2 AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'click' THEN last_view END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_anchor
+        |  FROM anno
+        |)
+        |SELECT user_id, COUNT(*) AS n_seq_purchases
+        |FROM anno2
+        |WHERE event_type = 'purchase' AND best_anchor IS NOT NULL
+        |  AND ts <= best_anchor + INTERVAL 24 HOUR
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

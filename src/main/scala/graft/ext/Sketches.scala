@@ -117,9 +117,53 @@ object Sketches extends QueryModule {
       .toDF("n_events", "n_matching", "no_false_negatives", "fp_within_budget")
   }
 
+  /** q144: sketch-based JOIN-SIZE estimation — the cost-based-planning
+    * primitive: |A ⋈_k B| = Σ_k n_A(k)·n_B(k), estimated WITHOUT
+    * scanning A per candidate plan. A (all events keyed by user) is
+    * summarized once into a CMS; B's side (purchase events per user) is
+    * exact and small. The planner's estimate Σ_k n_B(k)·ĉ_A(k) — one
+    * sketch probe per distinct B key — can never undercount (CMS
+    * one-sided error), and overshoots by at most Σn_B·eps·N_A w.h.p.;
+    * both sides of that envelope are certified in the output next to
+    * the exact join size, q114-style. At 100 TB this is why a planner
+    * can cost a join order in milliseconds: the fact table's key
+    * histogram is a few KB of counters, not a scan. */
+  def cmsJoinEstimate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d).select($"user_id", $"event_type")
+    val skBytes = ev
+      .agg(count_min_sketch($"user_id", lit(cmsEps), lit(cmsConf), lit(cmsSeed))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val nA = cms.totalCount()
+    val estimate = udf((k: Long) => cms.estimateCount(k))
+    // B side: per-user purchase counts (exact, dimension-sized) + the
+    // true per-key fact multiplicities for the ground-truth join size
+    val perKey = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_a"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_b"))
+      .filter($"n_b" > 0)
+      .withColumn("est_a", estimate($"user_id"))
+    val agg = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum($"n_a" * $"n_b").cast("long").as("exact_join_size"),
+      sum($"est_a" * $"n_b").cast("long").as("est_join_size"),
+      sum($"n_b").cast("long").as("sum_nb")).head()
+    val (nKeys, exact, est, sumNb) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val budget = math.ceil(cmsEps * nA).toLong * sumNb
+    System.err.println(
+      s"[sketch-envelope] cms join-size overcount=${est - exact} budget=$budget (sum_nB*eps*N_A)")
+    Seq((nKeys, exact, est >= exact, est - exact <= budget))
+      .toDF("n_keys", "exact_join_size", "never_undercounts", "within_budget")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q115_bloom_semijoin"    -> bloomSemiJoin,
+    "q144_cms_join_estimate" -> cmsJoinEstimate,
   )
 
   val oracles = Map(
@@ -137,5 +181,16 @@ object Sketches extends QueryModule {
         |  TRUE AS no_false_negatives,
         |  TRUE AS fp_within_budget
         |FROM events""".stripMargin,
+    "q144_cms_join_estimate" ->
+      """WITH per_key AS (
+        |  SELECT user_id, COUNT(*) AS n_a,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_b
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(n_a * n_b) AS BIGINT) AS exact_join_size,
+        |  TRUE AS never_undercounts,
+        |  TRUE AS within_budget
+        |FROM per_key WHERE n_b > 0""".stripMargin,
   )
 }

@@ -156,4 +156,22 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("exchange reuse: a diamond over one aggregate shuffles it once, not twice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // self-join of the same aggregate — the canonical diamond: without
+    // reuse the aggregate's exchange (and the whole upstream scan+agg)
+    // executes twice; Spark's ReuseExchange/stage-reuse collapses the
+    // second occurrence into a reference to the first
+    val agg = graft.ingest.Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val diamond = agg.as("a").join(agg.as("b"), "user_id")
+      .select($"user_id", col("a.n") + col("b.n") as "nn")
+    diamond.collect()
+    val plan = diamond.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("TableCacheQueryStage"),
+      s"no exchange reuse in the diamond plan:\n$plan")
+  }
 }

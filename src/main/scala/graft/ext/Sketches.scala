@@ -45,20 +45,24 @@ object Sketches extends QueryModule {
   private val topK = 20
   private val bloomFpp = 0.01
 
+  /** ONE pass builds the mergeable sketch over `key`; the binary (w·d
+    * counters, here 2719×5 longs) is the only thing collected. Shared
+    * by every CMS consumer so sketch parameters live in one place. */
+  private def buildCms(df: DataFrame, key: org.apache.spark.sql.Column) = {
+    val skBytes = df
+      .agg(count_min_sketch(key, lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+  }
+
   /** q114: exact top-K corpus terms, each certified inside the CMS
     * error envelope. */
   def cmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, d)
       .select(explode(split($"text", " ")).as("term"))
-    // ONE pass builds the mergeable sketch; the binary (w·d counters,
-    // here 2719×5 longs) is the only thing collected
-    val skBytes = words
-      .agg(count_min_sketch($"term", lit(cmsEps), lit(cmsConf), lit(cmsSeed))
-        .as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val cms = buildCms(words, $"term")
     val total = cms.totalCount()
     val maxOver = math.ceil(cmsEps * total).toLong
     // exact top-K (deterministic tiebreak) — the small reference set the
@@ -131,12 +135,7 @@ object Sketches extends QueryModule {
   def cmsJoinEstimate(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, d).select($"user_id", $"event_type")
-    val skBytes = ev
-      .agg(count_min_sketch($"user_id", lit(cmsEps), lit(cmsConf), lit(cmsSeed))
-        .as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val cms = buildCms(ev, $"user_id")
     val nA = cms.totalCount()
     val estimate = udf((k: Long) => cms.estimateCount(k))
     // B side: per-user purchase counts (exact, dimension-sized) + the
@@ -146,11 +145,13 @@ object Sketches extends QueryModule {
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_b"))
       .filter($"n_b" > 0)
       .withColumn("est_a", estimate($"user_id"))
+    // coalesce(sum, 0): a corpus with zero purchase events must yield
+    // the (0, 0, TRUE, TRUE) row the oracle produces, not a driver NPE
     val agg = perKey.agg(
       count(lit(1)).as("n_keys"),
-      sum($"n_a" * $"n_b").cast("long").as("exact_join_size"),
-      sum($"est_a" * $"n_b").cast("long").as("est_join_size"),
-      sum($"n_b").cast("long").as("sum_nb")).head()
+      coalesce(sum($"n_a" * $"n_b"), lit(0L)).cast("long").as("exact_join_size"),
+      coalesce(sum($"est_a" * $"n_b"), lit(0L)).cast("long").as("est_join_size"),
+      coalesce(sum($"n_b"), lit(0L)).cast("long").as("sum_nb")).head()
     val (nKeys, exact, est, sumNb) =
       (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
     val budget = math.ceil(cmsEps * nA).toLong * sumNb
@@ -188,7 +189,7 @@ object Sketches extends QueryModule {
         |  FROM events GROUP BY user_id
         |)
         |SELECT COUNT(*) AS n_keys,
-        |  CAST(SUM(n_a * n_b) AS BIGINT) AS exact_join_size,
+        |  CAST(COALESCE(SUM(n_a * n_b), 0) AS BIGINT) AS exact_join_size,
         |  TRUE AS never_undercounts,
         |  TRUE AS within_budget
         |FROM per_key WHERE n_b > 0""".stripMargin,

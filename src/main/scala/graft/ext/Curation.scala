@@ -258,6 +258,43 @@ object Curation extends QueryModule {
       .orderBy($"name1", $"name2")
   }
 
+  private val spanLen = 8 // tokens per dedup span
+
+  /** E1+/E+: cross-corpus SPAN dedup with document reassembly — the C4
+    * rule ("any span occurring more than once in the corpus is removed
+    * from every document but the first") at 8-token granularity, the
+    * line/paragraph-level dedup step between whole-doc dedup (q22) and
+    * intra-doc repetition scoring (q102). Documents are cut into
+    * non-overlapping spans, the FIRST occurrence of each span content
+    * (in (doc_id, span_idx) order) is kept, and each document is
+    * reassembled from its surviving spans in order. Two shuffles — one
+    * keyed on span content (the dedup), one back on doc_id (the
+    * reassembly) — and per-doc state is bounded by document length:
+    * the 100-TB shape of every line-dedup pipeline. The cleaned text
+    * rides as md5 so the relation stays metadata-sized. */
+  def spanDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"span").orderBy($"doc_id", $"span_idx")
+    Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
+      .select($"doc_id", $"k".as("span_idx"),
+        concat_ws(" ", slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen)))
+          .as("span"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"span_idx", $"span")))),
+            x => x.getField("span")),
+          " ")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q98_pii_redaction"      -> piiRedaction,
     "q107_source_caps"       -> sourceCaps,
@@ -267,9 +304,28 @@ object Curation extends QueryModule {
     "q100_contamination_check" -> contaminationCheck,
     "q101_stratified_sample" -> stratifiedSample,
     "q102_doc_repetition"    -> docRepetition,
+    "q145_span_dedup"        -> spanDedup,
   )
 
   val oracles = Map(
+    "q145_span_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), b AS (
+         |  SELECT doc_id, k AS span_idx,
+         |    array_to_string(ws[k*$spanLen+1 : least(k*$spanLen+$spanLen, len(ws))], ' ') AS span
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//$spanLen)) AS k FROM t)
+         |), flag AS (
+         |  SELECT doc_id, span_idx, span,
+         |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
+         |  FROM b
+         |)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_idx), '')) AS clean_md5
+         |FROM flag
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q113_fuzzy_match" ->
       s"""WITH names AS (
          |  SELECT p_name, COUNT(*) AS n_rows,

@@ -113,4 +113,29 @@ class CurationSpec extends SparkSpec {
     assert(agg.select("lang").distinct().count() ===
       src.select("lang").distinct().count())
   }
+
+  test("q145: span-dedup laws — kept == distinct spans; untouched docs reassemble verbatim") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val res = Curation.spanDedup(spark, sfDir)
+    // conservation: total kept spans across the corpus == distinct span
+    // contents (each content kept exactly once)
+    val kept = res.agg(sum($"n_kept")).first().getLong(0)
+    val spanLen = 8
+    val distinctSpans = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
+      .select(concat_ws(" ",
+        slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen))).as("span"))
+      .distinct().count()
+    assert(kept === distinctSpans, "kept-span total != distinct span contents")
+    // reassembly identity: a doc that lost nothing must reassemble to
+    // its original text byte-for-byte
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", md5($"text").as("orig_md5"))
+    val untouched = res.filter($"n_kept" === $"n_spans").join(docs, "doc_id")
+    assert(untouched.count() > 0, "no untouched doc to test reassembly on")
+    assert(untouched.filter($"clean_md5" =!= $"orig_md5").isEmpty,
+      "an untouched document did not reassemble to its original text")
+  }
 }

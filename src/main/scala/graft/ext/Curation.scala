@@ -258,7 +258,21 @@ object Curation extends QueryModule {
       .orderBy($"name1", $"name2")
   }
 
-  private val spanLen = 8 // tokens per dedup span
+  private[graft] val spanLen = 8 // tokens per dedup span
+
+  /** (doc_id, span_idx, span) rows: each document cut into
+    * non-overlapping [[spanLen]]-token spans — shared by q145 and its
+    * spec so they can never extract differently. */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
+      .select($"doc_id", $"k".as("span_idx"),
+        concat_ws(" ", slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen)))
+          .as("span"))
+  }
 
   /** E1+/E+: cross-corpus SPAN dedup with document reassembly — the C4
     * rule ("any span occurring more than once in the corpus is removed
@@ -267,22 +281,24 @@ object Curation extends QueryModule {
     * intra-doc repetition scoring (q102). Documents are cut into
     * non-overlapping spans, the FIRST occurrence of each span content
     * (in (doc_id, span_idx) order) is kept, and each document is
-    * reassembled from its surviving spans in order. Two shuffles — one
-    * keyed on span content (the dedup), one back on doc_id (the
-    * reassembly) — and per-doc state is bounded by document length:
-    * the 100-TB shape of every line-dedup pipeline. The cleaned text
-    * rides as md5 so the relation stays metadata-sized. */
+    * reassembled from its surviving spans in order.
+    *
+    * Scale shape: the first occurrence per span is a `min(struct)`
+    * AGGREGATE — partial-aggregated map-side, so a hot span (a blank or
+    * boilerplate line, precisely what span dedup exists to remove in a
+    * real corpus) costs one combiner cell per task, never a one-reducer
+    * sort of its full occurrence list (a row_number window partitioned
+    * by span would do exactly that — review r5). Two content-keyed
+    * shuffles (dedup join, doc-keyed reassembly); per-doc reassembly
+    * state is bounded by document length. The cleaned text rides as
+    * md5 so the relation stays metadata-sized. */
   def spanDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"span").orderBy($"doc_id", $"span_idx")
-    Tables.documents(spark, d)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
-      .select($"doc_id", $"k".as("span_idx"),
-        concat_ws(" ", slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen)))
-          .as("span"))
-      .withColumn("keep", row_number().over(w) === 1)
+    val spans = spansOf(Tables.documents(spark, d))
+    val first = spans.groupBy($"span")
+      .agg(min(struct($"doc_id", $"span_idx")).as("first_occ"))
+    spans.join(first, "span")
+      .withColumn("keep", struct($"doc_id", $"span_idx") === $"first_occ")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_spans"),

@@ -116,18 +116,13 @@ class CurationSpec extends SparkSpec {
 
   test("q145: span-dedup laws — kept == distinct spans; untouched docs reassemble verbatim") {
     import spark.implicits._
-    import graft.ext.Curation
     val res = Curation.spanDedup(spark, sfDir)
     // conservation: total kept spans across the corpus == distinct span
-    // contents (each content kept exactly once)
+    // contents (each content kept exactly once) — derived through the
+    // SAME span extraction the query uses
     val kept = res.agg(sum($"n_kept")).first().getLong(0)
-    val spanLen = 8
-    val distinctSpans = graft.ingest.Tables.documents(spark, sfDir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
-      .select(concat_ws(" ",
-        slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen))).as("span"))
-      .distinct().count()
+    val distinctSpans = Curation.spansOf(graft.ingest.Tables.documents(spark, sfDir))
+      .select($"span").distinct().count()
     assert(kept === distinctSpans, "kept-span total != distinct span contents")
     // reassembly identity: a doc that lost nothing must reassemble to
     // its original text byte-for-byte

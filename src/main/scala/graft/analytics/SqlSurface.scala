@@ -124,11 +124,31 @@ object SqlSurface extends QueryModule {
     spark.sql(latStmt)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (the modern-SQL ergonomics both
+    * engines added independently — every non-aggregate select item
+    * groups, every output column orders): the statement is again
+    * byte-identical in both dialects, which is the whole point of the
+    * SQL-surface tier. Same plan as the explicit GROUP BY — sugar,
+    * not semantics. */
+  private val gbaStmt =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  /** q146: GROUP BY ALL via spark.sql. */
+  def groupByAll(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    spark.sql(gbaStmt)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
     "q112_grouping_sets" -> groupingSets,
     "q116_recursive_calendar" -> recursiveCalendar,
     "q136_lateral_topn" -> lateralTopN,
+    "q146_group_by_all" -> groupByAll,
   )
 
   /** Same text, verbatim — that is the point. */
@@ -137,5 +157,6 @@ object SqlSurface extends QueryModule {
     "q112_grouping_sets" -> gsStmt,
     "q116_recursive_calendar" -> recStmt,
     "q136_lateral_topn" -> latStmt,
+    "q146_group_by_all" -> gbaStmt,
   )
 }

@@ -185,14 +185,18 @@ object Scalars extends QueryModule {
     * This general form fingerprints any relation: canonical projection
     * supplied by the caller, grouped by `key`. */
   def fingerprintOf(df: DataFrame, key: String, canon: org.apache.spark.sql.Column): DataFrame = {
+    // Staged temp columns use collision-proof internal names so a
+    // caller whose key (or canon inputs) happen to be named "h"/"rh"
+    // is never silently clobbered.
+    require(key != "__fp_h" && key != "__fp_rh", s"key '$key' collides with internal staging names")
     val terms = (1 to fpNibbles).map { i =>
-      s"(position(substr(h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, fpNibbles - i).toLong}L"
+      s"(position(substr(__fp_h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, fpNibbles - i).toLong}L"
     }.mkString(" + ")
-    df.withColumn("h", md5(canon))
-      .withColumn("rh", expr(s"CAST($terms AS BIGINT)"))
+    df.withColumn("__fp_h", md5(canon))
+      .withColumn("__fp_rh", expr(s"CAST($terms AS BIGINT)"))
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
-        (sum(col("rh").cast(DecimalType(38, 0))) % fpMod).cast("long").as("fingerprint"))
+        (sum(col("__fp_rh").cast(DecimalType(38, 0))) % fpMod).cast("long").as("fingerprint"))
       .orderBy(col(key))
   }
 

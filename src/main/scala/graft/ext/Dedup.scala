@@ -267,7 +267,13 @@ object Dedup extends QueryModule {
     * by 1e5 docs is a 1e10-pair bucket at 100 TB, and near-dup evidence
     * lives in the RARE shingles anyway. Jaccard is computed over the
     * surviving (non-stop) sets in both legs, so the query stays exactly
-    * oracle-comparable. */
+    * oracle-comparable.
+    *
+    * NOT the primary finder: in a saturated-shingle regime (every
+    * shingle hot) the cap also drops the evidence — SCALING.md measured
+    * 216 of 2,480 true pairs recovered at sf1 on the uniform-vocab
+    * corpus, vs q30's 2,382 (96%). Use the MinHash-banded q30 to FIND
+    * near-dups; use this cap to bound pathological buckets. */
   def ngramJaccardCapped(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, d)

@@ -298,9 +298,20 @@ object Similarity extends QueryModule {
     * 2023, arXiv:2303.09540): pairwise similarity is computed WITHIN each
     * embedding cluster only (the stored `label` = offline k-means cell,
     * the same artifact q34/q65 probe), and every vector with exact cosine
-    * ≥ τ to a lower-id vector in its cell is dropped — keep-lowest-id is
-    * the paper's "keep one representative per duplicate group" made
-    * deterministic. Returns the KEPT set (the curated corpus membership).
+    * ≥ τ to ANY lower-id vector in its cell is dropped. Returns the KEPT
+    * set (the curated corpus membership).
+    *
+    * Deliberate variant of the paper's keep-one-representative rule: the
+    * witness need not itself be kept, so a chain a–b–c (cos(a,b) ≥ τ,
+    * cos(b,c) ≥ τ, cos(a,c) < τ) keeps only `a` — transitive-chain
+    * pruning, i.e. one representative per CONNECTED COMPONENT of the
+    * τ-graph rather than per mutual-duplicate clique. Chosen because it
+    * is order-free and embarrassingly parallel (one self-join, no
+    * sequential greedy pass within a cell — the greedy kept-witness rule
+    * is inherently serial per cell, which is the wrong shape at 100 TB);
+    * it prunes at least as aggressively as the paper's rule, which for
+    * near-duplicate REMOVAL errs on the correct side. The DuckDB oracle
+    * mirrors the same rule.
     *
     * Scale shape: the only shuffle is the equi-join on cell id, and pair
     * work is O(Σ cell²) — bounded by the clustering fan-out (cells are

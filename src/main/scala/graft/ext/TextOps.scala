@@ -208,14 +208,21 @@ object TextOps extends QueryModule {
 
   /** Frequency-ranked vocabulary: top-[[vocabSize]] tokens by corpus
     * count (ties broken lexically), id 1..V — trained once per corpus
-    * and checkpointed, the tokenizer-artifact pattern. */
+    * and checkpointed, the tokenizer-artifact pattern.
+    *
+    * The heavy step — selecting the top V of the full term relation —
+    * is `orderBy(...).limit(V)`, which Spark plans as a distributed
+    * TakeOrderedAndProject (per-partition top-V, then a V-sized merge),
+    * NOT a full-relation single-partition sort. Only the V surviving
+    * rows pass through the id-assigning window, so the single partition
+    * it funnels through is bounded by [[vocabSize]], not the corpus. */
   def vocab(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Landing.ensureParquetFixture(
       tokens(spark, d).groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term").limit(vocabSize)
         .withColumn("id", row_number().over(
           Window.orderBy($"cnt".desc, $"term")).cast("long"))
-        .filter($"id" <= vocabSize)
         .select($"term", $"id"),
       d, "vocab_top1000")
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.QueryModule
 import graft.ingest.{Landing, Tables}
 import graft.util.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -184,6 +184,20 @@ object MicroBatch extends QueryModule {
     * the bound strict. One scalar aggregate over the bounded fixture —
     * at production scale it is "now minus the delays", known without
     * any scan. */
+  /** Certainty-horizon predicate for [[streamOuterJoin]]. Degenerate
+    * corpus (no purchase or no error events at all): no global watermark
+    * exists, so NOTHING is certain — the correct committed result is
+    * empty, which is also what the batch oracle derives. Guarded here
+    * rather than NPE-ing on a null Timestamp min. */
+  private[graft] def outerHorizonCond(maxP: Option[java.sql.Timestamp],
+                                      maxE: Option[java.sql.Timestamp]): Column =
+    (maxP, maxE) match {
+      case (Some(p), Some(e)) =>
+        val horizon = if (p.getTime <= e.getTime) p else e
+        col("p_ts") <= lit(horizon) - expr("INTERVAL 2 HOURS")
+      case _ => lit(false)
+    }
+
   def streamOuterJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val joined = purchaseErrorJoinSink(spark, d, "stream_outer", "leftOuter")
@@ -191,10 +205,8 @@ object MicroBatch extends QueryModule {
     val wmRow = ev.agg(
       max(when($"event_type" === "purchase", $"ts")).as("max_p"),
       max(when($"event_type" === "error", $"ts")).as("max_e")).first()
-    val horizon = Seq(wmRow.getTimestamp(0), wmRow.getTimestamp(1)).min(
-      Ordering.by((t: java.sql.Timestamp) => t.getTime))
     joined
-      .filter($"p_ts" <= lit(horizon) - expr("INTERVAL 2 HOURS"))
+      .filter(outerHorizonCond(Option(wmRow.getTimestamp(0)), Option(wmRow.getTimestamp(1))))
       .groupBy($"user_id")
       .agg(countDistinct($"purchase_id").as("n_purchases"),
         sum(when($"e_ts".isNull, 1L).otherwise(0L)).as("n_clean"),

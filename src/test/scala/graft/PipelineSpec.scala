@@ -135,6 +135,19 @@ class PipelineSpec extends SparkSpec {
     assert(res.getLong(1) > 0L, "no matched pairs — join arm never exercised")
   }
 
+  test("outer-join certainty horizon: degenerate corpus (one side absent) yields empty, not NPE") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val probe = Seq(("p1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("purchase_id", "p_ts")
+    // no error events ever arrived → no global watermark → nothing certain
+    assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(Some(ts), None)).count() === 0L)
+    assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(None, Some(ts))).count() === 0L)
+    assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(None, None)).count() === 0L)
+    // both sides present: the purchase 12h before the horizon IS certain
+    assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(Some(ts), Some(ts))).count() === 1L)
+  }
+
   test("transformWithState carries session state across micro-batches (RocksDB store)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -173,17 +173,28 @@ object Dedup extends QueryModule {
     * ExtSpec). t is fixed at 0.5 so the prefix length is the
     * integer-exact n div 2 + 1.
     *
-    * NOT registered as a benched query — measured and demoted: on THIS
-    * corpus the 31-token vocabulary saturates the shingle space
-    * (SCALING.md), so the df distribution is flat, the prefix stage
-    * only halves the candidates (48.3M vs 106.3M at sf1; Σdf² 102M vs
-    * 237M), and the verify stage — shuffling ~2 KB shingle-set payloads
-    * per surviving candidate — dominates: 8.3 s vs q42's 1.05 s at
-    * sf0.1. Prefix filtering pays off on Zipfian corpora where prefix
-    * tokens have df ≈ 1 and candidates collapse by orders of magnitude;
-    * here the stop-shingle cap (q74) is the right production lever. The
-    * implementation stays as the exactness-proven reference of the
-    * AllPairs scheme. */
+    * Registered (q140) after the r6 Zipfian re-adjudication VERDICT r5
+    * asked for: on a Zipf(s=1, V=12k) corpus — the shape real text has —
+    * the measured candidate work term grows LINEARLY (666 → 5,877 →
+    * 61,387 per 10× docs, SCALING.md) where q42's exact term grows ~97×
+    * per 10×; the prefix stage collapses candidates 240× at 50k docs.
+    * On the driver's saturated 31-token corpus the df distribution is
+    * flat and prefix filtering only halves the candidate stream — there
+    * the stop-shingle cap (q74) bounds cost and MinHash banding (q30)
+    * is the finder; this query carries its anti-regime cost honestly in
+    * the bench. Three further exactness-preserving AllPairs/PPJoin
+    * reductions keep the constant down:
+    *   - length filter: J ≥ ½ forces set sizes within 2× of each other;
+    *   - positional bound (PPJoin): a match at full-order positions
+    *     (p1, p2) can only witness overlap ≤ 1 + min(n1−p1, n2−p2),
+    *     which must reach α = ⌈(n1+n2)/3⌉ — sound under ANY-match
+    *     semantics because the pair's FIRST shared canonical-order
+    *     shingle (in both prefixes by the prefix theorem) bounds the
+    *     true overlap from above;
+    *   - the verify leg intersects xxhash64-hashed shingle sets (8 B
+    *     per shingle shuffled instead of ~40 B strings); a same-pair
+    *     cross-doc hash collision (p ≈ 2⁻⁶⁴ per pair) would overcount
+    *     n_common by 1 — the oracle hash-compare would catch it. */
   def prefixJaccardPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, d)
@@ -194,13 +205,26 @@ object Dedup extends QueryModule {
       .withColumn("pos", row_number().over(wPos))
       .withColumn("n", count(lit(1)).over(wDoc))
       .filter($"pos" <= expr("n div 2 + 1"))
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", $"shingle", $"pos", $"n")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          expr("""a.n <= 2 * b.n AND b.n <= 2 * a.n AND
+                  1 + least(a.n - a.pos, b.n - b.pos) >= (a.n + b.n + 2) div 3"""))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyPairs(signatures(spark, d), cand, 0.5)
+    // hashed-set verify: map-side hash projection so the candidate
+    // shuffle carries long arrays, never the shingle strings
+    val hsets = signatures(spark, d)
+      .select($"doc_id", transform($"sset", s => xxhash64(s)).as("hset"), $"n")
+    val v1 = hsets.select($"doc_id".as("d1"), $"hset".as("h1"), $"n".as("n1"))
+    val v2 = hsets.select($"doc_id".as("d2"), $"hset".as("h2"), $"n".as("n2"))
+    cand.join(v1, "d1").join(v2, "d2")
+      .withColumn("n_common", size(array_intersect($"h1", $"h2")).cast("long"))
+      .withColumn("jaccard", $"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"n_common", $"n1", $"n2", $"jaccard")
+      .orderBy($"d1", $"d2")
   }
 
   /** E2 incremental: near-dup detection for an ARRIVING batch without
@@ -375,6 +399,7 @@ object Dedup extends QueryModule {
     "q74_ngram_jaccard_capped"  -> ngramJaccardCapped,
     "q79_minhash_udaf"          -> minhashUdafSignatures,
     "q132_incremental_neardup"  -> incrementalNearDup,
+    "q140_prefix_jaccard_pairs" -> prefixJaccardPairs,
   )
 
   private val pairOracle =
@@ -413,6 +438,9 @@ object Dedup extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "q30_minhash_neardup_pairs" -> pairOracle.format("0.6", ""),
     "q42_ngram_jaccard_pairs"   -> pairOracle.format("0.5", ""),
+    // exactness: prefix filtering loses no true pair, so the oracle is
+    // q42's — the implementations must agree bit-for-bit
+    "q140_prefix_jaccard_pairs" -> pairOracle.format("0.5", ""),
     // same exact-pair derivation, restricted to pairs touching the delta
     "q132_incremental_neardup" ->
       pairOracle.format("0.6", " AND (d1 % 10 = 0 OR d2 % 10 = 0)"),

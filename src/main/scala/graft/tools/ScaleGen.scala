@@ -27,9 +27,24 @@ import org.apache.spark.sql.functions._
   * generation itself is distributed (spark.range → mapPartitions-style
   * per-row synthesis; only the 10×64 label stats ride the closure).
   *
-  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstDir> <docRows> <embRows> [seed]
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstDir> <docRows> <embRows> [seed] [mode]
   * The canonical sf1 is docRows=50000 embRows=8000 (10×/4× sf0.1, the
   * same per-step ratios the driver uses between its own SFs).
+  *
+  * `mode` (default `uniform`) selects the unigram distribution:
+  *   - `uniform`: the driver corpus's shape — 31 tokens, flat
+  *     frequencies. By sf1 this SATURATES the 3-gram space (mean
+  *     shingle df ≈ 82, SCALING.md) — every shingle hot, the
+  *     boilerplate-heavy worst case.
+  *   - `zipf`: Zipf(s=1) over a [[zipfVocabSize]]-token vocabulary —
+  *     the shape real text has (Zipf's law): a few head tokens carry
+  *     most mass, the tail has df ≈ 1. This is the regime where
+  *     prefix-filtered set-similarity joins (AllPairs/PPJoin) pay off,
+  *     and the corpus mode VERDICT r5 asked for to re-adjudicate the
+  *     demoted prefix join against MinHash banding on realistic
+  *     frequencies. Near-dup injection is identical in both modes
+  *     (one marker-token mutation per 20th doc), so true-pair recall
+  *     is comparable across modes.
   */
 object ScaleGen {
 
@@ -39,12 +54,30 @@ object ScaleGen {
     "filter", "query", "big", "key", "row", "part", "stream", "data",
     "line", "hash", "join", "shard", "plan", "cache", "scale", "a")
 
+  /** 12k tokens — >> the 29.8k possible 3-gram space of the uniform
+    * mode's 31 tokens, so the shingle space CANNOT saturate. */
+  private val zipfVocabSize = 12000
+
+  /** Zipf(s=1) sampling table: cumulative P(rank ≤ r), r = 0..V−1.
+    * ~96 KB of doubles riding the closure — stats, never data. */
+  private def zipfCdf(v: Int): Array[Double] = {
+    val w = Array.tabulate(v)(r => 1.0 / (r + 1))
+    val total = w.sum
+    val cdf = new Array[Double](v)
+    var acc = 0.0
+    var i = 0
+    while (i < v) { acc += w(i) / total; cdf(i) = acc; i += 1 }
+    cdf(v - 1) = 1.0
+    cdf
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dstDir = if (args.length > 1) args(1) else "data/sf1"
     val docRows = if (args.length > 2) args(2).toLong else 50000L
     val embRows = if (args.length > 3) args(3).toLong else 8000L
     val seed = if (args.length > 4) args(4).toLong else 42L
+    val mode = if (args.length > 5) args(5) else "uniform"
     // detect create-vs-join so this main only stops a session it owns
     // (tests call generate() on their own session and never pass here)
     val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -56,15 +89,17 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      generate(spark, srcDir, dstDir, docRows, embRows, seed)
-      println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed}""")
+      generate(spark, srcDir, dstDir, docRows, embRows, seed, mode)
+      println(s"""{"generated":"$dstDir","documents":$docRows,"embeddings":$embRows,"seed":$seed,"mode":"$mode"}""")
     } finally if (preExisting.isEmpty) spark.stop()
   }
 
   /** The generation itself, callable on an existing session (tests). */
   def generate(spark: SparkSession, srcDir: String, dstDir: String,
-               docRows: Long, embRows: Long, seed: Long): Unit = {
+               docRows: Long, embRows: Long, seed: Long,
+               mode: String = "uniform"): Unit = {
     import spark.implicits._
+    require(mode == "uniform" || mode == "zipf", s"unknown mode '$mode'")
 
     // ---- documents ------------------------------------------------
     // Per-id deterministic RNG; a doc at id with id%20==19 is a near-dup
@@ -76,11 +111,21 @@ object ScaleGen {
       x ^= (x >>> 27); x *= 0x94D049BB133111EBL
       x ^ (x >>> 31)
     }
+    // zipf mode: rank → token name; inverse-CDF sample by binary search
+    val zipf = mode == "zipf"
+    val cdf = if (zipf) zipfCdf(zipfVocabSize) else Array.empty[Double]
+    val nextWord: java.util.Random => String =
+      if (zipf) { rng =>
+        val p = rng.nextDouble()
+        var lo = 0; var hi = cdf.length - 1
+        while (lo < hi) { val m = (lo + hi) >>> 1; if (cdf(m) < p) lo = m + 1 else hi = m }
+        "w" + lo // "w0" (head, p ≈ 10%) .. "w11999" (tail, df ≈ 1)
+      } else { rng => vocab(rng.nextInt(vocab.length)) }
     val genDoc = udf { (id: Long) =>
       val baseId = if (id % 20 == 19) id - 1 else id
       val rng = new java.util.Random(mix(seed, baseId))
       val len = 10 + rng.nextInt(91)
-      val words = Array.fill(len)(vocab(rng.nextInt(vocab.length)))
+      val words = Array.fill(len)(nextWord(rng))
       if (id != baseId) {
         val r2 = new java.util.Random(mix(seed, id))
         words(r2.nextInt(len)) = "dup"

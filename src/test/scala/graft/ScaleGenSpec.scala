@@ -48,4 +48,30 @@ class ScaleGenSpec extends SparkSpec {
     assert(emb.select(size($"embedding")).distinct().head.getInt(0) === 64)
     assert(emb.select($"label").distinct().count() === 10)
   }
+
+  test("zipf mode: head-heavy long-tail unigrams, same injection + determinism laws") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft_gen_z1").toString
+    val b = Files.createTempDirectory("graft_gen_z2").toString
+    graft.tools.ScaleGen.generate(spark, sfDir, a, 2000, 200, 42L, "zipf")
+    graft.tools.ScaleGen.generate(spark, sfDir, b, 2000, 200, 42L, "zipf")
+    val da = spark.read.parquet(s"$a/documents.parquet")
+    val db = spark.read.parquet(s"$b/documents.parquet")
+    assert(da.exceptAll(db).count() === 0 && db.exceptAll(da).count() === 0)
+    // injection law unchanged across modes: every 20th doc is a marker dup
+    assert(da.filter($"text".contains("dup")).count() === 100)
+    val terms = da.select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cnt")).cache()
+    val total = terms.agg(sum($"cnt")).head.getLong(0).toDouble
+    // Zipf(s=1, V=12000): P(rank 1) = 1/H_V ≈ 0.102 — head token carries
+    // ~10% of all mass (uniform mode: each token is 1/31 ≈ 3.2%)
+    val headShare = terms.orderBy($"cnt".desc).head.getLong(1) / total
+    assert(headShare > 0.08 && headShare < 0.13, s"head share $headShare not Zipf-like")
+    // long tail: a large fraction of DISTINCT observed terms occur ≤ 2 times
+    val nDistinct = terms.count().toDouble
+    val nRare = terms.filter($"cnt" <= 2).count().toDouble
+    assert(nDistinct > 2000, s"vocab too small to be long-tailed: $nDistinct")
+    assert(nRare / nDistinct > 0.4, s"tail not sparse: ${nRare / nDistinct}")
+    terms.unpersist()
+  }
 }

@@ -50,9 +50,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Row-count note: per-batch partials mean a key accumulates one row
   * per contributing batch; with event-time partitioning a batch lands
-  * in few dates, so the per-key fan-in stays small, and the compaction
-  * pass (q97's machinery) can fold fully-ledgered history when it
-  * grows. Reads aggregate the partials — same one-shuffle shape.
+  * in few dates, so the per-key fan-in stays small. When it grows (at
+  * 100× batch cadence the fan-in IS the read cost), [[foldPublished]]
+  * compacts fully-published partials into one folded generation under
+  * the SAME two-phase marker protocol, with replay-of-folded-batch
+  * still a no-op and reads identical across the fold (proven in
+  * IncrementalSpec). Reads aggregate the partials — same one-shuffle
+  * shape.
   */
 object Incremental extends QueryModule {
 
@@ -114,6 +118,91 @@ object Incremental extends QueryModule {
   def appliedBatches(goldDir: String): Seq[String] =
     listMarkers(goldDir, "__applied_")
 
+  // ---- ledgered-partials fold (compaction of published history) ---------
+
+  /** Fold batch ids are namespaced so a fold can itself be folded and
+    * readers can tell retirement carriers from ordinary batches. */
+  private val FoldPrefix = "fold-"
+
+  private def markerPath(goldDir: String, batchId: String) =
+    Paths.get(goldDir + s"__applied_$batchId")
+
+  /** The ids a published fold retired — its marker's content, one per
+    * line. Ordinary batch markers are empty, so this is empty for them. */
+  private def retiredBy(goldDir: String, foldId: String): Seq[String] =
+    new String(Files.readAllBytes(markerPath(goldDir, foldId)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+
+  /** The EFFECTIVE batch frontier: published ids minus ids retired into
+    * any published fold. Retirement never deletes the retired batches'
+    * own markers — those are precisely what keeps an upstream REPLAY of
+    * a folded batch a no-op ([[refreshAdditive]]'s fast path) — the
+    * fold's marker carries the retired set instead, and readers
+    * subtract. Accumulating retirement over every published fold also
+    * handles folds-of-folds: fold-2 retires fold-1, and fold-1's own
+    * retirements stay in force. */
+  def effectiveBatches(goldDir: String): Seq[String] = {
+    val all = appliedBatches(goldDir)
+    val retired = all.filter(_.startsWith(FoldPrefix))
+      .flatMap(f => retiredBy(goldDir, f)).toSet
+    all.filterNot(retired)
+  }
+
+  /** Compact every currently-effective published batch into ONE folded
+    * generation, committed under the same two-phase protocol as a batch:
+    *
+    *   1. data phase — the folded partials (exact decimal re-aggregation
+    *      of the folded batches at gold grain) are written into the
+    *      fold's OWN (event_date, batch_id=foldId) leaves; a crash here
+    *      tears only the fold, which is unpublished and invisible;
+    *   2. publish phase — the fold's ledger marker lands ATOMICALLY
+    *      (temp file + atomic move: a torn marker that published the
+    *      fold while retiring only SOME of its inputs would
+    *      double-count), carrying the retired ids as its content.
+    *
+    * After publish, readers resolve the same totals from the folded
+    * generation (IncrementalSpec proves the read is identical across
+    * the fold), replay of any folded batch remains a no-op, and the
+    * retired leaves are dead weight removable by [[vacuumRetired]]. */
+  def foldPublished(spark: SparkSession, goldDir: String, foldId: String): Unit = {
+    require(foldId.startsWith(FoldPrefix), s"fold id must start with '$FoldPrefix'")
+    if (Files.exists(markerPath(goldDir, foldId))) return // replay: no-op
+    val toFold = effectiveBatches(goldDir)
+    if (toFold.isEmpty) return
+    import spark.implicits._
+    val folded = spark.read.parquet(goldDir)
+      .filter($"batch_id".isin(toFold: _*))
+      .groupBy($"event_date", $"event_type")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"total_dec").cast(Money).as("total_dec"))
+    writePartials(goldDir, folded, foldId)
+    val tmp = Paths.get(goldDir + s"__tmp_$foldId")
+    Files.write(tmp, toFold.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, markerPath(goldDir, foldId),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Garbage-collect the leaf directories of batches retired by a
+    * published fold. Safe at ANY point after publish: readers resolve
+    * the frontier from the ledger first, and the batch_id partition
+    * filter prunes retired directories whether or not they still exist.
+    * Time travel to a retired batch id is the one capability vacuum
+    * destroys — the standard retention trade. */
+  def vacuumRetired(goldDir: String): Unit = {
+    val retired = appliedBatches(goldDir).filter(_.startsWith(FoldPrefix))
+      .flatMap(f => retiredBy(goldDir, f)).toSet
+    if (retired.isEmpty) return
+    graft.util.Fs.listClosed(Paths.get(goldDir))
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("event_date="))
+      .foreach { dateDir =>
+        retired.foreach { b =>
+          graft.util.Fs.deleteRecursively(dateDir.resolve(s"batch_id=$b").toString)
+        }
+      }
+  }
+
   /** q96: gold initialized from the "historical" events (day-of-month
     * > 7), then the day ≤ 7 batch arrives and is added incrementally.
     * The oracle is the FULL recompute over all events — incremental
@@ -121,10 +210,11 @@ object Incremental extends QueryModule {
   def incrementalGold(spark: SparkSession, d: String): DataFrame = {
     val goldDir = ensureGoldTable(spark, d)
     // the table stores per-batch partials — the PUBLISHED read filters
-    // to ledgered batch ids (read-committed: an in-flight batch is
-    // invisible) and aggregates them (one shuffle, identical shape to
-    // reading final rows pre-grouped)
-    readAsOf(spark, goldDir, appliedBatches(goldDir))
+    // to EFFECTIVE ledgered batch ids (read-committed: an in-flight
+    // batch is invisible; a folded batch is represented by its fold)
+    // and aggregates them (one shuffle, identical shape to reading
+    // final rows pre-grouped)
+    readAsOf(spark, goldDir, effectiveBatches(goldDir))
   }
 
   /** Build (idempotently) the two-batch gold fixture both q96 and q126

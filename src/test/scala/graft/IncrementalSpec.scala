@@ -123,6 +123,94 @@ class IncrementalSpec extends SparkSpec {
     assert(publishedTotal() === 2 * once)
   }
 
+  test("ledgered fold: reads identical across fold + vacuum; folded-batch replay stays a no-op") {
+    import spark.implicits._
+    val gold = {
+      val t = Files.createTempDirectory("graft_gold_fold").toString
+      graft.util.Fs.deleteRecursively(t); t
+    }
+    val ev = Tables.events(spark, sfDir)
+    val d1 = Incremental.toGoldGrain(ev.filter(dayofmonth(col("ts")) <= 7))
+    val d2 = Incremental.toGoldGrain(ev.filter(dayofmonth(col("ts")) === 8))
+    def read(): Seq[org.apache.spark.sql.Row] = {
+      val eff = Incremental.effectiveBatches(gold)
+      spark.read.parquet(gold)
+        .filter($"batch_id".isin(eff: _*))
+        .groupBy($"event_date", $"event_type")
+        .agg(sum($"n_events").as("n_events"), sum($"total_dec").as("total_dec"))
+        .orderBy($"event_date", $"event_type").collect().toSeq
+    }
+    Incremental.refreshAdditive(gold, d1, "b1")
+    Incremental.refreshAdditive(gold, d2, "b2")
+    val before = read()
+    // fold the two published batches into one generation
+    Incremental.foldPublished(spark, gold, "fold-1")
+    assert(Incremental.appliedBatches(gold).toSet === Set("b1", "b2", "fold-1"))
+    assert(Incremental.effectiveBatches(gold) === Seq("fold-1"),
+      "fold must retire its inputs from the effective frontier")
+    assert(read() === before, "read changed across the fold")
+    // replay of the FOLDED batch: its own marker is still on disk, so
+    // the upstream redelivery hits the fast path and nothing changes
+    Incremental.refreshAdditive(gold, d1, "b1")
+    assert(read() === before, "replay of a folded batch was not a no-op")
+    // fold replay is itself a no-op
+    Incremental.foldPublished(spark, gold, "fold-1")
+    assert(read() === before)
+    // vacuum removes the retired leaves; the read resolves identically
+    Incremental.vacuumRetired(gold)
+    assert(read() === before, "read changed after vacuuming retired leaves")
+    assert(spark.read.parquet(gold).select($"batch_id").distinct()
+      .collect().map(_.getString(0)).toSet === Set("fold-1"),
+      "vacuum left retired batch directories behind")
+    // a NEW batch after the fold adds on top of the folded generation
+    Incremental.refreshAdditive(gold, d2, "b3")
+    val withB3 = read()
+    assert(withB3.map(_.getAs[Long]("n_events")).sum ===
+      before.map(_.getAs[Long]("n_events")).sum +
+        d2.agg(sum($"n_events")).head.getLong(0))
+    // and a SECOND fold folds the fold + the new batch; reads still fixed
+    Incremental.foldPublished(spark, gold, "fold-2")
+    assert(Incremental.effectiveBatches(gold) === Seq("fold-2"),
+      "fold-of-fold must retire both fold-1 and b3")
+    assert(read() === withB3, "read changed across the second fold")
+  }
+
+  test("torn fold data phase is invisible; fold replay converges") {
+    import spark.implicits._
+    val gold = {
+      val t = Files.createTempDirectory("graft_gold_foldtear").toString
+      graft.util.Fs.deleteRecursively(t); t
+    }
+    val ev = Tables.events(spark, sfDir)
+    val d1 = Incremental.toGoldGrain(ev.filter(dayofmonth(col("ts")) <= 7))
+    def read(): Seq[org.apache.spark.sql.Row] = {
+      val eff = Incremental.effectiveBatches(gold)
+      spark.read.parquet(gold)
+        .filter($"batch_id".isin(eff: _*))
+        .groupBy($"event_date", $"event_type")
+        .agg(sum($"n_events").as("n_events"))
+        .orderBy($"event_date", $"event_type").collect().toSeq
+    }
+    Incremental.refreshAdditive(gold, d1, "b1")
+    val before = read()
+    // simulate the crash window: the fold's DATA phase lands (its leaves
+    // exist) but the marker never does — readers must not see the fold,
+    // and b1 stays effective
+    val folded = spark.read.parquet(gold).filter($"batch_id" === "b1")
+      .groupBy($"event_date", $"event_type")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"total_dec").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("total_dec"))
+    Incremental.writePartials(gold, folded, "fold-1")
+    assert(Incremental.effectiveBatches(gold) === Seq("b1"),
+      "an unpublished fold leaked into the frontier")
+    assert(read() === before, "a torn fold changed the read")
+    // restart replays the fold: data phase rewrites its own leaves in
+    // full, the marker lands atomically, frontier flips to the fold
+    Incremental.foldPublished(spark, gold, "fold-1")
+    assert(Incremental.effectiveBatches(gold) === Seq("fold-1"))
+    assert(read() === before, "fold replay did not converge")
+  }
+
   test("cross-table txn: a torn pair write is invisible in BOTH tables; replay completes atomically") {
     import spark.implicits._
     val (a, b) = Incremental.ensureGoldPair(spark, sfDir)

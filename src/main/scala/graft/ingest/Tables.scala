@@ -41,8 +41,31 @@ object Tables {
     * events split too, vs 76.2 s with no splits but a 2.0-2.5 s heavy
     * tail — q118 2.01→0.69, q93 1.79→1.20, q42 2.50→1.60, q33
     * 1.52→0.44, q79 1.51→0.84 at sf0.1). */
+  /** Split-count law (re-tuned r6 after the q85/q32 drift bisected to
+    * the r5 full-fan-out layout): ~10-40 ms of per-task overhead
+    * (scheduling, file open, AQE bookkeeping) means full 32-way fan-out
+    * LOSES on sub-MB tables — the measured sf0.1 sweep put the optimum
+    * at 8 splits (q85 1.04→0.49 s, q32 1.46→0.79 s vs 32 splits, while
+    * the original win queries got no worse: q118 0.46 s, q33 0.47 s).
+    * So: floor of 8 (the measured small-table optimum — enough fan-out
+    * for compute-dense rows like embeddings' 64-dim dots), growing one
+    * split per 4 MB toward full parallelism for genuinely large tables
+    * (the regime where scan bytes, not task overhead, dominate).
+    * SPARK_GRAFT_SPLITS overrides for measurement sweeps. */
+  private def splitCount(spark: SparkSession, d: String, name: String): Int =
+    sys.env.get("SPARK_GRAFT_SPLITS").map(_.toInt).getOrElse {
+      val cores = spark.sparkContext.defaultParallelism
+      val bytes = graft.util.Fs.walkClosed(
+          java.nio.file.Paths.get(s"$d/$name.parquet"))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      val byBytes = (bytes / (4L << 20)).toInt + 1
+      math.min(cores, math.max(math.min(8, cores), byBytes))
+    }
+
   private def splitTable(spark: SparkSession, d: String, name: String): DataFrame = {
-    val n = spark.sparkContext.defaultParallelism
+    val n = splitCount(spark, d, name)
+    if (n <= 1) return table(spark, d, name)
     val dir = Landing.ensureBuilt(Landing.fixtureDir(d, s"split_${name}_$n")) { dd =>
       table(spark, d, name).repartition(n).write.mode("overwrite").parquet(dd)
     }

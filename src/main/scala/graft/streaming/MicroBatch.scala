@@ -447,8 +447,61 @@ object MicroBatch extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** T4+++++ (q147): timer-closed sessions — `transformWithState` under
+    * `TimeMode.EventTime` with a zero-delay watermark. Non-trailing
+    * sessions close inline when the gap-breaking event arrives; each
+    * user's TRAILING session closes only when its event-time timer
+    * (last event + 30 min) falls at or below the final watermark, fired
+    * by the engine's post-data no-data batch — emission with no
+    * subsequent event for the key, which is the feature under test.
+    * Trailing sessions still inside the gap at end-of-stream stay open
+    * and are (correctly) absent. The batch oracle derives the same set:
+    * gap-sessionize, then keep sessions whose ms-granular close horizon
+    * (timers are ms-based) is ≤ the global max event time. */
+  def streamTimerSessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val landing = ensureLanding(spark, d)
+    val name = "stream_timer_sess_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + runSeq.incrementAndGet()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(wireSchema)
+        .option("maxFilesPerTrigger", "1000000") // one data batch; timers fire in the no-data batch
+        .json(landing)
+        .withColumn("ts", to_timestamp($"ts_str", tsFmt))
+        .withWatermark("ts", "0 seconds")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"ts")
+        .as[StatefulSessions.TimedEv]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulSessions.TimerSessionProcessor(StatefulSessions.defaultGapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name)
+      .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q57_stream_microbatch" -> streamMicrobatch,
+    "q147_stream_timer_sessions" -> streamTimerSessions,
     "q105_stream_static_enrich" -> streamStaticEnrich,
     "q109_stream_sessions" -> streamSessions,
     "q123_stream_transform_with_state" -> streamTransformWithState,
@@ -478,6 +531,37 @@ object MicroBatch extends QueryModule {
         |FROM flagged
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // q70's gap derivation, restricted to sessions CLOSED at the final
+    // watermark: non-trailing sessions (a later event broke the gap) are
+    // always closed; trailing ones only when last_event + 30 min — at the
+    // TIMER's ms granularity — is at or below the global max event time
+    // (delay 0 ⇒ final watermark = max ts). Non-trailing sessions satisfy
+    // the horizon by construction (their gap-breaker is ≤ max ts), so one
+    // WHERE covers both emission paths.
+    "q147_stream_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+        |         MAX(epoch_us(ts)) AS session_end_us,
+        |         COUNT(*) AS n_events
+        |  FROM sessioned GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM sessions
+        |WHERE session_end_us // 1000 + 1800000 <= (SELECT MAX(epoch_us(ts)) // 1000 FROM e)
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // identical derivation to q66's batch oracle: the streaming engine
     // must produce the same sessions as the batch session_window
     "q109_stream_sessions" ->

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state via `mapGroupsWithState` (SURVEY.md §2.10;
   * KeyValueGroupedDataset) — per-user gap-based session counting, the
@@ -74,6 +74,104 @@ object StatefulSessions {
       }
       state.update(s)
       Iterator.single(SessionAgg(key, s.nSessions, s.nEvents))
+    }
+  }
+
+  /** Event row that keeps BOTH the micros long (state-machine arithmetic)
+    * and the Timestamp column (the engine's event-time watermark rides on
+    * it — `withWatermark` needs a TimestampType column to survive into
+    * the stateful operator). */
+  case class TimedEv(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** T4++++: timer-driven session CLOSE — the `transformWithState`
+    * feature the ValueState-only [[SessionProcessor]] doesn't exercise.
+    *
+    * Two emission paths, both append-only CLOSED sessions:
+    *   - `handleInputRows`: a new event more than `gap` after the open
+    *     session's last event closes that session inline (the next-record
+    *     path every sessionizer has);
+    *   - `handleExpiredTimer`: an EVENT-TIME timer registered at
+    *     `last_event + gap` fires once the watermark passes it — the
+    *     trailing idle session closes with NO subsequent event for its
+    *     key. This is the piece mapGroupsWithState needed hand-rolled
+    *     timeout bookkeeping for, and why an unbounded production
+    *     sessionizer wants timers: state for idle keys is emitted AND
+    *     cleared by watermark progress alone, so per-key state does not
+    *     accumulate forever.
+    *
+    * Timer bookkeeping: at most ONE live timer per key (the trailing
+    * expiry); extending the session deletes the stale timer and registers
+    * the new expiry. Timers are millisecond-granular (Spark's timer API),
+    * so the close horizon rounds micros DOWN to ms — the batch oracle
+    * mirrors that exactly (epoch_ms arithmetic, q147).
+    */
+  class TimerSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, TimedEv, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def expiryMs(s: OpenSession): Long = s.lastUs / 1000 + gapUs / 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEv],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var s: OpenSession = if (open.exists()) open.get() else null
+      val staleTimer = Option(s).map(expiryMs)
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        if (s == null) s = OpenSession(e.ts_us, e.ts_us, 1L)
+        else if (e.ts_us - s.lastUs > gapUs) {
+          out += ClosedSession(key, s.startUs, s.lastUs, s.nEvents)
+          s = OpenSession(e.ts_us, e.ts_us, 1L)
+        } else s = OpenSession(s.startUs, e.ts_us, s.nEvents + 1L)
+      }
+      open.update(s)
+      if (!staleTimer.contains(expiryMs(s))) {
+        staleTimer.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiryMs(s))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!open.exists()) return Iterator.empty
+      val s = open.get()
+      // guard against a stale fire racing a just-extended session
+      if (expiryMs(s) <= info.getExpiryTimeInMs) {
+        open.clear()
+        Iterator.single(ClosedSession(key, s.startUs, s.lastUs, s.nEvents))
+      } else Iterator.empty
+    }
+  }
+
+  case class Seen(key: Long, n: Long)
+
+  /** State TTL demonstrator (§2.13 T4's remaining named feature): a
+    * per-key event counter whose ValueState carries a TTLConfig. Spark
+    * allows TTL only under processing-time mode; once the TTL elapses,
+    * `get()` on the state returns nothing and the counter restarts —
+    * the engine-managed eviction an unbounded keyspace needs (exercised
+    * in PipelineSpec with a short TTL + wall-clock sleep, and a long-TTL
+    * control proving persistence). */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Ev, Seen] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[Seen] = {
+      val prev = if (n.exists()) n.get() else 0L
+      val now = prev + rows.size
+      n.update(now)
+      Iterator.single(Seen(key, now))
     }
   }
 }

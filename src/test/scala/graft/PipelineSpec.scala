@@ -148,6 +148,105 @@ class PipelineSpec extends SparkSpec {
     assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(Some(ts), Some(ts))).count() === 1L)
   }
 
+  test("timer-driven session close: emission happens on the watermark, not on a next record") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatefulSessions.TimedEv]
+      val query = input.toDS().withWatermark("ts", "0 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulSessions.TimerSessionProcessor(StatefulSessions.defaultGapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("timer_sess_test")
+        .outputMode("update").start()
+      val us = 1000000L
+      // offset well past epoch 0: the initial watermark IS 0, so a
+      // 1970-adjacent event arrives "late" and is dropped before the
+      // stateful operator ever sees it
+      val t0 = 1704067200L * us // 2024-01-01T00:00:00Z
+      def ev(uid: Long, usTs: Long) =
+        StatefulSessions.TimedEv(uid, usTs, new java.sql.Timestamp(usTs / 1000))
+      // batch 1: user 1 only — two events 10 s apart; watermark = t0+10s,
+      // far below the session's close horizon → nothing emitted
+      input.addData(ev(1L, t0), ev(1L, t0 + 10 * us))
+      query.processAllAvailable()
+      assert(spark.table("timer_sess_test").count() === 0L,
+        "session emitted before its idle horizon")
+      // batch 2: only USER 2 speaks, 2 h later — the watermark advance
+      // (not any user-1 record) must close user 1's idle session
+      input.addData(ev(2L, t0 + 2 * 3600 * us))
+      query.processAllAvailable()
+      val rows = spark.table("timer_sess_test")
+        .as[StatefulSessions.ClosedSession].collect()
+      query.stop()
+      assert(rows.toSeq === Seq(StatefulSessions.ClosedSession(1L, t0, t0 + 10 * us, 2L)),
+        "user 1's trailing session must close by timer, with no user-1 event in batch 2")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("state TTL evicts idle per-key state; a long TTL control persists it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(ttl: java.time.Duration, name: String, sleepMs: Long): Seq[Long] = {
+        val input = MemoryStream[Ev]
+        val query = input.toDS().groupByKey(_.user_id)
+          .transformWithState(
+            new StatefulSessions.TtlCountProcessor(ttl),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream.format("memory").queryName(name).outputMode("update").start()
+        // NO processAllAvailable here: under TimeMode.ProcessingTime the
+        // engine keeps scheduling batches (processing time always
+        // advances), so the stream never quiesces — poll the sink for the
+        // expected row count instead (learned the hard way: a 25-minute
+        // spin inside processAllAvailable).
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (spark.table(name).count() < n) {
+            if (System.nanoTime() > deadline) fail(s"timeout waiting for $n rows in $name")
+            Thread.sleep(100)
+          }
+        }
+        input.addData(Ev(1L, 0L))
+        awaitRows(1L)
+        Thread.sleep(sleepMs)
+        input.addData(Ev(1L, 1L))
+        awaitRows(2L)
+        val counts = spark.table(name).as[StatefulSessions.Seen]
+          .collect().toSeq.map(_.n).sorted
+        query.stop()
+        counts
+      }
+      // 50 ms TTL + 2 s idle: the counter state is evicted between
+      // batches, so the second batch restarts at 1 — engine-managed
+      // eviction, no timeout bookkeeping in the processor
+      assert(run(java.time.Duration.ofMillis(50), "ttl_short_test", 2000L) === Seq(1L, 1L))
+      // 1 h TTL control: state survives the same idle gap
+      assert(run(java.time.Duration.ofHours(1), "ttl_long_test", 2000L) === Seq(1L, 2L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState carries session state across micro-batches (RocksDB store)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

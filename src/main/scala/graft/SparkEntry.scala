@@ -21,11 +21,17 @@ object SparkEntry {
     analytics.Funnel,
     silver.SemiStructured,
     ext.Dedup,
+    ext.DedupMinHash,
+    ext.DedupSimHash,
     ext.TextOps,
     ext.Similarity,
+    ext.SimilarityAnn,
+    ext.SemanticDedup,
     ext.Multimodal,
     ext.TrainPrep,
     ext.Curation,
+    ext.CurationGovernance,
+    ext.SpanDedup,
     ext.Mixing,
     ext.DedupClusters,
     ext.Sketches,

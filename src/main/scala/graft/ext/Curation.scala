@@ -5,18 +5,11 @@ import graft.ingest.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Corpus-curation tier (SURVEY.md §2.12 [ext]) — the cleaning passes a
-  * 100-TB pretraining pipeline runs between raw ingest and train-prep:
+/** Corpus-curation tier (SURVEY.md §2.12 [ext]) — the text-quality
+  * passes a 100-TB pretraining pipeline runs between raw ingest and
+  * train-prep (the compliance/representation ops are
+  * [[CurationGovernance]]; sub-document dedup is [[SpanDedup]]):
   *
-  *   - q98 PII redaction: regex scrub of emails/phones with a residual
-  *     audit (count of PII patterns surviving redaction — the contract
-  *     a compliance pass actually has to certify, not just "we ran the
-  *     regex"). Pure per-row codegen'd string ops: map-only over the
-  *     corpus, no shuffle except the final small summary aggregate.
-  *     The corpus carries no real PII, so the contact-card column is
-  *     synthesized deterministically from customer fields; the
-  *     REDACTION pipeline (match → count → replace → verify) is the
-  *     operator under test and is mirrored exactly in the oracle.
   *   - q99 boilerplate detection: 5-gram document frequency across the
   *     corpus — the header/footer/template text that near-dedup misses
   *     because it rides inside otherwise-distinct documents. One
@@ -35,11 +28,10 @@ import org.apache.spark.sql.functions._
   *     quality signal — the fraction of a document's trigrams that are
   *     repeats. Per-document explode + groupBy on doc_id: one narrow
   *     shuffle keyed by the table's own primary key.
+  *   - q108: the composite funnel over the stages above.
   */
 object Curation extends QueryModule {
 
-  private val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-  private val phoneRe = "[0-9]{3}-555-[0-9]{4}"
   private val boilerplateMinDf = 3
   private val enKeepBuckets = 128 // en kept at 128/256 = 50%, other langs 100%
 
@@ -58,35 +50,6 @@ object Curation extends QueryModule {
        |  SELECT DISTINCT doc_id, $parts AS gram
        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-${n - 1})) AS i FROM tok)
        |)""".stripMargin
-  }
-
-  /** The redaction pipeline itself, reusable on any string column:
-    * (n_emails, n_phones, redacted text). */
-  def redactPii(card: Column): (Column, Column, Column) = (
-    size(regexp_extract_all(card, lit(emailRe), lit(0))),
-    size(regexp_extract_all(card, lit(phoneRe), lit(0))),
-    regexp_replace(regexp_replace(card, emailRe, "[EMAIL]"), phoneRe, "[PHONE]"),
-  )
-
-  /** q98: scrub synthesized contact cards, audit residual PII per segment. */
-  def piiRedaction(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val card = concat($"c_name", lit(" contact "),
-      lower(regexp_replace($"c_name", "[^a-zA-Z0-9]", "")), lit("@example.com or "),
-      lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-555-"),
-      lpad(($"c_custkey" % 10000).cast("string"), 4, "0"))
-    val (nEmail, nPhone, redacted) = redactPii(card)
-    Tables.customer(spark, d)
-      .select($"c_mktsegment", nEmail.as("n_email"), nPhone.as("n_phone"),
-        redacted.as("redacted"))
-      .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_customers"),
-        sum($"n_email").cast("long").as("emails_redacted"),
-        sum($"n_phone").cast("long").as("phones_redacted"),
-        sum(when($"redacted".rlike(s"$emailRe|$phoneRe"), 1).otherwise(0))
-          .cast("long").as("residual_pii"),
-        min(md5($"redacted")).as("sample_hash"))
-      .orderBy($"c_mktsegment")
   }
 
   /** q100's held-out eval set: every 53rd document. */
@@ -169,25 +132,6 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  private val sourceCap = 4 // max docs kept per source
-
-  /** q107: per-source document caps — the domain-cap pass that keeps a
-    * handful of over-represented sources (SEO farms, mirrors) from
-    * dominating the corpus. Keep the `sourceCap` longest documents per
-    * source (doc_id tiebreak), via the native TopKPerGroup operator:
-    * each map partition ships at most k rows per source it saw, so the
-    * exchange carries O(k · sources), never the corpus. */
-  def sourceCaps(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, d)
-      .select($"source", $"doc_id", $"lang", $"n_chars")
-    graft.plans.GraftOps.topKPerGroup(docs,
-        groupCols = Seq("source"),
-        sort = Seq("n_chars" -> true, "doc_id" -> false),
-        k = sourceCap)
-      .orderBy($"source", $"n_chars".desc, $"doc_id")
-  }
-
   private val repMax = 0.03 // drop docs with > 3% repeated trigrams
 
   /** q108: the composite curation funnel — near-dup drop (keep each
@@ -230,130 +174,15 @@ object Curation extends QueryModule {
       .orderBy($"lang")
   }
 
-  private val fuzzyMaxDist = 3
-
-  /** q113: entity-resolution fuzzy match — near-identical name variants
-    * found by edit distance. The scale-correct shape has two guards the
-    * naive all-pairs levenshtein lacks:
-    *   1. pairwise comparison runs on the DISTINCT-name dictionary
-    *      (with per-name row counts carried as weights), never on the
-    *      row level — dictionaries are orders of magnitude smaller than
-    *      the tables they describe;
-    *   2. candidate pairs are BLOCKED on a cheap structural key (the
-    *      head noun) so the quadratic term is per-block, not global.
-    * Output: name pairs within distance <= 3 plus each side's row
-    * weight — what a dedup-review queue actually consumes. */
-  def fuzzyMatch(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val names = Tables.part(spark, d)
-      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
-      .withColumn("noun", element_at(split($"p_name", " "), 2))
-    val a = names.select($"p_name".as("name1"), $"n_rows".as("n1"), $"noun")
-    val b = names.select($"p_name".as("name2"), $"n_rows".as("n2"), $"noun")
-    a.join(b, Seq("noun"))
-      .filter($"name1" < $"name2")
-      .withColumn("dist", levenshtein($"name1", $"name2").cast("long"))
-      .filter($"dist" <= fuzzyMaxDist && $"dist" >= 1)
-      .select($"name1", $"name2", $"dist", $"n1", $"n2")
-      .orderBy($"name1", $"name2")
-  }
-
-  private[graft] val spanLen = 8 // tokens per dedup span
-
-  /** (doc_id, span_idx, span) rows: each document cut into
-    * non-overlapping [[spanLen]]-token spans — shared by q145 and its
-    * spec so they can never extract differently. */
-  private[graft] def spansOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .withColumn("k", explode(sequence(lit(0L), expr(s"(size(toks) - 1) div $spanLen"))))
-      .select($"doc_id", $"k".as("span_idx"),
-        concat_ws(" ", slice($"toks", ($"k" * spanLen + 1).cast("int"), lit(spanLen)))
-          .as("span"))
-  }
-
-  /** E1+/E+: cross-corpus SPAN dedup with document reassembly — the C4
-    * rule ("any span occurring more than once in the corpus is removed
-    * from every document but the first") at 8-token granularity, the
-    * line/paragraph-level dedup step between whole-doc dedup (q22) and
-    * intra-doc repetition scoring (q102). Documents are cut into
-    * non-overlapping spans, the FIRST occurrence of each span content
-    * (in (doc_id, span_idx) order) is kept, and each document is
-    * reassembled from its surviving spans in order.
-    *
-    * Scale shape: the first occurrence per span is a `min(struct)`
-    * AGGREGATE — partial-aggregated map-side, so a hot span (a blank or
-    * boilerplate line, precisely what span dedup exists to remove in a
-    * real corpus) costs one combiner cell per task, never a one-reducer
-    * sort of its full occurrence list (a row_number window partitioned
-    * by span would do exactly that — review r5). Two content-keyed
-    * shuffles (dedup join, doc-keyed reassembly); per-doc reassembly
-    * state is bounded by document length. The cleaned text rides as
-    * md5 so the relation stays metadata-sized. */
-  def spanDedup(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val spans = spansOf(Tables.documents(spark, d))
-    val first = spans.groupBy($"span")
-      .agg(min(struct($"doc_id", $"span_idx")).as("first_occ"))
-    spans.join(first, "span")
-      .withColumn("keep", struct($"doc_id", $"span_idx") === $"first_occ")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(when($"keep", struct($"span_idx", $"span")))),
-            x => x.getField("span")),
-          " ")).as("clean_md5"))
-      .orderBy($"doc_id")
-  }
-
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "q98_pii_redaction"      -> piiRedaction,
-    "q107_source_caps"       -> sourceCaps,
     "q108_curation_pipeline" -> curationPipeline,
-    "q113_fuzzy_match"       -> fuzzyMatch,
     "q99_boilerplate_ngrams" -> boilerplateNgrams,
     "q100_contamination_check" -> contaminationCheck,
     "q101_stratified_sample" -> stratifiedSample,
     "q102_doc_repetition"    -> docRepetition,
-    "q145_span_dedup"        -> spanDedup,
   )
 
   val oracles = Map(
-    "q145_span_dedup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |), b AS (
-         |  SELECT doc_id, k AS span_idx,
-         |    array_to_string(ws[k*$spanLen+1 : least(k*$spanLen+$spanLen, len(ws))], ' ') AS span
-         |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//$spanLen)) AS k FROM t)
-         |), flag AS (
-         |  SELECT doc_id, span_idx, span,
-         |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
-         |  FROM b
-         |)
-         |SELECT doc_id, COUNT(*) AS n_spans,
-         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  md5(COALESCE(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_idx), '')) AS clean_md5
-         |FROM flag
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin,
-    "q113_fuzzy_match" ->
-      s"""WITH names AS (
-         |  SELECT p_name, COUNT(*) AS n_rows,
-         |    string_split(p_name, ' ')[2] AS noun
-         |  FROM part GROUP BY p_name
-         |)
-         |SELECT a.p_name AS name1, b.p_name AS name2,
-         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-         |  a.n_rows AS n1, b.n_rows AS n2
-         |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
-         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $fuzzyMaxDist
-         |ORDER BY name1, name2""".stripMargin,
     "q108_curation_pipeline" ->
       s"""WITH RECURSIVE tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -406,36 +235,6 @@ object Curation extends QueryModule {
          |  CAST(SUM(CASE WHEN keep_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
          |  CAST(SUM(CASE WHEN keep_sample THEN n_chars ELSE 0 END) AS BIGINT) AS final_chars
          |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
-    "q107_source_caps" ->
-      s"""SELECT source, doc_id, lang, n_chars FROM (
-         |  SELECT source, doc_id, lang, n_chars,
-         |    ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM documents
-         |) WHERE rn <= $sourceCap
-         |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
-    "q98_pii_redaction" ->
-      s"""WITH profile AS (
-         |  SELECT c_custkey, c_mktsegment,
-         |    c_name || ' contact ' || lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
-         |      || '@example.com or ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
-         |      || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS card
-         |  FROM customer
-         |), red AS (
-         |  SELECT c_mktsegment,
-         |    len(regexp_extract_all(card, '$emailRe')) AS n_email,
-         |    len(regexp_extract_all(card, '$phoneRe')) AS n_phone,
-         |    regexp_replace(regexp_replace(card, '$emailRe', '[EMAIL]', 'g'),
-         |                   '$phoneRe', '[PHONE]', 'g') AS redacted
-         |  FROM profile
-         |)
-         |SELECT c_mktsegment, COUNT(*) AS n_customers,
-         |  CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
-         |  CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
-         |  CAST(SUM(CASE WHEN regexp_matches(redacted, '$emailRe|$phoneRe')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii,
-         |  min(md5(redacted)) AS sample_hash
-         |FROM red GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q99_boilerplate_ngrams" ->
       s"""${gramCte(5)}
          |SELECT gram, COUNT(*) AS df FROM sh

@@ -2,28 +2,25 @@ package graft.ext
 
 import graft.QueryModule
 import graft.ingest.{Landing, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deduplication tier (SURVEY.md §2.12 [ext]; VERDICT r1 "top_next").
+/** Deduplication tier (SURVEY.md §2.12 [ext]; VERDICT r1 "top_next") —
+  * the exact family. Near-dup flavors live beside it, all sharing the
+  * checkpointed shingle table below:
   *
-  * Four dedup flavors a training-data pipeline needs, each 100-TB-shaped:
-  *
-  *   - exact: content-hash + keep-first — one hash per row, one narrow
-  *     shuffle on the hash. No sort, no collect.
-  *   - MinHash-LSH near-dup: shingle → k minhashes → banded signatures →
-  *     `groupBy(band)` candidate generation → exact-Jaccard verification.
-  *     Cost is O(candidates), NOT O(n²): only docs sharing a full band
-  *     ever meet. At 100 TB add a bucket-size cap (drop pathological
-  *     buckets > ~10⁴ docs — they are exact-dup clusters better handled
-  *     by the exact pass).
-  *   - exact n-gram Jaccard: inverted-index self-join on shingle (the
-  *     verification baseline for the LSH path). Scales with Σ bucket² per
-  *     shingle; production guards hot shingles with a stop-shingle cap.
-  *   - SimHash: 32-bit per-doc fingerprint (sign of per-bit vote over
-  *     shingle hashes) — a single groupBy(doc), no pairs at all; pair
-  *     search then bands the fingerprint bits.
+  *   - exact (q22, here): content-hash + keep-first — one hash per row,
+  *     one narrow shuffle on the hash. No sort, no collect.
+  *   - exact n-gram Jaccard (q42/q74, here): inverted-index self-join on
+  *     shingle (the verification baseline for the LSH paths). Scales
+  *     with Σ df² per shingle; q74 adds the production stop-shingle cap.
+  *   - prefix-filtered AllPairs join (q140, here): the EXACT
+  *     set-similarity join whose candidate stage indexes only each doc's
+  *     rarest shingles.
+  *   - MinHash-LSH ([[DedupMinHash]]): banded signatures, the production
+  *     FINDER, plus the incremental-batch path.
+  *   - SimHash ([[DedupSimHash]]): 32-bit fingerprints, banded search.
   *
   * All hashes are md5 (identical hex in Spark and DuckDB), so every query
   * here is fully oracle-checked — including the LSH path, whose output is
@@ -56,7 +53,7 @@ object Dedup extends QueryModule {
   }
 
   /** Shared DuckDB CTE prefix producing the same (doc_id, shingle) rows. */
-  private val shingleCte =
+  private[ext] val shingleCte =
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
@@ -79,81 +76,6 @@ object Dedup extends QueryModule {
       .filter($"rn" === 1).drop("rn")
       .select($"doc_id", $"content_hash", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
-  }
-
-  private val nHashes = 18
-  private val nBands = 6   // 6 bands × 3 rows each
-
-  /** E2: MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
-    *
-    * Plan shape: ONE shuffle builds the per-doc distinct-shingle set
-    * (collect_set); everything downstream — the 18 minhashes
-    * (`array_min` over a per-row `transform`, no second aggregation),
-    * the band hashes, and the Jaccard verification arrays — derives
-    * per-row from that checkpointed set table, so the expensive
-    * tokenize→explode→aggregate pipeline runs once, not once per join
-    * leg ("caching policies for intermediate DataFrames",
-    * Stream_Analytics_Platform.md:91). The set table is checkpointed to
-    * a parquet fixture rather than `persist()`ed: persist would leak
-    * MEMORY_AND_DISK blocks for the JVM lifetime on every invocation
-    * (no post-action unpersist hook in the query contract), and the
-    * parquet checkpoint is exactly the 100-TB pattern anyway. */
-  /** The checkpointed artifact: the SIGNATURE table (doc_id, shingle
-    * set, 18 minhashes) — what a production dedup pipeline stores: the
-    * 18 md5-per-shingle folds are paid once at signature build, not on
-    * every downstream pass. */
-  private[ext] def signatures(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    Landing.ensureParquetFixture(
-      {
-        val sets = shingles(spark, d)
-          .groupBy($"doc_id")
-          .agg(collect_set($"shingle").as("sset"))
-          .withColumn("n", size($"sset").cast("long"))
-        val mh = (0 until nHashes).map(i =>
-          array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
-        sets.select((Seq($"doc_id", $"sset", $"n") ++ mh): _*)
-      },
-      d, "minhash_signatures")
-  }
-
-  /** Banded LSH layout of a signature table: one (doc_id, band index,
-    * band hash) row per band — the standard index a near-dup service
-    * persists and probes. */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until nBands).map { j =>
-      struct(lit(j).as("bidx"),
-        md5(concat_ws("|", col(s"mh${3 * j}"), col(s"mh${3 * j + 1}"), col(s"mh${3 * j + 2}"))).as("bhash"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.bidx").as("bidx"), col("b.bhash").as("bhash"))
-  }
-
-  /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
-    * stored shingle sets, thresholded. */
-  private def verifyPairs(sigs: DataFrame, cand: DataFrame, thr: Double): DataFrame = {
-    import sigs.sparkSession.implicits._
-    val v1 = sigs.select($"doc_id".as("d1"), $"sset".as("s1"), $"n".as("n1"))
-    val v2 = sigs.select($"doc_id".as("d2"), $"sset".as("s2"), $"n".as("n2"))
-    cand.join(v1, "d1").join(v2, "d2")
-      .withColumn("n_common", size(array_intersect($"s1", $"s2")).cast("long"))
-      .withColumn("jaccard", $"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
-      .filter($"jaccard" >= thr)
-      .select($"d1", $"d2", $"n_common", $"n1", $"n2", $"jaccard")
-      .orderBy($"d1", $"d2")
-  }
-
-  def minhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val sigs = signatures(spark, d)
-    val bands = bandsOf(sigs)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    verifyPairs(sigs, cand, 0.6)
   }
 
   /** E2 at scale, EXACT: prefix-filtered set-similarity join (the
@@ -215,7 +137,7 @@ object Dedup extends QueryModule {
       .distinct()
     // hashed-set verify: map-side hash projection so the candidate
     // shuffle carries long arrays, never the shingle strings
-    val hsets = signatures(spark, d)
+    val hsets = DedupMinHash.signatures(spark, d)
       .select($"doc_id", transform($"sset", s => xxhash64(s)).as("hset"), $"n")
     val v1 = hsets.select($"doc_id".as("d1"), $"hset".as("h1"), $"n".as("n1"))
     val v2 = hsets.select($"doc_id".as("d2"), $"hset".as("h2"), $"n".as("n2"))
@@ -225,48 +147,6 @@ object Dedup extends QueryModule {
       .filter($"jaccard" >= 0.5)
       .select($"d1", $"d2", $"n_common", $"n1", $"n2", $"jaccard")
       .orderBy($"d1", $"d2")
-  }
-
-  /** E2 incremental: near-dup detection for an ARRIVING batch without
-    * re-examining the settled corpus against itself. The base corpus's
-    * band index is a persisted artifact (built once, like the signature
-    * table); when a delta batch (here doc_id % 10 == 0 — "the new
-    * crawl") arrives, only ITS bands are computed and probed against
-    * the stored index plus themselves. Candidate work is
-    * O(|delta| · bucket-occupancy), independent of how many base-base
-    * pairs exist — the property that keeps a daily dedup pass affordable
-    * when the settled corpus is 100 TB and the day's crawl is 0.1% of
-    * it. Base-base pairs are, by construction, never produced: they
-    * were reported when THEIR batch arrived. Output = q30's verified
-    * pairs restricted to those touching the delta, which is exactly
-    * what the oracle computes from scratch. */
-  def incrementalNearDup(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val sigs = signatures(spark, d)
-    // SPARK_GRAFT_DELTA_MOD is the SCALING.md fixed-delta protocol's
-    // measurement knob: the registered query and its oracle always use
-    // mod 10; the protocol raises the modulus as the corpus grows so
-    // |delta| stays constant while the base index scales. A non-default
-    // modulus gets its own fixture name — a base index built for one
-    // modulus must never serve another.
-    val mod = sys.env.getOrElse("SPARK_GRAFT_DELTA_MOD", "10").toInt
-    val deltaOf = (c: Column) => c % mod === 0
-    val idxName =
-      if (mod == 10) "minhash_band_index_base" else s"minhash_band_index_base_m$mod"
-    // persisted production artifact: the settled corpus's band index
-    val baseIndex = Landing.ensureParquetFixture(
-      bandsOf(sigs.filter(!deltaOf($"doc_id"))), d, idxName)
-    // arriving batch: bands computed fresh, cost ∝ |delta|
-    val deltaBands = bandsOf(sigs.filter(deltaOf($"doc_id")))
-    val probe = baseIndex.unionByName(deltaBands)
-    val cand = deltaBands.as("x")
-      .join(probe.as("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-      .distinct()
-    verifyPairs(sigs, cand, 0.6)
   }
 
   /** E2 baseline: exact n-gram Jaccard near-dup pairs via inverted-index
@@ -328,90 +208,17 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
-  /** E2 via the typed-Aggregator API (SURVEY §2.11): the MinHash
-    * signature computed by a custom single-pass UDAF
-    * ([[graft.functions.MinHashSig]]) instead of the array_min
-    * expression pipeline — one k-slot buffer per group with map-side
-    * partial aggregation, so the shuffle carries signatures, never
-    * shingles. The oracle derives identical digests with per-hash MIN
-    * aggregates, proving UDAF ≡ expression formulation. */
-  def minhashUdafSignatures(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val sig = udaf(graft.functions.MinHashSig.agg,
-      org.apache.spark.sql.Encoders.STRING)
-    shingles(spark, d)
-      .groupBy($"doc_id")
-      .agg(sig($"shingle").as("sig"))
-      .select($"doc_id" +: (0 until graft.functions.MinHashSig.numHashes)
-        .map(i => element_at($"sig", i + 1).as(s"mh$i")): _*)
-      .orderBy($"doc_id")
-  }
-
-  /** Hex nibble value of char `idx` (1-based) of md5 column `h`. */
-  private def nib(h: Column, idx: Int): Column =
-    conv(substring(h, idx, 1), 16, 10).cast("int")
-
-  /** E2/E4: 32-bit SimHash fingerprint per document — per-bit majority
-    * vote over shingle hashes. One groupBy(doc_id); no pair joins. */
-  def simhashFingerprint(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val withHash = shingles(spark, d).withColumn("h", md5($"shingle"))
-    val votes = (0 until 32).map { b =>
-      val bit = shiftright(nib($"h", b / 4 + 1), b % 4).bitwiseAND(lit(1))
-      sum(bit * 2 - 1).as(s"v$b")
-    }
-    val agged = withHash.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 32).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agged.select($"doc_id", fp.as("simhash")).orderBy($"doc_id")
-  }
-
-  /** E2: SimHash near-dup PAIR SEARCH — bands the 32-bit fingerprint
-    * into 4 byte-bands; only docs sharing a band ever meet (pigeonhole:
-    * hamming ≤ 3 over 4 bands guarantees ≥1 identical band, so recall
-    * at the ≤3 threshold is exact, not approximate). Candidates verify
-    * with `bit_count(xor)`. Fingerprints come from the one-shuffle
-    * simhash aggregation, checkpointed once and reused by both the band
-    * and verify legs — the same no-O(n²) shape as the MinHash path but
-    * with a 64× smaller signature (one long vs 18 md5s). */
-  def simhashNearDupPairs(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val fps = Landing.ensureParquetFixture(
-      simhashFingerprint(spark, d), d, "simhash_fps")
-    val bandCols = (0 until 4).map(j =>
-      struct(lit(j).as("bidx"),
-        shiftright($"simhash", 8 * j).bitwiseAND(lit(255L)).as("bval")))
-    val bands = fps.select($"doc_id", explode(array(bandCols: _*)).as("b"))
-      .select($"doc_id", $"b.bidx", $"b.bval")
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    val f1 = fps.select($"doc_id".as("d1"), $"simhash".as("fp1"))
-    val f2 = fps.select($"doc_id".as("d2"), $"simhash".as("fp2"))
-    cand.join(f1, "d1").join(f2, "d2")
-      .withColumn("hamming", bit_count($"fp1".bitwiseXOR($"fp2")).cast("long"))
-      .filter($"hamming" <= 3)
-      .select($"d1", $"d2", $"hamming")
-      .orderBy($"d1", $"d2")
-  }
-
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q22_exact_dedup"           -> exactDedup,
-    "q30_minhash_neardup_pairs" -> minhashNearDupPairs,
     "q42_ngram_jaccard_pairs"   -> ngramJaccardPairs,
-    "q31_simhash_fingerprint"   -> simhashFingerprint,
-    "q71_simhash_neardup_pairs" -> simhashNearDupPairs,
     "q74_ngram_jaccard_capped"  -> ngramJaccardCapped,
-    "q79_minhash_udaf"          -> minhashUdafSignatures,
-    "q132_incremental_neardup"  -> incrementalNearDup,
     "q140_prefix_jaccard_pairs" -> prefixJaccardPairs,
   )
 
-  private val pairOracle =
+  /** Exact-pair derivation shared by the near-dup oracles: %s = Jaccard
+    * threshold, second %s = extra predicate (e.g. the q132 delta
+    * restriction). */
+  private[ext] val pairOracle =
     s"""$shingleCte, pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -423,36 +230,16 @@ object Dedup extends QueryModule {
        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= %s%s
        |ORDER BY d1, d2""".stripMargin
 
-  private val simhashOracle = {
-    val votes = (0 until 32).map { b =>
-      s"SUM(((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4} & 1) * 2 - 1) AS v$b"
-    }.mkString(",\n    ")
-    val fp = (0 until 32).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    s"""$shingleCte, hashed AS (
-       |  SELECT doc_id, md5(shingle) AS h FROM sh
-       |), voted AS (
-       |  SELECT doc_id,
-       |    $votes
-       |  FROM hashed GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM voted ORDER BY doc_id""".stripMargin
-  }
-
   val oracles = Map(
     "q22_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_hash, lang, source, n_chars
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
-    "q30_minhash_neardup_pairs" -> pairOracle.format("0.6", ""),
     "q42_ngram_jaccard_pairs"   -> pairOracle.format("0.5", ""),
     // exactness: prefix filtering loses no true pair, so the oracle is
     // q42's — the implementations must agree bit-for-bit
     "q140_prefix_jaccard_pairs" -> pairOracle.format("0.5", ""),
-    // same exact-pair derivation, restricted to pairs touching the delta
-    "q132_incremental_neardup" ->
-      pairOracle.format("0.6", " AND (d1 % 10 = 0 OR d2 % 10 = 0)"),
     "q74_ngram_jaccard_capped" ->
       s"""$shingleCte, hot AS (
          |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $stopShingleDf
@@ -468,29 +255,6 @@ object Dedup extends QueryModule {
          |  CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
          |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
-         |ORDER BY d1, d2""".stripMargin,
-    "q31_simhash_fingerprint"   -> simhashOracle,
-    "q79_minhash_udaf" -> {
-      val mins = (0 until graft.functions.MinHashSig.numHashes)
-        .map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(",\n  ")
-      s"""$shingleCte
-         |SELECT doc_id,
-         |  $mins
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-    "q71_simhash_neardup_pairs" ->
-      s"""WITH fps AS ($simhashOracle),
-         |bands AS (
-         |  SELECT doc_id, b.bidx, (simhash >> (8 * b.bidx)) & 255 AS bval
-         |  FROM fps, (SELECT unnest(range(4)) AS bidx) b
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id
-         |)
-         |SELECT d1, d2, CAST(bit_count(xor(f1.simhash, f2.simhash)) AS BIGINT) AS hamming
-         |FROM cand JOIN fps f1 ON d1 = f1.doc_id JOIN fps f2 ON d2 = f2.doc_id
-         |WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
   )
 }

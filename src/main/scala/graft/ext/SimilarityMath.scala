@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared vector math for the similarity tier (§2.12 E3) — the
+  * determinism contract every similarity query rides on: cosine =
+  * dot/(‖a‖·‖b‖) where dot and squared norms are exact DECIMAL(38,25)
+  * sums of per-element double products (element order cannot perturb
+  * them), and the final sqrt/divide is the same scalar double pipeline
+  * in Spark and DuckDB — bit-identical results, so ranking and
+  * thresholds are oracle-checkable across engines.
+  */
+private[ext] object SimilarityMath {
+
+  val Dec = DecimalType(38, 25)
+
+  /** Exact order-independent dot product of two float arrays, as double. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** Exact L2 norm of a float array, as double. */
+  def normDec(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
+      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double"))
+
+  /** Bounded broadcast query set shared by the top-k queries. */
+  val nQueries = 8
+  val topK = 5
+
+  /** Plain double dot product via the codegen'd native expression
+    * (graft.functions.DotProductF32) — NOT order-stable across engines,
+    * used only as a pre-filter with a wide safety margin (double-vs-exact
+    * drift is ~1e-10, five orders below the screening margins used). */
+  def dotFast(spark: SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_dot", a, b)
+  }
+
+  /** DuckDB mirror of dot/norm: unnest + exact DECIMAL(38,25) sums. */
+  val normsCte =
+    """norms AS (
+      |  SELECT vec_id,
+      |    sqrt(CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+      |  GROUP BY vec_id
+      |)""".stripMargin
+}

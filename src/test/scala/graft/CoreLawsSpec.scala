@@ -93,14 +93,14 @@ class CoreLawsSpec extends SparkSpec {
   test("simhash banding has exact recall at hamming <= 3: every close pair shares a band") {
     import spark.implicits._
     // all-pairs ground truth at sf0.001 scale vs the banded candidate set
-    val fps = ext.Dedup.simhashFingerprint(spark, sfDir)
+    val fps = ext.DedupSimHash.simhashFingerprint(spark, sfDir)
       .select($"doc_id", $"simhash")
     val a = fps.select($"doc_id".as("d1"), $"simhash".as("f1"))
     val b = fps.select($"doc_id".as("d2"), $"simhash".as("f2"))
     val truth = a.crossJoin(b).filter($"d1" < $"d2")
       .filter(bit_count($"f1".bitwiseXOR($"f2")) <= 3)
       .select($"d1", $"d2")
-    val banded = ext.Dedup.simhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
+    val banded = ext.DedupSimHash.simhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
     assert(truth.exceptAll(banded).isEmpty)
   }
 

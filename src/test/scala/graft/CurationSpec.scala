@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Curation
+import graft.ext.{Curation, CurationGovernance, SpanDedup}
 import org.apache.spark.sql.functions._
 
 /** Invariants of the corpus-curation tier beyond the aggregate oracles. */
@@ -12,7 +12,7 @@ class CurationSpec extends SparkSpec {
       "write to a@b.com or bob9@mail.org, call 123-555-0001 now",
       "no pii here at all",
     ).toDF("card")
-    val (ne, np, red) = Curation.redactPii($"card")
+    val (ne, np, red) = CurationGovernance.redactPii($"card")
     val rows = df.select(ne.as("ne"), np.as("np"), red.as("red")).collect()
     assert(rows(0).getInt(0) === 2)
     assert(rows(0).getInt(1) === 1)
@@ -69,10 +69,10 @@ class CurationSpec extends SparkSpec {
       textGen.apply(Gen.Parameters.default, Seed(i))).toList
     assert(texts.size >= 35) // suchThat may drop a few seeds
     val df = texts.toDF("card")
-    val (ne, np, red) = Curation.redactPii($"card")
+    val (ne, np, red) = CurationGovernance.redactPii($"card")
     val once = df.select(red.as("card"))
     // complete: no email/phone pattern survives one pass
-    val (ne2, np2, red2) = Curation.redactPii($"card")
+    val (ne2, np2, red2) = CurationGovernance.redactPii($"card")
     val counts = once.select(ne2.as("ne"), np2.as("np"), red2.as("red"))
     assert(counts.filter($"ne" =!= 0 || $"np" =!= 0).count() === 0)
     // idempotent: a second pass changes nothing
@@ -81,7 +81,7 @@ class CurationSpec extends SparkSpec {
 
   test("q107: cap respected and operator ≡ window formulation") {
     import spark.implicits._
-    val capped = Curation.sourceCaps(spark, sfDir)
+    val capped = CurationGovernance.sourceCaps(spark, sfDir)
     assert(capped.groupBy("source").count().filter($"count" > 4).count() === 0)
     val windowTwin = graft.ingest.Tables.documents(spark, sfDir)
       .withColumn("rn", row_number().over(
@@ -116,12 +116,12 @@ class CurationSpec extends SparkSpec {
 
   test("q145: span-dedup laws — kept == distinct spans; untouched docs reassemble verbatim") {
     import spark.implicits._
-    val res = Curation.spanDedup(spark, sfDir)
+    val res = SpanDedup.spanDedup(spark, sfDir)
     // conservation: total kept spans across the corpus == distinct span
     // contents (each content kept exactly once) — derived through the
     // SAME span extraction the query uses
     val kept = res.agg(sum($"n_kept")).first().getLong(0)
-    val distinctSpans = Curation.spansOf(graft.ingest.Tables.documents(spark, sfDir))
+    val distinctSpans = SpanDedup.spansOf(graft.ingest.Tables.documents(spark, sfDir))
       .select($"span").distinct().count()
     assert(kept === distinctSpans, "kept-span total != distinct span contents")
     // reassembly identity: a doc that lost nothing must reassemble to

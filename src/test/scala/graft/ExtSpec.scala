@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, DedupMinHash, DedupSimHash, Multimodal, SemanticDedup, Similarity, SimilarityAnn, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Invariants of the [ext] LLM-pipeline tier that the SQL oracle can't
@@ -40,14 +40,14 @@ class ExtSpec extends SparkSpec {
     // exact baseline at the LSH query's threshold (0.6)
     val exact = Dedup.ngramJaccardPairs(spark, sfDir).filter($"jaccard" >= 0.6)
       .select($"d1", $"d2")
-    val lsh = Dedup.minhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
+    val lsh = DedupMinHash.minhashNearDupPairs(spark, sfDir).select($"d1", $"d2")
     assert(lsh.exceptAll(exact).isEmpty, "LSH produced a pair the exact baseline lacks")
     assert(exact.exceptAll(lsh).isEmpty, "LSH missed a true near-dup pair (recall < 1)")
   }
 
   test("SimHash fingerprints of near-dup pairs are closer than random pairs") {
     import spark.implicits._
-    val fp = Dedup.simhashFingerprint(spark, sfDir)
+    val fp = DedupSimHash.simhashFingerprint(spark, sfDir)
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).select($"d1", $"d2")
     val f1 = fp.select($"doc_id".as("d1"), $"simhash".as("h1"))
     val f2 = fp.select($"doc_id".as("d2"), $"simhash".as("h2"))
@@ -60,7 +60,7 @@ class ExtSpec extends SparkSpec {
 
   test("IVF probe results are contained in the exact top-k candidate pool") {
     import spark.implicits._
-    val ivf = Similarity.annIvfTopk(spark, sfDir)
+    val ivf = SimilarityAnn.annIvfTopk(spark, sfDir)
     // every IVF hit must share the query's cell — by construction — and
     // cosine must be a valid similarity
     assert(ivf.filter($"cosine" < -1 || $"cosine" > 1).isEmpty)
@@ -74,7 +74,7 @@ class ExtSpec extends SparkSpec {
 
   test("SQ8 codes are valid int8 and the compressed scan recalls the exact top-k") {
     import spark.implicits._
-    val sq = Similarity.annSq8Topk(spark, sfDir)
+    val sq = SimilarityAnn.annSq8Topk(spark, sfDir)
     // code validity rides on the result being well-formed cosines
     assert(sq.filter($"cosine" < -1 || $"cosine" > 1).isEmpty)
     // recall@5 of the quantized candidate scan vs the exact brute force:
@@ -137,7 +137,7 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val emb = graft.ingest.Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label".as("cell"))
-    val kept = Similarity.semanticDedup(spark, sfDir)
+    val kept = SemanticDedup.semanticDedup(spark, sfDir)
     val dropped = emb.join(kept.select($"vec_id"), Seq("vec_id"), "left_anti")
     // partition law: kept ⊎ dropped = corpus, no overlap
     assert(kept.count() + dropped.count() === emb.count())
@@ -174,11 +174,11 @@ class ExtSpec extends SparkSpec {
 
   test("incremental near-dup == full pass restricted to delta pairs; base index is delta-free") {
     import spark.implicits._
-    val incr = Dedup.incrementalNearDup(spark, sfDir)
+    val incr = DedupMinHash.incrementalNearDup(spark, sfDir)
     // equivalence law: incremental probing reports exactly the full
     // pass's pairs that touch the arriving batch — nothing missed by
     // probing only the stored index, nothing invented
-    val full = Dedup.minhashNearDupPairs(spark, sfDir)
+    val full = DedupMinHash.minhashNearDupPairs(spark, sfDir)
       .filter($"d1" % 10 === 0 || $"d2" % 10 === 0)
     assert(incr.exceptAll(full).isEmpty, "incremental invented a pair")
     assert(full.exceptAll(incr).isEmpty, "incremental missed a delta-touching pair")

@@ -55,6 +55,7 @@ object SparkEntry {
     silver.MergeUpsert,
     silver.Quality,
     streaming.MicroBatch,
+    streaming.StreamNearDup,
     plans.TopKQueries,
   )
 

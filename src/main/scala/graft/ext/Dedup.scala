@@ -39,17 +39,23 @@ object Dedup extends QueryModule {
     * q42/q74, SimHash votes q31/q71, MinHash signature build), so every
     * consumer scans the parquet instead of re-running the
     * tokenize→explode pipeline per join leg. */
-  private[ext] def shingles(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  private[ext] def shingles(spark: SparkSession, d: String): DataFrame =
     Landing.ensureParquetFixture(
-      Tables.documents(spark, d)
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(array_distinct(
-          transform(sequence(lit(1), size($"toks") - 2),
-            i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
-              element_at($"toks", i + 2))))).as("shingle")),
-      d, "shingle_rows")
+      shinglesOf(Tables.documents(spark, d)), d, "shingle_rows")
+
+  /** The same shingle pipeline over an arbitrary (doc_id, text) frame —
+    * un-checkpointed, for callers that shingle a micro-batch rather than
+    * the settled corpus (the streaming near-dup leg). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+            element_at($"toks", i + 2))))).as("shingle"))
   }
 
   /** Shared DuckDB CTE prefix producing the same (doc_id, shingle) rows. */
@@ -218,7 +224,7 @@ object Dedup extends QueryModule {
   /** Exact-pair derivation shared by the near-dup oracles: %s = Jaccard
     * threshold, second %s = extra predicate (e.g. the q132 delta
     * restriction). */
-  private[ext] val pairOracle =
+  private[graft] val pairOracle =
     s"""$shingleCte, pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -43,25 +43,29 @@ object DedupMinHash extends QueryModule {
     * set, 18 minhashes) — what a production dedup pipeline stores: the
     * 18 md5-per-shingle folds are paid once at signature build, not on
     * every downstream pass. */
-  private[ext] def signatures(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  private[ext] def signatures(spark: SparkSession, d: String): DataFrame =
     Landing.ensureParquetFixture(
-      {
-        val sets = Dedup.shingles(spark, d)
-          .groupBy($"doc_id")
-          .agg(collect_set($"shingle").as("sset"))
-          .withColumn("n", size($"sset").cast("long"))
-        val mh = (0 until nHashes).map(i =>
-          array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
-        sets.select((Seq($"doc_id", $"sset", $"n") ++ mh): _*)
-      },
-      d, "minhash_signatures")
+      signaturesOf(Dedup.shingles(spark, d)), d, "minhash_signatures")
+
+  /** The signature pipeline over arbitrary (doc_id, shingle) rows —
+    * un-checkpointed, for per-micro-batch signature computation (the
+    * streaming near-dup leg). */
+  private[graft] def signaturesOf(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sets = sh
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("sset"))
+      .withColumn("n", size($"sset").cast("long"))
+    val mh = (0 until nHashes).map(i =>
+      array_min(transform($"sset", s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+    sets.select((Seq($"doc_id", $"sset", $"n") ++ mh): _*)
   }
 
   /** Banded LSH layout of a signature table: one (doc_id, band index,
     * band hash) row per band — the standard index a near-dup service
     * persists and probes. */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until nBands).map { j =>
       struct(lit(j).as("bidx"),
         md5(concat_ws("|", col(s"mh${3 * j}"), col(s"mh${3 * j + 1}"), col(s"mh${3 * j + 2}"))).as("bhash"))
@@ -72,7 +76,7 @@ object DedupMinHash extends QueryModule {
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
     * stored shingle sets, thresholded. */
-  private[ext] def verifyPairs(sigs: DataFrame, cand: DataFrame, thr: Double): DataFrame = {
+  private[graft] def verifyPairs(sigs: DataFrame, cand: DataFrame, thr: Double): DataFrame = {
     import sigs.sparkSession.implicits._
     val v1 = sigs.select($"doc_id".as("d1"), $"sset".as("s1"), $"n".as("n1"))
     val v2 = sigs.select($"doc_id".as("d2"), $"sset".as("s2"), $"n".as("n2"))

@@ -148,6 +148,20 @@ class PipelineSpec extends SparkSpec {
     assert(probe.filter(graft.streaming.MicroBatch.outerHorizonCond(Some(ts), Some(ts))).count() === 1L)
   }
 
+  test("streaming near-dup: batched discovery equals the batch full-pass, and a re-drain adds nothing") {
+    import spark.implicits._
+    val first = graft.streaming.StreamNearDup.streamNearDup(spark, sfDir).collect().toSeq
+    val batchPass = graft.ext.DedupMinHash.minhashNearDupPairs(spark, sfDir).collect().toSeq
+    // batch-cut independence: every pair is found exactly when its later
+    // document's micro-batch arrives, so the streamed set ≡ the full pass
+    assert(first === batchPass, "streamed pair set diverged from the batch full-pass")
+    assert(first.nonEmpty, "law vacuous: corpus has no near-dup pairs")
+    // exactly-once: draining again against the checkpoint processes zero
+    // files and the persisted pair set is byte-stable
+    val second = graft.streaming.StreamNearDup.streamNearDup(spark, sfDir).collect().toSeq
+    assert(second === first, "re-drain changed the committed pair set")
+  }
+
   test("timer-driven session close: emission happens on the watermark, not on a next record") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

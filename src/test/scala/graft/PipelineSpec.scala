@@ -209,6 +209,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("timer boundary: a timer expiring exactly AT the watermark fires (inclusive horizon)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatefulSessions.TimedEv]
+      val query = input.toDS().withWatermark("ts", "0 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StatefulSessions.TimerSessionProcessor(StatefulSessions.defaultGapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("timer_boundary_test")
+        .outputMode("update").start()
+      val us = 1000000L
+      val t0 = 1704067200L * us
+      def ev(uid: Long, usTs: Long) =
+        StatefulSessions.TimedEv(uid, usTs, new java.sql.Timestamp(usTs / 1000))
+      // user 1's timer lands at t0 + 30 min; user 2's event sets the
+      // watermark to EXACTLY that instant — the q147 oracle's ms-granular
+      // `close_horizon <= max_ts` comparison is only correct if the
+      // engine fires at equality, which this pins
+      input.addData(ev(1L, t0))
+      query.processAllAvailable()
+      input.addData(ev(2L, t0 + 30 * 60 * us))
+      query.processAllAvailable()
+      val users = spark.table("timer_boundary_test")
+        .as[StatefulSessions.ClosedSession].collect().map(_.user_id).toSeq
+      query.stop()
+      assert(users === Seq(1L),
+        "timer at exactly the watermark must fire — the oracle horizon is inclusive")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("state TTL evicts idle per-key state; a long TTL control persists it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

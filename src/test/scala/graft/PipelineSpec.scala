@@ -162,6 +162,31 @@ class PipelineSpec extends SparkSpec {
     assert(second === first, "re-drain changed the committed pair set")
   }
 
+  test("streaming near-dup: an uncommitted-batch replay (crash between sink write and commit) converges") {
+    import spark.implicits._
+    // ensure drained
+    val before = graft.streaming.StreamNearDup.streamNearDup(spark, sfDir).collect().toSeq
+    // simulate the crash window: the last batch's sink writes landed but
+    // its checkpoint commit did not — delete the newest commit marker so
+    // the engine replays that batch (at-least-once) on the next drain
+    val commits = java.nio.file.Paths.get(
+      graft.ingest.Landing.fixtureDir(sfDir, "stream_neardup"), "ckpt", "commits")
+    val files = java.nio.file.Files.list(commits)
+    val newest = try files.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+      finally files.close()
+    java.nio.file.Files.delete(newest)
+    // the local FS keeps a checksum sidecar per commit file; a stale one
+    // blocks the replayed batch's re-commit rename
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    val after = graft.streaming.StreamNearDup.streamNearDup(spark, sfDir).collect().toSeq
+    // the replayed batch overwrites its own batch=<id> paths and probes
+    // only the batches before it — no duplicate pairs, no lost pairs
+    assert(after === before, "replay of the uncommitted batch must converge, not duplicate")
+  }
+
   test("timer-driven session close: emission happens on the watermark, not on a next record") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -30,6 +30,7 @@ object SparkEntry {
     ext.Multimodal,
     ext.TrainPrep,
     ext.Curation,
+    ext.Retrieval,
     ext.CurationGovernance,
     ext.SpanDedup,
     ext.Mixing,
@@ -50,6 +51,7 @@ object SparkEntry {
     analytics.SketchRollups,
     analytics.TimeWindows,
     analytics.SqlSurface,
+    analytics.GraphOps,
     gold.Backfill,
     gold.Incremental,
     silver.MergeUpsert,

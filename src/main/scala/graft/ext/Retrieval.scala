@@ -1,0 +1,204 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.{Landing, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval + language-model scoring tier (SURVEY.md §2.12 [ext]):
+  * the two corpus-quality primitives a CommonCrawl-class pipeline runs
+  * after dedup — perplexity filtering against a corpus-trained n-gram
+  * LM (the CCNet recipe: keep documents the model finds predictable),
+  * and BM25 lexical retrieval (the decontamination / eval-leakage and
+  * RAG primitive).
+  *
+  * Determinism discipline: every floating-point quantity is collapsed
+  * to integer micro-units (`round(x * 1e6) → long`) at the PER-POSITION
+  * level, so the per-document aggregate is an order-free integer sum —
+  * bit-identical across Spark's unordered partial aggregation and
+  * DuckDB's sequential one (same trick as q129's milli-unit logits).
+  *
+  * Scale shape: both queries are one explode→groupBy shuffle to build
+  * dictionary-sized artifacts (checkpointed via the fixture pattern,
+  * never persist()ed), then broadcast joins against the corpus-sized
+  * relation. The LM and query/df dictionaries are vocabulary-bounded;
+  * a beyond-memory bigram table would swap the broadcast for a shuffle
+  * join on w1 with nothing else changing.
+  */
+object Retrieval extends QueryModule {
+
+  /** (doc_id, ws) tokenized documents — the shared tokenization law
+    * (split on single space, lowercased) every text oracle mirrors. */
+  private def toks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+  }
+
+  /** Adjacent-token bigram positions. The size >= 2 guard matters:
+    * Spark's sequence(1, 0) steps BACKWARD ([1, 0]) instead of
+    * returning empty like DuckDB's generate_series. */
+  private def bigrams(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    toks(spark, d)
+      .filter(size($"ws") >= 2)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ws") - 1),
+          i => struct(element_at($"ws", i).as("w1"),
+                      element_at($"ws", i + 1).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+  }
+
+  /** Keep threshold on the mean per-token negative log-likelihood, in
+    * micro-nats. ln(31) ≈ 3.434 (the uniform-vocab baseline); docs
+    * whose bigram structure the LM predicts better than near-uniform
+    * sit below it. */
+  private val keepNllMicro = 3430000L
+
+  /** E4/CCNet: bigram-LM perplexity filter. Train an add-one-smoothed
+    * bigram model ON the corpus (count tables checkpointed — the
+    * trained-LM artifact a production pipeline ships), then score each
+    * document's mean per-token negative log-likelihood and keep the
+    * predictable ones. p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with c(w1)
+    * the CONTEXT count (bigram occurrences starting at w1), so the
+    * smoothed distribution normalizes exactly.
+    *
+    * Plan: one shuffle to train (bigram groupBy), then scoring is
+    * broadcast joins + an integer-sum groupBy on doc_id — two linear
+    * passes over the corpus regardless of scale. */
+  def perplexityFilter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bg = bigrams(spark, d)
+    val lm = Landing.ensureParquetFixture(
+      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")), d, "bigram_lm")
+    val ctx = Landing.ensureParquetFixture(
+      bg.groupBy($"w1").agg(count(lit(1)).as("cu")), d, "bigram_ctx")
+    val vocabN = toks(spark, d).select(explode($"ws").as("w"))
+      .agg(countDistinct($"w").as("v")).withColumn("one", lit(1))
+    bg.join(broadcast(lm), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .withColumn("one", lit(1)).join(broadcast(vocabN), "one")
+      .withColumn("nll_micro",
+        round(-log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double"))
+          * 1000000.0).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_micro").as("nll_micro_sum"))
+      .withColumn("avg_nll_micro", expr("nll_micro_sum div n_bigrams"))
+      .withColumn("keep", $"avg_nll_micro" < keepNllMicro)
+      .orderBy($"doc_id")
+  }
+
+  private val bm25K1 = 1.2
+  private val bm25B  = 0.75
+  private val bm25TopK = 10
+  private val queryTerms = 6 // terms per query; 5 queries over vocab ranks 1..30
+
+  /** BM25 term-at-a-time contribution in micro-units. Operand order is
+    * pinned (and mirrored token-for-token in the oracle) because the
+    * doubles must agree bit-for-bit before rounding. */
+  private def bm25Contrib(tf: Column, df: Column, dl: Column,
+                          nDocs: Column, avgdl: Column): Column = {
+    val idf = log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5))
+    val denom = tf + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * dl / avgdl)
+    round(idf * (tf * lit(bm25K1 + 1.0)) / denom * 1000000.0).cast("long")
+  }
+
+  /** E4/retrieval: BM25 top-k. The query workload is derived from the
+    * corpus itself (deterministically): the top-30 vocabulary terms,
+    * six per query, five queries — the shape of an eval-set
+    * decontamination probe, where each "query" is an eval question's
+    * term set and the corpus is scored for leakage.
+    *
+    * Plan: tf is the one corpus-sized shuffle; df, the query set, and
+    * the (N, avgdl) scalar are dictionary-sized broadcasts; the final
+    * per-query ranking is a window over the scored candidates (bounded
+    * by queries × docs-containing-a-query-term, not the corpus). */
+  def bm25TopDocs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, d)
+    val dl = t.select($"doc_id", size($"ws").cast("long").as("dl"))
+    val tf = t.select($"doc_id", explode($"ws").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+      .withColumn("one", lit(1))
+    // the shared frequency-ranked vocabulary artifact (q139) doubles as
+    // the query workload: ranks 1..30, six terms per query
+    val queries = TextOps.vocab(spark, d).filter($"id" <= 30)
+      .select(expr("(id - 1) div 6 + 1").as("query_id"), $"term")
+    val scored = tf.join(broadcast(queries), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("one", lit(1)).join(broadcast(stats), "one")
+      .withColumn("contrib_micro",
+        bm25Contrib($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+    val perDoc = scored.groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib_micro").as("score_micro"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score_micro".desc, $"doc_id")
+    perDoc.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= bm25TopK)
+      .select($"query_id", $"rnk", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q149_perplexity_filter" -> perplexityFilter,
+    "q150_bm25_topk"         -> bm25TopDocs,
+  )
+
+  val oracles = Map(
+    "q149_perplexity_filter" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |big AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM toksrc, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+         |lm AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         |ctx AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(ws) AS w FROM toksrc)),
+         |pos AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS nll_micro
+         |  FROM big JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum,
+         |  CAST(SUM(nll_micro) AS BIGINT) // count(*) AS avg_nll_micro,
+         |  (CAST(SUM(nll_micro) AS BIGINT) // count(*)) < $keepNllMicro AS keep
+         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q150_bm25_topk" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toksrc),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM toksrc),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |vocab AS (
+         |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS id
+         |  FROM tok GROUP BY term
+         |  QUALIFY id <= 30),
+         |q AS (SELECT (id - 1) // 6 + 1 AS query_id, term FROM vocab),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${bm25K1 + 1.0})
+         |        / (tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * dl / avgdl))
+         |        * 1000000.0) AS BIGINT) AS contrib_micro
+         |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+         |perdoc AS (
+         |  SELECT query_id, doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT query_id, rnk, doc_id, score_micro
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rnk
+         |      FROM perdoc)
+         |WHERE rnk <= $bm25TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+  )
+}

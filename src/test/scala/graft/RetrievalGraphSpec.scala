@@ -1,0 +1,60 @@
+package graft
+
+import graft.ext.Retrieval
+import graft.analytics.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Laws for the retrieval/LM tier (q149/q150) and the graph tier (q151)
+  * that the DuckDB hash-compare can't express: model normalization,
+  * ranking shape, and graph-construction invariants. */
+class RetrievalGraphSpec extends SparkSpec {
+
+  test("bigram LM context counts are consistent and scores cover exactly the multi-token docs") {
+    import spark.implicits._
+    val scored = Retrieval.perplexityFilter(spark, sfDir).cache()
+    // coverage: one row per document with >= 2 tokens, n_bigrams = len-1
+    val expected = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", (size(split(lower($"text"), " ")) - 1).cast("long").as("n"))
+      .filter($"n" >= 1)
+    val got = scored.select($"doc_id", $"n_bigrams".as("n"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // keep flag is exactly the threshold predicate (no drift between cols)
+    assert(scored.filter($"keep" =!= ($"avg_nll_micro" < 3430000L)).isEmpty)
+    // add-one smoothing keeps every observed bigram's NLL positive, so the
+    // per-doc average is positive (p < 1 always, since cb+1 < cu+V)
+    assert(scored.filter($"avg_nll_micro" <= 0).isEmpty)
+    scored.unpersist()
+  }
+
+  test("BM25 returns a dense, strictly-ordered top-k per query") {
+    import spark.implicits._
+    val top = Retrieval.bm25TopDocs(spark, sfDir).cache()
+    // dense ranks 1..k per query, no gaps/dupes
+    val byQ = top.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), min($"rnk").as("lo"), max($"rnk").as("hi"),
+        countDistinct($"rnk").as("d"))
+    assert(byQ.filter($"lo" =!= 1 || $"hi" =!= $"n" || $"d" =!= $"n").isEmpty)
+    // scores non-increasing along the rank order (ties broken by doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"rnk")
+    val viol = top.withColumn("prev", lag($"score_micro", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" < $"score_micro")
+    assert(viol.isEmpty)
+    top.unpersist()
+  }
+
+  test("co-purchase graph is symmetric, self-loop-free, and PageRank is deterministic") {
+    import spark.implicits._
+    val e = GraphOps.copurchaseEdges(spark, sfDir).cache()
+    assert(e.filter($"src" === $"dst").isEmpty)
+    val flipped = e.select($"dst".as("src"), $"src".as("dst"))
+    assert(e.exceptAll(flipped).isEmpty && flipped.exceptAll(e).isEmpty)
+    // every node keeps at least the integer teleport mass 0.15 * scale
+    val ranks = GraphOps.pagerankParts(spark, sfDir)
+    assert(ranks.filter($"rank_micro" < 150000L).isEmpty)
+    // bit-for-bit deterministic across runs (integer iteration)
+    val again = GraphOps.pagerankParts(spark, sfDir)
+    assert(ranks.exceptAll(again).isEmpty && again.exceptAll(ranks).isEmpty)
+    e.unpersist()
+  }
+}

@@ -49,6 +49,7 @@ object SparkEntry {
     analytics.ExtendedJoins,
     analytics.SkewQueries,
     analytics.SketchRollups,
+    analytics.TimeSeries,
     analytics.TimeWindows,
     analytics.SqlSurface,
     analytics.GraphOps,

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.QueryModule
-import graft.ingest.Landing
+import graft.ingest.{Landing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
@@ -123,8 +123,40 @@ object DedupClusters extends QueryModule {
       .orderBy($"cluster_rep")
   }
 
+  /** q154: representative SELECTION — the delete-pass driver. q106
+    * resolves clusters; production dedup then keeps the BEST member of
+    * each cluster, not the min-id one (min-id keeps whichever crawl
+    * happened to be fetched first; quality-ranked selection keeps the
+    * cleanest copy — the rule C4/RefinedWeb-class pipelines apply).
+    * Quality here is the integer lexical-diversity score
+    * `n_uniq * 1e6 div n_tokens` (micro-units of q36's uniq_ratio, so
+    * ranking is exact, no float ties), tie broken by min doc_id.
+    *
+    * Scale shape: one aggregate over the cluster labeling
+    * (`min(struct(-score, doc))` — map-side combinable, no window sort
+    * over content-partitioned data), joined to the per-doc score, which
+    * is a map-only scalar pass. The labeling itself is the q106
+    * checkpointed artifact. */
+  def clusterRepresentatives(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val score = Tables.documents(spark, d)
+      .withColumn("toks", split(lower($"text"), " "))
+      .select($"doc_id",
+        expr("(size(array_distinct(toks)) * 1000000L) div size(toks)").as("score"))
+    ccLabels(spark, d).join(score, $"node" === $"doc_id")
+      .groupBy($"lbl".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-$"score").as("ns"), $"doc_id".as("d"))).as("best"),
+        sum($"score").as("score_sum"))
+      .select($"cluster_rep", $"n_members",
+        $"best.d".as("keep_doc"), (-$"best.ns").as("keep_score"),
+        ($"score_sum" - -$"best.ns").as("dropped_score_sum"))
+      .orderBy($"cluster_rep")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q106_dedup_clusters" -> dedupClusters,
+    "q154_cluster_representatives" -> clusterRepresentatives,
   )
 
   val oracles = Map(
@@ -157,5 +189,48 @@ object DedupClusters extends QueryModule {
         |)
         |SELECT MIN(lbl) AS cluster_rep, node FROM reach GROUP BY node
         |) GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+    "q154_cluster_representatives" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tok)
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |edges0 AS (
+        |  SELECT d1, d2
+        |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM edges0
+        |  UNION ALL SELECT d2, d1 FROM edges0
+        |), reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        |), labels AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+        |score AS (
+        |  SELECT doc_id,
+        |    CAST((len(list_distinct(string_split(lower(text), ' '))) * 1000000)
+        |      // len(string_split(lower(text), ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |labeled AS (
+        |  SELECT l.lbl, l.node, s.score
+        |  FROM labels l JOIN score s ON s.doc_id = l.node),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY score DESC, node) AS rn
+        |  FROM labeled),
+        |agg AS (
+        |  SELECT lbl, COUNT(*) AS n_members, CAST(SUM(score) AS BIGINT) AS score_sum
+        |  FROM labeled GROUP BY lbl)
+        |SELECT a.lbl AS cluster_rep, a.n_members, r.node AS keep_doc,
+        |  r.score AS keep_score,
+        |  a.score_sum - r.score AS dropped_score_sum
+        |FROM agg a JOIN ranked r ON r.lbl = a.lbl AND r.rn = 1
+        |ORDER BY cluster_rep""".stripMargin,
   )
 }

@@ -97,10 +97,47 @@ object TrainPrep extends QueryModule {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  private val currShards = 8
+
+  /** q156: curriculum-ordered global shuffle — the deterministic
+    * training order a trainer consumes: every document gets a shard
+    * (content-hash of doc_id, so assignment is reproducible and
+    * independent of input layout) and a position within its shard
+    * ordered by curriculum phase (clean high-diversity docs first,
+    * flagged docs second, short fragments last — coarse-to-hard), with
+    * an md5 scramble WITHIN each phase so the order is a seeded shuffle,
+    * not an accidental corpus order (adjacent crawl docs correlate; a
+    * trainer must never see them adjacent).
+    *
+    * Scale shape: shard assignment and phase scoring are map-only; the
+    * within-shard position is a per-shard sort, so parallelism = shard
+    * count. 8 shards matches the fixture; a 100-TB run sets shards ≈
+    * output-file count (tens of thousands), keeping each sort
+    * executor-sized. No global sort exists at any shard count. */
+  def curriculumShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"phase", $"scramble", $"doc_id")
+    Tables.documents(spark, d)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("uniq_micro",
+        expr("(size(array_distinct(toks)) * 1000000L) div size(toks)"))
+      .withColumn("phase",
+        when($"n_tokens" < 10, 2L).when($"uniq_micro" > 300000L, 0L).otherwise(1L))
+      .withColumn("shard",
+        (md5Bucket($"doc_id".cast("string")) % currShards).cast("long"))
+      .withColumn("scramble",
+        substring(md5(concat($"doc_id".cast("string"), lit(":curriculum"))), 1, 8))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"phase", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q91_train_test_split" -> trainTestSplit,
     "q92_token_packing"    -> tokenPacking,
     "q138_doc_chunking"    -> docChunking,
+    "q156_curriculum_shards" -> curriculumShards,
   )
 
   val oracles = Map(
@@ -151,5 +188,28 @@ object TrainPrep extends QueryModule {
          |  md5(array_to_string(toks[k*$chunkStride+1 : least(k*$chunkStride+$chunkLen, n)], ' ')) AS chunk_md5
          |FROM ks
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q156_curriculum_shards" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    len(string_split(lower(text), ' ')) AS n_tokens,
+         |    (len(list_distinct(string_split(lower(text), ' '))) * 1000000)
+         |      // len(string_split(lower(text), ' ')) AS uniq_micro,
+         |    ( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         |    ) % $currShards AS shard,
+         |    substr(md5(CAST(doc_id AS VARCHAR) || ':curriculum'), 1, 8) AS scramble
+         |  FROM documents),
+         |phased AS (
+         |  SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |    CAST(CASE WHEN n_tokens < 10 THEN 2
+         |              WHEN uniq_micro > 300000 THEN 0
+         |              ELSE 1 END AS BIGINT) AS phase,
+         |    scramble
+         |  FROM scored)
+         |SELECT doc_id, shard, phase,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY phase, scramble, doc_id) AS BIGINT) AS pos
+         |FROM phased
+         |ORDER BY shard, pos""".stripMargin,
   )
 }

@@ -80,8 +80,43 @@ object Compaction extends QueryModule {
       .orderBy($"event_date", $"event_type")
   }
 
+  /** Bin capacity for [[scanCoalescePlan]] — fixture-sized stand-in for
+    * `spark.sql.files.maxPartitionBytes` (128 MB in production). */
+  private val coalesceTargetBytes = 16384L
+
+  /** q157: scan-coalesce PLANNING — the other half of the small-file
+    * story. q97 rewrites files; this operator decides how a reader
+    * should GROUP them without rewriting: order the file inventory
+    * largest-first (next-fit-decreasing keeps big items from
+    * straddling), take the running byte offset, and cut a bin every
+    * [[coalesceTargetBytes]] — exactly the cumulative-size binning
+    * Spark's own FilePartition packing applies under
+    * `files.maxPartitionBytes`, surfaced as a queryable plan so an
+    * operator can audit task sizing before a 100-TB scan.
+    *
+    * The inventory here is the per-(source, lang) corpus byte census —
+    * dictionary-sized (sources × langs), which is why the single
+    * ordered window is safe: it sorts the DICTIONARY, never the
+    * corpus. A real file manifest is the same shape (one row per
+    * file, bounded by file count, with the census one groupBy away). */
+  def scanCoalescePlan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val inv = Tables.documents(spark, d)
+      .groupBy($"source", $"lang").agg(sum($"n_chars").as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bytes".desc, $"source", $"lang")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    inv.withColumn("off", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"off div $coalesceTargetBytes"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_groups"), sum($"bytes").as("bin_bytes"),
+        max($"bytes").as("max_group_bytes"))
+      .orderBy($"bin")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q97_compaction_roundtrip" -> compactionRoundtrip,
+    "q157_scan_coalesce_plan"  -> scanCoalescePlan,
   )
 
   val oracles = Map(
@@ -92,5 +127,21 @@ object Compaction extends QueryModule {
         |FROM events
         |GROUP BY event_date, event_type
         |ORDER BY event_date, event_type""".stripMargin,
+    "q157_scan_coalesce_plan" ->
+      s"""WITH inv AS (
+         |  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY 1, 2),
+         |offs AS (
+         |  SELECT *, COALESCE(SUM(bytes) OVER (
+         |    ORDER BY bytes DESC, source, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM inv)
+         |SELECT CAST(off // $coalesceTargetBytes AS BIGINT) AS bin,
+         |  COUNT(*) AS n_groups,
+         |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+         |  CAST(MAX(bytes) AS BIGINT) AS max_group_bytes
+         |FROM offs
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin,
   )
 }

@@ -56,4 +56,21 @@ class CompactionSpec extends SparkSpec {
     assert(finalCounts.values.forall(_ === 1))
     assert(snapshot(dir) === before)
   }
+
+  test("q157: coalesce bins conserve bytes and cut on the running offset") {
+    val inv = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).agg(sum(col("n_chars")).as("bytes"))
+    val plan = Compaction.scanCoalescePlan(spark, sfDir)
+    // conservation: binned bytes sum to the inventory total, groups to the
+    // inventory count — nothing dropped, nothing double-binned
+    val totalBytes = inv.agg(sum("bytes")).head.getLong(0)
+    assert(plan.agg(sum("bin_bytes")).head.getLong(0) === totalBytes)
+    assert(plan.agg(sum("n_groups")).head.getLong(0) === inv.count())
+    // bins are contiguous from 0 (offset binning can skip a bin id only if
+    // one group alone exceeds the target — then its successor starts a new
+    // bin later; assert ids are sorted ascending and start at 0)
+    val bins = plan.select("bin").collect().map(_.getLong(0))
+    assert(bins.head === 0L)
+    assert(bins.sameElements(bins.sorted))
+  }
 }

@@ -158,4 +158,33 @@ class CoreLawsSpec extends SparkSpec {
     val n = Tables.events(spark, sfDir).count()
     assert(hopped === 2 * n, s"hopping fan-out $hopped != 2 * $n")
   }
+
+  test("q155 gap fill: dense grid, LOCF carries the last observation, staleness resets") {
+    import spark.implicits._
+    val g = graft.analytics.TimeSeries.gapFillLocf(spark, sfDir)
+    // grid completeness: |priorities| × |span days|, one row each
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderpriority".as("p"), to_date($"o_orderdate").as("day"))
+    val nP = o.select("p").distinct().count()
+    val span = o.agg(datediff(max($"day"), min($"day"))).first().getInt(0) + 1
+    assert(g.count() === nP * span)
+    assert(g.select("priority", "day").distinct().count() === nP * span)
+    // there are genuine gaps to fill, and every gap after a first
+    // observation carries a non-null fill
+    assert(g.filter(!$"observed").count() > 0, "fixture must have gaps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"priority").orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val seen = g.withColumn("any_obs", max(when($"observed", 1).otherwise(0)).over(w))
+    assert(seen.filter($"any_obs" === 1 && $"rev_filled".isNull).count() === 0)
+    assert(seen.filter($"any_obs" === 0 &&
+      ($"rev_filled".isNotNull || $"staleness_days".isNotNull)).count() === 0)
+    // staleness is 0 exactly on observed days and +1 per unobserved day
+    assert(g.filter($"observed" =!= ($"staleness_days" === 0L)).count() === 0)
+    val lagged = g.withColumn("prev_stale",
+      lag($"staleness_days", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"priority").orderBy($"day")))
+    assert(lagged.filter(!$"observed" && $"prev_stale".isNotNull &&
+      $"staleness_days" =!= $"prev_stale" + 1L).count() === 0)
+  }
 }

@@ -42,6 +42,32 @@ class DedupClustersSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("q154: the kept member maximizes the quality score within its cluster") {
+    import spark.implicits._
+    val reps = DedupClusters.clusterRepresentatives(spark, sfDir)
+    // one row per q106 cluster, same member counts
+    val clusters = DedupClusters.dedupClusters(spark, sfDir)
+    assert(reps.count() === clusters.count())
+    assert(reps.join(clusters, Seq("cluster_rep"))
+      .filter(reps("n_members") =!= clusters("n_members")).count() === 0)
+    // recompute each member's score independently and check no cluster
+    // member beats its keeper (ties break to min doc_id)
+    val score = graft.ingest.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .select($"doc_id",
+        expr("(size(array_distinct(toks)) * 1000000L) div size(toks)").as("s"))
+    val labeled = DedupClusters.ccLabels(spark, sfDir)
+      .join(score, $"node" === $"doc_id")
+    val beaten = labeled.join(reps, $"lbl" === $"cluster_rep")
+      .filter($"s" > $"keep_score" ||
+        ($"s" === $"keep_score" && $"node" < $"keep_doc"))
+    assert(beaten.count() === 0)
+    // dropped mass accounting: keep_score + dropped_score_sum = cluster total
+    val total = labeled.groupBy($"lbl").agg(sum($"s").as("tot"))
+    assert(reps.join(total, $"cluster_rep" === $"lbl")
+      .filter($"keep_score" + $"dropped_score_sum" =!= $"tot").count() === 0)
+  }
+
   test("q106: members across clusters are disjoint and cover all paired docs") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir)

@@ -28,10 +28,16 @@ class PlanShapeSpec extends SparkSpec {
   // VALUES expansion of the level-batched recursive calendar (anchors ×
   // offsets — both sides calendar-sized, never data-sized), q121 the
   // 1-row absmax quantizer and the 8-row query-code set (the SQ8 scan
-  // streams the code table past the broadcast query codes, O(N·|Q|)).
+  // streams the code table past the broadcast query codes, O(N·|Q|)),
+  // q149 the 1-row vocabulary-size scalar, q150 the 1-row (N, avgdl)
+  // corpus-stats scalar (the constant-on-one join folds to a broadcast
+  // loop over a single row — O(N), the intended scalar attach), q155
+  // the 1-row calendar-span scalar crossed with the priority dictionary
+  // (both sides bounded: dictionary × 1 row, never data-sized).
   private val allowedNestedLoop = Set(
     "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
-    "q116_recursive_calendar", "q121_ann_sq8")
+    "q116_recursive_calendar", "q121_ann_sq8",
+    "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -58,4 +58,29 @@ class TrainPrepSpec extends SparkSpec {
         $"kmax" =!= expr(s"(n - 1) div $stride"))
     assert(bad.isEmpty, "chunk coverage law violated")
   }
+
+  test("q156: curriculum positions are dense per shard and phase-monotone") {
+    import spark.implicits._
+    val sh = TrainPrep.curriculumShards(spark, sfDir)
+    // every document is placed exactly once
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+    assert(sh.count() === docs.count())
+    assert(sh.select("doc_id").distinct().count() === docs.count())
+    // positions are 1..n dense within each shard
+    val dense = sh.groupBy($"shard")
+      .agg(min($"pos").as("lo"), max($"pos").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n")
+    assert(dense.count() === 0)
+    // phase never decreases as pos increases (coarse-to-hard order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"pos")
+    val regress = sh.withColumn("prev", lag($"phase", 1).over(w))
+      .filter($"prev".isNotNull && $"phase" < $"prev")
+    assert(regress.count() === 0, "a later position must never be an earlier phase")
+    // the order is a deterministic function of content (re-run ≡ run):
+    // shard, phase and scramble all derive from doc_id/text, never from
+    // input layout or task scheduling
+    val again = TrainPrep.curriculumShards(spark, sfDir)
+    assert(sh.exceptAll(again).isEmpty && again.exceptAll(sh).isEmpty)
+  }
 }

@@ -97,6 +97,52 @@ object TrainPrep extends QueryModule {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** q153: content-defined chunking — boundaries chosen by a rolling
+    * content hash (FastCDC's idea at token granularity), not by offset.
+    * A position starts a new chunk iff the md5 of its adjacent token
+    * PAIR ends in nibble '0' (p = 1/16 → expected ~16-token chunks).
+    * Because the predicate sees only local content, an edit near the
+    * start of a document re-chunks ONLY up to the first surviving
+    * boundary; every later chunk is byte-identical — the property that
+    * lets chunk-level dedup recognize a re-crawled page with a changed
+    * header, where q138's fixed-stride chunks all shift and nothing
+    * matches (edit-locality law + the stride contrast in TrainPrepSpec).
+    *
+    * Scale shape: boundary positions, chunk spans and chunk hashes are
+    * all computed INSIDE array land (filter/slice HOFs over the token
+    * array) — a pure map-only explode, no window, no shuffle; the known
+    * caveat of plain pair-hash CDC (no min/max chunk-size clamp, so a
+    * run of identical pairs can fragment) is accepted for determinism
+    * and documented rather than patched with the sequential clamp. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val boundary = (toks: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      substring(md5(concat(element_at(toks, i - 1), lit(" "), element_at(toks, i))), 32, 1) === "0"
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("bpos",
+        concat(array(lit(1)),
+          when(col("n") >= 2,
+            filter(sequence(lit(2), col("n")), i => boundary(col("toks"), i)))
+            .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("toks"), col("n"), col("bpos"),
+        posexplode(col("bpos")).as(Seq("k", "start_pos")))
+      .withColumn("chunk_len",
+        coalesce(try_element_at(col("bpos"), col("k") + 2), col("n") + 1) - col("start_pos"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("chunk_len").cast("long").as("n_tokens_chunk"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_pos"), col("chunk_len")))).as("chunk_md5"))
+  }
+
+  /** q153 over the corpus table, contract-ordered. */
+  def cdcChunking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    cdcChunks(Tables.documents(spark, d).select($"doc_id", $"text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   private val currShards = 8
 
   /** q156: curriculum-ordered global shuffle — the deterministic
@@ -137,6 +183,7 @@ object TrainPrep extends QueryModule {
     "q91_train_test_split" -> trainTestSplit,
     "q92_token_packing"    -> tokenPacking,
     "q138_doc_chunking"    -> docChunking,
+    "q153_cdc_chunking"    -> cdcChunking,
     "q156_curriculum_shards" -> curriculumShards,
   )
 
@@ -188,6 +235,29 @@ object TrainPrep extends QueryModule {
          |  md5(array_to_string(toks[k*$chunkStride+1 : least(k*$chunkStride+$chunkLen, n)], ' ')) AS chunk_md5
          |FROM ks
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q153_cdc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_prepend(1, CASE WHEN n >= 2 THEN
+        |      list_filter(generate_series(2, n),
+        |        i -> substr(md5(toks[i-1] || ' ' || toks[i]), 32, 1) = '0')
+        |      ELSE [] END) AS bpos
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, n, bpos, g.i AS ki, bpos[g.i] AS start_pos
+        |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(bpos))) AS i) g)
+        |SELECT doc_id,
+        |  CAST(ki - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(start_pos AS BIGINT) AS start_pos,
+        |  CAST(COALESCE(bpos[ki + 1], n + 1) - start_pos AS BIGINT) AS n_tokens_chunk,
+        |  md5(array_to_string(
+        |    toks[start_pos : COALESCE(bpos[ki + 1], n + 1) - 1], ' ')) AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q156_curriculum_shards" ->
       s"""WITH scored AS (
          |  SELECT doc_id,

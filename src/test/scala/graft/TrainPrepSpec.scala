@@ -59,6 +59,53 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad.isEmpty, "chunk coverage law violated")
   }
 
+  test("q153: CDC chunk boundaries are edit-local; fixed stride shifts everything") {
+    import spark.implicits._
+    // a long deterministic pseudo-text (varied tokens so boundaries occur)
+    val words = (1 to 400).map(i => f"w${(i * 2654435761L) % 997}%03d")
+    val orig = words.mkString(" ")
+    val edited = "INSERTED " + orig // one-token prepend at the start
+    val docs = Seq((1L, orig), (2L, edited)).toDF("doc_id", "text")
+    val chunks = TrainPrep.cdcChunks(docs)
+    val origMd5 = chunks.filter($"doc_id" === 1L).select("chunk_md5")
+      .collect().map(_.getString(0)).toSeq
+    val editMd5 = chunks.filter($"doc_id" === 2L).select("chunk_md5")
+      .collect().map(_.getString(0)).toSeq
+    assert(origMd5.size > 5, "fixture must produce several chunks")
+    // every original chunk except the first is reproduced verbatim in the
+    // edited doc: the boundary predicate sees only adjacent token pairs,
+    // and a prepend leaves every original pair intact
+    val shared = origMd5.toSet.intersect(editMd5.toSet)
+    assert(origMd5.tail.forall(shared.contains),
+      "all chunks after the first must survive a prepend edit")
+    // contrast: fixed-stride chunking of the same pair shares (almost)
+    // nothing — every chunk's content shifts by one token
+    val origStride = docChunkMd5s(docs.filter($"doc_id" === 1L))
+    val editStride = docChunkMd5s(docs.filter($"doc_id" === 2L))
+    val strideShared = origStride.toSet.intersect(editStride.toSet)
+    assert(strideShared.size <= 1,
+      s"fixed stride should share ~no chunks after a prepend, shared $strideShared")
+    // coverage law holds for CDC too: chunk lengths sum to doc length
+    val cov = chunks.groupBy($"doc_id")
+      .agg(sum($"n_tokens_chunk").as("covered"))
+      .join(docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n")), "doc_id")
+      .filter($"covered" =!= $"n")
+    assert(cov.count() === 0)
+  }
+
+  /** q138's chunk hashing applied to an arbitrary (doc_id, text) frame —
+    * the stride contrast leg of the q153 edit-locality law. */
+  private def docChunkMd5s(docs: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import spark.implicits._
+    val stride = 48
+    docs.select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("k", explode(sequence(lit(0L), expr(s"(n - 1) div $stride"))))
+      .withColumn("chunk", slice($"toks", ($"k" * stride + 1).cast("int"), lit(64)))
+      .select(md5(concat_ws(" ", $"chunk")))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   test("q156: curriculum positions are dense per shard and phase-monotone") {
     import spark.implicits._
     val sh = TrainPrep.curriculumShards(spark, sfDir)

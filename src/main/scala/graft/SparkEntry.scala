@@ -42,6 +42,7 @@ object SparkEntry {
     ingest.ZOrder,
     ingest.StatsManifest,
     ingest.DynamicPruning,
+    sources.JsonlStatsQueries,
     silver.ReferenceEtl,
     analytics.Scalars,
     analytics.Sessions,

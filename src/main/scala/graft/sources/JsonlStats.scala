@@ -1,0 +1,182 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** `graft-jsonl-stats`: a DataSource V2 connector — the engine extending
+  * Spark's source API itself rather than composing built-ins. Reads a
+  * directory of JSONL data files whose file list AND per-file `value`
+  * min/max bounds live in a `_stats.jsonl` manifest sidecar (the
+  * Delta/Iceberg stance: the manifest is authoritative, so planning
+  * never lists a directory — at 100 TB, listing is the eventually-
+  * consistent, O(files) step a table format exists to avoid).
+  *
+  * What it implements, and why each piece matters at scale:
+  *   - [[SupportsPushDownRequiredColumns]]: the reader parses ONLY the
+  *     projected fields from each JSON line — a 2-column aggregate
+  *     never materializes the wide row.
+  *   - [[SupportsPushDownFilters]]: range/equality predicates on the
+  *     stats column prune WHOLE FILES at planning time against the
+  *     manifest bounds, before any task launches (the same skipping
+  *     contract as q130's manifest scan, but enforced inside the
+  *     connector where Catalyst's `PushedFilters` lands). Pushed
+  *     filters are still returned as residuals — stats skip files,
+  *     they don't filter rows, exactly like Parquet row-group pruning.
+  *   - One [[InputPartition]] per surviving file: parallelism follows
+  *     the data actually read, and a file is the split unit because
+  *     JSONL has no block index (a production format would sub-split
+  *     on byte ranges at newline boundaries).
+  *
+  * Registered as `graft-jsonl-stats` via the DataSourceRegister service
+  * file (`META-INF/services`), so `spark.read.format("graft-jsonl-stats")`
+  * resolves it like any built-in source.
+  */
+class JsonlStats extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl-stats"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = JsonlStats.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new JsonlStatsTable(properties.get("path"), schema)
+}
+
+object JsonlStats {
+  /** Fixed event-feed schema (the reference's landing-zone shape). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** The column the manifest carries bounds for. */
+  val statsColumn = "value"
+
+  /** Manifest entry: data file path (relative to the table root) and its
+    * closed [min, max] interval over [[statsColumn]]. */
+  final case class FileStats(file: String, min: Double, max: Double)
+
+  def readStats(root: String): Seq[FileStats] = {
+    val mapper = new ObjectMapper()
+    Files.readAllLines(Paths.get(root, "_stats.jsonl")).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val n = mapper.readTree(line)
+        FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
+          n.get("max_value").asDouble())
+      }
+  }
+
+  /** Can this predicate prune files against a [min, max] interval? */
+  def supportsSkipping(f: Filter): Boolean = f match {
+    case GreaterThan(c, _: Number)        => c == statsColumn
+    case GreaterThanOrEqual(c, _: Number) => c == statsColumn
+    case LessThan(c, _: Number)           => c == statsColumn
+    case LessThanOrEqual(c, _: Number)    => c == statsColumn
+    case EqualTo(c, _: Number)            => c == statsColumn
+    case _                                => false
+  }
+
+  /** Conservative interval test: may ANY row of a file with bounds
+    * [mn, mx] satisfy the predicate? (False positives are fine — the
+    * residual filter re-checks rows; false negatives would drop data.) */
+  def intervalMayMatch(f: Filter, mn: Double, mx: Double): Boolean = f match {
+    case GreaterThan(_, v: Number)        => mx > v.doubleValue()
+    case GreaterThanOrEqual(_, v: Number) => mx >= v.doubleValue()
+    case LessThan(_, v: Number)           => mn < v.doubleValue()
+    case LessThanOrEqual(_, v: Number)    => mn <= v.doubleValue()
+    case EqualTo(_, v: Number)            => mn <= v.doubleValue() && v.doubleValue() <= mx
+    case _                                => true
+  }
+}
+
+class JsonlStatsTable(root: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonl-stats($root)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlStatsScanBuilder(root, tableSchema)
+}
+
+class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept skippable predicates for file pruning; return EVERY filter
+    * as a residual — bounds can only prove a file irrelevant, never
+    * that all its rows match. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(JsonlStats.supportsSkipping)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new JsonlStatsScan(root, required, pushed)
+}
+
+class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
+      s"read=[${required.fieldNames.mkString(", ")}]"
+
+  /** Planning-time file skipping: consult the manifest, keep files whose
+    * interval may satisfy every pushed predicate. No directory listing. */
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlStats.readStats(root)
+      .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
+      .map(s => JsonlFilePartition(Paths.get(root, s.file).toString): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required)
+}
+
+final case class JsonlFilePartition(file: String) extends InputPartition
+
+class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(p.asInstanceOf[JsonlFilePartition].file, required)
+}
+
+/** Streams one JSONL file, parsing only the projected fields. Absent or
+  * null JSON fields surface as SQL nulls. */
+class JsonlPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val reader = Files.newBufferedReader(Paths.get(file))
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    while (line != null && line.isEmpty) line = reader.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val n = mapper.readTree(line)
+    InternalRow.fromSeq(required.fields.toSeq.map { f =>
+      val v = n.get(f.name)
+      if (v == null || v.isNull) null
+      else f.dataType match {
+        case LongType   => v.asLong()
+        case DoubleType => v.asDouble()
+        case StringType => UTF8String.fromString(v.asText())
+        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      }
+    })
+  }
+
+  override def close(): Unit = reader.close()
+}

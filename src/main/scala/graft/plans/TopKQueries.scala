@@ -42,9 +42,34 @@ object TopKQueries extends QueryModule {
       .orderBy($"user_id", $"value".desc, $"event_id")
   }
 
+  /** q158: the WINDOW IDIOM, rewritten by [[WindowTopKRewrite]] — the
+    * query is written the way every analyst writes it (`row_number` +
+    * filter + drop), and the optimizer substitutes the bounded-heap
+    * operator. The oracle runs the same idiom in SQL, so the driver
+    * check proves the rewrite is semantics-preserving end-to-end;
+    * TopKSpec proves the substitution actually happened in the plan. */
+  def topEventsViaRewrite(spark: SparkSession, d: String): DataFrame = {
+    // a child session scopes the rule: same SparkContext and tables, but
+    // sibling queries sharing the caller's session keep their own plans
+    // (a cluster deployment would instead set spark.sql.extensions =
+    // graft.functions.GraftExtensions and have it everywhere)
+    val s = spark.newSession()
+    import s.implicits._
+    WindowTopKRewriteOps.ensureRule(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .drop("rnk")
+      .orderBy($"user_id", $"value".desc, $"event_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q73_topk_native" -> topPartsNative,
     "q87_topk_user_events" -> topEventsPerUserNative,
+    "q158_topk_rewrite" -> topEventsViaRewrite,
   )
 
   val oracles = Map(
@@ -55,6 +80,12 @@ object TopKQueries extends QueryModule {
         |  PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3
         |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
     "q87_topk_user_events" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
+    "q158_topk_rewrite" ->
       """SELECT user_id, event_id, event_type, value
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (

@@ -76,6 +76,68 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("q158: the optimizer rule rewrites the window idiom into the heap operator") {
+    val s = spark.newSession()
+    import s.implicits._
+    graft.plans.WindowTopKRewriteOps.ensureRule(s)
+    val parts = Tables.part(s, sfDir)
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    val idiom = parts.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3).drop("rnk")
+    // the rewrite happened: the optimized plan carries the custom node,
+    // the executed plan the partial/final pair, and no sort survives
+    val qe = idiom.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    assert(qe.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t }.size === 1)
+    idiom.collect()
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectNodes(q.plan)
+      case other => other +: other.children.flatMap(collectNodes)
+    }
+    val nodes = collectNodes(qe.executedPlan)
+    assert(nodes.collect { case t: TopKPerGroupExec => t }.map(_.partial).sorted
+      === Seq(false, true))
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("sort")))
+    // and it is semantics-preserving: same rows as the un-rewritten idiom
+    // on the rule-free sibling session
+    val plain = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))))
+      .filter(col("rnk") <= 3).drop("rnk")
+    assert(idiom.exceptAll(plain).isEmpty && plain.exceptAll(idiom).isEmpty)
+  }
+
+  test("the rewrite declines unsafe shapes: rank(), surviving rank column, k <= 0") {
+    val s = spark.newSession()
+    import s.implicits._
+    graft.plans.WindowTopKRewriteOps.ensureRule(s)
+    val parts = Tables.part(s, sfDir).select($"p_brand", $"p_partkey", $"p_retailprice")
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    def rewritten(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.optimizedPlan
+        .collect { case t: graft.plans.TopKPerGroup => t }.nonEmpty
+    // rank() admits >k rows on ties — a fixed-k heap would change results
+    val ranked = parts.withColumn("rnk", rank().over(w)).filter($"rnk" <= 3).drop("rnk")
+    assert(!rewritten(ranked))
+    // the rank column survives into the output — the heap can't produce it
+    val kept = parts.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+    assert(!rewritten(kept))
+    assert(kept.count() > 0)
+    // a degenerate bound stays on the window path (and stays correct: empty)
+    val empty = parts.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 0).drop("rnk")
+    assert(!rewritten(empty))
+    assert(empty.count() === 0)
+    // and the safe shape on the SAME session still fires (sanity)
+    val safe = parts.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2).drop("rnk")
+    assert(rewritten(safe))
+  }
+
   test("null group keys and null sort values are kept and ordered") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (None, None), (Some("a"), None))

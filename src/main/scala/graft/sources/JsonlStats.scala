@@ -59,9 +59,9 @@ object JsonlStats {
   /** The column the manifest carries bounds for. */
   val statsColumn = "value"
 
-  /** Manifest entry: data file path (relative to the table root) and its
-    * closed [min, max] interval over [[statsColumn]]. */
-  final case class FileStats(file: String, min: Double, max: Double)
+  /** Manifest entry: data file path (relative to the table root), its
+    * closed [min, max] interval over [[statsColumn]], and its row count. */
+  final case class FileStats(file: String, min: Double, max: Double, rows: Long)
 
   def readStats(root: String): Seq[FileStats] = {
     val mapper = new ObjectMapper()
@@ -69,8 +69,11 @@ object JsonlStats {
       .filter(_.nonEmpty)
       .map { line =>
         val n = mapper.readTree(line)
+        // n_rows is optional in the manifest (older manifests carry only
+        // bounds); -1 marks it absent, which declines aggregate pushdown
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
-          n.get("max_value").asDouble())
+          n.get("max_value").asDouble(),
+          if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L)
       }
   }
 
@@ -107,9 +110,11 @@ class JsonlStatsTable(root: String, tableSchema: StructType) extends Table with 
 }
 
 class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggSchema: Option[StructType] = None
 
   /** Accept skippable predicates for file pruning; return EVERY filter
     * as a residual — bounds can only prove a file irrelevant, never
@@ -120,8 +125,72 @@ class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new JsonlStatsScan(root, required, pushed)
+
+  /** The third pushdown leg: a global COUNT(*)/MIN/MAX over the stats
+    * column is answered FROM THE MANIFEST — zero data-file IO. Declined
+    * whenever it would be wrong: any pushed filter (per-file bounds are
+    * bounds over ALL rows of the file, not the filtered subset), any
+    * grouping, or any aggregate the manifest doesn't carry. Partial
+    * pushdown contract: the scan emits one partial row per file and
+    * Spark's final aggregate merges (count→sum, min→min, max→max) —
+    * Parquet's footer-stats pushdown shape. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq(JsonlStats.statsColumn)
+      case _ => false
+    }
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    // a manifest without row counts cannot serve aggregates
+    if (JsonlStats.readStats(root).exists(_.rows < 0)) return false
+    val fields = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
+      case m: Min if statsCol(m.column) => Some(StructField("min_value", DoubleType))
+      case m: Max if statsCol(m.column) => Some(StructField("max_value", DoubleType))
+      case _ => None
+    }
+    if (fields.contains(None)) false
+    else { aggSchema = Some(StructType(fields.flatten)); true }
+  }
+
+  override def build(): Scan = aggSchema match {
+    case Some(s) => new JsonlManifestAggScan(root, s)
+    case None    => new JsonlStatsScan(root, required, pushed)
+  }
 }
+
+/** Aggregate-pushdown scan: partial rows served from the manifest. One
+  * input partition carrying the (file-count-bounded) stats list; the
+  * reader never opens a data file. */
+class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root), aggSchema.fieldNames))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[JsonlManifestAggPartition]
+        new PartitionReader[InternalRow] {
+          private val it = part.stats.iterator
+          private var cur: JsonlStats.FileStats = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = InternalRow.fromSeq(part.fields.toSeq.map {
+            case "count_star" => cur.rows
+            case "min_value"  => cur.min
+            case "max_value"  => cur.max
+          })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
+                                           fields: Array[String]) extends InputPartition
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {

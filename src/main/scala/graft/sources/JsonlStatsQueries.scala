@@ -48,7 +48,8 @@ object JsonlStatsQueries extends QueryModule {
         .json(s"$out/bucket=*/")
         .select(col("_metadata.file_path").as("fp"), col("value"))
         .groupBy($"fp")
-        .agg(min($"value").as("mn"), max($"value").as("mx"))
+        .agg(min($"value").as("mn"), max($"value").as("mx"),
+          count(lit(1)).as("n_rows"))
         .orderBy($"fp")
         .collect()
       val root = Paths.get(out).toAbsolutePath.toString
@@ -57,7 +58,7 @@ object JsonlStatsQueries extends QueryModule {
         // path before relativizing against the table root
         val rel = r.getString(0).replaceFirst("^file:/+", "/")
           .stripPrefix(root).stripPrefix("/")
-        s"""{"file":"$rel","min_value":${r.getDouble(1)},"max_value":${r.getDouble(2)}}"""
+        s"""{"file":"$rel","min_value":${r.getDouble(1)},"max_value":${r.getDouble(2)},"n_rows":${r.getLong(3)}}"""
       }
       Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -85,8 +86,22 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q159: global count/min/max THROUGH the connector's aggregate
+    * pushdown — answered from the manifest with zero data-file IO
+    * (JsonlStatsSpec proves both the plan substitution and, by deleting
+    * every data file from a fixture copy, the no-IO claim physically).
+    * The oracle derives the same three numbers from the parquet events
+    * table, so manifest contents are pinned to the data they index. */
+  def manifestAggregate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    scanFrame(spark, d)
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
+    "q159_dsv2_agg_pushdown" -> manifestAggregate,
   )
 
   val oracles = Map(
@@ -97,5 +112,8 @@ object JsonlStatsQueries extends QueryModule {
          |WHERE value >= $threshold
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    "q159_dsv2_agg_pushdown" ->
+      """SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM events""".stripMargin,
   )
 }

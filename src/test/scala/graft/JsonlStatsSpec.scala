@@ -81,6 +81,66 @@ class JsonlStatsSpec extends SparkSpec {
     assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty)
   }
 
+  test("q159: aggregate pushdown answers count/min/max from the manifest alone") {
+    import spark.implicits._
+    val agg = JsonlStatsQueries.manifestAggregate(spark, sfDir)
+    // the plan substituted the manifest-agg scan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan).collect { case b: BatchScanExec => b }
+    assert(scans.size === 1)
+    assert(scans.head.scan.isInstanceOf[JsonlManifestAggScan])
+    // and the numbers are the parquet-side truth
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n"), min($"value").as("min_value"), max($"value").as("max_value"))
+    assert(agg.collect().toSeq === expect.collect().toSeq)
+    // physical proof of zero data IO: a copy of the table with EVERY data
+    // file deleted (manifest kept) still answers the aggregate
+    val orig = Paths.get(fixture)
+    val bare = Files.createTempDirectory("jsonl_stats_bare")
+    Files.copy(orig.resolve("_stats.jsonl"), bare.resolve("_stats.jsonl"))
+    val bareAgg = spark.read.format("graft-jsonl-stats")
+      .option("path", bare.toString).load()
+      .agg(count(lit(1)).as("n"), min($"value").as("min_value"), max($"value").as("max_value"))
+    assert(bareAgg.collect().toSeq === expect.collect().toSeq)
+    // while a ROW-level read of the bare copy must fail — the data is
+    // gone (note count() would NOT fail: it also rides the manifest)
+    val bareScan = spark.read.format("graft-jsonl-stats")
+      .option("path", bare.toString).load()
+    intercept[org.apache.spark.SparkException] { bareScan.collect() }
+  }
+
+  test("aggregate pushdown declines unsafe shapes: grouping, filters, other functions") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, CountStar, Min}
+    val root = fixture
+    def builder() = new JsonlStatsScanBuilder(root, JsonlStats.schema)
+    val countStar = new Aggregation(Array(new CountStar), Array.empty)
+    // clean global count: accepted, manifest scan
+    val b1 = builder()
+    assert(b1.pushAggregation(countStar))
+    assert(b1.build().isInstanceOf[JsonlManifestAggScan])
+    // grouped: declined (manifest has no per-group bounds)
+    val grouped = new Aggregation(Array(new CountStar),
+      Array(Expressions.column("event_type")))
+    assert(!builder().pushAggregation(grouped))
+    // after a pushed filter: declined (file bounds describe ALL rows of
+    // the file, not the filtered subset)
+    val b2 = builder()
+    b2.pushFilters(Array(GreaterThanOrEqual("value", Double.box(300.0))))
+    assert(!b2.pushAggregation(countStar))
+    // an aggregate the manifest can't serve: declined
+    val avg = new Aggregation(Array(new Avg(Expressions.column("value"), false)), Array.empty)
+    assert(!builder().pushAggregation(avg))
+    // min over a non-stats column: declined
+    val minOther = new Aggregation(Array(new Min(Expressions.column("event_id"))), Array.empty)
+    assert(!builder().pushAggregation(minOther))
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

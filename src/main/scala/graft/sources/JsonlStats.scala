@@ -2,14 +2,15 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** `graft-jsonl-stats`: a DataSource V2 connector — the engine extending
@@ -100,13 +101,129 @@ object JsonlStats {
   }
 }
 
-class JsonlStatsTable(root: String, tableSchema: StructType) extends Table with SupportsRead {
+class JsonlStatsTable(root: String, tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(root, info.schema(), info.queryId())
+}
+
+/** Write side — the DSv2 commit protocol as a table format in
+  * miniature. Task writers stream rows to their own data file while
+  * tracking (min, max, rows) of the stats column; each task's
+  * [[WriterCommitMessage]] carries exactly the manifest entry its file
+  * deserves; the DRIVER's `commit()` merges them (plus, for append, the
+  * previous manifest) and publishes via write-temp + ATOMIC_MOVE of
+  * `_stats.jsonl`. Because readers trust only the manifest, the move is
+  * the commit point: a crash before it leaves orphan data files that no
+  * reader will ever see (which is also why task-level abort cleanup is
+  * best-effort, not load-bearing) — the same marker-protocol stance as
+  * the gold ledger, enforced at the connector layer. */
+class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst)
+  }
+}
+
+final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long)
+  extends WriterCommitMessage
+
+class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
+                      truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(root, writeSchema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case c: JsonlFileCommit if c.rows > 0 => c }
+    val previous =
+      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
+      else JsonlStats.readStats(root)
+    val kept = if (truncateFirst) Seq.empty else previous
+    val lines = (kept.map(s =>
+        s"""{"file":"${s.file}","min_value":${s.min},"max_value":${s.max},"n_rows":${s.rows}}""") ++
+      fresh.map(c =>
+        s"""{"file":"${c.file}","min_value":${c.min},"max_value":${c.max},"n_rows":${c.rows}}""")).sorted
+    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // truncate: the old generation's files are unreachable once the new
+    // manifest lands; removing them is garbage collection, not commit
+    if (truncateFirst)
+      previous.foreach(s => Files.deleteIfExists(Paths.get(root, s.file)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case c: JsonlFileCommit if c.file != null =>
+        Files.deleteIfExists(Paths.get(root, c.file))
+      case _ =>
+    }
+}
+
+class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId)
+}
+
+/** One data file per task attempt; the attempt-unique name means retries
+  * and speculation can never collide, and only the attempt whose commit
+  * message reaches the driver gets manifested. */
+class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
+                      partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val fileName = f"part-$queryId-$partitionId%05d-$taskId.jsonl"
+  private val path = Paths.get(root, fileName)
+  private val out = Files.newBufferedWriter(path)
+  private val mapper = new ObjectMapper()
+  private val statsIdx = writeSchema.fieldNames.indexOf(JsonlStats.statsColumn)
+  private var mn = Double.PositiveInfinity
+  private var mx = Double.NegativeInfinity
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType   => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      }
+    }
+    if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
+      val v = row.getDouble(statsIdx)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    out.write(node.toString); out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows == 0) { Files.deleteIfExists(path); JsonlFileCommit(null, 0, 0, 0) }
+    else if (mn > mx)
+      // rows exist but the stats column was all-null: publish the whole
+      // real line so the file is never pruned (conservative, correct)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows)
+    else JsonlFileCommit(fileName, mn, mx, rows)
+  }
+
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+  override def close(): Unit = ()
 }
 
 class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder

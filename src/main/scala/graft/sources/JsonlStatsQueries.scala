@@ -99,9 +99,45 @@ object JsonlStatsQueries extends QueryModule {
         min($"value").as("min_value"), max($"value").as("max_value"))
   }
 
+  /** The WRITTEN table fixture: the event feed pushed through the
+    * connector's own BatchWrite (range-partitioned on the stats column
+    * so the written files carry tight, disjoint bounds — the layout a
+    * stats-manifest table wants). */
+  def ensureWrittenFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_written")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q160: full write→read round trip through the connector — rows go
+    * out through the DSv2 commit protocol (task files + per-file stats
+    * in commit messages, manifest published by atomic move) and come
+    * back through the scan path; the oracle reads the original parquet,
+    * so any loss, duplication or stats corruption in either direction
+    * breaks the hash. Same selective aggregate as q152, now against
+    * bounds the WRITER computed. */
+  def writeRoundTrip(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureWrittenFixture(spark, d)).load()
+      .filter($"value" >= threshold)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
+    "q160_dsv2_write_roundtrip" -> writeRoundTrip,
   )
 
   val oracles = Map(
@@ -115,5 +151,12 @@ object JsonlStatsQueries extends QueryModule {
     "q159_dsv2_agg_pushdown" ->
       """SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
         |FROM events""".stripMargin,
+    "q160_dsv2_write_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM events
+         |WHERE value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
   )
 }

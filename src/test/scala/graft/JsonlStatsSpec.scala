@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Laws of the graft-jsonl-stats DSv2 connector (q152). */
 class JsonlStatsSpec extends SparkSpec {
@@ -139,6 +140,51 @@ class JsonlStatsSpec extends SparkSpec {
     // min over a non-stats column: declined
     val minOther = new Aggregation(Array(new Min(Expressions.column("event_id"))), Array.empty)
     assert(!builder().pushAggregation(minOther))
+  }
+
+  test("q160: the write path round-trips content and publishes exact stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_stats_write").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // content identity both directions
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // the manifest the writer published is exact: per-file bounds and
+    // counts re-derived from the data files themselves
+    val stats = JsonlStats.readStats(dir)
+    assert(stats.nonEmpty)
+    assert(stats.map(_.rows).sum === src.count())
+    stats.foreach { s =>
+      val f = spark.read.schema(JsonlStats.schema).json(
+        java.nio.file.Paths.get(dir, s.file).toString)
+      val r = f.agg(min($"value"), max($"value"), count(lit(1))).head
+      assert(r.getDouble(0) === s.min && r.getDouble(1) === s.max && r.getLong(2) === s.rows)
+    }
+    // range layout → tight disjoint bounds → skipping works on the
+    // table the WRITER produced
+    val sb = new JsonlStatsScanBuilder(dir, JsonlStats.schema)
+    sb.pushFilters(Array(GreaterThanOrEqual("value", Double.box(300.0))))
+    assert(sb.build().toBatch.planInputPartitions().length < stats.size)
+    // overwrite is a truncate: a second write fully replaces the first —
+    // manifest lists only the new generation, old data files are gone
+    val half = src.filter($"event_type" === "click")
+    half.repartitionByRange(2, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val gen2 = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(gen2.count() === half.count())
+    val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!files.exists(_.startsWith("_stats.jsonl.tmp")), "no torn manifest temp left")
+    assert(JsonlStats.readStats(dir).map(_.file).toSet
+      === files.filter(_.endsWith(".jsonl")).diff(Set("_stats.jsonl")),
+      "manifest and directory agree after truncate GC")
+    // append mode extends the table instead
+    half.write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    assert(spark.read.format("graft-jsonl-stats").option("path", dir).load().count()
+      === 2 * half.count())
   }
 
   test("reader surfaces absent JSON fields as nulls") {

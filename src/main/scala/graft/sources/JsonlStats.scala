@@ -107,6 +107,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema)
@@ -327,6 +328,55 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(required)
+
+  /** Streaming leg: the manifest doubles as the source of incremental
+    * progress. An offset is the SET of manifested files; each micro-batch
+    * reads exactly the files that joined the manifest since the last
+    * offset. Manifested files are immutable (the writer only ever adds
+    * attempt-unique files and swaps the manifest), so a file read once
+    * never changes — the property that makes offset-diff replay
+    * exactly-once under checkpoint recovery. No stats skipping here:
+    * bounds may be swapped out from under a running stream by truncate,
+    * and residual row filters re-check anyway. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlManifestStream(root, required)
+}
+
+class JsonlManifestStream(root: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = JsonlManifestOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    JsonlManifestOffset(JsonlStats.readStats(root).map(_.file).sorted)
+  override def deserializeOffset(json: String): Offset = JsonlManifestOffset.fromJson(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[JsonlManifestOffset].files.toSet
+    end.asInstanceOf[JsonlManifestOffset].files
+      .filterNot(seen)
+      .map(f => JsonlFilePartition(Paths.get(root, f).toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new JsonlReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class JsonlManifestOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.foreach(arr.add)
+    arr.toString
+  }
+}
+
+object JsonlManifestOffset {
+  def fromJson(json: String): JsonlManifestOffset = {
+    val n = new ObjectMapper().readTree(json)
+    JsonlManifestOffset((0 until n.size()).map(i => n.get(i).asText()))
+  }
 }
 
 final case class JsonlFilePartition(file: String) extends InputPartition

@@ -134,10 +134,42 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** q161: STREAMING read through the connector — the manifest doubles
+    * as the incremental-progress source (offset = manifested file set;
+    * each micro-batch reads exactly the files that joined since the
+    * last offset — Delta's streaming-source shape on the same
+    * immutable-files + manifest-swap contract the write side
+    * established). AvailableNow drains the table; the complete-mode
+    * aggregate must equal the batch/oracle derivation, proving the
+    * drain saw every file exactly once. Per-file exactly-once under
+    * checkpoint recovery is proven in JsonlStatsSpec. */
+  def streamingManifestRead(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureWrittenFixture(spark, d)
+    val name = "dsv2_stream_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + runSeq.incrementAndGet()
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", dir).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msumDec($"value").as("sum_dec"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select($"event_type", $"n", $"sum_dec".cast("double").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
     "q160_dsv2_write_roundtrip" -> writeRoundTrip,
+    "q161_dsv2_stream_read" -> streamingManifestRead,
   )
 
   val oracles = Map(
@@ -158,5 +190,11 @@ object JsonlStatsQueries extends QueryModule {
          |WHERE value >= $threshold
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    "q161_dsv2_stream_read" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

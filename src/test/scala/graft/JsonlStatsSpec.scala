@@ -187,6 +187,43 @@ class JsonlStatsSpec extends SparkSpec {
       === 2 * half.count())
   }
 
+  test("q161: streaming reads manifest increments exactly once across restarts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_stats_stream").toString
+    val ckpt = Files.createTempDirectory("jsonl_stats_ckpt").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val gen1 = src.filter($"event_type" =!= "click")
+    val gen2 = src.filter($"event_type" === "click")
+    gen1.repartitionByRange(3, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    // each AvailableNow run drains whatever joined the manifest since
+    // the checkpointed offset; `processed` counts rows actually read
+    val processed = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsonl-stats").option("path", dir).load()
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          { processed.addAndGet(df.count()); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(processed.get() === gen1.count(), "first drain reads the full first generation")
+    // append the second generation THROUGH THE CONNECTOR, then resume
+    // from the checkpoint: only the new files are read
+    gen2.repartitionByRange(2, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    drain()
+    assert(processed.get() === gen1.count() + gen2.count(),
+      "second drain reads exactly the appended files")
+    // no manifest change → a third drain reads nothing (exactly-once)
+    drain()
+    assert(processed.get() === gen1.count() + gen2.count())
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

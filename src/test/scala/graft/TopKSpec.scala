@@ -112,6 +112,27 @@ class TopKSpec extends SparkSpec {
     assert(idiom.exceptAll(plain).isEmpty && plain.exceptAll(idiom).isEmpty)
   }
 
+  test("the SQL window-subquery idiom hits the same rewrite") {
+    // Spark has no QUALIFY clause; the SQL spelling of the idiom is the
+    // ranked subquery with the rank filtered and dropped outside —
+    // which optimizes to the exact Filter-over-Window shape the rule
+    // matches, so SQL users get the heap operator too
+    val s = spark.newSession()
+    graft.plans.WindowTopKRewriteOps.ensureRule(s)
+    Tables.part(s, sfDir).createOrReplaceTempView("part_v")
+    val df = s.sql(
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part_v)
+        |WHERE rnk <= 3""".stripMargin)
+    val rewritten = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan
+      .collect { case t: graft.plans.TopKPerGroup => t }
+    assert(rewritten.size === 1, "the SQL idiom optimizes to the shape the rule matches")
+    assert(df.count() > 0)
+  }
+
   test("the rewrite declines unsafe shapes: rank(), surviving rank column, k <= 0") {
     val s = spark.newSession()
     import s.implicits._

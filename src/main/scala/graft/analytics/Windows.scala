@@ -130,6 +130,36 @@ object Windows extends QueryModule {
       .orderBy($"month")
   }
 
+  /** W3 range-frame twin (q164): trailing 7-DAY revenue per nation over a
+    * sparse daily series. q13's ROWS frame answers "the last 7
+    * observations"; on a series with gaps that is a different question
+    * from "the last 7 days" — a nation with 3 order days in a week must
+    * aggregate 3 rows, not reach back a month for 7. `rangeBetween` over
+    * the integer epoch-day ordering bounds the frame by TIME, so missing
+    * days shrink the frame instead of silently widening it. The window
+    * partitions by nation (bounded partitions at any scale); the series
+    * is pre-aggregated to one row per (nation, day) before the window,
+    * so frame work is calendar-sized, never order-row-sized. */
+  def rangeFrameRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val daily = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name", to_date($"o_orderdate").as("order_date"))
+      .agg(msumDec($"o_totalprice").as("rev_dec"))
+      .withColumn("epoch_day", unix_date($"order_date"))
+    val r7 = Window.partitionBy($"n_name").orderBy($"epoch_day")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select($"n_name", $"order_date",
+        $"rev_dec".cast("double").as("revenue"),
+        sum($"rev_dec").over(r7).cast("double").as("r7_revenue"),
+        count(lit(1)).over(r7).as("r7_days"))
+      .orderBy($"n_name", $"order_date")
+  }
+
   /** O2: global top-k — Catalyst plans TakeOrderedAndProject, no full sort. */
   def topOrders(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -169,6 +199,7 @@ object Windows extends QueryModule {
     "q15_mtd_revenue"          -> mtdRevenue,
     "q16_yoy_monthly_revenue"  -> yoyMonthlyRevenue,
     "q17_top_orders"           -> topOrders,
+    "q164_range_frame_revenue" -> rangeFrameRevenue,
   )
 
   private val dailyCte =
@@ -246,5 +277,21 @@ object Windows extends QueryModule {
     "q17_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q164_range_frame_revenue" ->
+      """WITH daily AS (
+        |  SELECT n_name, CAST(o_orderdate AS DATE) AS order_date,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, order_date)
+        |SELECT n_name, order_date, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) AS r7_revenue,
+        |  COUNT(*) OVER w AS r7_days
+        |FROM daily
+        |WINDOW w AS (PARTITION BY n_name ORDER BY epoch_day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY n_name, order_date""".stripMargin,
   )
 }

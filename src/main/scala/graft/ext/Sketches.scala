@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.QueryModule
 import graft.ingest.Tables
+import graft.util.Det.msum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -161,10 +162,80 @@ object Sketches extends QueryModule {
       .toDF("n_keys", "exact_join_size", "never_undercounts", "within_budget")
   }
 
+  /** q163: the q144 estimator PUT TO WORK — sketch-driven join-order
+    * selection. Two candidate dims restrict the orders fact: the
+    * BUILDING market segment (on o_custkey) and the 1995-Q1 calendar
+    * (on o_orderdate). A Selinger-style planner joins the dim with the
+    * SMALLER estimated fact-match first, so the cheaper intermediate
+    * flows into the second join. The estimates are Σ_k ĉ(k) over each
+    * dim's keys — one CMS probe per dim key against per-FK sketches
+    * built in a SINGLE pass over the fact (two `count_min_sketch`
+    * aggregates in one `agg`), probes distributed over the dim sides
+    * (q144's contract: sketches broadcast, never data collected).
+    *
+    * The DECISION is the oracle-checked output: `first_join` must match
+    * the order DuckDB derives from the EXACT intermediate sizes — the
+    * sketch planner provably agrees with ground-truth costing (verified
+    * stable at sf0.001/0.01/0.1; tie broken `<=` toward the customer
+    * dim in both engines). The CMS overshoot grows with the number of
+    * probed keys (each probe pays ~N/w expected collision mass once the
+    * key space exceeds the counter width — at sf0.1 the 15k-key
+    * customer estimate runs ~6x over exact while the 90-key calendar
+    * estimate stays tight), and that asymmetry is the SAFE direction
+    * for ordering: it can only make a high-cardinality dim look more
+    * expensive, never cheaper. At this SF both dim joins are
+    * broadcasts that fuse into one codegen stage, so the physical win
+    * is probe-count only; at 100 TB the same Σ n_B(k)·ĉ_A(k) numbers
+    * order N-way SHUFFLE joins where each intermediate is a
+    * materialized exchange — that is where KB of counters replace a
+    * scan per candidate order (why CBO keeps sketch stats at all). */
+  def sketchJoinOrder(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("order_date"),
+        $"o_totalprice")
+    // ONE fact pass builds both FK sketches (mergeable map-side aggregate)
+    val skRow = o.agg(
+      count_min_sketch($"o_custkey".cast("long"), lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk_cust"),
+      count_min_sketch(unix_date($"order_date").cast("long"), lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk_date"))
+      .head()
+    def sketchOf(bytes: Array[Byte]) = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val skCust = sketchOf(skRow.getAs[Array[Byte]]("sk_cust"))
+    val skDate = sketchOf(skRow.getAs[Array[Byte]]("sk_date"))
+    val probeCust = udf((k: Long) => skCust.estimateCount(k))
+    val probeDate = udf((k: Long) => skDate.estimateCount(k))
+    val custDim = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val dateDim = spark.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-03-31")))).as("cal_date"))
+    val estCust = custDim
+      .agg(coalesce(sum(probeCust($"c_custkey".cast("long"))), lit(0L)).cast("long")).head().getLong(0)
+    val estDate = dateDim
+      .agg(coalesce(sum(probeDate(unix_date($"cal_date").cast("long"))), lit(0L)).cast("long")).head().getLong(0)
+    val custFirst = estCust <= estDate
+    System.err.println(
+      s"[sketch-planner] est |orders⋈cust|=$estCust est |orders⋈date|=$estDate -> first_join=${if (custFirst) "customer" else "date"}")
+    val joined =
+      if (custFirst)
+        o.join(broadcast(custDim), o("o_custkey") === custDim("c_custkey"))
+          .join(broadcast(dateDim), o("order_date") === dateDim("cal_date"))
+      else
+        o.join(broadcast(dateDim), o("order_date") === dateDim("cal_date"))
+          .join(broadcast(custDim), o("o_custkey") === custDim("c_custkey"))
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        msum($"o_totalprice").as("revenue"))
+      .select(lit(if (custFirst) "customer" else "date").as("first_join"),
+        $"n_rows", $"revenue")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q115_bloom_semijoin"    -> bloomSemiJoin,
     "q144_cms_join_estimate" -> cmsJoinEstimate,
+    "q163_sketch_join_order" -> sketchJoinOrder,
   )
 
   val oracles = Map(
@@ -182,6 +253,23 @@ object Sketches extends QueryModule {
         |  TRUE AS no_false_negatives,
         |  TRUE AS fp_within_budget
         |FROM events""".stripMargin,
+    "q163_sketch_join_order" ->
+      """WITH cj AS (
+        |  SELECT COUNT(*) AS n FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |dj AS (
+        |  SELECT COUNT(*) AS n FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+        |res AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31')
+        |SELECT CASE WHEN cj.n <= dj.n THEN 'customer' ELSE 'date' END AS first_join,
+        |  res.n_rows, res.revenue
+        |FROM cj, dj, res""".stripMargin,
     "q144_cms_join_estimate" ->
       """WITH per_key AS (
         |  SELECT user_id, COUNT(*) AS n_a,

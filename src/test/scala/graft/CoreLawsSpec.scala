@@ -187,4 +187,50 @@ class CoreLawsSpec extends SparkSpec {
     assert(lagged.filter(!$"observed" && $"prev_stale".isNotNull &&
       $"staleness_days" =!= $"prev_stale" + 1L).count() === 0)
   }
+
+  test("q164 range frame is time-bounded: ≡ the interval self-join, ≠ the rows frame on a gapped series") {
+    import spark.implicits._
+    val r = graft.analytics.Windows.rangeFrameRevenue(spark, sfDir).cache()
+    // frame never exceeds the 7-day span, and the series genuinely has
+    // gaps (some frame holds fewer than 7 observations while at least 7
+    // prior rows exist — where a ROWS frame would reach back further)
+    assert(r.filter($"r7_days" > 7).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n_name").orderBy($"order_date")
+    val withRn = r.withColumn("rn", row_number().over(w))
+    assert(withRn.filter($"rn" >= 7 && $"r7_days" < 7).count() > 0,
+      "fixture must exercise the gap case that distinguishes RANGE from ROWS")
+    // independent derivation: the trailing-6-day interval self-join
+    val days = r.select($"n_name", $"order_date", $"revenue")
+      .withColumn("ed", datediff($"order_date", lit("1970-01-01")))
+    val a = days.select($"n_name", $"order_date", $"ed")
+    val b = days.select($"n_name".as("n2"), $"ed".as("ed2"), $"revenue".as("rev2"))
+    val byJoin = a.join(b, $"n_name" === $"n2" && $"ed2".between($"ed" - 6, $"ed"))
+      .groupBy($"n_name", $"order_date")
+      .agg(sum($"rev2").as("join_r7"), count(lit(1)).as("join_days"))
+    val cmp = r.join(byJoin, Seq("n_name", "order_date"))
+    assert(cmp.filter($"r7_days" =!= $"join_days").count() === 0)
+    assert(cmp.filter(abs($"r7_revenue" - $"join_r7") > 1e-6).count() === 0)
+    r.unpersist()
+  }
+
+  test("q163 sketch join order: decision matches exact costing; result is order-independent") {
+    import spark.implicits._
+    val out = graft.ext.Sketches.sketchJoinOrder(spark, sfDir).head()
+    // exact intermediate sizes, derived independently in Spark
+    val o = Tables.orders(spark, sfDir)
+    val cj = o.join(Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING"),
+      $"o_custkey" === $"c_custkey").count()
+    val dj = o.filter(to_date($"o_orderdate")
+      .between("1995-01-01", "1995-03-31")).count()
+    val exactFirst = if (cj <= dj) "customer" else "date"
+    assert(out.getString(0) === exactFirst,
+      s"sketch decision ${out.getString(0)} diverges from exact costing (cj=$cj dj=$dj)")
+    // the chosen order only changes cost, never the answer: both orders
+    // reduce to the same conjunctive filter
+    val both = o.join(Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING"),
+        $"o_custkey" === $"c_custkey")
+      .filter(to_date($"o_orderdate").between("1995-01-01", "1995-03-31"))
+    assert(out.getLong(1) === both.count())
+  }
 }

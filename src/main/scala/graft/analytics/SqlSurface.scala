@@ -143,12 +143,43 @@ object SqlSurface extends QueryModule {
     spark.sql(gbaStmt)
   }
 
+  /** SQL user-defined functions (Spark 4's `CREATE FUNCTION … RETURN`,
+    * SPARK-46057 family): business logic DECLARED in SQL, not compiled
+    * into a black-box closure. The analyzer inlines the body into the
+    * calling plan (`ResolveSQLFunctions`), so a SQL UDF costs nothing at
+    * execution — it stays inside whole-stage codegen and every
+    * optimizer rule sees through it, where a Scala/Python UDF is an
+    * opaque eval barrier (asserted in PlanShapeSpec: the executed plan
+    * contains no UDF eval node). `tier_weight` calls `order_tier` —
+    * function COMPOSITION also resolves by inlining. The DuckDB oracle
+    * runs the same query with the bodies inlined by hand, which is
+    * exactly the semantics the analyzer guarantees. */
+  private val udfSelect =
+    """SELECT order_tier(o_totalprice) AS tier, COUNT(*) AS n_orders,
+      |  CAST(SUM(tier_weight(o_totalprice)) AS BIGINT) AS weight_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY order_tier(o_totalprice)
+      |ORDER BY tier""".stripMargin
+
+  def sqlUdfTiers(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE) RETURN
+        |  CASE WHEN p >= 200000 THEN 'high' WHEN p >= 100000 THEN 'mid' ELSE 'low' END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION tier_weight(p DOUBLE) RETURN
+        |  CASE order_tier(p) WHEN 'high' THEN 3 WHEN 'mid' THEN 2 ELSE 1 END""".stripMargin)
+    spark.sql(udfSelect)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
     "q112_grouping_sets" -> groupingSets,
     "q116_recursive_calendar" -> recursiveCalendar,
     "q136_lateral_topn" -> lateralTopN,
     "q146_group_by_all" -> groupByAll,
+    "q165_sql_udf" -> sqlUdfTiers,
   )
 
   /** Same text, verbatim — that is the point. */
@@ -158,5 +189,18 @@ object SqlSurface extends QueryModule {
     "q116_recursive_calendar" -> recStmt,
     "q136_lateral_topn" -> latStmt,
     "q146_group_by_all" -> gbaStmt,
+    // the UDF bodies inlined by hand — the semantics the analyzer
+    // guarantees for SQL UDFs (composition expanded transitively)
+    "q165_sql_udf" ->
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |            WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS tier,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE (CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |            WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END)
+        |      WHEN 'high' THEN 3 WHEN 'mid' THEN 2 ELSE 1 END) AS BIGINT) AS weight_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY tier
+        |ORDER BY tier""".stripMargin,
   )
 }

@@ -45,8 +45,13 @@ class JsonlStats extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-jsonl-stats"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = JsonlStats.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new JsonlStatsTable(properties.get("path"), schema)
+                        properties: java.util.Map[String, String]): Table = {
+    // option lookup must stay case-insensitive regardless of which map
+    // representation Spark hands over
+    val opts = new CaseInsensitiveStringMap(properties)
+    new JsonlStatsTable(properties.get("path"), schema,
+      opts.getOrDefault("statsColumn", JsonlStats.statsColumn))
+  }
 }
 
 object JsonlStats {
@@ -57,7 +62,11 @@ object JsonlStats {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** The column the manifest carries bounds for. */
+  /** DEFAULT column the manifest carries bounds for; per-table override
+    * via the `statsColumn` read/write option (a user-id-keyed layout
+    * skips on user ranges, a value-keyed one on value ranges — the
+    * manifest format is column-agnostic, the option names the column
+    * its `min_value`/`max_value` describe). */
   val statsColumn = "value"
 
   /** Manifest entry: data file path (relative to the table root), its
@@ -79,12 +88,14 @@ object JsonlStats {
   }
 
   /** Can this predicate prune files against a [min, max] interval? */
-  def supportsSkipping(f: Filter): Boolean = f match {
-    case GreaterThan(c, _: Number)        => c == statsColumn
-    case GreaterThanOrEqual(c, _: Number) => c == statsColumn
-    case LessThan(c, _: Number)           => c == statsColumn
-    case LessThanOrEqual(c, _: Number)    => c == statsColumn
-    case EqualTo(c, _: Number)            => c == statsColumn
+  def supportsSkipping(f: Filter): Boolean = supportsSkipping(f, statsColumn)
+
+  def supportsSkipping(f: Filter, col: String): Boolean = f match {
+    case GreaterThan(c, _: Number)        => c == col
+    case GreaterThanOrEqual(c, _: Number) => c == col
+    case LessThan(c, _: Number)           => c == col
+    case LessThanOrEqual(c, _: Number)    => c == col
+    case EqualTo(c, _: Number)            => c == col
     case _                                => false
   }
 
@@ -101,7 +112,8 @@ object JsonlStats {
   }
 }
 
-class JsonlStatsTable(root: String, tableSchema: StructType) extends Table
+class JsonlStatsTable(root: String, tableSchema: StructType,
+                      statsCol: String = JsonlStats.statsColumn) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
@@ -110,9 +122,9 @@ class JsonlStatsTable(root: String, tableSchema: StructType) extends Table
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlStatsScanBuilder(root, tableSchema)
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonlWriteBuilder(root, info.schema(), info.queryId())
+    new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol)
 }
 
 /** Write side — the DSv2 commit protocol as a table format in
@@ -126,13 +138,14 @@ class JsonlStatsTable(root: String, tableSchema: StructType) extends Table
   * reader will ever see (which is also why task-level abort cleanup is
   * best-effort, not load-bearing) — the same marker-protocol stance as
   * the gold ledger, enforced at the connector layer. */
-class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String)
+class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
+                        statsCol: String = JsonlStats.statsColumn)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst)
+      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol)
   }
 }
 
@@ -140,9 +153,10 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
   extends WriterCommitMessage
 
 class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
-                      truncateFirst: Boolean) extends BatchWrite {
+                      truncateFirst: Boolean,
+                      statsCol: String = JsonlStats.statsColumn) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case c: JsonlFileCommit if c.rows > 0 => c }
@@ -173,22 +187,24 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     }
 }
 
-class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String)
+class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
+                         statsCol: String = JsonlStats.statsColumn)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId)
+    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol)
 }
 
 /** One data file per task attempt; the attempt-unique name means retries
   * and speculation can never collide, and only the attempt whose commit
   * message reaches the driver gets manifested. */
 class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
-                      partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+                      partitionId: Int, taskId: Long,
+                      statsCol: String = JsonlStats.statsColumn) extends DataWriter[InternalRow] {
   private val fileName = f"part-$queryId-$partitionId%05d-$taskId.jsonl"
   private val path = Paths.get(root, fileName)
   private val out = Files.newBufferedWriter(path)
   private val mapper = new ObjectMapper()
-  private val statsIdx = writeSchema.fieldNames.indexOf(JsonlStats.statsColumn)
+  private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
   private var rows = 0L
@@ -205,7 +221,12 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       }
     }
     if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
-      val v = row.getDouble(statsIdx)
+      // manifest bounds are doubles regardless of column type; exact for
+      // longs below 2^53 (every key column in this engine)
+      val v = writeSchema.fields(statsIdx).dataType match {
+        case LongType => row.getLong(statsIdx).toDouble
+        case _        => row.getDouble(statsIdx)
+      }
       if (v < mn) mn = v
       if (v > mx) mx = v
     }
@@ -227,7 +248,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   override def close(): Unit = ()
 }
 
-class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
+class JsonlStatsScanBuilder(root: String, full: StructType,
+                            statsCol: String = JsonlStats.statsColumn) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -238,7 +260,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
     * as a residual — bounds can only prove a file irrelevant, never
     * that all its rows match. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(JsonlStats.supportsSkipping)
+    pushed = filters.filter(JsonlStats.supportsSkipping(_, statsCol))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -255,17 +277,21 @@ class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
-      case n: NamedReference => n.fieldNames.toSeq == Seq(JsonlStats.statsColumn)
+    def isStatsRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq(statsCol)
       case _ => false
     }
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     // a manifest without row counts cannot serve aggregates
     if (JsonlStats.readStats(root).exists(_.rows < 0)) return false
+    // min/max are served as the manifest's doubles — only offered when
+    // the stats column IS double (a long column would need a result-type
+    // conversion; decline rather than lie about the schema)
+    val statsIsDouble = full.fields.find(_.name == statsCol).exists(_.dataType == DoubleType)
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
-      case m: Min if statsCol(m.column) => Some(StructField("min_value", DoubleType))
-      case m: Max if statsCol(m.column) => Some(StructField("max_value", DoubleType))
+      case m: Min if statsIsDouble && isStatsRef(m.column) => Some(StructField("min_value", DoubleType))
+      case m: Max if statsIsDouble && isStatsRef(m.column) => Some(StructField("max_value", DoubleType))
       case _ => None
     }
     if (fields.contains(None)) false
@@ -274,7 +300,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType) extends ScanBuilder
 
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlManifestAggScan(root, s)
-    case None    => new JsonlStatsScan(root, required, pushed)
+    case None    => new JsonlStatsScan(root, required, pushed, statsCol)
   }
 }
 
@@ -310,21 +336,91 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan wit
 final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
                                            fields: Array[String]) extends InputPartition
 
-class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
+                     statsCol: String = JsonlStats.statsColumn)
+    extends Scan with Batch
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Value sets delivered by runtime filters (one entry per IN
+    * predicate, conjunctive); files must cover at least one value of
+    * EACH set to survive. Empty until [[filter]] is called. */
+  @volatile private var runtimeKeep: Seq[Array[Double]] = Seq.empty
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
-      s"read=[${required.fieldNames.mkString(", ")}]"
+      s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol]"
+
+  /** The runtime-filtering leg (the DPP analogue for connectors): a
+    * broadcast join on the stats column hands the scan the join side's
+    * actual key set AT EXECUTION TIME, and files whose manifest interval
+    * contains none of those keys are pruned before their tasks launch —
+    * pruning the query's text never named. Like the planning-time leg
+    * this only ever DROPS provably-irrelevant files (bounds prove
+    * absence, never presence; the join itself re-checks rows), so an
+    * unparseable predicate is safely ignored rather than guessed at. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(statsCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      val onStats = kids.headOption.exists {
+        case n: NamedReference => n.fieldNames.toSeq == Seq(statsCol)
+        case _ => false
+      }
+      if (p.name() == "IN" && onStats) {
+        val vals: Seq[Option[Double]] = kids.tail.toSeq.map {
+          case l: Literal[_] => l.value() match {
+            case n: Number => Some(n.doubleValue())
+            case _ => None
+          }
+          case _ => None
+        }
+        // one unparseable member voids the whole predicate: a partial
+        // value set would prune files that only match the missing values
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toArray) else None
+      } else None
+    }
+    if (sets.nonEmpty) runtimeKeep = sets
+  }
 
   /** Planning-time file skipping: consult the manifest, keep files whose
-    * interval may satisfy every pushed predicate. No directory listing. */
+    * interval may satisfy every pushed predicate — and, once runtime
+    * filters have arrived, whose interval covers at least one delivered
+    * key per IN set. No directory listing. */
   override def planInputPartitions(): Array[InputPartition] =
-    JsonlStats.readStats(root)
-      .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
+    survivingStats()
       .map(s => JsonlFilePartition(Paths.get(root, s.file).toString): InputPartition)
       .toArray
+
+  private def survivingStats(): Seq[JsonlStats.FileStats] =
+    JsonlStats.readStats(root)
+      .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
+      .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
+
+  /** Manifest-derived statistics: row count is the sum of surviving
+    * files' exact counts, bytes the sum of their on-disk sizes (a
+    * file-count-bounded metadata stat, never a data scan) — what lets
+    * Catalyst/AQE see a post-pruning connector table as small enough to
+    * broadcast. Unknown when an old manifest lacks row counts. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val surviving = survivingStats()
+    val haveRows = surviving.forall(_.rows >= 0)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(surviving.map { s =>
+          val p = Paths.get(root, s.file)
+          if (Files.exists(p)) Files.size(p) else 0L
+        }.sum)
+      override def numRows(): java.util.OptionalLong =
+        if (haveRows) java.util.OptionalLong.of(surviving.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(required)

@@ -134,6 +134,81 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** The USER-KEYED twin of the written fixture: same event feed, same
+    * connector write path, but range-partitioned on `user_id` with
+    * `statsColumn=user_id` — so the manifest carries per-file user-id
+    * bounds and a user-cohort join can skip files. */
+  def ensureUserKeyedFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_by_user")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"user_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "user_id")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** The user-keyed connector frame, exposed for the runtime-filter spec. */
+  def userKeyedFrame(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureUserKeyedFixture(spark, d))
+      .option("statsColumn", "user_id").load()
+
+  /** Materialized signup-cohort dimension (user_id, cohort): the first
+    * eighth of users by id — monotone ids ↔ signup order — are 'early'.
+    * MATERIALIZED (parquet on disk, not an expression over customer)
+    * because that is both what production cohort tables are and what
+    * makes the test honest: the optimizer cannot fold `cohort='early'`
+    * into an id range, so only RUNTIME filtering can skip fact files. */
+  def ensureCohortDim(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "user_cohorts")
+    Landing.ensureBuilt(dir) { out =>
+      // the cut is the first eighth of the ACTIVE id span (the driver's
+      // customer dim is larger than the event-active user set at small
+      // SFs); integer division, mirrored by the oracle
+      val cut = (Tables.events(spark, d).agg(max($"user_id")).head().getLong(0) + 1L) / 8L
+      Tables.customer(spark, d)
+        .select($"c_custkey".as("user_id"),
+          when($"c_custkey" < cut, "early").otherwise("late").as("cohort"))
+        .coalesce(1)
+        .write.parquet(out)
+    }
+    dir
+  }
+
+  /** q162: RUNTIME file skipping through the connector — the DPP
+    * analogue for custom sources ([[JsonlStatsScan.filterAttributes]]).
+    * The query joins the feed to the early-signup cohort of the
+    * materialized cohort dim; its text names no user-id range and the
+    * `cohort='early'` predicate is opaque to constraint propagation, so
+    * planning-time pushdown prunes NOTHING (a `c_custkey <= k`
+    * formulation would be inferred onto `user_id` and statically pushed
+    * — the engine is that good — which is why the demo needs a genuine
+    * dimension attribute). At execution Spark hands the scan the
+    * cohort's actual key set (the broadcast join side, via
+    * `SupportsRuntimeV2Filtering`), and files whose manifest user-id
+    * interval contains none of those keys never launch tasks. The
+    * oracle re-derives the cohort from the customer table — runtime
+    * pruning must be invisible in the result; JsonlStatsSpec proves the
+    * executed scan carried a runtime filter and read a strict subset of
+    * the manifest while the static planning set stayed full. */
+  def runtimeFilteredJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val fact = userKeyedFrame(spark, d)
+    val cohort = spark.read.parquet(ensureCohortDim(spark, d))
+      .filter($"cohort" === "early")
+    fact.join(broadcast(cohort), Seq("user_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -170,6 +245,7 @@ object JsonlStatsQueries extends QueryModule {
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
     "q160_dsv2_write_roundtrip" -> writeRoundTrip,
     "q161_dsv2_stream_read" -> streamingManifestRead,
+    "q162_dsv2_runtime_filter" -> runtimeFilteredJoin,
   )
 
   val oracles = Map(
@@ -194,6 +270,13 @@ object JsonlStatsQueries extends QueryModule {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q162_dsv2_runtime_filter" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE c_custkey < (SELECT (MAX(user_id) + 1) // 8 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
   )

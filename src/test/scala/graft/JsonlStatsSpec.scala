@@ -224,6 +224,66 @@ class JsonlStatsSpec extends SparkSpec {
     assert(processed.get() === gen1.count() + gen2.count())
   }
 
+  test("q162: runtime filters prune files the query text never named") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+    // unit level: an IN runtime filter on the stats column shrinks the
+    // planned file set; junk is ignored, never guessed at
+    val root = JsonlStatsQueries.ensureUserKeyedFixture(spark, sfDir)
+    val total = JsonlStats.readStats(root).size
+    assert(total >= 4, "user-keyed fixture must have multiple files")
+    def freshScan() = new JsonlStatsScanBuilder(root, JsonlStats.schema, "user_id")
+      .build().asInstanceOf[JsonlStatsScan]
+    val s1 = freshScan()
+    assert(s1.filterAttributes().map(_.fieldNames.toSeq).toSeq === Seq(Seq("user_id")))
+    assert(s1.toBatch.planInputPartitions().length === total)
+    s1.filter(Array(new Predicate("IN", Array(
+      Expressions.column("user_id"),
+      Expressions.literal(3L), Expressions.literal(5L)))))
+    val kept = s1.toBatch.planInputPartitions().length
+    assert(kept >= 1 && kept < total,
+      s"two adjacent keys should keep a nonempty strict subset, kept $kept/$total")
+    val s2 = freshScan()
+    s2.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(s2.toBatch.planInputPartitions().length === total,
+      "an unparseable runtime predicate must not prune")
+
+    // end to end: the cohort join hands the scan its key set at
+    // execution time; the executed scan carries the runtime filter and
+    // reads a strict subset of the manifest
+    val q = JsonlStatsQueries.runtimeFilteredJoin(spark, sfDir)
+    val got = q.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(q.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec if b.scan.isInstanceOf[JsonlStatsScan] => b }
+    assert(scans.size === 1)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "the join key must reach the scan as a runtime filter (DPP for DSv2)")
+    // partitions() is the PRE-runtime planning set; the executed RDD is
+    // built from the runtime-filtered set — that is where skipping shows
+    assert(scans.head.partitions.flatten.size === total)
+    val read = scans.head.execute().getNumPartitions
+    assert(read < total, s"runtime filter should skip files, read $read/$total")
+    // pruning is invisible in the result: equals the parquet derivation
+    val cust = graft.ingest.Tables.customer(spark, sfDir)
+    val cut = (graft.ingest.Tables.events(spark, sfDir)
+      .agg(max($"user_id")).head().getLong(0) + 1L) / 8L
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .join(cust.filter($"c_custkey" < cut), $"user_id" === $"c_custkey")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(got.toSeq === expect.collect().toSeq)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -180,4 +180,20 @@ class PlanShapeSpec extends SparkSpec {
         || plan.contains("TableCacheQueryStage"),
       s"no exchange reuse in the diamond plan:\n$plan")
   }
+
+  test("q165 SQL UDFs are inlined: no eval barrier, plan stays in whole-stage codegen") {
+    val df = graft.analytics.SqlSurface.sqlUdfTiers(spark, sfDir)
+    df.collect()
+    val executed = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan
+    val text = executed.toString
+    // a Scala/Python UDF would surface as an eval node or a ScalaUDF
+    // expression; SQL UDFs must leave no trace but their inlined body
+    assert(!text.contains("ScalaUDF") && !text.contains("BatchEvalPython"),
+      s"SQL UDF left an eval barrier:\n$text")
+    // the inlined bodies are visible as plain CASE expressions INSIDE
+    // the aggregate (composition expanded transitively), still codegen'd
+    assert(text.contains("CASE WHEN"), s"UDF body not inlined:\n$text")
+    assert(text.contains("*("), s"no whole-stage codegen span:\n$text")
+  }
 }

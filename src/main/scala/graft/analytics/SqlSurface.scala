@@ -173,6 +173,49 @@ object SqlSurface extends QueryModule {
     spark.sql(udfSelect)
   }
 
+  /** SQL TABLE function (the other half of the SQL-UDF surface): a
+    * parameterized relation declared in SQL, consumed with LATERAL so
+    * each outer row drives one logical invocation — the q136 correlated
+    * top-N idiom, now behind a named, reusable interface. Resolves like
+    * the scalar case by inlining: Catalyst decorrelates the correlated
+    * LIMIT into a join + per-key window, NOT a per-row re-execution, so
+    * the named function costs the same plan as the hand-written lateral
+    * subquery. The DuckDB oracle runs the function body inlined as a
+    * LATERAL subquery — the semantics the analyzer guarantees. */
+  private val tfSelect =
+    """SELECT s.c_mktsegment, f.o_orderkey, f.o_totalprice
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+      |  LATERAL seg_top_orders(s.c_mktsegment) f
+      |ORDER BY s.c_mktsegment, f.o_totalprice DESC, f.o_orderkey""".stripMargin
+
+  def sqlTableFunction(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    Tables.customer(spark, d).createOrReplaceTempView("customer")
+    // Two formulation constraints, both discovered by differential test:
+    //  - the top-k bound lives in the body, not the signature: LIMIT
+    //    must be foldable at definition time (a `k INT` parameter
+    //    reaches the body as an outer reference and is rejected);
+    //  - top-k is a ROW_NUMBER window, NOT `ORDER BY … LIMIT`: function
+    //    parameter substitution wraps the outer reference in a CAST,
+    //    and in Spark 4.1 a CAST around the outer reference silently
+    //    breaks correlated-LIMIT decorrelation — the limit is applied
+    //    globally BEFORE the correlation filter (3 rows instead of 15;
+    //    reproducible with plain LATERAL SQL, no function involved, so
+    //    it is the decorrelation rule, not the inliner). The window
+    //    form decorrelates correctly: the outer ref joins the window's
+    //    partition key and per-segment numbering survives.
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION seg_top_orders(seg STRING)
+        |RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE) RETURN
+        |  SELECT o_orderkey, o_totalprice FROM (
+        |    SELECT o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    WHERE c_mktsegment = seg) t
+        |  WHERE rn <= 3""".stripMargin)
+    spark.sql(tfSelect)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q94_sql_api" -> sqlApi,
     "q112_grouping_sets" -> groupingSets,
@@ -180,6 +223,7 @@ object SqlSurface extends QueryModule {
     "q136_lateral_topn" -> lateralTopN,
     "q146_group_by_all" -> groupByAll,
     "q165_sql_udf" -> sqlUdfTiers,
+    "q166_sql_table_function" -> sqlTableFunction,
   )
 
   /** Same text, verbatim — that is the point. */
@@ -202,5 +246,15 @@ object SqlSurface extends QueryModule {
         |FROM orders
         |GROUP BY tier
         |ORDER BY tier""".stripMargin,
+    // the table-function body inlined as a LATERAL subquery — the
+    // analyzer's guaranteed semantics for SQL table functions
+    "q166_sql_table_function" ->
+      """SELECT s.c_mktsegment, f.o_orderkey, f.o_totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |  LATERAL (SELECT o_orderkey, o_totalprice
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           WHERE c_mktsegment = s.c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) f
+        |ORDER BY s.c_mktsegment, f.o_totalprice DESC, f.o_orderkey""".stripMargin,
   )
 }

@@ -69,6 +69,13 @@ object JsonlStats {
     * its `min_value`/`max_value` describe). */
   val statsColumn = "value"
 
+  /** Metadata columns (SupportsMetadataColumns): provenance the data
+    * rows don't carry. Resolved by name like ordinary columns but ONLY
+    * when referenced — an unqueried metadata column costs nothing and
+    * never appears in `df.schema`. */
+  val FileMeta = "_file" // absolute path of the data file a row came from
+  val PosMeta = "_pos"   // 0-based row position within that file
+
   /** Manifest entry: data file path (relative to the table root), its
     * closed [min, max] interval over [[statsColumn]], and its row count. */
   final case class FileStats(file: String, min: Double, max: Double, rows: Long)
@@ -114,9 +121,25 @@ object JsonlStats {
 
 class JsonlStatsTable(root: String, tableSchema: StructType,
                       statsCol: String = JsonlStats.statsColumn) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
+
+  /** Row provenance: which manifested file, which position in it. The
+    * reader serves both from state it already has — no extra IO. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = JsonlStats.FileMeta
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = JsonlStats.PosMeta
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -362,8 +385,14 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * this only ever DROPS provably-irrelevant files (bounds prove
     * absence, never presence; the join itself re-checks rows), so an
     * unparseable predicate is safely ignored rather than guessed at. */
+  /** Only advertised when the pruned read schema still carries the
+    * stats column: Spark resolves these refs against the scan OUTPUT,
+    * so naming an unprojected column is an analysis error (seen when a
+    * query reads only metadata columns) — and a runtime join filter on
+    * a column the node doesn't output can't exist anyway. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(statsCol))
+    if (required.fieldNames.contains(statsCol)) Array(Expressions.column(statsCol))
+    else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val sets = predicates.toSeq.flatMap { p =>
@@ -483,29 +512,38 @@ class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
 }
 
 /** Streams one JSONL file, parsing only the projected fields. Absent or
-  * null JSON fields surface as SQL nulls. */
+  * null JSON fields surface as SQL nulls. The `_file`/`_pos` metadata
+  * columns are served from reader state (the partition's path and a row
+  * counter) — provenance without touching the data bytes. */
 class JsonlPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val reader = Files.newBufferedReader(Paths.get(file))
+  private val filePath = UTF8String.fromString(file)
   private var line: String = _
+  private var pos = -1L
 
   override def next(): Boolean = {
     line = reader.readLine()
     while (line != null && line.isEmpty) line = reader.readLine()
+    if (line != null) pos += 1
     line != null
   }
 
   override def get(): InternalRow = {
     val n = mapper.readTree(line)
     InternalRow.fromSeq(required.fields.toSeq.map { f =>
-      val v = n.get(f.name)
-      if (v == null || v.isNull) null
-      else f.dataType match {
-        case LongType   => v.asLong()
-        case DoubleType => v.asDouble()
-        case StringType => UTF8String.fromString(v.asText())
-        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      if (f.name == JsonlStats.FileMeta) filePath
+      else if (f.name == JsonlStats.PosMeta) pos
+      else {
+        val v = n.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case LongType   => v.asLong()
+          case DoubleType => v.asDouble()
+          case StringType => UTF8String.fromString(v.asText())
+          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+        }
       }
     })
   }

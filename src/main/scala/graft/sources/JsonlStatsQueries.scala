@@ -209,6 +209,41 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q167: METADATA COLUMNS through the connector
+    * (`SupportsMetadataColumns`): `_file` and `_pos` are row provenance
+    * the data never carried — resolved by name like ordinary columns,
+    * served from reader state at zero IO cost, absent from the schema
+    * unless queried. The query audits the lineage they provide against
+    * the connector's own manifest: per-file row counts seen through
+    * `_file` (and densely-numbered `_pos`) must equal the manifest's
+    * published `n_rows` — the "did every file land intact" check a
+    * 100-TB ingest runs after each batch, here expressible WITHOUT any
+    * lineage columns baked into the data (the S7 pattern at the
+    * connector layer). The oracle pins the total and the verified flag;
+    * file identities are connector-internal and stay out of the hash
+    * (JsonlStatsSpec asserts the per-file semantics directly). */
+  def metadataLineage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureFixture(spark, d)
+    // _file is absolute (root + "/" + manifest-relative path, which may
+    // itself contain partition subdirs) — relativize against the root,
+    // not a basename strip
+    val rootLen = Paths.get(dir).toAbsolutePath.toString.length
+    val perFile = scanFrame(spark, d)
+      .groupBy(substring(col(JsonlStats.FileMeta), rootLen + 2, 1 << 20).as("file"))
+      .agg(count(lit(1)).as("n_seen"),
+        (max(col(JsonlStats.PosMeta)) + 1L).as("n_pos"))
+    val manifest = JsonlStats.readStats(dir)
+      .map(s => (s.file, s.rows)).toDF("file", "n_manifest")
+    perFile.join(manifest, Seq("file"), "full_outer")
+      .agg(
+        coalesce(bool_and(
+          coalesce($"n_seen", lit(-1L)) === coalesce($"n_manifest", lit(-2L)) &&
+            coalesce($"n_pos", lit(-1L)) === coalesce($"n_manifest", lit(-2L))),
+          lit(false)).as("all_counts_match"),
+        coalesce(sum($"n_seen"), lit(0L)).cast("long").as("n_events"))
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -246,6 +281,7 @@ object JsonlStatsQueries extends QueryModule {
     "q160_dsv2_write_roundtrip" -> writeRoundTrip,
     "q161_dsv2_stream_read" -> streamingManifestRead,
     "q162_dsv2_runtime_filter" -> runtimeFilteredJoin,
+    "q167_dsv2_metadata_cols" -> metadataLineage,
   )
 
   val oracles = Map(
@@ -279,5 +315,7 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE c_custkey < (SELECT (MAX(user_id) + 1) // 8 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q167_dsv2_metadata_cols" ->
+      "SELECT TRUE AS all_counts_match, COUNT(*) AS n_events FROM events",
   )
 }

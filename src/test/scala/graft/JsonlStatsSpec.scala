@@ -284,6 +284,36 @@ class JsonlStatsSpec extends SparkSpec {
     assert(got.toSeq === expect.collect().toSeq)
   }
 
+  test("q167: metadata columns carry provenance, cost nothing unqueried") {
+    import spark.implicits._
+    val root = fixture
+    val frame = JsonlStatsQueries.scanFrame(spark, sfDir)
+    // unqueried: metadata columns never appear in the schema
+    assert(!frame.schema.fieldNames.contains("_file")
+      && !frame.schema.fieldNames.contains("_pos"))
+    // queried: resolved by name, one distinct _file per manifest entry
+    val stats = JsonlStats.readStats(root)
+    val withMeta = frame.select($"_file", $"_pos", $"event_id")
+    assert(withMeta.select("_file").distinct().count() === stats.size)
+    // per-file: _pos is dense 0..n-1 and counts match the manifest
+    val rootLen = java.nio.file.Paths.get(root).toAbsolutePath.toString.length
+    val perFile = withMeta
+      .groupBy(substring($"_file", rootLen + 2, 1 << 20).as("file"))
+      .agg(count(lit(1)).as("n"), min($"_pos").as("lo"), max($"_pos").as("hi"),
+        countDistinct($"_pos").as("npos"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    stats.foreach { s =>
+      val (n, lo, hi, npos) = perFile(s.file)
+      assert(n === s.rows && lo === 0L && hi === s.rows - 1 && npos === s.rows,
+        s"provenance mismatch for ${s.file}")
+    }
+    // the registered audit reduces the same facts to its flag
+    val audit = JsonlStatsQueries.metadataLineage(spark, sfDir).head()
+    assert(audit.getBoolean(0), "per-file counts must match the manifest")
+    assert(audit.getLong(1) === stats.map(_.rows).sum)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -122,7 +122,8 @@ object MicroBatch extends QueryModule {
     * (the consumer writes them in arrival order), so the watermark
     * bound is the real state cap there. */
   private def purchaseErrorJoinSink(spark: SparkSession, d: String,
-                                    name: String, joinType: String): DataFrame = {
+                                    name: String, joinType: String,
+                                    keepErrorKey: Boolean = false): DataFrame = {
     import spark.implicits._
     val landing = ensureLanding(spark, d)
     val sink = Landing.fixtureDir(d, s"${name}_sink")
@@ -137,12 +138,18 @@ object MicroBatch extends QueryModule {
     val errors = src.filter($"event_type" === "error")
       .select($"user_id".as("e_user"), $"ts".as("e_ts"))
       .withWatermark("e_ts", "1 hour")
+    // full outer emits error-only rows whose only key is e_user — keep
+    // it for that join shape (a new column changes the sink schema, so
+    // it is opt-in rather than retrofitted onto the q68/q131 sinks)
+    val projection =
+      if (keepErrorKey) Seq($"purchase_id", $"user_id", $"p_ts", $"e_user", $"e_ts")
+      else Seq($"purchase_id", $"user_id", $"p_ts", $"e_ts")
     val q = purchases.join(errors,
         purchases("user_id") === errors("e_user") &&
           errors("e_ts") < purchases("p_ts") &&
           errors("e_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR"),
         joinType)
-      .select($"purchase_id", $"user_id", $"p_ts", $"e_ts")
+      .select(projection: _*)
       .writeStream
       .format("parquet")
       .option("path", sink)
@@ -197,6 +204,46 @@ object MicroBatch extends QueryModule {
         col("p_ts") <= lit(horizon) - expr("INTERVAL 2 HOURS")
       case _ => lit(false)
     }
+
+  /** T4+: watermarked stream-stream FULL OUTER join — the last member
+    * of the outer family: matches, purchases with no preceding-hour
+    * error, AND orphan errors no purchase followed within the hour. An
+    * error-only verdict needs the watermark past e_ts + 1 h (a future
+    * purchase up to an hour later could still match it), one hour later
+    * than a purchase-only verdict needs — so the certainty horizon is
+    * PER PERSPECTIVE: purchase-anchored rows (matched or clean) keep
+    * q131's horizon − 2 h, error-only rows take horizon − 3 h. The mix
+    * is exact, not an approximation: a kept purchase's candidate errors
+    * all precede it (e < p ≤ H−2h), and a kept error's candidate
+    * purchases all precede H−2h, so every kept row's verdict is
+    * committed and decidable from the same event population the batch
+    * oracle joins — restricting a SINGLE shared cutoff can never close
+    * a full outer join (any boundary cuts matched pairs whose two
+    * timestamps straddle it, turning one engine's match into the
+    * other's two orphans). */
+  def streamFullOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val joined = purchaseErrorJoinSink(spark, d, "stream_full_outer", "fullOuter",
+      keepErrorKey = true)
+    val ev = graft.ingest.Tables.events(spark, d)
+    val wmRow = ev.agg(
+      max(when($"event_type" === "purchase", $"ts")).as("max_p"),
+      max(when($"event_type" === "error", $"ts")).as("max_e")).first()
+    val cond = (Option(wmRow.getTimestamp(0)), Option(wmRow.getTimestamp(1))) match {
+      case (Some(p), Some(e)) =>
+        val horizon = if (p.getTime <= e.getTime) p else e
+        when($"p_ts".isNotNull, $"p_ts" <= lit(horizon) - expr("INTERVAL 2 HOURS"))
+          .otherwise($"e_ts" <= lit(horizon) - expr("INTERVAL 3 HOURS"))
+      case _ => lit(false) // no global watermark — nothing is certain
+    }
+    joined.filter(cond)
+      .groupBy(coalesce($"user_id", $"e_user").as("user_key"))
+      .agg(
+        sum(when($"p_ts".isNotNull && $"e_ts".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when($"p_ts".isNotNull && $"e_ts".isNull, 1L).otherwise(0L)).as("n_clean_purchases"),
+        sum(when($"p_ts".isNull, 1L).otherwise(0L)).as("n_orphan_errors"))
+      .orderBy($"user_key")
+  }
 
   def streamOuterJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -508,6 +555,7 @@ object MicroBatch extends QueryModule {
     "q58_stream_windowed"   -> streamWindowed,
     "q68_stream_stream_join" -> streamStreamJoin,
     "q131_stream_outer_join" -> streamOuterJoin,
+    "q168_stream_full_outer_join" -> streamFullOuterJoin,
     "q77_stream_dedup"      -> streamDedup,
     "q81_stream_foreachbatch" -> streamForeachBatch,
   )
@@ -625,6 +673,28 @@ object MicroBatch extends QueryModule {
         |WHERE p.event_type = 'purchase' AND p.ts <= (SELECT horizon FROM h)
         |GROUP BY p.user_id
         |ORDER BY p.user_id""".stripMargin,
+    "q168_stream_full_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |h AS (SELECT LEAST(
+        |    MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END),
+        |    MAX(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END))
+        |  AS horizon FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |er AS (SELECT user_id, ts FROM e WHERE event_type = 'error'),
+        |fo AS (
+        |  SELECT p.user_id AS p_user, p.ts AS p_ts, er.user_id AS e_user, er.ts AS e_ts
+        |  FROM p FULL JOIN er
+        |    ON er.user_id = p.user_id
+        |   AND er.ts < p.ts AND er.ts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT COALESCE(p_user, e_user) AS user_key,
+        |  COUNT(*) FILTER (WHERE p_ts IS NOT NULL AND e_ts IS NOT NULL) AS n_matched,
+        |  COUNT(*) FILTER (WHERE p_ts IS NOT NULL AND e_ts IS NULL) AS n_clean_purchases,
+        |  COUNT(*) FILTER (WHERE p_ts IS NULL) AS n_orphan_errors
+        |FROM fo, h
+        |WHERE CASE WHEN p_ts IS NOT NULL THEN p_ts <= h.horizon - INTERVAL 2 HOUR
+        |      ELSE e_ts <= h.horizon - INTERVAL 3 HOUR END
+        |GROUP BY user_key
+        |ORDER BY user_key""".stripMargin,
     "q81_stream_foreachbatch" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,

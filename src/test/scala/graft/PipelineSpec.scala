@@ -135,6 +135,20 @@ class PipelineSpec extends SparkSpec {
     assert(res.getLong(1) > 0L, "no matched pairs — join arm never exercised")
   }
 
+  test("stream full-outer join exercises ALL THREE arms inside its per-perspective horizon") {
+    import spark.implicits._
+    // the oracle proves equality with the batch full join; this pins
+    // that every row class exists: matched pairs, purchases with no
+    // preceding-hour error, AND orphan errors no purchase followed —
+    // the arm only a full outer join can produce
+    val res = graft.streaming.MicroBatch.streamFullOuterJoin(spark, sfDir)
+      .agg(sum($"n_matched").as("m"), sum($"n_clean_purchases").as("c"),
+        sum($"n_orphan_errors").as("o")).first()
+    assert(res.getLong(0) > 0L, "no matched pairs — join arm never exercised")
+    assert(res.getLong(1) > 0L, "no clean purchases — left-outer arm never exercised")
+    assert(res.getLong(2) > 0L, "no orphan errors — right-outer arm never exercised")
+  }
+
   test("outer-join certainty horizon: degenerate corpus (one side absent) yields empty, not NPE") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")

@@ -44,13 +44,17 @@ import scala.jdk.CollectionConverters._
 class JsonlStats extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-jsonl-stats"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = JsonlStats.schema
+  // a caller may supply its own schema (e.g. a dimension table through
+  // the same connector) — the reader parses whatever fields are asked of it
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     // option lookup must stay case-insensitive regardless of which map
     // representation Spark hands over
     val opts = new CaseInsensitiveStringMap(properties)
     new JsonlStatsTable(properties.get("path"), schema,
-      opts.getOrDefault("statsColumn", JsonlStats.statsColumn))
+      opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
+      Option(opts.get("partitionColumn")))
   }
 }
 
@@ -77,8 +81,11 @@ object JsonlStats {
   val PosMeta = "_pos"   // 0-based row position within that file
 
   /** Manifest entry: data file path (relative to the table root), its
-    * closed [min, max] interval over [[statsColumn]], and its row count. */
-  final case class FileStats(file: String, min: Double, max: Double, rows: Long)
+    * closed [min, max] interval over [[statsColumn]], its row count, and
+    * — for key-grouped layouts — the single partition-column value every
+    * row of the file carries (`pkey`; absent on unkeyed layouts). */
+  final case class FileStats(file: String, min: Double, max: Double, rows: Long,
+                             pkey: Option[String] = None)
 
   def readStats(root: String): Seq[FileStats] = {
     val mapper = new ObjectMapper()
@@ -90,7 +97,8 @@ object JsonlStats {
         // bounds); -1 marks it absent, which declines aggregate pushdown
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
-          if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L)
+          if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
+          if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None)
       }
   }
 
@@ -120,7 +128,8 @@ object JsonlStats {
 }
 
 class JsonlStatsTable(root: String, tableSchema: StructType,
-                      statsCol: String = JsonlStats.statsColumn) extends Table
+                      statsCol: String = JsonlStats.statsColumn,
+                      partitionCol: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.MetadataColumn
@@ -145,7 +154,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlStatsScanBuilder(root, tableSchema, statsCol)
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol)
 }
@@ -188,7 +197,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       else JsonlStats.readStats(root)
     val kept = if (truncateFirst) Seq.empty else previous
     val lines = (kept.map(s =>
-        s"""{"file":"${s.file}","min_value":${s.min},"max_value":${s.max},"n_rows":${s.rows}}""") ++
+        s"""{"file":"${s.file}","min_value":${s.min},"max_value":${s.max},"n_rows":${s.rows}""" +
+          s.pkey.map(k => s""","pkey":"$k"""").getOrElse("") + "}") ++
       fresh.map(c =>
         s"""{"file":"${c.file}","min_value":${c.min},"max_value":${c.max},"n_rows":${c.rows}}""")).sorted
     val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
@@ -272,7 +282,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
 }
 
 class JsonlStatsScanBuilder(root: String, full: StructType,
-                            statsCol: String = JsonlStats.statsColumn) extends ScanBuilder
+                            statsCol: String = JsonlStats.statsColumn,
+                            partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -323,7 +334,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
 
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlManifestAggScan(root, s)
-    case None    => new JsonlStatsScan(root, required, pushed, statsCol)
+    case None    => new JsonlStatsScan(root, required, pushed, statsCol, partitionCol)
   }
 }
 
@@ -360,9 +371,11 @@ final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
                                            fields: Array[String]) extends InputPartition
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
-                     statsCol: String = JsonlStats.statsColumn)
+                     statsCol: String = JsonlStats.statsColumn,
+                     partitionCol: Option[String] = None)
     extends Scan with Batch
-    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
@@ -417,14 +430,50 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     if (sets.nonEmpty) runtimeKeep = sets
   }
 
+  /** Is this table a reportable key-grouped layout for the projected
+    * output? Requires: a declared partition column that survives column
+    * pruning, a pkey on EVERY manifested file, and no runtime filter in
+    * play (runtime pruning can drop whole key groups after the
+    * partitioning was reported — decline rather than lie). */
+  private def keyGrouped: Boolean =
+    partitionCol.exists(c => required.fieldNames.contains(c)) &&
+      runtimeKeep.isEmpty && {
+        val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+      }
+
+  /** Storage-partitioned-join leg (`SupportsReportPartitioning`): when
+    * every file carries a single declared partition-column value, the
+    * scan reports `KeyGroupedPartitioning` over that column and each
+    * input partition exposes its key (`HasPartitionKey`). Two tables
+    * laid out this way join WITHOUT ANY EXCHANGE — Spark aligns the key
+    * groups instead of shuffling either side (the DSv2 generalization
+    * of the bucketed-join story: at 100 TB the fact table never moves).
+    * Grouping follows from the layout contract, not trust: the reader
+    * still reads only manifested immutable files, and a wrong pkey
+    * would surface as wrong results against the oracle. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped) {
+      val keys = survivingStats().flatMap(_.pkey).distinct
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(partitionCol.get)), keys.size)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        survivingStats().size)
+
   /** Planning-time file skipping: consult the manifest, keep files whose
     * interval may satisfy every pushed predicate — and, once runtime
     * filters have arrived, whose interval covers at least one delivered
     * key per IN set. No directory listing. */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val grouped = keyGrouped
     survivingStats()
-      .map(s => JsonlFilePartition(Paths.get(root, s.file).toString): InputPartition)
+      .map { s =>
+        val path = Paths.get(root, s.file).toString
+        if (grouped) JsonlKeyedFilePartition(path, s.pkey.get): InputPartition
+        else JsonlFilePartition(path): InputPartition
+      }
       .toArray
+  }
 
   private def survivingStats(): Seq[JsonlStats.FileStats] =
     JsonlStats.readStats(root)
@@ -506,9 +555,23 @@ object JsonlManifestOffset {
 
 final case class JsonlFilePartition(file: String) extends InputPartition
 
+/** A file of a key-grouped layout: every row carries `key` in the
+  * table's partition column, so the partition's identity IS the key —
+  * what lets Spark align two such tables' groups instead of shuffling. */
+final case class JsonlKeyedFilePartition(file: String, key: String)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  @transient private lazy val row: InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(key)))
+  override def partitionKey(): InternalRow = row
+}
+
 class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(p.asInstanceOf[JsonlFilePartition].file, required)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case f: JsonlFilePartition      => new JsonlPartitionReader(f.file, required)
+    case k: JsonlKeyedFilePartition => new JsonlPartitionReader(k.file, required)
+    case other => throw new IllegalArgumentException(s"unexpected partition $other")
+  }
 }
 
 /** Streams one JSONL file, parsing only the projected fields. Absent or

@@ -244,6 +244,99 @@ object JsonlStatsQueries extends QueryModule {
         coalesce(sum($"n_seen"), lit(0L)).cast("long").as("n_events"))
   }
 
+  /** Key-grouped FACT layout: one JSONL file per event_type, each
+    * manifest entry carrying its `pkey` — the layout contract the SPJ
+    * leg reports as `KeyGroupedPartitioning`. */
+  def ensureTypeKeyedFact(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_by_type")
+    Landing.ensureBuilt(dir) { out =>
+      val ev = Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      // duplicate the key into the partition dir so the JSON lines KEEP
+      // event_type (partitionBy strips the partition column from data)
+      ev.withColumn("et", $"event_type")
+        .repartition($"et")
+        .write.partitionBy("et").json(out)
+      val stats = spark.read.schema(JsonlStats.schema)
+        .json(s"$out/et=*/")
+        .select(col("_metadata.file_path").as("fp"), $"event_type", $"value")
+        .groupBy($"fp")
+        .agg(min($"value").as("mn"), max($"value").as("mx"),
+          count(lit(1)).as("n_rows"),
+          min($"event_type").as("k_lo"), max($"event_type").as("k_hi"))
+        .orderBy($"fp")
+        .collect()
+      val root = Paths.get(out).toAbsolutePath.toString
+      val lines = stats.toSeq.map { r =>
+        require(r.getString(4) == r.getString(5),
+          s"file ${r.getString(0)} mixes event types — not a keyed layout")
+        val rel = r.getString(0).replaceFirst("^file:/+", "/")
+          .stripPrefix(root).stripPrefix("/")
+        s"""{"file":"$rel","min_value":${r.getDouble(1)},"max_value":${r.getDouble(2)},"n_rows":${r.getLong(3)},"pkey":"${r.getString(4)}"}"""
+      }
+      Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    dir
+  }
+
+  /** Per-type dimension through the SAME connector, same key-grouped
+    * layout: one single-row file per event_type (type totals). */
+  val typeDimSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType)))
+
+  def ensureTypeDim(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_type_dim")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      val perType = Tables.events(spark, d)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+        .orderBy($"event_type").collect() // dimension-sized: one row per type
+      val lines = perType.toSeq.map { r =>
+        val t = r.getString(0)
+        Files.write(Paths.get(out, s"et_$t.jsonl"),
+          java.util.Arrays.asList(s"""{"event_type":"$t","n_total":${r.getLong(1)}}"""))
+        s"""{"file":"et_$t.jsonl","min_value":0.0,"max_value":0.0,"n_rows":1,"pkey":"$t"}"""
+      }
+      Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    dir
+  }
+
+  /** q169: STORAGE-PARTITIONED JOIN through the connector
+    * (`SupportsReportPartitioning` + `KeyGroupedPartitioning` +
+    * `HasPartitionKey`): fact and dimension are both laid out one file
+    * per event_type with the key in the manifest, both scans report the
+    * key grouping, and Spark joins them by ALIGNING the groups — zero
+    * Exchange on either side, and the post-join per-type aggregate
+    * inherits the distribution so it is shuffle-free too (plan-asserted
+    * in JsonlStatsSpec). The merge hint keeps the broadcast planner
+    * from hiding the effect at fixture scale; at 100 TB co-located
+    * layouts ARE how two fact-sized tables join (the q64 bucketed-join
+    * story generalized to a custom source — the fact table never
+    * moves). The oracle re-derives both sides from parquet. */
+  def storagePartitionedJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val fact = spark.read.format("graft-jsonl-stats")
+      .option("path", ensureTypeKeyedFact(spark, d))
+      .option("partitionColumn", "event_type").load()
+    val dim = spark.read.format("graft-jsonl-stats")
+      .schema(typeDimSchema)
+      .option("path", ensureTypeDim(spark, d))
+      .option("partitionColumn", "event_type").load()
+    fact.join(dim.hint("merge"), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"n_total").as("n_total"),
+        msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -282,6 +375,7 @@ object JsonlStatsQueries extends QueryModule {
     "q161_dsv2_stream_read" -> streamingManifestRead,
     "q162_dsv2_runtime_filter" -> runtimeFilteredJoin,
     "q167_dsv2_metadata_cols" -> metadataLineage,
+    "q169_dsv2_spj" -> storagePartitionedJoin,
   )
 
   val oracles = Map(
@@ -317,5 +411,12 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_type""".stripMargin,
     "q167_dsv2_metadata_cols" ->
       "SELECT TRUE AS all_counts_match, COUNT(*) AS n_events FROM events",
+    "q169_dsv2_spj" ->
+      """WITH ts AS (SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n, MAX(ts.n_total) AS n_total,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN ts ON e.event_type = ts.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
   )
 }

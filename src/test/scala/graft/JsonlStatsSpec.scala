@@ -314,6 +314,49 @@ class JsonlStatsSpec extends SparkSpec {
     assert(audit.getLong(1) === stats.map(_.rows).sum)
   }
 
+  test("q169: storage-partitioned join runs with zero exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = JsonlStatsQueries.storagePartitionedJoin(spark, sfDir)
+    val got = df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val plan = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+    // the join AND the post-join aggregate ride the reported key
+    // grouping: the ONLY shuffle in the executed plan is the final
+    // presentation ORDER BY (range partitioning), which sits ABOVE the
+    // completed aggregate — nothing below it exchanges
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.forall(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"non-ORDER-BY shuffle in a storage-partitioned join:\n${df.queryExecution.executedPlan}")
+    val smjs = plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.size === 1, "the merge hint must yield a sort-merge join")
+    assert(smjs.head.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"exchange under the join — key groups were not aligned:\n${smjs.head}")
+    // both sides are connector scans that reported key-grouped layouts
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.size === 2)
+    scans.foreach { s =>
+      val part = s.scan.asInstanceOf[JsonlStatsScan].outputPartitioning()
+      assert(part.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+        s"scan did not report key grouping: $part")
+    }
+    // and the result equals the parquet-side derivation
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    val ts = ev.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+    val expect = ev.join(ts, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"n_total").as("n_total"),
+        graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(got.toSeq === expect.collect().toSeq)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

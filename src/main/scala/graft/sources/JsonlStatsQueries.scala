@@ -337,6 +337,57 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Register a [[GraftCatalog]] for this corpus' fixture root and
+    * return its name. One catalog per root (the name encodes the root):
+    * Spark caches catalog instances per session, so reconfiguring one
+    * name for a different directory would silently keep serving the
+    * old root. */
+  def ensureCatalog(spark: SparkSession, d: String): String = {
+    val parent = Paths.get(ensureFixture(spark, d)).getParent.toString
+    val cat = "graft_" + java.lang.Integer.toHexString(parent.hashCode).replace('-', 'n')
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    cat
+  }
+
+  /** q170: the CATALOG path (`TableCatalog`): SQL addresses the
+    * connector table as `<catalog>.<table>` — no temp-view plumbing,
+    * and every connector capability (here: filter pushdown + file
+    * skipping + column pruning) rides through catalog resolution
+    * unchanged, because the identifier path and the `format(...)` path
+    * meet at the same Table object. Same derivation as q152, so the
+    * oracle also pins path-equivalence of the two resolution routes. */
+  def catalogSql(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_stats_table
+         |WHERE value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q171: the V2 FUNCTION path (`FunctionCatalog` +
+    * [[GraftCatalog.SqNormBound]]): `sqnorm` is a catalog-scoped scalar
+    * function with the magic `invoke` method, so Spark binds it as a
+    * codegen'd Invoke — a typed JVM call in the generated code, not a
+    * reflective black box (PlanShapeSpec asserts no ScalaUDF). The
+    * function body keeps the engine's determinism contract (per-element
+    * double products rounded to DECIMAL(38,25), summed exactly), which
+    * is why a JVM loop can be hash-compared against DuckDB's decimal
+    * aggregate at all. */
+  def catalogFunction(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    Tables.embeddings(spark, d).createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      s"""SELECT vec_id, $cat.sqnorm(embedding) AS sq
+         |FROM embeddings_v
+         |ORDER BY sq DESC, vec_id
+         |LIMIT 5""".stripMargin)
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -376,6 +427,8 @@ object JsonlStatsQueries extends QueryModule {
     "q162_dsv2_runtime_filter" -> runtimeFilteredJoin,
     "q167_dsv2_metadata_cols" -> metadataLineage,
     "q169_dsv2_spj" -> storagePartitionedJoin,
+    "q170_catalog_sql" -> catalogSql,
+    "q171_catalog_function" -> catalogFunction,
   )
 
   val oracles = Map(
@@ -418,5 +471,19 @@ object JsonlStatsQueries extends QueryModule {
         |FROM events e JOIN ts ON e.event_type = ts.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q170_catalog_sql" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM events
+         |WHERE value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    "q171_catalog_function" ->
+      """SELECT vec_id,
+        |  CAST(ROUND(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,25))), 9) AS DOUBLE) AS sq
+        |FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+        |GROUP BY vec_id
+        |ORDER BY sq DESC, vec_id
+        |LIMIT 5""".stripMargin,
   )
 }

@@ -357,6 +357,44 @@ class JsonlStatsSpec extends SparkSpec {
     assert(got.toSeq === expect.collect().toSeq)
   }
 
+  test("q170/q171: catalog plugin — identifier resolution, read-only contract, codegen'd V2 function") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    // identifier path and format() path meet at the same table
+    val viaCatalog = spark.sql(s"SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table")
+    val viaFormat = JsonlStatsQueries.scanFrame(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(viaCatalog.exceptAll(viaFormat).isEmpty && viaFormat.exceptAll(viaCatalog).isEmpty)
+    // SHOW TABLES sees every manifest-bearing directory
+    val listed = spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(listed.contains("jsonl_stats_table"))
+    // read-only contract: DDL through the catalog is refused
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.nope (id BIGINT) USING parquet")
+    }
+    // the V2 scalar function binds through the magic method: the plan
+    // carries a typed Invoke of the bound function, never a ScalaUDF
+    val fn = JsonlStatsQueries.catalogFunction(spark, sfDir)
+    fn.collect()
+    val text = fn.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    assert(!text.contains("ScalaUDF"), s"V2 function fell back to a UDF:\n$text")
+    assert(text.contains("invoke") || text.contains("sqnorm"),
+      s"V2 function invocation not visible in plan:\n$text")
+    // and the exact-decimal contract holds against an in-Spark derivation
+    val expect = graft.ingest.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform($"embedding",
+            x => (x.cast("double") * x.cast("double")).cast(org.apache.spark.sql.types.DecimalType(38, 25))),
+          org.apache.spark.sql.functions.lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 25)),
+          (acc, v) => (acc + v).cast(org.apache.spark.sql.types.DecimalType(38, 25)))
+          .cast(org.apache.spark.sql.types.DecimalType(24, 9)).cast("double").as("sq"))
+      .orderBy($"sq".desc, $"vec_id").limit(5)
+    assert(fn.collect().toSeq === expect.collect().toSeq)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

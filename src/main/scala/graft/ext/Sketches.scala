@@ -175,9 +175,13 @@ object Sketches extends QueryModule {
     *
     * The DECISION is the oracle-checked output: `first_join` must match
     * the order DuckDB derives from the EXACT intermediate sizes — the
-    * sketch planner provably agrees with ground-truth costing (verified
-    * stable at sf0.001/0.01/0.1; tie broken `<=` toward the customer
-    * dim in both engines). The CMS overshoot grows with the number of
+    * sketch planner provably agrees with ground-truth costing, verified
+    * stable at sf0.001/0.01/0.1. The agreement rests on the ~5x
+    * selectivity separation, not on tie semantics: the engine compares
+    * estimates and the oracle exact counts, so a corpus engineered to a
+    * near-tie could legitimately flip one side — the same
+    * regenerated-corpus caveat the sketch-envelope flags carry (see the
+    * object scaladoc). The CMS overshoot grows with the number of
     * probed keys (each probe pays ~N/w expected collision mass once the
     * key space exceeds the counter width — at sf0.1 the 15k-key
     * customer estimate runs ~6x over exact while the 90-key calendar

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
 
 /** `GraftCatalog`: a DataSource V2 **catalog plugin** — the engine
   * extending Spark's catalog layer itself (`TableCatalog` +
@@ -60,17 +61,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       .toArray
     finally s.close()
   }
-  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
-  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new NoSuchTableException(ident)
-    new JsonlStatsTable(dir.toString, JsonlStats.schema)
+    // table-level metadata is authoritative: a user-id-bounded table
+    // resolved with the default stats column would prune files against
+    // the wrong bounds and answer MIN/MAX pushdown from them — wrong
+    // results with no error (r6 review)
+    val meta = JsonlStats.readTableMeta(dir.toString)
+    new JsonlStatsTable(dir.toString,
+      meta.schema.getOrElse(JsonlStats.schema),
+      meta.statsCol.getOrElse(JsonlStats.statsColumn),
+      meta.partitionCol)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

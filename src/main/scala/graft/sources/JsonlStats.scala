@@ -102,6 +102,53 @@ object JsonlStats {
       }
   }
 
+  /** One manifest line, Jackson-serialized: `pkey` (and in principle the
+    * file name) is user-data-derived, so string interpolation would
+    * corrupt the manifest on the first quote or backslash. */
+  def statsLine(s: FileStats): String = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("file", s.file); n.put("min_value", s.min); n.put("max_value", s.max)
+    if (s.rows >= 0) n.put("n_rows", s.rows)
+    s.pkey.foreach(n.put("pkey", _))
+    n.toString
+  }
+
+  /** Optional `_table.json` sidecar: table-level metadata the options
+    * would otherwise have to carry out of band — which column the
+    * manifest bounds describe, the key-grouping column, the schema. A
+    * catalog MUST consult it: resolving a user-id-bounded table with the
+    * default stats column would prune files against the wrong bounds
+    * (silently wrong results) and serve MIN/MAX of the wrong column. */
+  final case class TableMeta(statsCol: Option[String], partitionCol: Option[String],
+                             schema: Option[StructType])
+
+  def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
+                     schema: StructType): Unit = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("statsColumn", statsCol)
+    partitionCol.foreach(n.put("partitionColumn", _))
+    n.put("schema", schema.json)
+    Files.write(Paths.get(root, "_table.json"),
+      java.util.Arrays.asList(n.toString),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def readTableMeta(root: String): TableMeta = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) TableMeta(None, None, None)
+    else {
+      val n = new ObjectMapper().readTree(Files.readAllLines(p).asScala.mkString("\n"))
+      TableMeta(
+        if (n.hasNonNull("statsColumn")) Some(n.get("statsColumn").asText()) else None,
+        if (n.hasNonNull("partitionColumn")) Some(n.get("partitionColumn").asText()) else None,
+        if (n.hasNonNull("schema"))
+          Some(DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType])
+        else None)
+    }
+  }
+
   /** Can this predicate prune files against a [min, max] interval? */
   def supportsSkipping(f: Filter): Boolean = supportsSkipping(f, statsColumn)
 
@@ -196,11 +243,12 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else JsonlStats.readStats(root)
     val kept = if (truncateFirst) Seq.empty else previous
-    val lines = (kept.map(s =>
-        s"""{"file":"${s.file}","min_value":${s.min},"max_value":${s.max},"n_rows":${s.rows}""" +
-          s.pkey.map(k => s""","pkey":"$k"""").getOrElse("") + "}") ++
+    val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        s"""{"file":"${c.file}","min_value":${c.min},"max_value":${c.max},"n_rows":${c.rows}}""")).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows)))).sorted
+    // table-level metadata rides next to the manifest so a catalog can
+    // resolve this table with the right stats column and schema
+    JsonlStats.writeTableMeta(root, statsCol, None, writeSchema)
     val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
     Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -316,12 +364,20 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case _ => false
     }
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val stats = JsonlStats.readStats(root)
     // a manifest without row counts cannot serve aggregates
-    if (JsonlStats.readStats(root).exists(_.rows < 0)) return false
+    if (stats.exists(_.rows < 0)) return false
     // min/max are served as the manifest's doubles — only offered when
     // the stats column IS double (a long column would need a result-type
-    // conversion; decline rather than lie about the schema)
-    val statsIsDouble = full.fields.find(_.name == statsCol).exists(_.dataType == DoubleType)
+    // conversion; decline rather than lie about the schema), and only
+    // when no file carries the all-null sentinel bounds (the writer
+    // publishes [MinValue, MaxValue] for a file whose stats column was
+    // entirely null so it is never pruned — serving MIN/MAX from those
+    // sentinels would return them as data)
+    val hasSentinel = stats.exists(s =>
+      s.min == Double.MinValue && s.max == Double.MaxValue)
+    val statsIsDouble = !hasSentinel &&
+      full.fields.find(_.name == statsCol).exists(_.dataType == DoubleType)
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
       case m: Min if statsIsDouble && isStatsRef(m.column) => Some(StructField("min_value", DoubleType))
@@ -384,6 +440,13 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * EACH set to survive. Empty until [[filter]] is called. */
   @volatile private var runtimeKeep: Seq[Array[Double]] = Seq.empty
 
+  /** ONE manifest snapshot per scan: planning consults the stats several
+    * times (partitioning, statistics, partition planning, post-runtime
+    * re-planning), and the connector's own commit protocol swaps the
+    * manifest atomically underneath — two reads inside one planning pass
+    * could see different generations and plan an inconsistent scan. */
+  private lazy val statsSnapshot: Seq[JsonlStats.FileStats] = JsonlStats.readStats(root)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -402,9 +465,15 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * stats column: Spark resolves these refs against the scan OUTPUT,
     * so naming an unprojected column is an analysis error (seen when a
     * query reads only metadata columns) — and a runtime join filter on
-    * a column the node doesn't output can't exist anyway. */
+    * a column the node doesn't output can't exist anyway. Key-grouped
+    * layouts decline runtime filtering entirely: once the scan reports
+    * `KeyGroupedPartitioning`, Spark requires any runtime-filtered
+    * re-plan to preserve the keyed partitions, and dropping files after
+    * the grouping was reported breaks that contract — group alignment
+    * (a shuffle-free join) is worth more than late file skipping. */
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains(statsCol)) Array(Expressions.column(statsCol))
+    if (!keyGrouped && required.fieldNames.contains(statsCol))
+      Array(Expressions.column(statsCol))
     else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -431,15 +500,14 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   /** Is this table a reportable key-grouped layout for the projected
-    * output? Requires: a declared partition column that survives column
-    * pruning, a pkey on EVERY manifested file, and no runtime filter in
-    * play (runtime pruning can drop whole key groups after the
-    * partitioning was reported — decline rather than lie). */
-  private def keyGrouped: Boolean =
-    partitionCol.exists(c => required.fieldNames.contains(c)) &&
-      runtimeKeep.isEmpty && {
-        val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
-      }
+    * output? Requires a declared partition column that survives column
+    * pruning and a pkey on EVERY manifested file. A key-grouped scan
+    * never receives runtime filters ([[filterAttributes]] declines
+    * them), so this decision is stable across re-planning. */
+  private lazy val keyGrouped: Boolean =
+    partitionCol.exists(c => required.fieldNames.contains(c)) && {
+      val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+    }
 
   /** Storage-partitioned-join leg (`SupportsReportPartitioning`): when
     * every file carries a single declared partition-column value, the
@@ -476,7 +544,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   private def survivingStats(): Seq[JsonlStats.FileStats] =
-    JsonlStats.readStats(root)
+    statsSnapshot
       .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
 

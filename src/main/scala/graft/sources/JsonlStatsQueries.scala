@@ -277,6 +277,8 @@ object JsonlStatsQueries extends QueryModule {
       }
       Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      JsonlStats.writeTableMeta(out, JsonlStats.statsColumn,
+        Some("event_type"), JsonlStats.schema)
     }
     dir
   }
@@ -304,6 +306,8 @@ object JsonlStatsQueries extends QueryModule {
       }
       Files.write(Paths.get(out, "_stats.jsonl"), lines.asJava,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      JsonlStats.writeTableMeta(out, JsonlStats.statsColumn,
+        Some("event_type"), typeDimSchema)
     }
     dir
   }
@@ -322,6 +326,12 @@ object JsonlStatsQueries extends QueryModule {
     * moves). The oracle re-derives both sides from parquet. */
   def storagePartitionedJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // session-wide and deliberately NOT restored: the returned frame
+    // plans lazily (at the caller's action), so the flag must still be
+    // set then. Safe to leave on — it only affects scans that REPORT
+    // key-grouped partitioning, which only the SPJ tables do. The
+    // engine's own sessions (Verify/Bench/specs) also set it at build
+    // time; this covers externally supplied sessions.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val fact = spark.read.format("graft-jsonl-stats")
       .option("path", ensureTypeKeyedFact(spark, d))
@@ -344,7 +354,7 @@ object JsonlStatsQueries extends QueryModule {
     * old root. */
   def ensureCatalog(spark: SparkSession, d: String): String = {
     val parent = Paths.get(ensureFixture(spark, d)).getParent.toString
-    val cat = "graft_" + java.lang.Integer.toHexString(parent.hashCode).replace('-', 'n')
+    val cat = "graft_" + java.lang.Integer.toHexString(parent.hashCode)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
     cat

@@ -342,9 +342,15 @@ class JsonlStatsSpec extends SparkSpec {
     val scans = plan.collect { case b: BatchScanExec => b }
     assert(scans.size === 2)
     scans.foreach { s =>
-      val part = s.scan.asInstanceOf[JsonlStatsScan].outputPartitioning()
+      val scan = s.scan.asInstanceOf[JsonlStatsScan]
+      val part = scan.outputPartitioning()
       assert(part.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
         s"scan did not report key grouping: $part")
+      // key-grouped scans must decline runtime filtering: a runtime
+      // re-plan of a keyed scan is contractually required to preserve
+      // the keyed partitions (r6 review)
+      assert(scan.filterAttributes().isEmpty,
+        "key-grouped scan must not advertise runtime-filterable columns")
     }
     // and the result equals the parquet-side derivation
     val ev = graft.ingest.Tables.events(spark, sfDir)
@@ -373,6 +379,18 @@ class JsonlStatsSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE TABLE $cat.nope (id BIGINT) USING parquet")
     }
+    // regression (r6 review): resolution honors the table's OWN stats
+    // column via _table.json — the user-keyed table's bounds describe
+    // user_id, and pruning a value-range filter against them would
+    // silently drop matching rows
+    JsonlStatsQueries.ensureUserKeyedFixture(spark, sfDir)
+    val viaUserTable = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.jsonl_stats_by_user WHERE value >= 300.0")
+      .head().getLong(0)
+    val expectN = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"value" >= 300.0).count()
+    assert(viaUserTable === expectN,
+      "catalog resolved the user-keyed table with the wrong stats column")
     // the V2 scalar function binds through the magic method: the plan
     // carries a typed Invoke of the bound function, never a ScalaUDF
     val fn = JsonlStatsQueries.catalogFunction(spark, sfDir)

@@ -178,8 +178,17 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  /** SQL DELETE/UPDATE/MERGE on the table — copy-on-write at file
+    * granularity ([[JsonlRowLevelOperation]]): the group is the file,
+    * affected files are rewritten, the manifest swap commits. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command())
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
 
@@ -268,6 +277,87 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     }
 }
 
+/** Copy-on-write row-level operations (SQL DELETE/UPDATE/MERGE) at FILE
+  * granularity — the connector as a mutable table format. The rewrite
+  * group is the file: Spark's group filter identifies the files that
+  * contain matching rows (delivered to the rewrite scan as a runtime IN
+  * on `_file`), the scan re-reads those files' rows, the plan applies
+  * the operation (drop deleted rows / project updated ones), and the
+  * write publishes the survivors as NEW files while the commit swaps
+  * the manifest to (previous − replaced) + fresh in one atomic move —
+  * the same commit point as every other write, so a crash mid-rewrite
+  * leaves the old generation fully intact.
+  *
+  * The REPLACED set is derived from the runtime group filter alone,
+  * deliberately ignoring static stats pruning: Spark may push the
+  * operation's keep-condition into the rewrite scan, and a file whose
+  * rows ALL match a DELETE then has zero rows to read — but it must
+  * still be replaced (with nothing), or the delete silently misses it.
+  * With group filtering disabled the set degrades to every manifested
+  * file: whole-table copy-on-write, correct and merely more expensive. */
+class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
+                             cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  @volatile private[sources] var rewriteScan: Option[JsonlStatsScan] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-jsonl-stats copy-on-write $cmd"
+
+  /** `_file` must survive the plan: it is both the group identity the
+    * runtime filter targets and what the commit replaces by. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(JsonlStats.FileMeta))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite =
+        new JsonlReplaceBatchWrite(root, info.schema(), info.queryId(), statsCol,
+          () => rewriteScan match {
+            case Some(s) => s.replacedFiles
+            case None => throw new IllegalStateException(
+              "rewrite write committed before its scan was planned")
+          })
+    }
+  }
+}
+
+/** The replace-data commit: manifest becomes (previous − replaced) +
+  * fresh in one atomic move; replaced data files are GC'd after the
+  * swap, never before it. */
+class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: String,
+                             statsCol: String,
+                             replaced: () => Set[String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case c: JsonlFileCommit if c.rows > 0 => c }
+    val gone = replaced()
+    val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
+    val lines = (kept.map(JsonlStats.statsLine) ++
+      fresh.map(c =>
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows)))).sorted
+    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gone.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case c: JsonlFileCommit if c.file != null =>
+        Files.deleteIfExists(Paths.get(root, c.file))
+      case _ =>
+    }
+}
+
 class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          statsCol: String = JsonlStats.statsColumn)
     extends DataWriterFactory {
@@ -331,7 +421,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
 
 class JsonlStatsScanBuilder(root: String, full: StructType,
                             statsCol: String = JsonlStats.statsColumn,
-                            partitionCol: Option[String] = None) extends ScanBuilder
+                            partitionCol: Option[String] = None,
+                            rewriteOp: Option[JsonlRowLevelOperation] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -390,7 +481,11 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
 
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlManifestAggScan(root, s)
-    case None    => new JsonlStatsScan(root, required, pushed, statsCol, partitionCol)
+    case None =>
+      val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol, rewriteOp)
+      // the operation's commit must know what this scan replaced
+      rewriteOp.foreach(_.rewriteScan = Some(scan))
+      scan
   }
 }
 
@@ -428,7 +523,8 @@ final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      statsCol: String = JsonlStats.statsColumn,
-                     partitionCol: Option[String] = None)
+                     partitionCol: Option[String] = None,
+                     rewriteOp: Option[JsonlRowLevelOperation] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -439,6 +535,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * predicate, conjunctive); files must cover at least one value of
     * EACH set to survive. Empty until [[filter]] is called. */
   @volatile private var runtimeKeep: Seq[Array[Double]] = Seq.empty
+
+  /** Affected-group set delivered by the row-level rewrite's runtime
+    * group filter: absolute `_file` paths of files containing matching
+    * rows. None until (and unless) such a filter arrives. */
+  @volatile private var runtimeFileKeep: Option[Set[String]] = None
 
   /** ONE manifest snapshot per scan: planning consults the stats several
     * times (partitioning, statistics, partition planning, post-runtime
@@ -472,32 +573,65 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * the grouping was reported breaks that contract — group alignment
     * (a shuffle-free join) is worth more than late file skipping. */
   override def filterAttributes(): Array[NamedReference] =
-    if (!keyGrouped && required.fieldNames.contains(statsCol))
+    if (rewriteOp.isDefined) {
+      // rewrite scans accept ONLY the _file group filter: the group
+      // identity is the file, and advertising the stats column too
+      // makes Spark build a multi-column (value, _file) IN subquery
+      // that translateRuntimeFilterV2 cannot convert — one attribute,
+      // one translatable single-column IN
+      if (required.fieldNames.contains(JsonlStats.FileMeta))
+        Array(Expressions.column(JsonlStats.FileMeta))
+      else Array.empty
+    } else if (!keyGrouped && required.fieldNames.contains(statsCol))
       Array(Expressions.column(statsCol))
     else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    val sets = predicates.toSeq.flatMap { p =>
+    // one unparseable member voids the whole predicate: a partial value
+    // set would prune files that only match the missing values
+    def inValues(p: Predicate, col: String): Option[Seq[Any]] = {
       val kids = p.children()
-      val onStats = kids.headOption.exists {
-        case n: NamedReference => n.fieldNames.toSeq == Seq(statsCol)
+      val onCol = kids.headOption.exists {
+        case n: NamedReference => n.fieldNames.toSeq == Seq(col)
         case _ => false
       }
-      if (p.name() == "IN" && onStats) {
-        val vals: Seq[Option[Double]] = kids.tail.toSeq.map {
-          case l: Literal[_] => l.value() match {
-            case n: Number => Some(n.doubleValue())
-            case _ => None
-          }
+      if (p.name() == "IN" && onCol) {
+        val lits = kids.tail.toSeq.map {
+          case l: Literal[_] => Some(l.value())
           case _ => None
         }
-        // one unparseable member voids the whole predicate: a partial
-        // value set would prune files that only match the missing values
-        if (vals.forall(_.isDefined)) Some(vals.flatten.toArray) else None
+        if (lits.forall(_.isDefined)) Some(lits.flatten) else None
       } else None
     }
+    val sets = predicates.toSeq.flatMap { p =>
+      inValues(p, statsCol).flatMap { raw =>
+        val vals = raw.map { case n: Number => Some(n.doubleValue()); case _ => None }
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toArray) else None
+      }
+    }
     if (sets.nonEmpty) runtimeKeep = sets
+    val fileSets = predicates.toSeq.flatMap { p =>
+      inValues(p, JsonlStats.FileMeta).map(_.collect {
+        case s: UTF8String => s.toString
+        case s: String => s
+      }.toSet)
+    }
+    if (fileSets.nonEmpty) runtimeFileKeep = Some(fileSets.reduce(_ intersect _))
   }
+
+  /** Files the row-level rewrite replaces = exactly the files this scan
+    * PLANNED. Group-based rewrite contract: Spark pushes the POSITIVE
+    * operation condition into the rewrite scan, so static bounds
+    * skipping prunes precisely the files that provably contain no
+    * matching row — unaffected, not replaced — while a file whose rows
+    * ALL match keeps satisfying the pushed bounds, stays planned, reads
+    * rows the keep-filter then drops, and is correctly replaced with
+    * nothing. The runtime `_file` group filter refines the same set for
+    * conditions bounds can't judge. (Deriving this from anything other
+    * than the planned set is how you wipe a table: an earlier draft
+    * ignored static pruning here, making `replaced` = everything while
+    * only affected files' survivors were rewritten.) */
+  private[sources] def replacedFiles: Set[String] = survivingStats().map(_.file).toSet
 
   /** Is this table a reportable key-grouped layout for the projected
     * output? Requires a declared partition column that survives column
@@ -547,6 +681,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     statsSnapshot
       .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
+      .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
 
   /** Manifest-derived statistics: row count is the sum of surviving
     * files' exact counts, bytes the sum of their on-disk sizes (a

@@ -398,6 +398,96 @@ object JsonlStatsQueries extends QueryModule {
          |LIMIT 5""".stripMargin)
   }
 
+  /** A mutable connector table per row-level query (each query owns its
+    * own copy: mutations must not compound across queries, and each
+    * query must be idempotent across bench reps on its own table). */
+  private def ensureMutableTable(spark: SparkSession, d: String, name: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, name)
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q172: SQL DELETE FROM through the connector's row-level-operation
+    * leg (`SupportsRowLevelOperations`, copy-on-write at file
+    * granularity): the group filter finds the files containing matching
+    * rows, only those are rewritten without the matching rows, and the
+    * manifest swap commits — the connector as a MUTABLE table format.
+    * Idempotent by construction (a second delete matches nothing), so
+    * bench reps converge. Oracle = the parquet feed minus the deleted
+    * class; JsonlStatsSpec proves unaffected files are not rewritten. */
+  def rowLevelDelete(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMutableTable(spark, d, "jsonl_mut_delete")
+    spark.sql(s"DELETE FROM $cat.jsonl_mut_delete WHERE event_type = 'click'")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mut_delete
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q173: SQL UPDATE through the same rewrite machinery — matching
+    * rows re-emitted with the assignment applied, non-matching rows of
+    * affected files carried through verbatim. The assignment
+    * (`value = 0`) is chosen idempotent so reps converge. */
+  def rowLevelUpdate(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMutableTable(spark, d, "jsonl_mut_update")
+    spark.sql(s"UPDATE $cat.jsonl_mut_update SET value = 0.0 WHERE event_type = 'error'")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mut_update
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q174: SQL MERGE INTO through the connector — the S9 upsert
+    * semantics at the TABLE-FORMAT layer (q83 implements them over
+    * parquet partitions engine-side; here Spark's MERGE rewrite drives
+    * the connector's own copy-on-write machinery). The source feed is
+    * a deterministic corrections batch: every purchase row's value
+    * doubled (matched → update), plus one synthetic adjustment row per
+    * event_type with a negative id (not matched → insert). Both arms
+    * are idempotent: re-merging sets the same values and re-matches the
+    * previously inserted rows. */
+  def rowLevelMerge(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    ensureMutableTable(spark, d, "jsonl_mut_merge")
+    Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", ($"value" * 2).as("value"))
+      .union(
+        Tables.events(spark, d).groupBy($"event_type")
+          .agg(count(lit(1)).cast("double").as("value"))
+          .select((-xxhash64($"event_type") % 1000000000L - 1000000000L).as("event_id"),
+            lit(0L).as("user_id"), $"event_type", $"value"))
+      .createOrReplaceTempView("corrections")
+    spark.sql(
+      s"""MERGE INTO $cat.jsonl_mut_merge t
+         |USING corrections s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+         |  VALUES (s.event_id, s.user_id, s.event_type, s.value)""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mut_merge
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -439,6 +529,9 @@ object JsonlStatsQueries extends QueryModule {
     "q169_dsv2_spj" -> storagePartitionedJoin,
     "q170_catalog_sql" -> catalogSql,
     "q171_catalog_function" -> catalogFunction,
+    "q172_dsv2_delete" -> rowLevelDelete,
+    "q173_dsv2_update" -> rowLevelUpdate,
+    "q174_dsv2_merge" -> rowLevelMerge,
   )
 
   val oracles = Map(
@@ -495,5 +588,32 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY vec_id
         |ORDER BY sq DESC, vec_id
         |LIMIT 5""".stripMargin,
+    "q172_dsv2_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q173_dsv2_update" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q174_dsv2_merge" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

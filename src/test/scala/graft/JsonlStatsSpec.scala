@@ -413,6 +413,56 @@ class JsonlStatsSpec extends SparkSpec {
     assert(fn.collect().toSeq === expect.collect().toSeq)
   }
 
+  test("q172-q174: row-level rewrite is file-granular and the commit point holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_rowlevel").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_rl_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val before = JsonlStats.readStats(dir)
+    assert(before.size === 4)
+    // delete a range that lives entirely in the low-value files: the
+    // cut is the max of the lowest file's interval, so at least one
+    // file is WHOLLY deleted (zero surviving rows — the case where a
+    // statically-pruned rewrite scan must still replace the file)
+    val cut = before.map(_.max).min
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE value <= $cut")
+    val after = JsonlStats.readStats(dir)
+    // unaffected files survive UNREWRITTEN (same names): group
+    // granularity is real, not whole-table copy-on-write
+    val untouched = before.filter(_.min > cut).map(_.file).toSet
+    assert(untouched.nonEmpty && untouched.subsetOf(after.map(_.file).toSet),
+      s"unaffected files were rewritten: kept=${after.map(_.file)}")
+    // the wholly-deleted file is gone from manifest AND directory
+    val wholly = before.filter(_.max <= cut).map(_.file)
+    assert(wholly.nonEmpty, "fixture must exercise the wholly-deleted-file case")
+    wholly.foreach { f =>
+      assert(!after.exists(_.file == f))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, f)), s"replaced file $f not GC'd")
+    }
+    // content = source minus the deleted range, exactly
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    val expect = src.filter($"value" > cut)
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // manifest and directory agree (no orphans visible, no torn temp)
+    val onDisk = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
+    assert(onDisk === after.map(_.file).toSet)
+    // UPDATE rides the same machinery: assignment applied, row count kept
+    val nBefore = back.count()
+    spark.sql(s"UPDATE $cat.`$table` SET value = -1.0 WHERE event_type = 'login'")
+    val upd = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(upd.count() === nBefore)
+    assert(upd.filter($"event_type" === "login" && $"value" =!= -1.0).count() === 0)
+    assert(upd.filter($"event_type" =!= "login" && $"value" === -1.0).count() === 0)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

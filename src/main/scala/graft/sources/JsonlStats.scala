@@ -135,6 +135,25 @@ object JsonlStats {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** The commit point shared by every write path: manifest lines land
+    * in a temp file and an ATOMIC_MOVE makes them the table. */
+  def publishManifest(root: String, queryId: String, lines: Seq[String]): Unit = {
+    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Best-effort task-file cleanup on job abort (not load-bearing: an
+    * unmanifested file is invisible to every reader). */
+  def abortCleanup(root: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case c: JsonlFileCommit if c.file != null =>
+        Files.deleteIfExists(Paths.get(root, c.file))
+      case _ =>
+    }
+
   def readTableMeta(root: String): TableMeta = {
     val p = Paths.get(root, "_table.json")
     if (!Files.exists(p)) TableMeta(None, None, None)
@@ -184,11 +203,21 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
 
   /** SQL DELETE/UPDATE/MERGE on the table — copy-on-write at file
     * granularity ([[JsonlRowLevelOperation]]): the group is the file,
-    * affected files are rewritten, the manifest swap commits. */
+    * affected files are rewritten, the manifest swap commits. Refused
+    * on key-grouped layouts: the rewrite writer cannot re-key its
+    * output files, so one mutation would strip the pkeys and silently
+    * downgrade every later join from zero-exchange SPJ to a shuffle —
+    * failing loudly beats a permanent invisible perf regression. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
-      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val stats = JsonlStats.readStats(root)
+    if (stats.nonEmpty && stats.forall(_.pkey.isDefined))
+      throw new UnsupportedOperationException(
+        s"row-level ${info.command()} on key-grouped table $root would strip its " +
+          "partition keys; rewrite the table through the batch write path instead")
     () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command())
+  }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
 
@@ -258,11 +287,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column and schema
     JsonlStats.writeTableMeta(root, statsCol, None, writeSchema)
-    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
-    Files.write(tmp, lines.asJava,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files are unreachable once the new
     // manifest lands; removing them is garbage collection, not commit
     if (truncateFirst)
@@ -270,11 +295,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case c: JsonlFileCommit if c.file != null =>
-        Files.deleteIfExists(Paths.get(root, c.file))
-      case _ =>
-    }
+    JsonlStats.abortCleanup(root, messages)
 }
 
 /** Copy-on-write row-level operations (SQL DELETE/UPDATE/MERGE) at FILE
@@ -288,13 +309,15 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   * the same commit point as every other write, so a crash mid-rewrite
   * leaves the old generation fully intact.
   *
-  * The REPLACED set is derived from the runtime group filter alone,
-  * deliberately ignoring static stats pruning: Spark may push the
-  * operation's keep-condition into the rewrite scan, and a file whose
-  * rows ALL match a DELETE then has zero rows to read — but it must
-  * still be replaced (with nothing), or the delete silently misses it.
-  * With group filtering disabled the set degrades to every manifested
-  * file: whole-table copy-on-write, correct and merely more expensive. */
+  * The REPLACED set is exactly the file set the rewrite scan PLANNED
+  * (static bounds pruning and the runtime group filter both applied) —
+  * see [[JsonlStatsScan.replacedFiles]] for why any other derivation
+  * loses data: Spark pushes the POSITIVE operation condition into this
+  * scan, so pruned files are provably unaffected and planned files are
+  * the affected candidates, read in full and replaced. With no group
+  * filter and no prunable condition the set degrades to every
+  * manifested file: whole-table copy-on-write, correct and merely more
+  * expensive. */
 class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
                              cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -342,20 +365,14 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows)))).sorted
-    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
-    Files.write(tmp, lines.asJava,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    JsonlStats.publishManifest(root, queryId, lines)
+    // replaced files are unreachable once the new manifest lands;
+    // deleting them is GC, never part of the commit
     gone.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case c: JsonlFileCommit if c.file != null =>
-        Files.deleteIfExists(Paths.get(root, c.file))
-      case _ =>
-    }
+    JsonlStats.abortCleanup(root, messages)
 }
 
 class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
@@ -611,10 +628,17 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     }
     if (sets.nonEmpty) runtimeKeep = sets
     val fileSets = predicates.toSeq.flatMap { p =>
-      inValues(p, JsonlStats.FileMeta).map(_.collect {
-        case s: UTF8String => s.toString
-        case s: String => s
-      }.toSet)
+      inValues(p, JsonlStats.FileMeta).flatMap { raw =>
+        val vals = raw.map {
+          case s: UTF8String => Some(s.toString)
+          case s: String => Some(s)
+          case _ => None
+        }
+        // same voiding rule as the stats path: a partial _file set would
+        // prune files whose matching rows then silently escape the
+        // rewrite — worse than no pruning
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      }
     }
     if (fileSets.nonEmpty) runtimeFileKeep = Some(fileSets.reduce(_ intersect _))
   }

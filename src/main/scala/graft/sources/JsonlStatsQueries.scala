@@ -103,19 +103,8 @@ object JsonlStatsQueries extends QueryModule {
     * connector's own BatchWrite (range-partitioned on the stats column
     * so the written files carry tight, disjoint bounds — the layout a
     * stats-manifest table wants). */
-  def ensureWrittenFixture(spark: SparkSession, d: String): String = {
-    import spark.implicits._
-    val dir = Landing.fixtureDir(d, "jsonl_stats_written")
-    Landing.ensureBuilt(dir) { out =>
-      Files.createDirectories(Paths.get(out))
-      Tables.events(spark, d)
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .repartitionByRange(buckets, $"value")
-        .write.format("graft-jsonl-stats").option("path", out)
-        .mode("overwrite").save()
-    }
-    dir
-  }
+  def ensureWrittenFixture(spark: SparkSession, d: String): String =
+    ensureMutableTable(spark, d, "jsonl_stats_written")
 
   /** q160: full write→read round trip through the connector — rows go
     * out through the DSv2 commit protocol (task files + per-file stats
@@ -398,9 +387,10 @@ object JsonlStatsQueries extends QueryModule {
          |LIMIT 5""".stripMargin)
   }
 
-  /** A mutable connector table per row-level query (each query owns its
-    * own copy: mutations must not compound across queries, and each
-    * query must be idempotent across bench reps on its own table). */
+  /** One value-ranged connector-written table per name — the read-only
+    * written fixture and each row-level query's own mutable copy
+    * (mutations must not compound across queries, and each query must
+    * be idempotent across bench reps on its own table). */
   private def ensureMutableTable(spark: SparkSession, d: String, name: String): String = {
     import spark.implicits._
     val dir = Landing.fixtureDir(d, name)

@@ -451,8 +451,11 @@ class JsonlStatsSpec extends SparkSpec {
     val expect = src.filter($"value" > cut)
     assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
     // manifest and directory agree (no orphans visible, no torn temp)
-    val onDisk = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
+    val listing = Files.list(java.nio.file.Paths.get(dir))
+    val onDisk =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
+      finally listing.close()
     assert(onDisk === after.map(_.file).toSet)
     // UPDATE rides the same machinery: assignment applied, row count kept
     val nBefore = back.count()
@@ -461,6 +464,17 @@ class JsonlStatsSpec extends SparkSpec {
     assert(upd.count() === nBefore)
     assert(upd.filter($"event_type" === "login" && $"value" =!= -1.0).count() === 0)
     assert(upd.filter($"event_type" =!= "login" && $"value" === -1.0).count() === 0)
+    // key-grouped layouts REFUSE row-level ops: a rewrite would strip
+    // their pkeys and silently downgrade SPJ joins to shuffles
+    JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
+    val cat2 = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val refusal = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat2.jsonl_stats_by_type WHERE value < 0")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(refusal).exists(_.contains("key-grouped")),
+      s"expected the keyed-layout refusal, got: $refusal")
   }
 
   test("reader surfaces absent JSON fields as nulls") {

@@ -79,16 +79,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = splitTable(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = splitTable(spark, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's µs timestamp
-    * type refuses outright. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
-    * raw nanos (long); we floor-divide to µs (`div` stays in exact long
-    * arithmetic — a double division would lose precision at 1.7e18) and
-    * rebuild a TimestampType column. DuckDB oracles must mirror the
-    * truncation with `CAST(ts AS TIMESTAMP)` (ns → µs floor). */
+  /** `events.ts` normalization, branched on the type the parquet footer
+    * actually delivers (the driver regenerated the tables between rounds
+    * and the physical type CHANGED — r7):
+    *   - TIMESTAMP(NANOS) (rounds ≤6): Spark's µs timestamp refuses it;
+    *     sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so the
+    *     column arrives as raw nanos (long) and we floor-divide to µs
+    *     (`div` stays in exact long arithmetic — a double division would
+    *     lose precision at 1.7e18).
+    *   - timestamp[us] isAdjustedToUTC=false (r7 data): arrives as
+    *     TIMESTAMP_NTZ under Spark 4's NTZ inference; cast to
+    *     TimestampType is wall-clock ≡ instant because every session
+    *     pins spark.sql.session.timeZone=UTC.
+    * Both land on the same TimestampType µs column, so downstream
+    * queries and the DuckDB oracles' `CAST(ts AS TIMESTAMP)` (identity
+    * on µs, ns→µs floor on nanos) are unchanged. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, d: String): DataFrame  = splitTable(spark, d, "documents")

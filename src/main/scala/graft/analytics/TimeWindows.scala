@@ -52,23 +52,25 @@ object TimeWindows extends QueryModule {
     * q63 way: the approx value must land between the exact 0.49 and
     * 0.51 (resp. 0.89/0.91) quantiles — a ±0.01 RANK envelope, 100×
     * the guaranteed bound, so the flag is deterministically true and
-    * the whole row set stays oracle-hashable. */
+    * the whole row set stays oracle-hashable.
+    *
+    * All six exact quantiles come from ONE array-argument `percentile`
+    * call and both approx values from ONE array `approx_percentile`
+    * (r7 — the r6 drift bisect): six scalar `percentile` aggregates
+    * each buffer the full per-group value list independently, so the
+    * certificate cost six collections per group where the array form
+    * pays one collection and reads six ranks off the single sorted
+    * buffer. Same rows, 6× less aggregate state. */
   def approxPercentiles(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)
       .groupBy($"o_orderstatus")
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
-        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"),
-        expr("percentile(o_totalprice, 0.49)").as("lo50"),
-        expr("percentile(o_totalprice, 0.51)").as("hi50"),
-        expr("percentile(o_totalprice, 0.89)").as("lo90"),
-        expr("percentile(o_totalprice, 0.91)").as("hi90"))
-      .select($"o_orderstatus", $"p50", $"p90",
-        ($"a50" >= $"lo50" && $"a50" <= $"hi50" &&
-         $"a90" >= $"lo90" && $"a90" <= $"hi90").as("approx_ok"))
+        expr("percentile(o_totalprice, array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))").as("ex"),
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"))
+      .select($"o_orderstatus", $"ex"(1).as("p50"), $"ex"(4).as("p90"),
+        ($"ap"(0) >= $"ex"(0) && $"ap"(0) <= $"ex"(2) &&
+         $"ap"(1) >= $"ex"(3) && $"ap"(1) <= $"ex"(5)).as("approx_ok"))
       .orderBy($"o_orderstatus")
   }
 

@@ -489,9 +489,12 @@ object JsonlStatsQueries extends QueryModule {
     * aggregate must equal the batch/oracle derivation, proving the
     * drain saw every file exactly once. Per-file exactly-once under
     * checkpoint recovery is proven in JsonlStatsSpec. */
-  def streamingManifestRead(spark: SparkSession, d: String): DataFrame = {
+  def streamingManifestRead(spark0: SparkSession, d: String): DataFrame = {
+    val dir = ensureWrittenFixture(spark0, d)
+    // stateful streaming agg: plan in the 8-partition stream session
+    // (state-store instance count, see MicroBatch.streamSession)
+    val spark = graft.streaming.MicroBatch.streamSession(spark0)
     import spark.implicits._
-    val dir = ensureWrittenFixture(spark, d)
     val name = "dsv2_stream_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + runSeq.incrementAndGet()
     val q = spark.readStream.format("graft-jsonl-stats").option("path", dir).load()

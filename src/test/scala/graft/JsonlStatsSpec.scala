@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -459,11 +460,11 @@ class JsonlStatsSpec extends SparkSpec {
     assert(onDisk === after.map(_.file).toSet)
     // UPDATE rides the same machinery: assignment applied, row count kept
     val nBefore = back.count()
-    spark.sql(s"UPDATE $cat.`$table` SET value = -1.0 WHERE event_type = 'login'")
+    spark.sql(s"UPDATE $cat.`$table` SET value = -1.0 WHERE event_type = 'signup'")
     val upd = spark.read.format("graft-jsonl-stats").option("path", dir).load()
     assert(upd.count() === nBefore)
-    assert(upd.filter($"event_type" === "login" && $"value" =!= -1.0).count() === 0)
-    assert(upd.filter($"event_type" =!= "login" && $"value" === -1.0).count() === 0)
+    assert(upd.filter($"event_type" === "signup" && $"value" =!= -1.0).count() === 0)
+    assert(upd.filter($"event_type" =!= "signup" && $"value" === -1.0).count() === 0)
     // key-grouped layouts REFUSE row-level ops: a rewrite would strip
     // their pkeys and silently downgrade SPJ joins to shuffles
     JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
@@ -475,6 +476,125 @@ class JsonlStatsSpec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(refusal).exists(_.contains("key-grouped")),
       s"expected the keyed-layout refusal, got: $refusal")
+  }
+
+  test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ctas_spec")
+    // CTAS round-trips content through stage → write commit → catalog read
+    spark.sql(
+      s"""CREATE TABLE $cat.ctas_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table WHERE event_type = 'signup'""".stripMargin)
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val got = spark.table(s"$cat.ctas_spec")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // the staged write published a real manifest: bounds + counts exact
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "ctas_spec")
+    val stats = JsonlStats.readStats(dir.toString)
+    assert(stats.nonEmpty && stats.map(_.rows).sum === expect.count())
+    // re-creating without OR REPLACE is refused (table exists)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ctas_spec AS SELECT * FROM $cat.jsonl_stats_table")
+    }
+    // OR REPLACE atomically swaps generations; the old files are GC'd
+    val gen1Files = stats.map(_.file).toSet
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.ctas_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table WHERE event_type = 'error'""".stripMargin)
+    val expect2 = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val got2 = spark.table(s"$cat.ctas_spec")
+    assert(got2.exceptAll(expect2).isEmpty && expect2.exceptAll(got2).isEmpty)
+    val after = JsonlStats.readStats(dir.toString).map(_.file).toSet
+    assert(after.intersect(gen1Files).isEmpty, "replace kept old-generation files in the manifest")
+    gen1Files.foreach(f => assert(!Files.exists(dir.resolve(f)), s"old file $f not GC'd"))
+    // PARTITIONED BY is a deliberate refusal (no keyed write path here)
+    val partRefusal = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ctas_part (a BIGINT, b STRING) PARTITIONED BY (b)")
+    }
+    assert(partRefusal.toString.contains("key-grouped") ||
+      Option(partRefusal.getCause).exists(_.toString.contains("key-grouped")))
+    // DROP TABLE removes manifest and directory
+    spark.sql(s"DROP TABLE $cat.ctas_spec")
+    assert(!Files.exists(dir))
+    intercept[Exception] { spark.table(s"$cat.ctas_spec").collect() }
+  }
+
+  test("q176: MIN/MAX pushdown serves a LONG stats column from the manifest (r7)") {
+    import spark.implicits._
+    val agg = JsonlStatsQueries.manifestAggregateLong(spark, sfDir)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan).collect { case b: BatchScanExec => b }
+    assert(scans.size === 1)
+    assert(scans.head.scan.isInstanceOf[JsonlManifestAggScan],
+      "long min/max must substitute the manifest-agg scan")
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"))
+    assert(agg.collect().toSeq === expect.collect().toSeq)
+  }
+
+  test("byte-range splits cover every line exactly once, at every boundary shape (r7)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_split").toString
+    // fixed-width lines: ids 100..149 are all 3 digits, so every line is
+    // the same byte length L and the file is n*(L+1) bytes — letting the
+    // loop below place range boundaries exactly ON newlines, exactly at
+    // line starts, and mid-line
+    val n = 50
+    val lineFor = (i: Int) => s"""{"event_id": ${100 + i}, "event_type": "x", "value": 1.0}"""
+    val L = lineFor(0).getBytes("UTF-8").length
+    Files.write(Paths.get(dir, "wide.jsonl"),
+      (0 until n).map(lineFor).asJava)
+    Files.write(Paths.get(dir, "_stats.jsonl"),
+      java.util.Arrays.asList(
+        s"""{"file":"wide.jsonl","min_value":1.0,"max_value":1.0,"n_rows":$n}"""))
+    val fileSize = Files.size(Paths.get(dir, "wide.jsonl"))
+    assert(fileSize === n.toLong * (L + 1))
+    val expect = (0 until n).map(i => (100 + i).toLong)
+    // splitBytes sweep: 1 (every boundary), mid-line cuts, a cut exactly
+    // at each newline (L+1 divides the file), a cut exactly at line
+    // starts, multi-line ranges, one range, and beyond-EOF
+    for (sb <- Seq(1L, 7L, L.toLong, L + 1L, L + 2L, 5L * (L + 1), fileSize, fileSize + 100)) {
+      val df = spark.read.format("graft-jsonl-stats")
+        .option("path", dir).option("splitBytes", sb).load()
+      val got = df.select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expect, s"splitBytes=$sb dropped or duplicated rows")
+      val parts = new JsonlStatsScanBuilder(dir, JsonlStats.schema, splitBytes = sb)
+        .build().toBatch.planInputPartitions().length
+      if (sb < fileSize) assert(parts > 1, s"splitBytes=$sb should fan out, got $parts")
+      else assert(parts === 1)
+    }
+    // _pos projection forces whole-file partitions: dense per-FILE row
+    // position cannot be served by a range reader
+    val sbPos = new JsonlStatsScanBuilder(dir, JsonlStats.schema, splitBytes = 7L)
+    sbPos.pruneColumns(StructType(Seq(
+      StructField(JsonlStats.PosMeta, LongType), StructField("event_id", LongType))))
+    assert(sbPos.build().toBatch.planInputPartitions().length === 1)
+    val withPos = spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("splitBytes", 7L).load()
+      .select($"_pos", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(withPos === (0 until n).map(i => (i.toLong, (100 + i).toLong)),
+      "_pos must stay the dense per-file row position under a tiny splitBytes")
+    // and the real fixture reads identically under aggressive splitting
+    val root = fixture
+    val whole = spark.read.format("graft-jsonl-stats").option("path", root).load()
+    val split = spark.read.format("graft-jsonl-stats").option("path", root)
+      .option("splitBytes", 4096L).load()
+    assert(split.count() === whole.count())
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
   test("reader surfaces absent JSON fields as nulls") {

@@ -86,35 +86,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       meta.partitionCol)
   }
 
-  /** Shared validation for every create path. Returns the stats column
-    * the new table's manifest will carry bounds for: the `statsColumn`
-    * table property if given, else `value` if present, else the first
-    * long/double column, else the first column (whose files then get
-    * the conservative never-pruned sentinel bounds). */
+  /** Shared validation for every create path. Returns (statsCol,
+    * partitionCol): the stats column the new table's manifest will
+    * carry bounds for — the `statsColumn` table property if given, else
+    * `value` if present, else the first long/double column, else the
+    * first column (whose files then get the conservative never-pruned
+    * sentinel bounds) — and the key column of a `PARTITIONED BY
+    * (identity)` layout (r7: the keyed WRITE path exists, so
+    * partitioned CTAS produces a real SPJ-ready key-grouped table; only
+    * multi-column or non-identity transforms and non-string key types
+    * are refused — manifest pkeys are strings). */
   private def validateCreate(ident: Identifier, schema: StructType,
                              partitions: Array[Transform],
-                             properties: java.util.Map[String, String]): String = {
+                             properties: java.util.Map[String, String]): (String, Option[String]) = {
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     if (provider.exists(p => p != "graft-jsonl-stats" && !p.equalsIgnoreCase("jsonl")))
       throw new UnsupportedOperationException(
         s"$catName only serves manifest-listed JSONL tables; USING ${provider.get} " +
           "belongs to another catalog")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$catName: key-grouped layouts are published by the ingest layer " +
-          "(the catalog's task writer does not re-key rows; a silently unkeyed " +
-          "'partitioned' table would downgrade SPJ joins to shuffles)")
+    val partitionCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val refs = t.references()
+        if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only PARTITIONED BY (<column>) identity layouts are supported, got $t")
+        val c = refs(0).fieldNames()(0)
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"partition column $c not in schema $schema"))
+        if (f.dataType != StringType)
+          throw new UnsupportedOperationException(
+            s"$catName: partition column $c must be string (manifest pkeys are strings), " +
+              s"got ${f.dataType.simpleString}")
+        Some(c)
+      case many => throw new UnsupportedOperationException(
+        s"$catName: at most one partition column (got ${many.size})")
+    }
     schema.fields.foreach { f =>
       if (!Seq(LongType, DoubleType, StringType).contains(f.dataType))
         throw new UnsupportedOperationException(
           s"$catName: column ${f.name} has type ${f.dataType.simpleString}; " +
             "the JSONL writer carries long/double/string")
     }
-    Option(properties.get("statsColumn"))
+    val statsCol = Option(properties.get("statsColumn"))
       .orElse(schema.fieldNames.find(_ == JsonlStats.statsColumn))
       .orElse(schema.fields.find(f => f.dataType == LongType || f.dataType == DoubleType)
         .map(_.name))
       .getOrElse(schema.fieldNames.head)
+    (statsCol, partitionCol)
   }
 
   /** Plain CREATE TABLE: publish an EMPTY manifest — the table exists,
@@ -122,14 +141,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    val statsCol = validateCreate(ident, schema, partitions, properties)
+    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
     val dir = dirOf(ident)
     if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(dir)
-    JsonlStats.writeTableMeta(dir.toString, statsCol, None, schema)
+    JsonlStats.writeTableMeta(dir.toString, statsCol, partitionCol, schema)
     JsonlStats.publishManifest(dir.toString, java.util.UUID.randomUUID().toString, Seq.empty)
-    new JsonlStatsTable(dir.toString, schema, statsCol)
+    new JsonlStatsTable(dir.toString, schema, statsCol, partitionCol)
   }
 
   /** Atomic CTAS: the staged write's data files are invisible until its
@@ -139,11 +158,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): StagedTable = {
-    val statsCol = validateCreate(ident, schema, partitions, properties)
+    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
     val dir = dirOf(ident)
     if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    new GraftCatalog.StagedJsonlTable(dir, schema, statsCol, replace = false)
+    new GraftCatalog.StagedJsonlTable(dir, schema, statsCol, partitionCol, replace = false)
   }
 
   /** REPLACE/CREATE OR REPLACE AS SELECT: same staging, but the write
@@ -161,8 +180,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: java.util.Map[String, String]): StagedTable = {
-    val statsCol = validateCreate(ident, schema, partitions, properties)
-    new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, replace = true)
+    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
+    new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, partitionCol, replace = true)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -204,7 +223,8 @@ object GraftCatalog {
     *     manifest still governs and the task-level aborts already
     *     removed their files — the previous generation is untouched. */
   private[sources] class StagedJsonlTable(dir: java.nio.file.Path, tableSchema: StructType,
-                                          statsCol: String, replace: Boolean)
+                                          statsCol: String, partitionCol: Option[String],
+                                          replace: Boolean)
       extends StagedTable with SupportsWrite {
     java.nio.file.Files.createDirectories(dir)
     private val hadManifest = java.nio.file.Files.exists(dir.resolve("_stats.jsonl"))
@@ -216,7 +236,8 @@ object GraftCatalog {
 
     override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
         org.apache.spark.sql.connector.write.WriteBuilder = {
-      val wb = new JsonlWriteBuilder(dir.toString, info.schema(), info.queryId(), statsCol)
+      val wb = new JsonlWriteBuilder(dir.toString, info.schema(), info.queryId(),
+        statsCol, partitionCol)
       if (replace) wb.truncate() else wb
     }
 

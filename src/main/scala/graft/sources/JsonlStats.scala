@@ -3,7 +3,8 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -160,14 +161,39 @@ object JsonlStats {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Wrap a Write with the clustered + sorted requirement a keyed
+    * layout needs (`RequiresDistributionAndOrdering`): Spark
+    * repartitions the incoming query by the partition column and sorts
+    * within each task, so the task writer sees every key as one
+    * contiguous run and rolls one file per key — the WRITE-side half
+    * of the storage-partitioned-join contract (the read side reports
+    * `KeyGroupedPartitioning` from the manifest pkeys those files get).
+    * Unkeyed writes pass through untouched. */
+  def keyedWrite(partitionCol: Option[String], inner: Write): Write = partitionCol match {
+    case None => inner
+    case Some(c) => new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(Array(Expressions.identity(c)))
+      override def requiredOrdering(): Array[SortOrder] =
+        Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      override def toBatch: BatchWrite = inner.toBatch
+      override def description(): String = s"keyed($c) ${inner.description()}"
+    }
+  }
+
+  /** Flatten task commit messages (each task commits one or — keyed —
+    * several files) to the real per-file entries. */
+  def fileCommits(messages: Array[WriterCommitMessage]): Seq[JsonlFileCommit] =
+    messages.toSeq.flatMap {
+      case c: JsonlFileCommit   => Seq(c)
+      case m: JsonlFileCommits  => m.commits
+      case _                    => Seq.empty
+    }.filter(c => c.file != null && c.rows > 0)
+
   /** Best-effort task-file cleanup on job abort (not load-bearing: an
     * unmanifested file is invisible to every reader). */
   def abortCleanup(root: String, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case c: JsonlFileCommit if c.file != null =>
-        Files.deleteIfExists(Paths.get(root, c.file))
-      case _ =>
-    }
+    fileCommits(messages).foreach(c => Files.deleteIfExists(Paths.get(root, c.file)))
 
   def readTableMeta(root: String): TableMeta = {
     val p = Paths.get(root, "_table.json")
@@ -218,20 +244,28 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
 
   /** SQL DELETE/UPDATE/MERGE on the table — copy-on-write at file
     * granularity ([[JsonlRowLevelOperation]]): the group is the file,
-    * affected files are rewritten, the manifest swap commits. Refused
-    * on key-grouped layouts: the rewrite writer cannot re-key its
-    * output files, so one mutation would strip the pkeys and silently
-    * downgrade every later join from zero-exchange SPJ to a shuffle —
-    * failing loudly beats a permanent invisible perf regression. */
+    * affected files are rewritten, the manifest swap commits. On
+    * key-grouped layouts the rewrite WRITE declares the same clustered
+    * + sorted requirement as a keyed batch write (r7 — this replaced
+    * the r6 refusal), so replacement files are re-keyed and the
+    * layout's zero-exchange SPJ contract survives the mutation. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    val stats = JsonlStats.readStats(root)
-    if (stats.nonEmpty && stats.forall(_.pkey.isDefined))
-      throw new UnsupportedOperationException(
-        s"row-level ${info.command()} on key-grouped table $root would strip its " +
-          "partition keys; rewrite the table through the batch write path instead")
-    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command())
+    // a keyed layout may have been resolved without its partition
+    // column (path-based read with no option): consult the sidecar, and
+    // if the manifest carries pkeys whose column nobody can name, the
+    // rewrite CANNOT preserve the layout — refuse rather than silently
+    // strip the keys and downgrade every later SPJ join to a shuffle
+    val keyed = partitionCol.orElse(JsonlStats.readTableMeta(root).partitionCol)
+    if (keyed.isEmpty) {
+      val stats = JsonlStats.readStats(root)
+      if (stats.nonEmpty && stats.forall(_.pkey.isDefined))
+        throw new UnsupportedOperationException(
+          s"row-level ${info.command()} on key-grouped table $root: the partition " +
+            "column is unknown (no _table.json), so the rewrite cannot re-key its output")
+    }
+    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
@@ -257,7 +291,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol)
+    new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol)
 }
 
 /** Write side — the DSv2 commit protocol as a table format in
@@ -272,37 +306,44 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   * best-effort, not load-bearing) — the same marker-protocol stance as
   * the gold ledger, enforced at the connector layer. */
 class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
-                        statsCol: String = JsonlStats.statsColumn)
+                        statsCol: String = JsonlStats.statsColumn,
+                        partitionCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol)
-  }
+      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol)
+  })
 }
 
-final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long)
+final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
+                                 pkey: Option[String] = None)
   extends WriterCommitMessage
+
+/** One task's commits — several files when the layout is keyed (one
+  * per key run) or the task wrote nothing (empty). */
+final case class JsonlFileCommits(commits: Seq[JsonlFileCommit]) extends WriterCommitMessage
 
 class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       truncateFirst: Boolean,
-                      statsCol: String = JsonlStats.statsColumn) extends BatchWrite {
+                      statsCol: String = JsonlStats.statsColumn,
+                      partitionCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case c: JsonlFileCommit if c.rows > 0 => c }
+    val fresh = JsonlStats.fileCommits(messages)
     val previous =
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else JsonlStats.readStats(root)
     val kept = if (truncateFirst) Seq.empty else previous
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
-    // resolve this table with the right stats column and schema
-    JsonlStats.writeTableMeta(root, statsCol, None, writeSchema)
+    // resolve this table with the right stats column, key column, schema
+    JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
     JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files are unreachable once the new
     // manifest lands; removing them is garbage collection, not commit
@@ -335,9 +376,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   * manifested file: whole-table copy-on-write, correct and merely more
   * expensive. */
 class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
-                             cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+                             cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+                             partitionCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   @volatile private[sources] var rewriteScan: Option[JsonlStatsScan] = None
 
@@ -353,16 +395,19 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
       options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
 
+  /** The replacement write re-keys on keyed layouts ([[JsonlStats.keyedWrite]]):
+    * clustered + sorted on the partition column, one file per key run,
+    * pkey'd manifest entries — the mutation preserves the SPJ layout. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
-    override def build(): Write = new Write {
+    override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
       override def toBatch: BatchWrite =
         new JsonlReplaceBatchWrite(root, info.schema(), info.queryId(), statsCol,
           () => rewriteScan match {
             case Some(s) => s.replacedFiles
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
-          })
-    }
+          }, partitionCol)
+    })
   }
 }
 
@@ -371,17 +416,18 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
   * swap, never before it. */
 class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: String,
                              statsCol: String,
-                             replaced: () => Set[String]) extends BatchWrite {
+                             replaced: () => Set[String],
+                             partitionCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case c: JsonlFileCommit if c.rows > 0 => c }
+    val fresh = JsonlStats.fileCommits(messages)
     val gone = replaced()
     val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
     // replaced files are unreachable once the new manifest lands;
     // deleting them is GC, never part of the commit
@@ -393,19 +439,18 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
 }
 
 class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
-                         statsCol: String = JsonlStats.statsColumn)
+                         statsCol: String = JsonlStats.statsColumn,
+                         partitionCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol)
+    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol, partitionCol)
 }
 
-/** One data file per task attempt; the attempt-unique name means retries
-  * and speculation can never collide, and only the attempt whose commit
-  * message reaches the driver gets manifested. */
-class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
-                      partitionId: Int, taskId: Long,
-                      statsCol: String = JsonlStats.statsColumn) extends DataWriter[InternalRow] {
-  private val fileName = f"part-$queryId-$partitionId%05d-$taskId.jsonl"
+/** Streams rows of ONE output data file, tracking (min, max, rows) of
+  * the stats column — shared by the unkeyed (one file per task) and
+  * keyed (one file per key run) writers. */
+private[sources] class JsonlFileSink(root: String, val fileName: String,
+                                     writeSchema: StructType, statsCol: String) {
   private val path = Paths.get(root, fileName)
   private val out = Files.newBufferedWriter(path)
   private val mapper = new ObjectMapper()
@@ -414,7 +459,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private var mx = Double.NegativeInfinity
   private var rows = 0L
 
-  override def write(row: InternalRow): Unit = {
+  def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
     writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(f.name)
@@ -439,17 +484,72 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = {
+  /** Close and return the manifest entry this file deserves. */
+  def finish(pkey: Option[String]): JsonlFileCommit = {
     out.close()
     if (rows == 0) { Files.deleteIfExists(path); JsonlFileCommit(null, 0, 0, 0) }
     else if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
-      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows)
-    else JsonlFileCommit(fileName, mn, mx, rows)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey)
   }
 
-  override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+  def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+}
+
+/** Attempt-unique data files (retries and speculation can never
+  * collide; only the attempt whose commit message reaches the driver
+  * gets manifested). Unkeyed: one file per task. Keyed: the write's
+  * clustered + sorted requirement delivers each key as one contiguous
+  * run, so the writer ROLLS to a fresh file when the key changes — one
+  * file per key per task, each manifested with its `pkey`, preserving
+  * the layout contract `KeyGroupedPartitioning` reads from. */
+class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
+                      partitionId: Int, taskId: Long,
+                      statsCol: String = JsonlStats.statsColumn,
+                      partitionCol: Option[String] = None) extends DataWriter[InternalRow] {
+  private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  require(partitionCol.isEmpty || keyIdx >= 0,
+    s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
+  private var seq = 0
+  private var curKey: String = _
+  private var sink: JsonlFileSink = _
+  private val done = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
+
+  private def roll(): Unit = {
+    val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
+    seq += 1
+    sink = new JsonlFileSink(root, name, writeSchema, statsCol)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (keyIdx >= 0) {
+      if (row.isNullAt(keyIdx))
+        throw new IllegalArgumentException(
+          s"partition column ${partitionCol.get} must not be null in a keyed layout")
+      val k = row.getUTF8String(keyIdx).toString
+      if (sink == null || k != curKey) {
+        if (sink != null) done += sink.finish(Some(curKey))
+        curKey = k
+        roll()
+      }
+    } else if (sink == null) roll()
+    sink.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (sink != null) {
+      done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
+      sink = null
+    }
+    JsonlFileCommits(done.filter(_.file != null).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (sink != null) { sink.abort(); sink = null }
+    done.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))
+  }
   override def close(): Unit = ()
 }
 

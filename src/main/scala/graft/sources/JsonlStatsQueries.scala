@@ -392,6 +392,33 @@ object JsonlStatsQueries extends QueryModule {
          |FROM $cat.jsonl_ctas""".stripMargin)
   }
 
+  /** q177 (r7): PARTITIONED-BY CTAS → storage-partitioned join. The
+    * catalog's keyed write path (`RequiresDistributionAndOrdering`:
+    * clustered + sorted on the key, the task writer rolls one file per
+    * key run, each manifested with its `pkey`) means `CREATE OR
+    * REPLACE TABLE … PARTITIONED BY (event_type) AS SELECT` produces a
+    * REAL key-grouped layout — and the query then joins the CTAS'd
+    * fact to the keyed dimension with ZERO exchanges (q169's plan
+    * family, now over a table the engine's own DDL created).
+    * JsonlStatsSpec asserts the no-shuffle plan and pkey'd manifest. */
+  def catalogCtasPartitioned(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    ensureTypeKeyedFact(spark, d)
+    ensureTypeDim(spark, d)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_ctas_by_type PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_by_type""".stripMargin)
+    val fact = spark.table(s"$cat.jsonl_ctas_by_type")
+    val dim = spark.table(s"$cat.jsonl_type_dim")
+    fact.join(dim.hint("merge"), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"n_total").as("n_total"),
+        msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q176 (r7): MIN/MAX aggregate pushdown on a LONG stats column — the
     * q159 twin over the user-keyed layout. The manifest's per-file
     * user-id bounds answer MIN/MAX(user_id) (exact: long bounds
@@ -564,6 +591,7 @@ object JsonlStatsQueries extends QueryModule {
     "q174_dsv2_merge" -> rowLevelMerge,
     "q175_catalog_ctas" -> catalogCtas,
     "q176_dsv2_agg_pushdown_long" -> manifestAggregateLong,
+    "q177_catalog_ctas_partitioned" -> catalogCtasPartitioned,
   )
 
   val oracles = Map(
@@ -643,6 +671,13 @@ object JsonlStatsQueries extends QueryModule {
     "q176_dsv2_agg_pushdown_long" ->
       """SELECT count(*) AS n, min(user_id) AS min_user, max(user_id) AS max_user
         |FROM events""".stripMargin,
+    "q177_catalog_ctas_partitioned" ->
+      """WITH ts AS (SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n, MAX(ts.n_total) AS n_total,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN ts ON e.event_type = ts.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

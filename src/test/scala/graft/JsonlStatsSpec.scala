@@ -465,17 +465,26 @@ class JsonlStatsSpec extends SparkSpec {
     assert(upd.count() === nBefore)
     assert(upd.filter($"event_type" === "signup" && $"value" =!= -1.0).count() === 0)
     assert(upd.filter($"event_type" =!= "signup" && $"value" === -1.0).count() === 0)
-    // key-grouped layouts REFUSE row-level ops: a rewrite would strip
-    // their pkeys and silently downgrade SPJ joins to shuffles
+    // key-grouped layouts: the rewrite RE-KEYS its replacement files
+    // (r7 — the keyed write path replaced the r6 refusal), so a
+    // mutation preserves the SPJ layout contract
     JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
     val cat2 = JsonlStatsQueries.ensureCatalog(spark, sfDir)
-    val refusal = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat2.jsonl_stats_by_type WHERE value < 0")
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(refusal).exists(_.contains("key-grouped")),
-      s"expected the keyed-layout refusal, got: $refusal")
+    spark.sql(s"DROP TABLE IF EXISTS $cat2.rl_keyed")
+    spark.sql(
+      s"""CREATE TABLE $cat2.rl_keyed PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat2.jsonl_stats_by_type""".stripMargin)
+    spark.sql(s"DELETE FROM $cat2.rl_keyed WHERE event_type = 'click' OR value < 50.0")
+    val keyedDir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat2.root"), "rl_keyed")
+    val keyedStats = JsonlStats.readStats(keyedDir.toString)
+    assert(keyedStats.nonEmpty && keyedStats.forall(_.pkey.isDefined),
+      s"keyed rewrite stripped pkeys: $keyedStats")
+    val keyedBack = spark.table(s"$cat2.rl_keyed")
+    val keyedExpect = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .filter(!($"event_type" === "click" || $"value" < 50.0))
+    assert(keyedBack.exceptAll(keyedExpect).isEmpty && keyedExpect.exceptAll(keyedBack).isEmpty)
+    spark.sql(s"DROP TABLE $cat2.rl_keyed")
   }
 
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
@@ -514,16 +523,65 @@ class JsonlStatsSpec extends SparkSpec {
     val after = JsonlStats.readStats(dir.toString).map(_.file).toSet
     assert(after.intersect(gen1Files).isEmpty, "replace kept old-generation files in the manifest")
     gen1Files.foreach(f => assert(!Files.exists(dir.resolve(f)), s"old file $f not GC'd"))
-    // PARTITIONED BY is a deliberate refusal (no keyed write path here)
+    // non-string and multi-column PARTITIONED BY stay refusals
     val partRefusal = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.ctas_part (a BIGINT, b STRING) PARTITIONED BY (b)")
+      spark.sql(s"CREATE TABLE $cat.ctas_part_bad (a BIGINT, b STRING) PARTITIONED BY (a)")
     }
-    assert(partRefusal.toString.contains("key-grouped") ||
-      Option(partRefusal.getCause).exists(_.toString.contains("key-grouped")))
+    assert(partRefusal.toString.contains("must be string") ||
+      Option(partRefusal.getCause).exists(_.toString.contains("must be string")))
     // DROP TABLE removes manifest and directory
     spark.sql(s"DROP TABLE $cat.ctas_spec")
     assert(!Files.exists(dir))
     intercept[Exception] { spark.table(s"$cat.ctas_spec").collect() }
+  }
+
+  test("q177: PARTITIONED BY CTAS writes a real key-grouped layout (r7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val df = JsonlStatsQueries.catalogCtasPartitioned(spark, sfDir)
+    val got = df.collect()
+    // the CTAS'd table's manifest: every file carries a pkey, one key
+    // per file, and the sidecar names the partition column
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "jsonl_ctas_by_type")
+    val stats = JsonlStats.readStats(dir.toString)
+    assert(stats.nonEmpty && stats.forall(_.pkey.isDefined),
+      s"keyed CTAS must manifest pkeys: $stats")
+    assert(JsonlStats.readTableMeta(dir.toString).partitionCol === Some("event_type"))
+    // one file per key: the keyed writer rolls on key change after the
+    // clustered+sorted distribution, so keys never straddle files
+    val keysOnDisk = stats.flatMap(_.pkey)
+    assert(keysOnDisk.distinct.sorted ===
+      graft.ingest.Tables.events(spark, sfDir).select($"event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+    // per-file single-key invariant, verified against the data itself
+    stats.foreach { s =>
+      val f = spark.read.schema(JsonlStats.schema).json(dir.resolve(s.file).toString)
+      val types = f.select($"event_type").distinct().collect().map(_.getString(0)).toSeq
+      assert(types === Seq(s.pkey.get), s"file ${s.file} mixes keys: $types")
+    }
+    // the join over the CTAS'd table ran exchange-free below the final
+    // presentation sort (q169's plan assertion, now on DDL-created data)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val plan = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.forall(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"non-ORDER-BY shuffle under a keyed-CTAS SPJ:\n${df.queryExecution.executedPlan}")
+    // and the result equals the parquet-side derivation
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    val ts = ev.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+    val expect = ev.join(ts, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"n_total").as("n_total"),
+        graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(got.toSeq === expect.collect().toSeq)
   }
 
   test("q176: MIN/MAX pushdown serves a LONG stats column from the manifest (r7)") {

@@ -1,0 +1,518 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+class JsonlStatsScanBuilder(root: String, full: StructType,
+                            statsCol: String = JsonlStats.statsColumn,
+                            partitionCol: Option[String] = None,
+                            rewriteOp: Option[JsonlRowLevelOperation] = None,
+                            splitBytes: Long = JsonlStats.DefaultSplitBytes) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var aggSchema: Option[StructType] = None
+
+  /** Accept skippable predicates for file pruning; return EVERY filter
+    * as a residual — bounds can only prove a file irrelevant, never
+    * that all its rows match. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(JsonlStats.supportsSkipping(_, statsCol))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** The third pushdown leg: a global COUNT(*)/MIN/MAX over the stats
+    * column is answered FROM THE MANIFEST — zero data-file IO. Declined
+    * whenever it would be wrong: any pushed filter (per-file bounds are
+    * bounds over ALL rows of the file, not the filtered subset), any
+    * grouping, or any aggregate the manifest doesn't carry. Partial
+    * pushdown contract: the scan emits one partial row per file and
+    * Spark's final aggregate merges (count→sum, min→min, max→max) —
+    * Parquet's footer-stats pushdown shape. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isStatsRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq(statsCol)
+      case _ => false
+    }
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val stats = JsonlStats.readStats(root)
+    // a manifest without row counts cannot serve aggregates
+    if (stats.exists(_.rows < 0)) return false
+    // min/max are served from the manifest's double bounds — offered for
+    // a double stats column as-is and for a LONG one via an exact
+    // toLong round-trip (manifest doubles are exact for longs below
+    // 2^53, which every key column in this engine satisfies; the writer
+    // derives them from getLong, r7). Declined for other types, and
+    // whenever any file carries the all-null sentinel bounds (the
+    // writer publishes [MinValue, MaxValue] for a file whose stats
+    // column was entirely null so it is never pruned — serving MIN/MAX
+    // from those sentinels would return them as data).
+    val hasSentinel = stats.exists(s =>
+      s.min == Double.MinValue && s.max == Double.MaxValue)
+    val statsType = full.fields.find(_.name == statsCol).map(_.dataType)
+    val servable = !hasSentinel &&
+      (statsType.contains(DoubleType) || statsType.contains(LongType))
+    val boundType = statsType.getOrElse(DoubleType)
+    val fields = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
+      case m: Min if servable && isStatsRef(m.column) => Some(StructField("min_value", boundType))
+      case m: Max if servable && isStatsRef(m.column) => Some(StructField("max_value", boundType))
+      case _ => None
+    }
+    if (fields.contains(None)) false
+    else { aggSchema = Some(StructType(fields.flatten)); true }
+  }
+
+  override def build(): Scan = aggSchema match {
+    case Some(s) => new JsonlManifestAggScan(root, s)
+    case None =>
+      val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
+        rewriteOp, splitBytes)
+      // the operation's commit must know what this scan replaced
+      rewriteOp.foreach(_.rewriteScan = Some(scan))
+      scan
+  }
+}
+
+/** Aggregate-pushdown scan: partial rows served from the manifest. One
+  * input partition carrying the (file-count-bounded) stats list; the
+  * reader never opens a data file. */
+class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root), aggSchema))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[JsonlManifestAggPartition]
+        new PartitionReader[InternalRow] {
+          private val it = part.stats.iterator
+          private var cur: JsonlStats.FileStats = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          // a LONG stats column's bounds round-trip exactly through the
+          // manifest's doubles below 2^53 (pushAggregation gates on type)
+          override def get(): InternalRow = InternalRow.fromSeq(part.schema.fields.toSeq.map { f =>
+            (f.name, f.dataType) match {
+              case ("count_star", _)       => cur.rows
+              case ("min_value", LongType) => cur.min.toLong
+              case ("max_value", LongType) => cur.max.toLong
+              case ("min_value", _)        => cur.min
+              case ("max_value", _)        => cur.max
+            }
+          })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
+                                           schema: StructType) extends InputPartition
+
+class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
+                     statsCol: String = JsonlStats.statsColumn,
+                     partitionCol: Option[String] = None,
+                     rewriteOp: Option[JsonlRowLevelOperation] = None,
+                     splitBytes: Long = JsonlStats.DefaultSplitBytes)
+    extends Scan with Batch
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Value sets delivered by runtime filters (one entry per IN
+    * predicate, conjunctive); files must cover at least one value of
+    * EACH set to survive. Empty until [[filter]] is called. */
+  @volatile private var runtimeKeep: Seq[Array[Double]] = Seq.empty
+
+  /** Affected-group set delivered by the row-level rewrite's runtime
+    * group filter: absolute `_file` paths of files containing matching
+    * rows. None until (and unless) such a filter arrives. */
+  @volatile private var runtimeFileKeep: Option[Set[String]] = None
+
+  /** ONE manifest snapshot per scan: planning consults the stats several
+    * times (partitioning, statistics, partition planning, post-runtime
+    * re-planning), and the connector's own commit protocol swaps the
+    * manifest atomically underneath — two reads inside one planning pass
+    * could see different generations and plan an inconsistent scan. */
+  private lazy val statsSnapshot: Seq[JsonlStats.FileStats] = JsonlStats.readStats(root)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
+      s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol], " +
+      s"splitBytes=$splitBytes"
+
+  /** The runtime-filtering leg (the DPP analogue for connectors): a
+    * broadcast join on the stats column hands the scan the join side's
+    * actual key set AT EXECUTION TIME, and files whose manifest interval
+    * contains none of those keys are pruned before their tasks launch —
+    * pruning the query's text never named. Like the planning-time leg
+    * this only ever DROPS provably-irrelevant files (bounds prove
+    * absence, never presence; the join itself re-checks rows), so an
+    * unparseable predicate is safely ignored rather than guessed at. */
+  /** Only advertised when the pruned read schema still carries the
+    * stats column: Spark resolves these refs against the scan OUTPUT,
+    * so naming an unprojected column is an analysis error (seen when a
+    * query reads only metadata columns) — and a runtime join filter on
+    * a column the node doesn't output can't exist anyway. Key-grouped
+    * layouts decline runtime filtering entirely: once the scan reports
+    * `KeyGroupedPartitioning`, Spark requires any runtime-filtered
+    * re-plan to preserve the keyed partitions, and dropping files after
+    * the grouping was reported breaks that contract — group alignment
+    * (a shuffle-free join) is worth more than late file skipping. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (rewriteOp.isDefined) {
+      // rewrite scans accept ONLY the _file group filter: the group
+      // identity is the file, and advertising the stats column too
+      // makes Spark build a multi-column (value, _file) IN subquery
+      // that translateRuntimeFilterV2 cannot convert — one attribute,
+      // one translatable single-column IN
+      if (required.fieldNames.contains(JsonlStats.FileMeta))
+        Array(Expressions.column(JsonlStats.FileMeta))
+      else Array.empty
+    } else if (!keyGrouped && required.fieldNames.contains(statsCol))
+      Array(Expressions.column(statsCol))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // one unparseable member voids the whole predicate: a partial value
+    // set would prune files that only match the missing values
+    def inValues(p: Predicate, col: String): Option[Seq[Any]] = {
+      val kids = p.children()
+      val onCol = kids.headOption.exists {
+        case n: NamedReference => n.fieldNames.toSeq == Seq(col)
+        case _ => false
+      }
+      if (p.name() == "IN" && onCol) {
+        val lits = kids.tail.toSeq.map {
+          case l: Literal[_] => Some(l.value())
+          case _ => None
+        }
+        if (lits.forall(_.isDefined)) Some(lits.flatten) else None
+      } else None
+    }
+    val sets = predicates.toSeq.flatMap { p =>
+      inValues(p, statsCol).flatMap { raw =>
+        val vals = raw.map { case n: Number => Some(n.doubleValue()); case _ => None }
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toArray) else None
+      }
+    }
+    if (sets.nonEmpty) runtimeKeep = sets
+    val fileSets = predicates.toSeq.flatMap { p =>
+      inValues(p, JsonlStats.FileMeta).flatMap { raw =>
+        val vals = raw.map {
+          case s: UTF8String => Some(s.toString)
+          case s: String => Some(s)
+          case _ => None
+        }
+        // same voiding rule as the stats path: a partial _file set would
+        // prune files whose matching rows then silently escape the
+        // rewrite — worse than no pruning
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      }
+    }
+    if (fileSets.nonEmpty) runtimeFileKeep = Some(fileSets.reduce(_ intersect _))
+  }
+
+  /** Files the row-level rewrite replaces = exactly the files this scan
+    * PLANNED. Group-based rewrite contract: Spark pushes the POSITIVE
+    * operation condition into the rewrite scan, so static bounds
+    * skipping prunes precisely the files that provably contain no
+    * matching row — unaffected, not replaced — while a file whose rows
+    * ALL match keeps satisfying the pushed bounds, stays planned, reads
+    * rows the keep-filter then drops, and is correctly replaced with
+    * nothing. The runtime `_file` group filter refines the same set for
+    * conditions bounds can't judge. (Deriving this from anything other
+    * than the planned set is how you wipe a table: an earlier draft
+    * ignored static pruning here, making `replaced` = everything while
+    * only affected files' survivors were rewritten.) */
+  private[sources] def replacedFiles: Set[String] = survivingStats().map(_.file).toSet
+
+  /** Is this table a reportable key-grouped layout for the projected
+    * output? Requires a declared partition column that survives column
+    * pruning and a pkey on EVERY manifested file. A key-grouped scan
+    * never receives runtime filters ([[filterAttributes]] declines
+    * them), so this decision is stable across re-planning. */
+  private lazy val keyGrouped: Boolean =
+    partitionCol.exists(c => required.fieldNames.contains(c)) && {
+      val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+    }
+
+  /** Storage-partitioned-join leg (`SupportsReportPartitioning`): when
+    * every file carries a single declared partition-column value, the
+    * scan reports `KeyGroupedPartitioning` over that column and each
+    * input partition exposes its key (`HasPartitionKey`). Two tables
+    * laid out this way join WITHOUT ANY EXCHANGE — Spark aligns the key
+    * groups instead of shuffling either side (the DSv2 generalization
+    * of the bucketed-join story: at 100 TB the fact table never moves).
+    * Grouping follows from the layout contract, not trust: the reader
+    * still reads only manifested immutable files, and a wrong pkey
+    * would surface as wrong results against the oracle. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped) {
+      val keys = survivingStats().flatMap(_.pkey).distinct
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(partitionCol.get)), keys.size)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        survivingStats().size)
+
+  /** Planning-time file skipping: consult the manifest, keep files whose
+    * interval may satisfy every pushed predicate — and, once runtime
+    * filters have arrived, whose interval covers at least one delivered
+    * key per IN set. No directory listing.
+    *
+    * Surviving files larger than [[splitBytes]] fan out into byte-range
+    * partitions (newline-boundary ownership per the class doc) — the
+    * 100-TB posture: one skewed multi-GB file must never become one
+    * task. Whole-file partitions are kept when (a) the layout is
+    * key-grouped (the group identity is the file; extra partitions per
+    * key would defeat group alignment) or (b) `_pos` is projected (its
+    * contract is the dense row position within the FILE, which a range
+    * reader cannot know without counting its predecessors' lines). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val grouped = keyGrouped
+    val canSplit = !grouped && splitBytes > 0 &&
+      !required.fieldNames.contains(JsonlStats.PosMeta)
+    survivingStats()
+      .flatMap { s =>
+        val path = Paths.get(root, s.file).toString
+        if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get): InputPartition)
+        else {
+          val size =
+            try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
+          if (!canSplit || size <= splitBytes)
+            Seq(JsonlFilePartition(path): InputPartition)
+          else {
+            val n = ((size + splitBytes - 1) / splitBytes).toInt
+            (0 until n).map { i =>
+              val lo = i.toLong * splitBytes
+              val hi = if (i == n - 1) Long.MaxValue else (i + 1).toLong * splitBytes
+              JsonlFilePartition(path, lo, hi): InputPartition
+            }
+          }
+        }
+      }
+      .toArray
+  }
+
+  private def survivingStats(): Seq[JsonlStats.FileStats] =
+    statsSnapshot
+      .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
+      .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
+      .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
+
+  /** Manifest-derived statistics: row count is the sum of surviving
+    * files' exact counts, bytes the sum of their on-disk sizes (a
+    * file-count-bounded metadata stat, never a data scan) — what lets
+    * Catalyst/AQE see a post-pruning connector table as small enough to
+    * broadcast. Unknown when an old manifest lacks row counts. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val surviving = survivingStats()
+    val haveRows = surviving.forall(_.rows >= 0)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(surviving.map { s =>
+          val p = Paths.get(root, s.file)
+          if (Files.exists(p)) Files.size(p) else 0L
+        }.sum)
+      override def numRows(): java.util.OptionalLong =
+        if (haveRows) java.util.OptionalLong.of(surviving.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required)
+
+  /** Streaming leg: the manifest doubles as the source of incremental
+    * progress. An offset is the SET of manifested files; each micro-batch
+    * reads exactly the files that joined the manifest since the last
+    * offset. Manifested files are immutable (the writer only ever adds
+    * attempt-unique files and swaps the manifest), so a file read once
+    * never changes — the property that makes offset-diff replay
+    * exactly-once under checkpoint recovery. No stats skipping here:
+    * bounds may be swapped out from under a running stream by truncate,
+    * and residual row filters re-check anyway. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlManifestStream(root, required)
+}
+
+class JsonlManifestStream(root: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = JsonlManifestOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    JsonlManifestOffset(JsonlStats.readStats(root).map(_.file).sorted)
+  override def deserializeOffset(json: String): Offset = JsonlManifestOffset.fromJson(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[JsonlManifestOffset].files.toSet
+    end.asInstanceOf[JsonlManifestOffset].files
+      .filterNot(seen)
+      .map(f => JsonlFilePartition(Paths.get(root, f).toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new JsonlReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class JsonlManifestOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.foreach(arr.add)
+    arr.toString
+  }
+}
+
+object JsonlManifestOffset {
+  def fromJson(json: String): JsonlManifestOffset = {
+    val n = new ObjectMapper().readTree(json)
+    JsonlManifestOffset((0 until n.size()).map(i => n.get(i).asText()))
+  }
+}
+
+/** A byte range [start, end] of one JSONL file. Owns every line whose
+  * first byte lands in (start, end] — plus byte 0 when start == 0.
+  * Whole file = (0, Long.MaxValue]. Adjacent ranges share their
+  * boundary (range i's end == range i+1's start), which with the
+  * ownership rule covers every line exactly once. */
+final case class JsonlFilePartition(file: String, start: Long = 0L,
+                                    end: Long = Long.MaxValue) extends InputPartition
+
+/** A file of a key-grouped layout: every row carries `key` in the
+  * table's partition column, so the partition's identity IS the key —
+  * what lets Spark align two such tables' groups instead of shuffling. */
+final case class JsonlKeyedFilePartition(file: String, key: String)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  @transient private lazy val row: InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(key)))
+  override def partitionKey(): InternalRow = row
+}
+
+class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case f: JsonlFilePartition      => new JsonlPartitionReader(f.file, required, f.start, f.end)
+    case k: JsonlKeyedFilePartition => new JsonlPartitionReader(k.file, required)
+    case other => throw new IllegalArgumentException(s"unexpected partition $other")
+  }
+}
+
+/** Streams one byte range of a JSONL file, parsing only the projected
+  * fields. Absent or null JSON fields surface as SQL nulls. The
+  * `_file`/`_pos` metadata columns are served from reader state (the
+  * partition's path and a row counter) — provenance without touching
+  * the data bytes; `_pos` is only projected on whole-file partitions
+  * (the scan planner guarantees it).
+  *
+  * Range ownership (class doc on [[JsonlFilePartition]]): a reader at
+  * start > 0 first discards through its first newline — that prefix is
+  * the previous range's tail — then emits every line starting at byte
+  * position ≤ `end`, reading past `end` until the straddling line
+  * completes. Line scanning is byte-level on 0x0A (never part of a
+  * UTF-8 multi-byte sequence), so a boundary mid-character is safe. */
+class JsonlPartitionReader(file: String, required: StructType,
+                           start: Long = 0L, end: Long = Long.MaxValue)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val in = new java.io.BufferedInputStream(
+    Files.newInputStream(Paths.get(file)), 1 << 16)
+  private val filePath = UTF8String.fromString(file)
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  private var bpos = 0L   // byte position of the next unread byte
+  private var line: String = _
+  private var pos = -1L   // dense row index (whole-file partitions only)
+
+  locally {
+    var toSkip = start
+    var eof = false
+    while (toSkip > 0 && !eof) {
+      val n = in.skip(toSkip)
+      if (n > 0) { toSkip -= n; bpos += n }
+      // skip() may return 0 before EOF; fall back to read()
+      else if (in.read() >= 0) { toSkip -= 1; bpos += 1 }
+      else eof = true
+    }
+    if (start > 0 && !eof) discardThroughNewline()
+  }
+
+  private def discardThroughNewline(): Unit = {
+    var b = in.read()
+    while (b >= 0 && b != '\n') { bpos += 1; b = in.read() }
+    if (b >= 0) bpos += 1
+  }
+
+  /** Next line's bytes (trailing newline consumed, not included), or
+    * null at EOF. Advances [[bpos]] to the following line's start. */
+  private def readLineBytes(): Array[Byte] = {
+    var b = in.read()
+    if (b < 0) return null
+    lineBuf.reset()
+    while (b >= 0 && b != '\n') { lineBuf.write(b); bpos += 1; b = in.read() }
+    if (b >= 0) bpos += 1
+    lineBuf.toByteArray
+  }
+
+  override def next(): Boolean = {
+    var found = false
+    var eof = false
+    while (!found && !eof) {
+      if (bpos > end) eof = true // that line belongs to the next range
+      else readLineBytes() match {
+        case null => eof = true
+        case bytes =>
+          // skip blank lines (they advance bpos but carry no row); a
+          // lone \r (CRLF feed) is blank too
+          if (bytes.length > 0 && !(bytes.length == 1 && bytes(0) == '\r')) {
+            line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            pos += 1
+            found = true
+          }
+      }
+    }
+    found
+  }
+
+  override def get(): InternalRow = {
+    val n = mapper.readTree(line)
+    InternalRow.fromSeq(required.fields.toSeq.map { f =>
+      if (f.name == JsonlStats.FileMeta) filePath
+      else if (f.name == JsonlStats.PosMeta) pos
+      else {
+        val v = n.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case LongType   => v.asLong()
+          case DoubleType => v.asDouble()
+          case StringType => UTF8String.fromString(v.asText())
+          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+        }
+      }
+    })
+  }
+
+  override def close(): Unit = in.close()
+}
+

@@ -1,0 +1,273 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Write side — the DSv2 commit protocol as a table format in
+  * miniature. Task writers stream rows to their own data file while
+  * tracking (min, max, rows) of the stats column; each task's
+  * [[WriterCommitMessage]] carries exactly the manifest entry its file
+  * deserves; the DRIVER's `commit()` merges them (plus, for append, the
+  * previous manifest) and publishes via write-temp + ATOMIC_MOVE of
+  * `_stats.jsonl`. Because readers trust only the manifest, the move is
+  * the commit point: a crash before it leaves orphan data files that no
+  * reader will ever see (which is also why task-level abort cleanup is
+  * best-effort, not load-bearing) — the same marker-protocol stance as
+  * the gold ledger, enforced at the connector layer. */
+class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
+                        statsCol: String = JsonlStats.statsColumn,
+                        partitionCol: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
+    override def toBatch: BatchWrite =
+      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol)
+  })
+}
+
+final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
+                                 pkey: Option[String] = None)
+  extends WriterCommitMessage
+
+/** One task's commits — several files when the layout is keyed (one
+  * per key run) or the task wrote nothing (empty). */
+final case class JsonlFileCommits(commits: Seq[JsonlFileCommit]) extends WriterCommitMessage
+
+class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
+                      truncateFirst: Boolean,
+                      statsCol: String = JsonlStats.statsColumn,
+                      partitionCol: Option[String] = None) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = JsonlStats.fileCommits(messages)
+    val previous =
+      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
+      else JsonlStats.readStats(root)
+    val kept = if (truncateFirst) Seq.empty else previous
+    val lines = (kept.map(JsonlStats.statsLine) ++
+      fresh.map(c =>
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
+    // table-level metadata rides next to the manifest so a catalog can
+    // resolve this table with the right stats column, key column, schema
+    JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
+    JsonlStats.publishManifest(root, queryId, lines)
+    // truncate: the old generation's files are unreachable once the new
+    // manifest lands; removing them is garbage collection, not commit
+    if (truncateFirst)
+      previous.foreach(s => Files.deleteIfExists(Paths.get(root, s.file)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    JsonlStats.abortCleanup(root, messages)
+}
+
+/** Copy-on-write row-level operations (SQL DELETE/UPDATE/MERGE) at FILE
+  * granularity — the connector as a mutable table format. The rewrite
+  * group is the file: Spark's group filter identifies the files that
+  * contain matching rows (delivered to the rewrite scan as a runtime IN
+  * on `_file`), the scan re-reads those files' rows, the plan applies
+  * the operation (drop deleted rows / project updated ones), and the
+  * write publishes the survivors as NEW files while the commit swaps
+  * the manifest to (previous − replaced) + fresh in one atomic move —
+  * the same commit point as every other write, so a crash mid-rewrite
+  * leaves the old generation fully intact.
+  *
+  * The REPLACED set is exactly the file set the rewrite scan PLANNED
+  * (static bounds pruning and the runtime group filter both applied) —
+  * see [[JsonlStatsScan.replacedFiles]] for why any other derivation
+  * loses data: Spark pushes the POSITIVE operation condition into this
+  * scan, so pruned files are provably unaffected and planned files are
+  * the affected candidates, read in full and replaced. With no group
+  * filter and no prunable condition the set degrades to every
+  * manifested file: whole-table copy-on-write, correct and merely more
+  * expensive. */
+class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
+                             cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+                             partitionCol: Option[String] = None)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  @volatile private[sources] var rewriteScan: Option[JsonlStatsScan] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-jsonl-stats copy-on-write $cmd"
+
+  /** `_file` must survive the plan: it is both the group identity the
+    * runtime filter targets and what the commit replaces by. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(JsonlStats.FileMeta))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
+      options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
+
+  /** The replacement write re-keys on keyed layouts ([[JsonlStats.keyedWrite]]):
+    * clustered + sorted on the partition column, one file per key run,
+    * pkey'd manifest entries — the mutation preserves the SPJ layout. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
+      override def toBatch: BatchWrite =
+        new JsonlReplaceBatchWrite(root, info.schema(), info.queryId(), statsCol,
+          () => rewriteScan match {
+            case Some(s) => s.replacedFiles
+            case None => throw new IllegalStateException(
+              "rewrite write committed before its scan was planned")
+          }, partitionCol)
+    })
+  }
+}
+
+/** The replace-data commit: manifest becomes (previous − replaced) +
+  * fresh in one atomic move; replaced data files are GC'd after the
+  * swap, never before it. */
+class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: String,
+                             statsCol: String,
+                             replaced: () => Set[String],
+                             partitionCol: Option[String] = None) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = JsonlStats.fileCommits(messages)
+    val gone = replaced()
+    val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
+    val lines = (kept.map(JsonlStats.statsLine) ++
+      fresh.map(c =>
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
+    JsonlStats.publishManifest(root, queryId, lines)
+    // replaced files are unreachable once the new manifest lands;
+    // deleting them is GC, never part of the commit
+    gone.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    JsonlStats.abortCleanup(root, messages)
+}
+
+class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
+                         statsCol: String = JsonlStats.statsColumn,
+                         partitionCol: Option[String] = None)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol, partitionCol)
+}
+
+/** Streams rows of ONE output data file, tracking (min, max, rows) of
+  * the stats column — shared by the unkeyed (one file per task) and
+  * keyed (one file per key run) writers. */
+private[sources] class JsonlFileSink(root: String, val fileName: String,
+                                     writeSchema: StructType, statsCol: String) {
+  private val path = Paths.get(root, fileName)
+  private val out = Files.newBufferedWriter(path)
+  private val mapper = new ObjectMapper()
+  private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
+  private var mn = Double.PositiveInfinity
+  private var mx = Double.NegativeInfinity
+  private var rows = 0L
+
+  def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType   => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      }
+    }
+    if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
+      // manifest bounds are doubles regardless of column type; exact for
+      // longs below 2^53 (every key column in this engine)
+      val v = writeSchema.fields(statsIdx).dataType match {
+        case LongType => row.getLong(statsIdx).toDouble
+        case _        => row.getDouble(statsIdx)
+      }
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    out.write(node.toString); out.newLine()
+    rows += 1
+  }
+
+  /** Close and return the manifest entry this file deserves. */
+  def finish(pkey: Option[String]): JsonlFileCommit = {
+    out.close()
+    if (rows == 0) { Files.deleteIfExists(path); JsonlFileCommit(null, 0, 0, 0) }
+    else if (mn > mx)
+      // rows exist but the stats column was all-null: publish the whole
+      // real line so the file is never pruned (conservative, correct)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey)
+  }
+
+  def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+}
+
+/** Attempt-unique data files (retries and speculation can never
+  * collide; only the attempt whose commit message reaches the driver
+  * gets manifested). Unkeyed: one file per task. Keyed: the write's
+  * clustered + sorted requirement delivers each key as one contiguous
+  * run, so the writer ROLLS to a fresh file when the key changes — one
+  * file per key per task, each manifested with its `pkey`, preserving
+  * the layout contract `KeyGroupedPartitioning` reads from. */
+class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
+                      partitionId: Int, taskId: Long,
+                      statsCol: String = JsonlStats.statsColumn,
+                      partitionCol: Option[String] = None) extends DataWriter[InternalRow] {
+  private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  require(partitionCol.isEmpty || keyIdx >= 0,
+    s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
+  private var seq = 0
+  private var curKey: String = _
+  private var sink: JsonlFileSink = _
+  private val done = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
+
+  private def roll(): Unit = {
+    val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
+    seq += 1
+    sink = new JsonlFileSink(root, name, writeSchema, statsCol)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (keyIdx >= 0) {
+      if (row.isNullAt(keyIdx))
+        throw new IllegalArgumentException(
+          s"partition column ${partitionCol.get} must not be null in a keyed layout")
+      val k = row.getUTF8String(keyIdx).toString
+      if (sink == null || k != curKey) {
+        if (sink != null) done += sink.finish(Some(curKey))
+        curKey = k
+        roll()
+      }
+    } else if (sink == null) roll()
+    sink.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (sink != null) {
+      done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
+      sink = null
+    }
+    JsonlFileCommits(done.filter(_.file != null).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (sink != null) { sink.abort(); sink = null }
+    done.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))
+  }
+  override def close(): Unit = ()
+}
+

@@ -46,7 +46,8 @@ import scala.jdk.CollectionConverters._
   * method, which Spark binds via codegen (an `Invoke` expression, no
   * row boxing) instead of the reflective `produceResult` path.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog
+    with ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -198,6 +199,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catName: rename would break the path-addressed readers of the old name")
+
+  /** Maintenance procedures (`ProcedureCatalog`): CALL-addressable
+    * table services — `CALL <cat>.compact('<table>', <target_bytes>)`
+    * bin-packs small data files ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace().isEmpty && ident.name() == "compact")
+      new GraftProcedures.CompactUnbound(root)
+    else throw new RuntimeException(s"no such procedure $ident in $catName")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "compact"))
+    else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "sqnorm"))

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Stored procedures for [[GraftCatalog]] (`ProcedureCatalog`, Spark 4's
+  * V2 procedure API): table MAINTENANCE addressed as SQL —
+  * `CALL <catalog>.compact('<table>', <target_bytes>)` — the Iceberg
+  * `rewrite_data_files` shape on this engine's manifest protocol.
+  *
+  * Compaction is the inverse pressure of the reader's byte-range
+  * splits: splits keep one oversized file from becoming one task, while
+  * compaction keeps a thousand undersized files (a streaming ingest's
+  * natural output) from costing a thousand task launches and manifest
+  * entries. Together they bound task size from both ends.
+  *
+  * The operation never parses a row: JSONL is concatenation-safe, so a
+  * bin of small files becomes one file by STREAMING BYTE COPY (the
+  * engine guarantees newline-terminated data files; a missing trailing
+  * newline is patched during the copy), and the merged manifest entry
+  * is derived from the members' entries — bounds = min/max of member
+  * bounds, rows = sum of member counts, pkey preserved (bins never
+  * cross keys, so a compacted key-grouped table keeps its SPJ layout).
+  * Bins copy in parallel as one Spark job; the manifest swap is the
+  * commit, so a crash mid-copy leaves invisible orphans and the old
+  * generation intact; member files are GC'd only after the swap. */
+object GraftProcedures {
+
+  /** One compaction bin: member data files (relative names) → the
+    * merged output file, with its ready-made manifest entry. */
+  private final case class Bin(members: Seq[String], out: String,
+                               entry: JsonlStats.FileStats)
+
+  class CompactUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "compact(table, target_bytes): bin-pack small data files into target-sized ones"
+    override def bind(inputType: StructType): BoundProcedure = new CompactBound(root)
+  }
+
+  class CompactBound(root: String) extends BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "bin-pack small manifest files into target-sized ones (manifest-swap commit)"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val target = input.getLong(1)
+      require(target > 0, s"target_bytes must be positive, got $target")
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (before, after, merged) = GraftProcedures.compact(dir.toString, target)
+      java.util.List.of[Scan](new CompactResultScan(before, after, merged)).iterator()
+    }
+  }
+
+  /** CALL's result set: one row of compaction accounting. */
+  class CompactResultScan(before: Int, after: Int, merged: Int) extends LocalScan {
+    override def readSchema(): StructType = StructType(Seq(
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("files_merged", IntegerType, nullable = false)))
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow(before, after, merged))
+    override def description(): String =
+      s"compact result: $before -> $after files ($merged merged)"
+  }
+
+  /** The maintenance core. Greedy first-fit over size-sorted
+    * sub-target files, binned WITHIN each pkey (an unkeyed table is one
+    * key group of None); only bins of ≥2 members rewrite anything.
+    * Returns (files_before, files_after, files_merged). */
+  def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
+    val stats = JsonlStats.readStats(tableRoot)
+    val sized = stats.map(s => s -> {
+      val p = Paths.get(tableRoot, s.file)
+      if (Files.exists(p)) Files.size(p) else 0L
+    })
+    // candidates: under-target files with exact row counts (a merged
+    // entry must stay exact; unknown-count files are left untouched)
+    val (candidates, untouched) =
+      sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var binSeq = 0
+    val bins = candidates.groupBy(_._1.pkey).toSeq.sortBy(_._1).flatMap {
+      case (pkey, files) =>
+        val sorted = files.sortBy(-_._2) // big-first first-fit packs tighter
+        val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(JsonlStats.FileStats, Long)], Long)]
+        sorted.foreach { case (s, b) =>
+          groups.indexWhere(_._2 + b <= targetBytes) match {
+            case -1 => groups += ((scala.collection.mutable.ArrayBuffer((s, b)), b))
+            case i  => val (g, tot) = groups(i); g += ((s, b)); groups(i) = (g, tot + b)
+          }
+        }
+        groups.filter(_._1.size >= 2).map { case (g, _) =>
+          val members = g.map(_._1).toSeq
+          val out = f"part-compact-$runId-$binSeq%05d.jsonl"
+          binSeq += 1
+          Bin(members.map(_.file), out, JsonlStats.FileStats(out,
+            members.map(_.min).min, members.map(_.max).max,
+            members.map(_.rows).sum, pkey))
+        }
+    }
+    if (bins.isEmpty) return (stats.size, stats.size, 0)
+    // bins copy in parallel as one job — a metadata-bounded maintenance
+    // task list, each task a streaming byte concat on shared storage
+    val rootCopy = tableRoot
+    val work = bins.map(b => (b.members, b.out))
+    SparkSession.active.sparkContext
+      .parallelize(work, math.min(work.size, 32))
+      .foreach { case (members, out) => GraftProcedures.concatFiles(rootCopy, members, out) }
+    val mergedNames = bins.flatMap(_.members).toSet
+    val lines = (stats.filterNot(s => mergedNames.contains(s.file)).map(JsonlStats.statsLine) ++
+      bins.map(b => JsonlStats.statsLine(b.entry))).sorted
+    JsonlStats.publishManifest(tableRoot, s"compact-$runId", lines)
+    // members are unreachable once the new manifest lands: GC, not commit
+    mergedNames.foreach(f => Files.deleteIfExists(Paths.get(tableRoot, f)))
+    (stats.size, stats.size - mergedNames.size + bins.size, mergedNames.size)
+  }
+
+  /** Streaming byte concat of newline-terminated JSONL members; patches
+    * a missing trailing newline between members so lines never fuse. */
+  private[sources] def concatFiles(tableRoot: String, members: Seq[String], out: String): Unit = {
+    val dest = Paths.get(tableRoot, out)
+    val os = new java.io.BufferedOutputStream(
+      Files.newOutputStream(dest, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING), 1 << 16)
+    try {
+      members.foreach { m =>
+        val in = new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(tableRoot, m)), 1 << 16)
+        try {
+          var last = -1
+          var b = in.read()
+          while (b >= 0) { os.write(b); last = b; b = in.read() }
+          if (last >= 0 && last != '\n') os.write('\n')
+        } finally in.close()
+      }
+    } finally os.close()
+  }
+}

@@ -419,6 +419,39 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q178 (r7): CALL-addressable table maintenance
+    * (`ProcedureCatalog` + [[GraftProcedures]]): the feed written
+    * through the connector as 48 small task files — a streaming
+    * ingest's natural output — then
+    * `CALL <cat>.compact('jsonl_fragmented', 512k)` bin-packs them via
+    * streaming byte concat (JSONL is concatenation-safe; no row is
+    * ever parsed), derives merged manifest entries from the members'
+    * (bounds/rows unioned exactly), and commits by the same atomic
+    * manifest swap as every write. The read-back aggregate equals the
+    * parquet-side oracle, proving compaction is invisible to queries;
+    * the file-count/bounds mechanics are asserted in JsonlStatsSpec.
+    * Idempotent-enough across reps: re-CALLing re-packs already-packed
+    * files or does nothing, and content never changes. */
+  def catalogCompact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val frag = Landing.fixtureDir(d, "jsonl_fragmented")
+    Landing.ensureBuilt(frag) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartition(48)
+        .write.format("graft-jsonl-stats").option("path", out).mode("overwrite").save()
+    }
+    spark.sql(s"CALL $cat.compact('jsonl_fragmented', ${512L * 1024})")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_fragmented
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q176 (r7): MIN/MAX aggregate pushdown on a LONG stats column — the
     * q159 twin over the user-keyed layout. The manifest's per-file
     * user-id bounds answer MIN/MAX(user_id) (exact: long bounds
@@ -592,6 +625,7 @@ object JsonlStatsQueries extends QueryModule {
     "q175_catalog_ctas" -> catalogCtas,
     "q176_dsv2_agg_pushdown_long" -> manifestAggregateLong,
     "q177_catalog_ctas_partitioned" -> catalogCtasPartitioned,
+    "q178_catalog_compact" -> catalogCompact,
   )
 
   val oracles = Map(
@@ -678,6 +712,12 @@ object JsonlStatsQueries extends QueryModule {
         |FROM events e JOIN ts ON e.event_type = ts.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q178_catalog_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

@@ -655,6 +655,73 @@ class JsonlStatsSpec extends SparkSpec {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("q178: CALL compact bin-packs files, keeps bounds exact and keys separate (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    // unkeyed: a fragmented copy of the feed
+    spark.sql(s"DROP TABLE IF EXISTS $cat.compact_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.compact_spec AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    val dir = root.resolve("compact_spec")
+    // fragment it further: three appends = more small files
+    spark.sql(s"INSERT INTO $cat.compact_spec SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table")
+    spark.sql(s"INSERT INTO $cat.compact_spec SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table")
+    val before = JsonlStats.readStats(dir.toString)
+    val expectRows = before.map(_.rows).sum
+    val res = spark.sql(s"CALL $cat.compact('compact_spec', ${8L << 20})").collect()
+    assert(res.length === 1)
+    val (fb, fa, fm) = (res(0).getInt(0), res(0).getInt(1), res(0).getInt(2))
+    assert(fb === before.size && fa < fb && fm >= 2,
+      s"compaction should shrink the file count: $fb -> $fa ($fm merged)")
+    val after = JsonlStats.readStats(dir.toString)
+    assert(after.size === fa)
+    // content survives byte-identically at row granularity
+    assert(after.map(_.rows).sum === expectRows)
+    val back = spark.table(s"$cat.compact_spec")
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(back.count() === 3L * expect.count())
+    assert(back.distinct().exceptAll(expect.distinct()).isEmpty)
+    // manifest entries of merged files are EXACT: bounds and counts
+    // re-derived from the compacted data files themselves
+    after.filter(_.file.startsWith("part-compact-")).foreach { s =>
+      val f = spark.read.schema(JsonlStats.schema).json(dir.resolve(s.file).toString)
+      val r = f.agg(min($"value"), max($"value"), count(lit(1))).head
+      assert(r.getDouble(0) === s.min && r.getDouble(1) === s.max && r.getLong(2) === s.rows,
+        s"merged manifest entry drifted for ${s.file}")
+    }
+    // directory and manifest agree: members GC'd, no orphans
+    val listing = Files.list(dir)
+    val onDisk = try listing.iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
+      finally listing.close()
+    assert(onDisk === after.map(_.file).toSet)
+    spark.sql(s"DROP TABLE $cat.compact_spec")
+
+    // keyed: compaction bins never cross pkeys, so the SPJ layout holds
+    JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.compact_keyed")
+    spark.sql(
+      s"""CREATE TABLE $cat.compact_keyed PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_by_type""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.compact_keyed SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_by_type")
+    val kd = root.resolve("compact_keyed")
+    val kBefore = JsonlStats.readStats(kd.toString)
+    assert(kBefore.forall(_.pkey.isDefined))
+    spark.sql(s"CALL $cat.compact('compact_keyed', ${8L << 20})")
+    val kAfter = JsonlStats.readStats(kd.toString)
+    assert(kAfter.size < kBefore.size)
+    assert(kAfter.forall(_.pkey.isDefined), "compaction stripped pkeys")
+    kAfter.filter(_.file.startsWith("part-compact-")).foreach { s =>
+      val types = spark.read.schema(JsonlStats.schema).json(kd.resolve(s.file).toString)
+        .select($"event_type").distinct().collect().map(_.getString(0)).toSeq
+      assert(types === Seq(s.pkey.get), s"compacted file ${s.file} mixes keys: $types")
+    }
+    spark.sql(s"DROP TABLE $cat.compact_keyed")
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -185,9 +185,39 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, partitionCol, replace = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catName: ALTER is not supported; REPLACE TABLE AS SELECT re-publishes atomically")
+  /** Schema evolution, metadata-only where that is SOUND: ADD COLUMN
+    * rewrites the `_table.json` sidecar and touches no data file — the
+    * reader surfaces absent JSON fields as SQL nulls (a connector law,
+    * spec-pinned), so every pre-evolution row reads as null in the new
+    * column and post-evolution appends carry it. Anything else (drop/
+    * rename/retype) would change how EXISTING bytes are interpreted —
+    * that is a new generation, published via REPLACE TABLE AS SELECT. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+      throw new NoSuchTableException(ident)
+    val meta = JsonlStats.readTableMeta(dir.toString)
+    var schema = meta.schema.getOrElse(JsonlStats.schema)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested ADD COLUMN unsupported")
+        val col = add.fieldNames()(0)
+        if (!Seq(LongType, DoubleType, StringType).contains(add.dataType()))
+          throw new UnsupportedOperationException(
+            s"$catName: column $col type ${add.dataType().simpleString}; " +
+              "the JSONL writer carries long/double/string")
+        if (schema.fieldNames.contains(col))
+          throw new IllegalArgumentException(s"column $col already exists")
+        schema = schema.add(StructField(col, add.dataType(), nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"$catName: unsupported ALTER $other — drop/rename/retype reinterpret existing " +
+          "bytes; publish a new generation via REPLACE TABLE AS SELECT")
+    }
+    JsonlStats.writeTableMeta(dir.toString,
+      meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

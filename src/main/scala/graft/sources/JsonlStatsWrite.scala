@@ -60,8 +60,15 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
-    // resolve this table with the right stats column, key column, schema
-    JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
+    // resolve this table with the right stats column, key column,
+    // schema — written by the generation that DEFINES the table (first
+    // write or truncate/replace), never by an append: an append's write
+    // schema is the QUERY's (e.g. a non-null literal makes a column
+    // non-nullable there), and clobbering the table sidecar with it
+    // would flip nullability and codegen-NPE reads of older files'
+    // nulls (r7 ALTER spec caught exactly this)
+    if (truncateFirst || !Files.exists(Paths.get(root, "_table.json")))
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
     JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files are unreachable once the new
     // manifest lands; removing them is garbage collection, not commit

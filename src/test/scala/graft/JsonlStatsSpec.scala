@@ -722,6 +722,39 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.compact_keyed")
   }
 
+  test("ALTER TABLE ADD COLUMN is sound metadata-only evolution (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.evolve_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.evolve_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table WHERE event_type = 'purchase'""".stripMargin)
+    val nOld = spark.table(s"$cat.evolve_spec").count()
+    spark.sql(s"ALTER TABLE $cat.evolve_spec ADD COLUMN note STRING")
+    // pre-evolution rows read null in the new column; no data file moved
+    val evolved = spark.table(s"$cat.evolve_spec")
+    assert(evolved.schema.fieldNames.toSeq ===
+      Seq("event_id", "user_id", "event_type", "value", "note"))
+    assert(evolved.filter($"note".isNotNull).count() === 0)
+    // post-evolution appends carry the column; old rows stay null
+    spark.sql(
+      s"""INSERT INTO $cat.evolve_spec
+         |SELECT event_id, user_id, event_type, value, 'flagged' AS note
+         |FROM $cat.jsonl_stats_table WHERE event_type = 'error'""".stripMargin)
+    val mixed = spark.table(s"$cat.evolve_spec")
+    assert(mixed.filter($"note" === "flagged").count() ===
+      graft.ingest.Tables.events(spark, sfDir).filter($"event_type" === "error").count())
+    assert(mixed.filter($"note".isNull).count() === nOld)
+    // drop/rename/retype stay refusals — they reinterpret existing bytes
+    val refusal = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evolve_spec DROP COLUMN note")
+    }
+    assert(refusal.toString.contains("REPLACE TABLE") ||
+      Option(refusal.getCause).exists(_.toString.contains("REPLACE TABLE")))
+    spark.sql(s"DROP TABLE $cat.evolve_spec")
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -230,6 +230,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     throw new UnsupportedOperationException(
       s"$catName: rename would break the path-addressed readers of the old name")
 
+  /** Time travel (r7): `VERSION AS OF K` reads the archived manifest
+    * `_history/v{K}.jsonl` ([[JsonlStats.publishManifest]] archives
+    * the outgoing generation at every commit); the live table is
+    * version `history + 1`. Snapshots resolve to READ-ONLY tables over
+    * the historical manifest — same scan machinery, frozen file list.
+    * A generation whose files were GC'd (truncate/replace/compact)
+    * fails its read loudly, the post-VACUUM contract. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+      throw new NoSuchTableException(ident)
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"version must be a positive integer, got '$version'")
+    val v = version.toInt
+    val current = JsonlStats.currentVersion(dir.toString)
+    if (v == current) loadTable(ident)
+    else if (v >= 1 && v < current) snapshotTable(dir, s"${JsonlStats.HistoryDir}/v$v.jsonl")
+    else throw new IllegalArgumentException(
+      s"no version $v of $ident (versions 1..$current)")
+  }
+
+  /** `TIMESTAMP AS OF T` (T in microseconds): version K was current
+    * during [supersede(K−1), supersede(K)), and an archive file's
+    * mtime IS its supersede instant — so the snapshot as of T is the
+    * SMALLEST archived version superseded after T, else the live
+    * table. A T before the first generation existed is an error. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+      throw new NoSuchTableException(ident)
+    val tMillis = timestampMicros / 1000L
+    val afterT = JsonlStats.historyVersions(dir.toString).filter { k =>
+      java.nio.file.Files.getLastModifiedTime(
+        dir.resolve(s"${JsonlStats.HistoryDir}/v$k.jsonl")).toMillis > tMillis
+    }
+    afterT.minOption match {
+      case Some(k) => snapshotTable(dir, s"${JsonlStats.HistoryDir}/v$k.jsonl")
+      case None => loadTable(ident) // T is within the live generation
+    }
+  }
+
+  private def snapshotTable(dir: java.nio.file.Path, manifest: String): Table = {
+    val meta = JsonlStats.readTableMeta(dir.toString)
+    new JsonlStatsTable(dir.toString,
+      meta.schema.getOrElse(JsonlStats.schema),
+      meta.statsCol.getOrElse(JsonlStats.statsColumn),
+      meta.partitionCol, manifest)
+  }
+
   /** Maintenance procedures (`ProcedureCatalog`): CALL-addressable
     * table services — `CALL <cat>.compact('<table>', <target_bytes>)`
     * bin-packs small data files ([[GraftProcedures]]). */

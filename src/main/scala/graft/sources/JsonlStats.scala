@@ -103,9 +103,33 @@ object JsonlStats {
   final case class FileStats(file: String, min: Double, max: Double, rows: Long,
                              pkey: Option[String] = None)
 
-  def readStats(root: String): Seq[FileStats] = {
+  /** Manifest history dir: `_history/v{N}.jsonl` is the manifest that
+    * WAS current until version N+1 was published ([[publishManifest]]
+    * archives the outgoing manifest before the swap). Version numbers
+    * run 1..K with K = history size + 1 = the live `_stats.jsonl`. */
+  val HistoryDir = "_history"
+
+  def historyVersions(root: String): Seq[Int] = {
+    val h = Paths.get(root, HistoryDir)
+    if (!Files.isDirectory(h)) Seq.empty
+    else {
+      val s = Files.list(h)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".jsonl") =>
+          n.stripPrefix("v").stripSuffix(".jsonl") }
+        .filter(v => v.nonEmpty && v.forall(_.isDigit)).map(_.toInt).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Current version number = archived generations + 1. */
+  def currentVersion(root: String): Int = historyVersions(root).size + 1
+
+  def readStats(root: String): Seq[FileStats] = readStats(root, "_stats.jsonl")
+
+  def readStats(root: String, manifest: String): Seq[FileStats] = {
     val mapper = new ObjectMapper()
-    Files.readAllLines(Paths.get(root, "_stats.jsonl")).asScala.toSeq
+    Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
         val n = mapper.readTree(line)
@@ -152,12 +176,29 @@ object JsonlStats {
   }
 
   /** The commit point shared by every write path: manifest lines land
-    * in a temp file and an ATOMIC_MOVE makes them the table. */
+    * in a temp file and an ATOMIC_MOVE makes them the table. The
+    * OUTGOING manifest is archived to `_history/v{K}.jsonl` first
+    * (r7 — time travel): `VERSION AS OF K` re-reads that snapshot, and
+    * the archive file's mtime is the instant version K was SUPERSEDED,
+    * which is exactly what `TIMESTAMP AS OF` needs (version K was
+    * current during [supersede(K−1), supersede(K))). History is
+    * metadata-sized; a production deployment prunes it with a
+    * retention window, and GC'd generations (truncate/replace/compact
+    * delete replaced data files immediately) fail a snapshot read
+    * LOUDLY — the post-VACUUM contract, not silent wrong data. */
   def publishManifest(root: String, queryId: String, lines: Seq[String]): Unit = {
+    val current = Paths.get(root, "_stats.jsonl")
+    if (Files.exists(current)) {
+      val hist = Paths.get(root, HistoryDir)
+      Files.createDirectories(hist)
+      val k = currentVersion(root)
+      Files.copy(current, hist.resolve(s"v$k.jsonl"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
     Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(root, "_stats.jsonl"),
+    Files.move(tmp, current,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -236,7 +277,8 @@ object JsonlStats {
 
 class JsonlStatsTable(root: String, tableSchema: StructType,
                       statsCol: String = JsonlStats.statsColumn,
-                      partitionCol: Option[String] = None) extends Table
+                      partitionCol: Option[String] = None,
+                      manifest: String = "_stats.jsonl") extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -249,9 +291,16 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     * + sorted requirement as a keyed batch write (r7 — this replaced
     * the r6 refusal), so replacement files are re-keyed and the
     * layout's zero-exchange SPJ contract survives the mutation. */
+  /** Is this a historical snapshot resolved via time travel? Snapshots
+    * are strictly READ-ONLY — mutating the past is not a thing. */
+  private def isSnapshot: Boolean = manifest != "_stats.jsonl"
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (isSnapshot)
+      throw new UnsupportedOperationException(
+        s"row-level ${info.command()} on a historical snapshot ($manifest) of $root")
     // a keyed layout may have been resolved without its partition
     // column (path-based read with no option): consult the sidecar, and
     // if the manifest carries pkeys whose column nobody can name, the
@@ -284,13 +333,19 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       override def isNullable: Boolean = false
     })
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (isSnapshot) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
-      splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
+      manifest = manifest)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (isSnapshot)
+      throw new UnsupportedOperationException(
+        s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol)
+  }
 }
 

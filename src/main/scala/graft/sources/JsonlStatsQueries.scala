@@ -452,6 +452,35 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q179 (r7): TIME TRAVEL — every manifest publish archives the
+    * outgoing generation (`_history/v{K}.jsonl`), so `VERSION AS OF K`
+    * resolves a READ-ONLY snapshot over the frozen file list through
+    * the same scan machinery (Delta's time-travel shape on this
+    * engine's commit protocol; GC'd generations fail loudly, the
+    * post-VACUUM contract — JsonlStatsSpec pins both and TIMESTAMP AS
+    * OF). The fixture publishes twice (non-click, then +click), and
+    * the query reads generation 1: the append must be invisible. */
+  def timeTravel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_versioned")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      val ev = Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      ev.filter($"event_type" =!= "click").repartitionByRange(2, $"value")
+        .write.format("graft-jsonl-stats").option("path", out).mode("overwrite").save()
+      ev.filter($"event_type" === "click")
+        .write.format("graft-jsonl-stats").option("path", out).mode("append").save()
+    }
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_versioned VERSION AS OF 1
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q176 (r7): MIN/MAX aggregate pushdown on a LONG stats column — the
     * q159 twin over the user-keyed layout. The manifest's per-file
     * user-id bounds answer MIN/MAX(user_id) (exact: long bounds
@@ -626,6 +655,7 @@ object JsonlStatsQueries extends QueryModule {
     "q176_dsv2_agg_pushdown_long" -> manifestAggregateLong,
     "q177_catalog_ctas_partitioned" -> catalogCtasPartitioned,
     "q178_catalog_compact" -> catalogCompact,
+    "q179_time_travel" -> timeTravel,
   )
 
   val oracles = Map(
@@ -712,6 +742,13 @@ object JsonlStatsQueries extends QueryModule {
         |FROM events e JOIN ts ON e.event_type = ts.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q179_time_travel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q178_catalog_compact" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

@@ -15,7 +15,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             statsCol: String = JsonlStats.statsColumn,
                             partitionCol: Option[String] = None,
                             rewriteOp: Option[JsonlRowLevelOperation] = None,
-                            splitBytes: Long = JsonlStats.DefaultSplitBytes) extends ScanBuilder
+                            splitBytes: Long = JsonlStats.DefaultSplitBytes,
+                            manifest: String = "_stats.jsonl") extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -48,7 +49,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case _ => false
     }
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
-    val stats = JsonlStats.readStats(root)
+    val stats = JsonlStats.readStats(root, manifest)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
     // min/max are served from the manifest's double bounds — offered for
@@ -77,10 +78,10 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   }
 
   override def build(): Scan = aggSchema match {
-    case Some(s) => new JsonlManifestAggScan(root, s)
+    case Some(s) => new JsonlManifestAggScan(root, s, manifest)
     case None =>
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
-        rewriteOp, splitBytes)
+        rewriteOp, splitBytes, manifest)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -90,13 +91,14 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
 /** Aggregate-pushdown scan: partial rows served from the manifest. One
   * input partition carrying the (file-count-bounded) stats list; the
   * reader never opens a data file. */
-class JsonlManifestAggScan(root: String, aggSchema: StructType) extends Scan with Batch {
+class JsonlManifestAggScan(root: String, aggSchema: StructType,
+                           manifest: String = "_stats.jsonl") extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonlManifestAggPartition(JsonlStats.readStats(root), aggSchema))
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root, manifest), aggSchema))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -129,7 +131,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      statsCol: String = JsonlStats.statsColumn,
                      partitionCol: Option[String] = None,
                      rewriteOp: Option[JsonlRowLevelOperation] = None,
-                     splitBytes: Long = JsonlStats.DefaultSplitBytes)
+                     splitBytes: Long = JsonlStats.DefaultSplitBytes,
+                     manifest: String = "_stats.jsonl")
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -151,7 +154,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * re-planning), and the connector's own commit protocol swaps the
     * manifest atomically underneath — two reads inside one planning pass
     * could see different generations and plan an inconsistent scan. */
-  private lazy val statsSnapshot: Seq[JsonlStats.FileStats] = JsonlStats.readStats(root)
+  private lazy val statsSnapshot: Seq[JsonlStats.FileStats] = JsonlStats.readStats(root, manifest)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -755,6 +755,60 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.evolve_spec")
   }
 
+  test("q179: VERSION/TIMESTAMP AS OF resolve archived generations; GC fails loudly (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    // drives the fixture build (2 publishes) and pins generation-1 reads
+    val gen1 = JsonlStatsQueries.timeTravel(spark, sfDir).collect()
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    val expect1 = ev.filter($"event_type" =!= "click")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(gen1.toSeq === expect1.collect().toSeq)
+    // the live table (version 2) sees the appended click generation
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    val dir = root.resolve("jsonl_versioned")
+    assert(JsonlStats.currentVersion(dir.toString) === 2)
+    val asOf2 = spark.sql(s"SELECT count(*) AS n FROM $cat.jsonl_versioned VERSION AS OF 2")
+      .head().getLong(0)
+    assert(asOf2 === ev.count())
+    assert(spark.table(s"$cat.jsonl_versioned").count() === asOf2)
+    // a version that never existed is an error
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.jsonl_versioned VERSION AS OF 7").collect()
+    }
+    // TIMESTAMP AS OF: an instant strictly before v1's supersede mtime
+    // resolves generation 1; a far-future instant resolves the live one
+    val supersede = Files.getLastModifiedTime(
+      dir.resolve(s"${JsonlStats.HistoryDir}/v1.jsonl")).toMillis
+    def tsLit(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val before = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.jsonl_versioned
+         |TIMESTAMP AS OF '${tsLit(supersede - 1)}'""".stripMargin).head().getLong(0)
+    assert(before === expect1.collect().map(_.getLong(1)).sum)
+    val after = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.jsonl_versioned
+         |TIMESTAMP AS OF '${tsLit(supersede + 3600 * 1000L)}'""".stripMargin).head().getLong(0)
+    assert(after === asOf2)
+    // GC'd generation: REPLACE truncates and deletes the old files, so
+    // the archived snapshot's ROW read must fail loudly (a COUNT would
+    // ride the manifest and succeed — use collect)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tt_gc")
+    spark.sql(s"CREATE TABLE $cat.tt_gc AS SELECT * FROM $cat.jsonl_versioned")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.tt_gc AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_versioned WHERE event_type = 'error'""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      spark.sql(s"SELECT * FROM $cat.tt_gc VERSION AS OF 1").collect()
+    }
+    spark.sql(s"DROP TABLE $cat.tt_gc")
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -105,9 +105,19 @@ object GraftProcedures {
           val members = g.map(_._1).toSeq
           val out = f"part-compact-$runId-$binSeq%05d.jsonl"
           binSeq += 1
-          Bin(members.map(_.file), out, JsonlStats.FileStats(out,
-            members.map(_.min).min, members.map(_.max).max,
-            members.map(_.rows).sum, pkey))
+          // a member with the all-null SENTINEL bounds poisons the bin:
+          // a half-merged (MinValue, realMax) entry would escape the
+          // aggregate-pushdown sentinel check and serve MinValue as
+          // MIN(data) — the merged entry must be fully sentinel (never
+          // pruned, min/max pushdown declined), matching the writer's
+          // own all-null convention
+          val hasSentinel = members.exists(m =>
+            m.min == Double.MinValue && m.max == Double.MaxValue)
+          val (mn, mx) =
+            if (hasSentinel) (Double.MinValue, Double.MaxValue)
+            else (members.map(_.min).min, members.map(_.max).max)
+          Bin(members.map(_.file), out,
+            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

@@ -809,6 +809,41 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.tt_gc")
   }
 
+  test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}
+    val dir = Files.createTempDirectory("jsonl_compact_sentinel").toString
+    // one real-bounds file + one all-null-stats file (sentinel bounds)
+    Files.write(Paths.get(dir, "a.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 1, "user_id": 1, "event_type": "click", "value": 10.0}""",
+      """{"event_id": 2, "user_id": 2, "event_type": "view", "value": 20.0}"""))
+    Files.write(Paths.get(dir, "b.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 3, "user_id": 3, "event_type": "click", "value": null}"""))
+    Files.write(Paths.get(dir, "_stats.jsonl"), java.util.Arrays.asList(
+      """{"file":"a.jsonl","min_value":10.0,"max_value":20.0,"n_rows":2}""",
+      JsonlStats.statsLine(JsonlStats.FileStats(
+        "b.jsonl", Double.MinValue, Double.MaxValue, 1))))
+    val (fb, fa, fm) = GraftProcedures.compact(dir, 1L << 20)
+    assert(fb === 2 && fa === 1 && fm === 2)
+    val merged = JsonlStats.readStats(dir)
+    assert(merged.size === 1)
+    // the merged entry is FULLY sentinel — a half-merged (MinValue,
+    // 20.0) entry would slip past the pushdown sentinel check and
+    // serve MinValue as MIN(value)
+    assert(merged.head.min === Double.MinValue && merged.head.max === Double.MaxValue)
+    assert(merged.head.rows === 3)
+    val sb = new JsonlStatsScanBuilder(dir, JsonlStats.schema)
+    assert(!sb.pushAggregation(new Aggregation(
+      Array(new Min(Expressions.column("value"))), Array.empty)),
+      "sentinel bounds must decline MIN pushdown")
+    assert(new JsonlStatsScanBuilder(dir, JsonlStats.schema).pushAggregation(
+      new Aggregation(Array(new CountStar), Array.empty)),
+      "COUNT(*) still rides the exact row counts")
+    // and the data survived the byte concat intact
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(back.count() === 3 && back.filter(org.apache.spark.sql.functions.col("value").isNull).count() === 1)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -27,7 +27,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * cross keys, so a compacted key-grouped table keeps its SPJ layout).
   * Bins copy in parallel as one Spark job; the manifest swap is the
   * commit, so a crash mid-copy leaves invisible orphans and the old
-  * generation intact; member files are GC'd only after the swap. */
+  * generation intact; member files are GC'd only after the swap.
+  *
+  * Interplay caveats, stated rather than hidden: the streaming source
+  * treats a compacted output file as NEW (its offset is the manifested
+  * file set), so a drain that already consumed the members would
+  * re-deliver their rows — run compaction between drains or behind an
+  * idempotent/dedup sink, exactly Delta's guidance for OPTIMIZE under
+  * a streaming reader. And compaction publishes a generation, so
+  * earlier snapshots whose members it GC'd fail their row reads loudly
+  * (the time-travel post-VACUUM contract). */
 object GraftProcedures {
 
   /** One compaction bin: member data files (relative names) → the

@@ -283,12 +283,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     * table services — `CALL <cat>.compact('<table>', <target_bytes>)`
     * bin-packs small data files ([[GraftProcedures]]). */
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    if (ident.namespace().isEmpty && ident.name() == "compact")
-      new GraftProcedures.CompactUnbound(root)
-    else throw new RuntimeException(s"no such procedure $ident in $catName")
+    if (ident.namespace().nonEmpty)
+      throw new RuntimeException(s"no such procedure $ident in $catName")
+    else ident.name() match {
+      case "compact" => new GraftProcedures.CompactUnbound(root)
+      case "history" => new GraftProcedures.HistoryUnbound(root)
+      case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
+    }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "compact"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -84,6 +84,55 @@ object GraftProcedures {
       s"compact result: $before -> $after files ($merged merged)"
   }
 
+  class HistoryUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "history(table): one row per generation — version, supersede time, files, rows"
+    override def bind(inputType: StructType): BoundProcedure = new HistoryBound(root)
+  }
+
+  /** `CALL <cat>.history('<table>')` — DESCRIBE HISTORY for the
+    * manifest protocol: version number, the instant it was superseded
+    * (null for the live generation — an archive file's mtime IS that
+    * instant, the same convention TIMESTAMP AS OF resolves by), and
+    * the generation's file/row counts read from its archived manifest.
+    * Metadata-only: no data file is touched. */
+  class HistoryBound(root: String) extends BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String = "per-generation version/supersede/files/rows"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val current = JsonlStats.currentVersion(dir.toString)
+      val generations = (1 to current).map { v =>
+        val (manifest, supersedeUs) =
+          if (v == current) ("_stats.jsonl", null)
+          else {
+            val p = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+            (p, Long.box(Files.getLastModifiedTime(dir.resolve(p)).toMillis * 1000L))
+          }
+        val stats = JsonlStats.readStats(dir.toString, manifest)
+        InternalRow(v, supersedeUs,
+          stats.size, if (stats.forall(_.rows >= 0)) Long.box(stats.map(_.rows).sum) else null)
+      }
+      val schema = StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("superseded_at", TimestampType),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = generations.toArray
+        override def description(): String = s"history of $table: $current generations"
+      }).iterator()
+    }
+  }
+
   /** The maintenance core. Greedy first-fit over size-sorted
     * sub-target files, binned WITHIN each pkey (an unkeyed table is one
     * key group of None); only bins of ≥2 members rewrite anything.

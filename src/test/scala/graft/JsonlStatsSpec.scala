@@ -809,6 +809,24 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.tt_gc")
   }
 
+  test("CALL history lists generations with supersede instants (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    JsonlStatsQueries.timeTravel(spark, sfDir).collect() // 2-generation fixture
+    val h = spark.sql(s"CALL $cat.history('jsonl_versioned')")
+      .orderBy($"version").collect()
+    assert(h.length >= 2)
+    assert(h.map(_.getInt(0)).toSeq === (1 to h.length))
+    // archived generations carry their supersede instant; the live one
+    // is open-ended (null) — the same convention TIMESTAMP AS OF uses
+    assert(h.dropRight(1).forall(!_.isNullAt(1)))
+    assert(h.last.isNullAt(1))
+    // generation row counts: v1 = the non-click feed, live = the full
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    assert(h.head.getLong(3) === ev.filter($"event_type" =!= "click").count())
+    assert(h.last.getLong(3) === ev.count())
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

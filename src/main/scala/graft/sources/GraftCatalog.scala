@@ -233,10 +233,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   /** Time travel (r7): `VERSION AS OF K` reads the archived manifest
     * `_history/v{K}.jsonl` ([[JsonlStats.publishManifest]] archives
     * the outgoing generation at every commit); the live table is
-    * version `history + 1`. Snapshots resolve to READ-ONLY tables over
-    * the historical manifest — same scan machinery, frozen file list.
-    * A generation whose files were GC'd (truncate/replace/compact)
-    * fails its read loudly, the post-VACUUM contract. */
+    * the highest surviving archive + 1. Snapshots resolve to READ-ONLY
+    * tables over the historical manifest — same scan machinery, frozen
+    * file list. Superseded data files stay on disk (deferred GC, r7),
+    * so EVERY archived generation reads correctly until
+    * `CALL <cat>.vacuum(...)` expires it — after which both the
+    * VERSION and TIMESTAMP paths fail loudly (the post-VACUUM
+    * contract, enforced via the `_history/_vacuum.json` horizon). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
@@ -246,7 +249,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val v = version.toInt
     val current = JsonlStats.currentVersion(dir.toString)
     if (v == current) loadTable(ident)
-    else if (v >= 1 && v < current) snapshotTable(dir, s"${JsonlStats.HistoryDir}/v$v.jsonl")
+    else if (v >= 1 && v < current) {
+      val manifest = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+      // a vacuumed generation has no manifest left: fail with the
+      // retention story, not a bare NoSuchFileException
+      if (!java.nio.file.Files.exists(dir.resolve(manifest)))
+        throw new IllegalArgumentException(
+          s"version $v of $ident has been vacuumed (oldest available: " +
+            s"${JsonlStats.readVacuumHorizon(dir.toString).map(_.minVersion).getOrElse(current)})")
+      snapshotTable(dir, manifest)
+    }
     else throw new IllegalArgumentException(
       s"no version $v of $ident (versions 1..$current)")
   }
@@ -261,6 +273,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new NoSuchTableException(ident)
     val tMillis = timestampMicros / 1000L
+    // a T inside a VACUUMED generation's window must fail loudly: the
+    // smallest surviving archive superseded after T would resolve, but
+    // it was NOT the table's state at T (horizon = supersede instant
+    // of the newest expired generation, recorded by VACUUM)
+    JsonlStats.readVacuumHorizon(dir.toString).foreach { h =>
+      if (tMillis < h.horizonMs)
+        throw new IllegalArgumentException(
+          s"timestamp $tMillis ms predates the vacuum horizon of $ident " +
+            s"(${h.horizonMs} ms; oldest available version: ${h.minVersion})")
+    }
     val afterT = JsonlStats.historyVersions(dir.toString).filter { k =>
       java.nio.file.Files.getLastModifiedTime(
         dir.resolve(s"${JsonlStats.HistoryDir}/v$k.jsonl")).toMillis > tMillis
@@ -288,12 +310,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     else ident.name() match {
       case "compact" => new GraftProcedures.CompactUnbound(root)
       case "history" => new GraftProcedures.HistoryUnbound(root)
+      case "vacuum"  => new GraftProcedures.VacuumUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"))
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
+        Identifier.of(namespace, "vacuum"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /** Stored procedures for [[GraftCatalog]] (`ProcedureCatalog`, Spark 4's
   * V2 procedure API): table MAINTENANCE addressed as SQL —
@@ -34,9 +35,9 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * file set), so a drain that already consumed the members would
   * re-deliver their rows — run compaction between drains or behind an
   * idempotent/dedup sink, exactly Delta's guidance for OPTIMIZE under
-  * a streaming reader. And compaction publishes a generation, so
-  * earlier snapshots whose members it GC'd fail their row reads loudly
-  * (the time-travel post-VACUUM contract). */
+  * a streaming reader. Compaction publishes a generation like any
+  * write; its members stay on disk for the archived snapshots that
+  * reference them until [[vacuum]] expires those (deferred GC, r7). */
 object GraftProcedures {
 
   /** One compaction bin: member data files (relative names) → the
@@ -109,7 +110,9 @@ object GraftProcedures {
       val dir = Paths.get(root, table)
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
       val current = JsonlStats.currentVersion(dir.toString)
-      val generations = (1 to current).map { v =>
+      // vacuumed generations have no manifest to describe: list only
+      // the surviving archive versions (a vacuumed prefix is a gap)
+      val generations = (JsonlStats.historyVersions(dir.toString) :+ current).map { v =>
         val (manifest, supersedeUs) =
           if (v == current) ("_stats.jsonl", null)
           else {
@@ -131,6 +134,116 @@ object GraftProcedures {
         override def description(): String = s"history of $table: $current generations"
       }).iterator()
     }
+  }
+
+  class VacuumUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "vacuum(table, retain_last, orphan_grace_ms): expire old snapshots and GC their files"
+    override def bind(inputType: StructType): BoundProcedure = new VacuumBound(root)
+  }
+
+  /** `CALL <cat>.vacuum('<table>', retain_last, orphan_grace_ms)` — the
+    * deletion point of the deferred-GC protocol (Delta VACUUM / Iceberg
+    * `expire_snapshots` + `remove_orphan_files` in one service).
+    * `retain_last` counts VERSIONS kept including the live one
+    * (default 2 = live + newest archive); `orphan_grace_ms` guards the
+    * unreferenced-file sweep (default 7 days — an in-flight write's
+    * uncommitted task files look exactly like crash orphans, and only
+    * AGE distinguishes them; tests pass 0 on quiesced tables). */
+  class VacuumBound(root: String) extends BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "expire archived generations beyond retention; delete their unreferenced files"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain_last", IntegerType).defaultValue("2").build(),
+      ProcedureParameter.in("orphan_grace_ms", LongType)
+        .defaultValue((7L * 24 * 3600 * 1000).toString).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val retain = input.getInt(1)
+      val grace = input.getLong(2)
+      require(retain >= 1, s"retain_last must be >= 1, got $retain")
+      require(grace >= 0, s"orphan_grace_ms must be >= 0, got $grace")
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (expired, dataDeleted, orphans, oldest) =
+        GraftProcedures.vacuum(dir.toString, retain, grace)
+      val schema = StructType(Seq(
+        StructField("expired_versions", IntegerType, nullable = false),
+        StructField("data_files_deleted", IntegerType, nullable = false),
+        StructField("orphan_files_deleted", IntegerType, nullable = false),
+        StructField("oldest_retained_version", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(expired, dataDeleted, orphans, oldest))
+        override def description(): String =
+          s"vacuum result: $expired versions expired, $dataDeleted + $orphans files deleted"
+      }).iterator()
+    }
+  }
+
+  /** The GC core. Three phases, each safe in isolation:
+    *  1. EXPIRE: archived versions below `current − retainLast + 1`
+    *     lose their manifests. The horizon sidecar records the newest
+    *     expired generation's supersede instant FIRST, so a crash
+    *     between sidecar and deletes fails time travel conservatively
+    *     (claims slightly more vacuumed than is) rather than serving a
+    *     wrong snapshot.
+    *  2. DATA GC: a file is deletable iff some expired manifest
+    *     references it and NO retained manifest (live included) does —
+    *     pure manifest arithmetic, no directory listing, metadata-
+    *     bounded like every planning step.
+    *  3. ORPHAN SWEEP: directory listing minus all surviving
+    *     references, gated by `graceMs` of file age — the one place the
+    *     engine lists a directory, because crash debris is by
+    *     definition unreferenced by any manifest. Tmp manifests from
+    *     torn publishes (`_stats.jsonl.tmp-*`) fall out the same way.
+    * Returns (expired, dataFilesDeleted, orphansDeleted, oldestRetained). */
+  def vacuum(tableRoot: String, retainLast: Int, graceMs: Long): (Int, Int, Int, Int) = {
+    val current = JsonlStats.currentVersion(tableRoot)
+    val keepFrom = math.max(1, current - retainLast + 1)
+    val (expired, retained) =
+      JsonlStats.historyVersions(tableRoot).partition(_ < keepFrom)
+    val dir = Paths.get(tableRoot)
+    def manifestOf(v: Int) = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+    val retainedRefs: Set[String] =
+      (retained.map(manifestOf) :+ "_stats.jsonl")
+        .flatMap(m => JsonlStats.readStats(tableRoot, m).map(_.file)).toSet
+    var dataDeleted = 0
+    if (expired.nonEmpty) {
+      // horizon first (see phase 1): supersede instant of the newest
+      // expired generation = its own archive's mtime
+      val horizonMs = Files.getLastModifiedTime(
+        dir.resolve(manifestOf(expired.max))).toMillis
+      JsonlStats.writeVacuumHorizon(tableRoot,
+        JsonlStats.VacuumHorizon(horizonMs, keepFrom))
+      val deletable = expired
+        .flatMap(v => JsonlStats.readStats(tableRoot, manifestOf(v)).map(_.file))
+        .distinct.filterNot(retainedRefs)
+      deletable.foreach { f =>
+        if (Files.deleteIfExists(dir.resolve(f))) dataDeleted += 1
+      }
+      expired.foreach(v => Files.deleteIfExists(dir.resolve(manifestOf(v))))
+    }
+    var orphansDeleted = 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach { p =>
+        val n = p.getFileName.toString
+        val sweepable = (n.endsWith(".jsonl") || n.contains(".jsonl.tmp-")) &&
+          n != "_stats.jsonl" && !retainedRefs.contains(n)
+        if (sweepable && Files.getLastModifiedTime(p).toMillis < cutoff &&
+            Files.deleteIfExists(p)) orphansDeleted += 1
+      }
+    finally listing.close()
+    (expired.size, dataDeleted, orphansDeleted, keepFrom)
   }
 
   /** The maintenance core. Greedy first-fit over size-sorted
@@ -190,8 +303,9 @@ object GraftProcedures {
     val lines = (stats.filterNot(s => mergedNames.contains(s.file)).map(JsonlStats.statsLine) ++
       bins.map(b => JsonlStats.statsLine(b.entry))).sorted
     JsonlStats.publishManifest(tableRoot, s"compact-$runId", lines)
-    // members are unreachable once the new manifest lands: GC, not commit
-    mergedNames.foreach(f => Files.deleteIfExists(Paths.get(tableRoot, f)))
+    // members leave the live manifest but stay on disk: the archived
+    // pre-compaction snapshot still references them, so VERSION AS OF
+    // keeps working until [[vacuum]] expires it (deferred GC, r7)
     (stats.size, stats.size - mergedNames.size + bins.size, mergedNames.size)
   }
 

@@ -106,8 +106,41 @@ object JsonlStats {
   /** Manifest history dir: `_history/v{N}.jsonl` is the manifest that
     * WAS current until version N+1 was published ([[publishManifest]]
     * archives the outgoing manifest before the swap). Version numbers
-    * run 1..K with K = history size + 1 = the live `_stats.jsonl`. */
+    * run 1..K with K = the live `_stats.jsonl`; VACUUM may expire a
+    * PREFIX of the archive (1..m), so numbering is derived from the
+    * HIGHEST surviving archive, never from the archive count. */
   val HistoryDir = "_history"
+
+  /** Vacuum-horizon sidecar (`_history/_vacuum.json`): written by
+    * VACUUM when it expires archived generations. `horizon_ms` is the
+    * supersede instant of the NEWEST expired generation (= the mtime
+    * its archive file carried before deletion) and `min_version` the
+    * oldest generation still resolvable. Time travel consults it so a
+    * `TIMESTAMP AS OF` that falls inside a vacuumed generation's
+    * window fails LOUDLY instead of silently resolving the next
+    * surviving snapshot (which was NOT the table's state at T). */
+  val VacuumSidecar = "_vacuum.json"
+
+  final case class VacuumHorizon(horizonMs: Long, minVersion: Int)
+
+  def readVacuumHorizon(root: String): Option[VacuumHorizon] = {
+    val p = Paths.get(root, HistoryDir, VacuumSidecar)
+    if (!Files.exists(p)) None
+    else {
+      val n = new ObjectMapper().readTree(Files.readAllLines(p).asScala.mkString("\n"))
+      Some(VacuumHorizon(n.get("horizon_ms").asLong(), n.get("min_version").asInt()))
+    }
+  }
+
+  def writeVacuumHorizon(root: String, h: VacuumHorizon): Unit = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("horizon_ms", h.horizonMs); n.put("min_version", h.minVersion)
+    Files.createDirectories(Paths.get(root, HistoryDir))
+    Files.write(Paths.get(root, HistoryDir, VacuumSidecar),
+      java.util.Arrays.asList(n.toString),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
 
   def historyVersions(root: String): Seq[Int] = {
     val h = Paths.get(root, HistoryDir)
@@ -122,8 +155,14 @@ object JsonlStats {
     }
   }
 
-  /** Current version number = archived generations + 1. */
-  def currentVersion(root: String): Int = historyVersions(root).size + 1
+  /** Current version number = highest surviving archive + 1, floored
+    * by the vacuum horizon's `min_version` (gap- and vacuum-tolerant:
+    * expiring archives — even ALL of them, retain_last = 1 — must
+    * never renumber the live generation, or `VERSION AS OF` on an
+    * expired number would silently resolve the live table). */
+  def currentVersion(root: String): Int = math.max(
+    historyVersions(root).lastOption.getOrElse(0) + 1,
+    readVacuumHorizon(root).map(_.minVersion).getOrElse(1))
 
   def readStats(root: String): Seq[FileStats] = readStats(root, "_stats.jsonl")
 
@@ -181,11 +220,14 @@ object JsonlStats {
     * (r7 — time travel): `VERSION AS OF K` re-reads that snapshot, and
     * the archive file's mtime is the instant version K was SUPERSEDED,
     * which is exactly what `TIMESTAMP AS OF` needs (version K was
-    * current during [supersede(K−1), supersede(K))). History is
-    * metadata-sized; a production deployment prunes it with a
-    * retention window, and GC'd generations (truncate/replace/compact
-    * delete replaced data files immediately) fail a snapshot read
-    * LOUDLY — the post-VACUUM contract, not silent wrong data. */
+    * current during [supersede(K−1), supersede(K))). Superseded DATA
+    * files are NOT deleted here or by any write path (r7 — deferred
+    * GC): history manifests keep referencing them, so every archived
+    * snapshot stays readable until `CALL <cat>.vacuum(...)` expires it
+    * — the Delta/Iceberg posture, where deletion is a maintenance
+    * decision with a retention window, never a side effect of a
+    * commit. A vacuumed generation fails its snapshot read LOUDLY —
+    * the post-VACUUM contract, not silent wrong data. */
   def publishManifest(root: String, queryId: String, lines: Seq[String]): Unit = {
     val current = Paths.get(root, "_stats.jsonl")
     if (Files.exists(current)) {

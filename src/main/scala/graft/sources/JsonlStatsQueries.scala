@@ -604,6 +604,34 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q180 (r7): VACUUM — the deletion point of the deferred-GC
+    * protocol. Every write path (truncate/replace/row-level/compact)
+    * now leaves superseded data files on disk because archived
+    * manifests still reference them (snapshots outlive commits);
+    * `CALL <cat>.vacuum(table, retain_last, orphan_grace_ms)` is the
+    * ONLY place files die: it expires archived generations beyond
+    * retention, deletes the files no surviving manifest references
+    * (pure manifest arithmetic — no listing), sweeps crash orphans
+    * behind an age grace, and records the time-travel horizon so
+    * expired-snapshot reads fail loudly by BOTH version and timestamp
+    * (JsonlStatsSpec pins all of it). The fixture deletes a class and
+    * vacuums to retention 1; the read-back aggregate equals the
+    * parquet-side oracle, proving GC is invisible to the live table.
+    * Idempotent across reps: re-deleting matches nothing, re-vacuuming
+    * finds nothing to expire. */
+  def vacuumTable(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMutableTable(spark, d, "jsonl_mut_vacuum")
+    spark.sql(s"DELETE FROM $cat.jsonl_mut_vacuum WHERE event_type = 'click'")
+    spark.sql(s"CALL $cat.vacuum('jsonl_mut_vacuum', retain_last => 1, orphan_grace_ms => 0)")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mut_vacuum
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -656,6 +684,7 @@ object JsonlStatsQueries extends QueryModule {
     "q177_catalog_ctas_partitioned" -> catalogCtasPartitioned,
     "q178_catalog_compact" -> catalogCompact,
     "q179_time_travel" -> timeTravel,
+    "q180_vacuum" -> vacuumTable,
   )
 
   val oracles = Map(
@@ -753,6 +782,13 @@ object JsonlStatsQueries extends QueryModule {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q180_vacuum" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->

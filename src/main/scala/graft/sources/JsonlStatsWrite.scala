@@ -70,10 +70,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     if (truncateFirst || !Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
     JsonlStats.publishManifest(root, queryId, lines)
-    // truncate: the old generation's files are unreachable once the new
-    // manifest lands; removing them is garbage collection, not commit
-    if (truncateFirst)
-      previous.foreach(s => Files.deleteIfExists(Paths.get(root, s.file)))
+    // truncate: the old generation's files leave the LIVE manifest but
+    // stay on disk — the archived manifest still references them, so
+    // `VERSION AS OF` keeps working until VACUUM expires the snapshot
+    // (deferred GC, r7; deletion is [[GraftProcedures.vacuum]]'s job)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -137,8 +137,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
 }
 
 /** The replace-data commit: manifest becomes (previous − replaced) +
-  * fresh in one atomic move; replaced data files are GC'd after the
-  * swap, never before it. */
+  * fresh in one atomic move; replaced data files stay on disk for the
+  * archived snapshots that still reference them (VACUUM deletes). */
 class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: String,
                              statsCol: String,
                              replaced: () => Set[String],
@@ -154,9 +154,9 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
-    // replaced files are unreachable once the new manifest lands;
-    // deleting them is GC, never part of the commit
-    gone.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    // replaced files leave the live manifest but stay on disk for the
+    // archived snapshots that reference them (deferred GC, r7 —
+    // [[GraftProcedures.vacuum]] is the only deletion point)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -170,7 +170,10 @@ class JsonlStatsSpec extends SparkSpec {
     sb.pushFilters(Array(GreaterThanOrEqual("value", Double.box(300.0))))
     assert(sb.build().toBatch.planInputPartitions().length < stats.size)
     // overwrite is a truncate: a second write fully replaces the first —
-    // manifest lists only the new generation, old data files are gone
+    // the manifest lists only the new generation; the old generation's
+    // files STAY on disk for its archived snapshot (deferred GC, r7 —
+    // VACUUM is the deletion point, exercised in the vacuum spec)
+    val gen1Files = stats.map(_.file).toSet
     val half = src.filter($"event_type" === "click")
     half.repartitionByRange(2, $"value")
       .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
@@ -179,9 +182,12 @@ class JsonlStatsSpec extends SparkSpec {
     val files = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(!files.exists(_.startsWith("_stats.jsonl.tmp")), "no torn manifest temp left")
-    assert(JsonlStats.readStats(dir).map(_.file).toSet
+    val gen2Manifest = JsonlStats.readStats(dir).map(_.file).toSet
+    assert(gen2Manifest.intersect(gen1Files).isEmpty,
+      "truncate kept old-generation files in the live manifest")
+    assert(gen2Manifest ++ gen1Files
       === files.filter(_.endsWith(".jsonl")).diff(Set("_stats.jsonl")),
-      "manifest and directory agree after truncate GC")
+      "directory = live generation + snapshot-retained files, nothing else")
     // append mode extends the table instead
     half.write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
     assert(spark.read.format("graft-jsonl-stats").option("path", dir).load().count()
@@ -440,24 +446,43 @@ class JsonlStatsSpec extends SparkSpec {
     val untouched = before.filter(_.min > cut).map(_.file).toSet
     assert(untouched.nonEmpty && untouched.subsetOf(after.map(_.file).toSet),
       s"unaffected files were rewritten: kept=${after.map(_.file)}")
-    // the wholly-deleted file is gone from manifest AND directory
+    // the wholly-deleted file is gone from the manifest but STAYS on
+    // disk: the archived pre-delete snapshot still references it
+    // (deferred GC, r7) — so VERSION AS OF the pre-delete generation
+    // still reads the original content
     val wholly = before.filter(_.max <= cut).map(_.file)
     assert(wholly.nonEmpty, "fixture must exercise the wholly-deleted-file case")
     wholly.foreach { f =>
       assert(!after.exists(_.file == f))
-      assert(!Files.exists(java.nio.file.Paths.get(dir, f)), s"replaced file $f not GC'd")
+      assert(Files.exists(java.nio.file.Paths.get(dir, f)),
+        s"replaced file $f was eagerly deleted — snapshots must outlive the commit")
     }
+    val preDelete = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.`$table` VERSION AS OF 1").head().getLong(0)
+    assert(preDelete === src.count(), "pre-delete snapshot must read the full feed")
     // content = source minus the deleted range, exactly
     val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
     val expect = src.filter($"value" > cut)
     assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
-    // manifest and directory agree (no orphans visible, no torn temp)
+    // VACUUM is the deletion point: retain only the live generation →
+    // the replaced files go, and manifest and directory agree again
+    val vac = spark.sql(
+      s"CALL $cat.vacuum('$table', retain_last => 1, orphan_grace_ms => 0)").head()
+    assert(vac.getInt(0) >= 1, "vacuum must report expired generations")
+    wholly.foreach { f =>
+      assert(!Files.exists(java.nio.file.Paths.get(dir, f)), s"vacuum left $f behind")
+    }
     val listing = Files.list(java.nio.file.Paths.get(dir))
     val onDisk =
       try listing.iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
       finally listing.close()
     assert(onDisk === after.map(_.file).toSet)
+    // and the expired snapshot now fails LOUDLY — the post-VACUUM contract
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`$table` VERSION AS OF 1").collect()
+    }
+    assert(gone.toString.contains("vacuum"), s"expected a vacuum error, got $gone")
     // UPDATE rides the same machinery: assignment applied, row count kept
     val nBefore = back.count()
     spark.sql(s"UPDATE $cat.`$table` SET value = -1.0 WHERE event_type = 'signup'")
@@ -509,7 +534,8 @@ class JsonlStatsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.ctas_spec AS SELECT * FROM $cat.jsonl_stats_table")
     }
-    // OR REPLACE atomically swaps generations; the old files are GC'd
+    // OR REPLACE atomically swaps generations; the old files stay on
+    // disk for the archived snapshot (deferred GC — VACUUM deletes)
     val gen1Files = stats.map(_.file).toSet
     spark.sql(
       s"""CREATE OR REPLACE TABLE $cat.ctas_spec AS
@@ -522,7 +548,12 @@ class JsonlStatsSpec extends SparkSpec {
     assert(got2.exceptAll(expect2).isEmpty && expect2.exceptAll(got2).isEmpty)
     val after = JsonlStats.readStats(dir.toString).map(_.file).toSet
     assert(after.intersect(gen1Files).isEmpty, "replace kept old-generation files in the manifest")
-    gen1Files.foreach(f => assert(!Files.exists(dir.resolve(f)), s"old file $f not GC'd"))
+    gen1Files.foreach(f => assert(Files.exists(dir.resolve(f)),
+      s"old file $f was eagerly deleted — the pre-replace snapshot must stay readable"))
+    // the pre-replace snapshot reads its full content through VERSION AS OF
+    val gen1Rows = spark.sql(s"SELECT count(*) AS n FROM $cat.ctas_spec VERSION AS OF 1")
+      .head().getLong(0)
+    assert(gen1Rows === expect.count())
     // non-string and multi-column PARTITIONED BY stay refusals
     val partRefusal = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.ctas_part_bad (a BIGINT, b STRING) PARTITIONED BY (a)")
@@ -692,7 +723,10 @@ class JsonlStatsSpec extends SparkSpec {
       assert(r.getDouble(0) === s.min && r.getDouble(1) === s.max && r.getLong(2) === s.rows,
         s"merged manifest entry drifted for ${s.file}")
     }
-    // directory and manifest agree: members GC'd, no orphans
+    // members stay on disk for the pre-compaction snapshot (deferred
+    // GC); VACUUM with retention 1 is the deletion point, after which
+    // directory and manifest agree with no orphans
+    spark.sql(s"CALL $cat.vacuum('compact_spec', retain_last => 1, orphan_grace_ms => 0)")
     val listing = Files.list(dir)
     val onDisk = try listing.iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet - "_stats.jsonl"
@@ -794,18 +828,40 @@ class JsonlStatsSpec extends SparkSpec {
       s"""SELECT count(*) AS n FROM $cat.jsonl_versioned
          |TIMESTAMP AS OF '${tsLit(supersede + 3600 * 1000L)}'""".stripMargin).head().getLong(0)
     assert(after === asOf2)
-    // GC'd generation: REPLACE truncates and deletes the old files, so
-    // the archived snapshot's ROW read must fail loudly (a COUNT would
-    // ride the manifest and succeed — use collect)
+    // deferred GC across REPLACE: the superseded generation's files
+    // stay on disk, so VERSION AS OF 1 reads the PRE-replace content;
+    // VACUUM expires it, after which BOTH time-travel paths fail
+    // loudly (version → "vacuumed", timestamp → horizon guard)
     spark.sql(s"DROP TABLE IF EXISTS $cat.tt_gc")
     spark.sql(s"CREATE TABLE $cat.tt_gc AS SELECT * FROM $cat.jsonl_versioned")
+    val fullCount = spark.table(s"$cat.tt_gc").count()
     spark.sql(
       s"""CREATE OR REPLACE TABLE $cat.tt_gc AS
          |SELECT event_id, user_id, event_type, value
          |FROM $cat.jsonl_versioned WHERE event_type = 'error'""".stripMargin)
-    intercept[org.apache.spark.SparkException] {
+    val gcDir = root.resolve("tt_gc")
+    val preReplaceSupersede = Files.getLastModifiedTime(
+      gcDir.resolve(s"${JsonlStats.HistoryDir}/v1.jsonl")).toMillis
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.tt_gc VERSION AS OF 1")
+      .head().getLong(0) === fullCount,
+      "pre-replace snapshot must stay readable until VACUUM")
+    val vac = spark.sql(
+      s"CALL $cat.vacuum('tt_gc', retain_last => 1, orphan_grace_ms => 0)").head()
+    assert(vac.getInt(0) === 1 && vac.getInt(1) >= 1,
+      s"vacuum must expire generation 1 and delete its files, got $vac")
+    val vErr = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.tt_gc VERSION AS OF 1").collect()
     }
+    assert(vErr.toString.contains("vacuum"), s"expected a vacuum error, got $vErr")
+    val tErr = intercept[Exception] {
+      spark.sql(
+        s"""SELECT * FROM $cat.tt_gc
+           |TIMESTAMP AS OF '${tsLit(preReplaceSupersede - 1)}'""".stripMargin).collect()
+    }
+    assert(tErr.toString.contains("horizon"), s"expected a horizon error, got $tErr")
+    // version numbering survives the expiry: the live generation keeps
+    // its number (2), never renumbers to 1
+    assert(JsonlStats.currentVersion(gcDir.toString) === 2)
     spark.sql(s"DROP TABLE $cat.tt_gc")
   }
 
@@ -825,6 +881,57 @@ class JsonlStatsSpec extends SparkSpec {
     val ev = graft.ingest.Tables.events(spark, sfDir)
     assert(h.head.getLong(3) === ev.filter($"event_type" =!= "click").count())
     assert(h.last.getLong(3) === ev.count())
+  }
+
+  test("q180: CALL vacuum — retention arithmetic, shared-file safety, orphan grace (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.vac_spec")
+    // append-only history: every generation's files are still
+    // referenced by the LIVE manifest, so expiry must delete ZERO data
+    // files — a shared file outlives every expired snapshot that
+    // referenced it (the reference-counting half of the GC contract)
+    spark.sql(
+      s"""CREATE TABLE $cat.vac_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table WHERE event_type = 'click'""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.vac_spec SELECT event_id, user_id, event_type, value " +
+      s"FROM $cat.jsonl_stats_table WHERE event_type = 'error'")
+    spark.sql(s"INSERT INTO $cat.vac_spec SELECT event_id, user_id, event_type, value " +
+      s"FROM $cat.jsonl_stats_table WHERE event_type = 'signup'")
+    val dir = root.resolve("vac_spec")
+    assert(JsonlStats.currentVersion(dir.toString) === 3)
+    val liveBefore = spark.table(s"$cat.vac_spec").count()
+    // an unreferenced crash orphan, protected by grace then swept
+    Files.write(dir.resolve("orphan-crash-debris.jsonl"),
+      java.util.Arrays.asList("""{"event_id": -1}"""))
+    val guarded = spark.sql(
+      s"CALL $cat.vacuum('vac_spec', retain_last => 2, orphan_grace_ms => ${7L * 24 * 3600 * 1000})").head()
+    // v1 expired (retain live v3 + archive v2), zero data files deleted
+    // (all still live-referenced), orphan survives inside its grace
+    assert(guarded.getInt(0) === 1 && guarded.getInt(1) === 0, s"got $guarded")
+    assert(guarded.getInt(2) === 0 && guarded.getInt(3) === 2)
+    assert(Files.exists(dir.resolve("orphan-crash-debris.jsonl")),
+      "grace window must protect young unreferenced files (in-flight writes look identical)")
+    // grace 0: the orphan goes; nothing else is left to expire
+    val swept = spark.sql(
+      s"CALL $cat.vacuum('vac_spec', retain_last => 2, orphan_grace_ms => 0)").head()
+    assert(swept.getInt(0) === 0 && swept.getInt(1) === 0 && swept.getInt(2) === 1, s"got $swept")
+    assert(!Files.exists(dir.resolve("orphan-crash-debris.jsonl")))
+    // the live table never noticed any of it
+    assert(spark.table(s"$cat.vac_spec").count() === liveBefore)
+    // retained snapshot (v2) still reads; expired (v1) names its fate
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.vac_spec VERSION AS OF 2")
+      .head().getLong(0) > 0)
+    val vErr = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.vac_spec VERSION AS OF 1").collect()
+    }
+    assert(vErr.toString.contains("vacuum"), s"expected a vacuum error, got $vErr")
+    // CALL history skips the vacuumed generation instead of crashing
+    val h = spark.sql(s"CALL $cat.history('vac_spec')").orderBy($"version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(2, 3))
+    spark.sql(s"DROP TABLE $cat.vac_spec")
   }
 
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {

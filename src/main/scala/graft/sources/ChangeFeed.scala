@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Change data feed over the manifest protocol — "what changed between
+  * version F and version T" as a DataFrame, the Delta
+  * `table_changes` / Iceberg incremental-read shape rebuilt on this
+  * engine's commit primitives (reference pipeline motivation:
+  * `/root/reference/Assets/Jobs/dag_streamflow_warehouse.py:118-126`'s
+  * MERGE-refresh consumers, which want deltas, not full re-reads).
+  *
+  * Why it scales: a generation diff at the FILE level is pure manifest
+  * arithmetic (metadata-sized, on the driver — the same trust-the-
+  * manifest stance as planning). Files present in both versions are
+  * untouched by construction (data files are immutable; every write
+  * path publishes new names), so the row-level work — a full-outer
+  * join keyed on the table's unique key — runs over ONLY the rows of
+  * files that entered or left the manifest: cost is proportional to
+  * the CHANGED data, never to table size. Copy-on-write noise (a
+  * rewritten file re-emits its untouched rows) cancels in the join:
+  * rows whose pre and post images agree are dropped.
+  *
+  * The diff file-sets are materialized as two derived manifests under
+  * `_cdf/` (deterministic names, overwritten per call) and read back
+  * through the connector itself via its `manifest` option — so column
+  * pruning, byte-range splits and residual filters all apply to the
+  * change scan like any other. */
+object ChangeFeed {
+
+  /** Resolve version v of the table rooted at `root` to its manifest
+    * path (relative to root), failing with the retention story when
+    * the generation was vacuumed. */
+  private def manifestOf(root: String, v: Int): String = {
+    val current = JsonlStats.currentVersion(root)
+    require(v >= 1 && v <= current, s"no version $v of $root (versions 1..$current)")
+    if (v == current) "_stats.jsonl"
+    else {
+      val m = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+      if (!Files.exists(Paths.get(root, m)))
+        throw new IllegalArgumentException(
+          s"version $v of $root has been vacuumed (oldest available: " +
+            s"${JsonlStats.readVacuumHorizon(root).map(_.minVersion).getOrElse(current)})")
+      m
+    }
+  }
+
+  /** Row-level changes from version `fromV` (exclusive base) to
+    * `toV`: one row per inserted, deleted or updated key, with the
+    * before/after images side by side.
+    *
+    * Output: keyCols, `change_type` ('insert' | 'delete' | 'update'),
+    * then `before_<c>` / `after_<c>` for every non-key column.
+    * `keyCols` must be unique per row in both versions (the table's
+    * logical key — for the event feed, `event_id`); a duplicated key
+    * would cross-join its images. */
+  def tableChanges(spark: SparkSession, root: String,
+                   fromV: Int, toV: Int,
+                   keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    require(keyCols.nonEmpty, "keyCols must name the table's unique key")
+    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
+    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
+    val fromNames = fromStats.map(_.file).toSet
+    val toNames = toStats.map(_.file).toSet
+    // immutable data files ⇒ same name = same content = untouched
+    val removed = fromStats.filterNot(s => toNames.contains(s.file))
+    val added = toStats.filterNot(s => fromNames.contains(s.file))
+    val cdfDir = Paths.get(root, "_cdf")
+    Files.createDirectories(cdfDir)
+    def derived(tag: String, entries: Seq[JsonlStats.FileStats]): String = {
+      val name = s"_cdf/v${fromV}_v${toV}_$tag.jsonl"
+      Files.write(Paths.get(root, name),
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          entries.map(JsonlStats.statsLine)).asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      name
+    }
+    val schema = JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
+    def readSet(manifest: String): DataFrame =
+      spark.read.format("graft-jsonl-stats")
+        .schema(schema)
+        .option("path", root).option("manifest", manifest).load()
+    val pre = readSet(derived("removed", removed))
+    val post = readSet(derived("added", added))
+    val dataCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    def tagged(df: DataFrame, prefix: String): DataFrame =
+      dataCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
+        .withColumn(s"${prefix}present", lit(true))
+    val joined = tagged(pre, "before_")
+      .join(tagged(post, "after_"), keyCols, "full_outer")
+    def img(prefix: String): Column =
+      struct(dataCols.map(c => col(s"$prefix$c")): _*)
+    joined
+      .withColumn("change_type",
+        when(col("before_present").isNull, lit("insert"))
+          .when(col("after_present").isNull, lit("delete"))
+          .when(img("before_") <=> img("after_"), lit("unchanged"))
+          .otherwise(lit("update")))
+      // copy-on-write noise: rewritten files re-emit untouched rows
+      .filter(col("change_type") =!= "unchanged")
+      .drop("before_present", "after_present")
+      .select((keyCols.map(col) :+ col("change_type")) ++
+        dataCols.flatMap(c => Seq(col(s"before_$c"), col(s"after_$c"))): _*)
+  }
+}

@@ -63,9 +63,14 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     // option lookup must stay case-insensitive regardless of which map
     // representation Spark hands over
     val opts = new CaseInsensitiveStringMap(properties)
+    // `manifest` (default: the live `_stats.jsonl`) lets a path-based
+    // read resolve ANY committed manifest — an archived generation
+    // (`_history/v3.jsonl`) or a derived file-set like the change
+    // feed's diff manifests. Non-live manifests are read-only.
     new JsonlStatsTable(properties.get("path"), schema,
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
-      Option(opts.get("partitionColumn")))
+      Option(opts.get("partitionColumn")),
+      opts.getOrDefault("manifest", "_stats.jsonl"))
   }
 }
 

@@ -632,6 +632,48 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q181 (r7): CHANGE DATA FEED between two committed generations
+    * ([[ChangeFeed.tableChanges]]) — the Delta `table_changes` shape on
+    * the manifest protocol. The fixture applies one mutation of each
+    * kind to its own table (DELETE a class, UPDATE a class to a
+    * constant, MERGE-insert per-type adjustment rows under an `adj_`
+    * type no predicate touches — that prefix plus the NOT-MATCHED-only
+    * MERGE keeps every mutation idempotent across reps), then asks for
+    * the row-level delta from version 1 to the live generation. The
+    * file-set diff is manifest arithmetic; the row join runs over only
+    * the changed files, and copy-on-write re-emissions cancel (a
+    * rewritten file's untouched rows have equal before/after images).
+    * Adjustment ids are `-dense_rank(event_type)` — deterministic AND
+    * oracle-expressible, unlike a hash. */
+  def changeFeed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = ensureMutableTable(spark, d, "jsonl_mut_cdf")
+    spark.sql(s"DELETE FROM $cat.jsonl_mut_cdf WHERE event_type = 'click'")
+    spark.sql(s"UPDATE $cat.jsonl_mut_cdf SET value = 0.0 WHERE event_type = 'error'")
+    Tables.events(spark, d).groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(
+        (-dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy($"event_type")))
+          .cast("long").as("event_id"),
+        lit(0L).as("user_id"),
+        concat(lit("adj_"), $"event_type").as("event_type"),
+        $"value")
+      .createOrReplaceTempView("cdf_adjustments")
+    spark.sql(
+      s"""MERGE INTO $cat.jsonl_mut_cdf t
+         |USING cdf_adjustments s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+         |  VALUES (s.event_id, s.user_id, s.event_type, s.value)""".stripMargin)
+    val current = JsonlStats.currentVersion(dir)
+    ChangeFeed.tableChanges(spark, dir, 1, current, Seq("event_id"))
+      .select($"change_type", $"event_id",
+        coalesce($"after_event_type", $"before_event_type").as("event_type"),
+        $"before_value", $"after_value")
+      .orderBy($"change_type", $"event_id")
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -685,6 +727,7 @@ object JsonlStatsQueries extends QueryModule {
     "q178_catalog_compact" -> catalogCompact,
     "q179_time_travel" -> timeTravel,
     "q180_vacuum" -> vacuumTable,
+    "q181_change_feed" -> changeFeed,
   )
 
   val oracles = Map(
@@ -791,6 +834,24 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q181_change_feed" ->
+      """WITH adj AS (
+        |  SELECT CAST(-DENSE_RANK() OVER (ORDER BY event_type) AS BIGINT) AS event_id,
+        |         'adj_' || event_type AS event_type,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY event_type)
+        |SELECT 'delete' AS change_type, event_id, event_type,
+        |       value AS before_value, CAST(NULL AS DOUBLE) AS after_value
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'update' AS change_type, event_id, event_type,
+        |       value AS before_value, 0.0 AS after_value
+        |FROM events WHERE event_type = 'error' AND value <> 0.0
+        |UNION ALL
+        |SELECT 'insert' AS change_type, event_id, event_type,
+        |       CAST(NULL AS DOUBLE) AS before_value, value AS after_value
+        |FROM adj
+        |ORDER BY change_type, event_id""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

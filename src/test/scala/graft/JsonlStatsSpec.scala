@@ -934,6 +934,55 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.vac_spec")
   }
 
+  test("q181: change feed scans only changed files and cancels copy-on-write noise (r7)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_cdf").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_cdf_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val v1 = JsonlStats.readStats(dir)
+    // delete a value range confined to the low files: only those are
+    // touched, so the diff manifests must exclude the untouched files
+    val cut = v1.map(_.max).min
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE value <= $cut")
+    val changes = graft.sources.ChangeFeed.tableChanges(
+      spark, dir, 1, JsonlStats.currentVersion(dir), Seq("event_id"))
+    // exact delta: deletes only, exactly the rows under the cut —
+    // every re-emitted untouched row of the rewritten files cancelled
+    assert(changes.filter($"change_type" =!= "delete").isEmpty)
+    val expect = src.filter($"value" <= cut).select($"event_id")
+    val got = changes.select($"event_id")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // proportionality: the derived diff manifests list strictly fewer
+    // files than the table — untouched files never enter the row join
+    val untouched = v1.count(_.min > cut)
+    assert(untouched >= 1, "fixture must leave untouched files")
+    val removedEntries = JsonlStats.readStats(dir,
+      s"_cdf/v1_v${JsonlStats.currentVersion(dir)}_removed.jsonl")
+    assert(removedEntries.size === v1.size - untouched,
+      s"diff scanned ${removedEntries.size} files, expected ${v1.size - untouched}")
+    // an insert-only generation: appended rows surface as inserts
+    src.filter($"event_type" === "signup").limit(5)
+      .select(($"event_id" + 10000000L).as("event_id"), $"user_id", $"event_type", $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    val v3 = JsonlStats.currentVersion(dir)
+    val appended = graft.sources.ChangeFeed.tableChanges(spark, dir, v3 - 1, v3, Seq("event_id"))
+    assert(appended.count() === 5 &&
+      appended.filter($"change_type" =!= "insert").isEmpty)
+    // a vacuumed base version names its fate
+    spark.sql(s"CALL $cat.vacuum('$table', retain_last => 1, orphan_grace_ms => 0)")
+    val err = intercept[Exception] {
+      graft.sources.ChangeFeed.tableChanges(spark, dir, 1, v3, Seq("event_id"))
+    }
+    assert(err.toString.contains("vacuum"), s"expected a vacuum error, got $err")
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

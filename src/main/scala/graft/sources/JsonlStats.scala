@@ -383,7 +383,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     if (isSnapshot) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),

@@ -674,6 +674,42 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"change_type", $"event_id")
   }
 
+  /** q182 (r7): replaceWhere — `INSERT INTO t REPLACE WHERE p SELECT …`
+    * through the connector's `SupportsOverwrite` leg: delete-the-
+    * matching-rows + insert-the-new-data in ONE manifest swap. On this
+    * key-grouped layout the predicate (`event_type = 'purchase'`)
+    * resolves at file granularity by pkey alone — the old partition's
+    * files leave the manifest as metadata (zero data reads), the
+    * replacement lands re-keyed (same clustered+sorted write contract
+    * as CTAS), and unaffected partitions keep their very files. This
+    * is the nightly-backfill idiom: at 100 TB, replacing one
+    * partition costs the new data's write plus a manifest round-trip.
+    * A predicate that straddles a file refuses loudly
+    * (JsonlStatsSpec) — partial-file overwrite is DELETE's job. The
+    * replacement (purchases at doubled value) is recomputed from the
+    * source feed, so reps converge. */
+  def replaceWhere(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    ensureTypeKeyedFact(spark, d)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $cat.jsonl_mut_replace PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_by_type""".stripMargin)
+    Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", ($"value" * 2).as("value"))
+      .createOrReplaceTempView("purchase_recompute")
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_mut_replace REPLACE WHERE event_type = 'purchase'
+         |SELECT event_id, user_id, event_type, value FROM purchase_recompute""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mut_replace
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -728,6 +764,7 @@ object JsonlStatsQueries extends QueryModule {
     "q179_time_travel" -> timeTravel,
     "q180_vacuum" -> vacuumTable,
     "q181_change_feed" -> changeFeed,
+    "q182_replace_where" -> replaceWhere,
   )
 
   val oracles = Map(
@@ -832,6 +869,13 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q182_replace_where" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q181_change_feed" ->

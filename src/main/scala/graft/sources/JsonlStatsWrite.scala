@@ -26,12 +26,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         statsCol: String = JsonlStats.statsColumn,
                         partitionCol: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
+  private var replaceFilters: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  /** replaceWhere (`INSERT INTO t REPLACE WHERE p SELECT …` /
+    * `df.writeTo(t).overwrite(p)`): atomically delete the rows
+    * matching `filters` (ANDed) and insert the incoming data, in one
+    * manifest swap. Enforcement is exact at FILE granularity — a file
+    * is dropped only when its manifest metadata (pkey, or stats-column
+    * bounds) PROVES every row matches, kept only when it proves none
+    * does, and a straddling predicate is REFUSED loudly at commit
+    * (the Iceberg OverwriteFiles validation stance: partial-file
+    * overwrite would need a row rewrite, which is DELETE's job).
+    * Metadata-only deletion, zero data-file reads — the backfill
+    * idiom ("replace this partition with tonight's recompute") at
+    * 100 TB costs one manifest round-trip plus the new data's write. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.exists(_.isInstanceOf[AlwaysTrue]))
+      truncateFirst = true
+    else replaceFilters = Some(filters)
+    this
+  }
+
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol)
+      new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
+        replaceFilters)
   })
 }
 
@@ -46,16 +68,67 @@ final case class JsonlFileCommits(commits: Seq[JsonlFileCommit]) extends WriterC
 class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       truncateFirst: Boolean,
                       statsCol: String = JsonlStats.statsColumn,
-                      partitionCol: Option[String] = None) extends BatchWrite {
+                      partitionCol: Option[String] = None,
+                      replaceFilters: Option[Array[Filter]] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
+
+  private def isSentinel(s: JsonlStats.FileStats): Boolean =
+    s.min == Double.MinValue && s.max == Double.MaxValue
+
+  /** Does the manifest PROVE every row of `s` matches `f`? (Sentinel
+    * bounds prove nothing.) */
+  private def fileAllMatch(f: Filter, s: JsonlStats.FileStats): Boolean = f match {
+    case EqualTo(c, v) if partitionCol.contains(c) =>
+      s.pkey.contains(String.valueOf(v))
+    case GreaterThan(c, v: Number) if c == statsCol && !isSentinel(s) =>
+      s.min > v.doubleValue()
+    case GreaterThanOrEqual(c, v: Number) if c == statsCol && !isSentinel(s) =>
+      s.min >= v.doubleValue()
+    case LessThan(c, v: Number) if c == statsCol && !isSentinel(s) =>
+      s.max < v.doubleValue()
+    case LessThanOrEqual(c, v: Number) if c == statsCol && !isSentinel(s) =>
+      s.max <= v.doubleValue()
+    case EqualTo(c, v: Number) if c == statsCol && !isSentinel(s) =>
+      s.min == v.doubleValue() && s.max == v.doubleValue()
+    case _ => false
+  }
+
+  /** Does the manifest PROVE no row of `s` matches `f`? */
+  private def fileNoMatch(f: Filter, s: JsonlStats.FileStats): Boolean = f match {
+    case EqualTo(c, v) if partitionCol.contains(c) =>
+      s.pkey.isDefined && !s.pkey.contains(String.valueOf(v))
+    case _ if JsonlStats.supportsSkipping(f, statsCol) && !isSentinel(s) =>
+      !JsonlStats.intervalMayMatch(f, s.min, s.max)
+    case _ => false
+  }
+
+  /** Tri-state replaceWhere decision over the AND of `filters`:
+    * drop (all rows provably match), keep (provably none does), or
+    * refuse — partial-file overwrite is a row rewrite, not a
+    * metadata operation, and silently keeping OR dropping a straddler
+    * would lose or duplicate rows. */
+  private def keepUnderReplace(filters: Array[Filter], s: JsonlStats.FileStats): Boolean = {
+    if (filters.forall(f => fileAllMatch(f, s))) false
+    else if (filters.exists(f => fileNoMatch(f, s))) true
+    else throw new UnsupportedOperationException(
+      s"replaceWhere predicate ${filters.mkString(" AND ")} straddles file ${s.file} " +
+        s"(pkey=${s.pkey}, bounds=[${s.min}, ${s.max}]): a partial-file overwrite " +
+        "needs a row rewrite — use DELETE + append, or align the predicate to the " +
+        "table's key/bounds layout")
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
     val previous =
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else JsonlStats.readStats(root)
-    val kept = if (truncateFirst) Seq.empty else previous
+    val kept =
+      if (truncateFirst) Seq.empty
+      else replaceFilters match {
+        case Some(fs) => previous.filter(s => keepUnderReplace(fs, s))
+        case None => previous
+      }
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted

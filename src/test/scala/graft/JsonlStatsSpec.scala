@@ -983,6 +983,57 @@ class JsonlStatsSpec extends SparkSpec {
     assert(err.toString.contains("vacuum"), s"expected a vacuum error, got $err")
   }
 
+  test("q182: replaceWhere drops whole partitions by metadata; straddlers refuse (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.rw_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.rw_spec PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_by_type""".stripMargin)
+    val dir = root.resolve("rw_spec")
+    val before = JsonlStats.readStats(dir.toString)
+    val otherFiles = before.filter(_.pkey.exists(_ != "purchase")).map(_.file).toSet
+    assert(otherFiles.nonEmpty && before.exists(_.pkey.contains("purchase")))
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", ($"value" * 2).as("value"))
+      .createOrReplaceTempView("rw_recompute")
+    spark.sql(
+      s"""INSERT INTO $cat.rw_spec REPLACE WHERE event_type = 'purchase'
+         |SELECT event_id, user_id, event_type, value FROM rw_recompute""".stripMargin)
+    val after = JsonlStats.readStats(dir.toString)
+    // unaffected partitions keep their very files — the replace was
+    // metadata-only outside the named partition
+    assert(otherFiles.subsetOf(after.map(_.file).toSet),
+      "replaceWhere rewrote files outside the replaced partition")
+    assert(after.map(_.file).toSet.intersect(
+      before.filter(_.pkey.contains("purchase")).map(_.file).toSet).isEmpty,
+      "replaceWhere kept the replaced partition's old files in the manifest")
+    // the replacement is re-keyed: every new file carries the pkey
+    assert(after.forall(_.pkey.isDefined), "replaceWhere broke the keyed layout")
+    // content: base with the purchase partition recomputed
+    val expect = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .union(spark.table("rw_recompute"))
+    val got = spark.table(s"$cat.rw_spec").select($"event_id", $"user_id", $"event_type", $"value")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // a predicate no file-level metadata can prove either way refuses
+    // loudly instead of silently losing or duplicating rows
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""INSERT INTO $cat.rw_spec REPLACE WHERE value < 123.456
+           |SELECT event_id, user_id, event_type, value FROM rw_recompute""".stripMargin)
+    }
+    assert(err.toString.contains("straddles") ||
+      Option(err.getCause).exists(_.toString.contains("straddles")),
+      s"expected a straddle refusal, got $err")
+    // the refused write left the table untouched (commit never ran)
+    assert(spark.table(s"$cat.rw_spec").count() === expect.count())
+    spark.sql(s"DROP TABLE $cat.rw_spec")
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

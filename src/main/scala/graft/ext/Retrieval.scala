@@ -144,9 +144,81 @@ object Retrieval extends QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  private val rrfK = 60      // the standard RRF damping constant
+  private val rrfProbes = 5  // query-by-example probe docs (doc_id < 5)
+  private val legDepth = 20  // per-leg candidate list depth
+  private val rrfTopK = 10
+
+  /** E3+E4/hybrid retrieval: reciprocal-rank fusion of a LEXICAL leg
+    * (BM25 over each probe document's top-[[queryTerms]] terms) and a
+    * SEMANTIC leg (exact decimal cosine against the probe's embedding,
+    * the `doc_id = vec_id` pairing) — query-by-example, the shape of
+    * dataset decontamination and RAG reranking where neither lexical
+    * overlap nor embedding proximity alone catches everything.
+    * RRF(d) = Σ_legs 1/(k + rank_leg(d)) over each leg's top-
+    * [[legDepth]], in integer micro-units so the fused score is an
+    * order-free sum; `n_legs` shows which hits both legs agreed on.
+    *
+    * Scale shape: the lexical leg is q150's plan (one corpus tf
+    * shuffle + dictionary broadcasts); the semantic leg is a bounded
+    * broadcast-nested-loop (|probes| = 5) like q33, O(N·|probes|);
+    * fusion touches only 2·legDepth·probes rank rows. Self-matches
+    * are excluded from both legs. */
+  def hybridRrf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, d)
+    val dl = t.select($"doc_id", size($"ws").cast("long").as("dl"))
+    val tf = t.select($"doc_id", explode($"ws").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+      .withColumn("one", lit(1))
+    // each probe doc's query = its top terms by tf (tie: term) — the
+    // document itself as the query, no external workload needed
+    val wq = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"term")
+    val probeTerms = tf.filter($"doc_id" < rrfProbes)
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= queryTerms)
+      .select($"doc_id".as("query_id"), $"term")
+    val lexScored = tf.join(broadcast(probeTerms), Seq("term"))
+      .filter($"doc_id" =!= $"query_id")
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("one", lit(1)).join(broadcast(stats), "one")
+      .withColumn("contrib_micro",
+        bm25Contrib($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"contrib_micro").as("score_micro"))
+    val wl = Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id")
+    val lexTop = lexScored
+      .withColumn("leg_rank", row_number().over(wl)).filter($"leg_rank" <= legDepth)
+      .select($"query_id", $"doc_id", $"leg_rank")
+    val emb = Tables.embeddings(spark, d)
+    val probes = emb.filter($"vec_id" < rrfProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        SimilarityMath.normDec($"embedding").as("qn"))
+    val cands = emb.select($"vec_id".as("doc_id"), $"embedding".as("cv"),
+      SimilarityMath.normDec($"embedding").as("cn"))
+    val wsem = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"doc_id")
+    val semTop = cands.join(broadcast(probes), $"query_id" =!= $"doc_id")
+      .withColumn("cosine", SimilarityMath.dotDec($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("leg_rank", row_number().over(wsem)).filter($"leg_rank" <= legDepth)
+      .select($"query_id", $"doc_id", $"leg_rank")
+    val fused = lexTop.unionByName(semTop)
+      .withColumn("leg_micro",
+        round(lit(1000000.0) / (lit(rrfK) + $"leg_rank")).cast("long"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"leg_micro").as("rrf_micro"), count(lit(1)).as("n_legs"))
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf_micro".desc, $"doc_id")
+    fused.withColumn("rnk", row_number().over(wf)).filter($"rnk" <= rrfTopK)
+      .select($"query_id", $"rnk", $"doc_id", $"rrf_micro", $"n_legs")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q149_perplexity_filter" -> perplexityFilter,
     "q150_bm25_topk"         -> bm25TopDocs,
+    "q183_hybrid_rrf"        -> hybridRrf,
   )
 
   val oracles = Map(
@@ -199,6 +271,65 @@ object Retrieval extends QueryModule {
          |        ORDER BY score_micro DESC, doc_id) AS rnk
          |      FROM perdoc)
          |WHERE rnk <= $bm25TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q183_hybrid_rrf" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toksrc),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM toksrc),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |probe AS (
+         |  SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |    FROM tf WHERE doc_id < $rrfProbes)
+         |  WHERE rn <= $queryTerms),
+         |lex AS (
+         |  SELECT probe.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(round(
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${bm25K1 + 1.0})
+         |        / (tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * dl / avgdl))
+         |        * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM tf JOIN probe USING (term) JOIN dft USING (term)
+         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+         |  WHERE tf.doc_id <> probe.query_id
+         |  GROUP BY 1, 2),
+         |lextop AS (
+         |  SELECT query_id, doc_id, leg_rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS leg_rank FROM lex)
+         |  WHERE leg_rank <= $legDepth),
+         |${SimilarityMath.normsCte},
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |         q.embedding AS qv, c.embedding AS cv
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $rrfProbes),
+         |dots AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT query_id, doc_id, qv, cv, unnest(generate_series(1, len(qv))) AS i FROM pairs)
+         |  GROUP BY 1, 2),
+         |semtop AS (
+         |  SELECT query_id, doc_id, leg_rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY dot / (nq.nrm * nc.nrm) DESC, doc_id) AS leg_rank
+         |    FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |              JOIN norms nc ON doc_id = nc.vec_id)
+         |  WHERE leg_rank <= $legDepth),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(round(1000000.0 / ($rrfK + leg_rank)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+         |    count(*) AS n_legs
+         |  FROM (SELECT * FROM lextop UNION ALL SELECT * FROM semtop)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rnk, doc_id, rrf_micro, n_legs FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)
+         |WHERE rnk <= $rrfTopK
          |ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -43,6 +43,30 @@ class RetrievalGraphSpec extends SparkSpec {
     top.unpersist()
   }
 
+  test("q183: RRF fusion is a real two-leg merge with dense per-probe rankings") {
+    import spark.implicits._
+    val top = Retrieval.hybridRrf(spark, sfDir).cache()
+    // five probes, dense ranks 1..10 each, never the probe itself
+    val byQ = top.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), min($"rnk").as("lo"), max($"rnk").as("hi"),
+        countDistinct($"rnk").as("d"))
+    assert(byQ.count() === 5)
+    assert(byQ.filter($"lo" =!= 1 || $"hi" =!= $"n" || $"d" =!= $"n").isEmpty)
+    assert(top.filter($"doc_id" === $"query_id").isEmpty, "self-match leaked into results")
+    // legs are bounded: a doc appears via at most both legs, and the
+    // fused score is consistent with 1 or 2 reciprocal contributions
+    assert(top.filter($"n_legs" < 1 || $"n_legs" > 2).isEmpty)
+    val maxLeg = Math.round(1000000.0 / 61)
+    assert(top.filter($"rrf_micro" > 2 * maxLeg).isEmpty)
+    // the fusion is REAL: somewhere a two-leg doc exists (both views of
+    // the same probe agree on at least one neighbor), and its score
+    // dominates rank-adjacent single-leg docs — if this ever fails the
+    // corpus has zero lexical/semantic agreement, which the synthetic
+    // near-dup corpus contradicts
+    assert(top.filter($"n_legs" === 2).count() > 0, "no doc fused from both legs")
+    top.unpersist()
+  }
+
   test("co-purchase graph is symmetric, self-loop-free, and PageRank is deterministic") {
     import spark.implicits._
     val e = GraphOps.copurchaseEdges(spark, sfDir).cache()

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Per-file Bloom filters for the connector — equality skipping on a
+  * column whose values the manifest's single [min, max] interval can't
+  * discriminate (a value-ranged layout tells you nothing about
+  * `user_id = 42`). The design follows Parquet's row-group blooms, not
+  * a bloom-in-manifest: the filter lives in a SIDECAR next to its data
+  * file (`<file>.jsonl.bloom`) and is consulted by the TASK, never the
+  * driver — planning stays manifest-only (metadata-sized), while a
+  * task whose bloom proves the probed key absent skips the expensive
+  * JSON parse of its entire range. At 100 TB this turns a needle
+  * lookup from a full-corpus parse into task launches that each read a
+  * few KB and exit. (Driver-side bloom pruning would mean reading
+  * every surviving file's sidecar on one machine — the exact
+  * O(files)-on-the-driver step the manifest exists to avoid.)
+  *
+  * Sizing: 12 bits per DISTINCT key, k = 6 probes → ~0.3% false
+  * positives; false positives only cost a redundant parse (the
+  * residual filter re-checks rows), false negatives cannot happen for
+  * inserted keys. The bit array is a power of two so probe indexing is
+  * a mask, and hashing is engine-internal (splitmix64 / FNV-1a): the
+  * only contract is writer/reader agreement, which shipping both in
+  * one engine guarantees.
+  */
+object Bloom {
+
+  val K = 6
+  private val Magic = 0x47424c4d // "GBLM"
+
+  def sidecarOf(dataFile: Path): Path =
+    dataFile.resolveSibling(dataFile.getFileName.toString + ".bloom")
+
+  def sidecarName(dataFile: String): String = dataFile + ".bloom"
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashLong(v: Long): Long = mix64(v)
+  def hashDouble(v: Double): Long = mix64(java.lang.Double.doubleToLongBits(v))
+  def hashString(s: String): Long = {
+    // FNV-1a 64 over UTF-8 bytes, then finalized for avalanche
+    var h = 0xcbf29ce484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    mix64(h)
+  }
+
+  /** Double hashing: probe i hits bit (h1 + i·h2) mod m, h2 forced odd
+    * so the probe sequence walks the whole power-of-two ring. */
+  private def bitIndex(hash: Long, i: Int, mBits: Int): Int = {
+    val h2 = (hash >>> 33) | 1L
+    (((hash + i * h2) % mBits + mBits) % mBits).toInt
+  }
+
+  private def nextPow2(n: Int): Int = Integer.highestOneBit(math.max(1, n - 1)) << 1
+
+  /** Build the bit array for a file's distinct key hashes. */
+  def build(hashes: Array[Long]): (Array[Long], Int) = {
+    val distinct = hashes.distinct
+    val mBits = math.max(8192, nextPow2(12 * math.max(1, distinct.length)))
+    val words = new Array[Long](mBits / 64)
+    distinct.foreach { h =>
+      var i = 0
+      while (i < K) {
+        val b = bitIndex(h, i, mBits)
+        words(b >>> 6) |= 1L << (b & 63)
+        i += 1
+      }
+    }
+    (words, mBits)
+  }
+
+  def mightContain(words: Array[Long], mBits: Int, hash: Long): Boolean = {
+    var i = 0
+    while (i < K) {
+      val b = bitIndex(hash, i, mBits)
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def writeSidecar(dataFile: Path, hashes: Array[Long]): Unit = {
+    val (words, mBits) = build(hashes)
+    val buf = java.nio.ByteBuffer.allocate(12 + words.length * 8)
+    buf.putInt(Magic); buf.putInt(1); buf.putInt(mBits)
+    words.foreach(buf.putLong)
+    Files.write(sidecarOf(dataFile), buf.array(),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** None when the sidecar is absent or unreadable — skipping is an
+    * optimization, so a missing/corrupt filter means "read the file". */
+  def readSidecar(dataFile: Path): Option[(Array[Long], Int)] = {
+    val p = sidecarOf(dataFile)
+    if (!Files.exists(p)) return None
+    try {
+      val bytes = Files.readAllBytes(p)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      if (buf.getInt() != Magic || buf.getInt() != 1) return None
+      val mBits = buf.getInt()
+      if (mBits <= 0 || bytes.length != 12 + mBits / 8) return None
+      val words = new Array[Long](mBits / 64)
+      var i = 0
+      while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+      Some((words, mBits))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Process-local diagnostic: files whose parse a bloom probe skipped
+    * (meaningful under local mode / tests; on a cluster each executor
+    * counts its own). */
+  val skippedFiles = new java.util.concurrent.atomic.LongAdder
+}

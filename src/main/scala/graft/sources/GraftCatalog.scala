@@ -84,7 +84,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     new JsonlStatsTable(dir.toString,
       meta.schema.getOrElse(JsonlStats.schema),
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
-      meta.partitionCol)
+      meta.partitionCol, bloomCol = meta.bloomCol)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -215,7 +215,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")
     }
     JsonlStats.writeTableMeta(dir.toString,
-      meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema)
+      meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
+      meta.bloomCol)
     loadTable(ident)
   }
 
@@ -298,7 +299,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     new JsonlStatsTable(dir.toString,
       meta.schema.getOrElse(JsonlStats.schema),
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
-      meta.partitionCol, manifest)
+      meta.partitionCol, manifest, meta.bloomCol)
   }
 
   /** Maintenance procedures (`ProcedureCatalog`): CALL-addressable

@@ -227,6 +227,7 @@ object GraftProcedures {
         .distinct.filterNot(retainedRefs)
       deletable.foreach { f =>
         if (Files.deleteIfExists(dir.resolve(f))) dataDeleted += 1
+        Files.deleteIfExists(dir.resolve(Bloom.sidecarName(f))) // rides with its file
       }
       expired.foreach(v => Files.deleteIfExists(dir.resolve(manifestOf(v))))
     }
@@ -237,8 +238,11 @@ object GraftProcedures {
       .filter(Files.isRegularFile(_))
       .foreach { p =>
         val n = p.getFileName.toString
-        val sweepable = (n.endsWith(".jsonl") || n.contains(".jsonl.tmp-")) &&
-          n != "_stats.jsonl" && !retainedRefs.contains(n)
+        // a bloom sidecar is referenced iff its data file is
+        val ref = if (n.endsWith(".jsonl.bloom")) n.stripSuffix(".bloom") else n
+        val sweepable =
+          (n.endsWith(".jsonl") || n.endsWith(".jsonl.bloom") || n.contains(".jsonl.tmp-")) &&
+          n != "_stats.jsonl" && !retainedRefs.contains(ref)
         if (sweepable && Files.getLastModifiedTime(p).toMillis < cutoff &&
             Files.deleteIfExists(p)) orphansDeleted += 1
       }

@@ -70,7 +70,8 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     new JsonlStatsTable(properties.get("path"), schema,
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
       Option(opts.get("partitionColumn")),
-      opts.getOrDefault("manifest", "_stats.jsonl"))
+      opts.getOrDefault("manifest", "_stats.jsonl"),
+      Option(opts.get("bloomColumn")))
   }
 }
 
@@ -205,14 +206,16 @@ object JsonlStats {
     * default stats column would prune files against the wrong bounds
     * (silently wrong results) and serve MIN/MAX of the wrong column. */
   final case class TableMeta(statsCol: Option[String], partitionCol: Option[String],
-                             schema: Option[StructType])
+                             schema: Option[StructType],
+                             bloomCol: Option[String] = None)
 
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
-                     schema: StructType): Unit = {
+                     schema: StructType, bloomCol: Option[String] = None): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
     partitionCol.foreach(n.put("partitionColumn", _))
+    bloomCol.foreach(n.put("bloomColumn", _))
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
       java.util.Arrays.asList(n.toString),
@@ -281,7 +284,10 @@ object JsonlStats {
   /** Best-effort task-file cleanup on job abort (not load-bearing: an
     * unmanifested file is invisible to every reader). */
   def abortCleanup(root: String, messages: Array[WriterCommitMessage]): Unit =
-    fileCommits(messages).foreach(c => Files.deleteIfExists(Paths.get(root, c.file)))
+    fileCommits(messages).foreach { c =>
+      Files.deleteIfExists(Paths.get(root, c.file))
+      Files.deleteIfExists(Paths.get(root, Bloom.sidecarName(c.file)))
+    }
 
   def readTableMeta(root: String): TableMeta = {
     val p = Paths.get(root, "_table.json")
@@ -293,7 +299,8 @@ object JsonlStats {
         if (n.hasNonNull("partitionColumn")) Some(n.get("partitionColumn").asText()) else None,
         if (n.hasNonNull("schema"))
           Some(DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType])
-        else None)
+        else None,
+        if (n.hasNonNull("bloomColumn")) Some(n.get("bloomColumn").asText()) else None)
     }
   }
 
@@ -325,7 +332,8 @@ object JsonlStats {
 class JsonlStatsTable(root: String, tableSchema: StructType,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
-                      manifest: String = "_stats.jsonl") extends Table
+                      manifest: String = "_stats.jsonl",
+                      bloomCol: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -361,7 +369,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
           s"row-level ${info.command()} on key-grouped table $root: the partition " +
             "column is unknown (no _table.json), so the rewrite cannot re-key its output")
     }
-    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed)
+    val bloom = bloomCol.orElse(JsonlStats.readTableMeta(root).bloomCol)
+    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed, bloom)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
@@ -388,12 +397,13 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
-      manifest = manifest)
+      manifest = manifest, bloomCol = bloomCol)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(
         s"cannot write to a historical snapshot ($manifest) of $root")
-    new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol)
+    new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
+      bloomCol)
   }
 }
 

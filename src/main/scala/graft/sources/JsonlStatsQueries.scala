@@ -710,6 +710,48 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** The bloom-indexed fixture: value-ranged layout (so user_id bounds
+    * discriminate nothing) + per-file bloom sidecars over `user_id`. */
+  def ensureBloomFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_bloom_events")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("bloomColumn", "user_id")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q184 (r7): BLOOM FILE SKIPPING — point lookup on a column the
+    * manifest's single [min, max] interval can't discriminate. The
+    * fixture is value-ranged, so every file's user_id span covers the
+    * whole id space and stats skipping is useless for
+    * `user_id = <k>`; the writer's per-file bloom sidecars
+    * ([[Bloom]]) let each TASK probe before parsing — planning stays
+    * manifest-only (the Parquet row-group-bloom stance, not
+    * bloom-in-manifest), and a needle query parses only the files
+    * that actually contain the needle (~1 + FPP·files instead of all,
+    * proven by the skip counter in JsonlStatsSpec). The probed key is
+    * the corpus's max user id — present at every scale factor, and
+    * expressible in the oracle as a scalar subquery. The 1-row
+    * driver collect fetches that key (dimension-bounded, same
+    * contract as the heavy-hitter collects). */
+  def bloomPointLookup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureBloomFixture(spark, d)
+    val probeUid = Tables.events(spark, d).agg(max($"user_id")).head().getLong(0)
+    spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("bloomColumn", "user_id").load()
+      .filter($"user_id" === probeUid)
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -765,6 +807,7 @@ object JsonlStatsQueries extends QueryModule {
     "q180_vacuum" -> vacuumTable,
     "q181_change_feed" -> changeFeed,
     "q182_replace_where" -> replaceWhere,
+    "q184_bloom_skipping" -> bloomPointLookup,
   )
 
   val oracles = Map(
@@ -871,6 +914,12 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q184_bloom_skipping" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE user_id = (SELECT max(user_id) FROM events)""".stripMargin,
     "q182_replace_where" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END

@@ -16,18 +16,31 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             partitionCol: Option[String] = None,
                             rewriteOp: Option[JsonlRowLevelOperation] = None,
                             splitBytes: Long = JsonlStats.DefaultSplitBytes,
-                            manifest: String = "_stats.jsonl") extends ScanBuilder
+                            manifest: String = "_stats.jsonl",
+                            bloomCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var bloomPushed: Array[Filter] = Array.empty
   private var aggSchema: Option[StructType] = None
 
-  /** Accept skippable predicates for file pruning; return EVERY filter
-    * as a residual — bounds can only prove a file irrelevant, never
-    * that all its rows match. */
+  /** Accept skippable predicates for file pruning — stats-column
+    * range/equality for planning-time manifest skips, and (when the
+    * table declares a `bloomColumn`) equality/IN on that column for
+    * TASK-time bloom-sidecar skips ([[Bloom]]). Return EVERY filter as
+    * a residual — bounds prove a file irrelevant (never that all rows
+    * match) and blooms have false positives. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(JsonlStats.supportsSkipping(_, statsCol))
+    bloomPushed = bloomCol match {
+      case None => Array.empty
+      case Some(bc) => filters.filter {
+        case EqualTo(c, v) => c == bc && v != null
+        case In(c, vs) => c == bc && vs.nonEmpty && vs.forall(_ != null)
+        case _ => false
+      }
+    }
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -80,8 +93,27 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlManifestAggScan(root, s, manifest)
     case None =>
+      // bloom probes hashed ONCE at planning, by the column's declared
+      // type (must mirror the writer's hashing in JsonlFileSink); each
+      // pushed predicate becomes an any-of hash set the reader ANDs
+      val bloomSets: Seq[Array[Long]] = bloomCol.toSeq.flatMap { bc =>
+        val dt = full.fields.find(_.name == bc).map(_.dataType)
+        def h(v: Any): Option[Long] = (dt, v) match {
+          case (Some(LongType), n: Number)   => Some(Bloom.hashLong(n.longValue()))
+          case (Some(DoubleType), n: Number) => Some(Bloom.hashDouble(n.doubleValue()))
+          case (Some(StringType), s)         => Some(Bloom.hashString(String.valueOf(s)))
+          case _ => None
+        }
+        bloomPushed.toSeq.flatMap {
+          case EqualTo(_, v) => h(v).map(Array(_))
+          case In(_, vs) =>
+            val hs = vs.toSeq.map(h)
+            if (hs.forall(_.isDefined)) Some(hs.flatten.toArray) else None
+          case _ => None
+        }
+      }
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
-        rewriteOp, splitBytes, manifest)
+        rewriteOp, splitBytes, manifest, bloomSets)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -132,7 +164,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      partitionCol: Option[String] = None,
                      rewriteOp: Option[JsonlRowLevelOperation] = None,
                      splitBytes: Long = JsonlStats.DefaultSplitBytes,
-                     manifest: String = "_stats.jsonl")
+                     manifest: String = "_stats.jsonl",
+                     bloomSets: Seq[Array[Long]] = Seq.empty)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -161,7 +194,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol], " +
-      s"splitBytes=$splitBytes"
+      s"splitBytes=$splitBytes, bloomProbes=${bloomSets.size}"
 
   /** The runtime-filtering leg (the DPP analogue for connectors): a
     * broadcast join on the stats column hands the scan the join side's
@@ -344,7 +377,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required)
+    new JsonlReaderFactory(required, bloomSets)
 
   /** Streaming leg: the manifest doubles as the source of incremental
     * progress. An offset is the SET of manifested files; each micro-batch
@@ -415,10 +448,14 @@ final case class JsonlKeyedFilePartition(file: String, key: String)
   override def partitionKey(): InternalRow = row
 }
 
-class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
+class JsonlReaderFactory(required: StructType,
+                         bloomSets: Seq[Array[Long]] = Seq.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case f: JsonlFilePartition      => new JsonlPartitionReader(f.file, required, f.start, f.end)
-    case k: JsonlKeyedFilePartition => new JsonlPartitionReader(k.file, required)
+    case f: JsonlFilePartition =>
+      new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets)
+    case k: JsonlKeyedFilePartition =>
+      new JsonlPartitionReader(k.file, required, bloomSets = bloomSets)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -437,10 +474,29 @@ class JsonlReaderFactory(required: StructType) extends PartitionReaderFactory {
   * completes. Line scanning is byte-level on 0x0A (never part of a
   * UTF-8 multi-byte sequence), so a boundary mid-character is safe. */
 class JsonlPartitionReader(file: String, required: StructType,
-                           start: Long = 0L, end: Long = Long.MaxValue)
+                           start: Long = 0L, end: Long = Long.MaxValue,
+                           bloomSets: Seq[Array[Long]] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val in = new java.io.BufferedInputStream(
+
+  /** TASK-time bloom skip: before touching the data bytes, probe the
+    * file's bloom sidecar with each pushed equality's hash set (ANDed
+    * across predicates, any-of within an IN). A definite miss skips
+    * the parse of this whole range — the residual filter would have
+    * dropped every row anyway. Byte-range splits of one file all probe
+    * the same whole-file sidecar (a bloom covers the file, so any of
+    * its ranges may skip). Sidecar absent → read normally. */
+  private val bloomSkipped: Boolean = bloomSets.nonEmpty && {
+    Bloom.readSidecar(Paths.get(file)) match {
+      case Some((words, mBits)) =>
+        val skip = !bloomSets.forall(_.exists(h => Bloom.mightContain(words, mBits, h)))
+        if (skip) Bloom.skippedFiles.increment()
+        skip
+      case None => false
+    }
+  }
+
+  private val in = if (bloomSkipped) null else new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(file)), 1 << 16)
   private val filePath = UTF8String.fromString(file)
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
@@ -449,7 +505,7 @@ class JsonlPartitionReader(file: String, required: StructType,
   private var pos = -1L   // dense row index (whole-file partitions only)
 
   locally {
-    var toSkip = start
+    var toSkip = if (bloomSkipped) 0L else start
     var eof = false
     while (toSkip > 0 && !eof) {
       val n = in.skip(toSkip)
@@ -458,7 +514,7 @@ class JsonlPartitionReader(file: String, required: StructType,
       else if (in.read() >= 0) { toSkip -= 1; bpos += 1 }
       else eof = true
     }
-    if (start > 0 && !eof) discardThroughNewline()
+    if (!bloomSkipped && start > 0 && !eof) discardThroughNewline()
   }
 
   private def discardThroughNewline(): Unit = {
@@ -479,6 +535,7 @@ class JsonlPartitionReader(file: String, required: StructType,
   }
 
   override def next(): Boolean = {
+    if (bloomSkipped) return false
     var found = false
     var eof = false
     while (!found && !eof) {
@@ -516,6 +573,6 @@ class JsonlPartitionReader(file: String, required: StructType,
     })
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 

@@ -25,7 +25,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the gold ledger, enforced at the connector layer. */
 class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         statsCol: String = JsonlStats.statsColumn,
-                        partitionCol: Option[String] = None)
+                        partitionCol: Option[String] = None,
+                        bloomCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
@@ -53,7 +54,7 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters)
+        replaceFilters, bloomCol)
   })
 }
 
@@ -69,9 +70,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       truncateFirst: Boolean,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
-                      replaceFilters: Option[Array[Filter]] = None) extends BatchWrite {
+                      replaceFilters: Option[Array[Filter]] = None,
+                      bloomCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol)
 
   private def isSentinel(s: JsonlStats.FileStats): Boolean =
     s.min == Double.MinValue && s.max == Double.MaxValue
@@ -141,7 +143,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // would flip nullability and codegen-NPE reads of older files'
     // nulls (r7 ALTER spec caught exactly this)
     if (truncateFirst || !Files.exists(Paths.get(root, "_table.json")))
-      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema)
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
     JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files leave the LIVE manifest but
     // stay on disk — the archived manifest still references them, so
@@ -175,7 +177,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   * expensive. */
 class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
                              cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-                             partitionCol: Option[String] = None)
+                             partitionCol: Option[String] = None,
+                             bloomCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -204,7 +207,7 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
             case Some(s) => s.replacedFiles
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
-          }, partitionCol)
+          }, partitionCol, bloomCol)
     })
   }
 }
@@ -215,9 +218,10 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
 class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: String,
                              statsCol: String,
                              replaced: () => Set[String],
-                             partitionCol: Option[String] = None) extends BatchWrite {
+                             partitionCol: Option[String] = None,
+                             bloomCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
@@ -238,21 +242,27 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
 
 class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          statsCol: String = JsonlStats.statsColumn,
-                         partitionCol: Option[String] = None)
+                         partitionCol: Option[String] = None,
+                         bloomCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol, partitionCol)
+    new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol,
+      partitionCol, bloomCol)
 }
 
 /** Streams rows of ONE output data file, tracking (min, max, rows) of
   * the stats column — shared by the unkeyed (one file per task) and
   * keyed (one file per key run) writers. */
 private[sources] class JsonlFileSink(root: String, val fileName: String,
-                                     writeSchema: StructType, statsCol: String) {
+                                     writeSchema: StructType, statsCol: String,
+                                     bloomCol: Option[String] = None) {
   private val path = Paths.get(root, fileName)
   private val out = Files.newBufferedWriter(path)
   private val mapper = new ObjectMapper()
   private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
+  private val bloomIdx = bloomCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  private val bloomHashes =
+    if (bloomIdx >= 0) scala.collection.mutable.ArrayBuffer.empty[Long] else null
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
   private var rows = 0L
@@ -278,6 +288,13 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       if (v < mn) mn = v
       if (v > mx) mx = v
     }
+    if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
+      bloomHashes += (writeSchema.fields(bloomIdx).dataType match {
+        case LongType   => Bloom.hashLong(row.getLong(bloomIdx))
+        case DoubleType => Bloom.hashDouble(row.getDouble(bloomIdx))
+        case _          => Bloom.hashString(row.getUTF8String(bloomIdx).toString)
+      })
+    }
     out.write(node.toString); out.newLine()
     rows += 1
   }
@@ -285,15 +302,22 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   /** Close and return the manifest entry this file deserves. */
   def finish(pkey: Option[String]): JsonlFileCommit = {
     out.close()
-    if (rows == 0) { Files.deleteIfExists(path); JsonlFileCommit(null, 0, 0, 0) }
-    else if (mn > mx)
+    if (rows == 0) { Files.deleteIfExists(path); return JsonlFileCommit(null, 0, 0, 0) }
+    // bloom sidecar rides next to its data file, written before the
+    // commit message exists (a crash leaves both unmanifested)
+    if (bloomIdx >= 0) Bloom.writeSidecar(path, bloomHashes.toArray)
+    if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey)
     else JsonlFileCommit(fileName, mn, mx, rows, pkey)
   }
 
-  def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+  def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(path)
+    Files.deleteIfExists(Bloom.sidecarOf(path))
+  }
 }
 
 /** Attempt-unique data files (retries and speculation can never
@@ -306,7 +330,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
 class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       partitionId: Int, taskId: Long,
                       statsCol: String = JsonlStats.statsColumn,
-                      partitionCol: Option[String] = None) extends DataWriter[InternalRow] {
+                      partitionCol: Option[String] = None,
+                      bloomCol: Option[String] = None) extends DataWriter[InternalRow] {
   private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   require(partitionCol.isEmpty || keyIdx >= 0,
     s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
@@ -318,7 +343,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private def roll(): Unit = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
     seq += 1
-    sink = new JsonlFileSink(root, name, writeSchema, statsCol)
+    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol)
   }
 
   override def write(row: InternalRow): Unit = {

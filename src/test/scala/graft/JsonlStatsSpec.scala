@@ -1034,6 +1034,44 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.rw_spec")
   }
 
+  test("q184: bloom sidecars have no false negatives and tasks skip definite misses (r7)") {
+    import spark.implicits._
+    // the primitive: every inserted key probes true; absent keys rarely do
+    val keys = (0L until 10000L).map(k => Bloom.hashLong(k * 7919L)).toArray
+    val (words, mBits) = Bloom.build(keys)
+    assert(keys.forall(Bloom.mightContain(words, mBits, _)), "bloom false negative")
+    val falsePos = (0L until 10000L)
+      .map(k => Bloom.hashLong(k * 7919L + 3L))
+      .count(Bloom.mightContain(words, mBits, _))
+    assert(falsePos < 200, s"FPP too high: $falsePos/10000 (sized for ~0.3%)")
+    // the connector path: value-ranged fixture with user_id blooms
+    val dir = JsonlStatsQueries.ensureBloomFixture(spark, sfDir)
+    val stats = JsonlStats.readStats(dir)
+    stats.foreach { s =>
+      assert(Files.exists(Bloom.sidecarOf(java.nio.file.Paths.get(dir, s.file))),
+        s"missing bloom sidecar for ${s.file}")
+    }
+    def table = spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("bloomColumn", "user_id").load()
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+    val maxUid = ev.agg(max($"user_id")).head().getLong(0)
+    // present key: exact content (no false negatives end to end)
+    val got = table.filter($"user_id" === maxUid).select($"event_id")
+    val expect = ev.filter($"user_id" === maxUid).select($"event_id")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // absent key: empty result AND the tasks actually skipped parses —
+    // the counter moves by ~every file (a rare bloom false positive
+    // costs one redundant parse, hence >= size - 1)
+    val before = Bloom.skippedFiles.sum()
+    assert(table.filter($"user_id" === (maxUid + 987654321L)).isEmpty)
+    val skipped = Bloom.skippedFiles.sum() - before
+    assert(skipped >= stats.size - 1,
+      s"expected ~${stats.size} bloom-skipped files, got $skipped")
+    // bounds-only stats can't prune this predicate (value-ranged layout
+    // spans the id space), so the skip is attributable to the blooms
+    assert(stats.forall(s => s.min <= s.max))
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

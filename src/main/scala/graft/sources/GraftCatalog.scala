@@ -312,13 +312,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "compact" => new GraftProcedures.CompactUnbound(root)
       case "history" => new GraftProcedures.HistoryUnbound(root)
       case "vacuum"  => new GraftProcedures.VacuumUnbound(root)
+      case "clone"   => new GraftProcedures.CloneUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "vacuum"))
+        Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

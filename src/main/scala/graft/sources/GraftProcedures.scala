@@ -187,6 +187,82 @@ object GraftProcedures {
     }
   }
 
+  class CloneUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "clone(source, target): zero-copy clone — hard-link data files, fresh manifest"
+    override def bind(inputType: StructType): BoundProcedure = new CloneBound(root)
+  }
+
+  /** `CALL <cat>.clone('<src>', '<dst>')` — the dev/test-sandbox idiom
+    * (Delta SHALLOW CLONE): a new table whose manifest lists the
+    * source's CURRENT data files, materialized as HARD LINKS — zero
+    * bytes copied, metadata-bounded work. The immutable-data-file
+    * contract makes this safe with no refcounting of its own: neither
+    * table ever modifies a shared file (every write path publishes new
+    * names), and when one side's VACUUM unlinks its link the
+    * filesystem's link count keeps the other side's bytes alive. The
+    * clone starts with fresh history (version 1) and no horizon; bloom
+    * sidecars link along with their files. Cross-device roots degrade
+    * to a byte copy per file (still correct, no longer zero-cost). */
+  class CloneBound(root: String) extends BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String = "hard-link clone of a table's live generation"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = input.getUTF8String(0).toString
+      val dst = input.getUTF8String(1).toString
+      val srcDir = Paths.get(root, src)
+      val dstDir = Paths.get(root, dst)
+      require(Files.exists(srcDir.resolve("_stats.jsonl")), s"no such table $src under $root")
+      require(!Files.exists(dstDir.resolve("_stats.jsonl")), s"table $dst already exists")
+      val (linked, copied) = GraftProcedures.cloneTable(srcDir.toString, dstDir.toString)
+      val schema = StructType(Seq(
+        StructField("files_linked", IntegerType, nullable = false),
+        StructField("files_copied", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(linked, copied))
+        override def description(): String = s"clone result: $linked linked, $copied copied"
+      }).iterator()
+    }
+  }
+
+  /** Link (or, cross-device, copy) the live generation's files and
+    * publish the clone's own manifest + table sidecar. Returns
+    * (hardLinked, byteCopied) file counts. */
+  def cloneTable(srcRoot: String, dstRoot: String): (Int, Int) = {
+    val stats = JsonlStats.readStats(srcRoot)
+    Files.createDirectories(Paths.get(dstRoot))
+    var linked = 0; var copied = 0
+    def bring(rel: String): Unit = {
+      val from = Paths.get(srcRoot, rel)
+      val to = Paths.get(dstRoot, rel)
+      Option(to.getParent).foreach(Files.createDirectories(_))
+      try { Files.createLink(to, from); linked += 1 }
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(from, to, java.nio.file.StandardCopyOption.REPLACE_EXISTING); copied += 1
+      }
+    }
+    stats.foreach { s =>
+      bring(s.file)
+      if (Files.exists(Paths.get(srcRoot, Bloom.sidecarName(s.file))))
+        bring(Bloom.sidecarName(s.file))
+    }
+    val tm = Paths.get(srcRoot, "_table.json")
+    if (Files.exists(tm))
+      Files.copy(tm, Paths.get(dstRoot, "_table.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the clone's OWN manifest (fresh history: a clone is version 1 of
+    // a new table, not a continuation of the source's timeline)
+    JsonlStats.publishManifest(dstRoot, "clone", stats.map(JsonlStats.statsLine).sorted)
+    (linked, copied)
+  }
+
   /** The GC core. Three phases, each safe in isolation:
     *  1. EXPIRE: archived versions below `current − retainLast + 1`
     *     lose their manifests. The horizon sidecar records the newest

@@ -752,6 +752,30 @@ object JsonlStatsQueries extends QueryModule {
         min($"event_id").as("min_id"), max($"event_id").as("max_id"))
   }
 
+  /** q185 (r7): ZERO-COPY CLONE (`CALL <cat>.clone(src, dst)`) — the
+    * dev/test-sandbox idiom on the manifest protocol: the clone's
+    * manifest lists the source's live files as HARD LINKS (zero bytes
+    * copied; metadata-bounded work, like Delta SHALLOW CLONE). The
+    * immutable-file contract makes divergence free: each side's writes
+    * publish new file names, and one side's VACUUM only unlinks its
+    * own links. The query clones the written fixture, DELETEs a class
+    * in the CLONE, and reads the clone — the source's integrity under
+    * that mutation is pinned in JsonlStatsSpec. Idempotent across
+    * reps: the clone is dropped and re-made each run. */
+  def catalogClone(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureWrittenFixture(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_clone")
+    spark.sql(s"CALL $cat.clone('jsonl_stats_written', 'jsonl_clone')")
+    spark.sql(s"DELETE FROM $cat.jsonl_clone WHERE event_type = 'click'")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_clone
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** q161: STREAMING read through the connector — the manifest doubles
@@ -808,6 +832,7 @@ object JsonlStatsQueries extends QueryModule {
     "q181_change_feed" -> changeFeed,
     "q182_replace_where" -> replaceWhere,
     "q184_bloom_skipping" -> bloomPointLookup,
+    "q185_catalog_clone" -> catalogClone,
   )
 
   val oracles = Map(
@@ -908,6 +933,13 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q180_vacuum" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q185_catalog_clone" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events

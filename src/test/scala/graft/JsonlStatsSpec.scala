@@ -1072,6 +1072,44 @@ class JsonlStatsSpec extends SparkSpec {
     assert(stats.forall(s => s.min <= s.max))
   }
 
+  test("q185: clone is zero-copy, and the tables diverge without interference (r7)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.clone_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.clone_dst")
+    spark.sql(
+      s"""CREATE TABLE $cat.clone_src AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    val res = spark.sql(s"CALL $cat.clone('clone_src', 'clone_dst')").head()
+    val srcStats = JsonlStats.readStats(root.resolve("clone_src").toString)
+    assert(res.getInt(0) === srcStats.size && res.getInt(1) === 0,
+      s"same-filesystem clone must hard-link every file, got $res")
+    // zero-copy: each cloned file is the SAME inode (link count >= 2)
+    srcStats.foreach { s =>
+      val n = Files.getAttribute(
+        root.resolve("clone_src").resolve(s.file), "unix:nlink")
+      assert(n.asInstanceOf[Number].intValue() >= 2, s"${s.file} was copied, not linked")
+    }
+    // divergence: mutate the CLONE; the source must not move
+    val srcBefore = spark.table(s"$cat.clone_src").count()
+    spark.sql(s"DELETE FROM $cat.clone_dst WHERE event_type = 'click'")
+    assert(spark.table(s"$cat.clone_src").count() === srcBefore)
+    assert(spark.table(s"$cat.clone_dst").filter($"event_type" === "click").isEmpty)
+    // the clone's vacuum unlinks only its own links: the shared bytes
+    // survive via the source's links, which keep reading fine
+    spark.sql(s"CALL $cat.vacuum('clone_dst', retain_last => 1, orphan_grace_ms => 0)")
+    assert(spark.table(s"$cat.clone_src").count() === srcBefore)
+    // cloning onto an existing table refuses
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.clone('clone_src', 'clone_dst')").collect()
+    }
+    assert(err.toString.contains("already exists") ||
+      Option(err.getCause).exists(_.toString.contains("already exists")))
+    spark.sql(s"DROP TABLE $cat.clone_src")
+    spark.sql(s"DROP TABLE $cat.clone_dst")
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

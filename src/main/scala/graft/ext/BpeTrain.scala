@@ -1,0 +1,160 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Byte-pair-encoding MERGE-RULE TRAINING (§2.12 [ext], r7b) — the
+  * tokenizer-training primitive every LLM data pipeline runs once per
+  * corpus (Sennrich et al. 2016, word-frequency-weighted BPE; public
+  * algorithm, implemented from the paper's description):
+  *
+  *   repeat R times:
+  *     count adjacent symbol pairs across the vocabulary, weighted by
+  *       word frequency;
+  *     pick the most frequent pair (ties: lexicographic (p1, p2));
+  *     merge that pair greedily LEFT-TO-RIGHT in every word.
+  *
+  * Scale shape: the ONE corpus-sized operation is the word count (a
+  * single explode→groupBy shuffle, the q139 vocabulary pattern). Every
+  * training round then runs over the WORD-TYPE table — vocabulary-
+  * sized, orders of magnitude below the corpus — so R rounds cost R
+  * small shuffles plus R single-row argmax collects (dimension-bounded
+  * driver reads, same contract as the heavy-hitter collects). At
+  * 100 TB the corpus pass dominates and rounds stay cheap: vocabulary
+  * growth is sublinear in corpus size.
+  *
+  * Determinism: pair counts are integer sums of long frequencies;
+  * argmax ties break on binary string order (both engines' default);
+  * the greedy merge is the simple fold "if the accumulator's last
+  * symbol is p1 and the incoming is p2, replace with p1p2" — correct
+  * left-to-right semantics because a merge's output p1p2 can never
+  * equal p1 again within the round (p2 is nonempty), so runs like
+  * "aaa" under (a,a) merge exactly once. The oracle mirrors each round
+  * relationally (gaps-and-islands run parity — chosen = odd positions
+  * of each maximal match run), a deliberately DIFFERENT formulation of
+  * the same greedy rule, so a semantic drift in either leg breaks the
+  * hash. (No end-of-word marker: merges here never cross word
+  * boundaries by construction, which is the property the marker exists
+  * to enforce in byte-stream implementations.)
+  */
+object BpeTrain extends QueryModule {
+
+  private val rounds = 8
+
+  /** One greedy left-to-right merge of (p1, p2) inside a symbol array. */
+  private[graft] def mergePair(syms: Column, p1: String, p2: String): Column =
+    aggregate(syms,
+      array().cast(ArrayType(StringType)),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+             element_at(acc, -1) === lit(p1) && x === lit(p2),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent (p1, p2) pairs of a symbol array, as exploded structs. */
+  private def adjacentPairs(syms: Column): Column =
+    explode(transform(sequence(lit(1), size(syms) - 1),
+      i => struct(element_at(syms, i).as("p1"), element_at(syms, i + 1).as("p2"))))
+
+  /** q186: train [[rounds]] BPE merges on the documents corpus; returns
+    * the learned merge table (round, p1, p2, pair_count). */
+  def bpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // the corpus pass: word types + frequencies (one shuffle), then
+    // char-level symbol sequences per word type
+    var words = Tables.documents(spark, d)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("syms"), $"freq")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = words
+        // single-symbol words have no pairs — and sequence(1, 0) STEPS
+        // BACKWARD in Spark instead of returning empty (the documented
+        // trap), so the guard is correctness, not just economy
+        .filter(size($"syms") >= 2)
+        .select($"freq", adjacentPairs($"syms").as("pr"))
+        .groupBy($"pr.p1", $"pr.p2").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"p1", $"p2")
+        .limit(1).collect()
+      require(best.nonEmpty, s"round $r: no pairs left to merge")
+      val (p1, p2, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, p1, p2, cnt))
+      // vocabulary-sized round: re-fold every word under the new rule;
+      // localCheckpoint cuts the 8-round lineage (each round's argmax
+      // already forced computation, so this adds no extra pass)
+      words = words.select(mergePair($"syms", p1, p2).as("syms"), $"freq")
+        .localCheckpoint(true)
+    }
+    merges.result()
+      .toDF("merge_round", "p1", "p2", "pair_count")
+      .orderBy($"merge_round")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q186_bpe_train" -> bpeTrain,
+  )
+
+  /** The oracle unrolls the R rounds as generated CTE blocks. Each
+    * round mirrors the greedy merge RELATIONALLY: explode symbols with
+    * positions, mark match[i] = (sym=p1 ∧ next=p2), split consecutive
+    * match runs gaps-and-islands style, choose the odd positions of
+    * each run (exactly "merge unless the previous position merged"),
+    * drop the consumed successors, reassemble ordered lists. */
+  private def roundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT w.syms[i] AS p1, w.syms[i + 1] AS p2, CAST(SUM(w.freq) AS BIGINT) AS cnt
+       |  FROM $prev w, LATERAL (SELECT unnest(generate_series(1, len(w.syms) - 1)) AS i) g
+       |  GROUP BY 1, 2),
+       |b$r AS (SELECT p1, p2, cnt FROM p$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+       |t$r AS (
+       |  SELECT w.wid, w.freq, g.i AS pos, w.syms[g.i] AS sym
+       |  FROM $prev w, LATERAL (SELECT unnest(generate_series(1, len(w.syms))) AS i) g(i)),
+       |m$r AS (
+       |  SELECT t.wid, t.freq, t.pos, t.sym, b.p1, b.p2,
+       |    COALESCE(t.sym = b.p1 AND
+       |      lead(t.sym) OVER (PARTITION BY t.wid ORDER BY t.pos) = b.p2, FALSE) AS mtch
+       |  FROM t$r t CROSS JOIN b$r b),
+       |g$r AS (
+       |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, mtch ORDER BY pos) AS grp
+       |  FROM m$r),
+       |c$r AS (
+       |  SELECT *,
+       |    mtch AND (ROW_NUMBER() OVER (PARTITION BY wid, grp, mtch ORDER BY pos) % 2 = 1) AS chosen
+       |  FROM g$r),
+       |d$r AS (
+       |  SELECT *, COALESCE(lag(chosen) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS consumed
+       |  FROM c$r),
+       |w$r AS (
+       |  SELECT wid, freq,
+       |    list(CASE WHEN chosen THEN p1 || p2 ELSE sym END ORDER BY pos) AS syms
+       |  FROM d$r WHERE NOT consumed
+       |  GROUP BY wid, freq)""".stripMargin
+  }
+
+  val oracles = Map(
+    "q186_bpe_train" -> {
+      val roundsSql = (1 to rounds).map(roundSql).mkString(",\n")
+      val resultRows = (1 to rounds)
+        .map(r => s"SELECT $r AS merge_round, p1, p2, cnt AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toksrc AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |w0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+         |    [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS syms,
+         |    count(*) AS freq
+         |  FROM toksrc WHERE length(w) > 0
+         |  GROUP BY w),
+         |$roundsSql
+         |$resultRows
+         |ORDER BY merge_round""".stripMargin
+    },
+  )
+}

@@ -379,6 +379,16 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(required, bloomSets)
 
+  /** Connector-level SQL metrics (`CustomMetric`, surfaced on the
+    * BatchScan node in the UI next to Spark's own numOutputRows):
+    * how many task ranges a bloom probe skipped, and how many data
+    * bytes the readers actually consumed — the observability face of
+    * the skipping story (a needle lookup should show skips ≈ tasks
+    * and bytes ≈ 0). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new JsonlSumMetric("bloomSkippedRanges", "ranges skipped by bloom sidecar probes"),
+      new JsonlSumMetric("dataBytesRead", "data-file bytes consumed by readers"))
+
   /** Streaming leg: the manifest doubles as the source of incremental
     * progress. An offset is the SET of manifested files; each micro-batch
     * reads exactly the files that joined the manifest since the last
@@ -446,6 +456,14 @@ final case class JsonlKeyedFilePartition(file: String, key: String)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(key)))
   override def partitionKey(): InternalRow = row
+}
+
+/** Sum-aggregated connector metric (one value per task, summed for the
+  * plan node). */
+class JsonlSumMetric(mName: String, mDesc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = mName
+  override def description(): String = mDesc
 }
 
 class JsonlReaderFactory(required: StructType,
@@ -574,5 +592,18 @@ class JsonlPartitionReader(file: String, required: StructType,
   }
 
   override def close(): Unit = if (in != null) in.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    import org.apache.spark.sql.connector.metric.CustomTaskMetric
+    Array(
+      new CustomTaskMetric {
+        override def name(): String = "bloomSkippedRanges"
+        override def value(): Long = if (bloomSkipped) 1L else 0L
+      },
+      new CustomTaskMetric {
+        override def name(): String = "dataBytesRead"
+        override def value(): Long = if (bloomSkipped) 0L else bpos - start
+      })
+  }
 }
 

@@ -1110,6 +1110,32 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.clone_dst")
   }
 
+  test("connector custom metrics: bloom skips and bytes read per task (r7)") {
+    val dir = JsonlStatsQueries.ensureBloomFixture(spark, sfDir)
+    val scan = new JsonlStatsScanBuilder(dir, JsonlStats.schema).build()
+      .asInstanceOf[JsonlStatsScan]
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet
+      === Set("bloomSkippedRanges", "dataBytesRead"))
+    val file = Paths.get(dir, JsonlStats.readStats(dir).head.file).toString
+    // normal read: bytes consumed surface, no skip
+    val r = new JsonlPartitionReader(file, JsonlStats.schema)
+    while (r.next()) r.get()
+    val m = r.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    r.close()
+    assert(m("bloomSkippedRanges") === 0L && m("dataBytesRead") === Files.size(Paths.get(file)))
+    // a provably-absent probe against the real sidecar (searched, so the
+    // test can never flake on a bloom false positive): skip + zero bytes
+    val (words, mBits) = Bloom.readSidecar(Paths.get(file)).get
+    val miss = (0L to 1000L).map(k => Bloom.hashLong(Long.MinValue + k))
+      .find(!Bloom.mightContain(words, mBits, _)).get
+    val absent = Seq(Array(miss))
+    val r2 = new JsonlPartitionReader(file, JsonlStats.schema, bloomSets = absent)
+    assert(!r2.next())
+    val m2 = r2.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    r2.close()
+    assert(m2("bloomSkippedRanges") === 1L && m2("dataBytesRead") === 0L)
+  }
+
   test("compaction of a sentinel-bounds member poisons the whole bin (r7 review)") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Min}

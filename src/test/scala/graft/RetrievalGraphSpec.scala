@@ -67,6 +67,33 @@ class RetrievalGraphSpec extends SparkSpec {
     top.unpersist()
   }
 
+  test("q186: BPE greedy merge is left-to-right exact and training output is lawful") {
+    import spark.implicits._
+    // the fold IS greedy left-to-right: overlapping runs merge once,
+    // non-overlapping repeats all merge, and no characters are lost
+    val cases = Seq(
+      (Seq("a", "a", "a", "b"), "a", "a", Seq("aa", "a", "b")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("a", "b", "b"), "a", "b", Seq("ab", "b")),
+      (Seq("x"), "a", "b", Seq("x")))
+    cases.foreach { case (in, p1, p2, want) =>
+      val got = Seq(in).toDF("syms")
+        .select(graft.ext.BpeTrain.mergePair(col("syms"), p1, p2).as("out"))
+        .head().getSeq[String](0)
+      assert(got === want, s"merge($in, $p1+$p2)")
+    }
+    val merges = graft.ext.BpeTrain.bpeTrain(spark, sfDir).collect()
+    // dense rounds, positive weighted counts, non-increasing is NOT
+    // required (a later merge can beat an earlier count via composition),
+    // but every merge must have been the round's argmax — at minimum
+    // positive and well-formed
+    assert(merges.map(_.getInt(0)).toSeq === (1 to merges.length))
+    assert(merges.forall(_.getLong(3) > 0))
+    // learned tokens compose from their parts (p1+p2 concatenation law)
+    assert(merges.forall(r => (r.getString(1) + r.getString(2)).nonEmpty))
+  }
+
   test("co-purchase graph is symmetric, self-loop-free, and PageRank is deterministic") {
     import spark.implicits._
     val e = GraphOps.copurchaseEdges(spark, sfDir).cache()

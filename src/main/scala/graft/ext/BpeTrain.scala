@@ -59,9 +59,11 @@ object BpeTrain extends QueryModule {
     explode(transform(sequence(lit(1), size(syms) - 1),
       i => struct(element_at(syms, i).as("p1"), element_at(syms, i + 1).as("p2"))))
 
-  /** q186: train [[rounds]] BPE merges on the documents corpus; returns
-    * the learned merge table (round, p1, p2, pair_count). */
-  def bpeTrain(spark: SparkSession, d: String): DataFrame = {
+  /** The training loop shared by q186 (the merge table) and q187 (the
+    * encoded corpus): returns the learned merges and the word-type
+    * table in its final merged state. */
+  private def train(spark: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     // the corpus pass: word types + frequencies (one shuffle), then
     // char-level symbol sequences per word type
@@ -91,13 +93,44 @@ object BpeTrain extends QueryModule {
       words = words.select(mergePair($"syms", p1, p2).as("syms"), $"freq")
         .localCheckpoint(true)
     }
-    merges.result()
+    (merges.result(), words)
+  }
+
+  /** q186: train [[rounds]] BPE merges on the documents corpus; returns
+    * the learned merge table (round, p1, p2, pair_count). */
+  def bpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    train(spark, d)._1
       .toDF("merge_round", "p1", "p2", "pair_count")
       .orderBy($"merge_round")
   }
 
+  /** q187: ENCODE under the learned merges — the apply side of the
+    * tokenizer. Token frequencies come straight from the final
+    * word-type table (explode its symbols weighted by word frequency):
+    * the corpus never needs a second pass, because word frequency
+    * already carries corpus multiplicity — encoding 100 TB costs the
+    * vocabulary fold plus one dictionary-sized aggregation, and an
+    * actual per-document token stream would be a broadcast word→tokens
+    * join away. Returns the top-20 tokens with ranks — the vocabulary
+    * head a tokenizer report shows. */
+  def bpeEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (_, words) = train(spark, d)
+    words.select($"freq", explode($"syms").as("token"))
+      .groupBy($"token").agg(sum($"freq").as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(20)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"n_occurrences".desc, $"token")).as("rnk"),
+        $"token", $"n_occurrences")
+      .orderBy($"rnk")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q186_bpe_train" -> bpeTrain,
+    "q187_bpe_encode" -> bpeEncode,
   )
 
   /** The oracle unrolls the R rounds as generated CTE blocks. Each
@@ -155,6 +188,27 @@ object BpeTrain extends QueryModule {
          |$roundsSql
          |$resultRows
          |ORDER BY merge_round""".stripMargin
+    },
+    "q187_bpe_encode" -> {
+      val roundsSql = (1 to rounds).map(roundSql).mkString(",\n")
+      s"""WITH toksrc AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |w0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+         |    [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS syms,
+         |    count(*) AS freq
+         |  FROM toksrc WHERE length(w) > 0
+         |  GROUP BY w),
+         |$roundsSql,
+         |tokfreq AS (
+         |  SELECT t.token, CAST(SUM(w.freq) AS BIGINT) AS n_occurrences
+         |  FROM w$rounds w, LATERAL (SELECT unnest(w.syms) AS token) t
+         |  GROUP BY t.token
+         |  ORDER BY n_occurrences DESC, token LIMIT 20)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rnk,
+         |  token, n_occurrences
+         |FROM tokfreq
+         |ORDER BY rnk""".stripMargin
     },
   )
 }

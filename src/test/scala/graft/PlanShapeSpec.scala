@@ -34,10 +34,14 @@ class PlanShapeSpec extends SparkSpec {
   // loop over a single row — O(N), the intended scalar attach), q155
   // the 1-row calendar-span scalar crossed with the priority dictionary
   // (both sides bounded: dictionary × 1 row, never data-sized).
+  // q183's semantic leg is q33's shape verbatim (5 broadcast probes
+  // streamed past the candidates, O(N·|probes|)), plus q150's 1-row
+  // corpus-stats scalar on the lexical leg.
   private val allowedNestedLoop = Set(
     "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
     "q116_recursive_calendar", "q121_ann_sq8",
-    "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf")
+    "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
+    "q183_hybrid_rrf")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

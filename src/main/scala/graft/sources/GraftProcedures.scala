@@ -367,8 +367,16 @@ object GraftProcedures {
           val (mn, mx) =
             if (hasSentinel) (Double.MinValue, Double.MaxValue)
             else (members.map(_.min).min, members.map(_.max).max)
+          // per-column bounds (r7b) survive the merge only for columns
+          // EVERY member recorded — a member with unknown bounds for a
+          // column poisons that column (absent = never pruned), the
+          // same conservatism as the sentinel rule above
+          val sharedCols = members.map(_.cols.keySet).reduce(_ intersect _)
+          val mergedCols = sharedCols.map { c =>
+            c -> (members.map(_.cols(c)._1).min, members.map(_.cols(c)._2).max)
+          }.toMap
           Bin(members.map(_.file), out,
-            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey))
+            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

@@ -103,11 +103,28 @@ object JsonlStats {
   val PosMeta = "_pos"   // 0-based row position within that file
 
   /** Manifest entry: data file path (relative to the table root), its
-    * closed [min, max] interval over [[statsColumn]], its row count, and
+    * closed [min, max] interval over [[statsColumn]], its row count,
     * — for key-grouped layouts — the single partition-column value every
-    * row of the file carries (`pkey`; absent on unkeyed layouts). */
+    * row of the file carries (`pkey`; absent on unkeyed layouts), and
+    * (r7b) `cols`: per-column [min, max] intervals for EVERY numeric
+    * column the writer saw non-null values of — the Iceberg/Delta
+    * full-stats shape, generalizing the single stats column. A column
+    * absent from `cols` is UNKNOWN (no pruning, no pushdown), which is
+    * both the all-null case and the legacy-manifest case — absence is
+    * always conservative, never a sentinel. */
   final case class FileStats(file: String, min: Double, max: Double, rows: Long,
-                             pkey: Option[String] = None)
+                             pkey: Option[String] = None,
+                             cols: Map[String, (Double, Double)] = Map.empty)
+
+  /** Bounds of `col` for a file: the multi-column map first, falling
+    * back to the legacy single-stats interval (whose all-null sentinel
+    * means unknown). */
+  def colBounds(s: FileStats, col: String, statsCol: String): Option[(Double, Double)] =
+    s.cols.get(col).orElse {
+      if (col == statsCol && !(s.min == Double.MinValue && s.max == Double.MaxValue))
+        Some((s.min, s.max))
+      else None
+    }
 
   /** Manifest history dir: `_history/v{N}.jsonl` is the manifest that
     * WAS current until version N+1 was published ([[publishManifest]]
@@ -178,12 +195,24 @@ object JsonlStats {
       .filter(_.nonEmpty)
       .map { line =>
         val n = mapper.readTree(line)
+        val cols =
+          if (!n.hasNonNull("cols")) Map.empty[String, (Double, Double)]
+          else {
+            val c = n.get("cols")
+            val b = Map.newBuilder[String, (Double, Double)]
+            c.fieldNames().asScala.foreach { f =>
+              val e = c.get(f)
+              b += f -> (e.get("min").asDouble(), e.get("max").asDouble())
+            }
+            b.result()
+          }
         // n_rows is optional in the manifest (older manifests carry only
         // bounds); -1 marks it absent, which declines aggregate pushdown
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
           if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
-          if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None)
+          if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
+          cols)
       }
   }
 
@@ -196,6 +225,12 @@ object JsonlStats {
     n.put("file", s.file); n.put("min_value", s.min); n.put("max_value", s.max)
     if (s.rows >= 0) n.put("n_rows", s.rows)
     s.pkey.foreach(n.put("pkey", _))
+    if (s.cols.nonEmpty) {
+      val c = n.putObject("cols")
+      s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
+        val e = c.putObject(f); e.put("min", mn); e.put("max", mx)
+      }
+    }
     n.toString
   }
 
@@ -302,6 +337,17 @@ object JsonlStats {
         else None,
         if (n.hasNonNull("bloomColumn")) Some(n.get("bloomColumn").asText()) else None)
     }
+  }
+
+  /** The column a skippable predicate names, if its shape is one the
+    * interval test understands (numeric range/equality). */
+  def skipColumn(f: Filter): Option[String] = f match {
+    case GreaterThan(c, _: Number)        => Some(c)
+    case GreaterThanOrEqual(c, _: Number) => Some(c)
+    case LessThan(c, _: Number)           => Some(c)
+    case LessThanOrEqual(c, _: Number)    => Some(c)
+    case EqualTo(c, _: Number)            => Some(c)
+    case _                                => None
   }
 
   /** Can this predicate prune files against a [min, max] interval? */

@@ -25,14 +25,18 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   private var bloomPushed: Array[Filter] = Array.empty
   private var aggSchema: Option[StructType] = None
 
-  /** Accept skippable predicates for file pruning — stats-column
-    * range/equality for planning-time manifest skips, and (when the
-    * table declares a `bloomColumn`) equality/IN on that column for
-    * TASK-time bloom-sidecar skips ([[Bloom]]). Return EVERY filter as
-    * a residual — bounds prove a file irrelevant (never that all rows
-    * match) and blooms have false positives. */
+  /** Accept skippable predicates for file pruning — numeric range/
+    * equality on ANY column for planning-time manifest skips (r7b
+    * multi-column stats: each entry's `cols` map carries per-column
+    * bounds, with the legacy single-stats interval as the fallback for
+    * `statsCol`; a column absent from a file's map simply never prunes
+    * that file), and (when the table declares a `bloomColumn`)
+    * equality/IN on that column for TASK-time bloom-sidecar skips
+    * ([[Bloom]]). Return EVERY filter as a residual — bounds prove a
+    * file irrelevant (never that all rows match) and blooms have false
+    * positives. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(JsonlStats.supportsSkipping(_, statsCol))
+    pushed = filters.filter(f => JsonlStats.skipColumn(f).isDefined)
     bloomPushed = bloomCol match {
       case None => Array.empty
       case Some(bc) => filters.filter {
@@ -57,33 +61,35 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    def isStatsRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
-      case n: NamedReference => n.fieldNames.toSeq == Seq(statsCol)
-      case _ => false
+    def refCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _ => None
     }
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     val stats = JsonlStats.readStats(root, manifest)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
-    // min/max are served from the manifest's double bounds — offered for
-    // a double stats column as-is and for a LONG one via an exact
-    // toLong round-trip (manifest doubles are exact for longs below
-    // 2^53, which every key column in this engine satisfies; the writer
-    // derives them from getLong, r7). Declined for other types, and
-    // whenever any file carries the all-null sentinel bounds (the
-    // writer publishes [MinValue, MaxValue] for a file whose stats
-    // column was entirely null so it is never pruned — serving MIN/MAX
-    // from those sentinels would return them as data).
-    val hasSentinel = stats.exists(s =>
-      s.min == Double.MinValue && s.max == Double.MaxValue)
-    val statsType = full.fields.find(_.name == statsCol).map(_.dataType)
-    val servable = !hasSentinel &&
-      (statsType.contains(DoubleType) || statsType.contains(LongType))
-    val boundType = statsType.getOrElse(DoubleType)
+    // MIN/MAX are served from manifest bounds — for ANY numeric column
+    // (r7b multi-column stats), provided EVERY file has recorded bounds
+    // for it: [[JsonlStats.colBounds]] resolves the per-column map with
+    // the legacy single-stats interval as the statsCol fallback, and a
+    // file with no bounds (all-null column, legacy manifest, sentinel)
+    // makes the column unservable — serving a partial MIN/MAX would
+    // return metadata as data. Long bounds round-trip exactly through
+    // the manifest's doubles below 2^53 (every key column here). */
+    def servable(col: String): Option[DataType] = {
+      val t = full.fields.find(_.name == col).map(_.dataType)
+      val typed = t.contains(DoubleType) || t.contains(LongType)
+      val covered = stats.nonEmpty &&
+        stats.forall(s => JsonlStats.colBounds(s, col, statsCol).isDefined)
+      if (typed && covered) t else None
+    }
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
-      case m: Min if servable && isStatsRef(m.column) => Some(StructField("min_value", boundType))
-      case m: Max if servable && isStatsRef(m.column) => Some(StructField("max_value", boundType))
+      case m: Min => refCol(m.column).flatMap(c =>
+        servable(c).map(t => StructField(s"min:$c", t)))
+      case m: Max => refCol(m.column).flatMap(c =>
+        servable(c).map(t => StructField(s"max:$c", t)))
       case _ => None
     }
     if (fields.contains(None)) false
@@ -91,7 +97,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   }
 
   override def build(): Scan = aggSchema match {
-    case Some(s) => new JsonlManifestAggScan(root, s, manifest)
+    case Some(s) => new JsonlManifestAggScan(root, s, manifest, statsCol)
     case None =>
       // bloom probes hashed ONCE at planning, by the column's declared
       // type (must mirror the writer's hashing in JsonlFileSink); each
@@ -124,13 +130,14 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   * input partition carrying the (file-count-bounded) stats list; the
   * reader never opens a data file. */
 class JsonlManifestAggScan(root: String, aggSchema: StructType,
-                           manifest: String = "_stats.jsonl") extends Scan with Batch {
+                           manifest: String = "_stats.jsonl",
+                           statsCol: String = JsonlStats.statsColumn) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonlManifestAggPartition(JsonlStats.readStats(root, manifest), aggSchema))
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root, manifest), aggSchema, statsCol))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -139,15 +146,19 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
           private val it = part.stats.iterator
           private var cur: JsonlStats.FileStats = _
           override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-          // a LONG stats column's bounds round-trip exactly through the
-          // manifest's doubles below 2^53 (pushAggregation gates on type)
+          // field naming from pushAggregation: count_star | min:<col> |
+          // max:<col>; per-column bounds resolved like pruning does
+          // (pushAggregation proved coverage, so .get is safe). A LONG
+          // column's bounds round-trip exactly through the manifest's
+          // doubles below 2^53 (pushAggregation gates on type).
           override def get(): InternalRow = InternalRow.fromSeq(part.schema.fields.toSeq.map { f =>
+            def bounds(col: String) = JsonlStats.colBounds(cur, col, part.statsCol).get
             (f.name, f.dataType) match {
-              case ("count_star", _)       => cur.rows
-              case ("min_value", LongType) => cur.min.toLong
-              case ("max_value", LongType) => cur.max.toLong
-              case ("min_value", _)        => cur.min
-              case ("max_value", _)        => cur.max
+              case ("count_star", _) => cur.rows
+              case (n, LongType) if n.startsWith("min:") => bounds(n.stripPrefix("min:"))._1.toLong
+              case (n, LongType) if n.startsWith("max:") => bounds(n.stripPrefix("max:"))._2.toLong
+              case (n, _) if n.startsWith("min:")        => bounds(n.stripPrefix("min:"))._1
+              case (n, _) if n.startsWith("max:")        => bounds(n.stripPrefix("max:"))._2
             }
           })
           override def close(): Unit = ()
@@ -157,7 +168,9 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
 }
 
 final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
-                                           schema: StructType) extends InputPartition
+                                           schema: StructType,
+                                           statsCol: String = JsonlStats.statsColumn)
+    extends InputPartition
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      statsCol: String = JsonlStats.statsColumn,
@@ -352,7 +365,13 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
 
   private def survivingStats(): Seq[JsonlStats.FileStats] =
     statsSnapshot
-      .filter(s => pushed.forall(f => JsonlStats.intervalMayMatch(f, s.min, s.max)))
+      .filter(s => pushed.forall { f =>
+        // per-column bounds (legacy stats interval as statsCol fallback);
+        // a column with no recorded bounds never prunes — conservative
+        JsonlStats.skipColumn(f)
+          .flatMap(c => JsonlStats.colBounds(s, c, statsCol))
+          .forall { case (mn, mx) => JsonlStats.intervalMayMatch(f, mn, mx) }
+      })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
       .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
 

@@ -59,7 +59,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
 }
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
-                                 pkey: Option[String] = None)
+                                 pkey: Option[String] = None,
+                                 cols: Map[String, (Double, Double)] = Map.empty)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -133,7 +134,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       }
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -229,7 +230,7 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
@@ -266,6 +267,14 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
   private var rows = 0L
+  // full per-column stats (r7b): every numeric column's running
+  // [min, max] over its NON-NULL values — the Iceberg/Delta shape.
+  // Long bounds are exact through doubles below 2^53 (engine law).
+  private val numIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == DoubleType => i
+  }
+  private val colMn = Array.fill(numIdx.length)(Double.PositiveInfinity)
+  private val colMx = Array.fill(numIdx.length)(Double.NegativeInfinity)
 
   def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
@@ -288,6 +297,19 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       if (v < mn) mn = v
       if (v > mx) mx = v
     }
+    var ci = 0
+    while (ci < numIdx.length) {
+      val i = numIdx(ci)
+      if (!row.isNullAt(i)) {
+        val v = writeSchema.fields(i).dataType match {
+          case LongType => row.getLong(i).toDouble
+          case _        => row.getDouble(i)
+        }
+        if (v < colMn(ci)) colMn(ci) = v
+        if (v > colMx(ci)) colMx(ci) = v
+      }
+      ci += 1
+    }
     if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
       bloomHashes += (writeSchema.fields(bloomIdx).dataType match {
         case LongType   => Bloom.hashLong(row.getLong(bloomIdx))
@@ -306,11 +328,17 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     // bloom sidecar rides next to its data file, written before the
     // commit message exists (a crash leaves both unmanifested)
     if (bloomIdx >= 0) Bloom.writeSidecar(path, bloomHashes.toArray)
+    // all-null columns are simply ABSENT from the map (absence =
+    // unknown = never pruned, no sentinel needed at this layer)
+    val cols = numIdx.indices.collect {
+      case ci if colMn(ci) <= colMx(ci) =>
+        writeSchema.fields(numIdx(ci)).name -> (colMn(ci), colMx(ci))
+    }.toMap
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
-      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey)
-    else JsonlFileCommit(fileName, mn, mx, rows, pkey)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols)
   }
 
   def abort(): Unit = {

@@ -493,6 +493,71 @@ object JsonlStatsQueries extends QueryModule {
         min($"user_id").as("min_user"), max($"user_id").as("max_user"))
   }
 
+  /** The EVENT-ID-RANGED fixture with FULL per-column stats (r7b):
+    * events written through the connector range-partitioned on
+    * `event_id` while the DECLARED stats column stays `value` — so the
+    * legacy manifest interval indexes value (loose: value is random per
+    * id bucket) but the writer's per-column `cols` map carries tight
+    * `event_id` bounds and full-span `user_id`/`value` bounds. The
+    * layout where multi-column stats do real work: predicates and
+    * MIN/MAX on columns the table was never DECLARED to index. */
+  def ensureMultiColFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_multicol")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"event_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** The multi-column-stats frame, exposed for plan/pruning specs. */
+  def multiColFrame(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureMultiColFixture(spark, d)).load()
+
+  /** q188 (r7b): MULTI-COLUMN MIN/MAX pushdown — COUNT plus MIN/MAX of
+    * THREE columns (the declared stats column and two the table never
+    * indexed) answered entirely from the manifest's per-column bounds
+    * map with zero data-file IO (plan substitution + bare-copy proof in
+    * JsonlStatsSpec). The Iceberg/Delta full-stats shape: any numeric
+    * column EVERY file recorded non-null bounds for is servable
+    * metadata; one uncovered file makes the column unservable rather
+    * than wrong. Long bounds are exact through the manifest's doubles
+    * below 2^53 (engine law). */
+  def multiColAggregate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    multiColFrame(spark, d)
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
+  /** q189 (r7b): planning-time file skipping on a NON-stats column —
+    * the fixture is event-id-ranged, so each file's `cols` map carries
+    * a tight, disjoint event_id interval and the `event_id <= max/8`
+    * predicate proves ~7 of 8 files irrelevant before any task
+    * launches, even though the table's declared stats column is
+    * `value` (whose legacy interval would prune nothing here).
+    * Pruned-file counts asserted in JsonlStatsSpec; the oracle
+    * re-derives from parquet — pruning must be invisible in the
+    * result. The scalar cut is one driver-side long (bounded), the
+    * same `max/8` idiom as q162's cohort cut. */
+  def multiColSkippingScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cut = Tables.events(spark, d).agg(max($"event_id")).head().getLong(0) / 8L
+    multiColFrame(spark, d)
+      .filter($"event_id" <= cut)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q171: the V2 FUNCTION path (`FunctionCatalog` +
     * [[GraftCatalog.SqNormBound]]): `sqnorm` is a catalog-scoped scalar
     * function with the magic `invoke` method, so Spark binds it as a
@@ -833,6 +898,8 @@ object JsonlStatsQueries extends QueryModule {
     "q182_replace_where" -> replaceWhere,
     "q184_bloom_skipping" -> bloomPointLookup,
     "q185_catalog_clone" -> catalogClone,
+    "q188_multicol_agg_pushdown" -> multiColAggregate,
+    "q189_multicol_skipping" -> multiColSkippingScan,
   )
 
   val oracles = Map(
@@ -977,6 +1044,19 @@ object JsonlStatsQueries extends QueryModule {
         |       CAST(NULL AS DOUBLE) AS before_value, value AS after_value
         |FROM adj
         |ORDER BY change_type, event_id""".stripMargin,
+    "q188_multicol_agg_pushdown" ->
+      """SELECT count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events""".stripMargin,
+    "q189_multicol_skipping" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_id <= (SELECT max(event_id) // 8 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

@@ -405,8 +405,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * the skipping story (a needle lookup should show skips ≈ tasks
     * and bytes ≈ 0). */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new JsonlSumMetric("bloomSkippedRanges", "ranges skipped by bloom sidecar probes"),
-      new JsonlSumMetric("dataBytesRead", "data-file bytes consumed by readers"))
+    Array(new JsonlBloomSkipMetric, new JsonlBytesReadMetric)
 
   /** Streaming leg: the manifest doubles as the source of incremental
     * progress. An offset is the SET of manifested files; each micro-batch
@@ -477,12 +476,21 @@ final case class JsonlKeyedFilePartition(file: String, key: String)
   override def partitionKey(): InternalRow = row
 }
 
-/** Sum-aggregated connector metric (one value per task, summed for the
-  * plan node). */
-class JsonlSumMetric(mName: String, mDesc: String)
+/** Sum-aggregated connector metrics (one value per task, summed for the
+  * plan node). Each is a top-level ZERO-ARG class: Spark re-instantiates
+  * the metric class reflectively on the driver when aggregating task
+  * values for the UI, so a parameterized class silently breaks
+  * aggregation (SparkException per query, metric never surfaces). */
+class JsonlBloomSkipMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = mName
-  override def description(): String = mDesc
+  override def name(): String = "bloomSkippedRanges"
+  override def description(): String = "ranges skipped by bloom sidecar probes"
+}
+
+class JsonlBytesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dataBytesRead"
+  override def description(): String = "data-file bytes consumed by readers"
 }
 
 class JsonlReaderFactory(required: StructType,

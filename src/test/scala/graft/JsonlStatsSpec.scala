@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -1059,17 +1059,41 @@ class JsonlStatsSpec extends SparkSpec {
     val got = table.filter($"user_id" === maxUid).select($"event_id")
     val expect = ev.filter($"user_id" === maxUid).select($"event_id")
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
-    // absent key: empty result AND the tasks actually skipped parses —
-    // the counter moves by ~every file (a rare bloom false positive
-    // costs one redundant parse, hence >= size - 1)
+    // absent key OUTSIDE the global id span: since r7b the per-column
+    // stats already prove every file irrelevant at PLANNING time — zero
+    // tasks, the blooms never even probe (the cheaper layer wins)
+    val absurd = maxUid + 987654321L
+    val planned = {
+      val sb = new JsonlStatsScanBuilder(dir, JsonlStats.schema)
+      sb.pushFilters(Array(EqualTo("user_id", Long.box(absurd))))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(planned === 0,
+      s"r7b per-column stats should prune an out-of-span probe at planning, kept $planned")
+    // LEGACY posture (pre-r7b manifest with no per-column map — the
+    // bloom tier's real habitat): same table, cols stripped from a
+    // fixture copy. Planning now keeps every file (user_id bounds are
+    // unknown; the value-ranged layout's own stats column can't help)
+    // and the BLOOM sidecars do the skipping at task time — the counter
+    // moves by ~every file (a rare false positive costs one redundant
+    // parse, hence >= size - 1).
+    val legacy = Files.createTempDirectory("jsonl_bloom_legacy")
+    Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach { p =>
+        val dst = legacy.resolve(java.nio.file.Paths.get(dir).relativize(p).toString)
+        Files.createDirectories(dst.getParent)
+        Files.copy(p, dst)
+      }
+    Files.write(legacy.resolve("_stats.jsonl"),
+      JsonlStats.readStats(legacy.toString)
+        .map(s => JsonlStats.statsLine(s.copy(cols = Map.empty))).sorted.asJava)
+    val legacyTable = spark.read.format("graft-jsonl-stats")
+      .option("path", legacy.toString).option("bloomColumn", "user_id").load()
     val before = Bloom.skippedFiles.sum()
-    assert(table.filter($"user_id" === (maxUid + 987654321L)).isEmpty)
+    assert(legacyTable.filter($"user_id" === absurd).isEmpty)
     val skipped = Bloom.skippedFiles.sum() - before
     assert(skipped >= stats.size - 1,
       s"expected ~${stats.size} bloom-skipped files, got $skipped")
-    // bounds-only stats can't prune this predicate (value-ranged layout
-    // spans the id space), so the skip is attributable to the blooms
-    assert(stats.forall(s => s.min <= s.max))
   }
 
   test("q185: clone is zero-copy, and the tables diverge without interference (r7)") {
@@ -1169,6 +1193,134 @@ class JsonlStatsSpec extends SparkSpec {
     // and the data survived the byte concat intact
     val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
     assert(back.count() === 3 && back.filter(org.apache.spark.sql.functions.col("value").isNull).count() === 1)
+  }
+
+  test("q188/q189: multi-column stats serve pruning and MIN/MAX on undeclared columns (r7b)") {
+    import spark.implicits._
+    val root = JsonlStatsQueries.ensureMultiColFixture(spark, sfDir)
+    val stats = JsonlStats.readStats(root)
+    assert(stats.size >= 8, "fixture must fan out across id-range files")
+    // 1. writer truth: each manifest entry's per-column bounds equal the
+    //    file's actual min/max for every numeric column (checked through
+    //    the connector's own _file provenance, so the test never guesses
+    //    the layout)
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val perFile = JsonlStatsQueries.multiColFrame(spark, sfDir)
+      .groupBy(col(JsonlStats.FileMeta).as("f"))
+      .agg(min($"event_id").as("ei_lo"), max($"event_id").as("ei_hi"),
+        min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+        min($"value").as("v_lo"), max($"value").as("v_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    stats.foreach { s =>
+      val r = perFile(s"$absRoot/${s.file}")
+      assert(s.cols("event_id") === ((r.getLong(1).toDouble, r.getLong(2).toDouble)))
+      assert(s.cols("user_id") === ((r.getLong(3).toDouble, r.getLong(4).toDouble)))
+      assert(s.cols("value") === ((r.getDouble(5), r.getDouble(6))))
+    }
+    // 2. planning-time pruning on a column the table never DECLARED as
+    //    its stats column: the id-range layout gives tight event_id
+    //    intervals, so the q189 cut prunes most files
+    val schema = JsonlStatsQueries.multiColFrame(spark, sfDir).schema
+    def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(root, schema)
+      val residual = sb.pushFilters(filters.toArray)
+      assert(residual.toSeq === filters.toSeq, "stats prove absence, never presence")
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val total = partitionsFor()
+    val cut = graft.ingest.Tables.events(spark, sfDir)
+      .agg(max($"event_id")).head().getLong(0) / 8L
+    val kept = partitionsFor(LessThanOrEqual("event_id", Long.box(cut)))
+    assert(kept < total / 2, s"event_id cut should prune most files, kept $kept/$total")
+    // 3. q188's plan substitutes the manifest-agg scan — MIN/MAX over
+    //    three columns, two of them undeclared — and a bare copy with
+    //    every data file deleted still answers it (zero data IO)
+    val agg = JsonlStatsQueries.multiColAggregate(spark, sfDir)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan).collect { case b: BatchScanExec => b }
+    assert(scans.size === 1 && scans.head.scan.isInstanceOf[JsonlManifestAggScan])
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    assert(agg.collect().toSeq === expect.collect().toSeq)
+    val bare = Files.createTempDirectory("jsonl_multicol_bare")
+    Files.copy(Paths.get(root, "_stats.jsonl"), bare.resolve("_stats.jsonl"))
+    Files.copy(Paths.get(root, "_table.json"), bare.resolve("_table.json"))
+    val bareAgg = spark.read.format("graft-jsonl-stats")
+      .option("path", bare.toString).load()
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    assert(bareAgg.collect().toSeq === expect.collect().toSeq)
+    // 4. pruning is invisible in the q189 result
+    val q189 = JsonlStatsQueries.multiColSkippingScan(spark, sfDir)
+    val expect189 = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"event_id" <= cut)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(q189.collect().toSeq === expect189.collect().toSeq)
+    // 5. legacy conservatism: the hand-written q152 manifest carries no
+    //    per-column map, so an event_id predicate pushes but prunes
+    //    NOTHING (absence of bounds never skips a file; the MIN-decline
+    //    twin lives in the unsafe-shapes test above)
+    val legacy = new JsonlStatsScanBuilder(fixture, JsonlStats.schema)
+    legacy.pushFilters(Array(LessThanOrEqual("event_id", Long.box(10L))))
+    assert(legacy.build().toBatch.planInputPartitions().length
+      === JsonlStats.readStats(fixture).size)
+  }
+
+  test("compaction merges per-column bounds; a member missing a column drops it (r7b)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Min}
+    def declined(dir: String, colName: String): Boolean =
+      !new JsonlStatsScanBuilder(dir, JsonlStats.schema).pushAggregation(
+        new Aggregation(Array(new Min(Expressions.column(colName))), Array.empty))
+    // (a) both members carry full maps → merged bounds are the union
+    val both = Files.createTempDirectory("jsonl_compact_cols").toString
+    Files.write(Paths.get(both, "a.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 1, "user_id": 5, "event_type": "click", "value": 10.0}"""))
+    Files.write(Paths.get(both, "b.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 9, "user_id": 2, "event_type": "view", "value": 30.0}"""))
+    Files.write(Paths.get(both, "_stats.jsonl"), java.util.Arrays.asList(
+      JsonlStats.statsLine(JsonlStats.FileStats("a.jsonl", 10.0, 10.0, 1, None,
+        Map("event_id" -> ((1.0, 1.0)), "user_id" -> ((5.0, 5.0)), "value" -> ((10.0, 10.0))))),
+      JsonlStats.statsLine(JsonlStats.FileStats("b.jsonl", 30.0, 30.0, 1, None,
+        Map("event_id" -> ((9.0, 9.0)), "user_id" -> ((2.0, 2.0)), "value" -> ((30.0, 30.0)))))))
+    GraftProcedures.compact(both, 1L << 20)
+    val m = JsonlStats.readStats(both)
+    assert(m.size === 1)
+    assert(m.head.cols === Map("event_id" -> ((1.0, 9.0)),
+      "user_id" -> ((2.0, 5.0)), "value" -> ((10.0, 30.0))))
+    assert(!declined(both, "event_id") && !declined(both, "user_id"))
+    // (b) one legacy member (no per-column map) → the merged entry keeps
+    //     only the legacy stats interval; event_id becomes unservable
+    //     while the declared stats column still serves (interval merge)
+    val mixed = Files.createTempDirectory("jsonl_compact_mixed").toString
+    Files.write(Paths.get(mixed, "a.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 1, "user_id": 5, "event_type": "click", "value": 10.0}"""))
+    Files.write(Paths.get(mixed, "b.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 9, "user_id": 2, "event_type": "view", "value": 30.0}"""))
+    Files.write(Paths.get(mixed, "_stats.jsonl"), java.util.Arrays.asList(
+      JsonlStats.statsLine(JsonlStats.FileStats("a.jsonl", 10.0, 10.0, 1, None,
+        Map("event_id" -> ((1.0, 1.0)), "value" -> ((10.0, 10.0))))),
+      """{"file":"b.jsonl","min_value":30.0,"max_value":30.0,"n_rows":1}"""))
+    GraftProcedures.compact(mixed, 1L << 20)
+    val mm = JsonlStats.readStats(mixed)
+    assert(mm.size === 1)
+    assert(mm.head.cols.isEmpty,
+      "a member with unknown bounds for a column must poison that column")
+    assert(mm.head.min === 10.0 && mm.head.max === 30.0 && mm.head.rows === 2)
+    assert(declined(mixed, "event_id"), "uncovered column must decline MIN pushdown")
+    assert(!declined(mixed, "value"), "the declared stats interval still serves")
   }
 
   test("reader surfaces absent JSON fields as nulls") {

@@ -313,13 +313,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "history" => new GraftProcedures.HistoryUnbound(root)
       case "vacuum"  => new GraftProcedures.VacuumUnbound(root)
       case "clone"   => new GraftProcedures.CloneUnbound(root)
+      case "zorder"  => new GraftProcedures.ZOrderUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"))
+        Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"),
+        Identifier.of(namespace, "zorder"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -85,6 +85,63 @@ object GraftProcedures {
       s"compact result: $before -> $after files ($merged merged)"
   }
 
+  class ZOrderUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "zorder(table, col_a, col_b, target_bytes): rewrite data files clustered by the Morton interleave of two columns"
+    override def bind(inputType: StructType): BoundProcedure = new ZOrderBound(root)
+  }
+
+  /** `CALL <cat>.zorder('<table>', 'col_a', 'col_b'[, target_bytes])` —
+    * OPTIMIZE ZORDER BY for the manifest protocol. Unlike [[compact]]
+    * (a byte-level repack that never parses a row), zorder is a full
+    * REWRITE: rows are re-bucketed by the Morton interleave of the two
+    * named columns' 256-rank range buckets and re-written range-
+    * partitioned + sorted by that z-value, so each output file covers a
+    * compact z-cell run. The payoff is pure synergy with the r7b
+    * per-column manifest stats: a z-clustered file has TIGHT bounds on
+    * BOTH dimensions at once, so an ordinary 2-D box predicate prunes
+    * ≈ the product of the selectivities from the manifest alone — no
+    * z-cell arithmetic, no bounds artifact, no special read path (the
+    * `ingest/ZOrder` parquet variant needs all three; here the manifest
+    * IS the index and plain range predicates do the work). */
+  class ZOrderBound(root: String) extends BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite the table clustered by the Morton interleave of two columns"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col_a", StringType).build(),
+      ProcedureParameter.in("col_b", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val colA = input.getUTF8String(1).toString
+      val colB = input.getUTF8String(2).toString
+      val target = input.getLong(3)
+      require(target > 0, s"target_bytes must be positive, got $target")
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (before, after, rows) = GraftProcedures.zorder(dir.toString, colA, colB, target)
+      java.util.List.of[Scan](new ZOrderResultScan(before, after, rows)).iterator()
+    }
+  }
+
+  /** CALL's result set: one row of rewrite accounting. */
+  class ZOrderResultScan(before: Int, after: Int, rows: Long) extends LocalScan {
+    override def readSchema(): StructType = StructType(Seq(
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow(before, after, rows))
+    override def description(): String =
+      s"zorder result: $before -> $after files, $rows rows"
+  }
+
   class HistoryUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "history"
     override def description(): String =
@@ -330,6 +387,75 @@ object GraftProcedures {
     * sub-target files, binned WITHIN each pkey (an unkeyed table is one
     * key group of None); only bins of ≥2 members rewrite anything.
     * Returns (files_before, files_after, files_merged). */
+  /** The zorder rewrite: read the live generation through the connector,
+    * cluster by the Morton interleave of `colA`/`colB`, write back
+    * through the connector's own overwrite path. Self-overwrite is safe
+    * by the table format's own laws: the scan pins the live manifest at
+    * planning, writer tasks emit attempt-unique new files, the atomic
+    * manifest swap is the only visibility change, and deferred GC keeps
+    * the old generation's files on disk for its archived snapshot —
+    * so `VERSION AS OF` still reads the pre-zorder layout afterwards.
+    *
+    * Refuses key-grouped layouts: re-clustering would destroy the
+    * one-pkey-per-file contract the SPJ leg depends on ([[compact]]
+    * preserves keys by never binning across them; zorder by definition
+    * mixes rows across files). Bucket ranks use double math over the
+    * observed [min, max] of each dimension — monotone, which is all
+    * clustering needs (no read-side mirror exists to disagree with:
+    * the manifest bounds the writer measures ARE the index).
+    * Null dimension values rank as bucket 0 (clustered together,
+    * still within every file's recorded non-null bounds only). */
+  def zorder(tableRoot: String, colA: String, colB: String, targetBytes: Long): (Int, Int, Long) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    require(meta.partitionCol.isEmpty,
+      "zorder refuses key-grouped layouts: re-clustering would destroy the " +
+        "one-pkey-per-file SPJ contract (compact preserves keys; zorder cannot)")
+    val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
+    val spark = SparkSession.active
+    val stats = JsonlStats.readStats(tableRoot)
+    val liveBytes = stats.map { s =>
+      val p = Paths.get(tableRoot, s.file)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+    var reader = spark.read.format("graft-jsonl-stats")
+      .option("path", tableRoot).option("statsColumn", statsCol)
+    meta.bloomCol.foreach(bc => reader = reader.option("bloomColumn", bc))
+    meta.schema.foreach(s => reader = reader.schema(s))
+    val df = reader.load()
+    require(df.columns.contains(colA) && df.columns.contains(colB),
+      s"zorder columns must exist in the table schema: $colA, $colB vs ${df.columns.mkString(",")}")
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (b.isNullAt(0) || b.isNullAt(2))
+      // empty table or an all-null dimension: no meaningful clustering
+      return (stats.size, stats.size, math.max(0L, stats.map(_.rows).sum))
+    // 256 range buckets per dimension (8 bits each → 16-bit z), monotone
+    def bucket(c: Column, mn: Double, mx: Double): Column =
+      if (mx <= mn) lit(0)
+      else least(lit(255), greatest(lit(0),
+        floor((c.cast("double") - lit(mn)) / lit(mx - mn) * 256).cast("int")))
+    val bx = coalesce(bucket(col(colA), b.getDouble(0), b.getDouble(1)), lit(0))
+    val by = coalesce(bucket(col(colB), b.getDouble(2), b.getDouble(3)), lit(0))
+    val zc = (0 until 8).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    var writer = df.withColumn("__graft_z", zc)
+      .repartitionByRange(nOut, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.format("graft-jsonl-stats")
+      .option("path", tableRoot).option("statsColumn", statsCol)
+    meta.bloomCol.foreach(bc => writer = writer.option("bloomColumn", bc))
+    writer.mode("overwrite").save()
+    val after = JsonlStats.readStats(tableRoot)
+    (stats.size, after.size, after.map(_.rows).sum)
+  }
+
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
     val stats = JsonlStats.readStats(tableRoot)
     val sized = stats.map(s => s -> {

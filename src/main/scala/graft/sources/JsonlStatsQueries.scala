@@ -558,6 +558,34 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q190 (r7b): OPTIMIZE ZORDER —
+    * `CALL <cat>.zorder('<t>', 'user_id', 'value')` rewrites the table
+    * clustered by the Morton interleave of the two columns, after which
+    * the per-column manifest bounds ALONE prune a 2-D box predicate to
+    * ≈ the product of the selectivities — no z-cell arithmetic and no
+    * special read path, unlike the parquet z-order tier (q49), which
+    * needs a bounds artifact and an isin partition filter. Here the
+    * manifest is the index and two ordinary range predicates do the
+    * work (pruning fractions asserted in JsonlStatsSpec). Idempotent
+    * across reps: re-clustering never changes content, and the box
+    * aggregate hash-matches the parquet oracle regardless of layout. */
+  def catalogZOrder(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val t = "jsonl_mut_zorder"
+    ensureMutableTable(spark, d, t)
+    spark.sql(s"CALL $cat.zorder('$t', 'user_id', 'value', ${256L * 1024})")
+    val quarter =
+      (Tables.events(spark, d).agg(max($"user_id")).head().getLong(0) + 1L) / 4L
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.$t
+         |WHERE user_id <= $quarter AND value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q171: the V2 FUNCTION path (`FunctionCatalog` +
     * [[GraftCatalog.SqNormBound]]): `sqnorm` is a catalog-scoped scalar
     * function with the magic `invoke` method, so Spark binds it as a
@@ -900,6 +928,7 @@ object JsonlStatsQueries extends QueryModule {
     "q185_catalog_clone" -> catalogClone,
     "q188_multicol_agg_pushdown" -> multiColAggregate,
     "q189_multicol_skipping" -> multiColSkippingScan,
+    "q190_catalog_zorder" -> catalogZOrder,
   )
 
   val oracles = Map(
@@ -1057,6 +1086,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_id <= (SELECT max(event_id) // 8 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q190_catalog_zorder" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM events
+         |WHERE user_id <= (SELECT (max(user_id) + 1) // 4 FROM events)
+         |  AND value >= $threshold
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

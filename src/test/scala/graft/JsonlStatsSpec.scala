@@ -1323,6 +1323,59 @@ class JsonlStatsSpec extends SparkSpec {
     assert(!declined(mixed, "value"), "the declared stats interval still serves")
   }
 
+  test("q190: zorder rewrite — 2-D pruning from per-column bounds alone, snapshots survive (r7b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.Filter
+    val dir = Files.createTempDirectory("jsonl_zorder").toString
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val preFiles = JsonlStats.readStats(dir).size
+    val (b, a, n) = GraftProcedures.zorder(dir, "user_id", "value", 8L * 1024)
+    assert(b === preFiles && n === ev.count())
+    val after = JsonlStats.readStats(dir)
+    assert(after.size === a && a >= 8, s"want a multi-file z layout, got $a")
+    // the rewrite is invisible to content
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // 2-D pruning from the cols map alone: each dimension prunes, and
+    // the box keeps ≈ the product of the selectivities (no z-cell
+    // machinery on the read path — plain range predicates)
+    val maxU = ev.agg(max($"user_id")).head().getLong(0)
+    val maxV = ev.agg(max($"value")).head().getDouble(0)
+    def kept(filters: Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(dir, JsonlStats.schema)
+      sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val total = kept()
+    assert(total === a)
+    val uCut = LessThanOrEqual("user_id", Long.box(maxU / 4))
+    val vCut = GreaterThanOrEqual("value", Double.box(maxV * 3 / 4))
+    val (uKept, vKept) = (kept(uCut), kept(vCut))
+    assert(uKept < total && vKept < total,
+      s"each dimension should prune on the z layout ($uKept, $vKept of $total)")
+    val boxKept = kept(uCut, vCut)
+    assert(boxKept <= math.min(uKept, vKept))
+    assert(boxKept < total / 2, s"2-D box should prune most files, kept $boxKept/$total")
+    // deferred GC: the pre-zorder snapshot still reads in full
+    val prev = JsonlStats.historyVersions(dir).last
+    val snapshot = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("manifest", s"${JsonlStats.HistoryDir}/v$prev.jsonl").load()
+    assert(snapshot.count() === n)
+    // key-grouped layouts refuse: re-clustering would destroy SPJ
+    val keyed = Files.createTempDirectory("jsonl_zorder_keyed").toString
+    Files.write(Paths.get(keyed, "a.jsonl"), java.util.Arrays.asList(
+      """{"event_id": 1, "user_id": 1, "event_type": "click", "value": 10.0}"""))
+    Files.write(Paths.get(keyed, "_stats.jsonl"), java.util.Arrays.asList(
+      JsonlStats.statsLine(JsonlStats.FileStats("a.jsonl", 10.0, 10.0, 1, Some("click")))))
+    JsonlStats.writeTableMeta(keyed, "value", Some("event_type"), JsonlStats.schema)
+    intercept[IllegalArgumentException] {
+      GraftProcedures.zorder(keyed, "user_id", "value", 8L * 1024)
+    }
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

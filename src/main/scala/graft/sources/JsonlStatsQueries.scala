@@ -558,6 +558,27 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q191 (r7b): GROUPED aggregate pushdown — GROUP BY the partition
+    * column of a key-grouped layout is answered from the manifest
+    * alone: every row of a file carries the file's one `pkey`, so one
+    * partial row per file (pkey, rows, bounds) is a correct per-group
+    * partial aggregation and Spark's final aggregate merges per key
+    * (count→sum, min→min, max→max). COUNT rides `n_rows`; MIN/MAX of
+    * the stats column ride the declared interval. Zero data IO
+    * (plan-asserted + bare-copy-proven in JsonlStatsSpec) — the
+    * per-partition profile a 100-TB table should answer from metadata.
+    * Any other grouping is declined and the scan path answers it. */
+  def keyedGroupAggregate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureTypeKeyedFact(spark, d))
+      .option("partitionColumn", "event_type").load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
   /** q190 (r7b): OPTIMIZE ZORDER —
     * `CALL <cat>.zorder('<t>', 'user_id', 'value')` rewrites the table
     * clustered by the Morton interleave of the two columns, after which
@@ -929,6 +950,7 @@ object JsonlStatsQueries extends QueryModule {
     "q188_multicol_agg_pushdown" -> multiColAggregate,
     "q189_multicol_skipping" -> multiColSkippingScan,
     "q190_catalog_zorder" -> catalogZOrder,
+    "q191_grouped_agg_pushdown" -> keyedGroupAggregate,
   )
 
   val oracles = Map(
@@ -1094,6 +1116,12 @@ object JsonlStatsQueries extends QueryModule {
          |  AND value >= $threshold
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    "q191_grouped_agg_pushdown" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->
       """WITH merged AS (
         |  SELECT event_type,

@@ -65,10 +65,29 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
       case _ => None
     }
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    if (pushed.nonEmpty) return false
     val stats = JsonlStats.readStats(root, manifest)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
+    // GROUPED pushdown (r7b): servable ONLY when the single grouping
+    // expression IS the table's partition column of a fully key-grouped
+    // layout — every row of a file then carries that file's one `pkey`,
+    // so one partial row per file is a correct per-group partial
+    // aggregation (Spark's final aggregate merges count→sum, min→min,
+    // max→max per key). Any other grouping has per-group state the
+    // manifest doesn't carry — declined, the scan path answers it.
+    val groupFields: Option[Seq[StructField]] = agg.groupByExpressions().toSeq match {
+      case Seq() => Some(Seq.empty)
+      case Seq(g) => (refCol(g), partitionCol) match {
+        case (Some(c), Some(pc)) if c == pc && stats.nonEmpty &&
+            stats.forall(_.pkey.isDefined) &&
+            full.fields.exists(f => f.name == pc && f.dataType == StringType) =>
+          Some(Seq(StructField(s"group:$pc", StringType, nullable = false)))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (groupFields.isEmpty) return false
     // MIN/MAX are served from manifest bounds — for ANY numeric column
     // (r7b multi-column stats), provided EVERY file has recorded bounds
     // for it: [[JsonlStats.colBounds]] resolves the per-column map with
@@ -93,7 +112,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case _ => None
     }
     if (fields.contains(None)) false
-    else { aggSchema = Some(StructType(fields.flatten)); true }
+    else { aggSchema = Some(StructType(groupFields.get ++ fields.flatten)); true }
   }
 
   override def build(): Scan = aggSchema match {
@@ -155,6 +174,9 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
             def bounds(col: String) = JsonlStats.colBounds(cur, col, part.statsCol).get
             (f.name, f.dataType) match {
               case ("count_star", _) => cur.rows
+              // grouped pushdown: the file's single pkey IS its group
+              // (pushAggregation proved every file carries one)
+              case (n, _) if n.startsWith("group:") => UTF8String.fromString(cur.pkey.get)
               case (n, LongType) if n.startsWith("min:") => bounds(n.stripPrefix("min:"))._1.toLong
               case (n, LongType) if n.startsWith("max:") => bounds(n.stripPrefix("max:"))._2.toLong
               case (n, _) if n.startsWith("min:")        => bounds(n.stripPrefix("min:"))._1

@@ -1323,6 +1323,49 @@ class JsonlStatsSpec extends SparkSpec {
     assert(!declined(mixed, "value"), "the declared stats interval still serves")
   }
 
+  test("q191: grouped aggregate pushdown serves per-key counts/bounds from the manifest (r7b)") {
+    import spark.implicits._
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan).collect { case b: BatchScanExec => b.scan }
+    val agg = JsonlStatsQueries.keyedGroupAggregate(spark, sfDir)
+    assert(scanOf(agg).forall(_.isInstanceOf[JsonlManifestAggScan]),
+      "grouped aggregate must ride the manifest-only scan")
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"event_type")
+    assert(agg.collect().toSeq === expect.collect().toSeq)
+    // bare copy (manifest + meta only, every data file absent) still answers
+    val dir = JsonlStatsQueries.ensureTypeKeyedFact(spark, sfDir)
+    val bare = Files.createTempDirectory("jsonl_keyed_bare")
+    Files.copy(Paths.get(dir, "_stats.jsonl"), bare.resolve("_stats.jsonl"))
+    Files.copy(Paths.get(dir, "_table.json"), bare.resolve("_table.json"))
+    val bareAgg = spark.read.format("graft-jsonl-stats")
+      .option("path", bare.toString)
+      .option("partitionColumn", "event_type").load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"event_type")
+    assert(bareAgg.collect().toSeq === expect.collect().toSeq)
+    // declined shapes fall back to the row scan: grouping on a
+    // NON-partition column, and grouping over an unkeyed table
+    val byUser = spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("partitionColumn", "event_type").load()
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(scanOf(byUser).forall(_.isInstanceOf[JsonlStatsScan]))
+    val unkeyed = JsonlStatsQueries.scanFrame(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(scanOf(unkeyed).forall(_.isInstanceOf[JsonlStatsScan]))
+  }
+
   test("q190: zorder rewrite — 2-D pruning from per-column bounds alone, snapshots survive (r7b)") {
     import spark.implicits._
     import org.apache.spark.sql.sources.Filter

@@ -193,8 +193,11 @@ object JsonlStats {
     val mapper = new ObjectMapper()
     Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
       .filter(_.nonEmpty)
-      .map { line =>
-        val n = mapper.readTree(line)
+      .map(mapper.readTree)
+      // txn watermark lines (streaming sink ledger) ride in the same
+      // manifest; they are not file entries
+      .filter(_.hasNonNull("file"))
+      .map { n =>
         val cols =
           if (!n.hasNonNull("cols")) Map.empty[String, (Double, Double)]
           else {
@@ -232,6 +235,31 @@ object JsonlStats {
       }
     }
     n.toString
+  }
+
+  /** One streaming-txn watermark line: `{"txn": appId, "epoch": N}` —
+    * the Delta `txn` action in miniature, carried IN the manifest so
+    * ledger and data share the single atomic commit point (the manifest
+    * move). One line per appId, holding the HIGHEST committed epoch:
+    * epochs are sequential per app, so `epoch <= watermark` is the
+    * already-committed test a replayed micro-batch must fail. */
+  def txnLine(appId: String, epoch: Long): String = {
+    val n = new ObjectMapper().createObjectNode()
+    n.put("txn", appId); n.put("epoch", epoch)
+    n.toString
+  }
+
+  /** Streaming-txn watermarks of a manifest: appId → highest committed
+    * epoch. */
+  def readTxns(root: String, manifest: String = "_stats.jsonl"): Map[String, Long] = {
+    val p = Paths.get(root, manifest)
+    if (!Files.exists(p)) return Map.empty
+    val mapper = new ObjectMapper()
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .map(mapper.readTree)
+      .filter(_.hasNonNull("txn"))
+      .map(n => n.get("txn").asText() -> n.get("epoch").asLong())
+      .toMap
   }
 
   /** Optional `_table.json` sidecar: table-level metadata the options
@@ -272,6 +300,19 @@ object JsonlStats {
     * commit. A vacuumed generation fails its snapshot read LOUDLY —
     * the post-VACUUM contract, not silent wrong data. */
   def publishManifest(root: String, queryId: String, lines: Seq[String]): Unit = {
+    // streaming-txn watermarks survive EVERY publish (append, truncate,
+    // replace, compact, row-level rewrite): an idempotency ledger that a
+    // maintenance commit silently dropped would re-admit replayed
+    // batches. A publisher updating an appId's watermark passes its own
+    // txn line; all other apps' lines carry forward untouched.
+    val mapper = new ObjectMapper()
+    val incoming = lines.flatMap { l =>
+      val n = mapper.readTree(l)
+      if (n.hasNonNull("txn")) Some(n.get("txn").asText()) else None
+    }.toSet
+    val preserved = readTxns(root).filterNot { case (a, _) => incoming.contains(a) }
+      .toSeq.sortBy(_._1).map { case (a, e) => txnLine(a, e) }
+    val allLines = lines ++ preserved
     val current = Paths.get(root, "_stats.jsonl")
     if (Files.exists(current)) {
       val hist = Paths.get(root, HistoryDir)
@@ -281,7 +322,7 @@ object JsonlStats {
         StandardCopyOption.REPLACE_EXISTING)
     }
     val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
-    Files.write(tmp, lines.asJava,
+    Files.write(tmp, allLines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, current,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -303,6 +344,8 @@ object JsonlStats {
       override def requiredOrdering(): Array[SortOrder] =
         Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       override def toBatch: BatchWrite = inner.toBatch
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        inner.toStreaming
       override def description(): String = s"keyed($c) ${inner.description()}"
     }
   }
@@ -439,7 +482,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
@@ -449,7 +493,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       throw new UnsupportedOperationException(
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
-      bloomCol)
+      bloomCol, Option(info.options().get("txnAppId")))
   }
 }
 

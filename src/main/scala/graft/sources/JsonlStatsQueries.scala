@@ -171,6 +171,38 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q192 (r7b): STREAMING SINK through the connector — readStream from
+    * the written fixture's manifest (the q161 source leg), writeStream
+    * INTO a fresh connector table under the exactly-once epoch-commit
+    * protocol: each micro-batch's files and its txn watermark line
+    * (`{"txn": appId, "epoch": N}`) publish in ONE manifest swap, so
+    * there is no crash window between rows-visible and epoch-recorded,
+    * and a replayed batch fails the watermark test and is swept
+    * (replay idempotency + watermark-survives-compaction proven in
+    * JsonlStatsSpec). AvailableNow drains; the SINK table then answers
+    * the same aggregate as the parquet oracle — no loss, no
+    * duplication, end to end through both streaming legs. Re-runs
+    * drain zero new files (checkpointed offsets), so the result is
+    * stable across reps. */
+  def streamingManifestWrite(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = ensureWrittenFixture(spark, d)
+    val sink = Landing.fixtureDir(d, "jsonl_stream_sink")
+    Files.createDirectories(Paths.get(sink))
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", src).load()
+      .writeStream.format("graft-jsonl-stats")
+      .option("path", sink)
+      .option("checkpointLocation", s"$sink/_checkpoint")
+      .option("txnAppId", "q192")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft-jsonl-stats").option("path", sink).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q162: RUNTIME file skipping through the connector — the DPP
     * analogue for custom sources ([[JsonlStatsScan.filterAttributes]]).
     * The query joins the feed to the early-signup cohort of the
@@ -951,6 +983,7 @@ object JsonlStatsQueries extends QueryModule {
     "q189_multicol_skipping" -> multiColSkippingScan,
     "q190_catalog_zorder" -> catalogZOrder,
     "q191_grouped_agg_pushdown" -> keyedGroupAggregate,
+    "q192_dsv2_stream_sink" -> streamingManifestWrite,
   )
 
   val oracles = Map(
@@ -1119,6 +1152,12 @@ object JsonlStatsQueries extends QueryModule {
     "q191_grouped_agg_pushdown" ->
       """SELECT event_type, count(*) AS n,
         |  min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q192_dsv2_stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

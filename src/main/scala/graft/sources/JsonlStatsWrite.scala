@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         statsCol: String = JsonlStats.statsColumn,
                         partitionCol: Option[String] = None,
-                        bloomCol: Option[String] = None)
+                        bloomCol: Option[String] = None,
+                        txnAppId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
@@ -55,7 +56,82 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
         replaceFilters, bloomCol)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (truncateFirst || replaceFilters.isDefined)
+        throw new UnsupportedOperationException(
+          "streaming writes to graft-jsonl-stats are append-only: Complete output " +
+            "mode and replaceWhere would re-truncate the table every micro-batch")
+      new JsonlStreamingWrite(root, writeSchema, queryId,
+        txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol)
+    }
   })
+}
+
+/** STREAMING SINK leg (`STREAMING_WRITE`): micro-batch appends under
+  * EXACTLY-ONCE epoch commits — the Delta streaming-sink contract on
+  * the manifest protocol. Each epoch's task writers stream rows to
+  * attempt-unique files (batch machinery reused verbatim); the driver
+  * commit publishes previous + fresh entries PLUS a txn watermark line
+  * `{"txn": appId, "epoch": N}` in the SAME manifest — ledger and data
+  * share the one atomic commit point, so there is no crash window
+  * between "rows visible" and "epoch recorded". A replayed epoch
+  * (checkpoint recovery re-runs a batch whose sink commit already
+  * landed) fails the `epoch > watermark` test and its files are swept,
+  * never manifested; epochs are sequential per app, so one watermark
+  * per appId suffices (the Delta `txn` action shape). The appId
+  * defaults to Spark's stable streaming query id and can be pinned
+  * with the `txnAppId` write option (two concurrent streams into one
+  * table need distinct ids — same as Delta's idempotent writes).
+  * Each restart gets a fresh file-name namespace (`runTag`) so a
+  * replay can never overwrite the files its first run manifested. */
+class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String,
+                          appId: String,
+                          statsCol: String = JsonlStats.statsColumn,
+                          partitionCol: Option[String] = None,
+                          bloomCol: Option[String] = None)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val runTag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new JsonlStreamingWriterFactory(root, writeSchema, s"$queryId-$runTag",
+      statsCol, partitionCol, bloomCol)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val watermark = JsonlStats.readTxns(root).getOrElse(appId, -1L)
+    if (epochId <= watermark) {
+      // replayed batch: its rows are already manifested from the first
+      // run — the re-written files are debris, not data
+      JsonlStats.abortCleanup(root, messages)
+      return
+    }
+    val fresh = JsonlStats.fileCommits(messages)
+    val previous =
+      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
+      else JsonlStats.readStats(root)
+    val lines = (previous.map(JsonlStats.statsLine) ++
+      fresh.map(c =>
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols))))
+      .sorted :+ JsonlStats.txnLine(appId, epochId)
+    if (!Files.exists(Paths.get(root, "_table.json")))
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
+    JsonlStats.publishManifest(root, s"$queryId-$runTag-e$epochId", lines)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    JsonlStats.abortCleanup(root, messages)
+}
+
+class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: String,
+                                  statsCol: String,
+                                  partitionCol: Option[String],
+                                  bloomCol: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(root, writeSchema, s"$tag-e$epochId", partitionId, taskId,
+      statsCol, partitionCol, bloomCol)
 }
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,

@@ -1323,6 +1323,63 @@ class JsonlStatsSpec extends SparkSpec {
     assert(!declined(mixed, "value"), "the declared stats interval still serves")
   }
 
+  test("q192: streaming sink commits epochs exactly once; replays are swept (r7b)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("jsonl_ss_src").toString
+    val sink = Files.createTempDirectory("jsonl_ss_sink").toString
+    val ckpt = Files.createTempDirectory("jsonl_ss_ckpt").toString
+    val ev = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val (gen1, gen2) = (ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))
+    gen1.write.format("graft-jsonl-stats").option("path", src).mode("overwrite").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsonl-stats").option("path", src).load()
+        .writeStream.format("graft-jsonl-stats")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .option("txnAppId", "spec-app")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sunk = spark.read.format("graft-jsonl-stats").option("path", sink).load()
+    drain()
+    assert(sunk.count() === gen1.count())
+    val w1 = JsonlStats.readTxns(sink)("spec-app")
+    // second generation appended at the source; the checkpointed stream
+    // drains exactly the delta and the watermark advances
+    gen2.write.format("graft-jsonl-stats").option("path", src).mode("append").save()
+    drain()
+    assert(sunk.count() === ev.count())
+    assert(sunk.exceptAll(ev).isEmpty && ev.exceptAll(sunk).isEmpty)
+    val w2 = JsonlStats.readTxns(sink)("spec-app")
+    assert(w2 > w1, s"watermark must advance across epochs ($w1 -> $w2)")
+    // REPLAY: a batch at an already-committed epoch re-delivers its
+    // commit (checkpoint recovery re-runs the last batch when the sink
+    // committed but the offset log didn't). The write lands as debris
+    // files, the commit detects epoch <= watermark, sweeps them, and
+    // the manifest is untouched.
+    val manifestBefore = Files.readAllLines(Paths.get(sink, "_stats.jsonl")).asScala.toSeq
+    val sw = new JsonlStreamingWrite(sink, JsonlStats.schema, "replay-q", "spec-app")
+    val writer = new JsonlStreamingWriterFactory(sink, JsonlStats.schema, "replay-q",
+      JsonlStats.statsColumn, None, None).createWriter(0, 0L, w2)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, 1L, org.apache.spark.unsafe.types.UTF8String.fromString("click"), 10.0))
+    val msg = writer.commit()
+    val debris = JsonlStats.fileCommits(Array(msg)).map(_.file)
+    assert(debris.nonEmpty && debris.forall(f => Files.exists(Paths.get(sink, f))))
+    sw.commit(w2, Array(msg))
+    assert(debris.forall(f => !Files.exists(Paths.get(sink, f))),
+      "replayed epoch's files must be swept, not manifested")
+    assert(Files.readAllLines(Paths.get(sink, "_stats.jsonl")).asScala.toSeq === manifestBefore)
+    assert(sunk.count() === ev.count())
+    // the txn watermark survives maintenance commits: compaction
+    // rewrites the manifest and must carry the ledger forward
+    GraftProcedures.compact(sink, 1L << 20)
+    assert(JsonlStats.readTxns(sink).get("spec-app").contains(w2),
+      "compaction must preserve the streaming-txn watermark")
+    assert(sunk.count() === ev.count())
+  }
+
   test("q191: grouped aggregate pushdown serves per-key counts/bounds from the manifest (r7b)") {
     import spark.implicits._
     def nodes(p: SparkPlan): Seq[SparkPlan] = p match {

@@ -31,6 +31,7 @@ object SparkEntry {
     ext.TrainPrep,
     ext.Curation,
     ext.Retrieval,
+    ext.CorpusModels,
     ext.BpeTrain,
     ext.CurationGovernance,
     ext.SpanDedup,

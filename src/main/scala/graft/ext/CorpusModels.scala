@@ -1,0 +1,190 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics MODEL TRAINING as aggregation (SURVEY.md §2.12
+  * [ext]): the two classical text models whose training IS a groupBy —
+  * a multinomial Naive Bayes classifier (the fastText-class supervised
+  * baseline every corpus pipeline trains for language/quality routing)
+  * and PMI collocation extraction (the phrase-mining primitive behind
+  * tokenizer merge seeds and stopword-free keyphrase lists).
+  *
+  * Both follow the reference pipeline's text-analysis posture
+  * (`/root/reference/Assets/Jobs/etl_job.py:31-64` establishes the
+  * corpus tables; the [ext] tier extends them to LLM-data ops) and the
+  * engine's determinism discipline: every transcendental collapses to
+  * integer micro-units (`round(ln(x) * 1e6) → long`) at the innermost
+  * per-term level, so all downstream aggregation is order-free integer
+  * arithmetic — bit-identical between Spark's unordered partial
+  * aggregates and DuckDB's sequential ones (the q129/q149 trick).
+  *
+  * Scale shape: training is one explode→groupBy shuffle producing
+  * DICTIONARY-sized artifacts (per-class token tables, vocabulary
+  * counts); scoring is broadcast joins against the corpus-sized side,
+  * which never moves. At 100 TB the class-token table is bounded by
+  * |vocab| × |classes|, not by corpus size — the whole point of
+  * count-based models: the reduce side is the model.
+  */
+object CorpusModels extends QueryModule {
+
+  /** The shared tokenization law (split on single space, lowercased)
+    * every text oracle mirrors. */
+  private def tok(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), " ")).as("w"))
+  }
+
+  /** q193: NAIVE BAYES language classifier — trained AND applied in one
+    * declarative plan. Training is counting: per-class token counts
+    * n(c,w), per-class totals N(c), document priors D(c)/D, vocabulary
+    * size V. Laplace-smoothed log-likelihoods ln((n+1)/(N+V)) and the
+    * unseen-token floor ln(1/(N+V)) are quantized to micro-nats, so a
+    * document's class score = prior + Σ m(w)·ll(c,w) is an exact
+    * integer sum. Prediction = argmax with a deterministic tie-break
+    * (highest score, then lexicographically first class — `min` over
+    * the (−score, class) struct). The registered result is the
+    * CONFUSION MATRIX (actual lang × predicted, doc counts): the
+    * training-eval artifact, and the strongest oracle pin — every
+    * misrouted document moves a cell. */
+  def naiveBayesLang(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = tok(spark, d)
+    val docTok = t.groupBy($"doc_id", $"lang", $"w").agg(count(lit(1)).as("m"))
+    val classTok = t.groupBy($"lang".as("cand"), $"w").agg(count(lit(1)).as("n"))
+    val classTot = t.groupBy($"lang".as("cand")).agg(count(lit(1)).as("nc"))
+    val docsPerClass = Tables.documents(spark, d)
+      .groupBy($"lang".as("cand")).agg(count(lit(1)).as("dcnt"))
+    val totals = Tables.documents(spark, d)
+      .agg(count(lit(1)).as("dtot")).withColumn("one", lit(1))
+    val vocab = t.agg(countDistinct($"w").as("v")).withColumn("one", lit(1))
+    // |classes| rows: per-class constants incl. prior and unseen floor
+    val classes = classTot.join(docsPerClass, "cand")
+      .withColumn("one", lit(1))
+      .join(broadcast(totals), "one").join(broadcast(vocab), "one")
+      .select($"cand", $"nc", $"v",
+        round(log($"dcnt".cast("double") / $"dtot".cast("double")) * 1000000.0)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / ($"nc" + $"v").cast("double")) * 1000000.0)
+          .cast("long").as("ll0_micro"))
+    // |vocab|×|classes| rows: the trained model
+    val model = classTok.join(broadcast(classes.select($"cand", $"nc", $"v")), "cand")
+      .select($"cand", $"w",
+        round(log(($"n" + 1).cast("double") / ($"nc" + $"v").cast("double")) * 1000000.0)
+          .cast("long").as("ll_micro"))
+    val scores = docTok
+      .crossJoin(broadcast(classes.select($"cand", $"prior_micro", $"ll0_micro")))
+      .join(broadcast(model), Seq("cand", "w"), "left")
+      .groupBy($"doc_id", $"lang", $"cand")
+      .agg((max($"prior_micro") +
+        sum($"m" * coalesce($"ll_micro", $"ll0_micro"))).as("score"))
+    val pred = scores.groupBy($"doc_id", $"lang")
+      .agg(min(struct((-$"score").as("ns"), $"cand")).as("best"))
+      .select($"doc_id", $"lang", $"best.cand".as("predicted"))
+    pred.groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  private val pmiMinCount = 5
+  private val pmiTopK = 20
+
+  /** q194: PMI COLLOCATIONS — pointwise mutual information of adjacent
+    * token pairs, ln(p(ab) / (p(a)·p(b))), the classical collocation /
+    * phrase-mining statistic (Church & Hanks 1990). Bigram and unigram
+    * counts are two groupBys; corpus totals ride a broadcast 1-row
+    * frame; the PMI quantizes to micro-nats and the top-K lands via
+    * TakeOrderedAndProject (never a global sort). The min-count floor
+    * is the standard guard against PMI's low-frequency bias (a pair
+    * seen once with rare words scores arbitrarily high). */
+  def pmiCollocations(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = tok(spark, d)
+    val bg = Tables.documents(spark, d)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val pairs = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+    val uni = t.groupBy($"w").agg(count(lit(1)).as("c"))
+    val stats = t.agg(count(lit(1)).as("ntok")).withColumn("one", lit(1))
+      .join(bg.agg(count(lit(1)).as("btot")).withColumn("one", lit(1)), "one")
+    pairs.filter($"cab" >= pmiMinCount)
+      .join(broadcast(uni.select($"w".as("w1"), $"c".as("ca"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("cb"))), "w2")
+      .withColumn("one", lit(1)).join(broadcast(stats), "one")
+      .withColumn("pmi_micro",
+        round(log(($"cab".cast("double") / $"btot") /
+          (($"ca".cast("double") / $"ntok") * ($"cb".cast("double") / $"ntok")))
+          * 1000000.0).cast("long"))
+      .select($"w1", $"w2", $"cab", $"pmi_micro")
+      .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      .limit(pmiTopK)
+  }
+
+  val queries = Map(
+    "q193_naive_bayes_lang" -> naiveBayesLang,
+    "q194_pmi_collocations" -> pmiCollocations,
+  )
+
+  val oracles = Map(
+    "q193_naive_bayes_lang" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        |            FROM documents),
+        |doctok AS (SELECT doc_id, lang, w, count(*) AS m FROM tok GROUP BY 1, 2, 3),
+        |classtok AS (SELECT lang AS cand, w, count(*) AS n FROM tok GROUP BY 1, 2),
+        |classtot AS (SELECT lang AS cand, count(*) AS nc FROM tok GROUP BY 1),
+        |dc AS (SELECT lang AS cand, count(*) AS dcnt FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS dtot FROM documents),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |classes AS (
+        |  SELECT cand, nc, v,
+        |    CAST(round(ln(CAST(dcnt AS DOUBLE) / CAST(dtot AS DOUBLE)) * 1000000.0) AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(nc + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS ll0_micro
+        |  FROM classtot JOIN dc USING (cand) CROSS JOIN tot CROSS JOIN v),
+        |model AS (
+        |  SELECT t.cand, t.w,
+        |    CAST(round(ln(CAST(t.n + 1 AS DOUBLE) / CAST(c.nc + c.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS ll_micro
+        |  FROM classtok t JOIN classes c USING (cand)),
+        |scores AS (
+        |  SELECT d.doc_id, d.lang, c.cand,
+        |    MAX(c.prior_micro) + SUM(d.m * COALESCE(m2.ll_micro, c.ll0_micro)) AS score
+        |  FROM doctok d CROSS JOIN classes c
+        |  LEFT JOIN model m2 ON m2.cand = c.cand AND m2.w = d.w
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, cand AS predicted
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, cand) AS rn FROM scores)
+        |  WHERE rn = 1)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q194_pmi_collocations" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM toksrc),
+         |big AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM toksrc, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+         |  WHERE len(ws) >= 2),
+         |pairs AS (SELECT w1, w2, count(*) AS cab FROM big GROUP BY 1, 2),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM tok) AS ntok,
+         |                 (SELECT count(*) FROM big) AS btot)
+         |SELECT w1, w2, cab,
+         |  CAST(round(ln((CAST(cab AS DOUBLE) / btot) /
+         |    ((CAST(ua.c AS DOUBLE) / ntok) * (CAST(ub.c AS DOUBLE) / ntok)))
+         |    * 1000000.0) AS BIGINT) AS pmi_micro
+         |FROM pairs
+         |JOIN uni ua ON ua.w = pairs.w1
+         |JOIN uni ub ON ub.w = pairs.w2
+         |CROSS JOIN stats
+         |WHERE cab >= $pmiMinCount
+         |ORDER BY pmi_micro DESC, w1, w2
+         |LIMIT $pmiTopK""".stripMargin,
+  )
+}

@@ -108,4 +108,46 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(ranks.exceptAll(again).isEmpty && again.exceptAll(ranks).isEmpty)
     e.unpersist()
   }
+
+  test("q193: NB confusion mass conserves the corpus and beats the majority baseline") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sfDir)
+    val cm = graft.ext.CorpusModels.naiveBayesLang(spark, sfDir).collect()
+    // every document lands in exactly one (actual, predicted) cell
+    assert(cm.map(_.getLong(2)).sum === docs.count())
+    // per-actual-language row sums equal the language's doc counts
+    val rowSums = cm.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val truth = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rowSums === truth)
+    // the trained model must beat predict-always-the-majority-class —
+    // the minimum bar for "training happened" (the synthetic corpus
+    // shares most vocabulary across languages, so high accuracy is not
+    // available, but per-class token tilt is)
+    val diag = cm.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(diag > truth.values.max,
+      s"NB diag $diag must beat majority baseline ${truth.values.max}")
+  }
+
+  test("q194: PMI top pairs are observed collocations, ranked and floored") {
+    import spark.implicits._
+    val top = graft.ext.CorpusModels.pmiCollocations(spark, sfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    // min-count floor and descending PMI with deterministic tiebreak
+    assert(top.forall(_.getLong(2) >= 5))
+    val pmis = top.map(_.getLong(3)).toSeq
+    assert(pmis === pmis.sorted.reverse)
+    // PMI definition check on the top pair, recomputed independently
+    val toks = graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+    val n = toks.select(explode($"ws")).count().toDouble
+    val b = toks.select((size($"ws") - 1).cast("long").as("k"))
+      .filter($"k" >= 1).agg(sum($"k")).head().getLong(0).toDouble
+    val first = graft.ext.CorpusModels.pmiCollocations(spark, sfDir)
+      .select($"w1", $"w2", $"cab", $"pmi_micro").head()
+    val ca = toks.select(explode($"ws").as("w")).filter($"w" === first.getString(0)).count().toDouble
+    val cb = toks.select(explode($"ws").as("w")).filter($"w" === first.getString(1)).count().toDouble
+    val expect = math.round(math.log((first.getLong(2) / b) / ((ca / n) * (cb / n))) * 1e6)
+    assert(first.getLong(3) === expect)
+  }
 }

@@ -36,12 +36,17 @@ class PlanShapeSpec extends SparkSpec {
   // (both sides bounded: dictionary × 1 row, never data-sized).
   // q183's semantic leg is q33's shape verbatim (5 broadcast probes
   // streamed past the candidates, O(N·|probes|)), plus q150's 1-row
-  // corpus-stats scalar on the lexical leg.
+  // corpus-stats scalar on the lexical leg. q193 attaches the 1-row
+  // corpus-totals and vocabulary scalars to the |classes|-row constant
+  // table, then streams docTok past the broadcast |classes|-row frame
+  // (the NB score-every-class fan-out — O(N·|classes|), |classes| =
+  // distinct langs, never data-sized); q194 attaches the 1-row
+  // (ntok, btot) corpus-stats scalar to the PMI pair table.
   private val allowedNestedLoop = Set(
     "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
     "q116_recursive_calendar", "q121_ann_sq8",
     "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
-    "q183_hybrid_rrf")
+    "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

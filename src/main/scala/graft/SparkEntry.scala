@@ -32,6 +32,7 @@ object SparkEntry {
     ext.Curation,
     ext.Retrieval,
     ext.CorpusModels,
+    ext.ClusterTrain,
     ext.BpeTrain,
     ext.CurationGovernance,
     ext.SpanDedup,

@@ -1,0 +1,195 @@
+package graft.ext
+
+import graft.QueryModule
+import graft.ingest.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import SimilarityMath.Dec
+
+/** K-MEANS TRAINING as iterative aggregation (SURVEY.md §2.12 E3 —
+  * the training counterpart of q65's IVF probe path: q65 consumes a
+  * centroid table; this module TRAINS one, end-to-end inside the
+  * engine's determinism discipline, so the full IVF lifecycle
+  * (train → assign → probe → rerank) is oracle-checkable).
+  *
+  * Algorithm (all classical, Lloyd 1957 / Gonzalez 1985):
+  *   - Seeding: deterministic farthest-first traversal — seed 0 is
+  *     vec_id 0, each next seed is the point maximising distance to
+  *     its nearest already-chosen seed (tie-break: lowest vec_id).
+  *     The greedy 2-approximation to k-center, and the deterministic
+  *     stand-in for k-means|| (which needs RNG): each seeding step is
+  *     one broadcast-join pass + a TakeOrderedAndProject, K-1 passes
+  *     total. At 100 TB production would swap in k-means||
+  *     oversampling (Bahmani 2012) to cut passes; the per-pass
+  *     dataflow — broadcast K rows, never shuffle the corpus — is
+  *     identical.
+  *   - Lloyd iterations: assign = argmin over K broadcast centroids
+  *     (tie-break: lowest centroid id); recompute = per-(cluster,dim)
+  *     exact DECIMAL(38,25) mean, QUANTIZED to integer micro-units
+  *     (round(m·1e6)/1e6) so the next iteration's distance arithmetic
+  *     is bit-identical in Spark and DuckDB regardless of aggregation
+  *     order. Fixed 2 recompute rounds + a final evaluation
+  *     assignment (unrolled in the oracle as CTE chain).
+  *
+  * Determinism: squared distances are exact decimal sums of
+  * per-element double (a−b)² terms (order-free, the q33/q65
+  * contract); per-point inertia quantizes to micro-units BEFORE the
+  * cluster sum, making the reported inertia an exact integer.
+  *
+  * Scale shape: each iteration is one broadcast nested-loop over a
+  * K-row centroid frame (documented in PlanShapeSpec's bounded-
+  * broadcast allowlist) followed by one groupBy shuffle whose reduce
+  * side is K×dim rows — the model, not the data. The corpus is never
+  * re-partitioned; N·K·dim map-side work per pass is the information-
+  * theoretic floor for exact Lloyd.
+  *
+  * Reference posture: the reference pipeline stores embeddings but
+  * ships no trainer (`/root/reference/Assets/Jobs/etl_job.py:31-64`
+  * establishes the corpus tables); this is the [ext] LLM-data tier's
+  * clustering primitive behind SemDeDup cells (q128) and IVF indexes
+  * (q34/q65).
+  */
+object ClusterTrain extends QueryModule {
+
+  private val K = 4
+  /** Lloyd recompute rounds before the evaluation assignment. */
+  private val lloydRounds = 2
+
+  /** Exact order-independent squared L2 distance of two double arrays. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast(Dec)),
+      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double")
+
+  /** q195: train K=4 centroids on the embedding corpus; emit the
+    * per-cluster training evaluation — sizes, exact integer inertia,
+    * and the micro-unit centroid checksum (every moved centroid
+    * component moves the checksum; every re-assigned point moves a
+    * size and both inertias — the strongest oracle pin a trained
+    * model admits). */
+  def kmeansTrain(spark: SparkSession, d: String): DataFrame =
+    trainEval(spark, d, lloydRounds)
+
+  /** Train with `rounds` Lloyd recomputes, then evaluate — exposed so
+    * the spec can assert Lloyd's monotonicity law (total inertia is
+    * non-increasing in the round count) on real data. */
+  private[graft] def trainEval(spark: SparkSession, d: String, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("x"))
+
+    // ---- farthest-first seeding: K-1 broadcast passes -------------
+    var cents: DataFrame = pts.filter($"vec_id" === 0)
+      .select(lit(0).as("cid"), $"x".as("cvec"))
+    for (i <- 1 until K) {
+      val next = pts.crossJoin(broadcast(cents))
+        .groupBy($"vec_id", $"x")
+        .agg(min(dist2($"x", $"cvec")).as("dn"))
+        .orderBy($"dn".desc, $"vec_id".asc).limit(1)
+        .select(lit(i).as("cid"), $"x".as("cvec"))
+      cents = cents.unionByName(next)
+    }
+
+    // ---- Lloyd: assign → exact-mean recompute (micro-quantized) ---
+    def assign(c: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(c))
+        .withColumn("d2", dist2($"x", $"cvec"))
+        .groupBy($"vec_id", $"x")
+        .agg(min(struct($"d2", $"cid")).as("b"))
+        .select($"vec_id", $"x", $"b.cid".as("cid"), $"b.d2".as("d2"))
+    def recompute(a: DataFrame): DataFrame =
+      a.select($"cid", posexplode($"x").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg((round((sum($"v".cast(Dec)).cast("double") / count(lit(1))) * 1e6) / 1e6).as("m"))
+        .groupBy($"cid")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"m"))),
+          s => s.getField("m")).as("cvec"))
+    for (_ <- 1 to rounds)
+      cents = recompute(assign(cents))
+
+    // ---- evaluation assignment against the trained model ----------
+    val eval = assign(cents)
+    val sizes = eval.groupBy($"cid")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(round($"d2" * 1e6).cast("long")).as("inertia_micro"))
+    val checks = cents
+      .select($"cid", explode($"cvec").as("m"))
+      .groupBy($"cid")
+      .agg(sum(round($"m" * 1e6).cast("long")).as("cent_sum_micro"))
+    sizes.join(checks, "cid")
+      .select($"cid", $"n_pts", $"inertia_micro", $"cent_sum_micro")
+      .orderBy($"cid")
+  }
+
+  val queries = Map("q195_kmeans_train" -> kmeansTrain)
+
+  /** The oracle unrolls seeding and both Lloyd rounds as a CTE chain
+    * over (vec_id, pos, v) long tables; distance terms and means use
+    * the same exact DECIMAL(38,25) sums and micro-unit quantization
+    * as the Spark leg, so every intermediate is bit-identical. */
+  val oracles = Map(
+    "q195_kmeans_train" ->
+      """WITH pts AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |c0 AS (SELECT 0 AS cid, pos, v AS c FROM pts WHERE vec_id = 0),
+        |d1 AS (SELECT p.vec_id, MIN(dd.d2) AS dn FROM (
+        |    SELECT p.vec_id, c.cid,
+        |      CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |    FROM pts p JOIN c0 c USING (pos) GROUP BY 1, 2) dd
+        |  JOIN pts p ON p.vec_id = dd.vec_id GROUP BY 1),
+        |s1 AS (SELECT vec_id FROM d1 ORDER BY dn DESC, vec_id LIMIT 1),
+        |cA AS (SELECT * FROM c0 UNION ALL
+        |  SELECT 1 AS cid, pos, v AS c FROM pts WHERE vec_id = (SELECT vec_id FROM s1)),
+        |d2s AS (SELECT dd.vec_id, MIN(dd.d2) AS dn FROM (
+        |    SELECT p.vec_id, c.cid,
+        |      CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |    FROM pts p JOIN cA c USING (pos) GROUP BY 1, 2) dd GROUP BY 1),
+        |s2 AS (SELECT vec_id FROM d2s ORDER BY dn DESC, vec_id LIMIT 1),
+        |cB AS (SELECT * FROM cA UNION ALL
+        |  SELECT 2 AS cid, pos, v AS c FROM pts WHERE vec_id = (SELECT vec_id FROM s2)),
+        |d3s AS (SELECT dd.vec_id, MIN(dd.d2) AS dn FROM (
+        |    SELECT p.vec_id, c.cid,
+        |      CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |    FROM pts p JOIN cB c USING (pos) GROUP BY 1, 2) dd GROUP BY 1),
+        |s3 AS (SELECT vec_id FROM d3s ORDER BY dn DESC, vec_id LIMIT 1),
+        |cents0 AS (SELECT * FROM cB UNION ALL
+        |  SELECT 3 AS cid, pos, v AS c FROM pts WHERE vec_id = (SELECT vec_id FROM s3)),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT dd.vec_id, dd.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id ORDER BY dd.d2, dd.cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |        CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |      FROM pts p JOIN cents0 c USING (pos) GROUP BY 1, 2) dd)
+        |  WHERE rn = 1),
+        |cents1 AS (SELECT a.cid, p.pos,
+        |    round(CAST(SUM(CAST(p.v AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS c
+        |  FROM pts p JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT dd.vec_id, dd.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id ORDER BY dd.d2, dd.cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |        CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |      FROM pts p JOIN cents1 c USING (pos) GROUP BY 1, 2) dd)
+        |  WHERE rn = 1),
+        |cents2 AS (SELECT a.cid, p.pos,
+        |    round(CAST(SUM(CAST(p.v AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS c
+        |  FROM pts p JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cid, d2 FROM (
+        |    SELECT dd.vec_id, dd.cid, dd.d2,
+        |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id ORDER BY dd.d2, dd.cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |        CAST(SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+        |      FROM pts p JOIN cents2 c USING (pos) GROUP BY 1, 2) dd)
+        |  WHERE rn = 1),
+        |sizes AS (SELECT cid, COUNT(*) AS n_pts,
+        |    CAST(SUM(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_micro
+        |  FROM a3 GROUP BY 1),
+        |checks AS (SELECT cid,
+        |    CAST(SUM(CAST(round(c * 1e6) AS BIGINT)) AS BIGINT) AS cent_sum_micro
+        |  FROM cents2 GROUP BY 1)
+        |SELECT cid, n_pts, inertia_micro, cent_sum_micro
+        |FROM sizes JOIN checks USING (cid)
+        |ORDER BY cid""".stripMargin,
+  )
+}

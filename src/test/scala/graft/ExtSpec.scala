@@ -208,4 +208,29 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       "classifier plan shuffles — expected a pure map pass")
   }
+
+  test("k-means: clusters partition the corpus; Lloyd inertia is non-increasing in rounds") {
+    import spark.implicits._
+    val emb = graft.ingest.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    def inertia(rounds: Int): (Long, Long) = {
+      val r = graft.ext.ClusterTrain.trainEval(spark, sfDir, rounds)
+        .agg(sum($"n_pts").cast("long"), sum($"inertia_micro").cast("long"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // rounds=0 evaluates the raw farthest-first seeds; each Lloyd round
+    // (assign-to-nearest, then recompute means) can only lower total
+    // within-cluster squared distance (Lloyd 1957) — micro-quantization
+    // perturbs at most ~1e-6·dim per point, far below the improvements.
+    val (n0, i0) = inertia(0)
+    val (n1, i1) = inertia(1)
+    val (n2, i2) = inertia(2)
+    assert(n0 === n && n1 === n && n2 === n, "clusters must partition the corpus")
+    assert(i0 >= i1 && i1 >= i2, s"Lloyd inertia increased: $i0 -> $i1 -> $i2")
+    // training twice is bit-identical (determinism contract)
+    val a = graft.ext.ClusterTrain.kmeansTrain(spark, sfDir)
+    val b = graft.ext.ClusterTrain.kmeansTrain(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

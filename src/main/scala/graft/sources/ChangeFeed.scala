@@ -62,11 +62,18 @@ object ChangeFeed {
     require(keyCols.nonEmpty, "keyCols must name the table's unique key")
     val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
     val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
-    val fromNames = fromStats.map(_.file).toSet
-    val toNames = toStats.map(_.file).toSet
-    // immutable data files ⇒ same name = same content = untouched
-    val removed = fromStats.filterNot(s => toNames.contains(s.file))
-    val added = toStats.filterNot(s => fromNames.contains(s.file))
+    // immutable data files ⇒ same name = same BYTES; but the LOGICAL
+    // content is (file, deletion vectors) — a merge-on-read DELETE
+    // changes a file's dv list without touching its bytes, so identity
+    // must include it (r7c). A re-imaged file's entries carry their own
+    // dv lists into the derived manifests, so the before side reads the
+    // old masked view and the after side the new one; the surviving
+    // rows cancel in the join and the DV'd rows surface as deletes.
+    def ident(s: JsonlStats.FileStats): (String, Seq[String]) = (s.file, s.dvs)
+    val fromKeys = fromStats.map(ident).toSet
+    val toKeys = toStats.map(ident).toSet
+    val removed = fromStats.filterNot(s => toKeys.contains(ident(s)))
+    val added = toStats.filterNot(s => fromKeys.contains(ident(s)))
     val cdfDir = Paths.get(root, "_cdf")
     Files.createDirectories(cdfDir)
     def derived(tag: String, entries: Seq[JsonlStats.FileStats]): String = {

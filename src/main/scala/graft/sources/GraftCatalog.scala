@@ -84,7 +84,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     new JsonlStatsTable(dir.toString,
       meta.schema.getOrElse(JsonlStats.schema),
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
-      meta.partitionCol, bloomCol = meta.bloomCol)
+      meta.partitionCol, bloomCol = meta.bloomCol,
+      deleteMode = meta.deleteMode)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -314,6 +315,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "vacuum"  => new GraftProcedures.VacuumUnbound(root)
       case "clone"   => new GraftProcedures.CloneUnbound(root)
       case "zorder"  => new GraftProcedures.ZOrderUnbound(root)
+      case "rewrite_deletes" => new GraftProcedures.RewriteDeletesUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 

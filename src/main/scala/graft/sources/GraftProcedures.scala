@@ -142,6 +142,50 @@ object GraftProcedures {
       s"zorder result: $before -> $after files, $rows rows"
   }
 
+  class RewriteDeletesUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "rewrite_deletes"
+    override def description(): String =
+      "rewrite_deletes(table): collapse deletion vectors into clean rewritten data files"
+    override def bind(inputType: StructType): BoundProcedure = new RewriteDeletesBound(root)
+  }
+
+  /** `CALL <cat>.rewrite_deletes('<table>')` — Iceberg's
+    * `rewrite_position_delete_files` / DV major compaction: every data
+    * file carrying deletion vectors is rewritten WITHOUT its masked
+    * rows, its stats recomputed from the survivors (fresh attained
+    * bounds — re-arming the MIN/MAX pushdown that DVs had declined),
+    * and the manifest swap replaces entry + DVs in one commit. Clean
+    * files regain byte-range splittability and compaction eligibility.
+    * One task per DV'd file (metadata-bounded task list, like
+    * [[compact]]); untouched files never read. Old files + DVs stay on
+    * disk for archived snapshots (deferred GC). */
+  class RewriteDeletesBound(root: String) extends BoundProcedure {
+    override def name(): String = "rewrite_deletes"
+    override def description(): String =
+      "collapse deletion vectors into clean rewritten data files"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (rewritten, dvsDropped, rowsDropped) = GraftProcedures.rewriteDeletes(dir.toString)
+      val schema = StructType(Seq(
+        StructField("files_rewritten", IntegerType, nullable = false),
+        StructField("dvs_collapsed", IntegerType, nullable = false),
+        StructField("rows_dropped", LongType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(rewritten, dvsDropped, rowsDropped))
+        override def description(): String =
+          s"rewrite_deletes result: $rewritten files, $dvsDropped DVs, $rowsDropped rows dropped"
+      }).iterator()
+    }
+  }
+
   class HistoryUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "history"
     override def description(): String =
@@ -309,6 +353,7 @@ object GraftProcedures {
       bring(s.file)
       if (Files.exists(Paths.get(srcRoot, Bloom.sidecarName(s.file))))
         bring(Bloom.sidecarName(s.file))
+      s.dvs.foreach(bring) // deletion vectors ride with their files
     }
     val tm = Paths.get(srcRoot, "_table.json")
     if (Files.exists(tm))
@@ -344,9 +389,13 @@ object GraftProcedures {
       JsonlStats.historyVersions(tableRoot).partition(_ < keepFrom)
     val dir = Paths.get(tableRoot)
     def manifestOf(v: Int) = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+    // a manifest references its data files AND their deletion-vector
+    // sidecars (r7c): a DV is alive exactly as long as some manifest
+    // names it — same refcount law as the data bytes it masks
     val retainedRefs: Set[String] =
       (retained.map(manifestOf) :+ "_stats.jsonl")
-        .flatMap(m => JsonlStats.readStats(tableRoot, m).map(_.file)).toSet
+        .flatMap(m => JsonlStats.readStats(tableRoot, m)
+          .flatMap(s => s.file +: s.dvs)).toSet
     var dataDeleted = 0
     if (expired.nonEmpty) {
       // horizon first (see phase 1): supersede instant of the newest
@@ -356,7 +405,8 @@ object GraftProcedures {
       JsonlStats.writeVacuumHorizon(tableRoot,
         JsonlStats.VacuumHorizon(horizonMs, keepFrom))
       val deletable = expired
-        .flatMap(v => JsonlStats.readStats(tableRoot, manifestOf(v)).map(_.file))
+        .flatMap(v => JsonlStats.readStats(tableRoot, manifestOf(v))
+          .flatMap(s => s.file +: s.dvs))
         .distinct.filterNot(retainedRefs)
       deletable.foreach { f =>
         if (Files.deleteIfExists(dir.resolve(f))) dataDeleted += 1
@@ -380,6 +430,21 @@ object GraftProcedures {
             Files.deleteIfExists(p)) orphansDeleted += 1
       }
     finally listing.close()
+    // same sweep over the deletion-vector dir: a DV fragment written by
+    // a crashed DELETE is referenced by no manifest — age-gated debris
+    val dvDir = dir.resolve(JsonlDeleteVectors.DeletesDir)
+    if (Files.isDirectory(dvDir)) {
+      val dvListing = Files.list(dvDir)
+      try dvListing.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = s"${JsonlDeleteVectors.DeletesDir}/${p.getFileName}"
+          if (!retainedRefs.contains(rel) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff &&
+              Files.deleteIfExists(p)) orphansDeleted += 1
+        }
+      finally dvListing.close()
+    }
     (expired.size, dataDeleted, orphansDeleted, keepFrom)
   }
 
@@ -456,6 +521,108 @@ object GraftProcedures {
     (stats.size, after.size, after.map(_.rows).sum)
   }
 
+  /** The DV-collapse core: one Spark task per DV'd file, each streaming
+    * its survivors to a fresh file while re-deriving the full stats the
+    * writer would have (statsCol bounds, per-numeric-column bounds,
+    * bloom hashes) by parsing kept lines — the one maintenance op that
+    * must parse, because attained bounds cannot be derived from masked
+    * entries. Returns (filesRewritten, dvsCollapsed, rowsDropped). */
+  def rewriteDeletes(tableRoot: String): (Int, Int, Long) = {
+    val stats = JsonlStats.readStats(tableRoot)
+    val dirty = stats.filter(_.dvs.nonEmpty)
+    if (dirty.isEmpty) return (0, 0, 0L)
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    val schema = meta.schema.getOrElse(JsonlStats.schema)
+    val schemaJson = schema.json
+    val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
+    val bloomCol = meta.bloomCol
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val work = dirty.zipWithIndex.map { case (s, i) =>
+      (s.file, s.dvs, s.pkey, f"part-rwdel-$runId-$i%05d.jsonl")
+    }
+    val rootCopy = tableRoot
+    val fresh: Seq[JsonlStats.FileStats] = SparkSession.active.sparkContext
+      .parallelize(work, math.min(work.size, 32))
+      .map { case (file, dvs, pkey, out) =>
+        GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
+          schemaJson, statsCol, bloomCol)
+      }
+      .collect().toSeq // file-count-bounded: one manifest entry per task
+    val dirtyNames = dirty.map(_.file).toSet
+    val lines = (stats.filterNot(s => dirtyNames.contains(s.file)).map(JsonlStats.statsLine) ++
+      fresh.filter(_.rows > 0).map(JsonlStats.statsLine)).sorted
+    JsonlStats.publishManifest(tableRoot, s"rwdel-$runId", lines)
+    (dirty.size, dirty.map(_.dvs.size).sum, dirty.map(_.dels).sum)
+  }
+
+  /** Executor side of [[rewriteDeletes]]: stream `file` minus the DV'd
+    * positions into `out`, tracking exactly the stats
+    * [[JsonlFileSink]] would. Position counting mirrors the reader
+    * (physical non-blank lines, 0-based). */
+  private[sources] def rewriteOneFile(root: String, file: String, dvs: Seq[String],
+                                      pkey: Option[String], out: String,
+                                      schemaJson: String, statsCol: String,
+                                      bloomCol: Option[String]): JsonlStats.FileStats = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val numFields = schema.fields.filter(f => f.dataType == LongType || f.dataType == DoubleType)
+    val colMn = scala.collection.mutable.Map.empty[String, Double]
+    val colMx = scala.collection.mutable.Map.empty[String, Double]
+    val bloomHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rows = 0L
+    val dest = Paths.get(root, out)
+    val os = Files.newBufferedWriter(dest)
+    val in = Files.newBufferedReader(Paths.get(root, file))
+    try {
+      var pos = -1L
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty && line != "\r") {
+          pos += 1
+          if (!deleted.contains(pos)) {
+            os.write(line); os.newLine()
+            rows += 1
+            val n = mapper.readTree(line)
+            numFields.foreach { f =>
+              val v = n.get(f.name)
+              if (v != null && !v.isNull) {
+                val d = v.asDouble()
+                if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
+                if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
+              }
+            }
+            bloomCol.foreach { bc =>
+              val v = n.get(bc)
+              if (v != null && !v.isNull) {
+                bloomHashes += (schema.fields.find(_.name == bc).map(_.dataType) match {
+                  case Some(LongType)   => Bloom.hashLong(v.asLong())
+                  case Some(DoubleType) => Bloom.hashDouble(v.asDouble())
+                  case _                => Bloom.hashString(v.asText())
+                })
+              }
+            }
+          }
+        }
+        line = in.readLine()
+      }
+    } finally { in.close(); os.close() }
+    // a wholly-deleted file rewrites to nothing: no entry, no file
+    // (mirrors the COW zero-survivors case)
+    if (rows == 0) {
+      Files.deleteIfExists(dest)
+      return JsonlStats.FileStats(out, 0, 0, 0, pkey)
+    }
+    if (bloomCol.isDefined) Bloom.writeSidecar(dest, bloomHashes.toArray)
+    val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap
+    val (mn, mx) = cols.get(statsCol) match {
+      case Some(b) => b
+      case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
+    }
+    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols)
+  }
+
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
     val stats = JsonlStats.readStats(tableRoot)
     val sized = stats.map(s => s -> {
@@ -463,9 +630,12 @@ object GraftProcedures {
       if (Files.exists(p)) Files.size(p) else 0L
     })
     // candidates: under-target files with exact row counts (a merged
-    // entry must stay exact; unknown-count files are left untouched)
+    // entry must stay exact; unknown-count files are left untouched).
+    // DV'd files are excluded too — byte concatenation shifts physical
+    // positions out from under their deletion vectors; rewrite_deletes
+    // collapses the DVs first, after which the clean file can compact
     val (candidates, untouched) =
-      sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 }
+      sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 && s.dvs.isEmpty }
     val runId = java.util.UUID.randomUUID().toString.take(8)
     var binSeq = 0
     val bins = candidates.groupBy(_._1.pkey).toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,216 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** MERGE-ON-READ DELETE via position deletion vectors — the Iceberg v2
+  * / Delta deletion-vector shape on the manifest protocol, and the
+  * second half of the row-level story (q172-q174 are COPY-ON-WRITE:
+  * affected files rewritten in full; right for bulk mutations, wrong
+  * for needle deletes where rewriting a 1 GB file to drop 10 rows is
+  * 10^8× write amplification — the GDPR/right-to-be-forgotten shape).
+  *
+  * Mechanics, on Spark's delta-based row-level API ([[SupportsDelta]]):
+  * the row ID is (`_file`, `_pos`) — exactly the connector's existing
+  * metadata columns, served from reader state at zero IO. Spark plans
+  * `DELETE` as a scan of MATCHING rows only (the condition pushes into
+  * the scan as an ordinary filter, so manifest bounds prune untouched
+  * files) projecting the row ID, and streams the IDs to delta writers.
+  * The write declares clustered(`_file`) + ordered(`_file`, `_pos`)
+  * ([[RequiresDistributionAndOrdering]]), so each task sees whole files
+  * as contiguous sorted runs and rolls ONE deletion-vector sidecar per
+  * affected data file under `_deletes/`. The commit attaches each DV to
+  * its file's manifest entry (`dvs` list + `n_dels` count) in the same
+  * atomic manifest swap as every other write — data files untouched.
+  *
+  * Read side: a reader whose file carries DVs loads the positions into
+  * a hash set and drops masked rows while counting physical positions —
+  * so `_pos` stays the PHYSICAL position and successive DELETEs compose
+  * (a second DELETE can only see surviving rows, so DV position sets
+  * are disjoint by construction). Consequences handled rather than
+  * hidden:
+  *   - a DV'd file keeps WHOLE-FILE read partitions (a byte-range
+  *     reader cannot know its starting row index without counting its
+  *     predecessors' lines — same restriction as projecting `_pos`);
+  *     `CALL rewrite_deletes` collapses DVs back into clean splittable
+  *     files (Iceberg's rewrite_position_delete_files).
+  *   - MIN/MAX aggregate pushdown DECLINES on any column once a
+  *     surviving file carries deletes (bounds still hold for remaining
+  *     rows but may no longer be ATTAINED); COUNT stays servable as
+  *     Σ(n_rows − n_dels).
+  *   - compaction (byte concat) excludes DV'd members — concatenation
+  *     shifts positions; rewrite_deletes is the maintenance path.
+  *   - the change feed treats (file, dvs) as the unit of identity: a
+  *     file whose DV set changed is re-imaged on both sides and the
+  *     deleted rows surface as `delete` changes, untouched rows cancel.
+  *
+  * UPDATE/MERGE stay copy-on-write (the Iceberg mixed-mode default);
+  * only DELETE takes the delta path, and only on tables that opted in
+  * (`deleteMode=merge-on-read` table property). */
+object JsonlDeleteVectors {
+
+  val DeletesDir = "_deletes"
+
+  /** One DV sidecar: `{"file": <relative data file>, "positions": [...]}`
+    * — positions sorted ascending, 0-based physical row indexes. */
+  def writeDv(root: String, dvName: String, dataFile: String, positions: Array[Long]): Unit = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("file", dataFile)
+    val arr = n.putArray("positions")
+    positions.foreach(arr.add)
+    val p = Paths.get(root, dvName)
+    Files.createDirectories(p.getParent)
+    Files.write(p, java.util.Arrays.asList(n.toString),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Union of the deleted positions of several DV sidecars (absolute
+    * paths) — what a reader masks rows against. */
+  def readDvPositions(dvPaths: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val mapper = new ObjectMapper()
+    dvPaths.foreach { p =>
+      val n = mapper.readTree(Files.readAllLines(Paths.get(p)).asScala.mkString("\n"))
+      val arr = n.get("positions")
+      (0 until arr.size()).foreach(i => set.add(arr.get(i).asLong()))
+    }
+    set
+  }
+}
+
+/** The delta-based DELETE operation: row ID = (`_file`, `_pos`). */
+class JsonlDvDeleteOperation(root: String, tableSchema: StructType, statsCol: String,
+                             bloomCol: Option[String] = None)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def description(): String = "graft-jsonl-stats merge-on-read DELETE (deletion vectors)"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(JsonlStats.FileMeta), Expressions.column(JsonlStats.PosMeta))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  /** The scan only needs MATCHING rows (no group rewrite): the pushed
+    * condition prunes via manifest bounds like any read, and projecting
+    * `_pos` forces whole-file partitions, which DV correctness needs. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, None,
+      options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
+      bloomCol = bloomCol)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite with RequiresDistributionAndOrdering {
+        // cluster by file, order by (file, pos): each task sees whole
+        // files as contiguous sorted runs -> one DV sidecar per file
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.column(JsonlStats.FileMeta)))
+        override def requiredOrdering(): Array[SortOrder] = Array(
+          Expressions.sort(Expressions.column(JsonlStats.FileMeta), SortDirection.ASCENDING),
+          Expressions.sort(Expressions.column(JsonlStats.PosMeta), SortDirection.ASCENDING))
+        override def toBatch: DeltaBatchWrite = new JsonlDvBatchWrite(root, info.queryId())
+        override def description(): String = "graft-jsonl-stats deletion-vector write"
+      }
+    }
+}
+
+/** One task's DV sidecars: (data file relative name, dv file name,
+  * positions deleted). */
+final case class JsonlDvCommit(entries: Seq[(String, String, Long)]) extends WriterCommitMessage
+
+/** Top-level factory (ships to executors — must not capture the
+  * driver-side batch write). */
+final case class JsonlDvWriterFactory(root: String, queryId: String)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new JsonlDvWriter(root, queryId, partitionId, taskId)
+}
+
+class JsonlDvBatchWrite(root: String, queryId: String) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    JsonlDvWriterFactory(root, queryId)
+
+  /** Attach each DV to its manifest entry — same atomic swap, data
+    * files untouched. Entries keep their names, so archived snapshots
+    * (whose entries carry the OLD dv lists) still read the pre-delete
+    * view of the same bytes. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh: Map[String, Seq[(String, Long)]] = messages.toSeq
+      .collect { case c: JsonlDvCommit => c.entries }
+      .flatten
+      .groupBy(_._1)
+      .map { case (f, es) => f -> es.map(e => (e._2, e._3)) }
+    val previous = JsonlStats.readStats(root)
+    val known = previous.map(_.file).toSet
+    val unknown = fresh.keySet.diff(known)
+    require(unknown.isEmpty,
+      s"deletion vectors reference unmanifested files: ${unknown.mkString(", ")}")
+    val lines = previous.map { s =>
+      fresh.get(s.file) match {
+        case None => JsonlStats.statsLine(s)
+        case Some(es) => JsonlStats.statsLine(s.copy(
+          dvs = s.dvs ++ es.map(_._1).sorted,
+          dels = s.dels + es.map(_._2).sum))
+      }
+    }.sorted
+    JsonlStats.publishManifest(root, queryId, lines)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.collect { case c: JsonlDvCommit => c.entries }.flatten
+      .foreach { case (_, dv, _) => Files.deleteIfExists(Paths.get(root, dv)) }
+}
+
+/** Receives (metadata, id) delete records clustered by `_file`, sorted
+  * by (`_file`, `_pos`); rolls one DV sidecar per data-file run. The id
+  * row is (file: string, pos: long) in [[JsonlDvDeleteOperation.rowId]]
+  * order. Positions within a run are already sorted and — because a
+  * reader never emits a masked row — can never duplicate an existing
+  * DV's positions. */
+class JsonlDvWriter(root: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+  private val rootPath = Paths.get(root)
+  private var curFile: String = _
+  private var positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var seq = 0
+  private val done = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+
+  private def flush(): Unit = {
+    if (curFile != null && positions.nonEmpty) {
+      val rel = rootPath.relativize(Paths.get(curFile)).toString
+      val dvName = f"${JsonlDeleteVectors.DeletesDir}/dv-$queryId-$partitionId%05d-$taskId-$seq.json"
+      seq += 1
+      JsonlDeleteVectors.writeDv(root, dvName, rel, positions.toArray)
+      done += ((rel, dvName, positions.size.toLong))
+    }
+    positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val f = id.getUTF8String(0).toString
+    if (f != curFile) { flush(); curFile = f }
+    positions += id.getLong(1)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "deletion-vector operation handles DELETE only (UPDATE/MERGE are copy-on-write)")
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "deletion-vector operation handles DELETE only (UPDATE/MERGE are copy-on-write)")
+
+  override def commit(): WriterCommitMessage = { flush(); JsonlDvCommit(done.toSeq) }
+  override def abort(): Unit =
+    done.foreach { case (_, dv, _) => Files.deleteIfExists(Paths.get(root, dv)) }
+  override def close(): Unit = ()
+}

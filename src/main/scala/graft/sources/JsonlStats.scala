@@ -71,7 +71,8 @@ class JsonlStats extends TableProvider with DataSourceRegister {
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
       Option(opts.get("partitionColumn")),
       opts.getOrDefault("manifest", "_stats.jsonl"),
-      Option(opts.get("bloomColumn")))
+      Option(opts.get("bloomColumn")),
+      Option(opts.get("deleteMode")))
   }
 }
 
@@ -112,9 +113,15 @@ object JsonlStats {
     * absent from `cols` is UNKNOWN (no pruning, no pushdown), which is
     * both the all-null case and the legacy-manifest case — absence is
     * always conservative, never a sentinel. */
+  /** `dvs`/`dels` (r7c): deletion-vector sidecars attached to the file
+    * by merge-on-read DELETE ([[JsonlDeleteVectors]]) and the count of
+    * positions they mask — the entry's rows remain the PHYSICAL count
+    * (live rows = rows − dels). */
   final case class FileStats(file: String, min: Double, max: Double, rows: Long,
                              pkey: Option[String] = None,
-                             cols: Map[String, (Double, Double)] = Map.empty)
+                             cols: Map[String, (Double, Double)] = Map.empty,
+                             dvs: Seq[String] = Nil,
+                             dels: Long = 0L)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -209,13 +216,17 @@ object JsonlStats {
             }
             b.result()
           }
+        val dvs =
+          if (!n.hasNonNull("dvs")) Nil
+          else (0 until n.get("dvs").size()).map(i => n.get("dvs").get(i).asText())
         // n_rows is optional in the manifest (older manifests carry only
         // bounds); -1 marks it absent, which declines aggregate pushdown
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
           if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
           if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
-          cols)
+          cols, dvs,
+          if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L)
       }
   }
 
@@ -233,6 +244,11 @@ object JsonlStats {
       s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
         val e = c.putObject(f); e.put("min", mn); e.put("max", mx)
       }
+    }
+    if (s.dvs.nonEmpty) {
+      val a = n.putArray("dvs")
+      s.dvs.foreach(a.add)
+      n.put("n_dels", s.dels)
     }
     n.toString
   }
@@ -270,15 +286,18 @@ object JsonlStats {
     * (silently wrong results) and serve MIN/MAX of the wrong column. */
   final case class TableMeta(statsCol: Option[String], partitionCol: Option[String],
                              schema: Option[StructType],
-                             bloomCol: Option[String] = None)
+                             bloomCol: Option[String] = None,
+                             deleteMode: Option[String] = None)
 
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
-                     schema: StructType, bloomCol: Option[String] = None): Unit = {
+                     schema: StructType, bloomCol: Option[String] = None,
+                     deleteMode: Option[String] = None): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
     partitionCol.foreach(n.put("partitionColumn", _))
     bloomCol.foreach(n.put("bloomColumn", _))
+    deleteMode.foreach(n.put("deleteMode", _))
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
       java.util.Arrays.asList(n.toString),
@@ -378,7 +397,8 @@ object JsonlStats {
         if (n.hasNonNull("schema"))
           Some(DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType])
         else None,
-        if (n.hasNonNull("bloomColumn")) Some(n.get("bloomColumn").asText()) else None)
+        if (n.hasNonNull("bloomColumn")) Some(n.get("bloomColumn").asText()) else None,
+        if (n.hasNonNull("deleteMode")) Some(n.get("deleteMode").asText()) else None)
     }
   }
 
@@ -422,7 +442,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
                       manifest: String = "_stats.jsonl",
-                      bloomCol: Option[String] = None) extends Table
+                      bloomCol: Option[String] = None,
+                      deleteMode: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -458,8 +479,17 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
           s"row-level ${info.command()} on key-grouped table $root: the partition " +
             "column is unknown (no _table.json), so the rewrite cannot re-key its output")
     }
-    val bloom = bloomCol.orElse(JsonlStats.readTableMeta(root).bloomCol)
-    () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed, bloom)
+    val meta = JsonlStats.readTableMeta(root)
+    val bloom = bloomCol.orElse(meta.bloomCol)
+    // merge-on-read opt-in (`deleteMode=merge-on-read`, option or table
+    // property): DELETE takes the deletion-vector delta path; UPDATE and
+    // MERGE stay copy-on-write (the Iceberg mixed-mode default — their
+    // rewritten files start DV-free either way)
+    val mor = deleteMode.orElse(meta.deleteMode).contains("merge-on-read")
+    if (mor && info.command() == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      () => new JsonlDvDeleteOperation(root, tableSchema, statsCol, bloom)
+    else
+      () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed, bloom)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema

@@ -677,6 +677,72 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** The merge-on-read twin of [[ensureMutableTable]]: same value-ranged
+    * layout, `deleteMode=merge-on-read` stamped into the table sidecar
+    * so DELETE takes the deletion-vector path. */
+  private def ensureMorTable(spark: SparkSession, d: String, name: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, name)
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+      val meta = JsonlStats.readTableMeta(out)
+      JsonlStats.writeTableMeta(out, meta.statsCol.getOrElse(JsonlStats.statsColumn),
+        meta.partitionCol, meta.schema.getOrElse(JsonlStats.schema), meta.bloomCol,
+        deleteMode = Some("merge-on-read"))
+    }
+    dir
+  }
+
+  /** q196: MERGE-ON-READ DELETE via position deletion vectors
+    * ([[JsonlDeleteVectors]], `SupportsDelta` with rowId = (_file,
+    * _pos)) — the needle-delete half of the row-level story (q172's
+    * copy-on-write rewrites whole files; here NO data file is touched:
+    * DELETE writes DV sidecars and the manifest swap attaches them).
+    * Two composing deletes: the type predicate masks rows in every
+    * file; the value predicate's DELETE scan is itself pruned by the
+    * value-ranged manifest bounds, so most files never even read
+    * during the second delete. Idempotent across reps (a masked row is
+    * invisible to the next DELETE's scan, so re-running deletes
+    * nothing). Oracle = the parquet feed minus both slices;
+    * JsonlStatsSpec proves the zero-rewrite claim (file set and bytes
+    * untouched), DV composition, and COUNT-pushdown arithmetic. */
+  def dvDelete(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMorTable(spark, d, "jsonl_mor_delete")
+    spark.sql(s"DELETE FROM $cat.jsonl_mor_delete WHERE event_type = 'click'")
+    spark.sql(s"DELETE FROM $cat.jsonl_mor_delete WHERE value < 100.0")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mor_delete
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q197: `CALL <cat>.rewrite_deletes` — DV major compaction
+    * (Iceberg's rewrite_position_delete_files): every DV'd file is
+    * rewritten without its masked rows, stats re-derived from the
+    * survivors, DVs dropped in the same swap. The registered read is
+    * COUNT/MIN/MAX — exactly the aggregate the DVs had forced off the
+    * manifest (attained bounds unknowable under a mask) and the
+    * rewrite re-arms: post-rewrite it answers metadata-only again
+    * (plan-asserted in JsonlStatsSpec). Idempotent: a clean table is a
+    * no-op. */
+  def dvRewrite(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMorTable(spark, d, "jsonl_mor_rewrite")
+    spark.sql(s"DELETE FROM $cat.jsonl_mor_rewrite WHERE value < 100.0")
+    spark.sql(s"CALL $cat.rewrite_deletes('jsonl_mor_rewrite')").collect()
+    spark.sql(
+      s"""SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
+         |FROM $cat.jsonl_mor_rewrite""".stripMargin)
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -984,6 +1050,8 @@ object JsonlStatsQueries extends QueryModule {
     "q190_catalog_zorder" -> catalogZOrder,
     "q191_grouped_agg_pushdown" -> keyedGroupAggregate,
     "q192_dsv2_stream_sink" -> streamingManifestWrite,
+    "q196_dv_delete" -> dvDelete,
+    "q197_dv_rewrite" -> dvRewrite,
   )
 
   val oracles = Map(
@@ -1047,6 +1115,17 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q196_dv_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click' AND value >= 100.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q197_dv_rewrite" ->
+      """SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |WHERE value >= 100.0""".stripMargin,
     "q173_dsv2_update" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END

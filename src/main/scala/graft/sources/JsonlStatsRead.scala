@@ -101,7 +101,11 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val typed = t.contains(DoubleType) || t.contains(LongType)
       val covered = stats.nonEmpty &&
         stats.forall(s => JsonlStats.colBounds(s, col, statsCol).isDefined)
-      if (typed && covered) t else None
+      // a file with deletion vectors declines MIN/MAX: bounds still
+      // HOLD for the surviving rows but may no longer be attained (the
+      // extreme row might be the deleted one) — COUNT stays exact
+      val undeleted = stats.forall(_.dels == 0)
+      if (typed && covered && undeleted) t else None
     }
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
@@ -173,7 +177,8 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
           override def get(): InternalRow = InternalRow.fromSeq(part.schema.fields.toSeq.map { f =>
             def bounds(col: String) = JsonlStats.colBounds(cur, col, part.statsCol).get
             (f.name, f.dataType) match {
-              case ("count_star", _) => cur.rows
+              // live rows = physical rows minus DV-masked positions
+              case ("count_star", _) => cur.rows - cur.dels
               // grouped pushdown: the file's single pkey IS its group
               // (pushAggregation proved every file carries one)
               case (n, _) if n.startsWith("group:") => UTF8String.fromString(cur.pkey.get)
@@ -366,12 +371,17 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     survivingStats()
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
-        if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get): InputPartition)
+        // deletion vectors mask PHYSICAL row positions, which a
+        // byte-range reader cannot know mid-file — a DV'd file keeps
+        // whole-file partitions (same restriction as projecting _pos;
+        // CALL rewrite_deletes restores splittability)
+        val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
+        if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs): InputPartition)
         else {
           val size =
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
-          if (!canSplit || size <= splitBytes)
-            Seq(JsonlFilePartition(path): InputPartition)
+          if (!canSplit || size <= splitBytes || dvs.nonEmpty)
+            Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
           else {
             val n = ((size + splitBytes - 1) / splitBytes).toInt
             (0 until n).map { i =>
@@ -412,7 +422,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
           if (Files.exists(p)) Files.size(p) else 0L
         }.sum)
       override def numRows(): java.util.OptionalLong =
-        if (haveRows) java.util.OptionalLong.of(surviving.map(_.rows).sum)
+        if (haveRows) java.util.OptionalLong.of(surviving.map(s => s.rows - s.dels).sum)
         else java.util.OptionalLong.empty()
     }
   }
@@ -452,9 +462,14 @@ class JsonlManifestStream(root: String, required: StructType)
   override def deserializeOffset(json: String): Offset = JsonlManifestOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[JsonlManifestOffset].files.toSet
+    // DVs as of batch-planning time apply; a file already streamed in
+    // an earlier batch never re-emits, so a later DELETE on it is not
+    // retracted downstream — append-only source semantics, stated
+    val dvsOf = JsonlStats.readStats(root).map(s => s.file -> s.dvs).toMap
     end.asInstanceOf[JsonlManifestOffset].files
       .filterNot(seen)
-      .map(f => JsonlFilePartition(Paths.get(root, f).toString): InputPartition)
+      .map(f => JsonlFilePartition(Paths.get(root, f).toString,
+        dvs = dvsOf.getOrElse(f, Nil).map(d => Paths.get(root, d).toString)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new JsonlReaderFactory(required)
@@ -485,12 +500,14 @@ object JsonlManifestOffset {
   * boundary (range i's end == range i+1's start), which with the
   * ownership rule covers every line exactly once. */
 final case class JsonlFilePartition(file: String, start: Long = 0L,
-                                    end: Long = Long.MaxValue) extends InputPartition
+                                    end: Long = Long.MaxValue,
+                                    dvs: Seq[String] = Nil) extends InputPartition
 
 /** A file of a key-grouped layout: every row carries `key` in the
   * table's partition column, so the partition's identity IS the key —
   * what lets Spark align two such tables' groups instead of shuffling. */
-final case class JsonlKeyedFilePartition(file: String, key: String)
+final case class JsonlKeyedFilePartition(file: String, key: String,
+                                         dvs: Seq[String] = Nil)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   @transient private lazy val row: InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -520,9 +537,9 @@ class JsonlReaderFactory(required: StructType,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
-      new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets)
+      new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs)
     case k: JsonlKeyedFilePartition =>
-      new JsonlPartitionReader(k.file, required, bloomSets = bloomSets)
+      new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -542,9 +559,16 @@ class JsonlReaderFactory(required: StructType,
   * UTF-8 multi-byte sequence), so a boundary mid-character is safe. */
 class JsonlPartitionReader(file: String, required: StructType,
                            start: Long = 0L, end: Long = Long.MaxValue,
-                           bloomSets: Seq[Array[Long]] = Seq.empty)
+                           bloomSets: Seq[Array[Long]] = Seq.empty,
+                           dvs: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+
+  /** Deletion-vector mask: physical positions to drop. DV'd files are
+    * always whole-file partitions (the planner guarantees it), so the
+    * reader's own dense `pos` counter IS the physical position. */
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    if (dvs.isEmpty) null else JsonlDeleteVectors.readDvPositions(dvs)
 
   /** TASK-time bloom skip: before touching the data bytes, probe the
     * file's bloom sidecar with each pushed equality's hash set (ANDed
@@ -613,9 +637,13 @@ class JsonlPartitionReader(file: String, required: StructType,
           // skip blank lines (they advance bpos but carry no row); a
           // lone \r (CRLF feed) is blank too
           if (bytes.length > 0 && !(bytes.length == 1 && bytes(0) == '\r')) {
-            line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
             pos += 1
-            found = true
+            // DV mask: pos counts every physical line (so positions stay
+            // stable across deletes), masked rows are simply not emitted
+            if (deleted == null || !deleted.contains(pos)) {
+              line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              found = true
+            }
           }
       }
     }

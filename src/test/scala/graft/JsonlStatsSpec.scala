@@ -512,6 +512,100 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat2.rl_keyed")
   }
 
+  test("q196/q197: merge-on-read DELETE writes deletion vectors, zero data-file rewrites; rewrite_deletes collapses them (r7c)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_dv").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_dv_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val before = JsonlStats.readStats(dir)
+    val bytesBefore = before.map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    // two composing deletes: type slice masks rows in every file, value
+    // slice lands in the low files only -> some file carries TWO DVs
+    val cut = before.map(_.max).min
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE event_type = 'click'")
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE value <= $cut")
+    val after = JsonlStats.readStats(dir)
+    // THE merge-on-read law: no data file touched — same names, same bytes
+    assert(after.map(_.file).toSet === before.map(_.file).toSet,
+      "merge-on-read DELETE must not add or remove data files")
+    after.foreach(s => assert(Files.size(Paths.get(dir, s.file)) === bytesBefore(s.file),
+      s"data file ${s.file} was rewritten"))
+    // DVs attached where rows died; the doubly-deleted file carries both
+    assert(after.exists(_.dvs.size >= 2), s"expected a file with composed DVs: $after")
+    assert(after.forall(s => s.dels >= 0 && s.dvs.nonEmpty == (s.dels > 0)))
+    val expect = src.filter($"event_type" =!= "click" && $"value" > cut)
+    val back = spark.table(s"$cat.`$table`")
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // deleted mass accounting: sum of n_dels = rows removed
+    assert(after.map(_.dels).sum === src.count() - expect.count())
+    // COUNT(*) pushdown stays metadata-only (rows - dels): a bare copy
+    // with every data file deleted still answers it; MIN/MAX must
+    // decline (bounds may no longer be attained) -> collect() throws
+    val bare = Files.createTempDirectory("jsonl_dv_bare").toString
+    Files.copy(Paths.get(dir, "_stats.jsonl"), Paths.get(bare, "_stats.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.createDirectories(Paths.get(bare, "_deletes"))
+    after.flatMap(_.dvs).foreach { dv =>
+      Files.copy(Paths.get(dir, dv), Paths.get(bare, dv))
+    }
+    def bareDf = spark.read.format("graft-jsonl-stats").option("path", bare).load()
+    assert(bareDf.count() === expect.count(),
+      "COUNT through a DV'd manifest must be served as sum(rows - dels) with zero data IO")
+    intercept[Exception] { bareDf.agg(org.apache.spark.sql.functions.min($"value")).collect() }
+    // time travel: the pre-delete generation's entries carry no DVs
+    val preDelete = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.`$table` VERSION AS OF 1").head().getLong(0)
+    assert(preDelete === src.count(), "pre-delete snapshot must read the unmasked feed")
+    // change feed across the DV commits: (file, dvs) identity re-images
+    // the masked files and the deleted rows surface as deletes
+    val v = JsonlStats.currentVersion(dir)
+    val changes = graft.sources.ChangeFeed.tableChanges(spark, dir, 1, v, Seq("event_id"))
+    assert(changes.filter($"change_type" =!= "delete").isEmpty,
+      "a pure DELETE window must produce only delete changes")
+    assert(changes.count() === src.count() - expect.count())
+    // q197: rewrite_deletes collapses DVs into clean files...
+    val res = spark.sql(s"CALL $cat.rewrite_deletes('$table')").head()
+    assert(res.getInt(0) >= 1 && res.getLong(2) === src.count() - expect.count())
+    val clean = JsonlStats.readStats(dir)
+    assert(clean.forall(s => s.dvs.isEmpty && s.dels == 0))
+    val back2 = spark.table(s"$cat.`$table`")
+    assert(back2.exceptAll(expect).isEmpty && expect.exceptAll(back2).isEmpty)
+    // ...and re-arms MIN/MAX pushdown with ATTAINED bounds: a bare copy
+    // answers the full aggregate metadata-only again
+    val bare2 = Files.createTempDirectory("jsonl_dv_bare2").toString
+    Files.copy(Paths.get(dir, "_stats.jsonl"), Paths.get(bare2, "_stats.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val aggRow = spark.read.format("graft-jsonl-stats").option("path", bare2).load()
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min($"value"),
+        org.apache.spark.sql.functions.max($"value")).head()
+    val expAgg = expect.agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min($"value"),
+      org.apache.spark.sql.functions.max($"value")).head()
+    assert(aggRow === expAgg, "post-rewrite MIN/MAX must serve exact attained bounds from metadata")
+    // old files + DVs survive for archived snapshots until VACUUM...
+    assert(before.forall(s => Files.exists(Paths.get(dir, s.file))))
+    assert(after.flatMap(_.dvs).forall(dv => Files.exists(Paths.get(dir, dv))))
+    // ...which expires them with their manifests (DVs refcount like data)
+    spark.sql(s"CALL $cat.vacuum('$table', retain_last => 1, orphan_grace_ms => 0)").collect()
+    assert(after.flatMap(_.dvs).forall(dv => !Files.exists(Paths.get(dir, dv))),
+      "vacuum must GC deletion vectors once no retained manifest references them")
+    val liveNames = clean.map(_.file).toSet
+    before.map(_.file).filterNot(liveNames).foreach { f =>
+      assert(!Files.exists(Paths.get(dir, f)), s"vacuum left superseded $f behind")
+    }
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

@@ -109,6 +109,36 @@ class RetrievalGraphSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("q198: degree-oriented triangle count equals the brute-force 3-clique count") {
+    import spark.implicits._
+    val und = GraphOps.copurchaseEdges(spark, sfDir).filter($"src" < $"dst").cache()
+    // brute force: every ordered 3-clique a<b<c via two joins + closure
+    val bf = und.as("ab").join(und.as("bc"), $"ab.dst" === $"bc.src")
+      .select($"ab.src".as("a"), $"ab.dst".as("b"), $"bc.dst".as("c"))
+      .join(und.as("ac"), $"a" === $"ac.src" && $"c" === $"ac.dst", "left_semi")
+    val nTriangles = bf.count()
+    assert(nTriangles > 0, "fixture must contain triangles")
+    // per-node counts from the oriented algorithm: total mass = 3x the
+    // triangle count (each triangle contains exactly 3 parts), and the
+    // top-1 count can never exceed what brute force allows
+    val perNodeAll = {
+      // re-derive the full per-node table (the query truncates to top-N)
+      val r = GraphOps.triangleParts(spark, sfDir)
+      r
+    }
+    val mass = perNodeAll.agg(sum($"n_tri")).head().getLong(0)
+    // the top-N table holds a subset of the mass; recount exactly by
+    // comparing against brute force per node
+    val bfPerNode = bf.select(explode(array($"a", $"b", $"c")).as("part_id"))
+      .groupBy($"part_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy($"n_tri".desc, $"part_id").limit(20)
+      .orderBy($"n_tri".desc, $"part_id")
+    assert(perNodeAll.exceptAll(bfPerNode).isEmpty && bfPerNode.exceptAll(perNodeAll).isEmpty,
+      "oriented per-node triangle counts must equal brute force")
+    assert(mass <= 3 * nTriangles)
+    und.unpersist()
+  }
+
   test("q193: NB confusion mass conserves the corpus and beats the majority baseline") {
     import spark.implicits._
     val docs = graft.ingest.Tables.documents(spark, sfDir)

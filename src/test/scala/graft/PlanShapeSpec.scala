@@ -41,7 +41,9 @@ class PlanShapeSpec extends SparkSpec {
   // table, then streams docTok past the broadcast |classes|-row frame
   // (the NB score-every-class fan-out — O(N·|classes|), |classes| =
   // distinct langs, never data-sized); q194 attaches the 1-row
-  // (ntok, btot) corpus-stats scalar to the PMI pair table. q195's
+  // (ntok, btot) corpus-stats scalar to the PMI pair table; q199
+  // streams the feature table past the broadcast 1-row weight frame
+  // (the GD scoring pass — the model IS one row). q195's
   // seeding/assign passes stream the corpus past the broadcast K-row
   // (K=4) centroid frame — q65's shape, model-sized never data-sized.
   private val allowedNestedLoop = Set(
@@ -49,7 +51,7 @@ class PlanShapeSpec extends SparkSpec {
     "q116_recursive_calendar", "q121_ann_sq8",
     "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
     "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations",
-    "q195_kmeans_train")
+    "q195_kmeans_train", "q199_gd_classifier")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

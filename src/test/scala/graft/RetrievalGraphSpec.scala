@@ -139,6 +139,30 @@ class RetrievalGraphSpec extends SparkSpec {
     und.unpersist()
   }
 
+  test("q199: GD training strictly decreases the integer squared loss; evaluation conserves the corpus") {
+    import spark.implicits._
+    import graft.ext.CorpusModels
+    val feat = CorpusModels.gdFeatures(spark, sfDir).cache()
+    val n = feat.count()
+    def lossAt(rounds: Int): Long =
+      CorpusModels.gdScore(feat, CorpusModels.gdTrain(spark, sfDir, rounds))
+        .agg(sum($"err" * $"err")).head().getLong(0)
+    // gradient descent must descend: each round lowers the exact
+    // integer squared loss (measured law — the learning rates were
+    // frozen against this property at both driver SFs)
+    val losses = (0 to 3).map(lossAt)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not decrease: $losses")
+    }
+    // the registered evaluation partitions the corpus exactly
+    val eval = graft.ext.CorpusModels.gdLinearClassifier(spark, sfDir)
+    assert(eval.agg(sum($"n_docs")).head().getLong(0) === n)
+    // bit-identical across runs (integer/exact-IEEE training)
+    val again = graft.ext.CorpusModels.gdLinearClassifier(spark, sfDir)
+    assert(eval.exceptAll(again).isEmpty && again.exceptAll(eval).isEmpty)
+    feat.unpersist()
+  }
+
   test("q193: NB confusion mass conserves the corpus and beats the majority baseline") {
     import spark.implicits._
     val docs = graft.ingest.Tables.documents(spark, sfDir)

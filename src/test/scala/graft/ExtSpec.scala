@@ -209,6 +209,34 @@ class ExtSpec extends SparkSpec {
       "classifier plan shuffles — expected a pure map pass")
   }
 
+  test("substring audit: a planted verbatim copy audits fully duplicated; flags are count-consistent") {
+    import spark.implicits._
+    import graft.ext.SpanDedup
+    val docs = graft.ingest.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val victim = docs.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + lit(1000000L)).as("doc_id"), $"text")
+    val planted = docs.unionByName(victim)
+    val audit = SpanDedup.auditOf(planted).cache()
+    // every gram of the copy occurs at least twice (its original) ->
+    // the planted doc and its source both audit at exactly 1000 milli
+    val plantedId = victim.head().getLong(0)
+    val full = audit.filter($"doc_id" === plantedId).head()
+    assert(full.getAs[Long]("dup_milli") === 1000L,
+      s"verbatim copy must be fully duplicated: $full")
+    val srcId = docs.orderBy($"doc_id").limit(1).head().getLong(0)
+    assert(audit.filter($"doc_id" === srcId).head().getAs[Long]("dup_milli") === 1000L)
+    // accounting: n_dup <= n_grams everywhere; duplication flags count
+    // at least two positions per duplicated gram globally
+    assert(audit.filter($"n_dup" > $"n_grams").isEmpty)
+    val totalDup = audit.agg(sum($"n_dup")).head().getLong(0)
+    assert(totalDup >= 2, "planted copy guarantees duplicated positions")
+    // baseline corpus (no plant) must show strictly less duplication
+    val base = SpanDedup.auditOf(docs)
+    val baseDup = base.agg(sum($"n_dup")).head().getLong(0)
+    assert(baseDup < totalDup)
+    audit.unpersist()
+  }
+
   test("k-means: clusters partition the corpus; Lloyd inertia is non-increasing in rounds") {
     import spark.implicits._
     val emb = graft.ingest.Tables.embeddings(spark, sfDir)

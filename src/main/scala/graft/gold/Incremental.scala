@@ -362,10 +362,58 @@ object Incremental extends QueryModule {
       .orderBy($"event_date")
   }
 
+  /** q201: INCREMENTAL VIEW MAINTENANCE for a JOIN view — the delta-join
+    * algebra (Blakeley 1986; the engine's aggregate tier already
+    * maintains grouped views via ledgered partials, q96/q141; this is
+    * the JOIN half every IVM system needs):
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * exact for insert-only deltas. The maintained view is per-nation
+    * order revenue (orders ⋈ customer); the base snapshot's join is a
+    * STORED artifact (parquet fixture — the materialized view), and a
+    * refresh touches only the three delta-sized joins: with a daily
+    * delta at 0.1% of a 100-TB base, ΔA⋈B₀ broadcast-joins the delta
+    * against the dimension and A₀⋈ΔB is delta-keyed — the refresh
+    * costs O(‖Δ‖), never a re-join of the base (the full recompute the
+    * oracle runs IS the contrast). The deltas here are deterministic
+    * key-residue slices (orderkey%10=7, custkey%10=3), so the
+    * decomposition exercises all three terms including ΔA⋈ΔB.
+    * Equality with the monolithic join is the oracle; term-disjointness
+    * and delta-only-input accounting ride in IncrementalSpec. */
+  def joinIvm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey")
+    val oBase = o.filter($"o_orderkey" % 10 =!= 7)
+    val oDelta = o.filter($"o_orderkey" % 10 === 7)
+    val cBase = c.filter($"c_custkey" % 10 =!= 3)
+    val cDelta = c.filter($"c_custkey" % 10 === 3)
+    // the materialized base view: joined ONCE, stored, never re-joined
+    val baseView = Landing.ensureParquetFixture(
+      oBase.join(cBase, $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey", $"o_totalprice"),
+      d, "ivm_join_base")
+    val incr = Seq(
+      oDelta.join(cBase, $"o_custkey" === $"c_custkey"),
+      oBase.join(cDelta, $"o_custkey" === $"c_custkey"),
+      oDelta.join(cDelta, $"o_custkey" === $"c_custkey"))
+      .map(_.select($"c_nationkey", $"o_totalprice"))
+      .reduce(_ unionByName _)
+    baseView.unionByName(incr)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q96_incremental_gold" -> incrementalGold,
     "q126_gold_time_travel" -> goldTimeTravel,
     "q141_multi_table_snapshot" -> multiTableSnapshot,
+    "q201_join_ivm" -> joinIvm,
   )
 
   val oracles = Map(
@@ -402,5 +450,12 @@ object Incremental extends QueryModule {
         |  n1 = n2 AS consistent, revenue, n_users
         |FROM t JOIN u ON t.d = u.d
         |ORDER BY event_date""".stripMargin,
+    // the monolithic recompute the incremental refresh must equal
+    "q201_join_ivm" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
   )
 }

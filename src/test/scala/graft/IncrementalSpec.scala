@@ -250,4 +250,41 @@ class IncrementalSpec extends SparkSpec {
         Files.deleteIfExists(java.nio.file.Paths.get(a + s"__txn_$t")))
     }
   }
+
+  test("q201 join IVM: the four delta-algebra terms partition the full join exactly") {
+    import spark.implicits._
+    val o = graft.ingest.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = graft.ingest.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val full = o.join(c, $"o_custkey" === $"c_custkey")
+    val oBase = o.filter($"o_orderkey" % 10 =!= 7)
+    val oDelta = o.filter($"o_orderkey" % 10 === 7)
+    val cBase = c.filter($"c_custkey" % 10 =!= 3)
+    val cDelta = c.filter($"c_custkey" % 10 === 3)
+    val terms = Seq(
+      oBase.join(cBase, $"o_custkey" === $"c_custkey"),
+      oDelta.join(cBase, $"o_custkey" === $"c_custkey"),
+      oBase.join(cDelta, $"o_custkey" === $"c_custkey"),
+      oDelta.join(cDelta, $"o_custkey" === $"c_custkey"))
+    // disjoint terms whose union is the full join, row-exactly — the
+    // identity that makes the delta refresh EQUAL the recompute, not
+    // approximate it
+    val counts = terms.map(_.count())
+    assert(counts.sum === full.count(), s"terms must partition the join: $counts")
+    val union = terms.map(_.select($"o_orderkey", $"c_custkey")).reduce(_ unionByName _)
+    assert(union.exceptAll(full.select($"o_orderkey", $"c_custkey")).isEmpty &&
+      full.select($"o_orderkey", $"c_custkey").exceptAll(union).isEmpty)
+    // each incremental term is delta-sized: strictly smaller than the
+    // base-base term (the refresh never re-joins the base)
+    assert(counts.tail.forall(_ < counts.head),
+      s"incremental terms must be delta-sized: $counts")
+    // and the registered query equals the monolithic aggregate
+    val ivm = graft.gold.Incremental.joinIvm(spark, sfDir)
+    val mono = full.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+    assert(ivm.exceptAll(mono).isEmpty && mono.exceptAll(ivm).isEmpty)
+  }
 }

@@ -237,6 +237,34 @@ class ExtSpec extends SparkSpec {
     audit.unpersist()
   }
 
+  test("PCA power iteration: max-norm law holds and the Rayleigh quotient grows with rounds") {
+    import spark.implicits._
+    import graft.ext.ClusterTrain
+    val cov = ClusterTrain.pcaCov(spark, sfDir).cache()
+    // covariance is symmetric by construction
+    val flipped = cov.select($"k".as("j"), $"j".as("k"), $"c_micro")
+    assert(cov.exceptAll(flipped).isEmpty && flipped.exceptAll(cov).isEmpty)
+    def rayleigh(rounds: Int): Double = {
+      val v = ClusterTrain.pcaIterate(spark, sfDir, rounds)
+      val num = cov.join(v.select($"k", $"v_micro"), "k")
+        .join(v.select($"k".as("j"), $"v_micro".as("vj")), "j")
+        .agg(sum($"c_micro" * $"v_micro" * $"vj")).head().getLong(0).toDouble
+      val den = v.agg(sum($"v_micro" * $"v_micro")).head().getLong(0).toDouble
+      num / den
+    }
+    // power iteration drives vᵀCv/vᵀv toward the top eigenvalue
+    // monotonically (up to the micro-quantization, far below the gaps)
+    val r = (0 to 3).map(rayleigh)
+    r.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-3, s"Rayleigh quotient fell: $r")
+    }
+    assert(r.last > r.head, s"no spectral progress: $r")
+    // normalization law: every iterate peaks at exactly 1e6 micro
+    val v3 = ClusterTrain.pcaIterate(spark, sfDir, 3)
+    assert(v3.agg(max(abs($"v_micro"))).head().getLong(0) === 1000000L)
+    cov.unpersist()
+  }
+
   test("k-means: clusters partition the corpus; Lloyd inertia is non-increasing in rounds") {
     import spark.implicits._
     val emb = graft.ingest.Tables.embeddings(spark, sfDir)

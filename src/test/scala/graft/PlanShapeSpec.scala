@@ -46,12 +46,15 @@ class PlanShapeSpec extends SparkSpec {
   // (the GD scoring pass — the model IS one row). q195's
   // seeding/assign passes stream the corpus past the broadcast K-row
   // (K=4) centroid frame — q65's shape, model-sized never data-sized.
+  // q202 attaches the 1-row corpus-count scalar to the d²-cell
+  // covariance build and the 1-row max-norm scalar to each d-row power
+  // iterate — every nested-loop side is model- or scalar-sized.
   private val allowedNestedLoop = Set(
     "q32_tfidf_top_terms", "q33_cosine_topk_exact", "q65_ann_centroid_probe",
     "q116_recursive_calendar", "q121_ann_sq8",
     "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
     "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations",
-    "q195_kmeans_train", "q199_gd_classifier")
+    "q195_kmeans_train", "q199_gd_classifier", "q202_pca_power")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -51,6 +51,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   private var catName: String = _
   private var root: String = _
 
+  /** CHECK constraints flow through ALTER TABLE only when the catalog
+    * declares the capability (r7c). */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = options.get("root")
@@ -199,6 +205,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       throw new NoSuchTableException(ident)
     val meta = JsonlStats.readTableMeta(dir.toString)
     var schema = meta.schema.getOrElse(JsonlStats.schema)
+    var constraints = meta.constraints
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -211,13 +218,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         if (schema.fieldNames.contains(col))
           throw new IllegalArgumentException(s"column $col already exists")
         schema = schema.add(StructField(col, add.dataType(), nullable = true))
+      // CHECK constraints (r7c): metadata-only — Spark injects the
+      // enforcement into write plans from Table.constraints(). Spark
+      // pre-validates existing rows when the DDL asks (ENFORCED is the
+      // default path: the engine runs the validation scan before
+      // calling us with the change).
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            if (constraints.exists(_._1.equalsIgnoreCase(c.name())))
+              throw new IllegalArgumentException(s"constraint ${c.name()} already exists")
+            constraints = constraints :+ (c.name() -> c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"$catName: only CHECK constraints are enforced here; " +
+              s"${other.toDDL} is informational — track it in the warehouse catalog")
+        }
+      case drop: TableChange.DropConstraint =>
+        if (!drop.ifExists() && !constraints.exists(_._1.equalsIgnoreCase(drop.name())))
+          throw new IllegalArgumentException(s"no such constraint ${drop.name()}")
+        constraints = constraints.filterNot(_._1.equalsIgnoreCase(drop.name()))
       case other => throw new UnsupportedOperationException(
         s"$catName: unsupported ALTER $other — drop/rename/retype reinterpret existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")
     }
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol)
+      meta.bloomCol, meta.deleteMode, constraints)
     loadTable(ident)
   }
 

@@ -287,17 +287,27 @@ object JsonlStats {
   final case class TableMeta(statsCol: Option[String], partitionCol: Option[String],
                              schema: Option[StructType],
                              bloomCol: Option[String] = None,
-                             deleteMode: Option[String] = None)
+                             deleteMode: Option[String] = None,
+                             constraints: Seq[(String, String)] = Nil)
 
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
                      schema: StructType, bloomCol: Option[String] = None,
-                     deleteMode: Option[String] = None): Unit = {
+                     deleteMode: Option[String] = None,
+                     constraints: Seq[(String, String)] = Nil): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
     partitionCol.foreach(n.put("partitionColumn", _))
     bloomCol.foreach(n.put("bloomColumn", _))
     deleteMode.foreach(n.put("deleteMode", _))
+    if (constraints.nonEmpty) {
+      val arr = n.putArray("constraints")
+      constraints.foreach { case (name, sql) =>
+        val c = mapper.createObjectNode()
+        c.put("name", name); c.put("sql", sql)
+        arr.add(c)
+      }
+    }
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
       java.util.Arrays.asList(n.toString),
@@ -398,7 +408,12 @@ object JsonlStats {
           Some(DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType])
         else None,
         if (n.hasNonNull("bloomColumn")) Some(n.get("bloomColumn").asText()) else None,
-        if (n.hasNonNull("deleteMode")) Some(n.get("deleteMode").asText()) else None)
+        if (n.hasNonNull("deleteMode")) Some(n.get("deleteMode").asText()) else None,
+        if (!n.hasNonNull("constraints")) Nil
+        else (0 until n.get("constraints").size()).map { i =>
+          val c = n.get("constraints").get(i)
+          (c.get("name").asText(), c.get("sql").asText())
+        })
     }
   }
 
@@ -493,6 +508,23 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
+
+  /** CHECK constraints (r7c, Spark 4.1 DSv2 constraints API): the table
+    * REPORTS its enforced checks and Spark's analyzer
+    * (ResolveTableConstraints) injects the row-level validation into
+    * every write plan — a violating INSERT/UPDATE/MERGE fails its job
+    * BEFORE the commit point, and the atomic-manifest contract
+    * guarantees nothing of the failed write is ever visible (the Delta
+    * invariant behavior, resting on Spark's own enforcement rather
+    * than a bespoke writer-side evaluator). Stored as (name, sql)
+    * pairs in `_table.json`; managed by ALTER TABLE ADD/DROP
+    * CONSTRAINT through [[GraftCatalog.alterTable]]. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    JsonlStats.readTableMeta(root).constraints.map { case (cname, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(cname).predicateSql(sql).enforced(true).build():
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** Row provenance: which manifested file, which position in it. The
     * reader serves both from state it already has — no extra IO. */

@@ -743,6 +743,46 @@ object JsonlStatsQueries extends QueryModule {
          |FROM $cat.jsonl_mor_rewrite""".stripMargin)
   }
 
+  /** q203: CHECK-CONSTRAINT gate (Spark 4.1 DSv2 constraints API): the
+    * table reports `positive_value CHECK (value >= 0)` and Spark's
+    * analyzer injects the row-level validation into every write plan —
+    * each run re-proves enforcement by attempting a poisoned INSERT
+    * (refused before the commit point; the atomic manifest means
+    * nothing of it is ever visible) and then aggregates the clean
+    * table, which the refusals have kept byte-stable across reps. The
+    * Delta invariant/constraint story on Spark's own enforcement —
+    * no bespoke writer-side evaluator to drift from SQL semantics. */
+  def checkConstraintGate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_ck_gate")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .filter($"value" >= 0)
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+      val meta = JsonlStats.readTableMeta(out)
+      JsonlStats.writeTableMeta(out, meta.statsCol.getOrElse(JsonlStats.statsColumn),
+        meta.partitionCol, meta.schema.getOrElse(JsonlStats.schema), meta.bloomCol,
+        meta.deleteMode, constraints = Seq("positive_value" -> "value >= 0"))
+    }
+    val refused =
+      try {
+        spark.sql(s"INSERT INTO $cat.jsonl_ck_gate VALUES (999999901, 1, 'poison', -1.0)")
+        false
+      } catch { case _: Exception => true }
+    require(refused, "CHECK constraint failed to refuse the poisoned insert")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_ck_gate
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -1052,6 +1092,7 @@ object JsonlStatsQueries extends QueryModule {
     "q192_dsv2_stream_sink" -> streamingManifestWrite,
     "q196_dv_delete" -> dvDelete,
     "q197_dv_rewrite" -> dvRewrite,
+    "q203_check_constraint" -> checkConstraintGate,
   )
 
   val oracles = Map(
@@ -1126,6 +1167,13 @@ object JsonlStatsQueries extends QueryModule {
       """SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value
         |FROM events
         |WHERE value >= 100.0""".stripMargin,
+    "q203_check_constraint" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE value >= 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q173_dsv2_update" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END

@@ -219,8 +219,13 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // non-nullable there), and clobbering the table sidecar with it
     // would flip nullability and codegen-NPE reads of older files'
     // nulls (r7 ALTER spec caught exactly this)
-    if (truncateFirst || !Files.exists(Paths.get(root, "_table.json")))
-      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
+    if (truncateFirst || !Files.exists(Paths.get(root, "_table.json"))) {
+      // TRUNCATE redefines the data, not the table contract: delete
+      // mode and CHECK constraints survive the generation swap (r7c)
+      val prior = JsonlStats.readTableMeta(root)
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
+        prior.deleteMode, prior.constraints)
+    }
     JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files leave the LIVE manifest but
     // stay on disk — the archived manifest still references them, so

@@ -606,6 +606,48 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("q203: CHECK constraints — violating writes fail before the commit; DDL round-trips (r7c)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ck_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.ck_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table WHERE value >= 0""".stripMargin)
+    val n0 = spark.table(s"$cat.ck_spec").count()
+    spark.sql(s"ALTER TABLE $cat.ck_spec ADD CONSTRAINT positive_value CHECK (value >= 0)")
+    // reported through the DSv2 constraints API
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "ck_spec").toString
+    assert(JsonlStats.readTableMeta(dir).constraints === Seq("positive_value" -> "value >= 0"))
+    // valid insert passes and lands
+    spark.sql(s"INSERT INTO $cat.ck_spec VALUES (900001, 1, 'manual', 5.0)")
+    assert(spark.table(s"$cat.ck_spec").count() === n0 + 1)
+    // violating insert fails BEFORE the commit: exception raised, and
+    // the atomic-manifest contract keeps the table byte-identical
+    val manifestBefore = Files.readString(Paths.get(dir, "_stats.jsonl"))
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ck_spec VALUES (900002, 1, 'manual', -7.0)")
+    }
+    assert(ex.toString.toLowerCase.contains("check") ||
+      ex.toString.toLowerCase.contains("constraint") ||
+      ex.toString.toLowerCase.contains("violat"), s"unexpected error: $ex")
+    assert(Files.readString(Paths.get(dir, "_stats.jsonl")) === manifestBefore,
+      "failed write must leave the manifest untouched")
+    assert(spark.table(s"$cat.ck_spec").count() === n0 + 1)
+    // ALTER ADD validates EXISTING rows: a constraint current data
+    // violates is refused (Spark's validation scan)
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ck_spec ADD CONSTRAINT impossible CHECK (value > 1e12)")
+    }
+    assert(JsonlStats.readTableMeta(dir).constraints.map(_._1) === Seq("positive_value"),
+      s"refused constraint must not persist (error was $bad)")
+    // DROP re-admits the violating row
+    spark.sql(s"ALTER TABLE $cat.ck_spec DROP CONSTRAINT positive_value")
+    spark.sql(s"INSERT INTO $cat.ck_spec VALUES (900002, 1, 'manual', -7.0)")
+    assert(spark.table(s"$cat.ck_spec").count() === n0 + 2)
+    spark.sql(s"DROP TABLE $cat.ck_spec")
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

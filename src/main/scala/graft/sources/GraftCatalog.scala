@@ -91,7 +91,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       meta.schema.getOrElse(JsonlStats.schema),
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
       meta.partitionCol, bloomCol = meta.bloomCol,
-      deleteMode = meta.deleteMode)
+      deleteMode = meta.deleteMode,
+      columnMapping = meta.columnMapping)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -206,6 +207,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val meta = JsonlStats.readTableMeta(dir.toString)
     var schema = meta.schema.getOrElse(JsonlStats.schema)
     var constraints = meta.constraints
+    var mapping = meta.columnMapping
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -237,13 +239,46 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         if (!drop.ifExists() && !constraints.exists(_._1.equalsIgnoreCase(drop.name())))
           throw new IllegalArgumentException(s"no such constraint ${drop.name()}")
         constraints = constraints.filterNot(_._1.equalsIgnoreCase(drop.name()))
+      // RENAME COLUMN (r7c — the Delta column-mapping idea): a pure
+      // sidecar rewrite. The data bytes and the manifest's stats keys
+      // keep the ORIGINAL (physical) name forever; the schema carries
+      // the new logical name and `columnMapping` records logical →
+      // physical, translated at the reader/writer/pruning boundaries.
+      // Refused for the table's declared layout columns (stats/key/
+      // bloom: the physical layout contract is named BY those columns)
+      // and for columns a CHECK constraint references (its SQL names
+      // the old column; silently rewriting predicates is how
+      // constraints drift).
+      case ren: TableChange.RenameColumn =>
+        if (ren.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested RENAME unsupported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        if (!schema.fieldNames.contains(from))
+          throw new IllegalArgumentException(s"no such column $from")
+        if (schema.fieldNames.contains(to))
+          throw new IllegalArgumentException(s"column $to already exists")
+        val physical = mapping.getOrElse(from, from)
+        val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
+          meta.partitionCol ++ meta.bloomCol
+        if (declared.contains(physical))
+          throw new UnsupportedOperationException(
+            s"$catName: cannot rename $from — it is the table's declared " +
+              "stats/partition/bloom column (the physical layout contract)")
+        if (constraints.exists(_._2.contains(from)))
+          throw new UnsupportedOperationException(
+            s"$catName: cannot rename $from — a CHECK constraint references it; " +
+              "drop the constraint first")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        mapping = (mapping - from) + (to -> physical)
       case other => throw new UnsupportedOperationException(
         s"$catName: unsupported ALTER $other — drop/rename/retype reinterpret existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")
     }
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints)
+      meta.bloomCol, meta.deleteMode, constraints, mapping)
     loadTable(ident)
   }
 
@@ -323,10 +358,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 
   private def snapshotTable(dir: java.nio.file.Path, manifest: String): Table = {
     val meta = JsonlStats.readTableMeta(dir.toString)
+    // the CURRENT mapping applies to snapshots too: the sidecar is
+    // table-level, and physical names never change — a rename after
+    // the snapshot only relabels the logical view of the same bytes
     new JsonlStatsTable(dir.toString,
       meta.schema.getOrElse(JsonlStats.schema),
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
-      meta.partitionCol, manifest, meta.bloomCol)
+      meta.partitionCol, manifest, meta.bloomCol,
+      columnMapping = meta.columnMapping)
   }
 
   /** Maintenance procedures (`ProcedureCatalog`): CALL-addressable

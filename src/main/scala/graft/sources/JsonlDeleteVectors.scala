@@ -89,7 +89,8 @@ object JsonlDeleteVectors {
 
 /** The delta-based DELETE operation: row ID = (`_file`, `_pos`). */
 class JsonlDvDeleteOperation(root: String, tableSchema: StructType, statsCol: String,
-                             bloomCol: Option[String] = None)
+                             bloomCol: Option[String] = None,
+                             columnMapping: Map[String, String] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
@@ -106,7 +107,7 @@ class JsonlDvDeleteOperation(root: String, tableSchema: StructType, statsCol: St
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, None,
       options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
-      bloomCol = bloomCol)
+      bloomCol = bloomCol, columnMapping = columnMapping)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

@@ -67,12 +67,18 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     // read resolve ANY committed manifest — an archived generation
     // (`_history/v3.jsonl`) or a derived file-set like the change
     // feed's diff manifests. Non-live manifests are read-only.
+    // column mapping is table-level state, never an option: a path
+    // read of a renamed table must translate or it would silently
+    // surface nulls for every renamed column
+    val mapping = Option(properties.get("path"))
+      .map(JsonlStats.readTableMeta(_).columnMapping).getOrElse(Map.empty)
     new JsonlStatsTable(properties.get("path"), schema,
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
       Option(opts.get("partitionColumn")),
       opts.getOrDefault("manifest", "_stats.jsonl"),
       Option(opts.get("bloomColumn")),
-      Option(opts.get("deleteMode")))
+      Option(opts.get("deleteMode")),
+      mapping)
   }
 }
 
@@ -284,16 +290,24 @@ object JsonlStats {
     * catalog MUST consult it: resolving a user-id-bounded table with the
     * default stats column would prune files against the wrong bounds
     * (silently wrong results) and serve MIN/MAX of the wrong column. */
+  /** `columnMapping` (r7c — the Delta column-mapping idea): LOGICAL
+    * column name → PHYSICAL JSON field name. Grows only via ALTER
+    * TABLE RENAME COLUMN: the data bytes and manifest stats keys keep
+    * the original (physical) names forever, the Spark-facing schema
+    * carries the logical names, and the connector translates at every
+    * boundary — so a rename is one sidecar rewrite, zero data IO. */
   final case class TableMeta(statsCol: Option[String], partitionCol: Option[String],
                              schema: Option[StructType],
                              bloomCol: Option[String] = None,
                              deleteMode: Option[String] = None,
-                             constraints: Seq[(String, String)] = Nil)
+                             constraints: Seq[(String, String)] = Nil,
+                             columnMapping: Map[String, String] = Map.empty)
 
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
                      schema: StructType, bloomCol: Option[String] = None,
                      deleteMode: Option[String] = None,
-                     constraints: Seq[(String, String)] = Nil): Unit = {
+                     constraints: Seq[(String, String)] = Nil,
+                     columnMapping: Map[String, String] = Map.empty): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
@@ -307,6 +321,10 @@ object JsonlStats {
         c.put("name", name); c.put("sql", sql)
         arr.add(c)
       }
+    }
+    if (columnMapping.nonEmpty) {
+      val m = n.putObject("columnMapping")
+      columnMapping.toSeq.sortBy(_._1).foreach { case (l, p) => m.put(l, p) }
     }
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
@@ -413,6 +431,13 @@ object JsonlStats {
         else (0 until n.get("constraints").size()).map { i =>
           val c = n.get("constraints").get(i)
           (c.get("name").asText(), c.get("sql").asText())
+        },
+        if (!n.hasNonNull("columnMapping")) Map.empty
+        else {
+          val m = n.get("columnMapping")
+          val b = Map.newBuilder[String, String]
+          m.fieldNames().asScala.foreach(f => b += f -> m.get(f).asText())
+          b.result()
         })
     }
   }
@@ -458,7 +483,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       partitionCol: Option[String] = None,
                       manifest: String = "_stats.jsonl",
                       bloomCol: Option[String] = None,
-                      deleteMode: Option[String] = None) extends Table
+                      deleteMode: Option[String] = None,
+                      columnMapping: Map[String, String] = Map.empty) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -501,10 +527,12 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     // MERGE stay copy-on-write (the Iceberg mixed-mode default — their
     // rewritten files start DV-free either way)
     val mor = deleteMode.orElse(meta.deleteMode).contains("merge-on-read")
+    val mapping = if (columnMapping.nonEmpty) columnMapping else meta.columnMapping
     if (mor && info.command() == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
-      () => new JsonlDvDeleteOperation(root, tableSchema, statsCol, bloom)
+      () => new JsonlDvDeleteOperation(root, tableSchema, statsCol, bloom, mapping)
     else
-      () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed, bloom)
+      () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed,
+        bloom, mapping)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
@@ -549,13 +577,13 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
-      manifest = manifest, bloomCol = bloomCol)
+      manifest = manifest, bloomCol = bloomCol, columnMapping = columnMapping)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
-      bloomCol, Option(info.options().get("txnAppId")))
+      bloomCol, Option(info.options().get("txnAppId")), columnMapping)
   }
 }
 

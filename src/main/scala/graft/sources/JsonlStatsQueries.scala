@@ -783,6 +783,38 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q204: RENAME COLUMN via column mapping (the Delta column-mapping
+    * idea): the fixture renames `user_id` → `uid` ONCE at build (a
+    * pure `_table.json` rewrite — data bytes and manifest stats keys
+    * keep the physical name forever), then every run reads the renamed
+    * schema: the reader translates logical → physical per projected
+    * column, manifest MIN/MAX pushdown resolves bounds under the
+    * physical key, and appends through the new schema write the
+    * physical field so old and new files stay byte-compatible
+    * (spec-proven; declared layout columns and constraint-referenced
+    * columns refuse renames). Oracle reads the parquet feed with the
+    * rename applied as a projection alias. */
+  def renamedColumnRead(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_renamed")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"value")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+      spark.sql(s"ALTER TABLE $cat.jsonl_renamed RENAME COLUMN user_id TO uid")
+    }
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n, min(uid) AS min_uid, max(uid) AS max_uid,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_renamed
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -1093,6 +1125,7 @@ object JsonlStatsQueries extends QueryModule {
     "q196_dv_delete" -> dvDelete,
     "q197_dv_rewrite" -> dvRewrite,
     "q203_check_constraint" -> checkConstraintGate,
+    "q204_rename_column" -> renamedColumnRead,
   )
 
   val oracles = Map(
@@ -1172,6 +1205,12 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE value >= 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q204_rename_column" ->
+      """SELECT event_type, count(*) AS n, min(user_id) AS min_uid, max(user_id) AS max_uid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q173_dsv2_update" ->

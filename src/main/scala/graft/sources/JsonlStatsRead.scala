@@ -17,13 +17,20 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             rewriteOp: Option[JsonlRowLevelOperation] = None,
                             splitBytes: Long = JsonlStats.DefaultSplitBytes,
                             manifest: String = "_stats.jsonl",
-                            bloomCol: Option[String] = None) extends ScanBuilder
+                            bloomCol: Option[String] = None,
+                            columnMapping: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var bloomPushed: Array[Filter] = Array.empty
   private var aggSchema: Option[StructType] = None
+
+  /** Logical → physical (column mapping, r7c): a renamed column's data
+    * bytes and manifest stats keys keep the original name. Declared
+    * layout columns (stats/partition/bloom) are never renamable, so
+    * THEY need no translation. */
+  private def phys(c: String): String = columnMapping.getOrElse(c, c)
 
   /** Accept skippable predicates for file pruning — numeric range/
     * equality on ANY column for planning-time manifest skips (r7b
@@ -100,7 +107,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val t = full.fields.find(_.name == col).map(_.dataType)
       val typed = t.contains(DoubleType) || t.contains(LongType)
       val covered = stats.nonEmpty &&
-        stats.forall(s => JsonlStats.colBounds(s, col, statsCol).isDefined)
+        stats.forall(s => JsonlStats.colBounds(s, phys(col), statsCol).isDefined)
       // a file with deletion vectors declines MIN/MAX: bounds still
       // HOLD for the surviving rows but may no longer be attained (the
       // extreme row might be the deleted one) — COUNT stays exact
@@ -120,7 +127,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   }
 
   override def build(): Scan = aggSchema match {
-    case Some(s) => new JsonlManifestAggScan(root, s, manifest, statsCol)
+    case Some(s) => new JsonlManifestAggScan(root, s, manifest, statsCol, columnMapping)
     case None =>
       // bloom probes hashed ONCE at planning, by the column's declared
       // type (must mirror the writer's hashing in JsonlFileSink); each
@@ -142,7 +149,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         }
       }
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
-        rewriteOp, splitBytes, manifest, bloomSets)
+        rewriteOp, splitBytes, manifest, bloomSets, columnMapping)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -154,13 +161,15 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   * reader never opens a data file. */
 class JsonlManifestAggScan(root: String, aggSchema: StructType,
                            manifest: String = "_stats.jsonl",
-                           statsCol: String = JsonlStats.statsColumn) extends Scan with Batch {
+                           statsCol: String = JsonlStats.statsColumn,
+                           columnMapping: Map[String, String] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jsonl-stats root=$root, aggregatePushdown=[${aggSchema.fieldNames.mkString(", ")}] (manifest-only, no data IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonlManifestAggPartition(JsonlStats.readStats(root, manifest), aggSchema, statsCol))
+    Array(JsonlManifestAggPartition(JsonlStats.readStats(root, manifest), aggSchema, statsCol,
+      columnMapping))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -175,7 +184,8 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
           // column's bounds round-trip exactly through the manifest's
           // doubles below 2^53 (pushAggregation gates on type).
           override def get(): InternalRow = InternalRow.fromSeq(part.schema.fields.toSeq.map { f =>
-            def bounds(col: String) = JsonlStats.colBounds(cur, col, part.statsCol).get
+            def bounds(col: String) = JsonlStats.colBounds(cur,
+              part.columnMapping.getOrElse(col, col), part.statsCol).get
             (f.name, f.dataType) match {
               // live rows = physical rows minus DV-masked positions
               case ("count_star", _) => cur.rows - cur.dels
@@ -196,7 +206,8 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
 
 final case class JsonlManifestAggPartition(stats: Seq[JsonlStats.FileStats],
                                            schema: StructType,
-                                           statsCol: String = JsonlStats.statsColumn)
+                                           statsCol: String = JsonlStats.statsColumn,
+                                           columnMapping: Map[String, String] = Map.empty)
     extends InputPartition
 
 class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
@@ -205,7 +216,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      rewriteOp: Option[JsonlRowLevelOperation] = None,
                      splitBytes: Long = JsonlStats.DefaultSplitBytes,
                      manifest: String = "_stats.jsonl",
-                     bloomSets: Seq[Array[Long]] = Seq.empty)
+                     bloomSets: Seq[Array[Long]] = Seq.empty,
+                     columnMapping: Map[String, String] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -399,9 +411,10 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     statsSnapshot
       .filter(s => pushed.forall { f =>
         // per-column bounds (legacy stats interval as statsCol fallback);
-        // a column with no recorded bounds never prunes — conservative
+        // a column with no recorded bounds never prunes — conservative.
+        // Filter columns are LOGICAL; the stats keys physical (r7c).
         JsonlStats.skipColumn(f)
-          .flatMap(c => JsonlStats.colBounds(s, c, statsCol))
+          .flatMap(c => JsonlStats.colBounds(s, columnMapping.getOrElse(c, c), statsCol))
           .forall { case (mn, mx) => JsonlStats.intervalMayMatch(f, mn, mx) }
       })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
@@ -428,7 +441,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, bloomSets)
+    new JsonlReaderFactory(required, bloomSets, columnMapping)
 
   /** Connector-level SQL metrics (`CustomMetric`, surfaced on the
     * BatchScan node in the UI next to Spark's own numOutputRows):
@@ -533,13 +546,16 @@ class JsonlBytesReadMetric
 }
 
 class JsonlReaderFactory(required: StructType,
-                         bloomSets: Seq[Array[Long]] = Seq.empty)
+                         bloomSets: Seq[Array[Long]] = Seq.empty,
+                         columnMapping: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
-      new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs)
+      new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs,
+        columnMapping)
     case k: JsonlKeyedFilePartition =>
-      new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs)
+      new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs,
+        columnMapping = columnMapping)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -560,9 +576,15 @@ class JsonlReaderFactory(required: StructType,
 class JsonlPartitionReader(file: String, required: StructType,
                            start: Long = 0L, end: Long = Long.MaxValue,
                            bloomSets: Seq[Array[Long]] = Seq.empty,
-                           dvs: Seq[String] = Nil)
+                           dvs: Seq[String] = Nil,
+                           columnMapping: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+
+  /** Physical JSON field per projected logical column (column mapping,
+    * r7c) — resolved once, not per row. */
+  private val physName: Array[String] =
+    required.fields.map(f => columnMapping.getOrElse(f.name, f.name))
 
   /** Deletion-vector mask: physical positions to drop. DV'd files are
     * always whole-file partitions (the planner guarantees it), so the
@@ -652,11 +674,11 @@ class JsonlPartitionReader(file: String, required: StructType,
 
   override def get(): InternalRow = {
     val n = mapper.readTree(line)
-    InternalRow.fromSeq(required.fields.toSeq.map { f =>
+    InternalRow.fromSeq(required.fields.toSeq.zipWithIndex.map { case (f, fi) =>
       if (f.name == JsonlStats.FileMeta) filePath
       else if (f.name == JsonlStats.PosMeta) pos
       else {
-        val v = n.get(f.name)
+        val v = n.get(physName(fi))
         if (v == null || v.isNull) null
         else f.dataType match {
           case LongType   => v.asLong()

@@ -27,7 +27,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         statsCol: String = JsonlStats.statsColumn,
                         partitionCol: Option[String] = None,
                         bloomCol: Option[String] = None,
-                        txnAppId: Option[String] = None)
+                        txnAppId: Option[String] = None,
+                        columnMapping: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
@@ -55,14 +56,14 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol)
+        replaceFilters, bloomCol, columnMapping)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (truncateFirst || replaceFilters.isDefined)
         throw new UnsupportedOperationException(
           "streaming writes to graft-jsonl-stats are append-only: Complete output " +
             "mode and replaceWhere would re-truncate the table every micro-batch")
       new JsonlStreamingWrite(root, writeSchema, queryId,
-        txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol)
+        txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol, columnMapping)
     }
   })
 }
@@ -88,7 +89,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
                           appId: String,
                           statsCol: String = JsonlStats.statsColumn,
                           partitionCol: Option[String] = None,
-                          bloomCol: Option[String] = None)
+                          bloomCol: Option[String] = None,
+                          columnMapping: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -96,7 +98,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(root, writeSchema, s"$queryId-$runTag",
-      statsCol, partitionCol, bloomCol)
+      statsCol, partitionCol, bloomCol, columnMapping)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val watermark = JsonlStats.readTxns(root).getOrElse(appId, -1L)
@@ -126,12 +128,13 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
 class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: String,
                                   statsCol: String,
                                   partitionCol: Option[String],
-                                  bloomCol: Option[String])
+                                  bloomCol: Option[String],
+                                  columnMapping: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, s"$tag-e$epochId", partitionId, taskId,
-      statsCol, partitionCol, bloomCol)
+      statsCol, partitionCol, bloomCol, columnMapping)
 }
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
@@ -148,9 +151,11 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
                       replaceFilters: Option[Array[Filter]] = None,
-                      bloomCol: Option[String] = None) extends BatchWrite {
+                      bloomCol: Option[String] = None,
+                      columnMapping: Map[String, String] = Map.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
+      columnMapping)
 
   private def isSentinel(s: JsonlStats.FileStats): Boolean =
     s.min == Double.MinValue && s.max == Double.MaxValue
@@ -224,7 +229,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       // mode and CHECK constraints survive the generation swap (r7c)
       val prior = JsonlStats.readTableMeta(root)
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
-        prior.deleteMode, prior.constraints)
+        prior.deleteMode, prior.constraints, prior.columnMapping)
     }
     JsonlStats.publishManifest(root, queryId, lines)
     // truncate: the old generation's files leave the LIVE manifest but
@@ -260,7 +265,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: String,
                              cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
                              partitionCol: Option[String] = None,
-                             bloomCol: Option[String] = None)
+                             bloomCol: Option[String] = None,
+                             columnMapping: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -276,7 +282,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
-      options.getLong("splitBytes", JsonlStats.DefaultSplitBytes))
+      options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
+      columnMapping = columnMapping)
 
   /** The replacement write re-keys on keyed layouts ([[JsonlStats.keyedWrite]]):
     * clustered + sorted on the partition column, one file per key run,
@@ -289,7 +296,7 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
             case Some(s) => s.replacedFiles
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
-          }, partitionCol, bloomCol)
+          }, partitionCol, bloomCol, columnMapping)
     })
   }
 }
@@ -301,9 +308,11 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
                              statsCol: String,
                              replaced: () => Set[String],
                              partitionCol: Option[String] = None,
-                             bloomCol: Option[String] = None) extends BatchWrite {
+                             bloomCol: Option[String] = None,
+                             columnMapping: Map[String, String] = Map.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol)
+    new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
+      columnMapping)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
@@ -325,11 +334,12 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
 class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          statsCol: String = JsonlStats.statsColumn,
                          partitionCol: Option[String] = None,
-                         bloomCol: Option[String] = None)
+                         bloomCol: Option[String] = None,
+                         columnMapping: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol,
-      partitionCol, bloomCol)
+      partitionCol, bloomCol, columnMapping)
 }
 
 /** Streams rows of ONE output data file, tracking (min, max, rows) of
@@ -337,7 +347,13 @@ class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
   * keyed (one file per key run) writers. */
 private[sources] class JsonlFileSink(root: String, val fileName: String,
                                      writeSchema: StructType, statsCol: String,
-                                     bloomCol: Option[String] = None) {
+                                     bloomCol: Option[String] = None,
+                                     columnMapping: Map[String, String] = Map.empty) {
+  // column mapping (r7c): rows are written under PHYSICAL field names
+  // and per-column stats keyed by them, so pre- and post-rename files
+  // are byte-compatible and the manifest keys never fork
+  private val physOf: Array[String] =
+    writeSchema.fields.map(f => columnMapping.getOrElse(f.name, f.name))
   private val path = Paths.get(root, fileName)
   private val out = Files.newBufferedWriter(path)
   private val mapper = new ObjectMapper()
@@ -360,11 +376,11 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
     writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) node.putNull(f.name)
+      if (row.isNullAt(i)) node.putNull(physOf(i))
       else f.dataType match {
-        case LongType   => node.put(f.name, row.getLong(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case LongType   => node.put(physOf(i), row.getLong(i))
+        case DoubleType => node.put(physOf(i), row.getDouble(i))
+        case StringType => node.put(physOf(i), row.getUTF8String(i).toString)
         case dt => throw new IllegalArgumentException(s"unsupported type $dt")
       }
     }
@@ -413,7 +429,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     // unknown = never pruned, no sentinel needed at this layer)
     val cols = numIdx.indices.collect {
       case ci if colMn(ci) <= colMx(ci) =>
-        writeSchema.fields(numIdx(ci)).name -> (colMn(ci), colMx(ci))
+        physOf(numIdx(ci)) -> (colMn(ci), colMx(ci))
     }.toMap
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
@@ -440,7 +456,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       partitionId: Int, taskId: Long,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
-                      bloomCol: Option[String] = None) extends DataWriter[InternalRow] {
+                      bloomCol: Option[String] = None,
+                      columnMapping: Map[String, String] = Map.empty) extends DataWriter[InternalRow] {
   private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   require(partitionCol.isEmpty || keyIdx >= 0,
     s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
@@ -452,7 +469,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private def roll(): Unit = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
     seq += 1
-    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol)
+    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping)
   }
 
   override def write(row: InternalRow): Unit = {

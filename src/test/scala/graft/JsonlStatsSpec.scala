@@ -648,6 +648,63 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ck_spec")
   }
 
+  test("q204: RENAME COLUMN is metadata-only column mapping; old and new files coexist (r7c)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ren_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.ren_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "ren_spec").toString
+    val bytesBefore = JsonlStats.readStats(dir)
+      .map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    val expect = spark.table(s"$cat.ren_spec")
+      .select($"event_id", $"user_id".as("uid"), $"event_type", $"value").collect().toSeq
+    spark.sql(s"ALTER TABLE $cat.ren_spec RENAME COLUMN user_id TO uid")
+    // metadata-only: no data file touched, mapping recorded
+    val statsAfter = JsonlStats.readStats(dir)
+    assert(statsAfter.map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap === bytesBefore)
+    assert(JsonlStats.readTableMeta(dir).columnMapping === Map("uid" -> "user_id"))
+    // reads translate: renamed column serves the original bytes
+    val back = spark.table(s"$cat.ren_spec")
+    assert(back.columns.toSeq === Seq("event_id", "uid", "event_type", "value"))
+    assert(back.collect().toSet === expect.toSet)
+    // MIN/MAX pushdown still answers from the manifest's PHYSICAL keys:
+    // a bare copy with no data files serves aggregates over `uid`
+    val bare = Files.createTempDirectory("jsonl_ren_bare").toString
+    Files.copy(Paths.get(dir, "_stats.jsonl"), Paths.get(bare, "_stats.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(dir, "_table.json"), Paths.get(bare, "_table.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val meta = JsonlStats.readTableMeta(dir)
+    val agg = spark.read.format("graft-jsonl-stats")
+      .schema(meta.schema.get).option("path", bare).load()
+      .agg(count(lit(1)), min($"uid"), max($"uid")).head()
+    val expAgg = spark.table(s"$cat.ren_spec")
+      .agg(count(lit(1)), min($"uid"), max($"uid")).head()
+    assert(agg === expAgg, "renamed column must keep manifest-only MIN/MAX pushdown")
+    // writes map back: an INSERT through the new schema lands under the
+    // PHYSICAL field name, so old and new files read uniformly
+    spark.sql(s"INSERT INTO $cat.ren_spec VALUES (987654301, 42, 'manual', 1.5)")
+    val news = JsonlStats.readStats(dir).map(_.file).filterNot(bytesBefore.keySet)
+    assert(news.size === 1)
+    val line = Files.readString(Paths.get(dir, news.head))
+    assert(line.contains("\"user_id\":42") && !line.contains("uid"),
+      s"insert must write the physical field name: $line")
+    assert(spark.table(s"$cat.ren_spec").filter($"uid" === 42).count() === 1)
+    // refusals: the declared stats column and constraint-referenced
+    // columns cannot be renamed
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ren_spec RENAME COLUMN value TO amount")
+    }
+    spark.sql(s"ALTER TABLE $cat.ren_spec ADD CONSTRAINT et_set CHECK (event_type IS NOT NULL)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ren_spec RENAME COLUMN event_type TO etype")
+    }
+    spark.sql(s"DROP TABLE $cat.ren_spec")
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

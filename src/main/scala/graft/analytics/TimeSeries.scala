@@ -58,11 +58,55 @@ object TimeSeries extends QueryModule {
       .orderBy($"priority", $"day")
   }
 
+  /** q205: OHLC DOWNSAMPLING — the resample-to-bars step every
+    * time-series store runs (candles for dashboards, features for
+    * models): per (event_type, hour) the OPEN (value at the earliest
+    * event), HIGH, LOW, CLOSE (latest) and volume. Open/close are
+    * `min/max(struct(ts, event_id, value))` aggregates — map-side
+    * combinable first/last-by-time with a total-order tie-break
+    * (event_id), never a window sort over the bucket (the q145/q154
+    * min-struct law applied to time): at 100 TB a hot hour costs one
+    * combiner cell per task, and the shuffle carries one struct per
+    * (type, hour) per task. Oracle mirrors via ROW_NUMBER on the same
+    * total order. */
+  def ohlcResample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+      .select($"event_type", date_trunc("hour", $"ts").as("bucket"),
+        $"ts", $"event_id", $"value")
+    e.groupBy($"event_type", $"bucket")
+      .agg(
+        min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q155_gap_fill_locf" -> gapFillLocf,
+    "q205_ohlc_resample" -> ohlcResample,
   )
 
   val oracles = Map(
+    "q205_ohlc_resample" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bucket,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS volume
+        |FROM r GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q155_gap_fill_locf" ->
       s"""WITH o AS (
          |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,

@@ -89,12 +89,67 @@ object Quality extends QueryModule {
       .orderBy($"col_name")
   }
 
+  /** Benford first-digit expectation, milli units: round(log10(1+1/d)
+    * × 1000) for d = 1..9, precomputed as CONSTANTS (no libm call in
+    * either engine — the one place a runtime log would buy nothing but
+    * cross-engine rounding risk). */
+  private val benfordMilli = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** q206: BENFORD-LAW first-digit audit of the money column — the
+    * classical fraud/anomaly screen for financial data (Nigrini 1996):
+    * naturally-occurring amounts follow log10(1+1/d); fabricated or
+    * corrupted feeds don't. The first significant digit is derived
+    * ARITHMETICALLY VIA INTEGER RENDERING (round(x·100) → BIGINT →
+    * first character), never floor(log10): both engines render
+    * integers identically, while floating log10 at power-of-ten
+    * boundaries is exactly where they could disagree. One map-only
+    * pass + a 9-row aggregate; per-digit observed milli-frequency
+    * beside the Benford expectation and the absolute gap — the DQ
+    * dashboard row. A synthetic uniform price column fails Benford
+    * (large gaps), which is itself the correct finding — the audit
+    * measures, the threshold is the consumer's. */
+  def benfordAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, d)
+      .select(substring(round($"o_totalprice" * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val expected = benfordMilli.zipWithIndex
+      .map { case (m, i) => (i + 1L, m) }
+      .toDF("digit", "benford_milli")
+    val tot = digits.agg(count(lit(1)).as("total")).withColumn("one", lit(1))
+    digits.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("one", lit(1)).join(broadcast(tot), "one")
+      .withColumn("obs_milli", expr("(1000 * n_obs) div total"))
+      .join(broadcast(expected), Seq("digit"), "left")
+      .select($"digit", $"n_obs", $"obs_milli",
+        coalesce($"benford_milli", lit(0L)).as("benford_milli"),
+        abs($"obs_milli" - coalesce($"benford_milli", lit(0L))).as("gap_milli"))
+      .orderBy($"digit")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q95_dq_quarantine" -> dqSummary,
     "q119_column_profile" -> columnProfile,
+    "q206_benford_audit" -> benfordAudit,
   )
 
   val oracles = Map(
+    "q206_benford_audit" -> {
+      val exp = benfordMilli.zipWithIndex
+        .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |expected(digit, benford_milli) AS (VALUES $exp),
+         |tot AS (SELECT COUNT(*) AS total FROM digits)
+         |SELECT d.digit, COUNT(*) AS n_obs,
+         |  (1000 * COUNT(*)) // (SELECT total FROM tot) AS obs_milli,
+         |  COALESCE(MAX(e.benford_milli), 0) AS benford_milli,
+         |  ABS((1000 * COUNT(*)) // (SELECT total FROM tot) - COALESCE(MAX(e.benford_milli), 0)) AS gap_milli
+         |FROM digits d LEFT JOIN expected e ON e.digit = d.digit
+         |GROUP BY d.digit
+         |ORDER BY d.digit""".stripMargin
+    },
     "q119_column_profile" ->
       """WITH s AS (
         |  SELECT COUNT(*) AS n,

@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.ingest.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouping-set OLAP surface (SURVEY.md §2.5 A9): ROLLUP, CUBE and
@@ -78,7 +79,47 @@ object Olap extends QueryModule {
       .orderBy($"day", $"event_type")
   }
 
+  /** q207: 2-D PARETO SKYLINE (Börzsönyi 2001) — the parts no other
+    * part beats on BOTH axes (cheaper-or-equal price AND
+    * larger-or-equal size, strictly better somewhere): the
+    * multi-criteria shortlist operator (cheapest-per-quality
+    * frontier). Algorithm = the sort-filter skyline, DISTRIBUTED:
+    *   1. collapse to one candidate per price (only the max size at a
+    *      price can survive — same-price smaller sizes are dominated),
+    *   2. LOCAL pass: within each price-range bucket, a prefix-max
+    *      window (partitioned by bucket — parallel, never global)
+    *      drops rows whose size ≤ the best size at any cheaper price
+    *      in the bucket,
+    *   3. GLOBAL pass: the same prefix-max filter over the local
+    *      survivors — a skyline-sized relation (≤ distinct sizes), so
+    *      the one global-order window runs over a few dozen rows.
+    * Sound because the skyline distributes over union: dominated rows
+    * stay dominated in their bucket's view, and phase 3 is exact on
+    * what remains. The oracle is the INDEPENDENT O(n²) NOT-EXISTS
+    * dominance formulation — two different derivations must agree
+    * row-for-row. */
+  def paretoSkyline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, d)
+      .select($"p_partkey", $"p_retailprice".as("price"), $"p_size".cast("long").as("size"))
+    val g = p.groupBy($"price").agg(max($"size").as("smax"))
+      .withColumn("bucket", floor($"price" / 100.0))
+    val wLocal = Window.partitionBy($"bucket").orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("m", max($"smax").over(wLocal))
+      .filter($"m".isNull || $"smax" > $"m")
+    val wGlobal = Window.orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = local.withColumn("mg", max($"smax").over(wGlobal))
+      .filter($"mg".isNull || $"smax" > $"mg")
+      .select($"price", $"smax".as("size"))
+    p.join(sky, Seq("price", "size"), "left_semi")
+      .select($"p_partkey", $"price", $"size")
+      .orderBy($"price", $"p_partkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q207_pareto_skyline" -> paretoSkyline,
     "q60_rollup_revenue" -> rollupRevenue,
     "q76_cube_orders"    -> cubeOrders,
     "q44_pivot_events"   -> pivotEventMatrix,
@@ -86,6 +127,13 @@ object Olap extends QueryModule {
   )
 
   val oracles = Map(
+    "q207_pareto_skyline" ->
+      """SELECT b.p_partkey, b.p_retailprice AS price, CAST(b.p_size AS BIGINT) AS size
+        |FROM part b
+        |WHERE NOT EXISTS (SELECT 1 FROM part a WHERE
+        |  (a.p_retailprice < b.p_retailprice AND a.p_size >= b.p_size) OR
+        |  (a.p_retailprice <= b.p_retailprice AND a.p_size > b.p_size))
+        |ORDER BY price, b.p_partkey""".stripMargin,
     "q60_rollup_revenue" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -127,13 +127,79 @@ object Quality extends QueryModule {
       .orderBy($"digit")
   }
 
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q208: PEARSON CORRELATION MATRIX of the fact table's numeric
+    * columns in ONE aggregate pass — the feature-screening /
+    * multicollinearity profile (and the reason built-in `corr` can't
+    * serve the oracle: its double sums are aggregation-order-dependent).
+    * All 14 sufficient statistics (n, Σx, Σx², Σxy per pair) are EXACT
+    * DECIMAL(38,10) sums — order-free — and the closed-form corr is
+    * then evaluated in doubles from those exact inputs: double ×/−
+    * are deterministic and IEEE sqrt is CORRECTLY ROUNDED (unlike
+    * exp/ln — the one transcendental that is safe cross-engine), so
+    * micro-quantized correlations hash-match by construction. The
+    * single shuffled row carries 14 numbers regardless of corpus size. */
+  def corrMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DecimalType
+    val S = DecimalType(38, 10)
+    val li = Tables.lineitem(spark, d)
+    def s(c: String) = sum(col(c).cast(S)).as(s"s_$c")
+    def sq(c: String) = sum((col(c) * col(c)).cast(S)).as(s"q_$c")
+    def sp(a: String, b: String) = sum((col(a) * col(b)).cast(S)).as(s"p_${a}_$b")
+    val pairs = corrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs: Seq[Column] =
+      corrCols.map(s) ++ corrCols.map(sq) ++ pairs.map { case (a, b) => sp(a, b) }
+    val agg1 = li.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double"); val sy = col(s"s_$b").cast("double")
+      val qx = col(s"q_$a").cast("double"); val qy = col(s"q_$b").cast("double")
+      val pxy = col(s"p_${a}_$b").cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round((n * pxy - sx * sy) /
+          sqrt((n * qx - sx * sx) * (n * qy - sy * sy)) * 1e6)
+          .cast("long").as("corr_micro"))
+    }
+    agg1.select(explode(array(rows: _*)).as("r"))
+      .select($"r.col_x", $"r.col_y", $"r.corr_micro")
+      .orderBy($"col_x", $"col_y")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q95_dq_quarantine" -> dqSummary,
     "q119_column_profile" -> columnProfile,
     "q206_benford_audit" -> benfordAudit,
+    "q208_corr_matrix" -> corrMatrix,
   )
 
   val oracles = Map(
+    "q208_corr_matrix" -> {
+      val pairs = corrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      val stats =
+        (Seq("COUNT(*) AS n") ++
+          corrCols.map(c => s"SUM(CAST($c AS DECIMAL(38,10))) AS s_$c") ++
+          corrCols.map(c => s"SUM(CAST($c * $c AS DECIMAL(38,10))) AS q_$c") ++
+          pairs.map { case (a, b) => s"SUM(CAST($a * $b AS DECIMAL(38,10))) AS p_${a}_$b" })
+          .mkString(",\n    ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  CAST(round((CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+           |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / sqrt((CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |         * (CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+           |    * 1e6) AS BIGINT) AS corr_micro
+           |FROM stats""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH stats AS (
+         |  SELECT $stats
+         |  FROM lineitem)
+         |SELECT col_x, col_y, corr_micro FROM (
+         |$rows
+         |) ORDER BY col_x, col_y""".stripMargin
+    },
     "q206_benford_audit" -> {
       val exp = benfordMilli.zipWithIndex
         .map { case (m, i) => s"(${i + 1}, $m)" }.mkString(", ")

@@ -208,10 +208,56 @@ object CorpusModels extends QueryModule {
       .orderBy($"y", $"pred")
   }
 
+  /** Learning-rate grid: divisors for the token-feature update (the
+    * bias divisor stays 20). Code and oracle share the list. */
+  private val gridDivisors = Seq(500L, 2000L, 8000L)
+
+  /** q209: HYPERPARAMETER GRID SEARCH as ONE training sweep — G
+    * configurations of q199's classifier trained SIMULTANEOUSLY: the
+    * weight state is a G-row (config, w0, w1, w2) relation, each round
+    * crossJoins the corpus against the broadcast G-row state and one
+    * groupBy(config) aggregate produces every config's gradient at
+    * once. The corpus is scanned `rounds` times TOTAL — not per
+    * config: at 100 TB, searching G learning rates costs the same
+    * scans as training one model (the amortization that makes grid
+    * search affordable as a data job; model-parallel training in its
+    * simplest honest form). Output = per-config final integer squared
+    * loss + weight checksum — the model-selection table (argmin row is
+    * the winner), every config's full trajectory pinned. */
+  def gdGridSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val feat = gdFeatures(spark, d)
+    var w = gridDivisors.map(g => (g, 0L, 0L, 0L))
+      .toDF("cfg", "w0", "w1", "w2")
+    for (_ <- 1 to gdIters) {
+      w = feat.crossJoin(broadcast(w))
+        .withColumn("z", $"w0" * $"x0" + $"w1" * $"x1" + $"w2" * $"x2")
+        .withColumn("p", round(least(lit(1000000.0),
+          greatest(lit(0.0), lit(500000.0) + $"z" / lit(4.0)))).cast("long"))
+        .withColumn("err", $"y" * 1000000L - $"p")
+        .groupBy($"cfg")
+        .agg(
+          (max($"w0") + round(sum($"err" * $"x0") / (lit(20.0) * count(lit(1)))).cast("long")).as("w0"),
+          (max($"w1") + round(sum($"err" * $"x1") / (max($"cfg").cast("double") * count(lit(1)))).cast("long")).as("w1"),
+          (max($"w2") + round(sum($"err" * $"x2") / (max($"cfg").cast("double") * count(lit(1)))).cast("long")).as("w2"))
+    }
+    feat.crossJoin(broadcast(w))
+      .withColumn("z", $"w0" * $"x0" + $"w1" * $"x1" + $"w2" * $"x2")
+      .withColumn("p", round(least(lit(1000000.0),
+        greatest(lit(0.0), lit(500000.0) + $"z" / lit(4.0)))).cast("long"))
+      .withColumn("err", $"y" * 1000000L - $"p")
+      .groupBy($"cfg")
+      .agg(sum($"err" * $"err").as("loss"),
+        (max($"w0") + max($"w1") + max($"w2")).as("w_sum"))
+      .select($"cfg", $"loss", $"w_sum")
+      .orderBy($"cfg")
+  }
+
   val queries = Map(
     "q193_naive_bayes_lang" -> naiveBayesLang,
     "q194_pmi_collocations" -> pmiCollocations,
     "q199_gd_classifier" -> gdLinearClassifier,
+    "q209_gd_grid_search" -> gdGridSearch,
   )
 
   val oracles = Map(
@@ -303,6 +349,50 @@ object CorpusModels extends QueryModule {
          |    w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 AS z
          |  FROM feat f CROSS JOIN w_3 w)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q209_gd_grid_search" -> {
+      val enList = enTokens.map(t => s"'$t'").mkString(", ")
+      val otherList = otherTokens.map(t => s"'$t'").mkString(", ")
+      val cfgs = gridDivisors.map(g => s"($g)").mkString(", ")
+      def round1(prev: String, cur: String): String =
+        s"""s_$cur AS (
+           |  SELECT w.cfg, f.y, f.x0, f.x1, f.x2,
+           |    CAST(f.y * 1000000 AS BIGINT) -
+           |      CAST(round(least(1000000.0, greatest(0.0,
+           |        500000.0 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2) / 4.0))) AS BIGINT) AS err
+           |  FROM feat f CROSS JOIN w_$prev w),
+           |w_$cur AS (
+           |  SELECT s.cfg,
+           |    MAX(p.w0) + CAST(round(SUM(s.err*s.x0) / (20.0*COUNT(*))) AS BIGINT) AS w0,
+           |    MAX(p.w1) + CAST(round(SUM(s.err*s.x1) / (CAST(s.cfg AS DOUBLE)*COUNT(*))) AS BIGINT) AS w1,
+           |    MAX(p.w2) + CAST(round(SUM(s.err*s.x2) / (CAST(s.cfg AS DOUBLE)*COUNT(*))) AS BIGINT) AS w2
+           |  FROM s_$cur s JOIN w_$prev p ON p.cfg = s.cfg
+           |  GROUP BY s.cfg)""".stripMargin
+      s"""WITH feat AS (
+         |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS y,
+         |    CAST(1 AS BIGINT) AS x0,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($enList))) AS BIGINT) AS x1,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($otherList))) AS BIGINT) AS x2
+         |  FROM documents),
+         |w_0(cfg, w0, w1, w2) AS (
+         |  SELECT cfg, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES $cfgs) g(cfg)),
+         |${round1("0", "1")},
+         |${round1("1", "2")},
+         |${round1("2", "3")}
+         |SELECT w.cfg, CAST(SUM(e.err * e.err) AS BIGINT) AS loss,
+         |  MAX(w.w0) + MAX(w.w1) + MAX(w.w2) AS w_sum
+         |FROM (
+         |  SELECT w.cfg,
+         |    CAST(f.y * 1000000 AS BIGINT) -
+         |      CAST(round(least(1000000.0, greatest(0.0,
+         |        500000.0 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2) / 4.0))) AS BIGINT) AS err
+         |  FROM feat f CROSS JOIN w_3 w) e
+         |JOIN w_3 w ON w.cfg = e.cfg
+         |GROUP BY w.cfg
+         |ORDER BY w.cfg""".stripMargin
     },
   )
 }

@@ -201,6 +201,53 @@ class PlanShapeSpec extends SparkSpec {
       s"no exchange reuse in the diamond plan:\n$plan")
   }
 
+  test("q210: MV rewrite substitutes the materialized view; unsupported shapes decline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    val mvDir = graft.plans.MvQueries.mvPath(sfDir)
+    val rawDir = graft.plans.MvQueries.rawPath(sfDir)
+    // the registered query reads ONLY the MV — the raw feed never scans
+    val q = SparkEntry.queries("q210_mv_rewrite")(spark, sfDir)
+    val paths = scannedPaths(q)
+    assert(paths.contains(mvDir) && !paths.contains(rawDir),
+      s"MV rewrite did not substitute: scanned $paths")
+    // value identity: rule off must produce the identical rows
+    val withRule = q.collect().toSeq
+    graft.plans.MvRewrite.clear()
+    try {
+      val qOff = SparkEntry.queries("q210_mv_rewrite")(spark, sfDir)
+      // ensureMv re-registers inside the query builder; clear again and
+      // rebuild the plan WITHOUT the registration to get the raw plan
+      graft.plans.MvRewrite.clear()
+      val raw = spark.read.parquet(rawDir)
+      val off = raw.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy($"event_type")
+      assert(scannedPaths(off).contains(rawDir))
+      assert(off.collect().toSeq === withRule, "rewrite changed results")
+      // negative shapes stay on the raw feed even when registered
+      graft.plans.MvRewrite.register(rawDir, mvDir)
+      val distinctQ = raw.groupBy($"event_type").agg(countDistinct($"value").as("u"))
+      assert(scannedPaths(distinctQ).contains(rawDir),
+        "countDistinct is not covered by the MV grain and must not rewrite")
+      val filtered = raw.filter($"value" > 100).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(filtered).contains(rawDir),
+        "a filtered aggregate must not rewrite (the MV already merged those rows)")
+      val global = raw.agg(count(lit(1)).as("n"))
+      assert(scannedPaths(global).contains(rawDir),
+        "a global aggregate must not rewrite (empty-input count-vs-null)")
+    } finally graft.plans.MvRewrite.clear()
+  }
+
   test("q165 SQL UDFs are inlined: no eval barrier, plan stays in whole-stage codegen") {
     val df = graft.analytics.SqlSurface.sqlUdfTiers(spark, sfDir)
     df.collect()

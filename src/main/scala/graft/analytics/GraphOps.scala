@@ -139,9 +139,47 @@ object GraphOps extends QueryModule {
       .orderBy($"n_tri".desc, $"part_id")
   }
 
+  private val minSupport = 2
+  private val rulesTopN = 20
+
+  /** q211: ASSOCIATION-RULE MINING over order baskets (Agrawal 1993 —
+    * support/confidence/lift, the market-basket primitive): rules
+    * A→B ranked by lift = P(AB)/(P(A)·P(B)), min-support-floored
+    * against the 1-co-occurrence noise floor. All three measures in
+    * EXACT INTEGER arithmetic (lift_micro = 1e6·supp(AB)·N div
+    * (supp(A)·supp(B))) — no floating ratios to drift. Pair supports
+    * are the q151 co-purchase self-join COUNTED PER ORDER (bounded by
+    * basket size², linear in orders); item supports one groupBy; the
+    * rule table joins pair→item supports via broadcast (item supports
+    * are catalog-sized). Top-N via TakeOrderedAndProject. */
+  def associationRules(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val nOrders = items.select($"ok").distinct()
+      .agg(count(lit(1)).as("n")).withColumn("one", lit(1))
+    val itemSupp = items.groupBy($"pk").agg(count(lit(1)).as("supp"))
+    val pairSupp = items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+      .groupBy($"a.pk".as("ante"), $"b.pk".as("cons"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter($"supp_ab" >= minSupport)
+    pairSupp
+      .join(broadcast(itemSupp.select($"pk".as("ante"), $"supp".as("supp_a"))), "ante")
+      .join(broadcast(itemSupp.select($"pk".as("cons"), $"supp".as("supp_b"))), "cons")
+      .withColumn("one", lit(1)).join(broadcast(nOrders), "one")
+      .select($"ante", $"cons", $"supp_ab",
+        expr("(1000 * supp_ab) div supp_a").as("conf_milli"),
+        expr("(1000000 * supp_ab * n) div (supp_a * supp_b)").as("lift_micro"))
+      .orderBy($"lift_micro".desc, $"ante", $"cons")
+      .limit(rulesTopN)
+      .orderBy($"lift_micro".desc, $"ante", $"cons")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q151_pagerank_parts" -> pagerankParts,
     "q198_triangle_parts" -> triangleParts,
+    "q211_association_rules" -> associationRules,
   )
 
   val oracles = Map(
@@ -181,5 +219,21 @@ object GraphOps extends QueryModule {
          |SELECT node AS part_id, count(*) AS n_tri FROM (
          |  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
          |GROUP BY 1 ORDER BY n_tri DESC, part_id LIMIT $triTopN""".stripMargin,
+    "q211_association_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+         |isupp AS (SELECT pk, count(*) AS supp FROM items GROUP BY 1),
+         |psupp AS (
+         |  SELECT a.pk AS ante, b.pk AS cons, count(*) AS supp_ab
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)
+         |SELECT p.ante, p.cons, p.supp_ab,
+         |  (1000 * p.supp_ab) // sa.supp AS conf_milli,
+         |  (1000000 * p.supp_ab * (SELECT n FROM n)) // (sa.supp * sb.supp) AS lift_micro
+         |FROM psupp p
+         |JOIN isupp sa ON sa.pk = p.ante
+         |JOIN isupp sb ON sb.pk = p.cons
+         |ORDER BY lift_micro DESC, ante, cons
+         |LIMIT $rulesTopN""".stripMargin,
   )
 }

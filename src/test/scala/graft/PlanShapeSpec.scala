@@ -45,7 +45,8 @@ class PlanShapeSpec extends SparkSpec {
   // streams the feature table past the broadcast 1-row weight frame
   // (the GD scoring pass — the model IS one row), and q209 the same
   // corpus past the G-row (G=3) config-weight grid; q206 attaches the
-  // 1-row digit-total scalar to the 9-row digit table. q195's
+  // 1-row digit-total scalar to the 9-row digit table; q211 the 1-row
+  // order-count scalar to the min-support-floored rule table. q195's
   // seeding/assign passes stream the corpus past the broadcast K-row
   // (K=4) centroid frame — q65's shape, model-sized never data-sized.
   // q202 attaches the 1-row corpus-count scalar to the d²-cell
@@ -57,7 +58,7 @@ class PlanShapeSpec extends SparkSpec {
     "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
     "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations",
     "q195_kmeans_train", "q199_gd_classifier", "q202_pca_power",
-    "q206_benford_audit", "q209_gd_grid_search")
+    "q206_benford_audit", "q209_gd_grid_search", "q211_association_rules")
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -168,14 +168,58 @@ object Quality extends QueryModule {
       .orderBy($"col_x", $"col_y")
   }
 
+  /** q212: TUKEY-FENCE OUTLIER AUDIT per event type — the classical
+    * robust anomaly screen (Tukey 1977: outliers are points beyond
+    * Q1 − 1.5·IQR / Q3 + 1.5·IQR — median-based, so the fences
+    * themselves cannot be dragged by the outliers they detect). Exact
+    * interpolated quartiles via one array-argument `percentile`
+    * (the q93 determinism route: one sorted buffer per group, ranks
+    * read off it, DuckDB `quantile_cont` bit-identical), fences in
+    * double arithmetic from those exact quartiles, then one broadcast
+    * join of the |types|-row fence table back onto the feed counts the
+    * breaches per side. Fences are micro-quantized in the OUTPUT only
+    * — classification uses the unquantized values both engines share. */
+  def outlierAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d).select($"event_type", $"value")
+    val fences = e.groupBy($"event_type")
+      .agg(percentile($"value", array(lit(0.25), lit(0.75))).as("q"))
+      .select($"event_type", $"q" (0).as("q1"), $"q" (1).as("q3"))
+      .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
+      .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
+    e.join(broadcast(fences), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_high"),
+        round(max($"lo") * 1e6).cast("long").as("lo_micro"),
+        round(max($"hi") * 1e6).cast("long").as("hi_micro"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q95_dq_quarantine" -> dqSummary,
     "q119_column_profile" -> columnProfile,
     "q206_benford_audit" -> benfordAudit,
     "q208_corr_matrix" -> corrMatrix,
+    "q212_outlier_audit" -> outlierAudit,
   )
 
   val oracles = Map(
+    "q212_outlier_audit" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |ff AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CASE WHEN e.value < ff.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN e.value > ff.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(round(MAX(ff.lo) * 1e6) AS BIGINT) AS lo_micro,
+        |  CAST(round(MAX(ff.hi) * 1e6) AS BIGINT) AS hi_micro
+        |FROM events e JOIN ff USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "q208_corr_matrix" -> {
       val pairs = corrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
       val stats =

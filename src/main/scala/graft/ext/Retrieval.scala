@@ -219,9 +219,82 @@ object Retrieval extends QueryModule {
     "q149_perplexity_filter" -> perplexityFilter,
     "q150_bm25_topk"         -> bm25TopDocs,
     "q183_hybrid_rrf"        -> hybridRrf,
+    "q213_kneser_ney"        -> kneserNey,
   )
 
+  /** q213: INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995; the
+    * smoothing CCNet-class filters actually deploy, vs q149's Laplace
+    * baseline that over-smooths by |V|):
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·) + λ(w1)·P_cont(w2)
+    *   λ(w1) = D·N1+(w1·)/c(w1·),  P_cont(w2) = N1+(·w2)/N1+(··)
+    *
+    * with D = 3/4 (the standard absolute discount, exact in binary).
+    * P_cont is the CONTINUATION probability — how many distinct
+    * contexts a word follows, not how often it occurs — the insight
+    * that makes KN the strong n-gram smoother. All four model tables
+    * (bigram counts, context totals, per-context fan-out, continuation
+    * counts) are vocabulary-bounded groupBy artifacts, checkpointed
+    * and broadcast; scoring touches the corpus once. Per-bigram NLL
+    * quantizes to micro-nats before the order-free integer sum (the
+    * q149 contract); evaluating on the training corpus keeps every
+    * bigram observed, so the discounted term is always positive.
+    * The KN-beats-Laplace corpus-NLL law rides in RetrievalGraphSpec. */
+  def kneserNey(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bg = bigrams(spark, d)
+    val lm = Landing.ensureParquetFixture(
+      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")), d, "bigram_lm")
+    val ctx = Landing.ensureParquetFixture(
+      bg.groupBy($"w1").agg(count(lit(1)).as("cu")), d, "bigram_ctx")
+    // KN artifacts: per-context distinct-successor fan-out and
+    // per-word distinct-predecessor (continuation) counts
+    val fanout = Landing.ensureParquetFixture(
+      lm.groupBy($"w1").agg(count(lit(1)).as("n1f")), d, "kn_fanout")
+    val cont = Landing.ensureParquetFixture(
+      lm.groupBy($"w2").agg(count(lit(1)).as("n1b")), d, "kn_cont")
+    val types = lm.agg(count(lit(1)).as("ntypes")).withColumn("one", lit(1))
+    bg.join(broadcast(lm), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(fanout), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .withColumn("one", lit(1)).join(broadcast(types), "one")
+      .withColumn("p",
+        ($"cb".cast("double") - lit(0.75)) / $"cu".cast("double") +
+          (lit(0.75) * $"n1f".cast("double") / $"cu".cast("double")) *
+            ($"n1b".cast("double") / $"ntypes".cast("double")))
+      .withColumn("nll_micro", round(-log($"p") * 1000000.0).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_micro").as("nll_micro_sum"))
+      .withColumn("avg_nll_micro", expr("nll_micro_sum div n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
   val oracles = Map(
+    "q213_kneser_ney" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |big AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM toksrc, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+         |  WHERE len(ws) >= 2),
+         |lm AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         |ctx AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+         |fanout AS (SELECT w1, count(*) AS n1f FROM lm GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1b FROM lm GROUP BY 1),
+         |types AS (SELECT count(*) AS ntypes FROM lm),
+         |pos AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(
+         |      (CAST(cb AS DOUBLE) - 0.75) / CAST(cu AS DOUBLE) +
+         |      (0.75 * CAST(n1f AS DOUBLE) / CAST(cu AS DOUBLE)) *
+         |        (CAST(n1b AS DOUBLE) / CAST(ntypes AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) AS nll_micro
+         |  FROM big JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+         |    JOIN fanout USING (w1) JOIN cont USING (w2) CROSS JOIN types)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum,
+         |  CAST(SUM(nll_micro) AS BIGINT) // count(*) AS avg_nll_micro
+         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q149_perplexity_filter" ->
       s"""WITH toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
          |big AS (

@@ -58,7 +58,8 @@ class PlanShapeSpec extends SparkSpec {
     "q149_perplexity_filter", "q150_bm25_topk", "q155_gap_fill_locf",
     "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations",
     "q195_kmeans_train", "q199_gd_classifier", "q202_pca_power",
-    "q206_benford_audit", "q209_gd_grid_search", "q211_association_rules")
+    "q206_benford_audit", "q209_gd_grid_search", "q211_association_rules",
+    "q213_kneser_ney") // q213: 1-row bigram-type-count scalar, the q149/q150 shape
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

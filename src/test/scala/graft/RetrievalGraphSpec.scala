@@ -109,6 +109,24 @@ class RetrievalGraphSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("q213: Kneser-Ney assigns lower corpus NLL than the Laplace baseline; probabilities are valid") {
+    import spark.implicits._
+    import graft.ext.Retrieval
+    val kn = Retrieval.kneserNey(spark, sfDir).cache()
+    val laplace = Retrieval.perplexityFilter(spark, sfDir)
+    // same bigram accounting in both models
+    val knMass = kn.agg(sum($"n_bigrams"), sum($"nll_micro_sum")).head()
+    val lpMass = laplace.agg(sum($"n_bigrams"), sum($"nll_micro_sum")).head()
+    assert(knMass.getLong(0) === lpMass.getLong(0), "models must score identical positions")
+    // the point of KN: on the training corpus the discount model beats
+    // +V Laplace (which shifts mass to |V| unseen events per context)
+    assert(knMass.getLong(1) < lpMass.getLong(1),
+      s"KN NLL ${knMass.getLong(1)} should undercut Laplace ${lpMass.getLong(1)}")
+    // every per-doc NLL is positive and finite (P in (0, 1))
+    assert(kn.filter($"nll_micro_sum" <= 0L).isEmpty)
+    kn.unpersist()
+  }
+
   test("q198: degree-oriented triangle count equals the brute-force 3-clique count") {
     import spark.implicits._
     val und = GraphOps.copurchaseEdges(spark, sfDir).filter($"src" < $"dst").cache()

@@ -65,7 +65,56 @@ object Funnel extends QueryModule {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q28_funnel" -> funnel,
     "q143_event_sequence" -> eventSequence,
+    "q214_markov_transitions" -> markovTransitions,
+    "q215_cohort_retention" -> cohortRetention,
   )
+
+  /** q214: MARKOV TRANSITION MATRIX of user behavior — P(next event
+    * type | current) as integer milli, the first-order behavioral
+    * model behind next-action prediction and anomaly scoring (a
+    * transition that suddenly shifts is an incident). One `lead()`
+    * window per user ordered by (ts, event_id) — a total order, so
+    * simultaneous events break ties identically in both engines —
+    * then a |types|²-row aggregate: the model, not the data, comes out
+    * of the shuffle. */
+  def markovTransitions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+    trans.groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"from_type")))
+      .withColumn("p_milli", expr("(1000 * n) div row_total"))
+      .select($"from_type", $"to_type", $"n", $"p_milli")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** q215: COHORT RETENTION matrix — users grouped by the week of
+    * their FIRST event (the cohort), counted in each subsequent week
+    * they stayed active (the offset): the product-analytics retention
+    * triangle. First-seen is a min aggregate (map-side combinable,
+    * never a window over the user's history); activity weeks
+    * de-duplicate per (user, week) BEFORE joining the cohort (a user's
+    * busy week counts once); week arithmetic via integer
+    * days-since-epoch div 7 — identical in both engines, no session
+    * start-of-week convention to disagree on. */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.events(spark, d)
+      .select($"user_id",
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
 
   val oracles = Map(
     "q28_funnel" ->
@@ -102,5 +151,28 @@ object Funnel extends QueryModule {
         |  AND ts <= best_anchor + INTERVAL 24 HOUR
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q214_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000 * n) // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_milli
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q215_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

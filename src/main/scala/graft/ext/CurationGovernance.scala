@@ -103,10 +103,59 @@ object CurationGovernance extends QueryModule {
       .orderBy($"name1", $"name2")
   }
 
+  /** Users whose keys the erasure request destroyed — deterministic
+    * residue slice, shared verbatim with the oracle. */
+  private val forgottenResidue = 13
+
+  /** q216: CRYPTO-SHREDDING (right to be forgotten by KEY DELETION —
+    * the GDPR-erasure architecture for immutable storage: payloads are
+    * encrypted per-user, "deleting" a user = destroying their key row,
+    * after which their ciphertext is noise; no 100-TB rewrite, no
+    * tombstone scan — erasure is O(keys), the same shape as the DV
+    * tier's needle deletes but for PAYLOADS that must become
+    * unrecoverable, not just unlisted).
+    *
+    * Engine mechanics are REAL: per-user AES-128 keys derived
+    * deterministically (md5 of the user id — a test-fixture KDF, not a
+    * production one, stated plainly), payloads encrypted with
+    * Spark's native `aes_encrypt` (ECB so the fixture is
+    * deterministic; production would use GCM + random IVs), the
+    * erasure drops key rows, and the surviving-readable view is
+    * ciphertext ⋈ keys → `aes_decrypt`. The round-trip (decrypt ∘
+    * encrypt ≡ id) and the unreadability of keyless rows are engine
+    * facts proven in CurationSpec; the ORACLE pins the governance
+    * SEMANTICS (which rows remain readable and their aggregate), which
+    * AES itself cannot change — DuckDB has no AES, and hashing
+    * ciphertext would only pin a vendor's padding bytes. */
+  def cryptoShred(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // the key vault: one AES-128 key per user (16-byte binary)
+    val vault = e.select($"user_id").distinct()
+      .select($"user_id",
+        substring(md5($"user_id".cast("string")).cast("binary"), 1, 16).as("key"))
+    // encrypted-at-rest payload store (the immutable 100-TB side)
+    val store = e.join(vault, "user_id")
+      .select($"event_id", $"user_id", $"event_type",
+        aes_encrypt($"value".cast("string").cast("binary"), $"key", lit("ECB")).as("payload"))
+    // erasure request: destroy every key of the residue-13 users
+    val survivingKeys = vault.filter($"user_id" % 100 =!= forgottenResidue)
+    // the readable view: only rows whose key still exists decrypt
+    store.join(survivingKeys, "user_id")
+      .select($"event_type",
+        aes_decrypt($"payload", $"key", lit("ECB")).cast("string").cast("double").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_readable"),
+        graft.util.Det.msum($"v").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q98_pii_redaction" -> piiRedaction,
     "q107_source_caps"  -> sourceCaps,
     "q113_fuzzy_match"  -> fuzzyMatch,
+    "q216_crypto_shred" -> cryptoShred,
   )
 
   val oracles = Map(
@@ -140,6 +189,13 @@ object CurationGovernance extends QueryModule {
          |  FROM documents
          |) WHERE rn <= $sourceCap
          |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+    "q216_crypto_shred" ->
+      s"""SELECT event_type, count(*) AS n_readable,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM events
+         |WHERE user_id % 100 <> $forgottenResidue
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "q113_fuzzy_match" ->
       s"""WITH names AS (
          |  SELECT p_name, COUNT(*) AS n_rows,

@@ -133,4 +133,35 @@ class CurationSpec extends SparkSpec {
     assert(untouched.filter($"clean_md5" =!= $"orig_md5").isEmpty,
       "an untouched document did not reassemble to its original text")
   }
+
+  test("q216: crypto-shredding — decrypt∘encrypt is identity; a shredded key leaves only noise") {
+    import spark.implicits._
+    val e = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value")
+    val vault = e.select($"user_id").distinct()
+      .select($"user_id",
+        substring(md5($"user_id".cast("string")).cast("binary"), 1, 16).as("key"))
+    val store = e.join(vault, "user_id")
+      .select($"event_id", $"user_id", $"value",
+        aes_encrypt($"value".cast("string").cast("binary"), $"key", lit("ECB")).as("payload"))
+    // decrypt with the right key recovers every value exactly
+    val back = store.join(vault, "user_id")
+      .select($"event_id", $"value",
+        aes_decrypt($"payload", $"key", lit("ECB")).cast("string").cast("double").as("v"))
+    assert(back.filter(!($"v" <=> $"value")).isEmpty, "decrypt∘encrypt must be identity")
+    // a WRONG key (another user's) must not decrypt: try_aes_decrypt
+    // yields null (padding check fails) — the ciphertext is noise
+    val wrongKey = vault.select(($"user_id" + 1).as("user_id"), $"key")
+    val noise = store.join(wrongKey, "user_id")
+      .select(expr("try_aes_decrypt(payload, key, 'ECB')").as("p"))
+    val n = noise.count()
+    val nulls = noise.filter($"p".isNull).count()
+    assert(n > 0 && nulls.toDouble / n > 0.99,
+      s"wrong-key decrypts should fail padding: $nulls/$n null")
+    // the registered query's accounting: readable rows = rows of users
+    // whose key survived the erasure
+    val q = graft.ext.CurationGovernance.cryptoShred(spark, sfDir)
+    val expected = e.filter($"user_id" % 100 =!= 13).count()
+    assert(q.agg(sum($"n_readable")).head().getLong(0) === expected)
+  }
 }

@@ -180,7 +180,36 @@ object Curation extends QueryModule {
     "q100_contamination_check" -> contaminationCheck,
     "q101_stratified_sample" -> stratifiedSample,
     "q102_doc_repetition"    -> docRepetition,
+    "q217_weighted_sample"   -> weightedSample,
   )
+
+  private val wsTopK = 20
+
+  /** q217: WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006 order sampling — THE distributed weighted-sample
+    * algorithm, because it turns "sample k by weight" into "top-k by
+    * key", which Spark executes as a map-side-capped
+    * TakeOrderedAndProject with no RNG coordination): each document
+    * draws u ∈ (0,1] DETERMINISTICALLY from its content hash (md5 →
+    * 24-bit rational — the q101 no-RNG discipline: stable under
+    * re-runs and repartitioning) and ranks by ln(u)/w, the monotone
+    * equivalent of u^(1/w), with w = n_chars (longer docs
+    * proportionally likelier — the length-weighted corpus subsample).
+    * The RANKING key is the nano-quantized ln value (both engines
+    * round the same grid), doc_id tie-break, so the top-k frontier is
+    * engine-independent. */
+  def weightedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val u24 = conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long") + 1L // (0, 2^24] — never ln(0)
+    Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars",
+        round(log(u24.cast("double") / 16777216.0) / $"n_chars".cast("double") * 1e9)
+          .cast("long").as("key_nano"))
+      .orderBy($"key_nano".desc, $"doc_id")
+      .limit(wsTopK)
+      .orderBy($"key_nano".desc, $"doc_id")
+  }
 
   val oracles = Map(
     "q108_curation_pipeline" ->
@@ -259,6 +288,22 @@ object Curation extends QueryModule {
          |  CAST(SUM(CASE WHEN bucket < keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(SUM(CASE WHEN bucket < keep_buckets THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM rated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q217_weighted_sample" -> {
+      val hexSum = (0 until 6).map { i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}"
+      }.mkString(" + ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(ln((CAST($hexSum AS BIGINT) + 1) / 16777216.0)
+         |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM hashed)
+         |SELECT doc_id, n_chars, key_nano
+         |FROM keyed
+         |ORDER BY key_nano DESC, doc_id
+         |LIMIT $wsTopK""".stripMargin
+    },
     "q102_doc_repetition" ->
       s"""WITH tg AS (
          |  SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS gram

@@ -203,9 +203,72 @@ object Quality extends QueryModule {
     "q206_benford_audit" -> benfordAudit,
     "q208_corr_matrix" -> corrMatrix,
     "q212_outlier_audit" -> outlierAudit,
+    "q218_ab_test" -> abTest,
   )
 
+  /** q218: A/B EXPERIMENT READOUT — Welch's z for the difference in
+    * mean purchase value between two deterministic assignment arms
+    * (user_id parity — the hash-assignment every experimentation
+    * platform uses, RNG-free here like everything else). The q208
+    * discipline: sufficient statistics (n, Σx, Σx²) as exact
+    * DECIMAL(38,10) sums in ONE pass over both arms (conditional
+    * aggregation — no second scan, no join), then the z statistic in
+    * doubles from exact inputs (sample variance via the computational
+    * formula; IEEE sqrt correctly rounded). The readout row carries
+    * everything a decision needs: per-arm n and micro-mean, z in
+    * micro, and the |z| > 1.96 call — which the oracle must agree on,
+    * making the DECISION itself cross-engine reproducible. */
+  def abTest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val S = DecimalType(38, 10)
+    val p = Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2 === 0).as("arm_a"), $"value")
+    val s = p.agg(
+      sum(when($"arm_a", 1L).otherwise(0L)).as("na"),
+      sum(when(!$"arm_a", 1L).otherwise(0L)).as("nb"),
+      sum(when($"arm_a", $"value").otherwise(0.0).cast(S)).as("sa"),
+      sum(when(!$"arm_a", $"value").otherwise(0.0).cast(S)).as("sb"),
+      sum(when($"arm_a", $"value" * $"value").otherwise(0.0).cast(S)).as("qa"),
+      sum(when(!$"arm_a", $"value" * $"value").otherwise(0.0).cast(S)).as("qb"))
+    val na = $"na".cast("double"); val nb = $"nb".cast("double")
+    val sa = $"sa".cast("double"); val sb = $"sb".cast("double")
+    val qa = $"qa".cast("double"); val qb = $"qb".cast("double")
+    val va = (qa - sa * sa / na) / (na - 1.0)
+    val vb = (qb - sb * sb / nb) / (nb - 1.0)
+    val z = (sa / na - sb / nb) / sqrt(va / na + vb / nb)
+    s.select($"na", $"nb",
+      round(sa / na * 1e6).cast("long").as("mean_a_micro"),
+      round(sb / nb * 1e6).cast("long").as("mean_b_micro"),
+      round(z * 1e6).cast("long").as("z_micro"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
   val oracles = Map(
+    "q218_ab_test" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CAST(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END AS DECIMAL(38,10))) AS sa,
+        |    SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END AS DECIMAL(38,10))) AS sb,
+        |    SUM(CAST(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0 END AS DECIMAL(38,10))) AS qa,
+        |    SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN value * value ELSE 0.0 END AS DECIMAL(38,10))) AS qb
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT na, nb,
+        |  CAST(round(CAST(sa AS DOUBLE) / na * 1e6) AS BIGINT) AS mean_a_micro,
+        |  CAST(round(CAST(sb AS DOUBLE) / nb * 1e6) AS BIGINT) AS mean_b_micro,
+        |  CAST(round(
+        |    (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1.0)) / na
+        |       + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1.0)) / nb)
+        |    * 1e6) AS BIGINT) AS z_micro,
+        |  abs((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1.0)) / na
+        |       + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1.0)) / nb))
+        |    > 1.96 AS significant
+        |FROM s""".stripMargin,
     "q212_outlier_audit" ->
       """WITH f AS (
         |  SELECT event_type,

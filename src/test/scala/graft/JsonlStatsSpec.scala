@@ -705,6 +705,35 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ren_spec")
   }
 
+  test("column mapping composes with merge-on-read DELETE: a renamed predicate drives DVs on physical bytes (r7c)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ren_mor")
+    spark.sql(
+      s"""CREATE TABLE $cat.ren_mor AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "ren_mor").toString
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    spark.sql(s"ALTER TABLE $cat.ren_mor RENAME COLUMN event_type TO etype")
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type".as("etype"), $"value")
+    val bytesBefore = JsonlStats.readStats(dir)
+      .map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    // DELETE names the LOGICAL column; the DV scan must resolve the
+    // physical field and mask the right positions
+    spark.sql(s"DELETE FROM $cat.ren_mor WHERE etype = 'click'")
+    val after = JsonlStats.readStats(dir)
+    assert(after.map(_.file).toSet === bytesBefore.keySet, "MoR delete must not rewrite files")
+    assert(after.exists(_.dels > 0), "DVs must have been attached")
+    val back = spark.table(s"$cat.ren_mor")
+    val expect = src.filter($"etype" =!= "click")
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    spark.sql(s"DROP TABLE $cat.ren_mor")
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

@@ -52,9 +52,12 @@ import scala.jdk.CollectionConverters._
   *     file whose DV set changed is re-imaged on both sides and the
   *     deleted rows surface as `delete` changes, untouched rows cancel.
   *
-  * UPDATE/MERGE stay copy-on-write (the Iceberg mixed-mode default);
-  * only DELETE takes the delta path, and only on tables that opted in
-  * (`deleteMode=merge-on-read` table property). */
+  * DELETE and (on unkeyed layouts) UPDATE take the delta path on
+  * tables that opted in (`deleteMode=merge-on-read`): UPDATE = the old
+  * position joins a DV and the new image APPENDS as ordinary data
+  * rows, both in one swap. MERGE and keyed-layout UPDATE stay
+  * copy-on-write (appended images of a keyed layout would need
+  * re-keying, which the COW path already does). */
 object JsonlDeleteVectors {
 
   val DeletesDir = "_deletes"
@@ -87,14 +90,20 @@ object JsonlDeleteVectors {
   }
 }
 
-/** The delta-based DELETE operation: row ID = (`_file`, `_pos`). */
-class JsonlDvDeleteOperation(root: String, tableSchema: StructType, statsCol: String,
+/** The delta-based DELETE/UPDATE operation: row ID = (`_file`, `_pos`).
+  * UPDATE is delete + insert (r7c): the matched row's position joins a
+  * DV and its new image is APPENDED as ordinary data rows — old bytes
+  * never rewritten, both effects in ONE manifest swap. Unkeyed layouts
+  * only (an appended row of a key-grouped layout would need re-keying;
+  * keyed tables keep the copy-on-write path, which re-keys). */
+class JsonlDvMutateOperation(root: String, tableSchema: StructType, statsCol: String,
+                             cmd: RowLevelOperation.Command,
                              bloomCol: Option[String] = None,
                              columnMapping: Map[String, String] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
-  override def description(): String = "graft-jsonl-stats merge-on-read DELETE (deletion vectors)"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-jsonl-stats merge-on-read $cmd (deletion vectors)"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(JsonlStats.FileMeta), Expressions.column(JsonlStats.PosMeta))
@@ -119,57 +128,78 @@ class JsonlDvDeleteOperation(root: String, tableSchema: StructType, statsCol: St
         override def requiredOrdering(): Array[SortOrder] = Array(
           Expressions.sort(Expressions.column(JsonlStats.FileMeta), SortDirection.ASCENDING),
           Expressions.sort(Expressions.column(JsonlStats.PosMeta), SortDirection.ASCENDING))
-        override def toBatch: DeltaBatchWrite = new JsonlDvBatchWrite(root, info.queryId())
+        override def toBatch: DeltaBatchWrite =
+          new JsonlDvBatchWrite(root, info.queryId(), info.schema(), statsCol,
+            bloomCol, columnMapping)
         override def description(): String = "graft-jsonl-stats deletion-vector write"
       }
     }
 }
 
-/** One task's DV sidecars: (data file relative name, dv file name,
-  * positions deleted). */
-final case class JsonlDvCommit(entries: Seq[(String, String, Long)]) extends WriterCommitMessage
+/** One task's DV sidecars ((data file, dv file, positions deleted))
+  * plus — for UPDATE — the appended replacement-row files. */
+final case class JsonlDvCommit(entries: Seq[(String, String, Long)],
+                               files: Seq[JsonlFileCommit] = Seq.empty)
+    extends WriterCommitMessage
 
 /** Top-level factory (ships to executors — must not capture the
   * driver-side batch write). */
-final case class JsonlDvWriterFactory(root: String, queryId: String)
+final case class JsonlDvWriterFactory(root: String, queryId: String,
+                                      rowSchema: StructType, statsCol: String,
+                                      bloomCol: Option[String],
+                                      columnMapping: Map[String, String])
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new JsonlDvWriter(root, queryId, partitionId, taskId)
+    new JsonlDvWriter(root, queryId, partitionId, taskId, rowSchema, statsCol,
+      bloomCol, columnMapping)
 }
 
-class JsonlDvBatchWrite(root: String, queryId: String) extends DeltaBatchWrite {
+class JsonlDvBatchWrite(root: String, queryId: String,
+                        rowSchema: StructType = new StructType(),
+                        statsCol: String = JsonlStats.statsColumn,
+                        bloomCol: Option[String] = None,
+                        columnMapping: Map[String, String] = Map.empty)
+    extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    JsonlDvWriterFactory(root, queryId)
+    JsonlDvWriterFactory(root, queryId, rowSchema, statsCol, bloomCol, columnMapping)
 
   /** Attach each DV to its manifest entry — same atomic swap, data
     * files untouched. Entries keep their names, so archived snapshots
     * (whose entries carry the OLD dv lists) still read the pre-delete
     * view of the same bytes. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh: Map[String, Seq[(String, Long)]] = messages.toSeq
-      .collect { case c: JsonlDvCommit => c.entries }
-      .flatten
+    val commits = messages.toSeq.collect { case c: JsonlDvCommit => c }
+    val fresh: Map[String, Seq[(String, Long)]] = commits.flatMap(_.entries)
       .groupBy(_._1)
       .map { case (f, es) => f -> es.map(e => (e._2, e._3)) }
+    val appended = commits.flatMap(_.files).filter(c => c.file != null && c.rows > 0)
     val previous = JsonlStats.readStats(root)
     val known = previous.map(_.file).toSet
     val unknown = fresh.keySet.diff(known)
     require(unknown.isEmpty,
       s"deletion vectors reference unmanifested files: ${unknown.mkString(", ")}")
-    val lines = previous.map { s =>
+    // DVs attached AND updated row images appended in the same swap:
+    // there is no instant where a row is gone-but-not-replaced
+    val lines = (previous.map { s =>
       fresh.get(s.file) match {
         case None => JsonlStats.statsLine(s)
         case Some(es) => JsonlStats.statsLine(s.copy(
           dvs = s.dvs ++ es.map(_._1).sorted,
           dels = s.dels + es.map(_._2).sum))
       }
-    }.sorted
+    } ++ appended.map(c =>
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.toSeq.collect { case c: JsonlDvCommit => c.entries }.flatten
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.toSeq.collect { case c: JsonlDvCommit => c }
+    commits.flatMap(_.entries)
       .foreach { case (_, dv, _) => Files.deleteIfExists(Paths.get(root, dv)) }
+    commits.flatMap(_.files).foreach { c =>
+      if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file))
+    }
+  }
 }
 
 /** Receives (metadata, id) delete records clustered by `_file`, sorted
@@ -178,13 +208,20 @@ class JsonlDvBatchWrite(root: String, queryId: String) extends DeltaBatchWrite {
   * order. Positions within a run are already sorted and — because a
   * reader never emits a masked row — can never duplicate an existing
   * DV's positions. */
-class JsonlDvWriter(root: String, queryId: String, partitionId: Int, taskId: Long)
+class JsonlDvWriter(root: String, queryId: String, partitionId: Int, taskId: Long,
+                    rowSchema: StructType = new StructType(),
+                    statsCol: String = JsonlStats.statsColumn,
+                    bloomCol: Option[String] = None,
+                    columnMapping: Map[String, String] = Map.empty)
     extends DeltaWriter[InternalRow] {
   private val rootPath = Paths.get(root)
   private var curFile: String = _
   private var positions = scala.collection.mutable.ArrayBuffer.empty[Long]
   private var seq = 0
   private val done = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+  // replacement-row sink (UPDATE only), opened on first insert
+  private var rowSink: JsonlFileSink = _
+  private val newFiles = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
 
   private def flush(): Unit = {
     if (curFile != null && positions.nonEmpty) {
@@ -203,15 +240,31 @@ class JsonlDvWriter(root: String, queryId: String, partitionId: Int, taskId: Lon
     positions += id.getLong(1)
   }
 
-  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "deletion-vector operation handles DELETE only (UPDATE/MERGE are copy-on-write)")
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "deletion-vector operation handles DELETE only (UPDATE/MERGE are copy-on-write)")
+  /** UPDATE = the old position joins a DV, the new image appends. */
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
 
-  override def commit(): WriterCommitMessage = { flush(); JsonlDvCommit(done.toSeq) }
-  override def abort(): Unit =
+  override def insert(row: InternalRow): Unit = {
+    if (rowSink == null) {
+      require(rowSchema.nonEmpty, "delta insert without a row schema")
+      rowSink = new JsonlFileSink(root,
+        f"part-$queryId-dv$partitionId%05d-$taskId.jsonl",
+        rowSchema, statsCol, bloomCol, columnMapping)
+    }
+    rowSink.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    if (rowSink != null) { newFiles += rowSink.finish(None); rowSink = null }
+    JsonlDvCommit(done.toSeq, newFiles.toSeq)
+  }
+  override def abort(): Unit = {
     done.foreach { case (_, dv, _) => Files.deleteIfExists(Paths.get(root, dv)) }
+    if (rowSink != null) { rowSink.abort(); rowSink = null }
+    newFiles.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))
+  }
   override def close(): Unit = ()
 }

@@ -523,13 +523,19 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     val meta = JsonlStats.readTableMeta(root)
     val bloom = bloomCol.orElse(meta.bloomCol)
     // merge-on-read opt-in (`deleteMode=merge-on-read`, option or table
-    // property): DELETE takes the deletion-vector delta path; UPDATE and
-    // MERGE stay copy-on-write (the Iceberg mixed-mode default — their
-    // rewritten files start DV-free either way)
+    // property): DELETE and — on unkeyed layouts — UPDATE take the
+    // deletion-vector delta path (UPDATE = DV + appended row images in
+    // one swap); MERGE stays copy-on-write, and keyed layouts keep COW
+    // for UPDATE too (appended images would need re-keying, which the
+    // COW write path already does)
     val mor = deleteMode.orElse(meta.deleteMode).contains("merge-on-read")
     val mapping = if (columnMapping.nonEmpty) columnMapping else meta.columnMapping
-    if (mor && info.command() == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
-      () => new JsonlDvDeleteOperation(root, tableSchema, statsCol, bloom, mapping)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val delta = mor && (info.command() == Command.DELETE ||
+      (info.command() == Command.UPDATE && keyed.isEmpty))
+    if (delta)
+      () => new JsonlDvMutateOperation(root, tableSchema, statsCol, info.command(),
+        bloom, mapping)
     else
       () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed,
         bloom, mapping)

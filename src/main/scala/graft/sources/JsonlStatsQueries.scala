@@ -815,6 +815,30 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q219: MERGE-ON-READ UPDATE — the matched row's position joins a
+    * deletion vector and its new image is APPENDED as ordinary data
+    * rows, both in ONE manifest swap (there is no instant where a row
+    * is gone-but-not-replaced): needle updates at O(matched rows)
+    * write volume where q173's copy-on-write rewrites whole files.
+    * The predicate includes `value <> 0` so re-running matches
+    * nothing — idempotent across reps by construction. Oracle = the
+    * updated derivation over parquet; JsonlStatsSpec proves original
+    * files keep their bytes, the images land in appended files, and
+    * rewrite_deletes collapses the whole history. */
+  def dvUpdate(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureMorTable(spark, d, "jsonl_mor_update")
+    spark.sql(
+      s"UPDATE $cat.jsonl_mor_update SET value = 0.0 " +
+        "WHERE event_type = 'error' AND value <> 0.0")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mor_update
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -1126,6 +1150,7 @@ object JsonlStatsQueries extends QueryModule {
     "q197_dv_rewrite" -> dvRewrite,
     "q203_check_constraint" -> checkConstraintGate,
     "q204_rename_column" -> renamedColumnRead,
+    "q219_dv_update" -> dvUpdate,
   )
 
   val oracles = Map(
@@ -1210,6 +1235,13 @@ object JsonlStatsQueries extends QueryModule {
     "q204_rename_column" ->
       """SELECT event_type, count(*) AS n, min(user_id) AS min_uid, max(user_id) AS max_uid,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q219_dv_update" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -705,6 +705,51 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ren_spec")
   }
 
+  test("q219: merge-on-read UPDATE masks the old position and appends the image in one swap (r7c)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_dv_upd").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_dvu_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val before = JsonlStats.readStats(dir)
+    val bytesBefore = before.map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    spark.sql(s"UPDATE $cat.`$table` SET value = -5.0 WHERE event_type = 'signup'")
+    val after = JsonlStats.readStats(dir)
+    // originals untouched byte-for-byte, masked via DVs; images appended
+    before.foreach { s =>
+      val a = after.find(_.file == s.file).get
+      assert(Files.size(Paths.get(dir, s.file)) === bytesBefore(s.file),
+        s"original ${s.file} was rewritten")
+      assert(a.dels >= 0)
+    }
+    val appended = after.map(_.file).toSet -- before.map(_.file).toSet
+    assert(appended.nonEmpty, "updated images must land in appended files")
+    assert(after.map(_.dels).sum ===
+      src.filter($"event_type" === "signup").count(),
+      "every matched row's old position must be masked")
+    // content = the updated derivation, exactly; row count conserved
+    val back = spark.table(s"$cat.`$table`")
+    val expect = src.withColumn("value",
+      when($"event_type" === "signup", -5.0).otherwise($"value"))
+    assert(back.count() === src.count())
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // rewrite_deletes collapses the DV history; content survives
+    spark.sql(s"CALL $cat.rewrite_deletes('$table')").collect()
+    val clean = JsonlStats.readStats(dir)
+    assert(clean.forall(s => s.dvs.isEmpty && s.dels == 0))
+    val back2 = spark.table(s"$cat.`$table`")
+    assert(back2.exceptAll(expect).isEmpty && expect.exceptAll(back2).isEmpty)
+  }
+
   test("column mapping composes with merge-on-read DELETE: a renamed predicate drives DVs on physical bytes (r7c)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

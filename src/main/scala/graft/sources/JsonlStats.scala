@@ -532,7 +532,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     val mapping = if (columnMapping.nonEmpty) columnMapping else meta.columnMapping
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val delta = mor && (info.command() == Command.DELETE ||
-      (info.command() == Command.UPDATE && keyed.isEmpty))
+      ((info.command() == Command.UPDATE || info.command() == Command.MERGE) && keyed.isEmpty))
     if (delta)
       () => new JsonlDvMutateOperation(root, tableSchema, statsCol, info.command(),
         bloom, mapping)

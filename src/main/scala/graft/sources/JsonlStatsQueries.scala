@@ -839,6 +839,44 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q220: MERGE-ON-READ MERGE — q174's corrections batch (purchases
+    * doubled = matched-update, per-type adjustment rows = not-matched
+    * insert) driven through the deletion-vector delta path: matched
+    * rows mask their old position and their new image appends, inserts
+    * append directly, ALL in one manifest swap — the full MERGE at
+    * O(touched rows) write volume on a table whose files are never
+    * rewritten. The matched arm guards `t.value <> s.value` so a
+    * replayed batch matches nothing — reps are storage-no-ops, not
+    * just content-no-ops. Oracle = q174's derivation verbatim (the
+    * two paths MUST agree — same semantics, different storage). */
+  def dvMerge(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    ensureMorTable(spark, d, "jsonl_mor_merge")
+    Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", ($"value" * 2).as("value"))
+      .union(
+        Tables.events(spark, d).groupBy($"event_type")
+          .agg(count(lit(1)).cast("double").as("value"))
+          .select((-xxhash64($"event_type") % 1000000000L - 1000000000L).as("event_id"),
+            lit(0L).as("user_id"), $"event_type", $"value"))
+      .createOrReplaceTempView("mor_corrections")
+    spark.sql(
+      s"""MERGE INTO $cat.jsonl_mor_merge t
+         |USING mor_corrections s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND t.value <> s.value THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+         |  VALUES (s.event_id, s.user_id, s.event_type, s.value)""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_mor_merge
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -1151,6 +1189,7 @@ object JsonlStatsQueries extends QueryModule {
     "q203_check_constraint" -> checkConstraintGate,
     "q204_rename_column" -> renamedColumnRead,
     "q219_dv_update" -> dvUpdate,
+    "q220_dv_merge" -> dvMerge,
   )
 
   val oracles = Map(
@@ -1360,6 +1399,21 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q174_dsv2_merge" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q174's derivation verbatim: the COW and MoR MERGE paths must
+    // agree — identical semantics, different storage
+    "q220_dv_merge" ->
       """WITH merged AS (
         |  SELECT event_type,
         |    CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value

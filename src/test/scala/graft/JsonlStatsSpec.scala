@@ -750,6 +750,57 @@ class JsonlStatsSpec extends SparkSpec {
     assert(back2.exceptAll(expect).isEmpty && expect.exceptAll(back2).isEmpty)
   }
 
+  test("q220: merge-on-read MERGE — update/delete/insert arms compose as DVs + appends (r7c)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_dv_mrg").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_dvm_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val bytesBefore = JsonlStats.readStats(dir)
+      .map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    // a three-arm source: doubles purchases (matched-update), deletes
+    // errors (matched-delete), inserts one synthetic row per type
+    src.filter($"event_type".isin("purchase", "error"))
+      .unionByName(src.select((-$"event_id").as("event_id"), $"user_id",
+        $"event_type", $"value").groupBy($"event_type")
+        .agg(min($"event_id").as("event_id"), lit(0L).as("user_id"), lit(9.5).as("value"))
+        .select($"event_id", $"user_id", $"event_type", $"value"))
+      .createOrReplaceTempView("dv_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$table` t USING dv_merge_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.event_type = 'error' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = t.value * 2
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = JsonlStats.readStats(dir)
+    // originals byte-identical; all three arms' effects visible
+    bytesBefore.foreach { case (f, b) =>
+      assert(Files.size(Paths.get(dir, f)) === b, s"original $f was rewritten")
+    }
+    val back = spark.table(s"$cat.`$table`")
+    val expectBase = src.filter($"event_type" =!= "error")
+      .withColumn("value",
+        when($"event_type" === "purchase", $"value" * 2).otherwise($"value"))
+    val inserted = back.filter($"event_id" < 0)
+    assert(inserted.count() === src.select($"event_type").distinct().count(),
+      "every not-matched source row must insert")
+    val survivors = back.filter($"event_id" >= 0)
+    assert(survivors.exceptAll(expectBase).isEmpty && expectBase.exceptAll(survivors).isEmpty,
+      "matched arms must apply exactly")
+    assert(after.map(_.dels).sum ===
+      src.filter($"event_type".isin("purchase", "error")).count(),
+      "each matched row (updated or deleted) masks its old position")
+  }
+
   test("column mapping composes with merge-on-read DELETE: a renamed predicate drives DVs on physical bytes (r7c)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

@@ -191,9 +191,85 @@ object ClusterTrain extends QueryModule {
     v
   }
 
+  private val pqM = 2        // subspaces (dim 64 → two 32-dim halves)
+  private val pqK = 4        // centroids per subspace codebook
+  private val pqSubDim = 32
+  private val pqQueries = 4
+  private val pqTopK = 5
+
+  /** q221: PRODUCT QUANTIZATION (Jégou 2011 — FAISS's core
+    * compression): the vector splits into M subvectors, each subspace
+    * trains its own K-centroid codebook, and a vector's code is M
+    * small integers — here 2×2 bits against 64×32 bits of floats, the
+    * compression that lets a 100-TB embedding corpus live in RAM as
+    * codes. Search is ASYMMETRIC DISTANCE COMPUTATION: per query, ONE
+    * M×K distance table is computed against the codebooks (model-sized
+    * work), and each candidate's approximate distance is a pure
+    * INTEGER TABLE-LOOKUP SUM over its codes — the scan touches codes,
+    * never floats.
+    *
+    * Everything is the engine's determinism discipline end-to-end:
+    * codebooks train via one Lloyd round from first-K seeds (test-
+    * scale seeding, stated; q195 owns the full seeding story) with
+    * exact-decimal means micro-quantized; distance-table cells
+    * micro-quantize BEFORE the per-candidate sum, so ADC scores are
+    * order-free integer sums and the oracle's CTE chain is
+    * bit-identical. Top-k per query lands via a per-query window over
+    * candidates. Output = (query, rank, candidate, approx distance) —
+    * every codebook component, code assignment, and table cell pinned
+    * through the ranking. Recall at these toy parameters is
+    * deliberately NOT claimed (2 codes of 4 can't separate 500
+    * vectors); the DATAFLOW — train → encode → table → lookup-scan —
+    * is the operator under test, and the exact-rerank pattern that
+    * restores recall is q121's. */
+  def pqAdcScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pe = Tables.embeddings(spark, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", expr(s"pos div $pqSubDim").as("m"),
+        expr(s"pos % $pqSubDim").as("sp"), $"xf".cast("double").as("x"))
+    // per-subspace codebooks: first-K seeds, one exact-mean Lloyd round
+    val cent0 = pe.filter($"vec_id" < pqK)
+      .select($"m", $"vec_id".as("cid"), $"sp", $"x".as("c"))
+    def assignTo(cent: DataFrame): DataFrame = pe
+      .join(broadcast(cent), Seq("m", "sp"))
+      .groupBy($"vec_id", $"m", $"cid")
+      .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast(Dec)).as("d2dec"))
+      .withColumn("d2", $"d2dec".cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m", $"cid".as("code"))
+    val cent1 = Landing.ensureParquetFixture(
+      pe.join(assignTo(cent0), Seq("vec_id", "m"))
+        .groupBy($"m", $"code".as("cid"), $"sp")
+        .agg((round((sum($"x".cast(Dec)).cast("double") / count(lit(1))) * 1e6) / 1e6).as("c")),
+      d, "pq_codebooks")
+    val codes = Landing.ensureParquetFixture(assignTo(cent1), d, "pq_codes")
+    // ADC: per-query M×K distance table, micro-quantized per CELL
+    val dtab = pe.filter($"vec_id" < pqQueries)
+      .select($"vec_id".as("qid"), $"m", $"sp", $"x")
+      .join(broadcast(cent1), Seq("m", "sp"))
+      .groupBy($"qid", $"m", $"cid")
+      .agg(round(sum((($"x" - $"c") * ($"x" - $"c")).cast(Dec)).cast("double") * 1e6)
+        .cast("long").as("dq_micro"))
+    // the lookup scan: integer sums over codes — floats never touched
+    val adc = codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("cid"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"dq_micro").as("adist_micro"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist_micro", $"vec_id")))
+      .filter($"rank" <= pqTopK)
+      .select($"qid", $"rank", $"vec_id", $"adist_micro")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries = Map(
     "q195_kmeans_train" -> kmeansTrain,
     "q202_pca_power" -> pcaPower,
+    "q221_pq_adc" -> pqAdcScan,
   )
 
   /** The oracle unrolls seeding and both Lloyd rounds as a CTE chain
@@ -290,5 +366,46 @@ object ClusterTrain extends QueryModule {
          |${matvec("2", "3")}
          |SELECT k AS pos, v_micro FROM v_3 ORDER BY pos""".stripMargin
     },
+    "q221_pq_adc" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, (i - 1) // $pqSubDim AS m, (i - 1) % $pqSubDim AS sp,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+         |cent0 AS (SELECT m, vec_id AS cid, sp, x AS c FROM pe WHERE vec_id < $pqK),
+         |a1 AS (SELECT vec_id, m, cid AS code FROM (
+         |    SELECT dd.vec_id, dd.m, dd.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id, dd.m ORDER BY dd.d2, dd.cid) AS rn
+         |    FROM (SELECT p.vec_id, p.m, c.cid,
+         |        CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+         |      FROM pe p JOIN cent0 c ON c.m = p.m AND c.sp = p.sp
+         |      GROUP BY 1, 2, 3) dd)
+         |  WHERE rn = 1),
+         |cent1 AS (SELECT p.m, a.code AS cid, p.sp,
+         |    round(CAST(SUM(CAST(p.x AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS c
+         |  FROM pe p JOIN a1 a ON a.vec_id = p.vec_id AND a.m = p.m
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, cid AS code FROM (
+         |    SELECT dd.vec_id, dd.m, dd.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id, dd.m ORDER BY dd.d2, dd.cid) AS rn
+         |    FROM (SELECT p.vec_id, p.m, c.cid,
+         |        CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+         |      FROM pe p JOIN cent1 c ON c.m = p.m AND c.sp = p.sp
+         |      GROUP BY 1, 2, 3) dd)
+         |  WHERE rn = 1),
+         |dtab AS (SELECT q.vec_id AS qid, q.m, c.cid,
+         |    CAST(round(CAST(SUM(CAST((q.x - c.c) * (q.x - c.c) AS DECIMAL(38,25))) AS DOUBLE)
+         |      * 1e6) AS BIGINT) AS dq_micro
+         |  FROM pe q JOIN cent1 c ON c.m = q.m AND c.sp = q.sp
+         |  WHERE q.vec_id < $pqQueries
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT t.qid, k.vec_id, CAST(SUM(t.dq_micro) AS BIGINT) AS adist_micro
+         |  FROM codes k JOIN dtab t ON t.m = k.m AND t.cid = k.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, vec_id, adist_micro FROM (
+         |  SELECT qid, vec_id, adist_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank
+         |  FROM adc)
+         |WHERE rank <= $pqTopK
+         |ORDER BY qid, rank""".stripMargin,
   )
 }

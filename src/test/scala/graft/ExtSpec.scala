@@ -265,6 +265,26 @@ class ExtSpec extends SparkSpec {
     cov.unpersist()
   }
 
+  test("PQ/ADC: the query's own ADC distance is the attainable minimum; determinism holds") {
+    import spark.implicits._
+    import graft.ext.ClusterTrain
+    val r1 = ClusterTrain.pqAdcScan(spark, sfDir).cache()
+    // encoding picks the argmin centroid per subspace, so a query's own
+    // ADC score sums the per-subspace MINIMUM table cells — no
+    // candidate can score lower (ties possible, never better)
+    val selfScores = r1.filter($"vec_id" === $"qid")
+      .select($"qid", $"adist_micro".as("self_d"))
+    val best = r1.groupBy($"qid").agg(min($"adist_micro").as("best_d"))
+    val joined = selfScores.join(best, "qid")
+    assert(joined.count() === selfScores.count())
+    assert(joined.filter($"self_d" =!= $"best_d").isEmpty,
+      "a candidate out-scored the query's own code")
+    // integer ADC scores are bit-stable across runs
+    val r2 = ClusterTrain.pqAdcScan(spark, sfDir)
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+    r1.unpersist()
+  }
+
   test("k-means: clusters partition the corpus; Lloyd inertia is non-increasing in rounds") {
     import spark.implicits._
     val emb = graft.ingest.Tables.embeddings(spark, sfDir)

@@ -266,10 +266,100 @@ object ClusterTrain extends QueryModule {
       .orderBy($"qid", $"rank")
   }
 
+  private val ivfProbes = 2
+
+  /** q222: IVF-PQ — the COMPOSED production vector index (FAISS
+    * IVFPQ): a coarse inverted file restricts the candidate set to the
+    * [[ivfProbes]] cells nearest the query, and within those cells the
+    * q221 PQ codes are scanned by integer ADC lookups. The two
+    * mechanisms multiply: IVF divides the scan by cells/probes, PQ
+    * divides bytes-per-candidate by float-width/code-width — together
+    * the standard answer to "billions of vectors, one machine". Cells
+    * here are the stored label clustering (q34's posture), cell means
+    * exact decimal per-dim averages, the probe ranking exact (d², then
+    * label) — deterministic end to end; PQ codebooks and codes are the
+    * CHECKPOINTED q221 artifacts, so the measured cost is exactly what
+    * an online query pays: probe the cell table, ADC the probed cells. */
+  def ivfPqScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+    val pedim = emb
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", $"label", $"pos", $"xf".cast("double").as("x"))
+    // coarse centroids: per-(cell, dim) exact decimal mean
+    val comp = Landing.ensureParquetFixture(
+      pedim.groupBy($"label", $"pos")
+        .agg((sum($"x".cast(Dec)).cast("double") / count(lit(1))).as("c")),
+      d, "ivfpq_cellmeans")
+    // probe: top-2 cells per query by exact squared distance
+    val probes = pedim.filter($"vec_id" < pqQueries)
+      .select($"vec_id".as("qid"), $"pos", $"x")
+      .join(broadcast(comp.select($"label".as("cell"), $"pos", $"c")), Seq("pos"))
+      .groupBy($"qid", $"cell")
+      .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast(Dec)).cast("double").as("d2"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"cell")))
+      .filter($"prn" <= ivfProbes)
+      .select($"qid", $"cell")
+    // the q221 artifacts (codebooks for the distance table, codes for
+    // the candidates) join below; only the probed cells' members scan
+    ivfPqWithArtifacts(spark, d, probes)
+  }
+
+  /** The ADC leg over the probed cells (split out so the fixture-reuse
+    * of q221's codebooks/codes is explicit). */
+  private def ivfPqWithArtifacts(spark: SparkSession, d: String,
+                                 probes: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pe = Tables.embeddings(spark, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", expr(s"pos div $pqSubDim").as("m"),
+        expr(s"pos % $pqSubDim").as("sp"), $"xf".cast("double").as("x"))
+    val cent0 = pe.filter($"vec_id" < pqK)
+      .select($"m", $"vec_id".as("cid"), $"sp", $"x".as("c"))
+    def assignTo(cent: DataFrame): DataFrame = pe
+      .join(broadcast(cent), Seq("m", "sp"))
+      .groupBy($"vec_id", $"m", $"cid")
+      .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast(Dec)).as("d2dec"))
+      .withColumn("d2", $"d2dec".cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m", $"cid".as("code"))
+    val cent1 = Landing.ensureParquetFixture(
+      pe.join(assignTo(cent0), Seq("vec_id", "m"))
+        .groupBy($"m", $"code".as("cid"), $"sp")
+        .agg((round((sum($"x".cast(Dec)).cast("double") / count(lit(1))) * 1e6) / 1e6).as("c")),
+      d, "pq_codebooks")
+    val codes = Landing.ensureParquetFixture(assignTo(cent1), d, "pq_codes")
+    val dtab = pe.filter($"vec_id" < pqQueries)
+      .select($"vec_id".as("qid"), $"m", $"sp", $"x")
+      .join(broadcast(cent1), Seq("m", "sp"))
+      .groupBy($"qid", $"m", $"cid")
+      .agg(round(sum((($"x" - $"c") * ($"x" - $"c")).cast(Dec)).cast("double") * 1e6)
+        .cast("long").as("dq_micro"))
+    val members = Tables.embeddings(spark, d).select($"vec_id", $"label".as("cell"))
+    val candidates = codes.join(members, "vec_id")
+      .join(broadcast(probes), Seq("cell")) // (qid, cell) pairs restrict the scan
+    val adc = candidates.join(broadcast(dtab),
+        candidates("qid") === dtab("qid") &&
+          candidates("m") === dtab("m") && candidates("code") === dtab("cid"))
+      .groupBy(candidates("qid"), $"vec_id")
+      .agg(sum($"dq_micro").as("adist_micro"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist_micro", $"vec_id")))
+      .filter($"rank" <= pqTopK)
+      .select($"qid", $"rank", $"vec_id", $"adist_micro")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries = Map(
     "q195_kmeans_train" -> kmeansTrain,
     "q202_pca_power" -> pcaPower,
     "q221_pq_adc" -> pqAdcScan,
+    "q222_ivfpq_scan" -> ivfPqScan,
   )
 
   /** The oracle unrolls seeding and both Lloyd rounds as a CTE chain
@@ -400,6 +490,65 @@ object ClusterTrain extends QueryModule {
          |  GROUP BY 1, 2, 3),
          |adc AS (SELECT t.qid, k.vec_id, CAST(SUM(t.dq_micro) AS BIGINT) AS adist_micro
          |  FROM codes k JOIN dtab t ON t.m = k.m AND t.cid = k.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, vec_id, adist_micro FROM (
+         |  SELECT qid, vec_id, adist_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank
+         |  FROM adc)
+         |WHERE rank <= $pqTopK
+         |ORDER BY qid, rank""".stripMargin,
+    "q222_ivfpq_scan" ->
+      s"""WITH pedim AS (
+         |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+         |comp AS (SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM pedim GROUP BY 1, 2),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT d.qid, d.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY d.d2, d.cell) AS prn
+         |    FROM (SELECT q.vec_id AS qid, cm.label AS cell,
+         |        CAST(SUM(CAST((q.x - cm.c) * (q.x - cm.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+         |      FROM pedim q JOIN comp cm ON cm.pos = q.pos
+         |      WHERE q.vec_id < $pqQueries
+         |      GROUP BY 1, 2) d)
+         |  WHERE prn <= $ivfProbes),
+         |pe AS (
+         |  SELECT vec_id, (i - 1) // $pqSubDim AS m, (i - 1) % $pqSubDim AS sp,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+         |cent0 AS (SELECT m, vec_id AS cid, sp, x AS c FROM pe WHERE vec_id < $pqK),
+         |a1 AS (SELECT vec_id, m, cid AS code FROM (
+         |    SELECT dd.vec_id, dd.m, dd.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id, dd.m ORDER BY dd.d2, dd.cid) AS rn
+         |    FROM (SELECT p.vec_id, p.m, c.cid,
+         |        CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+         |      FROM pe p JOIN cent0 c ON c.m = p.m AND c.sp = p.sp
+         |      GROUP BY 1, 2, 3) dd)
+         |  WHERE rn = 1),
+         |cent1 AS (SELECT p.m, a.code AS cid, p.sp,
+         |    round(CAST(SUM(CAST(p.x AS DECIMAL(38,25))) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS c
+         |  FROM pe p JOIN a1 a ON a.vec_id = p.vec_id AND a.m = p.m
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, cid AS code FROM (
+         |    SELECT dd.vec_id, dd.m, dd.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY dd.vec_id, dd.m ORDER BY dd.d2, dd.cid) AS rn
+         |    FROM (SELECT p.vec_id, p.m, c.cid,
+         |        CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,25))) AS DOUBLE) AS d2
+         |      FROM pe p JOIN cent1 c ON c.m = p.m AND c.sp = p.sp
+         |      GROUP BY 1, 2, 3) dd)
+         |  WHERE rn = 1),
+         |dtab AS (SELECT q.vec_id AS qid, q.m, c.cid,
+         |    CAST(round(CAST(SUM(CAST((q.x - c.c) * (q.x - c.c) AS DECIMAL(38,25))) AS DOUBLE)
+         |      * 1e6) AS BIGINT) AS dq_micro
+         |  FROM pe q JOIN cent1 c ON c.m = q.m AND c.sp = q.sp
+         |  WHERE q.vec_id < $pqQueries
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT t.qid, k.vec_id, CAST(SUM(t.dq_micro) AS BIGINT) AS adist_micro
+         |  FROM codes k
+         |  JOIN embeddings e ON e.vec_id = k.vec_id
+         |  JOIN probes pr ON pr.cell = e.label
+         |  JOIN dtab t ON t.qid = pr.qid AND t.m = k.m AND t.cid = k.code
          |  GROUP BY 1, 2)
          |SELECT qid, rank, vec_id, adist_micro FROM (
          |  SELECT qid, vec_id, adist_micro,

@@ -285,6 +285,29 @@ class ExtSpec extends SparkSpec {
     r1.unpersist()
   }
 
+  test("IVF-PQ: results come only from probed cells and score identically to the full ADC scan") {
+    import spark.implicits._
+    import graft.ext.ClusterTrain
+    val ivfpq = ClusterTrain.ivfPqScan(spark, sfDir).cache()
+    val full = ClusterTrain.pqAdcScan(spark, sfDir)
+      .select($"qid", $"vec_id", $"adist_micro".as("full_d"))
+    // scoring consistency: wherever both paths rank a candidate, the
+    // integer ADC distance is identical (IVF only restricts, never
+    // rescores)
+    val joined = ivfpq.join(full, Seq("qid", "vec_id"))
+    assert(joined.filter($"adist_micro" =!= $"full_d").isEmpty,
+      "IVF restriction changed an ADC score")
+    // every result member belongs to one of its query's probed cells:
+    // at most `ivfProbes` distinct labels appear per query
+    val labels = graft.ingest.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label")
+    val cellsPerQ = ivfpq.join(labels, "vec_id")
+      .groupBy($"qid").agg(countDistinct($"label").as("cells"))
+    assert(cellsPerQ.filter($"cells" > 2L).isEmpty,
+      "a result came from outside the probed cells")
+    ivfpq.unpersist()
+  }
+
   test("k-means: clusters partition the corpus; Lloyd inertia is non-increasing in rounds") {
     import spark.implicits._
     val emb = graft.ingest.Tables.embeddings(spark, sfDir)

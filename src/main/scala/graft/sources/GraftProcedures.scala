@@ -570,6 +570,8 @@ object GraftProcedures {
     val numFields = schema.fields.filter(f => f.dataType == LongType || f.dataType == DoubleType)
     val colMn = scala.collection.mutable.Map.empty[String, Double]
     val colMx = scala.collection.mutable.Map.empty[String, Double]
+    val colCnt = scala.collection.mutable.Map.empty[String, Long]
+    numFields.foreach(f => colCnt(f.name) = 0L)
     val bloomHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rows = 0L
     val dest = Paths.get(root, out)
@@ -591,6 +593,7 @@ object GraftProcedures {
                 val d = v.asDouble()
                 if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
                 if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
+                colCnt(f.name) += 1L
               }
             }
             bloomCol.foreach { bc =>
@@ -620,7 +623,7 @@ object GraftProcedures {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
-    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols)
+    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap)
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
@@ -671,8 +674,13 @@ object GraftProcedures {
           val mergedCols = sharedCols.map { c =>
             c -> (members.map(_.cols(c)._1).min, members.map(_.cols(c)._2).max)
           }.toMap
+          // non-null counts sum iff every member recorded one — a member
+          // with unknown counts poisons that column (same conservatism)
+          val sharedN = members.map(_.colNonNull.keySet).reduce(_ intersect _)
+          val mergedN = sharedN.map(c => c -> members.map(_.colNonNull(c)).sum).toMap
           Bin(members.map(_.file), out,
-            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols))
+            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
+              colNonNull = mergedN))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

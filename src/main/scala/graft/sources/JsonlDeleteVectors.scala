@@ -52,12 +52,12 @@ import scala.jdk.CollectionConverters._
   *     file whose DV set changed is re-imaged on both sides and the
   *     deleted rows surface as `delete` changes, untouched rows cancel.
   *
-  * DELETE and (on unkeyed layouts) UPDATE take the delta path on
-  * tables that opted in (`deleteMode=merge-on-read`): UPDATE = the old
-  * position joins a DV and the new image APPENDS as ordinary data
-  * rows, both in one swap. MERGE and keyed-layout UPDATE stay
-  * copy-on-write (appended images of a keyed layout would need
-  * re-keying, which the COW path already does). */
+  * DELETE and (on unkeyed layouts) UPDATE and MERGE take the delta
+  * path on tables that opted in (`deleteMode=merge-on-read`): UPDATE =
+  * the old position joins a DV and the new image APPENDS as ordinary
+  * data rows; MERGE composes all three arms the same way — both in one
+  * swap. Keyed layouts keep copy-on-write for UPDATE/MERGE (appended
+  * images would need re-keying, which the COW path already does). */
 object JsonlDeleteVectors {
 
   val DeletesDir = "_deletes"
@@ -188,7 +188,8 @@ class JsonlDvBatchWrite(root: String, queryId: String,
           dels = s.dels + es.map(_._2).sum))
       }
     } ++ appended.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
   }
 

@@ -123,11 +123,16 @@ object JsonlStats {
     * by merge-on-read DELETE ([[JsonlDeleteVectors]]) and the count of
     * positions they mask — the entry's rows remain the PHYSICAL count
     * (live rows = rows − dels). */
+  /** `colNonNull` (r7c): per-column NON-NULL row counts — what serves
+    * `COUNT(col)` aggregate pushdown (count = Σ non-null, no data IO).
+    * Absent = unknown (legacy manifests) = pushdown declined for that
+    * column; the same absence-is-conservative rule as `cols`. */
   final case class FileStats(file: String, min: Double, max: Double, rows: Long,
                              pkey: Option[String] = None,
                              cols: Map[String, (Double, Double)] = Map.empty,
                              dvs: Seq[String] = Nil,
-                             dels: Long = 0L)
+                             dels: Long = 0L,
+                             colNonNull: Map[String, Long] = Map.empty)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -227,12 +232,21 @@ object JsonlStats {
           else (0 until n.get("dvs").size()).map(i => n.get("dvs").get(i).asText())
         // n_rows is optional in the manifest (older manifests carry only
         // bounds); -1 marks it absent, which declines aggregate pushdown
+        val colN =
+          if (!n.hasNonNull("colns")) Map.empty[String, Long]
+          else {
+            val c = n.get("colns")
+            val b = Map.newBuilder[String, Long]
+            c.fieldNames().asScala.foreach(f => b += f -> c.get(f).asLong())
+            b.result()
+          }
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
           if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
           if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
           cols, dvs,
-          if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L)
+          if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L,
+          colN)
       }
   }
 
@@ -255,6 +269,10 @@ object JsonlStats {
       val a = n.putArray("dvs")
       s.dvs.foreach(a.add)
       n.put("n_dels", s.dels)
+    }
+    if (s.colNonNull.nonEmpty) {
+      val c = n.putObject("colns")
+      s.colNonNull.toSeq.sortBy(_._1).foreach { case (f, v) => c.put(f, v) }
     }
     n.toString
   }

@@ -877,6 +877,35 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q223: COUNT(col) AGGREGATE PUSHDOWN from per-column NON-NULL
+    * counts (`colns` in the manifest — the null-count statistic every
+    * production format's footer carries): the fixture nulls out
+    * `value` for the error class, so count(*) ≠ count(value) and the
+    * distinction is load-bearing; all three counts are answered from
+    * the manifest with ZERO data IO (bare-copy-proven in spec),
+    * declined when any file lacks coverage or carries deletion
+    * vectors (a masked row might be a non-null one — the MIN/MAX
+    * attainability argument applied to counts). */
+  def countColPushdown(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_nullable_value")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type",
+          when($"event_type" === "error", lit(null)).otherwise($"value").as("value"))
+        .repartitionByRange(buckets, $"event_id")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .option("statsColumn", "event_id")
+        .mode("overwrite").save()
+    }
+    spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("statsColumn", "event_id").load()
+      .agg(count(lit(1)).as("n_rows"),
+        count($"value").as("n_value"),
+        count($"user_id").as("n_user"))
+  }
+
   /** q172: SQL DELETE FROM through the connector's row-level-operation
     * leg (`SupportsRowLevelOperations`, copy-on-write at file
     * granularity): the group filter finds the files containing matching
@@ -1190,6 +1219,7 @@ object JsonlStatsQueries extends QueryModule {
     "q204_rename_column" -> renamedColumnRead,
     "q219_dv_update" -> dvUpdate,
     "q220_dv_merge" -> dvMerge,
+    "q223_count_pushdown" -> countColPushdown,
   )
 
   val oracles = Map(
@@ -1411,6 +1441,11 @@ object JsonlStatsQueries extends QueryModule {
         |FROM merged
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q223_count_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS n_value,
+        |  count(user_id) AS n_user
+        |FROM events""".stripMargin,
     // q174's derivation verbatim: the COW and MoR MERGE paths must
     // agree — identical semantics, different storage
     "q220_dv_merge" ->

@@ -114,12 +114,23 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val undeleted = stats.forall(_.dels == 0)
       if (typed && covered && undeleted) t else None
     }
+    // COUNT(col) = Σ per-file non-null counts (r7c `colns`): servable
+    // iff EVERY file recorded a count for the column and no file
+    // carries deletion vectors (a masked row might be one of the
+    // non-null ones — the same attainability argument as MIN/MAX)
+    def countable(col: String): Boolean =
+      stats.nonEmpty && stats.forall(_.dels == 0) &&
+        stats.forall(_.colNonNull.contains(phys(col)))
+    import org.apache.spark.sql.connector.expressions.aggregate.Count
     val fields = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
       case m: Min => refCol(m.column).flatMap(c =>
         servable(c).map(t => StructField(s"min:$c", t)))
       case m: Max => refCol(m.column).flatMap(c =>
         servable(c).map(t => StructField(s"max:$c", t)))
+      case cnt: Count if !cnt.isDistinct =>
+        refCol(cnt.column).filter(countable)
+          .map(c => StructField(s"cnt:$c", LongType, nullable = false))
       case _ => None
     }
     if (fields.contains(None)) false
@@ -192,6 +203,11 @@ class JsonlManifestAggScan(root: String, aggSchema: StructType,
               // grouped pushdown: the file's single pkey IS its group
               // (pushAggregation proved every file carries one)
               case (n, _) if n.startsWith("group:") => UTF8String.fromString(cur.pkey.get)
+              // COUNT(col): the file's recorded non-null count
+              // (coverage proved at pushAggregation; physical name)
+              case (n, _) if n.startsWith("cnt:") =>
+                cur.colNonNull(part.columnMapping.getOrElse(
+                  n.stripPrefix("cnt:"), n.stripPrefix("cnt:")))
               case (n, LongType) if n.startsWith("min:") => bounds(n.stripPrefix("min:"))._1.toLong
               case (n, LongType) if n.startsWith("max:") => bounds(n.stripPrefix("max:"))._2.toLong
               case (n, _) if n.startsWith("min:")        => bounds(n.stripPrefix("min:"))._1

@@ -114,7 +114,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
       else JsonlStats.readStats(root)
     val lines = (previous.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols))))
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+          colNonNull = c.colNonNull))))
       .sorted :+ JsonlStats.txnLine(appId, epochId)
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
@@ -139,7 +140,8 @@ class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: St
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
                                  pkey: Option[String] = None,
-                                 cols: Map[String, (Double, Double)] = Map.empty)
+                                 cols: Map[String, (Double, Double)] = Map.empty,
+                                 colNonNull: Map[String, Long] = Map.empty)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -215,7 +217,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       }
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+          colNonNull = c.colNonNull)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -320,7 +323,8 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols)))).sorted
+        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+          colNonNull = c.colNonNull)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
@@ -372,6 +376,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   }
   private val colMn = Array.fill(numIdx.length)(Double.PositiveInfinity)
   private val colMx = Array.fill(numIdx.length)(Double.NegativeInfinity)
+  private val colCnt = Array.fill(numIdx.length)(0L) // non-null rows per column
 
   def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
@@ -404,6 +409,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         }
         if (v < colMn(ci)) colMn(ci) = v
         if (v > colMx(ci)) colMx(ci) = v
+        colCnt(ci) += 1L
       }
       ci += 1
     }
@@ -431,11 +437,14 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       case ci if colMn(ci) <= colMx(ci) =>
         physOf(numIdx(ci)) -> (colMn(ci), colMx(ci))
     }.toMap
+    // non-null counts for EVERY numeric column, including all-null ones
+    // (a zero count is knowledge — COUNT(col) pushdown serves it as 0)
+    val colN = numIdx.indices.map(ci => physOf(numIdx(ci)) -> colCnt(ci)).toMap
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
-      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols)
-    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN)
   }
 
   def abort(): Unit = {

@@ -830,6 +830,39 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ren_mor")
   }
 
+  test("q223: COUNT(col) served from manifest non-null counts; legacy manifests and DVs decline (r7c)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_cnt").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type",
+        when($"event_type" === "error", lit(null)).otherwise($"value").as("value"))
+      .repartitionByRange(4, $"event_id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "event_id").mode("overwrite").save()
+    val expected = spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("statsColumn", "event_id").load()
+      .agg(count(lit(1)), count($"value"), count($"user_id")).head()
+    assert(expected.getLong(0) > expected.getLong(1),
+      "fixture must have value nulls so count(*) != count(value)")
+    // zero-IO proof: a bare copy with no data files answers the counts
+    val bare = Files.createTempDirectory("jsonl_cnt_bare").toString
+    Files.copy(Paths.get(dir, "_stats.jsonl"), Paths.get(bare, "_stats.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def bareDf = spark.read.format("graft-jsonl-stats")
+      .option("path", bare).option("statsColumn", "event_id")
+      .schema(JsonlStats.readTableMeta(dir).schema.get).load()
+    assert(bareDf.agg(count(lit(1)), count($"value"), count($"user_id")).head() === expected)
+    // legacy manifest (no colns) declines COUNT(col) -> row scan -> the
+    // bare copy fails loudly instead of serving a wrong count
+    val stripped = JsonlStats.readStats(bare)
+      .map(s => JsonlStats.statsLine(s.copy(colNonNull = Map.empty)))
+    Files.write(Paths.get(bare, "_stats.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(stripped).asJava)
+    intercept[Exception] { bareDf.agg(count($"value")).collect() }
+    // count(*) alone still serves (n_rows never left the manifest)
+    assert(bareDf.agg(count(lit(1))).head().getLong(0) === expected.getLong(0))
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

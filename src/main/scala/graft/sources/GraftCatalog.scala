@@ -381,6 +381,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "clone"   => new GraftProcedures.CloneUnbound(root)
       case "zorder"  => new GraftProcedures.ZOrderUnbound(root)
       case "rewrite_deletes" => new GraftProcedures.RewriteDeletesUnbound(root)
+      case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 

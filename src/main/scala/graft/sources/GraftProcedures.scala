@@ -186,6 +186,67 @@ object GraftProcedures {
     }
   }
 
+  class DetailUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "detail(table): one-row table report — version, files, rows, deletes, bytes"
+    override def bind(inputType: StructType): BoundProcedure = new DetailBound(root)
+  }
+
+  /** `CALL <cat>.detail('<table>')` — DESCRIBE DETAIL for the manifest
+    * protocol: the one-row operational report every table format ships
+    * (Delta's DESCRIBE DETAIL): current version, live file/row/byte
+    * counts, deletion-vector debt (files carrying DVs + masked rows —
+    * the rewrite_deletes backlog), and layout facts (keyed?, stats
+    * column). Pure manifest arithmetic plus per-file `Files.size` —
+    * metadata-priced, no data file opened. */
+  class DetailBound(root: String) extends BoundProcedure {
+    override def name(): String = "detail"
+    override def description(): String = "one-row table report from manifest arithmetic"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val stats = JsonlStats.readStats(dir.toString)
+      val meta = JsonlStats.readTableMeta(dir.toString)
+      val bytes = stats.map { s =>
+        val p = dir.resolve(s.file)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      val haveRows = stats.forall(_.rows >= 0)
+      val row = InternalRow(
+        JsonlStats.currentVersion(dir.toString),
+        stats.size,
+        if (haveRows) Long.box(stats.map(_.rows).sum) else null,
+        if (haveRows) Long.box(stats.map(s => s.rows - s.dels).sum) else null,
+        stats.count(_.dvs.nonEmpty),
+        stats.map(_.dels).sum,
+        bytes,
+        meta.partitionCol.isDefined,
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          meta.statsCol.getOrElse(JsonlStats.statsColumn)))
+      val schema = StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows_physical", LongType),
+        StructField("n_rows_live", LongType),
+        StructField("n_files_with_dvs", IntegerType, nullable = false),
+        StructField("n_rows_masked", LongType, nullable = false),
+        StructField("live_bytes", LongType, nullable = false),
+        StructField("key_grouped", BooleanType, nullable = false),
+        StructField("stats_column", StringType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = s"detail of $table"
+      }).iterator()
+    }
+  }
+
   class HistoryUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "history"
     override def description(): String =

@@ -863,6 +863,41 @@ class JsonlStatsSpec extends SparkSpec {
     assert(bareDf.agg(count(lit(1))).head().getLong(0) === expected.getLong(0))
   }
 
+  test("CALL detail reports manifest truth: versions, rows, DV debt, bytes (r7c)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_detail").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_dt_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val d0 = spark.sql(s"CALL $cat.detail('$table')").head()
+    assert(d0.getInt(0) === 1 && d0.getInt(1) === 4)
+    assert(d0.getLong(2) === src.count() && d0.getLong(3) === src.count())
+    assert(d0.getInt(4) === 0 && d0.getLong(5) === 0L && d0.getLong(6) > 0L)
+    assert(!d0.getBoolean(7) && d0.getString(8) === "value")
+    // a MoR delete shows up as DV debt; live rows drop, physical stay
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE event_type = 'click'")
+    val nClick = src.filter($"event_type" === "click").count()
+    val d1 = spark.sql(s"CALL $cat.detail('$table')").head()
+    assert(d1.getInt(0) === 2, "delete must bump the version")
+    assert(d1.getLong(2) === src.count(), "physical rows unchanged under MoR")
+    assert(d1.getLong(3) === src.count() - nClick, "live rows drop by the masked count")
+    assert(d1.getInt(4) > 0 && d1.getLong(5) === nClick)
+    // rewrite_deletes clears the debt
+    spark.sql(s"CALL $cat.rewrite_deletes('$table')").collect()
+    val d2 = spark.sql(s"CALL $cat.detail('$table')").head()
+    assert(d2.getInt(4) === 0 && d2.getLong(5) === 0L)
+    assert(d2.getLong(2) === d2.getLong(3) && d2.getLong(3) === src.count() - nClick)
+  }
+
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

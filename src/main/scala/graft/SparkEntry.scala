@@ -37,6 +37,7 @@ object SparkEntry {
     ext.CurationGovernance,
     ext.SpanDedup,
     ext.Mixing,
+    ext.ModelEval,
     ext.DedupClusters,
     ext.Sketches,
     ingest.PipelineQueries,

@@ -100,8 +100,49 @@ object ModelEval extends QueryModule {
         .cast("long").as("auc_den_x2"))
   }
 
+  /** q225: gains/lift table by score decile — the other half of the
+    * model-eval readout pair (q224 ranks pairwise, this banks the ranked
+    * list into the business-facing "top-10% captures X× the base rate"
+    * curve). Decile assignment needs each row's EXACT global rank along
+    * (score DESC, key); that is [[Mixing.withGlobalPosition]]'s two-pass
+    * range-partitioned enumeration — never a one-reducer ROW_NUMBER.
+    * The tiebreak on the unique key is load-bearing: without it, tied
+    * scores straddling a decile boundary would land nondeterministically
+    * and the hash-compare would be corpus-order-dependent. Cumulative
+    * lift is integer milli-units via `div`, mirrored exactly in the
+    * oracle (`//`) — the 10-row window after grouping is bounded by the
+    * decile count, not the corpus. */
+  def liftTable(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.orders(spark, d)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("score"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val total = scored.count()
+    val nPart = math.max(8, (total / 1000000L).toInt)
+    val positioned = Mixing.withGlobalPosition(
+      scored, Seq($"score".desc, $"k"), nPart, outCol = "gpos")
+    val g = positioned
+      .withColumn("decile", expr(s"((gpos - 1) * 10) div $total"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"y").as("positives"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum_positives", sum($"positives").over(w))
+      .withColumn("_cum_n", sum($"n").over(w))
+      .withColumn("_p", sum($"positives").over(all))
+      .withColumn("_t", sum($"n").over(all))
+      .withColumn("cum_lift_milli",
+        expr("(1000 * cum_positives * _t) div (_cum_n * _p)"))
+      .select($"decile", $"n", $"positives".cast("long").as("positives"),
+        $"cum_positives".cast("long").as("cum_positives"),
+        $"cum_lift_milli".cast("long").as("cum_lift_milli"))
+      .orderBy($"decile")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q224_auc_readout" -> aucReadout,
+    "q225_lift_table" -> liftTable,
   )
 
   val oracles = Map(
@@ -124,5 +165,32 @@ object ModelEval extends QueryModule {
         |  CAST(SUM(pos*(2*below + cnt + 1)) - SUM(pos)*(SUM(pos)+1) AS BIGINT) AS auc_num_x2,
         |  CAST(2*SUM(pos)*(SUM(cnt) - SUM(pos)) AS BIGINT) AS auc_den_x2
         |FROM p""".stripMargin,
+    "q225_lift_table" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS score,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), r AS (
+        |  SELECT y,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, k) AS gpos,
+        |    COUNT(*) OVER () AS total
+        |  FROM s
+        |), g AS (
+        |  SELECT ((gpos - 1) * 10) // total AS decile,
+        |         COUNT(*) AS n, SUM(y) AS pos
+        |  FROM r GROUP BY 1
+        |), c AS (
+        |  SELECT decile, n, pos,
+        |    SUM(pos) OVER (ORDER BY decile) AS cum_pos,
+        |    SUM(n) OVER (ORDER BY decile) AS cum_n,
+        |    SUM(pos) OVER () AS p_total,
+        |    SUM(n) OVER () AS t_total
+        |  FROM g
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(pos AS BIGINT) AS positives,
+        |  CAST(cum_pos AS BIGINT) AS cum_positives,
+        |  CAST((1000 * cum_pos * t_total) // (cum_n * p_total) AS BIGINT) AS cum_lift_milli
+        |FROM c ORDER BY decile""".stripMargin,
   )
 }

@@ -51,6 +51,20 @@ class ModelEvalSpec extends SparkSpec {
     assert(got.getAs[Long]("auc_den_x2") === 2L * p * n)
   }
 
+  test("q225 lift table: balanced deciles, conservation, final lift = exactly 1000") {
+    import spark.implicits._
+    val lift = ext.ModelEval.liftTable(spark, sfDir).collect()
+    assert(lift.length === 10)
+    assert(lift.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val sizes = lift.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, "exact global ranks must balance deciles to within 1")
+    val p = ingest.Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F").count()
+    assert(lift.last.getAs[Long]("cum_positives") === p, "cumulative positives must conserve")
+    assert(lift.last.getAs[Long]("cum_lift_milli") === 1000L,
+      "the full population's lift over itself is 1 by identity")
+    assert(lift.map(_.getAs[Long]("positives")).sum === p)
+  }
+
   test("prefix-sum enumeration is invariant to range-partition fan-out") {
     val pairs = (1 to 500).map(i => ((i % 37).toDouble, (i % 3 == 0).compareTo(false).toLong))
     assert(auc(pairs, nPart = 2) === auc(pairs, nPart = 11))

@@ -219,6 +219,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               "the JSONL writer carries long/double/string")
         if (schema.fieldNames.contains(col))
           throw new IllegalArgumentException(s"column $col already exists")
+        // A renamed column still OWNS its physical JSON key: after
+        // RENAME user_id->uid the mapping is uid->user_id, and a new
+        // identity-mapped `user_id` column would read the renamed
+        // column's bytes and collide with it on write. The physical
+        // namespace is as reserved as the logical one.
+        if (mapping.values.exists(_ == col))
+          throw new IllegalArgumentException(
+            s"column name $col is the physical field of a renamed column; " +
+              "pick another name or rename the owner back first")
         schema = schema.add(StructField(col, add.dataType(), nullable = true))
       // CHECK constraints (r7c): metadata-only — Spark injects the
       // enforcement into write plans from Table.constraints(). Spark
@@ -258,6 +267,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           throw new IllegalArgumentException(s"no such column $from")
         if (schema.fieldNames.contains(to))
           throw new IllegalArgumentException(s"column $to already exists")
+        // Same reservation as ADD COLUMN: `to` must not shadow a
+        // physical field still owned by some OTHER renamed column.
+        if (mapping.exists { case (log, phys) => log != from && phys == to })
+          throw new IllegalArgumentException(
+            s"column name $to is the physical field of a renamed column; " +
+              "pick another name or rename the owner back first")
         val physical = mapping.getOrElse(from, from)
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
           meta.partitionCol ++ meta.bloomCol

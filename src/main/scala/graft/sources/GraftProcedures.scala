@@ -597,6 +597,7 @@ object GraftProcedures {
     val schemaJson = schema.json
     val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
     val bloomCol = meta.bloomCol
+    val mapping = meta.columnMapping
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
       (s.file, s.dvs, s.pkey, f"part-rwdel-$runId-$i%05d.jsonl")
@@ -606,7 +607,7 @@ object GraftProcedures {
       .parallelize(work, math.min(work.size, 32))
       .map { case (file, dvs, pkey, out) =>
         GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-          schemaJson, statsCol, bloomCol)
+          schemaJson, statsCol, bloomCol, mapping)
       }
       .collect().toSeq // file-count-bounded: one manifest entry per task
     val dirtyNames = dirty.map(_.file).toSet
@@ -623,12 +624,19 @@ object GraftProcedures {
   private[sources] def rewriteOneFile(root: String, file: String, dvs: Seq[String],
                                       pkey: Option[String], out: String,
                                       schemaJson: String, statsCol: String,
-                                      bloomCol: Option[String]): JsonlStats.FileStats = {
+                                      bloomCol: Option[String],
+                                      columnMapping: Map[String, String] = Map.empty): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // Data bytes carry PHYSICAL names on column-mapped tables; stats
+    // keys are physical too (readers translate logical→physical before
+    // consulting them). Parse and key everything by the physical name,
+    // mirroring JsonlFileSink.
+    def physOf(name: String): String = columnMapping.getOrElse(name, name)
     val numFields = schema.fields.filter(f => f.dataType == LongType || f.dataType == DoubleType)
+      .map(f => f.copy(name = physOf(f.name)))
     val colMn = scala.collection.mutable.Map.empty[String, Double]
     val colMx = scala.collection.mutable.Map.empty[String, Double]
     val colCnt = scala.collection.mutable.Map.empty[String, Long]

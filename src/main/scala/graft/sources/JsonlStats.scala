@@ -54,7 +54,13 @@ import scala.jdk.CollectionConverters._
   */
 class JsonlStats extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-jsonl-stats"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = JsonlStats.schema
+  // Path reads infer the table's LOGICAL schema from `_table.json` when
+  // one exists (a renamed table's logical names differ from its physical
+  // JSON keys); the fixed event-feed shape is the no-sidecar fallback.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("path"))
+      .flatMap(p => scala.util.Try(JsonlStats.readTableMeta(p).schema).toOption.flatten)
+      .getOrElse(JsonlStats.schema)
   // a caller may supply its own schema (e.g. a dimension table through
   // the same connector) — the reader parses whatever fields are asked of it
   override def supportsExternalMetadata(): Boolean = true
@@ -541,11 +547,11 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     val meta = JsonlStats.readTableMeta(root)
     val bloom = bloomCol.orElse(meta.bloomCol)
     // merge-on-read opt-in (`deleteMode=merge-on-read`, option or table
-    // property): DELETE and — on unkeyed layouts — UPDATE take the
-    // deletion-vector delta path (UPDATE = DV + appended row images in
-    // one swap); MERGE stays copy-on-write, and keyed layouts keep COW
-    // for UPDATE too (appended images would need re-keying, which the
-    // COW write path already does)
+    // property): DELETE always takes the deletion-vector delta path, and
+    // on UNKEYED layouts so do UPDATE and MERGE (DV + appended row
+    // images in one swap; q220). Keyed layouts keep COW for UPDATE and
+    // MERGE — appended images would need re-keying, which the COW write
+    // path already does.
     val mor = deleteMode.orElse(meta.deleteMode).contains("merge-on-read")
     val mapping = if (columnMapping.nonEmpty) columnMapping else meta.columnMapping
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command

@@ -478,10 +478,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * bounds may be swapped out from under a running stream by truncate,
     * and residual row filters re-check anyway. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlManifestStream(root, required)
+    new JsonlManifestStream(root, required, columnMapping)
 }
 
-class JsonlManifestStream(root: String, required: StructType)
+class JsonlManifestStream(root: String, required: StructType,
+                          columnMapping: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -501,7 +502,8 @@ class JsonlManifestStream(root: String, required: StructType)
         dvs = dvsOf.getOrElse(f, Nil).map(d => Paths.get(root, d).toString)): InputPartition)
       .toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new JsonlReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required, columnMapping = columnMapping)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -107,9 +107,64 @@ object SpanDedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q226 (r8): the TWO-TIER production formulation of the q200 audit —
+    * the 100-TB path that q200's Scaladoc promised ("group 8-byte
+    * rolling hashes first, exact-verify only colliding buckets"), now
+    * registered and oracle-checked against the same exact SQL.
+    *
+    * Tier 1 shuffles one 8-byte polynomial rolling hash per position
+    * (codegen'd [[graft.functions.SubstrRollingHash]]) instead of the
+    * L-char gram string — the corpus-wide shuffle shrinks from ~L
+    * bytes/position to 8, and the groupBy is map-side combinable.
+    * Tier 2 re-derives gram STRINGS only for positions whose hash
+    * bucket holds ≥2 members (one doc-keyed join back to text — a
+    * second corpus scan, but the gram shuffle is now candidate-bounded:
+    * duplicated positions plus the hash-collision noise floor, vs
+    * EVERY position in q200's stride-1 form).
+    *
+    * Identical output by construction: equal strings ⇒ equal hashes,
+    * so every truly-duplicated position is a candidate; tier 2's exact
+    * string groupBy counts each candidate gram's GLOBAL occurrence
+    * count (all occurrences of a colliding string are candidates) and
+    * rejects hash-collision false positives. SCALING.md carries the
+    * measured candidate-volume-vs-gram-volume ratio on the Zipf corpus. */
+  def substringAuditTwoTier(spark: SparkSession, d: String): DataFrame =
+    twoTierAuditOf(Tables.documents(spark, d))
+
+  private[graft] def twoTierAuditOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val eligible = docs.filter(length($"text") >= gramLen)
+    // tier 1: (doc_id, position, 8-byte hash) — no gram strings yet
+    val pos = eligible
+      .select($"doc_id",
+        posexplode(call_function("graft_rolling_hashes", $"text", lit(gramLen))))
+      .toDF("doc_id", "p", "h")
+    val colliding = pos.groupBy($"h").agg(count(lit(1)).as("hc"))
+      .filter($"hc" >= 2).select($"h")
+    val cand = pos.join(colliding, "h").select($"doc_id", $"p")
+    // tier 2: materialize candidate grams only; exact counts are global
+    // counts for these grams (all occurrences of a colliding string are
+    // candidates), so c >= 2 is exactly q200's duplication predicate
+    val grams = cand.join(eligible.select($"doc_id", $"text"), "doc_id")
+      .select($"doc_id", expr(s"substr(text, p + 1, $gramLen)").as("g"))
+    val exact = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+    val dup = grams.join(exact, "g").filter($"c" >= 2)
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup0"))
+    // n_grams needs no explode at all: positions = length - (L-1)
+    eligible
+      .select($"doc_id", (length($"text") - (gramLen - 1)).cast("long").as("n_grams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"dup0", lit(0L)).as("n_dup"))
+      .withColumn("dup_milli", expr("(1000 * n_dup) div n_grams"))
+      .orderBy($"doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q145_span_dedup" -> spanDedup,
     "q200_substring_audit" -> substringAudit,
+    "q226_substring_audit_2tier" -> substringAuditTwoTier,
   )
 
   val oracles = Map(
@@ -132,6 +187,21 @@ object SpanDedup extends QueryModule {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "q200_substring_audit" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(text, i, $gramLen) AS g
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(1, len(text) - ${gramLen - 1})) AS i)
+         |  WHERE len(text) >= $gramLen
+         |), c AS (SELECT g, count(*) AS c FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  (1000 * CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_milli
+         |FROM g JOIN c USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // q226 ≡ q200 by construction: the oracle IS the exact audit — the
+    // two-tier prefilter must change nothing but the plan
+    "q226_substring_audit_2tier" ->
       s"""WITH g AS (
          |  SELECT doc_id, substr(text, i, $gramLen) AS g
          |  FROM documents,

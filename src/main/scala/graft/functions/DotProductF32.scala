@@ -78,6 +78,7 @@ case class DotProductF32(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectFunction(GraftFunctions.rollingHashDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
@@ -90,10 +91,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProductF32(children.head, children(1)))
 
+  private[functions] val rollingHashDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rolling_hashes"),
+    new ExpressionInfo(classOf[SubstrRollingHash].getName, "graft_rolling_hashes"),
+    (children: Seq[Expression]) => SubstrRollingHash(children.head,
+      children(1).eval().asInstanceOf[Number].intValue))
+
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProductDescriptor
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotProductDescriptor, rollingHashDescriptor).foreach { case (id, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -237,6 +237,34 @@ class ExtSpec extends SparkSpec {
     audit.unpersist()
   }
 
+  test("q226: two-tier rolling-hash audit ≡ the stride-1 exact audit, plant and all (r8)") {
+    import spark.implicits._
+    import graft.ext.SpanDedup
+    val docs = graft.ingest.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // the by-construction identity, on the raw corpus AND with a planted
+    // verbatim copy (guaranteed duplicated positions) — every doc row of
+    // the prefiltered form must match the exact form bit-for-bit
+    val victim = docs.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + lit(1000000L)).as("doc_id"), $"text")
+    Seq(docs, docs.unionByName(victim)).foreach { corpus =>
+      val exact = SpanDedup.auditOf(corpus)
+      val twoTier = SpanDedup.twoTierAuditOf(corpus)
+      assert(twoTier.exceptAll(exact).isEmpty && exact.exceptAll(twoTier).isEmpty,
+        "two-tier audit must be indistinguishable from the exact audit")
+    }
+    // tier-1 really prefilters here: candidate positions (colliding hash
+    // buckets) are a strict subset of all gram positions on this corpus
+    graft.functions.GraftFunctions.register(spark)
+    val pos = docs.filter(length($"text") >= SpanDedup.gramLen)
+      .select(posexplode(call_function("graft_rolling_hashes", $"text",
+        lit(SpanDedup.gramLen)))).toDF("p", "h")
+    val total = pos.count()
+    val candidates = pos.groupBy($"h").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).agg(sum($"c")).head().getLong(0)
+    assert(candidates < total,
+      s"prefilter must shrink the exact-verify set ($candidates vs $total)")
+  }
+
   test("PCA power iteration: max-norm law holds and the Rayleigh quotient grows with rounds") {
     import spark.implicits._
     import graft.ext.ClusterTrain

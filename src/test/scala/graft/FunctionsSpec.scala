@@ -39,4 +39,44 @@ class FunctionsSpec extends SparkSpec {
       .first()
     assert(n.isNullAt(0))
   }
+
+  test("graft_rolling_hashes: window law, rolling == direct, codepoint positions (r8)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val L = 5
+    // pseudo-random strings with repeats, plus multi-byte codepoints
+    val strs = (1L to 30L).map { s =>
+      val g = Gen.listOfN(40, Gen.oneOf('a', 'b', 'c', 'é', '日'))
+      g(Gen.Parameters.default, Seed(s)).getOrElse(Nil).mkString
+    } ++ Seq("", "abc", "aaaaa", "aaaaaa")
+    val df = strs.toDF("t")
+      .withColumn("hs", call_function("graft_rolling_hashes", $"t", lit(L)))
+    val rows = df.select($"t", $"hs").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val hs = r.getSeq[Long](1)
+      val n = t.codePointCount(0, t.length)
+      assert(hs.length === math.max(0, n - L + 1), s"window count for '$t'")
+      // law: equal windows => equal hashes; windows defined by CODEPOINT
+      // offsets exactly as substr() would cut them
+      val cps = t.codePoints().toArray
+      // sliding() yields a partial trailing group on short inputs —
+      // only full-length windows are hashed
+      val windows = cps.sliding(L).map(_.toSeq).filter(_.length == L).toSeq
+      windows.zipWithIndex.foreach { case (w, i) =>
+        windows.zipWithIndex.foreach { case (w2, j) =>
+          if (w == w2) assert(hs(i) === hs(j), s"equal windows $i/$j of '$t' must collide")
+        }
+        // rolling result == direct polynomial evaluation at each position
+        val direct = w.foldLeft(0L)((h, c) => h * 1000003L + c)
+        assert(hs(i) === direct, s"rolling hash drifts from direct at $i of '$t'")
+      }
+    }
+    // the repeated-content guarantee the audit rides on: a string and its
+    // verbatim copy produce identical hash arrays
+    val pair = Seq("the quick brown fox", "the quick brown fox").toDF("t")
+      .withColumn("hs", call_function("graft_rolling_hashes", $"t", lit(L)))
+      .select($"hs").collect()
+    assert(pair(0).getSeq[Long](0) === pair(1).getSeq[Long](0))
+  }
 }

@@ -705,6 +705,57 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ren_spec")
   }
 
+  test("renamed columns keep their physical JSON key reserved; streaming reads translate the mapping (r8)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ren_guard")
+    spark.sql(
+      s"""CREATE TABLE $cat.ren_guard AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.ren_guard RENAME COLUMN user_id TO uid")
+    // mapping is uid -> user_id: the physical key `user_id` is still
+    // owned by uid. An identity-mapped ADD COLUMN user_id would read
+    // uid's bytes as its own and collide on write — refused.
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ren_guard ADD COLUMN user_id BIGINT")
+    }
+    assert(e1.getMessage.contains("physical"), s"wrong refusal: ${e1.getMessage}")
+    // same reservation for RENAME's target name
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ren_guard RENAME COLUMN event_type TO user_id")
+    }
+    assert(e2.getMessage.contains("physical"), s"wrong refusal: ${e2.getMessage}")
+    // renaming uid itself onward (or back) stays legal — uid owns the key
+    spark.sql(s"ALTER TABLE $cat.ren_guard RENAME COLUMN uid TO uid2")
+    assert(JsonlStats.readTableMeta(Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "ren_guard").toString)
+      .columnMapping === Map("uid2" -> "user_id"))
+    spark.sql(s"ALTER TABLE $cat.ren_guard RENAME COLUMN uid2 TO user_id")
+    assert(spark.table(s"$cat.ren_guard").filter($"user_id".isNull).count() === 0)
+    spark.sql(s"ALTER TABLE $cat.ren_guard RENAME COLUMN user_id TO uid")
+    // streaming leg translates the mapping exactly as the batch leg:
+    // a drain of the renamed table must surface uid's physical bytes,
+    // not nulls
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "ren_guard").toString
+    val ckpt = Files.createTempDirectory("jsonl_ren_stream_ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val nulls = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", dir).load()
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        seen.addAndGet(df.count())
+        nulls.addAndGet(df.filter(df("uid").isNull).count()); ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.get() === spark.table(s"$cat.ren_guard").count())
+    assert(nulls.get() === 0, "streaming read of a renamed table must translate the mapping")
+    spark.sql(s"DROP TABLE $cat.ren_guard")
+  }
+
   test("q219: merge-on-read UPDATE masks the old position and appends the image in one swap (r7c)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_dv_upd").toString
@@ -827,6 +878,27 @@ class JsonlStatsSpec extends SparkSpec {
     val back = spark.table(s"$cat.ren_mor")
     val expect = src.filter($"etype" =!= "click")
     assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // rewrite_deletes re-derives stats by parsing data bytes, which
+    // carry PHYSICAL names: rename a numeric column first and check the
+    // fresh manifest keys its bounds under the physical name (the name
+    // readers consult after logical→physical translation)
+    spark.sql(s"ALTER TABLE $cat.ren_mor RENAME COLUMN user_id TO uid")
+    spark.sql(s"CALL $cat.rewrite_deletes('ren_mor')").collect()
+    val clean = JsonlStats.readStats(dir)
+    assert(clean.forall(s => s.dvs.isEmpty && s.dels == 0))
+    val rewritten = clean.filterNot(s => bytesBefore.keySet.contains(s.file))
+    assert(rewritten.nonEmpty, "DV'd files must have been rewritten")
+    rewritten.foreach { s =>
+      assert(s.cols.contains("user_id") && !s.cols.contains("uid"),
+        s"rewritten stats must key the physical name: ${s.cols.keySet}")
+      assert(s.colNonNull.contains("user_id"),
+        s"non-null counts must key the physical name: ${s.colNonNull.keySet}")
+    }
+    // and those physically-keyed stats still serve the logical column:
+    // COUNT/MIN/MAX over `uid` answers from the manifest, matching data
+    val expAgg = expect.agg(min($"user_id"), max($"user_id")).head()
+    val gotAgg = spark.table(s"$cat.ren_mor").agg(min($"uid"), max($"uid")).head()
+    assert(gotAgg === expAgg)
     spark.sql(s"DROP TABLE $cat.ren_mor")
   }
 

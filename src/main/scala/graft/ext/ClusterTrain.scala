@@ -266,6 +266,101 @@ object ClusterTrain extends QueryModule {
       .orderBy($"qid", $"rank")
   }
 
+  /** r8 (VERDICT r7 next-round #7): the PARAMETERIZED PQ recall harness
+    * — q221/q222 pin the dataflow at deliberately toy parameters under
+    * the exact-decimal oracle; THIS trains honest codebooks (M
+    * subspaces × K centroids, `rounds` Lloyd rounds, plain doubles —
+    * a measurement harness, not an oracle surface) and reports
+    * recall@topK of the ADC scan against the exact L2 ground truth,
+    * optionally with the q121-style exact re-rank of the top `rerank`
+    * ADC candidates. Self-matches are excluded on both sides (queries
+    * are database vectors). Returns ONE summary row:
+    * (m, k, rounds, n_queries, top_k, rerank, recall_milli). */
+  def pqRecall(spark: SparkSession, d: String, m: Int, k: Int, rounds: Int,
+               nQueries: Int, topK: Int, rerank: Int = 0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val pe = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", expr(s"pos div $subDim").as("m"),
+        expr(s"pos % $subDim").as("sp"), $"xf".cast("double").as("x"))
+      .localCheckpoint()
+    def assignTo(c: DataFrame): DataFrame = pe
+      .join(broadcast(c), Seq("m", "sp"))
+      .groupBy($"vec_id", $"m", $"cid")
+      .agg(sum(($"x" - $"c") * ($"x" - $"c")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m", $"cid".as("code"))
+    // first-K seeds per subspace, then Lloyd: broadcast M×K model rows,
+    // corpus scanned per round — q195's training shape at PQ granularity
+    var cent = pe.filter($"vec_id" < k)
+      .select($"m", $"vec_id".as("cid"), $"sp", $"x".as("c")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      cent = pe.join(assignTo(cent), Seq("vec_id", "m"))
+        .groupBy($"m", $"code".as("cid"), $"sp")
+        .agg((sum($"x") / count(lit(1))).as("c"))
+        .localCheckpoint() // pin each round: lineage must not re-train
+    }
+    val codes = assignTo(cent).localCheckpoint()
+    // ADC: per-query M×K distance table, approximate dist = table sum
+    val dtab = pe.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"m", $"sp", $"x")
+      .join(broadcast(cent), Seq("m", "sp"))
+      .groupBy($"qid", $"m", $"cid")
+      .agg(sum(($"x" - $"c") * ($"x" - $"c")).as("dq"))
+    val adc = codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"dq").as("adist"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist", $"vec_id")))
+    // exact L2 over candidate pairs via the codegen'd dot expression:
+    // d2 = |a|^2 + |b|^2 - 2 a.b (ranking harness, plain doubles)
+    val dot = SimilarityMath.dotFast(spark) _
+    val n2 = emb.select($"vec_id", dot($"embedding", $"embedding").as("n2"))
+    val qset = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def exactRank(pairs: DataFrame): DataFrame = pairs // (qid, vec_id)
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(qset), "qid")
+      .select($"qid", $"vec_id",
+        (dot($"embedding", $"embedding") + dot($"qe", $"qe")
+          - lit(2.0) * dot($"qe", $"embedding")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
+    val approx =
+      if (rerank > 0)
+        exactRank(adc.filter($"arank" <= math.max(rerank, topK)).select($"qid", $"vec_id"))
+          .filter($"rank" <= topK).select($"qid", $"vec_id")
+      else adc.filter($"arank" <= topK).select($"qid", $"vec_id")
+    // ground truth: exact L2 top-k over the FULL corpus per query
+    val truth = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(qset))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (dot($"embedding", $"embedding") + dot($"qe", $"qe")
+          - lit(2.0) * dot($"qe", $"embedding")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
+      .filter($"rank" <= topK)
+      .select($"qid", $"vec_id")
+    val hits = truth.join(approx, Seq("qid", "vec_id")).groupBy($"qid")
+      .agg(count(lit(1)).as("n_hit"))
+    truth.groupBy($"qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .agg((sum(coalesce($"n_hit", lit(0L))).cast("double")
+        / sum($"n_true").cast("double") * 1000).as("r"))
+      .select(lit(m).as("m"), lit(k).as("k"), lit(rounds).as("rounds"),
+        lit(nQueries).as("n_queries"), lit(topK).as("top_k"), lit(rerank).as("rerank"),
+        round($"r").cast("long").as("recall_milli"))
+  }
+
   private val ivfProbes = 2
 
   /** q222: IVF-PQ — the COMPOSED production vector index (FAISS

@@ -641,6 +641,11 @@ object GraftProcedures {
     val colMx = scala.collection.mutable.Map.empty[String, Double]
     val colCnt = scala.collection.mutable.Map.empty[String, Long]
     numFields.foreach(f => colCnt(f.name) = 0L)
+    // string bounds + counts (r8), tracked like the writer's sink
+    val strNames = schema.fields.filter(_.dataType == StringType).map(f => physOf(f.name))
+    val strMn = scala.collection.mutable.Map.empty[String, String]
+    val strMx = scala.collection.mutable.Map.empty[String, String]
+    strNames.foreach(c => colCnt(c) = 0L)
     val bloomHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rows = 0L
     val dest = Paths.get(root, out)
@@ -663,6 +668,15 @@ object GraftProcedures {
                 if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
                 if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
                 colCnt(f.name) += 1L
+              }
+            }
+            strNames.foreach { c =>
+              val v = n.get(c)
+              if (v != null && !v.isNull) {
+                val s = v.asText()
+                if (!strMn.contains(c) || JsonlStats.strCompare(s, strMn(c)) < 0) strMn(c) = s
+                if (!strMx.contains(c) || JsonlStats.strCompare(s, strMx(c)) > 0) strMx(c) = s
+                colCnt(c) += 1L
               }
             }
             bloomCol.foreach { bc =>
@@ -688,11 +702,14 @@ object GraftProcedures {
     }
     if (bloomCol.isDefined) Bloom.writeSidecar(dest, bloomHashes.toArray)
     val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap
+    val strCols = strMn.keySet.map(c =>
+      c -> (JsonlStats.truncLower(strMn(c)), JsonlStats.truncUpper(strMx(c)))).toMap
     val (mn, mx) = cols.get(statsCol) match {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
-    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap)
+    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
+      strCols = strCols)
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
@@ -747,9 +764,23 @@ object GraftProcedures {
           // with unknown counts poisons that column (same conservatism)
           val sharedN = members.map(_.colNonNull.keySet).reduce(_ intersect _)
           val mergedN = sharedN.map(c => c -> members.map(_.colNonNull(c)).sum).toMap
+          // string bounds (r8) merge under the one-sided invariants:
+          // lower = min of lowers (still ≤ attained min), upper = max of
+          // uppers UNLESS any member's upper is unknown (None poisons)
+          val sharedS = members.map(_.strCols.keySet).reduce(_ intersect _)
+          val mergedS = sharedS.map { c =>
+            val bs = members.map(_.strCols(c))
+            val lo = bs.map(_._1).min(Ordering.fromLessThan[String](
+              JsonlStats.strCompare(_, _) < 0))
+            val hi =
+              if (bs.exists(_._2.isEmpty)) None
+              else Some(bs.map(_._2.get).max(Ordering.fromLessThan[String](
+                JsonlStats.strCompare(_, _) < 0)))
+            c -> (lo, hi)
+          }.toMap
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
-              colNonNull = mergedN))
+              colNonNull = mergedN, strCols = mergedS))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

@@ -133,12 +133,20 @@ object JsonlStats {
     * `COUNT(col)` aggregate pushdown (count = Σ non-null, no data IO).
     * Absent = unknown (legacy manifests) = pushdown declined for that
     * column; the same absence-is-conservative rule as `cols`. */
+  /** `strCols` (r8): per-STRING-column truncated bounds, the Iceberg
+    * law — lower bound truncated DOWN (a ≤-16-codepoint prefix of the
+    * attained min, so `lower ≤ min` always), upper bound truncated UP
+    * (first 16 codepoints with the last incrementable codepoint
+    * incremented, so `upper ≥ max`; None when no codepoint can be
+    * incremented = unknown). ISO timestamp strings — the reference's
+    * own event-time format — prune at planning time through these. */
   final case class FileStats(file: String, min: Double, max: Double, rows: Long,
                              pkey: Option[String] = None,
                              cols: Map[String, (Double, Double)] = Map.empty,
                              dvs: Seq[String] = Nil,
                              dels: Long = 0L,
-                             colNonNull: Map[String, Long] = Map.empty)
+                             colNonNull: Map[String, Long] = Map.empty,
+                             strCols: Map[String, (String, Option[String])] = Map.empty)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -246,13 +254,25 @@ object JsonlStats {
             c.fieldNames().asScala.foreach(f => b += f -> c.get(f).asLong())
             b.result()
           }
+        val strCols =
+          if (!n.hasNonNull("scols")) Map.empty[String, (String, Option[String])]
+          else {
+            val c = n.get("scols")
+            val b = Map.newBuilder[String, (String, Option[String])]
+            c.fieldNames().asScala.foreach { f =>
+              val e = c.get(f)
+              b += f -> (e.get("min").asText(),
+                if (e.hasNonNull("max")) Some(e.get("max").asText()) else None)
+            }
+            b.result()
+          }
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
           if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
           if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
           cols, dvs,
           if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L,
-          colN)
+          colN, strCols)
       }
   }
 
@@ -279,6 +299,12 @@ object JsonlStats {
     if (s.colNonNull.nonEmpty) {
       val c = n.putObject("colns")
       s.colNonNull.toSeq.sortBy(_._1).foreach { case (f, v) => c.put(f, v) }
+    }
+    if (s.strCols.nonEmpty) {
+      val c = n.putObject("scols")
+      s.strCols.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val e = c.putObject(f); e.put("min", lo); hi.foreach(e.put("max", _))
+      }
     }
     n.toString
   }
@@ -499,6 +525,109 @@ object JsonlStats {
     case LessThanOrEqual(_, v: Number)    => mn <= v.doubleValue()
     case EqualTo(_, v: Number)            => mn <= v.doubleValue() && v.doubleValue() <= mx
     case _                                => true
+  }
+
+  // ---- string bounds (r8): Iceberg-style truncated min/max --------------
+
+  /** Truncation width, codepoints (Iceberg's write.metadata.metrics
+    * default). Wide enough that a full ISO-8601 second ("2024-06-01T12")
+    * fits the prefix — date-range predicates prune exactly. */
+  val StrBoundLen = 16
+
+  /** String order used EVERYWHERE for string bounds: UTF-8 binary order
+    * == codepoint order == what Spark's `<`/`>` on strings compares.
+    * (Java String.compareTo is UTF-16-unit order, which DISAGREES above
+    * the BMP — never use it here.) */
+  def strCompare(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var i = 0; var off = 0
+    while (off < s.length) {
+      val c = s.codePointAt(off); out(i) = c; i += 1; off += Character.charCount(c)
+    }
+    out
+  }
+
+  /** Lower bound: the first [[StrBoundLen]] codepoints. A prefix of s is
+    * ≤ s in binary order, so `truncLower(min) ≤ min` — truncate-down. */
+  def truncLower(s: String): String = {
+    val cp = codePoints(s)
+    if (cp.length <= StrBoundLen) s
+    else new String(cp, 0, StrBoundLen)
+  }
+
+  /** Upper bound: exact when the value fits; otherwise the truncated
+    * prefix with its last incrementable codepoint incremented (skipping
+    * the surrogate gap) and the tail dropped — strictly greater than
+    * every string sharing the original prefix, hence ≥ max. None when
+    * every prefix codepoint is U+10FFFF (cannot increment = unknown). */
+  def truncUpper(s: String): Option[String] = {
+    val cp = codePoints(s)
+    if (cp.length <= StrBoundLen) return Some(s)
+    val p = java.util.Arrays.copyOf(cp, StrBoundLen)
+    var i = StrBoundLen - 1
+    while (i >= 0) {
+      if (p(i) < Character.MAX_CODE_POINT) {
+        var c = p(i) + 1
+        if (c >= Character.MIN_SURROGATE && c <= Character.MAX_SURROGATE) c = 0xE000
+        p(i) = c
+        return Some(new String(p, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Successor of a prefix: smallest string > every string starting with
+    * `p` (for startsWith pruning). None = no successor derivable. */
+  def prefixSuccessor(p: String): Option[String] = {
+    val cp = codePoints(p)
+    var i = cp.length - 1
+    while (i >= 0) {
+      if (cp(i) < Character.MAX_CODE_POINT) {
+        var c = cp(i) + 1
+        if (c >= Character.MIN_SURROGATE && c <= Character.MAX_SURROGATE) c = 0xE000
+        cp(i) = c
+        return Some(new String(cp, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** The column a STRING-shaped skippable predicate names. */
+  def strSkipColumn(f: Filter): Option[String] = f match {
+    case GreaterThan(c, _: String)        => Some(c)
+    case GreaterThanOrEqual(c, _: String) => Some(c)
+    case LessThan(c, _: String)           => Some(c)
+    case LessThanOrEqual(c, _: String)    => Some(c)
+    case EqualTo(c, _: String)            => Some(c)
+    case StringStartsWith(c, _)           => Some(c)
+    case _                                => None
+  }
+
+  /** Conservative test against TRUNCATED string bounds. The invariants
+    * are one-sided (`lo ≤ min`, `hi ≥ max` when present, hi = None =
+    * unknown), so each arm may only prune when the bound PROVES
+    * emptiness in that direction:
+    *  - rows > v need max > v; known impossible only when hi ≤ v
+    *  - rows < v need min < v; known impossible only when lo ≥ v
+    *  - startsWith(p): rows live in [p, succ(p)); prune when hi < p or
+    *    lo ≥ succ(p). */
+  def strIntervalMayMatch(f: Filter, lo: String, hi: Option[String]): Boolean = f match {
+    case GreaterThan(_, v: String)        => hi.forall(h => strCompare(h, v) > 0)
+    case GreaterThanOrEqual(_, v: String) => hi.forall(h => strCompare(h, v) >= 0)
+    case LessThan(_, v: String)           => strCompare(lo, v) < 0
+    case LessThanOrEqual(_, v: String)    => strCompare(lo, v) <= 0
+    case EqualTo(_, v: String) =>
+      strCompare(lo, v) <= 0 && hi.forall(h => strCompare(h, v) >= 0)
+    case StringStartsWith(_, p) =>
+      hi.forall(h => strCompare(h, p) >= 0) &&
+        prefixSuccessor(p).forall(ps => strCompare(lo, ps) < 0)
+    case _ => true
   }
 }
 

@@ -590,6 +590,61 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** The ISO-STRING-TIME fixture (r8): events written through the
+    * connector with the event time as an ISO-8601 MICROSECOND string
+    * (`yyyy-MM-dd'T'HH:mm:ss.SSSSSS` — injective, so string order ==
+    * chronological order), range-partitioned on that string into
+    * [[buckets]] files. Each manifest entry then carries tight,
+    * disjoint `scols.ts_iso` truncated bounds — the layout where
+    * STRING stats do real work, and the reference's own wire format
+    * (`user_events_producer.py:82` ships ISO strings). */
+  def ensureIsoStringFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_stats_isostr")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"event_type", $"value",
+          date_format($"ts", isoMicroFmt).as("ts_iso"))
+        .repartitionByRange(buckets, $"ts_iso")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).mode("overwrite").save()
+    }
+    dir
+  }
+
+  private[graft] val isoMicroFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  def isoStringFrame(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureIsoStringFixture(spark, d)).load()
+
+  /** q227 (r8): planning-time file skipping on a STRING column — the
+    * q189 shape over truncated string bounds. The time-ranged layout
+    * gives each file a tight, disjoint `ts_iso` interval, so the
+    * half-span ISO cut proves ~half the files irrelevant before any
+    * task launches (pruned-file counts + truncation laws asserted in
+    * JsonlStatsSpec). The cut is derived from the corpus min/max
+    * INSTANT and formatted in UTC — the injective microsecond format
+    * makes `ts_iso >= cutIso` exactly `ts >= cut`, which is how the
+    * DuckDB oracle states it (on `epoch_us`, no string formatting —
+    * pruning must be invisible in the result). */
+  def stringSkippingScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables.events(spark, d)
+      .agg(unix_micros(min($"ts")).as("lo"), unix_micros(max($"ts")).as("hi")).head()
+    val cutMicros = (b.getLong(0) + b.getLong(1)) / 2L
+    val cutIso = java.time.format.DateTimeFormatter.ofPattern(isoMicroFmt)
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(cutMicros, 1000000L), Math.floorMod(cutMicros, 1000000L) * 1000L))
+    isoStringFrame(spark, d)
+      .filter($"ts_iso" >= cutIso)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q191 (r7b): GROUPED aggregate pushdown — GROUP BY the partition
     * column of a key-grouped layout is answered from the manifest
     * alone: every row of a file carries the file's one `pkey`, so one
@@ -1220,6 +1275,7 @@ object JsonlStatsQueries extends QueryModule {
     "q219_dv_update" -> dvUpdate,
     "q220_dv_merge" -> dvMerge,
     "q223_count_pushdown" -> countColPushdown,
+    "q227_string_skipping" -> stringSkippingScan,
   )
 
   val oracles = Map(
@@ -1416,6 +1472,16 @@ object JsonlStatsQueries extends QueryModule {
          |  AND value >= $threshold
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    // the oracle states the SAME cut on epoch microseconds, never
+    // formatting a string: the Spark leg's injective ISO-micro format
+    // makes ts_iso >= cutIso exactly equivalent to ts >= cut
+    "q227_string_skipping" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE epoch_us(ts) >= (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q191_grouped_agg_pushdown" ->
       """SELECT event_type, count(*) AS n,
         |  min(value) AS min_value, max(value) AS max_value

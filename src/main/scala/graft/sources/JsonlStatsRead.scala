@@ -43,7 +43,10 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     * file irrelevant (never that all rows match) and blooms have false
     * positives. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => JsonlStats.skipColumn(f).isDefined)
+    // numeric range/equality AND (r8) string range/equality/startsWith —
+    // string columns prune via truncated Iceberg-style bounds (`scols`)
+    pushed = filters.filter(f =>
+      JsonlStats.skipColumn(f).isDefined || JsonlStats.strSkipColumn(f).isDefined)
     bloomPushed = bloomCol match {
       case None => Array.empty
       case Some(bc) => filters.filter {
@@ -431,7 +434,12 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         // Filter columns are LOGICAL; the stats keys physical (r7c).
         JsonlStats.skipColumn(f)
           .flatMap(c => JsonlStats.colBounds(s, columnMapping.getOrElse(c, c), statsCol))
-          .forall { case (mn, mx) => JsonlStats.intervalMayMatch(f, mn, mx) }
+          .forall { case (mn, mx) => JsonlStats.intervalMayMatch(f, mn, mx) } &&
+        // string bounds (r8): truncated min/max with the one-sided
+        // invariants — same absence-is-conservative rule
+        JsonlStats.strSkipColumn(f)
+          .flatMap(c => s.strCols.get(columnMapping.getOrElse(c, c)))
+          .forall { case (lo, hi) => JsonlStats.strIntervalMayMatch(f, lo, hi) }
       })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
       .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))

@@ -115,7 +115,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     val lines = (previous.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull))))
+          colNonNull = c.colNonNull, strCols = c.strCols))))
       .sorted :+ JsonlStats.txnLine(appId, epochId)
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
@@ -141,7 +141,8 @@ class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: St
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
                                  pkey: Option[String] = None,
                                  cols: Map[String, (Double, Double)] = Map.empty,
-                                 colNonNull: Map[String, Long] = Map.empty)
+                                 colNonNull: Map[String, Long] = Map.empty,
+                                 strCols: Map[String, (String, Option[String])] = Map.empty)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -218,7 +219,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull)))).sorted
+          colNonNull = c.colNonNull, strCols = c.strCols)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -324,7 +325,7 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull)))).sorted
+          colNonNull = c.colNonNull, strCols = c.strCols)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
@@ -377,6 +378,16 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val colMn = Array.fill(numIdx.length)(Double.PositiveInfinity)
   private val colMx = Array.fill(numIdx.length)(Double.NegativeInfinity)
   private val colCnt = Array.fill(numIdx.length)(0L) // non-null rows per column
+  // string-column bounds (r8): running attained min/max as UTF8String
+  // (binary order == Spark's string order), truncated Iceberg-style
+  // only at finish(). Non-null counts for strings too, so COUNT(col)
+  // pushdown serves string columns.
+  private val strIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType => i
+  }
+  private val strMn = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
+  private val strMx = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
+  private val strCnt = Array.fill(strIdx.length)(0L)
 
   def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
@@ -413,6 +424,18 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       ci += 1
     }
+    var si = 0
+    while (si < strIdx.length) {
+      val i = strIdx(si)
+      if (!row.isNullAt(i)) {
+        // clone: the row's UTF8String may alias a reused buffer
+        val v = row.getUTF8String(i).clone()
+        if (strMn(si) == null || v.compareTo(strMn(si)) < 0) strMn(si) = v
+        if (strMx(si) == null || v.compareTo(strMx(si)) > 0) strMx(si) = v
+        strCnt(si) += 1L
+      }
+      si += 1
+    }
     if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
       bloomHashes += (writeSchema.fields(bloomIdx).dataType match {
         case LongType   => Bloom.hashLong(row.getLong(bloomIdx))
@@ -437,14 +460,24 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       case ci if colMn(ci) <= colMx(ci) =>
         physOf(numIdx(ci)) -> (colMn(ci), colMx(ci))
     }.toMap
-    // non-null counts for EVERY numeric column, including all-null ones
-    // (a zero count is knowledge — COUNT(col) pushdown serves it as 0)
-    val colN = numIdx.indices.map(ci => physOf(numIdx(ci)) -> colCnt(ci)).toMap
+    // non-null counts for EVERY column, numeric and string, including
+    // all-null ones (a zero count is knowledge — COUNT(col) pushdown
+    // serves it as 0)
+    val colN = numIdx.indices.map(ci => physOf(numIdx(ci)) -> colCnt(ci)).toMap ++
+      strIdx.indices.map(si => physOf(strIdx(si)) -> strCnt(si)).toMap
+    // string bounds, truncated at publish time (Iceberg law: lower
+    // truncates down, upper truncates up or goes unknown)
+    val strCols = strIdx.indices.collect {
+      case si if strMn(si) != null =>
+        physOf(strIdx(si)) -> (JsonlStats.truncLower(strMn(si).toString),
+          JsonlStats.truncUpper(strMx(si).toString))
+    }.toMap
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
-      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN)
-    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN)
+      JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
+        strCols)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols)
   }
 
   def abort(): Unit = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -893,6 +893,10 @@ class JsonlStatsSpec extends SparkSpec {
         s"rewritten stats must key the physical name: ${s.cols.keySet}")
       assert(s.colNonNull.contains("user_id"),
         s"non-null counts must key the physical name: ${s.colNonNull.keySet}")
+      // string bounds (r8) re-derive under physical names too: the
+      // renamed etype column's bounds key event_type
+      assert(s.strCols.contains("event_type") && !s.strCols.contains("etype"),
+        s"string stats must key the physical name: ${s.strCols.keySet}")
     }
     // and those physically-keyed stats still serve the logical column:
     // COUNT/MIN/MAX over `uid` answers from the manifest, matching data
@@ -1732,6 +1736,121 @@ class JsonlStatsSpec extends SparkSpec {
     //    twin lives in the unsafe-shapes test above)
     val legacy = new JsonlStatsScanBuilder(fixture, JsonlStats.schema)
     legacy.pushFilters(Array(LessThanOrEqual("event_id", Long.box(10L))))
+    assert(legacy.build().toBatch.planInputPartitions().length
+      === JsonlStats.readStats(fixture).size)
+  }
+
+  test("q227: string-column stats — truncation laws, planning-time pruning, merge (r8)") {
+    import spark.implicits._
+    // 1. truncation laws on adversarial strings: lower truncates DOWN,
+    //    upper truncates UP (binary order), unknown when unincrementable
+    val longA = "a" * 20
+    val iso = "2024-06-01T12:34:56.789012"
+    val multi = "日本語テキスト日本語テキスト日本語テキスト" // 21 cps, multi-byte
+    val maxed = new String(Array.fill(20)(Character.MAX_CODE_POINT), 0, 20)
+    Seq(longA, iso, multi, "short", "") .foreach { s =>
+      val lo = JsonlStats.truncLower(s)
+      assert(JsonlStats.strCompare(lo, s) <= 0, s"lower must be <= value for '$s'")
+      assert(lo.codePointCount(0, lo.length) <= JsonlStats.StrBoundLen)
+      JsonlStats.truncUpper(s).foreach { hi =>
+        assert(JsonlStats.strCompare(hi, s) >= 0, s"upper must be >= value for '$s'")
+        assert(hi.codePointCount(0, hi.length) <= JsonlStats.StrBoundLen)
+      }
+    }
+    assert(JsonlStats.truncLower(iso) === "2024-06-01T12:34")
+    assert(JsonlStats.truncUpper(iso) === Some("2024-06-01T12:35")) // last cp incremented
+    assert(JsonlStats.truncUpper("short") === Some("short")) // fits => exact
+    assert(JsonlStats.truncUpper(maxed) === None, "unincrementable upper is unknown")
+    // upper really bounds EVERY continuation of the truncated prefix
+    assert(JsonlStats.strCompare(JsonlStats.truncUpper(longA).get, "a" * 100) > 0)
+    // 2. writer truth on the ISO fixture: every entry's scols bounds
+    //    bracket the file's attained min/max (through _file provenance)
+    val root = JsonlStatsQueries.ensureIsoStringFixture(spark, sfDir)
+    val stats = JsonlStats.readStats(root)
+    assert(stats.size >= 8, "fixture must fan out across time-range files")
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val perFile = JsonlStatsQueries.isoStringFrame(spark, sfDir)
+      .groupBy(col(JsonlStats.FileMeta).as("f"))
+      .agg(min($"ts_iso").as("t_lo"), max($"ts_iso").as("t_hi"),
+        min($"event_type").as("e_lo"), max($"event_type").as("e_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    stats.foreach { s =>
+      val r = perFile(s"$absRoot/${s.file}")
+      val (tLo, tHi) = s.strCols("ts_iso")
+      assert(JsonlStats.strCompare(tLo, r.getString(1)) <= 0)
+      assert(tHi.isDefined && JsonlStats.strCompare(tHi.get, r.getString(2)) >= 0)
+      // 26-char ISO strings truncate to the 16-cp prefix
+      assert(tLo.length === JsonlStats.StrBoundLen)
+      // short event_type strings stay exact
+      assert(s.strCols("event_type") === ((r.getString(3), Some(r.getString(4)))))
+      // string columns now carry non-null counts (COUNT(col) pushdown)
+      assert(s.colNonNull.contains("ts_iso") && s.colNonNull.contains("event_type"))
+    }
+    // 3. planning-time pruning through string bounds alone
+    val schema = JsonlStatsQueries.isoStringFrame(spark, sfDir).schema
+    def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(root, schema)
+      val residual = sb.pushFilters(filters.toArray)
+      assert(residual.toSeq === filters.toSeq, "stats prove absence, never presence")
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val total = partitionsFor()
+    val allLo = stats.map(_.strCols("ts_iso")._1).min
+    val allHi = stats.map(_.strCols("ts_iso")._2.get).max
+    // a cut above every bound prunes everything; below every bound, nothing
+    assert(partitionsFor(GreaterThan("ts_iso", allHi)) === 0)
+    assert(partitionsFor(GreaterThanOrEqual("ts_iso", allLo)) === total)
+    // the q227 half-span cut prunes a real fraction of the time-ranged
+    // layout (disjoint per-file intervals)
+    val b = graft.ingest.Tables.events(spark, sfDir)
+      .agg(unix_micros(min($"ts")).as("lo"), unix_micros(max($"ts")).as("hi")).head()
+    val cutMicros = (b.getLong(0) + b.getLong(1)) / 2L
+    val cutIso = java.time.format.DateTimeFormatter
+      .ofPattern(JsonlStatsQueries.isoMicroFmt).withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(cutMicros, 1000000L), Math.floorMod(cutMicros, 1000000L) * 1000L))
+    val kept = partitionsFor(GreaterThanOrEqual("ts_iso", cutIso))
+    assert(kept < total && kept > 0, s"half-span cut kept $kept/$total")
+    // startsWith prunes to the files whose interval can hold the prefix
+    val somePrefix = stats.head.strCols("ts_iso")._1.take(13) // date + hour
+    assert(partitionsFor(StringStartsWith("ts_iso", somePrefix)) < total)
+    // equality on an attained value must KEEP its file (conservative)
+    val attained = perFile.values.head.getString(1)
+    assert(partitionsFor(EqualTo("ts_iso", attained)) >= 1)
+    // 4. pruning is invisible in the q227 result
+    val q227 = JsonlStatsQueries.stringSkippingScan(spark, sfDir)
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .filter(unix_micros($"ts") >= cutMicros)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(q227.collect().toSeq === expect.collect().toSeq)
+    // 5. compaction merges string bounds under the one-sided laws
+    val copy = Files.createTempDirectory("jsonl_isostr_compact")
+    Files.list(Paths.get(root)).forEach { p =>
+      if (!Files.isDirectory(p))
+        Files.copy(p, copy.resolve(p.getFileName.toString))
+    }
+    GraftProcedures.compact(copy.toString, Long.MaxValue / 2)
+    val merged = JsonlStats.readStats(copy.toString)
+    assert(merged.size === 1, "everything should bin-pack into one file")
+    val (mLo, mHi) = merged.head.strCols("ts_iso")
+    assert(mLo === stats.map(_.strCols("ts_iso")._1)
+      .min(Ordering.fromLessThan[String](JsonlStats.strCompare(_, _) < 0)))
+    assert(mHi === Some(stats.map(_.strCols("ts_iso")._2.get)
+      .max(Ordering.fromLessThan[String](JsonlStats.strCompare(_, _) < 0))))
+    // and the merged table still answers the cut correctly
+    val mergedScan = spark.read.format("graft-jsonl-stats")
+      .option("path", copy.toString).load()
+      .filter($"ts_iso" >= cutIso)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.util.Det.msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+    assert(mergedScan.collect().toSeq === expect.collect().toSeq)
+    // 6. legacy conservatism: a manifest with no scols pushes the
+    //    predicate but prunes NOTHING
+    val legacy = new JsonlStatsScanBuilder(fixture, JsonlStats.schema)
+    legacy.pushFilters(Array(GreaterThan("event_type", "zzz")))
     assert(legacy.build().toBatch.planInputPartitions().length
       === JsonlStats.readStats(fixture).size)
   }

@@ -267,15 +267,17 @@ class ExtSpec extends SparkSpec {
 
   test("PQ recall at honest parameters: ADC beats chance, exact re-rank restores recall (r8)") {
     import graft.ext.ClusterTrain
-    // M=8 / K=16 / 2 Lloyd rounds on the sf-dir embeddings, 20 queries,
-    // recall@10 vs the exact L2 scan. Thresholds are committed floors
-    // measured with margin (raw ADC ~0.9, rerank ~1.0 on this corpus).
-    val raw = ClusterTrain.pqRecall(spark, sfDir, 8, 16, 2, 20, 10, 0).head()
-    assert(raw.getAs[Long]("recall_milli") >= 500L,
-      s"raw ADC recall@10 must beat 0.5: ${raw.getAs[Long]("recall_milli")}")
-    val reranked = ClusterTrain.pqRecall(spark, sfDir, 8, 16, 2, 20, 10, 50).head()
+    // M=16 / K=64 / 5 Lloyd rounds on the sf-dir embeddings, 20 queries,
+    // recall@10 vs the exact L2 scan. Committed floors with margin under
+    // the measured values (raw 0.58, rerank-100 1.000 at sf0.001; the
+    // full parameter sweep lives in SCALING.md — this corpus's
+    // within-cluster iid noise is PQ-adversarial, so M is the lever).
+    val raw = ClusterTrain.pqRecall(spark, sfDir, 16, 64, 5, 20, 10, 0).head()
+    assert(raw.getAs[Long]("recall_milli") >= 400L,
+      s"raw ADC recall@10 must beat 0.4: ${raw.getAs[Long]("recall_milli")}")
+    val reranked = ClusterTrain.pqRecall(spark, sfDir, 16, 64, 5, 20, 10, 100).head()
     assert(reranked.getAs[Long]("recall_milli") >= 900L,
-      s"rerank-50 recall@10 must reach 0.9: ${reranked.getAs[Long]("recall_milli")}")
+      s"rerank-100 recall@10 must reach 0.9: ${reranked.getAs[Long]("recall_milli")}")
     assert(reranked.getAs[Long]("recall_milli") >= raw.getAs[Long]("recall_milli"),
       "exact re-rank can only help")
   }

@@ -648,6 +648,11 @@ object GraftProcedures {
     strNames.foreach(c => colCnt(c) = 0L)
     val bloomHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rows = 0L
+    // row-offset checkpoints for the rewritten file (r8): same rule as
+    // JsonlFileSink — one (line start, rows before) pair per granularity
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var bytesOut = 0L
+    var lastCkpt = 0L
     val dest = Paths.get(root, out)
     val os = Files.newBufferedWriter(dest)
     val in = Files.newBufferedReader(Paths.get(root, file))
@@ -658,7 +663,11 @@ object GraftProcedures {
         if (line.nonEmpty && line != "\r") {
           pos += 1
           if (!deleted.contains(pos)) {
-            os.write(line); os.newLine()
+            if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
+              ckpts += ((bytesOut, rows)); lastCkpt = bytesOut
+            }
+            os.write(line); os.write('\n')
+            bytesOut += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
             rows += 1
             val n = mapper.readTree(line)
             numFields.foreach { f =>
@@ -709,7 +718,7 @@ object GraftProcedures {
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
-      strCols = strCols)
+      strCols = strCols, ckpts = ckpts.toSeq)
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
@@ -778,9 +787,28 @@ object GraftProcedures {
                 JsonlStats.strCompare(_, _) < 0)))
             c -> (lo, hi)
           }.toMap
+          // checkpoints (r8) survive the byte concat: each member's
+          // pairs shift by its byte/row offset in the bin, and every
+          // member boundary is itself an exact (line start, rows
+          // before) pair — a compacted file splits as well as a
+          // freshly-written one. Valid only when the concat IS pure
+          // bytes: concatFiles patches a missing trailing newline,
+          // which would shift every later offset by one — the sink
+          // always terminates files, but a hand-made member without
+          // the terminator drops the merged checkpoints (conservative:
+          // absent ckpts = pre-r8 whole-file behavior, never wrong).
+          val pureConcat = members.forall(m => endsWithNewline(tableRoot, m.file))
+          val offs = g.toSeq.scanLeft((0L, 0L)) { case ((bo, ro), (m, b)) =>
+            (bo + b, ro + m.rows)
+          }
+          val mergedK = if (!pureConcat) Nil
+          else g.toSeq.zip(offs).flatMap { case ((m, _), (bo, ro)) =>
+            (if (bo > 0) Seq((bo, ro)) else Nil) ++
+              m.ckpts.map { case (o, r) => (bo + o, ro + r) }
+          }.sortBy(_._1)
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
-              colNonNull = mergedN, strCols = mergedS))
+              colNonNull = mergedN, strCols = mergedS, ckpts = mergedK))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)
@@ -803,6 +831,24 @@ object GraftProcedures {
 
   /** Streaming byte concat of newline-terminated JSONL members; patches
     * a missing trailing newline between members so lines never fuse. */
+  /** Does the file's last byte equal `\n`? (Empty = vacuously true.)
+    * Driver-side, one positioned read per compaction member. */
+  private def endsWithNewline(tableRoot: String, file: String): Boolean = {
+    val p = Paths.get(tableRoot, file)
+    try {
+      val ch = Files.newByteChannel(p)
+      try {
+        if (ch.size() == 0) true
+        else {
+          ch.position(ch.size() - 1)
+          val bb = java.nio.ByteBuffer.allocate(1)
+          ch.read(bb)
+          bb.get(0) == '\n'
+        }
+      } finally ch.close()
+    } catch { case _: Throwable => false }
+  }
+
   private[sources] def concatFiles(tableRoot: String, members: Seq[String], out: String): Unit = {
     val dest = Paths.get(tableRoot, out)
     val os = new java.io.BufferedOutputStream(

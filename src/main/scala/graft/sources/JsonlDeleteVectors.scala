@@ -189,7 +189,7 @@ class JsonlDvBatchWrite(root: String, queryId: String,
       }
     } ++ appended.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols)))).sorted
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
   }
 

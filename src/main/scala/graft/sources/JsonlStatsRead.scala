@@ -390,28 +390,52 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * Surviving files larger than [[splitBytes]] fan out into byte-range
     * partitions (newline-boundary ownership per the class doc) — the
     * 100-TB posture: one skewed multi-GB file must never become one
-    * task. Whole-file partitions are kept when (a) the layout is
-    * key-grouped (the group identity is the file; extra partitions per
-    * key would defeat group alignment) or (b) `_pos` is projected (its
-    * contract is the dense row position within the FILE, which a range
-    * reader cannot know without counting its predecessors' lines). */
+    * task. Files with manifest checkpoints (r8) split at EXACT
+    * checkpoint boundaries, whose recorded row offsets let range
+    * readers serve `_pos` and mask deletion vectors; whole-file
+    * partitions remain only when (a) the layout is key-grouped (the
+    * group identity is the file; extra partitions per key would defeat
+    * group alignment) or (b) the manifest predates checkpoints AND the
+    * read needs physical positions (`_pos` projected or DVs attached),
+    * which a blind byte-range reader cannot know mid-file. */
   override def planInputPartitions(): Array[InputPartition] = {
     val grouped = keyGrouped
-    val canSplit = !grouped && splitBytes > 0 &&
-      !required.fieldNames.contains(JsonlStats.PosMeta)
+    val wantPos = required.fieldNames.contains(JsonlStats.PosMeta)
+    val canSplit = !grouped && splitBytes > 0
     survivingStats()
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
-        // deletion vectors mask PHYSICAL row positions, which a
-        // byte-range reader cannot know mid-file — a DV'd file keeps
-        // whole-file partitions (same restriction as projecting _pos;
-        // CALL rewrite_deletes restores splittability)
         val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
         if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs): InputPartition)
         else {
           val size =
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
-          if (!canSplit || size <= splitBytes || dvs.nonEmpty)
+          if (!canSplit || size <= splitBytes)
+            Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+          else if (s.ckpts.nonEmpty) {
+            // checkpoint-aligned EXACT splits (r8): each boundary is a
+            // manifest-recorded (line start, rows before) pair, so every
+            // range reader knows its starting physical row — DV masking
+            // and `_pos` work on ranges. Greedy boundary selection keeps
+            // ranges >= splitBytes (checkpoints are ~4x denser).
+            val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var last = 0L
+            s.ckpts.foreach { case (o, r) =>
+              if (o - last >= splitBytes && o < size) { bounds += ((o, r)); last = o }
+            }
+            if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+            else {
+              val starts = (0L, 0L) +: bounds.toSeq
+              starts.zipWithIndex.map { case ((o, r), i) =>
+                val hi = if (i == starts.size - 1) Long.MaxValue else starts(i + 1)._1
+                JsonlFilePartition(path, o, hi, dvs, startRow = r): InputPartition
+              }
+            }
+          } else if (dvs.nonEmpty || wantPos)
+            // legacy manifests without checkpoints: DV masks and `_pos`
+            // are keyed by physical position, which a blind byte-range
+            // reader cannot know mid-file — whole-file partitions
+            // (CALL rewrite_deletes / rewrite regenerates checkpoints)
             Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
           else {
             val n = ((size + splitBytes - 1) / splitBytes).toInt
@@ -537,10 +561,19 @@ object JsonlManifestOffset {
   * first byte lands in (start, end] — plus byte 0 when start == 0.
   * Whole file = (0, Long.MaxValue]. Adjacent ranges share their
   * boundary (range i's end == range i+1's start), which with the
-  * ownership rule covers every line exactly once. */
+  * ownership rule covers every line exactly once.
+  *
+  * CHECKPOINT-ALIGNED ranges (r8): when `startRow >= 0`, `start` is a
+  * manifest-recorded EXACT line start preceded by `startRow` physical
+  * rows — the reader starts parsing at `start` without the
+  * discard-through-newline dance, owns lines with first byte in
+  * [start, end), and serves `_pos`/DV masking from `startRow` (both
+  * impossible on blind byte ranges, which is why those reads used to
+  * pin whole-file partitions). */
 final case class JsonlFilePartition(file: String, start: Long = 0L,
                                     end: Long = Long.MaxValue,
-                                    dvs: Seq[String] = Nil) extends InputPartition
+                                    dvs: Seq[String] = Nil,
+                                    startRow: Long = -1L) extends InputPartition
 
 /** A file of a key-grouped layout: every row carries `key` in the
   * table's partition column, so the partition's identity IS the key —
@@ -578,7 +611,7 @@ class JsonlReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
       new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs,
-        columnMapping)
+        columnMapping, f.startRow)
     case k: JsonlKeyedFilePartition =>
       new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs,
         columnMapping = columnMapping)
@@ -598,12 +631,19 @@ class JsonlReaderFactory(required: StructType,
   * the previous range's tail — then emits every line starting at byte
   * position ≤ `end`, reading past `end` until the straddling line
   * completes. Line scanning is byte-level on 0x0A (never part of a
-  * UTF-8 multi-byte sequence), so a boundary mid-character is safe. */
+  * UTF-8 multi-byte sequence), so a boundary mid-character is safe.
+  *
+  * Checkpoint-aligned mode (`startRow >= 0`, r8): `start` IS a line
+  * start, so nothing is discarded; ownership flips to [start, end) —
+  * a line starting exactly at `end` belongs to the next range, whose
+  * checkpoint recorded it. The row counter seeds from `startRow`, so
+  * `_pos` and the DV mask see true physical positions mid-file. */
 class JsonlPartitionReader(file: String, required: StructType,
                            start: Long = 0L, end: Long = Long.MaxValue,
                            bloomSets: Seq[Array[Long]] = Seq.empty,
                            dvs: Seq[String] = Nil,
-                           columnMapping: Map[String, String] = Map.empty)
+                           columnMapping: Map[String, String] = Map.empty,
+                           startRow: Long = -1L)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
 
@@ -612,11 +652,15 @@ class JsonlPartitionReader(file: String, required: StructType,
   private val physName: Array[String] =
     required.fields.map(f => columnMapping.getOrElse(f.name, f.name))
 
-  /** Deletion-vector mask: physical positions to drop. DV'd files are
-    * always whole-file partitions (the planner guarantees it), so the
-    * reader's own dense `pos` counter IS the physical position. */
+  /** Deletion-vector mask: physical positions to drop. The planner
+    * guarantees the reader knows its physical positions — either the
+    * partition is whole-file (pos counts from 0) or checkpoint-aligned
+    * (pos seeds from the manifest-recorded `startRow`). */
   private val deleted: java.util.HashSet[java.lang.Long] =
     if (dvs.isEmpty) null else JsonlDeleteVectors.readDvPositions(dvs)
+
+  /** Checkpoint-aligned range: `start` is an exact line start. */
+  private val exactStart = startRow >= 0
 
   /** TASK-time bloom skip: before touching the data bytes, probe the
     * file's bloom sidecar with each pushed equality's hash set (ANDed
@@ -641,7 +685,9 @@ class JsonlPartitionReader(file: String, required: StructType,
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var bpos = 0L   // byte position of the next unread byte
   private var line: String = _
-  private var pos = -1L   // dense row index (whole-file partitions only)
+  // dense physical row index: 0-based from file start on whole-file
+  // partitions, seeded from the manifest checkpoint on exact ranges
+  private var pos = if (exactStart) startRow - 1 else -1L
 
   locally {
     var toSkip = if (bloomSkipped) 0L else start
@@ -653,7 +699,8 @@ class JsonlPartitionReader(file: String, required: StructType,
       else if (in.read() >= 0) { toSkip -= 1; bpos += 1 }
       else eof = true
     }
-    if (!bloomSkipped && start > 0 && !eof) discardThroughNewline()
+    // exact ranges start AT a line start — nothing to discard
+    if (!bloomSkipped && !exactStart && start > 0 && !eof) discardThroughNewline()
   }
 
   private def discardThroughNewline(): Unit = {
@@ -678,7 +725,9 @@ class JsonlPartitionReader(file: String, required: StructType,
     var found = false
     var eof = false
     while (!found && !eof) {
-      if (bpos > end) eof = true // that line belongs to the next range
+      // ownership: (start, end] on blind ranges, [start, end) on exact
+      // ones (a line starting AT `end` is the next range's checkpoint)
+      if (if (exactStart) bpos >= end else bpos > end) eof = true
       else readLineBytes() match {
         case null => eof = true
         case bytes =>

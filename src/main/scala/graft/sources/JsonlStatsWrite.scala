@@ -115,7 +115,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     val lines = (previous.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols))))
+          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts))))
       .sorted :+ JsonlStats.txnLine(appId, epochId)
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
@@ -142,7 +142,8 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
                                  pkey: Option[String] = None,
                                  cols: Map[String, (Double, Double)] = Map.empty,
                                  colNonNull: Map[String, Long] = Map.empty,
-                                 strCols: Map[String, (String, Option[String])] = Map.empty)
+                                 strCols: Map[String, (String, Option[String])] = Map.empty,
+                                 ckpts: Seq[(Long, Long)] = Nil)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -219,7 +220,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols)))).sorted
+          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -325,7 +326,7 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val lines = (kept.map(JsonlStats.statsLine) ++
       fresh.map(c =>
         JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols)))).sorted
+          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
     JsonlStats.publishManifest(root, queryId, lines)
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
@@ -360,8 +361,14 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val physOf: Array[String] =
     writeSchema.fields.map(f => columnMapping.getOrElse(f.name, f.name))
   private val path = Paths.get(root, fileName)
-  private val out = Files.newBufferedWriter(path)
+  // byte-counting output (r8): row-offset checkpoints need EXACT byte
+  // positions, so the sink writes UTF-8 bytes itself instead of going
+  // through a Writer whose encoder hides the count
+  private val out = new java.io.BufferedOutputStream(Files.newOutputStream(path), 1 << 16)
   private val mapper = new ObjectMapper()
+  private var bytesOut = 0L
+  private var lastCkpt = 0L
+  private val ckpts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
   private val bloomIdx = bloomCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   private val bloomHashes =
@@ -443,7 +450,15 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         case _          => Bloom.hashString(row.getUTF8String(bloomIdx).toString)
       })
     }
-    out.write(node.toString); out.newLine()
+    // checkpoint BEFORE the row: bytesOut is a line start here, and
+    // `rows` rows precede it — one pair per [[JsonlStats.CheckpointBytes]]
+    if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
+      ckpts += ((bytesOut, rows))
+      lastCkpt = bytesOut
+    }
+    val lineBytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(lineBytes); out.write('\n')
+    bytesOut += lineBytes.length + 1
     rows += 1
   }
 
@@ -476,8 +491,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
-        strCols)
-    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols)
+        strCols, ckpts.toSeq)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq)
   }
 
   def abort(): Unit = {

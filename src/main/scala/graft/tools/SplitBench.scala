@@ -60,7 +60,61 @@ object SplitBench {
       .option("path", dir)
       .option("splitBytes", graft.sources.JsonlStats.DefaultSplitBytes).load()
       .rdd.getNumPartitions
+
+    // DV'd variant (r8, VERDICT r7 #4): the same oversized single file
+    // with a needle-delete deletion vector attached. Pre-r8 this was
+    // the one-task hole (a DV masks physical positions, which blind
+    // byte ranges can't count); manifest checkpoints make the ranges
+    // exact, so the DV'd file fans out identically.
+    import graft.sources.{JsonlDeleteVectors, JsonlStats}
+    val dvDir = graft.ingest.Landing.fixtureDir(sfDir, "jsonl_onefile_dv")
+    graft.ingest.Landing.ensureBuilt(dvDir) { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val base = graft.ingest.Tables.events(spark, sfDir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      Seq.fill(16)(base).reduce(_ unionAll _)
+        .coalesce(1)
+        .write.format("graft-jsonl-stats").option("path", out).mode("overwrite").save()
+      val e = JsonlStats.readStats(out).head
+      // five scattered needle deletes — the GDPR shape that used to pin
+      // the whole file to one task
+      val posns = Array(0L, e.rows / 4, e.rows / 2, 3 * e.rows / 4, e.rows - 1)
+      JsonlDeleteVectors.writeDv(out, "_deletes/dv-bench.json", e.file, posns)
+      JsonlStats.publishManifest(out, "splitbench-dv", Seq(JsonlStats.statsLine(
+        e.copy(dvs = Seq("_deletes/dv-bench.json"), dels = posns.length.toLong))))
+    }
+    val dvEntry = JsonlStats.readStats(dvDir).head
+    require(dvEntry.dvs.nonEmpty && dvEntry.ckpts.nonEmpty,
+      "DV fixture must carry deletion vectors and checkpoints")
+    def scanDv(splitBytes: Long): DataFrame =
+      spark.read.format("graft-jsonl-stats")
+        .option("path", dvDir).option("splitBytes", splitBytes).load()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), graft.util.Det.msum($"value").as("v"))
+    def timeDv(splitBytes: Long): Double = {
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        scanDv(splitBytes).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      reps.sorted.apply(1)
+    }
+    timeDv(Long.MaxValue); timeDv(JsonlStats.DefaultSplitBytes)
+    val dvWhole = timeDv(Long.MaxValue)
+    val dvSplit = timeDv(JsonlStats.DefaultSplitBytes)
+    val dvParts = spark.read.format("graft-jsonl-stats")
+      .option("path", dvDir)
+      .option("splitBytes", JsonlStats.DefaultSplitBytes).load()
+      .rdd.getNumPartitions
+    // exactness under splitting: the masked rows stay masked
+    val liveWhole = spark.read.format("graft-jsonl-stats").option("path", dvDir)
+      .option("splitBytes", Long.MaxValue).load().count()
+    val liveSplit = spark.read.format("graft-jsonl-stats").option("path", dvDir)
+      .option("splitBytes", JsonlStats.DefaultSplitBytes).load().count()
+    require(liveWhole == liveSplit && liveWhole == dvEntry.rows - dvEntry.dels,
+      s"split read must mask exactly: whole=$liveWhole split=$liveSplit " +
+        s"expected=${dvEntry.rows - dvEntry.dels}")
     spark.stop()
-    println(s"""{"file_bytes":$bytes,"whole_file_sec":$whole,"split_sec":$split,"speedup":${whole / split},"split_tasks":$parts}""")
+    println(s"""{"file_bytes":$bytes,"whole_file_sec":$whole,"split_sec":$split,"speedup":${whole / split},"split_tasks":$parts,"dv_whole_sec":$dvWhole,"dv_split_sec":$dvSplit,"dv_speedup":${dvWhole / dvSplit},"dv_split_tasks":$dvParts}""")
   }
 }

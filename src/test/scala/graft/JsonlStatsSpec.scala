@@ -2053,6 +2053,106 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-aligned splits: DV'd and _pos reads fan out with exact positions at every boundary class (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_ckpt").toString
+    // fixed-width lines so checkpoint offsets are exact multiples: ids
+    // 100..159 are all 3 digits, every line L bytes incl. newline
+    val n = 60
+    val lineFor = (i: Int) => s"""{"event_id": ${100 + i}, "event_type": "x", "value": 1.0}"""
+    val L = lineFor(0).getBytes("UTF-8").length + 1
+    Files.write(Paths.get(dir, "wide.jsonl"), (0 until n).map(lineFor).asJava)
+    // checkpoints every k rows — exact line starts with exact row counts
+    val k = 5
+    val ck = (1 until n / k).map(j => s"[${j * k * L},${j * k}]").mkString(",")
+    // mask every boundary class: file-first, file-last, last row before
+    // a checkpoint, the checkpoint row itself, the row after, and a
+    // deeper boundary pair — each must vanish no matter which range
+    // reader owns it
+    val masked = Seq(0, n - 1, k - 1, k, k + 1, 3 * k - 1, 3 * k).map(_.toLong).sorted
+    JsonlDeleteVectors.writeDv(dir, "_deletes/dv-t.json", "wide.jsonl", masked.toArray)
+    Files.write(Paths.get(dir, "_stats.jsonl"), java.util.Arrays.asList(
+      s"""{"file":"wide.jsonl","min_value":1.0,"max_value":1.0,"n_rows":$n,""" +
+        s""""dvs":["_deletes/dv-t.json"],"n_dels":${masked.size},"ckpts":[$ck]}"""))
+    val expect = (0 until n).filterNot(i => masked.contains(i.toLong))
+      .map(i => (i.toLong, (100 + i).toLong))
+    // sweep split sizes: every checkpoint a boundary, every other one,
+    // coarse, and sizes that don't divide the checkpoint spacing
+    for (sb <- Seq(L.toLong, k * L.toLong, 2L * k * L, 7L * L)) {
+      val sbB = new JsonlStatsScanBuilder(dir, JsonlStats.schema, splitBytes = sb)
+      sbB.pruneColumns(StructType(Seq(
+        StructField(JsonlStats.PosMeta, LongType), StructField("event_id", LongType))))
+      val parts = sbB.build().toBatch.planInputPartitions()
+      assert(parts.length > 1,
+        s"splitBytes=$sb must fan out a checkpointed DV'd file with _pos, got ${parts.length}")
+      val got = spark.read.format("graft-jsonl-stats")
+        .option("path", dir).option("splitBytes", sb).load()
+        .select($"_pos", $"event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expect, s"splitBytes=$sb broke DV masking or _pos on exact ranges")
+    }
+    // greedy boundary selection respects splitBytes: consecutive range
+    // starts are never closer than it
+    val coarse = new JsonlStatsScanBuilder(dir, JsonlStats.schema, splitBytes = 2L * k * L)
+      .build().toBatch.planInputPartitions()
+      .collect { case p: JsonlFilePartition => p.start }.sorted
+    assert(coarse.sliding(2).forall { case Array(a, b) => b - a >= 2L * k * L; case _ => true })
+    // legacy manifests (no ckpts) keep the pre-r8 whole-file contract
+    Files.write(Paths.get(dir, "_stats.jsonl"), java.util.Arrays.asList(
+      s"""{"file":"wide.jsonl","min_value":1.0,"max_value":1.0,"n_rows":$n,""" +
+        s""""dvs":["_deletes/dv-t.json"],"n_dels":${masked.size}}"""))
+    assert(new JsonlStatsScanBuilder(dir, JsonlStats.schema, splitBytes = k * L.toLong)
+      .build().toBatch.planInputPartitions().length === 1,
+      "a DV'd file without checkpoints must stay one whole-file task")
+  }
+
+  test("the sink records checkpoints (exact line starts, exact row counts); compaction shifts them (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_ckpt_sink").toString
+    // ~100-byte rows x 40k ≈ 4 MB → ≥ 2 checkpoints at the 1 MiB law
+    def frame = spark.range(40000).select(
+      $"id".as("event_id"), ($"id" % 97).as("user_id"),
+      concat(lit("type_"), lpad(($"id" % 7).cast("string"), 40, "x")).as("event_type"),
+      (($"id" % 1000) / 10.0).as("value"))
+    frame.coalesce(1)
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val entry = JsonlStats.readStats(dir) match { case Seq(e) => e }
+    assert(entry.ckpts.size >= 2,
+      s"a ~4 MB file must checkpoint at 1 MiB granularity, got ${entry.ckpts.size}")
+    def assertCkptLaw(root: String, e: JsonlStats.FileStats): Unit = {
+      val bytes = Files.readAllBytes(Paths.get(root, e.file))
+      assert(e.ckpts === e.ckpts.sortBy(_._1), "checkpoints must be offset-sorted")
+      e.ckpts.foreach { case (o, r) =>
+        assert(o > 0 && o < bytes.length, s"checkpoint $o outside the file")
+        assert(bytes(o.toInt - 1) === '\n'.toByte, s"checkpoint $o is not a line start")
+        assert(bytes.take(o.toInt).count(_ == '\n'.toByte).toLong === r,
+          s"checkpoint ($o, $r): wrong preceding row count")
+      }
+    }
+    assertCkptLaw(dir, entry)
+    // split read ≡ whole read, WITH _pos, through the recorded checkpoints
+    def posRead(sb: Long) = spark.read.format("graft-jsonl-stats")
+      .option("path", dir).option("splitBytes", sb).load().select($"_pos", $"event_id")
+    val whole = posRead(Long.MaxValue)
+    val split = posRead(1L << 20)
+    assert(split.rdd.getNumPartitions > 1, "_pos read must fan out through checkpoints")
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+    // compaction: member boundaries become checkpoints of the merged file
+    val dir2 = Files.createTempDirectory("jsonl_ckpt_compact").toString
+    frame.repartitionByRange(4, $"event_id")
+      .write.format("graft-jsonl-stats").option("path", dir2).mode("overwrite").save()
+    assert(JsonlStats.readStats(dir2).size === 4)
+    GraftProcedures.compact(dir2, 64L << 20)
+    val merged = JsonlStats.readStats(dir2) match { case Seq(e) => e }
+    assert(merged.ckpts.size >= 3, "4 compacted members must leave ≥3 boundary checkpoints")
+    assertCkptLaw(dir2, merged)
+    val got = spark.read.format("graft-jsonl-stats")
+      .option("path", dir2).option("splitBytes", 1L << 19).load()
+      .select($"_pos", $"event_id")
+    assert(got.rdd.getNumPartitions > 1)
+    assert(got.count() === 40000L)
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

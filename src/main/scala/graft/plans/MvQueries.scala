@@ -58,8 +58,31 @@ object MvQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q228 (r8): the REAL dashboard hit pattern — a date-range +
+    * type-exclusion filter over the raw feed, grouped by day. The
+    * filter is a function of the MV's grain columns only, so it
+    * commutes with the MV's merge: the rewrite substitutes the MV scan
+    * AND pushes the translated predicate onto it (date range over
+    * `event_date`, exclusion over `event_type`), which at 100 TB means
+    * a raw-feed dashboard query reads a few day-sized MV files instead
+    * of the fact table. Non-grain predicates (e.g. `value > 100`)
+    * still veto the rewrite — both arms pinned in PlanShapeSpec; the
+    * oracle recomputes from raw parquet, so rewrite + filter-commute
+    * soundness is re-proven every round. */
+  def mvRewriteGrainFiltered(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val raw = ensureMv(spark, d)
+    raw.filter(to_date($"ts") >= lit("2024-01-08") && to_date($"ts") <= lit("2024-01-21") &&
+        $"event_type" =!= "view")
+      .groupBy(to_date($"ts").as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy($"event_date")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q210_mv_rewrite" -> mvRewriteAggregate,
+    "q228_mv_rewrite_grain_filter" -> mvRewriteGrainFiltered,
   )
 
   val oracles = Map(
@@ -69,5 +92,14 @@ object MvQueries extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q228_mv_rewrite_grain_filter" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |  AND CAST(ts AS DATE) <= DATE '2024-01-21'
+        |  AND event_type <> 'view'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

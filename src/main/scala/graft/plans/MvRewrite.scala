@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
@@ -21,8 +21,17 @@ import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
   * can prove:
   *   - plan = `Aggregate(gs, res, Project(p, Relation))` where the
   *     Relation is the REGISTERED raw parquet (matched by root path —
-  *     the CacheManager-style structural identity), with no Filter in
-  *     between (a predicate could cut rows the MV already merged);
+  *     the CacheManager-style structural identity). A Filter may ride
+  *     between (either side of the Project) ONLY when its condition is
+  *     a function of the MV's GRAIN columns — `event_type`, a
+  *     date-cast chain of `ts`, or the inferred `isnotnull(ts)` (which
+  *     maps to `isnotnull(event_date)`: a timestamp is null iff its
+  *     date is). Such a predicate keeps or drops whole grain groups,
+  *     so it commutes with the MV's merge and is PUSHED TO THE MV SCAN
+  *     (the dashboard date-range-over-`agg_daily_revenue` pattern — at
+  *     100 TB the rewrite turns a raw scan into a few MV files). Any
+  *     predicate mentioning a non-grain column (it could cut rows the
+  *     MV already merged) declines;
   *   - every grouping expression is one of the MV's grain columns:
   *     the `event_type` attribute, or a cast-chain from `ts` ending in
   *     DATE (the optimizer extracts `to_date(ts)` into the Project as
@@ -69,15 +78,36 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(gs, res, Project(projList, rel: LogicalRelation), _)
-        if gs.nonEmpty && !registry.isEmpty &&
-          pathOf(rel).exists(p => registry.containsKey(p)) =>
-      tryRewrite(agg, gs, res, projList, rel).getOrElse(agg)
+    case agg @ Aggregate(gs, res, child, _) if gs.nonEmpty && !registry.isEmpty =>
+      // accept the four optimized shapes under the aggregate; a Filter's
+      // condition is carried to tryRewrite, which only fires when it
+      // translates wholly into MV grain columns
+      val shape: Option[(Seq[NamedExpression], Option[Expression], LogicalRelation)] =
+        child match {
+          case Project(p, rel: LogicalRelation) => Some((p, None, rel))
+          case Project(p, Filter(c, rel: LogicalRelation)) => Some((p, Some(c), rel))
+          case Filter(c, Project(p, rel: LogicalRelation)) =>
+            // inline the project's aliases so the condition speaks in
+            // raw-relation columns like the pushed-filter shape does
+            val defs = p.collect { case al @ Alias(e, _) => al.exprId -> e }.toMap
+            Some((p, Some(c.transform {
+              case a: Attribute if defs.contains(a.exprId) => defs(a.exprId)
+            }), rel))
+          case Filter(c, rel: LogicalRelation) =>
+            Some((rel.output, Some(c), rel))
+          case _ => None
+        }
+      shape match {
+        case Some((p, c, rel)) if pathOf(rel).exists(registry.containsKey) =>
+          tryRewrite(agg, gs, res, p, rel, c).getOrElse(agg)
+        case _ => agg
+      }
   }
 
   private def tryRewrite(agg: Aggregate, gs: Seq[Expression], res: Seq[NamedExpression],
                          projList: Seq[NamedExpression],
-                         rel: LogicalRelation): Option[LogicalPlan] = {
+                         rel: LogicalRelation,
+                         cond: Option[Expression]): Option[LogicalPlan] = {
     val mvPath = registry.get(pathOf(rel).get)
     def relAttr(n: String): Option[Attribute] = rel.output.find(_.name == n)
 
@@ -131,6 +161,67 @@ object MvRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
 
+    /** Grain-column filter translation (r8): rewrite the condition over
+      * MV columns — `event_type` maps to the MV attribute, a date-cast
+      * chain of `ts` maps to `event_date`, and the optimizer-inferred
+      * `isnotnull(ts)` maps to `isnotnull(event_date)` (a non-null
+      * timestamp always casts to a non-null date, so the null sets
+      * coincide). Sound because such a predicate is a function of the
+      * grain VALUE: it keeps or drops whole MV groups, commuting with
+      * the merge. Any surviving raw-relation reference (a `value`
+      * comparison, a raw-timestamp cut finer than a day) means the
+      * predicate is NOT grain-functional — decline. */
+    def translateCond(c: Expression): Option[Expression] = {
+      if (!c.deterministic) return None
+      val (mvType, mvDate) = (mvAttr("event_type"), mvAttr("event_date")) match {
+        case (Some(t), Some(d)) => (t, d)
+        case _ => return None
+      }
+      def isTs(a: Attribute): Boolean = relAttr("ts").exists(_.semanticEquals(a))
+      // Spark's UnwrapCastInBinaryComparison has ALREADY rewritten
+      // `cast(ts as date) >= date D` into the raw-timestamp range
+      // `ts >= timestamp 'D 00:00:00'` by the time extraOptimizations
+      // run — so the grain-functional shape to recognize is a ts
+      // comparison whose literal is EXACTLY midnight in the session
+      // zone: `ts >= D₀₀` ⟺ `event_date >= D` and `ts < D₀₀` ⟺
+      // `event_date < D` (both sides of each, for literal-first
+      // normalizations). A non-midnight literal is a genuine sub-day
+      // cut — not a function of the date grain — and falls through to
+      // the reference check, which declines it.
+      def midnightDate(v: Any): Option[Literal] = v match {
+        case micros: java.lang.Long =>
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val zdt = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .microsToInstant(micros.longValue).atZone(zone)
+          if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+            Some(Literal(zdt.toLocalDate.toEpochDay.toInt, DateType))
+          else None
+        case _ => None
+      }
+      val t = c.transformUp {
+        case a: Attribute if relAttr("event_type").exists(_.semanticEquals(a)) => mvType
+        case IsNotNull(a: Attribute) if isTs(a) => IsNotNull(mvDate)
+        case GreaterThanOrEqual(a: Attribute, Literal(v, org.apache.spark.sql.types.TimestampType))
+            if isTs(a) && midnightDate(v).isDefined =>
+          GreaterThanOrEqual(mvDate, midnightDate(v).get)
+        case LessThan(a: Attribute, Literal(v, org.apache.spark.sql.types.TimestampType))
+            if isTs(a) && midnightDate(v).isDefined =>
+          LessThan(mvDate, midnightDate(v).get)
+        case LessThanOrEqual(Literal(v, org.apache.spark.sql.types.TimestampType), a: Attribute)
+            if isTs(a) && midnightDate(v).isDefined =>
+          LessThanOrEqual(midnightDate(v).get, mvDate)
+        case GreaterThan(Literal(v, org.apache.spark.sql.types.TimestampType), a: Attribute)
+            if isTs(a) && midnightDate(v).isDefined =>
+          GreaterThan(midnightDate(v).get, mvDate)
+        case e if e.dataType == DateType && (stripCasts(e) match {
+              case a: Attribute => isTs(a)
+              case _ => false
+            }) => mvDate
+      }
+      if (t.references.subsetOf(mvPlan.outputSet)) Some(t) else None
+    }
+
     val newGs: Option[Seq[Expression]] = sequence(gs.map(grain(_).map(a => a: Expression)))
     val newRes: Option[Seq[NamedExpression]] = sequence(res.map {
       case al @ Alias(ae: AggregateExpression, name) =>
@@ -146,7 +237,15 @@ object MvRewrite extends Rule[LogicalPlan] {
         grain(a).map(m => Alias(m, a.name)(a.exprId, a.qualifier))
       case _ => None
     })
-    for (g2 <- newGs; r2 <- newRes) yield Aggregate(g2, r2, mvPlan, agg.hint)
+    // None = no filter to carry; Some(Some(c)) = translated grain
+    // filter, pushed to the MV scan; a condition that doesn't translate
+    // vetoes the whole rewrite
+    val newCond: Option[Option[Expression]] = cond match {
+      case None => Some(None)
+      case Some(c) => translateCond(c).map(Some(_))
+    }
+    for (g2 <- newGs; r2 <- newRes; c2 <- newCond)
+      yield Aggregate(g2, r2, c2.map(Filter(_, mvPlan)).getOrElse(mvPlan), agg.hint)
   }
 
   private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =

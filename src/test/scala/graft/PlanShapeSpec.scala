@@ -250,6 +250,60 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.plans.MvRewrite.clear()
   }
 
+  test("q228: grain-column filters commute into the MV scan; non-grain filters veto (r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    val mvDir = graft.plans.MvQueries.mvPath(sfDir)
+    val rawDir = graft.plans.MvQueries.rawPath(sfDir)
+    // the registered filtered dashboard query reads ONLY the MV
+    val q = SparkEntry.queries("q228_mv_rewrite_grain_filter")(spark, sfDir)
+    try {
+      assert(scannedPaths(q).contains(mvDir) && !scannedPaths(q).contains(rawDir),
+        s"grain-filtered aggregate did not rewrite: scanned ${scannedPaths(q)}")
+      // and the translated predicate reaches the MV's parquet scan as a
+      // pushed filter (date range + type exclusion — file skipping at
+      // the MV, not a post-scan residual-only filter)
+      q.collect()
+      val pushed = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString
+      assert(pushed.contains("PushedFilters") &&
+        pushed.contains("event_date") && pushed.contains("event_type"),
+        s"translated grain filter did not reach the MV scan:\n$pushed")
+      val raw = spark.read.parquet(rawDir)
+      // a raw-timestamp cut FINER than the MV grain must veto: the MV
+      // already merged rows within each day
+      val fineCut = raw.filter($"ts" >= lit("2024-01-08 12:00:00").cast("timestamp"))
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(fineCut).contains(rawDir),
+        "a sub-day timestamp cut is not grain-functional and must not rewrite")
+      // a non-grain measure predicate still vetoes (r7 arm, re-pinned
+      // under the filter-accepting matcher)
+      val measureCut = raw.filter($"value" > 100)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(measureCut).contains(rawDir),
+        "a measure-column filter must not rewrite")
+      // value identity: rule off ≡ rule on for the grain-filtered shape
+      val withRule = q.collect().toSeq
+      graft.plans.MvRewrite.clear()
+      val off = raw
+        .filter(to_date($"ts") >= lit("2024-01-08") && to_date($"ts") <= lit("2024-01-21") &&
+          $"event_type" =!= "view")
+        .groupBy(to_date($"ts").as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy($"event_date")
+      assert(scannedPaths(off).contains(rawDir))
+      assert(off.collect().toSeq === withRule, "grain-filter rewrite changed results")
+    } finally graft.plans.MvRewrite.clear()
+  }
+
   test("q165 SQL UDFs are inlined: no eval barrier, plan stays in whole-stage codegen") {
     val df = graft.analytics.SqlSurface.sqlUdfTiers(spark, sfDir)
     df.collect()

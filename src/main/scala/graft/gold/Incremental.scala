@@ -409,11 +409,92 @@ object Incremental extends QueryModule {
       .orderBy($"c_nationkey")
   }
 
+  /** Build the two versioned connector tables the CDF→IVM composition
+    * (q229) reads: `ivm_cdf_orders` / `ivm_cdf_customer`, each with the
+    * BASE residue slice as version 1 and the delta slice appended as
+    * version 2 (the append archives v1 into `_history`, so both
+    * generations stay addressable). The slices mirror q201's
+    * deterministic key residues, so all three delta-join terms fire. */
+  private[graft] def ensureCdfIvmTables(spark: SparkSession, d: String): (String, String) = {
+    import spark.implicits._
+    val oDir = Landing.fixtureDir(d, "ivm_cdf_orders")
+    Landing.ensureBuilt(oDir) { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val o = Tables.orders(spark, d)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"), $"o_totalprice")
+      o.filter($"o_orderkey" % 10 =!= 7)
+        .write.format("graft-jsonl-stats").option("path", out)
+        .option("statsColumn", "o_orderkey").mode("overwrite").save()
+      o.filter($"o_orderkey" % 10 === 7)
+        .write.format("graft-jsonl-stats").option("path", out).mode("append").save()
+    }
+    val cDir = Landing.fixtureDir(d, "ivm_cdf_customer")
+    Landing.ensureBuilt(cDir) { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val c = Tables.customer(spark, d)
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          $"c_nationkey".cast("long").as("c_nationkey"))
+      c.filter($"c_custkey" % 10 =!= 3)
+        .write.format("graft-jsonl-stats").option("path", out)
+        .option("statsColumn", "c_custkey").mode("overwrite").save()
+      c.filter($"c_custkey" % 10 === 3)
+        .write.format("graft-jsonl-stats").option("path", out).mode("append").save()
+    }
+    (oDir, cDir)
+  }
+
+  /** q229 (r8): the TABLE-FORMAT tier FEEDING the IVM tier — q201's
+    * delta-join refresh driven end-to-end by q181's change feed. The
+    * deltas are not hand-built frames: each base table is a versioned
+    * connector table (v1 = base slice, v2 = base + appended delta) and
+    * ΔA/ΔB arrive as `ChangeFeed.tableChanges(v1→v2)` insert images,
+    * while A₀/B₀ read the ARCHIVED v1 manifests through the same
+    * connector. The refresh therefore costs what the CDF costs —
+    * manifest arithmetic plus a scan of exactly the files that entered
+    * the manifest (IncrementalSpec pins the only-changed-files law) —
+    * composed with the O(‖Δ‖) delta-join algebra. The oracle is the
+    * monolithic recompute, so "CDF-sourced refresh ≡ full re-join"
+    * is re-proven every round. */
+  def cdfJoinIvm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (oDir, cDir) = ensureCdfIvmTables(spark, d)
+    def readV1(root: String): DataFrame = spark.read.format("graft-jsonl-stats")
+      .option("path", root).option("manifest", s"${graft.sources.JsonlStats.HistoryDir}/v1.jsonl")
+      .load()
+    val oBase = readV1(oDir)
+    val cBase = readV1(cDir)
+    val oDelta = graft.sources.ChangeFeed.tableChanges(spark, oDir, 1, 2, Seq("o_orderkey"))
+      .filter($"change_type" === "insert")
+      .select($"o_orderkey", $"after_o_custkey".as("o_custkey"),
+        $"after_o_totalprice".as("o_totalprice"))
+    val cDelta = graft.sources.ChangeFeed.tableChanges(spark, cDir, 1, 2, Seq("c_custkey"))
+      .filter($"change_type" === "insert")
+      .select($"c_custkey", $"after_c_nationkey".as("c_nationkey"))
+    // the materialized v1⋈v1 view: joined once, stored, never re-joined
+    val baseView = Landing.ensureParquetFixture(
+      oBase.join(cBase, $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey", $"o_totalprice"),
+      d, "ivm_cdf_join_base")
+    val incr = Seq(
+      oDelta.join(cBase, $"o_custkey" === $"c_custkey"),
+      oBase.join(cDelta, $"o_custkey" === $"c_custkey"),
+      oDelta.join(cDelta, $"o_custkey" === $"c_custkey"))
+      .map(_.select($"c_nationkey", $"o_totalprice"))
+      .reduce(_ unionByName _)
+    baseView.unionByName(incr)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q96_incremental_gold" -> incrementalGold,
     "q126_gold_time_travel" -> goldTimeTravel,
     "q141_multi_table_snapshot" -> multiTableSnapshot,
     "q201_join_ivm" -> joinIvm,
+    "q229_cdf_join_ivm" -> cdfJoinIvm,
   )
 
   val oracles = Map(
@@ -457,5 +538,13 @@ object Incremental extends QueryModule {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    // same monolithic recompute: the CDF-sourced refresh must equal the
+    // full re-join (nationkey cast mirrors the connector's long schema)
+    "q229_cdf_join_ivm" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

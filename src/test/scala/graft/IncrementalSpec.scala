@@ -287,4 +287,44 @@ class IncrementalSpec extends SparkSpec {
       .orderBy($"c_nationkey")
     assert(ivm.exceptAll(mono).isEmpty && mono.exceptAll(ivm).isEmpty)
   }
+
+  test("q229 CDF->IVM: deltas are change-feed rows and the refresh reads only changed files (r8)") {
+    import spark.implicits._
+    import graft.sources.{ChangeFeed, JsonlStats}
+    val (oDir, cDir) = graft.gold.Incremental.ensureCdfIvmTables(spark, sfDir)
+    // the file-level law: v2 strictly extends v1 (append-only delta),
+    // and the CDF's derived manifests name EXACTLY the difference -
+    // nothing removed, nothing re-imaged
+    for ((root, key) <- Seq((oDir, "o_orderkey"), (cDir, "c_custkey"))) {
+      val v1 = JsonlStats.readStats(root, s"${JsonlStats.HistoryDir}/v1.jsonl").map(_.file).toSet
+      val v2 = JsonlStats.readStats(root).map(_.file).toSet
+      assert(v1.subsetOf(v2) && (v2 -- v1).nonEmpty, s"$root: v2 must extend v1")
+      ChangeFeed.tableChanges(spark, root, 1, 2, Seq(key)).collect() // materializes _cdf
+      val added = JsonlStats.readStats(root, "_cdf/v1_v2_added.jsonl").map(_.file).toSet
+      val removed = JsonlStats.readStats(root, "_cdf/v1_v2_removed.jsonl").map(_.file).toSet
+      assert(added === (v2 -- v1), s"$root: CDF added-set must be exactly the new files")
+      assert(removed.isEmpty, s"$root: an append-only delta removes nothing")
+      // the refresh's delta-scan cost IS the added files' rows: the CDF
+      // row count equals the rows of the added manifest alone
+      val addedRows = JsonlStats.readStats(root, "_cdf/v1_v2_added.jsonl").map(_.rows).sum
+      val cdfRows = ChangeFeed.tableChanges(spark, root, 1, 2, Seq(key)).count()
+      assert(cdfRows === addedRows,
+        s"$root: CDF must surface exactly the changed-file rows ($cdfRows vs $addedRows)")
+    }
+    // every CDF row is an insert image (no DV/update noise in this feed)
+    val oCdf = ChangeFeed.tableChanges(spark, oDir, 1, 2, Seq("o_orderkey"))
+    assert(oCdf.filter($"change_type" =!= "insert").isEmpty)
+    // end to end: the CDF-driven refresh equals the monolithic recompute
+    val got = graft.gold.Incremental.cdfJoinIvm(spark, sfDir)
+    val o = graft.ingest.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = graft.ingest.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey".cast("long").as("c_nationkey"))
+    val mono = o.join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+    assert(got.exceptAll(mono).isEmpty && mono.exceptAll(got).isEmpty)
+  }
 }

@@ -48,13 +48,15 @@ object Sketches extends QueryModule {
 
   /** ONE pass builds the mergeable sketch over `key`; the binary (w·d
     * counters, here 2719×5 longs) is the only thing collected. Shared
-    * by every CMS consumer so sketch parameters live in one place. */
+    * by every CMS consumer so sketch parameters live in one place.
+    * Returns (driver-side sketch for totalCount arithmetic, raw bytes
+    * for the codegen'd `graft_cms_estimate` probe expression). */
   private def buildCms(df: DataFrame, key: org.apache.spark.sql.Column) = {
     val skBytes = df
       .agg(count_min_sketch(key, lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk"))
       .head().getAs[Array[Byte]]("sk")
-    org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    (org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes)), skBytes)
   }
 
   /** q114: exact top-K corpus terms, each certified inside the CMS
@@ -63,14 +65,18 @@ object Sketches extends QueryModule {
     import spark.implicits._
     val words = Tables.documents(spark, d)
       .select(explode(split($"text", " ")).as("term"))
-    val cms = buildCms(words, $"term")
+    graft.functions.GraftFunctions.register(spark)
+    val (cms, skBytes) = buildCms(words, $"term")
     val total = cms.totalCount()
     val maxOver = math.ceil(cmsEps * total).toLong
     // exact top-K (deterministic tiebreak) — the small reference set the
     // sketch is judged against
     val topTerms = words.groupBy($"term").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"term").limit(topK)
-    val estimate = udf((t: String) => cms.estimateCount(t))
+    // codegen'd probe (r8): the sketch rides the plan as a reference
+    // object, the per-row work is the d hash probes — no udf barrier
+    def estimate(c: org.apache.spark.sql.Column) =
+      call_function("graft_cms_estimate", c, lit(skBytes))
     // the top-K is topK rows by contract — collect it ONCE and derive
     // both the stderr envelope diagnostic and the result from the same
     // pass (computing the diagnostic from a second evaluation of the
@@ -97,11 +103,13 @@ object Sketches extends QueryModule {
     * the configured fpp. */
   def bloomSemiJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val cust = Tables.customer(spark, d)
     val nKeys = cust.count()
     val bf = cust.stat.bloomFilter("c_custkey", nKeys, bloomFpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val probe = udf((k: Long) => bc.value.mightContain(k))
+    val bfBytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    def probe(c: org.apache.spark.sql.Column) =
+      call_function("graft_bloom_contains", c.cast("long"), lit(bfBytes))
     val ev = Tables.events(spark, d).select($"event_id", $"user_id")
     val exact = ev.join(cust.select($"c_custkey"),
         ev("user_id") === cust("c_custkey"), "left_semi")
@@ -136,9 +144,11 @@ object Sketches extends QueryModule {
   def cmsJoinEstimate(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, d).select($"user_id", $"event_type")
-    val cms = buildCms(ev, $"user_id")
+    graft.functions.GraftFunctions.register(spark)
+    val (cms, skBytes) = buildCms(ev, $"user_id")
     val nA = cms.totalCount()
-    val estimate = udf((k: Long) => cms.estimateCount(k))
+    def estimate(c: org.apache.spark.sql.Column) =
+      call_function("graft_cms_estimate", c.cast("long"), lit(skBytes))
     // B side: per-user purchase counts (exact, dimension-sized) + the
     // true per-key fact multiplicities for the ground-truth join size
     val perKey = ev.groupBy($"user_id")
@@ -203,12 +213,11 @@ object Sketches extends QueryModule {
       count_min_sketch($"o_custkey".cast("long"), lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk_cust"),
       count_min_sketch(unix_date($"order_date").cast("long"), lit(cmsEps), lit(cmsConf), lit(cmsSeed)).as("sk_date"))
       .head()
-    def sketchOf(bytes: Array[Byte]) = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val skCust = sketchOf(skRow.getAs[Array[Byte]]("sk_cust"))
-    val skDate = sketchOf(skRow.getAs[Array[Byte]]("sk_date"))
-    val probeCust = udf((k: Long) => skCust.estimateCount(k))
-    val probeDate = udf((k: Long) => skDate.estimateCount(k))
+    graft.functions.GraftFunctions.register(spark)
+    def probeCust(c: org.apache.spark.sql.Column) =
+      call_function("graft_cms_estimate", c, lit(skRow.getAs[Array[Byte]]("sk_cust")))
+    def probeDate(c: org.apache.spark.sql.Column) =
+      call_function("graft_cms_estimate", c, lit(skRow.getAs[Array[Byte]]("sk_date")))
     val custDim = Tables.customer(spark, d)
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     val dateDim = spark.range(1).select(explode(sequence(

@@ -79,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
+    ext.injectFunction(GraftFunctions.cmsEstimateDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
@@ -98,9 +100,27 @@ object GraftFunctions {
     (children: Seq[Expression]) => SubstrRollingHash(children.head,
       children(1).eval().asInstanceOf[Number].intValue))
 
+  // sketch probes: the second argument (the serialized sketch) is a
+  // foldable binary literal evaluated ONCE at resolution — the same
+  // builder-time-argument pattern as graft_rolling_hashes' length
+  private[functions] val cmsEstimateDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cms_estimate"),
+    new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+    (children: Seq[Expression]) => CmsEstimate(children.head,
+      children(1).eval().asInstanceOf[Array[Byte]]))
+
+  private[functions] val bloomContainsDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+    (children: Seq[Expression]) => BloomContains(children.head,
+      children(1).eval().asInstanceOf[Array[Byte]]))
+
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotProductDescriptor, rollingHashDescriptor).foreach { case (id, info, builder) =>
+    Seq(dotProductDescriptor, rollingHashDescriptor,
+        cmsEstimateDescriptor, bloomContainsDescriptor).foreach { case (id, info, builder) =>
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -79,4 +79,56 @@ class FunctionsSpec extends SparkSpec {
       .select($"hs").collect()
     assert(pair(0).getSeq[Long](0) === pair(1).getSeq[Long](0))
   }
+
+  test("sketch probes: expression == library semantics, no udf barrier in the plan (r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // CMS: the expression's estimate must equal CountMinSketch.estimateCount
+    // for long AND string keys (the udf semantics it replaced)
+    val df = (1L to 500L).map(i => (i % 37, s"w${i % 23}")).toDF("k", "t")
+    val skL = df.agg(count_min_sketch($"k", lit(0.01), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val skS = df.agg(count_min_sketch($"t", lit(0.01), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cmsL = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skL))
+    val cmsS = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skS))
+    val got = df.select($"k", $"t",
+        call_function("graft_cms_estimate", $"k", lit(skL)).as("ek"),
+        call_function("graft_cms_estimate", $"t", lit(skS)).as("et"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === cmsL.estimateCount(Long.box(r.getLong(0))))
+      assert(r.getLong(3) === cmsS.estimateCount(r.getString(1)))
+    }
+    // Bloom: expression probe == mightContainLong; no false negatives
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (1L to 100L).foreach(bf.putLong)
+    val bfBytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val probed = spark.range(1, 301).select($"id",
+        call_function("graft_bloom_contains", $"id", lit(bfBytes)).as("hit"))
+      .collect()
+    probed.foreach(r => assert(r.getBoolean(1) === bf.mightContainLong(r.getLong(0))))
+    assert(probed.filter(_.getLong(0) <= 100).forall(_.getBoolean(1)),
+      "bloom probe must have zero false negatives")
+    // null keys surface as SQL nulls, not exceptions
+    val withNull = Seq(Some(5L), None).toDF("k")
+      .select(call_function("graft_cms_estimate", $"k", lit(skL)).as("e")).collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+    // the plan law the expressions exist for: the registered sketch
+    // queries carry NO ScalaUDF eval barrier anywhere (was 6 udf sites
+    // pre-r8, carried as a finding since r5)
+    for ((name, q) <- Seq(
+        ("q114", graft.ext.Sketches.cmsHeavyHitters(spark, sfDir)),
+        ("q115", graft.ext.Sketches.bloomSemiJoin(spark, sfDir)),
+        ("q144", graft.ext.Sketches.cmsJoinEstimate(spark, sfDir)),
+        ("q163", graft.ext.Sketches.sketchJoinOrder(spark, sfDir)))) {
+      val plan = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name still carries a udf eval barrier:\n$plan")
+    }
+  }
 }

@@ -244,11 +244,74 @@ object Sketches extends QueryModule {
         $"n_rows", $"revenue")
   }
 
+  /** q230 (r8): KMV/THETA DISTINCT-INTERSECTION — the set-algebra
+    * sketch the HLL tier cannot provide (HLL registers merge under
+    * union ONLY; "how many distinct users did BOTH click and purchase"
+    * needs an intersectable sketch — the Druid/DataSketches theta
+    * workhorse). One pass over the fact builds a per-segment K-minimum-
+    * values sample via the typed [[graft.functions.KmvSketch]]
+    * Aggregator (map-side combinable, bounded 2K-slot buffer, keys
+    * hashed by the codegen'd `xxhash64` — no RNG, q101 discipline);
+    * the driver then answers |A|, |B|, |A∪B|, |A∩B| from ≤3K longs of
+    * sketch algebra. Certification is the q114 pattern: the output
+    * carries the EXACT distinct counts (oracle-recomputable) plus
+    * flags that every estimate landed inside a ~5/√K relative
+    * envelope of truth — deterministic for a fixed corpus, raw
+    * margins on stderr. At 100 TB the sketches are per-shard KB
+    * artifacts merged associatively; the exact legs here exist only
+    * to certify them. */
+  def kmvSetSketch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val ev = Tables.events(spark, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", xxhash64($"user_id").as("h"))
+    val kmv = udaf(KmvSketch.agg)
+    // ONE pass, both segment sketches (map-side combined per segment)
+    val sketches = ev.groupBy($"event_type").agg(kmv($"h").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val a = sketches.getOrElse("click", Seq.empty)
+    val b = sketches.getOrElse("purchase", Seq.empty)
+    val estA = KmvSketch.estimate(a)
+    val estB = KmvSketch.estimate(b)
+    val estU = KmvSketch.estimate(KmvSketch.union(a, b))
+    val estI = KmvSketch.intersectEstimate(a, b)
+    // exact legs (what the oracle recomputes) — dimension-sized outputs
+    val users = Tables.events(spark, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"user_id").agg(collect_set($"event_type").as("ts"))
+      .agg(
+        sum(when(array_contains($"ts", "click"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(array_contains($"ts", "purchase"), 1L).otherwise(0L)).as("n_b"),
+        count(lit(1)).as("n_union"),
+        sum(when(size($"ts") === 2, 1L).otherwise(0L)).as("n_inter"))
+      .head()
+    val (nA, nB, nU, nI) = (users.getLong(0), users.getLong(1),
+      users.getLong(2), users.getLong(3))
+    // ~5/√K relative envelopes (K=1024 → 15.6%), intersection scaled by
+    // the union magnitude (the theta-rule error term); floors absorb
+    // tiny-corpus integer effects
+    def ok(est: Double, exact: Long, scale: Long): Boolean =
+      math.abs(est - exact) <= math.max(5.0 * scale / math.sqrt(KmvSketch.K), 2.0)
+    System.err.println(
+      s"[sketch-envelope] kmv |A| est=$estA exact=$nA |B| est=$estB exact=$nB " +
+        s"|A∪B| est=$estU exact=$nU |A∩B| est=$estI exact=$nI " +
+        s"(budget ±${5.0 * nU / math.sqrt(KmvSketch.K)})")
+    Seq((nA, nB, nU, nI,
+        ok(estA, nA, nA) && ok(estB, nB, nB),
+        ok(estU, nU, nU),
+        ok(estI, nI, nU)))
+      .toDF("n_click_users", "n_purchase_users", "n_union", "n_inter",
+        "segments_ok", "union_ok", "inter_ok")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q114_cms_heavy_hitters" -> cmsHeavyHitters,
     "q115_bloom_semijoin"    -> bloomSemiJoin,
     "q144_cms_join_estimate" -> cmsJoinEstimate,
     "q163_sketch_join_order" -> sketchJoinOrder,
+    "q230_kmv_set_sketch"    -> kmvSetSketch,
   )
 
   val oracles = Map(
@@ -283,6 +346,22 @@ object Sketches extends QueryModule {
         |SELECT CASE WHEN cj.n <= dj.n THEN 'customer' ELSE 'date' END AS first_join,
         |  res.n_rows, res.revenue
         |FROM cj, dj, res""".stripMargin,
+    "q230_kmv_set_sketch" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |), per_user AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM du GROUP BY user_id
+        |)
+        |SELECT CAST(SUM(a) AS BIGINT) AS n_click_users,
+        |  CAST(SUM(b) AS BIGINT) AS n_purchase_users,
+        |  COUNT(*) AS n_union,
+        |  CAST(SUM(a * b) AS BIGINT) AS n_inter,
+        |  TRUE AS segments_ok, TRUE AS union_ok, TRUE AS inter_ok
+        |FROM per_user""".stripMargin,
     "q144_cms_join_estimate" ->
       """WITH per_key AS (
         |  SELECT user_id, COUNT(*) AS n_a,

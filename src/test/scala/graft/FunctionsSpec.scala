@@ -131,4 +131,44 @@ class FunctionsSpec extends SparkSpec {
         s"$name still carries a udf eval barrier:\n$plan")
     }
   }
+
+  test("KMV sketch laws: exact below K, ~1/sqrt(K) above, merge == whole, set algebra (r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketch
+    val kmv = udaf(KmvSketch.agg)
+    // below K the sketch IS the distinct set: estimate exact
+    val small = spark.range(500).select(xxhash64($"id").as("h"))
+      .agg(kmv($"h")).head().getSeq[Long](0)
+    assert(small.size === 500 && KmvSketch.estimate(small) === 500.0)
+    // above K: relative error within 5/sqrt(K) (deterministic hash)
+    val n = 50000
+    val big = spark.range(n).select(xxhash64($"id").as("h"))
+      .agg(kmv($"h")).head().getSeq[Long](0)
+    assert(big.size === KmvSketch.K)
+    assert(big === big.sorted && big.distinct.size === big.size,
+      "sketch must be sorted distinct minima")
+    val err = math.abs(KmvSketch.estimate(big) - n) / n
+    assert(err <= 5.0 / math.sqrt(KmvSketch.K), s"relative error $err")
+    // THE mergeability law: sketch(whole) == union(sketch(half1), sketch(half2))
+    val halves = spark.range(n).select(($"id" % 2).as("g"), xxhash64($"id").as("h"))
+      .groupBy($"g").agg(kmv($"h").as("sk"))
+      .collect().map(_.getSeq[Long](1))
+    assert(KmvSketch.union(halves(0), halves(1)) === big,
+      "K smallest of the union must equal the whole-corpus sketch")
+    // duplicates never change a sketch (distinct semantics)
+    val dup = spark.range(n).select(xxhash64($"id" % 1000).as("h"))
+      .agg(kmv($"h")).head().getSeq[Long](0)
+    assert(dup.size === 1000 && KmvSketch.estimate(dup) === 1000.0)
+    // set algebra on constructed overlap: A = [0, 30k), B = [20k, 50k)
+    // -> |A∪B| = 50k, |A∩B| = 10k
+    val skA = spark.range(0, 30000).select(xxhash64($"id").as("h"))
+      .agg(kmv($"h")).head().getSeq[Long](0)
+    val skB = spark.range(20000, 50000).select(xxhash64($"id").as("h"))
+      .agg(kmv($"h")).head().getSeq[Long](0)
+    val estU = KmvSketch.estimate(KmvSketch.union(skA, skB))
+    val estI = KmvSketch.intersectEstimate(skA, skB)
+    assert(math.abs(estU - 50000) <= 5.0 * 50000 / math.sqrt(KmvSketch.K), s"union est $estU")
+    assert(math.abs(estI - 10000) <= 5.0 * 50000 / math.sqrt(KmvSketch.K), s"intersect est $estI")
+  }
 }

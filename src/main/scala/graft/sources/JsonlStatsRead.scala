@@ -412,26 +412,14 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
           if (!canSplit || size <= splitBytes)
             Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
-          else if (s.ckpts.nonEmpty) {
+          else if (s.ckpts.nonEmpty)
             // checkpoint-aligned EXACT splits (r8): each boundary is a
             // manifest-recorded (line start, rows before) pair, so every
             // range reader knows its starting physical row — DV masking
             // and `_pos` work on ranges. Greedy boundary selection keeps
             // ranges >= splitBytes (checkpoints are ~4x denser).
-            val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            var last = 0L
-            s.ckpts.foreach { case (o, r) =>
-              if (o - last >= splitBytes && o < size) { bounds += ((o, r)); last = o }
-            }
-            if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
-            else {
-              val starts = (0L, 0L) +: bounds.toSeq
-              starts.zipWithIndex.map { case ((o, r), i) =>
-                val hi = if (i == starts.size - 1) Long.MaxValue else starts(i + 1)._1
-                JsonlFilePartition(path, o, hi, dvs, startRow = r): InputPartition
-              }
-            }
-          } else if (dvs.nonEmpty || wantPos)
+            JsonlStatsScan.checkpointRanges(path, size, s.ckpts, splitBytes, dvs)
+          else if (dvs.nonEmpty || wantPos)
             // legacy manifests without checkpoints: DV masks and `_pos`
             // are keyed by physical position, which a blind byte-range
             // reader cannot know mid-file — whole-file partitions
@@ -510,11 +498,38 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * bounds may be swapped out from under a running stream by truncate,
     * and residual row filters re-check anyway. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlManifestStream(root, required, columnMapping)
+    new JsonlManifestStream(root, required, columnMapping, splitBytes)
+}
+
+object JsonlStatsScan {
+  /** Checkpoint-aligned exact ranges of one file (r8): greedy boundary
+    * selection over the manifest's `(line start, rows before)` pairs
+    * keeps ranges ≥ splitBytes; each partition carries its starting
+    * physical row so DV masking and `_pos` work mid-file. Falls back
+    * to one whole-file partition when no boundary qualifies. Shared by
+    * the batch planner and the streaming leg. */
+  private[sources] def checkpointRanges(path: String, size: Long,
+                                        ckpts: Seq[(Long, Long)], splitBytes: Long,
+                                        dvs: Seq[String]): Seq[InputPartition] = {
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last = 0L
+    ckpts.foreach { case (o, r) =>
+      if (o - last >= splitBytes && o < size) { bounds += ((o, r)); last = o }
+    }
+    if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs))
+    else {
+      val starts = (0L, 0L) +: bounds.toSeq
+      starts.zipWithIndex.map { case ((o, r), i) =>
+        val hi = if (i == starts.size - 1) Long.MaxValue else starts(i + 1)._1
+        JsonlFilePartition(path, o, hi, dvs, startRow = r)
+      }
+    }
+  }
 }
 
 class JsonlManifestStream(root: String, required: StructType,
-                          columnMapping: Map[String, String] = Map.empty)
+                          columnMapping: Map[String, String] = Map.empty,
+                          splitBytes: Long = JsonlStats.DefaultSplitBytes)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -527,11 +542,26 @@ class JsonlManifestStream(root: String, required: StructType,
     // DVs as of batch-planning time apply; a file already streamed in
     // an earlier batch never re-emits, so a later DELETE on it is not
     // retracted downstream — append-only source semantics, stated
-    val dvsOf = JsonlStats.readStats(root).map(s => s.file -> s.dvs).toMap
+    val statsOf = JsonlStats.readStats(root).map(s => s.file -> s).toMap
     end.asInstanceOf[JsonlManifestOffset].files
       .filterNot(seen)
-      .map(f => JsonlFilePartition(Paths.get(root, f).toString,
-        dvs = dvsOf.getOrElse(f, Nil).map(d => Paths.get(root, d).toString)): InputPartition)
+      .flatMap { f =>
+        val path = Paths.get(root, f).toString
+        val s = statsOf.get(f)
+        val dvs = s.map(_.dvs).getOrElse(Nil).map(d => Paths.get(root, d).toString)
+        // one oversized arriving file must not become one streaming
+        // task: fan out at checkpoint boundaries exactly like the batch
+        // planner (r8) — a batch's file set is frozen by its offsets,
+        // so splitting is as safe as in batch; files without
+        // checkpoints stay whole (the conservative legacy path, and
+        // `_pos`/DV reads need them whole anyway)
+        val ckpts = s.map(_.ckpts).getOrElse(Nil)
+        val size = try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
+        if (splitBytes <= 0 || size <= splitBytes || ckpts.isEmpty)
+          Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+        else
+          JsonlStatsScan.checkpointRanges(path, size, ckpts, splitBytes, dvs)
+      }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

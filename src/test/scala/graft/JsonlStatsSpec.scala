@@ -2153,6 +2153,38 @@ class JsonlStatsSpec extends SparkSpec {
     assert(got.count() === 40000L)
   }
 
+  test("streaming batches fan out at checkpoint boundaries; rows arrive exactly once (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_ckpt_stream").toString
+    // one ~4 MB file -> manifest checkpoints -> a single arriving file
+    // must not become a single streaming task
+    spark.range(40000).select(
+        $"id".as("event_id"), ($"id" % 97).as("user_id"),
+        concat(lit("t"), lpad(($"id" % 7).cast("string"), 40, "x")).as("event_type"),
+        (($"id" % 1000) / 10.0).as("value"))
+      .coalesce(1)
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val entry = JsonlStats.readStats(dir) match { case Seq(e) => e }
+    assert(entry.ckpts.nonEmpty)
+    val stream = new JsonlManifestStream(dir, JsonlStats.schema, splitBytes = 1L << 20)
+    val parts = stream.planInputPartitions(stream.initialOffset(),
+      stream.latestOffset())
+    assert(parts.length > 1,
+      s"an arriving checkpointed 4 MB file must fan out, got ${parts.length}")
+    // coverage exactness through the streaming reader factory: every
+    // row exactly once across the ranges
+    val factory = stream.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) ids += r.get().getLong(0)
+      r.close()
+      ids
+    }.sorted
+    assert(got.length === 40000 && got.toSeq === (0L until 40000L),
+      "streaming ranges must cover every row exactly once")
+  }
+
   test("reader surfaces absent JSON fields as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_stats_nulls").toString

@@ -213,10 +213,11 @@ object GraftProcedures {
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
       val stats = JsonlStats.readStats(dir.toString)
       val meta = JsonlStats.readTableMeta(dir.toString)
-      val bytes = stats.map { s =>
+      val sized = stats.map { s =>
         val p = dir.resolve(s.file)
-        if (Files.exists(p)) Files.size(p) else 0L
-      }.sum
+        s -> (if (Files.exists(p)) Files.size(p) else 0L)
+      }
+      val bytes = sized.map(_._2).sum
       val haveRows = stats.forall(_.rows >= 0)
       val row = InternalRow(
         JsonlStats.currentVersion(dir.toString),
@@ -228,7 +229,13 @@ object GraftProcedures {
         bytes,
         meta.partitionCol.isDefined,
         org.apache.spark.unsafe.types.UTF8String.fromString(
-          meta.statsCol.getOrElse(JsonlStats.statsColumn)))
+          meta.statsCol.getOrElse(JsonlStats.statsColumn)),
+        // splittability debt (r8): oversized files whose pre-checkpoint
+        // manifests pin whole-file tasks for DV'd/_pos reads — what a
+        // compact/rewrite_deletes pass (which regenerates checkpoints)
+        // would clear
+        sized.count { case (s, sz) =>
+          sz > JsonlStats.DefaultSplitBytes && s.ckpts.isEmpty })
       val schema = StructType(Seq(
         StructField("version", IntegerType, nullable = false),
         StructField("n_files", IntegerType, nullable = false),
@@ -238,7 +245,8 @@ object GraftProcedures {
         StructField("n_rows_masked", LongType, nullable = false),
         StructField("live_bytes", LongType, nullable = false),
         StructField("key_grouped", BooleanType, nullable = false),
-        StructField("stats_column", StringType, nullable = false)))
+        StructField("stats_column", StringType, nullable = false),
+        StructField("n_oversized_no_ckpts", IntegerType, nullable = false)))
       java.util.List.of[Scan](new LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = Array(row)

@@ -972,6 +972,38 @@ class JsonlStatsSpec extends SparkSpec {
     val d2 = spark.sql(s"CALL $cat.detail('$table')").head()
     assert(d2.getInt(4) === 0 && d2.getLong(5) === 0L)
     assert(d2.getLong(2) === d2.getLong(3) && d2.getLong(3) === src.count() - nClick)
+    // splittability debt (r8): all files here are under the split
+    // target, so stripping their checkpoints must NOT raise debt (the
+    // size gate) — small files never needed splitting
+    assert(d2.getInt(9) === 0)
+    JsonlStats.publishManifest(dir, "age-test",
+      JsonlStats.readStats(dir).map(s => JsonlStats.statsLine(s.copy(ckpts = Nil))).sorted)
+    assert(spark.sql(s"CALL $cat.detail('$table')").head().getInt(9) === 0,
+      "small files without checkpoints are not splittability debt")
+  }
+
+  test("CALL detail surfaces splittability debt for oversized pre-checkpoint files (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_detail_ckpt").toString
+    // one ~8 MB file (> DefaultSplitBytes = 4 MiB): fresh write carries ckpts
+    spark.range(80000).select(
+        $"id".as("event_id"), ($"id" % 97).as("user_id"),
+        concat(lit("t"), lpad(($"id" % 7).cast("string"), 40, "x")).as("event_type"),
+        (($"id" % 1000) / 10.0).as("value"))
+      .coalesce(1)
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_dc_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    assert(spark.sql(s"CALL $cat.detail('$table')").head().getInt(9) === 0,
+      "a freshly-written oversized file carries checkpoints — no debt")
+    // age the manifest to the pre-r8 shape: same file, no checkpoints
+    JsonlStats.publishManifest(dir, "age-test",
+      JsonlStats.readStats(dir).map(s => JsonlStats.statsLine(s.copy(ckpts = Nil))).sorted)
+    assert(spark.sql(s"CALL $cat.detail('$table')").head().getInt(9) === 1,
+      "an oversized file without checkpoints is splittability debt")
   }
 
   test("q175: catalog CTAS stages on the manifest commit point; DDL contract holds (r7)") {

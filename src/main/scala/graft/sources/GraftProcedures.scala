@@ -618,10 +618,15 @@ object GraftProcedures {
           schemaJson, statsCol, bloomCol, mapping)
       }
       .collect().toSeq // file-count-bounded: one manifest entry per task
-    val dirtyNames = dirty.map(_.file).toSet
-    val lines = (stats.filterNot(s => dirtyNames.contains(s.file)).map(JsonlStats.statsLine) ++
-      fresh.filter(_.rows > 0).map(JsonlStats.statsLine)).sorted
-    JsonlStats.publishManifest(tableRoot, s"rwdel-$runId", lines)
+    // OCC rewrite (r8): the collapsed files' planned entries must
+    // survive verbatim — a DV attached since planning would mean the
+    // rewritten survivors resurrect freshly-masked rows, so that
+    // CONFLICTS; concurrent appends ride through (maintenance commutes
+    // with ingest — the Iceberg rewrite-procedure contract)
+    JsonlStats.commitAtomic(tableRoot, s"rwdel-$runId",
+      JsonlStats.rebaseRewrite(
+        dirty.map(JsonlStats.statsLine),
+        fresh.filter(_.rows > 0).map(JsonlStats.statsLine)))
     (dirty.size, dirty.map(_.dvs.size).sum, dirty.map(_.dels).sum)
   }
 
@@ -827,10 +832,16 @@ object GraftProcedures {
     SparkSession.active.sparkContext
       .parallelize(work, math.min(work.size, 32))
       .foreach { case (members, out) => GraftProcedures.concatFiles(rootCopy, members, out) }
+    // OCC rewrite (r8): every bin member's planned entry must survive
+    // verbatim — a DV attached to a member since planning would have
+    // its masked rows resurrected by the byte concat, so that
+    // CONFLICTS; files appended concurrently ride through untouched
+    // (compaction commutes with ingest)
     val mergedNames = bins.flatMap(_.members).toSet
-    val lines = (stats.filterNot(s => mergedNames.contains(s.file)).map(JsonlStats.statsLine) ++
-      bins.map(b => JsonlStats.statsLine(b.entry))).sorted
-    JsonlStats.publishManifest(tableRoot, s"compact-$runId", lines)
+    JsonlStats.commitAtomic(tableRoot, s"compact-$runId",
+      JsonlStats.rebaseRewrite(
+        stats.filter(s => mergedNames.contains(s.file)).map(JsonlStats.statsLine),
+        bins.map(b => JsonlStats.statsLine(b.entry))))
     // members leave the live manifest but stay on disk: the archived
     // pre-compaction snapshot still references them, so VERSION AS OF
     // keeps working until [[vacuum]] expires it (deferred GC, r7)

@@ -167,30 +167,49 @@ class JsonlDvBatchWrite(root: String, queryId: String,
     * files untouched. Entries keep their names, so archived snapshots
     * (whose entries carry the OLD dv lists) still read the pre-delete
     * view of the same bytes. */
+  /** The conflict reference, captured when the write is BUILT (physical
+    * planning — after the rewrite scan pinned its manifest, before any
+    * task ran): each file's row-liveness as this operation saw it. DV
+    * positions are physical, so they stay valid for exactly as long as
+    * the file's DV list is what the scan masked with — a concurrent
+    * delete landing another DV on the same file in the meantime would
+    * make the two mask sets overlap and `n_dels` double-count (the
+    * COUNT-pushdown ledger), which is why that case must CONFLICT, not
+    * compose (Delta's ConcurrentDeleteDeleteException). Sequential
+    * deletes still compose: the second op's scan reads the first's DV,
+    * so its planned reference includes it. */
+  private val planned: Map[String, JsonlStats.FileStats] =
+    (try JsonlStats.readStats(root) catch { case _: java.io.IOException => Nil })
+      .map(s => s.file -> s).toMap
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.toSeq.collect { case c: JsonlDvCommit => c }
     val fresh: Map[String, Seq[(String, Long)]] = commits.flatMap(_.entries)
       .groupBy(_._1)
       .map { case (f, es) => f -> es.map(e => (e._2, e._3)) }
     val appended = commits.flatMap(_.files).filter(c => c.file != null && c.rows > 0)
-    val previous = JsonlStats.readStats(root)
-    val known = previous.map(_.file).toSet
-    val unknown = fresh.keySet.diff(known)
+    val appendedLines = appended.map(c =>
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+    val unknown = fresh.keySet.diff(planned.keySet)
     require(unknown.isEmpty,
       s"deletion vectors reference unmanifested files: ${unknown.mkString(", ")}")
-    // DVs attached AND updated row images appended in the same swap:
-    // there is no instant where a row is gone-but-not-replaced
-    val lines = (previous.map { s =>
-      fresh.get(s.file) match {
-        case None => JsonlStats.statsLine(s)
-        case Some(es) => JsonlStats.statsLine(s.copy(
-          dvs = s.dvs ++ es.map(_._1).sorted,
-          dels = s.dels + es.map(_._2).sum))
-      }
-    } ++ appended.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
-    JsonlStats.publishManifest(root, queryId, lines)
+    // OCC rewrite (r8): the touched files' PLANNED entries must survive
+    // verbatim (see `planned`); their rebased lines carry the new DVs.
+    // Untouched files — including concurrently-appended ones and other
+    // files another delete touched — ride through, so disjoint deletes
+    // and delete-under-ingest commute. DVs attached AND updated row
+    // images appended in the same swap: there is no instant where a row
+    // is gone-but-not-replaced.
+    val removedLines = fresh.keySet.toSeq.sorted.map(f => JsonlStats.statsLine(planned(f)))
+    val rewrittenLines = fresh.keySet.toSeq.sorted.map { f =>
+      val s = planned(f); val es = fresh(f)
+      JsonlStats.statsLine(s.copy(
+        dvs = s.dvs ++ es.map(_._1).sorted,
+        dels = s.dels + es.map(_._2).sum))
+    }
+    JsonlStats.commitAtomic(root, queryId,
+      JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

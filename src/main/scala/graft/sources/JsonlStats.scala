@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** `graft-jsonl-stats`: a DataSource V2 connector — the engine extending
@@ -237,13 +237,16 @@ object JsonlStats {
 
   def readStats(root: String): Seq[FileStats] = readStats(root, "_stats.jsonl")
 
-  def readStats(root: String, manifest: String): Seq[FileStats] = {
+  def readStats(root: String, manifest: String): Seq[FileStats] =
+    parseStatsLines(Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq)
+
+  /** Parse manifest lines to file entries (txn watermark lines — the
+    * streaming sink ledger — ride in the same manifest and are
+    * skipped). */
+  def parseStatsLines(raw: Seq[String]): Seq[FileStats] = {
     val mapper = new ObjectMapper()
-    Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
-      .filter(_.nonEmpty)
+    raw.filter(_.nonEmpty)
       .map(mapper.readTree)
-      // txn watermark lines (streaming sink ledger) ride in the same
-      // manifest; they are not file entries
       .filter(_.hasNonNull("file"))
       .map { n =>
         val cols =
@@ -425,32 +428,227 @@ object JsonlStats {
     * commit. A vacuumed generation fails its snapshot read LOUDLY —
     * the post-VACUUM contract, not silent wrong data. */
   def publishManifest(root: String, queryId: String, lines: Seq[String]): Unit = {
-    // streaming-txn watermarks survive EVERY publish (append, truncate,
-    // replace, compact, row-level rewrite): an idempotency ledger that a
-    // maintenance commit silently dropped would re-admit replayed
-    // batches. A publisher updating an appId's watermark passes its own
-    // txn line; all other apps' lines carry forward untouched.
+    // Blind overwrite: the final state IS `lines`, whatever the base —
+    // the legacy single-writer publish (catalog CREATE, clone, zorder,
+    // bench tooling). Concurrent-safe paths go through [[commitAtomic]]
+    // with a real rebase; this one still benefits from the CAS slot
+    // reservation (no two publishers can archive the same version).
     val mapper = new ObjectMapper()
-    val incoming = lines.flatMap { l =>
-      val n = mapper.readTree(l)
-      if (n.hasNonNull("txn")) Some(n.get("txn").asText()) else None
-    }.toSet
-    val preserved = readTxns(root).filterNot { case (a, _) => incoming.contains(a) }
-      .toSeq.sortBy(_._1).map { case (a, e) => txnLine(a, e) }
-    val allLines = lines ++ preserved
-    val current = Paths.get(root, "_stats.jsonl")
-    if (Files.exists(current)) {
-      val hist = Paths.get(root, HistoryDir)
-      Files.createDirectories(hist)
-      val k = currentVersion(root)
-      Files.copy(current, hist.resolve(s"v$k.jsonl"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
-    Files.write(tmp, allLines.asJava,
+    val (own, entries) = lines.partition(l => mapper.readTree(l).hasNonNull("txn"))
+    commitAtomic(root, queryId, _ => entries, ownTxns = own)
+  }
+
+  // ---- optimistic concurrency (r8) ---------------------------------------
+
+  /** Thrown when a commit's rebase cannot reconcile a concurrent commit
+    * (the Delta `ConcurrentModificationException` family). The loser's
+    * work is NOT published — retry the whole operation on the new
+    * snapshot, or give up loudly. Never silently drop either side. */
+  type ConflictException = java.util.ConcurrentModificationException
+
+  def conflict(msg: String): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"concurrent commit conflict: $msg")
+
+  /** Atomic EXCLUSIVE publish of `lines` at `target`: bytes land fully
+    * in a temp file first, then `link(2)` — which is atomic and fails
+    * EEXIST when the name is taken — makes them visible. Readers can
+    * never observe a partial file AND two publishers can never both win
+    * the same name (the two properties a plain CREATE_NEW write or a
+    * REPLACE move cannot give together). Returns false if the slot was
+    * already taken. */
+  private def casPublish(target: Path, lines: Seq[String], tag: String): Boolean = {
+    val tmp = target.resolveSibling(s"${target.getFileName}.cas-$tag")
+    Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, current,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** The optimistically-concurrent commit (the Delta/Iceberg commit
+    * loop, on the manifest protocol's own primitives):
+    *
+    *   1. k := currentVersion; read the live manifest bytes L.
+    *   2. Reserve the version slot by exclusively creating
+    *      `_history/v{k}.jsonl` with L ([[casPublish]]). Every swap is
+    *      preceded by filling the then-lowest-free slot, so WINNING the
+    *      reservation proves L was still the live manifest for the
+    *      whole window — the loser's create fails EEXIST and it retries
+    *      against the winner's published state.
+    *   3. Rebase: `rebase(base file entries)` re-derives this commit's
+    *      outcome against the proven-current base. Appends return
+    *      `base ++ added` (blind appends always commute — Delta's
+    *      append-never-conflicts guarantee); rewrites verify their
+    *      planned entries survived verbatim and throw
+    *      [[ConflictException]] otherwise (ConcurrentDeleteDelete);
+    *      overwrites demand an unchanged base.
+    *   4. Swap the rebased manifest in with the usual temp +
+    *      ATOMIC_MOVE. The swap stays the commit point for DATA
+    *      visibility; the reservation is the commit point for VERSION
+    *      ordering.
+    *
+    * First generation (no live manifest): the manifest file itself is
+    * the CAS slot — exclusive-create via the same hard-link publish, so
+    * two concurrent first-writers cannot clobber each other either.
+    *
+    * A lost race waits for the winner's swap to land (live != archived
+    * slot bytes, or a later slot appears) before retrying, bounded by
+    * `spinMs` — a winner that crashed between reserve and swap (or
+    * whose rebase was a content-no-op) stalls nobody: the waiter times
+    * out and retries at k+1, archiving a duplicate snapshot, which is
+    * benign. A rebase CONFLICT likewise leaves its reserved slot as a
+    * duplicate snapshot — version numbers measure commit ATTEMPTS
+    * after contention, not successes, exactly like Delta's log.
+    *
+    * Streaming-txn watermarks survive every commit: an idempotency
+    * ledger that a concurrent commit silently dropped would re-admit
+    * replayed batches. `ownTxns` replaces this committer's own apps'
+    * lines; all other apps' watermarks carry forward from the BASE of
+    * the attempt that wins.
+    *
+    * Residual (documented) exposure: a rewrite plans against its scan's
+    * snapshot but captures its conflict reference at write-construction
+    * time, so a mutation landing inside that same-job window is
+    * absorbed rather than detected; and VACUUM's archive expiry assumes
+    * a single maintenance scheduler. Commit-vs-commit races — the
+    * lost-update class — are fully closed.
+    *
+    * Returns the version the commit superseded (0 = created the table).
+    */
+  def commitAtomic(root: String, queryId: String,
+                   rebase: Seq[String] => Seq[String],
+                   ownTxns: Seq[String] = Nil,
+                   onReserved: Int => Unit = _ => (),
+                   spinMs: Long = 4000L,
+                   maxAttempts: Int = 20): Int = {
+    val mapper = new ObjectMapper()
+    val current = Paths.get(root, "_stats.jsonl")
+    val ownApps = ownTxns.map(l => mapper.readTree(l).get("txn").asText()).toSet
+    // leases this committer already timed out on: a dead owner's slot is
+    // honored at most once, or a crashed winner would stall every
+    // subsequent commit one spin apiece forever
+    val expiredLeases = scala.collection.mutable.Set.empty[String]
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        conflict(s"gave up after $maxAttempts attempts on $root (queryId=$queryId)")
+      if (!Files.exists(current)) {
+        // first generation: exclusive-create the manifest itself
+        val entries = rebase(Nil)
+        if (casPublish(current, entries.sorted ++ ownTxns, s"$queryId-$attempt"))
+          return 0
+        // lost the creation race — retry against the winner's table
+      } else {
+        val k = currentVersion(root)
+        val liveBytes =
+          try Files.readAllLines(current).asScala.toSeq
+          catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+        if (liveBytes.nonEmpty || Files.exists(current)) {
+          val hist = Paths.get(root, HistoryDir)
+          Files.createDirectories(hist)
+          // A filled slot v{k-1} whose content still EQUALS the live
+          // manifest is an IN-FLIGHT reservation: its owner archived the
+          // outgoing state but has not swapped the new one in yet.
+          // Reserving v{k} now would rebase on the owner's doomed base
+          // and the two swaps would clobber each other — so the
+          // reservation is honored as a LEASE: wait (bounded by spinMs)
+          // for the owner's swap to land before taking the next slot.
+          // A crashed owner times the lease out (its slot becomes a
+          // duplicate snapshot); an owner merely slower than spinMs
+          // between its two commit steps re-opens the race — the
+          // lock-lease tradeoff every expiring-lease protocol makes,
+          // with spinMs = seconds against two local metadata writes.
+          val prevSlot = hist.resolve(s"v${k - 1}.jsonl")
+          val inFlight = k > 1 && !expiredLeases.contains(prevSlot.getFileName.toString) &&
+            Files.exists(prevSlot) &&
+            (try Files.readAllLines(prevSlot).asScala.toSeq == liveBytes
+             catch { case _: java.io.IOException => false })
+          if (inFlight) {
+            if (!awaitSupersede(root, prevSlot, spinMs))
+              expiredLeases += prevSlot.getFileName.toString
+            // loop: recompute the version against the settled chain
+          } else {
+          val slot = hist.resolve(s"v$k.jsonl")
+          if (!casPublish(slot, liveBytes, s"$queryId-$attempt")) {
+            // someone reserved v{k}: wait for their swap to land, then retry
+            awaitSupersede(root, slot, spinMs)
+          } else {
+            onReserved(k)
+            val (baseTxns, baseEntries) =
+              liveBytes.filter(_.nonEmpty).partition(l => mapper.readTree(l).hasNonNull("txn"))
+            val newEntries = rebase(baseEntries)
+            val keptTxns = baseTxns.filter(l => !ownApps.contains(mapper.readTree(l).get("txn").asText()))
+            val all = newEntries.sorted ++ ownTxns ++ keptTxns
+            val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
+            Files.write(tmp, all.asJava,
+              StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+            Files.move(tmp, current,
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            return k
+          }
+          }
+        }
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** A reservation race was lost: poll until the winner's swap lands
+    * (live manifest differs from the archived slot, or a later slot
+    * exists), bounded by `spinMs` — see [[commitAtomic]] for why the
+    * timeout path is safe. */
+  private def awaitSupersede(root: String, slot: Path, spinMs: Long): Boolean = {
+    val current = Paths.get(root, "_stats.jsonl")
+    val deadline = System.nanoTime() + spinMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      val slotBytes = try Files.readAllBytes(slot) catch { case _: java.io.IOException => return true }
+      val live = try Files.readAllBytes(current) catch { case _: java.io.IOException => return true }
+      if (!java.util.Arrays.equals(slotBytes, live)) return true
+      try Thread.sleep(2L) catch { case _: InterruptedException => return false }
+    }
+    false
+  }
+
+  /** Rebase for a FILE-REWRITE commit (row-level DV attach / COW
+    * replace / compaction / rewrite_deletes): the planned `removed`
+    * entry lines must survive VERBATIM in the base — a concurrent
+    * commit that touched any of them (another delete's DV, a rewrite, a
+    * compaction bin) conflicts loudly, because the rewrite's output was
+    * derived from those exact entries (overlapping DVs would
+    * double-count `n_dels`; a concat of a since-DV'd member would
+    * resurrect its masked rows). Everything ELSE in the base — files
+    * appended concurrently, other files' changes — rides through
+    * untouched, so maintenance commutes with ingest (the Iceberg
+    * rewrite-procedure contract). */
+  def rebaseRewrite(removed: Seq[String], added: Seq[String])(base: Seq[String]): Seq[String] = {
+    // compare NORMALIZED (parse → re-serialize): membership must mean
+    // "same entry", not "same bytes" — a base written by an older
+    // serialization must not fake a conflict
+    val norm = (l: String) => parseStatsLines(Seq(l)).headOption.map(statsLine).getOrElse(l)
+    val baseSet = base.map(norm).toSet
+    val removedNorm = removed.map(norm)
+    val missing = removedNorm.filterNot(baseSet.contains)
+    if (missing.nonEmpty)
+      conflict(s"${missing.size} planned file entr${if (missing.size == 1) "y" else "ies"} " +
+        s"changed under this rewrite (first: ${missing.head.take(120)}); " +
+        "replan against the current snapshot")
+    val gone = removedNorm.toSet
+    base.filterNot(l => gone.contains(norm(l))) ++ added
+  }
+
+  /** Rebase for an OVERWRITE commit (truncate / replaceWhere): the
+    * whole base must be exactly the planned snapshot — an overwrite
+    * logically read (and replaces) every row, so ANY concurrent commit
+    * conflicts (serializable, the strictest arm of Delta's matrix;
+    * a concurrently-appended file silently destroyed by the truncate
+    * would be a lost update, not an overwrite). */
+  def rebaseOverwrite(plannedBase: Seq[String], lines: Seq[String])(base: Seq[String]): Seq[String] = {
+    val norm = (l: String) => parseStatsLines(Seq(l)).headOption.map(statsLine).getOrElse(l)
+    if (base.map(norm).toSet != plannedBase.map(norm).toSet)
+      conflict("table changed under this overwrite; replan against the current snapshot")
+    lines
   }
 
   /** Wrap a Write with the clustered + sorted requirement a keyed

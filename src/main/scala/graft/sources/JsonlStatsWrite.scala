@@ -109,17 +109,20 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
       return
     }
     val fresh = JsonlStats.fileCommits(messages)
-    val previous =
-      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
-      else JsonlStats.readStats(root)
-    val lines = (previous.map(JsonlStats.statsLine) ++
-      fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts))))
-      .sorted :+ JsonlStats.txnLine(appId, epochId)
+    val freshLines = fresh.map(c =>
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
-    JsonlStats.publishManifest(root, s"$queryId-$runTag-e$epochId", lines)
+    // OCC append (r8): the epoch's files ride a blind-append rebase —
+    // concurrent batch appends or OTHER streaming apps' epochs commute;
+    // this app's own epochs are sequential by Spark's contract, so the
+    // watermark check above needs no re-validation inside the loop. The
+    // txn line replaces this app's watermark; every other app's carries
+    // forward from whichever base wins.
+    JsonlStats.commitAtomic(root, s"$queryId-$runTag-e$epochId",
+      base => base ++ freshLines,
+      ownTxns = Seq(JsonlStats.txnLine(appId, epochId)))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -208,19 +211,12 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
+    val freshLines = fresh.map(c =>
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
     val previous =
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else JsonlStats.readStats(root)
-    val kept =
-      if (truncateFirst) Seq.empty
-      else replaceFilters match {
-        case Some(fs) => previous.filter(s => keepUnderReplace(fs, s))
-        case None => previous
-      }
-    val lines = (kept.map(JsonlStats.statsLine) ++
-      fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -236,7 +232,25 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         prior.deleteMode, prior.constraints, prior.columnMapping)
     }
-    JsonlStats.publishManifest(root, queryId, lines)
+    // OCC commit (r8): a plain append is BLIND — it commutes with any
+    // concurrent commit, so the rebase just re-adds the fresh entries
+    // on whatever base wins (Delta's append-never-conflicts guarantee,
+    // closing the read-then-swap lost-update window this commit used to
+    // have). TRUNCATE and replaceWhere logically read the whole table /
+    // the files their keep-or-drop verdicts were derived from, so they
+    // demand an unchanged base and CONFLICT loudly otherwise.
+    val previousLines = previous.map(JsonlStats.statsLine)
+    if (truncateFirst)
+      JsonlStats.commitAtomic(root, queryId,
+        JsonlStats.rebaseOverwrite(previousLines, freshLines))
+    else replaceFilters match {
+      case Some(fs) =>
+        val keptLines = previous.filter(s => keepUnderReplace(fs, s)).map(JsonlStats.statsLine)
+        JsonlStats.commitAtomic(root, queryId,
+          JsonlStats.rebaseOverwrite(previousLines, keptLines ++ freshLines))
+      case None =>
+        JsonlStats.commitAtomic(root, queryId, base => base ++ freshLines)
+    }
     // truncate: the old generation's files leave the LIVE manifest but
     // stay on disk — the archived manifest still references them, so
     // `VERSION AS OF` keeps working until VACUUM expires the snapshot
@@ -322,12 +336,19 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
     val gone = replaced()
-    val kept = JsonlStats.readStats(root).filterNot(s => gone.contains(s.file))
-    val lines = (kept.map(JsonlStats.statsLine) ++
-      fresh.map(c =>
-        JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-          colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))).sorted
-    JsonlStats.publishManifest(root, queryId, lines)
+    val freshLines = fresh.map(c =>
+      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+    // OCC rewrite (r8): the replaced files' entries must survive
+    // verbatim — a concurrent commit that touched one of them (a DV
+    // attach, another rewrite) invalidates the survivors this COW pass
+    // derived from them, and conflicts loudly. Concurrent APPENDS ride
+    // through the rebase untouched, so row-level ops commute with
+    // ingest.
+    val removedLines = JsonlStats.readStats(root)
+      .filter(s => gone.contains(s.file)).map(JsonlStats.statsLine)
+    JsonlStats.commitAtomic(root, queryId,
+      JsonlStats.rebaseRewrite(removedLines, freshLines))
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
     // [[GraftProcedures.vacuum]] is the only deletion point)

@@ -1,0 +1,216 @@
+package graft
+
+import graft.sources.{JsonlDvBatchWrite, JsonlStats}
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** Optimistic concurrency control on the manifest protocol (r8).
+  *
+  * The commit loop ([[JsonlStats.commitAtomic]]) is the Delta/Iceberg
+  * posture re-derived on the connector's own primitives: reserve the
+  * version slot by EXCLUSIVE hard-link creation (link(2) is the CAS —
+  * atomic, fails EEXIST), rebase the commit's logical action against
+  * the proven-current base, swap. The laws:
+  *
+  *   - blind appends ALWAYS commute (Delta's append-never-conflicts);
+  *   - file rewrites (DV deletes, COW, compaction, rewrite_deletes)
+  *     commute with everything that left their planned entries
+  *     verbatim, and CONFLICT loudly otherwise (ConcurrentDeleteDelete);
+  *   - overwrites (truncate, replaceWhere) demand an unchanged base;
+  *   - a reserved-but-unswapped slot (winner crashed mid-commit)
+  *     stalls nobody;
+  *   - streaming-txn watermarks survive whichever base wins.
+  *
+  * Reference: Delta's OptimisticTransaction conflict matrix (public
+  * delta-io/delta `ConflictChecker.scala`), Iceberg's commit retry on
+  * `rewrite_data_files`. */
+class ConcurrencySpec extends SparkSpec {
+
+  private def entry(name: String, lo: Double = 0.0, hi: Double = 1.0, rows: Long = 1L): String =
+    JsonlStats.statsLine(JsonlStats.FileStats(name, lo, hi, rows))
+
+  private def liveEntries(root: String): Set[String] =
+    JsonlStats.readStats(root).map(JsonlStats.statsLine).toSet
+
+  test("threaded append storm: every writer's entries survive, snapshots chain") {
+    val root = Files.createTempDirectory("occ_storm").toString
+    val threads = 8; val perThread = 3
+    val pool = Executors.newFixedThreadPool(threads)
+    val barrier = new CyclicBarrier(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            barrier.await(20, TimeUnit.SECONDS)
+            (0 until perThread).foreach { i =>
+              val line = entry(f"part-t$t-$i.jsonl", t, t + 1, 10L * t + i)
+              JsonlStats.commitAtomic(root, s"storm-$t-$i", base => base :+ line)
+            }
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"storm writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val finalSet = liveEntries(root)
+    assert(finalSet.size === threads * perThread,
+      "every concurrent append's entry must survive — the lost-update law")
+    // snapshot chain: append-only history means each archived version's
+    // entry set is a subset of every later one and of the live set
+    val versions = JsonlStats.historyVersions(root)
+    val chain = versions.map(v =>
+      JsonlStats.readStats(root, s"${JsonlStats.HistoryDir}/v$v.jsonl")
+        .map(JsonlStats.statsLine).toSet)
+    chain.sliding(2).foreach {
+      case Seq(a, b) => assert(a.subsetOf(b), "append-only snapshots must nest")
+      case _ =>
+    }
+    chain.lastOption.foreach(last => assert(last.subsetOf(finalSet)))
+  }
+
+  test("first generation: concurrent table creation is CAS'd, both writers' entries land") {
+    val root = Files.createTempDirectory("occ_firstgen").toString
+    val barrier = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val ts = (0 until 2).map { t =>
+      new Thread(() => {
+        barrier.await()
+        results.add(JsonlStats.commitAtomic(root, s"first-$t",
+          base => base :+ entry(s"part-first-$t.jsonl")))
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(liveEntries(root).size === 2)
+    // exactly one commit CREATED the table (returned version 0)
+    assert(results.asScala.toSeq.map(_.toInt).sorted === Seq(0, 1))
+  }
+
+  test("a reserved-but-unswapped slot (crashed winner) does not stall the next commit") {
+    val root = Files.createTempDirectory("occ_stall").toString
+    JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("part-seed.jsonl")))
+    // simulate a winner that reserved v1 and died before swapping: the
+    // slot holds exactly the live bytes
+    val hist = Paths.get(root, JsonlStats.HistoryDir)
+    Files.createDirectories(hist)
+    Files.copy(Paths.get(root, "_stats.jsonl"), hist.resolve("v1.jsonl"))
+    val t0 = System.nanoTime()
+    JsonlStats.commitAtomic(root, "next", base => base :+ entry("part-next.jsonl"),
+      spinMs = 100)
+    assert(liveEntries(root).size === 2, "the commit must land despite the dead reservation")
+    assert(JsonlStats.currentVersion(root) >= 3,
+      "the stalled slot is skipped, not reused")
+    assert((System.nanoTime() - t0) < 5L * 1000 * 1000 * 1000)
+  }
+
+  test("rebaseRewrite: commutes with concurrent appends, conflicts on a changed member") {
+    val a = entry("a.jsonl", 0, 1, 5); val b = entry("b.jsonl", 1, 2, 5)
+    val c = entry("c.jsonl", 2, 3, 5); val appended = entry("new.jsonl", 9, 10, 1)
+    val bin = entry("bin-ab.jsonl", 0, 2, 10)
+    // concurrent append rides through the rewrite untouched
+    assert(JsonlStats.rebaseRewrite(Seq(a, b), Seq(bin))(Seq(a, b, c, appended)).toSet ===
+      Set(c, appended, bin))
+    // a member that changed under the rewrite (here: grew a DV) conflicts
+    val aWithDv = JsonlStats.statsLine(JsonlStats.parseStatsLines(Seq(a)).head
+      .copy(dvs = Seq("_deletes/a.dv"), dels = 2))
+    intercept[java.util.ConcurrentModificationException] {
+      JsonlStats.rebaseRewrite(Seq(a, b), Seq(bin))(Seq(aWithDv, b, c))
+    }
+    // a member that vanished (another rewrite took it) conflicts too
+    intercept[java.util.ConcurrentModificationException] {
+      JsonlStats.rebaseRewrite(Seq(a, b), Seq(bin))(Seq(b, c))
+    }
+  }
+
+  test("rebaseOverwrite: any concurrent commit under a truncate/replace conflicts") {
+    val a = entry("a.jsonl"); val b = entry("b.jsonl"); val x = entry("x.jsonl")
+    assert(JsonlStats.rebaseOverwrite(Seq(a), Seq(x))(Seq(a)) === Seq(x))
+    intercept[java.util.ConcurrentModificationException] {
+      JsonlStats.rebaseOverwrite(Seq(a), Seq(x))(Seq(a, b))
+    }
+  }
+
+  test("concurrent DV deletes: disjoint files compose, same file conflicts") {
+    val root = Files.createTempDirectory("occ_dv").toString
+    JsonlStats.commitAtomic(root, "seed",
+      _ => Seq(entry("f1.jsonl", 0, 1, 10), entry("f2.jsonl", 1, 2, 10)))
+    def dvCommit(file: String, dv: String, dels: Long) =
+      Array[WriterCommitMessage](graft.sources.JsonlDvCommit(Seq((file, dv, dels))))
+    // both writes constructed against the SAME snapshot (their planned
+    // references agree), then committed one after the other
+    val onF1 = new JsonlDvBatchWrite(root, "del-f1")
+    val onF2 = new JsonlDvBatchWrite(root, "del-f2")
+    onF2.commit(dvCommit("f2.jsonl", "_deletes/f2-a.dv", 3))
+    onF1.commit(dvCommit("f1.jsonl", "_deletes/f1-a.dv", 2))
+    val byFile = JsonlStats.readStats(root).map(s => s.file -> s).toMap
+    assert(byFile("f1.jsonl").dels === 2 && byFile("f2.jsonl").dels === 3,
+      "disjoint concurrent deletes must both land")
+    // same-file race: two ops planned against the same snapshot, the
+    // second to commit would double-mask -> ConcurrentDeleteDelete
+    val lateA = new JsonlDvBatchWrite(root, "del-f1-a")
+    val lateB = new JsonlDvBatchWrite(root, "del-f1-b")
+    lateA.commit(dvCommit("f1.jsonl", "_deletes/f1-b.dv", 1))
+    intercept[java.util.ConcurrentModificationException] {
+      lateB.commit(dvCommit("f1.jsonl", "_deletes/f1-c.dv", 1))
+    }
+    assert(JsonlStats.readStats(root).find(_.file == "f1.jsonl").get.dels === 3,
+      "the losing delete must not have double-counted dels")
+  }
+
+  test("streaming-txn watermarks survive whichever base wins") {
+    val root = Files.createTempDirectory("occ_txn").toString
+    JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("seed.jsonl")),
+      ownTxns = Seq(JsonlStats.txnLine("appX", 5)))
+    JsonlStats.commitAtomic(root, "y1", base => base :+ entry("y1.jsonl"),
+      ownTxns = Seq(JsonlStats.txnLine("appY", 1)))
+    assert(JsonlStats.readTxns(root) === Map("appX" -> 5L, "appY" -> 1L))
+    JsonlStats.commitAtomic(root, "y2", base => base :+ entry("y2.jsonl"),
+      ownTxns = Seq(JsonlStats.txnLine("appY", 2)))
+    assert(JsonlStats.readTxns(root) === Map("appX" -> 5L, "appY" -> 2L),
+      "own app's watermark replaces; every other app's carries forward")
+  }
+
+  test("SQL level: concurrent INSERT INTO appenders through the catalog all survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("occ_sql_table").toString
+    spark.range(10).select(
+        $"id".as("event_id"), ($"id" % 3).as("user_id"),
+        lit("seed").as("event_type"), ($"id" * 1.0).as("value"))
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_occ_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      Paths.get(dir).getParent.toString)
+    val table = Paths.get(dir).getFileName.toString
+    val threads = 4; val perThread = 2
+    val pool = Executors.newFixedThreadPool(threads)
+    val barrier = new CyclicBarrier(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            barrier.await(20, TimeUnit.SECONDS)
+            (0 until perThread).foreach { i =>
+              val id = 1000 + t * 10 + i
+              spark.sql(
+                s"INSERT INTO $cat.$table VALUES ($id, ${t}L, 'ins', ${t}.5)")
+            }
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"concurrent INSERT failed: ${Option(errs.peek()).map(_.toString)}")
+    val got = spark.sql(s"SELECT event_id FROM $cat.$table WHERE event_type = 'ins'")
+      .as[Long].collect().toSet
+    val want = (for (t <- 0 until threads; i <- 0 until perThread)
+      yield 1000L + t * 10 + i).toSet
+    assert(got === want, "every concurrent INSERT's rows must be readable — no lost update")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.$table").head().getLong(0) === 10L + threads * perThread)
+  }
+}

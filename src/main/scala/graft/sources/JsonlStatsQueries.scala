@@ -1240,6 +1240,57 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q231 (r8): CONCURRENT MULTI-WRITER APPEND through the optimistic
+    * commit loop ([[JsonlStats.commitAtomic]]) — the multi-job ingest
+    * shape every warehouse table format must survive: three driver
+    * threads race `writeTo(...).append()` against ONE connector table
+    * (plus the seeding overwrite, which takes the serializable arm),
+    * each commit CAS-reserving its version slot and rebasing its
+    * blind append on whichever base wins. The registered read
+    * aggregates the table afterwards and the oracle recomputes the
+    * same content from parquet — equality IS the no-lost-update law,
+    * end-to-end through SQL (the unit laws live in ConcurrencySpec).
+    * At 100 TB this is N ingest jobs landing on one table: commit cost
+    * is O(manifest) metadata arithmetic + each writer's own files;
+    * contention costs bounded CAS retries, never a table lock and
+    * never silent data loss. */
+  def concurrentAppend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val table = "jsonl_occ_append"
+    val dir = Landing.fixtureDir(d, table)
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // fresh generation every rep (reps must not accumulate): the
+    // overwrite truncates through the same OCC commit
+    ev.where(pmod($"event_id", lit(4)) === 0)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .mode("overwrite").save()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 3).foreach { r =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+            ev.where(pmod($"event_id", lit(4)) === r)
+              .writeTo(s"$cat.$table").append()
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    require(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS)
+      && errs.isEmpty, s"concurrent appender failed: ${Option(errs.peek())}")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.$table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1276,6 +1327,7 @@ object JsonlStatsQueries extends QueryModule {
     "q220_dv_merge" -> dvMerge,
     "q223_count_pushdown" -> countColPushdown,
     "q227_string_skipping" -> stringSkippingScan,
+    "q231_concurrent_append" -> concurrentAppend,
   )
 
   val oracles = Map(
@@ -1480,6 +1532,14 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q231: the racing appenders partition the feed by event_id residue,
+    // so lossless concurrent commits ⟺ the table equals the whole feed
+    "q231_concurrent_append" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q191_grouped_agg_pushdown" ->

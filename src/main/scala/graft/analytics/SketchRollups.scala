@@ -61,9 +61,56 @@ object SketchRollups extends QueryModule {
       .orderBy($"week")
   }
 
+  /** q232 (r8): MERGEABLE QUANTILE rollup via t-digest
+    * ([[graft.functions.TDigest]]) — q110's stored-sketch pattern for
+    * percentiles: per-DAY digest artifacts (what a nightly job stores
+    * beside its partition), weekly p50/p95 answered by MERGING the
+    * member-day artifacts — never re-reading raw rows. This is the
+    * question `approx_percentile` (q93) cannot answer incrementally:
+    * its GK sketch is not exposed as a mergeable artifact, so every
+    * window re-scans; the t-digest IS the artifact. The digest
+    * estimate depends mildly on merge order (floating-point centroid
+    * means), so the registered surface is the EXACT weekly percentiles
+    * (hash-compared against DuckDB's quantile_cont, the q67 device)
+    * plus a rank certificate computed exactly: the estimate's true
+    * rank must sit within ±(0.01 + 1/n) of its target — deterministic
+    * TRUE, mirrored by the oracle as a constant. Scale shape: one
+    * shuffle to day grain, artifact-only rollup above it, ≤~2δ
+    * centroid pairs per artifact, digests the only driver traffic. */
+  def tdigestQuantileRollup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TDigest
+    val ord = Tables.orders(spark, d)
+      .select(date_trunc("week", $"o_orderdate").cast("date").as("week"),
+        $"o_orderdate".as("day"), $"o_totalprice",
+        $"o_totalprice".cast("double").as("price"))
+    val td = udaf(TDigest.agg)
+    val tdm = udaf(TDigest.mergeAgg)
+    val daily = ord.groupBy($"week", $"day").agg(td($"price").as("sk"))
+    val weekly = daily.groupBy($"week").agg(tdm($"sk").as("sk"))
+    val est = weekly.collect().map { r =>
+      val sk = r.getSeq[Double](1)
+      (r.getDate(0), TDigest.quantile(sk, 0.5), TDigest.quantile(sk, 0.95))
+    }.toSeq.toDF("week", "est50", "est95")
+    val checked = ord.join(broadcast(est), "week")
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("ex"),
+        sum(when($"price" <= $"est50", 1L).otherwise(0L)).as("le50"),
+        sum(when($"price" <= $"est95", 1L).otherwise(0L)).as("le95"))
+    checked.select($"week", $"n_orders",
+        $"ex"(0).as("p50"), $"ex"(1).as("p95"),
+        (abs($"le50" / $"n_orders".cast("double") - 0.5) <=
+          lit(0.01) + lit(1.0) / $"n_orders").as("digest50_ok"),
+        (abs($"le95" / $"n_orders".cast("double") - 0.95) <=
+          lit(0.01) + lit(1.0) / $"n_orders").as("digest95_ok"))
+      .orderBy($"week")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q63_approx_distinct"    -> approxDistinct,
     "q110_hll_sketch_rollup" -> hllSketchRollup,
+    "q232_tdigest_rollup"    -> tdigestQuantileRollup,
   )
 
   val oracles = Map(
@@ -85,6 +132,18 @@ object SketchRollups extends QueryModule {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
         |FROM events
+        |GROUP BY week
+        |ORDER BY week""".stripMargin,
+    // q232: the digest estimate is merge-order-sensitive, so the hashed
+    // surface is the exact weekly percentiles (the q67 quantile_cont
+    // device) plus the rank certificate as a constant TRUE
+    "q232_tdigest_rollup" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |  count(*) AS n_orders,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  TRUE AS digest50_ok, TRUE AS digest95_ok
+        |FROM orders
         |GROUP BY week
         |ORDER BY week""".stripMargin,
   )

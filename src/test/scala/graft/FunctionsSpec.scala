@@ -171,4 +171,46 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(estU - 50000) <= 5.0 * 50000 / math.sqrt(KmvSketch.K), s"union est $estU")
     assert(math.abs(estI - 10000) <= 5.0 * 50000 / math.sqrt(KmvSketch.K), s"intersect est $estI")
   }
+
+  test("t-digest laws: weight conservation, bounded size, rank accuracy, merge == whole (r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TDigest
+    val td = udaf(TDigest.agg)
+    val tdm = udaf(TDigest.mergeAgg)
+    val n = 100000
+    // a deterministic non-uniform stream in scrambled order (hash
+    // order, not sorted — digests must not rely on sorted ingest):
+    // value = (h mod n)^2 / n, a right-skewed distribution with
+    // known exact quantiles over a permutation of 0..n-1
+    val vals = spark.range(n)
+      .select((pmod(xxhash64($"id"), lit(n)).cast("double") *
+        pmod(xxhash64($"id"), lit(n)).cast("double") / n).as("v"),
+        pmod($"id", lit(10)).as("part"))
+    val whole = vals.agg(td($"v")).head().getSeq[Double](0)
+    // weight conservation: unit-weight ingest sums to the row count
+    assert(math.abs(TDigest.count(whole) - n) < 1e-6)
+    // bounded artifact: the k1 bound caps centroids near 2*delta
+    assert(whole.size / 2 <= 2 * TDigest.Delta.toInt + 8, s"${whole.size / 2} centroids")
+    // rank accuracy: the estimate's exact rank (counted, not assumed)
+    // within 1% of target at the head, middle, and both tails
+    for (q <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val est = TDigest.quantile(whole, q)
+      val rank = vals.filter($"v" <= est).count().toDouble / n
+      assert(math.abs(rank - q) <= 0.01, s"q=$q est=$est rank=$rank")
+    }
+    // merge == whole (within the certificate): partial digests per
+    // part, merged, must give the same certified ranks
+    val merged = vals.groupBy($"part").agg(td($"v").as("sk"))
+      .agg(tdm($"sk")).head().getSeq[Double](0)
+    assert(math.abs(TDigest.count(merged) - n) < 1e-6)
+    for (q <- Seq(0.5, 0.95)) {
+      val est = TDigest.quantile(merged, q)
+      val rank = vals.filter($"v" <= est).count().toDouble / n
+      assert(math.abs(rank - q) <= 0.01, s"merged q=$q est=$est rank=$rank")
+    }
+    // quantile monotonicity over the readout grid
+    val grid = (1 to 99).map(i => TDigest.quantile(whole, i / 100.0))
+    assert(grid.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+  }
 }

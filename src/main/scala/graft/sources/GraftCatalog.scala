@@ -293,7 +293,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     }
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints, mapping)
+      meta.bloomCol, meta.deleteMode, constraints, mapping,
+      // a table that ever grew a mapping is READABLE only by
+      // mapping-aware builds — stamp the protocol feature (r8)
+      if (mapping.nonEmpty) meta.features :+ JsonlStats.FeatureColumnMapping
+      else meta.features)
     loadTable(ident)
   }
 

@@ -208,6 +208,17 @@ class JsonlDvBatchWrite(root: String, queryId: String,
         dvs = s.dvs ++ es.map(_._1).sorted,
         dels = s.dels + es.map(_._2).sum))
     }
+    // protocol stamp (r8) BEFORE the swap: once any entry carries a DV,
+    // only DV-aware readers can read the table correctly — a crash in
+    // between over-declares, which is conservative
+    if (fresh.nonEmpty) {
+      val meta = JsonlStats.readTableMeta(root)
+      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureDvs))
+        JsonlStats.writeTableMeta(root,
+          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
+          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
+          meta.columnMapping, meta.features :+ JsonlStats.FeatureDvs)
+    }
     JsonlStats.commitAtomic(root, queryId,
       JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines))
   }

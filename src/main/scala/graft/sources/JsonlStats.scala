@@ -382,13 +382,40 @@ object JsonlStats {
                              bloomCol: Option[String] = None,
                              deleteMode: Option[String] = None,
                              constraints: Seq[(String, String)] = Nil,
-                             columnMapping: Map[String, String] = Map.empty)
+                             columnMapping: Map[String, String] = Map.empty,
+                             features: Seq[String] = Nil)
+
+  // ---- protocol features (r8): the Delta reader-features idea -----------
+
+  /** READ-gating table features: a reader that does not implement one
+    * of these would silently MISREAD the data — ignoring deletion
+    * vectors resurrects masked rows; ignoring column mapping returns
+    * null for every renamed column. The write path that first uses the
+    * capability stamps the feature into `_table.json` BEFORE its
+    * commit (a crash in between over-declares, which is conservative),
+    * and every resolution path refuses a table whose feature list
+    * names something this build does not know — loud forward
+    * incompatibility instead of silent wrong results.
+    *
+    * Deliberately NOT gated: advisory metadata a reader may ignore at
+    * worst conservatively — per-column stats, string bounds, non-null
+    * counts, row-offset checkpoints (absent ⇒ whole-file tasks),
+    * bloom sidecars, txn watermarks (a READER never consults them).
+    * Gating those would refuse old readers that are perfectly correct.
+    * Features are sticky: rewrite_deletes collapses live DVs but
+    * archived snapshots still carry them, so dropping the flag would
+    * need the DV'd history vacuumed first (Delta's drop-feature flow;
+    * not implemented, stated). */
+  val FeatureDvs = "deletion-vectors"
+  val FeatureColumnMapping = "column-mapping"
+  val KnownReadFeatures: Set[String] = Set(FeatureDvs, FeatureColumnMapping)
 
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
                      schema: StructType, bloomCol: Option[String] = None,
                      deleteMode: Option[String] = None,
                      constraints: Seq[(String, String)] = Nil,
-                     columnMapping: Map[String, String] = Map.empty): Unit = {
+                     columnMapping: Map[String, String] = Map.empty,
+                     features: Seq[String] = Nil): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
@@ -406,6 +433,10 @@ object JsonlStats {
     if (columnMapping.nonEmpty) {
       val m = n.putObject("columnMapping")
       columnMapping.toSeq.sortBy(_._1).foreach { case (l, p) => m.put(l, p) }
+    }
+    if (features.nonEmpty) {
+      val f = n.putArray("features")
+      features.distinct.sorted.foreach(f.add)
     }
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
@@ -690,12 +721,15 @@ object JsonlStats {
       Files.deleteIfExists(Paths.get(root, Bloom.sidecarName(c.file)))
     }
 
+  /** Throws on unknown READ-gating features ([[requireReadable]]) —
+    * every resolution path (format, catalog, procedures, maintenance)
+    * funnels through here, so the protocol gate has one choke point. */
   def readTableMeta(root: String): TableMeta = {
     val p = Paths.get(root, "_table.json")
     if (!Files.exists(p)) TableMeta(None, None, None)
     else {
       val n = new ObjectMapper().readTree(Files.readAllLines(p).asScala.mkString("\n"))
-      TableMeta(
+      requireReadable(root, TableMeta(
         if (n.hasNonNull("statsColumn")) Some(n.get("statsColumn").asText()) else None,
         if (n.hasNonNull("partitionColumn")) Some(n.get("partitionColumn").asText()) else None,
         if (n.hasNonNull("schema"))
@@ -714,8 +748,25 @@ object JsonlStats {
           val b = Map.newBuilder[String, String]
           m.fieldNames().asScala.foreach(f => b += f -> m.get(f).asText())
           b.result()
-        })
+        },
+        if (!n.hasNonNull("features")) Nil
+        else (0 until n.get("features").size()).map(i => n.get("features").get(i).asText())))
     }
+  }
+
+  /** Protocol gate (r8): refuse a table whose sidecar names a
+    * READ-gating feature this build does not implement — the one
+    * choke point every resolution path (format, catalog, procedures,
+    * maintenance) funnels through, because operating on a table you
+    * cannot fully parse silently misreads or destroys data. */
+  def requireReadable(root: String, meta: TableMeta): TableMeta = {
+    val unknown = meta.features.filterNot(KnownReadFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table $root requires feature(s) ${unknown.mkString(", ")} that this build " +
+          s"does not implement (known: ${KnownReadFeatures.toSeq.sorted.mkString(", ")}); " +
+          "reading or maintaining it would silently misread data — upgrade the reader")
+    meta
   }
 
   /** The column a skippable predicate names, if its shape is one the

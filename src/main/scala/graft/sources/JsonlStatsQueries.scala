@@ -1291,6 +1291,60 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q233 (r8): PROTOCOL-GATED READ — the Delta reader-features idea on
+    * the connector's sidecar: write paths STAMP read-gating features
+    * the moment they first use the capability (the DELETE's first
+    * deletion vector, the RENAME's column mapping), and every
+    * resolution path refuses a table whose feature list names
+    * something this build does not implement — loud forward
+    * incompatibility instead of silently resurrecting masked rows or
+    * nulling renamed columns. Each run re-proves the refusal on a
+    * future-featured sidecar (q203's device: the negative arm executes
+    * every rep), then reads the doubly-featured table with BOTH
+    * features load-bearing in the result: the masked slice must be
+    * absent (DVs honored) and the renamed column non-null (mapping
+    * honored) — `count(uid)` collapses to zero if a reader ignores the
+    * mapping, so the oracle catches it. */
+  def protocolGatedRead(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_proto_gate")
+    // one-way DDL (RENAME) inside: rebuild from scratch every rep
+    graft.util.Fs.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.statsCol.get, m0.partitionCol, m0.schema.get,
+      m0.bloomCol, deleteMode = Some("merge-on-read"))
+    val table = Paths.get(dir).getFileName.toString
+    spark.sql(s"DELETE FROM $cat.$table WHERE event_type = 'click'")
+    spark.sql(s"ALTER TABLE $cat.$table RENAME COLUMN user_id TO uid")
+    val m = JsonlStats.readTableMeta(dir)
+    require(m.features.toSet ==
+      Set(JsonlStats.FeatureDvs, JsonlStats.FeatureColumnMapping),
+      s"write paths must stamp their read-gating features, got ${m.features}")
+    // negative arm, re-proven every run: a future feature must refuse
+    JsonlStats.writeTableMeta(dir, m.statsCol.get, m.partitionCol, m.schema.get,
+      m.bloomCol, m.deleteMode, m.constraints, m.columnMapping,
+      m.features :+ "future-feature")
+    val refused =
+      try { spark.read.format("graft-jsonl-stats").option("path", dir).load().collect(); false }
+      catch { case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .exists(c => Option(c.getMessage).exists(_.contains("future-feature"))) }
+    require(refused, "an unknown read-gating feature must refuse the read")
+    JsonlStats.writeTableMeta(dir, m.statsCol.get, m.partitionCol, m.schema.get,
+      m.bloomCol, m.deleteMode, m.constraints, m.columnMapping, m.features)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n, count(uid) AS n_uid,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.$table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1328,6 +1382,7 @@ object JsonlStatsQueries extends QueryModule {
     "q223_count_pushdown" -> countColPushdown,
     "q227_string_skipping" -> stringSkippingScan,
     "q231_concurrent_append" -> concurrentAppend,
+    "q233_protocol_gate" -> protocolGatedRead,
   )
 
   val oracles = Map(
@@ -1540,6 +1595,16 @@ object JsonlStatsQueries extends QueryModule {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q233: n_uid = n iff the reader honors the column mapping (a
+    // mapping-blind reader serves NULLs and count(uid) collapses);
+    // the click slice absent iff DVs are honored
+    "q233_protocol_gate" ->
+      """SELECT event_type, count(*) AS n, count(user_id) AS n_uid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q191_grouped_agg_pushdown" ->

@@ -2234,4 +2234,50 @@ class JsonlStatsSpec extends SparkSpec {
     assert(r2.filter($"user_id".isNull && $"value".isNull).count() === 1)
     assert(r2.select($"event_type").head.getString(0) === "view")
   }
+
+  test("protocol features: DV delete and rename stamp the sidecar; unknown features refuse loudly (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_proto").toString
+    spark.range(100).select($"id".as("event_id"), ($"id" % 7).as("user_id"),
+        lit("view").as("event_type"), ($"id" * 1.0).as("value"))
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    assert(meta0.features.isEmpty, "a plain table declares no features")
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_proto_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE event_id % 10 = 0")
+    assert(JsonlStats.readTableMeta(dir).features === Seq(JsonlStats.FeatureDvs),
+      "the first DV commit stamps deletion-vectors")
+    spark.sql(s"ALTER TABLE $cat.`$table` RENAME COLUMN user_id TO uid")
+    assert(JsonlStats.readTableMeta(dir).features.toSet ===
+      Set(JsonlStats.FeatureDvs, JsonlStats.FeatureColumnMapping),
+      "RENAME stamps column-mapping and preserves prior features")
+    // both features are known to this build: the table still reads
+    assert(spark.table(s"$cat.`$table`").count() === 90)
+    // a FUTURE feature refuses loudly on every resolution path
+    val m = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m.statsCol.get, m.partitionCol, m.schema.get,
+      m.bloomCol, m.deleteMode, m.constraints, m.columnMapping,
+      m.features :+ "v9-quantum-clustering")
+    def refuses(body: => Any): Unit = {
+      val e = intercept[Throwable](body)
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("v9-quantum-clustering")),
+        s"expected a feature refusal, got: $e")
+    }
+    refuses(JsonlStats.readTableMeta(dir))
+    refuses(spark.read.format("graft-jsonl-stats").option("path", dir).load().collect())
+    refuses(spark.sql(s"SELECT * FROM $cat.`$table`").collect())
+    refuses(spark.sql(s"CALL $cat.detail('$table')").collect())
+    // restoring a known feature list re-admits the table
+    JsonlStats.writeTableMeta(dir, m.statsCol.get, m.partitionCol, m.schema.get,
+      m.bloomCol, m.deleteMode, m.constraints, m.columnMapping, m.features)
+    assert(spark.table(s"$cat.`$table`").count() === 90)
+  }
 }

@@ -32,7 +32,7 @@ object ChangeFeed {
   /** Resolve version v of the table rooted at `root` to its manifest
     * path (relative to root), failing with the retention story when
     * the generation was vacuumed. */
-  private def manifestOf(root: String, v: Int): String = {
+  private[sources] def manifestOf(root: String, v: Int): String = {
     val current = JsonlStats.currentVersion(root)
     require(v >= 1 && v <= current, s"no version $v of $root (versions 1..$current)")
     if (v == current) "_stats.jsonl"

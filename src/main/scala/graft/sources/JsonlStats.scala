@@ -78,6 +78,13 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     // surface nulls for every renamed column
     val mapping = Option(properties.get("path"))
       .map(JsonlStats.readTableMeta(_).columnMapping).getOrElse(Map.empty)
+    // `readChangeFeed=true` (r8): the STREAMING change-data-feed view —
+    // versions as offsets, row images + `_change_type` as the schema
+    // (the Delta CDF read shape); `startingVersion` picks the first
+    // version whose changes stream (default 1 = the whole history)
+    if (opts.getBoolean("readChangeFeed", false))
+      return new JsonlCdfTable(properties.get("path"),
+        opts.getInt("startingVersion", 1))
     new JsonlStatsTable(properties.get("path"), schema,
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
       Option(opts.get("partitionColumn")),

@@ -1345,6 +1345,60 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q234 (r8): STREAMING CHANGE DATA FEED — q181's batch
+    * `tableChanges` as a structured-streaming SOURCE
+    * ([[JsonlCdfStream]]): offsets are table VERSIONS, each
+    * micro-batch emits the row images + `_change_type` the commits in
+    * its window produced — inserts from files added (masked by their
+    * window-end DVs, net semantics) and deletes from DV growth read
+    * with the mask INVERTED; copy-on-write windows refuse loudly
+    * (their delta needs batch tableChanges' image-cancelling join).
+    * The registered run drives three checkpointed AvailableNow drains
+    * through a parquet sink — append, append, merge-on-read DELETE —
+    * and aggregates the accumulated change rows; the oracle recomputes
+    * the same inserts (the whole feed) and deletes (the masked slice)
+    * from parquet, so hash equality pins BOTH legs' exactness and the
+    * exactly-once version offsets. This is the leg that turns the
+    * CDF→IVM composition (q229) continuous: at 100 TB the per-batch
+    * read is the delta's files, never the table. */
+  def cdfStreamDrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_cdf_drain")
+    val out = Landing.fixtureDir(d, "jsonl_cdf_drain_out")
+    val ckpt = Landing.fixtureDir(d, "jsonl_cdf_drain_ckpt")
+    Seq(dir, out, ckpt).foreach(graft.util.Fs.deleteRecursively)
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.filter($"event_type" =!= "click").repartitionByRange(3, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.statsCol.get, m0.partitionCol, m0.schema.get,
+      m0.bloomCol, deleteMode = Some("merge-on-read"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsonl-stats")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    ev.filter($"event_type" === "click").repartitionByRange(2, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    drain()
+    val table = Paths.get(dir).getFileName.toString
+    spark.sql(s"DELETE FROM $cat.$table WHERE value < 100.0")
+    drain()
+    spark.read.parquet(out)
+      .groupBy(col(JsonlCdfStream.ChangeTypeCol).as("change_type"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("value_sum"))
+      .orderBy($"change_type", $"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1383,6 +1437,7 @@ object JsonlStatsQueries extends QueryModule {
     "q227_string_skipping" -> stringSkippingScan,
     "q231_concurrent_append" -> concurrentAppend,
     "q233_protocol_gate" -> protocolGatedRead,
+    "q234_cdf_stream" -> cdfStreamDrain,
   )
 
   val oracles = Map(
@@ -1597,6 +1652,21 @@ object JsonlStatsQueries extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q234: inserts = the whole feed (both appended generations),
+    // deletes = the slice the merge-on-read DELETE masked — both legs
+    // recomputed from parquet, so the hash pins image exactness AND
+    // the exactly-once version offsets across the three drains
+    "q234_cdf_stream" ->
+      """SELECT change_type, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM (
+        |  SELECT 'insert' AS change_type, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, event_type, value FROM events
+        |  WHERE value < 100.0
+        |)
+        |GROUP BY change_type, event_type
+        |ORDER BY change_type, event_type""".stripMargin,
     // q233: n_uid = n iff the reader honors the column mapping (a
     // mapping-blind reader serves NULLs and count(uid) collapses);
     // the click slice absent iff DVs are honored

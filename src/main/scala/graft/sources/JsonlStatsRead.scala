@@ -673,7 +673,8 @@ class JsonlPartitionReader(file: String, required: StructType,
                            bloomSets: Seq[Array[Long]] = Seq.empty,
                            dvs: Seq[String] = Nil,
                            columnMapping: Map[String, String] = Map.empty,
-                           startRow: Long = -1L)
+                           startRow: Long = -1L,
+                           invertMask: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
 
@@ -766,8 +767,12 @@ class JsonlPartitionReader(file: String, required: StructType,
           if (bytes.length > 0 && !(bytes.length == 1 && bytes(0) == '\r')) {
             pos += 1
             // DV mask: pos counts every physical line (so positions stay
-            // stable across deletes), masked rows are simply not emitted
-            if (deleted == null || !deleted.contains(pos)) {
+            // stable across deletes), masked rows are simply not emitted.
+            // INVERTED mode (r8, the streaming change feed's delete leg)
+            // emits ONLY the masked positions — the before-images of the
+            // rows a DV commit deleted.
+            val masked = deleted != null && deleted.contains(pos)
+            if (if (invertMask) masked else !masked) {
               line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
               found = true
             }

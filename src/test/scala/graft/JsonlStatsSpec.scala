@@ -2280,4 +2280,75 @@ class JsonlStatsSpec extends SparkSpec {
       m.bloomCol, m.deleteMode, m.constraints, m.columnMapping, m.features)
     assert(spark.table(s"$cat.`$table`").count() === 90)
   }
+
+  test("streaming change feed: versions as offsets, exact insert/delete legs, COW refusal (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_cdf_stream").toString
+    val ckpt = Files.createTempDirectory("jsonl_cdf_ckpt").toString
+    val src = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val gen1 = src.filter($"event_type" =!= "click")
+    val gen2 = src.filter($"event_type" === "click")
+    gen1.repartitionByRange(3, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val meta0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, meta0.statsCol.get, meta0.partitionCol,
+      meta0.schema.get, meta0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_cdfs_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsonl-stats")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          batches.synchronized {
+            batches += df.select($"event_id", col(graft.sources.JsonlCdfStream.ChangeTypeCol))
+              .as[(Long, String)].collect().toSeq
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1: the whole history so far = gen1 as inserts
+    drain()
+    val d1 = batches.flatten.toSeq; batches.clear()
+    assert(d1.forall(_._2 == "insert") && d1.size === gen1.count(),
+      s"first drain = gen1 inserts, got ${d1.size}")
+    // drain 2: an append THROUGH the connector = gen2 inserts only
+    gen2.repartitionByRange(2, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    drain()
+    val d2 = batches.flatten.toSeq; batches.clear()
+    assert(d2.forall(_._2 == "insert") && d2.map(_._1).toSet ===
+      gen2.select($"event_id").as[Long].collect().toSet,
+      "second drain = exactly the appended rows as inserts")
+    // drain 3: a merge-on-read DELETE = the masked rows as delete images
+    val dead = spark.table(s"$cat.`$table`")
+      .filter($"value" < 100.0).select($"event_id").as[Long].collect().toSet
+    assert(dead.nonEmpty)
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE value < 100.0")
+    drain()
+    val d3 = batches.flatten.toSeq; batches.clear()
+    assert(d3.forall(_._2 == "delete") && d3.map(_._1).toSet === dead,
+      s"third drain = exactly the deleted rows' before-images, got ${d3.size} vs ${dead.size}")
+    // drain 4: nothing changed = empty (exactly-once on version offsets)
+    drain()
+    assert(batches.flatten.isEmpty); batches.clear()
+    // a commit that REMOVES files (rewrite_deletes collapses DV'd
+    // files) must refuse loudly: its row-level delta needs the batch
+    // join, and guessing would fabricate changes
+    spark.sql(s"CALL $cat.rewrite_deletes('$table')").collect()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("tableChanges")),
+      s"expected the COW refusal, got: $e")
+  }
 }

@@ -489,12 +489,81 @@ object Incremental extends QueryModule {
       .orderBy($"c_nationkey")
   }
 
+  /** q235 (r8): CONTINUOUS IVM — the q229 composition made a RUNNING
+    * process: the fact table's STREAMING change feed
+    * ([[graft.sources.JsonlCdfStream]], versions as offsets) drives
+    * the delta-join refresh per micro-batch instead of per manual
+    * version pair. The materialized view is a parquet artifact joined
+    * ONCE from the v1 base; each checkpointed drain reads exactly the
+    * files that entered the manifest since the last offset, joins the
+    * insert images against the broadcast dim, and APPENDS the result
+    * to the view — Δ(A⋈B) = ΔA⋈B for an append-only fact and static
+    * dim, the stream-static enrichment arm of the Blakeley algebra.
+    * Restart-safe by construction (version offsets in the checkpoint;
+    * archived manifests immutable), and the registered read aggregates
+    * the VIEW, so the oracle's monolithic re-join pins "continuously
+    * maintained ≡ recomputed" every run. At 100 TB the view never
+    * re-joins its base: each refresh costs the delta's files plus a
+    * broadcast, on the stream's own cadence. */
+  def streamingJoinIvm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val oDir = Landing.fixtureDir(d, "ivm_stream_orders")
+    val mv = Landing.fixtureDir(d, "ivm_stream_mv")
+    val ckpt = Landing.fixtureDir(d, "ivm_stream_ckpt")
+    Seq(oDir, mv, ckpt).foreach(graft.util.Fs.deleteRecursively)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(oDir))
+    val o = Tables.orders(spark, d)
+      .select($"o_orderkey".cast("long").as("o_orderkey"),
+        $"o_custkey".cast("long").as("o_custkey"), $"o_totalprice")
+    val cust = Tables.customer(spark, d)
+      .select($"c_custkey".cast("long").as("c_custkey"),
+        $"c_nationkey".cast("long").as("c_nationkey"))
+    // v1 = the base slice; the view is joined ONCE from it
+    o.filter($"o_orderkey" % 3 === 0)
+      .write.format("graft-jsonl-stats").option("path", oDir)
+      .option("statsColumn", "o_orderkey").mode("overwrite").save()
+    spark.read.format("graft-jsonl-stats").option("path", oDir).load()
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(mv)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsonl-stats")
+        .option("path", oDir).option("readChangeFeed", "true")
+        .option("startingVersion", "2").load()
+        .writeStream
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          batch.filter(col(graft.sources.JsonlCdfStream.ChangeTypeCol) === "insert")
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .select(col("c_nationkey"), col("o_totalprice"))
+            .write.mode("append").parquet(mv)
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // two delta generations arrive on the stream's cadence
+    o.filter($"o_orderkey" % 3 === 1)
+      .write.format("graft-jsonl-stats").option("path", oDir).mode("append").save()
+    drain()
+    o.filter($"o_orderkey" % 3 === 2)
+      .write.format("graft-jsonl-stats").option("path", oDir).mode("append").save()
+    drain()
+    spark.read.parquet(mv)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.msum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q96_incremental_gold" -> incrementalGold,
     "q126_gold_time_travel" -> goldTimeTravel,
     "q141_multi_table_snapshot" -> multiTableSnapshot,
     "q201_join_ivm" -> joinIvm,
     "q229_cdf_join_ivm" -> cdfJoinIvm,
+    "q235_streaming_ivm" -> streamingJoinIvm,
   )
 
   val oracles = Map(
@@ -541,6 +610,14 @@ object Incremental extends QueryModule {
     // same monolithic recompute: the CDF-sourced refresh must equal the
     // full re-join (nationkey cast mirrors the connector's long schema)
     "q229_cdf_join_ivm" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q235: the continuously-maintained view must equal the monolithic
+    // re-join over every generation the stream delivered
+    "q235_streaming_ivm" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

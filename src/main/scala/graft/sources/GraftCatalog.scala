@@ -200,7 +200,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     * column and post-evolution appends carry it. Anything else (drop/
     * rename/retype) would change how EXISTING bytes are interpreted —
     * that is a new generation, published via REPLACE TABLE AS SELECT. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    // read-modify-write of the table sidecar: serialized against the
+    // other in-JVM sidecar writer (the DV commit's feature stamp) so
+    // neither clobbers the other's update (r8 review)
+    JsonlStats.metaLock.synchronized { alterTableLocked(ident, changes) }
+
+  private def alterTableLocked(ident: Identifier, changes: Seq[TableChange]): Table = {
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new NoSuchTableException(ident)

@@ -73,10 +73,9 @@ object JsonlCdfStream {
   * it handles the commit families the stream refuses). */
 class JsonlCdfTable(root: String, startingVersion: Int)
     extends Table with SupportsRead {
-  private val tableSchema: StructType =
-    JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
-  private val mapping: Map[String, String] =
-    JsonlStats.readTableMeta(root).columnMapping
+  private val meta = JsonlStats.readTableMeta(root)
+  private val tableSchema: StructType = meta.schema.getOrElse(JsonlStats.schema)
+  private val mapping: Map[String, String] = meta.columnMapping
 
   override def name(): String = s"graft-jsonl-stats cdf $root"
   override def schema(): StructType = JsonlCdfStream.cdfSchema(tableSchema)
@@ -118,8 +117,25 @@ class JsonlCdfMicroBatchStream(root: String, tableSchema: StructType,
   override def latestOffset(): Offset = JsonlCdfOffset(JsonlCdfStream.settledVersion(root))
   override def deserializeOffset(json: String): Offset = JsonlCdfOffset.fromJson(json)
 
-  private def statsAt(v: Int): Seq[JsonlStats.FileStats] =
-    if (v <= 0) Nil else JsonlStats.readStats(root, ChangeFeed.manifestOf(root, v))
+  /** The version-v manifest, RACE-SAFELY (r8 review): the archive
+    * `_history/v{v}.jsonl` is immutable and authoritative whenever it
+    * exists (it appears the instant v is superseded — or reserved —
+    * and holds exactly generation v's content), so prefer it; only a
+    * still-live version has no archive, and a commit landing between
+    * our read of the live manifest and now would have CREATED the
+    * archive — re-check after reading and fall back to it, or a batch
+    * ending at offset v could emit version v+1's files and the next
+    * batch would emit them AGAIN (a duplicate, breaking exactly-once). */
+  private def statsAt(v: Int): Seq[JsonlStats.FileStats] = {
+    if (v <= 0) return Nil
+    val arch = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+    val archPath = Paths.get(root, arch)
+    if (Files.exists(archPath)) JsonlStats.readStats(root, arch)
+    else {
+      val live = JsonlStats.readStats(root, "_stats.jsonl")
+      if (Files.exists(archPath)) JsonlStats.readStats(root, arch) else live
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[JsonlCdfOffset].v
@@ -163,18 +179,15 @@ class JsonlCdfReaderFactory(tableSchema: StructType, mapping: Map[String, String
     val c = p.asInstanceOf[JsonlCdfPartition]
     val inner = new JsonlPartitionReader(c.file, tableSchema,
       dvs = c.mask, columnMapping = mapping, invertMask = c.invert)
-    val tag = UTF8String.fromString(c.changeType)
-    val width = tableSchema.length
+    // zero-copy constant-column append (r8 review): one reusable
+    // JoinedRow over the inner row and a single-field tag row — no
+    // per-row array allocation on the change-scan hot path
+    val tagRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(c.changeType)))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
-      override def get(): InternalRow = {
-        val row = inner.get()
-        val out = new Array[Any](width + 1)
-        var i = 0
-        while (i < width) { out(i) = row.get(i, tableSchema(i).dataType); i += 1 }
-        out(width) = tag
-        InternalRow.fromSeq(out.toSeq)
-      }
+      override def get(): InternalRow = joined(inner.get(), tagRow)
       override def close(): Unit = inner.close()
     }
   }

@@ -417,6 +417,16 @@ object JsonlStats {
   val FeatureColumnMapping = "column-mapping"
   val KnownReadFeatures: Set[String] = Set(FeatureDvs, FeatureColumnMapping)
 
+  /** Serializes read-modify-write updates of `_table.json` within this
+    * JVM (the DV commit's feature stamp racing catalog DDL — r8
+    * review). Each writer re-reads the sidecar INSIDE the lock, so a
+    * concurrent update is never overwritten with a stale snapshot.
+    * Cross-process sidecar writers remain last-writer-wins: the
+    * sidecar is table CONTRACT, changed by DDL, and concurrent DDL
+    * from separate processes is the single-administrator assumption
+    * every catalog here already makes. */
+  val metaLock = new Object
+
   def writeTableMeta(root: String, statsCol: String, partitionCol: Option[String],
                      schema: StructType, bloomCol: Option[String] = None,
                      deleteMode: Option[String] = None,
@@ -496,7 +506,10 @@ object JsonlStats {
     * REPLACE move cannot give together). Returns false if the slot was
     * already taken. */
   private def casPublish(target: Path, lines: Seq[String], tag: String): Boolean = {
-    val tmp = target.resolveSibling(s"${target.getFileName}.cas-$tag")
+    // `.jsonl.tmp-` infix (r8 review): a crash between write and link
+    // leaves debris VACUUM's age-gated orphan sweep already matches —
+    // CAS temps must not be immortal garbage
+    val tmp = target.resolveSibling(s"${target.getFileName}.tmp-cas-$tag")
     Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try { Files.createLink(target, tmp); true }
@@ -559,7 +572,13 @@ object JsonlStats {
                    ownTxns: Seq[String] = Nil,
                    onReserved: Int => Unit = _ => (),
                    spinMs: Long = 4000L,
-                   maxAttempts: Int = 20): Int = {
+                   maxAttempts: Int = 1000): Int = {
+    // maxAttempts is a runaway backstop, NOT a contention policy (r8
+    // review): an attempt is only consumed when a RIVAL committed (our
+    // reservation lost) or a lease was honored — global progress either
+    // way, so the loop is livelock-free and a commutable append must
+    // never give up under mere contention. Genuine rebase conflicts
+    // throw immediately and are not retried here.
     val mapper = new ObjectMapper()
     val current = Paths.get(root, "_stats.jsonl")
     val ownApps = ownTxns.map(l => mapper.readTree(l).get("txn").asText()).toSet
@@ -584,6 +603,26 @@ object JsonlStats {
           try Files.readAllLines(current).asScala.toSeq
           catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
         if (liveBytes.nonEmpty || Files.exists(current)) {
+          // CONTENT-NO-OP elimination (r8 review): a commit that would
+          // publish exactly the live content (an empty INSERT, a
+          // maintenance pass with nothing to do) burns no version —
+          // swapping identical bytes would leave the archived slot
+          // byte-equal to live FOREVER, indistinguishable from an
+          // in-flight reservation (every later committer would pay one
+          // lease spin, and the CDF's settled-version check would lag).
+          // Returning without committing is a valid serialization: the
+          // table state it "produced" is the one that exists. Only for
+          // txn-free commits — a streaming epoch must always advance
+          // its watermark. The trial runs on an UNPROVEN base, so a
+          // trial conflict is ignored (the reserved path re-evaluates
+          // authoritatively).
+          if (ownTxns.isEmpty) {
+            val mapperT = new ObjectMapper()
+            val entriesT = liveBytes.filter(_.nonEmpty)
+              .filterNot(l => mapperT.readTree(l).hasNonNull("txn"))
+            val trial = try Some(rebase(entriesT)) catch { case _: Throwable => None }
+            if (trial.exists(_.sorted == entriesT.sorted)) return k - 1
+          }
           val hist = Paths.get(root, HistoryDir)
           Files.createDirectories(hist)
           // A filled slot v{k-1} whose content still EQUALS the live
@@ -660,20 +699,29 @@ object JsonlStats {
     * appended concurrently, other files' changes — rides through
     * untouched, so maintenance commutes with ingest (the Iceberg
     * rewrite-procedure contract). */
+  /** Normalize manifest lines for identity comparison (parse →
+    * re-serialize): membership must mean "same entry", not "same
+    * bytes" — a base written by an older serialization must not fake a
+    * conflict. One parse pass, one shared mapper (r8 review). */
+  private def normLines(lines: Seq[String]): Seq[String] = {
+    val mapper = new ObjectMapper()
+    lines.map { l =>
+      val n = mapper.readTree(l)
+      if (n.hasNonNull("file")) statsLine(parseStatsLines(Seq(l)).head) else l
+    }
+  }
+
   def rebaseRewrite(removed: Seq[String], added: Seq[String])(base: Seq[String]): Seq[String] = {
-    // compare NORMALIZED (parse → re-serialize): membership must mean
-    // "same entry", not "same bytes" — a base written by an older
-    // serialization must not fake a conflict
-    val norm = (l: String) => parseStatsLines(Seq(l)).headOption.map(statsLine).getOrElse(l)
-    val baseSet = base.map(norm).toSet
-    val removedNorm = removed.map(norm)
+    val baseNorm = normLines(base)
+    val baseSet = baseNorm.toSet
+    val removedNorm = normLines(removed)
     val missing = removedNorm.filterNot(baseSet.contains)
     if (missing.nonEmpty)
       conflict(s"${missing.size} planned file entr${if (missing.size == 1) "y" else "ies"} " +
         s"changed under this rewrite (first: ${missing.head.take(120)}); " +
         "replan against the current snapshot")
     val gone = removedNorm.toSet
-    base.filterNot(l => gone.contains(norm(l))) ++ added
+    base.zip(baseNorm).collect { case (l, n) if !gone.contains(n) => l } ++ added
   }
 
   /** Rebase for an OVERWRITE commit (truncate / replaceWhere): the
@@ -683,8 +731,7 @@ object JsonlStats {
     * a concurrently-appended file silently destroyed by the truncate
     * would be a lost update, not an overwrite). */
   def rebaseOverwrite(plannedBase: Seq[String], lines: Seq[String])(base: Seq[String]): Seq[String] = {
-    val norm = (l: String) => parseStatsLines(Seq(l)).headOption.map(statsLine).getOrElse(l)
-    if (base.map(norm).toSet != plannedBase.map(norm).toSet)
+    if (normLines(base).toSet != normLines(plannedBase).toSet)
       conflict("table changed under this overwrite; replan against the current snapshot")
     lines
   }

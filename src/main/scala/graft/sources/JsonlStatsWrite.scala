@@ -160,6 +160,21 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       replaceFilters: Option[Array[Filter]] = None,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty) extends BatchWrite {
+  /** Overwrite conflict reference (r8 review): captured when the WRITE
+    * is CONSTRUCTED — physical planning, before the job's tasks run —
+    * not at commit() time. A truncate/replaceWhere logically reads the
+    * whole table, so a commit landing DURING the rewrite job (e.g. an
+    * append racing a zorder overwrite) must make the overwrite
+    * CONFLICT, not silently vanish under it; commit-time capture would
+    * absorb the intruder into the planned base and then destroy it.
+    * Plain appends never read this (their rebase is blind), which also
+    * keeps the hot append-commit path free of the full-manifest parse. */
+  private val plannedBase: Option[Seq[JsonlStats.FileStats]] =
+    if (!truncateFirst && replaceFilters.isEmpty) None
+    else Some(
+      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
+      else JsonlStats.readStats(root))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
       columnMapping)
@@ -214,9 +229,6 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
-    val previous =
-      if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
-      else JsonlStats.readStats(root)
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -238,17 +250,18 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // closing the read-then-swap lost-update window this commit used to
     // have). TRUNCATE and replaceWhere logically read the whole table /
     // the files their keep-or-drop verdicts were derived from, so they
-    // demand an unchanged base and CONFLICT loudly otherwise.
-    val previousLines = previous.map(JsonlStats.statsLine)
-    if (truncateFirst)
-      JsonlStats.commitAtomic(root, queryId,
-        JsonlStats.rebaseOverwrite(previousLines, freshLines))
-    else replaceFilters match {
-      case Some(fs) =>
-        val keptLines = previous.filter(s => keepUnderReplace(fs, s)).map(JsonlStats.statsLine)
+    // demand a base unchanged since WRITE CONSTRUCTION (`plannedBase`)
+    // and CONFLICT loudly otherwise.
+    (truncateFirst, replaceFilters) match {
+      case (true, _) =>
         JsonlStats.commitAtomic(root, queryId,
-          JsonlStats.rebaseOverwrite(previousLines, keptLines ++ freshLines))
-      case None =>
+          JsonlStats.rebaseOverwrite(plannedBase.get.map(JsonlStats.statsLine), freshLines))
+      case (false, Some(fs)) =>
+        val planned = plannedBase.get
+        val keptLines = planned.filter(s => keepUnderReplace(fs, s)).map(JsonlStats.statsLine)
+        JsonlStats.commitAtomic(root, queryId,
+          JsonlStats.rebaseOverwrite(planned.map(JsonlStats.statsLine), keptLines ++ freshLines))
+      case (false, None) =>
         JsonlStats.commitAtomic(root, queryId, base => base ++ freshLines)
     }
     // truncate: the old generation's files leave the LIVE manifest but

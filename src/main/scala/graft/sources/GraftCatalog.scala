@@ -51,11 +51,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   private var catName: String = _
   private var root: String = _
 
-  /** CHECK constraints flow through ALTER TABLE only when the catalog
-    * declares the capability (r7c). */
+  /** CHECK constraints (r7c) and column DEFAULT values (r8) flow
+    * through ALTER TABLE only when the catalog declares the
+    * capabilities. */
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -234,7 +236,39 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           throw new IllegalArgumentException(
             s"column name $col is the physical field of a renamed column; " +
               "pick another name or rename the owner back first")
-        schema = schema.add(StructField(col, add.dataType(), nullable = true))
+        // DEFAULT values (r8): a LITERAL default lands in the schema
+        // metadata under Spark's own keys — CURRENT_DEFAULT drives the
+        // analyzer's INSERT-side fill (the capability above), and
+        // EXISTS_DEFAULT is the INITIAL default the reader serves for
+        // rows written before the column existed (absent JSON field;
+        // an explicitly-written null stays null — the Iceberg/Delta
+        // initial-default distinction). Only literals: an expression
+        // default (current_timestamp()) would make old rows' values
+        // depend on WHEN they were read, so it refuses loudly. A table
+        // that ever grew an exists-default is readable only by
+        // default-aware builds — protocol feature stamped below.
+        val fieldMeta = Option(add.defaultValue()) match {
+          case None => Metadata.empty
+          case Some(d) =>
+            val lit = d.getValue
+            if (lit == null)
+              throw new UnsupportedOperationException(
+                s"$catName: column $col DEFAULT ${d.getSql} is not a literal; " +
+                  "an expression default would re-evaluate per read — use a literal")
+            val sql = lit.value() match {
+              case null => "NULL"
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                "'" + s.toString.replace("'", "''") + "'"
+              case v => v.toString
+            }
+            new MetadataBuilder()
+              .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+              .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+              .build()
+        }
+        schema = schema.add(StructField(col, add.dataType(), nullable = true, fieldMeta))
       // CHECK constraints (r7c): metadata-only — Spark injects the
       // enforcement into write plans from Table.constraints(). Spark
       // pre-validates existing rows when the DDL asks (ENFORCED is the
@@ -297,13 +331,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         s"$catName: unsupported ALTER $other — drop/rename/retype reinterpret existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")
     }
+    // protocol stamps (r8): a table that ever grew a mapping or an
+    // exists-default is READABLE only by builds that implement them
+    val stamped = (meta.features ++
+      (if (mapping.nonEmpty) Seq(JsonlStats.FeatureColumnMapping) else Nil) ++
+      (if (schema.fields.exists(_.metadata.contains(
+           org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+             .EXISTS_DEFAULT_COLUMN_METADATA_KEY)))
+         Seq(JsonlStats.FeatureColumnDefaults) else Nil)).distinct
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints, mapping,
-      // a table that ever grew a mapping is READABLE only by
-      // mapping-aware builds — stamp the protocol feature (r8)
-      if (mapping.nonEmpty) meta.features :+ JsonlStats.FeatureColumnMapping
-      else meta.features)
+      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped)
     loadTable(ident)
   }
 

@@ -415,7 +415,9 @@ object JsonlStats {
     * not implemented, stated). */
   val FeatureDvs = "deletion-vectors"
   val FeatureColumnMapping = "column-mapping"
-  val KnownReadFeatures: Set[String] = Set(FeatureDvs, FeatureColumnMapping)
+  val FeatureColumnDefaults = "column-defaults"
+  val KnownReadFeatures: Set[String] =
+    Set(FeatureDvs, FeatureColumnMapping, FeatureColumnDefaults)
 
   /** Serializes read-modify-write updates of `_table.json` within this
     * JVM (the DV commit's feature stamp racing catalog DDL — r8

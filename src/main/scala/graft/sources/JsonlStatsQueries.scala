@@ -1399,6 +1399,45 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"change_type", $"event_type")
   }
 
+  /** q236 (r8): COLUMN DEFAULT VALUES — schema evolution that back-
+    * fills WITHOUT rewriting history: `ALTER TABLE ... ADD COLUMN
+    * bonus DOUBLE DEFAULT 2.5` is one sidecar write; every file
+    * written BEFORE the column existed reads the EXISTS default (the
+    * JSON field is absent — an explicitly-written null stays null,
+    * the Iceberg/Delta initial-default distinction), INSERTs that
+    * omit the column get the CURRENT default from Spark's own
+    * analyzer (the SUPPORT_COLUMN_DEFAULT_VALUE capability), and the
+    * table stamps the `column-defaults` protocol feature so a
+    * default-blind reader refuses instead of serving nulls. Defaults
+    * are LITERALS only — an expression default would re-evaluate per
+    * read. The registered run evolves the schema, appends a slice
+    * with explicit values, and aggregates the mixed column; at 100 TB
+    * the alternative is a full-table rewrite to materialize the new
+    * column. */
+  def columnDefaultRead(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_default_col")
+    // one-way DDL inside: rebuild from scratch every rep
+    graft.util.Fs.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val table = Paths.get(dir).getFileName.toString
+    spark.sql(s"ALTER TABLE $cat.$table ADD COLUMN bonus DOUBLE DEFAULT 2.5")
+    // a later slice arrives WITH explicit values for the new column
+    ev.filter($"event_id" % 5 === 0)
+      .withColumn("bonus", $"value" / 10)
+      .writeTo(s"$cat.$table").append()
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n, count(bonus) AS n_bonus,
+         |  CAST(SUM(CAST(bonus AS DECIMAL(18,6))) AS DOUBLE) AS bonus_sum
+         |FROM $cat.$table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1438,6 +1477,7 @@ object JsonlStatsQueries extends QueryModule {
     "q231_concurrent_append" -> concurrentAppend,
     "q233_protocol_gate" -> protocolGatedRead,
     "q234_cdf_stream" -> cdfStreamDrain,
+    "q236_column_default" -> columnDefaultRead,
   )
 
   val oracles = Map(
@@ -1667,6 +1707,19 @@ object JsonlStatsQueries extends QueryModule {
         |)
         |GROUP BY change_type, event_type
         |ORDER BY change_type, event_type""".stripMargin,
+    // q236: old rows carry the 2.5 exists-default, the appended slice
+    // its explicit value — n_bonus = n iff the reader serves defaults
+    // (a default-blind read would collapse count(bonus) to the slice)
+    "q236_column_default" ->
+      """SELECT event_type, count(*) AS n, count(bonus) AS n_bonus,
+        |  CAST(SUM(CAST(bonus AS DECIMAL(18,6))) AS DOUBLE) AS bonus_sum
+        |FROM (
+        |  SELECT event_type, 2.5 AS bonus FROM events
+        |  UNION ALL
+        |  SELECT event_type, value / 10 AS bonus FROM events WHERE event_id % 5 = 0
+        |)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q233: n_uid = n iff the reader honors the column mapping (a
     // mapping-blind reader serves NULLs and count(uid) collapses);
     // the click slice absent iff DVs are honored

@@ -683,6 +683,43 @@ class JsonlPartitionReader(file: String, required: StructType,
   private val physName: Array[String] =
     required.fields.map(f => columnMapping.getOrElse(f.name, f.name))
 
+  /** Exists-defaults (r8): the value served when a row PREDATES the
+    * column — the JSON field is ABSENT because the file was written
+    * before ADD COLUMN ... DEFAULT; an explicitly-written null stays
+    * null (the Iceberg/Delta initial-default distinction). DDL
+    * restricts defaults to literals, so the stored SQL is a bare
+    * number or a quoted string — parsed once here, never per row. */
+  private val fieldDefault: Array[Any] = required.fields.map { f =>
+    val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    if (!f.metadata.contains(k)) null
+    else {
+      val sql = f.metadata.getString(k)
+      if (sql == "NULL") null
+      else f.dataType match {
+        case LongType   => java.lang.Long.valueOf(sql.toLong)
+        case DoubleType => java.lang.Double.valueOf(sql.toDouble)
+        case StringType =>
+          // the quoted literal may carry EITHER escape convention:
+          // the DDL stores SQL doubling ('') but Spark's
+          // Column-conversion round trip re-renders through catalyst,
+          // which backslash-escapes ('\' + quote)
+          val body = sql.stripPrefix("'").stripSuffix("'")
+          val sb = new java.lang.StringBuilder(body.length)
+          var i = 0
+          while (i < body.length) {
+            val c = body.charAt(i)
+            if (c == '\\' && i + 1 < body.length) { sb.append(body.charAt(i + 1)); i += 2 }
+            else if (c == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { sb.append(c); i += 1 }
+          }
+          UTF8String.fromString(sb.toString)
+        case _ => null
+      }
+    }
+  }
+
   /** Deletion-vector mask: physical positions to drop. The planner
     * guarantees the reader knows its physical positions — either the
     * partition is whole-file (pos counts from 0) or checkpoint-aligned
@@ -789,7 +826,8 @@ class JsonlPartitionReader(file: String, required: StructType,
       else if (f.name == JsonlStats.PosMeta) pos
       else {
         val v = n.get(physName(fi))
-        if (v == null || v.isNull) null
+        if (v == null) fieldDefault(fi) // absent field: row predates the column
+        else if (v.isNull) null         // written null stays null
         else f.dataType match {
           case LongType   => v.asLong()
           case DoubleType => v.asDouble()

@@ -2281,6 +2281,42 @@ class JsonlStatsSpec extends SparkSpec {
     assert(spark.table(s"$cat.`$table`").count() === 90)
   }
 
+  test("column DEFAULT values: old rows read the exists-default, written nulls stay null, feature stamped (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_defaults").toString
+    spark.range(10).select($"id".as("event_id"), ($"id" % 3).as("user_id"),
+        lit("view").as("event_type"), ($"id" * 1.0).as("value"))
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_def_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN bonus DOUBLE DEFAULT 2.5")
+    // protocol stamp: only default-aware builds may read this table now
+    assert(JsonlStats.readTableMeta(dir).features.contains(JsonlStats.FeatureColumnDefaults))
+    // every pre-existing row reads the EXISTS default, not null
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table` WHERE bonus = 2.5")
+      .head().getLong(0) === 10L)
+    // an explicitly-written NULL stays null (absent field vs written
+    // null — the initial-default distinction)
+    spark.sql(s"INSERT INTO $cat.`$table` VALUES (100, 0, 'ins', 1.0, 9.9)")
+    spark.sql(s"INSERT INTO $cat.`$table` VALUES (101, 0, 'ins', 1.0, NULL)")
+    // an INSERT that omits the column gets the CURRENT default from
+    // Spark's own analyzer (the catalog capability)
+    spark.sql(s"INSERT INTO $cat.`$table` (event_id, user_id, event_type, value) " +
+      "VALUES (102, 0, 'ins', 1.0)")
+    val got = spark.sql(
+      s"SELECT event_id, bonus FROM $cat.`$table` WHERE event_id >= 100 ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq === Seq((100L, 9.9), (101L, null), (102L, 2.5)))
+    // string defaults round-trip BOTH quote conventions (the DDL's ''
+    // doubling and catalyst's \' re-rendering via the Column round trip)
+    spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN tag STRING DEFAULT 'it''s'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table` WHERE tag = \"it's\"")
+      .head().getLong(0) === 13L)
+  }
+
   test("streaming change feed: versions as offsets, exact insert/delete legs, COW refusal (r8)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_cdf_stream").toString

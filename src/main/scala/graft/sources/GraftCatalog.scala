@@ -216,6 +216,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     var schema = meta.schema.getOrElse(JsonlStats.schema)
     var constraints = meta.constraints
     var mapping = meta.columnMapping
+    var reserved = meta.reserved
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -236,6 +237,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           throw new IllegalArgumentException(
             s"column name $col is the physical field of a renamed column; " +
               "pick another name or rename the owner back first")
+        // ... and a DROPPED column's physical key is reserved forever:
+        // an identity-mapped re-ADD would resurrect its old bytes
+        if (reserved.contains(col))
+          throw new IllegalArgumentException(
+            s"column name $col is the physical field of a DROPPED column; " +
+              "old files still carry its bytes — pick another name")
         // DEFAULT values (r8): a LITERAL default lands in the schema
         // metadata under Spark's own keys — CURRENT_DEFAULT drives the
         // analyzer's INSERT-side fill (the capability above), and
@@ -313,6 +320,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           throw new IllegalArgumentException(
             s"column name $to is the physical field of a renamed column; " +
               "pick another name or rename the owner back first")
+        if (reserved.contains(to))
+          throw new IllegalArgumentException(
+            s"column name $to is the physical field of a DROPPED column; " +
+              "old files still carry its bytes — pick another name")
         val physical = mapping.getOrElse(from, from)
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
           meta.partitionCol ++ meta.bloomCol
@@ -327,8 +338,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
         mapping = (mapping - from) + (to -> physical)
+      // DROP COLUMN (r8): a pure sidecar write, zero data IO — the
+      // schema loses the field and the column's PHYSICAL JSON key joins
+      // the reserved list forever (old files still carry its bytes; an
+      // identity-mapped re-ADD of the name would resurrect them — the
+      // reservation makes that refuse loudly). Readers are
+      // schema-driven, so the dropped bytes are simply never parsed
+      // again; manifest stats under the dropped physical name go
+      // unconsulted and vanish at the next rewrite. Refused for the
+      // declared layout columns and for constraint-referenced columns,
+      // like RENAME. The sidecar is UNVERSIONED (stated since the
+      // rename tier): snapshot reads see today's contract.
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested DROP unsupported")
+        val col = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(col)) {
+          if (del.ifExists() != java.lang.Boolean.TRUE)
+            throw new IllegalArgumentException(s"no such column $col")
+        } else {
+          if (schema.fields.length == 1)
+            throw new UnsupportedOperationException(
+              s"$catName: cannot drop $col — it is the table's only column")
+          val physical = mapping.getOrElse(col, col)
+          val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
+            meta.partitionCol ++ meta.bloomCol
+          if (declared.contains(physical))
+            throw new UnsupportedOperationException(
+              s"$catName: cannot drop $col — it is the table's declared " +
+                "stats/partition/bloom column (the physical layout contract)")
+          if (constraints.exists(_._2.contains(col)))
+            throw new UnsupportedOperationException(
+              s"$catName: cannot drop $col — a CHECK constraint references it; " +
+                "drop the constraint first")
+          schema = StructType(schema.fields.filterNot(_.name == col))
+          mapping = mapping - col
+          reserved = (reserved :+ physical).distinct
+        }
       case other => throw new UnsupportedOperationException(
-        s"$catName: unsupported ALTER $other — drop/rename/retype reinterpret existing " +
+        s"$catName: unsupported ALTER $other — retype reinterprets existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")
     }
     // protocol stamps (r8): a table that ever grew a mapping or an
@@ -341,7 +389,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
          Seq(JsonlStats.FeatureColumnDefaults) else Nil)).distinct
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped)
+      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped, reserved)
     loadTable(ident)
   }
 

@@ -390,7 +390,8 @@ object JsonlStats {
                              deleteMode: Option[String] = None,
                              constraints: Seq[(String, String)] = Nil,
                              columnMapping: Map[String, String] = Map.empty,
-                             features: Seq[String] = Nil)
+                             features: Seq[String] = Nil,
+                             reserved: Seq[String] = Nil)
 
   // ---- protocol features (r8): the Delta reader-features idea -----------
 
@@ -434,7 +435,8 @@ object JsonlStats {
                      deleteMode: Option[String] = None,
                      constraints: Seq[(String, String)] = Nil,
                      columnMapping: Map[String, String] = Map.empty,
-                     features: Seq[String] = Nil): Unit = {
+                     features: Seq[String] = Nil,
+                     reserved: Seq[String] = Nil): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
@@ -456,6 +458,13 @@ object JsonlStats {
     if (features.nonEmpty) {
       val f = n.putArray("features")
       features.distinct.sorted.foreach(f.add)
+    }
+    // physical JSON keys no logical column owns anymore (DROP COLUMN,
+    // r8): reserved FOREVER — an identity-mapped re-ADD of the name
+    // would resurrect the dropped column's old bytes
+    if (reserved.nonEmpty) {
+      val r = n.putArray("reserved")
+      reserved.distinct.sorted.foreach(r.add)
     }
     n.put("schema", schema.json)
     Files.write(Paths.get(root, "_table.json"),
@@ -806,7 +815,9 @@ object JsonlStats {
           b.result()
         },
         if (!n.hasNonNull("features")) Nil
-        else (0 until n.get("features").size()).map(i => n.get("features").get(i).asText())))
+        else (0 until n.get("features").size()).map(i => n.get("features").get(i).asText()),
+        if (!n.hasNonNull("reserved")) Nil
+        else (0 until n.get("reserved").size()).map(i => n.get("reserved").get(i).asText())))
     }
   }
 

@@ -1438,6 +1438,46 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q237 (r8): DROP COLUMN — the last member of the zero-IO schema-
+    * evolution family (RENAME q204, ADD+DEFAULT q236): one sidecar
+    * write removes the column from the schema and RESERVES its
+    * physical JSON key forever, because old files still carry the
+    * bytes and an identity-mapped re-ADD would resurrect them — the
+    * re-ADD refusal is re-proven every run (q203's negative-arm
+    * device). The registered read aggregates the surviving columns;
+    * a reader that mis-handled the drop (served the old bytes under a
+    * later same-named column) cannot produce the oracle's content.
+    * At 100 TB the alternative is a full-table rewrite to physically
+    * remove the column. */
+  def dropColumnRead(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_drop_col")
+    // one-way DDL inside: rebuild from scratch every rep
+    graft.util.Fs.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val table = Paths.get(dir).getFileName.toString
+    spark.sql(s"ALTER TABLE $cat.$table DROP COLUMN user_id")
+    require(JsonlStats.readTableMeta(dir).reserved == Seq("user_id"),
+      "the dropped column's physical key must be reserved")
+    // negative arm, re-proven every run: the reservation refuses re-ADD
+    val refused =
+      try { spark.sql(s"ALTER TABLE $cat.$table ADD COLUMN user_id LONG"); false }
+      catch { case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .exists(c => Option(c.getMessage).exists(_.contains("DROPPED"))) }
+    require(refused, "re-adding a dropped column's name must refuse")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.$table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1478,6 +1518,7 @@ object JsonlStatsQueries extends QueryModule {
     "q233_protocol_gate" -> protocolGatedRead,
     "q234_cdf_stream" -> cdfStreamDrain,
     "q236_column_default" -> columnDefaultRead,
+    "q237_drop_column" -> dropColumnRead,
   )
 
   val oracles = Map(
@@ -1718,6 +1759,13 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL
         |  SELECT event_type, value / 10 AS bonus FROM events WHERE event_id % 5 = 0
         |)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q237: the post-drop aggregate over the surviving columns
+    "q237_drop_column" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q233: n_uid = n iff the reader honors the column mapping (a

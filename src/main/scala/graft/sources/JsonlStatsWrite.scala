@@ -242,7 +242,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       // mode and CHECK constraints survive the generation swap (r7c)
       val prior = JsonlStats.readTableMeta(root)
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
-        prior.deleteMode, prior.constraints, prior.columnMapping, prior.features)
+        prior.deleteMode, prior.constraints, prior.columnMapping, prior.features,
+        prior.reserved)
     }
     // OCC commit (r8): a plain append is BLIND — it commutes with any
     // concurrent commit, so the rebase just re-adds the fresh entries

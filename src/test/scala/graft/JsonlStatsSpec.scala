@@ -1274,9 +1274,13 @@ class JsonlStatsSpec extends SparkSpec {
     assert(mixed.filter($"note" === "flagged").count() ===
       graft.ingest.Tables.events(spark, sfDir).filter($"event_type" === "error").count())
     assert(mixed.filter($"note".isNull).count() === nOld)
-    // drop/rename/retype stay refusals — they reinterpret existing bytes
+    // DROP is sidecar-only since r8 (its dedicated spec covers the
+    // reservation laws); retype stays a refusal — it reinterprets
+    // existing bytes
+    spark.sql(s"ALTER TABLE $cat.evolve_spec DROP COLUMN note")
+    assert(!spark.table(s"$cat.evolve_spec").columns.contains("note"))
     val refusal = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.evolve_spec DROP COLUMN note")
+      spark.sql(s"ALTER TABLE $cat.evolve_spec ALTER COLUMN value TYPE STRING")
     }
     assert(refusal.toString.contains("REPLACE TABLE") ||
       Option(refusal.getCause).exists(_.toString.contains("REPLACE TABLE")))
@@ -2315,6 +2319,52 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN tag STRING DEFAULT 'it''s'")
     assert(spark.sql(s"SELECT count(*) FROM $cat.`$table` WHERE tag = \"it's\"")
       .head().getLong(0) === 13L)
+  }
+
+  test("DROP COLUMN: sidecar-only, physical key reserved forever, layout/constraint refusals (r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_dropcol").toString
+    spark.range(10).select($"id".as("event_id"), ($"id" % 3).as("user_id"),
+        lit("view").as("event_type"), ($"id" * 1.0).as("value"))
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_drop_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    val bytesBefore = JsonlStats.readStats(dir)
+      .map(s => s.file -> Files.size(Paths.get(dir, s.file))).toMap
+    spark.sql(s"ALTER TABLE $cat.`$table` DROP COLUMN user_id")
+    // zero data IO: same files, same bytes; the column is simply gone
+    JsonlStats.readStats(dir).foreach(s =>
+      assert(Files.size(Paths.get(dir, s.file)) === bytesBefore(s.file)))
+    assert(!spark.table(s"$cat.`$table`").columns.contains("user_id"))
+    assert(spark.table(s"$cat.`$table`").count() === 10)
+    assert(JsonlStats.readTableMeta(dir).reserved === Seq("user_id"))
+    // the physical key is reserved forever: re-ADD refuses (the old
+    // bytes would resurrect under the identity mapping)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN user_id LONG")
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    // ... and RENAME onto it refuses too
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`$table` RENAME COLUMN event_id TO user_id")
+    }
+    assert(e2.getMessage.contains("DROPPED"))
+    // a fresh name is fine, and reads null over old files
+    spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN note STRING")
+    assert(spark.sql(s"SELECT count(note) FROM $cat.`$table`").head().getLong(0) === 0L)
+    // the declared stats column refuses (the physical layout contract)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`$table` DROP COLUMN value")
+    }
+    assert(e3.getMessage.contains("layout"))
+    // the reservation survives a TRUNCATE (contract, not data)
+    spark.range(2).select($"id".as("event_id"),
+        lit("x").as("event_type"), ($"id" * 1.0).as("value"), lit("n").as("note"))
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    assert(JsonlStats.readTableMeta(dir).reserved === Seq("user_id"))
   }
 
   test("streaming change feed: versions as offsets, exact insert/delete legs, COW refusal (r8)") {

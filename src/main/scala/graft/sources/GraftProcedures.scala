@@ -819,9 +819,24 @@ object GraftProcedures {
             (if (bo > 0) Seq((bo, ro)) else Nil) ++
               m.ckpts.map { case (o, r) => (bo + o, ro + r) }
           }.sortBy(_._1)
+          // zone maps (r8) survive the concat: each member contributes
+          // its segments in order (member boundaries are themselves
+          // checkpoints, so merged segments = concat of member
+          // segments); a checkpoint-free member IS one segment whose
+          // bounds are its file bounds. A member whose zones are
+          // unknown/mismatched poisons the whole bin — conservative.
+          val memberSegs = g.toSeq.map { case (m, _) =>
+            if (m.segb.size == m.ckpts.size + 1) m.segb
+            else if (m.ckpts.isEmpty) Seq((m.min, m.max))
+            else Nil
+          }
+          val mergedSegB =
+            if (!pureConcat || memberSegs.exists(_.isEmpty)) Nil
+            else memberSegs.flatten
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
-              colNonNull = mergedN, strCols = mergedS, ckpts = mergedK))
+              colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
+              segb = mergedSegB))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

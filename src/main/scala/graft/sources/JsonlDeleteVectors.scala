@@ -190,7 +190,7 @@ class JsonlDvBatchWrite(root: String, queryId: String,
     val appended = commits.flatMap(_.files).filter(c => c.file != null && c.rows > 0)
     val appendedLines = appended.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts, segb = c.segb)))
     val unknown = fresh.keySet.diff(planned.keySet)
     require(unknown.isEmpty,
       s"deletion vectors reference unmanifested files: ${unknown.mkString(", ")}")

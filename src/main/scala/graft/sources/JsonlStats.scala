@@ -169,7 +169,8 @@ object JsonlStats {
                              dels: Long = 0L,
                              colNonNull: Map[String, Long] = Map.empty,
                              strCols: Map[String, (String, Option[String])] = Map.empty,
-                             ckpts: Seq[(Long, Long)] = Nil)
+                             ckpts: Seq[(Long, Long)] = Nil,
+                             segb: Seq[(Double, Double)] = Nil)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -300,13 +301,21 @@ object JsonlStats {
               val p = a.get(i); (p.get(0).asLong(), p.get(1).asLong())
             }
           }
+        val segb =
+          if (!n.hasNonNull("segb")) Nil
+          else {
+            val a = n.get("segb")
+            (0 until a.size()).map { i =>
+              val p = a.get(i); (p.get(0).asDouble(), p.get(1).asDouble())
+            }
+          }
         FileStats(n.get("file").asText(), n.get("min_value").asDouble(),
           n.get("max_value").asDouble(),
           if (n.hasNonNull("n_rows")) n.get("n_rows").asLong() else -1L,
           if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
           cols, dvs,
           if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L,
-          colN, strCols, ckpts)
+          colN, strCols, ckpts, segb)
       }
   }
 
@@ -343,6 +352,12 @@ object JsonlStats {
     if (s.ckpts.nonEmpty) {
       val a = n.putArray("ckpts")
       s.ckpts.foreach { case (o, r) => val p = a.addArray(); p.add(o); p.add(r) }
+    }
+    // per-SEGMENT stats-column bounds (r8 zone maps): segment i spans
+    // [ckpt_{i-1}, ckpt_i) — ckpts.size + 1 pairs when present
+    if (s.segb.nonEmpty) {
+      val a = n.putArray("segb")
+      s.segb.foreach { case (lo, hi) => val p = a.addArray(); p.add(lo); p.add(hi) }
     }
     n.toString
   }

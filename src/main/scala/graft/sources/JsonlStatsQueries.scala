@@ -1478,6 +1478,48 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q238 (r8): ZONE-MAP RANGE SKIPPING — the parquet row-group-stats
+    * idea INSIDE an oversized JSONL file: the sink already records one
+    * exact (line start, rows before) checkpoint per MiB; it now also
+    * records each checkpoint interval's stats-column [min, max]
+    * (`segb`), and the range planner drops every range whose merged
+    * segment bounds prove the pushed predicate can't match. On a
+    * value-sorted big file a narrow range query launches tasks for a
+    * handful of its ranges instead of all of them — at a 10 GB file
+    * that is a few of ~2500 ranges, the sub-file half of the skipping
+    * story (file-level bounds prune whole files; zone maps prune
+    * WITHIN the files that survive). Zones ride compaction (member
+    * segments concatenate; a zone-less member contributes its file
+    * bounds) and degrade to nothing on legacy manifests —
+    * plan-asserted in JsonlStatsSpec; the oracle pins content. */
+  def zoneMapScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_zonemap")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      val base = Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      // 16x the feed, globally value-sorted into ONE oversized file —
+      // the shape zone maps exist for (sorted ⇒ tight disjoint zones)
+      Seq.fill(16)(base).reduce(_ unionAll _)
+        .orderBy($"value", $"event_id")
+        .coalesce(1)
+        .write.format("graft-jsonl-stats").option("path", out).mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("splitBytes", (1L << 20).toString).load()
+    // the cut: lowest eighth of the value span, derived from the data
+    // (deterministic; the oracle mirrors the arithmetic)
+    val b = Tables.events(spark, d)
+      .agg(min($"value").as("mn"), max($"value").as("mx")).head()
+    val cut = b.getDouble(0) + (b.getDouble(1) - b.getDouble(0)) / 8
+    t.filter($"value" < cut)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -1519,6 +1561,7 @@ object JsonlStatsQueries extends QueryModule {
     "q234_cdf_stream" -> cdfStreamDrain,
     "q236_column_default" -> columnDefaultRead,
     "q237_drop_column" -> dropColumnRead,
+    "q238_zone_map_scan" -> zoneMapScan,
   )
 
   val oracles = Map(
@@ -1759,6 +1802,15 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL
         |  SELECT event_type, value / 10 AS bonus FROM events WHERE event_id % 5 = 0
         |)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q238: the fixture is the feed replicated 16x, so every group's
+    // count and sum scale by 16; the cut mirrors the engine arithmetic
+    "q238_zone_map_scan" ->
+      """SELECT event_type, 16 * count(*) AS n,
+        |  CAST(16 * SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE value < (SELECT min(value) + (max(value) - min(value)) / 8 FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q237: the post-drop aggregate over the surviving columns

@@ -417,8 +417,13 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
             // manifest-recorded (line start, rows before) pair, so every
             // range reader knows its starting physical row — DV masking
             // and `_pos` work on ranges. Greedy boundary selection keeps
-            // ranges >= splitBytes (checkpoints are ~4x denser).
-            JsonlStatsScan.checkpointRanges(path, size, s.ckpts, splitBytes, dvs)
+            // ranges >= splitBytes (checkpoints are ~4x denser). Zone
+            // maps prune ranges the pushed stats-column predicates
+            // prove empty (filter columns are LOGICAL, segb physical).
+            JsonlStatsScan.checkpointRanges(path, size, s.ckpts, splitBytes, dvs,
+              s.segb,
+              pushed.toSeq.filter(f => JsonlStats.skipColumn(f)
+                .map(c => columnMapping.getOrElse(c, c)).contains(statsCol)))
           else if (dvs.nonEmpty || wantPos)
             // legacy manifests without checkpoints: DV masks and `_pos`
             // are keyed by physical position, which a blind byte-range
@@ -508,20 +513,44 @@ object JsonlStatsScan {
     * physical row so DV masking and `_pos` work mid-file. Falls back
     * to one whole-file partition when no boundary qualifies. Shared by
     * the batch planner and the streaming leg. */
+  /** ZONE MAPS (r8): when the manifest carries per-segment stats-column
+    * bounds (`segb`, one pair per checkpoint interval — the parquet
+    * row-group-stats idea at checkpoint granularity), each built range
+    * merges the bounds of the segments it covers and is DROPPED when
+    * the pushed stats-column predicates prove no row of it can match —
+    * sub-file skipping: a selective range query on a sorted 10 GB file
+    * launches tasks for a handful of its ~2500 ranges instead of all
+    * of them. Sentinel segments (all-null) and legacy manifests
+    * (no/mismatched `segb`) prune nothing — absence is conservative,
+    * the same contract as every other manifest statistic. */
   private[sources] def checkpointRanges(path: String, size: Long,
                                         ckpts: Seq[(Long, Long)], splitBytes: Long,
-                                        dvs: Seq[String]): Seq[InputPartition] = {
-    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                                        dvs: Seq[String],
+                                        segb: Seq[(Double, Double)] = Nil,
+                                        zoneFilters: Seq[Filter] = Nil): Seq[InputPartition] = {
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     var last = 0L
-    ckpts.foreach { case (o, r) =>
-      if (o - last >= splitBytes && o < size) { bounds += ((o, r)); last = o }
+    ckpts.zipWithIndex.foreach { case ((o, r), i) =>
+      if (o - last >= splitBytes && o < size) { bounds += ((o, r, i)); last = o }
     }
     if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs))
     else {
-      val starts = (0L, 0L) +: bounds.toSeq
-      starts.zipWithIndex.map { case ((o, r), i) =>
-        val hi = if (i == starts.size - 1) Long.MaxValue else starts(i + 1)._1
-        JsonlFilePartition(path, o, hi, dvs, startRow = r)
+      val starts = (0L, 0L, -1) +: bounds.toSeq
+      val zoned = zoneFilters.nonEmpty && segb.size == ckpts.size + 1
+      starts.zipWithIndex.flatMap { case ((o, r, idx), i) =>
+        val (hi, hiIdx) =
+          if (i == starts.size - 1) (Long.MaxValue, ckpts.size)
+          else (starts(i + 1)._1, starts(i + 1)._3)
+        // this range covers segments (idx+1)..hiIdx
+        val keep = !zoned || {
+          val segs = ((idx + 1) to hiIdx).map(segb)
+          segs.exists { case (lo, h) => lo == Double.MinValue && h == Double.MaxValue } || {
+            val lo = segs.map(_._1).min
+            val h = segs.map(_._2).max
+            zoneFilters.forall(f => JsonlStats.intervalMayMatch(f, lo, h))
+          }
+        }
+        if (keep) Some(JsonlFilePartition(path, o, hi, dvs, startRow = r)) else None
       }
     }
   }

@@ -111,7 +111,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     val fresh = JsonlStats.fileCommits(messages)
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
+          segb = c.segb)))
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
     // OCC append (r8): the epoch's files ride a blind-append rebase —
@@ -146,7 +147,8 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
                                  cols: Map[String, (Double, Double)] = Map.empty,
                                  colNonNull: Map[String, Long] = Map.empty,
                                  strCols: Map[String, (String, Option[String])] = Map.empty,
-                                 ckpts: Seq[(Long, Long)] = Nil)
+                                 ckpts: Seq[(Long, Long)] = Nil,
+                                 segb: Seq[(Double, Double)] = Nil)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -228,7 +230,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     val fresh = JsonlStats.fileCommits(messages)
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
+          segb = c.segb)))
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -352,7 +355,8 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val gone = replaced()
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts)))
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
+          segb = c.segb)))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass
@@ -404,6 +408,18 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private var bytesOut = 0L
   private var lastCkpt = 0L
   private val ckpts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+  // per-SEGMENT stats-column bounds (r8 zone maps): the parquet
+  // row-group-stats idea at checkpoint granularity — an all-null
+  // segment publishes the sentinel (never pruned, like the file-level
+  // rule)
+  private var segMn = Double.PositiveInfinity
+  private var segMx = Double.NegativeInfinity
+  private val segB = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+  private def sealSegment(): Unit = {
+    segB += (if (segMn <= segMx) (segMn, segMx)
+             else (Double.MinValue, Double.MaxValue))
+    segMn = Double.PositiveInfinity; segMx = Double.NegativeInfinity
+  }
   private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
   private val bloomIdx = bloomCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   private val bloomHashes =
@@ -451,6 +467,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       if (v < mn) mn = v
       if (v > mx) mx = v
+      if (v < segMn) segMn = v
+      if (v > segMx) segMx = v
     }
     var ci = 0
     while (ci < numIdx.length) {
@@ -490,6 +508,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
       ckpts += ((bytesOut, rows))
       lastCkpt = bytesOut
+      sealSegment()
     }
     val lineBytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.write(lineBytes); out.write('\n')
@@ -522,12 +541,17 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         physOf(strIdx(si)) -> (JsonlStats.truncLower(strMn(si).toString),
           JsonlStats.truncUpper(strMx(si).toString))
     }.toMap
+    sealSegment() // the trailing segment (segments = ckpts + 1)
+    // single-segment bounds duplicate the file bounds — publish zone
+    // maps only when the file actually has interior checkpoints
+    val zones = if (ckpts.isEmpty) Nil else segB.toSeq
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
-        strCols, ckpts.toSeq)
-    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq)
+        strCols, ckpts.toSeq, zones)
+    else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq,
+      zones)
   }
 
   def abort(): Unit = {

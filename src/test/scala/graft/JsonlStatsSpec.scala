@@ -2367,6 +2367,61 @@ class JsonlStatsSpec extends SparkSpec {
     assert(JsonlStats.readTableMeta(dir).reserved === Seq("user_id"))
   }
 
+  test("zone maps: per-segment bounds prune ranges of an oversized file; legacy prunes nothing (r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("jsonl_zones").toString
+    // one ~8 MB file SORTED by value: segments get tight, disjoint
+    // bounds, so a narrow range predicate should read few of them
+    spark.range(80000).orderBy($"id")
+      .select($"id".as("event_id"), ($"id" % 97).as("user_id"),
+        concat(lit("t"), lpad(($"id" % 7).cast("string"), 40, "x")).as("event_type"),
+        $"id".cast("double").as("value"))
+      .coalesce(1).sortWithinPartitions($"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val s = JsonlStats.readStats(dir).head
+    assert(s.ckpts.nonEmpty && s.segb.size === s.ckpts.size + 1,
+      s"zone maps must cover every segment: ${s.ckpts.size} ckpts, ${s.segb.size} segs")
+    // sorted file ⇒ segments are disjoint intervals
+    s.segb.sliding(2).foreach {
+      case Seq((_, aHi), (bLo, _)) => assert(aHi <= bLo, "sorted file segments must nest")
+      case _ =>
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def plannedParts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      nodes(df.queryExecution.executedPlan)
+        .collectFirst { case b: BatchScanExec => b.inputRDD.getNumPartitions }.get
+    }
+    val full = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("splitBytes", (1L << 20).toString).load()
+    val all = plannedParts(full.filter($"value" >= 0))
+    assert(all >= 4, s"the file must split into several ranges, got $all")
+    // a narrow cut at the head: zone maps keep a strict minority
+    val narrow = full.filter($"value" < 5000.0)
+    val kept = plannedParts(narrow)
+    assert(kept < all && kept <= 2,
+      s"zone maps should prune most ranges: kept $kept of $all")
+    assert(narrow.count() === 5000)
+    // content identity vs the unpruned path
+    assert(narrow.agg(sum($"event_id")).head().getLong(0) ===
+      (0L until 5000L).sum)
+    // legacy manifest (no segb): same ranges, nothing pruned
+    JsonlStats.publishManifest(dir, "age-zones",
+      Seq(JsonlStats.statsLine(s.copy(segb = Nil))))
+    val legacy = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("splitBytes", (1L << 20).toString).load()
+      .filter($"value" < 5000.0)
+    assert(plannedParts(legacy) === all, "a segb-less manifest must prune nothing")
+    assert(legacy.count() === 5000)
+  }
+
   test("streaming change feed: versions as offsets, exact insert/delete legs, COW refusal (r8)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl_cdf_stream").toString

@@ -666,6 +666,16 @@ object GraftProcedures {
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var bytesOut = 0L
     var lastCkpt = 0L
+    // zone maps (r8): per-segment stats-column bounds, regenerated like
+    // the sink's — rewrite_deletes re-arms range skipping too
+    var segMn = Double.PositiveInfinity
+    var segMx = Double.NegativeInfinity
+    val segB = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def sealSegment(): Unit = {
+      segB += (if (segMn <= segMx) (segMn, segMx)
+               else (Double.MinValue, Double.MaxValue))
+      segMn = Double.PositiveInfinity; segMx = Double.NegativeInfinity
+    }
     val dest = Paths.get(root, out)
     val os = Files.newBufferedWriter(dest)
     val in = Files.newBufferedReader(Paths.get(root, file))
@@ -678,6 +688,7 @@ object GraftProcedures {
           if (!deleted.contains(pos)) {
             if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
               ckpts += ((bytesOut, rows)); lastCkpt = bytesOut
+              sealSegment()
             }
             os.write(line); os.write('\n')
             bytesOut += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
@@ -690,6 +701,10 @@ object GraftProcedures {
                 if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
                 if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
                 colCnt(f.name) += 1L
+                if (f.name == statsCol) {
+                  if (d < segMn) segMn = d
+                  if (d > segMx) segMx = d
+                }
               }
             }
             strNames.foreach { c =>
@@ -730,8 +745,10 @@ object GraftProcedures {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
+    sealSegment()
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
-      strCols = strCols, ckpts = ckpts.toSeq)
+      strCols = strCols, ckpts = ckpts.toSeq,
+      segb = if (ckpts.isEmpty) Nil else segB.toSeq)
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {

@@ -2420,6 +2420,26 @@ class JsonlStatsSpec extends SparkSpec {
       .filter($"value" < 5000.0)
     assert(plannedParts(legacy) === all, "a segb-less manifest must prune nothing")
     assert(legacy.count() === 5000)
+    // rewrite_deletes REGENERATES zones — maintenance re-arms range
+    // skipping like it re-arms aggregate pushdown and splittability
+    JsonlStats.publishManifest(dir, "restore-zones", Seq(JsonlStats.statsLine(s)))
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.statsCol.get, m0.partitionCol, m0.schema.get,
+      m0.bloomCol, deleteMode = Some("merge-on-read"))
+    val cat = "graft_zone_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE value >= 79000.0")
+    spark.sql(s"CALL $cat.rewrite_deletes('$table')").collect()
+    val after = JsonlStats.readStats(dir).head
+    assert(after.dvs.isEmpty && after.ckpts.nonEmpty &&
+      after.segb.size === after.ckpts.size + 1,
+      s"rewrite must regenerate zones: ${after.ckpts.size} ckpts, ${after.segb.size} segs")
+    val zonedAfter = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("splitBytes", (1L << 20).toString).load().filter($"value" < 5000.0)
+    assert(plannedParts(zonedAfter) <= 2 && zonedAfter.count() === 5000)
   }
 
   test("streaming change feed: versions as offsets, exact insert/delete legs, COW refusal (r8)") {

@@ -157,7 +157,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(dir)
-    JsonlStats.writeTableMeta(dir.toString, statsCol, partitionCol, schema)
+    // CREATE TABLE ... DEFAULT lands exists-defaults in the schema
+    // metadata (the declared capability) — stamp the protocol feature
+    // here too, not just on ALTER (review r8): a default-blind reader
+    // must refuse, never serve nulls where defaults belong
+    val features =
+      if (schema.fields.exists(_.metadata.contains(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY)))
+        Seq(JsonlStats.FeatureColumnDefaults)
+      else Nil
+    JsonlStats.writeTableMeta(dir.toString, statsCol, partitionCol, schema,
+      features = features)
     JsonlStats.publishManifest(dir.toString, java.util.UUID.randomUUID().toString, Seq.empty)
     new JsonlStatsTable(dir.toString, schema, statsCol, partitionCol)
   }
@@ -265,7 +276,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
             val sql = lit.value() match {
               case null => "NULL"
               case s: org.apache.spark.unsafe.types.UTF8String =>
-                "'" + s.toString.replace("'", "''") + "'"
+                // catalyst escape convention (backslash), matching what
+                // Spark's Column round trip re-renders and what both
+                // consumers (the reader's unescape, the analyzer's
+                // INSERT-fill re-parse) decode — quote-doubling alone
+                // leaves backslashes to be mis-decoded (review r8)
+                "'" + s.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
               case v => v.toString
             }
             new MetadataBuilder()

@@ -667,15 +667,10 @@ object GraftProcedures {
     var bytesOut = 0L
     var lastCkpt = 0L
     // zone maps (r8): per-segment stats-column bounds, regenerated like
-    // the sink's — rewrite_deletes re-arms range skipping too
-    var segMn = Double.PositiveInfinity
-    var segMx = Double.NegativeInfinity
-    val segB = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def sealSegment(): Unit = {
-      segB += (if (segMn <= segMx) (segMn, segMx)
-               else (Double.MinValue, Double.MaxValue))
-      segMn = Double.PositiveInfinity; segMx = Double.NegativeInfinity
-    }
+    // the sink's — rewrite_deletes re-arms range skipping too. The
+    // shared tracker owns the boundary law (seal at the checkpoint
+    // BEFORE the boundary row's value merges).
+    val zones = new JsonlStats.ZoneTracker
     val dest = Paths.get(root, out)
     val os = Files.newBufferedWriter(dest)
     val in = Files.newBufferedReader(Paths.get(root, file))
@@ -688,7 +683,7 @@ object GraftProcedures {
           if (!deleted.contains(pos)) {
             if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
               ckpts += ((bytesOut, rows)); lastCkpt = bytesOut
-              sealSegment()
+              zones.seal() // BEFORE this row's value: it starts the next segment
             }
             os.write(line); os.write('\n')
             bytesOut += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
@@ -698,13 +693,16 @@ object GraftProcedures {
               val v = n.get(f.name)
               if (v != null && !v.isNull) {
                 val d = v.asDouble()
-                if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
-                if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
-                colCnt(f.name) += 1L
-                if (f.name == statsCol) {
-                  if (d < segMn) segMn = d
-                  if (d > segMx) segMx = d
+                // NaN poisons to vacuous bounds (never pruned): finite
+                // bounds computed past it would exclude `=== NaN` rows
+                if (d.isNaN) {
+                  colMn(f.name) = Double.MinValue; colMx(f.name) = Double.MaxValue
+                } else {
+                  if (d < colMn.getOrElse(f.name, Double.PositiveInfinity)) colMn(f.name) = d
+                  if (d > colMx.getOrElse(f.name, Double.NegativeInfinity)) colMx(f.name) = d
                 }
+                colCnt(f.name) += 1L
+                if (f.name == statsCol) zones.add(d)
               }
             }
             strNames.foreach { c =>
@@ -745,10 +743,9 @@ object GraftProcedures {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
-    sealSegment()
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
-      segb = if (ckpts.isEmpty) Nil else segB.toSeq)
+      segb = zones.zones(ckpts.nonEmpty))
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {

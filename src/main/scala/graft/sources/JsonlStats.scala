@@ -234,6 +234,36 @@ object JsonlStats {
     }
   }
 
+  /** Per-segment stats-column bounds tracker (r8 zone maps) — the ONE
+    * definition of the boundary law both producers (the write sink and
+    * rewrite_deletes) share: a checkpoint offset is the BOUNDARY ROW's
+    * line start, so that row belongs to the segment AFTER the seal —
+    * callers must `seal()` at the checkpoint BEFORE `add()`ing the
+    * boundary row's value, or the value lands in the wrong segment's
+    * bounds and the planner can prune the range that actually holds
+    * the row (silent row loss on boundary-value predicates — caught in
+    * review r8). NaN poisons the current segment to the sentinel pair
+    * (never pruned): NaN compares false with everything, so finite
+    * bounds computed past it would EXCLUDE rows `=== NaN` finds. */
+  final class ZoneTracker {
+    private var mn = Double.PositiveInfinity
+    private var mx = Double.NegativeInfinity
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def add(v: Double): Unit =
+      if (v.isNaN) { mn = Double.MinValue; mx = Double.MaxValue }
+      else { if (v < mn) mn = v; if (v > mx) mx = v }
+    def seal(): Unit = {
+      buf += (if (mn <= mx) (mn, mx) else (Double.MinValue, Double.MaxValue))
+      mn = Double.PositiveInfinity; mx = Double.NegativeInfinity
+    }
+    /** Trailing segment sealed here; single-segment zones duplicate the
+      * file bounds, so they publish only with interior checkpoints. */
+    def zones(ckptsNonEmpty: Boolean): Seq[(Double, Double)] = {
+      seal()
+      if (ckptsNonEmpty) buf.toSeq else Nil
+    }
+  }
+
   /** Current version number = highest surviving archive + 1, floored
     * by the vacuum horizon's `min_version` (gap- and vacuum-tolerant:
     * expiring archives — even ALL of them, retain_last = 1 — must

@@ -409,17 +409,10 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private var lastCkpt = 0L
   private val ckpts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   // per-SEGMENT stats-column bounds (r8 zone maps): the parquet
-  // row-group-stats idea at checkpoint granularity — an all-null
-  // segment publishes the sentinel (never pruned, like the file-level
-  // rule)
-  private var segMn = Double.PositiveInfinity
-  private var segMx = Double.NegativeInfinity
-  private val segB = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-  private def sealSegment(): Unit = {
-    segB += (if (segMn <= segMx) (segMn, segMx)
-             else (Double.MinValue, Double.MaxValue))
-    segMn = Double.PositiveInfinity; segMx = Double.NegativeInfinity
-  }
+  // row-group-stats idea at checkpoint granularity. The shared tracker
+  // owns the boundary law: seal at the checkpoint BEFORE the boundary
+  // row's value merges (the row belongs to the NEXT segment).
+  private val zones = new JsonlStats.ZoneTracker
   private val statsIdx = writeSchema.fieldNames.indexOf(statsCol)
   private val bloomIdx = bloomCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   private val bloomHashes =
@@ -458,17 +451,21 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         case dt => throw new IllegalArgumentException(s"unsupported type $dt")
       }
     }
+    var rowStats = 0.0
+    var rowHasStats = false
     if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
       // manifest bounds are doubles regardless of column type; exact for
-      // longs below 2^53 (every key column in this engine)
+      // longs below 2^53 (every key column in this engine). NaN poisons
+      // to the sentinel — finite bounds computed past a NaN would
+      // EXCLUDE the rows `=== NaN` finds (review r8).
       val v = writeSchema.fields(statsIdx).dataType match {
         case LongType => row.getLong(statsIdx).toDouble
         case _        => row.getDouble(statsIdx)
       }
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      if (v < segMn) segMn = v
-      if (v > segMx) segMx = v
+      if (v.isNaN) { mn = Double.MinValue; mx = Double.MaxValue }
+      else { if (v < mn) mn = v; if (v > mx) mx = v }
+      rowStats = v
+      rowHasStats = true
     }
     var ci = 0
     while (ci < numIdx.length) {
@@ -508,8 +505,9 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
       ckpts += ((bytesOut, rows))
       lastCkpt = bytesOut
-      sealSegment()
+      zones.seal() // BEFORE this row's value: the row starts the next segment
     }
+    if (rowHasStats) zones.add(rowStats)
     val lineBytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.write(lineBytes); out.write('\n')
     bytesOut += lineBytes.length + 1
@@ -541,17 +539,14 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         physOf(strIdx(si)) -> (JsonlStats.truncLower(strMn(si).toString),
           JsonlStats.truncUpper(strMx(si).toString))
     }.toMap
-    sealSegment() // the trailing segment (segments = ckpts + 1)
-    // single-segment bounds duplicate the file bounds — publish zone
-    // maps only when the file actually has interior checkpoints
-    val zones = if (ckpts.isEmpty) Nil else segB.toSeq
+    val segZones = zones.zones(ckpts.nonEmpty)
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
-        strCols, ckpts.toSeq, zones)
+        strCols, ckpts.toSeq, segZones)
     else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq,
-      zones)
+      segZones)
   }
 
   def abort(): Unit = {

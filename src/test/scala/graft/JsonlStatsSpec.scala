@@ -2319,6 +2319,17 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN tag STRING DEFAULT 'it''s'")
     assert(spark.sql(s"SELECT count(*) FROM $cat.`$table` WHERE tag = \"it's\"")
       .head().getLong(0) === 13L)
+    // ... and backslashes survive the render/unescape round trip
+    // (review r8: quote-doubling alone mis-decoded them)
+    spark.sql(s"ALTER TABLE $cat.`$table` ADD COLUMN wpath STRING DEFAULT 'C:\\\\x'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table` WHERE wpath = 'C:\\\\x'")
+      .head().getLong(0) === 13L)
+    // CREATE TABLE with a default stamps the protocol feature too
+    spark.sql(s"CREATE TABLE $cat.proto_ct_def " +
+      "(event_id LONG, event_type STRING, value DOUBLE, bonus DOUBLE DEFAULT 1.5)")
+    val ctDir = java.nio.file.Paths.get(dir).getParent.resolve("proto_ct_def").toString
+    assert(JsonlStats.readTableMeta(ctDir).features === Seq(JsonlStats.FeatureColumnDefaults))
+    spark.sql(s"DROP TABLE $cat.proto_ct_def")
   }
 
   test("DROP COLUMN: sidecar-only, physical key reserved forever, layout/constraint refusals (r8)") {
@@ -2412,6 +2423,16 @@ class JsonlStatsSpec extends SparkSpec {
     // content identity vs the unpruned path
     assert(narrow.agg(sum($"event_id")).head().getLong(0) ===
       (0L until 5000L).sum)
+    // BOUNDARY-ROW law (review r8): a checkpoint offset is the boundary
+    // row's line start, so that row belongs to the NEXT segment — its
+    // value must sit in that segment's bounds, or an equality on it
+    // prunes the very range that holds the row (silent row loss). The
+    // file is value == physical row here, so every checkpoint's
+    // rows-before IS a boundary value.
+    s.ckpts.foreach { case (_, rowsBefore) =>
+      assert(full.filter($"value" === rowsBefore.toDouble).count() === 1,
+        s"boundary row $rowsBefore must survive zone pruning")
+    }
     // legacy manifest (no segb): same ranges, nothing pruned
     JsonlStats.publishManifest(dir, "age-zones",
       Seq(JsonlStats.statsLine(s.copy(segb = Nil))))

@@ -108,14 +108,16 @@ object GraftFunctions {
     FunctionIdentifier("graft_cms_estimate"),
     new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
     (children: Seq[Expression]) => CmsEstimate(children.head,
-      children(1).eval().asInstanceOf[Array[Byte]]))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        children(1).eval().asInstanceOf[Array[Byte]])))
 
   private[functions] val bloomContainsDescriptor
   : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bloom_contains"),
     new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
     (children: Seq[Expression]) => BloomContains(children.head,
-      children(1).eval().asInstanceOf[Array[Byte]]))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        children(1).eval().asInstanceOf[Array[Byte]])))
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {

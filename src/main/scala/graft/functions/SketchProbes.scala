@@ -7,6 +7,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
+import scala.collection.immutable.ArraySeq
+
 /** Native codegen'd probes for the sketch tier (q114/q115/q144/q163),
   * replacing the Scala `udf` closures carried since r5 (VERDICT r5/r7
   * "What's wrong": no built-in CMS-probe expression exists). A udf is
@@ -27,7 +29,13 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   * `estimateCount` on a boxed Long routes through the same
   * integral-to-long path the udf's Scala boxing took, and string keys
   * hash their UTF-8 bytes exactly as `count_min_sketch`'s
-  * `addBinary(UTF8String.getBytes)` wrote them. */
+  * `addBinary(UTF8String.getBytes)` wrote them.
+  *
+  * The serialized sketch is carried as an `ArraySeq[Byte]` (r8 advice):
+  * a raw `Array[Byte]` case-class field compares by REFERENCE, so two
+  * semantically identical probes never canonicalize equal and
+  * subexpression elimination / plan-fragment dedup cannot fire for
+  * repeated probes; `ArraySeq` restores value equality and hashCode. */
 object SketchProbes {
   // static helpers invoked from generated code
   def cmsLong(cms: CountMinSketch, k: Long): Long =
@@ -41,7 +49,7 @@ object SketchProbes {
 /** `graft_cms_estimate(key, sketch_bytes)` — Count-Min estimated count
   * of `key` (long or string) against a serialized
   * [[org.apache.spark.util.sketch.CountMinSketch]]. */
-case class CmsEstimate(key: Expression, sketchBytes: Array[Byte])
+case class CmsEstimate(key: Expression, sketchBytes: ArraySeq[Byte])
   extends UnaryExpression {
 
   override def child: Expression = key
@@ -55,7 +63,7 @@ case class CmsEstimate(key: Expression, sketchBytes: Array[Byte])
   }
 
   @transient private lazy val cms: CountMinSketch =
-    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes.toArray))
 
   override protected def nullSafeEval(k: Any): Any = k match {
     case l: java.lang.Long => SketchProbes.cmsLong(cms, l)
@@ -80,7 +88,7 @@ case class CmsEstimate(key: Expression, sketchBytes: Array[Byte])
   * long key against a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]] (one-sided: false
   * positives bounded, false negatives impossible). */
-case class BloomContains(key: Expression, filterBytes: Array[Byte])
+case class BloomContains(key: Expression, filterBytes: ArraySeq[Byte])
   extends UnaryExpression {
 
   override def child: Expression = key
@@ -94,7 +102,7 @@ case class BloomContains(key: Expression, filterBytes: Array[Byte])
   }
 
   @transient private lazy val bf: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes.toArray))
 
   override protected def nullSafeEval(k: Any): Any =
     SketchProbes.bloomLong(bf, k.asInstanceOf[Long])

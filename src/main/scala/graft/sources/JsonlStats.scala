@@ -59,7 +59,18 @@ class JsonlStats extends TableProvider with DataSourceRegister {
   // JSON keys); the fixed event-feed shape is the no-sidecar fallback.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path"))
-      .flatMap(p => scala.util.Try(JsonlStats.readTableMeta(p).schema).toOption.flatten)
+      .flatMap { p =>
+        // Only the absent-sidecar case (root vanished between the
+        // existence probe and the read) may fall back to the fixed
+        // event-feed schema. The protocol feature gate
+        // (requireReadable's UnsupportedOperationException) and a
+        // corrupted sidecar's parse error MUST propagate: a resolution
+        // path trusting inferSchema alone would otherwise lose the
+        // refusal, and a corrupt sidecar would yield a silently wrong
+        // schema instead of an error.
+        try JsonlStats.readTableMeta(p).schema
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
       .getOrElse(JsonlStats.schema)
   // a caller may supply its own schema (e.g. a dimension table through
   // the same connector) — the reader parses whatever fields are asked of it
@@ -694,7 +705,20 @@ object JsonlStats {
           // lock-lease tradeoff every expiring-lease protocol makes,
           // with spinMs = seconds against two local metadata writes.
           val prevSlot = hist.resolve(s"v${k - 1}.jsonl")
-          val inFlight = k > 1 && !expiredLeases.contains(prevSlot.getFileName.toString) &&
+          // Lease freshness is judged by the slot's AGE, not only by
+          // this caller's own waiting (r8 advice): a slot byte-equal to
+          // live but older than spinMs is crash/conflict debris whose
+          // lease already expired — honoring it once per NEW committer
+          // (a full spin apiece until some commit finally lands) would
+          // tax every caller for one crash. A late owner whose slot
+          // aged out CANNOT clobber the expirer's commit: its swap is
+          // guarded by the stillLive re-verify below.
+          val leaseFresh =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(prevSlot).toMillis < spinMs
+            catch { case _: java.io.IOException => false }
+          val inFlight = k > 1 && leaseFresh &&
+            !expiredLeases.contains(prevSlot.getFileName.toString) &&
             Files.exists(prevSlot) &&
             (try Files.readAllLines(prevSlot).asScala.toSeq == liveBytes
              catch { case _: java.io.IOException => false })
@@ -717,9 +741,27 @@ object JsonlStats {
             val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
             Files.write(tmp, all.asJava,
               StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-            Files.move(tmp, current,
-              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-            return k
+            // Second CAS-style check (r8 advice): if a waiter expired
+            // THIS committer's lease (reserve→swap exceeded spinMs) and
+            // committed over the reserved base, the live manifest no
+            // longer equals the snapshot the reservation proved —
+            // swapping now would silently erase the rival's commit.
+            // Re-verify immediately before the swap; on mismatch,
+            // abandon and retry on the new state (the reserved slot
+            // stays behind as a benign duplicate snapshot, exactly like
+            // a rebase conflict's). The residual check-to-move window
+            // is microseconds of local metadata I/O against a lease
+            // measured in seconds — the race the lease re-opened is
+            // closed to that margin.
+            val stillLive =
+              try Files.readAllLines(current).asScala.toSeq == liveBytes
+              catch { case _: java.io.IOException => false }
+            if (!stillLive) Files.deleteIfExists(tmp)
+            else {
+              Files.move(tmp, current,
+                StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+              return k
+            }
           }
           }
         }

@@ -729,19 +729,29 @@ class JsonlPartitionReader(file: String, required: StructType,
         case LongType   => java.lang.Long.valueOf(sql.toLong)
         case DoubleType => java.lang.Double.valueOf(sql.toDouble)
         case StringType =>
-          // the quoted literal may carry EITHER escape convention:
-          // the DDL stores SQL doubling ('') but Spark's
-          // Column-conversion round trip re-renders through catalyst,
-          // which backslash-escapes ('\' + quote)
+          // Canonical convention is catalyst backslash-escaping — both
+          // current writers (the DDL capture and the Column round trip)
+          // emit it. SQL quote-doubling ('') is decoded only as a
+          // LEGACY fallback when the body carries no backslash at all:
+          // accepting both conventions simultaneously is ambiguous (a
+          // quote-doubled sidecar whose literal contains a real
+          // backslash, e.g. 'a\b', would have it consumed → 'ab').
           val body = sql.stripPrefix("'").stripSuffix("'")
           val sb = new java.lang.StringBuilder(body.length)
           var i = 0
-          while (i < body.length) {
-            val c = body.charAt(i)
-            if (c == '\\' && i + 1 < body.length) { sb.append(body.charAt(i + 1)); i += 2 }
-            else if (c == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
-              sb.append('\''); i += 2
-            } else { sb.append(c); i += 1 }
+          if (body.indexOf('\\') >= 0) {
+            while (i < body.length) {
+              val c = body.charAt(i)
+              if (c == '\\' && i + 1 < body.length) { sb.append(body.charAt(i + 1)); i += 2 }
+              else { sb.append(c); i += 1 }
+            }
+          } else {
+            while (i < body.length) {
+              val c = body.charAt(i)
+              if (c == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
+                sb.append('\''); i += 2
+              } else { sb.append(c); i += 1 }
+            }
           }
           UTF8String.fromString(sb.toString)
         case _ => null

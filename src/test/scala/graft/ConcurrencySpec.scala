@@ -107,6 +107,49 @@ class ConcurrencySpec extends SparkSpec {
     assert((System.nanoTime() - t0) < 5L * 1000 * 1000 * 1000)
   }
 
+  test("a late swap after lease expiry cannot clobber the rival's commit (second CAS check, r8 advice)") {
+    val root = Files.createTempDirectory("occ_late").toString
+    JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("seed.jsonl")))
+    val rival = entry("rival.jsonl", 2, 3, 7L)
+    @volatile var fired = false
+    JsonlStats.commitAtomic(root, "slow",
+      base => base :+ entry("slow.jsonl", 1, 2, 5L),
+      onReserved = _ => if (!fired) {
+        fired = true
+        // simulate the rival that expired THIS committer's lease between
+        // its reserve and swap, and committed over the reserved base —
+        // the exact lost-update window the lease re-opened
+        val live = Paths.get(root, "_stats.jsonl")
+        val lines = (Files.readAllLines(live).asScala.toSeq :+ rival).sorted
+        Files.write(live, lines.asJava, StandardOpenOption.TRUNCATE_EXISTING)
+      })
+    val fin = liveEntries(root)
+    assert(fin.exists(_.contains("rival.jsonl")),
+      "the rival's commit must survive the late swap (stillLive re-verify)")
+    assert(fin.exists(_.contains("slow.jsonl")),
+      "the slow committer retries on the new base and lands too")
+    assert(fin.size === 3)
+  }
+
+  test("crash debris older than the lease is expired by AGE: a new committer pays no spin") {
+    val root = Files.createTempDirectory("occ_debris").toString
+    JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("part-seed.jsonl")))
+    val hist = Paths.get(root, JsonlStats.HistoryDir)
+    Files.createDirectories(hist)
+    val slot = hist.resolve("v1.jsonl")
+    Files.copy(Paths.get(root, "_stats.jsonl"), slot)
+    // age the debris past any lease: a caller must not wait even once
+    // (pre-fix each NEW commitAtomic call paid one full spin apiece)
+    Files.setLastModifiedTime(slot,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000L))
+    val t0 = System.nanoTime()
+    JsonlStats.commitAtomic(root, "next", base => base :+ entry("part-next.jsonl"),
+      spinMs = 3000)
+    assert((System.nanoTime() - t0) < 2L * 1000 * 1000 * 1000,
+      "aged debris must be skipped without a lease wait")
+    assert(liveEntries(root).size === 2)
+  }
+
   test("rebaseRewrite: commutes with concurrent appends, conflicts on a changed member") {
     val a = entry("a.jsonl", 0, 1, 5); val b = entry("b.jsonl", 1, 2, 5)
     val c = entry("c.jsonl", 2, 3, 5); val appended = entry("new.jsonl", 9, 10, 1)

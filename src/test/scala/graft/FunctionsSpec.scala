@@ -213,4 +213,28 @@ class FunctionsSpec extends SparkSpec {
     val grid = (1 to 99).map(i => TDigest.quantile(whole, i / 100.0))
     assert(grid.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
   }
+
+  test("sketch probes canonicalize: value-equal bytes make semantically equal probes (r8 advice)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    import scala.collection.immutable.ArraySeq
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.99, 42)
+    (1L to 50L).foreach(i => cms.add(Long.box(i)))
+    val bos = new java.io.ByteArrayOutputStream(); cms.writeTo(bos)
+    val b1 = bos.toByteArray; val b2 = b1.clone()
+    assert(!(b1 eq b2))
+    val key = AttributeReference("k", LongType)()
+    // DISTINCT backing arrays with equal content: a raw Array[Byte]
+    // field would compare by reference and defeat subexpression
+    // elimination; the ArraySeq wrapper restores value equality
+    val e1 = graft.functions.CmsEstimate(key, ArraySeq.unsafeWrapArray(b1))
+    val e2 = graft.functions.CmsEstimate(key, ArraySeq.unsafeWrapArray(b2))
+    assert(e1 == e2 && e1.hashCode == e2.hashCode && e1.semanticEquals(e2))
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (1L to 100L).foreach(bf.putLong)
+    val bb = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val f1 = graft.functions.BloomContains(key, ArraySeq.unsafeWrapArray(bb))
+    val f2 = graft.functions.BloomContains(key, ArraySeq.unsafeWrapArray(bb.clone()))
+    assert(f1 == f2 && f1.semanticEquals(f2))
+  }
 }

@@ -119,4 +119,143 @@ object Bloom {
     * (meaningful under local mode / tests; on a cluster each executor
     * counts its own). */
   val skippedFiles = new java.util.concurrent.atomic.LongAdder
+
+  // ---- substring GRAM index (r9) -----------------------------------------
+  //
+  // A second sidecar kind (`<file>.jsonl.grams`, same binary layout as
+  // the value bloom) holding a Bloom filter over every LENGTH-5
+  // CHARACTER WINDOW of the indexed string column's values. The law it
+  // serves: if a file contains needle `s` (|s| >= 5) as a substring of
+  // some row value, the file's gram set contains EVERY 5-gram of `s` —
+  // so a single absent gram proves the needle absent and the task skips
+  // the parse of its whole range. This is what turns
+  // `content LIKE '%needle%'` over 100 TB of text from a full-corpus
+  // parse into task launches that each read a ~KB sidecar and exit; a
+  // false positive only costs the redundant parse (the residual filter
+  // re-checks rows), and a false NEGATIVE is impossible because the
+  // writer inserts every window unconditionally. Matching is
+  // case-sensitive over exact characters — precisely SQL LIKE
+  // semantics. Needles shorter than 5 chars simply never probe
+  // (cannot prune, still correct).
+
+  /** Character window length. 5 balances selectivity (4-grams are too
+    * common in natural text to prune) against the shortest
+    * still-probeable needle. */
+  val GramLen = 5
+
+  /** Spill threshold for the adaptive tracker: below this many distinct
+    * grams the sidecar is an exactly-sized bloom (12 bits/gram, small
+    * files get KB sidecars); above it the tracker switches to one fixed
+    * 2^23-bit (1 MiB) array inserted on the fly — bounded memory for
+    * arbitrarily large files, with the honest degradation that a file
+    * whose distinct-gram count saturates the array stops pruning but
+    * never misprunes. */
+  val GramSpillDistinct = 1 << 18
+  val GramFixedBits = 1 << 23
+
+  def gramSidecarOf(dataFile: Path): Path =
+    dataFile.resolveSibling(dataFile.getFileName.toString + ".grams")
+
+  def gramSidecarName(dataFile: String): String = dataFile + ".grams"
+
+  /** Hash of the 5-char window starting at `from` — FNV-1a over UTF-16
+    * code units, splitmix-finalized. Writer and prober share this one
+    * definition; that agreement is the whole contract. */
+  def gramHash(s: CharSequence, from: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < GramLen) {
+      val c = s.charAt(from + i)
+      h ^= (c & 0xffL);        h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** All distinct gram hashes of a probe needle (|needle|-4 windows).
+    * Empty when the needle is too short to probe. */
+  def gramHashes(needle: String): Array[Long] = {
+    if (needle == null || needle.length < GramLen) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Long](needle.length - GramLen + 1)
+    var i = 0
+    while (i + GramLen <= needle.length) { out += gramHash(needle, i); i += 1 }
+    out.distinct.toArray
+  }
+
+  /** Set every probe bit of `hash` in a caller-owned array. */
+  def insertHash(words: Array[Long], mBits: Int, hash: Long): Unit = {
+    var i = 0
+    while (i < K) {
+      val b = bitIndex(hash, i, mBits)
+      words(b >>> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  /** Per-open-file gram accumulator: exact distinct set until
+    * [[GramSpillDistinct]], then one [[GramFixedBits]] array. */
+  final class GramTracker {
+    private var set: java.util.HashSet[java.lang.Long] = new java.util.HashSet[java.lang.Long]()
+    private var words: Array[Long] = null
+
+    def add(value: String): Unit = {
+      if (value == null || value.length < GramLen) return
+      var i = 0
+      while (i + GramLen <= value.length) {
+        val h = gramHash(value, i)
+        if (words != null) insertHash(words, GramFixedBits, h)
+        else {
+          set.add(h)
+          if (set.size > GramSpillDistinct) {
+            words = new Array[Long](GramFixedBits / 64)
+            val it = set.iterator()
+            while (it.hasNext) insertHash(words, GramFixedBits, it.next())
+            set = null
+          }
+        }
+        i += 1
+      }
+    }
+
+    /** Write the sidecar for `dataFile`; no-op tracker (zero grams)
+      * still writes one, so an indexed file with no indexable text
+      * prunes every probe. */
+    def writeSidecar(dataFile: Path): Unit = {
+      val (w, mBits) =
+        if (words != null) (words, GramFixedBits)
+        else {
+          val hs = new Array[Long](set.size)
+          val it = set.iterator(); var i = 0
+          while (it.hasNext) { hs(i) = it.next(); i += 1 }
+          build(hs)
+        }
+      val buf = java.nio.ByteBuffer.allocate(12 + w.length * 8)
+      buf.putInt(Magic); buf.putInt(1); buf.putInt(mBits)
+      w.foreach(buf.putLong)
+      Files.write(gramSidecarOf(dataFile), buf.array(),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+  }
+
+  /** Same layout as the value-bloom sidecar (the extension carries the
+    * semantics); absent/corrupt means "read the file". */
+  def readGramSidecar(dataFile: Path): Option[(Array[Long], Int)] = {
+    val p = gramSidecarOf(dataFile)
+    if (!Files.exists(p)) return None
+    try {
+      val bytes = Files.readAllBytes(p)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      if (buf.getInt() != Magic || buf.getInt() != 1) return None
+      val mBits = buf.getInt()
+      if (mBits <= 0 || bytes.length != 12 + mBits / 8) return None
+      val words = new Array[Long](mBits / 64)
+      var i = 0
+      while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+      Some((words, mBits))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Process-local diagnostic twin of [[skippedFiles]] for gram probes. */
+  val gramSkippedFiles = new java.util.concurrent.atomic.LongAdder
 }

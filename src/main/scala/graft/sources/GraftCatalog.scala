@@ -94,7 +94,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       meta.statsCol.getOrElse(JsonlStats.statsColumn),
       meta.partitionCol, bloomCol = meta.bloomCol,
       deleteMode = meta.deleteMode,
-      columnMapping = meta.columnMapping)
+      columnMapping = meta.columnMapping,
+      gramCol = meta.gramCol)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -342,11 +343,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               "old files still carry its bytes — pick another name")
         val physical = mapping.getOrElse(from, from)
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-          meta.partitionCol ++ meta.bloomCol
+          meta.partitionCol ++ meta.bloomCol ++ meta.gramCol
         if (declared.contains(physical))
           throw new UnsupportedOperationException(
             s"$catName: cannot rename $from — it is the table's declared " +
-              "stats/partition/bloom column (the physical layout contract)")
+              "stats/partition/bloom/gram column (the physical layout contract)")
         if (constraints.exists(_._2.contains(from)))
           throw new UnsupportedOperationException(
             s"$catName: cannot rename $from — a CHECK constraint references it; " +
@@ -378,11 +379,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               s"$catName: cannot drop $col — it is the table's only column")
           val physical = mapping.getOrElse(col, col)
           val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-            meta.partitionCol ++ meta.bloomCol
+            meta.partitionCol ++ meta.bloomCol ++ meta.gramCol
           if (declared.contains(physical))
             throw new UnsupportedOperationException(
               s"$catName: cannot drop $col — it is the table's declared " +
-                "stats/partition/bloom column (the physical layout contract)")
+                "stats/partition/bloom/gram column (the physical layout contract)")
           if (constraints.exists(_._2.contains(col)))
             throw new UnsupportedOperationException(
               s"$catName: cannot drop $col — a CHECK constraint references it; " +
@@ -405,7 +406,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
          Seq(JsonlStats.FeatureColumnDefaults) else Nil)).distinct
     JsonlStats.writeTableMeta(dir.toString,
       meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped, reserved)
+      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped, reserved,
+      gramCol = meta.gramCol)
     loadTable(ident)
   }
 
@@ -508,6 +510,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "clone"   => new GraftProcedures.CloneUnbound(root)
       case "zorder"  => new GraftProcedures.ZOrderUnbound(root)
       case "rewrite_deletes" => new GraftProcedures.RewriteDeletesUnbound(root)
+      case "build_gram_index" => new GraftProcedures.GramIndexUnbound(root)
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
@@ -516,7 +519,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
         Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"),
-        Identifier.of(namespace, "zorder"))
+        Identifier.of(namespace, "zorder"), Identifier.of(namespace, "build_gram_index"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -402,6 +402,89 @@ object GraftProcedures {
     }
   }
 
+  class GramIndexUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "build_gram_index"
+    override def description(): String =
+      "build_gram_index(table, column): declare + backfill the substring gram index"
+    override def bind(inputType: StructType): BoundProcedure = new GramIndexBound(root)
+  }
+
+  /** `CALL <cat>.build_gram_index('<table>', '<column>')` — declares
+    * the substring gram index ([[Bloom]] r9) on a STRING column and
+    * BACKFILLS the per-file gram sidecars for every live data file.
+    * Declaration lands FIRST (sidecar write under the meta lock), so a
+    * write racing the backfill sidecars its own files; the backfill is
+    * one Spark job over the manifest's file list — a file-count-bounded
+    * maintenance pass, each task one streaming parse (the same shape as
+    * rewrite_deletes). Re-CALLing rebuilds — idempotent. */
+  class GramIndexBound(root: String) extends BoundProcedure {
+    override def name(): String = "build_gram_index"
+    override def description(): String = "backfill substring gram sidecars"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val column = input.getUTF8String(1).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val n = GraftProcedures.buildGramIndex(dir.toString, column)
+      val schema = StructType(Seq(
+        StructField("files_indexed", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(n))
+        override def description(): String = s"gram index: $n files indexed"
+      }).iterator()
+    }
+  }
+
+  /** Declare the gram column in `_table.json` (logical name — layout
+    * columns are never renamable) and sidecar every live file. */
+  def buildGramIndex(tableRoot: String, column: String): Int = {
+    val physical = JsonlStats.metaLock.synchronized {
+      val m = JsonlStats.readTableMeta(tableRoot)
+      val schema = m.schema.getOrElse(JsonlStats.schema)
+      require(schema.fields.exists(f => f.name == column &&
+          f.dataType == org.apache.spark.sql.types.StringType),
+        s"gram index column $column must be a string column of ${schema.simpleString}")
+      // declare FIRST: a writer landing after this sees the contract and
+      // sidecars its own files; the backfill below covers the past
+      JsonlStats.writeTableMeta(tableRoot, m.statsCol.getOrElse(JsonlStats.statsColumn),
+        m.partitionCol, schema, m.bloomCol, m.deleteMode, m.constraints,
+        m.columnMapping, m.features, m.reserved, gramCol = Some(column))
+      m.columnMapping.getOrElse(column, column)
+    }
+    val files = JsonlStats.readStats(tableRoot).map(_.file)
+    val rootCopy = tableRoot
+    if (files.nonEmpty) SparkSession.active.sparkContext
+      .parallelize(files, math.min(files.size, 32))
+      .foreach(f => GraftProcedures.gramIndexOneFile(rootCopy, f, physical))
+    files.size
+  }
+
+  /** Executor side of [[buildGramIndex]]: one streaming parse of `file`,
+    * the indexed column's values fed through [[Bloom.GramTracker]]. */
+  private[sources] def gramIndexOneFile(root: String, file: String,
+                                        physical: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val grams = new Bloom.GramTracker
+    val in = Files.newBufferedReader(Paths.get(root, file))
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty && line != "\r") {
+          val v = mapper.readTree(line).get(physical)
+          if (v != null && !v.isNull) grams.add(v.asText())
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    grams.writeSidecar(Paths.get(root, file))
+  }
+
   /** Link (or, cross-device, copy) the live generation's files and
     * publish the clone's own manifest + table sidecar. Returns
     * (hardLinked, byteCopied) file counts. */
@@ -422,6 +505,8 @@ object GraftProcedures {
       bring(s.file)
       if (Files.exists(Paths.get(srcRoot, Bloom.sidecarName(s.file))))
         bring(Bloom.sidecarName(s.file))
+      if (Files.exists(Paths.get(srcRoot, Bloom.gramSidecarName(s.file))))
+        bring(Bloom.gramSidecarName(s.file))
       s.dvs.foreach(bring) // deletion vectors ride with their files
     }
     val tm = Paths.get(srcRoot, "_table.json")
@@ -480,6 +565,7 @@ object GraftProcedures {
       deletable.foreach { f =>
         if (Files.deleteIfExists(dir.resolve(f))) dataDeleted += 1
         Files.deleteIfExists(dir.resolve(Bloom.sidecarName(f))) // rides with its file
+        Files.deleteIfExists(dir.resolve(Bloom.gramSidecarName(f)))
       }
       expired.foreach(v => Files.deleteIfExists(dir.resolve(manifestOf(v))))
     }
@@ -490,10 +576,14 @@ object GraftProcedures {
       .filter(Files.isRegularFile(_))
       .foreach { p =>
         val n = p.getFileName.toString
-        // a bloom sidecar is referenced iff its data file is
-        val ref = if (n.endsWith(".jsonl.bloom")) n.stripSuffix(".bloom") else n
+        // a bloom/gram sidecar is referenced iff its data file is
+        val ref =
+          if (n.endsWith(".jsonl.bloom")) n.stripSuffix(".bloom")
+          else if (n.endsWith(".jsonl.grams")) n.stripSuffix(".grams")
+          else n
         val sweepable =
-          (n.endsWith(".jsonl") || n.endsWith(".jsonl.bloom") || n.contains(".jsonl.tmp-")) &&
+          (n.endsWith(".jsonl") || n.endsWith(".jsonl.bloom") ||
+            n.endsWith(".jsonl.grams") || n.contains(".jsonl.tmp-")) &&
           n != "_stats.jsonl" && !retainedRefs.contains(ref)
         if (sweepable && Files.getLastModifiedTime(p).toMillis < cutoff &&
             Files.deleteIfExists(p)) orphansDeleted += 1
@@ -557,6 +647,7 @@ object GraftProcedures {
     var reader = spark.read.format("graft-jsonl-stats")
       .option("path", tableRoot).option("statsColumn", statsCol)
     meta.bloomCol.foreach(bc => reader = reader.option("bloomColumn", bc))
+    meta.gramCol.foreach(gc => reader = reader.option("gramColumn", gc))
     meta.schema.foreach(s => reader = reader.schema(s))
     val df = reader.load()
     require(df.columns.contains(colA) && df.columns.contains(colB),
@@ -585,6 +676,7 @@ object GraftProcedures {
       .write.format("graft-jsonl-stats")
       .option("path", tableRoot).option("statsColumn", statsCol)
     meta.bloomCol.foreach(bc => writer = writer.option("bloomColumn", bc))
+    meta.gramCol.foreach(gc => writer = writer.option("gramColumn", gc))
     writer.mode("overwrite").save()
     val after = JsonlStats.readStats(tableRoot)
     (stats.size, after.size, after.map(_.rows).sum)
@@ -605,6 +697,7 @@ object GraftProcedures {
     val schemaJson = schema.json
     val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
     val bloomCol = meta.bloomCol
+    val gramCol = meta.gramCol
     val mapping = meta.columnMapping
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
@@ -615,7 +708,7 @@ object GraftProcedures {
       .parallelize(work, math.min(work.size, 32))
       .map { case (file, dvs, pkey, out) =>
         GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-          schemaJson, statsCol, bloomCol, mapping)
+          schemaJson, statsCol, bloomCol, mapping, gramCol)
       }
       .collect().toSeq // file-count-bounded: one manifest entry per task
     // OCC rewrite (r8): the collapsed files' planned entries must
@@ -638,7 +731,8 @@ object GraftProcedures {
                                       pkey: Option[String], out: String,
                                       schemaJson: String, statsCol: String,
                                       bloomCol: Option[String],
-                                      columnMapping: Map[String, String] = Map.empty): JsonlStats.FileStats = {
+                                      columnMapping: Map[String, String] = Map.empty,
+                                      gramCol: Option[String] = None): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
@@ -660,6 +754,7 @@ object GraftProcedures {
     val strMx = scala.collection.mutable.Map.empty[String, String]
     strNames.foreach(c => colCnt(c) = 0L)
     val bloomHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val grams = if (gramCol.isDefined) new Bloom.GramTracker else null
     var rows = 0L
     // row-offset checkpoints for the rewritten file (r8): same rule as
     // JsonlFileSink — one (line start, rows before) pair per granularity
@@ -724,6 +819,10 @@ object GraftProcedures {
                 })
               }
             }
+            gramCol.foreach { gc =>
+              val v = n.get(gc)
+              if (v != null && !v.isNull) grams.add(v.asText())
+            }
           }
         }
         line = in.readLine()
@@ -736,6 +835,7 @@ object GraftProcedures {
       return JsonlStats.FileStats(out, 0, 0, 0, pkey)
     }
     if (bloomCol.isDefined) Bloom.writeSidecar(dest, bloomHashes.toArray)
+    if (gramCol.isDefined) grams.writeSidecar(dest)
     val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap
     val strCols = strMn.keySet.map(c =>
       c -> (JsonlStats.truncLower(strMn(c)), JsonlStats.truncUpper(strMx(c)))).toMap

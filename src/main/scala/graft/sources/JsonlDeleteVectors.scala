@@ -219,7 +219,8 @@ class JsonlDvBatchWrite(root: String, queryId: String,
         JsonlStats.writeTableMeta(root,
           meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
           meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
-          meta.columnMapping, meta.features :+ JsonlStats.FeatureDvs, meta.reserved)
+          meta.columnMapping, meta.features :+ JsonlStats.FeatureDvs, meta.reserved,
+          gramCol = meta.gramCol)
     }
     JsonlStats.commitAtomic(root, queryId,
       JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines))

@@ -87,8 +87,8 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     // column mapping is table-level state, never an option: a path
     // read of a renamed table must translate or it would silently
     // surface nulls for every renamed column
-    val mapping = Option(properties.get("path"))
-      .map(JsonlStats.readTableMeta(_).columnMapping).getOrElse(Map.empty)
+    val meta0 = Option(properties.get("path")).map(JsonlStats.readTableMeta(_))
+    val mapping = meta0.map(_.columnMapping).getOrElse(Map.empty)
     // `readChangeFeed=true` (r8): the STREAMING change-data-feed view —
     // versions as offsets, row images + `_change_type` as the schema
     // (the Delta CDF read shape); `startingVersion` picks the first
@@ -102,7 +102,10 @@ class JsonlStats extends TableProvider with DataSourceRegister {
       opts.getOrDefault("manifest", "_stats.jsonl"),
       Option(opts.get("bloomColumn")),
       Option(opts.get("deleteMode")),
-      mapping)
+      mapping,
+      // gram index resolves from the option OR the table sidecar — a
+      // plain path read of an indexed table skips without being told
+      gramCol = Option(opts.get("gramColumn")).orElse(meta0.flatMap(_.gramCol)))
   }
 }
 
@@ -447,7 +450,8 @@ object JsonlStats {
                              constraints: Seq[(String, String)] = Nil,
                              columnMapping: Map[String, String] = Map.empty,
                              features: Seq[String] = Nil,
-                             reserved: Seq[String] = Nil)
+                             reserved: Seq[String] = Nil,
+                             gramCol: Option[String] = None)
 
   // ---- protocol features (r8): the Delta reader-features idea -----------
 
@@ -492,12 +496,16 @@ object JsonlStats {
                      constraints: Seq[(String, String)] = Nil,
                      columnMapping: Map[String, String] = Map.empty,
                      features: Seq[String] = Nil,
-                     reserved: Seq[String] = Nil): Unit = {
+                     reserved: Seq[String] = Nil,
+                     gramCol: Option[String] = None): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
     partitionCol.foreach(n.put("partitionColumn", _))
     bloomCol.foreach(n.put("bloomColumn", _))
+    // substring gram index (r9): ADVISORY metadata, deliberately not a
+    // read-gating feature — a reader ignoring it merely reads every file
+    gramCol.foreach(n.put("gramColumn", _))
     deleteMode.foreach(n.put("deleteMode", _))
     if (constraints.nonEmpty) {
       val arr = n.putArray("constraints")
@@ -904,7 +912,8 @@ object JsonlStats {
         if (!n.hasNonNull("features")) Nil
         else (0 until n.get("features").size()).map(i => n.get("features").get(i).asText()),
         if (!n.hasNonNull("reserved")) Nil
-        else (0 until n.get("reserved").size()).map(i => n.get("reserved").get(i).asText())))
+        else (0 until n.get("reserved").size()).map(i => n.get("reserved").get(i).asText()),
+        if (n.hasNonNull("gramColumn")) Some(n.get("gramColumn").asText()) else None))
     }
   }
 
@@ -1068,7 +1077,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       manifest: String = "_stats.jsonl",
                       bloomCol: Option[String] = None,
                       deleteMode: Option[String] = None,
-                      columnMapping: Map[String, String] = Map.empty) extends Table
+                      columnMapping: Map[String, String] = Map.empty,
+                      gramCol: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1167,13 +1177,14 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
-      manifest = manifest, bloomCol = bloomCol, columnMapping = columnMapping)
+      manifest = manifest, bloomCol = bloomCol, columnMapping = columnMapping,
+      gramCol = gramCol)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
-      bloomCol, Option(info.options().get("txnAppId")), columnMapping)
+      bloomCol, Option(info.options().get("txnAppId")), columnMapping, gramCol)
   }
 }
 

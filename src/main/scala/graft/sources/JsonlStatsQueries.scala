@@ -1182,6 +1182,52 @@ object JsonlStatsQueries extends QueryModule {
         min($"event_id").as("min_id"), max($"event_id").as("max_id"))
   }
 
+  /** q239's fixture: documents text routed through the connector with
+    * the WRITER-MAINTAINED substring gram index (`gramColumn` write
+    * option → per-file gram sidecars, [[Bloom]] r9). A marker token is
+    * appended to the lowest doc ids and the layout is doc_id-ranged, so
+    * the needle lives in exactly one of the 8 files — the shape where
+    * substring search should prune, and where the manifest's doc_id
+    * bounds CANNOT (the predicate never mentions doc_id). */
+  def ensureGramFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_gram_docs")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.documents(spark, d)
+        .select($"doc_id",
+          when($"doc_id" < 25, concat($"text", lit(" xqzgramneedle")))
+            .otherwise($"text").as("text"))
+        .repartitionByRange(buckets, $"doc_id")
+        .sortWithinPartitions($"doc_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "doc_id")
+        .option("gramColumn", "text")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q239 (r9): SUBSTRING GRAM-INDEX SCAN — `LIKE '%needle%'` file
+    * skipping over text, the needle-in-100-TB-of-text path. The pushed
+    * `StringContains` becomes a set of required 5-gram hashes at
+    * planning; each TASK probes its file's gram sidecar and skips the
+    * whole parse when any gram is absent (planning stays
+    * manifest-only — the bloom stance). On this layout 7 of 8 files
+    * skip (proven by the gramSkippedRanges law in JsonlStatsSpec);
+    * value-bounds skipping can never serve this predicate because no
+    * ranged column appears in it. False positives degrade to a parse,
+    * false negatives are impossible — results stay exact, which is
+    * what the oracle checks. */
+  def gramIndexScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureGramFixture(spark, d)
+    spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .filter($"text".contains("xqzgramneedle"))
+      .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+
   /** q185 (r7): ZERO-COPY CLONE (`CALL <cat>.clone(src, dst)`) — the
     * dev/test-sandbox idiom on the manifest protocol: the clone's
     * manifest lists the source's live files as HARD LINKS (zero bytes
@@ -1562,6 +1608,7 @@ object JsonlStatsQueries extends QueryModule {
     "q236_column_default" -> columnDefaultRead,
     "q237_drop_column" -> dropColumnRead,
     "q238_zone_map_scan" -> zoneMapScan,
+    "q239_gram_index_scan" -> gramIndexScan,
   )
 
   val oracles = Map(
@@ -1706,6 +1753,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q239_gram_index_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 25 THEN text || ' xqzgramneedle' ELSE text END AS text
+        |  FROM documents)
+        |SELECT count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM t WHERE text LIKE '%xqzgramneedle%'""".stripMargin,
     "q184_bloom_skipping" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

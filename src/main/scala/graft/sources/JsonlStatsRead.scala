@@ -18,12 +18,14 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             splitBytes: Long = JsonlStats.DefaultSplitBytes,
                             manifest: String = "_stats.jsonl",
                             bloomCol: Option[String] = None,
-                            columnMapping: Map[String, String] = Map.empty) extends ScanBuilder
+                            columnMapping: Map[String, String] = Map.empty,
+                            gramCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var bloomPushed: Array[Filter] = Array.empty
+  private var gramNeedles: Array[String] = Array.empty
   private var aggSchema: Option[StructType] = None
 
   /** Logical → physical (column mapping, r7c): a renamed column's data
@@ -53,6 +55,20 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         case EqualTo(c, v) => c == bc && v != null
         case In(c, vs) => c == bc && vs.nonEmpty && vs.forall(_ != null)
         case _ => false
+      }
+    }
+    // substring gram index (r9): a contains/prefix/suffix/equality
+    // needle on the indexed text column prunes whole task ranges via
+    // the per-file gram sidecar — `LIKE '%needle%'` arrives here as
+    // StringContains. Only needles of >= GramLen chars can probe;
+    // conjunctive filters make every needle's gram set required.
+    gramNeedles = gramCol match {
+      case None => Array.empty
+      case Some(gc) => filters.collect {
+        case StringContains(c, v) if c == gc && v != null && v.length >= Bloom.GramLen => v
+        case StringStartsWith(c, v) if c == gc && v != null && v.length >= Bloom.GramLen => v
+        case StringEndsWith(c, v) if c == gc && v != null && v.length >= Bloom.GramLen => v
+        case EqualTo(c, v: String) if c == gc && v.length >= Bloom.GramLen => v
       }
     }
     filters
@@ -162,8 +178,12 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
           case _ => None
         }
       }
+      // every gram of every needle must be present in a file's sidecar
+      // or its ranges are skipped (AND across conjunctive predicates)
+      val gramRequired: Array[Long] =
+        gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
-        rewriteOp, splitBytes, manifest, bloomSets, columnMapping)
+        rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -236,7 +256,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      splitBytes: Long = JsonlStats.DefaultSplitBytes,
                      manifest: String = "_stats.jsonl",
                      bloomSets: Seq[Array[Long]] = Seq.empty,
-                     columnMapping: Map[String, String] = Map.empty)
+                     columnMapping: Map[String, String] = Map.empty,
+                     gramRequired: Array[Long] = Array.empty)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -265,7 +286,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol], " +
-      s"splitBytes=$splitBytes, bloomProbes=${bloomSets.size}"
+      s"splitBytes=$splitBytes, bloomProbes=${bloomSets.size}, " +
+      s"gramProbes=${gramRequired.length}"
 
   /** The runtime-filtering leg (the DPP analogue for connectors): a
     * broadcast join on the stats column hands the scan the join side's
@@ -482,7 +504,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, bloomSets, columnMapping)
+    new JsonlReaderFactory(required, bloomSets, columnMapping, gramRequired)
 
   /** Connector-level SQL metrics (`CustomMetric`, surfaced on the
     * BatchScan node in the UI next to Spark's own numOutputRows):
@@ -491,7 +513,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * the skipping story (a needle lookup should show skips ≈ tasks
     * and bytes ≈ 0). */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new JsonlBloomSkipMetric, new JsonlBytesReadMetric)
+    Array(new JsonlBloomSkipMetric, new JsonlGramSkipMetric, new JsonlBytesReadMetric)
 
   /** Streaming leg: the manifest doubles as the source of incremental
     * progress. An offset is the SET of manifested files; each micro-batch
@@ -663,17 +685,24 @@ class JsonlBytesReadMetric
   override def description(): String = "data-file bytes consumed by readers"
 }
 
+class JsonlGramSkipMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "gramSkippedRanges"
+  override def description(): String = "ranges skipped by substring gram-index probes"
+}
+
 class JsonlReaderFactory(required: StructType,
                          bloomSets: Seq[Array[Long]] = Seq.empty,
-                         columnMapping: Map[String, String] = Map.empty)
+                         columnMapping: Map[String, String] = Map.empty,
+                         gramRequired: Array[Long] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
       new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs,
-        columnMapping, f.startRow)
+        columnMapping, f.startRow, gramRequired = gramRequired)
     case k: JsonlKeyedFilePartition =>
       new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs,
-        columnMapping = columnMapping)
+        columnMapping = columnMapping, gramRequired = gramRequired)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -703,7 +732,8 @@ class JsonlPartitionReader(file: String, required: StructType,
                            dvs: Seq[String] = Nil,
                            columnMapping: Map[String, String] = Map.empty,
                            startRow: Long = -1L,
-                           invertMask: Boolean = false)
+                           invertMask: Boolean = false,
+                           gramRequired: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
 
@@ -786,7 +816,27 @@ class JsonlPartitionReader(file: String, required: StructType,
     }
   }
 
-  private val in = if (bloomSkipped) null else new java.io.BufferedInputStream(
+  /** TASK-time substring gram skip (r9): one ABSENT gram of a pushed
+    * needle proves no row value of this file contains the needle — the
+    * whole range's parse is skipped. Same stance as the bloom probe:
+    * whole-file sidecar, any range of the file may skip, absent sidecar
+    * means read normally (files appended after the index was declared
+    * gain sidecars from their own writers; files that predate
+    * `build_gram_index` backfill get them there). */
+  private val gramSkipped: Boolean = !bloomSkipped && gramRequired.nonEmpty && {
+    Bloom.readGramSidecar(Paths.get(file)) match {
+      case Some((words, mBits)) =>
+        val skip = !gramRequired.forall(h => Bloom.mightContain(words, mBits, h))
+        if (skip) Bloom.gramSkippedFiles.increment()
+        skip
+      case None => false
+    }
+  }
+
+  /** Any sidecar probe that proved this range irrelevant. */
+  private val indexSkipped: Boolean = bloomSkipped || gramSkipped
+
+  private val in = if (indexSkipped) null else new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(file)), 1 << 16)
   private val filePath = UTF8String.fromString(file)
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
@@ -797,7 +847,7 @@ class JsonlPartitionReader(file: String, required: StructType,
   private var pos = if (exactStart) startRow - 1 else -1L
 
   locally {
-    var toSkip = if (bloomSkipped) 0L else start
+    var toSkip = if (indexSkipped) 0L else start
     var eof = false
     while (toSkip > 0 && !eof) {
       val n = in.skip(toSkip)
@@ -807,7 +857,7 @@ class JsonlPartitionReader(file: String, required: StructType,
       else eof = true
     }
     // exact ranges start AT a line start — nothing to discard
-    if (!bloomSkipped && !exactStart && start > 0 && !eof) discardThroughNewline()
+    if (!indexSkipped && !exactStart && start > 0 && !eof) discardThroughNewline()
   }
 
   private def discardThroughNewline(): Unit = {
@@ -828,7 +878,7 @@ class JsonlPartitionReader(file: String, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (bloomSkipped) return false
+    if (indexSkipped) return false
     var found = false
     var eof = false
     while (!found && !eof) {
@@ -887,8 +937,12 @@ class JsonlPartitionReader(file: String, required: StructType,
         override def value(): Long = if (bloomSkipped) 1L else 0L
       },
       new CustomTaskMetric {
+        override def name(): String = "gramSkippedRanges"
+        override def value(): Long = if (gramSkipped) 1L else 0L
+      },
+      new CustomTaskMetric {
         override def name(): String = "dataBytesRead"
-        override def value(): Long = if (bloomSkipped) 0L else bpos - start
+        override def value(): Long = if (indexSkipped) 0L else bpos - start
       })
   }
 }

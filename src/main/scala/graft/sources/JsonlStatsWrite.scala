@@ -28,7 +28,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         partitionCol: Option[String] = None,
                         bloomCol: Option[String] = None,
                         txnAppId: Option[String] = None,
-                        columnMapping: Map[String, String] = Map.empty)
+                        columnMapping: Map[String, String] = Map.empty,
+                        gramCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
@@ -56,14 +57,15 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol, columnMapping)
+        replaceFilters, bloomCol, columnMapping, gramCol)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (truncateFirst || replaceFilters.isDefined)
         throw new UnsupportedOperationException(
           "streaming writes to graft-jsonl-stats are append-only: Complete output " +
             "mode and replaceWhere would re-truncate the table every micro-batch")
       new JsonlStreamingWrite(root, writeSchema, queryId,
-        txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol, columnMapping)
+        txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol, columnMapping,
+        gramCol)
     }
   })
 }
@@ -90,7 +92,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
                           statsCol: String = JsonlStats.statsColumn,
                           partitionCol: Option[String] = None,
                           bloomCol: Option[String] = None,
-                          columnMapping: Map[String, String] = Map.empty)
+                          columnMapping: Map[String, String] = Map.empty,
+                          gramCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -98,7 +101,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(root, writeSchema, s"$queryId-$runTag",
-      statsCol, partitionCol, bloomCol, columnMapping)
+      statsCol, partitionCol, bloomCol, columnMapping, gramCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val watermark = JsonlStats.readTxns(root).getOrElse(appId, -1L)
@@ -114,7 +117,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
           segb = c.segb)))
     if (!Files.exists(Paths.get(root, "_table.json")))
-      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol)
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
+        gramCol = gramCol)
     // OCC append (r8): the epoch's files ride a blind-append rebase —
     // concurrent batch appends or OTHER streaming apps' epochs commute;
     // this app's own epochs are sequential by Spark's contract, so the
@@ -134,12 +138,13 @@ class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: St
                                   statsCol: String,
                                   partitionCol: Option[String],
                                   bloomCol: Option[String],
-                                  columnMapping: Map[String, String] = Map.empty)
+                                  columnMapping: Map[String, String] = Map.empty,
+                                  gramCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, s"$tag-e$epochId", partitionId, taskId,
-      statsCol, partitionCol, bloomCol, columnMapping)
+      statsCol, partitionCol, bloomCol, columnMapping, gramCol)
 }
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
@@ -161,7 +166,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       partitionCol: Option[String] = None,
                       replaceFilters: Option[Array[Filter]] = None,
                       bloomCol: Option[String] = None,
-                      columnMapping: Map[String, String] = Map.empty) extends BatchWrite {
+                      columnMapping: Map[String, String] = Map.empty,
+                      gramCol: Option[String] = None) extends BatchWrite {
   /** Overwrite conflict reference (r8 review): captured when the WRITE
     * is CONSTRUCTED — physical planning, before the job's tasks run —
     * not at commit() time. A truncate/replaceWhere logically reads the
@@ -179,7 +185,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
-      columnMapping)
+      columnMapping, gramCol)
 
   private def isSentinel(s: JsonlStats.FileStats): Boolean =
     s.min == Double.MinValue && s.max == Double.MaxValue
@@ -246,7 +252,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       val prior = JsonlStats.readTableMeta(root)
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         prior.deleteMode, prior.constraints, prior.columnMapping, prior.features,
-        prior.reserved)
+        prior.reserved, gramCol = gramCol.orElse(prior.gramCol))
     }
     // OCC commit (r8): a plain append is BLIND — it commutes with any
     // concurrent commit, so the rebase just re-adds the fresh entries
@@ -302,7 +308,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
                              cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
                              partitionCol: Option[String] = None,
                              bloomCol: Option[String] = None,
-                             columnMapping: Map[String, String] = Map.empty)
+                             columnMapping: Map[String, String] = Map.empty,
+                             gramCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -332,7 +339,7 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
             case Some(s) => s.replacedFiles
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
-          }, partitionCol, bloomCol, columnMapping)
+          }, partitionCol, bloomCol, columnMapping, gramCol)
     })
   }
 }
@@ -345,10 +352,11 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
                              replaced: () => Set[String],
                              partitionCol: Option[String] = None,
                              bloomCol: Option[String] = None,
-                             columnMapping: Map[String, String] = Map.empty) extends BatchWrite {
+                             columnMapping: Map[String, String] = Map.empty,
+                             gramCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
-      columnMapping)
+      columnMapping, gramCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
@@ -380,11 +388,12 @@ class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          statsCol: String = JsonlStats.statsColumn,
                          partitionCol: Option[String] = None,
                          bloomCol: Option[String] = None,
-                         columnMapping: Map[String, String] = Map.empty)
+                         columnMapping: Map[String, String] = Map.empty,
+                         gramCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol,
-      partitionCol, bloomCol, columnMapping)
+      partitionCol, bloomCol, columnMapping, gramCol)
 }
 
 /** Streams rows of ONE output data file, tracking (min, max, rows) of
@@ -393,7 +402,8 @@ class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
 private[sources] class JsonlFileSink(root: String, val fileName: String,
                                      writeSchema: StructType, statsCol: String,
                                      bloomCol: Option[String] = None,
-                                     columnMapping: Map[String, String] = Map.empty) {
+                                     columnMapping: Map[String, String] = Map.empty,
+                                     gramCol: Option[String] = None) {
   // column mapping (r7c): rows are written under PHYSICAL field names
   // and per-column stats keyed by them, so pre- and post-rename files
   // are byte-compatible and the manifest keys never fork
@@ -417,6 +427,10 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val bloomIdx = bloomCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   private val bloomHashes =
     if (bloomIdx >= 0) scala.collection.mutable.ArrayBuffer.empty[Long] else null
+  // substring gram index (r9): every 5-char window of the indexed
+  // string column feeds the per-file gram bloom ([[Bloom.GramTracker]])
+  private val gramIdx = gramCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  private val grams = if (gramIdx >= 0) new Bloom.GramTracker else null
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
   private var rows = 0L
@@ -500,6 +514,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         case _          => Bloom.hashString(row.getUTF8String(bloomIdx).toString)
       })
     }
+    if (gramIdx >= 0 && !row.isNullAt(gramIdx))
+      grams.add(row.getUTF8String(gramIdx).toString)
     // checkpoint BEFORE the row: bytesOut is a line start here, and
     // `rows` rows precede it — one pair per [[JsonlStats.CheckpointBytes]]
     if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
@@ -521,6 +537,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     // bloom sidecar rides next to its data file, written before the
     // commit message exists (a crash leaves both unmanifested)
     if (bloomIdx >= 0) Bloom.writeSidecar(path, bloomHashes.toArray)
+    if (gramIdx >= 0) grams.writeSidecar(path)
     // all-null columns are simply ABSENT from the map (absence =
     // unknown = never pruned, no sentinel needed at this layer)
     val cols = numIdx.indices.collect {
@@ -553,6 +570,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     out.close()
     Files.deleteIfExists(path)
     Files.deleteIfExists(Bloom.sidecarOf(path))
+    Files.deleteIfExists(Bloom.gramSidecarOf(path))
   }
 }
 
@@ -568,7 +586,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       statsCol: String = JsonlStats.statsColumn,
                       partitionCol: Option[String] = None,
                       bloomCol: Option[String] = None,
-                      columnMapping: Map[String, String] = Map.empty) extends DataWriter[InternalRow] {
+                      columnMapping: Map[String, String] = Map.empty,
+                      gramCol: Option[String] = None) extends DataWriter[InternalRow] {
   private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
   require(partitionCol.isEmpty || keyIdx >= 0,
     s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
@@ -580,7 +599,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private def roll(): Unit = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
     seq += 1
-    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping)
+    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping,
+      gramCol)
   }
 
   override def write(row: InternalRow): Unit = {

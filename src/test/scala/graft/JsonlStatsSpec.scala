@@ -1594,6 +1594,145 @@ class JsonlStatsSpec extends SparkSpec {
       s"expected ~${stats.size} bloom-skipped files, got $skipped")
   }
 
+  test("q239: gram index — no false negatives, LIKE skipping, short needles, backfill (r9)") {
+    import spark.implicits._
+    // primitive law: every substring of an indexed value probes true
+    // (the tracker inserts EVERY window, so a contained needle's grams
+    // are all present — false negatives are impossible by construction)
+    val tmp = Files.createTempDirectory("gram_prim").resolve("t.jsonl")
+    Files.write(tmp, java.util.Arrays.asList("{}"))
+    val tr = new Bloom.GramTracker
+    val corpus = "the quick brown fox jumps over the lazy dog and keeps going"
+    tr.add(corpus)
+    tr.writeSidecar(tmp)
+    val (w1, m1) = Bloom.readGramSidecar(tmp).get
+    (0 to corpus.length - 8).foreach { i =>
+      val needle = corpus.substring(i, i + 8)
+      assert(Bloom.gramHashes(needle).forall(Bloom.mightContain(w1, m1, _)),
+        s"false negative for contained needle '$needle'")
+    }
+    assert(m1 < Bloom.GramFixedBits, "small value set must get a small sidecar")
+    // a needle that shares no grams with the corpus must prune
+    assert(!Bloom.gramHashes("xyzzy12345").forall(Bloom.mightContain(w1, m1, _)))
+
+    // spill law: past GramSpillDistinct the tracker switches to the
+    // fixed array — bounded memory, still zero false negatives
+    val big = new Bloom.GramTracker
+    val rnd = new scala.util.Random(42)
+    val bigVal = (0 until 300000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    big.add(bigVal)
+    val tmp2 = tmp.resolveSibling("big.jsonl")
+    Files.write(tmp2, java.util.Arrays.asList("{}"))
+    big.writeSidecar(tmp2)
+    val (w2, m2) = Bloom.readGramSidecar(tmp2).get
+    assert(m2 === Bloom.GramFixedBits, "a saturating value set must spill to the fixed array")
+    val mid = bigVal.substring(150000, 150012)
+    assert(Bloom.gramHashes(mid).forall(Bloom.mightContain(w2, m2, _)),
+      "false negative after spill")
+
+    // connector path: writer-maintained sidecars on the q239 fixture
+    val dir = JsonlStatsQueries.ensureGramFixture(spark, sfDir)
+    val stats = JsonlStats.readStats(dir)
+    assert(stats.size >= 4, s"fixture should be multi-file, got ${stats.size}")
+    stats.foreach(st => assert(
+      Files.exists(Bloom.gramSidecarOf(Paths.get(dir, st.file))),
+      s"missing gram sidecar for ${st.file}"))
+    assert(JsonlStats.readTableMeta(dir).gramCol.contains("text"),
+      "the write option must declare the gram column in _table.json")
+    def table = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // needle lives only in the lowest doc_id range: all other files'
+    // ranges skip at task time, and the result is exact
+    val before = Bloom.gramSkippedFiles.sum()
+    val hits = table.filter($"text".contains("xqzgramneedle"))
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val skipped = Bloom.gramSkippedFiles.sum() - before
+    assert(hits.toSeq === (0L until 25L), s"wrong needle hits: ${hits.toSeq}")
+    assert(skipped >= stats.size - 2,
+      s"expected ~${stats.size - 1} gram-skipped ranges, got $skipped")
+    // a needle too short to probe (< GramLen) skips nothing and stays correct
+    val b2 = Bloom.gramSkippedFiles.sum()
+    assert(table.filter($"text".contains("xqz")).count() === 25L)
+    assert(Bloom.gramSkippedFiles.sum() === b2, "short needles must not probe")
+    // conjunction: an impossible second needle prunes EVERY range
+    val b3 = Bloom.gramSkippedFiles.sum()
+    assert(table.filter($"text".contains("xqzgramneedle") &&
+      $"text".contains("zzqqxxneverthere")).isEmpty)
+    assert(Bloom.gramSkippedFiles.sum() - b3 >= stats.size - 1,
+      "conjunctive needles must prune with ANDed gram sets")
+
+    // backfill procedure: an unindexed table gains sidecars + contract
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.gram_docs")
+    graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").createOrReplaceTempView("gram_docs_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.gram_docs AS
+         |SELECT doc_id, CASE WHEN doc_id < 25 THEN concat(text, ' xqzgramneedle')
+         |  ELSE text END AS text FROM gram_docs_src""".stripMargin)
+    val dstRoot = root.resolve("gram_docs").toString
+    assert(JsonlStats.readTableMeta(dstRoot).gramCol.isEmpty)
+    val res = spark.sql(s"CALL $cat.build_gram_index('gram_docs', 'text')").head()
+    assert(res.getInt(0) === JsonlStats.readStats(dstRoot).size)
+    assert(JsonlStats.readTableMeta(dstRoot).gramCol.contains("text"))
+    JsonlStats.readStats(dstRoot).foreach(st => assert(
+      Files.exists(Bloom.gramSidecarOf(Paths.get(dstRoot, st.file)))))
+    // an absent needle now prunes every range through the SQL path
+    val b4 = Bloom.gramSkippedFiles.sum()
+    assert(spark.sql(
+      s"SELECT * FROM $cat.gram_docs WHERE text LIKE '%qqzzneverwritten%'").isEmpty)
+    assert(Bloom.gramSkippedFiles.sum() - b4 >= JsonlStats.readStats(dstRoot).size - 1)
+    // a non-string / unknown column refuses
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.build_gram_index('gram_docs', 'doc_id')").collect()
+    }
+    assert(err.toString.contains("string") ||
+      Option(err.getCause).exists(_.toString.contains("string")))
+    // appends AFTER the declaration sidecar themselves (writer-maintained)
+    spark.sql(s"INSERT INTO $cat.gram_docs VALUES (999999901, 'fresh xqzfreshrow text')")
+    JsonlStats.readStats(dstRoot).foreach(st => assert(
+      Files.exists(Bloom.gramSidecarOf(Paths.get(dstRoot, st.file))),
+      s"appended file ${st.file} must carry its own gram sidecar"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.gram_docs WHERE text LIKE '%xqzfreshrow%'")
+      .head().getLong(0) === 1L)
+    spark.sql(s"DROP TABLE $cat.gram_docs")
+  }
+
+  test("q239: maintenance regenerates gram sidecars (rewrite_deletes) (r9)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.gram_mor")
+    graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").createOrReplaceTempView("gram_mor_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.gram_mor AS
+         |SELECT doc_id, CASE WHEN doc_id < 25 THEN concat(text, ' xqzgramneedle')
+         |  ELSE text END AS text FROM gram_mor_src""".stripMargin)
+    val dstRoot = root.resolve("gram_mor").toString
+    spark.sql(s"CALL $cat.build_gram_index('gram_mor', 'text')")
+    val m0 = JsonlStats.readTableMeta(dstRoot)
+    JsonlStats.writeTableMeta(dstRoot, m0.statsCol.getOrElse(JsonlStats.statsColumn),
+      m0.partitionCol, m0.schema.get, m0.bloomCol, deleteMode = Some("merge-on-read"),
+      gramCol = m0.gramCol)
+    // DV-delete part of the needle set, then collapse: the rewritten
+    // files must carry FRESH gram sidecars whose index reflects the
+    // surviving rows (the deleted rows' needle no longer matches)
+    spark.sql(s"DELETE FROM $cat.gram_mor WHERE doc_id < 10")
+    spark.sql(s"CALL $cat.rewrite_deletes('gram_mor')").collect()
+    val after = JsonlStats.readStats(dstRoot)
+    assert(after.forall(_.dvs.isEmpty))
+    after.foreach(st => assert(
+      Files.exists(Bloom.gramSidecarOf(Paths.get(dstRoot, st.file))),
+      s"rewritten file ${st.file} must carry a regenerated gram sidecar"))
+    val hits = spark.sql(
+      s"SELECT doc_id FROM $cat.gram_mor WHERE text LIKE '%xqzgramneedle%' ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq === (10L until 25L), s"wrong post-rewrite hits: ${hits.toSeq}")
+    spark.sql(s"DROP TABLE $cat.gram_mor")
+  }
+
   test("q185: clone is zero-copy, and the tables diverge without interference (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
@@ -1637,7 +1776,7 @@ class JsonlStatsSpec extends SparkSpec {
     val scan = new JsonlStatsScanBuilder(dir, JsonlStats.schema).build()
       .asInstanceOf[JsonlStatsScan]
     assert(scan.supportedCustomMetrics().map(_.name()).toSet
-      === Set("bloomSkippedRanges", "dataBytesRead"))
+      === Set("bloomSkippedRanges", "gramSkippedRanges", "dataBytesRead"))
     val file = Paths.get(dir, JsonlStats.readStats(dir).head.file).toString
     // normal read: bytes consumed surface, no skip
     val r = new JsonlPartitionReader(file, JsonlStats.schema)

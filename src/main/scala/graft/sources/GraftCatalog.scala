@@ -120,17 +120,58 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case Seq() => None
       case Seq(t) =>
         val refs = t.references()
-        if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
+        if (refs.length != 1 || refs(0).fieldNames().length != 1)
           throw new UnsupportedOperationException(
-            s"$catName: only PARTITIONED BY (<column>) identity layouts are supported, got $t")
+            s"$catName: a partition transform takes exactly one top-level column, got $t")
         val c = refs(0).fieldNames()(0)
         val f = schema.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(s"partition column $c not in schema $schema"))
-        if (f.dataType != StringType)
-          throw new UnsupportedOperationException(
-            s"$catName: partition column $c must be string (manifest pkeys are strings), " +
-              s"got ${f.dataType.simpleString}")
-        Some(c)
+        // first literal argument of a parameterized transform
+        // (`bucket(8, col)` / `truncate(100, col)`) — argument order as
+        // parsed, so scan both positions
+        def litArg: Long = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"$catName: transform parameter must be numeric, got $other")
+            }
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"$catName: $t needs a numeric parameter"))
+        t.name() match {
+          case "identity" =>
+            if (f.dataType != StringType)
+              throw new UnsupportedOperationException(
+                s"$catName: partition column $c must be string (manifest pkeys are " +
+                  s"strings), got ${f.dataType.simpleString}")
+            Some(c)
+          // hidden partitioning (r9, [[PartitionTransforms]]): the
+          // DERIVED key is what the manifest records; queries prune on
+          // the source column alone
+          case "bucket" =>
+            val n = litArg
+            if (n < 1 || n > (1 << 20))
+              throw new IllegalArgumentException(
+                s"$catName: bucket count must be in [1, 2^20], got $n")
+            if (f.dataType != LongType && f.dataType != StringType)
+              throw new UnsupportedOperationException(
+                s"$catName: bucket($n, $c) needs a long or string source, " +
+                  s"got ${f.dataType.simpleString}")
+            Some(PartitionTransforms.Bucket(n.toInt, c).encoded)
+          case "truncate" =>
+            val w = litArg
+            if (w < 1)
+              throw new IllegalArgumentException(
+                s"$catName: truncate width must be positive, got $w")
+            if (f.dataType != LongType && f.dataType != StringType)
+              throw new UnsupportedOperationException(
+                s"$catName: truncate($w, $c) needs a long or string source, " +
+                  s"got ${f.dataType.simpleString}")
+            Some(PartitionTransforms.Trunc(w, c).encoded)
+          case other => throw new UnsupportedOperationException(
+            s"$catName: unsupported partition transform $other — identity, " +
+              "bucket(n, col) and truncate(w, col) are the supported layouts")
+        }
       case many => throw new UnsupportedOperationException(
         s"$catName: at most one partition column (got ${many.size})")
     }
@@ -343,7 +384,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               "old files still carry its bytes — pick another name")
         val physical = mapping.getOrElse(from, from)
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-          meta.partitionCol ++ meta.bloomCol ++ meta.gramCol
+          meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
+          meta.bloomCol ++ meta.gramCol
         if (declared.contains(physical))
           throw new UnsupportedOperationException(
             s"$catName: cannot rename $from — it is the table's declared " +
@@ -379,7 +421,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               s"$catName: cannot drop $col — it is the table's only column")
           val physical = mapping.getOrElse(col, col)
           val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-            meta.partitionCol ++ meta.bloomCol ++ meta.gramCol
+            meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
+            meta.bloomCol ++ meta.gramCol
           if (declared.contains(physical))
             throw new UnsupportedOperationException(
               s"$catName: cannot drop $col — it is the table's declared " +

@@ -852,11 +852,20 @@ object JsonlStats {
     * Unkeyed writes pass through untouched. */
   def keyedWrite(partitionCol: Option[String], inner: Write): Write = partitionCol match {
     case None => inner
-    case Some(c) => new Write with RequiresDistributionAndOrdering {
+    case Some(c) =>
+      // hidden partitioning (r9): cluster + sort by the SOURCE column —
+      // resolvable on every write path with no function catalog. For
+      // identity this is the exact pre-r9 contract (one contiguous run
+      // per key, the writer rolls on change); for bucket/truncate the
+      // writer routes rows to per-derived-key sinks instead (bucket
+      // keys interleave under any source ordering — a bounded router,
+      // not clustering discipline, is what keeps one pkey per file).
+      val spec = PartitionTransforms.parse(c)
+      new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
-        Distributions.clustered(Array(Expressions.identity(c)))
+        Distributions.clustered(Array(Expressions.identity(spec.col)))
       override def requiredOrdering(): Array[SortOrder] =
-        Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        Array(Expressions.sort(Expressions.column(spec.col), SortDirection.ASCENDING))
       override def toBatch: BatchWrite = inner.toBatch
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         inner.toStreaming

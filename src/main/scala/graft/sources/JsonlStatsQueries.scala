@@ -1228,6 +1228,51 @@ object JsonlStatsQueries extends QueryModule {
         min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
   }
 
+  /** q240 (r9): HIDDEN PARTITIONING, bucket transform
+    * ([[PartitionTransforms]]): `PARTITIONED BY (bucket(8, user_id))`
+    * derives each file's partition key from the SOURCE column — the
+    * query below never names a partition value, yet its point lookup
+    * plans only the probed bucket's files (1 of 8; law asserted in
+    * JsonlStatsSpec). This is the layout where raw bounds CANNOT help:
+    * a hash bucket's user_id span covers the whole id space, so only
+    * the derived-key route prunes. The CTAS prices the whole lifecycle
+    * each rep (Create-Or-Replace through the staging catalog, writer
+    * routing rows to per-bucket sinks). */
+  def hiddenBucketLookup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_hidden_bucket
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    val probeUid = Tables.events(spark, d).agg(max($"user_id")).head().getLong(0)
+    spark.table(s"$cat.jsonl_hidden_bucket")
+      .filter($"user_id" === probeUid)
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
+  /** q241 (r9): HIDDEN PARTITIONING, truncate transform —
+    * `PARTITIONED BY (truncate(4, event_type))` keys files by the
+    * 4-char prefix; an equality (or prefix) predicate on the raw
+    * column keeps only the matching prefix's files. The truncate-long
+    * twin (W-aligned numeric boundaries, negative-safe) is law-tested
+    * in JsonlStatsSpec alongside the pruning counts. */
+  def hiddenTruncateScan(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_hidden_trunc
+         |PARTITIONED BY (truncate(4, event_type)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_hidden_trunc
+         |WHERE event_type = 'purchase'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q185 (r7): ZERO-COPY CLONE (`CALL <cat>.clone(src, dst)`) — the
     * dev/test-sandbox idiom on the manifest protocol: the clone's
     * manifest lists the source's live files as HARD LINKS (zero bytes
@@ -1609,6 +1654,8 @@ object JsonlStatsQueries extends QueryModule {
     "q237_drop_column" -> dropColumnRead,
     "q238_zone_map_scan" -> zoneMapScan,
     "q239_gram_index_scan" -> gramIndexScan,
+    "q240_hidden_bucket" -> hiddenBucketLookup,
+    "q241_hidden_truncate" -> hiddenTruncateScan,
   )
 
   val oracles = Map(
@@ -1751,6 +1798,19 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q240_hidden_bucket" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE user_id = (SELECT max(user_id) FROM events)""".stripMargin,
+    "q241_hidden_truncate" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type = 'purchase'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q239_gram_index_scan" ->

@@ -465,8 +465,19 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       .toArray
   }
 
+  /** Hidden-partitioning spec (r9), decoded once per scan. */
+  private lazy val partitionSpec: Option[PartitionTransforms.Spec] =
+    partitionCol.map(PartitionTransforms.parse)
+
   private def survivingStats(): Seq[JsonlStats.FileStats] =
     statsSnapshot
+      // hidden partitioning (r9): a file's single DERIVED pkey, mapped
+      // through the transform, can prove the file irrelevant for
+      // predicates on the SOURCE column — the query never names the
+      // partition value (bucket point lookups keep 1 of N files even
+      // when every file's raw bounds span the whole domain)
+      .filter(s => partitionSpec.forall(spec => s.pkey.isEmpty ||
+        pushed.forall(f => PartitionTransforms.pkeyMayMatch(spec, f, s.pkey.get))))
       .filter(s => pushed.forall { f =>
         // per-column bounds (legacy stats interval as statsCol fallback);
         // a column with no recorded bounds never prunes — conservative.

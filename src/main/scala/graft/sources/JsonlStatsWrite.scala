@@ -209,12 +209,22 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   }
 
   /** Does the manifest PROVE no row of `s` matches `f`? */
-  private def fileNoMatch(f: Filter, s: JsonlStats.FileStats): Boolean = f match {
-    case EqualTo(c, v) if partitionCol.contains(c) =>
-      s.pkey.isDefined && !s.pkey.contains(String.valueOf(v))
-    case _ if JsonlStats.supportsSkipping(f, statsCol) && !isSentinel(s) =>
-      !JsonlStats.intervalMayMatch(f, s.min, s.max)
-    case _ => false
+  private lazy val writeSpec: Option[PartitionTransforms.Spec] =
+    partitionCol.map(PartitionTransforms.parse)
+
+  private def fileNoMatch(f: Filter, s: JsonlStats.FileStats): Boolean = {
+    // hidden partitioning (r9): the derived pkey, mapped through the
+    // transform, can prove no row of the file matches a source-column
+    // predicate — replaceWhere keeps such files exactly
+    val hiddenNo = writeSpec.exists(sp => PartitionTransforms.isHidden(sp) &&
+      s.pkey.exists(p => !PartitionTransforms.pkeyMayMatch(sp, f, p)))
+    hiddenNo || (f match {
+      case EqualTo(c, v) if partitionCol.contains(c) =>
+        s.pkey.isDefined && !s.pkey.contains(String.valueOf(v))
+      case _ if JsonlStats.supportsSkipping(f, statsCol) && !isSentinel(s) =>
+        !JsonlStats.intervalMayMatch(f, s.min, s.max)
+      case _ => false
+    })
   }
 
   /** Tri-state replaceWhere decision over the AND of `filters`:
@@ -588,19 +598,50 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None) extends DataWriter[InternalRow] {
-  private val keyIdx = partitionCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  private val spec: Option[PartitionTransforms.Spec] =
+    partitionCol.map(PartitionTransforms.parse)
+  private val keyIdx = spec.map(sp => writeSchema.fieldNames.indexOf(sp.col)).getOrElse(-1)
   require(partitionCol.isEmpty || keyIdx >= 0,
     s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
+  private val hidden = spec.exists(PartitionTransforms.isHidden)
+  spec.filter(_ => hidden).foreach { sp =>
+    val dt = writeSchema.fields(keyIdx).dataType
+    require(dt == LongType || dt == StringType,
+      s"hidden partition transform ${sp.encoded} needs a long or string source, got $dt")
+  }
   private var seq = 0
   private var curKey: String = _
   private var sink: JsonlFileSink = _
+  // hidden partitioning (r9): derived keys (bucket especially) do NOT
+  // arrive contiguously under any source ordering, so a roll-on-change
+  // writer would explode into a file per run — hidden layouts route
+  // rows to one open sink PER DERIVED KEY instead. Bucket bounds the
+  // router at N sinks per task; truncate layouts ride the write's
+  // source-column sort, which keeps derived keys contiguous and the
+  // router effectively at one live sink.
+  private val router =
+    if (hidden) scala.collection.mutable.LinkedHashMap.empty[String, JsonlFileSink] else null
   private val done = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
 
-  private def roll(): Unit = {
+  private def roll(): JsonlFileSink = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
     seq += 1
-    sink = new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping,
+    new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping,
       gramCol)
+  }
+
+  /** The row's partition key under the declared transform (derivation
+    * definitions shared with the pruner — [[PartitionTransforms]]). */
+  private def derivedKey(row: InternalRow): String = spec.get match {
+    case PartitionTransforms.Identity(_) => row.getUTF8String(keyIdx).toString
+    case PartitionTransforms.Bucket(n, _) => writeSchema.fields(keyIdx).dataType match {
+      case LongType => PartitionTransforms.bucketLong(n, row.getLong(keyIdx)).toString
+      case _ => PartitionTransforms.bucketString(n, row.getUTF8String(keyIdx).toString).toString
+    }
+    case PartitionTransforms.Trunc(w, _) => writeSchema.fields(keyIdx).dataType match {
+      case LongType => PartitionTransforms.truncLong(w, row.getLong(keyIdx)).toString
+      case _ => PartitionTransforms.truncString(w, row.getUTF8String(keyIdx).toString)
+    }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -608,17 +649,22 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       if (row.isNullAt(keyIdx))
         throw new IllegalArgumentException(
           s"partition column ${partitionCol.get} must not be null in a keyed layout")
-      val k = row.getUTF8String(keyIdx).toString
+      val k = derivedKey(row)
+      if (hidden) { router.getOrElseUpdate(k, roll()).write(row); return }
       if (sink == null || k != curKey) {
         if (sink != null) done += sink.finish(Some(curKey))
         curKey = k
-        roll()
+        sink = roll()
       }
-    } else if (sink == null) roll()
+    } else if (sink == null) sink = roll()
     sink.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
+    if (router != null) {
+      router.foreach { case (k, snk) => done += snk.finish(Some(k)) }
+      router.clear()
+    }
     if (sink != null) {
       done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
       sink = null
@@ -627,6 +673,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   }
 
   override def abort(): Unit = {
+    if (router != null) { router.valuesIterator.foreach(_.abort()); router.clear() }
     if (sink != null) { sink.abort(); sink = null }
     done.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))
   }

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+
+/** HIDDEN PARTITIONING (r9) — Iceberg-style partition transforms on the
+  * manifest protocol. A table may be `PARTITIONED BY (bucket(N, col))`
+  * or `(truncate(W, col))`: the writer derives each row's partition
+  * key from the SOURCE column, files are keyed by the DERIVED value in
+  * the manifest (`pkey`), and the scan prunes files from predicates on
+  * the source column alone — queries never name, or even know about,
+  * the partition value. That is the feature's whole point at 100 TB:
+  * with explicit partition columns every analyst must remember to add
+  * `AND p_bucket = ...` or the engine scans everything; a hidden
+  * transform makes pruning a property of the TABLE, not of query
+  * discipline (the Iceberg hidden-partitioning argument).
+  *
+  * Encoding: the transform rides IN the `partitionColumn` string —
+  * `"bucket(8,user_id)"` / `"truncate(100,event_id)"` — so every
+  * signature that already threads `partitionCol: Option[String]`
+  * (write builders, row-level ops, catalog, procedures) carries hidden
+  * layouts unchanged; a bare column name stays the identity transform,
+  * byte-compatible with every pre-r9 table. Only the three points that
+  * INTERPRET the key — writer derivation, scan pruning, catalog DDL —
+  * parse the encoding.
+  *
+  * Derivations (writer and pruner share these single definitions; the
+  * agreement is the contract, exactly like the sidecar hash functions):
+  *   - bucket(N, long|string): `mix64/FNV hash mod N` — stable
+  *     engine-internal hashing ([[Bloom.hashLong]]/[[Bloom.hashString]]).
+  *   - truncate(W, long): `v - (((v % W) + W) % W)` — floor to the
+  *     W-aligned boundary, negative-safe (Iceberg's definition).
+  *   - truncate(W, string): first W chars (whole string when shorter).
+  *   The writer picks a truncate derivation from the SCHEMA type; the
+  *   pruner picks it from the predicate's VALUE type — both total, so
+  *   the encoding itself needs no type tag.
+  *
+  * Scale shape: a bucketed layout bounds every writer task at N open
+  * sinks and gives point lookups exact 1-of-N file pruning with no
+  * clustering discipline at all; a truncated layout gives RANGE pruning
+  * over the derived boundary/prefix. Storage-partitioned joins stay an
+  * identity-layout feature — a transformed scan reports
+  * UnknownPartitioning (aligning bucket transforms across tables needs
+  * the V2 function-catalog reducible-function machinery; stated, not
+  * half-built). */
+object PartitionTransforms {
+
+  sealed trait Spec {
+    /** Source column the key derives from. */
+    def col: String
+    /** Encoded form stored as the `partitionColumn`. */
+    def encoded: String
+  }
+  /** Pre-r9 behavior: the partition key IS the (string) column value. */
+  final case class Identity(col: String) extends Spec {
+    def encoded: String = col
+  }
+  final case class Bucket(n: Int, col: String) extends Spec {
+    def encoded: String = s"bucket($n,$col)"
+  }
+  final case class Trunc(w: Long, col: String) extends Spec {
+    def encoded: String = s"truncate($w,$col)"
+  }
+
+  private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
+  private val TruncRe = """truncate\((\d+),([^)]+)\)""".r
+
+  /** Decode an encoded partition column; a bare name is identity. */
+  def parse(encoded: String): Spec = encoded match {
+    case BucketRe(n, c) => Bucket(n.toInt, c)
+    case TruncRe(w, c)  => Trunc(w.toLong, c)
+    case c              => Identity(c)
+  }
+
+  def isHidden(spec: Spec): Boolean = !spec.isInstanceOf[Identity]
+
+  def bucketLong(n: Int, v: Long): Int = (((Bloom.hashLong(v) % n) + n) % n).toInt
+  def bucketString(n: Int, s: String): Int = (((Bloom.hashString(s) % n) + n) % n).toInt
+  def truncLong(w: Long, v: Long): Long = v - (((v % w) + w) % w)
+  def truncString(w: Long, s: String): String =
+    if (s.length <= w) s else s.substring(0, w.toInt)
+
+  /** May a file whose single derived partition key is `pkey` contain a
+    * row matching `f`? Conservative: an unrecognized predicate shape
+    * keeps the file (pruning proves absence, never presence — the same
+    * stance as every other skipping tier). */
+  def pkeyMayMatch(spec: Spec, f: Filter, pkey: String): Boolean = spec match {
+    case Identity(_) => true // identity pkeys prune via string bounds already
+    case Bucket(n, c) => f match {
+      case EqualTo(`c`, v: Number) => bucketLong(n, v.longValue()).toString == pkey
+      case EqualTo(`c`, v: String) => bucketString(n, v).toString == pkey
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        vs.exists {
+          case v: Number => bucketLong(n, v.longValue()).toString == pkey
+          case v: String => bucketString(n, v).toString == pkey
+          case _         => true
+        }
+      case _ => true
+    }
+    case Trunc(w, c) => f match {
+      case EqualTo(`c`, v: String) => truncString(w, v) == pkey
+      case StringStartsWith(`c`, v) if v != null =>
+        if (v.length >= w) v.substring(0, w.toInt) == pkey else pkey.startsWith(v)
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists(v => truncString(w, v.asInstanceOf[String]) == pkey)
+      // numeric range/equality: rows of this file live in
+      // [pkey, pkey + w - 1] — reuse the numeric interval law
+      case _ if JsonlStats.skipColumn(f).contains(c) =>
+        pkey.toLongOption.forall(p =>
+          JsonlStats.intervalMayMatch(f, p.toDouble, (p + w - 1).toDouble))
+      case _ => true
+    }
+  }
+}

@@ -1594,6 +1594,149 @@ class JsonlStatsSpec extends SparkSpec {
       s"expected ~${stats.size} bloom-skipped files, got $skipped")
   }
 
+  test("q240/q241: hidden partitioning — derivations, pruning, mutation re-keys, refusals (r9)") {
+    import spark.implicits._
+    // derivation laws (writer and pruner share these definitions)
+    assert(PartitionTransforms.truncLong(10, 17) === 10L)
+    assert(PartitionTransforms.truncLong(10, -7) === -10L) // floor, negative-safe
+    assert(PartitionTransforms.truncLong(10, -10) === -10L)
+    assert(PartitionTransforms.truncString(4, "abc") === "abc")
+    assert(PartitionTransforms.truncString(4, "purchase") === "purc")
+    (0L to 500L).foreach { v =>
+      val b = PartitionTransforms.bucketLong(8, v)
+      assert(b >= 0 && b < 8 && b === PartitionTransforms.bucketLong(8, v))
+    }
+    // encoding round-trips; a bare name stays identity (pre-r9 tables)
+    assert(PartitionTransforms.parse("bucket(8,user_id)")
+      === PartitionTransforms.Bucket(8, "user_id"))
+    assert(PartitionTransforms.parse("truncate(100,event_id)")
+      === PartitionTransforms.Trunc(100L, "event_id"))
+    assert(PartitionTransforms.parse("event_type")
+      === PartitionTransforms.Identity("event_type"))
+
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_hidden_bucket
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    val bRoot = root.resolve("jsonl_hidden_bucket").toString
+    val meta = JsonlStats.readTableMeta(bRoot)
+    assert(meta.partitionCol.contains("bucket(8,user_id)"),
+      s"the transform must ride in the partitionColumn, got ${meta.partitionCol}")
+    val stats = JsonlStats.readStats(bRoot)
+    val valid = (0 to 7).map(_.toString).toSet
+    assert(stats.nonEmpty && stats.forall(_.pkey.exists(valid)),
+      "every file must carry one derived bucket pkey")
+    assert(stats.flatMap(_.pkey).distinct.size >= 4, "events should hit most buckets")
+    // content is exact through the derived layout
+    val viaHidden = spark.table(s"$cat.jsonl_hidden_bucket")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val viaParquet = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(viaHidden.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaHidden).isEmpty)
+    // HIDDEN pruning isolated from the bounds tier: strip per-column
+    // stats from a manifest copy (the legacy posture) — the derived
+    // pkey alone must keep exactly the probed bucket's files
+    val uid = viaParquet.agg(max($"user_id")).head().getLong(0)
+    val wantPkey = PartitionTransforms.bucketLong(8, uid).toString
+    val legacy = Files.createTempDirectory("hidden_legacy")
+    Files.walk(Paths.get(bRoot)).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach { p =>
+        val dst = legacy.resolve(Paths.get(bRoot).relativize(p).toString)
+        Files.createDirectories(dst.getParent)
+        Files.copy(p, dst)
+      }
+    Files.write(legacy.resolve("_stats.jsonl"),
+      JsonlStats.readStats(legacy.toString)
+        .map(s => JsonlStats.statsLine(s.copy(cols = Map.empty, strCols = Map.empty,
+          min = Double.MinValue, max = Double.MaxValue))).sorted.asJava)
+    val sb = new JsonlStatsScanBuilder(legacy.toString, meta.schema.get,
+      meta.statsCol.get, meta.partitionCol)
+    sb.pushFilters(Array(EqualTo("user_id", Long.box(uid))))
+    val planned = sb.build().toBatch.planInputPartitions().length
+    val bucketFiles = stats.count(_.pkey.contains(wantPkey))
+    assert(planned === bucketFiles && planned < stats.size,
+      s"pkey pruning must keep exactly the probed bucket: planned=$planned " +
+        s"bucketFiles=$bucketFiles total=${stats.size}")
+    // mutation re-keys: COW DELETE routes survivors back through the
+    // transform — every replacement file still carries one valid pkey
+    spark.sql(s"DELETE FROM $cat.jsonl_hidden_bucket WHERE event_type = 'click'")
+    val after = JsonlStats.readStats(bRoot)
+    assert(after.forall(_.pkey.exists(valid)),
+      "COW rewrite must re-derive bucket pkeys")
+    assert(spark.table(s"$cat.jsonl_hidden_bucket")
+      .filter($"event_type" === "click").isEmpty)
+    assert(spark.table(s"$cat.jsonl_hidden_bucket").count()
+      === viaParquet.filter($"event_type" =!= "click").count())
+
+    // truncate(4, event_type): prefix-derived pkeys prune equality and
+    // long-prefix predicates to the matching file set
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_hidden_trunc
+         |PARTITIONED BY (truncate(4, event_type)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    val tRoot = root.resolve("jsonl_hidden_trunc").toString
+    val tStats = JsonlStats.readStats(tRoot)
+    val prefixes = tStats.flatMap(_.pkey).distinct.toSet
+    assert(prefixes === Set("clic", "erro", "purc", "sign", "view"))
+    val tMeta = JsonlStats.readTableMeta(tRoot)
+    def plannedT(f: org.apache.spark.sql.sources.Filter): Int = {
+      val b = new JsonlStatsScanBuilder(tRoot, tMeta.schema.get,
+        tMeta.statsCol.get, tMeta.partitionCol)
+      b.pushFilters(Array(f))
+      b.build().toBatch.planInputPartitions().length
+    }
+    val purcFiles = tStats.count(_.pkey.contains("purc"))
+    assert(plannedT(EqualTo("event_type", "purchase")) === purcFiles)
+    assert(plannedT(StringStartsWith("event_type", "purch")) === purcFiles)
+    // a short prefix that several pkeys extend keeps them all (conservative)
+    assert(plannedT(StringStartsWith("event_type", "p")) === purcFiles)
+
+    // truncate-long via the path route: 100-aligned event_id boundaries
+    // prune range predicates through the interval law, pkey-only
+    val nRoot = Files.createTempDirectory("hidden_trunc_long").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.format("graft-jsonl-stats").option("path", nRoot)
+      .option("partitionColumn", "truncate(1000,event_id)")
+      .mode("overwrite").save()
+    val nStats0 = JsonlStats.readStats(nRoot)
+    assert(nStats0.forall(_.pkey.exists(p => p.toLong % 1000 == 0)))
+    Files.write(Paths.get(nRoot, "_stats.jsonl"),
+      nStats0.map(s => JsonlStats.statsLine(s.copy(cols = Map.empty, strCols = Map.empty,
+        min = Double.MinValue, max = Double.MaxValue))).sorted.asJava)
+    val nStats = JsonlStats.readStats(nRoot)
+    val loId = nStats.flatMap(_.pkey).map(_.toLong).min
+    val b2 = new JsonlStatsScanBuilder(nRoot, JsonlStats.schema, "value",
+      Some("truncate(1000,event_id)"))
+    b2.pushFilters(Array(
+      GreaterThanOrEqual("event_id", Long.box(loId)),
+      LessThan("event_id", Long.box(loId + 1000L))))
+    val keep = b2.build().toBatch.planInputPartitions().length
+    assert(keep === nStats.count(_.pkey.contains(loId.toString)),
+      "a W-aligned range must keep exactly its boundary's files")
+
+    // refusal arms: double sources and unknown transforms stay loud
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $cat.jsonl_hidden_bad
+           |PARTITIONED BY (bucket(8, value)) AS
+           |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    }
+    assert(e1.toString.contains("long or string") ||
+      Option(e1.getCause).exists(_.toString.contains("long or string")))
+    // renaming the hidden layout's SOURCE column is refused like every
+    // declared layout column
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.jsonl_hidden_bucket RENAME COLUMN user_id TO uid")
+    }
+    assert(e2.toString.contains("layout") ||
+      Option(e2.getCause).exists(_.toString.contains("layout")))
+    spark.sql(s"DROP TABLE $cat.jsonl_hidden_bucket")
+    spark.sql(s"DROP TABLE $cat.jsonl_hidden_trunc")
+  }
+
   test("q239: gram index — no false negatives, LIKE skipping, short needles, backfill (r9)") {
     import spark.implicits._
     // primitive law: every substring of an indexed value probes true

@@ -571,6 +571,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "sqnorm") GraftCatalog.SqNorm
+    else if (ident.name() == "bucket") GraftCatalog.BucketFn
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -645,6 +646,49 @@ object GraftCatalog {
         s"sqnorm expects (array<float>), got $inputType")
       SqNormBound
     }
+  }
+
+  /** V2 `bucket` function (r9): what lets Spark RESOLVE the bucket
+    * transform a hidden layout reports in its `KeyGroupedPartitioning`
+    * — storage-partitioned joins compare both sides' transforms via
+    * this function's `canonicalName` and can evaluate it if one side
+    * needs re-bucketing. The derivation is the single shared
+    * definition in [[PartitionTransforms]] (writer, pruner and join
+    * alignment must agree bit-for-bit or files and probes part ways). */
+  object BucketFn extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): hidden-partitioning bucket id (engine-stable hash mod n)"
+    override def bind(inputType: StructType): BoundFunction =
+      inputType.fields.map(_.dataType) match {
+        case Array(IntegerType | LongType, LongType)   => BucketLongBound
+        case Array(IntegerType | LongType, StringType) => BucketStringBound
+        case other => throw new UnsupportedOperationException(
+          s"bucket expects (int, long|string), got ${other.mkString(", ")}")
+      }
+  }
+
+  object BucketLongBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(long)"
+    override def isResultNullable: Boolean = false
+    def invoke(n: Int, v: Long): Int = PartitionTransforms.bucketLong(n, v)
+    override def produceResult(input: InternalRow): Integer =
+      PartitionTransforms.bucketLong(input.getInt(0), input.getLong(1))
+  }
+
+  object BucketStringBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(string)"
+    override def isResultNullable: Boolean = false
+    def invoke(n: Int, v: org.apache.spark.unsafe.types.UTF8String): Int =
+      PartitionTransforms.bucketString(n, v.toString)
+    override def produceResult(input: InternalRow): Integer =
+      PartitionTransforms.bucketString(input.getInt(0), input.getUTF8String(1).toString)
   }
 
   object SqNormBound extends ScalarFunction[Double] {

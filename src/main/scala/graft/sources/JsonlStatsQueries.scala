@@ -1273,6 +1273,39 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q242 (r9): BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN — the
+    * production shuffle-free join shape. Both sides are hidden
+    * `bucket(8, user_id)` layouts; each scan reports
+    * `KeyGroupedPartitioning(bucket(8, user_id))`, Spark resolves the
+    * transform through the catalog's V2 `bucket` function
+    * ([[GraftCatalog.BucketFn]] — the same derivation the writer
+    * routed files by), aligns the bucket ids, and the fact table never
+    * moves: at 100 TB the join costs zero exchange on either side
+    * (zero-exchange law in JsonlStatsSpec; identity SPJ is q169).
+    * CTAS of both sides is priced every rep, like the other lifecycle
+    * cells. */
+  def hiddenBucketSpj(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_spj_fact
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_spj_dim
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+         |FROM $cat.jsonl_stats_table GROUP BY user_id""".stripMargin)
+    val fact = spark.table(s"$cat.jsonl_spj_fact")
+    val dim = spark.table(s"$cat.jsonl_spj_dim")
+    fact.join(dim.hint("merge"), Seq("user_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_events").as("events_weight"),
+        msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q185 (r7): ZERO-COPY CLONE (`CALL <cat>.clone(src, dst)`) — the
     * dev/test-sandbox idiom on the manifest protocol: the clone's
     * manifest lists the source's live files as HARD LINKS (zero bytes
@@ -1656,6 +1689,7 @@ object JsonlStatsQueries extends QueryModule {
     "q239_gram_index_scan" -> gramIndexScan,
     "q240_hidden_bucket" -> hiddenBucketLookup,
     "q241_hidden_truncate" -> hiddenTruncateScan,
+    "q242_hidden_bucket_spj" -> hiddenBucketSpj,
   )
 
   val oracles = Map(
@@ -1800,6 +1834,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q242_hidden_bucket_spj" ->
+      """WITH d AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(d.user_events) AS BIGINT) AS events_weight,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN d USING (user_id)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "q240_hidden_bucket" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -380,8 +380,23 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * pruning and a pkey on EVERY manifested file. A key-grouped scan
     * never receives runtime filters ([[filterAttributes]] declines
     * them), so this decision is stable across re-planning. */
-  private lazy val keyGrouped: Boolean =
+  private lazy val keyGrouped: Boolean = identityGrouped || bucketGrouped
+
+  private lazy val identityGrouped: Boolean =
     partitionCol.exists(c => required.fieldNames.contains(c)) && {
+      val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+    }
+
+  /** Bucket-transform SPJ (r9): a hidden `bucket(N, col)` layout is
+    * key-grouped over the DERIVED bucket id. Requires the SOURCE
+    * column in the output (the join key Spark aligns on) and a pkey on
+    * every file; several files may share a bucket — Spark's
+    * v2-bucketing partition grouping coalesces them per key. */
+  private lazy val bucketSpec: Option[PartitionTransforms.Bucket] =
+    partitionSpec.collect { case b: PartitionTransforms.Bucket => b }
+
+  private lazy val bucketGrouped: Boolean =
+    bucketSpec.exists(b => required.fieldNames.contains(b.col)) && {
       val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
     }
 
@@ -396,10 +411,19 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * still reads only manifested immutable files, and a wrong pkey
     * would surface as wrong results against the oracle. */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (keyGrouped) {
+    if (identityGrouped) {
       val keys = survivingStats().flatMap(_.pkey).distinct
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(Expressions.identity(partitionCol.get)), keys.size)
+    } else if (bucketGrouped) {
+      // the reported expression is the TRANSFORM over the source
+      // column; Spark resolves it through the catalog's V2 `bucket`
+      // function and two scans reporting the same canonical function +
+      // aligned partition values join with zero exchange
+      val b = bucketSpec.get
+      val keys = survivingStats().flatMap(_.pkey).distinct
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(b.n, b.col)), keys.size)
     } else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         survivingStats().size)
@@ -428,7 +452,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
         val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
-        if (grouped) Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs): InputPartition)
+        if (grouped)
+          Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs,
+            intKey = bucketGrouped): InputPartition)
         else {
           val size =
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
@@ -671,11 +697,15 @@ final case class JsonlFilePartition(file: String, start: Long = 0L,
   * table's partition column, so the partition's identity IS the key —
   * what lets Spark align two such tables' groups instead of shuffling. */
 final case class JsonlKeyedFilePartition(file: String, key: String,
-                                         dvs: Seq[String] = Nil)
+                                         dvs: Seq[String] = Nil,
+                                         intKey: Boolean = false)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // the partition value's type must match the reported transform's
+  // result type: identity over a string column -> UTF8String; a bucket
+  // transform -> the integer bucket id (r9)
   @transient private lazy val row: InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](UTF8String.fromString(key)))
+      Array[Any](if (intKey) key.toInt else UTF8String.fromString(key)))
   override def partitionKey(): InternalRow = row
 }
 

@@ -1737,6 +1737,36 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.jsonl_hidden_trunc")
   }
 
+  test("q242: bucket-transform SPJ — zero exchange under the join (r9)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = JsonlStatsQueries.hiddenBucketSpj(spark, sfDir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val plan = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+    val smjs = plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.size === 1,
+      s"the merge hint must yield a sort-merge join: ${df.queryExecution.executedPlan}")
+    assert(smjs.head.collect { case sh: ShuffleExchangeLike => sh }.isEmpty,
+      s"exchange under the bucket-SPJ join — bucket groups were not aligned: ${smjs.head}")
+    // both sides are connector scans whose reported partitioning is the
+    // bucket transform resolved through the catalog's V2 function
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.size === 2)
+    scans.foreach { sc =>
+      val kg = sc.scan.asInstanceOf[JsonlStatsScan].outputPartitioning()
+      assert(kg.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+        "both SPJ sides must report key-grouped layouts")
+    }
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE $cat.jsonl_spj_fact")
+    spark.sql(s"DROP TABLE $cat.jsonl_spj_dim")
+  }
+
   test("q239: gram index — no false negatives, LIKE skipping, short needles, backfill (r9)") {
     import spark.implicits._
     // primitive law: every substring of an indexed value probes true

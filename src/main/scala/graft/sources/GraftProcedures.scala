@@ -485,6 +485,110 @@ object GraftProcedures {
     grams.writeSidecar(Paths.get(root, file))
   }
 
+  class EvolveSpecUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "evolve_partition_spec"
+    override def description(): String =
+      "evolve_partition_spec(table, spec): change the partition transform without rewriting data"
+    override def bind(inputType: StructType): BoundProcedure = new EvolveSpecBound(root)
+  }
+
+  /** `CALL <cat>.evolve_partition_spec('<table>', '<spec>')` — PARTITION
+    * EVOLUTION ([[PartitionTransforms]] r9): the table's layout contract
+    * changes (`bucket(16,user_id)`, `truncate(100,event_id)`, a bare
+    * string column for identity, or `''` to unpartition) while every
+    * existing byte stays where it is — the Iceberg marquee move. One
+    * OCC commit stamps each live KEYED entry with the spec its pkey was
+    * derived under (`ps`; entries already stamped keep theirs — a
+    * racing append is self-describing), then the sidecar's
+    * `partitionColumn` becomes the new spec. From then on: new writes
+    * derive keys under the new spec, scans prune each file under its
+    * OWN spec, COW rewrites lazily migrate the files they touch, and
+    * key-grouped reporting (SPJ) stays OFF until every surviving file
+    * is uniform under the current spec. A crash between the two steps
+    * leaves explicit stamps equal to the still-current spec — a no-op,
+    * re-CALL to finish. */
+  class EvolveSpecBound(root: String) extends BoundProcedure {
+    override def name(): String = "evolve_partition_spec"
+    override def description(): String = "stamp per-file specs and swap the table transform"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val specStr = input.getUTF8String(1).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (before, stamped) = GraftProcedures.evolvePartitionSpec(dir.toString, specStr)
+      val schema = StructType(Seq(
+        StructField("spec_before", StringType, nullable = true),
+        StructField("spec_after", StringType, nullable = true),
+        StructField("files_stamped", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          before.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          if (specStr.isEmpty) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(specStr),
+          stamped))
+        override def description(): String =
+          s"partition evolution: ${before.getOrElse("<none>")} -> $specStr"
+      }).iterator()
+    }
+  }
+
+  /** Stamp + swap core of [[EvolveSpecBound]]. Returns (previous spec,
+    * entries stamped). */
+  def evolvePartitionSpec(tableRoot: String, newSpecStr: String): (Option[String], Int) = {
+    val newSpec = if (newSpecStr.isEmpty) None else Some(newSpecStr)
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    val schema = meta.schema.getOrElse(JsonlStats.schema)
+    newSpec.foreach { ns =>
+      val spec = PartitionTransforms.parse(ns)
+      val f = schema.fields.find(_.name == spec.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source column ${spec.col} not in ${schema.simpleString}"))
+      spec match {
+        case PartitionTransforms.Identity(c) =>
+          require(f.dataType == org.apache.spark.sql.types.StringType,
+            s"identity partition column $c must be a string column")
+        case _ =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.StringType,
+            s"hidden transforms need a long or string source, got ${f.dataType}")
+      }
+    }
+    val oldSpec = meta.partitionCol
+    var stamped = 0
+    // step 1: make every keyed live entry self-describing. The rebase
+    // maps whatever base wins, so entries appended during the CALL keep
+    // their own stamps (writers stamp ps at commit since r9).
+    JsonlStats.commitAtomic(tableRoot, "evolve-spec", base => {
+      stamped = 0
+      base.map { line =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = mapper.readTree(line)
+        if (!n.hasNonNull("file")) line
+        else {
+          val entry = JsonlStats.parseStatsLines(Seq(line)).head
+          if (entry.pkey.isEmpty || entry.pspec.isDefined || oldSpec.isEmpty) line
+          else { stamped += 1; JsonlStats.statsLine(entry.copy(pspec = oldSpec)) }
+        }
+      }
+    })
+    // step 2: the sidecar swap — new writes and table resolution see
+    // the new contract (serialized with every other DDL sidecar write)
+    JsonlStats.metaLock.synchronized {
+      val m = JsonlStats.readTableMeta(tableRoot)
+      JsonlStats.writeTableMeta(tableRoot,
+        m.statsCol.getOrElse(JsonlStats.statsColumn),
+        newSpec, schema, m.bloomCol, m.deleteMode, m.constraints,
+        m.columnMapping, m.features, m.reserved, gramCol = m.gramCol)
+    }
+    (oldSpec, stamped)
+  }
+
   /** Link (or, cross-device, copy) the live generation's files and
     * publish the clone's own manifest + table sidecar. Returns
     * (hardLinked, byteCopied) file counts. */
@@ -701,14 +805,14 @@ object GraftProcedures {
     val mapping = meta.columnMapping
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
-      (s.file, s.dvs, s.pkey, f"part-rwdel-$runId-$i%05d.jsonl")
+      (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl")
     }
     val rootCopy = tableRoot
     val fresh: Seq[JsonlStats.FileStats] = SparkSession.active.sparkContext
       .parallelize(work, math.min(work.size, 32))
-      .map { case (file, dvs, pkey, out) =>
+      .map { case (file, dvs, pkey, pspec, out) =>
         GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-          schemaJson, statsCol, bloomCol, mapping, gramCol)
+          schemaJson, statsCol, bloomCol, mapping, gramCol, pspec)
       }
       .collect().toSeq // file-count-bounded: one manifest entry per task
     // OCC rewrite (r8): the collapsed files' planned entries must
@@ -732,7 +836,8 @@ object GraftProcedures {
                                       schemaJson: String, statsCol: String,
                                       bloomCol: Option[String],
                                       columnMapping: Map[String, String] = Map.empty,
-                                      gramCol: Option[String] = None): JsonlStats.FileStats = {
+                                      gramCol: Option[String] = None,
+                                      pspec: Option[String] = None): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
@@ -834,6 +939,8 @@ object GraftProcedures {
       Files.deleteIfExists(dest)
       return JsonlStats.FileStats(out, 0, 0, 0, pkey)
     }
+    // the DV collapse preserves the file's LAYOUT: same pkey, same
+    // partition spec — lazy spec migration is COW's job, not this one's
     if (bloomCol.isDefined) Bloom.writeSidecar(dest, bloomHashes.toArray)
     if (gramCol.isDefined) grams.writeSidecar(dest)
     val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap
@@ -845,7 +952,7 @@ object GraftProcedures {
     }
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
-      segb = zones.zones(ckpts.nonEmpty))
+      segb = zones.zones(ckpts.nonEmpty), pspec = pspec)
   }
 
   def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
@@ -863,8 +970,12 @@ object GraftProcedures {
       sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 && s.dvs.isEmpty }
     val runId = java.util.UUID.randomUUID().toString.take(8)
     var binSeq = 0
-    val bins = candidates.groupBy(_._1.pkey).toSeq.sortBy(_._1).flatMap {
-      case (pkey, files) =>
+    // partition evolution (r9): a bin's files must share BOTH the key
+    // and the spec the key derives from — merging across specs would
+    // publish one entry whose pkey lies for half its rows
+    val bins = candidates.groupBy(c => (c._1.pkey, c._1.pspec)).toSeq.sortBy(_._1)
+        .flatMap {
+      case ((pkey, pspec), files) =>
         val sorted = files.sortBy(-_._2) // big-first first-fit packs tighter
         val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(JsonlStats.FileStats, Long)], Long)]
         sorted.foreach { case (s, b) =>
@@ -950,7 +1061,7 @@ object GraftProcedures {
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
               colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
-              segb = mergedSegB))
+              segb = mergedSegB, pspec = pspec))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

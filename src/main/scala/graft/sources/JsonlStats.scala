@@ -184,7 +184,8 @@ object JsonlStats {
                              colNonNull: Map[String, Long] = Map.empty,
                              strCols: Map[String, (String, Option[String])] = Map.empty,
                              ckpts: Seq[(Long, Long)] = Nil,
-                             segb: Seq[(Double, Double)] = Nil)
+                             segb: Seq[(Double, Double)] = Nil,
+                             pspec: Option[String] = None)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -359,7 +360,11 @@ object JsonlStats {
           if (n.hasNonNull("pkey")) Some(n.get("pkey").asText()) else None,
           cols, dvs,
           if (n.hasNonNull("n_dels")) n.get("n_dels").asLong() else 0L,
-          colN, strCols, ckpts, segb)
+          colN, strCols, ckpts, segb,
+          // partition evolution (r9): `ps` records the TRANSFORM this
+          // file's pkey was derived under; absent = the table's current
+          // spec (every pre-evolution manifest)
+          if (n.hasNonNull("ps")) Some(n.get("ps").asText()) else None)
       }
   }
 
@@ -372,6 +377,7 @@ object JsonlStats {
     n.put("file", s.file); n.put("min_value", s.min); n.put("max_value", s.max)
     if (s.rows >= 0) n.put("n_rows", s.rows)
     s.pkey.foreach(n.put("pkey", _))
+    s.pspec.foreach(n.put("ps", _))
     if (s.cols.nonEmpty) {
       val c = n.putObject("cols")
       s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
@@ -1118,7 +1124,12 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     val keyed = partitionCol.orElse(JsonlStats.readTableMeta(root).partitionCol)
     if (keyed.isEmpty) {
       val stats = JsonlStats.readStats(root)
-      if (stats.nonEmpty && stats.forall(_.pkey.isDefined))
+      // entries with an explicit per-file spec stamp (partition
+      // evolution, r9) are self-describing: a table evolved to
+      // UNPARTITIONED may keep old pkeys, and the unkeyed rewrite is
+      // exactly right. Only pkeys with NO nameable column refuse.
+      if (stats.nonEmpty && stats.forall(_.pkey.isDefined) &&
+          stats.exists(_.pspec.isEmpty))
         throw new UnsupportedOperationException(
           s"row-level ${info.command()} on key-grouped table $root: the partition " +
             "column is unknown (no _table.json), so the rewrite cannot re-key its output")

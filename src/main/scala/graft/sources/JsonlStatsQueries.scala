@@ -1306,6 +1306,39 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
+    * the data does not move. Generation 1 lands half the feed under
+    * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
+    * those files with the spec their keys derive from and swaps the
+    * table to `bucket(8, user_id)`; generation 2 appends the other
+    * half under the NEW transform. The read below must see one
+    * seamless table — each file prunes under its OWN spec, and a
+    * mixed-layout table simply declines key-grouped reporting (laws in
+    * JsonlStatsSpec). The 100-TB point: re-partitioning a petabyte
+    * table is a full rewrite everywhere else; here it is one manifest
+    * commit plus a sidecar swap, with COW rewrites migrating files
+    * lazily as they are touched. */
+  def partitionEvolution(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_evolved
+         |PARTITIONED BY (truncate(4, event_type)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.evolve_partition_spec('jsonl_evolved', 'bucket(8,user_id)')")
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_evolved
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_evolved
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q185 (r7): ZERO-COPY CLONE (`CALL <cat>.clone(src, dst)`) — the
     * dev/test-sandbox idiom on the manifest protocol: the clone's
     * manifest lists the source's live files as HARD LINKS (zero bytes
@@ -1690,6 +1723,7 @@ object JsonlStatsQueries extends QueryModule {
     "q240_hidden_bucket" -> hiddenBucketLookup,
     "q241_hidden_truncate" -> hiddenTruncateScan,
     "q242_hidden_bucket_spj" -> hiddenBucketSpj,
+    "q243_partition_evolution" -> partitionEvolution,
   )
 
   val oracles = Map(
@@ -1832,6 +1866,13 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q243_partition_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q242_hidden_bucket_spj" ->

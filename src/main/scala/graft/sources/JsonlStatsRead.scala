@@ -382,9 +382,16 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * them), so this decision is stable across re-planning. */
   private lazy val keyGrouped: Boolean = identityGrouped || bucketGrouped
 
+  /** Every surviving file's pkey derives from the table's CURRENT
+    * spec — a mixed-layout table (mid partition evolution) must not
+    * report key grouping, or join alignment would trust stale keys. */
+  private def uniformSpec(s: Seq[JsonlStats.FileStats]): Boolean =
+    s.forall(_.pspec.forall(ps => partitionCol.contains(ps)))
+
   private lazy val identityGrouped: Boolean =
     partitionCol.exists(c => required.fieldNames.contains(c)) && {
-      val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+      val s = survivingStats()
+      s.nonEmpty && s.forall(_.pkey.isDefined) && uniformSpec(s)
     }
 
   /** Bucket-transform SPJ (r9): a hidden `bucket(N, col)` layout is
@@ -397,7 +404,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
 
   private lazy val bucketGrouped: Boolean =
     bucketSpec.exists(b => required.fieldNames.contains(b.col)) && {
-      val s = survivingStats(); s.nonEmpty && s.forall(_.pkey.isDefined)
+      val s = survivingStats()
+      s.nonEmpty && s.forall(_.pkey.isDefined) && uniformSpec(s)
     }
 
   /** Storage-partitioned-join leg (`SupportsReportPartitioning`): when
@@ -501,9 +509,15 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       // through the transform, can prove the file irrelevant for
       // predicates on the SOURCE column — the query never names the
       // partition value (bucket point lookups keep 1 of N files even
-      // when every file's raw bounds span the whole domain)
-      .filter(s => partitionSpec.forall(spec => s.pkey.isEmpty ||
-        pushed.forall(f => PartitionTransforms.pkeyMayMatch(spec, f, s.pkey.get))))
+      // when every file's raw bounds span the whole domain). Partition
+      // EVOLUTION: each file prunes under ITS OWN spec (`ps`, absent =
+      // the table's current spec) — a mixed-layout table prunes every
+      // file by whatever transform its pkey was actually derived under.
+      .filter { s =>
+        val fileSpec = s.pspec.map(PartitionTransforms.parse).orElse(partitionSpec)
+        fileSpec.forall(spec => s.pkey.isEmpty ||
+          pushed.forall(f => PartitionTransforms.pkeyMayMatch(spec, f, s.pkey.get)))
+      }
       .filter(s => pushed.forall { f =>
         // per-column bounds (legacy stats interval as statsCol fallback);
         // a column with no recorded bounds never prunes — conservative.

@@ -115,7 +115,11 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
-          segb = c.segb)))
+          segb = c.segb,
+          // partition evolution (r9): every keyed entry records the
+          // spec its pkey derives from, so an append racing an
+          // evolution stays self-describing
+          pspec = if (c.pkey.isDefined) partitionCol else None)))
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         gramCol = gramCol)
@@ -193,7 +197,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   /** Does the manifest PROVE every row of `s` matches `f`? (Sentinel
     * bounds prove nothing.) */
   private def fileAllMatch(f: Filter, s: JsonlStats.FileStats): Boolean = f match {
-    case EqualTo(c, v) if partitionCol.contains(c) =>
+    // the identity pkey-equality proof only holds when the file's pkey
+    // derives from the CURRENT spec (partition evolution, r9)
+    case EqualTo(c, v) if partitionCol.contains(c) &&
+        s.pspec.forall(ps => partitionCol.contains(ps)) =>
       s.pkey.contains(String.valueOf(v))
     case GreaterThan(c, v: Number) if c == statsCol && !isSentinel(s) =>
       s.min > v.doubleValue()
@@ -216,10 +223,12 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // hidden partitioning (r9): the derived pkey, mapped through the
     // transform, can prove no row of the file matches a source-column
     // predicate — replaceWhere keeps such files exactly
-    val hiddenNo = writeSpec.exists(sp => PartitionTransforms.isHidden(sp) &&
+    val fileSpec = s.pspec.map(PartitionTransforms.parse).orElse(writeSpec)
+    val hiddenNo = fileSpec.exists(sp => PartitionTransforms.isHidden(sp) &&
       s.pkey.exists(p => !PartitionTransforms.pkeyMayMatch(sp, f, p)))
     hiddenNo || (f match {
-      case EqualTo(c, v) if partitionCol.contains(c) =>
+      case EqualTo(c, v) if partitionCol.contains(c) &&
+          s.pspec.forall(ps => partitionCol.contains(ps)) =>
         s.pkey.isDefined && !s.pkey.contains(String.valueOf(v))
       case _ if JsonlStats.supportsSkipping(f, statsCol) && !isSentinel(s) =>
         !JsonlStats.intervalMayMatch(f, s.min, s.max)
@@ -247,7 +256,11 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
-          segb = c.segb)))
+          segb = c.segb,
+          // partition evolution (r9): every keyed entry records the
+          // spec its pkey derives from, so an append racing an
+          // evolution stays self-describing
+          pspec = if (c.pkey.isDefined) partitionCol else None)))
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -374,7 +387,11 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     val freshLines = fresh.map(c =>
       JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
-          segb = c.segb)))
+          segb = c.segb,
+          // partition evolution (r9): every keyed entry records the
+          // spec its pkey derives from, so an append racing an
+          // evolution stays self-describing
+          pspec = if (c.pkey.isDefined) partitionCol else None)))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass

@@ -1767,6 +1767,110 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.jsonl_spj_dim")
   }
 
+  test("q243: partition evolution — per-file specs, mixed-layout pruning, lazy migration (r9)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_evolve_t
+         |PARTITIONED BY (truncate(4, event_type)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    val eRoot = root.resolve("jsonl_evolve_t").toString
+    val gen1 = JsonlStats.readStats(eRoot).map(_.file).toSet
+    // r9 writers stamp `ps` at commit, so these entries are already
+    // self-describing; simulate a PRE-r9 manifest (no stamps) to prove
+    // the backfill arm of the evolution commit
+    Files.write(Paths.get(eRoot, "_stats.jsonl"),
+      JsonlStats.readStats(eRoot)
+        .map(s => JsonlStats.statsLine(s.copy(pspec = None))).sorted.asJava)
+    val res = spark.sql(
+      s"CALL $cat.evolve_partition_spec('jsonl_evolve_t', 'bucket(8,user_id)')").head()
+    assert(res.getString(0) === "truncate(4,event_type)")
+    assert(res.getString(1) === "bucket(8,user_id)")
+    assert(res.getInt(2) === gen1.size,
+      "every unstamped gen-1 entry must be backfilled with the outgoing spec")
+    // idempotence: a re-CALL (the crash-between-steps recovery) stamps 0
+    val again = spark.sql(
+      s"CALL $cat.evolve_partition_spec('jsonl_evolve_t', 'bucket(8,user_id)')").head()
+    assert(again.getInt(2) === 0)
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_evolve_t
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1""".stripMargin)
+    val stats = JsonlStats.readStats(eRoot)
+    val oldSpecEnc = "truncate(4,event_type)"
+    val newSpecEnc = "bucket(8,user_id)"
+    assert(stats.filter(s => gen1.contains(s.file)).forall(_.pspec.contains(oldSpecEnc)),
+      "gen-1 files carry their original spec")
+    val gen2 = stats.filterNot(s => gen1.contains(s.file))
+    assert(gen2.nonEmpty && gen2.forall(_.pspec.contains(newSpecEnc)),
+      "gen-2 files are stamped with the new spec by their own writers")
+    assert(gen2.forall(_.pkey.exists(p => (0 to 7).map(_.toString).contains(p))),
+      "gen-2 pkeys derive under the NEW transform")
+
+    // mixed-layout pruning: each file prunes under ITS OWN spec
+    val meta = JsonlStats.readTableMeta(eRoot)
+    def planned(f: org.apache.spark.sql.sources.Filter): Int = {
+      val b = new JsonlStatsScanBuilder(eRoot, meta.schema.get,
+        meta.statsCol.get, meta.partitionCol)
+      b.pushFilters(Array(f))
+      b.build().toBatch.planInputPartitions().length
+    }
+    // strip the bounds tiers so ONLY pkey pruning decides (legacy posture)
+    Files.write(Paths.get(eRoot, "_stats.jsonl"),
+      stats.map(s => JsonlStats.statsLine(s.copy(cols = Map.empty, strCols = Map.empty,
+        min = Double.MinValue, max = Double.MaxValue))).sorted.asJava)
+    val stripped = JsonlStats.readStats(eRoot)
+    val uid = graft.ingest.Tables.events(spark, sfDir)
+      .agg(max($"user_id")).head().getLong(0)
+    val uidBucket = PartitionTransforms.bucketLong(8, uid).toString
+    // user_id point probe: gen-2 keeps 1 bucket; gen-1 (event_type
+    // spec) cannot prune user_id — kept whole, conservative
+    val keepUid = planned(EqualTo("user_id", Long.box(uid)))
+    val expectUid = stripped.count(s =>
+      s.pspec.contains(oldSpecEnc) || s.pkey.contains(uidBucket))
+    assert(keepUid === expectUid, s"mixed pruning (user_id): $keepUid vs $expectUid")
+    // event_type probe: gen-1 keeps only the 'purc' prefix; gen-2
+    // (bucket-on-user_id spec) cannot prune event_type — kept whole
+    val keepTyp = planned(EqualTo("event_type", "purchase"))
+    val expectTyp = stripped.count(s =>
+      s.pspec.contains(newSpecEnc) ||
+        (s.pspec.contains(oldSpecEnc) && s.pkey.contains("purc")))
+    assert(keepTyp === expectTyp, s"mixed pruning (event_type): $keepTyp vs $expectTyp")
+    assert(keepUid < stripped.size && keepTyp < stripped.size,
+      "both probes must actually prune something")
+    // a mixed-layout table must not report key grouping
+    val sb2 = new JsonlStatsScanBuilder(eRoot, meta.schema.get,
+      meta.statsCol.get, meta.partitionCol)
+    val part = sb2.build().asInstanceOf[JsonlStatsScan].outputPartitioning()
+    assert(!part.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      "mixed specs must decline KeyGroupedPartitioning")
+
+    // lazy migration: a COW rewrite re-keys the files it touches under
+    // the CURRENT spec; untouched files keep their old stamps
+    spark.sql(s"DELETE FROM $cat.jsonl_evolve_t WHERE event_type = 'error'")
+    val after = JsonlStats.readStats(eRoot)
+    val touchedNew = after.filterNot(s => stats.exists(_.file == s.file))
+    assert(touchedNew.nonEmpty && touchedNew.forall(_.pspec.contains(newSpecEnc)),
+      "COW replacement files must carry the current spec")
+    assert(spark.table(s"$cat.jsonl_evolve_t").filter($"event_type" === "error").isEmpty)
+    val expected = graft.ingest.Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val got = spark.table(s"$cat.jsonl_evolve_t")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // evolution to UNPARTITIONED: old pkeys stay, stamped and harmless;
+    // row-level ops still run (the stamps name the keys' provenance)
+    spark.sql(s"CALL $cat.evolve_partition_spec('jsonl_evolve_t', '')")
+    assert(JsonlStats.readTableMeta(eRoot).partitionCol.isEmpty)
+    spark.sql(s"DELETE FROM $cat.jsonl_evolve_t WHERE event_type = 'signup'")
+    assert(spark.table(s"$cat.jsonl_evolve_t").filter($"event_type" === "signup").isEmpty)
+    spark.sql(s"DROP TABLE $cat.jsonl_evolve_t")
+  }
+
   test("q239: gram index — no false negatives, LIKE skipping, short needles, backfill (r9)") {
     import spark.implicits._
     // primitive law: every substring of an indexed value probes true

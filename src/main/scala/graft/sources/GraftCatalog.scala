@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -670,7 +670,26 @@ object GraftCatalog {
       }
   }
 
-  object BucketLongBound extends ScalarFunction[Integer] {
+  /** MISMATCHED bucket counts still join shuffle-free
+    * ([[functions.ReducibleFunction]], r9): because the derivation is
+    * `hash mod N`, `(h mod 16) mod 8 == h mod 8` whenever 8 | 16 — the
+    * finer side's ids REDUCE onto the coarser side's, so Spark aligns
+    * a bucket(16) fact with a bucket(8) dim by coalescing fine groups
+    * instead of shuffling either table
+    * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms`). */
+  /** Serializable: reducers ship inside the join tasks. */
+  private case class BucketCoalesce(otherN: Int)
+      extends Reducer[Integer, Integer] with Serializable {
+    override def reduce(i: Integer): Integer = Int.box(i % otherN)
+  }
+
+  private def bucketReducer(self: AnyRef, thisN: Int, other: ReducibleFunction[_, _],
+                            otherN: Int): Reducer[Integer, Integer] =
+    if ((other eq self) && thisN > otherN && thisN % otherN == 0) BucketCoalesce(otherN)
+    else null
+
+  object BucketLongBound extends ScalarFunction[Integer]
+      with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -679,9 +698,13 @@ object GraftCatalog {
     def invoke(n: Int, v: Long): Int = PartitionTransforms.bucketLong(n, v)
     override def produceResult(input: InternalRow): Integer =
       PartitionTransforms.bucketLong(input.getInt(0), input.getLong(1))
+    override def reducer(thisN: Int, other: ReducibleFunction[_, _],
+                         otherN: Int): Reducer[Integer, Integer] =
+      bucketReducer(this, thisN, other, otherN)
   }
 
-  object BucketStringBound extends ScalarFunction[Integer] {
+  object BucketStringBound extends ScalarFunction[Integer]
+      with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -691,6 +714,9 @@ object GraftCatalog {
       PartitionTransforms.bucketString(n, v.toString)
     override def produceResult(input: InternalRow): Integer =
       PartitionTransforms.bucketString(input.getInt(0), input.getUTF8String(1).toString)
+    override def reducer(thisN: Int, other: ReducibleFunction[_, _],
+                         otherN: Int): Reducer[Integer, Integer] =
+      bucketReducer(this, thisN, other, otherN)
   }
 
   object SqNormBound extends ScalarFunction[Double] {

@@ -1306,6 +1306,39 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q244 (r9): MISMATCHED bucket counts, still shuffle-free — the
+    * fact is `bucket(16, user_id)`, the dim `bucket(8, user_id)`, and
+    * the catalog's bucket function is REDUCIBLE (`(h mod 16) mod 8 ==
+    * h mod 8`), so Spark coalesces the finer side's groups onto the
+    * coarser instead of shuffling either table. This is the realistic
+    * production shape: fact and dim bucket counts drift apart as
+    * tables grow, and without reduction the whole SPJ win evaporates
+    * on the first mismatch. Confs are session-wide like q169's,
+    * deliberately not restored (they only affect key-grouped scans). */
+  def hiddenBucketReducedSpj(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_rspj_fact
+         |PARTITIONED BY (bucket(16, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_rspj_dim
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+         |FROM $cat.jsonl_stats_table GROUP BY user_id""".stripMargin)
+    val fact = spark.table(s"$cat.jsonl_rspj_fact")
+    val dim = spark.table(s"$cat.jsonl_rspj_dim")
+    fact.join(dim.hint("merge"), Seq("user_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_events").as("events_weight"),
+        msum($"value").as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -1724,6 +1757,7 @@ object JsonlStatsQueries extends QueryModule {
     "q241_hidden_truncate" -> hiddenTruncateScan,
     "q242_hidden_bucket_spj" -> hiddenBucketSpj,
     "q243_partition_evolution" -> partitionEvolution,
+    "q244_bucket_reduced_spj" -> hiddenBucketReducedSpj,
   )
 
   val oracles = Map(
@@ -1868,6 +1902,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q244_bucket_reduced_spj" ->
+      """WITH d AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(d.user_events) AS BIGINT) AS events_weight,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN d USING (user_id)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "q243_partition_evolution" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -1767,6 +1767,36 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.jsonl_spj_dim")
   }
 
+  test("q244: mismatched bucket counts join shuffle-free (reducible bucket function) (r9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val df = JsonlStatsQueries.hiddenBucketReducedSpj(spark, sfDir)
+    val got = df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val plan = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+    val smjs = plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.size === 1,
+      s"the merge hint must yield a sort-merge join: ${df.queryExecution.executedPlan}")
+    assert(smjs.head.collect { case sh: ShuffleExchangeLike => sh }.isEmpty,
+      s"exchange under the mismatched-bucket join — 16 did not reduce onto 8: ${smjs.head}")
+    // correctness: the coalesced join equals the plain recompute
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === expect.map(r => (r.getString(0), r.getLong(1))).toSeq)
+
+    spark.sql(s"DROP TABLE $cat.jsonl_rspj_fact")
+    spark.sql(s"DROP TABLE $cat.jsonl_rspj_dim")
+  }
+
   test("q243: partition evolution — per-file specs, mixed-layout pruning, lazy migration (r9)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

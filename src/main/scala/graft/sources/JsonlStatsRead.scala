@@ -386,7 +386,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * spec — a mixed-layout table (mid partition evolution) must not
     * report key grouping, or join alignment would trust stale keys. */
   private def uniformSpec(s: Seq[JsonlStats.FileStats]): Boolean =
-    s.forall(_.pspec.forall(ps => partitionCol.contains(ps)))
+    if (manifest == "_stats.jsonl") s.forall(_.pspec.forall(ps => partitionCol.contains(ps)))
+    // snapshots demand the EXPLICIT stamp: an unstamped archived entry
+    // may predate an evolution, and grouping under today's spec would
+    // align a join on keys that were never derived from it
+    else s.forall(_.pspec.exists(ps => partitionCol.contains(ps)))
 
   private lazy val identityGrouped: Boolean =
     partitionCol.exists(c => required.fieldNames.contains(c)) && {
@@ -514,7 +518,13 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       // the table's current spec) — a mixed-layout table prunes every
       // file by whatever transform its pkey was actually derived under.
       .filter { s =>
-        val fileSpec = s.pspec.map(PartitionTransforms.parse).orElse(partitionSpec)
+        // SNAPSHOT reads (non-live manifests) only transform-prune
+        // entries with an EXPLICIT stamp: an archived pre-evolution
+        // entry without `ps` must not be interpreted under the CURRENT
+        // spec — its pkey may derive from a transform the sidecar no
+        // longer names (time travel across an evolution).
+        val fileSpec = s.pspec.map(PartitionTransforms.parse)
+          .orElse(if (manifest == "_stats.jsonl") partitionSpec else None)
         fileSpec.forall(spec => s.pkey.isEmpty ||
           pushed.forall(f => PartitionTransforms.pkeyMayMatch(spec, f, s.pkey.get)))
       }

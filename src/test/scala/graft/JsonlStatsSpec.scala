@@ -1699,20 +1699,20 @@ class JsonlStatsSpec extends SparkSpec {
     graft.ingest.Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
       .write.format("graft-jsonl-stats").option("path", nRoot)
-      .option("partitionColumn", "truncate(1000,event_id)")
+      .option("partitionColumn", "truncate(100,event_id)")
       .mode("overwrite").save()
     val nStats0 = JsonlStats.readStats(nRoot)
-    assert(nStats0.forall(_.pkey.exists(p => p.toLong % 1000 == 0)))
+    assert(nStats0.forall(_.pkey.exists(p => p.toLong % 100 == 0)))
     Files.write(Paths.get(nRoot, "_stats.jsonl"),
       nStats0.map(s => JsonlStats.statsLine(s.copy(cols = Map.empty, strCols = Map.empty,
         min = Double.MinValue, max = Double.MaxValue))).sorted.asJava)
     val nStats = JsonlStats.readStats(nRoot)
     val loId = nStats.flatMap(_.pkey).map(_.toLong).min
     val b2 = new JsonlStatsScanBuilder(nRoot, JsonlStats.schema, "value",
-      Some("truncate(1000,event_id)"))
+      Some("truncate(100,event_id)"))
     b2.pushFilters(Array(
       GreaterThanOrEqual("event_id", Long.box(loId)),
-      LessThan("event_id", Long.box(loId + 1000L))))
+      LessThan("event_id", Long.box(loId + 100L))))
     val keep = b2.build().toBatch.planInputPartitions().length
     assert(keep === nStats.count(_.pkey.contains(loId.toString)),
       "a W-aligned range must keep exactly its boundary's files")
@@ -1765,6 +1765,46 @@ class JsonlStatsSpec extends SparkSpec {
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
     spark.sql(s"DROP TABLE $cat.jsonl_spj_fact")
     spark.sql(s"DROP TABLE $cat.jsonl_spj_dim")
+  }
+
+  test("q243: snapshot reads never transform-prune unstamped archived entries (r9)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("evolve_snapshot").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.format("graft-jsonl-stats").option("path", root)
+      .option("partitionColumn", "truncate(100,event_id)")
+      .mode("overwrite").save()
+    val stats = JsonlStats.readStats(root)
+    assert(stats.size >= 2)
+    val probe = stats.flatMap(_.pkey).map(_.toLong).min
+    // archive a PRE-r9-shaped manifest: same pkeys, NO spec stamps, no
+    // bounds — then pretend the table has since evolved to a DIFFERENT
+    // transform (the time-travel-across-evolution hazard)
+    Files.createDirectories(Paths.get(root, JsonlStats.HistoryDir))
+    Files.write(Paths.get(root, JsonlStats.HistoryDir, "v1.jsonl"),
+      stats.map(s => JsonlStats.statsLine(s.copy(pspec = None, cols = Map.empty,
+        strCols = Map.empty, min = Double.MinValue, max = Double.MaxValue)))
+        .sorted.asJava)
+    def planned(manifest: String, spec: String): Int = {
+      val b = new JsonlStatsScanBuilder(root, JsonlStats.schema, "value",
+        Some(spec), manifest = manifest)
+      b.pushFilters(Array(EqualTo("event_id", Long.box(probe))))
+      b.build().toBatch.planInputPartitions().length
+    }
+    // the SNAPSHOT under the evolved spec: unstamped pkeys must not be
+    // interpreted as bucket ids — nothing prunes, conservatism wins
+    assert(planned(s"${JsonlStats.HistoryDir}/v1.jsonl", "bucket(8,event_id)")
+      === stats.size,
+      "an unstamped archived entry must never prune under the current spec")
+    // the LIVE manifest (stamped by its writer) prunes under its OWN spec
+    Files.write(Paths.get(root, "_stats.jsonl"),
+      stats.map(s => JsonlStats.statsLine(s.copy(cols = Map.empty,
+        strCols = Map.empty, min = Double.MinValue, max = Double.MaxValue)))
+        .sorted.asJava)
+    val live = planned("_stats.jsonl", "bucket(8,event_id)")
+    assert(live === stats.count(_.pkey.contains(probe.toString)) && live < stats.size,
+      "stamped entries keep pruning under their recorded spec")
   }
 
   test("q244: mismatched bucket counts join shuffle-free (reducible bucket function) (r9)") {

@@ -555,6 +555,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "rewrite_deletes" => new GraftProcedures.RewriteDeletesUnbound(root)
       case "build_gram_index" => new GraftProcedures.GramIndexUnbound(root)
       case "evolve_partition_spec" => new GraftProcedures.EvolveSpecUnbound(root)
+      case "compact_history" => new GraftProcedures.CompactHistoryUnbound(root)
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
@@ -564,7 +565,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
         Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"),
         Identifier.of(namespace, "zorder"), Identifier.of(namespace, "build_gram_index"),
-        Identifier.of(namespace, "evolve_partition_spec"))
+        Identifier.of(namespace, "evolve_partition_spec"),
+        Identifier.of(namespace, "compact_history"))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -485,6 +485,149 @@ object GraftProcedures {
     grams.writeSidecar(Paths.get(root, file))
   }
 
+  class CompactHistoryUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "compact_history"
+    override def description(): String =
+      "compact_history(table, keep_recent, full_every): re-encode archived snapshots as reverse deltas"
+    override def bind(inputType: StructType): BoundProcedure = new CompactHistoryBound(root)
+  }
+
+  /** `CALL <cat>.compact_history('<table>')` — HISTORY COMPACTION (r9):
+    * the MetaBench law says every commit archives a FULL manifest, so
+    * metadata history grows at manifest-size × commit-rate. This
+    * procedure re-encodes archived snapshots as REVERSE DELTAS against
+    * their predecessor (adds verbatim + `{"del": line}` removals),
+    * keeping periodic FULL snapshots (`full_every`, bounding the
+    * reconstruction walk) and the newest `keep_recent` slots untouched
+    * (the OCC lease protocol compares their raw bytes). An append-only
+    * history shrinks ~manifest/Δ per version; a snapshot whose delta
+    * would not shrink (truncate/replace rewrote everything) stays
+    * full. Archive mtimes are preserved — they ARE the TIMESTAMP AS OF
+    * index. Readers resolve transparently
+    * ([[JsonlStats.readManifestLines]]); the first CALL stamps the
+    * `history-deltas` read-gating feature (an unaware reader would
+    * take a delta's add-lines as the whole snapshot). VACUUM
+    * materializes the first retained archive before expiring its
+    * bases, so expiry never strands a chain. */
+  class CompactHistoryBound(root: String) extends BoundProcedure {
+    override def name(): String = "compact_history"
+    override def description(): String = "reverse-delta encoding of archived manifests"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_recent", IntegerType).defaultValue("4").build(),
+      ProcedureParameter.in("full_every", IntegerType).defaultValue("16").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val keepRecent = input.getInt(1)
+      val fullEvery = input.getInt(2)
+      require(keepRecent >= 2, s"keep_recent must be >= 2 (OCC lease slots), got $keepRecent")
+      require(fullEvery >= 2, s"full_every must be >= 2, got $fullEvery")
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val (rewritten, before, after) =
+        GraftProcedures.compactHistory(dir.toString, keepRecent, fullEvery)
+      val schema = StructType(Seq(
+        StructField("snapshots_rewritten", IntegerType, nullable = false),
+        StructField("bytes_before", LongType, nullable = false),
+        StructField("bytes_after", LongType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(rewritten, before, after))
+        override def description(): String =
+          s"history compaction: $rewritten snapshots, $before -> $after bytes"
+      }).iterator()
+    }
+  }
+
+  /** Core of [[CompactHistoryBound]]. Returns (rewritten, archive bytes
+    * before, after) over the candidate range. */
+  def compactHistory(tableRoot: String, keepRecent: Int, fullEvery: Int): (Int, Long, Long) = {
+    val versions = JsonlStats.historyVersions(tableRoot)
+    val newest = versions.lastOption.getOrElse(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def pathOf(v: Int) = Paths.get(tableRoot, JsonlStats.HistoryDir, s"v$v.jsonl")
+    def isDelta(v: Int): Boolean = {
+      val ls = Files.readAllLines(pathOf(v)).asScala
+      ls.headOption.exists(h => h.startsWith("{\"delta_base\"") &&
+        mapper.readTree(h).hasNonNull("delta_base"))
+    }
+    val candidates = versions.filter { v =>
+      v <= newest - keepRecent && v % fullEvery != 0 &&
+        versions.contains(v - 1) && !isDelta(v)
+    }
+    if (candidates.isEmpty) return (0, 0L, 0L)
+    // stamp the read gate BEFORE the first delta exists (a crash in
+    // between over-declares — conservative, same stance as the DV stamp)
+    JsonlStats.metaLock.synchronized {
+      val m = JsonlStats.readTableMeta(tableRoot)
+      if (m.schema.isDefined && !m.features.contains(JsonlStats.FeatureHistoryDeltas))
+        JsonlStats.writeTableMeta(tableRoot,
+          m.statsCol.getOrElse(JsonlStats.statsColumn), m.partitionCol,
+          m.schema.get, m.bloomCol, m.deleteMode, m.constraints, m.columnMapping,
+          m.features :+ JsonlStats.FeatureHistoryDeltas, m.reserved, gramCol = m.gramCol)
+    }
+    var rewritten = 0; var before = 0L; var after = 0L
+    candidates.foreach { v =>
+      val p = pathOf(v)
+      val fullBytes = Files.size(p)
+      val cur = JsonlStats.readManifestLines(tableRoot, s"${JsonlStats.HistoryDir}/v$v.jsonl")
+      val prev = JsonlStats.readManifestLines(tableRoot, s"${JsonlStats.HistoryDir}/v${v - 1}.jsonl")
+      val prevSet = prev.toSet; val curSet = cur.toSet
+      val adds = cur.filterNot(prevSet)
+      val dels = prev.filterNot(curSet)
+      val header = {
+        val n = mapper.createObjectNode(); n.put("delta_base", v - 1); n.toString
+      }
+      val delLines = dels.map { l =>
+        val n = mapper.createObjectNode(); n.put("del", l); n.toString
+      }
+      val deltaLines = header +: (adds ++ delLines)
+      val deltaBytes = deltaLines.map(_.length + 1L).sum
+      before += fullBytes
+      if (deltaBytes < fullBytes) {
+        val mtime = Files.getLastModifiedTime(p)
+        val tmp = p.resolveSibling(s"v$v.jsonl.tmp-histc")
+        Files.write(tmp, deltaLines.asJava,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(p, mtime) // the TIMESTAMP AS OF index
+        rewritten += 1
+        after += Files.size(p)
+      } else after += fullBytes
+    }
+    (rewritten, before, after)
+  }
+
+  /** VACUUM phase-0 helper (r9): before archive expiry deletes versions
+    * 1..m, the FIRST retained archive must become self-contained — its
+    * delta chain may pass through the expired range. Reconstruct and
+    * materialize it full (mtime preserved); later retained deltas base
+    * on retained versions only, so one materialization suffices. */
+  private[sources] def materializeFirstRetained(tableRoot: String, retained: Seq[Int]): Unit =
+    retained.minOption.foreach { r =>
+      val p = Paths.get(tableRoot, JsonlStats.HistoryDir, s"v$r.jsonl")
+      if (Files.exists(p)) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val head = Files.readAllLines(p).asScala.headOption
+        val isDelta = head.exists(h => h.startsWith("{\"delta_base\"") &&
+          mapper.readTree(h).hasNonNull("delta_base"))
+        if (isDelta) {
+          val full = JsonlStats.readManifestLines(tableRoot,
+            s"${JsonlStats.HistoryDir}/v$r.jsonl")
+          val mtime = Files.getLastModifiedTime(p)
+          val tmp = p.resolveSibling(s"v$r.jsonl.tmp-histm")
+          Files.write(tmp, full.asJava,
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(p, mtime)
+        }
+      }
+    }
+
   class EvolveSpecUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "evolve_partition_spec"
     override def description(): String =
@@ -656,6 +799,10 @@ object GraftProcedures {
           .flatMap(s => s.file +: s.dvs)).toSet
     var dataDeleted = 0
     if (expired.nonEmpty) {
+      // history deltas (r9): the first retained archive may be a delta
+      // whose chain passes through the expired range — make it
+      // self-contained while its bases still exist
+      materializeFirstRetained(tableRoot, retained)
       // horizon first (see phase 1): supersede instant of the newest
       // expired generation = its own archive's mtime
       val horizonMs = Files.getLastModifiedTime(

@@ -291,7 +291,34 @@ object JsonlStats {
   def readStats(root: String): Seq[FileStats] = readStats(root, "_stats.jsonl")
 
   def readStats(root: String, manifest: String): Seq[FileStats] =
-    parseStatsLines(Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq)
+    parseStatsLines(readManifestLines(root, manifest))
+
+  /** Resolve a manifest to its full line set. HISTORY COMPACTION (r9):
+    * an archived snapshot may have been re-encoded as a REVERSE DELTA
+    * against its predecessor (`CALL compact_history`) — first line
+    * `{"delta_base": K}`, then verbatim ADDED lines and
+    * `{"del": "<line>"}` removals. Resolution walks the chain back to
+    * the nearest FULL snapshot (periodic fulls bound the walk; vacuum
+    * materializes the first retained archive before expiring its
+    * bases). The LIVE manifest and the newest slots are never deltas —
+    * the OCC lease protocol compares their raw bytes. */
+  def readManifestLines(root: String, manifest: String): Seq[String] = {
+    val lines = Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
+    val mapper = new ObjectMapper()
+    val isDelta = lines.headOption.exists { h =>
+      h.nonEmpty && h.startsWith("{\"delta_base\"") &&
+        mapper.readTree(h).hasNonNull("delta_base")
+    }
+    if (!isDelta) lines
+    else {
+      val base = mapper.readTree(lines.head).get("delta_base").asInt()
+      val baseLines = readManifestLines(root, s"$HistoryDir/v$base.jsonl")
+      val (delLines, addLines) = lines.tail.filter(_.nonEmpty)
+        .partition(l => mapper.readTree(l).hasNonNull("del"))
+      val dels = delLines.map(l => mapper.readTree(l).get("del").asText()).toSet
+      baseLines.filterNot(dels) ++ addLines
+    }
+  }
 
   /** Parse manifest lines to file entries (txn watermark lines — the
     * streaming sink ledger — ride in the same manifest and are
@@ -483,8 +510,12 @@ object JsonlStats {
   val FeatureDvs = "deletion-vectors"
   val FeatureColumnMapping = "column-mapping"
   val FeatureColumnDefaults = "column-defaults"
+  /** r9: archived snapshots may be reverse deltas — a reader unaware
+    * of the encoding would take a delta file's ADD lines as the whole
+    * snapshot (silently truncated time travel), so it read-gates. */
+  val FeatureHistoryDeltas = "history-deltas"
   val KnownReadFeatures: Set[String] =
-    Set(FeatureDvs, FeatureColumnMapping, FeatureColumnDefaults)
+    Set(FeatureDvs, FeatureColumnMapping, FeatureColumnDefaults, FeatureHistoryDeltas)
 
   /** Serializes read-modify-write updates of `_table.json` within this
     * JVM (the DV commit's feature stamp racing catalog DDL — r8

@@ -1339,6 +1339,60 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q245's fixture: a 24-commit history (one deterministic slice of
+    * the feed per INSERT) through the catalog — the commit-per-append
+    * shape whose archive MetaBench priced at manifest-size ×
+    * commit-rate. Records the version current after slice 12 so the
+    * time-travel read below is pinned by construction. */
+  def ensureHistoryFixture(spark: SparkSession, d: String): String = {
+    val cat = ensureCatalog(spark, d)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    val dir = root.resolve("jsonl_history").toString
+    Landing.ensureBuilt(Landing.fixtureDir(d, "jsonl_history_marker")) { out =>
+      Files.createDirectories(Paths.get(out))
+      spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_history")
+      spark.sql(
+        s"""CREATE TABLE $cat.jsonl_history
+           |(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+           |USING jsonl""".stripMargin)
+      (0 until 24).foreach { i =>
+        spark.sql(
+          s"""INSERT INTO $cat.jsonl_history
+             |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+             |WHERE event_id % 24 = $i""".stripMargin)
+        if (i == 12)
+          Files.write(Paths.get(out, "v_after_12"),
+            java.util.Arrays.asList(JsonlStats.currentVersion(dir).toString))
+      }
+    }
+    dir
+  }
+
+  /** q245 (r9): HISTORY COMPACTION — the answer to MetaBench's
+    * archive-growth law. `CALL compact_history` re-encodes archived
+    * manifest snapshots as reverse deltas against their predecessor
+    * (periodic fulls bound the reconstruction walk; the newest slots
+    * stay raw for the OCC lease), then the query TIME TRAVELS to a
+    * version that is now delta-encoded — the read must reconstruct the
+    * exact snapshot (bytes-shrink, mtime-preservation and
+    * vacuum-materialization laws in JsonlStatsSpec). On an append-only
+    * history the archive shrinks from O(manifest) to O(Δ) per version
+    * — at 100 k files that is 48 MB → ~100 bytes per commit. */
+  def historyCompaction(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    ensureHistoryFixture(spark, d)
+    spark.sql(s"CALL $cat.compact_history('jsonl_history')").collect()
+    val v = Files.readAllLines(Paths.get(
+      Landing.fixtureDir(d, "jsonl_history_marker"), "v_after_12")).get(0).trim.toInt
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_history VERSION AS OF $v
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -1758,6 +1812,7 @@ object JsonlStatsQueries extends QueryModule {
     "q242_hidden_bucket_spj" -> hiddenBucketSpj,
     "q243_partition_evolution" -> partitionEvolution,
     "q244_bucket_reduced_spj" -> hiddenBucketReducedSpj,
+    "q245_history_compaction" -> historyCompaction,
   )
 
   val oracles = Map(
@@ -1900,6 +1955,14 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE event_type <> 'click'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q245_history_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_id % 24 <= 12
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q244_bucket_reduced_spj" ->

@@ -88,19 +88,18 @@ object Bloom {
     true
   }
 
-  def writeSidecar(dataFile: Path, hashes: Array[Long]): Unit = {
-    val (words, mBits) = build(hashes)
+  /** ONE binary codec for both sidecar kinds (value bloom + gram
+    * index — r9 review: two byte-identical copies would have to evolve
+    * in lockstep): magic, version, mBits, then the bit words. */
+  private def writeSidecarWords(target: Path, words: Array[Long], mBits: Int): Unit = {
     val buf = java.nio.ByteBuffer.allocate(12 + words.length * 8)
     buf.putInt(Magic); buf.putInt(1); buf.putInt(mBits)
     words.foreach(buf.putLong)
-    Files.write(sidecarOf(dataFile), buf.array(),
+    Files.write(target, buf.array(),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** None when the sidecar is absent or unreadable — skipping is an
-    * optimization, so a missing/corrupt filter means "read the file". */
-  def readSidecar(dataFile: Path): Option[(Array[Long], Int)] = {
-    val p = sidecarOf(dataFile)
+  private def readSidecarWords(p: Path): Option[(Array[Long], Int)] = {
     if (!Files.exists(p)) return None
     try {
       val bytes = Files.readAllBytes(p)
@@ -114,6 +113,16 @@ object Bloom {
       Some((words, mBits))
     } catch { case _: Throwable => None }
   }
+
+  def writeSidecar(dataFile: Path, hashes: Array[Long]): Unit = {
+    val (words, mBits) = build(hashes)
+    writeSidecarWords(sidecarOf(dataFile), words, mBits)
+  }
+
+  /** None when the sidecar is absent or unreadable — skipping is an
+    * optimization, so a missing/corrupt filter means "read the file". */
+  def readSidecar(dataFile: Path): Option[(Array[Long], Int)] =
+    readSidecarWords(sidecarOf(dataFile))
 
   /** Process-local diagnostic: files whose parse a bloom probe skipped
     * (meaningful under local mode / tests; on a cluster each executor
@@ -230,31 +239,14 @@ object Bloom {
           while (it.hasNext) { hs(i) = it.next(); i += 1 }
           build(hs)
         }
-      val buf = java.nio.ByteBuffer.allocate(12 + w.length * 8)
-      buf.putInt(Magic); buf.putInt(1); buf.putInt(mBits)
-      w.foreach(buf.putLong)
-      Files.write(gramSidecarOf(dataFile), buf.array(),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeSidecarWords(gramSidecarOf(dataFile), w, mBits)
     }
   }
 
   /** Same layout as the value-bloom sidecar (the extension carries the
     * semantics); absent/corrupt means "read the file". */
-  def readGramSidecar(dataFile: Path): Option[(Array[Long], Int)] = {
-    val p = gramSidecarOf(dataFile)
-    if (!Files.exists(p)) return None
-    try {
-      val bytes = Files.readAllBytes(p)
-      val buf = java.nio.ByteBuffer.wrap(bytes)
-      if (buf.getInt() != Magic || buf.getInt() != 1) return None
-      val mBits = buf.getInt()
-      if (mBits <= 0 || bytes.length != 12 + mBits / 8) return None
-      val words = new Array[Long](mBits / 64)
-      var i = 0
-      while (i < words.length) { words(i) = buf.getLong(); i += 1 }
-      Some((words, mBits))
-    } catch { case _: Throwable => None }
-  }
+  def readGramSidecar(dataFile: Path): Option[(Array[Long], Int)] =
+    readSidecarWords(gramSidecarOf(dataFile))
 
   /** Process-local diagnostic twin of [[skippedFiles]] for gram probes. */
   val gramSkippedFiles = new java.util.concurrent.atomic.LongAdder

@@ -150,9 +150,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           // the source column alone
           case "bucket" =>
             val n = litArg
-            if (n < 1 || n > (1 << 20))
+            // 4096 bounds each writer task's resident sinks (one open
+            // buffered stream per bucket it sees — r9 review)
+            if (n < 1 || n > 4096)
               throw new IllegalArgumentException(
-                s"$catName: bucket count must be in [1, 2^20], got $n")
+                s"$catName: bucket count must be in [1, 4096], got $n")
             if (f.dataType != LongType && f.dataType != StringType)
               throw new UnsupportedOperationException(
                 s"$catName: bucket($n, $c) needs a long or string source, " +
@@ -386,7 +388,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
           meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
           meta.bloomCol ++ meta.gramCol
-        if (declared.contains(physical))
+        // match the LOGICAL name too (r9 review): a gram index declared
+        // on an already-renamed column records the logical name, and
+        // renaming it away would silently kill index maintenance
+        if (declared.contains(physical) || declared.contains(from))
           throw new UnsupportedOperationException(
             s"$catName: cannot rename $from — it is the table's declared " +
               "stats/partition/bloom/gram column (the physical layout contract)")
@@ -423,7 +428,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
             meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
             meta.bloomCol ++ meta.gramCol
-          if (declared.contains(physical))
+          if (declared.contains(physical) || declared.contains(col))
             throw new UnsupportedOperationException(
               s"$catName: cannot drop $col — it is the table's declared " +
                 "stats/partition/bloom/gram column (the physical layout contract)")

@@ -559,10 +559,18 @@ object GraftProcedures {
     }
     if (candidates.isEmpty) return (0, 0L, 0L)
     // stamp the read gate BEFORE the first delta exists (a crash in
-    // between over-declares — conservative, same stance as the DV stamp)
+    // between over-declares — conservative, same stance as the DV
+    // stamp). A table with no schema sidecar CANNOT be gated, so it
+    // must not be delta-encoded at all (r9 review): an ungated pre-r9
+    // reader would take a delta's add-lines as the whole snapshot.
     JsonlStats.metaLock.synchronized {
       val m = JsonlStats.readTableMeta(tableRoot)
-      if (m.schema.isDefined && !m.features.contains(JsonlStats.FeatureHistoryDeltas))
+      if (m.schema.isEmpty)
+        throw new UnsupportedOperationException(
+          s"compact_history($tableRoot): the table has no _table.json schema, so the " +
+            "history-deltas read gate cannot be stamped — refusing to encode deltas " +
+            "an ungated reader would silently truncate")
+      if (!m.features.contains(JsonlStats.FeatureHistoryDeltas))
         JsonlStats.writeTableMeta(tableRoot,
           m.statsCol.getOrElse(JsonlStats.statsColumn), m.partitionCol,
           m.schema.get, m.bloomCol, m.deleteMode, m.constraints, m.columnMapping,
@@ -696,7 +704,14 @@ object GraftProcedures {
         case PartitionTransforms.Identity(c) =>
           require(f.dataType == org.apache.spark.sql.types.StringType,
             s"identity partition column $c must be a string column")
-        case _ =>
+        case PartitionTransforms.Bucket(n, _) =>
+          require(n >= 1 && n <= 4096,
+            s"bucket count must be in [1, 4096], got $n (writer fan-out bound)")
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.StringType,
+            s"hidden transforms need a long or string source, got ${f.dataType}")
+        case PartitionTransforms.Trunc(w, _) =>
+          require(w >= 1, s"truncate width must be positive, got $w")
           require(f.dataType == org.apache.spark.sql.types.LongType ||
               f.dataType == org.apache.spark.sql.types.StringType,
             s"hidden transforms need a long or string source, got ${f.dataType}")
@@ -709,12 +724,15 @@ object GraftProcedures {
     // their own stamps (writers stamp ps at commit since r9).
     JsonlStats.commitAtomic(tableRoot, "evolve-spec", base => {
       stamped = 0
+      // one shared mapper + one parse per line (r9 review — the
+      // normLines stance): this map runs per OCC attempt over O(files)
+      val entries = JsonlStats.parseStatsLines(base).map(e => e.file -> e).toMap
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       base.map { line =>
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val n = mapper.readTree(line)
         if (!n.hasNonNull("file")) line
         else {
-          val entry = JsonlStats.parseStatsLines(Seq(line)).head
+          val entry = entries(n.get("file").asText())
           if (entry.pkey.isEmpty || entry.pspec.isDefined || oldSpec.isEmpty) line
           else { stamped += 1; JsonlStats.statsLine(entry.copy(pspec = oldSpec)) }
         }
@@ -1072,7 +1090,10 @@ object GraftProcedures {
               }
             }
             gramCol.foreach { gc =>
-              val v = n.get(gc)
+              // data bytes carry PHYSICAL names (r9 review: a gram
+              // index declared on a renamed column reads its physical
+              // key, like every other stat here)
+              val v = n.get(physOf(gc))
               if (v != null && !v.isNull) grams.add(v.asText())
             }
           }

@@ -105,8 +105,13 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     val groupFields: Option[Seq[StructField]] = agg.groupByExpressions().toSeq match {
       case Seq() => Some(Seq.empty)
       case Seq(g) => (refCol(g), partitionCol) match {
+        // partition evolution (r9 review): every file's pkey must
+        // derive from the CURRENT identity spec, or the served group
+        // values would be a stale transform's keys (bucket digits as
+        // event types) — same uniformity gate as the SPJ reporting
         case (Some(c), Some(pc)) if c == pc && stats.nonEmpty &&
             stats.forall(_.pkey.isDefined) &&
+            stats.forall(_.pspec.forall(_ == pc)) &&
             full.fields.exists(f => f.name == pc && f.dataType == StringType) =>
           Some(Seq(StructField(s"group:$pc", StringType, nullable = false)))
         case _ => None

@@ -629,15 +629,24 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private var seq = 0
   private var curKey: String = _
   private var sink: JsonlFileSink = _
-  // hidden partitioning (r9): derived keys (bucket especially) do NOT
-  // arrive contiguously under any source ordering, so a roll-on-change
-  // writer would explode into a file per run — hidden layouts route
-  // rows to one open sink PER DERIVED KEY instead. Bucket bounds the
-  // router at N sinks per task; truncate layouts ride the write's
-  // source-column sort, which keeps derived keys contiguous and the
-  // router effectively at one live sink.
+  // hidden partitioning (r9): BUCKET keys never arrive contiguously
+  // under any source ordering, so a roll-on-change writer would
+  // explode into a file per run — bucket layouts route rows to one
+  // RESIDENT sink per derived key, bounded at N per task (the DDL caps
+  // N so open handles + buffers stay bounded; r9 review). TRUNCATE is
+  // MONOTONE in the source column the write is already clustered and
+  // sorted by, so its derived keys arrive as contiguous runs and the
+  // identity close-on-key-change path bounds it at ONE open sink —
+  // a resident router there would hold an unbounded handle set open
+  // for the task's whole life.
+  private val routed = spec.exists(_.isInstanceOf[PartitionTransforms.Bucket])
+  spec.collect { case PartitionTransforms.Bucket(n, _) =>
+    require(n <= 4096,
+      s"bucket($n): at most 4096 buckets — every writer task holds one open sink " +
+        "per bucket it sees")
+  }
   private val router =
-    if (hidden) scala.collection.mutable.LinkedHashMap.empty[String, JsonlFileSink] else null
+    if (routed) scala.collection.mutable.LinkedHashMap.empty[String, JsonlFileSink] else null
   private val done = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
 
   private def roll(): JsonlFileSink = {
@@ -667,7 +676,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
         throw new IllegalArgumentException(
           s"partition column ${partitionCol.get} must not be null in a keyed layout")
       val k = derivedKey(row)
-      if (hidden) { router.getOrElseUpdate(k, roll()).write(row); return }
+      if (routed) { router.getOrElseUpdate(k, roll()).write(row); return }
       if (sink == null || k != curKey) {
         if (sink != null) done += sink.finish(Some(curKey))
         curKey = k

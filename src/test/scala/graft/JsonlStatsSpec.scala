@@ -1807,6 +1807,62 @@ class JsonlStatsSpec extends SparkSpec {
       "stamped entries keep pruning under their recorded spec")
   }
 
+  test("grouped pushdown declines stale pkeys after evolution; gram index survives rename+rewrite (r9 review)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    // 1. a table whose files carry BUCKET pkeys, evolved to an IDENTITY
+    // spec on event_type: grouped aggregate pushdown must decline (the
+    // manifest would serve bucket digits as group values) and the scan
+    // path must answer with the true event-type groups
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_stale_groups
+         |PARTITIONED BY (bucket(8, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"CALL $cat.evolve_partition_spec('jsonl_stale_groups', 'event_type')")
+    val got = spark.sql(
+      s"SELECT event_type, count(*) AS n FROM $cat.jsonl_stale_groups GROUP BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val expect = graft.ingest.Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === expect.toSeq,
+      "groups must be event types, never a stale transform's bucket digits")
+    spark.sql(s"DROP TABLE $cat.jsonl_stale_groups")
+
+    // 2. gram index on a RENAMED column: the rewrite maintenance pass
+    // must read the physical key, or rewritten files get empty (all-
+    // skip) sidecars and LIKE queries silently lose rows
+    spark.sql(s"DROP TABLE IF EXISTS $cat.gram_renamed")
+    graft.ingest.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").createOrReplaceTempView("gram_ren_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.gram_renamed AS
+         |SELECT doc_id, CASE WHEN doc_id < 25 THEN concat(text, ' xqzgramneedle')
+         |  ELSE text END AS text FROM gram_ren_src""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.gram_renamed RENAME COLUMN text TO content")
+    spark.sql(s"CALL $cat.build_gram_index('gram_renamed', 'content')")
+    val gRoot = root.resolve("gram_renamed").toString
+    val m0 = JsonlStats.readTableMeta(gRoot)
+    JsonlStats.writeTableMeta(gRoot, m0.statsCol.getOrElse(JsonlStats.statsColumn),
+      m0.partitionCol, m0.schema.get, m0.bloomCol, deleteMode = Some("merge-on-read"),
+      columnMapping = m0.columnMapping, features = m0.features, gramCol = m0.gramCol)
+    spark.sql(s"DELETE FROM $cat.gram_renamed WHERE doc_id >= 25 AND doc_id < 30")
+    spark.sql(s"CALL $cat.rewrite_deletes('gram_renamed')").collect()
+    val hits = spark.sql(
+      s"SELECT doc_id FROM $cat.gram_renamed WHERE content LIKE '%xqzgramneedle%' ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq === (0L until 25L),
+      s"rewritten files' gram sidecars must index the PHYSICAL key; got ${hits.length} hits")
+    // the layout-column guard now covers the logical name too
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.gram_renamed RENAME COLUMN content TO body")
+    }
+    assert(err.toString.contains("layout") ||
+      Option(err.getCause).exists(_.toString.contains("layout")))
+    spark.sql(s"DROP TABLE $cat.gram_renamed")
+  }
+
   test("q244: mismatched bucket counts join shuffle-free (reducible bucket function) (r9)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -302,7 +302,15 @@ object JsonlStats {
     * materializes the first retained archive before expiring its
     * bases). The LIVE manifest and the newest slots are never deltas —
     * the OCC lease protocol compares their raw bytes. */
-  def readManifestLines(root: String, manifest: String): Seq[String] = {
+  def readManifestLines(root: String, manifest: String): Seq[String] =
+    readManifestLines(root, manifest, depth = 0)
+
+  private def readManifestLines(root: String, manifest: String, depth: Int): Seq[String] = {
+    // chain guard: compaction writes delta_base = v-1 by construction,
+    // so any chain longer than the version count is corruption — fail
+    // loudly instead of walking a cycle forever
+    require(depth <= 100000,
+      s"manifest delta chain too deep at $manifest — corrupt delta_base pointer?")
     val lines = Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
     val mapper = new ObjectMapper()
     val isDelta = lines.headOption.exists { h =>
@@ -312,7 +320,7 @@ object JsonlStats {
     if (!isDelta) lines
     else {
       val base = mapper.readTree(lines.head).get("delta_base").asInt()
-      val baseLines = readManifestLines(root, s"$HistoryDir/v$base.jsonl")
+      val baseLines = readManifestLines(root, s"$HistoryDir/v$base.jsonl", depth + 1)
       val (delLines, addLines) = lines.tail.filter(_.nonEmpty)
         .partition(l => mapper.readTree(l).hasNonNull("del"))
       val dels = delLines.map(l => mapper.readTree(l).get("del").asText()).toSet

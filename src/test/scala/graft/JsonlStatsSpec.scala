@@ -1998,8 +1998,17 @@ class JsonlStatsSpec extends SparkSpec {
     Files.write(Paths.get(eRoot, "_stats.jsonl"),
       JsonlStats.readStats(eRoot)
         .map(s => JsonlStats.statsLine(s.copy(pspec = None))).sorted.asJava)
+    val vPreEvolve = JsonlStats.currentVersion(eRoot)
     val res = spark.sql(
       s"CALL $cat.evolve_partition_spec('jsonl_evolve_t', 'bucket(8,user_id)')").head()
+    // the stamp commit is CHANGE-FEED-INVISIBLE: both CDF legs identify
+    // files by name (+dvs) and the stamps touch only entry metadata —
+    // a downstream consumer sees zero row changes across an evolution
+    val vPostEvolve = JsonlStats.currentVersion(eRoot)
+    assert(vPostEvolve > vPreEvolve, "the stamp commit must be a real version")
+    assert(ChangeFeed.tableChanges(spark, eRoot, vPreEvolve, vPostEvolve,
+      Seq("event_id")).isEmpty,
+      "a metadata-only evolution commit must emit no CDF rows")
     assert(res.getString(0) === "truncate(4,event_type)")
     assert(res.getString(1) === "bucket(8,user_id)")
     assert(res.getInt(2) === gen1.size,

@@ -235,7 +235,22 @@ object GraftProcedures {
         // compact/rewrite_deletes pass (which regenerates checkpoints)
         // would clear
         sized.count { case (s, sz) =>
-          sz > JsonlStats.DefaultSplitBytes && s.ckpts.isEmpty })
+          sz > JsonlStats.DefaultSplitBytes && s.ckpts.isEmpty },
+        // r9 tier state: the declared partition spec, whether every
+        // live file's key derives from it (SPJ eligibility — FALSE mid
+        // partition-evolution until rewrites migrate the stragglers),
+        // the gram-index column, and how many archived snapshots are
+        // delta-encoded (compact_history's footprint)
+        meta.partitionCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+        meta.partitionCol.forall(pc =>
+          stats.forall(_.pspec.forall(_ == pc))) && stats.forall(_.pkey.isDefined ||
+            meta.partitionCol.isEmpty),
+        meta.gramCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+        JsonlStats.historyVersions(dir.toString).count { v =>
+          val pth = dir.resolve(s"${JsonlStats.HistoryDir}/v$v.jsonl")
+          scala.util.Try(Files.newBufferedReader(pth).readLine())
+            .toOption.exists(l => l != null && l.startsWith("{\"delta_base\""))
+        })
       val schema = StructType(Seq(
         StructField("version", IntegerType, nullable = false),
         StructField("n_files", IntegerType, nullable = false),
@@ -246,7 +261,11 @@ object GraftProcedures {
         StructField("live_bytes", LongType, nullable = false),
         StructField("key_grouped", BooleanType, nullable = false),
         StructField("stats_column", StringType, nullable = false),
-        StructField("n_oversized_no_ckpts", IntegerType, nullable = false)))
+        StructField("n_oversized_no_ckpts", IntegerType, nullable = false),
+        StructField("partition_spec", StringType),
+        StructField("spec_uniform", BooleanType, nullable = false),
+        StructField("gram_column", StringType),
+        StructField("n_delta_snapshots", IntegerType, nullable = false)))
       java.util.List.of[Scan](new LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = Array(row)

@@ -1965,6 +1965,10 @@ class JsonlStatsSpec extends SparkSpec {
          |WHERE event_id = (SELECT min(event_id) FROM $cat.jsonl_stats_table)""".stripMargin)
     val newest = JsonlStats.historyVersions(hRoot).max
     assert(!isDelta(newest))
+    // CALL detail counts the delta-encoded snapshots
+    val detH = spark.sql(s"CALL $cat.detail('jsonl_histc')").head()
+    assert(detH.getInt(13) === JsonlStats.historyVersions(hRoot).count(isDelta),
+      "detail must report the delta-snapshot footprint")
     // 7. vacuum materializes the first retained archive before expiring
     // its delta bases; retained time travel keeps working, expired
     // fails loudly
@@ -2070,6 +2074,11 @@ class JsonlStatsSpec extends SparkSpec {
     assert(!part.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
       "mixed specs must decline KeyGroupedPartitioning")
 
+    // CALL detail surfaces the mid-evolution state: the declared spec
+    // plus spec_uniform = FALSE while gen-1 stragglers remain
+    val det = spark.sql(s"CALL $cat.detail('jsonl_evolve_t')").head()
+    assert(det.getString(10) === "bucket(8,user_id)")
+    assert(!det.getBoolean(11), "a mixed-spec table must report spec_uniform = false")
     // lazy migration: a COW rewrite re-keys the files it touches under
     // the CURRENT spec; untouched files keep their old stamps
     spark.sql(s"DELETE FROM $cat.jsonl_evolve_t WHERE event_type = 'error'")

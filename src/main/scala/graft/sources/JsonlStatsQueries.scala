@@ -1393,6 +1393,38 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q246 (r9): STREAMING SINK × HIDDEN PARTITIONING — the
+    * exactly-once epoch appends (q192's txn-ledger contract) routed
+    * through the bucket transform: each micro-batch's writer derives
+    * per-row bucket ids and lands one file per (task, bucket), every
+    * entry stamped with its spec. The read back is a point lookup with
+    * NO partitionColumn option at all — the per-entry spec stamps make
+    * a path read self-describing, so bucket pruning fires from the
+    * manifest alone (law in JsonlStatsSpec). The composition matters
+    * at 100 TB because ingest IS streaming there: a table whose layout
+    * only materialized under batch writers would shuffle every
+    * point lookup against fresh data. */
+  def streamingHiddenBucket(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = ensureWrittenFixture(spark, d)
+    val sink = Landing.fixtureDir(d, "jsonl_stream_bucket")
+    Files.createDirectories(Paths.get(sink))
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", src).load()
+      .writeStream.format("graft-jsonl-stats")
+      .option("path", sink)
+      .option("partitionColumn", "bucket(8,user_id)")
+      .option("checkpointLocation", s"$sink/_checkpoint")
+      .option("txnAppId", "q246")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val probeUid = Tables.events(spark, d).agg(max($"user_id")).head().getLong(0)
+    spark.read.format("graft-jsonl-stats").option("path", sink).load()
+      .filter($"user_id" === probeUid)
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -1813,6 +1845,7 @@ object JsonlStatsQueries extends QueryModule {
     "q243_partition_evolution" -> partitionEvolution,
     "q244_bucket_reduced_spj" -> hiddenBucketReducedSpj,
     "q245_history_compaction" -> historyCompaction,
+    "q246_stream_hidden_bucket" -> streamingHiddenBucket,
   )
 
   val oracles = Map(
@@ -1957,6 +1990,12 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q246_stream_hidden_bucket" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE user_id = (SELECT max(user_id) FROM events)""".stripMargin,
     "q245_history_compaction" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -1863,6 +1863,42 @@ class JsonlStatsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.gram_renamed")
   }
 
+  test("q246: streaming epochs route through the bucket transform; stamps alone prune path reads (r9)") {
+    import spark.implicits._
+    val df = JsonlStatsQueries.streamingHiddenBucket(spark, sfDir)
+    df.collect() // drives the drain + read
+    val sink = graft.ingest.Landing.fixtureDir(sfDir, "jsonl_stream_bucket")
+    val stats = JsonlStats.readStats(sink)
+    val valid = (0 to 7).map(_.toString).toSet
+    assert(stats.nonEmpty && stats.forall(_.pkey.exists(valid)),
+      "every streamed file must carry one derived bucket pkey")
+    assert(stats.forall(_.pspec.contains("bucket(8,user_id)")),
+      "every streamed entry must be stamped with its spec")
+    // the exactly-once content law: sink ≡ source through the transform
+    val viaSink = spark.read.format("graft-jsonl-stats").option("path", sink).load()
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val viaSrc = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(viaSink.exceptAll(viaSrc).isEmpty && viaSrc.exceptAll(viaSink).isEmpty)
+    // STAMP-DRIVEN pruning: a path read with NO partitionColumn option
+    // still keeps only the probed bucket's files (per-entry `ps` makes
+    // the manifest self-describing); strip bounds so only stamps decide
+    val legacy = Files.createTempDirectory("stream_bucket_stampprune")
+    Files.copy(Paths.get(sink, "_stats.jsonl"), legacy.resolve("_stats.jsonl"))
+    Files.write(legacy.resolve("_stats.jsonl"),
+      JsonlStats.readStats(legacy.toString)
+        .map(st => JsonlStats.statsLine(st.copy(cols = Map.empty, strCols = Map.empty,
+          min = Double.MinValue, max = Double.MaxValue))).sorted.asJava)
+    val uid = viaSrc.agg(max($"user_id")).head().getLong(0)
+    val want = PartitionTransforms.bucketLong(8, uid).toString
+    val sb = new JsonlStatsScanBuilder(legacy.toString, JsonlStats.schema)
+    sb.pushFilters(Array(EqualTo("user_id", Long.box(uid))))
+    val planned = sb.build().toBatch.planInputPartitions().length
+    val stripped = JsonlStats.readStats(legacy.toString)
+    assert(planned === stripped.count(_.pkey.contains(want)) && planned < stripped.size,
+      s"stamps alone must prune the optionless path read: planned=$planned of ${stripped.size}")
+  }
+
   test("q244: mismatched bucket counts join shuffle-free (reducible bucket function) (r9)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -2094,6 +2130,20 @@ class JsonlStatsSpec extends SparkSpec {
       .select($"event_id", $"user_id", $"event_type", $"value")
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
 
+    // FULL migration re-enables key grouping: a whole-table COW UPDATE
+    // routes every row back through the current transform, the manifest
+    // becomes spec-uniform, and the scan reports KeyGroupedPartitioning
+    // again — evolution is a temporary downgrade, not a permanent one
+    spark.sql(s"UPDATE $cat.jsonl_evolve_t SET value = value")
+    val uniformStats = JsonlStats.readStats(eRoot)
+    assert(uniformStats.forall(_.pspec.contains(newSpecEnc)))
+    val sbU = new JsonlStatsScanBuilder(eRoot, meta.schema.get,
+      meta.statsCol.get, meta.partitionCol)
+    assert(sbU.build().asInstanceOf[JsonlStatsScan].outputPartitioning()
+      .isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      "a fully-migrated table must report key grouping again")
+    assert(spark.sql(s"CALL $cat.detail('jsonl_evolve_t')").head().getBoolean(11),
+      "detail must report spec_uniform = true after full migration")
     // evolution to UNPARTITIONED: old pkeys stay, stamped and harmless;
     // row-level ops still run (the stamps name the keys' provenance)
     spark.sql(s"CALL $cat.evolve_partition_spec('jsonl_evolve_t', '')")

@@ -80,10 +80,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     finally s.close()
   }
 
+  /** Sub-identifier fallback (r9): `<table>.files|partitions|history|
+    * refs` serves the METADATA tables ([[MetaTables]]) and
+    * `<table>.branch_<name>` / `<table>.tag_<name>` address REFS
+    * ([[Refs]]) — the Iceberg Spark naming idiom, which keeps branch
+    * writes inside plain SQL (`INSERT INTO t.branch_audit …`). Fires
+    * ONLY when no real table of that name exists (the parent path must
+    * itself be a table), so a genuine table always shadows a selector. */
+  private def subTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val parent = java.nio.file.Paths.get(root, ident.namespace(): _*)
+    if (!java.nio.file.Files.exists(parent.resolve("_stats.jsonl"))) return None
+    val sel = ident.name()
+    if (MetaTables.Names.contains(sel)) Some(MetaTables.load(parent.toString, sel))
+    else if (sel.startsWith("branch_")) Some(branchTable(parent, sel.stripPrefix("branch_")))
+    else if (sel.startsWith("tag_")) {
+      val name = sel.stripPrefix("tag_")
+      val m = Refs.tagManifest(name)
+      if (!java.nio.file.Files.exists(parent.resolve(m)))
+        throw new IllegalArgumentException(s"no such tag '$name' on ${ident.namespace().mkString(".")}")
+      Some(snapshotTable(parent, m))
+    }
+    else None
+  }
+
+  private def branchTable(dir: java.nio.file.Path, name: String): Table = {
+    if (!java.nio.file.Files.exists(dir.resolve(Refs.branchManifest(name))))
+      throw new IllegalArgumentException(s"no such branch '$name' of $dir (create_branch first)")
+    val meta = JsonlStats.readTableMeta(dir.toString)
+    new JsonlStatsTable(dir.toString,
+      meta.schema.getOrElse(JsonlStats.schema),
+      meta.statsCol.getOrElse(JsonlStats.statsColumn),
+      meta.partitionCol, Refs.branchManifest(name), meta.bloomCol,
+      deleteMode = meta.deleteMode,
+      columnMapping = meta.columnMapping,
+      gramCol = meta.gramCol,
+      branch = Some(name))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
-      throw new NoSuchTableException(ident)
+      return subTable(ident).getOrElse(throw new NoSuchTableException(ident))
     // table-level metadata is authoritative: a user-id-bounded table
     // resolved with the default stats column would prune files against
     // the wrong bounds and answer MIN/MAX pushdown from them — wrong
@@ -484,8 +522,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new NoSuchTableException(ident)
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"version must be a positive integer, got '$version'")
+    // refs (r9): `VERSION AS OF '<name>'` resolves a TAG (frozen
+    // snapshot) or BRANCH (its current head) by name — the Iceberg
+    // travel-to-ref idiom; numeric strings stay version numbers
+    if (version.nonEmpty && !version.forall(_.isDigit)) {
+      return Refs.resolveName(dir.toString, version) match {
+        case Some(m) => snapshotTable(dir, m)
+        case None =>
+          val known = Refs.listRefs(dir.toString).map(r => s"${r.kind} '${r.name}'")
+          throw new IllegalArgumentException(
+            s"no ref '$version' on $ident" +
+              (if (known.isEmpty) " (no refs exist)" else s" (refs: ${known.mkString(", ")})"))
+      }
+    }
+    require(version.nonEmpty, s"version must be a positive integer or ref name, got ''")
     val v = version.toInt
     val current = JsonlStats.currentVersion(dir.toString)
     if (v == current) loadTable(ident)
@@ -561,6 +611,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "build_gram_index" => new GraftProcedures.GramIndexUnbound(root)
       case "evolve_partition_spec" => new GraftProcedures.EvolveSpecUnbound(root)
       case "compact_history" => new GraftProcedures.CompactHistoryUnbound(root)
+      case "create_tag"    => new GraftProcedures.RefUnbound(root, "create_tag")
+      case "drop_tag"      => new GraftProcedures.RefUnbound(root, "drop_tag")
+      case "create_branch" => new GraftProcedures.RefUnbound(root, "create_branch")
+      case "drop_branch"   => new GraftProcedures.RefUnbound(root, "drop_branch")
+      case "fast_forward"  => new GraftProcedures.RefUnbound(root, "fast_forward")
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }

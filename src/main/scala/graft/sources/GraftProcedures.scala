@@ -833,7 +833,12 @@ object GraftProcedures {
     val retainedRefs: Set[String] =
       (retained.map(manifestOf) :+ "_stats.jsonl")
         .flatMap(m => JsonlStats.readStats(tableRoot, m)
-          .flatMap(s => s.file +: s.dvs)).toSet
+          .flatMap(s => s.file +: s.dvs)).toSet ++
+        // refs (r9) are live ROOTS: a tag-pinned or branch-staged file is
+        // neither expirable nor an orphan, whatever `_history/` retention
+        // says — tag durability IS this refcount, and a staged-but-not-
+        // yet-published branch load survives any maintenance pass
+        Refs.referencedFiles(tableRoot)
     var dataDeleted = 0
     if (expired.nonEmpty) {
       // history deltas (r9): the first retained archive may be a delta
@@ -1293,6 +1298,74 @@ object GraftProcedures {
         }
       } finally ch.close()
     } catch { case _: Throwable => false }
+  }
+
+  /** REF management (r9, [[Refs]]) — one bound shape for the five
+    * verbs. `create_tag(table, name[, version])` pins a snapshot (live
+    * by default, or `VERSION AS OF version`); `create_branch(table,
+    * name)` forks the live manifest for staged writes
+    * (`INSERT INTO <cat>.<table>.branch_<name> …`);
+    * `fast_forward(table, name)` is the PUBLISH half of
+    * write-audit-publish — one OCC commit that conflicts loudly if main
+    * diverged since the fork; the drop verbs delete the ref file (its
+    * exclusively-staged data files become age-gated vacuum orphans).
+    * Returns (ref, action, version): version = the pinned/fork/
+    * superseded generation (0 for drops). */
+  class RefUnbound(root: String, verb: String) extends UnboundProcedure {
+    override def name(): String = verb
+    override def description(): String = verb match {
+      case "create_tag"    => "create_tag(table, name[, version]): pin a named immutable snapshot"
+      case "drop_tag"      => "drop_tag(table, name): delete a tag (its files become vacuumable)"
+      case "create_branch" => "create_branch(table, name): fork a writable staging branch"
+      case "drop_branch"   => "drop_branch(table, name): delete a branch head"
+      case _               => "fast_forward(table, name): publish a branch head to main (WAP)"
+    }
+    override def bind(inputType: StructType): BoundProcedure = new RefBound(root, verb)
+  }
+
+  class RefBound(root: String, verb: String) extends BoundProcedure {
+    override def name(): String = verb
+    override def description(): String = s"$verb on the refs tier"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = {
+      val base = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      if (verb == "create_tag")
+        base :+ ProcedureParameter.in("version", IntegerType).defaultValue("-1").build()
+      else base
+    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val refName = input.getUTF8String(1).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val version = verb match {
+        case "create_tag" =>
+          val v = input.getInt(2)
+          Refs.createTag(dir.toString, refName, if (v < 0) None else Some(v))
+        case "drop_tag" =>
+          Refs.dropRef(dir.toString, Refs.tagManifest(refName)); 0
+        case "create_branch" =>
+          Refs.createBranch(dir.toString, refName)
+        case "drop_branch" =>
+          Refs.dropRef(dir.toString, Refs.branchManifest(refName)); 0
+        case "fast_forward" =>
+          Refs.fastForward(dir.toString, refName,
+            s"ff-${java.util.UUID.randomUUID().toString.take(8)}")
+      }
+      val schema = StructType(Seq(
+        StructField("ref", StringType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(refName),
+          org.apache.spark.unsafe.types.UTF8String.fromString(verb), version))
+        override def description(): String = s"$verb $refName on $table"
+      }).iterator()
+    }
   }
 
   private[sources] def concatFiles(tableRoot: String, members: Seq[String], out: String): Unit = {

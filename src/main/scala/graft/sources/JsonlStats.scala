@@ -1132,7 +1132,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       bloomCol: Option[String] = None,
                       deleteMode: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
-                      gramCol: Option[String] = None) extends Table
+                      gramCol: Option[String] = None,
+                      branch: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1146,12 +1147,24 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     * the r6 refusal), so replacement files are re-keyed and the
     * layout's zero-exchange SPJ contract survives the mutation. */
   /** Is this a historical snapshot resolved via time travel? Snapshots
-    * are strictly READ-ONLY — mutating the past is not a thing. */
-  private def isSnapshot: Boolean = manifest != "_stats.jsonl"
+    * are strictly READ-ONLY — mutating the past is not a thing. A
+    * BRANCH head ([[Refs]], r9) also reads through a non-live manifest
+    * but is writable: appends and TRUNCATE rebase the branch file.
+    * Branch reads inherit the snapshot-side CONSERVATISMS (explicit
+    * spec stamps required for transform pruning / SPJ grouping) —
+    * fork-time entries may predate today's spec, exactly like archived
+    * ones. */
+  private def isSnapshot: Boolean = manifest != "_stats.jsonl" && branch.isEmpty
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"row-level ${info.command()} on branch '${branch.get}' of $root: branch heads " +
+          "take appends and TRUNCATE only — run row-level mutations on main, or " +
+          "re-stage the corrected load (r9 scope; the Iceberg branch-DML shape " +
+          "would route this same operation at the branch manifest)")
     if (isSnapshot)
       throw new UnsupportedOperationException(
         s"row-level ${info.command()} on a historical snapshot ($manifest) of $root")
@@ -1227,7 +1240,15 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       override def isNullable: Boolean = false
     })
   override def capabilities(): java.util.Set[TableCapability] =
-    if (isSnapshot) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (branch.isDefined)
+      // a branch head is a staging line: appends and TRUNCATE (restage),
+      // no replaceWhere (its file-proof arithmetic targets main's
+      // manifest) and no streaming epochs (txn watermarks are main-only
+      // — a branch-carried ledger would republish stale epochs at
+      // fast-forward)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else if (isSnapshot) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -1243,7 +1264,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       throw new UnsupportedOperationException(
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
-      bloomCol, Option(info.options().get("txnAppId")), columnMapping, gramCol)
+      bloomCol, Option(info.options().get("txnAppId")), columnMapping, gramCol,
+      branch = branch)
   }
 }
 

@@ -1425,6 +1425,151 @@ object JsonlStatsQueries extends QueryModule {
         min($"event_id").as("min_id"), max($"event_id").as("max_id"))
   }
 
+  /** q247 (r9b): TAGS — a named immutable snapshot on the refs tier
+    * ([[Refs]]). The lifecycle prices CTAS of half the feed, `CALL
+    * create_tag`, an INSERT of the other half, then the read BACK
+    * THROUGH THE TAG (`VERSION AS OF 'baseline'`): the appended rows
+    * must be invisible there, whatever main does afterwards. Unlike a
+    * version-number pin, the tag survives history compaction and
+    * vacuum (it pins CONTENT and refcounts as a live root — laws in
+    * RefsSpec), which is what makes it the reproducibility primitive a
+    * training pipeline wants: `train_run_2026_08` keeps meaning the
+    * same 100 TB forever, at zero copy cost. */
+  def tagTimeTravel(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_tagged")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_tagged AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_tag('jsonl_tagged', 'baseline')")
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_tagged
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_tagged VERSION AS OF 'baseline'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q248 (r9b): WRITE-AUDIT-PUBLISH — the production load pattern the
+    * refs tier exists for (the reference's gate-then-publish flow,
+    * `Assets/Jobs/etl_silver_to_gold.py`, promoted from a job-level
+    * convention to a TABLE-FORMAT guarantee). The load lands on a
+    * staging branch (`INSERT INTO <t>.branch_audit`), the audit gate
+    * runs against the branch head with the full scan machinery, and
+    * `CALL fast_forward` publishes in ONE OCC commit that conflicts
+    * loudly if main moved since the fork — main never serves a single
+    * unaudited row, and a failed audit costs `drop_branch`, not a
+    * restore. At 100 TB the publish is O(manifest) metadata, whatever
+    * the staged volume (RefsBench law in SCALING.md). */
+  def wapPublish(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_wap")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_wap AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_branch('jsonl_wap', 'audit')")
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_wap.branch_audit
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1""".stripMargin)
+    // the audit: the staged head must hold the full feed and nothing
+    // else before it may publish (a real gate would run the gold
+    // validation suite here — same scan surface)
+    val staged = spark.sql(
+      s"SELECT count(*) FROM $cat.jsonl_wap.branch_audit WHERE value IS NULL")
+      .head().getLong(0)
+    require(staged == 0, s"audit gate failed: $staged null-valued staged rows")
+    spark.sql(s"CALL $cat.fast_forward('jsonl_wap', 'audit')")
+    spark.sql(s"CALL $cat.drop_branch('jsonl_wap', 'audit')")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_wap
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q249 (r9b): BRANCH ISOLATION — the two sides of an in-flight WAP
+    * stage read through the SAME table at the SAME instant and must
+    * disagree by exactly the staged rows: main serves the fork-time
+    * content (the unaudited load is invisible), the branch head serves
+    * fork + staged. One frame, one row per side — the isolation
+    * contract as a registered, oracle-checked result rather than a
+    * spec-only law. */
+  def branchIsolation(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_iso")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_iso AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_branch('jsonl_iso', 'stage')")
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_iso.branch_stage
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""SELECT side, n, value_sum FROM (
+         |  SELECT 'branch' AS side, count(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |  FROM $cat.jsonl_iso.branch_stage
+         |  UNION ALL
+         |  SELECT 'main' AS side, count(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |  FROM $cat.jsonl_iso)
+         |ORDER BY side""".stripMargin)
+  }
+
+  /** q250 (r9b): PARTITIONS METADATA TABLE — `<t>.partitions` is the
+    * manifest's per-key arithmetic as SQL ([[MetaTables]], the Iceberg
+    * metadata-table idiom): per-partition file and live-row counts with
+    * ZERO data IO, where the data-tier equivalent scans the table. The
+    * oracle IS that data-tier group-by, so the metadata tier is pinned
+    * to the data it describes — and at 100 TB "how big is each
+    * partition" stops being a full-table scan. */
+  def partitionsMetaTable(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.jsonl_meta_parts
+         |PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(
+      s"""SELECT pkey AS event_type, CAST(live_rows AS BIGINT) AS n
+         |FROM $cat.jsonl_meta_parts.partitions
+         |ORDER BY pkey""".stripMargin)
+  }
+
+  /** q251 (r9b): FILES + REFS METADATA TABLES — operational questions
+    * as scalar subqueries over `<t>.files` and `<t>.refs`: distinct
+    * live partition keys, total live rows, ref inventory, and the
+    * row count a tag pins — all manifest/ref arithmetic, no data IO.
+    * The oracle derives every number from the raw feed. */
+  def filesRefsMetaTable(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_meta_refs")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_meta_refs
+         |PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"CALL $cat.create_tag('jsonl_meta_refs', 'pinned')")
+    spark.sql(s"CALL $cat.create_branch('jsonl_meta_refs', 'wip')")
+    spark.sql(
+      s"""SELECT
+         |  (SELECT count(DISTINCT pkey) FROM $cat.jsonl_meta_refs.files) AS n_keys,
+         |  (SELECT CAST(sum(live_rows) AS BIGINT) FROM $cat.jsonl_meta_refs.files) AS n_rows,
+         |  (SELECT count(*) FROM $cat.jsonl_meta_refs.refs) AS n_refs,
+         |  (SELECT CAST(sum(live_rows) AS BIGINT) FROM $cat.jsonl_meta_refs.refs
+         |    WHERE type = 'tag') AS tag_rows""".stripMargin)
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -1846,6 +1991,11 @@ object JsonlStatsQueries extends QueryModule {
     "q244_bucket_reduced_spj" -> hiddenBucketReducedSpj,
     "q245_history_compaction" -> historyCompaction,
     "q246_stream_hidden_bucket" -> streamingHiddenBucket,
+    "q247_tag_time_travel" -> tagTimeTravel,
+    "q248_wap_publish" -> wapPublish,
+    "q249_branch_isolation" -> branchIsolation,
+    "q250_partitions_meta" -> partitionsMetaTable,
+    "q251_files_refs_meta" -> filesRefsMetaTable,
   )
 
   val oracles = Map(
@@ -1990,6 +2140,40 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q247_tag_time_travel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_id % 2 = 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q248_wap_publish" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q249_branch_isolation" ->
+      """SELECT side, n, value_sum FROM (
+        |  SELECT 'branch' AS side, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'main' AS side, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM events WHERE event_id % 2 = 0) AS u
+        |ORDER BY side""".stripMargin,
+    "q250_partitions_meta" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q251_files_refs_meta" ->
+      """SELECT count(DISTINCT event_type) AS n_keys, count(*) AS n_rows,
+        |  CAST(2 AS BIGINT) AS n_refs, count(*) AS tag_rows
+        |FROM events""".stripMargin,
     "q246_stream_hidden_bucket" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -29,7 +29,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         bloomCol: Option[String] = None,
                         txnAppId: Option[String] = None,
                         columnMapping: Map[String, String] = Map.empty,
-                        gramCol: Option[String] = None)
+                        gramCol: Option[String] = None,
+                        branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
@@ -51,14 +52,22 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
     if (filters.isEmpty || filters.exists(_.isInstanceOf[AlwaysTrue]))
       truncateFirst = true
     else replaceFilters = Some(filters)
+    if (branch.isDefined && replaceFilters.isDefined)
+      throw new UnsupportedOperationException(
+        s"replaceWhere on branch '${branch.get}': branch heads take appends and " +
+          "TRUNCATE only (r9 scope)")
     this
   }
 
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol, columnMapping, gramCol)
+        replaceFilters, bloomCol, columnMapping, gramCol, branch)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (branch.isDefined)
+        throw new UnsupportedOperationException(
+          s"streaming write to branch '${branch.get}': txn watermarks are main-only " +
+            "— stream into main, or stage batches on the branch")
       if (truncateFirst || replaceFilters.isDefined)
         throw new UnsupportedOperationException(
           "streaming writes to graft-jsonl-stats are append-only: Complete output " +
@@ -171,7 +180,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       replaceFilters: Option[Array[Filter]] = None,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
-                      gramCol: Option[String] = None) extends BatchWrite {
+                      gramCol: Option[String] = None,
+                      branch: Option[String] = None) extends BatchWrite {
   /** Overwrite conflict reference (r8 review): captured when the WRITE
     * is CONSTRUCTED — physical planning, before the job's tasks run —
     * not at commit() time. A truncate/replaceWhere logically reads the
@@ -183,6 +193,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     * keeps the hot append-commit path free of the full-manifest parse. */
   private val plannedBase: Option[Seq[JsonlStats.FileStats]] =
     if (!truncateFirst && replaceFilters.isEmpty) None
+    else if (branch.isDefined)
+      // branch TRUNCATE plans against the BRANCH head, not main
+      Some(JsonlStats.parseStatsLines(
+        Refs.readRef(root, Refs.branchManifest(branch.get)).entries))
     else Some(
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else JsonlStats.readStats(root))
@@ -269,6 +283,17 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // non-nullable there), and clobbering the table sidecar with it
     // would flip nullability and codegen-NPE reads of older files'
     // nulls (r7 ALTER spec caught exactly this)
+    // BRANCH commit (r9, [[Refs]]): the head rebases in place — appends
+    // add entries, TRUNCATE restages from empty. The table CONTRACT is
+    // main's (`_table.json` untouched: a branch stages data, never DDL),
+    // and main's manifest is untouched until fast_forward publishes.
+    branch match {
+      case Some(b) =>
+        if (truncateFirst) Refs.commitBranch(root, b, _ => freshLines)
+        else Refs.commitBranch(root, b, base => base ++ freshLines)
+        return
+      case None => ()
+    }
     if (truncateFirst || !Files.exists(Paths.get(root, "_table.json"))) {
       // TRUNCATE redefines the data, not the table contract: delete
       // mode and CHECK constraints survive the generation swap (r7c)

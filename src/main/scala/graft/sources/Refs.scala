@@ -1,0 +1,253 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+/** Named refs over the manifest protocol — the Iceberg branch/tag model
+  * (ref: Iceberg spec "Snapshot References"; reference behavior:
+  * Group5's promote-on-validate publish flow,
+  * `Assets/Jobs/etl_silver_to_gold.py` gate-then-publish) re-expressed
+  * on this table format's own primitives.
+  *
+  * A ref is ONE file under `_refs/`, atomically created and atomically
+  * replaced, holding a HEADER line followed by a full manifest snapshot:
+  *
+  *   - `_refs/tag.<name>.jsonl` — an IMMUTABLE named snapshot. The tag
+  *     pins the manifest CONTENT (not a version number), so it stays
+  *     readable whatever happens to `_history/` — tag retention is a
+  *     property of refcounting, not a retention-policy special case:
+  *     [[GraftProcedures.vacuum]] counts ref manifests among the live
+  *     roots, so data files a tag references survive snapshot expiry
+  *     and die exactly when the last ref to them is dropped. Tagging a
+  *     HISTORICAL version resolves delta-encoded archives on the way in
+  *     ([[JsonlStats.readManifestLines]]), so a tag is always
+  *     self-contained — `compact_history` and `vacuum` never need to
+  *     know tags exist.
+  *
+  *   - `_refs/branch.<name>.jsonl` — a MUTABLE line of development
+  *     forked from the live manifest. The header records the fork point
+  *     (`base_version` for reporting, `base_hash` — SHA-256 over the
+  *     sorted fork entries — for the publish-time ancestry proof).
+  *     Writes route to the branch head via the catalog identifier
+  *     `<table>.branch_<name>` (the Iceberg Spark idiom); appends and
+  *     TRUNCATE rebase the branch file in place, and main NEVER sees
+  *     branch entries until `CALL fast_forward` publishes them through
+  *     [[JsonlStats.commitAtomic]] — one OCC commit whose rebase
+  *     demands main's entries still hash to `base_hash` (no commit on
+  *     main since the fork = the fast-forward precondition; a diverged
+  *     main CONFLICTS loudly, same family as every other rebase
+  *     conflict). Published entries then time-travel, CDF and vacuum
+  *     exactly like any other commit's.
+  *
+  * Together these are WRITE-AUDIT-PUBLISH: stage a load on a branch,
+  * audit the branch (same scan machinery, frozen file list), publish by
+  * fast-forward — a failed audit costs `drop_branch` plus an orphan
+  * sweep, and main never served a single unaudited row.
+  *
+  * Concurrency: ref CREATION is exclusive (hard-link CAS — two racing
+  * creators cannot both win). Branch HEAD updates serialize in-JVM via
+  * [[refsLock]] with an atomic-move publish; cross-process branch
+  * writers are last-writer-wins, documented as the single-stager-per-
+  * branch assumption WAP already makes (one load job owns its staging
+  * branch). Publication to MAIN carries full OCC either way.
+  */
+object Refs {
+  val RefsDir = "_refs"
+
+  /** Ref names become file-name components: keep them path-safe. */
+  private val NamePat = "[A-Za-z0-9][A-Za-z0-9_-]*".r
+  def requireValidName(name: String): Unit =
+    require(NamePat.pattern.matcher(name).matches() && name.length <= 64,
+      s"ref name must match ${NamePat.pattern} (max 64 chars), got '$name'")
+
+  final case class RefInfo(name: String, kind: String, baseVersion: Int,
+                           createdMs: Long, baseHash: Option[String],
+                           entries: Seq[String])
+
+  def tagManifest(name: String): String = s"$RefsDir/tag.$name.jsonl"
+  def branchManifest(name: String): String = s"$RefsDir/branch.$name.jsonl"
+
+  private def refPath(root: String, manifest: String): Path = Paths.get(root, manifest)
+
+  /** In-JVM serialization of branch-head read-modify-write (the same
+    * posture as [[JsonlStats.metaLock]] for `_table.json`). */
+  val refsLock = new Object
+
+  private def headerLine(kind: String, baseVersion: Int, baseHash: Option[String]): String = {
+    val n = new ObjectMapper().createObjectNode()
+    n.put("ref", kind)
+    n.put("base_version", baseVersion)
+    n.put("created_ms", System.currentTimeMillis())
+    baseHash.foreach(n.put("base_hash", _))
+    n.toString
+  }
+
+  /** SHA-256 over the SORTED entry lines — the ancestry fingerprint
+    * fast_forward compares against main's then-current entries. Sorted
+    * because [[JsonlStats.commitAtomic]] publishes entries sorted, so
+    * byte order is not part of manifest identity. */
+  def entriesHash(entries: Seq[String]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    entries.filter(_.nonEmpty).sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Non-txn manifest lines of the LIVE table — what a ref pins. Txn
+    * watermarks stay main-only: they ledger main's streaming sinks, and
+    * a ref that carried them would re-publish stale epochs at
+    * fast-forward. */
+  private def liveEntries(root: String): Seq[String] = {
+    val mapper = new ObjectMapper()
+    JsonlStats.readManifestLines(root, "_stats.jsonl")
+      .filter(_.nonEmpty)
+      .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+  }
+
+  /** Exclusive create: temp + hard link, the same two-property publish
+    * as the version-slot CAS (never partial, never double-won). */
+  private def createRef(root: String, manifest: String, lines: Seq[String]): Unit = {
+    val target = refPath(root, manifest)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.tmp-cas-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"ref already exists: ${target.getFileName} (drop it first)")
+    }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Create a tag of the live table, or of archived `VERSION AS OF v`
+    * when `atVersion` is given (delta-encoded archives materialize on
+    * the way in, so the tag never depends on its bases surviving). */
+  def createTag(root: String, name: String, atVersion: Option[Int] = None): Int = {
+    requireValidName(name)
+    val (version, entries) = atVersion match {
+      case None => (JsonlStats.currentVersion(root), liveEntries(root))
+      case Some(v) =>
+        val current = JsonlStats.currentVersion(root)
+        if (v == current) (v, liveEntries(root))
+        else {
+          val m = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+          require(v >= 1 && v < current, s"no version $v (versions 1..$current)")
+          require(Files.exists(Paths.get(root, m)),
+            s"version $v has been vacuumed; tag a surviving version")
+          val mapper = new ObjectMapper()
+          (v, JsonlStats.readManifestLines(root, m)
+            .filter(_.nonEmpty)
+            .filterNot(l => mapper.readTree(l).hasNonNull("txn")))
+        }
+    }
+    createRef(root, tagManifest(name), headerLine("tag", version, None) +: entries)
+    version
+  }
+
+  /** Fork a branch from the live manifest. The header's `base_hash`
+    * freezes the fork-point entry set — the fast-forward precondition. */
+  def createBranch(root: String, name: String): Int = {
+    requireValidName(name)
+    val version = JsonlStats.currentVersion(root)
+    val entries = liveEntries(root)
+    createRef(root, branchManifest(name),
+      headerLine("branch", version, Some(entriesHash(entries))) +: entries)
+    version
+  }
+
+  def dropRef(root: String, manifest: String): Unit = {
+    val p = refPath(root, manifest)
+    if (!Files.deleteIfExists(p))
+      throw new IllegalArgumentException(s"no such ref: ${p.getFileName}")
+  }
+
+  /** Read a ref file back: header parsed, entry lines verbatim. */
+  def readRef(root: String, manifest: String): RefInfo = {
+    val p = refPath(root, manifest)
+    require(Files.exists(p), s"no such ref: ${p.getFileName}")
+    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val mapper = new ObjectMapper()
+    val h = mapper.readTree(lines.head)
+    require(h.hasNonNull("ref"), s"ref file ${p.getFileName} has no header line")
+    val fn = p.getFileName.toString
+    val name = fn.stripSuffix(".jsonl").dropWhile(_ != '.').drop(1)
+    RefInfo(name, h.get("ref").asText(), h.get("base_version").asInt(),
+      h.get("created_ms").asLong(),
+      if (h.hasNonNull("base_hash")) Some(h.get("base_hash").asText()) else None,
+      lines.tail)
+  }
+
+  /** Resolve a ref NAME (tag first, then branch — the two namespaces
+    * are disjoint on disk but a bare name in `VERSION AS OF` names
+    * either). Returns the manifest path relative to the table root. */
+  def resolveName(root: String, name: String): Option[String] = {
+    if (Files.exists(refPath(root, tagManifest(name)))) Some(tagManifest(name))
+    else if (Files.exists(refPath(root, branchManifest(name)))) Some(branchManifest(name))
+    else None
+  }
+
+  def listRefs(root: String): Seq[RefInfo] = {
+    val dir = Paths.get(root, RefsDir)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      val names =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => (n.startsWith("tag.") || n.startsWith("branch.")) &&
+            n.endsWith(".jsonl"))
+          .toSeq.sorted
+        finally s.close()
+      names.map(n => readRef(root, s"$RefsDir/$n"))
+    }
+  }
+
+  /** Rebase-update the branch HEAD (append or truncate commit from the
+    * branch write path). Atomic-move publish; in-JVM serialized. */
+  def commitBranch(root: String, name: String,
+                   rebase: Seq[String] => Seq[String]): Unit = refsLock.synchronized {
+    val manifest = branchManifest(name)
+    val p = refPath(root, manifest)
+    require(Files.exists(p), s"no such branch: $name (create_branch first)")
+    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val rebased = lines.head +: rebase(lines.tail).sorted
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, rebased.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** PUBLISH: fast-forward main to the branch head — one OCC commit
+    * whose rebase proves ancestry (main's entries still hash to the
+    * fork point) and then REPLACES them with the branch's. A main that
+    * committed since the fork conflicts loudly: fast-forward is
+    * append-only history, never a silent merge. Returns the superseded
+    * main version. The branch ref survives the publish (dropping it is
+    * the caller's cleanup decision, like Iceberg's). */
+  def fastForward(root: String, name: String, queryId: String): Int = {
+    val ref = readRef(root, branchManifest(name))
+    require(ref.kind == "branch", s"$name is a ${ref.kind}, not a branch")
+    val forkHash = ref.baseHash.getOrElse(
+      throw new IllegalStateException(s"branch $name has no fork hash"))
+    JsonlStats.commitAtomic(root, queryId, base => {
+      if (entriesHash(base) != forkHash)
+        JsonlStats.conflict(
+          s"main diverged since branch '$name' forked (base_version=${ref.baseVersion}); " +
+            "fast-forward requires an unchanged main — re-stage on a fresh branch")
+      ref.entries
+    })
+  }
+
+  /** Data + DV files every ref still references — vacuum's extra live
+    * roots ([[GraftProcedures.vacuum]]): a branch-staged or tag-pinned
+    * file is NOT an orphan and NOT expirable, whatever `_history/`
+    * says. */
+  def referencedFiles(root: String): Set[String] =
+    listRefs(root).flatMap(r =>
+      JsonlStats.parseStatsLines(r.entries).flatMap(s => s.file +: s.dvs)).toSet
+}

@@ -1,0 +1,208 @@
+package graft
+
+import graft.sources.{GraftCatalog, JsonlStats, Refs}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Laws of the REFS tier (r9 — tags, branches, write-audit-publish,
+  * metadata tables; [[graft.sources.Refs]] / [[graft.sources.MetaTables]]). */
+class RefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fresh connector table (4 value-ranged files) + its own catalog.
+    * Returns (catalog, tableName, tableDir). */
+  private def scratch(tag: String): (String, String, String) = {
+    val dir = Files.createTempDirectory(s"refs_$tag").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .repartitionByRange(4, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = s"graft_refs_${tag}_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    (cat, Paths.get(dir).getFileName.toString, dir)
+  }
+
+  test("tag pins content across append/DELETE; resolvable by VERSION AS OF and tag_ ident") {
+    val (cat, t, dir) = scratch("tagpin")
+    val n0 = spark.table(s"$cat.`$t`").count()
+    spark.sql(s"CALL $cat.create_tag('$t', 'v1')")
+    spark.sql(s"INSERT INTO $cat.`$t` VALUES (900001, 7, 'tagged_extra', 42.5)")
+    val cut = JsonlStats.readStats(dir).map(_.max).min
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE value <= $cut")
+    assert(spark.table(s"$cat.`$t`").count() !== n0, "mutations must have changed main")
+    val viaTravel = spark.sql(s"SELECT count(*) AS n FROM $cat.`$t` VERSION AS OF 'v1'")
+      .head().getLong(0)
+    val viaIdent = spark.table(s"$cat.`$t`.tag_v1").count()
+    assert(viaTravel === n0 && viaIdent === n0,
+      s"tag must pin the fork-time content: $viaTravel/$viaIdent vs $n0")
+    // tags are immutable and exclusive: re-creating the name refuses
+    val dup = intercept[Exception](spark.sql(s"CALL $cat.create_tag('$t', 'v1')"))
+    assert(dup.getMessage.contains("already exists"))
+    // a tag write path does not exist: the snapshot table refuses writes
+    val wr = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.`$t`.tag_v1 VALUES (1, 1, 'x', 1.0)"))
+    assert(wr.getMessage.toLowerCase.contains("snapshot") ||
+      wr.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("tag retention is refcounting: vacuum spares tag-pinned files until drop_tag") {
+    val (cat, t, dir) = scratch("tagvac")
+    val pinned = JsonlStats.readStats(dir).map(_.file)
+    spark.sql(s"CALL $cat.create_tag('$t', 'keep')")
+    // TRUNCATE: every original file leaves the live manifest
+    spark.sql(s"INSERT OVERWRITE $cat.`$t` VALUES (1, 1, 'fresh', 1.0)")
+    spark.sql(s"CALL $cat.vacuum('$t', retain_last => 1, orphan_grace_ms => 0)")
+    pinned.foreach(f => assert(Files.exists(Paths.get(dir, f)),
+      s"vacuum deleted tag-pinned file $f — refs must be live roots"))
+    val tagged = spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF 'keep'")
+      .head().getLong(0)
+    assert(tagged > 1, "tag must still read its full pinned snapshot after vacuum")
+    // drop the tag: the pins lift, the next vacuum sweeps the files
+    spark.sql(s"CALL $cat.drop_tag('$t', 'keep')")
+    spark.sql(s"CALL $cat.vacuum('$t', retain_last => 1, orphan_grace_ms => 0)")
+    assert(pinned.forall(f => !Files.exists(Paths.get(dir, f))),
+      "dropped-tag files must be vacuumable")
+    val gone = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.`$t` VERSION AS OF 'keep'").collect())
+    assert(gone.getMessage.contains("no ref 'keep'"))
+  }
+
+  test("branch isolation + WAP: staged writes invisible on main until fast_forward") {
+    val (cat, t, dir) = scratch("wap")
+    val base = spark.table(s"$cat.`$t`").count()
+    spark.sql(s"CALL $cat.create_branch('$t', 'audit')")
+    spark.sql(s"INSERT INTO $cat.`$t`.branch_audit VALUES " +
+      "(910001, 3, 'staged', 10.0), (910002, 4, 'staged', 20.0)")
+    // isolation, both directions visible pre-publish
+    assert(spark.table(s"$cat.`$t`").count() === base, "main must not see staged rows")
+    assert(spark.table(s"$cat.`$t`.branch_audit").count() === base + 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF 'audit'")
+      .head().getLong(0) === base + 2, "VERSION AS OF branch reads the head")
+    // the audit: staged rows pass the gate, then publish
+    val bad = spark.table(s"$cat.`$t`.branch_audit").filter($"value" < 0).count()
+    assert(bad === 0)
+    val preVersion = JsonlStats.currentVersion(dir)
+    spark.sql(s"CALL $cat.fast_forward('$t', 'audit')")
+    assert(spark.table(s"$cat.`$t`").count() === base + 2, "publish = branch head on main")
+    // history is append-only through the publish: the pre-publish
+    // generation still time-travels to the unaudited-free state
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF $preVersion")
+      .head().getLong(0) === base)
+    spark.sql(s"CALL $cat.drop_branch('$t', 'audit')")
+    assert(Refs.listRefs(dir).isEmpty)
+  }
+
+  test("fast_forward conflicts when main diverged since the fork; branch stays intact") {
+    val (cat, t, dir) = scratch("ffc")
+    spark.sql(s"CALL $cat.create_branch('$t', 'stage')")
+    spark.sql(s"INSERT INTO $cat.`$t`.branch_stage VALUES (920001, 5, 'staged', 5.0)")
+    spark.sql(s"INSERT INTO $cat.`$t` VALUES (920002, 6, 'mainline', 6.0)")
+    val mainN = spark.table(s"$cat.`$t`").count()
+    val ex = intercept[Exception](spark.sql(s"CALL $cat.fast_forward('$t', 'stage')"))
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(_.getMessage.contains("diverged")),
+      s"divergence must conflict loudly, got: ${ex.getMessage}")
+    assert(spark.table(s"$cat.`$t`").count() === mainN, "failed publish must not touch main")
+    val branchN = spark.table(s"$cat.`$t`.branch_stage").count()
+    assert(branchN === mainN, s"branch head must survive the failed publish intact")
+  }
+
+  test("branch TRUNCATE restages; replaceWhere, row-level DML and streaming refuse") {
+    val (cat, t, dir) = scratch("bvrb")
+    spark.sql(s"CALL $cat.create_branch('$t', 'b')")
+    spark.sql(s"INSERT OVERWRITE $cat.`$t`.branch_b VALUES (930001, 1, 'only', 1.0)")
+    assert(spark.table(s"$cat.`$t`.branch_b").count() === 1, "TRUNCATE restages the head")
+    assert(spark.table(s"$cat.`$t`").count() > 1, "main untouched by branch truncate")
+    val del = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.`$t`.branch_b WHERE value > 0"))
+    assert(del.getMessage.contains("branch"), s"row-level on branch must refuse: ${del.getMessage}")
+    // staged-then-abandoned files are ordinary age-gated orphans
+    spark.sql(s"CALL $cat.drop_branch('$t', 'b')")
+    spark.sql(s"CALL $cat.vacuum('$t', retain_last => 1, orphan_grace_ms => 0)")
+    assert(JsonlStats.readStats(dir).nonEmpty)
+  }
+
+  test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {
+    val (cat, t0, _) = scratch("hpb")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.hp_branch
+         |PARTITIONED BY (bucket(4, user_id)) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.`$t0`""".stripMargin)
+    val dir = Paths.get(Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root")).toString,
+      "hp_branch").toString
+    val forkFiles = JsonlStats.readStats(dir).map(_.file).toSet
+    spark.sql(s"CALL $cat.create_branch('hp_branch', 'load')")
+    spark.sql(s"INSERT INTO $cat.hp_branch.branch_load VALUES " +
+      "(940001, 101, 'staged', 1.0), (940002, 202, 'staged', 2.0)")
+    val head = Refs.readRef(dir, Refs.branchManifest("load"))
+    val staged = JsonlStats.parseStatsLines(head.entries)
+      .filterNot(s => forkFiles.contains(s.file))
+    assert(staged.nonEmpty && staged.forall(_.pkey.isDefined),
+      "branch writes on a hidden layout must derive pkeys through the transform")
+    assert(staged.exists(_.pspec.exists(_.startsWith("bucket("))),
+      "staged entries must stamp their spec")
+    spark.sql(s"CALL $cat.fast_forward('hp_branch', 'load')")
+    val probe = spark.table(s"$cat.hp_branch").filter($"user_id" === 101L)
+    assert(probe.count() === 1, "published staged row must be readable")
+  }
+
+  test("metadata tables: files/partitions/history/refs are manifest arithmetic as SQL") {
+    val (cat, t, dir) = scratch("meta")
+    spark.sql(s"CALL $cat.create_tag('$t', 'm1')")
+    spark.sql(s"CALL $cat.create_branch('$t', 'mb')")
+    val stats = JsonlStats.readStats(dir)
+    // files: one row per live manifest entry, physical row arithmetic
+    val files = spark.table(s"$cat.`$t`.files")
+    assert(files.count() === stats.size)
+    assert(files.agg(sum($"live_rows")).head().getLong(0) ===
+      spark.table(s"$cat.`$t`").count())
+    assert(files.filter($"bytes" <= 0).count() === 0)
+    // partitions: unkeyed table = one NULL-pkey group
+    val parts = spark.table(s"$cat.`$t`.partitions").collect()
+    assert(parts.length === 1 && parts.head.isNullAt(0) &&
+      parts.head.getLong(1) === stats.size.toLong)
+    // history: live generation present with NULL superseded_ms
+    val hist = spark.table(s"$cat.`$t`.history").orderBy($"version").collect()
+    assert(hist.last.getInt(0) === JsonlStats.currentVersion(dir) &&
+      hist.last.isNullAt(3))
+    // refs: both refs, with fork arithmetic
+    val refs = spark.table(s"$cat.`$t`.refs").orderBy($"type", $"name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("mb", "branch"), ("m1", "tag")))
+    assert(refs.forall(_.getLong(5) === spark.table(s"$cat.`$t`").count()))
+    // a real table always shadows a selector: no phantom resolution for
+    // tables that do not exist
+    val nosuch = intercept[Exception](spark.table(s"$cat.`$t`.snapshots").collect())
+    assert(nosuch.getMessage.toLowerCase.contains("not") ||
+      nosuch.getMessage.toLowerCase.contains("no"))
+  }
+
+  test("keyed partitions metadata groups by pkey with live-row counts") {
+    val (cat, t0, _) = scratch("metak")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE $cat.meta_keyed
+         |PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.`$t0`""".stripMargin)
+    val viaMeta = spark.table(s"$cat.meta_keyed.partitions")
+      .select($"pkey", $"live_rows").orderBy($"pkey")
+      .as[(String, Long)].collect().toSeq
+    val viaData = spark.table(s"$cat.meta_keyed")
+      .groupBy($"event_type").agg(count(lit(1)))
+      .orderBy($"event_type").as[(String, Long)].collect().toSeq
+    assert(viaMeta === viaData, "partitions metadata must equal the data-tier group-by")
+  }
+
+  test("ref names validate; unknown refs error with the candidate list") {
+    val (cat, t, dir) = scratch("names")
+    val bad = intercept[Exception](spark.sql(s"CALL $cat.create_tag('$t', '../evil')"))
+    assert(bad.getMessage.contains("ref name"))
+    spark.sql(s"CALL $cat.create_tag('$t', 'good')")
+    val unknown = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.`$t` VERSION AS OF 'nope'").collect())
+    assert(unknown.getMessage.contains("no ref 'nope'") &&
+      unknown.getMessage.contains("tag 'good'"),
+      s"unknown-ref error must name candidates: ${unknown.getMessage}")
+  }
+}

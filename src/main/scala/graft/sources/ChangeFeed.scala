@@ -63,24 +63,33 @@ object ChangeFeed {
     val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
     val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
     // immutable data files ⇒ same name = same BYTES; but the LOGICAL
-    // content is (file, deletion vectors) — a merge-on-read DELETE
-    // changes a file's dv list without touching its bytes, so identity
-    // must include it (r7c). A re-imaged file's entries carry their own
-    // dv lists into the derived manifests, so the before side reads the
-    // old masked view and the after side the new one; the surviving
-    // rows cancel in the join and the DV'd rows surface as deletes.
-    def ident(s: JsonlStats.FileStats): (String, Seq[String]) = (s.file, s.dvs)
-    val fromKeys = fromStats.map(ident).toSet
-    val toKeys = toStats.map(ident).toSet
-    val removed = fromStats.filterNot(s => toKeys.contains(ident(s)))
-    val added = toStats.filterNot(s => fromKeys.contains(ident(s)))
+    // content is (file, deletion vectors, applicable equality deletes)
+    // — a merge-on-read DELETE changes a file's dv list without
+    // touching its bytes (r7c), and an UPSERT changes which eq-deletes
+    // mask it without touching anything of the entry but the table's
+    // eqdel set (r9b) — so identity must include both. A re-imaged
+    // file's entries carry their dv lists — and each derived manifest
+    // carries its VERSION's eqdel lines — so the before side reads the
+    // old masked view and the after side the new one; surviving rows
+    // cancel in the join, masked ones surface as deletes/updates.
+    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
+    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
+    def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
+        s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
+      (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)
+    val fromKeys = fromStats.map(ident(eqFrom)).toSet
+    val toKeys = toStats.map(ident(eqTo)).toSet
+    val removed = fromStats.filterNot(s => toKeys.contains(ident(eqFrom)(s)))
+    val added = toStats.filterNot(s => fromKeys.contains(ident(eqTo)(s)))
     val cdfDir = Paths.get(root, "_cdf")
     Files.createDirectories(cdfDir)
-    def derived(tag: String, entries: Seq[JsonlStats.FileStats]): String = {
+    def derived(tag: String, entries: Seq[JsonlStats.FileStats],
+                eqs: Seq[JsonlEqualityDeletes.EqDelete]): String = {
       val name = s"_cdf/v${fromV}_v${toV}_$tag.jsonl"
       Files.write(Paths.get(root, name),
         scala.jdk.CollectionConverters.SeqHasAsJava(
-          entries.map(JsonlStats.statsLine)).asJava,
+          entries.map(JsonlStats.statsLine) ++
+            eqs.map(JsonlEqualityDeletes.line)).asJava,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       name
     }
@@ -89,8 +98,8 @@ object ChangeFeed {
       spark.read.format("graft-jsonl-stats")
         .schema(schema)
         .option("path", root).option("manifest", manifest).load()
-    val pre = readSet(derived("removed", removed))
-    val post = readSet(derived("added", added))
+    val pre = readSet(derived("removed", removed, eqFrom))
+    val post = readSet(derived("added", added, eqTo))
     val dataCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def tagged(df: DataFrame, prefix: String): DataFrame =
       dataCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))

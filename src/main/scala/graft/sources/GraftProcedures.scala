@@ -830,10 +830,16 @@ object GraftProcedures {
     // a manifest references its data files AND their deletion-vector
     // sidecars (r7c): a DV is alive exactly as long as some manifest
     // names it — same refcount law as the data bytes it masks
+    // a manifest references its data files, their DV sidecars AND its
+    // equality-delete files (r9b) — one refcount law for all three
+    def filesOfManifest(m: String): Seq[String] = {
+      val raw = JsonlStats.readManifestLines(tableRoot, m)
+      JsonlStats.parseStatsLines(raw).flatMap(s => s.file +: s.dvs) ++
+        JsonlEqualityDeletes.filesOf(raw)
+    }
     val retainedRefs: Set[String] =
       (retained.map(manifestOf) :+ "_stats.jsonl")
-        .flatMap(m => JsonlStats.readStats(tableRoot, m)
-          .flatMap(s => s.file +: s.dvs)).toSet ++
+        .flatMap(filesOfManifest).toSet ++
         // refs (r9) are live ROOTS: a tag-pinned or branch-staged file is
         // neither expirable nor an orphan, whatever `_history/` retention
         // says — tag durability IS this refcount, and a staged-but-not-
@@ -852,8 +858,7 @@ object GraftProcedures {
       JsonlStats.writeVacuumHorizon(tableRoot,
         JsonlStats.VacuumHorizon(horizonMs, keepFrom))
       val deletable = expired
-        .flatMap(v => JsonlStats.readStats(tableRoot, manifestOf(v))
-          .flatMap(s => s.file +: s.dvs))
+        .flatMap(v => filesOfManifest(manifestOf(v)))
         .distinct.filterNot(retainedRefs)
       deletable.foreach { f =>
         if (Files.deleteIfExists(dir.resolve(f))) dataDeleted += 1
@@ -896,6 +901,20 @@ object GraftProcedures {
               Files.deleteIfExists(p)) orphansDeleted += 1
         }
       finally dvListing.close()
+    }
+    // and the equality-delete dir (r9b): same age-gated debris law
+    val eqDir = dir.resolve(JsonlEqualityDeletes.DeletesDir)
+    if (Files.isDirectory(eqDir)) {
+      val eqListing = Files.list(eqDir)
+      try eqListing.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = s"${JsonlEqualityDeletes.DeletesDir}/${p.getFileName}"
+          if (!retainedRefs.contains(rel) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff &&
+              Files.deleteIfExists(p)) orphansDeleted += 1
+        }
+      finally eqListing.close()
     }
     (expired.size, dataDeleted, orphansDeleted, keepFrom)
   }
@@ -983,8 +1002,18 @@ object GraftProcedures {
     * entries. Returns (filesRewritten, dvsCollapsed, rowsDropped). */
   def rewriteDeletes(tableRoot: String): (Int, Int, Long) = {
     val stats = JsonlStats.readStats(tableRoot)
-    val dirty = stats.filter(_.dvs.nonEmpty)
-    if (dirty.isEmpty) return (0, 0, 0L)
+    // equality deletes (r9b) materialize here too: every file an eqdel
+    // still applies to is rewritten without its key-masked rows, and
+    // the eqdel lines leave the manifest in the same commit — after
+    // which COUNT/MIN/MAX pushdown re-arms and the read-side probe tax
+    // is gone (the Iceberg rewrite_position/equality_deletes service,
+    // one verb here)
+    val eqdels = JsonlEqualityDeletes.readEqDeletes(tableRoot, "_stats.jsonl")
+    def eqdsFor(s: JsonlStats.FileStats): Seq[(String, Seq[String])] =
+      eqdels.filter(_.seq > s.seq)
+        .map(d => (Paths.get(tableRoot, d.file).toString, d.cols))
+    val dirty = stats.filter(s => s.dvs.nonEmpty || eqdsFor(s).nonEmpty)
+    if (dirty.isEmpty && eqdels.isEmpty) return (0, 0, 0L)
     val meta = JsonlStats.readTableMeta(tableRoot)
     val schema = meta.schema.getOrElse(JsonlStats.schema)
     val schemaJson = schema.json
@@ -994,24 +1023,30 @@ object GraftProcedures {
     val mapping = meta.columnMapping
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
-      (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl")
+      (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl", eqdsFor(s))
     }
     val rootCopy = tableRoot
-    val fresh: Seq[JsonlStats.FileStats] = SparkSession.active.sparkContext
-      .parallelize(work, math.min(work.size, 32))
-      .map { case (file, dvs, pkey, pspec, out) =>
-        GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-          schemaJson, statsCol, bloomCol, mapping, gramCol, pspec)
-      }
-      .collect().toSeq // file-count-bounded: one manifest entry per task
+    val fresh: Seq[JsonlStats.FileStats] =
+      if (work.isEmpty) Nil
+      else SparkSession.active.sparkContext
+        .parallelize(work, math.min(work.size, 32))
+        .map { case (file, dvs, pkey, pspec, out, eqds) =>
+          GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
+            schemaJson, statsCol, bloomCol, mapping, gramCol, pspec, eqds)
+        }
+        .collect().toSeq // file-count-bounded: one manifest entry per task
     // OCC rewrite (r8): the collapsed files' planned entries must
     // survive verbatim — a DV attached since planning would mean the
     // rewritten survivors resurrect freshly-masked rows, so that
     // CONFLICTS; concurrent appends ride through (maintenance commutes
     // with ingest — the Iceberg rewrite-procedure contract)
+    // the materialized eqdel LINES leave in the same swap (a concurrent
+    // upsert's NEW eqdel line is not in the removed set, survives the
+    // rebase, and still applies to the fresh unstamped entries — its
+    // retraction is never lost)
     JsonlStats.commitAtomic(tableRoot, s"rwdel-$runId",
       JsonlStats.rebaseRewrite(
-        dirty.map(JsonlStats.statsLine),
+        dirty.map(JsonlStats.statsLine) ++ eqdels.map(JsonlEqualityDeletes.line),
         fresh.filter(_.rows > 0).map(JsonlStats.statsLine)))
     (dirty.size, dirty.map(_.dvs.size).sum, dirty.map(_.dels).sum)
   }
@@ -1026,10 +1061,14 @@ object GraftProcedures {
                                       bloomCol: Option[String],
                                       columnMapping: Map[String, String] = Map.empty,
                                       gramCol: Option[String] = None,
-                                      pspec: Option[String] = None): JsonlStats.FileStats = {
+                                      pspec: Option[String] = None,
+                                      eqds: Seq[(String, Seq[String])] = Nil): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
+    // equality deletes (r9b): materialize the key-scoped masks too —
+    // the rewritten file drops both position- and key-deleted rows
+    val eqMasks = if (eqds.isEmpty) Nil else JsonlEqualityDeletes.readMasks(eqds)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // Data bytes carry PHYSICAL names on column-mapped tables; stats
     // keys are physical too (readers translate logical→physical before
@@ -1069,7 +1108,15 @@ object GraftProcedures {
       while (line != null) {
         if (line.nonEmpty && line != "\r") {
           pos += 1
-          if (!deleted.contains(pos)) {
+          val n0 =
+            if (deleted.contains(pos)) null
+            else {
+              val parsed = mapper.readTree(line)
+              val eqMasked = eqMasks.exists { case (cols, set) =>
+                set.contains(JsonlEqualityDeletes.canonicalKey(parsed, cols)) }
+              if (eqMasked) null else parsed
+            }
+          if (n0 != null) {
             if (rows > 0 && bytesOut - lastCkpt >= JsonlStats.CheckpointBytes) {
               ckpts += ((bytesOut, rows)); lastCkpt = bytesOut
               zones.seal() // BEFORE this row's value: it starts the next segment
@@ -1077,7 +1124,7 @@ object GraftProcedures {
             os.write(line); os.write('\n')
             bytesOut += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
             rows += 1
-            val n = mapper.readTree(line)
+            val n = n0
             numFields.foreach { f =>
               val v = n.get(f.name)
               if (v != null && !v.isNull) {

@@ -137,12 +137,34 @@ class JsonlCdfMicroBatchStream(root: String, tableSchema: StructType,
     }
   }
 
+  /** Version-v eqdel set, with [[statsAt]]'s archive-or-live race
+    * safety. */
+  private def eqAt(v: Int): Seq[JsonlEqualityDeletes.EqDelete] = {
+    if (v <= 0) return Nil
+    val arch = s"${JsonlStats.HistoryDir}/v$v.jsonl"
+    val archPath = Paths.get(root, arch)
+    if (Files.exists(archPath)) JsonlEqualityDeletes.readEqDeletes(root, arch)
+    else {
+      val live = JsonlEqualityDeletes.readEqDeletes(root, "_stats.jsonl")
+      if (Files.exists(archPath)) JsonlEqualityDeletes.readEqDeletes(root, arch) else live
+    }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[JsonlCdfOffset].v
     val b = end.asInstanceOf[JsonlCdfOffset].v
     if (a >= b) return Array.empty
     val from = statsAt(a).map(s => s.file -> s).toMap
     val to = statsAt(b).map(s => s.file -> s).toMap
+    // equality deletes (r9b): an upsert's retraction is KEY-scoped —
+    // its row-level delta needs the image-cancelling join, exactly like
+    // a rewrite. Refuse the window loudly; batch tableChanges handles
+    // it (derived manifests carry each version's eqdel lines).
+    if (eqAt(a).map(_.file).toSet != eqAt(b).map(_.file).toSet)
+      throw new UnsupportedOperationException(
+        s"streaming change feed of $root: versions ($a, $b] committed equality " +
+          "deletes (an upsert) — key-scoped retraction needs the image-cancelling " +
+          "join of batch tableChanges, or rewrite_deletes to materialize first")
     val removed = from.keySet.diff(to.keySet)
     if (removed.nonEmpty)
       throw new UnsupportedOperationException(

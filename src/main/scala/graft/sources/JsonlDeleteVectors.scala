@@ -188,9 +188,9 @@ class JsonlDvBatchWrite(root: String, queryId: String,
       .groupBy(_._1)
       .map { case (f, es) => f -> es.map(e => (e._2, e._3)) }
     val appended = commits.flatMap(_.files).filter(c => c.file != null && c.rows > 0)
-    val appendedLines = appended.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
-        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts, segb = c.segb)))
+    val appendedStats = appended.map(c =>
+      JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+        colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts, segb = c.segb))
     val unknown = fresh.keySet.diff(planned.keySet)
     require(unknown.isEmpty,
       s"deletion vectors reference unmanifested files: ${unknown.mkString(", ")}")
@@ -222,8 +222,18 @@ class JsonlDvBatchWrite(root: String, queryId: String,
           meta.columnMapping, meta.features :+ JsonlStats.FeatureDvs, meta.reserved,
           gramCol = meta.gramCol)
     }
-    JsonlStats.commitAtomic(root, queryId,
-      JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines))
+    JsonlStats.commitAtomic(root, queryId, base => {
+      // equality deletes (r9b): the DV-attach keeps each touched file's
+      // own seq (unMATERIALIZED eq-masks must keep applying to it),
+      // but the appended updated-row IMAGES came through the masked
+      // scan and stamp at the base's max seq so existing deletes don't
+      // re-retract them
+      val m = JsonlEqualityDeletes.maxSeq(base)
+      val appendedLines =
+        if (m == 0L) appendedStats.map(JsonlStats.statsLine)
+        else appendedStats.map(s => JsonlStats.statsLine(s.copy(seq = m)))
+      JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines)(base)
+    })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

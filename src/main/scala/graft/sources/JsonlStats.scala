@@ -96,16 +96,27 @@ class JsonlStats extends TableProvider with DataSourceRegister {
     if (opts.getBoolean("readChangeFeed", false))
       return new JsonlCdfTable(properties.get("path"),
         opts.getInt("startingVersion", 1))
+    // `branch` (r9b): path-route twin of the catalog's
+    // `<table>.branch_<name>` — resolves the ref's manifest and keeps
+    // the head writable (appends/TRUNCATE rebase the branch file)
+    val branch = Option(opts.get("branch"))
+    branch.foreach { b =>
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(properties.get("path"), Refs.branchManifest(b))),
+        s"no such branch '$b' of ${properties.get("path")} (create_branch first)")
+    }
     new JsonlStatsTable(properties.get("path"), schema,
       opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
       Option(opts.get("partitionColumn")),
-      opts.getOrDefault("manifest", "_stats.jsonl"),
+      branch.map(Refs.branchManifest)
+        .getOrElse(opts.getOrDefault("manifest", "_stats.jsonl")),
       Option(opts.get("bloomColumn")),
       Option(opts.get("deleteMode")),
       mapping,
       // gram index resolves from the option OR the table sidecar — a
       // plain path read of an indexed table skips without being told
-      gramCol = Option(opts.get("gramColumn")).orElse(meta0.flatMap(_.gramCol)))
+      gramCol = Option(opts.get("gramColumn")).orElse(meta0.flatMap(_.gramCol)),
+      branch = branch)
   }
 }
 
@@ -185,7 +196,8 @@ object JsonlStats {
                              strCols: Map[String, (String, Option[String])] = Map.empty,
                              ckpts: Seq[(Long, Long)] = Nil,
                              segb: Seq[(Double, Double)] = Nil,
-                             pspec: Option[String] = None)
+                             pspec: Option[String] = None,
+                             seq: Long = 0L)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -399,7 +411,11 @@ object JsonlStats {
           // partition evolution (r9): `ps` records the TRANSFORM this
           // file's pkey was derived under; absent = the table's current
           // spec (every pre-evolution manifest)
-          if (n.hasNonNull("ps")) Some(n.get("ps").asText()) else None)
+          if (n.hasNonNull("ps")) Some(n.get("ps").asText()) else None,
+          // equality deletes (r9b): commit sequence number — a delete
+          // applies iff file.seq < eqdel.seq; absent = 0 (every
+          // pre-feature manifest, to which all deletes apply)
+          if (n.hasNonNull("seq")) n.get("seq").asLong() else 0L)
       }
   }
 
@@ -413,6 +429,8 @@ object JsonlStats {
     if (s.rows >= 0) n.put("n_rows", s.rows)
     s.pkey.foreach(n.put("pkey", _))
     s.pspec.foreach(n.put("ps", _))
+    // emitted only when set: pre-eqdel manifests stay byte-stable
+    if (s.seq > 0L) n.put("seq", s.seq)
     if (s.cols.nonEmpty) {
       val c = n.putObject("cols")
       s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
@@ -522,8 +540,12 @@ object JsonlStats {
     * of the encoding would take a delta file's ADD lines as the whole
     * snapshot (silently truncated time travel), so it read-gates. */
   val FeatureHistoryDeltas = "history-deltas"
+  /** r9b: equality deletes — an unaware reader would take the data
+    * files at face value and resurrect every upsert-retracted key. */
+  val FeatureEqDeletes = "equality-deletes"
   val KnownReadFeatures: Set[String] =
-    Set(FeatureDvs, FeatureColumnMapping, FeatureColumnDefaults, FeatureHistoryDeltas)
+    Set(FeatureDvs, FeatureColumnMapping, FeatureColumnDefaults, FeatureHistoryDeltas,
+      FeatureEqDeletes)
 
   /** Serializes read-modify-write updates of `_table.json` within this
     * JVM (the DV commit's feature stamp racing catalog DDL — r8
@@ -927,13 +949,25 @@ object JsonlStats {
       case _                    => Seq.empty
     }.filter(c => c.file != null && c.rows > 0)
 
+  /** The tasks' equality-delete files of an upsert write (r9b):
+    * (root-relative path, physical key columns, distinct keys). */
+  def eqCommits(messages: Array[WriterCommitMessage]): Seq[(String, Seq[String], Long)] =
+    messages.toSeq.flatMap {
+      case m: JsonlFileCommits => m.eq
+      case _                   => None
+    }
+
   /** Best-effort task-file cleanup on job abort (not load-bearing: an
     * unmanifested file is invisible to every reader). */
-  def abortCleanup(root: String, messages: Array[WriterCommitMessage]): Unit =
+  def abortCleanup(root: String, messages: Array[WriterCommitMessage]): Unit = {
     fileCommits(messages).foreach { c =>
       Files.deleteIfExists(Paths.get(root, c.file))
       Files.deleteIfExists(Paths.get(root, Bloom.sidecarName(c.file)))
     }
+    eqCommits(messages).foreach { case (f, _, _) =>
+      Files.deleteIfExists(Paths.get(root, f))
+    }
+  }
 
   /** Throws on unknown READ-gating features ([[requireReadable]]) —
     * every resolution path (format, catalog, procedures, maintenance)
@@ -1265,7 +1299,12 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
       bloomCol, Option(info.options().get("txnAppId")), columnMapping, gramCol,
-      branch = branch)
+      branch = branch,
+      // equality-delete upsert (r9b): `upsertKeys=k1[,k2]` makes this
+      // append retract every OLDER row sharing a key with an incoming
+      // one — the Flink/CDC upsert shape, one atomic commit
+      upsertCols = Option(info.options().get("upsertKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
   }
 }
 

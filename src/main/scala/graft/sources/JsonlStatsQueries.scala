@@ -1570,6 +1570,110 @@ object JsonlStatsQueries extends QueryModule {
          |    WHERE type = 'tag') AS tag_rows""".stripMargin)
   }
 
+  /** q252 (r9b): EQUALITY-DELETE UPSERT — merge-on-read's streaming
+    * half ([[JsonlEqualityDeletes]], the Iceberg v2 equality-delete
+    * shape): one append-shaped commit both INSERTS its rows and
+    * RETRACTS every older row sharing their keys, without reading a
+    * byte of the base — what MERGE (q83) costs a full join of, and
+    * what position DVs (q196) cannot express when the writer never
+    * read the rows it replaces. Here every error-active user's event
+    * history collapses to one summary row: task writers ship their
+    * distinct keys as delete files, the commit stamps sequence
+    * numbers, and the masked read serves the upserted image. The base
+    * rebuild (overwrite) is priced each rep, like the CTAS lifecycle
+    * cells. */
+  def equalityUpsert(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_eq_upsert")
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.repartitionByRange(buckets, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .mode("overwrite").save()
+    ev.filter($"event_type" === "error" && $"user_id" % 3 === 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select((-$"user_id" - 1).as("event_id"), $"user_id",
+        lit("error_summary").as("event_type"), $"value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "user_id").mode("append").save()
+    spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  /** q253 (r9b): STREAMING UPSERT SINK — the Flink→Iceberg CDC shape
+    * end-to-end: a stream lands as upsert epochs under the exactly-once
+    * txn ledger, each epoch's retraction (its tasks' equality-delete
+    * files) and inserts in ONE commit with the watermark — a replayed
+    * epoch can never re-retract. The sink is pre-seeded with the same
+    * image, so the epoch retracts every pre-seeded key and the final
+    * table IS the source image: the read proves retraction + insert +
+    * exactly-once in one oracle. (AvailableNow over the manifest
+    * source plans one epoch; overlapping keys across epochs would
+    * keep only the newest image — upsert semantics — and the oracle
+    * would flag any drift loudly.) */
+  def streamingUpsert(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = ensureWrittenFixture(spark, d)
+    val sink = Landing.fixtureDir(d, "jsonl_stream_upsert")
+    Files.createDirectories(Paths.get(sink))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.repartitionByRange(buckets, $"value")
+      .write.format("graft-jsonl-stats").option("path", sink)
+      .mode("overwrite").save()
+    val rep = runSeq.incrementAndGet()
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", src).load()
+      .writeStream.format("graft-jsonl-stats")
+      .option("path", sink)
+      .option("upsertKeys", "user_id")
+      .option("checkpointLocation", s"$sink/_ckpt-$rep")
+      .option("txnAppId", s"q253-$rep")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft-jsonl-stats").option("path", sink).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  /** q254 (r9b): CDF × EQUALITY DELETES — the change feed stays exact
+    * across an upsert: file identity includes the APPLICABLE delete
+    * set, the derived diff manifests carry each version's eqdel lines,
+    * and the image-cancelling join surfaces the retraction as row-level
+    * deletes and the new keys as inserts — untouched users cancel. The
+    * composition a CDC consumer needs: upsert tables still produce
+    * consumable deltas. */
+  def upsertChangeFeed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_eq_cdf")
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.repartitionByRange(buckets, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .mode("overwrite").save()
+    ev.filter($"event_type" === "error" && $"user_id" % 3 === 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select((-$"user_id" - 1).as("event_id"), $"user_id",
+        lit("error_summary").as("event_type"), $"value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "user_id").mode("append").save()
+    val v = JsonlStats.currentVersion(dir)
+    ChangeFeed.tableChanges(spark, dir, v - 1, v, Seq("event_id"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"event_id").cast("long").as("id_sum"))
+      .orderBy($"change_type")
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -1996,6 +2100,9 @@ object JsonlStatsQueries extends QueryModule {
     "q249_branch_isolation" -> branchIsolation,
     "q250_partitions_meta" -> partitionsMetaTable,
     "q251_files_refs_meta" -> filesRefsMetaTable,
+    "q252_equality_upsert" -> equalityUpsert,
+    "q253_streaming_upsert" -> streamingUpsert,
+    "q254_upsert_change_feed" -> upsertChangeFeed,
   )
 
   val oracles = Map(
@@ -2140,6 +2247,42 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE event_type <> 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q252_equality_upsert" ->
+      """WITH err AS (
+        |  SELECT user_id, count(*) AS cnt FROM events
+        |  WHERE event_type = 'error' AND user_id % 3 = 0 GROUP BY user_id)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.event_type, e.value FROM events e
+        |  WHERE e.user_id NOT IN (SELECT user_id FROM err)
+        |  UNION ALL
+        |  SELECT -user_id - 1 AS event_id, user_id,
+        |    'error_summary' AS event_type, CAST(cnt AS DOUBLE) AS value
+        |  FROM err) AS u
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q253_streaming_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q254_upsert_change_feed" ->
+      """WITH err AS (
+        |  SELECT user_id, count(*) AS cnt FROM events
+        |  WHERE event_type = 'error' AND user_id % 3 = 0 GROUP BY user_id)
+        |SELECT change_type, n, id_sum FROM (
+        |  SELECT 'delete' AS change_type, count(*) AS n,
+        |    CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        |  FROM events e JOIN err ON e.user_id = err.user_id
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, count(*) AS n,
+        |    CAST(SUM(-user_id - 1) AS BIGINT) AS id_sum
+        |  FROM err) AS u
+        |ORDER BY change_type""".stripMargin,
     "q247_tag_time_travel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -95,6 +95,11 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     val stats = JsonlStats.readStats(root, manifest)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
+    // equality deletes (r9b) are KEY-scoped masks: how many rows they
+    // remove from WHICH file is unknowable without reading, so every
+    // manifest-served aggregate declines while any exist
+    // (rewrite_deletes restores the pushdown)
+    if (JsonlEqualityDeletes.readEqDeletes(root, manifest).nonEmpty) return false
     // GROUPED pushdown (r7b): servable ONLY when the single grouping
     // expression IS the table's partition column of a fully key-grouped
     // layout — every row of a file then carries that file's one `pkey`,
@@ -286,6 +291,16 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * could see different generations and plan an inconsistent scan. */
   private lazy val statsSnapshot: Seq[JsonlStats.FileStats] = JsonlStats.readStats(root, manifest)
 
+  /** Equality deletes of this manifest snapshot (r9b): planning filters
+    * them per file by the sequence rule (`file.seq < eqdel.seq`), so a
+    * clean file — and every file of a table without upserts — carries
+    * ZERO read-side cost. */
+  private lazy val eqDeletes: Seq[JsonlEqualityDeletes.EqDelete] =
+    JsonlEqualityDeletes.readEqDeletes(root, manifest)
+  private def eqdsFor(s: JsonlStats.FileStats): Seq[(String, Seq[String])] =
+    eqDeletes.filter(_.seq > s.seq)
+      .map(d => (Paths.get(root, d.file).toString, d.cols))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -469,14 +484,15 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
         val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
+        val eqds = eqdsFor(s)
         if (grouped)
           Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs,
-            intKey = bucketGrouped): InputPartition)
+            intKey = bucketGrouped, eqds = eqds): InputPartition)
         else {
           val size =
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
           if (!canSplit || size <= splitBytes)
-            Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
           else if (s.ckpts.nonEmpty)
             // checkpoint-aligned EXACT splits (r8): each boundary is a
             // manifest-recorded (line start, rows before) pair, so every
@@ -488,19 +504,20 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
             JsonlStatsScan.checkpointRanges(path, size, s.ckpts, splitBytes, dvs,
               s.segb,
               pushed.toSeq.filter(f => JsonlStats.skipColumn(f)
-                .map(c => columnMapping.getOrElse(c, c)).contains(statsCol)))
+                .map(c => columnMapping.getOrElse(c, c)).contains(statsCol)),
+              eqds = eqds)
           else if (dvs.nonEmpty || wantPos)
             // legacy manifests without checkpoints: DV masks and `_pos`
             // are keyed by physical position, which a blind byte-range
             // reader cannot know mid-file — whole-file partitions
             // (CALL rewrite_deletes / rewrite regenerates checkpoints)
-            Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
           else {
             val n = ((size + splitBytes - 1) / splitBytes).toInt
             (0 until n).map { i =>
               val lo = i.toLong * splitBytes
               val hi = if (i == n - 1) Long.MaxValue else (i + 1).toLong * splitBytes
-              JsonlFilePartition(path, lo, hi): InputPartition
+              JsonlFilePartition(path, lo, hi, eqds = eqds): InputPartition
             }
           }
         }
@@ -615,13 +632,14 @@ object JsonlStatsScan {
                                         ckpts: Seq[(Long, Long)], splitBytes: Long,
                                         dvs: Seq[String],
                                         segb: Seq[(Double, Double)] = Nil,
-                                        zoneFilters: Seq[Filter] = Nil): Seq[InputPartition] = {
+                                        zoneFilters: Seq[Filter] = Nil,
+                                        eqds: Seq[(String, Seq[String])] = Nil): Seq[InputPartition] = {
     val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     var last = 0L
     ckpts.zipWithIndex.foreach { case ((o, r), i) =>
       if (o - last >= splitBytes && o < size) { bounds += ((o, r, i)); last = o }
     }
-    if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs))
+    if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds))
     else {
       val starts = (0L, 0L, -1) +: bounds.toSeq
       val zoned = zoneFilters.nonEmpty && segb.size == ckpts.size + 1
@@ -638,7 +656,7 @@ object JsonlStatsScan {
             zoneFilters.forall(f => JsonlStats.intervalMayMatch(f, lo, h))
           }
         }
-        if (keep) Some(JsonlFilePartition(path, o, hi, dvs, startRow = r)) else None
+        if (keep) Some(JsonlFilePartition(path, o, hi, dvs, startRow = r, eqds = eqds)) else None
       }
     }
   }
@@ -660,12 +678,17 @@ class JsonlManifestStream(root: String, required: StructType,
     // an earlier batch never re-emits, so a later DELETE on it is not
     // retracted downstream — append-only source semantics, stated
     val statsOf = JsonlStats.readStats(root).map(s => s.file -> s).toMap
+    // equality deletes as of batch-planning time apply too (r9b), under
+    // the same already-streamed caveat as DVs
+    val eqAll = JsonlEqualityDeletes.readEqDeletes(root, "_stats.jsonl")
     end.asInstanceOf[JsonlManifestOffset].files
       .filterNot(seen)
       .flatMap { f =>
         val path = Paths.get(root, f).toString
         val s = statsOf.get(f)
         val dvs = s.map(_.dvs).getOrElse(Nil).map(d => Paths.get(root, d).toString)
+        val eqds = eqAll.filter(d => d.seq > s.map(_.seq).getOrElse(0L))
+          .map(d => (Paths.get(root, d.file).toString, d.cols))
         // one oversized arriving file must not become one streaming
         // task: fan out at checkpoint boundaries exactly like the batch
         // planner (r8) — a batch's file set is frozen by its offsets,
@@ -675,9 +698,9 @@ class JsonlManifestStream(root: String, required: StructType,
         val ckpts = s.map(_.ckpts).getOrElse(Nil)
         val size = try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
         if (splitBytes <= 0 || size <= splitBytes || ckpts.isEmpty)
-          Seq(JsonlFilePartition(path, dvs = dvs): InputPartition)
+          Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
         else
-          JsonlStatsScan.checkpointRanges(path, size, ckpts, splitBytes, dvs)
+          JsonlStatsScan.checkpointRanges(path, size, ckpts, splitBytes, dvs, eqds = eqds)
       }
       .toArray
   }
@@ -720,14 +743,17 @@ object JsonlManifestOffset {
 final case class JsonlFilePartition(file: String, start: Long = 0L,
                                     end: Long = Long.MaxValue,
                                     dvs: Seq[String] = Nil,
-                                    startRow: Long = -1L) extends InputPartition
+                                    startRow: Long = -1L,
+                                    eqds: Seq[(String, Seq[String])] = Nil)
+  extends InputPartition
 
 /** A file of a key-grouped layout: every row carries `key` in the
   * table's partition column, so the partition's identity IS the key —
   * what lets Spark align two such tables' groups instead of shuffling. */
 final case class JsonlKeyedFilePartition(file: String, key: String,
                                          dvs: Seq[String] = Nil,
-                                         intKey: Boolean = false)
+                                         intKey: Boolean = false,
+                                         eqds: Seq[(String, Seq[String])] = Nil)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the partition value's type must match the reported transform's
   // result type: identity over a string column -> UTF8String; a bucket
@@ -769,10 +795,10 @@ class JsonlReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
       new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs,
-        columnMapping, f.startRow, gramRequired = gramRequired)
+        columnMapping, f.startRow, gramRequired = gramRequired, eqds = f.eqds)
     case k: JsonlKeyedFilePartition =>
       new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs,
-        columnMapping = columnMapping, gramRequired = gramRequired)
+        columnMapping = columnMapping, gramRequired = gramRequired, eqds = k.eqds)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -803,9 +829,18 @@ class JsonlPartitionReader(file: String, required: StructType,
                            columnMapping: Map[String, String] = Map.empty,
                            startRow: Long = -1L,
                            invertMask: Boolean = false,
-                           gramRequired: Array[Long] = Array.empty)
+                           gramRequired: Array[Long] = Array.empty,
+                           eqds: Seq[(String, Seq[String])] = Nil)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+
+  /** Equality-delete masks (r9b): the union key set of this file's
+    * APPLICABLE delete files (sequence-filtered at planning), grouped
+    * by key-column list. Loaded once per task; probing costs one parse
+    * the row needed anyway ([[get]] reuses the node). */
+  private val eqMasks: Seq[(Seq[String], java.util.HashSet[String])] =
+    if (eqds.isEmpty) Nil else JsonlEqualityDeletes.readMasks(eqds)
+  private var node: com.fasterxml.jackson.databind.JsonNode = _
 
   /** Physical JSON field per projected logical column (column mapping,
     * r7c) — resolved once, not per row. */
@@ -970,7 +1005,15 @@ class JsonlPartitionReader(file: String, required: StructType,
             val masked = deleted != null && deleted.contains(pos)
             if (if (invertMask) masked else !masked) {
               line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              found = true
+              if (eqMasks.isEmpty) { node = null; found = true }
+              else {
+                // key-equality mask: parse (get() reuses the node) and
+                // drop the row iff some applicable delete names its key
+                val n = mapper.readTree(line)
+                val eqMasked = eqMasks.exists { case (cols, set) =>
+                  set.contains(JsonlEqualityDeletes.canonicalKey(n, cols)) }
+                if (!eqMasked) { node = n; found = true }
+              }
             }
           }
       }
@@ -979,7 +1022,7 @@ class JsonlPartitionReader(file: String, required: StructType,
   }
 
   override def get(): InternalRow = {
-    val n = mapper.readTree(line)
+    val n = if (node != null) node else mapper.readTree(line)
     InternalRow.fromSeq(required.fields.toSeq.zipWithIndex.map { case (f, fi) =>
       if (f.name == JsonlStats.FileMeta) filePath
       else if (f.name == JsonlStats.PosMeta) pos

@@ -30,11 +30,28 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         txnAppId: Option[String] = None,
                         columnMapping: Map[String, String] = Map.empty,
                         gramCol: Option[String] = None,
-                        branch: Option[String] = None)
+                        branch: Option[String] = None,
+                        upsertCols: Option[Seq[String]] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+  // fail-fast at planning, not first task: the same key-column gate the
+  // task-side tracker enforces (long/string only — float keys don't
+  // round-trip text reliably)
+  upsertCols.foreach(cs => cs.foreach { c =>
+    val i = writeSchema.fieldNames.indexOf(c)
+    require(i >= 0, s"upsert key column $c missing from write schema")
+    val dt = writeSchema.fields(i).dataType
+    require(dt == LongType || dt == StringType,
+      s"upsert key column $c must be long or string, got $dt")
+  })
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
-  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def truncate(): WriteBuilder = {
+    if (upsertCols.isDefined)
+      throw new UnsupportedOperationException(
+        "upsertKeys with truncate/overwrite: an upsert retracts against a base — " +
+          "a truncating write has none (drop the option or the mode)")
+    truncateFirst = true; this
+  }
 
   /** replaceWhere (`INSERT INTO t REPLACE WHERE p SELECT …` /
     * `df.writeTo(t).overwrite(p)`): atomically delete the rows
@@ -49,6 +66,10 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
     * idiom ("replace this partition with tonight's recompute") at
     * 100 TB costs one manifest round-trip plus the new data's write. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (upsertCols.isDefined)
+      throw new UnsupportedOperationException(
+        "upsertKeys with replaceWhere/overwrite: pick one retraction semantics " +
+          "per write — key-equality (upsert) or predicate (replaceWhere)")
     if (filters.isEmpty || filters.exists(_.isInstanceOf[AlwaysTrue]))
       truncateFirst = true
     else replaceFilters = Some(filters)
@@ -62,7 +83,7 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol, columnMapping, gramCol, branch)
+        replaceFilters, bloomCol, columnMapping, gramCol, branch, upsertCols)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (branch.isDefined)
         throw new UnsupportedOperationException(
@@ -74,7 +95,7 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
             "mode and replaceWhere would re-truncate the table every micro-batch")
       new JsonlStreamingWrite(root, writeSchema, queryId,
         txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol, columnMapping,
-        gramCol)
+        gramCol, upsertCols)
     }
   })
 }
@@ -102,7 +123,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
                           partitionCol: Option[String] = None,
                           bloomCol: Option[String] = None,
                           columnMapping: Map[String, String] = Map.empty,
-                          gramCol: Option[String] = None)
+                          gramCol: Option[String] = None,
+                          upsertCols: Option[Seq[String]] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -110,7 +132,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new JsonlStreamingWriterFactory(root, writeSchema, s"$queryId-$runTag",
-      statsCol, partitionCol, bloomCol, columnMapping, gramCol)
+      statsCol, partitionCol, bloomCol, columnMapping, gramCol, upsertCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val watermark = JsonlStats.readTxns(root).getOrElse(appId, -1L)
@@ -121,17 +143,32 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
       return
     }
     val fresh = JsonlStats.fileCommits(messages)
-    val freshLines = fresh.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+    val freshStats = fresh.map(c =>
+      JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
           segb = c.segb,
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None)))
+          pspec = if (c.pkey.isDefined) partitionCol else None))
+    val freshLines = freshStats.map(JsonlStats.statsLine)
+    // STREAMING UPSERT (r9b): the epoch's retraction (its tasks'
+    // equality-delete files) and its inserts land in the SAME
+    // exactly-once commit as the txn watermark — a replayed epoch can
+    // never re-retract, because it never reaches this point
+    val eqs = JsonlStats.eqCommits(messages)
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         gramCol = gramCol)
+    if (eqs.nonEmpty) JsonlStats.metaLock.synchronized {
+      val meta = JsonlStats.readTableMeta(root)
+      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
+        JsonlStats.writeTableMeta(root,
+          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
+          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
+          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
+          gramCol = meta.gramCol)
+    }
     // OCC append (r8): the epoch's files ride a blind-append rebase —
     // concurrent batch appends or OTHER streaming apps' epochs commute;
     // this app's own epochs are sequential by Spark's contract, so the
@@ -139,7 +176,17 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     // txn line replaces this app's watermark; every other app's carries
     // forward from whichever base wins.
     JsonlStats.commitAtomic(root, s"$queryId-$runTag-e$epochId",
-      base => base ++ freshLines,
+      base => {
+        val baseHasEq = JsonlEqualityDeletes.parseLines(base).nonEmpty
+        if (eqs.isEmpty && !baseHasEq) base ++ freshLines
+        else {
+          val m = JsonlEqualityDeletes.maxSeq(base)
+          val sq = if (eqs.nonEmpty) m + 1 else m
+          base ++ freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = sq))) ++
+            eqs.map { case (f, cols, k) =>
+              JsonlEqualityDeletes.line(JsonlEqualityDeletes.EqDelete(f, cols, sq, k)) }
+        }
+      },
       ownTxns = Seq(JsonlStats.txnLine(appId, epochId)))
   }
 
@@ -152,12 +199,13 @@ class JsonlStreamingWriterFactory(root: String, writeSchema: StructType, tag: St
                                   partitionCol: Option[String],
                                   bloomCol: Option[String],
                                   columnMapping: Map[String, String] = Map.empty,
-                                  gramCol: Option[String] = None)
+                                  gramCol: Option[String] = None,
+                                  upsertCols: Option[Seq[String]] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, s"$tag-e$epochId", partitionId, taskId,
-      statsCol, partitionCol, bloomCol, columnMapping, gramCol)
+      statsCol, partitionCol, bloomCol, columnMapping, gramCol, upsertCols)
 }
 
 final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: Long,
@@ -170,8 +218,12 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
-  * per key run) or the task wrote nothing (empty). */
-final case class JsonlFileCommits(commits: Seq[JsonlFileCommit]) extends WriterCommitMessage
+  * per key run) or the task wrote nothing (empty). `eq` (r9b): the
+  * task's equality-delete file for an UPSERT write — (root-relative
+  * path, physical key columns, distinct key count). */
+final case class JsonlFileCommits(commits: Seq[JsonlFileCommit],
+                                  eq: Option[(String, Seq[String], Long)] = None)
+  extends WriterCommitMessage
 
 class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       truncateFirst: Boolean,
@@ -181,7 +233,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None,
-                      branch: Option[String] = None) extends BatchWrite {
+                      branch: Option[String] = None,
+                      upsertCols: Option[Seq[String]] = None) extends BatchWrite {
   /** Overwrite conflict reference (r8 review): captured when the WRITE
     * is CONSTRUCTED — physical planning, before the job's tasks run —
     * not at commit() time. A truncate/replaceWhere logically reads the
@@ -191,19 +244,30 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     * absorb the intruder into the planned base and then destroy it.
     * Plain appends never read this (their rebase is blind), which also
     * keeps the hot append-commit path free of the full-manifest parse. */
-  private val plannedBase: Option[Seq[JsonlStats.FileStats]] =
+  /** RAW planned base lines (non-txn), so an overwrite's base-equality
+    * check sees EVERYTHING a rebase would — including eqdel lines
+    * (r9b), which `readStats` alone would drop and thereby make every
+    * truncate of an upsert table a spurious conflict. */
+  private val plannedRaw: Option[Seq[String]] =
     if (!truncateFirst && replaceFilters.isEmpty) None
     else if (branch.isDefined)
       // branch TRUNCATE plans against the BRANCH head, not main
-      Some(JsonlStats.parseStatsLines(
-        Refs.readRef(root, Refs.branchManifest(branch.get)).entries))
+      Some(Refs.readRef(root, Refs.branchManifest(branch.get)).entries)
     else Some(
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
-      else JsonlStats.readStats(root))
+      else {
+        val mapper = new ObjectMapper()
+        JsonlStats.readManifestLines(root, "_stats.jsonl")
+          .filter(_.nonEmpty)
+          .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+      })
+
+  private def plannedBase: Option[Seq[JsonlStats.FileStats]] =
+    plannedRaw.map(JsonlStats.parseStatsLines)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
-      columnMapping, gramCol)
+      columnMapping, gramCol, upsertCols)
 
   private def isSentinel(s: JsonlStats.FileStats): Boolean =
     s.min == Double.MinValue && s.max == Double.MaxValue
@@ -267,14 +331,47 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
-    val freshLines = fresh.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+    val freshStats = fresh.map(c =>
+      JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
           segb = c.segb,
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None)))
+          pspec = if (c.pkey.isDefined) partitionCol else None))
+    val freshLines = freshStats.map(JsonlStats.statsLine)
+    // equality-delete upsert (r9b): the tasks' delete files, registered
+    // in the SAME commit as their data (retract + insert atomically)
+    val eqs = JsonlStats.eqCommits(messages)
+    // APPEND rebase with sequence stamping: a table with eqdels stamps
+    // every new data entry at the base's max seq (existing deletes must
+    // not retract NEW rows); an upsert commit takes maxSeq+1 for both
+    // its delete files and its data (strict `<` applicability means its
+    // own inserts survive its own retraction — the Iceberg v2 rule).
+    // Clean non-upsert tables take the byte-stable fast path.
+    def appendRebase(base: Seq[String]): Seq[String] = {
+      val baseHasEq = JsonlEqualityDeletes.parseLines(base).nonEmpty
+      if (eqs.isEmpty && !baseHasEq) base ++ freshLines
+      else {
+        val m = JsonlEqualityDeletes.maxSeq(base)
+        val s = if (eqs.nonEmpty) m + 1 else m
+        val stamped = freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = s)))
+        val eqLines = eqs.map { case (f, cols, k) =>
+          JsonlEqualityDeletes.line(JsonlEqualityDeletes.EqDelete(f, cols, s, k)) }
+        base ++ stamped ++ eqLines
+      }
+    }
+    // protocol stamp BEFORE the swap (the DV pattern, r8): once any
+    // eqdel line exists, only eqdel-aware readers read correctly
+    if (eqs.nonEmpty) JsonlStats.metaLock.synchronized {
+      val meta = JsonlStats.readTableMeta(root)
+      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
+        JsonlStats.writeTableMeta(root,
+          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
+          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
+          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
+          gramCol = meta.gramCol)
+    }
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -290,7 +387,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     branch match {
       case Some(b) =>
         if (truncateFirst) Refs.commitBranch(root, b, _ => freshLines)
-        else Refs.commitBranch(root, b, base => base ++ freshLines)
+        else Refs.commitBranch(root, b, appendRebase)
         return
       case None => ()
     }
@@ -312,15 +409,28 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // and CONFLICT loudly otherwise.
     (truncateFirst, replaceFilters) match {
       case (true, _) =>
+        // truncate clears eqdel lines with everything else: the new
+        // generation has no base to retract against
         JsonlStats.commitAtomic(root, queryId,
-          JsonlStats.rebaseOverwrite(plannedBase.get.map(JsonlStats.statsLine), freshLines))
+          JsonlStats.rebaseOverwrite(plannedRaw.get, freshLines))
       case (false, Some(fs)) =>
         val planned = plannedBase.get
-        val keptLines = planned.filter(s => keepUnderReplace(fs, s)).map(JsonlStats.statsLine)
+        val keptFiles = planned.filter(s => keepUnderReplace(fs, s)).map(_.file).toSet
+        // kept data lines ride VERBATIM from the raw base (a parse →
+        // re-serialize round trip must never be the thing that edits a
+        // manifest), and eqdel lines are kept whenever any data
+        // survives — they are inert against dropped files and still
+        // mask the kept ones
+        val mapper = new ObjectMapper()
+        val keptLines = plannedRaw.get.filter { l =>
+          val n = mapper.readTree(l)
+          if (n.hasNonNull("eqdel")) keptFiles.nonEmpty
+          else n.hasNonNull("file") && keptFiles.contains(n.get("file").asText())
+        }
         JsonlStats.commitAtomic(root, queryId,
-          JsonlStats.rebaseOverwrite(planned.map(JsonlStats.statsLine), keptLines ++ freshLines))
+          JsonlStats.rebaseOverwrite(plannedRaw.get, keptLines ++ freshLines))
       case (false, None) =>
-        JsonlStats.commitAtomic(root, queryId, base => base ++ freshLines)
+        JsonlStats.commitAtomic(root, queryId, appendRebase)
     }
     // truncate: the old generation's files leave the LIVE manifest but
     // stay on disk — the archived manifest still references them, so
@@ -409,14 +519,14 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
     val gone = replaced()
-    val freshLines = fresh.map(c =>
-      JsonlStats.statsLine(JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
+    val freshStats = fresh.map(c =>
+      JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
           segb = c.segb,
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None)))
+          pspec = if (c.pkey.isDefined) partitionCol else None))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass
@@ -425,8 +535,17 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     // ingest.
     val removedLines = JsonlStats.readStats(root)
       .filter(s => gone.contains(s.file)).map(JsonlStats.statsLine)
-    JsonlStats.commitAtomic(root, queryId,
-      JsonlStats.rebaseRewrite(removedLines, freshLines))
+    JsonlStats.commitAtomic(root, queryId, base => {
+      // equality deletes (r9b): the rewrite's scan already APPLIED the
+      // masks, so replacement files stamp at the base's max seq — an
+      // existing delete re-applied to them would be a no-op, and a
+      // FUTURE upsert's (higher seq) still retracts them correctly
+      val m = JsonlEqualityDeletes.maxSeq(base)
+      val freshLines =
+        if (m == 0L) freshStats.map(JsonlStats.statsLine)
+        else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = m)))
+      JsonlStats.rebaseRewrite(removedLines, freshLines)(base)
+    })
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
     // [[GraftProcedures.vacuum]] is the only deletion point)
@@ -441,11 +560,12 @@ class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          partitionCol: Option[String] = None,
                          bloomCol: Option[String] = None,
                          columnMapping: Map[String, String] = Map.empty,
-                         gramCol: Option[String] = None)
+                         gramCol: Option[String] = None,
+                         upsertCols: Option[Seq[String]] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol,
-      partitionCol, bloomCol, columnMapping, gramCol)
+      partitionCol, bloomCol, columnMapping, gramCol, upsertCols)
 }
 
 /** Streams rows of ONE output data file, tracking (min, max, rows) of
@@ -639,7 +759,13 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       partitionCol: Option[String] = None,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
-                      gramCol: Option[String] = None) extends DataWriter[InternalRow] {
+                      gramCol: Option[String] = None,
+                      upsertCols: Option[Seq[String]] = None) extends DataWriter[InternalRow] {
+  // equality-delete upsert (r9b): the task tracks its rows' DISTINCT
+  // keys and ships them as its own delete file — no driver collect,
+  // no base read; the commit stamps sequence numbers
+  private val eqTracker = upsertCols.map(cs =>
+    new JsonlEqualityDeletes.KeyTracker(writeSchema, cs, columnMapping))
   private val spec: Option[PartitionTransforms.Spec] =
     partitionCol.map(PartitionTransforms.parse)
   private val keyIdx = spec.map(sp => writeSchema.fieldNames.indexOf(sp.col)).getOrElse(-1)
@@ -696,6 +822,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    eqTracker.foreach(_.add(row))
     if (keyIdx >= 0) {
       if (row.isNullAt(keyIdx))
         throw new IllegalArgumentException(
@@ -720,7 +847,11 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
       sink = null
     }
-    JsonlFileCommits(done.filter(_.file != null).toSeq)
+    val eq = eqTracker.flatMap { t =>
+      t.writeFile(root, f"eq-$queryId-$partitionId%05d-$taskId.jsonl")
+        .map(rel => (rel, t.physCols, t.size.toLong))
+    }
+    JsonlFileCommits(done.filter(_.file != null).toSeq, eq)
   }
 
   override def abort(): Unit = {

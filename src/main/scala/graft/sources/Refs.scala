@@ -249,5 +249,6 @@ object Refs {
     * says. */
   def referencedFiles(root: String): Set[String] =
     listRefs(root).flatMap(r =>
-      JsonlStats.parseStatsLines(r.entries).flatMap(s => s.file +: s.dvs)).toSet
+      JsonlStats.parseStatsLines(r.entries).flatMap(s => s.file +: s.dvs) ++
+        JsonlEqualityDeletes.filesOf(r.entries)).toSet
 }

@@ -126,15 +126,20 @@ class RefsSpec extends SparkSpec {
 
   test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {
     val (cat, t0, _) = scratch("hpb")
+    // table name unique per run: CREATE OR REPLACE resets the manifest
+    // but — like Iceberg's REPLACE — keeps `_refs`, so a fixed name
+    // would collide with the previous run's branch under the shared
+    // catalog root
+    val t = s"hp_branch_$t0"
     spark.sql(
-      s"""CREATE OR REPLACE TABLE $cat.hp_branch
+      s"""CREATE OR REPLACE TABLE $cat.`$t`
          |PARTITIONED BY (bucket(4, user_id)) AS
          |SELECT event_id, user_id, event_type, value FROM $cat.`$t0`""".stripMargin)
     val dir = Paths.get(Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root")).toString,
-      "hp_branch").toString
+      t).toString
     val forkFiles = JsonlStats.readStats(dir).map(_.file).toSet
-    spark.sql(s"CALL $cat.create_branch('hp_branch', 'load')")
-    spark.sql(s"INSERT INTO $cat.hp_branch.branch_load VALUES " +
+    spark.sql(s"CALL $cat.create_branch('$t', 'load')")
+    spark.sql(s"INSERT INTO $cat.`$t`.branch_load VALUES " +
       "(940001, 101, 'staged', 1.0), (940002, 202, 'staged', 2.0)")
     val head = Refs.readRef(dir, Refs.branchManifest("load"))
     val staged = JsonlStats.parseStatsLines(head.entries)
@@ -143,8 +148,8 @@ class RefsSpec extends SparkSpec {
       "branch writes on a hidden layout must derive pkeys through the transform")
     assert(staged.exists(_.pspec.exists(_.startsWith("bucket("))),
       "staged entries must stamp their spec")
-    spark.sql(s"CALL $cat.fast_forward('hp_branch', 'load')")
-    val probe = spark.table(s"$cat.hp_branch").filter($"user_id" === 101L)
+    spark.sql(s"CALL $cat.fast_forward('$t', 'load')")
+    val probe = spark.table(s"$cat.`$t`").filter($"user_id" === 101L)
     assert(probe.count() === 1, "published staged row must be readable")
   }
 

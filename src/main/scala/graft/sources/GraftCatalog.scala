@@ -616,6 +616,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "create_branch" => new GraftProcedures.RefUnbound(root, "create_branch")
       case "drop_branch"   => new GraftProcedures.RefUnbound(root, "drop_branch")
       case "fast_forward"  => new GraftProcedures.RefUnbound(root, "fast_forward")
+      case "rollback"      => new GraftProcedures.RefUnbound(root, "rollback")
+      case "cherry_pick"   => new GraftProcedures.RefUnbound(root, "cherry_pick")
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }

@@ -1365,6 +1365,8 @@ object GraftProcedures {
       case "drop_tag"      => "drop_tag(table, name): delete a tag (its files become vacuumable)"
       case "create_branch" => "create_branch(table, name): fork a writable staging branch"
       case "drop_branch"   => "drop_branch(table, name): delete a branch head"
+      case "rollback"      => "rollback(table, target): restore main to a tag or version - metadata only"
+      case "cherry_pick"   => "cherry_pick(table, version): re-apply an append-shaped version's delta onto main"
       case _               => "fast_forward(table, name): publish a branch head to main (WAP)"
     }
     override def bind(inputType: StructType): BoundProcedure = new RefBound(root, verb)
@@ -1375,6 +1377,10 @@ object GraftProcedures {
     override def description(): String = s"$verb on the refs tier"
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = {
+      if (verb == "cherry_pick")
+        return Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build())
       val base = Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build())
@@ -1384,7 +1390,9 @@ object GraftProcedures {
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
-      val refName = input.getUTF8String(1).toString
+      val refName =
+        if (verb == "cherry_pick") input.getInt(1).toString
+        else input.getUTF8String(1).toString
       val dir = Paths.get(root, table)
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
       val version = verb match {
@@ -1400,6 +1408,12 @@ object GraftProcedures {
         case "fast_forward" =>
           Refs.fastForward(dir.toString, refName,
             s"ff-${java.util.UUID.randomUUID().toString.take(8)}")
+        case "rollback" =>
+          Refs.rollbackTo(dir.toString, refName,
+            s"rb-${java.util.UUID.randomUUID().toString.take(8)}")
+        case "cherry_pick" =>
+          Refs.cherryPick(dir.toString, refName.toInt,
+            s"cp-${java.util.UUID.randomUUID().toString.take(8)}")
       }
       val schema = StructType(Seq(
         StructField("ref", StringType, nullable = false),

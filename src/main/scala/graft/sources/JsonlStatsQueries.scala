@@ -1674,6 +1674,84 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"change_type")
   }
 
+  /** q255 (r9c): ROLLBACK — the bad-deploy escape hatch ([[Refs
+    * .rollbackTo]], Iceberg's `rollback_to_snapshot`): the approved
+    * image is tagged, a bad batch lands, `CALL rollback` restores the
+    * tag in ONE serializable metadata commit (the bad files stay on
+    * disk as `_history/` evidence until vacuum — no data is copied or
+    * deleted by the restore), and the corrected batch lands on the
+    * restored image. At 100 TB the restore costs one manifest swap
+    * whatever the damage; the alternative everywhere-without-history
+    * is re-running the pipeline. */
+  def rollbackRestore(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_rollback")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_rollback AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_tag('jsonl_rollback', 'approved')")
+    // the bad batch: wrong rows nobody should ever see again
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_rollback
+         |SELECT event_id, user_id, 'corrupted' AS event_type, value * 100
+         |FROM $cat.jsonl_stats_table WHERE event_id % 2 = 1""".stripMargin)
+    spark.sql(s"CALL $cat.rollback('jsonl_rollback', 'approved')")
+    // the corrected batch lands on the RESTORED image
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_rollback
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1 AND event_id % 5 = 0""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_rollback
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** q256 (r9c): ROLLBACK + CHERRY-PICK — undo and selective redo
+    * ([[Refs.cherryPick]], Iceberg's `cherrypick_snapshot`): two
+    * batches land, main rolls back past BOTH, and cherry_pick
+    * re-applies only the second — its delta vs its predecessor is
+    * manifest arithmetic (append-shaped versions only; rewrites refuse
+    * loudly), re-stamped against the restored base. History becomes a
+    * commit DAG you can edit — drop one bad deploy from the middle of
+    * a day's ingest without replaying the rest — at pure metadata
+    * cost. */
+  def cherryPickRedo(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_cherry")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_cherry AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_tag('jsonl_cherry', 'base')")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "jsonl_cherry").toString
+    // batch 1 (the one rollback will DISCARD)
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_cherry
+         |SELECT event_id, user_id, 'discarded' AS event_type, value
+         |FROM $cat.jsonl_stats_table WHERE event_id % 2 = 1 AND event_id % 3 = 0""".stripMargin)
+    // batch 2 (the one cherry_pick will KEEP)
+    spark.sql(
+      s"""INSERT INTO $cat.jsonl_cherry
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 1 AND event_id % 3 = 1""".stripMargin)
+    val vKeep = JsonlStats.currentVersion(dir)
+    spark.sql(s"CALL $cat.rollback('jsonl_cherry', 'base')")
+    spark.sql(s"CALL $cat.cherry_pick('jsonl_cherry', $vKeep)")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_cherry
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -2103,6 +2181,8 @@ object JsonlStatsQueries extends QueryModule {
     "q252_equality_upsert" -> equalityUpsert,
     "q253_streaming_upsert" -> streamingUpsert,
     "q254_upsert_change_feed" -> upsertChangeFeed,
+    "q255_rollback" -> rollbackRestore,
+    "q256_cherry_pick" -> cherryPickRedo,
   )
 
   val oracles = Map(
@@ -2283,6 +2363,28 @@ object JsonlStatsQueries extends QueryModule {
         |    CAST(SUM(-user_id - 1) AS BIGINT) AS id_sum
         |  FROM err) AS u
         |ORDER BY change_type""".stripMargin,
+    "q255_rollback" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_id % 5 = 0) AS t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q256_cherry_pick" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_id % 3 = 1) AS t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q247_tag_time_travel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

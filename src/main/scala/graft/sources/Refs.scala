@@ -243,6 +243,126 @@ object Refs {
     })
   }
 
+  /** Non-txn entry lines of version `v` (live or archived), with the
+    * retention story on a vacuumed generation. Delta-encoded archives
+    * materialize transparently ([[JsonlStats.readManifestLines]]). */
+  private def versionEntries(root: String, v: Int, why: String): Seq[String] = {
+    val current = JsonlStats.currentVersion(root)
+    require(v >= 1 && v <= current, s"no version $v (versions 1..$current)")
+    val m = if (v == current) "_stats.jsonl" else s"${JsonlStats.HistoryDir}/v$v.jsonl"
+    require(v == current || Files.exists(refPath(root, m)),
+      s"version $v has been vacuumed (oldest available: " +
+        s"${JsonlStats.readVacuumHorizon(root).map(_.minVersion).getOrElse(current)}); $why")
+    val mapper = new ObjectMapper()
+    JsonlStats.readManifestLines(root, m).filter(_.nonEmpty)
+      .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+  }
+
+  /** ROLLBACK: set main to an earlier image — a TAG's pinned snapshot
+    * or an archived VERSION — in ONE serializable OCC commit
+    * (Iceberg's `rollback_to_snapshot`: the restore is metadata, never
+    * a data copy; the bad commits stay in `_history/` as evidence).
+    * The entry set is restored VERBATIM (data, DV and eqdel lines, seq
+    * stamps, spec stamps — the full logical image); a concurrent
+    * commit conflicts loudly ([[JsonlStats.rebaseOverwrite]] — a
+    * rollback logically read the whole table). Streaming txn
+    * watermarks deliberately do NOT roll back: an epoch stays SPENT
+    * (commitAtomic carries base watermarks forward), so a running sink
+    * replaying it cannot double-land its files on the restored image —
+    * re-ingesting rolled-back epochs needs a fresh txnAppId, stated.
+    * Restored entries' files still exist by the retention contract:
+    * the tag or archive that served them is exactly what vacuum
+    * refcounts. Returns the superseded main version. */
+  def rollbackTo(root: String, target: String, queryId: String): Int = {
+    val entries: Seq[String] =
+      if (target.nonEmpty && target.forall(_.isDigit))
+        versionEntries(root, target.toInt, "roll back to a surviving version")
+      else resolveName(root, target) match {
+        case Some(m) =>
+          val ref = readRef(root, m)
+          require(ref.kind == "tag",
+            s"rollback target must be a tag or version; '$target' is a ${ref.kind} " +
+              "(publish a branch with fast_forward)")
+          ref.entries
+        case None =>
+          throw new IllegalArgumentException(
+            s"no tag '$target' and not a version number " +
+              s"(tags: ${listRefs(root).filter(_.kind == "tag").map(_.name).mkString(", ")})")
+      }
+    val planned = liveEntries(root)
+    JsonlStats.commitAtomic(root, queryId, JsonlStats.rebaseOverwrite(planned, entries))
+  }
+
+  /** CHERRY-PICK: re-apply one version's delta onto the CURRENT main —
+    * the redo half of rollback-undo (Iceberg's `cherrypick_snapshot`,
+    * same restriction: only APPEND-SHAPED versions, because a COW
+    * rewrite/DV-attach delta is defined against files main may no
+    * longer hold). The delta of v vs v-1 is manifest arithmetic:
+    * data entries and eqdel lines present in v and absent in v-1; a
+    * version that removed or MODIFIED a pre-existing entry refuses
+    * loudly. Sequence stamps are RE-ISSUED against the live base
+    * (Iceberg assigns picked snapshots a fresh sequence number): a
+    * picked upsert takes maxSeq+1 for its data AND its retraction —
+    * replaying the upsert semantics against today's table, not v-1's
+    * — while a plain append under outstanding eqdels stamps at maxSeq
+    * so existing deletes never retract re-applied rows. Blind-append
+    * rebase: commutes with concurrent appends, conflicts if any picked
+    * file is already live (picked twice). Returns the superseded
+    * version. */
+  def cherryPick(root: String, v: Int, queryId: String): Int = {
+    val vLines = versionEntries(root, v, "cherry-pick a surviving version")
+    val pLines = if (v == 1) Seq.empty[String]
+      else versionEntries(root, v - 1, s"cherry_pick needs v$v's predecessor to derive the delta")
+    val vData = JsonlStats.parseStatsLines(vLines)
+    val pData = JsonlStats.parseStatsLines(pLines)
+    val pFiles = pData.map(_.file).toSet
+    val removed = pFiles.diff(vData.map(_.file).toSet)
+    if (removed.nonEmpty) throw new UnsupportedOperationException(
+      s"cherry_pick v$v: not append-shaped — it removed ${removed.size} file(s) " +
+        s"(first: ${removed.head}); only appends and upserts re-apply")
+    val pNorm = pData.map(s => s.file -> JsonlStats.statsLine(s)).toMap
+    val changed = vData.filter(s => pNorm.get(s.file).exists(_ != JsonlStats.statsLine(s)))
+    if (changed.nonEmpty) throw new UnsupportedOperationException(
+      s"cherry_pick v$v: not append-shaped — it modified ${changed.size} pre-existing " +
+        s"entr${if (changed.size == 1) "y" else "ies"} (first: ${changed.head.file}); " +
+        "only appends and upserts re-apply")
+    val pickedData = vData.filterNot(s => pFiles.contains(s.file))
+    val pEqFiles = JsonlEqualityDeletes.parseLines(pLines).map(_.file).toSet
+    val pickedEq = JsonlEqualityDeletes.parseLines(vLines).filterNot(d => pEqFiles.contains(d.file))
+    require(pickedData.nonEmpty || pickedEq.nonEmpty,
+      s"cherry_pick v$v: empty delta vs v${v - 1} (a duplicate snapshot from a lost " +
+        "commit race carries no change)")
+    // protocol stamp BEFORE the swap (the write-path pattern): picking
+    // a retraction onto an eqdel-free table makes it eqdel-bearing
+    if (pickedEq.nonEmpty) JsonlStats.metaLock.synchronized {
+      val meta = JsonlStats.readTableMeta(root)
+      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
+        JsonlStats.writeTableMeta(root,
+          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
+          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
+          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
+          gramCol = meta.gramCol)
+    }
+    JsonlStats.commitAtomic(root, queryId, base => {
+      val baseFiles = JsonlStats.parseStatsLines(base).map(_.file).toSet
+      val dup = pickedData.map(_.file).filter(baseFiles.contains)
+      if (dup.nonEmpty) JsonlStats.conflict(
+        s"cherry_pick v$v: ${dup.size} picked file(s) already live " +
+          s"(first: ${dup.head}) — already applied?")
+      val baseEqFiles = JsonlEqualityDeletes.parseLines(base).map(_.file).toSet
+      val dupEq = pickedEq.map(_.file).filter(baseEqFiles.contains)
+      if (dupEq.nonEmpty) JsonlStats.conflict(
+        s"cherry_pick v$v: ${dupEq.size} picked delete file(s) already live " +
+          s"(first: ${dupEq.head}) — already applied?")
+      val m = JsonlEqualityDeletes.maxSeq(base)
+      val s = if (pickedEq.nonEmpty) m + 1 else m
+      val stampedData =
+        if (s == 0L) pickedData.map(JsonlStats.statsLine)
+        else pickedData.map(d => JsonlStats.statsLine(d.copy(seq = s)))
+      base ++ stampedData ++ pickedEq.map(d => JsonlEqualityDeletes.line(d.copy(seq = s)))
+    })
+  }
+
   /** Data + DV files every ref still references — vacuum's extra live
     * roots ([[GraftProcedures.vacuum]]): a branch-staged or tag-pinned
     * file is NOT an orphan and NOT expirable, whatever `_history/`

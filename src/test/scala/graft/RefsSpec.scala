@@ -199,6 +199,77 @@ class RefsSpec extends SparkSpec {
     assert(viaMeta === viaData, "partitions metadata must equal the data-tier group-by")
   }
 
+  test("rollback restores a tag or version as one metadata commit; history keeps the evidence") {
+    val (cat, t, dir) = scratch("rbk")
+    val n0 = spark.table(s"$cat.`$t`").count()
+    spark.sql(s"CALL $cat.create_tag('$t', 'ok')")
+    spark.sql(s"INSERT INTO $cat.`$t` VALUES (910001, 1, 'bad', 9.0), (910002, 2, 'bad', 9.0)")
+    val vBad = JsonlStats.currentVersion(dir)
+    val dataFiles = JsonlStats.readStats(dir).map(_.file).toSet
+    spark.sql(s"CALL $cat.rollback('$t', 'ok')")
+    assert(spark.table(s"$cat.`$t`").count() === n0, "tag rollback must restore the image")
+    assert(spark.table(s"$cat.`$t`").filter($"event_type" === "bad").count() === 0)
+    // the bad generation stays readable as history (evidence, until vacuum)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF $vBad")
+      .head().getLong(0) === n0 + 2)
+    // the bad files stay on disk — rollback is metadata, never a delete
+    dataFiles.foreach(f => assert(Files.exists(Paths.get(dir, f)), s"$f deleted by rollback"))
+    // numeric-version rollback: forward to the bad image again
+    spark.sql(s"CALL $cat.rollback('$t', '$vBad')")
+    assert(spark.table(s"$cat.`$t`").count() === n0 + 2,
+      "version rollback must restore forward too (any surviving version)")
+    // a branch is not a rollback target
+    spark.sql(s"CALL $cat.create_branch('$t', 'wip')")
+    val e = intercept[Exception](spark.sql(s"CALL $cat.rollback('$t', 'wip')"))
+    assert(e.getMessage.contains("fast_forward"), s"branch target must redirect: ${e.getMessage}")
+  }
+
+  test("cherry_pick re-applies an append delta; refuses rewrites, double-picks, empty deltas") {
+    val (cat, t, dir) = scratch("chp")
+    val n0 = spark.table(s"$cat.`$t`").count()
+    spark.sql(s"CALL $cat.create_tag('$t', 'base')")
+    spark.sql(s"INSERT INTO $cat.`$t` VALUES (920001, 1, 'keep', 1.0), (920002, 2, 'keep', 2.0)")
+    val vKeep = JsonlStats.currentVersion(dir)
+    spark.sql(s"INSERT INTO $cat.`$t` VALUES (930001, 3, 'drop_me', 3.0)")
+    spark.sql(s"CALL $cat.rollback('$t', 'base')")
+    spark.sql(s"CALL $cat.cherry_pick('$t', $vKeep)")
+    val after = spark.table(s"$cat.`$t`")
+    assert(after.count() === n0 + 2, "cherry_pick must re-apply exactly the picked delta")
+    assert(after.filter($"event_type" === "keep").count() === 2)
+    assert(after.filter($"event_type" === "drop_me").count() === 0)
+    // double-pick: the picked files are already live — loud conflict
+    val dup = intercept[Exception](spark.sql(s"CALL $cat.cherry_pick('$t', $vKeep)"))
+    assert(dup.getMessage.contains("already"), s"double-pick must conflict: ${dup.getMessage}")
+    // a COW rewrite version is not append-shaped
+    val cut = JsonlStats.readStats(dir).map(_.max).min
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE value <= $cut")
+    val vDel = JsonlStats.currentVersion(dir)
+    val rw = intercept[Exception](spark.sql(s"CALL $cat.cherry_pick('$t', $vDel)"))
+    assert(rw.getMessage.contains("append-shaped"), s"rewrite pick must refuse: ${rw.getMessage}")
+  }
+
+  test("cherry_pick of an upsert re-applies retraction + inserts with a fresh sequence") {
+    val (cat, t, dir) = scratch("chpu")
+    // upsert: collapse user 7's rows to one summary row
+    val img = spark.table(s"$cat.`$t`").filter($"user_id" === 7L)
+    val n7 = img.count()
+    assume(n7 > 0, "fixture has user 7")
+    Seq((990007L, 7L, "summary", n7.toDouble)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "user_id").mode("append").save()
+    val vUp = JsonlStats.currentVersion(dir)
+    val afterUpsert = spark.table(s"$cat.`$t`").filter($"user_id" === 7L).collect()
+    assert(afterUpsert.length === 1 && afterUpsert.head.getString(2) === "summary")
+    // undo, then redo via cherry_pick: the retraction must re-apply too
+    spark.sql(s"CALL $cat.rollback('$t', '${vUp - 1}')")
+    assert(spark.table(s"$cat.`$t`").filter($"user_id" === 7L).count() === n7,
+      "rollback must restore the pre-upsert image (masked rows reappear)")
+    spark.sql(s"CALL $cat.cherry_pick('$t', $vUp)")
+    val redone = spark.table(s"$cat.`$t`").filter($"user_id" === 7L).collect()
+    assert(redone.length === 1 && redone.head.getString(2) === "summary",
+      "picked upsert must retract the old rows AND land the summary")
+  }
+
   test("ref names validate; unknown refs error with the candidate list") {
     val (cat, t, dir) = scratch("names")
     val bad = intercept[Exception](spark.sql(s"CALL $cat.create_tag('$t', '../evil')"))

@@ -1,0 +1,117 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** TABLE-LEVEL COLUMN STATISTICS (r9c) — the Iceberg Puffin /
+  * `ANALYZE TABLE` shape: NDV and length statistics live in a sidecar
+  * written by an explicit `CALL analyze_table` scan, NOT per commit —
+  * distinct counts don't merge from per-file numbers (union ≠ sum), so
+  * a mergeable-per-commit design would either lie or ship a sketch per
+  * file per column (100k files × columns of HLL bytes through every
+  * planning pass). The scan serves them to Spark through the DSv2
+  * `Statistics.columnStats()` API, which CBO converts to per-attribute
+  * catalyst stats — join-cardinality estimation and cost-based join
+  * REORDERING then work on connector tables exactly as on ANALYZEd
+  * parquet ones.
+  *
+  * Division of labor, by freshness: min/max and null counts are served
+  * LIVE from the manifest (exact per-file bounds and non-null counts,
+  * current at every commit — never from this sidecar); the sidecar
+  * carries only what a full scan must compute (NDV via HLL++, string
+  * lengths) and records the table VERSION it saw. Stale stats are
+  * served anyway (the Iceberg posture — an estimate beats none), with
+  * NDV capped at the scan's surviving live rows so growth can't make
+  * the estimate impossible; staleness is visible in the CALL output
+  * and `analyzed_version` here. Advisory metadata: no protocol feature
+  * gate — a stats-blind reader plans worse, never wrong. */
+object ColStats {
+  val Sidecar = "_colstats.json"
+
+  /** Per-column analyze results, keyed by PHYSICAL name (rename-stable,
+    * like data bytes and eq_on). `avgLen`/`maxLen` are -1 for non-string
+    * columns (type width is the reader's business). */
+  final case class ColStat(ndv: Long, avgLen: Long, maxLen: Long)
+  final case class TableColStats(version: Int, analyzedMs: Long, rows: Long,
+                                 cols: Map[String, ColStat])
+
+  def write(root: String, s: TableColStats): Unit = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("analyzed_version", s.version)
+    n.put("analyzed_ms", s.analyzedMs)
+    n.put("rows", s.rows)
+    val cs = n.putObject("cols")
+    s.cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+      val o = cs.putObject(c)
+      o.put("ndv", st.ndv)
+      if (st.avgLen >= 0) o.put("avg_len", st.avgLen)
+      if (st.maxLen >= 0) o.put("max_len", st.maxLen)
+    }
+    val tmp = Paths.get(root, s"$Sidecar.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Seq(n.toString).asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, Sidecar),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(root: String): Option[TableColStats] = {
+    val p = Paths.get(root, Sidecar)
+    if (!Files.exists(p)) return None
+    val n = new ObjectMapper().readTree(Files.readAllBytes(p))
+    val cols = n.get("cols")
+    Some(TableColStats(
+      n.get("analyzed_version").asInt(), n.get("analyzed_ms").asLong(),
+      n.get("rows").asLong(),
+      cols.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColStat(v.get("ndv").asLong(),
+          if (v.hasNonNull("avg_len")) v.get("avg_len").asLong() else -1L,
+          if (v.hasNonNull("max_len")) v.get("max_len").asLong() else -1L)
+      }.toMap))
+  }
+
+  /** ONE distributed pass over the live table: HLL++ NDV (relative
+    * error ~2.5% at rsd=0.025 — the tradeoff every warehouse ANALYZE
+    * makes; exact NDV is a full shuffle of every distinct value) plus
+    * string length moments, all map-side-combinable aggregates in a
+    * single scan whatever the column count. Masked rows (DVs, equality
+    * deletes) are excluded by construction — the scan IS the read
+    * path. */
+  def analyze(spark: SparkSession, tableRoot: String): TableColStats = {
+    import org.apache.spark.sql.functions._
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
+    var reader = spark.read.format("graft-jsonl-stats")
+      .option("path", tableRoot).option("statsColumn", statsCol)
+    meta.schema.foreach(s => reader = reader.schema(s))
+    val df = reader.load()
+    val version = JsonlStats.currentVersion(tableRoot)
+    val aggs = df.schema.fields.flatMap { f =>
+      val base = Seq(approx_count_distinct(col(f.name), 0.025).as(s"ndv_${f.name}"))
+      f.dataType match {
+        case StringType => base ++ Seq(
+          ceil(avg(length(col(f.name)))).cast("long").as(s"avg_${f.name}"),
+          max(length(col(f.name))).cast("long").as(s"max_${f.name}"))
+        case _ => base
+      }
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*).head()
+    def longOf(name: String): Long =
+      if (row.isNullAt(row.fieldIndex(name))) -1L else row.getLong(row.fieldIndex(name))
+    val cols = df.schema.fields.map { f =>
+      val phys = meta.columnMapping.getOrElse(f.name, f.name)
+      val (a, m) = f.dataType match {
+        case StringType => (longOf(s"avg_${f.name}"), longOf(s"max_${f.name}"))
+        case _          => (-1L, -1L)
+      }
+      phys -> ColStat(longOf(s"ndv_${f.name}"), a, m)
+    }.toMap
+    val s = TableColStats(version, System.currentTimeMillis(), row.getAs[Long]("n_rows"), cols)
+    write(tableRoot, s)
+    s
+  }
+}

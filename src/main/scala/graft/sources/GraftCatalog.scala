@@ -618,6 +618,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "fast_forward"  => new GraftProcedures.RefUnbound(root, "fast_forward")
       case "rollback"      => new GraftProcedures.RefUnbound(root, "rollback")
       case "cherry_pick"   => new GraftProcedures.RefUnbound(root, "cherry_pick")
+      case "analyze_table" => new GraftProcedures.AnalyzeUnbound(root)
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }

@@ -421,6 +421,45 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL analyze_table(table)` (r9c, [[ColStats]]): one distributed
+    * scan computes per-column NDV (HLL++) and string lengths into the
+    * `_colstats.json` sidecar; the scan's `estimateStatistics` then
+    * serves them to CBO. Returns the analyze accounting, including how
+    * stale the previous sidecar had become. */
+  class AnalyzeUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "analyze_table"
+    override def description(): String =
+      "analyze_table(table): compute NDV/length column statistics for cost-based planning"
+    override def bind(inputType: StructType): BoundProcedure = new AnalyzeBound(root)
+  }
+
+  class AnalyzeBound(root: String) extends BoundProcedure {
+    override def name(): String = "analyze_table"
+    override def description(): String = "one-pass column statistics scan"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = Paths.get(root, table)
+      require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
+      val prev = ColStats.read(dir.toString)
+      val s = ColStats.analyze(SparkSession.active, dir.toString)
+      val schema = StructType(Seq(
+        StructField("columns_analyzed", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("analyzed_version", IntegerType, nullable = false),
+        StructField("versions_stale_before", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          s.cols.size, s.rows, s.version,
+          prev.map(p => s.version - p.version).getOrElse(-1)))
+        override def description(): String = s"analyze_table $table"
+      }).iterator()
+    }
+  }
+
   class GramIndexUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "build_gram_index"
     override def description(): String =
@@ -793,13 +832,25 @@ object GraftProcedures {
         bring(Bloom.gramSidecarName(s.file))
       s.dvs.foreach(bring) // deletion vectors ride with their files
     }
+    // equality deletes (r9b) are part of the live image exactly like
+    // DVs: a clone without its source's outstanding retractions would
+    // resurrect every upserted-away key
+    val eqdels = JsonlEqualityDeletes.readEqDeletes(srcRoot, "_stats.jsonl")
+    eqdels.foreach(d => bring(d.file))
     val tm = Paths.get(srcRoot, "_table.json")
     if (Files.exists(tm))
       Files.copy(tm, Paths.get(dstRoot, "_table.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // column statistics (r9c) describe the cloned content verbatim —
+    // carry them (advisory; the clone diverges like any other table)
+    val cs = Paths.get(srcRoot, ColStats.Sidecar)
+    if (Files.exists(cs))
+      Files.copy(cs, Paths.get(dstRoot, ColStats.Sidecar),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the clone's OWN manifest (fresh history: a clone is version 1 of
     // a new table, not a continuation of the source's timeline)
-    JsonlStats.publishManifest(dstRoot, "clone", stats.map(JsonlStats.statsLine).sorted)
+    JsonlStats.publishManifest(dstRoot, "clone",
+      (stats.map(JsonlStats.statsLine) ++ eqdels.map(JsonlEqualityDeletes.line)).sorted)
     (linked, copied)
   }
 
@@ -1211,10 +1262,15 @@ object GraftProcedures {
     var binSeq = 0
     // partition evolution (r9): a bin's files must share BOTH the key
     // and the spec the key derives from — merging across specs would
-    // publish one entry whose pkey lies for half its rows
-    val bins = candidates.groupBy(c => (c._1.pkey, c._1.pspec)).toSeq.sortBy(_._1)
+    // publish one entry whose pkey lies for half its rows. Equality
+    // deletes (r9b): the SEQUENCE NUMBER is part of the merge key too —
+    // concatenating a seq-3 upsert file into a seq-0 base bin would
+    // publish one entry whose seq lies for half its rows, making
+    // outstanding deletes re-retract the upserted images (or spare
+    // rows they should mask)
+    val bins = candidates.groupBy(c => (c._1.pkey, c._1.pspec, c._1.seq)).toSeq.sortBy(_._1)
         .flatMap {
-      case ((pkey, pspec), files) =>
+      case ((pkey, pspec, seq), files) =>
         val sorted = files.sortBy(-_._2) // big-first first-fit packs tighter
         val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[(JsonlStats.FileStats, Long)], Long)]
         sorted.foreach { case (s, b) =>
@@ -1300,7 +1356,7 @@ object GraftProcedures {
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
               colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
-              segb = mergedSegB, pspec = pspec))
+              segb = mergedSegB, pspec = pspec, seq = seq))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

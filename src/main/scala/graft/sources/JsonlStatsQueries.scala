@@ -1752,6 +1752,57 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** q257 (r9c): ANALYZE + COST-BASED PLANNING — the warehouse
+    * `ANALYZE TABLE` loop on the connector ([[ColStats]], the Iceberg
+    * Puffin shape): `CALL analyze_table` computes NDV (HLL++, one
+    * distributed pass) and string lengths into a sidecar; the scan's
+    * DSv2 `columnStats()` serves them (plus exact manifest min/max and
+    * null counts) to Spark's CBO, which then ESTIMATES JOIN
+    * CARDINALITIES and cost-reorders a worst-first star join on
+    * connector tables (ColStatsSpec pins the reorder law + the
+    * staleness cap). At 100 TB the stats pass is one scan paid at
+    * maintenance cadence and every join on the table plans against
+    * honest cardinalities instead of size heuristics. The query runs
+    * the star join UNDER CBO — values are plan-independent, so the
+    * oracle hash pins that costed planning never changes results. */
+  def analyzedStarJoin(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_cbo_fact")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_cbo_fact AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_cbo_users")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_cbo_users AS
+         |SELECT user_id, min(event_id) AS first_event
+         |FROM $cat.jsonl_stats_table GROUP BY user_id""".stripMargin)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_cbo_types")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_cbo_types AS
+         |SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_len
+         |FROM $cat.jsonl_stats_table""".stripMargin)
+    Seq("jsonl_cbo_fact", "jsonl_cbo_users", "jsonl_cbo_types")
+      .foreach(t => spark.sql(s"CALL $cat.analyze_table('$t')"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "true") }
+    try {
+      val df = spark.sql(
+        s"""SELECT t.event_type, count(*) AS n,
+           |  CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+           |  min(u.first_event) AS min_first
+           |FROM $cat.jsonl_cbo_fact f
+           |JOIN $cat.jsonl_cbo_users u ON f.user_id = u.user_id
+           |JOIN $cat.jsonl_cbo_types t ON f.event_type = t.event_type
+           |WHERE t.type_len >= 4
+           |GROUP BY t.event_type
+           |ORDER BY t.event_type""".stripMargin)
+      df.collect() // execute under CBO before the conf restores
+      df
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -2183,6 +2234,7 @@ object JsonlStatsQueries extends QueryModule {
     "q254_upsert_change_feed" -> upsertChangeFeed,
     "q255_rollback" -> rollbackRestore,
     "q256_cherry_pick" -> cherryPickRedo,
+    "q257_analyzed_star_join" -> analyzedStarJoin,
   )
 
   val oracles = Map(
@@ -2385,6 +2437,20 @@ object JsonlStatsQueries extends QueryModule {
         |  WHERE event_id % 2 = 1 AND event_id % 3 = 1) AS t
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q257_analyzed_star_join" ->
+      """WITH u AS (
+        |  SELECT user_id, min(event_id) AS first_event FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT DISTINCT event_type, length(event_type) AS type_len FROM events)
+        |SELECT t.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(u.first_event) AS min_first
+        |FROM events f
+        |JOIN u ON f.user_id = u.user_id
+        |JOIN t ON f.event_type = t.event_type
+        |WHERE t.type_len >= 4
+        |GROUP BY t.event_type
+        |ORDER BY t.event_type""".stripMargin,
     "q247_tag_time_travel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -574,6 +574,64 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val surviving = survivingStats()
     val haveRows = surviving.forall(_.rows >= 0)
+    val liveRows = if (haveRows) Some(surviving.map(s => s.rows - s.dels).sum) else None
+    // COLUMN statistics (r9c): NDV and string lengths from the ANALYZE
+    // sidecar ([[ColStats]] — possibly stale, capped at live rows);
+    // min/max and null counts from the MANIFEST of this very snapshot
+    // (exact, current at every commit). CBO converts these to catalyst
+    // per-attribute stats (`transformV2Stats`), so join-cardinality
+    // estimation and cost-based join reordering see connector tables
+    // with the same fidelity as ANALYZEd parquet ones. Keys are the
+    // scan's OUTPUT names (logical); manifest/sidecar lookups go
+    // through the physical mapping like every other stats consumer.
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                                org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val analyzed = ColStats.read(root).map(_.cols).getOrElse(Map.empty)
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+                                    org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      required.fields.foreach { f =>
+        val pc = columnMapping.getOrElse(f.name, f.name)
+        val bounds = {
+          val per = surviving.map(s => JsonlStats.colBounds(s, pc, statsCol))
+          if (per.nonEmpty && per.forall(_.isDefined))
+            Some((per.flatMap(_.map(_._1)).min, per.flatMap(_.map(_._2)).max))
+          else None
+        }
+        val minMax: Option[(Object, Object)] = f.dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            bounds.map(b => (java.lang.Long.valueOf(b._1.toLong),
+              java.lang.Long.valueOf(b._2.toLong)))
+          case org.apache.spark.sql.types.DoubleType =>
+            bounds.map(b => (java.lang.Double.valueOf(b._1), java.lang.Double.valueOf(b._2)))
+          case _ => None // string bounds are pruning-only (truncated, not values)
+        }
+        val nulls: Option[Long] =
+          if (surviving.nonEmpty && haveRows && surviving.forall(_.colNonNull.contains(pc)))
+            Some(surviving.map(s => math.max(0L, s.rows - s.dels - s.colNonNull(pc))).sum)
+          else None
+        val a = analyzed.get(pc)
+        if (minMax.isDefined || nulls.isDefined || a.isDefined)
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong = a match {
+                case Some(st) => java.util.OptionalLong.of(
+                  liveRows.fold(st.ndv)(r => math.min(st.ndv, math.max(1L, r))))
+                case None => java.util.OptionalLong.empty()
+              }
+              override def min(): java.util.Optional[Object] =
+                minMax.fold(java.util.Optional.empty[Object]())(p => java.util.Optional.of(p._1))
+              override def max(): java.util.Optional[Object] =
+                minMax.fold(java.util.Optional.empty[Object]())(p => java.util.Optional.of(p._2))
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def avgLen(): java.util.OptionalLong = a.filter(_.avgLen >= 0)
+                .fold(java.util.OptionalLong.empty())(st => java.util.OptionalLong.of(st.avgLen))
+              override def maxLen(): java.util.OptionalLong = a.filter(_.maxLen >= 0)
+                .fold(java.util.OptionalLong.empty())(st => java.util.OptionalLong.of(st.maxLen))
+            })
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(surviving.map { s =>
@@ -583,6 +641,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       override def numRows(): java.util.OptionalLong =
         if (haveRows) java.util.OptionalLong.of(surviving.map(s => s.rows - s.dels).sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

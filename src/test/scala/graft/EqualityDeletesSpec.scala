@@ -207,4 +207,42 @@ class EqualityDeletesSpec extends SparkSpec {
       "unreferenced eqdel file must be vacuumable")
     assert(readBack(dir).count() === 5L)
   }
+
+  test("compaction bins by sequence number: merged upsert rows keep surviving their retraction") {
+    val dir = freshDir("cmp")
+    writeBase(dir)
+    // upsert lands seq-1 data + seq-1 delete; base files stay seq 0
+    upsert(dir, Seq((100L, 10L, "up", 100.0), (101L, 10L, "up", 101.0)))
+    val cat = "graft_eqc_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    val before = readBack(dir).select($"event_id").as[Long].collect().sorted
+    spark.sql(s"CALL $cat.compact('$t', ${1L << 20})").collect()
+    // a seq-0/seq-1 merge would stamp one seq for both member sets and
+    // either re-retract the upsert's rows or resurrect user 10's
+    val after = readBack(dir).select($"event_id").as[Long].collect().sorted
+    assert(after === before, s"compaction changed visible rows: ${after.toSeq} vs ${before.toSeq}")
+    val stats = JsonlStats.readStats(dir)
+    assert(stats.map(_.seq).distinct.sorted === Seq(0L, 1L),
+      "bins must not merge across sequence numbers")
+  }
+
+  test("clone carries outstanding equality deletes: no key resurrects in the copy") {
+    val dir = freshDir("cln")
+    writeBase(dir)
+    upsert(dir, Seq((100L, 10L, "up", 100.0)))
+    val cat = "graft_eql_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    spark.sql(s"CALL $cat.clone('$t', '${t}_copy')").collect()
+    val copy = Paths.get(Paths.get(dir).getParent.toString, s"${t}_copy").toString
+    val src = readBack(dir).select($"event_id").as[Long].collect().sorted
+    val dst = readBack(copy).select($"event_id").as[Long].collect().sorted
+    assert(dst === src,
+      s"clone diverged: ${dst.toSeq} vs ${src.toSeq} (user 10's retracted rows must stay dead)")
+    assert(JsonlEqualityDeletes.readEqDeletes(copy, "_stats.jsonl").nonEmpty,
+      "the clone's manifest must carry the eqdel lines")
+  }
 }

@@ -1803,6 +1803,55 @@ object JsonlStatsQueries extends QueryModule {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  /** The id-ranged layout (monotone ids ↔ arrival order — the
+    * time-series table shape) that makes TopN pushdown a point lookup. */
+  private def ensureIdRangedFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_id_ranged")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartitionByRange(buckets, $"event_id")
+        .write.format("graft-jsonl-stats").option("path", out)
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q258 (r9c): TOP-N PUSHDOWN — `ORDER BY event_id DESC LIMIT 100`
+    * (the "latest events" dashboard query) through DSv2
+    * `SupportsPushDownTopN`: planning drops every file that provably
+    * cannot reach the top k (≥ k rows elsewhere beat its best bound —
+    * per-file bounds with a prefix sum, [[JsonlStatsScan
+    * .topLimitPrune]]), so on this id-ranged layout the recency query
+    * reads ONE file of the table — at 100 TB, one file of thousands.
+    * Partial pushdown: Spark re-sorts the survivors, so over-inclusion
+    * is never wrong; DV'd rows shrink the guarantees exactly and
+    * outstanding equality deletes void them (TopNLimitSpec). */
+  def topNPushdown(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureIdRangedFixture(spark, d)).load()
+      .orderBy($"event_id".desc)
+      .limit(100)
+  }
+
+  /** q259 (r9c): LIMIT PUSHDOWN — a bare `LIMIT 500` plans only the
+    * shortest file prefix whose exact surviving-row counts reach 500,
+    * and every task's reader stops parsing after 500 emissions
+    * (`SupportsPushDownLimit` + the early-stop reader) — "peek at the
+    * table" costs a few thousand parsed lines whatever the table size.
+    * LIMIT may serve ANY k rows, so the oracle pins the count; the
+    * file-prefix and early-stop laws live in TopNLimitSpec. */
+  def limitPushdown(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureIdRangedFixture(spark, d)).load()
+      .limit(500)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** q243 (r9): PARTITION EVOLUTION — the layout contract changes,
     * the data does not move. Generation 1 lands half the feed under
     * `truncate(4, event_type)`; `CALL evolve_partition_spec` stamps
@@ -2235,6 +2284,8 @@ object JsonlStatsQueries extends QueryModule {
     "q255_rollback" -> rollbackRestore,
     "q256_cherry_pick" -> cherryPickRedo,
     "q257_analyzed_star_join" -> analyzedStarJoin,
+    "q258_topn_pushdown" -> topNPushdown,
+    "q259_limit_pushdown" -> limitPushdown,
   )
 
   val oracles = Map(
@@ -2451,6 +2502,11 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE t.type_len >= 4
         |GROUP BY t.event_type
         |ORDER BY t.event_type""".stripMargin,
+    "q258_topn_pushdown" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "q259_limit_pushdown" ->
+      """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
     "q247_tag_time_travel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

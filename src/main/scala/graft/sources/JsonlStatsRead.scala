@@ -21,12 +21,55 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             columnMapping: Map[String, String] = Map.empty,
                             gramCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var bloomPushed: Array[Filter] = Array.empty
   private var gramNeedles: Array[String] = Array.empty
   private var aggSchema: Option[StructType] = None
+  private var limitK: Option[Int] = None
+  private var topN: Option[JsonlStatsScan.TopNPush] = None
+
+  /** LIMIT pushdown (r9c, partial): the scan may serve ANY k rows, so
+    * planning keeps only a file prefix whose GUARANTEED output rows
+    * reach k, and (filter-free scans only) each task's reader stops
+    * parsing after k emissions — `LIMIT 100` against a 100-TB table
+    * costs a handful of early-terminated tasks, not a full scan.
+    * Always partial: Spark's own GlobalLimit still applies. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (rewriteOp.isDefined || limit <= 0) return false
+    limitK = Some(limit)
+    true
+  }
+
+  /** ORDER BY c [ASC|DESC] LIMIT k pushdown (r9c, partial): one plain
+    * numeric sort column — planning drops every file that PROVABLY
+    * cannot reach the top k (at least k rows elsewhere beat its best
+    * bound; the exactness rules live in
+    * [[JsonlStatsScan.topLimitPrune]]). On a layout range-ordered by
+    * the sort column — the time-series shape — a recency query reads
+    * one file of thousands. Spark re-sorts and re-limits the survivors,
+    * so over-inclusion is never wrong. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (rewriteOp.isDefined || limit <= 0 || orders.length != 1) return false
+    val o = orders.head
+    val col = o.expression() match {
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames.head
+      case _ => return false
+    }
+    val numeric = full.fields.find(_.name == col).map(_.dataType)
+      .exists(t => t == LongType || t == DoubleType)
+    if (!numeric) return false
+    topN = Some(JsonlStatsScan.TopNPush(col,
+      desc = o.direction() == SortDirection.DESCENDING,
+      nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST, k = limit))
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Logical → physical (column mapping, r7c): a renamed column's data
     * bytes and manifest stats keys keep the original name. Declared
@@ -193,7 +236,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val gramRequired: Array[Long] =
         gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
-        rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired)
+        rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
+        limitK, topN)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -267,7 +311,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      manifest: String = "_stats.jsonl",
                      bloomSets: Seq[Array[Long]] = Seq.empty,
                      columnMapping: Map[String, String] = Map.empty,
-                     gramRequired: Array[Long] = Array.empty)
+                     gramRequired: Array[Long] = Array.empty,
+                     limitK: Option[Int] = None,
+                     topN: Option[JsonlStatsScan.TopNPush] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -476,11 +522,71 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * group alignment) or (b) the manifest predates checkpoints AND the
     * read needs physical positions (`_pos` projected or DVs attached),
     * which a blind byte-range reader cannot know mid-file. */
+  /** TopN / LIMIT file pruning (r9c). Guarantees are exact or absent,
+    * never approximate. Spark only pushes limit/topN when NOTHING sits
+    * between it and the scan — and this connector's pushed filters all
+    * stay residual (a Filter node remains), so a pushed limit implies a
+    * bare scan; the `pushed.nonEmpty` arm is a defensive decline.
+    *
+    *  - a file's guaranteed output rows = `rows − dels` (exact: dels
+    *    is the DV cardinality); outstanding EQUALITY deletes void all
+    *    guarantees (key-scoped masks make per-file counts unknowable).
+    *  - LIMIT k keeps the shortest manifest-order prefix whose
+    *    guarantees reach k (LIMIT may serve any k rows).
+    *  - ORDER BY c LIMIT k drops a file iff ≥ k rows PROVABLY rank
+    *    strictly above its best bound — per-file bounds sorted by
+    *    their lower end with a prefix sum of guaranteed NON-NULL rows
+    *    (bounds describe non-null values only); NULLS FIRST demands
+    *    proven-null-free files, since bounds cannot see the top-ranked
+    *    nulls.
+    *
+    * Spark re-applies sort and limit above the scan (partial
+    * pushdown), so any superset is correct — pruning is pure win. */
+  private def topLimitPrune(surviving: Seq[JsonlStats.FileStats]): Seq[JsonlStats.FileStats] = {
+    if (limitK.isEmpty && topN.isEmpty) return surviving
+    if (pushed.nonEmpty || surviving.exists(_.rows < 0) || eqDeletes.nonEmpty) return surviving
+    (limitK, topN) match {
+      case (Some(k), _) =>
+        // the shortest manifest-order prefix whose guarantees reach k;
+        // if they never do, no pruning
+        var acc = 0L
+        var n = 0
+        while (n < surviving.size && acc < k) { acc += math.max(0L, surviving(n).rows - surviving(n).dels); n += 1 }
+        if (acc >= k) surviving.take(n) else surviving
+      case (_, Some(JsonlStatsScan.TopNPush(col, desc, nullsFirst, k))) =>
+        val pc = columnMapping.getOrElse(col, col)
+        val bounds = surviving.map(s => JsonlStats.colBounds(s, pc, statsCol))
+        if (bounds.exists(_.isEmpty)) return surviving
+        if (nullsFirst && surviving.exists(s => !s.colNonNull.get(pc).contains(s.rows)))
+          return surviving
+        // guaranteed non-null rows: dels might all hit non-null rows,
+        // so the worst case subtracts them fully; unknown non-null
+        // counts contribute nothing (less pruning, never a wrong drop)
+        def better(s: JsonlStats.FileStats): Long =
+          s.colNonNull.get(pc).fold(0L)(nn => math.max(0L, nn - s.dels))
+        // normalize so "better" is always LARGER: DESC keeps (min, max),
+        // ASC negates and swaps — then g beats f iff g.lo > f.hi
+        val proj = surviving.zip(bounds.map(_.get)).map { case (s, (mn, mx)) =>
+          (s, if (desc) (mn, mx) else (-mx, -mn))
+        }
+        val ranked = proj.sortBy(-_._2._1)
+        val los = ranked.map(_._2._1).toArray
+        val pref = ranked.map(p => better(p._1)).scanLeft(0L)(_ + _).toArray
+        def beats(hi: Double): Long = {
+          var l = 0; var r = los.length
+          while (l < r) { val m = (l + r) >>> 1; if (los(m) > hi) l = m + 1 else r = m }
+          pref(l)
+        }
+        proj.collect { case (s, (_, hi)) if beats(hi) < k => s }
+      case _ => surviving
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val grouped = keyGrouped
     val wantPos = required.fieldNames.contains(JsonlStats.PosMeta)
     val canSplit = !grouped && splitBytes > 0
-    survivingStats()
+    (if (grouped) survivingStats() else topLimitPrune(survivingStats()))
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
         val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
@@ -647,8 +753,16 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, bloomSets, columnMapping, gramRequired)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val base = new JsonlReaderFactory(required, bloomSets, columnMapping, gramRequired)
+    // per-task early stop (r9c): a pushed LIMIT lets every reader quit
+    // after k emissions — but ONLY when nothing downstream re-filters
+    // rows (pushed filters are residual: Spark re-applies them, and a
+    // reader that stopped early might have cut the rows that survive;
+    // runtime filters arrive per-execution with the same hazard)
+    limitK.filter(_ => pushed.isEmpty && runtimeKeep.isEmpty && runtimeFileKeep.isEmpty)
+      .fold(base: PartitionReaderFactory)(k => new LimitedReaderFactory(base, k))
+  }
 
   /** Connector-level SQL metrics (`CustomMetric`, surfaced on the
     * BatchScan node in the UI next to Spark's own numOutputRows):
@@ -673,6 +787,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
 }
 
 object JsonlStatsScan {
+  /** A pushed ORDER BY col LIMIT k (r9c): plain numeric column only. */
+  final case class TopNPush(col: String, desc: Boolean, nullsFirst: Boolean, k: Int)
+
   /** Checkpoint-aligned exact ranges of one file (r8): greedy boundary
     * selection over the manifest's `(line start, rows before)` pairs
     * keeps ranges ≥ splitBytes; each partition carries its starting
@@ -846,6 +963,25 @@ class JsonlGramSkipMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "gramSkippedRanges"
   override def description(): String = "ranges skipped by substring gram-index probes"
+}
+
+/** Wraps a reader factory so each task emits at most `k` rows — the
+  * execution half of LIMIT pushdown (r9c): the reader underneath stops
+  * being pulled, so a task over a 1 GB range parses k lines and quits.
+  * Metrics delegate (skip counters stay visible on the scan node). */
+class LimitedReaderFactory(inner: PartitionReaderFactory, k: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var emitted = 0
+      override def next(): Boolean = emitted < k && r.next()
+      override def get(): InternalRow = { emitted += 1; r.get() }
+      override def close(): Unit = r.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        r.currentMetricsValues()
+    }
+  }
 }
 
 class JsonlReaderFactory(required: StructType,

@@ -1292,7 +1292,10 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
       manifest = manifest, bloomCol = bloomCol, columnMapping = columnMapping,
-      gramCol = gramCol)
+      gramCol = gramCol,
+      // streaming admission control (r9c, the Delta option names)
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(

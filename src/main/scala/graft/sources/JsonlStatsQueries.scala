@@ -1819,6 +1819,45 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q260 (r9c): RATE-LIMITED STREAM DRAIN — `maxFilesPerTrigger`
+    * admission control (the Delta option, via DSv2
+    * `SupportsAdmissionControl` + `SupportsTriggerAvailableNow`): a
+    * backlog drains as a SEQUENCE of bounded, checkpointed micro-
+    * batches instead of one giant catch-up batch — at 100 TB this is
+    * what keeps a restart from planning ten thousand files into a
+    * single stateful step. AvailableNow freezes its target manifest up
+    * front and steps to it; the aggregate over the drained sink must
+    * equal the batch derivation, proving bounded admission loses and
+    * duplicates nothing (per-batch laws in StreamAdmissionSpec). */
+  def rateLimitedDrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = ensureIdRangedFixture(spark, d)
+    val sink = Landing.fixtureDir(d, "jsonl_admission_sink")
+    val fs = Paths.get(sink)
+    if (Files.exists(fs)) {
+      // lifecycle cell: fresh sink + checkpoint per rep
+      import scala.jdk.CollectionConverters._
+      Files.walk(fs).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists)
+    }
+    Files.createDirectories(fs)
+    val rep = runSeq.incrementAndGet()
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", src)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("graft-jsonl-stats")
+      .option("path", sink)
+      .option("checkpointLocation", s"$sink/_ckpt")
+      .option("txnAppId", s"q260-$rep")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft-jsonl-stats").option("path", sink).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), msum($"value").as("value_sum"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
   /** q258 (r9c): TOP-N PUSHDOWN — `ORDER BY event_id DESC LIMIT 100`
     * (the "latest events" dashboard query) through DSv2
     * `SupportsPushDownTopN`: planning drops every file that provably
@@ -2286,6 +2325,7 @@ object JsonlStatsQueries extends QueryModule {
     "q257_analyzed_star_join" -> analyzedStarJoin,
     "q258_topn_pushdown" -> topNPushdown,
     "q259_limit_pushdown" -> limitPushdown,
+    "q260_rate_limited_drain" -> rateLimitedDrain,
   )
 
   val oracles = Map(
@@ -2507,6 +2547,13 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "q259_limit_pushdown" ->
       """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
+    "q260_rate_limited_drain" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q247_tag_time_travel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -19,7 +19,9 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             manifest: String = "_stats.jsonl",
                             bloomCol: Option[String] = None,
                             columnMapping: Map[String, String] = Map.empty,
-                            gramCol: Option[String] = None) extends ScanBuilder
+                            gramCol: Option[String] = None,
+                            maxFilesPerTrigger: Option[Int] = None,
+                            maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -237,7 +239,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
-        limitK, topN)
+        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -313,7 +315,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      columnMapping: Map[String, String] = Map.empty,
                      gramRequired: Array[Long] = Array.empty,
                      limitK: Option[Int] = None,
-                     topN: Option[JsonlStatsScan.TopNPush] = None)
+                     topN: Option[JsonlStatsScan.TopNPush] = None,
+                     maxFilesPerTrigger: Option[Int] = None,
+                     maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -783,7 +787,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * bounds may be swapped out from under a running stream by truncate,
     * and residual row filters re-check anyway. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlManifestStream(root, required, columnMapping, splitBytes)
+    new JsonlManifestStream(root, required, columnMapping, splitBytes,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 object JsonlStatsScan {
@@ -842,13 +847,70 @@ object JsonlStatsScan {
 
 class JsonlManifestStream(root: String, required: StructType,
                           columnMapping: Map[String, String] = Map.empty,
-                          splitBytes: Long = JsonlStats.DefaultSplitBytes)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                          splitBytes: Long = JsonlStats.DefaultSplitBytes,
+                          maxFilesPerTrigger: Option[Int] = None,
+                          maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  /** ADMISSION CONTROL (r9c — the Delta `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` shape): a compaction backlog or a catch-up
+    * restart lands thousands of manifested files at once, and an
+    * uncontrolled source would plan them as ONE micro-batch — one
+    * giant stateful step, one giant sink commit. With a limit, each
+    * batch admits the next N unseen files (deterministic name order,
+    * at least one so progress never stalls), so catch-up is a sequence
+    * of bounded, checkpointed, exactly-once steps. AvailableNow (the
+    * nightly-drain trigger) freezes its target manifest up front and
+    * drains TO that frozen set in limit-sized batches — files landing
+    * mid-drain wait for the next run, per the trigger's contract. */
+  @volatile private var availableNowTarget: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(JsonlStats.readStats(root).map(_.file).sorted)
+
+  override def getDefaultReadLimit: ReadLimit = (maxFilesPerTrigger, maxBytesPerTrigger) match {
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case (Some(f), Some(b)) => ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case _ => ReadLimit.allAvailable()
+  }
+
+  private def admit(unseen: Seq[String], limit: ReadLimit): Seq[String] = limit match {
+    case f: ReadMaxFiles => unseen.take(f.maxFiles())
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      // at least one file always admits (a single over-budget file must
+      // not stall the stream — Delta's rule)
+      var budget = b.maxBytes()
+      val taken = unseen.takeWhile { f =>
+        val sz = try Files.size(Paths.get(root, f)) catch { case _: Throwable => 0L }
+        val ok = budget >= sz || budget == b.maxBytes()
+        budget -= sz
+        ok
+      }
+      if (taken.isEmpty) unseen.take(1) else taken
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.foldLeft(unseen)((u, l) => admit(u, l))
+    case _ => unseen
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = availableNowTarget.getOrElse(JsonlStats.readStats(root).map(_.file).sorted)
+    val seen = start.asInstanceOf[JsonlManifestOffset].files.toSet
+    val admitted = admit(all.filterNot(seen), limit)
+    JsonlManifestOffset((seen.toSeq ++ admitted).sorted)
+  }
+
+  override def reportLatestOffset(): Offset =
+    JsonlManifestOffset(JsonlStats.readStats(root).map(_.file).sorted)
 
   override def initialOffset(): Offset = JsonlManifestOffset(Seq.empty)
   override def latestOffset(): Offset =
-    JsonlManifestOffset(JsonlStats.readStats(root).map(_.file).sorted)
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def deserializeOffset(json: String): Offset = JsonlManifestOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[JsonlManifestOffset].files.toSet

@@ -2901,8 +2901,10 @@ class JsonlStatsSpec extends SparkSpec {
     val entry = JsonlStats.readStats(dir) match { case Seq(e) => e }
     assert(entry.ckpts.nonEmpty)
     val stream = new JsonlManifestStream(dir, JsonlStats.schema, splitBytes = 1L << 20)
+    // admission control (r9c): the two-arg form is the entry point now
     val parts = stream.planInputPartitions(stream.initialOffset(),
-      stream.latestOffset())
+      stream.latestOffset(stream.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
     assert(parts.length > 1,
       s"an arriving checkpointed 4 MB file must fan out, got ${parts.length}")
     // coverage exactness through the streaming reader factory: every

@@ -33,8 +33,12 @@ object ColStats {
 
   /** Per-column analyze results, keyed by PHYSICAL name (rename-stable,
     * like data bytes and eq_on). `avgLen`/`maxLen` are -1 for non-string
-    * columns (type width is the reader's business). */
-  final case class ColStat(ndv: Long, avgLen: Long, maxLen: Long)
+    * columns (type width is the reader's business). `hist` is the
+    * optional equi-height histogram — (rows per bin, [(lo, hi, ndv)]),
+    * the catalyst `Histogram` shape FilterEstimation interpolates range
+    * selectivity from. */
+  final case class ColStat(ndv: Long, avgLen: Long, maxLen: Long,
+                           hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
   final case class TableColStats(version: Int, analyzedMs: Long, rows: Long,
                                  cols: Map[String, ColStat])
 
@@ -50,6 +54,14 @@ object ColStats {
       o.put("ndv", st.ndv)
       if (st.avgLen >= 0) o.put("avg_len", st.avgLen)
       if (st.maxLen >= 0) o.put("max_len", st.maxLen)
+      st.hist.foreach { case (h, bins) =>
+        val ho = o.putObject("hist")
+        ho.put("h", h)
+        val ba = ho.putArray("bins")
+        bins.foreach { case (lo, hi, ndv) =>
+          val b = ba.addArray(); b.add(lo); b.add(hi); b.add(ndv)
+        }
+      }
     }
     val tmp = Paths.get(root, s"$Sidecar.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, Seq(n.toString).asJava,
@@ -68,9 +80,17 @@ object ColStats {
       n.get("rows").asLong(),
       cols.properties().asScala.map { e =>
         val v = e.getValue
+        val hist = Option(v.get("hist")).map { h =>
+          (h.get("h").asDouble(),
+            (0 until h.get("bins").size()).map { i =>
+              val b = h.get("bins").get(i)
+              (b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
+            }.toSeq)
+        }
         e.getKey -> ColStat(v.get("ndv").asLong(),
           if (v.hasNonNull("avg_len")) v.get("avg_len").asLong() else -1L,
-          if (v.hasNonNull("max_len")) v.get("max_len").asLong() else -1L)
+          if (v.hasNonNull("max_len")) v.get("max_len").asLong() else -1L,
+          hist)
       }.toMap))
   }
 
@@ -81,7 +101,9 @@ object ColStats {
     * single scan whatever the column count. Masked rows (DVs, equality
     * deletes) are excluded by construction — the scan IS the read
     * path. */
-  def analyze(spark: SparkSession, tableRoot: String): TableColStats = {
+  def analyze(spark: SparkSession, tableRoot: String,
+              histogram: Boolean = false, histBins: Int = 32,
+              histCols: Option[Seq[String]] = None): TableColStats = {
     import org.apache.spark.sql.functions._
     val meta = JsonlStats.readTableMeta(tableRoot)
     val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
@@ -102,13 +124,51 @@ object ColStats {
     val row = df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*).head()
     def longOf(name: String): Long =
       if (row.isNullAt(row.fieldIndex(name))) -1L else row.getLong(row.fieldIndex(name))
+    // EQUI-HEIGHT HISTOGRAMS (opt-in — a second bounded pass per numeric
+    // column, the cost Spark's own ANALYZE ... FOR COLUMNS pays):
+    // approximate quantiles cut the value domain into equal-mass bins,
+    // then one group-by counts each bin's NDV — FilterEstimation can
+    // then interpolate range selectivity inside a bin instead of
+    // assuming uniformity over [min, max], which is what makes skewed
+    // predicates (hot user, recent day) estimate honestly.
+    def histOf(f: StructField): Option[(Double, Seq[(Double, Double, Long)])] = {
+      if (!histogram) return None
+      if (histCols.exists(cs => !cs.contains(f.name))) return None
+      if (f.dataType != LongType && f.dataType != DoubleType) return None
+      val probs = (0 to histBins).map(_.toDouble / histBins).toArray
+      val cuts = df.stat.approxQuantile(f.name, probs, 0.001)
+      if (cuts.length < 2) return None
+      val nonNull = df.filter(col(f.name).isNotNull)
+      val n = nonNull.count()
+      if (n == 0) return None
+      // merge duplicate cuts (constant stretches) — bins must be
+      // non-degenerate for the bucketizer below
+      val edges = cuts.distinct.sorted
+      if (edges.length < 2) {
+        // single-valued column: one bin holding everything
+        return Some((n.toDouble, Seq((edges.head, edges.head, 1L))))
+      }
+      // bucket index: the last edge is inclusive (standard equi-height)
+      val c = col(f.name).cast("double")
+      val idx = edges.toSeq.sliding(2).zipWithIndex.foldLeft(lit(edges.length - 2)) {
+        case (acc, (Seq(lo, hi), i)) =>
+          when(c >= lit(lo) && c < lit(hi), lit(i)).otherwise(acc)
+      }
+      val perBin = nonNull.groupBy(idx.as("__bin"))
+        .agg(approx_count_distinct(col(f.name), 0.025).as("__ndv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bins = edges.sliding(2).zipWithIndex.map { case (Array(lo, hi), i) =>
+        (lo, hi, math.max(1L, perBin.getOrElse(i, 0L)))
+      }.toSeq
+      Some((n.toDouble / bins.length, bins))
+    }
     val cols = df.schema.fields.map { f =>
       val phys = meta.columnMapping.getOrElse(f.name, f.name)
       val (a, m) = f.dataType match {
         case StringType => (longOf(s"avg_${f.name}"), longOf(s"max_${f.name}"))
         case _          => (-1L, -1L)
       }
-      phys -> ColStat(longOf(s"ndv_${f.name}"), a, m)
+      phys -> ColStat(longOf(s"ndv_${f.name}"), a, m, histOf(f))
     }.toMap
     val s = TableColStats(version, System.currentTimeMillis(), row.getAs[Long]("n_rows"), cols)
     write(tableRoot, s)

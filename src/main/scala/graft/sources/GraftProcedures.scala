@@ -438,13 +438,21 @@ object GraftProcedures {
     override def description(): String = "one-pass column statistics scan"
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
-      ProcedureParameter.in("table", StringType).build())
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("histogram", BooleanType).defaultValue("false").build(),
+      ProcedureParameter.in("hist_bins", IntegerType).defaultValue("32").build(),
+      // restrict the (two-pass) histogram work to named columns;
+      // '' = every numeric column
+      ProcedureParameter.in("hist_cols", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val dir = Paths.get(root, table)
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
       val prev = ColStats.read(dir.toString)
-      val s = ColStats.analyze(SparkSession.active, dir.toString)
+      val hc = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val s = ColStats.analyze(SparkSession.active, dir.toString,
+        histogram = input.getBoolean(1), histBins = input.getInt(2), histCols = hc)
       val schema = StructType(Seq(
         StructField("columns_analyzed", IntegerType, nullable = false),
         StructField("n_rows", LongType, nullable = false),

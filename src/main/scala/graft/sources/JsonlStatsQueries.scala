@@ -1819,6 +1819,42 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q261 (r9c): HISTOGRAM-COSTED SKEW FILTER — `CALL analyze_table(t,
+    * histogram => true)` adds equi-height histograms (approx-quantile
+    * cuts + per-bin NDV, the two-pass cost Spark's own ANALYZE pays) to
+    * the stats sidecar, and FilterEstimation then interpolates range
+    * selectivity INSIDE bins instead of assuming uniformity over
+    * [min, max] — on this exponentially-skewed column the top-half
+    * range holds ~5% of rows where the uniform assumption says ~50%
+    * (ColStatsSpec pins the ≥3× estimate sharpening). At 100 TB that
+    * error is the difference between a broadcast and a 10-TB shuffle
+    * picked by the planner. Values are plan-independent; the oracle
+    * hash pins that costed planning never changes results. */
+  def histogramSkewFilter(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_hist_skew")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_hist_skew AS
+         |SELECT event_id, user_id, power(2.0, event_id % 20) AS sk
+         |FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"CALL $cat.analyze_table('jsonl_hist_skew', histogram => true, " +
+      "hist_bins => 20, hist_cols => 'sk')")
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "true") }
+    try {
+      val df = spark.sql(
+        s"""SELECT count(*) AS n,
+           |  min(event_id) AS min_id, max(event_id) AS max_id,
+           |  CAST(SUM(CAST(sk AS DECIMAL(18,6))) AS DOUBLE) AS sk_sum
+           |FROM $cat.jsonl_hist_skew
+           |WHERE sk >= 262144.0""".stripMargin)
+      df.collect()
+      df
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   /** q260 (r9c): RATE-LIMITED STREAM DRAIN — `maxFilesPerTrigger`
     * admission control (the Delta option, via DSv2
     * `SupportsAdmissionControl` + `SupportsTriggerAvailableNow`): a
@@ -2326,6 +2362,7 @@ object JsonlStatsQueries extends QueryModule {
     "q258_topn_pushdown" -> topNPushdown,
     "q259_limit_pushdown" -> limitPushdown,
     "q260_rate_limited_drain" -> rateLimitedDrain,
+    "q261_histogram_skew_filter" -> histogramSkewFilter,
   )
 
   val oracles = Map(
@@ -2547,6 +2584,12 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "q259_limit_pushdown" ->
       """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
+    "q261_histogram_skew_filter" ->
+      """SELECT count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(SUM(CAST(power(2.0, event_id % 20) AS DECIMAL(18,6))) AS DOUBLE) AS sk_sum
+        |FROM events
+        |WHERE power(2.0, event_id % 20) >= 262144.0""".stripMargin,
     "q260_rate_limited_drain" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -738,6 +738,25 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                 .fold(java.util.OptionalLong.empty())(st => java.util.OptionalLong.of(st.avgLen))
               override def maxLen(): java.util.OptionalLong = a.filter(_.maxLen >= 0)
                 .fold(java.util.OptionalLong.empty())(st => java.util.OptionalLong.of(st.maxLen))
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                a.flatMap(_.hist) match {
+                  case Some((h, bs)) =>
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = h
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                          bs.map { case (l, u, n) =>
+                            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                              override def lo(): Double = l
+                              override def hi(): Double = u
+                              override def ndv(): Long = n
+                            }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                          }.toArray
+                      })
+                  case None => java.util.Optional.empty()
+                }
             })
       }
       m

@@ -152,6 +152,38 @@ class ColStatsSpec extends SparkSpec {
     assert(re.getInt(3) >= 1, "re-analyze must report versions elapsed")
   }
 
+  test("equi-height histogram: skewed range selectivity estimates honestly, uniform lies") {
+    val dir = Files.createTempDirectory("colstats_hist").toString
+    // exponential skew: value = 2^(id mod 20) — the top HALF of the
+    // value domain holds ~5% of the rows, so the uniform [min,max]
+    // assumption overestimates a top-range filter by ~10×
+    spark.range(20000)
+      .select($"id".as("event_id"), pow(lit(2.0), ($"id" % 20).cast("double")).as("value"))
+      .repartitionByRange(4, $"event_id")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val cat = "graft_hist_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    def estimate(): BigInt = withCbo {
+      spark.read.format("graft-jsonl-stats").option("path", dir).load()
+        .filter($"value" >= 262144.0)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+    }
+    val actual = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .filter($"value" >= 262144.0).count()
+    spark.sql(s"CALL $cat.analyze_table('$t')")
+    val uniform = estimate()
+    spark.sql(s"CALL $cat.analyze_table('$t', histogram => true, hist_bins => 20)")
+    assert(ColStats.read(dir).get.cols("value").hist.isDefined, "histogram must persist")
+    val histogrammed = estimate()
+    assert(histogrammed < uniform / 3,
+      s"histogram must beat the uniform assumption on skew: hist=$histogrammed uniform=$uniform")
+    val err = (BigDecimal(histogrammed) - actual).abs / BigDecimal(actual)
+    assert(err < 0.5,
+      s"histogram estimate $histogrammed must be near actual $actual (uniform said $uniform)")
+  }
+
   test("column mapping: stats survive RENAME (physical keys, logical serving)") {
     val (cat, dir) = scratch("ren")
     val t = Paths.get(dir).getFileName.toString

@@ -115,7 +115,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       deleteMode = meta.deleteMode,
       columnMapping = meta.columnMapping,
       gramCol = meta.gramCol,
-      branch = Some(name))
+      branch = Some(name),
+      sortCol = meta.sortCol)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -133,7 +134,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       meta.partitionCol, bloomCol = meta.bloomCol,
       deleteMode = meta.deleteMode,
       columnMapping = meta.columnMapping,
-      gramCol = meta.gramCol)
+      gramCol = meta.gramCol,
+      sortCol = meta.sortCol)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -148,7 +150,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     * are refused — manifest pkeys are strings). */
   private def validateCreate(ident: Identifier, schema: StructType,
                              partitions: Array[Transform],
-                             properties: java.util.Map[String, String]): (String, Option[String]) = {
+                             properties: java.util.Map[String, String]): (String, Option[String], Option[String]) = {
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     if (provider.exists(p => p != "graft-jsonl-stats" && !p.equalsIgnoreCase("jsonl")))
       throw new UnsupportedOperationException(
@@ -226,7 +228,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       .orElse(schema.fields.find(f => f.dataType == LongType || f.dataType == DoubleType)
         .map(_.name))
       .getOrElse(schema.fieldNames.head)
-    (statsCol, partitionCol)
+    // declared write sort order (r9c): a TABLE property — every later
+    // append requests a within-task sort by it, so zone maps and file
+    // bounds stay tight with no job discipline
+    val sortCol = Option(properties.get("sortColumn"))
+    sortCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"sortColumn $c not in schema ${schema.fieldNames.mkString(",")}"))
+    (statsCol, partitionCol, sortCol)
   }
 
   /** Plain CREATE TABLE: publish an EMPTY manifest — the table exists,
@@ -234,7 +242,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
+    val (statsCol, partitionCol, sortCol) = validateCreate(ident, schema, partitions, properties)
     val dir = dirOf(ident)
     if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -250,9 +258,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         Seq(JsonlStats.FeatureColumnDefaults)
       else Nil
     JsonlStats.writeTableMeta(dir.toString, statsCol, partitionCol, schema,
-      features = features)
+      features = features, sortCol = sortCol)
     JsonlStats.publishManifest(dir.toString, java.util.UUID.randomUUID().toString, Seq.empty)
-    new JsonlStatsTable(dir.toString, schema, statsCol, partitionCol)
+    new JsonlStatsTable(dir.toString, schema, statsCol, partitionCol, sortCol = sortCol)
   }
 
   /** Atomic CTAS: the staged write's data files are invisible until its
@@ -262,11 +270,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): StagedTable = {
-    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
+    val (statsCol, partitionCol, sortCol) = validateCreate(ident, schema, partitions, properties)
     val dir = dirOf(ident)
     if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    new GraftCatalog.StagedJsonlTable(dir, schema, statsCol, partitionCol, replace = false)
+    new GraftCatalog.StagedJsonlTable(dir, schema, statsCol, partitionCol, replace = false,
+      sortCol = sortCol)
   }
 
   /** REPLACE/CREATE OR REPLACE AS SELECT: same staging, but the write
@@ -284,8 +293,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: java.util.Map[String, String]): StagedTable = {
-    val (statsCol, partitionCol) = validateCreate(ident, schema, partitions, properties)
-    new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, partitionCol, replace = true)
+    val (statsCol, partitionCol, sortCol) = validateCreate(ident, schema, partitions, properties)
+    new GraftCatalog.StagedJsonlTable(dirOf(ident), schema, statsCol, partitionCol,
+      replace = true, sortCol = sortCol)
   }
 
   /** Schema evolution, metadata-only where that is SOUND: ADD COLUMN
@@ -491,9 +501,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
              .EXISTS_DEFAULT_COLUMN_METADATA_KEY)))
          Seq(JsonlStats.FeatureColumnDefaults) else Nil)).distinct
     JsonlStats.writeTableMeta(dir.toString,
-      meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol, schema,
-      meta.bloomCol, meta.deleteMode, constraints, mapping, stamped, reserved,
-      gramCol = meta.gramCol)
+      meta.copy(schema = Some(schema), constraints = constraints,
+        columnMapping = mapping, features = stamped, reserved = reserved))
     loadTable(ident)
   }
 
@@ -658,7 +667,8 @@ object GraftCatalog {
     *     removed their files — the previous generation is untouched. */
   private[sources] class StagedJsonlTable(dir: java.nio.file.Path, tableSchema: StructType,
                                           statsCol: String, partitionCol: Option[String],
-                                          replace: Boolean)
+                                          replace: Boolean,
+                                          sortCol: Option[String] = None)
       extends StagedTable with SupportsWrite {
     java.nio.file.Files.createDirectories(dir)
     private val hadManifest = java.nio.file.Files.exists(dir.resolve("_stats.jsonl"))
@@ -671,7 +681,7 @@ object GraftCatalog {
     override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
         org.apache.spark.sql.connector.write.WriteBuilder = {
       val wb = new JsonlWriteBuilder(dir.toString, info.schema(), info.queryId(),
-        statsCol, partitionCol)
+        statsCol, partitionCol, sortCol = sortCol)
       if (replace) wb.truncate() else wb
     }
 

@@ -518,9 +518,8 @@ object GraftProcedures {
         s"gram index column $column must be a string column of ${schema.simpleString}")
       // declare FIRST: a writer landing after this sees the contract and
       // sidecars its own files; the backfill below covers the past
-      JsonlStats.writeTableMeta(tableRoot, m.statsCol.getOrElse(JsonlStats.statsColumn),
-        m.partitionCol, schema, m.bloomCol, m.deleteMode, m.constraints,
-        m.columnMapping, m.features, m.reserved, gramCol = Some(column))
+      JsonlStats.writeTableMeta(tableRoot, m.copy(schema = Some(schema),
+        gramCol = Some(column)))
       m.columnMapping.getOrElse(column, column)
     }
     val files = JsonlStats.readStats(tableRoot).map(_.file)
@@ -638,9 +637,7 @@ object GraftProcedures {
             "an ungated reader would silently truncate")
       if (!m.features.contains(JsonlStats.FeatureHistoryDeltas))
         JsonlStats.writeTableMeta(tableRoot,
-          m.statsCol.getOrElse(JsonlStats.statsColumn), m.partitionCol,
-          m.schema.get, m.bloomCol, m.deleteMode, m.constraints, m.columnMapping,
-          m.features :+ JsonlStats.FeatureHistoryDeltas, m.reserved, gramCol = m.gramCol)
+          m.copy(features = m.features :+ JsonlStats.FeatureHistoryDeltas))
     }
     var rewritten = 0; var before = 0L; var after = 0L
     candidates.foreach { v =>
@@ -809,9 +806,7 @@ object GraftProcedures {
     JsonlStats.metaLock.synchronized {
       val m = JsonlStats.readTableMeta(tableRoot)
       JsonlStats.writeTableMeta(tableRoot,
-        m.statsCol.getOrElse(JsonlStats.statsColumn),
-        newSpec, schema, m.bloomCol, m.deleteMode, m.constraints,
-        m.columnMapping, m.features, m.reserved, gramCol = m.gramCol)
+        m.copy(partitionCol = newSpec, schema = Some(schema)))
     }
     (oldSpec, stamped)
   }

@@ -217,10 +217,7 @@ class JsonlDvBatchWrite(root: String, queryId: String,
       val meta = JsonlStats.readTableMeta(root)
       if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureDvs))
         JsonlStats.writeTableMeta(root,
-          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
-          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
-          meta.columnMapping, meta.features :+ JsonlStats.FeatureDvs, meta.reserved,
-          gramCol = meta.gramCol)
+          meta.copy(features = meta.features :+ JsonlStats.FeatureDvs))
     }
     JsonlStats.commitAtomic(root, queryId, base => {
       // equality deletes (r9b): the DV-attach keeps each touched file's

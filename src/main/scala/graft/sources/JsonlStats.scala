@@ -116,7 +116,9 @@ class JsonlStats extends TableProvider with DataSourceRegister {
       // gram index resolves from the option OR the table sidecar — a
       // plain path read of an indexed table skips without being told
       gramCol = Option(opts.get("gramColumn")).orElse(meta0.flatMap(_.gramCol)),
-      branch = branch)
+      branch = branch,
+      // declared write sort (r9c): a table property, not job discipline
+      sortCol = Option(opts.get("sortColumn")).orElse(meta0.flatMap(_.sortCol)))
   }
 }
 
@@ -510,7 +512,8 @@ object JsonlStats {
                              columnMapping: Map[String, String] = Map.empty,
                              features: Seq[String] = Nil,
                              reserved: Seq[String] = Nil,
-                             gramCol: Option[String] = None)
+                             gramCol: Option[String] = None,
+                             sortCol: Option[String] = None)
 
   // ---- protocol features (r8): the Delta reader-features idea -----------
 
@@ -564,12 +567,14 @@ object JsonlStats {
                      columnMapping: Map[String, String] = Map.empty,
                      features: Seq[String] = Nil,
                      reserved: Seq[String] = Nil,
-                     gramCol: Option[String] = None): Unit = {
+                     gramCol: Option[String] = None,
+                     sortCol: Option[String] = None): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
     partitionCol.foreach(n.put("partitionColumn", _))
     bloomCol.foreach(n.put("bloomColumn", _))
+    sortCol.foreach(n.put("sortColumn", _))
     // substring gram index (r9): ADVISORY metadata, deliberately not a
     // read-gating feature — a reader ignoring it merely reads every file
     gramCol.foreach(n.put("gramColumn", _))
@@ -917,9 +922,29 @@ object JsonlStats {
     * of the storage-partitioned-join contract (the read side reports
     * `KeyGroupedPartitioning` from the manifest pkeys those files get).
     * Unkeyed writes pass through untouched. */
-  def keyedWrite(partitionCol: Option[String], inner: Write): Write = partitionCol match {
-    case None => inner
-    case Some(c) =>
+  def keyedWrite(partitionCol: Option[String], inner: Write): Write =
+    keyedWrite(partitionCol, None, inner)
+
+  /** `sortCol` (r9c — the Iceberg write-sort-order property): the write
+    * additionally requests a within-task sort by the declared column,
+    * so every produced file carries tight bounds and MONOTONE zone-map
+    * segments — range skipping and TopN pruning stay effective on every
+    * append without any job spelling ORDER BY. Composes under a keyed
+    * layout as the secondary sort (files stay one-pkey; rows inside
+    * sort). Spark inserts the sort; the writer is unchanged. */
+  def keyedWrite(partitionCol: Option[String], sortCol: Option[String], inner: Write): Write = (partitionCol, sortCol) match {
+    case (None, None) => inner
+    case (None, Some(sc)) =>
+      new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution = Distributions.unspecified()
+        override def requiredOrdering(): Array[SortOrder] =
+          Array(Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))
+        override def toBatch: BatchWrite = inner.toBatch
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          inner.toStreaming
+        override def description(): String = s"sorted($sc) ${inner.description()}"
+      }
+    case (Some(c), _) =>
       // hidden partitioning (r9): cluster + sort by the SOURCE column —
       // resolvable on every write path with no function catalog. For
       // identity this is the exact pre-r9 contract (one contiguous run
@@ -932,7 +957,9 @@ object JsonlStats {
       override def requiredDistribution(): Distribution =
         Distributions.clustered(Array(Expressions.identity(spec.col)))
       override def requiredOrdering(): Array[SortOrder] =
-        Array(Expressions.sort(Expressions.column(spec.col), SortDirection.ASCENDING))
+        Array(Expressions.sort(Expressions.column(spec.col), SortDirection.ASCENDING)) ++
+          sortCol.filter(_ != spec.col).map(sc =>
+            Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))
       override def toBatch: BatchWrite = inner.toBatch
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         inner.toStreaming
@@ -1001,9 +1028,22 @@ object JsonlStats {
         else (0 until n.get("features").size()).map(i => n.get("features").get(i).asText()),
         if (!n.hasNonNull("reserved")) Nil
         else (0 until n.get("reserved").size()).map(i => n.get("reserved").get(i).asText()),
-        if (n.hasNonNull("gramColumn")) Some(n.get("gramColumn").asText()) else None))
+        if (n.hasNonNull("gramColumn")) Some(n.get("gramColumn").asText()) else None,
+        if (n.hasNonNull("sortColumn")) Some(n.get("sortColumn").asText()) else None))
     }
   }
+
+  /** Meta-preserving rewrite: re-publish the sidecar with every field
+    * of `meta` intact. The stamp sites (features, constraints, column
+    * mapping) MUST route through this — a long-form call that spells
+    * each field would silently drop any field added after it was
+    * written (the bug class that cost the clone its eqdel lines). */
+  def writeTableMeta(root: String, meta: TableMeta): Unit =
+    writeTableMeta(root, meta.statsCol.getOrElse(statsColumn), meta.partitionCol,
+      meta.schema.getOrElse(throw new IllegalStateException(
+        s"cannot rewrite _table.json of $root without a schema")),
+      meta.bloomCol, meta.deleteMode, meta.constraints, meta.columnMapping,
+      meta.features, meta.reserved, meta.gramCol, meta.sortCol)
 
   /** Protocol gate (r8): refuse a table whose sidecar names a
     * READ-gating feature this build does not implement — the one
@@ -1167,7 +1207,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       deleteMode: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None,
-                      branch: Option[String] = None) extends Table
+                      branch: Option[String] = None,
+                      sortCol: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1302,7 +1343,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
         s"cannot write to a historical snapshot ($manifest) of $root")
     new JsonlWriteBuilder(root, info.schema(), info.queryId(), statsCol, partitionCol,
       bloomCol, Option(info.options().get("txnAppId")), columnMapping, gramCol,
-      branch = branch,
+      branch = branch, sortCol = sortCol,
       // equality-delete upsert (r9b): `upsertKeys=k1[,k2]` makes this
       // append retract every OLDER row sharing a key with an incoming
       // one — the Flink/CDC upsert shape, one atomic commit

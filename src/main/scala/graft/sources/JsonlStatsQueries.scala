@@ -1819,6 +1819,33 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q262 (r9c): DECLARED WRITE SORT ORDER — `TBLPROPERTIES
+    * ('sortColumn' = 'value')` makes the SORT a property of the TABLE
+    * (the Iceberg write-order idea): every append — this CTAS, later
+    * INSERTs, streaming epochs — gets a within-task sort injected by
+    * Spark (`RequiresDistributionAndOrdering`), so file bounds and
+    * zone-map segments are tight and MONOTONE whatever order the
+    * producing query emits. The narrow range cut below then prunes at
+    * file AND sub-file granularity on a table nobody ever explicitly
+    * sorted — at 100 TB, the difference between "fast if the ingest
+    * team remembered ORDER BY" and "fast by contract" (laws in
+    * SortOrderSpec). */
+  def sortedTableScan(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_sorted")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_sorted TBLPROPERTIES ('sortColumn' = 'value') AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM $cat.jsonl_sorted
+         |WHERE value >= 100.0 AND value < 140.0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** q261 (r9c): HISTOGRAM-COSTED SKEW FILTER — `CALL analyze_table(t,
     * histogram => true)` adds equi-height histograms (approx-quantile
     * cuts + per-bin NDV, the two-pass cost Spark's own ANALYZE pays) to
@@ -2363,6 +2390,7 @@ object JsonlStatsQueries extends QueryModule {
     "q259_limit_pushdown" -> limitPushdown,
     "q260_rate_limited_drain" -> rateLimitedDrain,
     "q261_histogram_skew_filter" -> histogramSkewFilter,
+    "q262_sorted_table_scan" -> sortedTableScan,
   )
 
   val oracles = Map(
@@ -2584,6 +2612,14 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "q259_limit_pushdown" ->
       """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
+    "q262_sorted_table_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE value >= 100.0 AND value < 140.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q261_histogram_skew_filter" ->
       """SELECT count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id,

@@ -31,7 +31,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         columnMapping: Map[String, String] = Map.empty,
                         gramCol: Option[String] = None,
                         branch: Option[String] = None,
-                        upsertCols: Option[Seq[String]] = None)
+                        upsertCols: Option[Seq[String]] = None,
+                        sortCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   // fail-fast at planning, not first task: the same key-column gate the
   // task-side tracker enforces (long/string only — float keys don't
@@ -80,10 +81,10 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
     this
   }
 
-  override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
+  override def build(): Write = JsonlStats.keyedWrite(partitionCol, sortCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol, columnMapping, gramCol, branch, upsertCols)
+        replaceFilters, bloomCol, columnMapping, gramCol, branch, upsertCols, sortCol)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (branch.isDefined)
         throw new UnsupportedOperationException(
@@ -95,7 +96,7 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
             "mode and replaceWhere would re-truncate the table every micro-batch")
       new JsonlStreamingWrite(root, writeSchema, queryId,
         txnAppId.getOrElse(queryId), statsCol, partitionCol, bloomCol, columnMapping,
-        gramCol, upsertCols)
+        gramCol, upsertCols, sortCol)
     }
   })
 }
@@ -124,7 +125,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
                           bloomCol: Option[String] = None,
                           columnMapping: Map[String, String] = Map.empty,
                           gramCol: Option[String] = None,
-                          upsertCols: Option[Seq[String]] = None)
+                          upsertCols: Option[Seq[String]] = None,
+                          sortCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -159,15 +161,12 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     val eqs = JsonlStats.eqCommits(messages)
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
-        gramCol = gramCol)
+        gramCol = gramCol, sortCol = sortCol)
     if (eqs.nonEmpty) JsonlStats.metaLock.synchronized {
       val meta = JsonlStats.readTableMeta(root)
       if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
         JsonlStats.writeTableMeta(root,
-          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
-          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
-          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
-          gramCol = meta.gramCol)
+          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
     }
     // OCC append (r8): the epoch's files ride a blind-append rebase —
     // concurrent batch appends or OTHER streaming apps' epochs commute;
@@ -234,7 +233,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None,
                       branch: Option[String] = None,
-                      upsertCols: Option[Seq[String]] = None) extends BatchWrite {
+                      upsertCols: Option[Seq[String]] = None,
+                      sortCol: Option[String] = None) extends BatchWrite {
   /** Overwrite conflict reference (r8 review): captured when the WRITE
     * is CONSTRUCTED — physical planning, before the job's tasks run —
     * not at commit() time. A truncate/replaceWhere logically reads the
@@ -367,10 +367,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       val meta = JsonlStats.readTableMeta(root)
       if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
         JsonlStats.writeTableMeta(root,
-          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
-          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
-          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
-          gramCol = meta.gramCol)
+          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
     }
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
@@ -397,7 +394,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       val prior = JsonlStats.readTableMeta(root)
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         prior.deleteMode, prior.constraints, prior.columnMapping, prior.features,
-        prior.reserved, gramCol = gramCol.orElse(prior.gramCol))
+        prior.reserved, gramCol = gramCol.orElse(prior.gramCol),
+        sortCol = sortCol.orElse(prior.sortCol))
     }
     // OCC commit (r8): a plain append is BLIND — it commutes with any
     // concurrent commit, so the rebase just re-adds the fresh entries

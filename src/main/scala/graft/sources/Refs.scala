@@ -338,10 +338,7 @@ object Refs {
       val meta = JsonlStats.readTableMeta(root)
       if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
         JsonlStats.writeTableMeta(root,
-          meta.statsCol.getOrElse(JsonlStats.statsColumn), meta.partitionCol,
-          meta.schema.get, meta.bloomCol, meta.deleteMode, meta.constraints,
-          meta.columnMapping, meta.features :+ JsonlStats.FeatureEqDeletes, meta.reserved,
-          gramCol = meta.gramCol)
+          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
     }
     JsonlStats.commitAtomic(root, queryId, base => {
       val baseFiles = JsonlStats.parseStatsLines(base).map(_.file).toSet

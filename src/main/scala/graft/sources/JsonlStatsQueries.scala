@@ -1819,6 +1819,28 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q263 (r9c): STATS METADATA TABLE — `SELECT * FROM t.stats`
+    * (completing the files/partitions/history/refs inspection family):
+    * one row per schema column with the planner's actual view — EXACT
+    * null counts from the manifest (current at every commit), ANALYZE
+    * NDV/length stats with the version they were computed at, and
+    * staleness as data. The oracle pins the exact legs (null counts,
+    * string lengths, freshness) against their from-scratch DuckDB
+    * derivations — proving the sidecar numbers ARE the dataset's, not
+    * merely plausible. */
+  def statsMetaTable(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_stats_meta")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_stats_meta AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"CALL $cat.analyze_table('jsonl_stats_meta')")
+    spark.sql(
+      s"""SELECT column AS column_name, null_count, avg_len, max_len, versions_stale
+         |FROM $cat.jsonl_stats_meta.stats
+         |ORDER BY column_name""".stripMargin)
+  }
+
   /** q262 (r9c): DECLARED WRITE SORT ORDER — `TBLPROPERTIES
     * ('sortColumn' = 'value')` makes the SORT a property of the TABLE
     * (the Iceberg write-order idea): every append — this CTAS, later
@@ -2391,6 +2413,7 @@ object JsonlStatsQueries extends QueryModule {
     "q260_rate_limited_drain" -> rateLimitedDrain,
     "q261_histogram_skew_filter" -> histogramSkewFilter,
     "q262_sorted_table_scan" -> sortedTableScan,
+    "q263_stats_meta_table" -> statsMetaTable,
   )
 
   val oracles = Map(
@@ -2612,6 +2635,22 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "q259_limit_pushdown" ->
       """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
+    "q263_stats_meta_table" ->
+      """SELECT col AS column_name, null_count, avg_len, max_len, versions_stale FROM (
+        |  SELECT 'event_id' AS col, CAST(count(*) - count(event_id) AS BIGINT) AS null_count,
+        |    CAST(NULL AS BIGINT) AS avg_len, CAST(NULL AS BIGINT) AS max_len,
+        |    0 AS versions_stale FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0 FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+        |    CAST(CEIL(AVG(LENGTH(event_type))) AS BIGINT),
+        |    CAST(MAX(LENGTH(event_type)) AS BIGINT), 0 FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0 FROM events
+        |) AS t ORDER BY column_name""".stripMargin,
     "q262_sorted_table_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

@@ -26,13 +26,14 @@ import java.nio.file.{Files, Paths}
   * the scan is BUILT, so each query sees one consistent snapshot of
   * the manifest. */
 object MetaTables {
-  val Names: Set[String] = Set("files", "partitions", "history", "refs")
+  val Names: Set[String] = Set("files", "partitions", "history", "refs", "stats")
 
   def load(tableRoot: String, which: String): Table = which match {
     case "files"      => table(tableRoot, "files", filesSchema, filesRows)
     case "partitions" => table(tableRoot, "partitions", partitionsSchema, partitionsRows)
     case "history"    => table(tableRoot, "history", historySchema, historyRows)
     case "refs"       => table(tableRoot, "refs", refsSchema, refsRows)
+    case "stats"      => table(tableRoot, "stats", statsSchema, statsRows)
     case other => throw new IllegalArgumentException(s"no metadata table '$other'")
   }
 
@@ -57,6 +58,22 @@ object MetaTables {
     StructField("pkey", StringType, nullable = true),
     StructField("files", LongType, nullable = false),
     StructField("live_rows", LongType, nullable = false)))
+
+  /** One row per schema column (r9c): the planner's view of the table —
+    * EXACT null counts summed from the manifest (current at every
+    * commit), ANALYZE-sidecar NDV/lengths/histogram flags with the
+    * version they were computed at, staleness = versions elapsed since.
+    * `ndv` is null before the first `CALL analyze_table`. */
+  private val statsSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("physical_name", StringType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("ndv", LongType, nullable = true),
+    StructField("avg_len", LongType, nullable = true),
+    StructField("max_len", LongType, nullable = true),
+    StructField("has_histogram", BooleanType, nullable = false),
+    StructField("analyzed_version", IntegerType, nullable = true),
+    StructField("versions_stale", IntegerType, nullable = true)))
 
   /** One row per generation, live included (`superseded_ms` NULL = the
     * live one). Archive mtime IS the supersede instant — the same index
@@ -117,6 +134,30 @@ object MetaTables {
     }.toArray
 
   // ---- the table shell --------------------------------------------------
+
+  private def statsRows(root: String): Array[InternalRow] = {
+    val meta = JsonlStats.readTableMeta(root)
+    val schema = meta.schema.getOrElse(JsonlStats.schema)
+    val live = JsonlStats.readStats(root)
+    val haveRows = live.nonEmpty && live.forall(_.rows >= 0)
+    val analyzed = ColStats.read(root)
+    val current = JsonlStats.currentVersion(root)
+    schema.fields.map { f =>
+      val pc = meta.columnMapping.getOrElse(f.name, f.name)
+      val nulls: Any =
+        if (haveRows && live.forall(_.colNonNull.contains(pc)))
+          Long.box(live.map(s => math.max(0L, s.rows - s.dels - s.colNonNull(pc))).sum)
+        else null
+      val a = analyzed.flatMap(_.cols.get(pc))
+      InternalRow(utf8(f.name), utf8(pc), nulls,
+        a.map(st => Long.box(st.ndv)).orNull,
+        a.filter(_.avgLen >= 0).map(st => Long.box(st.avgLen)).orNull,
+        a.filter(_.maxLen >= 0).map(st => Long.box(st.maxLen)).orNull,
+        a.exists(_.hist.isDefined),
+        analyzed.map(s => Int.box(s.version)).orNull,
+        analyzed.map(s => Int.box(current - s.version)).orNull)
+    }.toArray
+  }
 
   private def table(root: String, which: String, tableSchema: StructType,
                     rowsOf: String => Array[InternalRow]): Table =

@@ -60,15 +60,21 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_bytes", LongType)
-        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build())
+        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build(),
+      // SCOPED maintenance (r9c, the Delta `OPTIMIZE ... WHERE` shape):
+      // '' = whole table; a partition value compacts only files whose
+      // manifest pkey equals it — at 100 TB you compact yesterday's
+      // partition, never the table
+      ProcedureParameter.in("partition", StringType).defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val target = input.getLong(1)
       require(target > 0, s"target_bytes must be positive, got $target")
+      val part = Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
       val dir = Paths.get(root, table)
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
-      val (before, after, merged) = GraftProcedures.compact(dir.toString, target)
+      val (before, after, merged) = GraftProcedures.compact(dir.toString, target, part)
       java.util.List.of[Scan](new CompactResultScan(before, after, merged)).iterator()
     }
   }
@@ -1248,8 +1254,18 @@ object GraftProcedures {
       segb = zones.zones(ckpts.nonEmpty), pspec = pspec)
   }
 
-  def compact(tableRoot: String, targetBytes: Long): (Int, Int, Int) = {
+  def compact(tableRoot: String, targetBytes: Long,
+              partition: Option[String] = None): (Int, Int, Int) = {
     val stats = JsonlStats.readStats(tableRoot)
+    // scoped compaction (r9c): only files whose manifest pkey equals
+    // the requested partition are candidates; everything else is
+    // untouched BY CONSTRUCTION (it never enters a bin). On an unkeyed
+    // table a partition scope matches nothing — loud, not silent
+    partition.foreach { p =>
+      require(stats.exists(_.pkey.contains(p)),
+        s"compact($tableRoot, partition => '$p'): no live file carries that pkey " +
+          s"(pkeys: ${stats.flatMap(_.pkey).distinct.sorted.take(10).mkString(", ")})")
+    }
     val sized = stats.map(s => s -> {
       val p = Paths.get(tableRoot, s.file)
       if (Files.exists(p)) Files.size(p) else 0L
@@ -1260,7 +1276,8 @@ object GraftProcedures {
     // positions out from under their deletion vectors; rewrite_deletes
     // collapses the DVs first, after which the clean file can compact
     val (candidates, untouched) =
-      sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 && s.dvs.isEmpty }
+      sized.partition { case (s, bytes) => bytes < targetBytes && s.rows >= 0 &&
+        s.dvs.isEmpty && partition.forall(s.pkey.contains) }
     val runId = java.util.UUID.randomUUID().toString.take(8)
     var binSeq = 0
     // partition evolution (r9): a bin's files must share BOTH the key

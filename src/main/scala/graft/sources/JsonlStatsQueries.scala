@@ -1819,6 +1819,31 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
+  /** q264 (r9c): INDEXED CONTAMINATION AUDIT — the benchmark-
+    * membership probe at corpus scale, composed from two tiers: the
+    * curation question is q100's ("do any benchmark strings appear in
+    * the training corpus?"), the access path is q239's gram index.
+    * Each probe phrase becomes `LIKE '%phrase%'` whose gram hashes
+    * prune task ranges BEFORE parsing, so auditing K probes against
+    * 100 TB of text costs K × (sidecar reads + the hit files' parses)
+    * — most probes are absent and touch no text at all (no false
+    * negatives by construction; GramBench measured the byte law).
+    * Results exact by oracle; the absent probe pins that pruning
+    * never fabricates a miss. */
+  def indexedContamination(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureGramFixture(spark, d)
+    val probes = Seq("merge batch part", "customer query line",
+      "window spark order", "zzqq absent probe")
+    probes.map { p =>
+      spark.read.format("graft-jsonl-stats").option("path", dir).load()
+        .filter($"text".contains(p))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .select(lit(p).as("probe"), $"n_docs", $"min_id", $"max_id")
+    }.reduce(_ unionAll _).orderBy($"probe")
+  }
+
   /** q263 (r9c): STATS METADATA TABLE — `SELECT * FROM t.stats`
     * (completing the files/partitions/history/refs inspection family):
     * one row per schema column with the planner's actual view — EXACT
@@ -2414,6 +2439,7 @@ object JsonlStatsQueries extends QueryModule {
     "q261_histogram_skew_filter" -> histogramSkewFilter,
     "q262_sorted_table_scan" -> sortedTableScan,
     "q263_stats_meta_table" -> statsMetaTable,
+    "q264_indexed_contamination" -> indexedContamination,
   )
 
   val oracles = Map(
@@ -2635,6 +2661,21 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "q259_limit_pushdown" ->
       """SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 500) AS t""".stripMargin,
+    "q264_indexed_contamination" ->
+      """SELECT probe, n_docs, min_id, max_id FROM (
+        |  SELECT 'merge batch part' AS probe, count(*) AS n_docs,
+        |    min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents WHERE text LIKE '%merge batch part%'
+        |  UNION ALL
+        |  SELECT 'customer query line', count(*), min(doc_id), max(doc_id)
+        |  FROM documents WHERE text LIKE '%customer query line%'
+        |  UNION ALL
+        |  SELECT 'window spark order', count(*), min(doc_id), max(doc_id)
+        |  FROM documents WHERE text LIKE '%window spark order%'
+        |  UNION ALL
+        |  SELECT 'zzqq absent probe', count(*), min(doc_id), max(doc_id)
+        |  FROM documents WHERE text LIKE '%zzqq absent probe%'
+        |) AS t ORDER BY probe""".stripMargin,
     "q263_stats_meta_table" ->
       """SELECT col AS column_name, null_count, avg_len, max_len, versions_stale FROM (
         |  SELECT 'event_id' AS col, CAST(count(*) - count(event_id) AS BIGINT) AS null_count,

@@ -1180,6 +1180,36 @@ class JsonlStatsSpec extends SparkSpec {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("scoped compaction: partition => compacts one pkey, the rest byte-untouched (r9c)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    val root = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.compact_scoped")
+    spark.sql(
+      s"""CREATE TABLE $cat.compact_scoped PARTITIONED BY (event_type) AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.compact_scoped SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table")
+    spark.sql(s"INSERT INTO $cat.compact_scoped SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table")
+    val dir = root.resolve("compact_scoped").toString
+    val before = JsonlStats.readStats(dir)
+    val target = before.flatMap(_.pkey).distinct.sorted.head
+    val othersBefore = before.filterNot(_.pkey.contains(target)).map(_.file).toSet
+    assume(before.count(_.pkey.contains(target)) >= 2, "need a fragmented partition")
+    val rows = spark.table(s"$cat.compact_scoped").count()
+    spark.sql(s"CALL $cat.compact('compact_scoped', ${8L << 20}, partition => '$target')")
+    val after = JsonlStats.readStats(dir)
+    assert(after.count(_.pkey.contains(target)) < before.count(_.pkey.contains(target)),
+      "the scoped partition must compact")
+    assert(after.filterNot(_.pkey.contains(target)).map(_.file).toSet === othersBefore,
+      "files outside the scope must keep their names (never entered a bin)")
+    assert(spark.table(s"$cat.compact_scoped").count() === rows)
+    // an unknown partition refuses loudly, never silently no-ops
+    val bad = intercept[Exception](
+      spark.sql(s"CALL $cat.compact('compact_scoped', ${8L << 20}, partition => 'nope')"))
+    assert(bad.getMessage.contains("no live file carries that pkey"), bad.getMessage)
+    spark.sql(s"DROP TABLE $cat.compact_scoped")
+  }
+
   test("q178: CALL compact bin-packs files, keeps bounds exact and keys separate (r7)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

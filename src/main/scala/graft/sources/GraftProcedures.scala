@@ -1108,7 +1108,11 @@ object GraftProcedures {
       JsonlStats.rebaseRewrite(
         dirty.map(JsonlStats.statsLine) ++ eqdels.map(JsonlEqualityDeletes.line),
         fresh.filter(_.rows > 0).map(JsonlStats.statsLine)))
-    (dirty.size, dirty.map(_.dvs.size).sum, dirty.map(_.dels).sum)
+    // rows_dropped is the MATERIALIZED count — DV'd positions AND
+    // eq-masked keys (review r9c: the DV-only sum reported 0 for a
+    // pure-upsert rewrite): physical in minus physical out
+    (dirty.size, dirty.map(_.dvs.size).sum,
+      dirty.map(_.rows).sum - fresh.map(_.rows).sum)
   }
 
   /** Executor side of [[rewriteDeletes]]: stream `file` minus the DV'd

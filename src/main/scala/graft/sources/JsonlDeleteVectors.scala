@@ -210,15 +210,8 @@ class JsonlDvBatchWrite(root: String, queryId: String,
     }
     // protocol stamp (r8) BEFORE the swap: once any entry carries a DV,
     // only DV-aware readers can read the table correctly — a crash in
-    // between over-declares, which is conservative. Re-read INSIDE the
-    // meta lock so a concurrent DDL's sidecar update is never
-    // overwritten with a stale snapshot (r8 review).
-    if (fresh.nonEmpty) JsonlStats.metaLock.synchronized {
-      val meta = JsonlStats.readTableMeta(root)
-      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureDvs))
-        JsonlStats.writeTableMeta(root,
-          meta.copy(features = meta.features :+ JsonlStats.FeatureDvs))
-    }
+    // between over-declares, which is conservative.
+    if (fresh.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureDvs)
     JsonlStats.commitAtomic(root, queryId, base => {
       // equality deletes (r9b): the DV-attach keeps each touched file's
       // own seq (unMATERIALIZED eq-masks must keep applying to it),

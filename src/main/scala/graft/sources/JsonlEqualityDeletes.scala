@@ -75,10 +75,14 @@ object JsonlEqualityDeletes {
 
   /** CANONICAL KEY — the one encoding writer and reader share, derived
     * from JSON VALUE TYPES (both sides are JSON, so it agrees by
-    * construction): integral → `l:`, text → `s:`, null/absent → a
-    * sentinel that matches only itself. Multi-column keys join on an
-    * unprintable separator. Key columns are restricted to long/string
-    * at the write gate — float keys don't round-trip text reliably. */
+    * construction): integral → `l:`, text → `s:<len>:<value>`
+    * (LENGTH-PREFIXED, review r9c: a raw separator join let a string
+    * value containing \\u0001 forge another key's encoding and retract
+    * the wrong rows — the length prefix makes each component
+    * self-delimiting, so distinct tuples encode distinctly whatever
+    * bytes the values hold), null/absent → a sentinel that matches
+    * only itself. Key columns are restricted to long/string at the
+    * write gate — float keys don't round-trip text reliably. */
   def canonicalKey(node: JsonNode, cols: Seq[String]): String = {
     val sb = new java.lang.StringBuilder(32)
     var i = 0
@@ -87,7 +91,10 @@ object JsonlEqualityDeletes {
       val v = node.get(cols(i))
       if (v == null || v.isNull) sb.append('\u0000')
       else if (v.isIntegralNumber) sb.append("l:").append(v.asLong())
-      else sb.append("s:").append(v.asText())
+      else {
+        val t = v.asText()
+        sb.append("s:").append(t.length).append(':').append(t)
+      }
       i += 1
     }
     sb.toString
@@ -140,7 +147,8 @@ object JsonlEqualityDeletes {
         else if (dt == org.apache.spark.sql.types.LongType) {
           val v = row.getLong(fi); sb.append("l:").append(v); vals(i) = java.lang.Long.valueOf(v)
         } else {
-          val v = row.getUTF8String(fi).toString; sb.append("s:").append(v); vals(i) = v
+          val v = row.getUTF8String(fi).toString
+          sb.append("s:").append(v.length).append(':').append(v); vals(i) = v
         }
         i += 1
       }
@@ -180,5 +188,25 @@ object JsonlEqualityDeletes {
     val dataMax = JsonlStats.parseStatsLines(baseLines).map(_.seq).maxOption.getOrElse(0L)
     val eqMax = parseLines(baseLines).map(_.seq).maxOption.getOrElse(0L)
     math.max(dataMax, eqMax)
+  }
+
+  /** THE append rebase with sequence stamping, shared by the batch and
+    * streaming commit paths (review r9c: three hand-kept copies had
+    * already drifted): a table with eqdels stamps every new data entry
+    * at the base's max seq (existing deletes must not retract NEW
+    * rows); an upsert commit takes maxSeq+1 for both its delete files
+    * and its data (strict `<` applicability means its own inserts
+    * survive its own retraction — the Iceberg v2 rule). Clean
+    * non-upsert tables take the byte-stable fast path. */
+  def stampedAppend(freshStats: Seq[JsonlStats.FileStats],
+                    eqs: Seq[(String, Seq[String], Long)])(base: Seq[String]): Seq[String] = {
+    val baseHasEq = parseLines(base).nonEmpty
+    if (eqs.isEmpty && !baseHasEq) base ++ freshStats.map(JsonlStats.statsLine)
+    else {
+      val m = maxSeq(base)
+      val s = if (eqs.nonEmpty) m + 1 else m
+      base ++ freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = s))) ++
+        eqs.map { case (f, cols, k) => line(EqDelete(f, cols, s, k)) }
+    }
   }
 }

@@ -1033,6 +1033,25 @@ object JsonlStats {
     }
   }
 
+  /** Stamp a READ-gating protocol feature (no-op when already stamped).
+    * One choke point for the four write paths that first use a feature
+    * (review r9c: four hand-kept copies of this idiom let the batch
+    * upsert path order its stamp before the defining meta write and
+    * silently skip it on a first-generation table). Refuses loudly on
+    * a schema-less sidecar — a feature that cannot be recorded must not
+    * be used, or an unaware reader misreads without the promised
+    * refusal (the compact_history stance). */
+  def stampFeature(root: String, feature: String): Unit = metaLock.synchronized {
+    val meta = readTableMeta(root)
+    if (meta.features.contains(feature)) return
+    if (meta.schema.isEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot stamp read-gating feature '$feature' on $root: no _table.json schema " +
+          "to gate readers with — define the table (first write publishes the sidecar) " +
+          "before using the feature")
+    writeTableMeta(root, meta.copy(features = meta.features :+ feature))
+  }
+
   /** Meta-preserving rewrite: re-publish the sidecar with every field
     * of `meta` intact. The stamp sites (features, constraints, column
     * mapping) MUST route through this — a long-form call that spells

@@ -902,15 +902,19 @@ class JsonlManifestStream(root: String, required: StructType,
     case f: ReadMaxFiles => unseen.take(f.maxFiles())
     case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
       // at least one file always admits (a single over-budget file must
-      // not stall the stream — Delta's rule)
+      // not stall the stream — Delta's rule). The first-file exemption
+      // is positional (review r9c: a budget==max proxy re-granted it
+      // after any zero-size prefix — vacuumed-mid-stream debris would
+      // over-admit)
       var budget = b.maxBytes()
-      val taken = unseen.takeWhile { f =>
+      var first = true
+      unseen.takeWhile { f =>
         val sz = try Files.size(Paths.get(root, f)) catch { case _: Throwable => 0L }
-        val ok = budget >= sz || budget == b.maxBytes()
+        val ok = first || budget >= sz
+        first = false
         budget -= sz
         ok
       }
-      if (taken.isEmpty) unseen.take(1) else taken
     case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
       c.getReadLimits.foldLeft(unseen)((u, l) => admit(u, l))
     case _ => unseen

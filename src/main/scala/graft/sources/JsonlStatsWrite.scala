@@ -153,7 +153,6 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
           pspec = if (c.pkey.isDefined) partitionCol else None))
-    val freshLines = freshStats.map(JsonlStats.statsLine)
     // STREAMING UPSERT (r9b): the epoch's retraction (its tasks'
     // equality-delete files) and its inserts land in the SAME
     // exactly-once commit as the txn watermark — a replayed epoch can
@@ -162,12 +161,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     if (!Files.exists(Paths.get(root, "_table.json")))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
         gramCol = gramCol, sortCol = sortCol)
-    if (eqs.nonEmpty) JsonlStats.metaLock.synchronized {
-      val meta = JsonlStats.readTableMeta(root)
-      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
-        JsonlStats.writeTableMeta(root,
-          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
-    }
+    if (eqs.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureEqDeletes)
     // OCC append (r8): the epoch's files ride a blind-append rebase —
     // concurrent batch appends or OTHER streaming apps' epochs commute;
     // this app's own epochs are sequential by Spark's contract, so the
@@ -175,17 +169,7 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
     // txn line replaces this app's watermark; every other app's carries
     // forward from whichever base wins.
     JsonlStats.commitAtomic(root, s"$queryId-$runTag-e$epochId",
-      base => {
-        val baseHasEq = JsonlEqualityDeletes.parseLines(base).nonEmpty
-        if (eqs.isEmpty && !baseHasEq) base ++ freshLines
-        else {
-          val m = JsonlEqualityDeletes.maxSeq(base)
-          val sq = if (eqs.nonEmpty) m + 1 else m
-          base ++ freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = sq))) ++
-            eqs.map { case (f, cols, k) =>
-              JsonlEqualityDeletes.line(JsonlEqualityDeletes.EqDelete(f, cols, sq, k)) }
-        }
-      },
+      JsonlEqualityDeletes.stampedAppend(freshStats, eqs),
       ownTxns = Seq(JsonlStats.txnLine(appId, epochId)))
   }
 
@@ -341,34 +325,12 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           pspec = if (c.pkey.isDefined) partitionCol else None))
     val freshLines = freshStats.map(JsonlStats.statsLine)
     // equality-delete upsert (r9b): the tasks' delete files, registered
-    // in the SAME commit as their data (retract + insert atomically)
+    // in the SAME commit as their data (retract + insert atomically);
+    // sequence stamping is the shared rebase
+    // ([[JsonlEqualityDeletes.stampedAppend]])
     val eqs = JsonlStats.eqCommits(messages)
-    // APPEND rebase with sequence stamping: a table with eqdels stamps
-    // every new data entry at the base's max seq (existing deletes must
-    // not retract NEW rows); an upsert commit takes maxSeq+1 for both
-    // its delete files and its data (strict `<` applicability means its
-    // own inserts survive its own retraction — the Iceberg v2 rule).
-    // Clean non-upsert tables take the byte-stable fast path.
-    def appendRebase(base: Seq[String]): Seq[String] = {
-      val baseHasEq = JsonlEqualityDeletes.parseLines(base).nonEmpty
-      if (eqs.isEmpty && !baseHasEq) base ++ freshLines
-      else {
-        val m = JsonlEqualityDeletes.maxSeq(base)
-        val s = if (eqs.nonEmpty) m + 1 else m
-        val stamped = freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = s)))
-        val eqLines = eqs.map { case (f, cols, k) =>
-          JsonlEqualityDeletes.line(JsonlEqualityDeletes.EqDelete(f, cols, s, k)) }
-        base ++ stamped ++ eqLines
-      }
-    }
-    // protocol stamp BEFORE the swap (the DV pattern, r8): once any
-    // eqdel line exists, only eqdel-aware readers read correctly
-    if (eqs.nonEmpty) JsonlStats.metaLock.synchronized {
-      val meta = JsonlStats.readTableMeta(root)
-      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
-        JsonlStats.writeTableMeta(root,
-          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
-    }
+    def appendRebase(base: Seq[String]): Seq[String] =
+      JsonlEqualityDeletes.stampedAppend(freshStats, eqs)(base)
     // table-level metadata rides next to the manifest so a catalog can
     // resolve this table with the right stats column, key column,
     // schema — written by the generation that DEFINES the table (first
@@ -383,6 +345,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // and main's manifest is untouched until fast_forward publishes.
     branch match {
       case Some(b) =>
+        // staged upserts gate MAIN's readers too: fast_forward will
+        // publish these eqdel lines (conservative over-declaration
+        // until then — the crash-between stance)
+        if (eqs.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureEqDeletes)
         if (truncateFirst) Refs.commitBranch(root, b, _ => freshLines)
         else Refs.commitBranch(root, b, appendRebase)
         return
@@ -397,6 +363,11 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
         prior.reserved, gramCol = gramCol.orElse(prior.gramCol),
         sortCol = sortCol.orElse(prior.sortCol))
     }
+    // protocol stamp BEFORE the swap (the DV pattern, r8) and AFTER the
+    // defining meta write (review r9c: the old order silently skipped
+    // the stamp on a first-generation upsert — the sidecar did not
+    // exist yet — publishing ungated eqdel lines)
+    if (eqs.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureEqDeletes)
     // OCC commit (r8): a plain append is BLIND — it commutes with any
     // concurrent commit, so the rebase just re-adds the fresh entries
     // on whatever base wins (Delta's append-never-conflicts guarantee,
@@ -425,8 +396,15 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           if (n.hasNonNull("eqdel")) keptFiles.nonEmpty
           else n.hasNonNull("file") && keptFiles.contains(n.get("file").asText())
         }
+        // kept eqdels must not retract the REPLACEMENT rows (review
+        // r9c: unstamped fresh entries sat at seq 0 under kept seq-N
+        // deletes — silently masked data): stamp fresh at the kept max
+        val mEq = JsonlEqualityDeletes.parseLines(keptLines).map(_.seq).maxOption.getOrElse(0L)
+        val freshReplace =
+          if (mEq == 0L) freshLines
+          else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = mEq)))
         JsonlStats.commitAtomic(root, queryId,
-          JsonlStats.rebaseOverwrite(plannedRaw.get, keptLines ++ freshLines))
+          JsonlStats.rebaseOverwrite(plannedRaw.get, keptLines ++ freshReplace))
       case (false, None) =>
         JsonlStats.commitAtomic(root, queryId, appendRebase)
     }

@@ -41,12 +41,18 @@ object MetaTables {
 
   /** One row per LIVE manifest entry. `rows` is the PHYSICAL count the
     * manifest records; `live_rows` subtracts deletion-vector masks —
-    * the pair makes MoR amplification visible per file. */
+    * the pair makes MoR amplification visible per file. It does NOT
+    * subtract equality-delete masks (a key-scoped mask's per-file count
+    * is unknowable without reading — the same reason COUNT pushdown
+    * declines); `eqdels_applicable` surfaces that debt per file
+    * (review r9c): >0 means live_rows is an UPPER bound until
+    * rewrite_deletes materializes. */
   private val filesSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("dels", LongType, nullable = false),
     StructField("live_rows", LongType, nullable = false),
+    StructField("eqdels_applicable", IntegerType, nullable = false),
     StructField("pkey", StringType, nullable = true),
     StructField("pspec", StringType, nullable = true),
     StructField("min_value", DoubleType, nullable = false),
@@ -98,14 +104,17 @@ object MetaTables {
   private def liveOf(s: JsonlStats.FileStats): Long =
     if (s.rows >= 0) s.rows - s.dels else -1L
 
-  private def filesRows(root: String): Array[InternalRow] =
+  private def filesRows(root: String): Array[InternalRow] = {
+    val eqdels = JsonlEqualityDeletes.readEqDeletes(root, "_stats.jsonl")
     JsonlStats.readStats(root).sortBy(_.file).map { s =>
       val bytes =
         try Files.size(Paths.get(root, s.file)) catch { case _: java.io.IOException => -1L }
       InternalRow(utf8(s.file), s.rows, s.dels, liveOf(s),
+        eqdels.count(_.seq > s.seq),
         s.pkey.map(utf8).orNull, s.pspec.map(utf8).orNull,
         s.min, s.max, bytes, s.ckpts.size)
     }.toArray
+  }
 
   private def partitionsRows(root: String): Array[InternalRow] =
     JsonlStats.readStats(root).groupBy(_.pkey).toSeq

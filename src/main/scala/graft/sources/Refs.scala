@@ -334,12 +334,7 @@ object Refs {
         "commit race carries no change)")
     // protocol stamp BEFORE the swap (the write-path pattern): picking
     // a retraction onto an eqdel-free table makes it eqdel-bearing
-    if (pickedEq.nonEmpty) JsonlStats.metaLock.synchronized {
-      val meta = JsonlStats.readTableMeta(root)
-      if (meta.schema.isDefined && !meta.features.contains(JsonlStats.FeatureEqDeletes))
-        JsonlStats.writeTableMeta(root,
-          meta.copy(features = meta.features :+ JsonlStats.FeatureEqDeletes))
-    }
+    if (pickedEq.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureEqDeletes)
     JsonlStats.commitAtomic(root, queryId, base => {
       val baseFiles = JsonlStats.parseStatsLines(base).map(_.file).toSet
       val dup = pickedData.map(_.file).filter(baseFiles.contains)

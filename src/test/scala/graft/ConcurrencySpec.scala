@@ -181,6 +181,10 @@ class ConcurrencySpec extends SparkSpec {
     val root = Files.createTempDirectory("occ_dv").toString
     JsonlStats.commitAtomic(root, "seed",
       _ => Seq(entry("f1.jsonl", 0, 1, 10), entry("f2.jsonl", 1, 2, 10)))
+    // a DEFINED table (every real write path publishes the sidecar
+    // before any DV lands): the feature stamp refuses schema-less
+    // tables loudly since the r9c review
+    JsonlStats.writeTableMeta(root, JsonlStats.statsColumn, None, JsonlStats.schema)
     def dvCommit(file: String, dv: String, dels: Long) =
       Array[WriterCommitMessage](graft.sources.JsonlDvCommit(Seq((file, dv, dels))))
     // both writes constructed against the SAME snapshot (their planned

@@ -208,6 +208,73 @@ class EqualityDeletesSpec extends SparkSpec {
     assert(readBack(dir).count() === 5L)
   }
 
+  test("replaceWhere under outstanding eqdels: replacement rows are never masked (r9c review)") {
+    val dir = freshDir("rw")
+    writeBase(dir)
+    upsert(dir, Seq((100L, 10L, "up", 1.5)))
+    val cat = "graft_eqrw_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    // replace the low-value file (all-match by bounds) with a fresh
+    // image INCLUDING retracted user 10 — the kept seq-1 delete must
+    // not apply to seq-stamped replacement rows
+    spark.sql(s"INSERT INTO $cat.`$t` REPLACE WHERE value <= 3.5 " +
+      "VALUES (200, 10, 'rep', 1.0), (201, 20, 'rep', 2.0)")
+    val got = readBack(dir).select($"event_id", $"user_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((200L, 10L)),
+      s"kept eqdel re-retracted the replacement row: $got")
+    assert(!got.contains((1L, 10L)) && !got.contains((2L, 10L)),
+      "pre-upsert rows of the replaced file must be gone")
+    assert(got.contains((5L, 30L)) && got.contains((6L, 30L)), "untouched file intact")
+  }
+
+  test("canonical keys are injection-proof: separator bytes in values cannot forge keys (r9c review)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def key(a: String, b: String): String = {
+      val n = mapper.createObjectNode(); n.put("a", a); n.put("b", b)
+      JsonlEqualityDeletes.canonicalKey(n, Seq("a", "b"))
+    }
+    val sep = "\u0001"
+    val adversarial = Seq(
+      ("x", "y"), (s"x${sep}s:1:y", ""), ("", s"x${sep}s:1:y"),
+      (s"x$sep", "s:1:y"), ("x", s"${sep}y"), (s"x${sep}y", ""), ("", s"x${sep}y"))
+    val encoded = adversarial.map { case (a, b) => key(a, b) }
+    assert(encoded.distinct.size === encoded.size,
+      s"distinct tuples must encode distinctly: ${encoded.mkString(" | ")}")
+  }
+
+  test("a FIRST-generation upsert still stamps the read gate (r9c review)") {
+    val dir = freshDir("gen1")
+    // the very first write is the upsert: the defining meta write must
+    // land first, then the feature stamp — never silently skipped
+    upsert(dir, Seq((1L, 10L, "up", 1.0)))
+    val meta = JsonlStats.readTableMeta(dir)
+    assert(meta.features.contains(JsonlStats.FeatureEqDeletes),
+      s"first-generation upsert published ungated eqdel lines: ${meta.features}")
+    assert(readBack(dir).count() === 1L)
+  }
+
+  test("files metadata surfaces the eqdel debt; rewrite_deletes reports materialized rows") {
+    val dir = freshDir("meta")
+    writeBase(dir)
+    upsert(dir, Seq((100L, 10L, "up", 100.0)))
+    val cat = "graft_eqm_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    val files = spark.table(s"$cat.`$t`.files")
+      .select($"file", $"eqdels_applicable").as[(String, Int)].collect().toMap
+    assert(files.values.count(_ == 1) === 2 && files.values.count(_ == 0) === 1,
+      s"base files carry the debt, the upsert's own file does not: $files")
+    // rows_dropped counts the eq-materialized rows (user 10's two),
+    // not just DV cardinalities (zero here)
+    val res = spark.sql(s"CALL $cat.rewrite_deletes('$t')").head()
+    assert(res.getLong(2) === 2L, s"rows_dropped must count eq-masked rows: $res")
+    assert(spark.table(s"$cat.`$t`.files")
+      .filter($"eqdels_applicable" > 0).count() === 0, "debt cleared after rewrite")
+  }
+
   test("compaction bins by sequence number: merged upsert rows keep surviving their retraction") {
     val dir = freshDir("cmp")
     writeBase(dir)

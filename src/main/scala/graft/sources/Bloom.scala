@@ -203,8 +203,29 @@ object Bloom {
   }
 
   /** Per-open-file gram accumulator: exact distinct set until
-    * [[GramSpillDistinct]], then one [[GramFixedBits]] array. */
-  final class GramTracker {
+    * `spillDistinct`, then one fixed `fixedBits` array. Defaults are
+    * the single-resident-sink budget ([[GramSpillDistinct]] /
+    * [[GramFixedBits]]); a BUCKET-routed writer task holds one tracker
+    * per resident sink (up to N=4096), so it divides the budget by the
+    * bucket count ([[budgeted]]) — total tracker memory per task stays
+    * at the one-sink ceiling, and since the bucket hash spreads rows
+    * uniformly each sink sees ~1/N of the distinct grams, so
+    * bits-per-gram (the false-positive rate) is preserved (r9 review:
+    * unbudgeted routed trackers could hold multi-GB per task). */
+  /** A tracker sized for one of `share` sinks co-resident in a task
+    * (bucket-routed writers): budget divided by the share, floored so a
+    * lone hot bucket still gets a useful exact phase (4k grams) and a
+    * non-degenerate spill array (16 KiB). */
+  def budgetedGramTracker(share: Int): GramTracker = {
+    val s = math.max(1, share)
+    new GramTracker(
+      math.max(1 << 12, GramSpillDistinct / s),
+      math.max(1 << 17, Integer.highestOneBit(math.max(1, GramFixedBits / s))))
+  }
+
+  final class GramTracker(spillDistinct: Int = GramSpillDistinct,
+                          fixedBits: Int = GramFixedBits) {
+    require(Integer.bitCount(fixedBits) == 1, s"fixedBits must be a power of two: $fixedBits")
     private var set: java.util.HashSet[java.lang.Long] = new java.util.HashSet[java.lang.Long]()
     private var words: Array[Long] = null
 
@@ -213,13 +234,13 @@ object Bloom {
       var i = 0
       while (i + GramLen <= value.length) {
         val h = gramHash(value, i)
-        if (words != null) insertHash(words, GramFixedBits, h)
+        if (words != null) insertHash(words, fixedBits, h)
         else {
           set.add(h)
-          if (set.size > GramSpillDistinct) {
-            words = new Array[Long](GramFixedBits / 64)
+          if (set.size > spillDistinct) {
+            words = new Array[Long](fixedBits / 64)
             val it = set.iterator()
-            while (it.hasNext) insertHash(words, GramFixedBits, it.next())
+            while (it.hasNext) insertHash(words, fixedBits, it.next())
             set = null
           }
         }
@@ -232,7 +253,7 @@ object Bloom {
       * prunes every probe. */
     def writeSidecar(dataFile: Path): Unit = {
       val (w, mBits) =
-        if (words != null) (words, GramFixedBits)
+        if (words != null) (words, fixedBits)
         else {
           val hs = new Array[Long](set.size)
           val it = set.iterator(); var i = 0

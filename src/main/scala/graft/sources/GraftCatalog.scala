@@ -93,12 +93,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     if (!java.nio.file.Files.exists(parent.resolve("_stats.jsonl"))) return None
     val sel = ident.name()
     if (MetaTables.Names.contains(sel)) Some(MetaTables.load(parent.toString, sel))
-    else if (sel.startsWith("branch_")) Some(branchTable(parent, sel.stripPrefix("branch_")))
+    // a ref selector that PARSES but does not EXIST is table-not-found,
+    // not an internal error: the analyzer probes multipart names
+    // speculatively during resolution, and an IllegalArgumentException
+    // there aborts the whole analysis instead of falling through to the
+    // standard NoSuchTableException flow (r9 review)
+    else if (sel.startsWith("branch_")) {
+      val name = sel.stripPrefix("branch_")
+      if (!java.nio.file.Files.exists(parent.resolve(Refs.branchManifest(name))))
+        throw new NoSuchTableException(ident)
+      Some(branchTable(parent, name))
+    }
     else if (sel.startsWith("tag_")) {
       val name = sel.stripPrefix("tag_")
       val m = Refs.tagManifest(name)
       if (!java.nio.file.Files.exists(parent.resolve(m)))
-        throw new IllegalArgumentException(s"no such tag '$name' on ${ident.namespace().mkString(".")}")
+        throw new NoSuchTableException(ident)
       Some(snapshotTable(parent, m))
     }
     else None
@@ -632,13 +642,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
+  /** One shared inventory drives discovery — every name here resolves
+    * in [[loadProcedure]] and vice versa (ProcedureSpec pins the
+    * round-trip; r9 review: the old hand-kept list omitted nine). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "clone"),
-        Identifier.of(namespace, "zorder"), Identifier.of(namespace, "build_gram_index"),
-        Identifier.of(namespace, "evolve_partition_spec"),
-        Identifier.of(namespace, "compact_history"))
+      GraftCatalog.ProcedureNames.map(Identifier.of(namespace, _))
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -652,6 +661,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 }
 
 object GraftCatalog {
+
+  /** Every CALL-addressable procedure; [[GraftCatalog]]'s
+    * `loadProcedure` match and `listProcedures` both answer from this
+    * one list. */
+  val ProcedureNames: Array[String] = Array(
+    "compact", "history", "vacuum", "clone", "zorder", "rewrite_deletes",
+    "build_gram_index", "evolve_partition_spec", "compact_history",
+    "create_tag", "drop_tag", "create_branch", "drop_branch",
+    "fast_forward", "rollback", "cherry_pick", "analyze_table", "detail")
 
   /** The staged side of an atomic CTAS/RTAS. Data files land in the
     * final directory under attempt-unique names but are INVISIBLE until

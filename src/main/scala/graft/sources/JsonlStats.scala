@@ -316,29 +316,44 @@ object JsonlStats {
     * materializes the first retained archive before expiring its
     * bases). The LIVE manifest and the newest slots are never deltas —
     * the OCC lease protocol compares their raw bytes. */
-  def readManifestLines(root: String, manifest: String): Seq[String] =
-    readManifestLines(root, manifest, depth = 0)
-
-  private def readManifestLines(root: String, manifest: String, depth: Int): Seq[String] = {
-    // chain guard: compaction writes delta_base = v-1 by construction,
-    // so any chain longer than the version count is corruption — fail
-    // loudly instead of walking a cycle forever
-    require(depth <= 100000,
-      s"manifest delta chain too deep at $manifest — corrupt delta_base pointer?")
-    val lines = Files.readAllLines(Paths.get(root, manifest)).asScala.toSeq
+  def readManifestLines(root: String, manifest: String): Seq[String] = {
+    // The chain is walked ITERATIVELY (r10, review): a recursive walk
+    // overflows the JVM stack after a few thousand frames (each holding
+    // a full line Seq), so a corrupt self-referential delta_base — or a
+    // legitimate huge full_every — would die with StackOverflowError
+    // instead of a loud diagnostic. Collect delta layers newest→oldest,
+    // then fold forward from the full snapshot. Cycle guard: every hop
+    // must strictly DECREASE the base version (compaction writes
+    // delta_base = v-1 by construction), so any repeat or increase is
+    // corruption and fails loudly.
     val mapper = new ObjectMapper()
-    val isDelta = lines.headOption.exists { h =>
-      h.nonEmpty && h.startsWith("{\"delta_base\"") &&
-        mapper.readTree(h).hasNonNull("delta_base")
+    // (dels, adds) layers, newest first
+    val layers = scala.collection.mutable.ArrayBuffer.empty[(Set[String], Seq[String])]
+    var cur = manifest
+    var lastBase = Int.MaxValue
+    var full: Seq[String] = null
+    while (full == null) {
+      val lines = Files.readAllLines(Paths.get(root, cur)).asScala.toSeq
+      val isDelta = lines.headOption.exists { h =>
+        h.nonEmpty && h.startsWith("{\"delta_base\"") &&
+          mapper.readTree(h).hasNonNull("delta_base")
+      }
+      if (!isDelta) full = lines
+      else {
+        val base = mapper.readTree(lines.head).get("delta_base").asInt()
+        require(base < lastBase,
+          s"manifest delta chain at $cur points to v$base, not strictly older " +
+            s"than its reader — corrupt delta_base pointer?")
+        lastBase = base
+        val (delLines, addLines) = lines.tail.filter(_.nonEmpty)
+          .partition(l => mapper.readTree(l).hasNonNull("del"))
+        layers += ((delLines.map(l => mapper.readTree(l).get("del").asText()).toSet, addLines))
+        cur = s"$HistoryDir/v$base.jsonl"
+      }
     }
-    if (!isDelta) lines
-    else {
-      val base = mapper.readTree(lines.head).get("delta_base").asInt()
-      val baseLines = readManifestLines(root, s"$HistoryDir/v$base.jsonl", depth + 1)
-      val (delLines, addLines) = lines.tail.filter(_.nonEmpty)
-        .partition(l => mapper.readTree(l).hasNonNull("del"))
-      val dels = delLines.map(l => mapper.readTree(l).get("del").asText()).toSet
-      baseLines.filterNot(dels) ++ addLines
+    // apply oldest delta first
+    layers.reverseIterator.foldLeft(full) { case (acc, (dels, adds)) =>
+      acc.filterNot(dels) ++ adds
     }
   }
 

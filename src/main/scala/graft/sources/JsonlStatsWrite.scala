@@ -551,7 +551,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
                                      writeSchema: StructType, statsCol: String,
                                      bloomCol: Option[String] = None,
                                      columnMapping: Map[String, String] = Map.empty,
-                                     gramCol: Option[String] = None) {
+                                     gramCol: Option[String] = None,
+                                     gramShare: Int = 1) {
   // column mapping (r7c): rows are written under PHYSICAL field names
   // and per-column stats keyed by them, so pre- and post-rename files
   // are byte-compatible and the manifest keys never fork
@@ -578,7 +579,9 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   // substring gram index (r9): every 5-char window of the indexed
   // string column feeds the per-file gram bloom ([[Bloom.GramTracker]])
   private val gramIdx = gramCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
-  private val grams = if (gramIdx >= 0) new Bloom.GramTracker else null
+  // routed (bucket) writers hold one tracker per resident sink, so the
+  // per-sink budget is the single-sink budget / gramShare (r9 review)
+  private val grams = if (gramIdx >= 0) Bloom.budgetedGramTracker(gramShare) else null
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
   private var rows = 0L
@@ -779,8 +782,12 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private def roll(): JsonlFileSink = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-$seq.jsonl"
     seq += 1
+    // bucket-routed tasks keep up to N sinks resident, so each sink's
+    // gram tracker gets 1/N of the single-sink memory budget
+    val share = spec.collect { case PartitionTransforms.Bucket(n, _) => n }
+      .filter(_ => routed).getOrElse(1)
     new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping,
-      gramCol)
+      gramCol, gramShare = share)
   }
 
   /** The row's partition key under the declared transform (derivation

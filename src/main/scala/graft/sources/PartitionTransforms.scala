@@ -37,11 +37,14 @@ import org.apache.spark.sql.sources._
   * Scale shape: a bucketed layout bounds every writer task at N open
   * sinks and gives point lookups exact 1-of-N file pruning with no
   * clustering discipline at all; a truncated layout gives RANGE pruning
-  * over the derived boundary/prefix. Storage-partitioned joins stay an
-  * identity-layout feature — a transformed scan reports
-  * UnknownPartitioning (aligning bucket transforms across tables needs
-  * the V2 function-catalog reducible-function machinery; stated, not
-  * half-built). */
+  * over the derived boundary/prefix. Bucketed scans additionally report
+  * their layout as a KeyGroupedPartitioning over the bucket transform
+  * ([[JsonlStatsRead]] `bucketGrouped`), and the catalog exposes
+  * `bucket` as a V2 ReducibleFunction ([[GraftCatalog.BucketFn]]), so
+  * two tables bucketed on the join key — even with different bucket
+  * counts, via reduction to the coarser count — storage-partition-join
+  * with ZERO shuffle on either side (q242/q244 assert the shuffle-free
+  * plan). Identity layouts keep the classic one-file-per-key SPJ. */
 object PartitionTransforms {
 
   sealed trait Spec {

@@ -3263,4 +3263,61 @@ class JsonlStatsSpec extends SparkSpec {
     assert(msgs.exists(_.contains("tableChanges")),
       s"expected the COW refusal, got: $e")
   }
+
+  test("manifest delta chains resolve iteratively: 4000-deep chain, loud cycle failure (r9 review)") {
+    val root = Files.createTempDirectory("chain_deep")
+    val hist = root.resolve(JsonlStats.HistoryDir)
+    Files.createDirectories(hist)
+    Files.write(hist.resolve("v1.jsonl"),
+      java.util.Arrays.asList("""{"file":"base.jsonl","rows":1}"""))
+    (2 to 4000).foreach { k =>
+      Files.write(hist.resolve(s"v$k.jsonl"), java.util.Arrays.asList(
+        s"""{"delta_base": ${k - 1}}""", s"""{"file":"add_$k.jsonl","rows":1}"""))
+    }
+    // a recursive walk dies with StackOverflowError here; the iterative
+    // walk resolves the full line set
+    val lines = JsonlStats.readManifestLines(root.toString, s"${JsonlStats.HistoryDir}/v4000.jsonl")
+    assert(lines.length === 4000, s"expected 4000 resolved lines, got ${lines.length}")
+    assert(lines.head.contains("base.jsonl") && lines.last.contains("add_4000"))
+    // self-referential delta_base must fail LOUDLY, not overflow the stack
+    Files.write(hist.resolve("v4001.jsonl"), java.util.Arrays.asList(
+      """{"delta_base": 4001}"""))
+    val e = intercept[IllegalArgumentException](
+      JsonlStats.readManifestLines(root.toString, s"${JsonlStats.HistoryDir}/v4001.jsonl"))
+    assert(e.getMessage.contains("strictly older"), e.getMessage)
+    // a forward (increasing) pointer is equally corrupt
+    Files.write(hist.resolve("v4002.jsonl"), java.util.Arrays.asList(
+      """{"delta_base": 4001}""", """{"file":"x.jsonl","rows":1}"""))
+    Files.write(hist.resolve("v4001.jsonl"), java.util.Arrays.asList(
+      """{"delta_base": 4002}"""))
+    val e2 = intercept[IllegalArgumentException](
+      JsonlStats.readManifestLines(root.toString, s"${JsonlStats.HistoryDir}/v4002.jsonl"))
+    assert(e2.getMessage.contains("strictly older"), e2.getMessage)
+  }
+
+  test("budgeted gram tracker: routed writers divide the budget; sidecar stays sound (r9 review)") {
+    // bucket(4096) share: exact phase floors at 2^12 grams, spill array
+    // at 2^17 bits — 1/64th of the single-sink budget, never degenerate
+    val t = graft.sources.Bloom.budgetedGramTracker(4096)
+    val dir = Files.createTempDirectory("gramb")
+    val data = dir.resolve("f.jsonl")
+    // ~30k distinct grams: far past the budgeted spill point, so this
+    // exercises the spilled fixed-array path at the reduced size
+    (0 until 5000).foreach(i => t.add(f"needle$i%06dpayload"))
+    t.add("zzqxgramprobe")
+    t.writeSidecar(data)
+    val Some((words, mBits)) = graft.sources.Bloom.readGramSidecar(data)
+    assert(mBits === (1 << 17), s"budgeted spill array must be 2^17 bits, got $mBits")
+    // soundness: every gram of an indexed value answers maybe-present
+    assert(graft.sources.Bloom.gramHashes("zzqxgramprobe")
+      .forall(h => graft.sources.Bloom.mightContain(words, mBits, h)),
+      "an indexed needle must never be pruned")
+    // the default tracker is unchanged: small files still get exact-set sidecars
+    val t2 = new graft.sources.Bloom.GramTracker()
+    t2.add("abcdefgh")
+    val data2 = dir.resolve("g.jsonl")
+    t2.writeSidecar(data2)
+    val Some((w2, m2)) = graft.sources.Bloom.readGramSidecar(data2)
+    assert(graft.sources.Bloom.gramHashes("abcdefgh").forall(h => graft.sources.Bloom.mightContain(w2, m2, h)))
+  }
 }

@@ -281,4 +281,36 @@ class RefsSpec extends SparkSpec {
       unknown.getMessage.contains("tag 'good'"),
       s"unknown-ref error must name candidates: ${unknown.getMessage}")
   }
+
+  test("missing tag/branch idents are table-not-found, not analysis-breaking IAEs (r9 review)") {
+    val (cat, t, _) = scratch("noref")
+    // the analyzer probes multipart names speculatively; a ref selector
+    // that parses but does not exist must surface as the standard
+    // TABLE_OR_VIEW_NOT_FOUND flow, never an IllegalArgumentException
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.table(s"$cat.`$t`.tag_ghost").collect())
+    assert(e1.getMessage.contains("tag_ghost"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.table(s"$cat.`$t`.branch_ghost").collect())
+    assert(e2.getMessage.contains("branch_ghost"), e2.getMessage)
+    // an existing ref still resolves after the miss
+    spark.sql(s"CALL $cat.create_tag('$t', 'pin')")
+    assert(spark.table(s"$cat.`$t`.tag_pin").count() > 0)
+  }
+
+  test("procedure discovery inventories every loadable procedure (r9 review)") {
+    val (cat, _, _) = scratch("procs")
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
+    val listed = plugin.listProcedures(Array.empty).map(_.name()).toSet
+    assert(listed === GraftCatalog.ProcedureNames.toSet,
+      s"discovery must inventory the full procedure set; missing: ${GraftCatalog.ProcedureNames.toSet -- listed}")
+    // every listed name round-trips through loadProcedure
+    GraftCatalog.ProcedureNames.foreach { n =>
+      val p = plugin.loadProcedure(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n))
+      assert(p.name() != null, s"procedure $n failed to load")
+    }
+    assert(listed.size >= 18)
+  }
 }

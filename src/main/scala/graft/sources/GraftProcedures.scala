@@ -1041,7 +1041,18 @@ object GraftProcedures {
       shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
     }.reduce(_ bitwiseOR _)
-    var writer = df.withColumn("__graft_z", zc)
+    // row lineage (r10): a clustering rewrite SCATTERS rows, so ids
+    // ride through the rewrite as projected metadata columns and land
+    // as materialized in-row fields (the write sees `_row_id`/`_luv`
+    // in its schema → publishes frid = -2 and keeps them out of stats
+    // and the table contract). Only when the table has assigned ids —
+    // an unstamped table rewrites plainly and gets stamped fresh.
+    val hasLineage = stats.exists(s => s.frid >= 0L || s.frid == -2L || s.runs.nonEmpty)
+    val src =
+      if (!hasLineage) df
+      else df.select(col("*"), col(JsonlStats.RowIdMeta),
+        col(JsonlStats.LuvMeta).as(JsonlStats.LuvField))
+    var writer = src.withColumn("__graft_z", zc)
       .repartitionByRange(nOut, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
@@ -1083,16 +1094,17 @@ object GraftProcedures {
     val mapping = meta.columnMapping
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
-      (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl", eqdsFor(s))
+      (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl", eqdsFor(s),
+        JsonlStats.Lineage.of(s))
     }
     val rootCopy = tableRoot
     val fresh: Seq[JsonlStats.FileStats] =
       if (work.isEmpty) Nil
       else SparkSession.active.sparkContext
         .parallelize(work, math.min(work.size, 32))
-        .map { case (file, dvs, pkey, pspec, out, eqds) =>
+        .map { case (file, dvs, pkey, pspec, out, eqds, lin) =>
           GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-            schemaJson, statsCol, bloomCol, mapping, gramCol, pspec, eqds)
+            schemaJson, statsCol, bloomCol, mapping, gramCol, pspec, eqds, lin)
         }
         .collect().toSeq // file-count-bounded: one manifest entry per task
     // OCC rewrite (r8): the collapsed files' planned entries must
@@ -1126,7 +1138,8 @@ object GraftProcedures {
                                       columnMapping: Map[String, String] = Map.empty,
                                       gramCol: Option[String] = None,
                                       pspec: Option[String] = None,
-                                      eqds: Seq[(String, Seq[String])] = Nil): JsonlStats.FileStats = {
+                                      eqds: Seq[(String, Seq[String])] = Nil,
+                                      lin: JsonlStats.Lineage = JsonlStats.Lineage()): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
@@ -1185,8 +1198,20 @@ object GraftProcedures {
               ckpts += ((bytesOut, rows)); lastCkpt = bytesOut
               zones.seal() // BEFORE this row's value: it starts the next segment
             }
-            os.write(line); os.write('\n')
-            bytesOut += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
+            // row lineage (r10): survivors SHIFT physical positions, so
+            // the collapse is the one maintenance op that must
+            // MATERIALIZE ids — each kept row gets its manifest-derived
+            // `_row_id`/`_luv` as in-row fields (prefix splice; a row
+            // already materialized by an earlier rewrite keeps its own
+            // fields — `lin` cannot cover its position)
+            val rid = lin.rowIdAt(pos)
+            val outLine =
+              if (rid >= 0L && line.startsWith("{")) {
+                val pre = s"""{"${JsonlStats.RowIdMeta}":$rid,"${JsonlStats.LuvField}":${lin.luvAt(pos)}"""
+                if (line.length > 2) pre + "," + line.substring(1) else pre + "}"
+              } else line
+            os.write(outLine); os.write('\n')
+            bytesOut += outLine.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
             rows += 1
             val n = n0
             numFields.foreach { f =>
@@ -1253,9 +1278,15 @@ object GraftProcedures {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
     }
+    // entries whose rows carry (or inherited) materialized ids must
+    // never be re-stamped — frid = -2 marks in-row lineage; a source
+    // that never had ids stays unassigned and the commit stamps it
+    // fresh (ids that never existed may be invented now)
+    val hadLineage = lin.frid >= 0L || lin.frid == -2L || lin.runs.nonEmpty
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
-      segb = zones.zones(ckpts.nonEmpty), pspec = pspec)
+      segb = zones.zones(ckpts.nonEmpty), pspec = pspec,
+      frid = if (hadLineage) -2L else -1L)
   }
 
   def compact(tableRoot: String, targetBytes: Long,
@@ -1377,10 +1408,25 @@ object GraftProcedures {
           val mergedSegB =
             if (!pureConcat || memberSegs.exists(_.isEmpty)) Nil
             else memberSegs.flatten
+          // row lineage (r10) survives the byte concat as manifest
+          // arithmetic: member i's id range lands at its row offset in
+          // the bin — one run per stamped member (or its own shifted
+          // runs when the member was itself a compaction product).
+          // A materialized member (frid = -2) carries ids IN its rows,
+          // which the concat copies verbatim — the reader's in-row
+          // fallback serves positions no run covers. An unstamped
+          // member contributes nothing (its rows never had ids); the
+          // merged entry still declares `frids` so the commit never
+          // re-stamps rows whose neighbors hold assigned ids.
+          val mergedRuns = g.toSeq.zip(offs).flatMap { case ((m, _), (_, ro)) =>
+            if (m.frid >= 0L) Seq((ro, m.frid, m.rows, m.luv))
+            else m.runs.map(r => (ro + r._1, r._2, r._3, r._4))
+          }
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
               colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
-              segb = mergedSegB, pspec = pspec, seq = seq))
+              segb = mergedSegB, pspec = pspec, seq = seq,
+              runs = mergedRuns))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

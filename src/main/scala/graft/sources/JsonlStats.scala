@@ -159,6 +159,51 @@ object JsonlStats {
   val FileMeta = "_file" // absolute path of the data file a row came from
   val PosMeta = "_pos"   // 0-based row position within that file
 
+  /** Row lineage metadata columns (r10, the Iceberg-v3 row-lineage
+    * idea): `_row_id` is a table-unique, commit-assigned identity that
+    * survives maintenance rewrites; `_last_updated_version` is the
+    * manifest version of the commit that last (re)wrote the row.
+    * Assignment is pure manifest arithmetic — [[commitAtomic]] stamps
+    * each NEW file entry with `frid` (its first row id, from the
+    * manifest's `next_row_id` counter line) and `luv` (the committed
+    * version); a row's id is `frid + physical position`, served from
+    * reader state like `_pos`, costing zero data bytes. Merge-on-read
+    * deletes/upserts preserve survivor ids by construction (positions
+    * are stable under masking); compaction carries id ranges as
+    * manifest runs (`frids`); row-scattering rewrites materialize
+    * per-row `_row_id`/`_luv` JSON fields. Unassigned files (legacy
+    * manifests, branch-staged entries before fast_forward) serve NULL
+    * until a main-table commit stamps them. */
+  val RowIdMeta = "_row_id"
+  val LuvMeta = "_last_updated_version"
+  /** In-row physical field for materialized last-updated versions
+    * (short: rewrites touch every row; `_row_id` keeps its public name
+    * so a re-rewrite recognizes it). */
+  val LuvField = "_luv"
+
+  /** Manifest lineage of one file, resolved per physical position —
+    * the executor-side view of (`frid`, `luv`, `frids`), shipped in
+    * the input partition. `rowIdAt`/`luvAt` return -1 when the
+    * manifest does not know (unassigned, or a materialized file whose
+    * answer lives in-row). */
+  final case class Lineage(frid: Long = -1L, luv: Long = 0L,
+                           runs: Seq[(Long, Long, Long, Long)] = Nil) {
+    def rowIdAt(pos: Long): Long =
+      if (frid >= 0L) frid + pos
+      else if (runs.nonEmpty)
+        runs.find(r => pos >= r._1 && pos < r._1 + r._3)
+          .map(r => r._2 + (pos - r._1)).getOrElse(-1L)
+      else -1L
+    def luvAt(pos: Long): Long =
+      if (frid >= 0L) luv
+      else if (runs.nonEmpty)
+        runs.find(r => pos >= r._1 && pos < r._1 + r._3).map(_._4).getOrElse(-1L)
+      else -1L
+  }
+  object Lineage {
+    def of(s: FileStats): Lineage = Lineage(s.frid, s.luv, s.runs)
+  }
+
   /** Manifest entry: data file path (relative to the table root), its
     * closed [min, max] interval over [[statsColumn]], its row count,
     * — for key-grouped layouts — the single partition-column value every
@@ -199,7 +244,26 @@ object JsonlStats {
                              ckpts: Seq[(Long, Long)] = Nil,
                              segb: Seq[(Double, Double)] = Nil,
                              pspec: Option[String] = None,
-                             seq: Long = 0L)
+                             seq: Long = 0L,
+                             // row lineage (r10, the Iceberg-v3 idea):
+                             //   frid >= 0  → row at physical pos p has
+                             //     _row_id = frid + p (one fresh run);
+                             //   frid == -2 → ids MATERIALIZED per row
+                             //     ("_row_id"/"_luv" JSON fields,
+                             //     written by row-scattering rewrites);
+                             //   frid == -1 → unassigned (legacy /
+                             //     branch-staged; the NEXT main commit
+                             //     stamps it).
+                             // luv = manifest version of the commit
+                             // that last (re)wrote these rows.
+                             // runs = [(startPos, firstId, len, luv)]:
+                             // multi-run lineage of a CONCAT rewrite
+                             // (compaction) — source files' id ranges
+                             // carried as manifest arithmetic, zero
+                             // data-byte rewrites.
+                             frid: Long = -1L,
+                             luv: Long = 0L,
+                             runs: Seq[(Long, Long, Long, Long)] = Nil)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -432,7 +496,15 @@ object JsonlStats {
           // equality deletes (r9b): commit sequence number — a delete
           // applies iff file.seq < eqdel.seq; absent = 0 (every
           // pre-feature manifest, to which all deletes apply)
-          if (n.hasNonNull("seq")) n.get("seq").asLong() else 0L)
+          if (n.hasNonNull("seq")) n.get("seq").asLong() else 0L,
+          // row lineage (r10): first row id / last-updated version /
+          // concat runs — absent on every pre-lineage manifest
+          if (n.hasNonNull("frid")) n.get("frid").asLong() else -1L,
+          if (n.hasNonNull("luv")) n.get("luv").asLong() else 0L,
+          if (!n.hasNonNull("frids")) Nil
+          else n.get("frids").elements().asScala.map { r =>
+            (r.get(0).asLong(), r.get(1).asLong(), r.get(2).asLong(), r.get(3).asLong())
+          }.toSeq)
       }
   }
 
@@ -448,6 +520,15 @@ object JsonlStats {
     s.pspec.foreach(n.put("ps", _))
     // emitted only when set: pre-eqdel manifests stay byte-stable
     if (s.seq > 0L) n.put("seq", s.seq)
+    // row lineage (r10) — same emitted-only-when-set posture
+    if (s.frid != -1L) n.put("frid", s.frid)
+    if (s.luv > 0L) n.put("luv", s.luv)
+    if (s.runs.nonEmpty) {
+      val a = n.putArray("frids")
+      s.runs.foreach { case (p0, id0, len, luv) =>
+        val r = a.addArray(); r.add(p0); r.add(id0); r.add(len); r.add(luv)
+      }
+    }
     if (s.cols.nonEmpty) {
       val c = n.putObject("cols")
       s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
@@ -648,6 +729,82 @@ object JsonlStats {
     commitAtomic(root, queryId, _ => entries, ownTxns = own)
   }
 
+  // ---- row lineage stamping (r10) ----------------------------------------
+
+  /** The manifest's row-id high-watermark line: `{"next_row_id": N}` —
+    * a PROTOCOL line owned by [[commitAtomic]] itself (like txn
+    * watermarks, never shown to rebase functions), so id allocation
+    * travels through the same atomic swap as the entries it stamps.
+    * Monotone forever: rollback/TRUNCATE/overwrite carry it forward,
+    * so retired ids are never reissued (cherry_pick can restore a
+    * rolled-back file with its original ids and still never collide). */
+  val NextRowIdKey = "next_row_id"
+
+  private def isCounterLine(l: String, mapper: ObjectMapper): Boolean =
+    l.nonEmpty && l.startsWith("{\"" + NextRowIdKey + "\"") &&
+      mapper.readTree(l).hasNonNull(NextRowIdKey)
+
+  private def counterLine(n: Long): String = {
+    val node = new ObjectMapper().createObjectNode()
+    node.put(NextRowIdKey, n)
+    node.toString
+  }
+
+  /** Stamp `frid`/`luv` onto every NEW file entry (no lineage fields
+    * yet, row count known) of a commit, allocating from `base`.
+    * Assignment order is FILE NAME order — writer names zero-pad the
+    * partition index, so ids are deterministic under deterministic
+    * partitioning. Returns (stamped lines, new high-watermark).
+    * Entries already carrying lineage (base entries, compaction runs,
+    * materialized rewrites via frid = -2, cherry-picked originals)
+    * ride through untouched — re-stamping would change identities. */
+  private def stampRowIds(entries: Seq[String], mapper: ObjectMapper,
+                          base: Long, version: Long): (Seq[String], Long) = {
+    var next = base
+    val stamped = scala.collection.mutable.Map.empty[String, String]
+    entries.map(l => (l, mapper.readTree(l)))
+      .filter { case (_, n) =>
+        n.hasNonNull("file") && !n.hasNonNull("frid") && !n.hasNonNull("frids") &&
+          n.hasNonNull("n_rows") }
+      .sortBy(_._2.get("file").asText())
+      .foreach { case (l, _) =>
+        val fs = parseStatsLines(Seq(l)).head
+        stamped(l) = statsLine(fs.copy(frid = next, luv = version))
+        next += math.max(0L, fs.rows)
+      }
+    (entries.map(l => stamped.getOrElse(l, l)), next)
+  }
+
+  /** High-watermark floor for a table whose manifest predates the
+    * counter line: one past the highest id any stamped entry (or run)
+    * could serve. Plain entries contribute frid + rows; runs their
+    * max end. Unstamped entries contribute nothing (their ids are not
+    * assigned yet). */
+  private def counterFloor(entries: Seq[String]): Long =
+    parseStatsLines(entries).foldLeft(0L) { (acc, s) =>
+      val own =
+        if (s.frid >= 0L) s.frid + math.max(0L, s.rows)
+        else s.runs.foldLeft(0L)((a, r) => math.max(a, r._2 + r._3))
+      math.max(acc, own)
+    }
+
+  /** Split protocol counter lines from entry lines; returns
+    * (entries-without-counters, highest counter seen or -1). */
+  private def splitCounter(lines: Seq[String], mapper: ObjectMapper): (Seq[String], Long) = {
+    val (cnt, rest) = lines.partition(isCounterLine(_, mapper))
+    (rest, cnt.map(l => mapper.readTree(l).get(NextRowIdKey).asLong())
+      .foldLeft(-1L)(math.max))
+  }
+
+  /** Drop protocol counter lines — for PLANNERS that capture, hash or
+    * replay manifest line sets (refs, rollback, cherry-pick): the
+    * counter is commitAtomic's own state, never part of a snapshot's
+    * logical identity. */
+  def stripCounter(lines: Seq[String]): Seq[String] = {
+    val mapper = new ObjectMapper()
+    lines.filterNot(isCounterLine(_, mapper))
+  }
+
   // ---- optimistic concurrency (r8) ---------------------------------------
 
   /** Thrown when a commit's rebase cannot reconcile a concurrent commit
@@ -754,9 +911,16 @@ object JsonlStats {
       if (attempt > maxAttempts)
         conflict(s"gave up after $maxAttempts attempts on $root (queryId=$queryId)")
       if (!Files.exists(current)) {
-        // first generation: exclusive-create the manifest itself
-        val entries = rebase(Nil)
-        if (casPublish(current, entries.sorted ++ ownTxns, s"$queryId-$attempt"))
+        // first generation: exclusive-create the manifest itself.
+        // Row lineage (r10): stamp fresh entries from 0 (or from the
+        // counter a rebase carried in, e.g. clone preserving the
+        // source table's high-watermark) at version 1.
+        val (ents, cnt) = splitCounter(rebase(Nil), mapper)
+        val base0 = math.max(math.max(0L, cnt), counterFloor(ents))
+        val (stamped, next) = stampRowIds(ents, mapper, base0, version = 1L)
+        val pub = stamped.sorted ++
+          (if (next > 0L) Seq(counterLine(next)) else Nil) ++ ownTxns
+        if (casPublish(current, pub, s"$queryId-$attempt"))
           return 0
         // lost the creation race — retry against the winner's table
       } else {
@@ -780,10 +944,13 @@ object JsonlStats {
           // authoritatively).
           if (ownTxns.isEmpty) {
             val mapperT = new ObjectMapper()
-            val entriesT = liveBytes.filter(_.nonEmpty)
-              .filterNot(l => mapperT.readTree(l).hasNonNull("txn"))
+            // protocol counter lines are commitAtomic's own — rebase
+            // functions never see them (r10)
+            val (entriesT, _) = splitCounter(liveBytes.filter(_.nonEmpty)
+              .filterNot(l => mapperT.readTree(l).hasNonNull("txn")), mapperT)
             val trial = try Some(rebase(entriesT)) catch { case _: Throwable => None }
-            if (trial.exists(_.sorted == entriesT.sorted)) return k - 1
+            if (trial.exists(t => splitCounter(t, mapperT)._1.sorted == entriesT.sorted))
+              return k - 1
           }
           val hist = Paths.get(root, HistoryDir)
           Files.createDirectories(hist)
@@ -828,11 +995,23 @@ object JsonlStats {
             awaitSupersede(root, slot, spinMs)
           } else {
             onReserved(k)
-            val (baseTxns, baseEntries) =
+            val (baseTxns, baseEntries0) =
               liveBytes.filter(_.nonEmpty).partition(l => mapper.readTree(l).hasNonNull("txn"))
-            val newEntries = rebase(baseEntries)
+            // row lineage (r10): the counter is a protocol line —
+            // strip it before rebase (rebase functions own ENTRIES,
+            // never allocation state), re-derive after, stamp every
+            // new entry, and publish one fresh counter. Monotone even
+            // through overwrites/rollbacks: the base counter carries
+            // forward, so retired ids are never reissued.
+            val (baseEntries, baseCnt) = splitCounter(baseEntries0, mapper)
+            val (ents, rebCnt) = splitCounter(rebase(baseEntries), mapper)
+            val base0 = math.max(math.max(math.max(0L, baseCnt), rebCnt), counterFloor(ents))
+            // the reserved slot archives the OUTGOING version k; the
+            // manifest being published IS version k + 1
+            val (stamped, next) = stampRowIds(ents, mapper, base0, version = k + 1)
             val keptTxns = baseTxns.filter(l => !ownApps.contains(mapper.readTree(l).get("txn").asText()))
-            val all = newEntries.sorted ++ ownTxns ++ keptTxns
+            val all = stamped.sorted ++
+              (if (next > 0L) Seq(counterLine(next)) else Nil) ++ ownTxns ++ keptTxns
             val tmp = Paths.get(root, s"_stats.jsonl.tmp-$queryId")
             Files.write(tmp, all.asJava,
               StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -907,7 +1086,9 @@ object JsonlStats {
   def rebaseRewrite(removed: Seq[String], added: Seq[String])(base: Seq[String]): Seq[String] = {
     val baseNorm = normLines(base)
     val baseSet = baseNorm.toSet
-    val removedNorm = normLines(removed)
+    // planners may have captured the counter protocol line with their
+    // snapshot; it is never an entry (r10)
+    val removedNorm = normLines(stripCounter(removed))
     val missing = removedNorm.filterNot(baseSet.contains)
     if (missing.nonEmpty)
       conflict(s"${missing.size} planned file entr${if (missing.size == 1) "y" else "ies"} " +
@@ -924,7 +1105,7 @@ object JsonlStats {
     * a concurrently-appended file silently destroyed by the truncate
     * would be a lost update, not an overwrite). */
   def rebaseOverwrite(plannedBase: Seq[String], lines: Seq[String])(base: Seq[String]): Seq[String] = {
-    if (normLines(base).toSet != normLines(plannedBase).toSet)
+    if (normLines(base).toSet != normLines(stripCounter(plannedBase)).toSet)
       conflict("table changed under this overwrite; replan against the current snapshot")
     lines
   }
@@ -1347,6 +1528,18 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       override def name(): String = JsonlStats.PosMeta
       override def dataType(): org.apache.spark.sql.types.DataType = LongType
       override def isNullable: Boolean = false
+    },
+    // row lineage (r10): nullable — files never stamped by a main
+    // commit (legacy manifests, branch-staged entries) serve NULL
+    new MetadataColumn {
+      override def name(): String = JsonlStats.RowIdMeta
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = true
+    },
+    new MetadataColumn {
+      override def name(): String = JsonlStats.LuvMeta
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = true
     })
   override def capabilities(): java.util.Set[TableCapability] =
     if (branch.isDefined)

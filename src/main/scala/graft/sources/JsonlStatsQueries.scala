@@ -2372,6 +2372,109 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q265 (r10): ROW LINEAGE SCAN — the Iceberg-v3 row-lineage idea:
+    * every committed row gets a table-unique `_row_id` and a
+    * `_last_updated_version`, assigned by the COMMIT as pure manifest
+    * arithmetic (per-file first-row-id from a monotone `next_row_id`
+    * counter line + the row's physical position — zero data bytes, no
+    * id column stored). The CTAS is globally ORDER BY'd and stamping
+    * assigns in file-name (= range partition) order, so ids ARE the
+    * sort rank — which is exactly what the oracle pins. At 100 TB the
+    * id space costs one JSON int per file entry and one counter line;
+    * serving `_row_id` costs the same reader state `_pos` already
+    * keeps. */
+  def rowLineageScan(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin)
+    spark.sql(
+      s"""SELECT event_id, _row_id AS row_id, _last_updated_version AS last_v
+         |FROM $cat.jsonl_lineage ORDER BY event_id""".stripMargin)
+  }
+
+  /** q266 (r10): LINEAGE SURVIVES MAINTENANCE — the law that makes row
+    * ids an identity rather than a position: after two more commits,
+    * a bin-packing COMPACT (ids carried as manifest runs — the byte
+    * concat moves zero data bytes) and a ZORDER re-cluster (rows
+    * scatter, so ids ride THROUGH the rewrite as projected metadata
+    * and land materialized in-row), every row still answers the same
+    * (`_row_id`, `_last_updated_version`) it was assigned at ingest.
+    * The oracle recomputes the full expected id map from the raw data
+    * — five commits of history, one deterministic answer. */
+  def lineageMaintenance(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_mx")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_mx AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 4 = 1 ORDER BY event_id""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.jsonl_lineage_mx VALUES (99000001, 1, 'tail', 1.0)")
+    spark.sql(s"INSERT INTO $cat.jsonl_lineage_mx VALUES (99000002, 2, 'tail', 2.0)")
+    spark.sql(s"CALL $cat.compact('jsonl_lineage_mx', ${64L * 1024 * 1024})")
+    spark.sql(s"CALL $cat.zorder('jsonl_lineage_mx', 'user_id', 'value', ${64L * 1024 * 1024})")
+    spark.sql(
+      s"""SELECT event_id, _row_id AS row_id, _last_updated_version AS last_v
+         |FROM $cat.jsonl_lineage_mx ORDER BY event_id""".stripMargin)
+  }
+
+  /** q267 (r10): LINEAGE UNDER MERGE-ON-READ DML — deletes mask
+    * positions instead of rewriting files, so survivors keep their
+    * ids with GAPS where rows died (exactly Iceberg/Delta semantics);
+    * an equality-delete upsert retires the old row's id and assigns
+    * the replacement a fresh one at the upsert's version — `_row_id`
+    * is an identity of the ROW VERSION, not of the key. The oracle
+    * derives every survivor's id, the replacement's fresh id (= the
+    * pre-delete row count) and per-row versions from the raw data. */
+  def lineageMorDml(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_mor")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_mor AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 5 = 2 ORDER BY event_id""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"),
+      "jsonl_lineage_mor").toString
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    spark.sql(s"DELETE FROM $cat.jsonl_lineage_mor WHERE event_id % 10 = 7")
+    val hit = spark.sql(s"SELECT min(event_id) FROM $cat.jsonl_lineage_mor")
+      .head().getLong(0)
+    Seq((hit, 0L, "upserted", 0.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "event_id").mode("append").save()
+    spark.sql(
+      s"""SELECT event_id, _row_id AS row_id, _last_updated_version AS last_v
+         |FROM $cat.jsonl_lineage_mor ORDER BY event_id""".stripMargin)
+  }
+
+  /** q268 (r10): INCREMENTAL CONSUMPTION BY VERSION — the downstream
+    * pattern lineage exists for: "give me every row (re)written since
+    * version K" is one predicate on `_last_updated_version`, no change
+    * feed plumbing. The scan PRUNES at planning time: a stamped file's
+    * version is manifest metadata (`luv`, or per-run for compaction
+    * products), so files wholly older than K never plan a task — on a
+    * 100-TB table an incremental consumer reads only the new commits'
+    * files (the Iceberg incremental-scan shape as a WHERE clause;
+    * LineageSpec pins the planned-partition law). */
+  def lineageIncremental(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_inc")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_inc AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 7 = 1 ORDER BY event_id""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.jsonl_lineage_inc VALUES (98000001, 1, 'delta', 1.0)")
+    spark.sql(s"INSERT INTO $cat.jsonl_lineage_inc VALUES (98000002, 2, 'delta', 2.0)")
+    spark.sql(
+      s"""SELECT event_id, _row_id AS row_id, _last_updated_version AS last_v
+         |FROM $cat.jsonl_lineage_inc
+         |WHERE _last_updated_version > 1 ORDER BY event_id""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2440,6 +2543,10 @@ object JsonlStatsQueries extends QueryModule {
     "q262_sorted_table_scan" -> sortedTableScan,
     "q263_stats_meta_table" -> statsMetaTable,
     "q264_indexed_contamination" -> indexedContamination,
+    "q265_row_lineage_scan" -> rowLineageScan,
+    "q266_lineage_maintenance" -> lineageMaintenance,
+    "q267_lineage_mor_dml" -> lineageMorDml,
+    "q268_lineage_incremental" -> lineageIncremental,
   )
 
   val oracles = Map(
@@ -2700,6 +2807,40 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE value >= 100.0 AND value < 140.0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q265_row_lineage_scan" ->
+      """SELECT event_id,
+        |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_id,
+        |  CAST(1 AS BIGINT) AS last_v
+        |FROM events WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin,
+    "q266_lineage_maintenance" ->
+      """WITH base AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rid
+        |  FROM events WHERE event_id % 4 = 1)
+        |SELECT event_id, CAST(row_id AS BIGINT) AS row_id,
+        |  CAST(last_v AS BIGINT) AS last_v FROM (
+        |  SELECT event_id, rid AS row_id, 1 AS last_v FROM base
+        |  UNION ALL SELECT 99000001, (SELECT count(*) FROM base), 2
+        |  UNION ALL SELECT 99000002, (SELECT count(*) FROM base) + 1, 3
+        |) AS t ORDER BY event_id""".stripMargin,
+    "q267_lineage_mor_dml" ->
+      """WITH base AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rid
+        |  FROM events WHERE event_id % 5 = 2),
+        |surv AS (SELECT * FROM base WHERE event_id % 10 <> 7)
+        |SELECT event_id,
+        |  CAST(CASE WHEN event_id = (SELECT min(event_id) FROM surv)
+        |    THEN (SELECT count(*) FROM base) ELSE rid END AS BIGINT) AS row_id,
+        |  CAST(CASE WHEN event_id = (SELECT min(event_id) FROM surv)
+        |    THEN 3 ELSE 1 END AS BIGINT) AS last_v
+        |FROM surv ORDER BY event_id""".stripMargin,
+    "q268_lineage_incremental" ->
+      """SELECT event_id, CAST(row_id AS BIGINT) AS row_id,
+        |  CAST(last_v AS BIGINT) AS last_v FROM (
+        |  SELECT 98000001 AS event_id,
+        |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) AS row_id, 2 AS last_v
+        |  UNION ALL SELECT 98000002,
+        |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) + 1, 3
+        |) AS t ORDER BY event_id""".stripMargin,
     "q261_histogram_skew_filter" ->
       """SELECT count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id,

@@ -588,21 +588,26 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val grouped = keyGrouped
-    val wantPos = required.fieldNames.contains(JsonlStats.PosMeta)
+    // row lineage is position arithmetic, so its projections need
+    // physical positions exactly like `_pos` (r10)
+    val wantPos = required.fieldNames.contains(JsonlStats.PosMeta) ||
+      required.fieldNames.contains(JsonlStats.RowIdMeta) ||
+      required.fieldNames.contains(JsonlStats.LuvMeta)
     val canSplit = !grouped && splitBytes > 0
     (if (grouped) survivingStats() else topLimitPrune(survivingStats()))
       .flatMap { s =>
         val path = Paths.get(root, s.file).toString
         val dvs = s.dvs.map(dv => Paths.get(root, dv).toString)
         val eqds = eqdsFor(s)
+        val lin = JsonlStats.Lineage.of(s)
         if (grouped)
           Seq(JsonlKeyedFilePartition(path, s.pkey.get, dvs,
-            intKey = bucketGrouped, eqds = eqds): InputPartition)
+            intKey = bucketGrouped, eqds = eqds, lin = lin): InputPartition)
         else {
           val size =
             try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
           if (!canSplit || size <= splitBytes)
-            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
+            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds, lin = lin): InputPartition)
           else if (s.ckpts.nonEmpty)
             // checkpoint-aligned EXACT splits (r8): each boundary is a
             // manifest-recorded (line start, rows before) pair, so every
@@ -615,19 +620,19 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
               s.segb,
               pushed.toSeq.filter(f => JsonlStats.skipColumn(f)
                 .map(c => columnMapping.getOrElse(c, c)).contains(statsCol)),
-              eqds = eqds)
+              eqds = eqds, lin = lin)
           else if (dvs.nonEmpty || wantPos)
             // legacy manifests without checkpoints: DV masks and `_pos`
             // are keyed by physical position, which a blind byte-range
             // reader cannot know mid-file — whole-file partitions
             // (CALL rewrite_deletes / rewrite regenerates checkpoints)
-            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
+            Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds, lin = lin): InputPartition)
           else {
             val n = ((size + splitBytes - 1) / splitBytes).toInt
             (0 until n).map { i =>
               val lo = i.toLong * splitBytes
               val hi = if (i == n - 1) Long.MaxValue else (i + 1).toLong * splitBytes
-              JsonlFilePartition(path, lo, hi, eqds = eqds): InputPartition
+              JsonlFilePartition(path, lo, hi, eqds = eqds, lin = lin): InputPartition
             }
           }
         }
@@ -835,13 +840,14 @@ object JsonlStatsScan {
                                         dvs: Seq[String],
                                         segb: Seq[(Double, Double)] = Nil,
                                         zoneFilters: Seq[Filter] = Nil,
-                                        eqds: Seq[(String, Seq[String])] = Nil): Seq[InputPartition] = {
+                                        eqds: Seq[(String, Seq[String])] = Nil,
+                                        lin: JsonlStats.Lineage = JsonlStats.Lineage()): Seq[InputPartition] = {
     val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     var last = 0L
     ckpts.zipWithIndex.foreach { case ((o, r), i) =>
       if (o - last >= splitBytes && o < size) { bounds += ((o, r, i)); last = o }
     }
-    if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds))
+    if (bounds.isEmpty) Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds, lin = lin))
     else {
       val starts = (0L, 0L, -1) +: bounds.toSeq
       val zoned = zoneFilters.nonEmpty && segb.size == ckpts.size + 1
@@ -858,7 +864,7 @@ object JsonlStatsScan {
             zoneFilters.forall(f => JsonlStats.intervalMayMatch(f, lo, h))
           }
         }
-        if (keep) Some(JsonlFilePartition(path, o, hi, dvs, startRow = r, eqds = eqds)) else None
+        if (keep) Some(JsonlFilePartition(path, o, hi, dvs, startRow = r, eqds = eqds, lin = lin)) else None
       }
     }
   }
@@ -1007,7 +1013,8 @@ final case class JsonlFilePartition(file: String, start: Long = 0L,
                                     end: Long = Long.MaxValue,
                                     dvs: Seq[String] = Nil,
                                     startRow: Long = -1L,
-                                    eqds: Seq[(String, Seq[String])] = Nil)
+                                    eqds: Seq[(String, Seq[String])] = Nil,
+                                    lin: JsonlStats.Lineage = JsonlStats.Lineage())
   extends InputPartition
 
 /** A file of a key-grouped layout: every row carries `key` in the
@@ -1016,7 +1023,8 @@ final case class JsonlFilePartition(file: String, start: Long = 0L,
 final case class JsonlKeyedFilePartition(file: String, key: String,
                                          dvs: Seq[String] = Nil,
                                          intKey: Boolean = false,
-                                         eqds: Seq[(String, Seq[String])] = Nil)
+                                         eqds: Seq[(String, Seq[String])] = Nil,
+                                         lin: JsonlStats.Lineage = JsonlStats.Lineage())
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the partition value's type must match the reported transform's
   // result type: identity over a string column -> UTF8String; a bucket
@@ -1077,10 +1085,12 @@ class JsonlReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case f: JsonlFilePartition =>
       new JsonlPartitionReader(f.file, required, f.start, f.end, bloomSets, f.dvs,
-        columnMapping, f.startRow, gramRequired = gramRequired, eqds = f.eqds)
+        columnMapping, f.startRow, gramRequired = gramRequired, eqds = f.eqds,
+        lin = f.lin)
     case k: JsonlKeyedFilePartition =>
       new JsonlPartitionReader(k.file, required, bloomSets = bloomSets, dvs = k.dvs,
-        columnMapping = columnMapping, gramRequired = gramRequired, eqds = k.eqds)
+        columnMapping = columnMapping, gramRequired = gramRequired, eqds = k.eqds,
+        lin = k.lin)
     case other => throw new IllegalArgumentException(s"unexpected partition $other")
   }
 }
@@ -1112,7 +1122,8 @@ class JsonlPartitionReader(file: String, required: StructType,
                            startRow: Long = -1L,
                            invertMask: Boolean = false,
                            gramRequired: Array[Long] = Array.empty,
-                           eqds: Seq[(String, Seq[String])] = Nil)
+                           eqds: Seq[(String, Seq[String])] = Nil,
+                           lin: JsonlStats.Lineage = JsonlStats.Lineage())
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
 
@@ -1308,6 +1319,25 @@ class JsonlPartitionReader(file: String, required: StructType,
     InternalRow.fromSeq(required.fields.toSeq.zipWithIndex.map { case (f, fi) =>
       if (f.name == JsonlStats.FileMeta) filePath
       else if (f.name == JsonlStats.PosMeta) pos
+      else if (f.name == JsonlStats.RowIdMeta) {
+        // row lineage (r10): manifest arithmetic first (frid + pos /
+        // concat runs), in-row materialized field for scattering
+        // rewrites, NULL when never assigned
+        val id = lin.rowIdAt(pos)
+        if (id >= 0L) java.lang.Long.valueOf(id)
+        else {
+          val v = n.get(JsonlStats.RowIdMeta)
+          if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
+        }
+      }
+      else if (f.name == JsonlStats.LuvMeta) {
+        val lv = lin.luvAt(pos)
+        if (lv >= 0L) java.lang.Long.valueOf(lv)
+        else {
+          val v = n.get(JsonlStats.LuvField)
+          if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
+        }
+      }
       else {
         val v = n.get(physName(fi))
         if (v == null) fieldDefault(fi) // absent field: row predates the column

@@ -241,9 +241,12 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       if (!Files.exists(Paths.get(root, "_stats.jsonl"))) Seq.empty
       else {
         val mapper = new ObjectMapper()
-        JsonlStats.readManifestLines(root, "_stats.jsonl")
+        // counter lines are commitAtomic protocol, never planned base
+        // entries (r10) — carrying one here would fake an overwrite
+        // conflict against the stripped base the rebase receives
+        JsonlStats.stripCounter(JsonlStats.readManifestLines(root, "_stats.jsonl")
           .filter(_.nonEmpty)
-          .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+          .filterNot(l => mapper.readTree(l).hasNonNull("txn")))
       })
 
   private def plannedBase: Option[Seq[JsonlStats.FileStats]] =
@@ -315,6 +318,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
+    // a write carrying materialized lineage fields (r10 — a clustering
+    // rewrite that projected `_row_id`/`_luv` through itself) publishes
+    // frid = -2: ids live IN the rows; the commit must not re-stamp
+    val matLineage = writeSchema.fieldNames.contains(JsonlStats.RowIdMeta)
     val freshStats = fresh.map(c =>
       JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
@@ -322,7 +329,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None))
+          pspec = if (c.pkey.isDefined) partitionCol else None,
+          frid = if (matLineage) -2L else -1L))
     val freshLines = freshStats.map(JsonlStats.statsLine)
     // equality-delete upsert (r9b): the tasks' delete files, registered
     // in the SAME commit as their data (retract + insert atomically);
@@ -356,9 +364,14 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     }
     if (truncateFirst || !Files.exists(Paths.get(root, "_table.json"))) {
       // TRUNCATE redefines the data, not the table contract: delete
-      // mode and CHECK constraints survive the generation swap (r7c)
+      // mode and CHECK constraints survive the generation swap (r7c).
+      // Materialized lineage fields (r10) are never part of the table
+      // schema — a clustering rewrite that carries them must not leak
+      // them into the contract.
       val prior = JsonlStats.readTableMeta(root)
-      JsonlStats.writeTableMeta(root, statsCol, partitionCol, writeSchema, bloomCol,
+      val contractSchema = org.apache.spark.sql.types.StructType(writeSchema.fields
+        .filterNot(f => f.name == JsonlStats.RowIdMeta || f.name == JsonlStats.LuvField))
+      JsonlStats.writeTableMeta(root, statsCol, partitionCol, contractSchema, bloomCol,
         prior.deleteMode, prior.constraints, prior.columnMapping, prior.features,
         prior.reserved, gramCol = gramCol.orElse(prior.gramCol),
         sortCol = sortCol.orElse(prior.sortCol))
@@ -589,7 +602,10 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   // [min, max] over its NON-NULL values — the Iceberg/Delta shape.
   // Long bounds are exact through doubles below 2^53 (engine law).
   private val numIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
-    case (f, i) if f.dataType == LongType || f.dataType == DoubleType => i
+    // materialized lineage fields (r10, clustering rewrites) are
+    // provenance, not data — never tracked as column stats
+    case (f, i) if (f.dataType == LongType || f.dataType == DoubleType) &&
+      f.name != JsonlStats.RowIdMeta && f.name != JsonlStats.LuvField => i
   }
   private val colMn = Array.fill(numIdx.length)(Double.PositiveInfinity)
   private val colMx = Array.fill(numIdx.length)(Double.NegativeInfinity)

@@ -100,9 +100,12 @@ object Refs {
     * fast-forward. */
   private def liveEntries(root: String): Seq[String] = {
     val mapper = new ObjectMapper()
-    JsonlStats.readManifestLines(root, "_stats.jsonl")
+    // counter lines stripped too (r10): the row-id high-watermark is
+    // commitAtomic's protocol state, not part of a snapshot's identity
+    // — a ref that carried it would fake divergence at fast-forward
+    JsonlStats.stripCounter(JsonlStats.readManifestLines(root, "_stats.jsonl")
       .filter(_.nonEmpty)
-      .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+      .filterNot(l => mapper.readTree(l).hasNonNull("txn")))
   }
 
   /** Exclusive create: temp + hard link, the same two-property publish
@@ -139,9 +142,9 @@ object Refs {
           require(Files.exists(Paths.get(root, m)),
             s"version $v has been vacuumed; tag a surviving version")
           val mapper = new ObjectMapper()
-          (v, JsonlStats.readManifestLines(root, m)
+          (v, JsonlStats.stripCounter(JsonlStats.readManifestLines(root, m)
             .filter(_.nonEmpty)
-            .filterNot(l => mapper.readTree(l).hasNonNull("txn")))
+            .filterNot(l => mapper.readTree(l).hasNonNull("txn"))))
         }
     }
     createRef(root, tagManifest(name), headerLine("tag", version, None) +: entries)
@@ -254,8 +257,8 @@ object Refs {
       s"version $v has been vacuumed (oldest available: " +
         s"${JsonlStats.readVacuumHorizon(root).map(_.minVersion).getOrElse(current)}); $why")
     val mapper = new ObjectMapper()
-    JsonlStats.readManifestLines(root, m).filter(_.nonEmpty)
-      .filterNot(l => mapper.readTree(l).hasNonNull("txn"))
+    JsonlStats.stripCounter(JsonlStats.readManifestLines(root, m).filter(_.nonEmpty)
+      .filterNot(l => mapper.readTree(l).hasNonNull("txn")))
   }
 
   /** ROLLBACK: set main to an earlier image — a TAG's pinned snapshot

@@ -1,0 +1,229 @@
+package graft
+
+import graft.sources.{GraftCatalog, JsonlStats}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Laws of ROW LINEAGE (r10 — the Iceberg-v3 row-lineage idea on the
+  * manifest protocol; [[graft.sources.JsonlStats.Lineage]]).
+  *
+  * The contract under test: `_row_id` is a table-unique identity
+  * assigned by the COMMIT (manifest arithmetic: per-file `frid` +
+  * physical position, allocated from a monotone `next_row_id` counter
+  * line), `_last_updated_version` is the manifest version that last
+  * (re)wrote the row, and both survive the engine's own mutations:
+  * merge-on-read deletes/upserts preserve survivor ids by masking,
+  * maintenance rewrites carry them (compaction as manifest runs,
+  * rewrite_deletes as materialized in-row fields), and the counter
+  * never reissues a retired id. */
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fresh connector table: 4 event_id-ranged, sorted files so row ids
+    * are the global event_id rank (writer file names embed the
+    * zero-padded partition index; commit stamping sorts by file name).
+    * Returns (catalog, tableName, tableDir, expected (event_id → rank-1)). */
+  private def scratch(tag: String, deleteMode: Option[String] = None): (String, String, String) = {
+    val dir = Files.createTempDirectory(s"lineage_$tag").toString
+    var w = graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .repartitionByRange(4, $"event_id")
+      .sortWithinPartitions($"event_id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+    w.mode("overwrite").save()
+    deleteMode.foreach { m =>
+      val m0 = JsonlStats.readTableMeta(dir)
+      JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some(m)))
+    }
+    val cat = s"graft_lin_${tag}_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    (cat, Paths.get(dir).getFileName.toString, dir)
+  }
+
+  private def idsOf(cat: String, t: String): Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT event_id, _row_id, _last_updated_version FROM $cat.`$t`")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("fresh table: ids are the global sort rank, dense from 0, all at version 1") {
+    val (cat, t, dir) = scratch("fresh")
+    val got = spark.sql(
+      s"SELECT event_id, _row_id, _last_updated_version FROM $cat.`$t` ORDER BY event_id")
+      .collect()
+    assert(got.nonEmpty)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === i.toLong, s"row $i (event ${r.getLong(0)}) id ${r.getLong(1)}")
+      assert(r.getLong(2) === 1L, "first commit stamps version 1")
+    }
+    // the manifest's counter equals the row count
+    val lines = Files.readAllLines(Paths.get(dir, "_stats.jsonl"))
+    val cnt = lines.toArray.map(_.toString).find(_.contains("next_row_id"))
+    assert(cnt.isDefined && cnt.get.contains(s"${got.length}"), s"counter line: $cnt")
+  }
+
+  test("append continues from the high-watermark at the next version; old ids untouched") {
+    val (cat, t, _) = scratch("append")
+    val before = idsOf(cat, t)
+    val n = before.size.toLong
+    Seq((900001L, 1L, "x", 1.0), (900002L, 2L, "y", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .coalesce(1).sortWithinPartitions("event_id")
+      .write.format("graft-jsonl-stats").option("path",
+        Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), t).toString)
+      .mode("append").save()
+    val after = idsOf(cat, t)
+    before.foreach { case (k, v) => assert(after(k) === v, s"pre-append row $k changed") }
+    assert(after(900001L) === ((n, 2L)) && after(900002L) === ((n + 1L, 2L)),
+      s"appended ids must continue densely from $n at version 2: ${after(900001L)}, ${after(900002L)}")
+  }
+
+  test("merge-on-read DELETE: survivors keep their ids and versions (gaps where rows died)") {
+    val (cat, t, _) = scratch("mordel", deleteMode = Some("merge-on-read"))
+    val before = idsOf(cat, t)
+    val victims = before.keys.toSeq.sorted.take(5)
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id IN (${victims.mkString(",")})")
+    val after = idsOf(cat, t)
+    assert(after.size === before.size - victims.size)
+    after.foreach { case (k, v) => assert(before(k) === v, s"survivor $k drifted: $v") }
+    victims.foreach(k => assert(!after.contains(k)))
+  }
+
+  test("equality-delete upsert: replaced keys get FRESH ids, untouched rows keep theirs") {
+    val (cat, t, dir) = scratch("upsert")
+    val before = idsOf(cat, t)
+    val n = before.size.toLong
+    val hit = before.keys.min
+    Seq((hit, 99L, "rewritten", 9.9))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "event_id").mode("append").save()
+    val after = idsOf(cat, t)
+    assert(after.size === before.size)
+    assert(after(hit)._1 === n, s"upserted row is a NEW row: id $n, got ${after(hit)._1}")
+    assert(after(hit)._2 === 2L)
+    (before - hit).foreach { case (k, v) => assert(after(k) === v) }
+  }
+
+  test("WAP: branch-staged rows serve NULL ids; fast_forward stamps them on main") {
+    val (cat, t, dir) = scratch("wap")
+    val n = idsOf(cat, t).size.toLong
+    spark.sql(s"CALL $cat.create_branch('$t', 'audit')")
+    Seq((910001L, 7L, "staged", 3.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("branch", "audit").mode("append").save()
+    val staged = spark.sql(
+      s"SELECT _row_id FROM $cat.`$t`.branch_audit WHERE event_id = 910001").collect()
+    assert(staged.length === 1 && staged.head.isNullAt(0),
+      "ids are assigned by MAIN commits — a staged row has none yet")
+    spark.sql(s"CALL $cat.fast_forward('$t', 'audit')")
+    val landed = idsOf(cat, t)
+    assert(landed(910001L) === ((n, spark.sql(s"SELECT max(_last_updated_version) FROM $cat.`$t`").head().getLong(0))),
+      s"fast_forward must stamp the staged row at the watermark $n: ${landed(910001L)}")
+  }
+
+  test("concurrent appends allocate disjoint dense ranges (OCC rebase + stamp are one swap)") {
+    val (cat, t, dir) = scratch("occ")
+    val n = idsOf(cat, t).size.toLong
+    val writers = (0 until 4).map { w =>
+      new Thread(() => {
+        Seq.tabulate(10)(i => (920000L + w * 100 + i, w.toLong, s"w$w", i.toDouble))
+          .toDF("event_id", "user_id", "event_type", "value")
+          .coalesce(1)
+          .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    val after = idsOf(cat, t)
+    val fresh = after.filter(_._1 >= 920000L).values.map(_._1).toSeq.sorted
+    assert(fresh.size === 40)
+    assert(fresh === (n until n + 40L).toSeq,
+      s"four racing appends must produce one dense, disjoint range: $fresh")
+  }
+
+  test("rollback then cherry_pick restore ids verbatim; the counter never reissues") {
+    val (cat, t, dir) = scratch("undo")
+    val n = idsOf(cat, t).size.toLong
+    Seq((930001L, 1L, "picked", 1.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    val vAdd = JsonlStats.currentVersion(dir)
+    val idPicked = idsOf(cat, t)(930001L)
+    spark.sql(s"CALL $cat.rollback('$t', '${vAdd - 1}')")
+    // a post-rollback append must NOT reuse the retired id
+    Seq((930002L, 2L, "later", 2.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    val idLater = idsOf(cat, t)(930002L)
+    assert(idLater._1 === n + 1L,
+      s"rollback retired id $n; the counter must not reissue it: got ${idLater._1}")
+    spark.sql(s"CALL $cat.cherry_pick('$t', $vAdd)")
+    assert(idsOf(cat, t)(930001L)._1 === idPicked._1,
+      "cherry_pick re-applies the original file — original id restored")
+  }
+
+  test("compaction carries ids as manifest runs: zero data rewrites, identical id map") {
+    val (cat, t, dir) = scratch("compact")
+    // three more small appends -> seven files to bin-pack
+    (0 until 3).foreach { j =>
+      Seq((940000L + j, j.toLong, "pad", j.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    }
+    val before = idsOf(cat, t)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size < 7, s"compaction must merge: ${entries.size} files")
+    assert(entries.exists(_.runs.nonEmpty),
+      "a merged entry must carry its members' id ranges as runs")
+    assert(idsOf(cat, t) === before, "compaction must not move a single id")
+  }
+
+  test("rewrite_deletes materializes survivor ids in-row; entry marked frid=-2") {
+    val (cat, t, dir) = scratch("rwdel", deleteMode = Some("merge-on-read"))
+    val before = idsOf(cat, t)
+    val victims = before.keys.toSeq.sorted.take(7)
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id IN (${victims.mkString(",")})")
+    val masked = idsOf(cat, t)
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect()
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.dvs.isEmpty), "collapse must drop every DV")
+    assert(entries.exists(_.frid == -2L),
+      s"rewritten files carry in-row ids (frid = -2): ${entries.map(_.frid)}")
+    assert(idsOf(cat, t) === masked,
+      "the collapse must preserve every survivor's id and version")
+    // and the files really carry the fields
+    val rw = entries.find(_.frid == -2L).get
+    val ln = Files.readAllLines(Paths.get(dir, rw.file)).get(0)
+    assert(ln.contains("\"_row_id\":") && ln.contains("\"_luv\":"), ln.take(120))
+  }
+
+  test("zorder scatters rows but ids ride through as materialized fields") {
+    val (cat, t, dir) = scratch("zorder")
+    val before = idsOf(cat, t)
+    spark.sql(s"CALL $cat.zorder('$t', 'user_id', 'value', ${1L * 1024 * 1024})")
+    val after = idsOf(cat, t)
+    assert(after === before, "a clustering rewrite must not change a single id")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.frid == -2L),
+      s"every clustered file holds in-row lineage: ${entries.map(_.frid)}")
+    // the table contract never leaks the carrier fields
+    val meta = JsonlStats.readTableMeta(dir)
+    assert(!meta.schema.get.fieldNames.contains("_row_id"),
+      "materialized lineage fields must not enter the table schema")
+    // and column stats ignore them
+    assert(entries.forall(e => !e.cols.contains("_row_id") && !e.cols.contains("_luv")))
+  }
+
+  test("compacting a materialized file composes: runs for stamped members, in-row for the rest") {
+    val (cat, t, dir) = scratch("compose", deleteMode = Some("merge-on-read"))
+    val before = idsOf(cat, t)
+    val victim = before.keys.min
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id = $victim")
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect()
+    // one more fresh append, then compact everything together
+    Seq((950001L, 5L, "tail", 1.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    val pre = idsOf(cat, t)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    assert(idsOf(cat, t) === pre,
+      "a bin mixing materialized and stamped members must preserve both id sources")
+  }
+}

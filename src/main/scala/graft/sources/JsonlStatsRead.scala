@@ -678,6 +678,23 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
           .flatMap(c => s.strCols.get(columnMapping.getOrElse(c, c)))
           .forall { case (lo, hi) => JsonlStats.strIntervalMayMatch(f, lo, hi) }
       })
+      // row lineage (r10): `_last_updated_version` predicates prune at
+      // PLANNING time — a stamped file's version is manifest metadata
+      // (`luv`, per-run for compaction products), so "changed since
+      // version K" reads only the files commits after K produced: the
+      // Iceberg incremental-scan shape as a WHERE clause. Materialized
+      // files (frid = -2, per-row versions) are kept — conservative;
+      // an UNASSIGNED file serves NULL, which fails every comparison
+      // filter skipColumn admits, so it prunes exactly.
+      .filter(s => pushed.forall { f =>
+        !JsonlStats.skipColumn(f).contains(JsonlStats.LuvMeta) || s.frid == -2L || {
+          val luvs: Seq[Long] =
+            if (s.frid >= 0L) Seq(s.luv)
+            else if (s.runs.nonEmpty) s.runs.map(_._4).distinct
+            else Nil // unassigned: all rows NULL
+          luvs.exists(v => JsonlStats.intervalMayMatch(f, v.toDouble, v.toDouble))
+        }
+      })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
       .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
 

@@ -226,4 +226,33 @@ class LineageSpec extends SparkSpec {
     assert(idsOf(cat, t) === pre,
       "a bin mixing materialized and stamped members must preserve both id sources")
   }
+
+  test("incremental-by-version scans prune files at planning time (the Iceberg incremental-scan shape)") {
+    val (cat, t, dir) = scratch("incprune")
+    (0 until 3).foreach { j =>
+      Seq((960000L + j, j.toLong, "delta", j.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    }
+    // versions: 1 = the 4-file CTAS, 2..4 = one single-file append each
+    val df = spark.sql(
+      s"SELECT event_id, _row_id FROM $cat.`$t` WHERE _last_updated_version > 3")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(960002L), "only the v4 row changed since v3")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val planned = scans.head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(planned === 1,
+      s"a luv > 3 predicate must plan ONLY the files commits 4+ produced: planned $planned of 7")
+  }
 }

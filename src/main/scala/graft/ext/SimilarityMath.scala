@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   * in Spark and DuckDB — bit-identical results, so ranking and
   * thresholds are oracle-checkable across engines.
   */
-private[ext] object SimilarityMath {
+private[graft] object SimilarityMath {
 
   val Dec = DecimalType(38, 25)
 

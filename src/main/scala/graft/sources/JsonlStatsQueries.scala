@@ -2475,6 +2475,80 @@ object JsonlStatsQueries extends QueryModule {
          |WHERE _last_updated_version > 1 ORDER BY event_id""".stripMargin)
   }
 
+  /** Connector table holding the EMBEDDINGS corpus: vec_id + the
+    * float-array embedding + a boolean — the typed-column fixture the
+    * r10 data-model queries read. */
+  def ensureEmbFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_embeddings")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.embeddings(spark, d)
+        .select($"vec_id", $"embedding", ($"vec_id" % 2 === 0).as("is_even"))
+        .repartitionByRange(4, $"vec_id")
+        .sortWithinPartitions($"vec_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "vec_id")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  private def embTable(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("graft-jsonl-stats")
+      .option("path", ensureEmbFixture(spark, d)).load()
+
+  /** q269 (r10): TYPED COLUMNS — the table format stores the north
+    * star's data model, not just scalars: `array<float>` embeddings
+    * and booleans round-trip through the JSONL protocol with EXACT
+    * element fidelity (the writer prints the shortest decimal that
+    * reparses to the same float; the reader parses it back as float —
+    * identity by construction). The oracle recomputes an integer
+    * element checksum + dimension counts from the raw parquet, so any
+    * drift in any element of any vector fails the hash. Array columns
+    * carry no stats (absent = never pruned — conservative), and every
+    * table-format capability (lineage, MoR, time travel, refs)
+    * composes with them unchanged. */
+  def typedColumnsRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val per = embTable(spark, d)
+      .select($"vec_id", $"is_even",
+        size($"embedding").as("dims"),
+        aggregate(transform($"embedding", e => floor(e.cast("double") * 64)),
+          lit(0L), (acc, v) => acc + v).as("csum"))
+    per.groupBy($"is_even")
+      .agg(count(lit(1)).as("n"),
+        sum($"dims").as("dims_sum"),
+        sum($"csum").as("csum_sum"))
+      .orderBy($"is_even")
+  }
+
+  /** q270 (r10): COSINE TOP-K THROUGH THE TABLE FORMAT — q33's exact
+    * brute-force ANN (decimal-summed dots, broadcast query side) with
+    * the corpus read from the CONNECTOR instead of parquet, against
+    * q33's own parquet-derived oracle. Passing means the stored floats
+    * are bit-identical through the format — the vector tier and the
+    * table tier compose: embeddings live in a table with lineage,
+    * merge-on-read upserts and time travel, and the similarity stack
+    * runs on it unchanged. */
+  def connectorCosineTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.SimilarityMath.{dotDec, normDec, nQueries, topK}
+    val emb = embTable(spark, d).select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), normDec($"embedding").as("qn"))
+    val c = emb
+      .select($"vec_id".as("vid"), $"embedding".as("cv"), normDec($"embedding").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cosine".desc, $"vid")
+    c.join(org.apache.spark.sql.functions.broadcast(q), $"qid" =!= $"vid")
+      .withColumn("cosine", dotDec($"qv", $"cv") / ($"qn" * $"cn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= topK)
+      .select($"qid", $"vid", round($"cosine", 6).as("cosine"), $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2547,6 +2621,8 @@ object JsonlStatsQueries extends QueryModule {
     "q266_lineage_maintenance" -> lineageMaintenance,
     "q267_lineage_mor_dml" -> lineageMorDml,
     "q268_lineage_incremental" -> lineageIncremental,
+    "q269_typed_columns_roundtrip" -> typedColumnsRoundtrip,
+    "q270_connector_cosine_topk" -> connectorCosineTopk,
   )
 
   val oracles = Map(
@@ -2841,6 +2917,36 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT 98000002,
         |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) + 1, 3
         |) AS t ORDER BY event_id""".stripMargin,
+    "q269_typed_columns_roundtrip" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS e FROM embeddings),
+        |per AS (
+        |  SELECT vec_id,
+        |    CAST(count(*) AS BIGINT) AS dims,
+        |    CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 64) AS BIGINT)) AS BIGINT) AS csum
+        |  FROM ex GROUP BY vec_id)
+        |SELECT (vec_id % 2 = 0) AS is_even, count(*) AS n,
+        |  CAST(SUM(dims) AS BIGINT) AS dims_sum,
+        |  CAST(SUM(csum) AS BIGINT) AS csum_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q270_connector_cosine_topk" ->
+      s"""WITH ${graft.ext.SimilarityMath.normsCte},
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, q.embedding AS qv, c.embedding AS cv
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < ${graft.ext.SimilarityMath.nQueries}
+         |), dots AS (
+         |  SELECT qid, vid,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT qid, vid, qv, cv, unnest(generate_series(1, len(qv))) AS i FROM pairs)
+         |  GROUP BY qid, vid
+         |), cosv AS (
+         |  SELECT qid, vid, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON vid = nc.vec_id)
+         |SELECT qid, vid, ROUND(cosine, 6) AS cosine, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+         |  FROM cosv)
+         |WHERE rnk <= ${graft.ext.SimilarityMath.topK}
+         |ORDER BY qid, rnk""".stripMargin,
     "q261_histogram_skew_filter" ->
       """SELECT count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id,

@@ -1363,6 +1363,31 @@ class JsonlPartitionReader(file: String, required: StructType,
           case LongType   => v.asLong()
           case DoubleType => v.asDouble()
           case StringType => UTF8String.fromString(v.asText())
+          case BooleanType => v.asBoolean()
+          // typed array columns (r10): JSON array → Catalyst ArrayData.
+          // Float elements round-trip EXACTLY: the writer printed the
+          // shortest decimal that reparses to the same float, so
+          // floatValue() here is the identity — embeddings stored in
+          // the table format compute bit-identical cosines to parquet.
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            val m = v.size()
+            val out = new Array[Any](m)
+            var j = 0
+            while (j < m) {
+              val e = v.get(j)
+              out(j) =
+                if (e == null || e.isNull) null
+                else et match {
+                  case org.apache.spark.sql.types.FloatType => e.floatValue()
+                  case DoubleType => e.asDouble()
+                  case LongType   => e.asLong()
+                  case StringType => UTF8String.fromString(e.asText())
+                  case BooleanType => e.asBoolean()
+                  case dt => throw new IllegalArgumentException(s"unsupported array element $dt")
+                }
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
           case dt => throw new IllegalArgumentException(s"unsupported type $dt")
         }
       }

@@ -197,7 +197,13 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
                                  colNonNull: Map[String, Long] = Map.empty,
                                  strCols: Map[String, (String, Option[String])] = Map.empty,
                                  ckpts: Seq[(Long, Long)] = Nil,
-                                 segb: Seq[(Double, Double)] = Nil)
+                                 segb: Seq[(Double, Double)] = Nil,
+                                 // row lineage (r10): true when this file
+                                 // holds at least one non-null materialized
+                                 // `_row_id` — the commit publishes frid=-2
+                                 // (ids live in-row); an all-null file stays
+                                 // unassigned and gets stamped fresh
+                                 sawLineage: Boolean = false)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -318,10 +324,6 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
-    // a write carrying materialized lineage fields (r10 — a clustering
-    // rewrite that projected `_row_id`/`_luv` through itself) publishes
-    // frid = -2: ids live IN the rows; the commit must not re-stamp
-    val matLineage = writeSchema.fieldNames.contains(JsonlStats.RowIdMeta)
     val freshStats = fresh.map(c =>
       JsonlStats.FileStats(c.file, c.min, c.max, c.rows, c.pkey, c.cols,
         colNonNull = c.colNonNull, strCols = c.strCols, ckpts = c.ckpts,
@@ -330,7 +332,11 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
           pspec = if (c.pkey.isDefined) partitionCol else None,
-          frid = if (matLineage) -2L else -1L))
+          // row lineage (r10): a file holding materialized ids (a
+          // rewrite projected `_row_id` through itself) publishes
+          // frid = -2 so the commit never re-stamps it; an all-null
+          // carrier file stays unassigned and stamps fresh
+          frid = if (c.sawLineage) -2L else -1L))
     val freshLines = freshStats.map(JsonlStats.statsLine)
     // equality-delete upsert (r9b): the tasks' delete files, registered
     // in the SAME commit as their data (retract + insert atomically);
@@ -370,7 +376,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       // them into the contract.
       val prior = JsonlStats.readTableMeta(root)
       val contractSchema = org.apache.spark.sql.types.StructType(writeSchema.fields
-        .filterNot(f => f.name == JsonlStats.RowIdMeta || f.name == JsonlStats.LuvField))
+        .filterNot(f => f.name == JsonlStats.RowIdMeta || f.name == JsonlStats.LuvField ||
+          f.name == JsonlStats.LuvMeta))
       JsonlStats.writeTableMeta(root, statsCol, partitionCol, contractSchema, bloomCol,
         prior.deleteMode, prior.constraints, prior.columnMapping, prior.features,
         prior.reserved, gramCol = gramCol.orElse(prior.gramCol),
@@ -466,7 +473,21 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
   override def description(): String = s"graft-jsonl-stats copy-on-write $cmd"
 
   /** `_file` must survive the plan: it is both the group identity the
-    * runtime filter targets and what the commit replaces by. */
+    * runtime filter targets and what the commit replaces by.
+    *
+    * Row lineage (r10) deliberately does NOT ride the COW rewrite:
+    * Spark's group-based ReplaceData hands the replacement write the
+    * TABLE schema only — requiredMetadataAttributes reach the scan and
+    * the distribution contract, never the writer's rows (verified
+    * against 4.1; Iceberg hits the same wall, which is why v3 lineage
+    * preservation is an engine obligation, not a connector trick). So
+    * copy-on-write DELETE/UPDATE re-stamp the rewritten files' rows
+    * with fresh ids — a DOCUMENTED contract, spec-pinned — and the
+    * lineage-preserving row-level mode is merge-on-read (DV masks and
+    * equality deletes never move a surviving row's position), which is
+    * also the scale-correct configuration for mutation-heavy tables.
+    * Rewrites the ENGINE controls (compact / rewrite_deletes / zorder)
+    * all preserve ids — see [[GraftProcedures]]. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(JsonlStats.FileMeta))
 
@@ -515,7 +536,12 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None))
+          pspec = if (c.pkey.isDefined) partitionCol else None,
+          // row lineage (r10): COW rewrites project the lineage
+          // metadata attrs through the plan ([[JsonlRowLevelOperation
+          // .requiredMetadataAttributes]]), so carried rows land with
+          // materialized in-row ids — frid = -2, never re-stamped
+          frid = if (c.sawLineage) -2L else -1L))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass
@@ -570,7 +596,11 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   // and per-column stats keyed by them, so pre- and post-rename files
   // are byte-compatible and the manifest keys never fork
   private val physOf: Array[String] =
-    writeSchema.fields.map(f => columnMapping.getOrElse(f.name, f.name))
+    // lineage carrier columns (r10): `_last_updated_version` lands as
+    // the short in-row field the reader's fallback expects
+    writeSchema.fields.map(f =>
+      if (f.name == JsonlStats.LuvMeta) JsonlStats.LuvField
+      else columnMapping.getOrElse(f.name, f.name))
   private val path = Paths.get(root, fileName)
   // byte-counting output (r8): row-offset checkpoints need EXACT byte
   // positions, so the sink writes UTF-8 bytes itself instead of going
@@ -592,6 +622,10 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   // substring gram index (r9): every 5-char window of the indexed
   // string column feeds the per-file gram bloom ([[Bloom.GramTracker]])
   private val gramIdx = gramCol.map(writeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  // row lineage (r10): a write carrying the `_row_id` column is a
+  // rewrite materializing ids in-row; track whether any landed
+  private val rowIdIdx = writeSchema.fieldNames.indexOf(JsonlStats.RowIdMeta)
+  private var sawLineage = false
   // routed (bucket) writers hold one tracker per resident sink, so the
   // per-sink budget is the single-sink budget / gramShare (r9 review)
   private val grams = if (gramIdx >= 0) Bloom.budgetedGramTracker(gramShare) else null
@@ -605,7 +639,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     // materialized lineage fields (r10, clustering rewrites) are
     // provenance, not data — never tracked as column stats
     case (f, i) if (f.dataType == LongType || f.dataType == DoubleType) &&
-      f.name != JsonlStats.RowIdMeta && f.name != JsonlStats.LuvField => i
+      f.name != JsonlStats.RowIdMeta && f.name != JsonlStats.LuvField &&
+      f.name != JsonlStats.LuvMeta => i
   }
   private val colMn = Array.fill(numIdx.length)(Double.PositiveInfinity)
   private val colMx = Array.fill(numIdx.length)(Double.NegativeInfinity)
@@ -622,6 +657,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val strCnt = Array.fill(strIdx.length)(0L)
 
   def write(row: InternalRow): Unit = {
+    if (rowIdIdx >= 0 && !row.isNullAt(rowIdIdx)) sawLineage = true
     val node = mapper.createObjectNode()
     writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(physOf(i))
@@ -629,6 +665,28 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         case LongType   => node.put(physOf(i), row.getLong(i))
         case DoubleType => node.put(physOf(i), row.getDouble(i))
         case StringType => node.put(physOf(i), row.getUTF8String(i).toString)
+        case BooleanType => node.put(physOf(i), row.getBoolean(i))
+        // typed array columns (r10): the embedding/data-model types the
+        // north star needs — JSON arrays, exact element round-trips
+        // (Jackson prints the shortest representation that reparses to
+        // the same float/double/long). No stats tracked — an array
+        // column never prunes (absence = conservative).
+        case ArrayType(et, _) =>
+          val arr = row.getArray(i)
+          val a = node.putArray(physOf(i))
+          var j = 0
+          while (j < arr.numElements()) {
+            if (arr.isNullAt(j)) a.addNull()
+            else et match {
+              case FloatType   => a.add(arr.getFloat(j))
+              case DoubleType  => a.add(arr.getDouble(j))
+              case LongType    => a.add(arr.getLong(j))
+              case StringType  => a.add(arr.getUTF8String(j).toString)
+              case BooleanType => a.add(arr.getBoolean(j))
+              case dt => throw new IllegalArgumentException(s"unsupported array element $dt")
+            }
+            j += 1
+          }
         case dt => throw new IllegalArgumentException(s"unsupported type $dt")
       }
     }
@@ -728,9 +786,9 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
-        strCols, ckpts.toSeq, segZones)
+        strCols, ckpts.toSeq, segZones, sawLineage = sawLineage)
     else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq,
-      segZones)
+      segZones, sawLineage = sawLineage)
   }
 
   def abort(): Unit = {

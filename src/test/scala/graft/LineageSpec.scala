@@ -255,4 +255,31 @@ class LineageSpec extends SparkSpec {
     assert(planned === 1,
       s"a luv > 3 predicate must plan ONLY the files commits 4+ produced: planned $planned of 7")
   }
+
+  test("copy-on-write DELETE re-stamps rewritten rows: the documented contract (MoR preserves)") {
+    // Spark's group-based ReplaceData hands the replacement write the
+    // TABLE schema only — metadata attrs never reach the writer's rows
+    // (JsonlRowLevelOperation doc) — so COW rewrites mint fresh ids.
+    // This pins the CONTRACT: ids stay table-unique and dense, versions
+    // bump to the rewrite commit, and the untouched files' rows keep
+    // their ids exactly.
+    val (cat, t, dir) = scratch("cow") // default delete mode = COW file rewrite
+    val before = idsOf(cat, t)
+    val n = before.size.toLong
+    val victims = before.keys.toSeq.sorted.take(5)
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id IN (${victims.mkString(",")})")
+    val after = idsOf(cat, t)
+    assert(after.size === before.size - victims.size)
+    // file-granular COW: files the bounds prove unaffected ride through
+    // untouched — their rows' ids are stable
+    val untouched = after.filter { case (k, v) => before(k) == v }
+    assert(untouched.nonEmpty, "bounds-pruned files must keep their ids")
+    // rewritten rows were re-stamped: fresh ids from the watermark, at
+    // the delete version, never colliding with a surviving id
+    val restamped = after.filter { case (k, v) => before(k) != v }
+    assert(restamped.nonEmpty && restamped.values.forall { case (id, v) => id >= n && v == 2L },
+      s"re-stamped rows allocate past the watermark $n at version 2")
+    assert(after.values.map(_._1).toSeq.distinct.size === after.size,
+      "ids stay table-unique through the rewrite")
+  }
 }

@@ -1331,6 +1331,19 @@ class JsonlPartitionReader(file: String, required: StructType,
     found
   }
 
+  /** Row-lineage run lookup (r10): rows are emitted in increasing
+    * physical position, so the run cursor only ever advances — O(1)
+    * amortized per row where a find() would be O(runs) (a bin-packed
+    * compaction product holds one run per member). Returns the run
+    * index covering `pos`, or -1 (gap / no runs → in-row fallback). */
+  private val linRuns: Array[(Long, Long, Long, Long)] = lin.runs.sortBy(_._1).toArray
+  private var linIdx = 0
+  private def linRunAt(p: Long): Int = {
+    if (linRuns.isEmpty) return -1
+    while (linIdx < linRuns.length && p >= linRuns(linIdx)._1 + linRuns(linIdx)._3) linIdx += 1
+    if (linIdx < linRuns.length && p >= linRuns(linIdx)._1) linIdx else -1
+  }
+
   override def get(): InternalRow = {
     val n = if (node != null) node else mapper.readTree(line)
     InternalRow.fromSeq(required.fields.toSeq.zipWithIndex.map { case (f, fi) =>
@@ -1338,18 +1351,20 @@ class JsonlPartitionReader(file: String, required: StructType,
       else if (f.name == JsonlStats.PosMeta) pos
       else if (f.name == JsonlStats.RowIdMeta) {
         // row lineage (r10): manifest arithmetic first (frid + pos /
-        // concat runs), in-row materialized field for scattering
-        // rewrites, NULL when never assigned
-        val id = lin.rowIdAt(pos)
-        if (id >= 0L) java.lang.Long.valueOf(id)
+        // concat runs via the monotone cursor), in-row materialized
+        // field for scattering rewrites, NULL when never assigned
+        val ri = linRunAt(pos)
+        if (lin.frid >= 0L) java.lang.Long.valueOf(lin.frid + pos)
+        else if (ri >= 0) java.lang.Long.valueOf(linRuns(ri)._2 + (pos - linRuns(ri)._1))
         else {
           val v = n.get(JsonlStats.RowIdMeta)
           if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
         }
       }
       else if (f.name == JsonlStats.LuvMeta) {
-        val lv = lin.luvAt(pos)
-        if (lv >= 0L) java.lang.Long.valueOf(lv)
+        val ri = linRunAt(pos)
+        if (lin.frid >= 0L) java.lang.Long.valueOf(lin.luv)
+        else if (ri >= 0) java.lang.Long.valueOf(linRuns(ri)._4)
         else {
           val v = n.get(JsonlStats.LuvField)
           if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null

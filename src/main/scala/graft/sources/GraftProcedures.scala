@@ -1422,11 +1422,17 @@ object GraftProcedures {
             if (m.frid >= 0L) Seq((ro, m.frid, m.rows, m.luv))
             else m.runs.map(r => (ro + r._1, r._2, r._3, r._4))
           }
+          // an ALL-materialized bin produces no runs — the entry must
+          // still declare in-row lineage (frid = -2) or the commit
+          // would re-stamp it and override every row's carried id
+          // (r10 review)
+          val mergedFrid =
+            if (mergedRuns.isEmpty && members.exists(_.frid == -2L)) -2L else -1L
           Bin(members.map(_.file), out,
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
               colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
               segb = mergedSegB, pspec = pspec, seq = seq,
-              runs = mergedRuns))
+              frid = mergedFrid, runs = mergedRuns))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

@@ -1005,7 +1005,13 @@ object JsonlStats {
             // forward, so retired ids are never reissued.
             val (baseEntries, baseCnt) = splitCounter(baseEntries0, mapper)
             val (ents, rebCnt) = splitCounter(rebase(baseEntries), mapper)
-            val base0 = math.max(math.max(math.max(0L, baseCnt), rebCnt), counterFloor(ents))
+            // an existing counter is authoritative (stamping always
+            // bumps it past every assigned range, and it is monotone
+            // through every commit shape) — the full-parse floor pass
+            // only runs once, on a pre-lineage table's first commit
+            val base0 =
+              if (baseCnt >= 0L || rebCnt >= 0L) math.max(math.max(0L, baseCnt), rebCnt)
+              else counterFloor(ents)
             // the reserved slot archives the OUTGOING version k; the
             // manifest being published IS version k + 1
             val (stamped, next) = stampRowIds(ents, mapper, base0, version = k + 1)

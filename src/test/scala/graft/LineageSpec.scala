@@ -282,4 +282,19 @@ class LineageSpec extends SparkSpec {
     assert(after.values.map(_._1).toSeq.distinct.size === after.size,
       "ids stay table-unique through the rewrite")
   }
+
+  test("compacting ALL-materialized members keeps in-row ids - no re-stamp (r10 review)") {
+    val (cat, t, dir) = scratch("allmat", deleteMode = Some("merge-on-read"))
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id % 10 = 3") // dirties every file
+    assert(JsonlStats.readStats(dir).forall(_.dvs.nonEmpty), "every file must carry a DV")
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect()
+    assert(JsonlStats.readStats(dir).forall(_.frid == -2L), "all files materialized")
+    val before = idsOf(cat, t)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size === 1 && entries.head.frid === -2L && entries.head.runs.isEmpty,
+      s"an all-materialized bin declares in-row lineage: ${entries.map(e => (e.frid, e.runs.size))}")
+    assert(idsOf(cat, t) === before,
+      "the commit must not re-stamp a bin whose ids live in its rows")
+  }
 }

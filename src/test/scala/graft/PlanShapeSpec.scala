@@ -59,7 +59,8 @@ class PlanShapeSpec extends SparkSpec {
     "q183_hybrid_rrf", "q193_naive_bayes_lang", "q194_pmi_collocations",
     "q195_kmeans_train", "q199_gd_classifier", "q202_pca_power",
     "q206_benford_audit", "q209_gd_grid_search", "q211_association_rules",
-    "q213_kneser_ney") // q213: 1-row bigram-type-count scalar, the q149/q150 shape
+    "q213_kneser_ney", // q213: 1-row bigram-type-count scalar, the q149/q150 shape
+    "q270_connector_cosine_topk") // q33's shape verbatim, corpus read from the connector
 
   test("no registered query plans a cartesian product; nested-loop joins only where documented") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

@@ -2549,6 +2549,44 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q271 (r10): INCREMENTAL REPLICATION BY WATERMARK — the downstream
+    * pattern the lineage tier exists for, end to end: a replica pinned
+    * at version 1 (time travel), a source that takes an equality-delete
+    * UPSERT and a plain append, and a sync that reads ONLY the rows
+    * `_last_updated_version > 1` (file-pruned at planning — the two
+    * delta files, never the base) and applies them by key
+    * (anti-join ∪ changed). The oracle proves replica ≡ source after
+    * the sync from the raw data alone. At 100 TB this is the nightly
+    * downstream refresh costing ingest-sized IO instead of a table
+    * copy, with no change-feed plumbing — three table-format tiers
+    * (refs/history, lineage, MoR upserts) composing in one query. */
+  def lineageReplication(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_rep")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_rep AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 6 = 1 ORDER BY event_id""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"),
+      "jsonl_lineage_rep").toString
+    val hit = spark.sql(s"SELECT min(event_id) FROM $cat.jsonl_lineage_rep")
+      .head().getLong(0)
+    // v2: upsert an existing key; v3: append a new one
+    Seq((hit, 0L, "upserted", 111.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("upsertKeys", "event_id").mode("append").save()
+    spark.sql(s"INSERT INTO $cat.jsonl_lineage_rep VALUES (97000001, 1, 'inserted', 5.0)")
+    val replica = spark.sql(
+      s"SELECT event_id, event_type, value FROM $cat.jsonl_lineage_rep VERSION AS OF 1")
+    val changed = spark.sql(
+      s"""SELECT event_id, event_type, value FROM $cat.jsonl_lineage_rep
+         |WHERE _last_updated_version > 1""".stripMargin)
+    replica.join(changed.select($"event_id"), Seq("event_id"), "left_anti")
+      .unionByName(changed)
+      .orderBy($"event_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2623,6 +2661,7 @@ object JsonlStatsQueries extends QueryModule {
     "q268_lineage_incremental" -> lineageIncremental,
     "q269_typed_columns_roundtrip" -> typedColumnsRoundtrip,
     "q270_connector_cosine_topk" -> connectorCosineTopk,
+    "q271_lineage_replication" -> lineageReplication,
   )
 
   val oracles = Map(
@@ -2916,6 +2955,15 @@ object JsonlStatsQueries extends QueryModule {
         |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) AS row_id, 2 AS last_v
         |  UNION ALL SELECT 98000002,
         |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) + 1, 3
+        |) AS t ORDER BY event_id""".stripMargin,
+    "q271_lineage_replication" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 6 = 1)
+        |SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value FROM base
+        |  WHERE event_id <> (SELECT min(event_id) FROM base)
+        |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
+        |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
     "q269_typed_columns_roundtrip" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS e FROM embeddings),

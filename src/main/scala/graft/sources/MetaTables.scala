@@ -58,7 +58,15 @@ object MetaTables {
     StructField("min_value", DoubleType, nullable = false),
     StructField("max_value", DoubleType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("n_ckpts", IntegerType, nullable = false)))
+    StructField("n_ckpts", IntegerType, nullable = false),
+    // row lineage (r10): how this file answers `_row_id` — 'stamped'
+    // (frid + position), 'runs' (compaction product, one id range per
+    // member), 'materialized' (in-row fields), 'none' (unassigned);
+    // first_row_id/last_updated_version are the stamped fast path's
+    // values (runs/materialized files answer per-row, so NULL here)
+    StructField("lineage", StringType, nullable = false),
+    StructField("first_row_id", LongType, nullable = true),
+    StructField("last_updated_version", LongType, nullable = true)))
 
   private val partitionsSchema = StructType(Seq(
     StructField("pkey", StringType, nullable = true),
@@ -109,10 +117,18 @@ object MetaTables {
     JsonlStats.readStats(root).sortBy(_.file).map { s =>
       val bytes =
         try Files.size(Paths.get(root, s.file)) catch { case _: java.io.IOException => -1L }
+      val kind =
+        if (s.frid >= 0L) "stamped"
+        else if (s.runs.nonEmpty) "runs"
+        else if (s.frid == -2L) "materialized"
+        else "none"
       InternalRow(utf8(s.file), s.rows, s.dels, liveOf(s),
         eqdels.count(_.seq > s.seq),
         s.pkey.map(utf8).orNull, s.pspec.map(utf8).orNull,
-        s.min, s.max, bytes, s.ckpts.size)
+        s.min, s.max, bytes, s.ckpts.size,
+        utf8(kind),
+        if (s.frid >= 0L) java.lang.Long.valueOf(s.frid) else null,
+        if (s.frid >= 0L) java.lang.Long.valueOf(s.luv) else null)
     }.toArray
   }
 

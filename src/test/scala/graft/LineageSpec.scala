@@ -297,4 +297,22 @@ class LineageSpec extends SparkSpec {
     assert(idsOf(cat, t) === before,
       "the commit must not re-stamp a bin whose ids live in its rows")
   }
+
+  test("t.files exposes lineage posture: kinds + first_row_id/version arithmetic") {
+    val (cat, t, dir) = scratch("filesmeta")
+    val f0 = spark.sql(
+      s"""SELECT file, rows, lineage, first_row_id, last_updated_version
+         |FROM $cat.`$t`.files ORDER BY file""".stripMargin).collect()
+    assert(f0.forall(_.getString(2) == "stamped"))
+    // files are stamped in name order: first_row_id = running row sum
+    f0.foldLeft(0L) { (acc, r) =>
+      assert(r.getLong(3) === acc, s"${r.getString(0)} first_row_id")
+      assert(r.getLong(4) === 1L)
+      acc + r.getLong(1)
+    }
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val f1 = spark.sql(s"SELECT lineage, first_row_id FROM $cat.`$t`.files").collect()
+    assert(f1.length === 1 && f1.head.getString(0) === "runs" && f1.head.isNullAt(1),
+      "a compaction product answers per-run - kind 'runs', no single first_row_id")
+  }
 }

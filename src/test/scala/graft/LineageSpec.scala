@@ -315,4 +315,35 @@ class LineageSpec extends SparkSpec {
     assert(f1.length === 1 && f1.head.getString(0) === "runs" && f1.head.isNullAt(1),
       "a compaction product answers per-run - kind 'runs', no single first_row_id")
   }
+
+  test("compaction racing an append: both stamp inside their own OCC swap, ids stay unique") {
+    val (cat, t, dir) = scratch("race")
+    // a couple of extra small files so the compactor has real work
+    (0 until 2).foreach { j =>
+      Seq((970000L + j, j.toLong, "pad", j.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    }
+    val n = idsOf(cat, t).size.toLong
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactor = new Thread(() => {
+      try spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})").collect()
+      catch { case e: Throwable => err.set(e) }
+    })
+    val appender = new Thread(() => {
+      try Seq.tabulate(10)(i => (980000L + i, 9L, "race", i.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1)
+        .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+      catch { case e: Throwable => err.set(e) }
+    })
+    compactor.start(); appender.start(); compactor.join(); appender.join()
+    assert(err.get() == null, s"racing maintenance/ingest must both land: ${err.get()}")
+    val after = idsOf(cat, t)
+    assert(after.size.toLong === n + 10)
+    assert(after.values.map(_._1).toSeq.distinct.size === after.size,
+      "ids stay table-unique across the race")
+    val fresh = after.filter(_._1 >= 980000L).values.map(_._1).toSeq.sorted
+    assert(fresh === (fresh.min until fresh.min + 10L).toSeq, "appended range stays dense")
+  }
 }

@@ -983,15 +983,33 @@ class JsonlManifestStream(root: String, required: StructType,
         // `_pos`/DV reads need them whole anyway)
         val ckpts = s.map(_.ckpts).getOrElse(Nil)
         val size = try Files.size(Paths.get(path)) catch { case _: Throwable => 0L }
+        // row lineage (r10): streaming reads serve the same ids as
+        // batch — the partition carries the entry's lineage
+        val lin = s.map(JsonlStats.Lineage.of).getOrElse(JsonlStats.Lineage())
         if (splitBytes <= 0 || size <= splitBytes || ckpts.isEmpty)
-          Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds): InputPartition)
+          Seq(JsonlFilePartition(path, dvs = dvs, eqds = eqds, lin = lin): InputPartition)
         else
-          JsonlStatsScan.checkpointRanges(path, size, ckpts, splitBytes, dvs, eqds = eqds)
+          JsonlStatsScan.checkpointRanges(path, size, ckpts, splitBytes, dvs, eqds = eqds,
+            lin = lin)
       }
       .toArray
   }
+  /** Streaming rows carry the four metadata columns APPENDED (r10):
+    * the streaming plan has no column-pruning pass, so when a query
+    * references a metadata column the exec's output is the relation's
+    * output with ALL declared metadata columns appended (in
+    * [[JsonlStatsTable.metadataColumns]] order) while the scan still
+    * reports the table schema — serving rows wider than the unreferenced
+    * output is invisible (by-position access never reads past the
+    * plan's arity), and exactly right when metadata IS referenced. The
+    * cost is four reader-state fields per row, no data bytes. */
+  private val streamSchema = StructType(required.fields ++ Seq(
+    StructField(JsonlStats.FileMeta, StringType, nullable = false),
+    StructField(JsonlStats.PosMeta, LongType, nullable = false),
+    StructField(JsonlStats.RowIdMeta, LongType, nullable = true),
+    StructField(JsonlStats.LuvMeta, LongType, nullable = true)))
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, columnMapping = columnMapping)
+    new JsonlReaderFactory(streamSchema, columnMapping = columnMapping)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

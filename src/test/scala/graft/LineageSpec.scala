@@ -346,4 +346,25 @@ class LineageSpec extends SparkSpec {
     val fresh = after.filter(_._1 >= 980000L).values.map(_._1).toSeq.sorted
     assert(fresh === (fresh.min until fresh.min + 10L).toSeq, "appended range stays dense")
   }
+
+  test("streaming reads serve the same ids as batch (lineage rides the stream partitions)") {
+    val (cat, t, dir) = scratch("stream")
+    val batchIds = idsOf(cat, t)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val ckpt = Files.createTempDirectory("lineage_stream_ckpt").toString
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", dir)
+      .load()
+      .selectExpr("event_id", "_row_id", "_last_updated_version")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          df.collect().foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+        }: Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toMap === batchIds,
+      "a streaming consumer must see the identical (_row_id, version) map the batch scan serves")
+  }
 }

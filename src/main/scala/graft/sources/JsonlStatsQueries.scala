@@ -2587,6 +2587,34 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q272 (r10): KEEP-FIRST-INGESTED DEDUP BY LINEAGE — the dedup
+    * semantics only a stable row identity enables: "for each key, keep
+    * the row that ARRIVED first" is undefined under content hashing
+    * (ties) and nondeterministic under file order (rewrites move
+    * rows), but exact under `_row_id`, which survives compaction,
+    * clustering and merge-on-read. The implementation is the engine's
+    * scale idiom for first-occurrence-per-key: a map-side-combinable
+    * `min(struct(_row_id, payload))` aggregate — one shuffle of one
+    * struct per key, never a window sort over a content-partitioned
+    * corpus (the hot-key single-reducer trap). The oracle derives
+    * first-arrival from the CTAS order independently. */
+  def lineageKeepFirst(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_kf")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_kf AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 2 = 0 ORDER BY event_id""".stripMargin)
+    spark.table(s"$cat.jsonl_lineage_kf")
+      .select($"user_id", struct(col("_row_id"), $"event_id").as("arrival"))
+      .groupBy($"user_id")
+      .agg(min($"arrival").as("first"))
+      .select($"user_id", $"first.event_id".as("event_id"),
+        $"first._row_id".as("row_id"))
+      .orderBy($"user_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2662,6 +2690,7 @@ object JsonlStatsQueries extends QueryModule {
     "q269_typed_columns_roundtrip" -> typedColumnsRoundtrip,
     "q270_connector_cosine_topk" -> connectorCosineTopk,
     "q271_lineage_replication" -> lineageReplication,
+    "q272_lineage_keep_first" -> lineageKeepFirst,
   )
 
   val oracles = Map(
@@ -2956,6 +2985,15 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT 98000002,
         |    (SELECT count(*) FROM events WHERE event_id % 7 = 1) + 1, 3
         |) AS t ORDER BY event_id""".stripMargin,
+    "q272_lineage_keep_first" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (ORDER BY event_id) - 1 AS rid
+        |  FROM events WHERE event_id % 2 = 0),
+        |firsts AS (SELECT user_id, min(event_id) AS event_id FROM base GROUP BY user_id)
+        |SELECT b.user_id, b.event_id, CAST(b.rid AS BIGINT) AS row_id
+        |FROM base b JOIN firsts f ON b.user_id = f.user_id AND b.event_id = f.event_id
+        |ORDER BY b.user_id""".stripMargin,
     "q271_lineage_replication" ->
       """WITH base AS (
         |  SELECT event_id, event_type, value FROM events WHERE event_id % 6 = 1)

@@ -213,14 +213,18 @@ object Bloom {
     * bits-per-gram (the false-positive rate) is preserved (r9 review:
     * unbudgeted routed trackers could hold multi-GB per task). */
   /** A tracker sized for one of `share` sinks co-resident in a task
-    * (bucket-routed writers): budget divided by the share, floored so a
-    * lone hot bucket still gets a useful exact phase (4k grams) and a
-    * non-degenerate spill array (16 KiB). */
+    * (bucket-routed writers): budget divided by the share, with MINIMAL
+    * floors (64 exact grams / 512 spill bits) so the worst case — every
+    * sink floor-sized — never exceeds the one-sink ceiling regardless
+    * of the bucket count (r11, ADVICE r10 low: the old 4k/16 KiB floors
+    * let a 4096-bucket task hold 64 MiB of fixed arrays alone). The
+    * floors only bind past share = 64; below that the division itself
+    * yields ≥ 4k grams / 16 KiB per sink. */
   def budgetedGramTracker(share: Int): GramTracker = {
     val s = math.max(1, share)
     new GramTracker(
-      math.max(1 << 12, GramSpillDistinct / s),
-      math.max(1 << 17, Integer.highestOneBit(math.max(1, GramFixedBits / s))))
+      math.max(64, GramSpillDistinct / s),
+      math.max(512, Integer.highestOneBit(math.max(512, GramFixedBits / s))))
   }
 
   final class GramTracker(spillDistinct: Int = GramSpillDistinct,

@@ -857,9 +857,14 @@ object GraftProcedures {
       Files.copy(cs, Paths.get(dstRoot, ColStats.Sidecar),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the clone's OWN manifest (fresh history: a clone is version 1 of
-    // a new table, not a continuation of the source's timeline)
+    // a new table, not a continuation of the source's timeline) — PLUS
+    // the source's row-id counter line: fully-materialized sources
+    // (frid = -2 after zorder/rewrite_deletes) give the floor pass
+    // nothing, so without the carry the clone's first append would
+    // stamp from 0 and collide with the in-row ids just linked (r11)
     JsonlStats.publishManifest(dstRoot, "clone",
-      (stats.map(JsonlStats.statsLine) ++ eqdels.map(JsonlEqualityDeletes.line)).sorted)
+      (stats.map(JsonlStats.statsLine) ++ eqdels.map(JsonlEqualityDeletes.line)).sorted ++
+        JsonlStats.counterCarry(srcRoot))
     (linked, copied)
   }
 
@@ -1176,6 +1181,19 @@ object GraftProcedures {
     // shared tracker owns the boundary law (seal at the checkpoint
     // BEFORE the boundary row's value merges).
     val zones = new JsonlStats.ZoneTracker
+    // monotone run cursor (r11, ADVICE r10 low): positions are scanned
+    // in increasing order, so the run lookup advances O(1) amortized
+    // instead of a per-row runs.find — O(rows × runs) on a bin-packed
+    // compaction product. Mirrors JsonlPartitionReader.linRunAt.
+    val linRuns: Array[(Long, Long, Long, Long)] = lin.runs.sortBy(_._1).toArray
+    var linIdx = 0
+    def linRunAt(p: Long): Int = {
+      if (linRuns.isEmpty) -1
+      else {
+        while (linIdx < linRuns.length && p >= linRuns(linIdx)._1 + linRuns(linIdx)._3) linIdx += 1
+        if (linIdx < linRuns.length && p >= linRuns(linIdx)._1) linIdx else -1
+      }
+    }
     val dest = Paths.get(root, out)
     val os = Files.newBufferedWriter(dest)
     val in = Files.newBufferedReader(Paths.get(root, file))
@@ -1204,10 +1222,16 @@ object GraftProcedures {
             // `_row_id`/`_luv` as in-row fields (prefix splice; a row
             // already materialized by an earlier rewrite keeps its own
             // fields — `lin` cannot cover its position)
-            val rid = lin.rowIdAt(pos)
+            val ri = if (lin.frid >= 0L) -1 else linRunAt(pos)
+            val rid =
+              if (lin.frid >= 0L) lin.frid + pos
+              else if (ri >= 0) linRuns(ri)._2 + (pos - linRuns(ri)._1)
+              else -1L
+            val rluv =
+              if (lin.frid >= 0L) lin.luv else if (ri >= 0) linRuns(ri)._4 else -1L
             val outLine =
               if (rid >= 0L && line.startsWith("{")) {
-                val pre = s"""{"${JsonlStats.RowIdMeta}":$rid,"${JsonlStats.LuvField}":${lin.luvAt(pos)}"""
+                val pre = s"""{"${JsonlStats.RowIdMeta}":$rid,"${JsonlStats.LuvField}":$rluv"""
                 if (line.length > 2) pre + "," + line.substring(1) else pre + "}"
               } else line
             os.write(outLine); os.write('\n')

@@ -805,6 +805,20 @@ object JsonlStats {
     lines.filterNot(isCounterLine(_, mapper))
   }
 
+  /** The manifest's row-id high-watermark as a carryable protocol line
+    * (None when the manifest predates the counter). For CLONE: a copied
+    * table must inherit the source's counter verbatim — the floor pass
+    * sees nothing in fully-materialized (frid = -2) entries, so a clone
+    * published without the line would mint fresh ids from 0 that
+    * collide with the in-row ids it just hard-linked (r11, ADVICE r10
+    * medium). The first-generation [[commitAtomic]] path honors a
+    * rebase-carried counter and republishes it. */
+  def counterCarry(root: String, manifest: String = "_stats.jsonl"): Option[String] = {
+    val mapper = new ObjectMapper()
+    val (_, cnt) = splitCounter(readManifestLines(root, manifest), mapper)
+    if (cnt >= 0L) Some(counterLine(cnt)) else None
+  }
+
   // ---- optimistic concurrency (r8) ---------------------------------------
 
   /** Thrown when a commit's rebase cannot reconcile a concurrent commit

@@ -687,7 +687,12 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       // an UNASSIGNED file serves NULL, which fails every comparison
       // filter skipColumn admits, so it prunes exactly.
       .filter(s => pushed.forall { f =>
-        !JsonlStats.skipColumn(f).contains(JsonlStats.LuvMeta) || s.frid == -2L || {
+        !JsonlStats.skipColumn(f).contains(JsonlStats.LuvMeta) || s.frid == -2L ||
+        // a compaction bin MIXING stamped members (runs) with
+        // materialized ones serves IN-ROW versions at every position no
+        // run covers — the runs' luvs are not the whole story, so a
+        // partially-covered file must stay (r11, ADVICE r10 high).
+        (s.frid < 0L && s.runs.nonEmpty && s.runs.map(_._3).sum < s.rows) || {
           val luvs: Seq[Long] =
             if (s.frid >= 0L) Seq(s.luv)
             else if (s.runs.nonEmpty) s.runs.map(_._4).distinct

@@ -3296,8 +3296,9 @@ class JsonlStatsSpec extends SparkSpec {
   }
 
   test("budgeted gram tracker: routed writers divide the budget; sidecar stays sound (r9 review)") {
-    // bucket(4096) share: exact phase floors at 2^12 grams, spill array
-    // at 2^17 bits — 1/64th of the single-sink budget, never degenerate
+    // bucket(4096) share: budget divides with MINIMAL floors (r11) so
+    // the worst case — every sink spilled — totals the one-sink
+    // ceiling, not 4096 × a generous floor
     val t = graft.sources.Bloom.budgetedGramTracker(4096)
     val dir = Files.createTempDirectory("gramb")
     val data = dir.resolve("f.jsonl")
@@ -3307,7 +3308,10 @@ class JsonlStatsSpec extends SparkSpec {
     t.add("zzqxgramprobe")
     t.writeSidecar(data)
     val Some((words, mBits)) = graft.sources.Bloom.readGramSidecar(data)
-    assert(mBits === (1 << 17), s"budgeted spill array must be 2^17 bits, got $mBits")
+    assert(mBits === graft.sources.Bloom.GramFixedBits / 4096,
+      s"budgeted spill array must be the exact per-sink share, got $mBits")
+    assert(mBits.toLong * 4096 <= graft.sources.Bloom.GramFixedBits.toLong,
+      "4096 spilled sinks must not exceed the one-sink ceiling")
     // soundness: every gram of an indexed value answers maybe-present
     assert(graft.sources.Bloom.gramHashes("zzqxgramprobe")
       .forall(h => graft.sources.Bloom.mightContain(words, mBits, h)),

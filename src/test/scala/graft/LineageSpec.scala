@@ -227,6 +227,56 @@ class LineageSpec extends SparkSpec {
       "a bin mixing materialized and stamped members must preserve both id sources")
   }
 
+  test("luv predicate over a MIXED compaction bin keeps the in-row rows (r11, ADVICE r10 high)") {
+    // shape: runs cover only the stamped members; the materialized
+    // member's rows answer from IN-ROW _luv fields at positions no run
+    // covers. A version predicate matching ONLY those in-row versions
+    // must not prune the file.
+    val (cat, t, dir) = scratch("mixluv", deleteMode = Some("merge-on-read"))
+    // v2: fresh two-row append (luv = 2)
+    Seq((990001L, 1L, "fresh", 1.0), (990002L, 2L, "fresh", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .coalesce(1).write.format("graft-jsonl-stats").option("path", dir)
+      .mode("append").save()
+    // v3: DV lands on the v2 file only; v4: materialize it (in-row _luv = 2)
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id = 990001")
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect()
+    val pre = idsOf(cat, t)
+    // v5: one bin holding 4 stamped members (runs, luv = 1) + the
+    // materialized survivor (gap, in-row _luv = 2)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size === 1 && entries.head.frid === -1L && entries.head.runs.nonEmpty &&
+      entries.head.runs.map(_._3).sum < entries.head.rows,
+      s"fixture must be the partially-covered shape: ${entries.map(e => (e.frid, e.runs, e.rows))}")
+    assert(idsOf(cat, t) === pre)
+    val got = spark.sql(
+      s"SELECT event_id FROM $cat.`$t` WHERE _last_updated_version = 2").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(990002L),
+      "the version-2 row lives in the run GAP — planning must keep the mixed bin")
+  }
+
+  test("clone of a fully-materialized table carries the id counter (r11, ADVICE r10 medium)") {
+    val (cat, t, dir) = scratch("clonecnt")
+    val n = idsOf(cat, t).size.toLong
+    // zorder materializes EVERY file (frid = -2): the floor pass sees
+    // nothing, so only the carried counter line protects the clone
+    spark.sql(s"CALL $cat.zorder('$t', 'user_id', 'value', ${64L * 1024 * 1024})")
+    assert(JsonlStats.readStats(dir).forall(_.frid == -2L))
+    val t2 = s"${t}_c"
+    spark.sql(s"CALL $cat.clone('$t', '$t2')").collect()
+    assert(idsOf(cat, t2) === idsOf(cat, t), "clone serves identical lineage")
+    Seq((995001L, 1L, "post", 1.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path",
+        Paths.get(dir).getParent.resolve(t2).toString)
+      .mode("append").save()
+    val after = idsOf(cat, t2)
+    assert(after(995001L)._1 === n,
+      s"the clone's first append must continue from the source watermark $n, got ${after(995001L)._1}")
+    assert(after.values.map(_._1).toSeq.distinct.size === after.size,
+      "ids stay table-unique on the clone")
+  }
+
   test("incremental-by-version scans prune files at planning time (the Iceberg incremental-scan shape)") {
     val (cat, t, dir) = scratch("incprune")
     (0 until 3).foreach { j =>

@@ -228,10 +228,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         s"$catName: at most one partition column (got ${many.size})")
     }
     schema.fields.foreach { f =>
-      if (!Seq(LongType, DoubleType, StringType).contains(f.dataType))
+      if (!JsonlStats.supportedType(f.dataType))
         throw new UnsupportedOperationException(
           s"$catName: column ${f.name} has type ${f.dataType.simpleString}; " +
-            "the JSONL writer carries long/double/string")
+            JsonlStats.supportedTypesMsg)
     }
     val statsCol = Option(properties.get("statsColumn"))
       .orElse(schema.fieldNames.find(_ == JsonlStats.statsColumn))
@@ -335,10 +335,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         if (add.fieldNames().length != 1)
           throw new UnsupportedOperationException(s"$catName: nested ADD COLUMN unsupported")
         val col = add.fieldNames()(0)
-        if (!Seq(LongType, DoubleType, StringType).contains(add.dataType()))
+        if (!JsonlStats.supportedType(add.dataType()))
           throw new UnsupportedOperationException(
             s"$catName: column $col type ${add.dataType().simpleString}; " +
-              "the JSONL writer carries long/double/string")
+              JsonlStats.supportedTypesMsg)
         if (schema.fieldNames.contains(col))
           throw new IllegalArgumentException(s"column $col already exists")
         // A renamed column still OWNS its physical JSON key: after

@@ -805,6 +805,21 @@ object JsonlStats {
     lines.filterNot(isCounterLine(_, mapper))
   }
 
+  /** The table format's type surface (r11): scalars long/double/float/
+    * string/boolean, plus arrays and structs composed arbitrarily — the
+    * recursive JSON encoding the sink/reader pair implements. One
+    * definition, consulted by every DDL gate. */
+  def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BooleanType => true
+    case org.apache.spark.sql.types.ArrayType(et, _) => supportedType(et)
+    case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => supportedType(f.dataType))
+    case _ => false
+  }
+  val supportedTypesMsg =
+    "the JSONL format carries long/double/float/string/boolean and arrays/structs thereof"
+
   /** The manifest's row-id high-watermark as a carryable protocol line
     * (None when the manifest predates the counter). For CLONE: a copied
     * table must inherit the source's counter verbatim — the floor pass

@@ -2615,6 +2615,69 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** q273 (r11): STRUCT COLUMNS — the table format stores NESTED
+    * types: a `{meta{lang,src}, n_chars, head, scores[]}` struct
+    * column (the multimodal corpus shape — text + metadata + vector in
+    * ONE typed column) round-trips the JSONL protocol exactly. The
+    * oracle recomputes every projected nested field from raw parquet,
+    * so any drift in any field of any row fails the hash; the float
+    * checksum (`floor(scores[0]*64)` — exact because /64 only shifts
+    * the float exponent) fails on last-ulp array drift. At 100 TB the
+    * struct is one JSON object per row in the column's slot: no extra
+    * files, no shredding pass, and every table-format tier (lineage,
+    * MoR, time travel, refs) composes with it unchanged (q274). */
+  def structColumnsRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    Tables.documents(spark, d).createOrReplaceTempView("documents_struct_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_docs_struct")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_docs_struct TBLPROPERTIES ('statsColumn'='doc_id') AS
+         |SELECT doc_id,
+         |  named_struct(
+         |    'meta', named_struct('lang', lang, 'src', source),
+         |    'n_chars', n_chars,
+         |    'head', substring(text, 1, 16),
+         |    'scores', array(cast(cast(n_chars AS float) / 64 AS float),
+         |                    cast(doc_id % 7 AS float))) AS doc
+         |FROM documents_struct_src ORDER BY doc_id""".stripMargin)
+    spark.sql(
+      s"""SELECT doc_id, doc.meta.lang AS lang, doc.meta.src AS src,
+         |  doc.n_chars AS n_chars, doc.head AS head,
+         |  CAST(floor(doc.scores[0] * 64) + doc.scores[1] AS BIGINT) AS sc
+         |FROM $cat.jsonl_docs_struct WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** q274 (r11): STRUCT LINEAGE MAINTENANCE — q266's law on a
+    * struct-bearing table: after two more commits, a bin-packing
+    * COMPACT (byte concat — nested bytes untouched) and a ZORDER
+    * re-cluster (rows scatter THROUGH the sink, which must re-encode
+    * the struct and materialize ids in-row beside it), every row still
+    * answers its ingest-assigned (`_row_id`, version) AND its nested
+    * fields verbatim. This is what "multimodal composes with the table
+    * tier" means operationally: maintenance never corrupts or drops a
+    * nested column. */
+  def structLineageMaintenance(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    Tables.documents(spark, d).createOrReplaceTempView("documents_struct_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_struct_mx")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_struct_mx TBLPROPERTIES ('statsColumn'='doc_id') AS
+         |SELECT doc_id, n_chars,
+         |  named_struct('lang', lang, 'head', substring(text, 1, 16)) AS doc
+         |FROM documents_struct_src WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.jsonl_struct_mx VALUES " +
+      "(99000001, 4, named_struct('lang', 'xx', 'head', 'tail'))")
+    spark.sql(s"INSERT INTO $cat.jsonl_struct_mx VALUES " +
+      "(99000002, 5, named_struct('lang', 'yy', 'head', 'tail2'))")
+    spark.sql(s"CALL $cat.compact('jsonl_struct_mx', ${64L * 1024 * 1024})")
+    spark.sql(s"CALL $cat.zorder('jsonl_struct_mx', 'n_chars', 'doc_id', ${64L * 1024 * 1024})")
+    spark.sql(
+      s"""SELECT doc_id, doc.lang AS lang, doc.head AS head,
+         |  _row_id AS row_id, _last_updated_version AS last_v
+         |FROM $cat.jsonl_struct_mx ORDER BY doc_id""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2691,6 +2754,8 @@ object JsonlStatsQueries extends QueryModule {
     "q270_connector_cosine_topk" -> connectorCosineTopk,
     "q271_lineage_replication" -> lineageReplication,
     "q272_lineage_keep_first" -> lineageKeepFirst,
+    "q273_struct_columns_roundtrip" -> structColumnsRoundtrip,
+    "q274_struct_lineage_maintenance" -> structLineageMaintenance,
   )
 
   val oracles = Map(
@@ -3003,6 +3068,23 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q273_struct_columns_roundtrip" ->
+      """SELECT doc_id, lang, source AS src, n_chars,
+        |  substring(text, 1, 16) AS head,
+        |  CAST(n_chars + (doc_id % 7) AS BIGINT) AS sc
+        |FROM documents WHERE doc_id % 11 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q274_struct_lineage_maintenance" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, substring(text, 1, 16) AS head,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, lang, head, CAST(row_id AS BIGINT) AS row_id,
+        |  CAST(last_v AS BIGINT) AS last_v FROM (
+        |  SELECT doc_id, lang, head, rid AS row_id, 1 AS last_v FROM base
+        |  UNION ALL SELECT 99000001, 'xx', 'tail', (SELECT count(*) FROM base), 2
+        |  UNION ALL SELECT 99000002, 'yy', 'tail2', (SELECT count(*) FROM base) + 1, 3
+        |) AS t ORDER BY doc_id""".stripMargin,
     "q269_typed_columns_roundtrip" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS e FROM embeddings),
         |per AS (

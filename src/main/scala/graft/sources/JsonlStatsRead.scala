@@ -1397,39 +1397,47 @@ class JsonlPartitionReader(file: String, required: StructType,
         val v = n.get(physName(fi))
         if (v == null) fieldDefault(fi) // absent field: row predates the column
         else if (v.isNull) null         // written null stays null
-        else f.dataType match {
-          case LongType   => v.asLong()
-          case DoubleType => v.asDouble()
-          case StringType => UTF8String.fromString(v.asText())
-          case BooleanType => v.asBoolean()
-          // typed array columns (r10): JSON array → Catalyst ArrayData.
-          // Float elements round-trip EXACTLY: the writer printed the
-          // shortest decimal that reparses to the same float, so
-          // floatValue() here is the identity — embeddings stored in
-          // the table format compute bit-identical cosines to parquet.
-          case org.apache.spark.sql.types.ArrayType(et, _) =>
-            val m = v.size()
-            val out = new Array[Any](m)
-            var j = 0
-            while (j < m) {
-              val e = v.get(j)
-              out(j) =
-                if (e == null || e.isNull) null
-                else et match {
-                  case org.apache.spark.sql.types.FloatType => e.floatValue()
-                  case DoubleType => e.asDouble()
-                  case LongType   => e.asLong()
-                  case StringType => UTF8String.fromString(e.asText())
-                  case BooleanType => e.asBoolean()
-                  case dt => throw new IllegalArgumentException(s"unsupported array element $dt")
-                }
-              j += 1
-            }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-          case dt => throw new IllegalArgumentException(s"unsupported type $dt")
-        }
+        else parseJson(f.dataType, v)
       }
     })
+  }
+
+  /** Recursive JSON decoding (r11): scalars, typed arrays (r10) and
+    * STRUCTS compose arbitrarily — the read twin of the sink's
+    * `jsonOf`. Float/double elements round-trip EXACTLY: the writer
+    * printed the shortest decimal that reparses to the same value, so
+    * `floatValue()` here is the identity — embeddings stored in the
+    * table format compute bit-identical cosines to parquet. A struct
+    * field ABSENT from the object (schema evolution: the row predates
+    * ADD COLUMN on the nested type) reads as null, like a written
+    * null — nested exists-defaults are not modeled. */
+  private def parseJson(dt: org.apache.spark.sql.types.DataType,
+                        v: com.fasterxml.jackson.databind.JsonNode): Any = dt match {
+    case LongType   => v.asLong()
+    case DoubleType => v.asDouble()
+    case org.apache.spark.sql.types.FloatType => v.floatValue()
+    case StringType => UTF8String.fromString(v.asText())
+    case BooleanType => v.asBoolean()
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      val m = v.size()
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        val e = v.get(j)
+        out(j) = if (e == null || e.isNull) null else parseJson(et, e)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case st: org.apache.spark.sql.types.StructType =>
+      val out = new Array[Any](st.fields.length)
+      var j = 0
+      while (j < st.fields.length) {
+        val e = v.get(st.fields(j).name)
+        out(j) = if (e == null || e.isNull) null else parseJson(st.fields(j).dataType, e)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    case dt => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 
   override def close(): Unit = if (in != null) in.close()

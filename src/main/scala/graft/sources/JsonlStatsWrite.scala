@@ -656,39 +656,56 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val strMx = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
   private val strCnt = Array.fill(strIdx.length)(0L)
 
+  /** Recursive JSON encoding of one non-null value (r11): scalars,
+    * typed arrays (r10) and STRUCTS compose arbitrarily — the
+    * multimodal data model's `{text, embedding, meta}` column is a
+    * first-class table-format type. Struct fields keep their DECLARED
+    * names verbatim: column mapping renames TOP-LEVEL columns only (the
+    * physical-rename unit is the column; a nested rename would rewrite
+    * data bytes, which mapping exists to avoid). Numeric elements
+    * round-trip exactly — Jackson prints the shortest decimal that
+    * reparses to the same float/double/long. No stats are tracked for
+    * arrays or structs (absence = never pruned — conservative). */
+  private val jnf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+  private def jsonOf(dt: DataType,
+                     g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                     i: Int): com.fasterxml.jackson.databind.JsonNode = dt match {
+    case LongType    => jnf.numberNode(g.getLong(i))
+    case DoubleType  => jnf.numberNode(g.getDouble(i))
+    case FloatType   => jnf.numberNode(g.getFloat(i))
+    case StringType  => jnf.textNode(g.getUTF8String(i).toString)
+    case BooleanType => jnf.booleanNode(g.getBoolean(i))
+    case ArrayType(et, _) =>
+      val arr = g.getArray(i)
+      val a = jnf.arrayNode(arr.numElements())
+      var j = 0
+      while (j < arr.numElements()) {
+        if (arr.isNullAt(j)) a.addNull()
+        else a.add(jsonOf(et, arr, j))
+        j += 1
+      }
+      a
+    case st: StructType =>
+      val sr = g.getStruct(i, st.fields.length)
+      val o = jnf.objectNode()
+      var j = 0
+      while (j < st.fields.length) {
+        if (sr.isNullAt(j)) o.putNull(st.fields(j).name)
+        else o.set[com.fasterxml.jackson.databind.JsonNode](
+          st.fields(j).name, jsonOf(st.fields(j).dataType, sr, j))
+        j += 1
+      }
+      o
+    case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+  }
+
   def write(row: InternalRow): Unit = {
     if (rowIdIdx >= 0 && !row.isNullAt(rowIdIdx)) sawLineage = true
     val node = mapper.createObjectNode()
     writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(physOf(i))
-      else f.dataType match {
-        case LongType   => node.put(physOf(i), row.getLong(i))
-        case DoubleType => node.put(physOf(i), row.getDouble(i))
-        case StringType => node.put(physOf(i), row.getUTF8String(i).toString)
-        case BooleanType => node.put(physOf(i), row.getBoolean(i))
-        // typed array columns (r10): the embedding/data-model types the
-        // north star needs — JSON arrays, exact element round-trips
-        // (Jackson prints the shortest representation that reparses to
-        // the same float/double/long). No stats tracked — an array
-        // column never prunes (absence = conservative).
-        case ArrayType(et, _) =>
-          val arr = row.getArray(i)
-          val a = node.putArray(physOf(i))
-          var j = 0
-          while (j < arr.numElements()) {
-            if (arr.isNullAt(j)) a.addNull()
-            else et match {
-              case FloatType   => a.add(arr.getFloat(j))
-              case DoubleType  => a.add(arr.getDouble(j))
-              case LongType    => a.add(arr.getLong(j))
-              case StringType  => a.add(arr.getUTF8String(j).toString)
-              case BooleanType => a.add(arr.getBoolean(j))
-              case dt => throw new IllegalArgumentException(s"unsupported array element $dt")
-            }
-            j += 1
-          }
-        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
-      }
+      else node.set[com.fasterxml.jackson.databind.JsonNode](
+        physOf(i), jsonOf(f.dataType, row, i))
     }
     var rowStats = 0.0
     var rowHasStats = false

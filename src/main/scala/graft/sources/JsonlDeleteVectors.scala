@@ -99,7 +99,8 @@ object JsonlDeleteVectors {
 class JsonlDvMutateOperation(root: String, tableSchema: StructType, statsCol: String,
                              cmd: RowLevelOperation.Command,
                              bloomCol: Option[String] = None,
-                             columnMapping: Map[String, String] = Map.empty)
+                             columnMapping: Map[String, String] = Map.empty,
+                             branch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -116,6 +117,8 @@ class JsonlDvMutateOperation(root: String, tableSchema: StructType, statsCol: St
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, None,
       options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
+      // branch DML (r11): match rows against the BRANCH head's entries
+      manifest = branch.map(Refs.branchManifest).getOrElse("_stats.jsonl"),
       bloomCol = bloomCol, columnMapping = columnMapping)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -130,7 +133,7 @@ class JsonlDvMutateOperation(root: String, tableSchema: StructType, statsCol: St
           Expressions.sort(Expressions.column(JsonlStats.PosMeta), SortDirection.ASCENDING))
         override def toBatch: DeltaBatchWrite =
           new JsonlDvBatchWrite(root, info.queryId(), info.schema(), statsCol,
-            bloomCol, columnMapping)
+            bloomCol, columnMapping, branch)
         override def description(): String = "graft-jsonl-stats deletion-vector write"
       }
     }
@@ -158,7 +161,8 @@ class JsonlDvBatchWrite(root: String, queryId: String,
                         rowSchema: StructType = new StructType(),
                         statsCol: String = JsonlStats.statsColumn,
                         bloomCol: Option[String] = None,
-                        columnMapping: Map[String, String] = Map.empty)
+                        columnMapping: Map[String, String] = Map.empty,
+                        branch: Option[String] = None)
     extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     JsonlDvWriterFactory(root, queryId, rowSchema, statsCol, bloomCol, columnMapping)
@@ -179,8 +183,15 @@ class JsonlDvBatchWrite(root: String, queryId: String,
     * deletes still compose: the second op's scan reads the first's DV,
     * so its planned reference includes it. */
   private val planned: Map[String, JsonlStats.FileStats] =
-    (try JsonlStats.readStats(root) catch { case _: java.io.IOException => Nil })
-      .map(s => s.file -> s).toMap
+    (branch match {
+      // branch DML (r11): the operation scanned the BRANCH head, so its
+      // liveness reference — and the commit below — target the branch
+      case Some(b) =>
+        try JsonlStats.parseStatsLines(Refs.readRef(root, Refs.branchManifest(b)).entries)
+        catch { case _: java.io.IOException => Nil }
+      case None =>
+        try JsonlStats.readStats(root) catch { case _: java.io.IOException => Nil }
+    }).map(s => s.file -> s).toMap
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.toSeq.collect { case c: JsonlDvCommit => c }
@@ -210,9 +221,11 @@ class JsonlDvBatchWrite(root: String, queryId: String,
     }
     // protocol stamp (r8) BEFORE the swap: once any entry carries a DV,
     // only DV-aware readers can read the table correctly — a crash in
-    // between over-declares, which is conservative.
+    // between over-declares, which is conservative. Branch-staged DVs
+    // stamp the TABLE's sidecar too: fast_forward will publish these
+    // lines to main (same stance as branch-staged eqdels).
     if (fresh.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureDvs)
-    JsonlStats.commitAtomic(root, queryId, base => {
+    def dvRebase(base: Seq[String]): Seq[String] = {
       // equality deletes (r9b): the DV-attach keeps each touched file's
       // own seq (unMATERIALIZED eq-masks must keep applying to it),
       // but the appended updated-row IMAGES came through the masked
@@ -223,7 +236,11 @@ class JsonlDvBatchWrite(root: String, queryId: String,
         if (m == 0L) appendedStats.map(JsonlStats.statsLine)
         else appendedStats.map(s => JsonlStats.statsLine(s.copy(seq = m)))
       JsonlStats.rebaseRewrite(removedLines, rewrittenLines ++ appendedLines)(base)
-    })
+    }
+    branch match {
+      case Some(b) => Refs.commitBranch(root, b, dvRebase)
+      case None => JsonlStats.commitAtomic(root, queryId, dvRebase)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

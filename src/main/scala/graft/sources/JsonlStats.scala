@@ -762,7 +762,8 @@ object JsonlStats {
                           base: Long, version: Long): (Seq[String], Long) = {
     var next = base
     val stamped = scala.collection.mutable.Map.empty[String, String]
-    entries.map(l => (l, mapper.readTree(l)))
+    val parsed = entries.map(l => (l, mapper.readTree(l)))
+    parsed
       .filter { case (_, n) =>
         n.hasNonNull("file") && !n.hasNonNull("frid") && !n.hasNonNull("frids") &&
           n.hasNonNull("n_rows") }
@@ -772,6 +773,22 @@ object JsonlStats {
         stamped(l) = statsLine(fs.copy(frid = next, luv = version))
         next += math.max(0L, fs.rows)
       }
+    // materialized entries (frid = -2) without a version get THIS
+    // commit's (r11): the entry luv backs the reader's fallback for
+    // rows whose in-row `_luv` is null — copy-on-write UPDATE images,
+    // whose version IS the rewrite commit (Spark nullifies `_luv` on
+    // update per the MetadataColumn flag; the id rides, the version
+    // restamps). Entries stamped at birth stay stamped forever (luv is
+    // monotone-once), so this touches only lines new in this commit —
+    // plus, once, a pre-r11 table's legacy carriers, whose rows all
+    // hold in-row pairs and never consult the fallback.
+    parsed.foreach { case (l, n) =>
+      if (!stamped.contains(l) && n.hasNonNull("frid") && n.get("frid").asLong() == -2L &&
+          !n.hasNonNull("luv")) {
+        val fs = parseStatsLines(Seq(l)).head
+        stamped(l) = statsLine(fs.copy(luv = version))
+      }
+    }
     (entries.map(l => stamped.getOrElse(l, l)), next)
   }
 
@@ -812,13 +829,60 @@ object JsonlStats {
   def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.StringType |
-         org.apache.spark.sql.types.BooleanType => true
+         org.apache.spark.sql.types.BooleanType |
+         // temporal types (r11): stored as epoch micros / epoch days —
+         // exact, and numerically bounded like every long column, so
+         // date-range predicates prune files at planning time
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    // decimals (r11): plain-text storage — exact round-trip at any
+    // precision/scale; no file stats (absence = never pruned)
+    case _: org.apache.spark.sql.types.DecimalType => true
     case org.apache.spark.sql.types.ArrayType(et, _) => supportedType(et)
     case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => supportedType(f.dataType))
     case _ => false
   }
   val supportedTypesMsg =
-    "the JSONL format carries long/double/float/string/boolean and arrays/structs thereof"
+    "the JSONL format carries long/double/float/string/boolean/timestamp/date/decimal " +
+      "and arrays/structs thereof"
+
+  /** Columns whose file statistics live in the numeric `cols` bounds
+    * map (r11): longs/doubles plus the temporal types, whose internal
+    * representations (epoch micros, epoch days) are exact in a double
+    * below 2^53 — the year 2255 in micros. */
+  def numericStatType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  def numericStatValue(dt: org.apache.spark.sql.types.DataType,
+                       g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                       i: Int): Double = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => g.getLong(i).toDouble
+    case org.apache.spark.sql.types.DateType => g.getInt(i).toDouble
+    case _ => g.getDouble(i)
+  }
+
+  /** The numeric image of a pushed-filter VALUE (r11): plain numbers
+    * pass through; temporal external types map to the same epoch
+    * micros / epoch days the writer's bounds use, so timestamp/date
+    * range predicates prune files exactly like longs. None = not a
+    * numerically comparable value (strings go through [[strSkipColumn]]). */
+  def filterDouble(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case i: java.time.Instant => Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case t: java.sql.Timestamp =>
+      Some(math.floorDiv(t.getTime, 1000L) * 1e6 + t.getNanos / 1000.0)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case _ => None
+  }
 
   /** The manifest's row-id high-watermark as a carryable protocol line
     * (None when the manifest predates the counter). For CLONE: a copied
@@ -1313,36 +1377,33 @@ object JsonlStats {
   /** The column a skippable predicate names, if its shape is one the
     * interval test understands (numeric range/equality). */
   def skipColumn(f: Filter): Option[String] = f match {
-    case GreaterThan(c, _: Number)        => Some(c)
-    case GreaterThanOrEqual(c, _: Number) => Some(c)
-    case LessThan(c, _: Number)           => Some(c)
-    case LessThanOrEqual(c, _: Number)    => Some(c)
-    case EqualTo(c, _: Number)            => Some(c)
-    case _                                => None
+    case GreaterThan(c, v) if filterDouble(v).isDefined        => Some(c)
+    case GreaterThanOrEqual(c, v) if filterDouble(v).isDefined => Some(c)
+    case LessThan(c, v) if filterDouble(v).isDefined           => Some(c)
+    case LessThanOrEqual(c, v) if filterDouble(v).isDefined    => Some(c)
+    case EqualTo(c, v) if filterDouble(v).isDefined            => Some(c)
+    case _                                                     => None
   }
 
   /** Can this predicate prune files against a [min, max] interval? */
   def supportsSkipping(f: Filter): Boolean = supportsSkipping(f, statsColumn)
 
-  def supportsSkipping(f: Filter, col: String): Boolean = f match {
-    case GreaterThan(c, _: Number)        => c == col
-    case GreaterThanOrEqual(c, _: Number) => c == col
-    case LessThan(c, _: Number)           => c == col
-    case LessThanOrEqual(c, _: Number)    => c == col
-    case EqualTo(c, _: Number)            => c == col
-    case _                                => false
-  }
+  def supportsSkipping(f: Filter, col: String): Boolean =
+    skipColumn(f).contains(col)
 
   /** Conservative interval test: may ANY row of a file with bounds
     * [mn, mx] satisfy the predicate? (False positives are fine — the
-    * residual filter re-checks rows; false negatives would drop data.) */
+    * residual filter re-checks rows; false negatives would drop data.)
+    * Values convert through [[filterDouble]], so timestamp/date
+    * predicates compare against the stored epoch bounds; a value the
+    * conversion does not know keeps the file (conservative). */
   def intervalMayMatch(f: Filter, mn: Double, mx: Double): Boolean = f match {
-    case GreaterThan(_, v: Number)        => mx > v.doubleValue()
-    case GreaterThanOrEqual(_, v: Number) => mx >= v.doubleValue()
-    case LessThan(_, v: Number)           => mn < v.doubleValue()
-    case LessThanOrEqual(_, v: Number)    => mn <= v.doubleValue()
-    case EqualTo(_, v: Number)            => mn <= v.doubleValue() && v.doubleValue() <= mx
-    case _                                => true
+    case GreaterThan(_, v)        => filterDouble(v).forall(d => mx > d)
+    case GreaterThanOrEqual(_, v) => filterDouble(v).forall(d => mx >= d)
+    case LessThan(_, v)           => filterDouble(v).forall(d => mn < d)
+    case LessThanOrEqual(_, v)    => filterDouble(v).forall(d => mn <= d)
+    case EqualTo(_, v)            => filterDouble(v).forall(d => mn <= d && d <= mx)
+    case _ => true
   }
 
   // ---- string bounds (r8): Iceberg-style truncated min/max --------------
@@ -1484,12 +1545,12 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    if (branch.isDefined)
-      throw new UnsupportedOperationException(
-        s"row-level ${info.command()} on branch '${branch.get}' of $root: branch heads " +
-          "take appends and TRUNCATE only — run row-level mutations on main, or " +
-          "re-stage the corrected load (r9 scope; the Iceberg branch-DML shape " +
-          "would route this same operation at the branch manifest)")
+    // branch heads take row-level DML too (r11 — the Iceberg branch-DML
+    // shape): the rewrite SCAN plans against the branch manifest and the
+    // commit REBASES the branch file, so WAP can fix what an audit finds
+    // (stage → audit → DELETE/UPDATE/MERGE on the branch → publish)
+    // without touching main until fast_forward. Routing below is
+    // identical to main's — the ops carry `branch` through scan + commit.
     if (isSnapshot)
       throw new UnsupportedOperationException(
         s"row-level ${info.command()} on a historical snapshot ($manifest) of $root")
@@ -1526,10 +1587,10 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       ((info.command() == Command.UPDATE || info.command() == Command.MERGE) && keyed.isEmpty))
     if (delta)
       () => new JsonlDvMutateOperation(root, tableSchema, statsCol, info.command(),
-        bloom, mapping)
+        bloom, mapping, branch = branch)
     else
       () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed,
-        bloom, mapping)
+        bloom, mapping, branch = branch)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema
@@ -1565,7 +1626,13 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       override def isNullable: Boolean = false
     },
     // row lineage (r10): nullable — files never stamped by a main
-    // commit (legacy manifests, branch-staged entries) serve NULL
+    // commit (legacy manifests, branch-staged entries) serve NULL.
+    // Preservation flags (r11, the Spark 4.1 row-level metadata
+    // machinery): `_row_id` keeps Spark's defaults — carried through
+    // copy-on-write UPDATE/DELETE rewrites, nullified on MERGE
+    // re-insert (a new row mints a fresh id at commit);
+    // `_last_updated_version` nullifies on UPDATE so the rewritten
+    // row's version restamps to the mutation's commit.
     new MetadataColumn {
       override def name(): String = JsonlStats.RowIdMeta
       override def dataType(): org.apache.spark.sql.types.DataType = LongType
@@ -1575,14 +1642,17 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       override def name(): String = JsonlStats.LuvMeta
       override def dataType(): org.apache.spark.sql.types.DataType = LongType
       override def isNullable: Boolean = true
+      override def metadataInJSON(): String =
+        s"""{"${MetadataColumn.PRESERVE_ON_UPDATE}": false}"""
     })
   override def capabilities(): java.util.Set[TableCapability] =
     if (branch.isDefined)
-      // a branch head is a staging line: appends and TRUNCATE (restage),
-      // no replaceWhere (its file-proof arithmetic targets main's
-      // manifest) and no streaming epochs (txn watermarks are main-only
-      // — a branch-carried ledger would republish stale epochs at
-      // fast-forward)
+      // a branch head is a staging line: appends, TRUNCATE (restage)
+      // and row-level DML (r11 — scan + rebase against the branch
+      // file), but no replaceWhere (its file-proof arithmetic targets
+      // main's manifest) and no streaming epochs (txn watermarks are
+      // main-only — a branch-carried ledger would republish stale
+      // epochs at fast-forward)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else if (isSnapshot) java.util.EnumSet.of(TableCapability.BATCH_READ)

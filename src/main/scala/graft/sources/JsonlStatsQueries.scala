@@ -2678,6 +2678,113 @@ object JsonlStatsQueries extends QueryModule {
          |FROM $cat.jsonl_struct_mx ORDER BY doc_id""".stripMargin)
   }
 
+  /** q275 (r11): BRANCH-HEAD ROW-LEVEL DML — write-audit-publish with
+    * the missing verb: when the audit FINDS something, the fix is
+    * DELETE/UPDATE **on the branch** (the Iceberg branch-DML shape —
+    * the rewrite scans the branch manifest, the commit rebases the
+    * branch file), and main never serves a staged, unaudited or
+    * pre-fix row. The oracle recomputes the published image from raw
+    * data: base rows + the good staged row + the fixed staged row,
+    * never the quarantined one. At 100 TB this is the load-fixing
+    * workflow with no table copy: the branch is one manifest file, the
+    * COW fix rewrites only the staged file it touches. */
+  def branchDmlPublish(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_branch_dml")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_branch_dml AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 8 = 3 ORDER BY event_id""".stripMargin)
+    spark.sql(s"CALL $cat.create_branch('jsonl_branch_dml', 'load')")
+    spark.sql(s"INSERT INTO $cat.jsonl_branch_dml.branch_load VALUES " +
+      "(96000001, 1, 'good', 10.0), (96000002, 2, 'quarantine', 11.0), " +
+      "(96000003, 3, 'typo', 12.0)")
+    spark.sql(
+      s"DELETE FROM $cat.jsonl_branch_dml.branch_load WHERE event_type = 'quarantine'")
+    spark.sql(s"UPDATE $cat.jsonl_branch_dml.branch_load SET event_type = 'fixed' " +
+      "WHERE event_id = 96000003")
+    spark.sql(s"CALL $cat.fast_forward('jsonl_branch_dml', 'load')")
+    spark.sql(
+      s"""SELECT event_id, event_type, value FROM $cat.jsonl_branch_dml
+         |ORDER BY event_id""".stripMargin)
+  }
+
+  /** q276 (r11): LINEAGE SURVIVES COPY-ON-WRITE DML — the r10 residual
+    * closed: the COW operation requires `_row_id`/`_luv` as metadata
+    * attributes, Spark's ReplaceData carries them as a metadata
+    * projection beside the data rows (nullifying `_luv` on UPDATE per
+    * the table's MetadataColumn flag), and the writer materializes
+    * them in-row — so an UPDATE keeps the row's identity and restamps
+    * only its version, a DELETE preserves every survivor exactly, and
+    * the rewritten files still compose with compact + zorder. The
+    * oracle derives the full (id, version) map from raw data across
+    * five commits. */
+  def lineageCowDml(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_lineage_cow")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_lineage_cow AS
+         |SELECT event_id, user_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 9 = 2 ORDER BY event_id""".stripMargin)
+    val hit = spark.sql(s"SELECT min(event_id) FROM $cat.jsonl_lineage_cow")
+      .head().getLong(0)
+    spark.sql(
+      s"UPDATE $cat.jsonl_lineage_cow SET event_type = 'patched' WHERE event_id = $hit")
+    spark.sql(s"DELETE FROM $cat.jsonl_lineage_cow WHERE event_id % 18 = 11")
+    spark.sql(s"CALL $cat.compact('jsonl_lineage_cow', ${64L * 1024 * 1024})")
+    spark.sql(s"CALL $cat.zorder('jsonl_lineage_cow', 'user_id', 'value', ${64L * 1024 * 1024})")
+    spark.sql(
+      s"""SELECT event_id, event_type, _row_id AS row_id,
+         |  _last_updated_version AS last_v
+         |FROM $cat.jsonl_lineage_cow ORDER BY event_id""".stripMargin)
+  }
+
+  /** Connector table holding the EVENTS corpus with REAL temporal
+    * types (r11): TimestampType micros, a DateType day, and a
+    * DECIMAL(18,6) measure — laid out ts-ranged so time predicates
+    * prune files. */
+  def ensureTemporalFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_events_temporal")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"ts", to_date($"ts").as("day"),
+          $"value".cast("decimal(18,6)").as("value_dec"))
+        .repartitionByRange(8, $"ts")
+        .sortWithinPartitions($"ts")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "event_id")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q277 (r11): TEMPORAL TYPES IN THE TABLE FORMAT — timestamps and
+    * dates are REAL types at the format layer (epoch micros / epoch
+    * days, exact), not ISO strings: the reference's own event
+    * timestamps land typed, `to_date` needs no cast, and a time-window
+    * predicate prunes FILES at planning (the epoch bounds live in the
+    * same numeric stats map as every long column — TypedColumnsSpec
+    * pins the planned-file law). The DECIMAL(18,6) measure round-trips
+    * as plain text and sums exactly. The oracle recomputes the window
+    * aggregate from raw parquet in DuckDB — micros, calendar days and
+    * the decimal sum must all agree bit-for-bit. At 100 TB this is the
+    * nightly time-slice query reading one day's files, not the table. */
+  def temporalWindowScan(spark: SparkSession, d: String): DataFrame = {
+    val t = spark.read.format("graft-jsonl-stats")
+      .option("path", ensureTemporalFixture(spark, d)).load()
+    t.createOrReplaceTempView("events_temporal")
+    spark.sql(
+      """SELECT CAST(day AS STRING) AS day_s, count(*) AS n,
+        |  CAST(SUM(value_dec) AS DOUBLE) AS value_sum,
+        |  min(unix_micros(ts)) AS first_us
+        |FROM events_temporal
+        |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-17 00:00:00'
+        |GROUP BY day ORDER BY day_s""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2756,6 +2863,9 @@ object JsonlStatsQueries extends QueryModule {
     "q272_lineage_keep_first" -> lineageKeepFirst,
     "q273_struct_columns_roundtrip" -> structColumnsRoundtrip,
     "q274_struct_lineage_maintenance" -> structLineageMaintenance,
+    "q275_branch_dml_publish" -> branchDmlPublish,
+    "q276_lineage_cow_dml" -> lineageCowDml,
+    "q277_temporal_window_scan" -> temporalWindowScan,
   )
 
   val oracles = Map(
@@ -3067,6 +3177,33 @@ object JsonlStatsQueries extends QueryModule {
         |  WHERE event_id <> (SELECT min(event_id) FROM base)
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
+        |) AS t ORDER BY event_id""".stripMargin,
+    "q277_temporal_window_scan" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+        |FROM events
+        |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-17 00:00:00'
+        |GROUP BY 1 ORDER BY day_s""".stripMargin,
+    "q276_lineage_cow_dml" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (ORDER BY event_id) - 1 AS rid
+        |  FROM events WHERE event_id % 9 = 2)
+        |SELECT event_id,
+        |  CASE WHEN event_id = (SELECT min(event_id) FROM base)
+        |    THEN 'patched' ELSE event_type END AS event_type,
+        |  CAST(rid AS BIGINT) AS row_id,
+        |  CAST(CASE WHEN event_id = (SELECT min(event_id) FROM base)
+        |    THEN 2 ELSE 1 END AS BIGINT) AS last_v
+        |FROM base WHERE event_id % 18 <> 11
+        |ORDER BY event_id""".stripMargin,
+    "q275_branch_dml_publish" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 8 = 3
+        |  UNION ALL SELECT 96000001, 'good', 10.0
+        |  UNION ALL SELECT 96000003, 'fixed', 12.0
         |) AS t ORDER BY event_id""".stripMargin,
     "q273_struct_columns_roundtrip" ->
       """SELECT doc_id, lang, source AS src, n_chars,

@@ -1390,7 +1390,19 @@ class JsonlPartitionReader(file: String, required: StructType,
         else if (ri >= 0) java.lang.Long.valueOf(linRuns(ri)._4)
         else {
           val v = n.get(JsonlStats.LuvField)
-          if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
+          if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong())
+          else {
+            // entry-luv fallback (r11): a materialized row whose id is
+            // in-row but whose `_luv` is null was (re)written by the
+            // commit that published THIS entry — copy-on-write UPDATE
+            // images (Spark nullifies `_luv` on update; the commit
+            // stamps the entry). Gated on a non-null in-row id so
+            // unassigned rows keep serving NULL.
+            val rid = n.get(JsonlStats.RowIdMeta)
+            if (lin.frid == -2L && lin.luv > 0L && rid != null && !rid.isNull)
+              java.lang.Long.valueOf(lin.luv)
+            else null
+          }
         }
       }
       else {
@@ -1418,6 +1430,13 @@ class JsonlPartitionReader(file: String, required: StructType,
     case org.apache.spark.sql.types.FloatType => v.floatValue()
     case StringType => UTF8String.fromString(v.asText())
     case BooleanType => v.asBoolean()
+    // temporal types (r11): epoch micros / epoch days, verbatim
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => v.asLong()
+    case org.apache.spark.sql.types.DateType => v.asInt()
+    case dt: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(v.asText()), dt.precision, dt.scale)
     case org.apache.spark.sql.types.ArrayType(et, _) =>
       val m = v.size()
       val out = new Array[Any](m)

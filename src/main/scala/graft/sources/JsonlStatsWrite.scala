@@ -463,7 +463,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
                              partitionCol: Option[String] = None,
                              bloomCol: Option[String] = None,
                              columnMapping: Map[String, String] = Map.empty,
-                             gramCol: Option[String] = None)
+                             gramCol: Option[String] = None,
+                             branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -475,25 +476,33 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
   /** `_file` must survive the plan: it is both the group identity the
     * runtime filter targets and what the commit replaces by.
     *
-    * Row lineage (r10) deliberately does NOT ride the COW rewrite:
-    * Spark's group-based ReplaceData hands the replacement write the
-    * TABLE schema only — requiredMetadataAttributes reach the scan and
-    * the distribution contract, never the writer's rows (verified
-    * against 4.1; Iceberg hits the same wall, which is why v3 lineage
-    * preservation is an engine obligation, not a connector trick). So
-    * copy-on-write DELETE/UPDATE re-stamp the rewritten files' rows
-    * with fresh ids — a DOCUMENTED contract, spec-pinned — and the
-    * lineage-preserving row-level mode is merge-on-read (DV masks and
-    * equality deletes never move a surviving row's position), which is
-    * also the scale-correct configuration for mutation-heavy tables.
-    * Rewrites the ENGINE controls (compact / rewrite_deletes / zorder)
-    * all preserve ids — see [[GraftProcedures]]. */
+    * Row lineage RIDES the COW rewrite (r11, closing the r10 residual):
+    * requiring `_row_id`/`_last_updated_version` here makes Spark's
+    * ReplaceData carry them as a METADATA PROJECTION beside the data
+    * rows — `DataWriter.write(metadata, row)` receives both
+    * (DataAndMetadataWritingSparkTask), with the nullification rules
+    * the table's MetadataColumn flags declare: `_row_id` preserved on
+    * UPDATE/DELETE-carry, nullified on MERGE re-insert; `_luv`
+    * nullified on UPDATE (the rewrite's commit version restamps it via
+    * the entry-luv fallback). The writer routes id-bearing rows to a
+    * lineage sink (in-row materialized ids, frid = -2) and id-less
+    * rows (re-inserts, unassigned carries) to a plain sink that mints
+    * fresh ids at commit. KEYED layouts keep the r10 re-stamp contract:
+    * their writer rolls one file per key run and does not split rows
+    * across a parallel lineage sink — documented, spec-pinned, with
+    * merge-on-read as their preserving mode for DELETE. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(JsonlStats.FileMeta))
+    if (partitionCol.isEmpty)
+      Array(Expressions.column(JsonlStats.FileMeta),
+        Expressions.column(JsonlStats.RowIdMeta),
+        Expressions.column(JsonlStats.LuvMeta))
+    else Array(Expressions.column(JsonlStats.FileMeta))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
       options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
+      // branch DML (r11): the rewrite scans the BRANCH head's entries
+      manifest = branch.map(Refs.branchManifest).getOrElse("_stats.jsonl"),
       columnMapping = columnMapping)
 
   /** The replacement write re-keys on keyed layouts ([[JsonlStats.keyedWrite]]):
@@ -507,7 +516,11 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
             case Some(s) => s.replacedFiles
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
-          }, partitionCol, bloomCol, columnMapping, gramCol)
+          }, partitionCol, bloomCol, columnMapping, gramCol, branch,
+          // lineage preservation (r11): the metadata projection's shape,
+          // so the writer can find _row_id/_luv in the metadata rows
+          metaSchema = if (info.metadataSchema().isPresent)
+            Some(info.metadataSchema().get()) else None)
     })
   }
 }
@@ -521,10 +534,12 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
                              partitionCol: Option[String] = None,
                              bloomCol: Option[String] = None,
                              columnMapping: Map[String, String] = Map.empty,
-                             gramCol: Option[String] = None) extends BatchWrite {
+                             gramCol: Option[String] = None,
+                             branch: Option[String] = None,
+                             metaSchema: Option[StructType] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
-      columnMapping, gramCol)
+      columnMapping, gramCol, metaSchema = metaSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = JsonlStats.fileCommits(messages)
@@ -548,9 +563,17 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
     // derived from them, and conflicts loudly. Concurrent APPENDS ride
     // through the rebase untouched, so row-level ops commute with
     // ingest.
-    val removedLines = JsonlStats.readStats(root)
+    val baseStats = branch match {
+      // branch DML (r11): the rewrite was planned against the BRANCH
+      // head and rebases the branch file — main untouched until
+      // fast_forward, same as staged appends
+      case Some(b) => JsonlStats.parseStatsLines(
+        Refs.readRef(root, Refs.branchManifest(b)).entries)
+      case None => JsonlStats.readStats(root)
+    }
+    val removedLines = baseStats
       .filter(s => gone.contains(s.file)).map(JsonlStats.statsLine)
-    JsonlStats.commitAtomic(root, queryId, base => {
+    def rewriteRebase(base: Seq[String]): Seq[String] = {
       // equality deletes (r9b): the rewrite's scan already APPLIED the
       // masks, so replacement files stamp at the base's max seq — an
       // existing delete re-applied to them would be a no-op, and a
@@ -560,7 +583,11 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
         if (m == 0L) freshStats.map(JsonlStats.statsLine)
         else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = m)))
       JsonlStats.rebaseRewrite(removedLines, freshLines)(base)
-    })
+    }
+    branch match {
+      case Some(b) => Refs.commitBranch(root, b, rewriteRebase)
+      case None => JsonlStats.commitAtomic(root, queryId, rewriteRebase)
+    }
     // replaced files leave the live manifest but stay on disk for the
     // archived snapshots that reference them (deferred GC, r7 —
     // [[GraftProcedures.vacuum]] is the only deletion point)
@@ -576,11 +603,12 @@ class JsonlWriterFactory(root: String, writeSchema: StructType, queryId: String,
                          bloomCol: Option[String] = None,
                          columnMapping: Map[String, String] = Map.empty,
                          gramCol: Option[String] = None,
-                         upsertCols: Option[Seq[String]] = None)
+                         upsertCols: Option[Seq[String]] = None,
+                         metaSchema: Option[StructType] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(root, writeSchema, queryId, partitionId, taskId, statsCol,
-      partitionCol, bloomCol, columnMapping, gramCol, upsertCols)
+      partitionCol, bloomCol, columnMapping, gramCol, upsertCols, metaSchema)
 }
 
 /** Streams rows of ONE output data file, tracking (min, max, rows) of
@@ -637,8 +665,9 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   // Long bounds are exact through doubles below 2^53 (engine law).
   private val numIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
     // materialized lineage fields (r10, clustering rewrites) are
-    // provenance, not data — never tracked as column stats
-    case (f, i) if (f.dataType == LongType || f.dataType == DoubleType) &&
+    // provenance, not data — never tracked as column stats.
+    // Temporal types (r11) bound like longs: epoch micros/days.
+    case (f, i) if JsonlStats.numericStatType(f.dataType) &&
       f.name != JsonlStats.RowIdMeta && f.name != JsonlStats.LuvField &&
       f.name != JsonlStats.LuvMeta => i
   }
@@ -675,6 +704,14 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     case FloatType   => jnf.numberNode(g.getFloat(i))
     case StringType  => jnf.textNode(g.getUTF8String(i).toString)
     case BooleanType => jnf.booleanNode(g.getBoolean(i))
+    // temporal types (r11): the INTERNAL representations verbatim —
+    // epoch micros / epoch days as JSON integers. Exact round-trip,
+    // and the numeric stats map bounds them for planning-time pruning.
+    case TimestampType | TimestampNTZType => jnf.numberNode(g.getLong(i))
+    case DateType => jnf.numberNode(g.getInt(i))
+    // decimals (r11): plain text — exact at any precision/scale
+    case dt: DecimalType =>
+      jnf.textNode(g.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal.toPlainString)
     case ArrayType(et, _) =>
       val arr = g.getArray(i)
       val a = jnf.arrayNode(arr.numElements())
@@ -714,10 +751,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       // longs below 2^53 (every key column in this engine). NaN poisons
       // to the sentinel — finite bounds computed past a NaN would
       // EXCLUDE the rows `=== NaN` finds (review r8).
-      val v = writeSchema.fields(statsIdx).dataType match {
-        case LongType => row.getLong(statsIdx).toDouble
-        case _        => row.getDouble(statsIdx)
-      }
+      val v = JsonlStats.numericStatValue(writeSchema.fields(statsIdx).dataType, row, statsIdx)
       if (v.isNaN) { mn = Double.MinValue; mx = Double.MaxValue }
       else { if (v < mn) mn = v; if (v > mx) mx = v }
       rowStats = v
@@ -727,10 +761,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     while (ci < numIdx.length) {
       val i = numIdx(ci)
       if (!row.isNullAt(i)) {
-        val v = writeSchema.fields(i).dataType match {
-          case LongType => row.getLong(i).toDouble
-          case _        => row.getDouble(i)
-        }
+        val v = JsonlStats.numericStatValue(writeSchema.fields(i).dataType, row, i)
         if (v < colMn(ci)) colMn(ci) = v
         if (v > colMx(ci)) colMx(ci) = v
         colCnt(ci) += 1L
@@ -830,7 +861,8 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
                       bloomCol: Option[String] = None,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None,
-                      upsertCols: Option[Seq[String]] = None) extends DataWriter[InternalRow] {
+                      upsertCols: Option[Seq[String]] = None,
+                      metaSchema: Option[StructType] = None) extends DataWriter[InternalRow] {
   // equality-delete upsert (r9b): the task tracks its rows' DISTINCT
   // keys and ships them as its own delete file — no driver collect,
   // no base read; the commit stamps sequence numbers
@@ -895,6 +927,30 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
     }
   }
 
+  // lineage-preserving COW (r11): ReplaceData hands (metadata, row)
+  // pairs to the two-arg write below; id-bearing rows route to a
+  // LINEAGE sink (schema + _row_id/_luv, materialized in-row — the
+  // zorder carrier shape, frid = -2 at commit) and id-less rows
+  // (MERGE re-inserts, unassigned carries) to the plain sink, minting
+  // fresh ids at commit. Unkeyed layouts only — the keyed op never
+  // requests lineage metadata (its writer rolls one file per key run).
+  private val metaRid = metaSchema.map(_.fieldNames.indexOf(JsonlStats.RowIdMeta)).getOrElse(-1)
+  private val metaLuv = metaSchema.map(_.fieldNames.indexOf(JsonlStats.LuvMeta)).getOrElse(-1)
+  private lazy val linSchema = writeSchema
+    .add(JsonlStats.RowIdMeta, LongType).add(JsonlStats.LuvMeta, LongType)
+  private var linSink: JsonlFileSink = _
+
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    if (metaRid < 0 || meta.isNullAt(metaRid)) { write(row); return }
+    if (linSink == null)
+      linSink = new JsonlFileSink(root, f"part-$queryId-$partitionId%05d-$taskId-lin.jsonl",
+        linSchema, statsCol, bloomCol, columnMapping, gramCol)
+    val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](meta.getLong(metaRid),
+        if (metaLuv >= 0 && !meta.isNullAt(metaLuv)) meta.getLong(metaLuv) else null))
+    linSink.write(new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, extra))
+  }
+
   override def write(row: InternalRow): Unit = {
     eqTracker.foreach(_.add(row))
     if (keyIdx >= 0) {
@@ -921,6 +977,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
       sink = null
     }
+    if (linSink != null) { done += linSink.finish(None); linSink = null }
     val eq = eqTracker.flatMap { t =>
       t.writeFile(root, f"eq-$queryId-$partitionId%05d-$taskId.jsonl")
         .map(rel => (rel, t.physCols, t.size.toLong))
@@ -931,6 +988,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   override def abort(): Unit = {
     if (router != null) { router.valuesIterator.foreach(_.abort()); router.clear() }
     if (sink != null) { sink.abort(); sink = null }
+    if (linSink != null) { linSink.abort(); linSink = null }
     done.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))
   }
   override def close(): Unit = ()

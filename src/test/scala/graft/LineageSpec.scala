@@ -306,31 +306,62 @@ class LineageSpec extends SparkSpec {
       s"a luv > 3 predicate must plan ONLY the files commits 4+ produced: planned $planned of 7")
   }
 
-  test("copy-on-write DELETE re-stamps rewritten rows: the documented contract (MoR preserves)") {
-    // Spark's group-based ReplaceData hands the replacement write the
-    // TABLE schema only — metadata attrs never reach the writer's rows
-    // (JsonlRowLevelOperation doc) — so COW rewrites mint fresh ids.
-    // This pins the CONTRACT: ids stay table-unique and dense, versions
-    // bump to the rewrite commit, and the untouched files' rows keep
-    // their ids exactly.
+  test("copy-on-write DELETE preserves every survivor's id and version (r11)") {
+    // Spark 4.1's row-level metadata machinery: the operation requires
+    // `_row_id`/`_last_updated_version`, ReplaceData carries them as a
+    // metadata projection beside the data rows, and the writer
+    // materializes them in-row (frid = -2) — so a COW rewrite no
+    // longer re-stamps. The r10 residual, closed.
     val (cat, t, dir) = scratch("cow") // default delete mode = COW file rewrite
     val before = idsOf(cat, t)
-    val n = before.size.toLong
     val victims = before.keys.toSeq.sorted.take(5)
     spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id IN (${victims.mkString(",")})")
     val after = idsOf(cat, t)
     assert(after.size === before.size - victims.size)
-    // file-granular COW: files the bounds prove unaffected ride through
-    // untouched — their rows' ids are stable
-    val untouched = after.filter { case (k, v) => before(k) == v }
-    assert(untouched.nonEmpty, "bounds-pruned files must keep their ids")
-    // rewritten rows were re-stamped: fresh ids from the watermark, at
-    // the delete version, never colliding with a surviving id
-    val restamped = after.filter { case (k, v) => before(k) != v }
-    assert(restamped.nonEmpty && restamped.values.forall { case (id, v) => id >= n && v == 2L },
-      s"re-stamped rows allocate past the watermark $n at version 2")
-    assert(after.values.map(_._1).toSeq.distinct.size === after.size,
-      "ids stay table-unique through the rewrite")
+    after.foreach { case (k, v) =>
+      assert(before(k) === v, s"survivor $k drifted through the COW rewrite: $v") }
+    victims.foreach(k => assert(!after.contains(k)))
+  }
+
+  test("copy-on-write UPDATE keeps the row's id and restamps its version (r11)") {
+    val (cat, t, dir) = scratch("cowup")
+    val before = idsOf(cat, t)
+    val hit = before.keys.min
+    spark.sql(s"UPDATE $cat.`$t` SET event_type = 'patched' WHERE event_id = $hit")
+    val after = idsOf(cat, t)
+    assert(after.size === before.size)
+    assert(after(hit)._1 === before(hit)._1,
+      "an UPDATE rewrites the row IMAGE — the identity must ride through")
+    assert(after(hit)._2 === 2L, "the updated row's version is the update commit")
+    (after - hit).foreach { case (k, v) =>
+      assert(before(k) === v, s"carried row $k must keep (id, version) exactly: $v") }
+    assert(spark.sql(
+      s"SELECT event_type FROM $cat.`$t` WHERE event_id = $hit").head().getString(0)
+      === "patched")
+  }
+
+  test("copy-on-write MERGE: matched rows keep ids at the merge version, inserts mint fresh (r11)") {
+    import spark.implicits._
+    val (cat, t, dir) = scratch("cowmrg")
+    val before = idsOf(cat, t)
+    val n = before.size.toLong
+    val hit = before.keys.min
+    Seq((hit, "merged"), (990777L, "minted")).toDF("event_id", "event_type")
+      .createOrReplaceTempView("cow_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$t` g USING cow_merge_src s ON g.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET g.event_type = s.event_type
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+         |  VALUES (s.event_id, 0, s.event_type, 0.0)""".stripMargin)
+    val after = idsOf(cat, t)
+    assert(after.size === before.size + 1)
+    assert(after(hit) === ((before(hit)._1, 2L)),
+      s"matched row keeps its id at the merge version: ${after(hit)}")
+    assert(after(990777L)._1 >= n && after(990777L)._2 === 2L,
+      s"inserted row mints a fresh id past the watermark $n: ${after(990777L)}")
+    (after - hit - 990777L).foreach { case (k, v) =>
+      assert(before(k) === v, s"carried row $k must keep (id, version): $v") }
+    assert(after.values.map(_._1).toSeq.distinct.size === after.size)
   }
 
   test("compacting ALL-materialized members keeps in-row ids - no re-stamp (r10 review)") {

@@ -109,19 +109,73 @@ class RefsSpec extends SparkSpec {
     assert(branchN === mainN, s"branch head must survive the failed publish intact")
   }
 
-  test("branch TRUNCATE restages; replaceWhere, row-level DML and streaming refuse") {
+  test("branch TRUNCATE restages; abandoned staged files are vacuumable orphans") {
     val (cat, t, dir) = scratch("bvrb")
     spark.sql(s"CALL $cat.create_branch('$t', 'b')")
     spark.sql(s"INSERT OVERWRITE $cat.`$t`.branch_b VALUES (930001, 1, 'only', 1.0)")
     assert(spark.table(s"$cat.`$t`.branch_b").count() === 1, "TRUNCATE restages the head")
     assert(spark.table(s"$cat.`$t`").count() > 1, "main untouched by branch truncate")
-    val del = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.`$t`.branch_b WHERE value > 0"))
-    assert(del.getMessage.contains("branch"), s"row-level on branch must refuse: ${del.getMessage}")
     // staged-then-abandoned files are ordinary age-gated orphans
     spark.sql(s"CALL $cat.drop_branch('$t', 'b')")
     spark.sql(s"CALL $cat.vacuum('$t', retain_last => 1, orphan_grace_ms => 0)")
     assert(JsonlStats.readStats(dir).nonEmpty)
+  }
+
+  test("branch-head DML, COW: stage -> audit -> fix ON the branch -> publish (r11)") {
+    val (cat, t, dir) = scratch("bdml")
+    val base = spark.table(s"$cat.`$t`").count()
+    val mainLines = JsonlStats.readStats(dir).map(JsonlStats.statsLine).sorted
+    spark.sql(s"CALL $cat.create_branch('$t', 'load')")
+    // stage a load carrying two rows the audit will reject
+    spark.sql(s"INSERT INTO $cat.`$t`.branch_load VALUES " +
+      "(940001, 1, 'good', 10.0), (940002, 2, 'quarantine', 11.0), " +
+      "(940003, 3, 'quarantine', 12.0), (940004, 4, 'typo_fix_me', 13.0)")
+    // the audit FINDS something: fix it with row-level ops on the branch
+    spark.sql(s"DELETE FROM $cat.`$t`.branch_load WHERE event_type = 'quarantine'")
+    spark.sql(
+      s"UPDATE $cat.`$t`.branch_load SET event_type = 'fixed' WHERE event_id = 940004")
+    assert(spark.table(s"$cat.`$t`.branch_load").count() === base + 2)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.`$t`.branch_load WHERE event_type = 'fixed'")
+      .head().getLong(0) === 1L)
+    // main untouched by every branch mutation — entries byte-identical
+    assert(spark.table(s"$cat.`$t`").count() === base)
+    assert(JsonlStats.readStats(dir).map(JsonlStats.statsLine).sorted === mainLines,
+      "branch DML must not edit a single main manifest line")
+    spark.sql(s"CALL $cat.fast_forward('$t', 'load')")
+    val pub = spark.sql(
+      s"SELECT event_id, event_type FROM $cat.`$t` WHERE event_id >= 940001 ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pub === Seq((940001L, "good"), (940004L, "fixed")),
+      s"published image must be the audited-and-fixed one: $pub")
+    assert(spark.table(s"$cat.`$t`").count() === base + 2)
+  }
+
+  test("branch-head DML, MoR: DVs attach to branch entries only; publish carries masks + lineage (r11)") {
+    val (cat, t, dir) = scratch("bmor")
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    val base = spark.table(s"$cat.`$t`").count()
+    val preIds = spark.sql(s"SELECT event_id, _row_id FROM $cat.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql(s"CALL $cat.create_branch('$t', 'mor')")
+    val victim = spark.table(s"$cat.`$t`").agg(min($"event_id")).head().getLong(0)
+    // needle delete against a FORK-SHARED file: a DV lands on the
+    // branch's copy of the entry, main's stays clean
+    spark.sql(s"DELETE FROM $cat.`$t`.branch_mor WHERE event_id = $victim")
+    assert(spark.table(s"$cat.`$t`.branch_mor").count() === base - 1)
+    assert(spark.table(s"$cat.`$t`").count() === base, "main must still serve the row")
+    assert(JsonlStats.readStats(dir).forall(_.dvs.isEmpty),
+      "main's entries must carry no branch-staged DV")
+    assert(JsonlStats.parseStatsLines(
+      Refs.readRef(dir, Refs.branchManifest("mor")).entries).exists(_.dvs.nonEmpty),
+      "the branch entry must carry the DV")
+    spark.sql(s"CALL $cat.fast_forward('$t', 'mor')")
+    val after = spark.sql(s"SELECT event_id, _row_id FROM $cat.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size.toLong === base - 1 && !after.contains(victim))
+    after.foreach { case (k, id) =>
+      assert(preIds(k) === id, s"survivor $k must keep its fork-time id through the publish") }
   }
 
   test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {

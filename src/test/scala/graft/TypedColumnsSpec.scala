@@ -158,6 +158,55 @@ class TypedColumnsSpec extends SparkSpec {
     assert(v1.getLong(0) === 24L && !v1.isNullAt(1))
   }
 
+  test("timestamp/date/decimal columns round-trip exactly; ts ranges prune files (r11)") {
+    val dir = Files.createTempDirectory("typed_temporal").toString
+    val base = 1700000000000000L // epoch micros
+    val df = spark.range(160).select(
+      $"id",
+      timestamp_micros(lit(base) + $"id" * 3600000000L).as("ts"), // hourly
+      to_date(timestamp_micros(lit(base) + $"id" * 3600000000L)).as("day"),
+      ($"id".cast("decimal(12,3)") / lit(7)).cast("decimal(12,3)").as("amt"))
+    df.repartitionByRange(8, $"id").sortWithinPartitions($"id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // exact fidelity, all four types, via except-both-ways
+    assert(back.schema("ts").dataType === TimestampType)
+    assert(back.schema("day").dataType === DateType)
+    assert(back.schema("amt").dataType === DecimalType(12, 3))
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0,
+      "temporal/decimal values must round-trip bit-exactly")
+    // planning-time pruning by a timestamp range: 160 hourly rows in 8
+    // ranged files; a window covering the first quarter plans 2 files
+    val cut = java.time.Instant.ofEpochSecond(base / 1000000L + 40L * 3600L)
+    val probe = back.filter($"ts" < lit(java.sql.Timestamp.from(cut)))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    probe.collect()
+    val scans = nodes(probe.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val planned = scans.head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(planned === 2,
+      s"a ts < 40h predicate must plan 2 of 8 hourly-ranged files, planned $planned")
+    // DateType predicates prune the same way (epoch-day bounds)
+    val dprobe = back.filter($"day" === lit(java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(base / 86400000000L))))
+    dprobe.collect()
+    val dplanned = nodes(dprobe.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(dplanned <= 2, s"a day-equality predicate must prune, planned $dplanned of 8")
+  }
+
   test("typed columns compose with the table tier: MoR delete masks, time travel restores, lineage serves") {
     val dir = Files.createTempDirectory("typed_tier").toString
     val df = spark.range(20)

@@ -32,6 +32,23 @@ private[graft] object SimilarityMath {
   val nQueries = 8
   val topK = 5
 
+  /** Sign-cell coarse code of a vector (r11) — the 6-bit sign pattern
+    * of the first [[graft.sources.JsonlStats.VecCellBits]] elements,
+    * matching the table format's per-file `#cell` bounds exactly
+    * (missing/null elements contribute a 0 bit; float > 0 is the same
+    * exact comparison in Spark and DuckDB). */
+  def vecCellCol(a: Column): Column =
+    (0 until graft.sources.JsonlStats.VecCellBits).map(i =>
+      when(coalesce(try_element_at(a, lit(i + 1)) > 0, lit(false)), lit(1 << i))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** DuckDB mirror of [[vecCellCol]]. */
+  def vecCellSql(col: String): String =
+    (0 until graft.sources.JsonlStats.VecCellBits).map(i =>
+      s"(CASE WHEN len($col) >= ${i + 1} AND $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
   /** Plain double dot product via the codegen'd native expression
     * (graft.functions.DotProductF32) — NOT order-stable across engines,
     * used only as a pre-filter with a wide safety margin (double-vs-exact

@@ -130,6 +130,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // warehouse-transaction recovery (r11, [[Refs.Wtxn]]): an unsettled
+    // multi-table publish rolls FORWARD before any table serves — a
+    // catalog-routed reader can never observe the torn middle. One
+    // Files.exists per resolution when no marker is present.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, Refs.Wtxn.Marker)))
+      Refs.Wtxn.recover(root)
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       return subTable(ident).getOrElse(throw new NoSuchTableException(ident))
@@ -635,6 +641,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "create_branch" => new GraftProcedures.RefUnbound(root, "create_branch")
       case "drop_branch"   => new GraftProcedures.RefUnbound(root, "drop_branch")
       case "fast_forward"  => new GraftProcedures.RefUnbound(root, "fast_forward")
+      case "fast_forward_pair" => new GraftProcedures.FfPairUnbound(root)
       case "rollback"      => new GraftProcedures.RefUnbound(root, "rollback")
       case "cherry_pick"   => new GraftProcedures.RefUnbound(root, "cherry_pick")
       case "analyze_table" => new GraftProcedures.AnalyzeUnbound(root)
@@ -669,7 +676,8 @@ object GraftCatalog {
     "compact", "history", "vacuum", "clone", "zorder", "rewrite_deletes",
     "build_gram_index", "evolve_partition_spec", "compact_history",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
-    "fast_forward", "rollback", "cherry_pick", "analyze_table", "detail")
+    "fast_forward", "fast_forward_pair", "rollback", "cherry_pick",
+    "analyze_table", "detail")
 
   /** The staged side of an atomic CTAS/RTAS. Data files land in the
     * final directory under attempt-unique names but are INVISIBLE until

@@ -1585,6 +1585,48 @@ object GraftProcedures {
     }
   }
 
+  /** `fast_forward_pair(table1, branch1, table2, branch2)` (r11): the
+    * ATOMIC two-table publish — both branch heads land on their mains
+    * or neither does ([[Refs.Wtxn]]: marker-committed roll-forward,
+    * recovered by every catalog access). The fact+agg WAP shape: stage
+    * both, audit both, publish as one warehouse transaction. */
+  class FfPairUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "fast_forward_pair"
+    override def description(): String =
+      "fast_forward_pair(table1, branch1, table2, branch2): publish two branch heads atomically"
+    override def bind(inputType: StructType): BoundProcedure = new FfPairBound(root)
+  }
+
+  class FfPairBound(root: String) extends BoundProcedure {
+    override def name(): String = "fast_forward_pair"
+    override def description(): String = "atomic two-table branch publish"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table1", StringType).build(),
+      ProcedureParameter.in("branch1", StringType).build(),
+      ProcedureParameter.in("table2", StringType).build(),
+      ProcedureParameter.in("branch2", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t1 = input.getUTF8String(0).toString
+      val b1 = input.getUTF8String(1).toString
+      val t2 = input.getUTF8String(2).toString
+      val b2 = input.getUTF8String(3).toString
+      Seq(t1, t2).foreach(t => require(
+        Files.exists(Paths.get(root, t, "_stats.jsonl")), s"no such table $t under $root"))
+      val applied = Refs.Wtxn.publish(root, Seq((t1, b1), (t2, b2)),
+        s"ffp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val schema = StructType(Seq(
+        StructField("tables", StringType, nullable = false),
+        StructField("legs_applied", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$t1,$t2"), applied))
+        override def description(): String = s"fast_forward_pair $t1/$b1 + $t2/$b2"
+      }).iterator()
+    }
+  }
+
   private[sources] def concatFiles(tableRoot: String, members: Seq[String], out: String): Unit = {
     val dest = Paths.get(tableRoot, out)
     val os = new java.io.BufferedOutputStream(

@@ -869,6 +869,34 @@ object JsonlStats {
     case _ => g.getDouble(i)
   }
 
+  /** Vector file statistics (r11, closing the r10 "arrays carry no
+    * stats" residual). Every top-level `array<float|double>` column
+    * gets two derived per-file bounds in the ordinary `cols` map,
+    * under reserved suffixed keys (`#` is not a legal column-name
+    * character, so they can never collide with data columns):
+    *
+    *   `<col>#norm` — [min, max] L2 norm over the file's non-null
+    *     vectors: a probe with a distance budget r keeps only files
+    *     whose norms intersect [‖q‖−r, ‖q‖+r] (triangle inequality).
+    *   `<col>#cell` — [min, max] SIGN-CELL id: the 6-bit sign pattern
+    *     of the first six elements, a data-independent IVF-style
+    *     coarse quantizer (64 cells, no trained centroids to version).
+    *     A table laid out cell-clustered answers an LSH-style probe
+    *     (query cell + Hamming-1 neighbors) from the files whose cell
+    *     range intersects the probe set — planning-time pruning for
+    *     vector scans, the same mechanics as every scalar bound.
+    *
+    * Readers opt in per scan: `vecCells=<col>:<id,id,...>` and
+    * `vecNorm=<col>:<lo>:<hi>` options. Absence of the stats keeps the
+    * file — the engine-wide conservative rule. */
+  val VecCellBits = 6
+
+  def isVectorType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
   /** The numeric image of a pushed-filter VALUE (r11): plain numbers
     * pass through; temporal external types map to the same epoch
     * micros / epoch days the writer's bounds use, so timestamp/date
@@ -1668,7 +1696,18 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       gramCol = gramCol,
       // streaming admission control (r9c, the Delta option names)
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      // vector probe pruning (r11): `vecCells=col:1,5,9` keeps files
+      // whose sign-cell range intersects the probe set; `vecNorm=
+      // col:lo:hi` keeps files whose L2-norm bounds intersect the band
+      vecCells = Option(options.get("vecCells")).map { s =>
+        val Array(c, ids) = s.split(":", 2)
+        (c, ids.split(",").map(_.trim.toInt).toSeq)
+      },
+      vecNorm = Option(options.get("vecNorm")).map { s =>
+        val Array(c, lo, hi) = s.split(":", 3)
+        (c, lo.toDouble, hi.toDouble)
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(

@@ -2785,6 +2785,99 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY day ORDER BY day_s""".stripMargin)
   }
 
+  /** Cell-clustered embeddings fixture (r11): the corpus laid out by
+    * its sign-cell coarse code (a derived expression — the cell is NOT
+    * a stored column), so each file covers a narrow `embedding#cell`
+    * range in the manifest and vector probes prune files at planning. */
+  def ensureCellFixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    import graft.ext.SimilarityMath.vecCellCol
+    val dir = Landing.fixtureDir(d, "jsonl_embeddings_cells")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.embeddings(spark, d)
+        .repartitionByRange(16, vecCellCol($"embedding"), $"vec_id")
+        .sortWithinPartitions(vecCellCol($"embedding"), $"vec_id")
+        .select($"vec_id", $"embedding")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "vec_id")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** q278 (r11): VECTOR FILE STATISTICS — the r10 "arrays carry no
+    * stats" residual closed: the writer always records per-file
+    * `#norm` (L2) and `#cell` (sign-pattern coarse code) bounds for
+    * float/double arrays, and an LSH-style probe — the query's cell
+    * plus its Hamming-1 neighbors, passed as the `vecCells` scan
+    * option — plans only the files whose cell range intersects the
+    * probe set (JsonlStatsSpec pins the planned-file fraction). The
+    * candidates then rank by the exact decimal cosine, so the oracle —
+    * which mirrors the cell arithmetic and probe set in DuckDB — is
+    * bit-exact. At 100 TB this is the ANN shape that never lists the
+    * whole table: cluster by cell at ingest, read the probed cells'
+    * files only. */
+  def connectorCellProbe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.SimilarityMath.{dotDec, normDec, vecCellCol}
+    val dir = ensureCellFixture(spark, d)
+    // the query vector and its cell (one bounded 1-row lookup)
+    val q = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val qCell = (0 until JsonlStats.VecCellBits)
+      .map(i => if (i < q.length && q(i) > 0) 1 << i else 0).sum
+    val probes = qCell +: (0 until JsonlStats.VecCellBits).map(i => qCell ^ (1 << i))
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("vecCells", s"embedding:${probes.mkString(",")}").load()
+    val qv = typedLit(q)
+    t.filter(vecCellCol($"embedding").isin(probes: _*))
+      .withColumn("cosine", dotDec(qv, $"embedding") / (normDec(qv) * normDec($"embedding")))
+      .filter($"cosine" >= 0.15)
+      .select($"vec_id", round($"cosine", 6).as("cosine"))
+      .orderBy($"vec_id")
+  }
+
+  /** q279 (r11): ATOMIC TWO-TABLE PUBLISH — fact and its aggregate
+    * stage on branches and land via `fast_forward_pair` as ONE
+    * warehouse transaction ([[Refs.Wtxn]]): a marker-committed
+    * roll-forward that every catalog access completes, so no
+    * catalog-routed reader ever sees fact new / agg old (the torn
+    * state two independent publishes can crash into). The readout
+    * joins the published agg against a recompute from the published
+    * fact — exact agreement IS the atomicity witness — and the oracle
+    * recomputes both sides from raw data. */
+  def atomicPairPublish(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_wtxn_fact")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_wtxn_agg")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_wtxn_fact AS
+         |SELECT event_id, event_type, value FROM $cat.jsonl_stats_table
+         |WHERE event_id % 10 = 4 ORDER BY event_id""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_wtxn_agg AS
+         |SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.jsonl_wtxn_fact GROUP BY event_type""".stripMargin)
+    spark.sql(s"CALL $cat.create_branch('jsonl_wtxn_fact', 'load')")
+    spark.sql(s"CALL $cat.create_branch('jsonl_wtxn_agg', 'load')")
+    spark.sql(s"INSERT INTO $cat.jsonl_wtxn_fact.branch_load VALUES " +
+      "(96100001, 'staged', 10.0), (96100002, 'staged', 20.0)")
+    spark.sql(s"INSERT INTO $cat.jsonl_wtxn_agg.branch_load VALUES ('staged', 2, 30.0)")
+    spark.sql(s"CALL $cat.fast_forward_pair(" +
+      "'jsonl_wtxn_fact', 'load', 'jsonl_wtxn_agg', 'load')")
+    spark.sql(
+      s"""SELECT a.event_type, a.n, a.value_sum,
+         |  f.n AS fact_n, f.value_sum AS fact_sum
+         |FROM $cat.jsonl_wtxn_agg a
+         |JOIN (SELECT event_type, count(*) AS n,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |      FROM $cat.jsonl_wtxn_fact GROUP BY event_type) f
+         |  ON a.event_type = f.event_type
+         |ORDER BY a.event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2866,6 +2959,8 @@ object JsonlStatsQueries extends QueryModule {
     "q275_branch_dml_publish" -> branchDmlPublish,
     "q276_lineage_cow_dml" -> lineageCowDml,
     "q277_temporal_window_scan" -> temporalWindowScan,
+    "q278_connector_cell_probe" -> connectorCellProbe,
+    "q279_atomic_pair_publish" -> atomicPairPublish,
   )
 
   val oracles = Map(
@@ -3178,6 +3273,46 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q279_atomic_pair_publish" ->
+      """WITH fact AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 10 = 4
+        |  UNION ALL SELECT 'staged', 10.0
+        |  UNION ALL SELECT 'staged', 20.0),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM fact GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, value_sum,
+        |  CAST(n AS BIGINT) AS fact_n, value_sum AS fact_sum
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q278_connector_cell_probe" ->
+      s"""WITH ${graft.ext.SimilarityMath.normsCte},
+         |cells AS (
+         |  SELECT vec_id, embedding,
+         |    ${graft.ext.SimilarityMath.vecCellSql("embedding")} AS cell
+         |  FROM embeddings),
+         |qr AS (SELECT embedding AS qv, cell AS qc FROM cells WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT qc AS cell FROM qr
+         |  UNION ALL
+         |  SELECT xor(qc, (1 << i)) FROM qr,
+         |    (SELECT unnest(generate_series(0, ${JsonlStats.VecCellBits - 1})) AS i)),
+         |cand AS (
+         |  SELECT c.vec_id, c.embedding, q.qv FROM cells c, qr q
+         |  WHERE c.cell IN (SELECT cell FROM probes)),
+         |dots AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |      AS DECIMAL(38,25))) AS DOUBLE) AS dot
+         |  FROM (SELECT vec_id, embedding, qv,
+         |          unnest(generate_series(1, len(embedding))) AS i FROM cand)
+         |  GROUP BY vec_id)
+         |SELECT d.vec_id, ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |FROM dots d,
+         |  (SELECT nrm FROM norms WHERE vec_id = 0) nq
+         |JOIN norms nc ON d.vec_id = nc.vec_id
+         |WHERE d.dot / (nq.nrm * nc.nrm) >= 0.15
+         |ORDER BY d.vec_id""".stripMargin,
     "q277_temporal_window_scan" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,

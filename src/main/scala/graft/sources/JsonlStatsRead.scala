@@ -21,7 +21,9 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             columnMapping: Map[String, String] = Map.empty,
                             gramCol: Option[String] = None,
                             maxFilesPerTrigger: Option[Int] = None,
-                            maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
+                            maxBytesPerTrigger: Option[Long] = None,
+                            vecCells: Option[(String, Seq[Int])] = None,
+                            vecNorm: Option[(String, Double, Double)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -239,7 +241,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
-        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger)
+        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCells, vecNorm)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -317,7 +319,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      limitK: Option[Int] = None,
                      topN: Option[JsonlStatsScan.TopNPush] = None,
                      maxFilesPerTrigger: Option[Int] = None,
-                     maxBytesPerTrigger: Option[Long] = None)
+                     maxBytesPerTrigger: Option[Long] = None,
+                     vecCells: Option[(String, Seq[Int])] = None,
+                     vecNorm: Option[(String, Double, Double)] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -702,6 +706,18 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
       .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
+      // vector probe pruning (r11): the per-file `#cell`/`#norm`
+      // bounds the writer always records for float/double arrays —
+      // absent bounds keep the file (legacy manifests, rewritten
+      // entries), the engine-wide conservative rule
+      .filter(s => vecCells.forall { case (c, ids) =>
+        JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#cell", statsCol)
+          .forall { case (lo, hi) => ids.exists(id => lo <= id && id <= hi) }
+      })
+      .filter(s => vecNorm.forall { case (c, lo, hi) =>
+        JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#norm", statsCol)
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      })
 
   /** Manifest-derived statistics: row count is the sum of surviving
     * files' exact counts, bytes the sum of their on-disk sizes (a

@@ -684,6 +684,20 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val strMn = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
   private val strMx = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
   private val strCnt = Array.fill(strIdx.length)(0L)
+  // vector stats (r11): L2-norm and sign-cell bounds for every
+  // top-level float/double array — always on (one multiply-add per
+  // element, noise against the JSON encode), published as derived
+  // `#norm`/`#cell` keys in the cols map ([[JsonlStats.VecCellBits]])
+  private val vecIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if JsonlStats.isVectorType(f.dataType) => i
+  }
+  private val vecIsFloat: Array[Boolean] = vecIdx.map(i =>
+    writeSchema.fields(i).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+  private val vecNormMn = Array.fill(vecIdx.length)(Double.PositiveInfinity)
+  private val vecNormMx = Array.fill(vecIdx.length)(Double.NegativeInfinity)
+  private val vecCellMn = Array.fill(vecIdx.length)(Int.MaxValue)
+  private val vecCellMx = Array.fill(vecIdx.length)(Int.MinValue)
 
   /** Recursive JSON encoding of one non-null value (r11): scalars,
     * typed arrays (r10) and STRUCTS compose arbitrarily — the
@@ -780,6 +794,37 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       si += 1
     }
+    var vi = 0
+    while (vi < vecIdx.length) {
+      val i = vecIdx(vi)
+      if (!row.isNullAt(i)) {
+        val arr = row.getArray(i)
+        val m = arr.numElements()
+        var normSq = 0.0
+        var cellId = 0
+        var j = 0
+        while (j < m) {
+          val e =
+            if (arr.isNullAt(j)) 0.0
+            else if (vecIsFloat(vi)) arr.getFloat(j).toDouble
+            else arr.getDouble(j)
+          normSq += e * e
+          if (j < JsonlStats.VecCellBits && e > 0) cellId |= 1 << j
+          j += 1
+        }
+        val nrm = math.sqrt(normSq)
+        // a NaN element poisons the norm to vacuous bounds — finite
+        // bounds computed past it would drop the row under a band
+        if (nrm.isNaN) { vecNormMn(vi) = 0.0; vecNormMx(vi) = Double.MaxValue }
+        else {
+          if (nrm < vecNormMn(vi)) vecNormMn(vi) = nrm
+          if (nrm > vecNormMx(vi)) vecNormMx(vi) = nrm
+        }
+        if (cellId < vecCellMn(vi)) vecCellMn(vi) = cellId
+        if (cellId > vecCellMx(vi)) vecCellMx(vi) = cellId
+      }
+      vi += 1
+    }
     if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
       bloomHashes += (writeSchema.fields(bloomIdx).dataType match {
         case LongType   => Bloom.hashLong(row.getLong(bloomIdx))
@@ -816,6 +861,12 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     val cols = numIdx.indices.collect {
       case ci if colMn(ci) <= colMx(ci) =>
         physOf(numIdx(ci)) -> (colMn(ci), colMx(ci))
+    }.toMap ++ vecIdx.indices.collect {
+      case vi if vecNormMn(vi) <= vecNormMx(vi) =>
+        s"${physOf(vecIdx(vi))}#norm" -> (vecNormMn(vi), vecNormMx(vi))
+    }.toMap ++ vecIdx.indices.collect {
+      case vi if vecCellMn(vi) <= vecCellMx(vi) =>
+        s"${physOf(vecIdx(vi))}#cell" -> (vecCellMn(vi).toDouble, vecCellMx(vi).toDouble)
     }.toMap
     // non-null counts for EVERY column, numeric and string, including
     // all-null ones (a zero count is knowledge — COUNT(col) pushdown

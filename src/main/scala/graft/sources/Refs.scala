@@ -366,4 +366,132 @@ object Refs {
     listRefs(root).flatMap(r =>
       JsonlStats.parseStatsLines(r.entries).flatMap(s => s.file +: s.dvs) ++
         JsonlEqualityDeletes.filesOf(r.entries)).toSet
+
+  /** WAREHOUSE transactions (r11): an atomic MULTI-TABLE publish — the
+    * Iceberg-REST-catalog multi-table-commit shape on this catalog's
+    * own primitives. The crash gap it closes: publishing fact + agg as
+    * two independent `fast_forward`s can die between them and leave a
+    * torn warehouse (fact new, agg old) forever.
+    *
+    * Protocol: both branches' preconditions validate first; then ONE
+    * exclusively-created marker (`_wtxn.json` at the CATALOG root,
+    * hard-link CAS — the commitment point) records every leg; then the
+    * legs apply one by one; then the marker deletes. Recovery is
+    * ROLL-FORWARD: [[GraftCatalog.loadTable]] consults the marker
+    * before serving any table, so a catalog-routed reader can never
+    * observe the torn middle — it either finds no marker (all-or-none
+    * already settled) or completes the remaining legs itself first.
+    * Leg application is idempotent (a leg whose table already equals
+    * the branch content is a content-no-op), so racing recoverers are
+    * harmless. A rival commit that diverges a table between the marker
+    * and its leg WEDGES the transaction LOUDLY (the single-publisher
+    * assumption WAP already makes; the error names the marker) — the
+    * contract is both-or-neither-or-loud, never silently torn. Path
+    * reads that bypass the catalog bypass recovery too, exactly as in
+    * Iceberg, where multi-table atomicity is a catalog property. */
+  object Wtxn {
+    val Marker = "_wtxn.json"
+
+    final case class Leg(table: String, branch: String, forkHash: String)
+
+    def read(catalogRoot: String): Seq[Leg] = {
+      val p = Paths.get(catalogRoot, Marker)
+      if (!Files.exists(p)) return Nil
+      val mapper = new ObjectMapper()
+      val n = mapper.readTree(String.join("\n", Files.readAllLines(p)))
+      n.get("legs").elements().asScala.map(l =>
+        Leg(l.get("table").asText(), l.get("branch").asText(),
+          l.get("fork_hash").asText())).toSeq
+    }
+
+    /** Entry-set fingerprint MODULO row-lineage stamping: publishing a
+      * branch stamps its fresh entries (frid/luv/runs), so "is this
+      * leg already applied?" must compare the lineage-free image of
+      * main against the branch's unstamped lines. */
+    private def lineageFreeHash(lines: Seq[String]): String = {
+      val mapper = new ObjectMapper()
+      entriesHash(lines.filter(_.nonEmpty).map { l =>
+        val n = mapper.readTree(l)
+        if (n.hasNonNull("file"))
+          JsonlStats.statsLine(JsonlStats.parseStatsLines(Seq(l)).head
+            .copy(frid = -1L, luv = 0L, runs = Nil))
+        else l
+      })
+    }
+
+    /** Publish every (table, branch) leg atomically-at-the-catalog:
+      * validate all preconditions, CAS the marker, roll forward,
+      * delete the marker. Returns the number of legs applied live
+      * (vs found already applied). */
+    def publish(catalogRoot: String, legs: Seq[(String, String)],
+                queryId: String): Int = {
+      require(legs.nonEmpty && legs.map(_._1).distinct.size == legs.size,
+        s"wtxn legs must name distinct tables: ${legs.map(_._1).mkString(", ")}")
+      val resolved = legs.map { case (t, b) =>
+        val dir = Paths.get(catalogRoot, t).toString
+        val ref = readRef(dir, branchManifest(b))
+        require(ref.kind == "branch", s"$b is a ${ref.kind}, not a branch")
+        val fork = ref.baseHash.getOrElse(
+          throw new IllegalStateException(s"branch $b of $t has no fork hash"))
+        // validate BEFORE the commitment point: a diverged table fails
+        // the whole publish with nothing applied
+        require(entriesHash(liveEntries(dir)) == fork ||
+            lineageFreeHash(liveEntries(dir)) == lineageFreeHash(ref.entries),
+          s"main of $t diverged since branch '$b' forked — " +
+            "re-stage before the two-table publish")
+        Leg(t, b, fork)
+      }
+      val mapper = new ObjectMapper()
+      val n = mapper.createObjectNode()
+      n.put("id", java.util.UUID.randomUUID().toString)
+      val a = n.putArray("legs")
+      resolved.foreach { l =>
+        val o = a.addObject()
+        o.put("table", l.table); o.put("branch", l.branch); o.put("fork_hash", l.forkHash)
+      }
+      val target = Paths.get(catalogRoot, Marker)
+      val tmp = target.resolveSibling(
+        s"$Marker.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(n.toString),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"a warehouse transaction is already in flight ($Marker exists) — " +
+              "let recovery settle it (any catalog access) before publishing again")
+      }
+      finally Files.deleteIfExists(tmp)
+      recover(catalogRoot, queryId)
+    }
+
+    /** Roll the marker's remaining legs forward and delete it. Safe to
+      * race: applied legs are content-no-ops, the delete is idempotent. */
+    def recover(catalogRoot: String, queryId: String = "wtxn-recover"): Int = {
+      val legs = read(catalogRoot)
+      if (legs.isEmpty) return 0
+      var applied = 0
+      legs.foreach { l =>
+        val dir = Paths.get(catalogRoot, l.table).toString
+        val ref = readRef(dir, branchManifest(l.branch))
+        // an applied leg's main is the STAMPED image of the branch —
+        // compare modulo lineage, then let fastForward's own OCC
+        // rebase prove ancestry for the unapplied ones
+        if (lineageFreeHash(liveEntries(dir)) != lineageFreeHash(ref.entries)) {
+          try fastForward(dir, l.branch, s"$queryId-${l.table}")
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              JsonlStats.conflict(
+                s"warehouse transaction wedged: main of ${l.table} diverged under " +
+                  s"the multi-table publish (see $Marker at $catalogRoot) — restore " +
+                  s"${l.table} to the fork point or delete the marker to abandon " +
+                  s"(${e.getMessage})")
+          }
+          applied += 1
+        }
+      }
+      Files.deleteIfExists(Paths.get(catalogRoot, Marker))
+      applied
+    }
+  }
 }

@@ -178,6 +178,71 @@ class RefsSpec extends SparkSpec {
       assert(preIds(k) === id, s"survivor $k must keep its fork-time id through the publish") }
   }
 
+  test("fast_forward_pair publishes two tables atomically; a crash between legs rolls forward (r11)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = Files.createTempDirectory("refs_ffp").toString
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def writeRows(t: String, ks: Seq[Long], mode: String): Unit = {
+      Files.createDirectories(Paths.get(parent, t))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(Row(_)), 1), schema)
+        .write.format("graft-jsonl-stats")
+        .option("path", Paths.get(parent, t).toString)
+        .option("statsColumn", "k").mode(mode).save()
+    }
+    writeRows("fact", Seq(1L, 2L), "overwrite")
+    writeRows("agg", Seq(10L), "overwrite")
+    val cat = "graft_ffp_" + java.lang.Integer.toHexString(parent.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    def ks(t: String): Seq[Long] =
+      spark.table(s"$cat.$t").collect().map(_.getLong(0)).toSeq.sorted
+    spark.sql(s"CALL $cat.create_branch('fact', 'load')")
+    spark.sql(s"CALL $cat.create_branch('agg', 'load')")
+    spark.sql(s"INSERT INTO $cat.fact.branch_load VALUES (3)")
+    spark.sql(s"INSERT INTO $cat.agg.branch_load VALUES (30)")
+    assert(ks("fact") === Seq(1L, 2L) && ks("agg") === Seq(10L), "staged rows invisible")
+    spark.sql(s"CALL $cat.fast_forward_pair('fact', 'load', 'agg', 'load')")
+    assert(ks("fact") === Seq(1L, 2L, 3L) && ks("agg") === Seq(10L, 30L),
+      "both tables must publish in one transaction")
+    assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)), "marker settles")
+    // CRASH INJECTION: stage a second load on both, apply ONLY the fact
+    // leg, then write the marker by hand — the torn middle a crash
+    // between the two legs leaves behind. The next catalog access must
+    // roll the agg leg forward before serving.
+    spark.sql(s"CALL $cat.drop_branch('fact', 'load')")
+    spark.sql(s"CALL $cat.drop_branch('agg', 'load')")
+    spark.sql(s"CALL $cat.create_branch('fact', 'load')")
+    spark.sql(s"CALL $cat.create_branch('agg', 'load')")
+    spark.sql(s"INSERT INTO $cat.fact.branch_load VALUES (4)")
+    spark.sql(s"INSERT INTO $cat.agg.branch_load VALUES (40)")
+    val factRef = Refs.readRef(Paths.get(parent, "fact").toString, Refs.branchManifest("load"))
+    val aggRef = Refs.readRef(Paths.get(parent, "agg").toString, Refs.branchManifest("load"))
+    spark.sql(s"CALL $cat.fast_forward('fact', 'load')") // leg 1 landed...
+    val marker = s"""{"id":"crash-test","legs":[
+      |{"table":"fact","branch":"load","fork_hash":"${factRef.baseHash.get}"},
+      |{"table":"agg","branch":"load","fork_hash":"${aggRef.baseHash.get}"}]}"""
+      .stripMargin.replace("\n", "")
+    Files.write(Paths.get(parent, Refs.Wtxn.Marker),
+      java.util.List.of(marker)) // ...then the publisher died
+    assert(ks("agg") === Seq(10L, 30L, 40L),
+      "catalog access must roll the unapplied leg forward before serving")
+    assert(ks("fact") === Seq(1L, 2L, 3L, 4L), "the applied leg is a no-op on recovery")
+    assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)), "recovery settles the marker")
+    // a diverged table fails the WHOLE publish with nothing applied
+    spark.sql(s"CALL $cat.drop_branch('agg', 'load')")
+    spark.sql(s"CALL $cat.create_branch('agg', 'load')")
+    spark.sql(s"INSERT INTO $cat.agg.branch_load VALUES (50)")
+    spark.sql(s"INSERT INTO $cat.agg VALUES (99)") // main diverges
+    val before = (ks("fact"), ks("agg"))
+    val ex = intercept[Exception](
+      spark.sql(s"CALL $cat.fast_forward_pair('fact', 'load', 'agg', 'load')"))
+    assert(ex.getMessage.contains("diverged"), ex.getMessage)
+    assert((ks("fact"), ks("agg")) === before, "a failed pair publish applies NOTHING")
+    assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)))
+  }
+
   test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {
     val (cat, t0, _) = scratch("hpb")
     // table name unique per run: CREATE OR REPLACE resets the manifest

@@ -207,6 +207,63 @@ class TypedColumnsSpec extends SparkSpec {
     assert(dplanned <= 2, s"a day-equality predicate must prune, planned $dplanned of 8")
   }
 
+  test("vector file stats: #cell/#norm bounds recorded; vecCells probes prune files (r11)") {
+    import graft.ext.SimilarityMath.vecCellCol
+    val dir = Files.createTempDirectory("typed_vec").toString
+    // 64 vectors, one per sign-cell: embedding(i) = the sign pattern of
+    // cell id c (bit j set -> +0.5 else -0.5), padded to 8 dims
+    val df = spark.range(64).select($"id",
+      transform(sequence(lit(0), lit(7)),
+        j => when(j < lit(graft.sources.JsonlStats.VecCellBits) &&
+            ($"id" / pow(lit(2.0), j.cast("double"))).cast("long") % 2 === 1, lit(0.5f))
+          .otherwise(lit(-0.5f))).as("emb"))
+    df.repartitionByRange(16, vecCellCol($"emb"), $"id")
+      .sortWithinPartitions(vecCellCol($"emb"), $"id")
+      .select($"id", $"emb")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    // every entry carries both derived bounds, and the cell ranges are
+    // narrow (cell-clustered layout)
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(e => e.cols.contains("emb#cell") && e.cols.contains("emb#norm")),
+      s"vector bounds missing: ${entries.map(_.cols.keys)}")
+    assert(entries.forall { e =>
+      val (lo, hi) = e.cols("emb#cell"); hi - lo <= 8.0 })
+    // cell(id-vector) == id by construction: probe 3 cells -> few files
+    val probe = Seq(5, 6, 7)
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("vecCells", s"emb:${probe.mkString(",")}").load()
+    val got = t.filter(vecCellCol($"emb").isin(probe: _*))
+      .select($"id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(5L, 6L, 7L), s"probe must return exactly its cells: ${got.toSeq}")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val probed = t.select($"id")
+    probed.collect()
+    val planned = nodes(probed.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(planned <= 2,
+      s"a 3-cell probe over a 16-file cell-ranged layout must plan <= 2 files, got $planned")
+    // norm-band pruning: every vector here has norm sqrt(8*0.25) = ~1.414;
+    // a disjoint band plans zero files
+    val none = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("vecNorm", "emb:9.0:10.0").load()
+    none.collect()
+    val planned0 = nodes(none.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(planned0 === 0, s"a disjoint norm band must plan zero files, got $planned0")
+  }
+
   test("typed columns compose with the table tier: MoR delete masks, time travel restores, lineage serves") {
     val dir = Files.createTempDirectory("typed_tier").toString
     val df = spark.range(20)

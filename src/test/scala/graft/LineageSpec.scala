@@ -379,6 +379,38 @@ class LineageSpec extends SparkSpec {
       "the commit must not re-stamp a bin whose ids live in its rows")
   }
 
+  test("next_row_id survives compact_history: watermark holds, archived ids serve verbatim (r11)") {
+    val (cat, t, dir) = scratch("histcnt")
+    val n0 = idsOf(cat, t).size.toLong
+    // versions 2..9: eight single-row appends — enough history for the
+    // delta encoder to have non-trivial work
+    (0 until 8).foreach { j =>
+      Seq((985000L + j, j.toLong, "h", j.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    }
+    val vMid = 5 // will be delta-encoded (not keep-recent, not a full anchor)
+    val midIds = spark.sql(
+      s"SELECT event_id, _row_id FROM $cat.`$t` VERSION AS OF $vMid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = spark.sql(
+      s"CALL $cat.compact_history('$t', keep_recent => 2, full_every => 4)").head()
+    assert(res.getInt(0) > 0, "fixture must actually delta-encode some versions")
+    // the counter is commit protocol: the delta encoding of archived
+    // manifests must not perturb it — the next append continues densely
+    Seq((986000L, 9L, "post", 9.0)).toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    assert(idsOf(cat, t)(986000L)._1 === n0 + 8L,
+      "the watermark must ride through compact_history")
+    // a delta-encoded archive still serves its ORIGINAL ids (the
+    // counter line and frid stamps materialize through the delta chain)
+    val midAgain = spark.sql(
+      s"SELECT event_id, _row_id FROM $cat.`$t` VERSION AS OF $vMid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(midAgain === midIds,
+      "time travel across delta-encoded history must serve identical lineage")
+  }
+
   test("t.files exposes lineage posture: kinds + first_row_id/version arithmetic") {
     val (cat, t, dir) = scratch("filesmeta")
     val f0 = spark.sql(

@@ -1410,6 +1410,10 @@ object JsonlStats {
     case LessThan(c, v) if filterDouble(v).isDefined           => Some(c)
     case LessThanOrEqual(c, v) if filterDouble(v).isDefined    => Some(c)
     case EqualTo(c, v) if filterDouble(v).isDefined            => Some(c)
+    // IN lists (r11): a file prunes when NO listed value can sit in
+    // its bounds — the point-lookup union every dimension filter ships
+    case In(c, vs) if vs.nonEmpty &&
+      vs.forall(v => v != null && filterDouble(v).isDefined)   => Some(c)
     case _                                                     => None
   }
 
@@ -1431,6 +1435,8 @@ object JsonlStats {
     case LessThan(_, v)           => filterDouble(v).forall(d => mn < d)
     case LessThanOrEqual(_, v)    => filterDouble(v).forall(d => mn <= d)
     case EqualTo(_, v)            => filterDouble(v).forall(d => mn <= d && d <= mx)
+    case In(_, vs) => vs.isEmpty ||
+      vs.exists(v => filterDouble(v).forall(d => mn <= d && d <= mx))
     case _ => true
   }
 
@@ -1513,6 +1519,9 @@ object JsonlStats {
     case LessThanOrEqual(c, _: String)    => Some(c)
     case EqualTo(c, _: String)            => Some(c)
     case StringStartsWith(c, _)           => Some(c)
+    // string IN lists (r11): prune when no listed value fits the
+    // truncated bounds
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => Some(c)
     case _                                => None
   }
 
@@ -1534,6 +1543,10 @@ object JsonlStats {
     case StringStartsWith(_, p) =>
       hi.forall(h => strCompare(h, p) >= 0) &&
         prefixSuccessor(p).forall(ps => strCompare(lo, ps) < 0)
+    case In(_, vs) => vs.isEmpty || vs.exists {
+      case v: String => strCompare(lo, v) <= 0 && hi.forall(h => strCompare(h, v) >= 0)
+      case _ => true // non-string value: cannot reason, keep
+    }
     case _ => true
   }
 }

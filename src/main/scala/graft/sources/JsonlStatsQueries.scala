@@ -2878,6 +2878,33 @@ object JsonlStatsQueries extends QueryModule {
          |ORDER BY a.event_type""".stripMargin)
   }
 
+  /** q280 (r11): IN-LIST FILE PRUNING — the point-lookup UNION every
+    * dimension filter ships (`WHERE k IN (...)`) prunes files at
+    * planning: a file survives only if SOME listed value sits in its
+    * bounds (numeric, temporal and string lists all route through the
+    * same interval tests; JsonlStatsSpec pins the planned-file law,
+    * including the null-in-list conservative arm). On an id-ranged
+    * 100-TB table a bounded IN list reads |list| files, not the
+    * table. */
+  def inListPointLookups(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_inlist")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"event_type", $"value")
+        .repartitionByRange(8, $"event_id")
+        .sortWithinPartitions($"event_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "event_id")
+        .mode("overwrite").save()
+    }
+    spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .filter($"event_id".isin(7L, 421L, 867L, 5000000L))
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2961,6 +2988,7 @@ object JsonlStatsQueries extends QueryModule {
     "q277_temporal_window_scan" -> temporalWindowScan,
     "q278_connector_cell_probe" -> connectorCellProbe,
     "q279_atomic_pair_publish" -> atomicPairPublish,
+    "q280_inlist_point_lookups" -> inListPointLookups,
   )
 
   val oracles = Map(
@@ -3273,6 +3301,10 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q280_inlist_point_lookups" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id IN (7, 421, 867, 5000000)
+        |ORDER BY event_id""".stripMargin,
     "q279_atomic_pair_publish" ->
       """WITH fact AS (
         |  SELECT event_type, value FROM events WHERE event_id % 10 = 4

@@ -26,6 +26,50 @@ class JsonlStatsSpec extends SparkSpec {
     assert(viaParquet.exceptAll(viaConnector).isEmpty)
   }
 
+  test("IN-list predicates prune files: the point-lookup union, numeric and string (r11)") {
+    val root = fixture
+    val total = JsonlStats.readStats(root).size
+    def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(root, JsonlStats.schema)
+      sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    // two scattered point values keep only the files whose bounds admit
+    // one of them; a list of impossible values keeps nothing
+    val bounds = JsonlStats.readStats(root).map(s => (s.min, s.max))
+    val two = partitionsFor(org.apache.spark.sql.sources.In("value", Array(Double.box(bounds.map(_._1).min),
+      Double.box(bounds.map(_._2).max))))
+    assert(two < total, s"a 2-value IN must prune, kept $two/$total")
+    assert(partitionsFor(org.apache.spark.sql.sources.In("value", Array(Double.box(-1e9), Double.box(1e9)))) === 0,
+      "an all-out-of-bounds IN prunes every file")
+    // a null in the list disables pruning (conservative), never drops
+    assert(partitionsFor(org.apache.spark.sql.sources.In("value", Array(Double.box(-1e9), null))) === total)
+    // string IN against truncated bounds: event_type-sorted layout
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("instr").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+      .repartitionByRange(4, $"event_type", $"event_id")
+      .sortWithinPartitions($"event_type")
+      .write.format("graft-jsonl-stats").option("path", sdir)
+      .option("statsColumn", "event_id").mode("overwrite").save()
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val totalS = JsonlStats.readStats(sdir).size
+    def strPartitions(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(sdir, schema2, "event_id")
+      sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val first = spark.read.format("graft-jsonl-stats").option("path", sdir).load()
+      .agg(min($"event_type")).head().getString(0)
+    val keptS = strPartitions(org.apache.spark.sql.sources.In("event_type", Array(first)))
+    assert(keptS < totalS, s"a 1-string IN on a sorted layout must prune, kept $keptS/$totalS")
+    assert(strPartitions(org.apache.spark.sql.sources.In("event_type", Array("zzzz_nothing"))) === 0)
+  }
+
   test("planning-time file skipping: range predicates prune manifest files, never rows") {
     val root = fixture
     val total = JsonlStats.readStats(root).size

@@ -841,11 +841,16 @@ object JsonlStats {
     case _: org.apache.spark.sql.types.DecimalType => true
     case org.apache.spark.sql.types.ArrayType(et, _) => supportedType(et)
     case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => supportedType(f.dataType))
+    // string-keyed maps (r11): the natural JSON-object encoding — the
+    // reference's `props` bag lands typed. Non-string keys have no
+    // faithful JSON-object image and stay unsupported.
+    case org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, vt, _) =>
+      supportedType(vt)
     case _ => false
   }
   val supportedTypesMsg =
     "the JSONL format carries long/double/float/string/boolean/timestamp/date/decimal " +
-      "and arrays/structs thereof"
+      "and arrays/structs/string-keyed maps thereof"
 
   /** Columns whose file statistics live in the numeric `cols` bounds
     * map (r11): longs/doubles plus the temporal types, whose internal

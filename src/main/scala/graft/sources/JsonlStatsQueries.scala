@@ -2905,6 +2905,36 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q281 (r11): MAP COLUMNS — the reference's `props` bag lands TYPED
+    * in the table format (`map<string,bigint>`, the natural JSON-object
+    * encoding), so property access is `props['k']`, not a JSON parse
+    * per row per query. The oracle recomputes the per-type property
+    * sum from the raw JSON strings in DuckDB. At 100 TB: parse the bag
+    * ONCE at ingest, never again. */
+  def mapColumnScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_events_props")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"event_type",
+          from_json($"props",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).as("props"))
+        .repartitionByRange(8, $"event_id")
+        .sortWithinPartitions($"event_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "event_id")
+        .mode("overwrite").save()
+    }
+    spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(try_element_at($"props", lit("k"))).as("k_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -2989,6 +3019,7 @@ object JsonlStatsQueries extends QueryModule {
     "q278_connector_cell_probe" -> connectorCellProbe,
     "q279_atomic_pair_publish" -> atomicPairPublish,
     "q280_inlist_point_lookups" -> inListPointLookups,
+    "q281_map_column_scan" -> mapColumnScan,
   )
 
   val oracles = Map(
@@ -3301,6 +3332,10 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q281_map_column_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q280_inlist_point_lookups" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id IN (7, 421, 867, 5000000)

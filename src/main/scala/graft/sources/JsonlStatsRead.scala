@@ -1472,6 +1472,22 @@ class JsonlPartitionReader(file: String, required: StructType,
         j += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    // string-keyed maps (r11): JSON object → Catalyst map, field order
+    // preserved (insertion order both ways — Jackson ObjectNode and
+    // the writer's map iteration agree)
+    case org.apache.spark.sql.types.MapType(StringType, vt, _) =>
+      val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val it = v.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        ks += UTF8String.fromString(e.getKey)
+        vs += (if (e.getValue == null || e.getValue.isNull) null
+               else parseJson(vt, e.getValue))
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray))
     case dt => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 

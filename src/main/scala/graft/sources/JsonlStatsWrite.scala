@@ -487,16 +487,14 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
     * the entry-luv fallback). The writer routes id-bearing rows to a
     * lineage sink (in-row materialized ids, frid = -2) and id-less
     * rows (re-inserts, unassigned carries) to a plain sink that mints
-    * fresh ids at commit. KEYED layouts keep the r10 re-stamp contract:
-    * their writer rolls one file per key run and does not split rows
-    * across a parallel lineage sink — documented, spec-pinned, with
-    * merge-on-read as their preserving mode for DELETE. */
+    * fresh ids at commit. KEYED layouts preserve too: the lineage sink
+    * rolls/routes per derived key in step with the plain one, so
+    * replacement files stay pkey'd and the SPJ contract survives the
+    * mutation WITH identity intact. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    if (partitionCol.isEmpty)
-      Array(Expressions.column(JsonlStats.FileMeta),
-        Expressions.column(JsonlStats.RowIdMeta),
-        Expressions.column(JsonlStats.LuvMeta))
-    else Array(Expressions.column(JsonlStats.FileMeta))
+    Array(Expressions.column(JsonlStats.FileMeta),
+      Expressions.column(JsonlStats.RowIdMeta),
+      Expressions.column(JsonlStats.LuvMeta))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, None, Some(this),
@@ -747,6 +745,19 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         j += 1
       }
       o
+    // string-keyed maps (r11): the natural JSON-object image
+    case MapType(StringType, vt, _) =>
+      val mp = g.getMap(i)
+      val ks = mp.keyArray(); val vs = mp.valueArray()
+      val o = jnf.objectNode()
+      var j = 0
+      while (j < mp.numElements()) {
+        val k = ks.getUTF8String(j).toString
+        if (vs.isNullAt(j)) o.putNull(k)
+        else o.set[com.fasterxml.jackson.databind.JsonNode](k, jsonOf(vt, vs, j))
+        j += 1
+      }
+      o
     case dt => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 
@@ -983,23 +994,53 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   // LINEAGE sink (schema + _row_id/_luv, materialized in-row — the
   // zorder carrier shape, frid = -2 at commit) and id-less rows
   // (MERGE re-inserts, unassigned carries) to the plain sink, minting
-  // fresh ids at commit. Unkeyed layouts only — the keyed op never
-  // requests lineage metadata (its writer rolls one file per key run).
+  // fresh ids at commit. KEYED layouts keep the SPJ contract: the
+  // lineage sink rolls/routes per derived key exactly like the plain
+  // one (rows arrive key-clustered, so at most two sinks are open per
+  // key run; bucket routers hold one lineage sink per resident bucket
+  // alongside the data one — COW rewrites are maintenance traffic, not
+  // hot ingest), and every lineage file publishes its pkey.
   private val metaRid = metaSchema.map(_.fieldNames.indexOf(JsonlStats.RowIdMeta)).getOrElse(-1)
   private val metaLuv = metaSchema.map(_.fieldNames.indexOf(JsonlStats.LuvMeta)).getOrElse(-1)
   private lazy val linSchema = writeSchema
     .add(JsonlStats.RowIdMeta, LongType).add(JsonlStats.LuvMeta, LongType)
   private var linSink: JsonlFileSink = _
+  private var linCurKey: String = _
+  private var linSeq = 0
+  private val linRouter =
+    if (routed) scala.collection.mutable.LinkedHashMap.empty[String, JsonlFileSink] else null
+
+  private def rollLin(): JsonlFileSink = {
+    val name = f"part-$queryId-$partitionId%05d-$taskId-lin$linSeq.jsonl"
+    linSeq += 1
+    val share = spec.collect { case PartitionTransforms.Bucket(n, _) => n }
+      .filter(_ => routed).getOrElse(1)
+    new JsonlFileSink(root, name, linSchema, statsCol, bloomCol, columnMapping,
+      gramCol, gramShare = share)
+  }
 
   override def write(meta: InternalRow, row: InternalRow): Unit = {
     if (metaRid < 0 || meta.isNullAt(metaRid)) { write(row); return }
-    if (linSink == null)
-      linSink = new JsonlFileSink(root, f"part-$queryId-$partitionId%05d-$taskId-lin.jsonl",
-        linSchema, statsCol, bloomCol, columnMapping, gramCol)
     val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](meta.getLong(metaRid),
         if (metaLuv >= 0 && !meta.isNullAt(metaLuv)) meta.getLong(metaLuv) else null))
-    linSink.write(new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, extra))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, extra)
+    if (keyIdx >= 0) {
+      if (row.isNullAt(keyIdx))
+        throw new IllegalArgumentException(
+          s"partition column ${partitionCol.get} must not be null in a keyed layout")
+      val k = derivedKey(row)
+      if (routed) { linRouter.getOrElseUpdate(k, rollLin()).write(joined); return }
+      if (linSink == null || k != linCurKey) {
+        if (linSink != null) done += linSink.finish(Some(linCurKey))
+        linCurKey = k
+        linSink = rollLin()
+      }
+      linSink.write(joined)
+      return
+    }
+    if (linSink == null) linSink = rollLin()
+    linSink.write(joined)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -1028,7 +1069,14 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       done += sink.finish(if (keyIdx >= 0) Some(curKey) else None)
       sink = null
     }
-    if (linSink != null) { done += linSink.finish(None); linSink = null }
+    if (linRouter != null) {
+      linRouter.foreach { case (k, snk) => done += snk.finish(Some(k)) }
+      linRouter.clear()
+    }
+    if (linSink != null) {
+      done += linSink.finish(if (keyIdx >= 0) Some(linCurKey) else None)
+      linSink = null
+    }
     val eq = eqTracker.flatMap { t =>
       t.writeFile(root, f"eq-$queryId-$partitionId%05d-$taskId.jsonl")
         .map(rel => (rel, t.physCols, t.size.toLong))
@@ -1038,6 +1086,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
 
   override def abort(): Unit = {
     if (router != null) { router.valuesIterator.foreach(_.abort()); router.clear() }
+    if (linRouter != null) { linRouter.valuesIterator.foreach(_.abort()); linRouter.clear() }
     if (sink != null) { sink.abort(); sink = null }
     if (linSink != null) { linSink.abort(); linSink = null }
     done.foreach(c => if (c.file != null) Files.deleteIfExists(Paths.get(root, c.file)))

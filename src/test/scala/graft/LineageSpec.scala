@@ -364,6 +364,36 @@ class LineageSpec extends SparkSpec {
     assert(after.values.map(_._1).toSeq.distinct.size === after.size)
   }
 
+  test("keyed-layout COW DML preserves lineage AND the pkey'd layout (r11)") {
+    // identity-keyed table: one file per event_type run; the COW
+    // rewrite must re-key its output (SPJ contract) while the carried
+    // rows keep their commit-assigned identity
+    val dir = Files.createTempDirectory("lineage_keyed").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_type", $"event_id").coalesce(1)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "event_id").option("partitionColumn", "event_type")
+      .mode("overwrite").save()
+    val cat = "graft_link_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    val before = idsOf(cat, t)
+    val hit = before.keys.min
+    spark.sql(s"UPDATE $cat.`$t` SET value = -1.0 WHERE event_id = $hit")
+    val after = idsOf(cat, t)
+    assert(after.size === before.size)
+    assert(after(hit) === ((before(hit)._1, 2L)),
+      s"the keyed UPDATE must keep the id and restamp the version: ${after(hit)}")
+    (after - hit).foreach { case (k, v) => assert(before(k) === v, s"carried row $k drifted") }
+    // the layout contract survives: every live entry still carries a
+    // pkey, so the table keeps reporting KeyGroupedPartitioning
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.pkey.isDefined),
+      s"replacement files must re-key: ${entries.map(e => (e.file, e.pkey))}")
+  }
+
   test("compacting ALL-materialized members keeps in-row ids - no re-stamp (r10 review)") {
     val (cat, t, dir) = scratch("allmat", deleteMode = Some("merge-on-read"))
     spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id % 10 = 3") // dirties every file

@@ -264,6 +264,27 @@ class TypedColumnsSpec extends SparkSpec {
     assert(planned0 === 0, s"a disjoint norm band must plan zero files, got $planned0")
   }
 
+  test("string-keyed map columns round-trip: the props bag, typed (r11)") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("props", MapType(StringType, LongType), nullable = true),
+      StructField("tags", MapType(StringType, ArrayType(StringType)), nullable = true)))
+    val dir = Files.createTempDirectory("typed_map").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Map("a" -> 1L, "b" -> 2L), Map("xs" -> Seq("p", "q"))),
+      Row(2L, Map("only" -> null), Map.empty[String, Seq[String]]),
+      Row(3L, null, null)), 1), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .load().orderBy($"id").collect()
+    assert(back(0).getMap[String, Long](1) === Map("a" -> 1L, "b" -> 2L))
+    assert(back(0).getMap[String, Seq[String]](2) === Map("xs" -> Seq("p", "q")))
+    assert(back(1).getMap[String, Any](1) === Map("only" -> null))
+    assert(back(1).getMap[String, Any](2).isEmpty)
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+  }
+
   test("typed columns compose with the table tier: MoR delete masks, time travel restores, lineage serves") {
     val dir = Files.createTempDirectory("typed_tier").toString
     val df = spark.range(20)

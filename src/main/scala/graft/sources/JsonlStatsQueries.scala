@@ -2935,6 +2935,48 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q282 (r11): THE MULTIMODAL CORPUS, END TO END — the engine's
+    * thesis in one table: documents and their embeddings land as ONE
+    * connector table whose row is `{doc_id, n_chars, doc struct{lang,
+    * head}, embedding array<float>}` (nested struct + vector in the
+    * typed format), a MERGE-ON-READ DELETE quarantines the short docs
+    * (positions masked, ids preserved), and the readout is a
+    * per-language curation summary over the SURVIVORS — counts, char
+    * mass, an exact float checksum of the remaining vectors (any
+    * element drift fails the hash), and the lineage invariant
+    * `max(_row_id)` proving survivors keep commit-assigned identity
+    * through the mutation. The oracle recomputes all of it from the
+    * raw parquet pair. At 100 TB this is the curation loop the engine
+    * exists for: one typed table, masked deletes, no rewrite, vectors
+    * and metadata never separated. */
+  def multimodalCorpus(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    Tables.documents(spark, d).createOrReplaceTempView("mm_docs_src")
+    Tables.embeddings(spark, d).createOrReplaceTempView("mm_embs_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jsonl_mm_corpus")
+    spark.sql(
+      s"""CREATE TABLE $cat.jsonl_mm_corpus TBLPROPERTIES ('statsColumn'='doc_id') AS
+         |SELECT d.doc_id, d.n_chars,
+         |  named_struct('lang', d.lang, 'head', substring(d.text, 1, 12)) AS doc,
+         |  e.embedding
+         |FROM mm_docs_src d JOIN mm_embs_src e ON d.doc_id = e.vec_id
+         |ORDER BY d.doc_id""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"),
+      "jsonl_mm_corpus").toString
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    spark.sql(s"DELETE FROM $cat.jsonl_mm_corpus WHERE n_chars < 200")
+    spark.sql(
+      s"""SELECT doc.lang AS lang, count(*) AS n,
+         |  sum(n_chars) AS chars,
+         |  sum(aggregate(transform(embedding,
+         |        e -> CAST(floor(CAST(e AS DOUBLE) * 64) AS BIGINT)),
+         |      0L, (acc, v) -> acc + v)) AS vsum,
+         |  max(_row_id) AS max_rid
+         |FROM $cat.jsonl_mm_corpus
+         |GROUP BY doc.lang ORDER BY lang""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3020,6 +3062,7 @@ object JsonlStatsQueries extends QueryModule {
     "q279_atomic_pair_publish" -> atomicPairPublish,
     "q280_inlist_point_lookups" -> inListPointLookups,
     "q281_map_column_scan" -> mapColumnScan,
+    "q282_multimodal_corpus" -> multimodalCorpus,
   )
 
   val oracles = Map(
@@ -3332,6 +3375,22 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q282_multimodal_corpus" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, e.embedding,
+        |    row_number() OVER (ORDER BY d.doc_id) - 1 AS rid
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |surv AS (SELECT * FROM corpus WHERE n_chars >= 200),
+        |vs AS (
+        |  SELECT doc_id, CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 64) AS BIGINT)) AS BIGINT) AS vsum
+        |  FROM (SELECT doc_id, unnest(embedding) AS e FROM surv)
+        |  GROUP BY doc_id)
+        |SELECT s.lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s.n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(v.vsum) AS BIGINT) AS vsum,
+        |  CAST(max(s.rid) AS BIGINT) AS max_rid
+        |FROM surv s JOIN vs v ON s.doc_id = v.doc_id
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
     "q281_map_column_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT)) AS BIGINT) AS k_sum

@@ -2977,6 +2977,50 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY doc.lang ORDER BY lang""".stripMargin)
   }
 
+  /** q283 (r11): L2 RADIUS QUERY VIA NORM-BAND PRUNING — the `#norm`
+    * twin of q278's cell probe, on a corpus whose norms actually vary
+    * (derived exact-eighth vectors, so every distance is an exact
+    * multiple of 1/64 and the oracle is integer arithmetic): by the
+    * triangle inequality no vector with ‖x‖ outside [‖q‖−r, ‖q‖+r]
+    * can sit within distance r of q, so the scan's `vecNorm` option
+    * prunes a norm-ranged layout down to the band's files before the
+    * exact distance filter runs. At 100 TB this is the radius-query
+    * shape for non-normalized embedding spaces (the normalized-space
+    * twin is q278). */
+  def normBandRadius(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_norm_docs")
+    def vec = array(
+      (($"doc_id" % 97).cast("float") / 8f),
+      (($"doc_id" % 53).cast("float") / 8f),
+      (($"doc_id" % 29).cast("float") / 8f),
+      (($"doc_id" % 11).cast("float") / 8f))
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      val nrm = sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, v) => a + v))
+      Tables.documents(spark, d)
+        .select($"doc_id", vec.as("emb"))
+        .repartitionByRange(8, nrm, $"doc_id")
+        .sortWithinPartitions($"doc_id")
+        .select($"doc_id", $"emb")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("overwrite").save()
+    }
+    // q = the doc_id = 1 vector = [1/8, 1/8, 1/8, 1/8]; ‖q‖ = 0.25,
+    // r = 2 → band [0, 2.25]
+    val d2 = aggregate(transform($"emb",
+        x => (x.cast("double") - 0.125d) * (x.cast("double") - 0.125d)),
+      lit(0.0), (a, v) => a + v)
+    spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("vecNorm", "emb:0.0:2.25").load()
+      .withColumn("d2", d2)
+      .filter($"d2" <= 4.0)
+      .select($"doc_id", ($"d2" * 64).cast("long").as("d2_64"))
+      .orderBy($"doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3063,6 +3107,7 @@ object JsonlStatsQueries extends QueryModule {
     "q280_inlist_point_lookups" -> inListPointLookups,
     "q281_map_column_scan" -> mapColumnScan,
     "q282_multimodal_corpus" -> multimodalCorpus,
+    "q283_norm_band_radius" -> normBandRadius,
   )
 
   val oracles = Map(
@@ -3375,6 +3420,16 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q283_norm_band_radius" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 97)/8.0 - 0.125)*((doc_id % 97)/8.0 - 0.125) +
+        |    ((doc_id % 53)/8.0 - 0.125)*((doc_id % 53)/8.0 - 0.125) +
+        |    ((doc_id % 29)/8.0 - 0.125)*((doc_id % 29)/8.0 - 0.125) +
+        |    ((doc_id % 11)/8.0 - 0.125)*((doc_id % 11)/8.0 - 0.125) AS d2
+        |  FROM documents)
+        |SELECT doc_id, CAST(d2 * 64 AS BIGINT) AS d2_64
+        |FROM per WHERE d2 <= 4.0 ORDER BY doc_id""".stripMargin,
     "q282_multimodal_corpus" ->
       """WITH corpus AS (
         |  SELECT d.doc_id, d.lang, d.n_chars, e.embedding,

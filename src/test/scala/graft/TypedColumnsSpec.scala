@@ -285,6 +285,40 @@ class TypedColumnsSpec extends SparkSpec {
     assert(back(2).isNullAt(1) && back(2).isNullAt(2))
   }
 
+  test("streaming reads serve struct/map columns identically to batch (r11)") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("doc", StructType(Seq(
+        StructField("txt", StringType),
+        StructField("m", MapType(StringType, LongType)))), nullable = true)))
+    val dir = Files.createTempDirectory("typed_stream").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Row("a", Map("k" -> 7L))),
+      Row(2L, Row(null, Map.empty[String, Long])),
+      Row(3L, null)), 1), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val batch = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .selectExpr("id", "doc.txt", "try_element_at(doc.m, 'k') AS k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Option[String], Long)]
+    val ckpt = Files.createTempDirectory("typed_stream_ckpt").toString
+    val q = spark.readStream.format("graft-jsonl-stats").option("path", dir).load()
+      .selectExpr("id", "doc.txt", "try_element_at(doc.m, 'k') AS k")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          df.collect().foreach(r => got += ((r.getLong(0), Option(r.getString(1)),
+            if (r.isNullAt(2)) -1L else r.getLong(2))))
+        }: Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toSet === batch, "a streaming consumer must decode nested types identically")
+  }
+
   test("typed columns compose with the table tier: MoR delete masks, time travel restores, lineage serves") {
     val dir = Files.createTempDirectory("typed_tier").toString
     val df = spark.range(20)

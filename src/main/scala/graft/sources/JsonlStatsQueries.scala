@@ -3021,6 +3021,40 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q284 (r11): DAILY HIDDEN LAYOUT — `PARTITIONED BY (days(ts))`,
+    * the Iceberg classic on the reference's own event feed: the writer
+    * derives each file's pkey as the EPOCH DAY of its rows (one file
+    * per day per task run), and a time-window predicate prunes files
+    * through the transform with no partition column named anywhere —
+    * at 100 TB the nightly slice reads one day's files by TABLE
+    * property, not query discipline. The oracle recomputes the window
+    * aggregate from raw parquet. */
+  def dailyLayoutScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_events_daily")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .repartitionByRange(4, $"ts")
+        .sortWithinPartitions($"ts")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "event_id")
+        .option("partitionColumn", "days(ts)")
+        .mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
+      .option("partitionColumn", "days(ts)").load()
+    t.createOrReplaceTempView("events_daily")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events_daily
+        |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3108,6 +3142,7 @@ object JsonlStatsQueries extends QueryModule {
     "q281_map_column_scan" -> mapColumnScan,
     "q282_multimodal_corpus" -> multimodalCorpus,
     "q283_norm_band_radius" -> normBandRadius,
+    "q284_daily_layout_scan" -> dailyLayoutScan,
   )
 
   val oracles = Map(
@@ -3420,6 +3455,13 @@ object JsonlStatsQueries extends QueryModule {
         |  UNION ALL SELECT (SELECT min(event_id) FROM base), 'upserted', 111.0
         |  UNION ALL SELECT 97000001, 'inserted', 5.0
         |) AS t ORDER BY event_id""".stripMargin,
+    "q284_daily_layout_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q283_norm_band_radius" ->
       """WITH per AS (
         |  SELECT doc_id,

@@ -938,8 +938,14 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private val hidden = spec.exists(PartitionTransforms.isHidden)
   spec.filter(_ => hidden).foreach { sp =>
     val dt = writeSchema.fields(keyIdx).dataType
-    require(dt == LongType || dt == StringType,
-      s"hidden partition transform ${sp.encoded} needs a long or string source, got $dt")
+    sp match {
+      case PartitionTransforms.Days(_) =>
+        require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+          s"days(${sp.col}) needs a timestamp or date source, got $dt")
+      case _ =>
+        require(dt == LongType || dt == StringType,
+          s"hidden partition transform ${sp.encoded} needs a long or string source, got $dt")
+    }
   }
   private var seq = 0
   private var curKey: String = _
@@ -986,6 +992,11 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
     case PartitionTransforms.Trunc(w, _) => writeSchema.fields(keyIdx).dataType match {
       case LongType => PartitionTransforms.truncLong(w, row.getLong(keyIdx)).toString
       case _ => PartitionTransforms.truncString(w, row.getUTF8String(keyIdx).toString)
+    }
+    case PartitionTransforms.Days(_) => writeSchema.fields(keyIdx).dataType match {
+      case TimestampType | TimestampNTZType =>
+        PartitionTransforms.dayOfMicros(row.getLong(keyIdx)).toString
+      case _ => row.getInt(keyIdx).toString // DateType: days already
     }
   }
 

@@ -63,24 +63,37 @@ object PartitionTransforms {
   final case class Trunc(w: Long, col: String) extends Spec {
     def encoded: String = s"truncate($w,$col)"
   }
+  /** Daily layout over a timestamp/date source (r11, the Iceberg
+    * `days(ts)` classic): pkey = epoch day, so the reference's daily
+    * event feed lands one-key-per-day with hidden pruning for
+    * time-window predicates — the 100-TB nightly slice reads one
+    * day's files with no partition column in any query. */
+  final case class Days(col: String) extends Spec {
+    def encoded: String = s"days($col)"
+  }
 
   private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
   private val TruncRe = """truncate\((\d+),([^)]+)\)""".r
+  private val DaysRe = """days\(([^)]+)\)""".r
 
   /** Decode an encoded partition column; a bare name is identity. */
   def parse(encoded: String): Spec = encoded match {
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c)  => Trunc(w.toLong, c)
+    case DaysRe(c)      => Days(c)
     case c              => Identity(c)
   }
 
   def isHidden(spec: Spec): Boolean = !spec.isInstanceOf[Identity]
+
+  val MicrosPerDay: Long = 86400000000L
 
   def bucketLong(n: Int, v: Long): Int = (((Bloom.hashLong(v) % n) + n) % n).toInt
   def bucketString(n: Int, s: String): Int = (((Bloom.hashString(s) % n) + n) % n).toInt
   def truncLong(w: Long, v: Long): Long = v - (((v % w) + w) % w)
   def truncString(w: Long, s: String): String =
     if (s.length <= w) s else s.substring(0, w.toInt)
+  def dayOfMicros(us: Long): Long = Math.floorDiv(us, MicrosPerDay)
 
   /** May a file whose single derived partition key is `pkey` contain a
     * row matching `f`? Conservative: an unrecognized predicate shape
@@ -112,5 +125,32 @@ object PartitionTransforms {
           JsonlStats.intervalMayMatch(f, p.toDouble, (p + w - 1).toDouble))
       case _ => true
     }
+    // days(ts): the file's rows live inside ONE calendar day — a
+    // timestamp predicate tests against [day·µs, (day+1)·µs − 1], a
+    // date predicate against [day, day] (filterDouble maps both value
+    // families onto the matching epoch unit). Mixed-type value lists
+    // keep the file — the unit would be ambiguous.
+    case Days(c) =>
+      val vals: Seq[Any] = f match {
+        case GreaterThan(`c`, v)        => Seq(v)
+        case GreaterThanOrEqual(`c`, v) => Seq(v)
+        case LessThan(`c`, v)           => Seq(v)
+        case LessThanOrEqual(`c`, v)    => Seq(v)
+        case EqualTo(`c`, v)            => Seq(v)
+        case In(`c`, vs) if vs.nonEmpty && vs.forall(_ != null) => vs.toSeq
+        case _ => Nil
+      }
+      def isTs(v: Any) =
+        v.isInstanceOf[java.time.Instant] || v.isInstanceOf[java.sql.Timestamp]
+      def isDate(v: Any) =
+        v.isInstanceOf[java.time.LocalDate] || v.isInstanceOf[java.sql.Date]
+      if (vals.isEmpty) true
+      else if (vals.forall(isTs))
+        pkey.toLongOption.forall(day => JsonlStats.intervalMayMatch(f,
+          (day * MicrosPerDay).toDouble, (day * MicrosPerDay + MicrosPerDay - 1).toDouble))
+      else if (vals.forall(isDate))
+        pkey.toLongOption.forall(day =>
+          JsonlStats.intervalMayMatch(f, day.toDouble, day.toDouble))
+      else true
   }
 }

@@ -70,6 +70,49 @@ class JsonlStatsSpec extends SparkSpec {
     assert(strPartitions(org.apache.spark.sql.sources.In("event_type", Array("zzzz_nothing"))) === 0)
   }
 
+  test("days(ts) hidden layout: daily pkeys prune time windows through the transform (r11)") {
+    import org.apache.spark.sql.types.{TimestampType, StructField => SF}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("daysl").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"value")
+      .repartitionByRange(4, $"ts").sortWithinPartitions($"ts")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "event_id").option("partitionColumn", "days(ts)")
+      .mode("overwrite").save()
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.pkey.isDefined), "every file carries its epoch-day pkey")
+    val days = entries.flatMap(_.pkey).distinct
+    assert(days.size >= 25, s"a month of events must span ~30 day keys, got ${days.size}")
+    // unit laws: a timestamp inside day D matches only D's pkey; a
+    // date-valued equality matches the same day; mixed lists keep
+    val spec = PartitionTransforms.Days("ts")
+    val day = days.map(_.toLong).sorted.apply(days.size / 2)
+    val inDay = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L + 7200L))
+    assert(PartitionTransforms.pkeyMayMatch(spec,
+      org.apache.spark.sql.sources.EqualTo("ts", inDay), day.toString))
+    assert(!PartitionTransforms.pkeyMayMatch(spec,
+      org.apache.spark.sql.sources.EqualTo("ts", inDay), (day + 1).toString))
+    assert(PartitionTransforms.pkeyMayMatch(spec,
+      org.apache.spark.sql.sources.EqualTo("ts", java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(day).toString)), day.toString))
+    // end-to-end: a one-day window plans ~1 file of ~30+ (pkey AND
+    // micro-bounds both prove it; either suffices)
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      SF("event_id", org.apache.spark.sql.types.LongType),
+      SF("ts", TimestampType),
+      SF("value", org.apache.spark.sql.types.DoubleType)))
+    val sb = new JsonlStatsScanBuilder(dir, schema2, "event_id", Some("days(ts)"))
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond((day + 1) * 86400L))
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+      org.apache.spark.sql.sources.LessThan("ts", hi)))
+    val planned = sb.build().toBatch.planInputPartitions().length
+    assert(planned <= 2 && planned >= 1,
+      s"a one-day window over a days(ts) layout must plan ~1 of ${entries.size} files, got $planned")
+  }
+
   test("planning-time file skipping: range predicates prune manifest files, never rows") {
     val root = fixture
     val total = JsonlStats.readStats(root).size

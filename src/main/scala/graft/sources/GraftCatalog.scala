@@ -653,6 +653,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "drop_branch"   => new GraftProcedures.RefUnbound(root, "drop_branch")
       case "fast_forward"  => new GraftProcedures.RefUnbound(root, "fast_forward")
       case "fast_forward_pair" => new GraftProcedures.FfPairUnbound(root)
+      case "fast_forward_all"  => new GraftProcedures.FfAllUnbound(root)
       case "rollback"      => new GraftProcedures.RefUnbound(root, "rollback")
       case "cherry_pick"   => new GraftProcedures.RefUnbound(root, "cherry_pick")
       case "analyze_table" => new GraftProcedures.AnalyzeUnbound(root)
@@ -687,8 +688,8 @@ object GraftCatalog {
     "compact", "history", "vacuum", "clone", "zorder", "rewrite_deletes",
     "build_gram_index", "evolve_partition_spec", "compact_history",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
-    "fast_forward", "fast_forward_pair", "rollback", "cherry_pick",
-    "analyze_table", "detail")
+    "fast_forward", "fast_forward_pair", "fast_forward_all",
+    "rollback", "cherry_pick", "analyze_table", "detail")
 
   /** The staged side of an atomic CTAS/RTAS. Data files land in the
     * final directory under attempt-unique names but are INVISIBLE until

@@ -1162,7 +1162,10 @@ object GraftProcedures {
     // consulting them). Parse and key everything by the physical name,
     // mirroring JsonlFileSink.
     def physOf(name: String): String = columnMapping.getOrElse(name, name)
-    val numFields = schema.fields.filter(f => f.dataType == LongType || f.dataType == DoubleType)
+    // temporal columns (r11) bound like longs here too: their stored
+    // JSON image IS the epoch number, so asDouble() below reads it —
+    // rewrite_deletes regenerates time bounds instead of dropping them
+    val numFields = schema.fields.filter(f => JsonlStats.numericStatType(f.dataType))
       .map(f => f.copy(name = physOf(f.name)))
     val colMn = scala.collection.mutable.Map.empty[String, Double]
     val colMx = scala.collection.mutable.Map.empty[String, Double]
@@ -1628,6 +1631,51 @@ object GraftProcedures {
         override def rows(): Array[InternalRow] = Array(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(s"$t1,$t2"), applied))
         override def description(): String = s"fast_forward_pair $t1/$b1 + $t2/$b2"
+      }).iterator()
+    }
+  }
+
+  /** `fast_forward_all(legs)` (r11): the N-table generalization of the
+    * pair publish — `legs` = "table:branch,table:branch,..." and every
+    * named branch head lands on its main or none does ([[Refs.Wtxn]]
+    * is leg-count-agnostic; the pair procedure is the common-case
+    * sugar). The fact + N downstream aggregates publish as ONE
+    * warehouse transaction. */
+  class FfAllUnbound(root: String) extends UnboundProcedure {
+    override def name(): String = "fast_forward_all"
+    override def description(): String =
+      "fast_forward_all('t1:b1,t2:b2,...'): publish N branch heads atomically"
+    override def bind(inputType: StructType): BoundProcedure = new FfAllBound(root)
+  }
+
+  class FfAllBound(root: String) extends BoundProcedure {
+    override def name(): String = "fast_forward_all"
+    override def description(): String = "atomic N-table branch publish"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("legs", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val legs = input.getUTF8String(0).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq.map { s =>
+          s.split(":", 2) match {
+            case Array(t, b) if t.nonEmpty && b.nonEmpty => (t, b)
+            case _ => throw new IllegalArgumentException(
+              s"fast_forward_all: each leg must be table:branch, got '$s'")
+          }
+        }
+      legs.foreach { case (t, _) => require(
+        Files.exists(Paths.get(root, t, "_stats.jsonl")), s"no such table $t under $root") }
+      val applied = Refs.Wtxn.publish(root, legs,
+        s"ffa-${java.util.UUID.randomUUID().toString.take(8)}")
+      val schema = StructType(Seq(
+        StructField("tables", StringType, nullable = false),
+        StructField("legs_applied", IntegerType, nullable = false)))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            legs.map(_._1).mkString(",")), applied))
+        override def description(): String = s"fast_forward_all ${legs.size} legs"
       }).iterator()
     }
   }

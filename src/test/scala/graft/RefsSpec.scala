@@ -243,6 +243,39 @@ class RefsSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)))
   }
 
+  test("fast_forward_all publishes N branch heads atomically (r11)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = Files.createTempDirectory("refs_ffa").toString
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def writeRows(t: String, ks: Seq[Long]): Unit = {
+      Files.createDirectories(Paths.get(parent, t))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ks.map(Row(_)), 1), schema)
+        .write.format("graft-jsonl-stats")
+        .option("path", Paths.get(parent, t).toString)
+        .option("statsColumn", "k").mode("overwrite").save()
+    }
+    val cat = "graft_ffa_" + java.lang.Integer.toHexString(parent.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    Seq("fa", "fb", "fc").zipWithIndex.foreach { case (t, i) =>
+      writeRows(t, Seq(i * 10L))
+      spark.sql(s"CALL $cat.create_branch('$t', 'ld')")
+      spark.sql(s"INSERT INTO $cat.$t.branch_ld VALUES (${i * 10L + 1})")
+    }
+    def ks(t: String): Seq[Long] =
+      spark.table(s"$cat.$t").collect().map(_.getLong(0)).toSeq.sorted
+    assert(Seq("fa", "fb", "fc").forall(t => ks(t).size == 1), "staged rows invisible")
+    val res = spark.sql(s"CALL $cat.fast_forward_all('fa:ld, fb:ld, fc:ld')").head()
+    assert(res.getInt(1) === 3, s"three legs applied: $res")
+    assert(ks("fa") === Seq(0L, 1L) && ks("fb") === Seq(10L, 11L) && ks("fc") === Seq(20L, 21L))
+    assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)))
+    // malformed legs refuse loudly, nothing applied
+    val bad = intercept[Exception](spark.sql(s"CALL $cat.fast_forward_all('fa;ld')"))
+    assert(bad.getMessage.contains("table:branch"), bad.getMessage)
+  }
+
   test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {
     val (cat, t0, _) = scratch("hpb")
     // table name unique per run: CREATE OR REPLACE resets the manifest

@@ -1231,16 +1231,41 @@ object GraftProcedures {
             // already materialized by an earlier rewrite keeps its own
             // fields — `lin` cannot cover its position)
             val ri = if (lin.frid >= 0L) -1 else linRunAt(pos)
+            // luv-only runs (r12, ADVICE r11 high): firstId = -1 marks
+            // "ids are in-row; this luv backs rows whose in-row `_luv`
+            // is null" — the shape compact records for a materialized
+            // member that carried an entry luv (COW-update images)
+            val luvOnly = ri >= 0 && linRuns(ri)._2 == -1L
             val rid =
               if (lin.frid >= 0L) lin.frid + pos
-              else if (ri >= 0) linRuns(ri)._2 + (pos - linRuns(ri)._1)
+              else if (ri >= 0 && !luvOnly) linRuns(ri)._2 + (pos - linRuns(ri)._1)
               else -1L
             val rluv =
-              if (lin.frid >= 0L) lin.luv else if (ri >= 0) linRuns(ri)._4 else -1L
+              if (lin.frid >= 0L) lin.luv
+              else if (ri >= 0 && !luvOnly) linRuns(ri)._4
+              else -1L
+            // the version that backs null-luv materialized rows at THIS
+            // position: the entry luv (frid = -2 sources) or the
+            // covering luv-only run's (recompacted products)
+            val backLuv =
+              if (lin.frid == -2L) lin.luv
+              else if (luvOnly) linRuns(ri)._4
+              else 0L
             val outLine =
               if (rid >= 0L && line.startsWith("{")) {
                 val pre = s"""{"${JsonlStats.RowIdMeta}":$rid,"${JsonlStats.LuvField}":$rluv"""
                 if (line.length > 2) pre + "," + line.substring(1) else pre + "}"
+              } else if (backLuv > 0L && n0.hasNonNull(JsonlStats.RowIdMeta) &&
+                         !n0.hasNonNull(JsonlStats.LuvField)) {
+                // MATERIALIZE the fallback (r12, ADVICE r11 high): a
+                // COW-updated row (in-row id, null `_luv`) served its
+                // version via the entry-luv fallback; the rewrite
+                // splices that version IN-ROW so no later maintenance
+                // generation (compact bins, restamped entries) can
+                // strand it. Only affected rows pay the re-serialize.
+                n0.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  .put(JsonlStats.LuvField, backLuv)
+                mapper.writeValueAsString(n0)
               } else line
             os.write(outLine); os.write('\n')
             bytesOut += outLine.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
@@ -1315,10 +1340,19 @@ object GraftProcedures {
     // that never had ids stays unassigned and the commit stamps it
     // fresh (ids that never existed may be invented now)
     val hadLineage = lin.frid >= 0L || lin.frid == -2L || lin.runs.nonEmpty
+    // carry the source's luv onto the fresh frid = -2 entry (r12,
+    // ADVICE r11 high): an entry published WITHOUT a luv is restamped
+    // by the commit with the MAINTENANCE version, drifting any
+    // fallback-served rows forward. The splice above materialized the
+    // fallback in-row, so the carried luv is belt-and-braces — but it
+    // keeps the entry's version history honest either way.
+    val carriedLuv =
+      if (lin.frid >= 0L || lin.frid == -2L) lin.luv
+      else lin.runs.map(_._4).foldLeft(0L)(math.max)
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
       segb = zones.zones(ckpts.nonEmpty), pspec = pspec,
-      frid = if (hadLineage) -2L else -1L)
+      frid = if (hadLineage) -2L else -1L, luv = carriedLuv)
   }
 
   def compact(tableRoot: String, targetBytes: Long,
@@ -1452,6 +1486,13 @@ object GraftProcedures {
           // re-stamps rows whose neighbors hold assigned ids.
           val mergedRuns = g.toSeq.zip(offs).flatMap { case ((m, _), (_, ro)) =>
             if (m.frid >= 0L) Seq((ro, m.frid, m.rows, m.luv))
+            // luv-only run (r12, ADVICE r11 high): a materialized
+            // member whose ENTRY carried a luv backs its null-luv rows
+            // (COW-update images) through that entry — which this merge
+            // replaces. Record a degenerate run (firstId = -1: ids stay
+            // in-row) carrying the luv so the reader's fallback
+            // survives the concat instead of serving NULL.
+            else if (m.frid == -2L && m.luv > 0L) Seq((ro, -1L, m.rows, m.luv))
             else m.runs.map(r => (ro + r._1, r._2, r._3, r._4))
           }
           // an ALL-materialized bin produces no runs — the entry must

@@ -263,7 +263,17 @@ object JsonlStats {
                              // data-byte rewrites.
                              frid: Long = -1L,
                              luv: Long = 0L,
-                             runs: Seq[(Long, Long, Long, Long)] = Nil)
+                             runs: Seq[(Long, Long, Long, Long)] = Nil,
+                             // vector cell SETS (r12): per float/double-
+                             // array column, the exact set of sign-cells
+                             // present in the file as one 64-bit bitmap
+                             // (VecCellBits = 6 ⇒ exactly 64 cells — the
+                             // whole domain fits a long). The `#cell`
+                             // interval over-keeps any file whose cells
+                             // straddle the probe; the bitmap prunes
+                             // EXACTLY. Absent = unknown = interval
+                             // fallback (legacy manifests).
+                             vcells: Map[String, Long] = Map.empty)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -504,7 +514,15 @@ object JsonlStats {
           if (!n.hasNonNull("frids")) Nil
           else n.get("frids").elements().asScala.map { r =>
             (r.get(0).asLong(), r.get(1).asLong(), r.get(2).asLong(), r.get(3).asLong())
-          }.toSeq)
+          }.toSeq,
+          // vector cell bitmaps (r12) — absent on every pre-r12 manifest
+          if (!n.hasNonNull("vcells")) Map.empty[String, Long]
+          else {
+            val c = n.get("vcells")
+            val b = Map.newBuilder[String, Long]
+            c.fieldNames().asScala.foreach(f => b += f -> c.get(f).asLong())
+            b.result()
+          })
       }
   }
 
@@ -534,6 +552,10 @@ object JsonlStats {
       s.cols.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
         val e = c.putObject(f); e.put("min", mn); e.put("max", mx)
       }
+    }
+    if (s.vcells.nonEmpty) {
+      val c = n.putObject("vcells")
+      s.vcells.toSeq.sortBy(_._1).foreach { case (f, bm) => c.put(f, bm) }
     }
     if (s.dvs.nonEmpty) {
       val a = n.putArray("dvs")
@@ -902,6 +924,48 @@ object JsonlStats {
     case _ => false
   }
 
+  /** THE sign-cell derivation (r12): the 6-bit sign pattern of the
+    * first [[VecCellBits]] elements (null element → 0.0, strict `> 0`,
+    * NaN → bit clear). One definition consulted by the file sink, the
+    * rewrite regenerator and the `graft_cell` V2 catalog function —
+    * pruning and filtering can never disagree because they ARE the
+    * same arithmetic. Mirrors `ext.SimilarityMath.vecCellCol`/`vecCellSql`. */
+  def vecCellOf(a: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean): Int = {
+    val m = math.min(a.numElements(), VecCellBits)
+    var cell = 0
+    var j = 0
+    while (j < m) {
+      val e =
+        if (a.isNullAt(j)) 0.0
+        else if (isFloat) a.getFloat(j).toDouble
+        else a.getDouble(j)
+      if (e > 0) cell |= 1 << j
+      j += 1
+    }
+    cell
+  }
+
+  /** THE L2-norm derivation (r12): plain-double Σe² then sqrt (null
+    * element → 0.0) — the file sink's `#norm` bound arithmetic
+    * verbatim, shared with the `graft_norm` V2 catalog function so a
+    * pushed norm-band predicate prunes against bounds computed by the
+    * SAME formula it filters rows with. NaN elements produce a NaN
+    * norm (the sink poisons that file's bound to [0, MaxValue]). */
+  def vecNormOf(a: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean): Double = {
+    val m = a.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val e =
+        if (a.isNullAt(j)) 0.0
+        else if (isFloat) a.getFloat(j).toDouble
+        else a.getDouble(j)
+      s += e * e
+      j += 1
+    }
+    math.sqrt(s)
+  }
+
   /** The numeric image of a pushed-filter VALUE (r11): plain numbers
     * pass through; temporal external types map to the same epoch
     * micros / epoch days the writer's bounds use, so timestamp/date
@@ -912,6 +976,12 @@ object JsonlStats {
     case i: java.time.Instant => Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
     case t: java.sql.Timestamp =>
       Some(math.floorDiv(t.getTime, 1000L) * 1e6 + t.getNanos / 1000.0)
+    // TimestampNTZ predicates arrive as LocalDateTime (r12, ADVICE r11
+    // low): same epoch-micros image the writer stores (wall-clock read
+    // as UTC — NTZ has no zone, so the mapping is the identity the
+    // writer used)
+    case dt: java.time.LocalDateTime =>
+      Some(dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1e6 + dt.getNano / 1000.0)
     case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
     case _ => None
@@ -1719,12 +1789,32 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       // whose sign-cell range intersects the probe set; `vecNorm=
       // col:lo:hi` keeps files whose L2-norm bounds intersect the band
       vecCells = Option(options.get("vecCells")).map { s =>
-        val Array(c, ids) = s.split(":", 2)
-        (c, ids.split(",").map(_.trim.toInt).toSeq)
+        // explicit shape validation (r12, ADVICE r11 low): a malformed
+        // option names its expected syntax instead of a bare MatchError
+        s.split(":", 2) match {
+          case Array(c, ids) if c.nonEmpty && ids.nonEmpty =>
+            val parsed = ids.split(",").map(_.trim).map { t =>
+              try t.toInt catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"vecCells: cell id '$t' is not an integer — expected vecCells=col:1,5,9") }
+            }
+            (c, parsed.toSeq)
+          case _ => throw new IllegalArgumentException(
+            s"vecCells option '$s' malformed — expected vecCells=col:1,5,9")
+        }
       },
       vecNorm = Option(options.get("vecNorm")).map { s =>
-        val Array(c, lo, hi) = s.split(":", 3)
-        (c, lo.toDouble, hi.toDouble)
+        s.split(":", 3) match {
+          case Array(c, lo, hi) if c.nonEmpty =>
+            val (l, h) =
+              try (lo.toDouble, hi.toDouble)
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"vecNorm bounds '$lo:$hi' are not numbers — expected vecNorm=col:lo:hi") }
+            (c, l, h)
+          case _ => throw new IllegalArgumentException(
+            s"vecNorm option '$s' malformed — expected vecNorm=col:lo:hi")
+        }
       })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)

@@ -696,7 +696,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         // materialized ones serves IN-ROW versions at every position no
         // run covers — the runs' luvs are not the whole story, so a
         // partially-covered file must stay (r11, ADVICE r10 high).
-        (s.frid < 0L && s.runs.nonEmpty && s.runs.map(_._3).sum < s.rows) || {
+        // r12: a luv-only run (firstId = -1) covers MATERIALIZED rows
+        // whose in-row versions vary arbitrarily (the run's luv is only
+        // the null-luv fallback) — its presence forces a keep too.
+        (s.frid < 0L && s.runs.nonEmpty &&
+          (s.runs.exists(_._2 == -1L) || s.runs.map(_._3).sum < s.rows)) || {
           val luvs: Seq[Long] =
             if (s.frid >= 0L) Seq(s.luv)
             else if (s.runs.nonEmpty) s.runs.map(_._4).distinct
@@ -1394,7 +1398,10 @@ class JsonlPartitionReader(file: String, required: StructType,
         // field for scattering rewrites, NULL when never assigned
         val ri = linRunAt(pos)
         if (lin.frid >= 0L) java.lang.Long.valueOf(lin.frid + pos)
-        else if (ri >= 0) java.lang.Long.valueOf(linRuns(ri)._2 + (pos - linRuns(ri)._1))
+        // luv-only run (r12): firstId = -1 means ids are IN-ROW — the
+        // run exists only to back null-luv rows' versions
+        else if (ri >= 0 && linRuns(ri)._2 >= 0L)
+          java.lang.Long.valueOf(linRuns(ri)._2 + (pos - linRuns(ri)._1))
         else {
           val v = n.get(JsonlStats.RowIdMeta)
           if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
@@ -1403,7 +1410,7 @@ class JsonlPartitionReader(file: String, required: StructType,
       else if (f.name == JsonlStats.LuvMeta) {
         val ri = linRunAt(pos)
         if (lin.frid >= 0L) java.lang.Long.valueOf(lin.luv)
-        else if (ri >= 0) java.lang.Long.valueOf(linRuns(ri)._4)
+        else if (ri >= 0 && linRuns(ri)._2 >= 0L) java.lang.Long.valueOf(linRuns(ri)._4)
         else {
           val v = n.get(JsonlStats.LuvField)
           if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong())
@@ -1413,10 +1420,16 @@ class JsonlPartitionReader(file: String, required: StructType,
             // commit that published THIS entry — copy-on-write UPDATE
             // images (Spark nullifies `_luv` on update; the commit
             // stamps the entry). Gated on a non-null in-row id so
-            // unassigned rows keep serving NULL.
+            // unassigned rows keep serving NULL. r12: a luv-only run
+            // (firstId = -1) carries the same fallback through
+            // compaction bins that replaced the stamped entry.
+            val back =
+              if (ri >= 0 && linRuns(ri)._2 == -1L) linRuns(ri)._4
+              else if (lin.frid == -2L) lin.luv
+              else 0L
             val rid = n.get(JsonlStats.RowIdMeta)
-            if (lin.frid == -2L && lin.luv > 0L && rid != null && !rid.isNull)
-              java.lang.Long.valueOf(lin.luv)
+            if (back > 0L && rid != null && !rid.isNull)
+              java.lang.Long.valueOf(back)
             else null
           }
         }

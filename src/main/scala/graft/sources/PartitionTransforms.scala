@@ -141,7 +141,8 @@ object PartitionTransforms {
         case _ => Nil
       }
       def isTs(v: Any) =
-        v.isInstanceOf[java.time.Instant] || v.isInstanceOf[java.sql.Timestamp]
+        v.isInstanceOf[java.time.Instant] || v.isInstanceOf[java.sql.Timestamp] ||
+          v.isInstanceOf[java.time.LocalDateTime] // TimestampNTZ (r12)
       def isDate(v: Any) =
         v.isInstanceOf[java.time.LocalDate] || v.isInstanceOf[java.sql.Date]
       if (vals.isEmpty) true

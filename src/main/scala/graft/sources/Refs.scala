@@ -473,7 +473,20 @@ object Refs {
       var applied = 0
       legs.foreach { l =>
         val dir = Paths.get(catalogRoot, l.table).toString
-        val ref = readRef(dir, branchManifest(l.branch))
+        // a leg naming a branch that no longer exists (dropped, or a
+        // crash before the branch file landed) must not brick EVERY
+        // catalog access with a bare 'no such ref' (r12, ADVICE r11
+        // low): fail with the wedge-style message that names the
+        // marker and the delete-to-abandon remediation.
+        val ref =
+          try readRef(dir, branchManifest(l.branch))
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalStateException(
+                s"warehouse transaction wedged: leg '${l.table}' names branch " +
+                  s"'${l.branch}' which does not exist (${e.getMessage}) — delete " +
+                  s"$Marker at $catalogRoot to abandon the transaction", e)
+          }
         // an applied leg's main is the STAMPED image of the branch —
         // compare modulo lineage, then let fastForward's own OCC
         // rebase prove ancestry for the unapplied ones
@@ -481,11 +494,18 @@ object Refs {
           try fastForward(dir, l.branch, s"$queryId-${l.table}")
           catch {
             case e: java.util.ConcurrentModificationException =>
-              JsonlStats.conflict(
-                s"warehouse transaction wedged: main of ${l.table} diverged under " +
-                  s"the multi-table publish (see $Marker at $catalogRoot) — restore " +
-                  s"${l.table} to the fork point or delete the marker to abandon " +
-                  s"(${e.getMessage})")
+              // racing recoverers are the COMMON case (every loadTable
+              // runs recover while the marker exists): the OCC loser
+              // must re-read main — if a racer settled the leg, main
+              // now equals the branch image and this leg is done; only
+              // a GENUINE divergence surfaces the wedge (r12, ADVICE
+              // r11 medium).
+              if (lineageFreeHash(liveEntries(dir)) != lineageFreeHash(ref.entries))
+                JsonlStats.conflict(
+                  s"warehouse transaction wedged: main of ${l.table} diverged under " +
+                    s"the multi-table publish (see $Marker at $catalogRoot) — restore " +
+                    s"${l.table} to the fork point or delete the marker to abandon " +
+                    s"(${e.getMessage})")
           }
           applied += 1
         }

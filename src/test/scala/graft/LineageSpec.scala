@@ -246,9 +246,13 @@ class LineageSpec extends SparkSpec {
     // materialized survivor (gap, in-row _luv = 2)
     spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
     val entries = JsonlStats.readStats(dir)
+    // r12 shape: the materialized member contributes a luv-only run
+    // (firstId = -1) — ids stay in-row, the run is the null-luv
+    // fallback carrier. The keep-law is the same: in-row versions are
+    // not the runs' story, so the file must survive luv pruning.
     assert(entries.size === 1 && entries.head.frid === -1L && entries.head.runs.nonEmpty &&
-      entries.head.runs.map(_._3).sum < entries.head.rows,
-      s"fixture must be the partially-covered shape: ${entries.map(e => (e.frid, e.runs, e.rows))}")
+      entries.head.runs.exists(_._2 == -1L),
+      s"fixture must hold a luv-only run beside the stamped ones: ${entries.map(e => (e.frid, e.runs, e.rows))}")
     assert(idsOf(cat, t) === pre)
     val got = spark.sql(
       s"SELECT event_id FROM $cat.`$t` WHERE _last_updated_version = 2").collect()
@@ -364,6 +368,66 @@ class LineageSpec extends SparkSpec {
     assert(after.values.map(_._1).toSeq.distinct.size === after.size)
   }
 
+  test("COW-updated versions survive a mixed compaction bin (r12, ADVICE r11 high)") {
+    // the r11 hole: a COW UPDATE's images carry in-row ids with NULL
+    // `_luv` (the entry luv backed them). Compacting that file into a
+    // bin with stamped members used to produce frid = -1 + runs whose
+    // gaps served the in-row NULL — `WHERE _last_updated_version > K`
+    // silently dropped every updated row. r12 records a luv-only run
+    // (firstId = -1) so the fallback rides through the concat.
+    val (cat, t, dir) = scratch("cowcompact")
+    val before = idsOf(cat, t)
+    val hit = before.keys.min
+    spark.sql(s"UPDATE $cat.`$t` SET event_type = 'patched' WHERE event_id = $hit") // v2, COW
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size === 1 && entries.head.runs.exists(_._2 == -1L),
+      s"the COW member must contribute a luv-only run: ${entries.map(e => (e.frid, e.runs))}")
+    val after = idsOf(cat, t)
+    assert(after(hit) === ((before(hit)._1, 2L)),
+      s"the updated row's (id, version) must survive the bin: ${after(hit)}")
+    (after - hit).foreach { case (k, v) =>
+      assert(before(k) === v, s"carried row $k drifted through the bin: $v") }
+    // the incremental shape the advice named: changed-since must find
+    // the updated row, and ONLY it
+    val inc = spark.sql(
+      s"SELECT event_id FROM $cat.`$t` WHERE _last_updated_version > 1").collect()
+    assert(inc.map(_.getLong(0)).toSeq === Seq(hit),
+      "WHERE _last_updated_version > K must keep serving COW-updated rows post-compact")
+  }
+
+  test("rewrite_deletes materializes the COW fallback in-row; version never drifts (r12, ADVICE r11 high)") {
+    // the other maintenance leg: the collapse used to emit a luv-less
+    // frid = -2 entry that the commit restamped with the MAINTENANCE
+    // version, drifting fallback-served rows forward. r12 splices the
+    // backing luv into each null-luv survivor and carries the entry luv.
+    val (cat, t, dir) = scratch("cowrw")
+    val before = idsOf(cat, t)
+    val hit = before.keys.min
+    spark.sql(s"UPDATE $cat.`$t` SET event_type = 'patched' WHERE event_id = $hit") // v2, COW
+    // flip to merge-on-read so the next DELETE lands a DV on the COW file
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    val victim = spark.sql(
+      s"SELECT event_id FROM $cat.`$t` WHERE event_id <> $hit ORDER BY event_id LIMIT 1")
+      .head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE event_id = $victim") // v3, DV
+    val pre = idsOf(cat, t)
+    assert(pre(hit)._2 === 2L)
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect() // v4, the collapse
+    val after = idsOf(cat, t)
+    assert(after === pre,
+      "the collapse must not drift a single (id, version) — fallback versions included")
+    // and the fix is STRUCTURAL: the updated row's version now lives
+    // in its bytes, immune to any later maintenance generation
+    val rw = JsonlStats.readStats(dir).filter(_.frid == -2L)
+    val materialized = rw.flatMap(e =>
+      Files.readAllLines(Paths.get(dir, e.file)).toArray.map(_.toString))
+      .filter(_.contains("\"event_type\":\"patched\""))
+    assert(materialized.nonEmpty && materialized.forall(_.contains("\"_luv\":2")),
+      s"the COW row's fallback version must be spliced in-row: ${materialized.map(_.take(120))}")
+  }
+
   test("keyed-layout COW DML preserves lineage AND the pkey'd layout (r11)") {
     // identity-keyed table: one file per event_type run; the COW
     // rewrite must re-key its output (SPJ contract) while the carried
@@ -403,8 +467,14 @@ class LineageSpec extends SparkSpec {
     val before = idsOf(cat, t)
     spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
     val entries = JsonlStats.readStats(dir)
-    assert(entries.size === 1 && entries.head.frid === -2L && entries.head.runs.isEmpty,
-      s"an all-materialized bin declares in-row lineage: ${entries.map(e => (e.frid, e.runs.size))}")
+    // r12 shape: each materialized member carried an entry luv, so the
+    // bin records one luv-only run (firstId = -1) per member — ids are
+    // STILL served from the rows; the runs only carry the null-luv
+    // version fallback through the concat. The commit must not
+    // re-stamp either way ("frids" declared ⇒ never restamped).
+    assert(entries.size === 1 && entries.head.runs.forall(_._2 == -1L) &&
+      (entries.head.frid === -2L || entries.head.runs.nonEmpty),
+      s"an all-materialized bin declares in-row lineage: ${entries.map(e => (e.frid, e.runs))}")
     assert(idsOf(cat, t) === before,
       "the commit must not re-stamp a bin whose ids live in its rows")
   }

@@ -276,6 +276,86 @@ class RefsSpec extends SparkSpec {
     assert(bad.getMessage.contains("table:branch"), bad.getMessage)
   }
 
+  test("racing Wtxn recoverers: the OCC loser re-checks, never spuriously wedges (r12, ADVICE r11 medium)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = Files.createTempDirectory("refs_race").toString
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    Seq("ra", "rb").zipWithIndex.foreach { case (t, i) =>
+      Files.createDirectories(Paths.get(parent, t))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(i * 10L)), 1), schema)
+        .write.format("graft-jsonl-stats")
+        .option("path", Paths.get(parent, t).toString)
+        .option("statsColumn", "k").mode("overwrite").save()
+    }
+    val cat = "graft_race_" + java.lang.Integer.toHexString(parent.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    Seq("ra", "rb").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(s"CALL $cat.create_branch('$t', 'ld')")
+      spark.sql(s"INSERT INTO $cat.$t.branch_ld VALUES (${i * 10L + 1})")
+    }
+    // the torn-middle marker, both legs UNAPPLIED — then eight
+    // recoverers hit it simultaneously (every loadTable runs recover
+    // while the marker exists, so this is the production shape, not an
+    // edge case). Pre-fix, an OCC loser converted its
+    // ConcurrentModificationException into a spurious wedge that
+    // failed an unrelated user query.
+    val legs = Seq("ra", "rb").map { t =>
+      val ref = Refs.readRef(Paths.get(parent, t).toString, Refs.branchManifest("ld"))
+      s"""{"table":"$t","branch":"ld","fork_hash":"${ref.baseHash.get}"}"""
+    }
+    Files.write(Paths.get(parent, Refs.Wtxn.Marker),
+      java.util.List.of(s"""{"id":"race-test","legs":[${legs.mkString(",")}]}"""))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(8)
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable { def run(): Unit = {
+        gate.await()
+        try Refs.Wtxn.recover(parent, s"racer-$i")
+        catch { case t: Throwable => errs.add(t) }
+        finally done.countDown()
+      }})
+    }
+    gate.countDown(); done.await(); pool.shutdown()
+    assert(errs.isEmpty,
+      s"a racer that lost the OCC swap to another recoverer must not wedge: ${errs.peek()}")
+    def ks(t: String): Seq[Long] =
+      spark.table(s"$cat.$t").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ks("ra") === Seq(0L, 1L) && ks("rb") === Seq(10L, 11L),
+      "all legs settle exactly once whoever wins")
+    assert(!Files.exists(Paths.get(parent, Refs.Wtxn.Marker)))
+  }
+
+  test("a marker leg naming a dropped branch wedges LOUDLY, names the remediation (r12, ADVICE r11 low)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = Files.createTempDirectory("refs_ghost").toString
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    Files.createDirectories(Paths.get(parent, "ga"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L)), 1), schema)
+      .write.format("graft-jsonl-stats")
+      .option("path", Paths.get(parent, "ga").toString)
+      .option("statsColumn", "k").mode("overwrite").save()
+    val cat = "graft_ghost_" + java.lang.Integer.toHexString(parent.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    Files.write(Paths.get(parent, Refs.Wtxn.Marker), java.util.List.of(
+      """{"id":"ghost-test","legs":[{"table":"ga","branch":"ghost","fork_hash":"x"}]}"""))
+    val ex = intercept[Exception](spark.table(s"$cat.ga").collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(ex).contains(Refs.Wtxn.Marker) && chain(ex).contains("abandon"),
+      s"the error must name the marker and the delete-to-abandon remediation: ${chain(ex)}")
+    // the remediation WORKS: delete the marker, the catalog serves again
+    Files.delete(Paths.get(parent, Refs.Wtxn.Marker))
+    assert(spark.table(s"$cat.ga").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("hidden-partitioned branch writes derive pkeys; published files prune point lookups") {
     val (cat, t0, _) = scratch("hpb")
     // table name unique per run: CREATE OR REPLACE resets the manifest

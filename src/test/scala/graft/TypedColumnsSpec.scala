@@ -207,6 +207,66 @@ class TypedColumnsSpec extends SparkSpec {
     assert(dplanned <= 2, s"a day-equality predicate must prune, planned $dplanned of 8")
   }
 
+  test("TimestampNTZ predicates prune files like TimestampType (r12, ADVICE r11 low)") {
+    // NTZ predicates push LocalDateTime values — pre-r12 filterDouble
+    // had no case for them, so NTZ columns silently never pruned
+    // (conservative, but a full scan on every time window).
+    val dir = Files.createTempDirectory("typed_ntz").toString
+    val base = 1700000000000000L
+    val df = spark.range(160).select(
+      $"id",
+      timestamp_micros(lit(base) + $"id" * 3600000000L)
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("tsn"))
+    df.repartitionByRange(8, $"id").sortWithinPartitions($"id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(back.schema("tsn").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+    // the session is UTC, so the NTZ wall clock == the instant's UTC
+    // image; a window over the first quarter plans 2 of 8 files
+    val cut = java.time.LocalDateTime.ofEpochSecond(
+      base / 1000000L + 40L * 3600L, 0, java.time.ZoneOffset.UTC)
+    val probe = back.filter($"tsn" < lit(cut))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    probe.collect()
+    val planned = nodes(probe.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    assert(planned === 2,
+      s"an NTZ window over the first quarter must plan 2 of 8 files, planned $planned")
+    assert(probe.count() === 40L, "pruning must not change the answer")
+  }
+
+  test("malformed vecCells/vecNorm options refuse with the expected syntax (r12, ADVICE r11 low)") {
+    val dir = Files.createTempDirectory("typed_vopt").toString
+    spark.range(4).select($"id", array(lit(0.5f), lit(-0.5f)).as("emb"))
+      .coalesce(1).write.format("graft-jsonl-stats").option("path", dir)
+      .mode("overwrite").save()
+    def attempt(opt: String, v: String): String = {
+      val ex = intercept[Exception] {
+        spark.read.format("graft-jsonl-stats").option("path", dir)
+          .option(opt, v).load().collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      chain(ex)
+    }
+    assert(attempt("vecCells", "emb").contains("vecCells=col:1,5,9"),
+      "a missing ':' must name the expected shape, not a MatchError")
+    assert(attempt("vecCells", "emb:1,x,9").contains("not an integer"))
+    assert(attempt("vecNorm", "emb:0.5").contains("vecNorm=col:lo:hi"))
+    assert(attempt("vecNorm", "emb:a:b").contains("not numbers"))
+  }
+
   test("vector file stats: #cell/#norm bounds recorded; vecCells probes prune files (r11)") {
     import graft.ext.SimilarityMath.vecCellCol
     val dir = Files.createTempDirectory("typed_vec").toString

@@ -670,12 +670,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     else Array.empty
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "sqnorm"))
+    if (namespace.isEmpty)
+      Array("sqnorm", "graft_cell", "graft_norm").map(Identifier.of(namespace, _))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "sqnorm") GraftCatalog.SqNorm
     else if (ident.name() == "bucket") GraftCatalog.BucketFn
+    else if (ident.name() == "graft_cell") GraftCatalog.VecCellFn
+    else if (ident.name() == "graft_norm") GraftCatalog.VecNormFn
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -830,6 +833,86 @@ object GraftCatalog {
     override def reducer(thisN: Int, other: ReducibleFunction[_, _],
                          otherN: Int): Reducer[Integer, Integer] =
       bucketReducer(this, thisN, other, otherN)
+  }
+
+  /** `graft_cell(vec)` / `graft_norm(vec)` (r12): the vector file
+    * statistics' derivations as V2 catalog functions. The point is the
+    * PUSHDOWN contract: a predicate like `graft_cell(emb) IN (1,5,9)`
+    * or `graft_norm(emb) BETWEEN lo AND hi` reaches the scan builder
+    * as a `UserDefinedScalarFunc` V2 predicate (this canonicalName),
+    * the planner derives the probe set/band FROM that pushed predicate
+    * against the per-file `#cell` bitmap / `#norm` bounds, and Spark
+    * still evaluates the same function over the surviving rows — the
+    * pruning can never under-cover the filter because both sides are
+    * one arithmetic ([[JsonlStats.vecCellOf]]/[[JsonlStats.vecNormOf]]).
+    * Replaces the r11 trust-me `vecCells`/`vecNorm` scan options. */
+  object VecCellFn extends UnboundFunction {
+    override def name(): String = "graft_cell"
+    override def description(): String =
+      "graft_cell(array<float|double>) -> int: 6-bit sign-cell coarse code (pushdown-prunable)"
+    override def bind(inputType: StructType): BoundFunction =
+      inputType.fields.map(_.dataType) match {
+        case Array(ArrayType(FloatType, _))  => CellFloatBound
+        case Array(ArrayType(DoubleType, _)) => CellDoubleBound
+        case other => throw new UnsupportedOperationException(
+          s"graft_cell expects (array<float|double>), got ${other.mkString(", ")}")
+      }
+  }
+  object VecNormFn extends UnboundFunction {
+    override def name(): String = "graft_norm"
+    override def description(): String =
+      "graft_norm(array<float|double>) -> double: L2 norm (pushdown-prunable)"
+    override def bind(inputType: StructType): BoundFunction =
+      inputType.fields.map(_.dataType) match {
+        case Array(ArrayType(FloatType, _))  => NormFloatBound
+        case Array(ArrayType(DoubleType, _)) => NormDoubleBound
+        case other => throw new UnsupportedOperationException(
+          s"graft_norm expects (array<float|double>), got ${other.mkString(", ")}")
+      }
+  }
+  /** One canonical name per function — float and double bounds share
+    * it, and the scan builder matches pushed predicates BY it. */
+  val CellCanonical = "graft.graft_cell"
+  val NormCanonical = "graft.graft_norm"
+  object CellFloatBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(ArrayType(FloatType))
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "graft_cell"
+    override def canonicalName(): String = CellCanonical
+    override def isResultNullable: Boolean = false
+    def invoke(a: ArrayData): Int = JsonlStats.vecCellOf(a, isFloat = true)
+    override def produceResult(input: InternalRow): Integer =
+      JsonlStats.vecCellOf(input.getArray(0), isFloat = true)
+  }
+  object CellDoubleBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(ArrayType(DoubleType))
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "graft_cell"
+    override def canonicalName(): String = CellCanonical
+    override def isResultNullable: Boolean = false
+    def invoke(a: ArrayData): Int = JsonlStats.vecCellOf(a, isFloat = false)
+    override def produceResult(input: InternalRow): Integer =
+      JsonlStats.vecCellOf(input.getArray(0), isFloat = false)
+  }
+  object NormFloatBound extends ScalarFunction[Double] {
+    override def inputTypes(): Array[DataType] = Array(ArrayType(FloatType))
+    override def resultType(): DataType = DoubleType
+    override def name(): String = "graft_norm"
+    override def canonicalName(): String = NormCanonical
+    override def isResultNullable: Boolean = false
+    def invoke(a: ArrayData): Double = JsonlStats.vecNormOf(a, isFloat = true)
+    override def produceResult(input: InternalRow): Double =
+      JsonlStats.vecNormOf(input.getArray(0), isFloat = true)
+  }
+  object NormDoubleBound extends ScalarFunction[Double] {
+    override def inputTypes(): Array[DataType] = Array(ArrayType(DoubleType))
+    override def resultType(): DataType = DoubleType
+    override def name(): String = "graft_norm"
+    override def canonicalName(): String = NormCanonical
+    override def isResultNullable: Boolean = false
+    def invoke(a: ArrayData): Double = JsonlStats.vecNormOf(a, isFloat = false)
+    override def produceResult(input: InternalRow): Double =
+      JsonlStats.vecNormOf(input.getArray(0), isFloat = false)
   }
 
   object SqNormBound extends ScalarFunction[Double] {

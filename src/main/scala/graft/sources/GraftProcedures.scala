@@ -1167,6 +1167,18 @@ object GraftProcedures {
     // rewrite_deletes regenerates time bounds instead of dropping them
     val numFields = schema.fields.filter(f => JsonlStats.numericStatType(f.dataType))
       .map(f => f.copy(name = physOf(f.name)))
+    // vector stats (r12): the collapse regenerates `#norm`/`#cell`
+    // bounds AND the exact cell bitmap for float/double arrays —
+    // pre-r12 rewrites silently DROPPED them (conservative but a full
+    // scan on every probe after the first rewrite). Same arithmetic as
+    // the sink ([[JsonlStats.vecNormOf]]/[[JsonlStats.vecCellOf]]).
+    val vecNames: Array[String] = schema.fields
+      .filter(f => JsonlStats.isVectorType(f.dataType)).map(f => physOf(f.name))
+    val vecNormMn = scala.collection.mutable.Map.empty[String, Double]
+    val vecNormMx = scala.collection.mutable.Map.empty[String, Double]
+    val vecCellMn = scala.collection.mutable.Map.empty[String, Int]
+    val vecCellMx = scala.collection.mutable.Map.empty[String, Int]
+    val vecBm = scala.collection.mutable.Map.empty[String, Long]
     val colMn = scala.collection.mutable.Map.empty[String, Double]
     val colMx = scala.collection.mutable.Map.empty[String, Double]
     val colCnt = scala.collection.mutable.Map.empty[String, Long]
@@ -1296,6 +1308,31 @@ object GraftProcedures {
                 colCnt(c) += 1L
               }
             }
+            vecNames.foreach { c =>
+              val v = n.get(c)
+              if (v != null && v.isArray) {
+                var normSq = 0.0
+                var cell = 0
+                var j = 0
+                val m = v.size()
+                while (j < m) {
+                  val el = v.get(j)
+                  val e = if (el == null || el.isNull) 0.0 else el.asDouble()
+                  normSq += e * e
+                  if (j < JsonlStats.VecCellBits && e > 0) cell |= 1 << j
+                  j += 1
+                }
+                val nrm = math.sqrt(normSq)
+                if (nrm.isNaN) { vecNormMn(c) = 0.0; vecNormMx(c) = Double.MaxValue }
+                else {
+                  if (nrm < vecNormMn.getOrElse(c, Double.PositiveInfinity)) vecNormMn(c) = nrm
+                  if (nrm > vecNormMx.getOrElse(c, Double.NegativeInfinity)) vecNormMx(c) = nrm
+                }
+                if (cell < vecCellMn.getOrElse(c, Int.MaxValue)) vecCellMn(c) = cell
+                if (cell > vecCellMx.getOrElse(c, Int.MinValue)) vecCellMx(c) = cell
+                vecBm(c) = vecBm.getOrElse(c, 0L) | (1L << cell)
+              }
+            }
             bloomCol.foreach { bc =>
               val v = n.get(bc)
               if (v != null && !v.isNull) {
@@ -1328,7 +1365,10 @@ object GraftProcedures {
     // partition spec — lazy spec migration is COW's job, not this one's
     if (bloomCol.isDefined) Bloom.writeSidecar(dest, bloomHashes.toArray)
     if (gramCol.isDefined) grams.writeSidecar(dest)
-    val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap
+    val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap ++
+      vecNormMn.keySet.map(c => s"$c#norm" -> (vecNormMn(c), vecNormMx(c))).toMap ++
+      vecCellMn.keySet.map(c => s"$c#cell" ->
+        (vecCellMn(c).toDouble, vecCellMx(c).toDouble)).toMap
     val strCols = strMn.keySet.map(c =>
       c -> (JsonlStats.truncLower(strMn(c)), JsonlStats.truncUpper(strMx(c)))).toMap
     val (mn, mx) = cols.get(statsCol) match {
@@ -1352,7 +1392,8 @@ object GraftProcedures {
     JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
       segb = zones.zones(ckpts.nonEmpty), pspec = pspec,
-      frid = if (hadLineage) -2L else -1L, luv = carriedLuv)
+      frid = if (hadLineage) -2L else -1L, luv = carriedLuv,
+      vcells = vecBm.toMap)
   }
 
   def compact(tableRoot: String, targetBytes: Long,
@@ -1423,6 +1464,11 @@ object GraftProcedures {
           val mergedCols = sharedCols.map { c =>
             c -> (members.map(_.cols(c)._1).min, members.map(_.cols(c)._2).max)
           }.toMap
+          // vector cell bitmaps (r12) merge by UNION — exact, like the
+          // members themselves; a member without the bitmap poisons the
+          // column (absent = interval fallback), same conservatism
+          val sharedV = members.map(_.vcells.keySet).reduce(_ intersect _)
+          val mergedV = sharedV.map(c => c -> members.map(_.vcells(c)).reduce(_ | _)).toMap
           // non-null counts sum iff every member recorded one — a member
           // with unknown counts poisons that column (same conservatism)
           val sharedN = members.map(_.colNonNull.keySet).reduce(_ intersect _)
@@ -1505,7 +1551,7 @@ object GraftProcedures {
             JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
               colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
               segb = mergedSegB, pspec = pspec, seq = seq,
-              frid = mergedFrid, runs = mergedRuns))
+              frid = mergedFrid, runs = mergedRuns, vcells = mergedV))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)

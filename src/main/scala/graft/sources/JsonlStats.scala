@@ -1777,45 +1777,27 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // r12: the r11 `vecCells`/`vecNorm` scan options are GONE — vector
+    // probe pruning is derived from pushed `graft_cell`/`graft_norm`
+    // predicates ([[JsonlStatsScanBuilder.pushPredicates]]), so a probe
+    // can never under-cover the filter. A leftover option is refused
+    // loudly rather than silently ignored (it used to change the scan's
+    // IO shape; silence would hide a stale caller).
+    Seq("vecCells", "vecNorm").foreach { o =>
+      require(options.get(o) == null,
+        s"the '$o' scan option was removed — filter with the catalog function " +
+          "instead (WHERE <cat>.graft_cell(col) IN (...) / <cat>.graft_norm(col) " +
+          "BETWEEN lo AND hi); pruning now derives from the pushed predicate")
+    }
     new JsonlStatsScanBuilder(root, tableSchema, statsCol, partitionCol,
       splitBytes = options.getLong("splitBytes", JsonlStats.DefaultSplitBytes),
       manifest = manifest, bloomCol = bloomCol, columnMapping = columnMapping,
       gramCol = gramCol,
       // streaming admission control (r9c, the Delta option names)
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      // vector probe pruning (r11): `vecCells=col:1,5,9` keeps files
-      // whose sign-cell range intersects the probe set; `vecNorm=
-      // col:lo:hi` keeps files whose L2-norm bounds intersect the band
-      vecCells = Option(options.get("vecCells")).map { s =>
-        // explicit shape validation (r12, ADVICE r11 low): a malformed
-        // option names its expected syntax instead of a bare MatchError
-        s.split(":", 2) match {
-          case Array(c, ids) if c.nonEmpty && ids.nonEmpty =>
-            val parsed = ids.split(",").map(_.trim).map { t =>
-              try t.toInt catch { case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"vecCells: cell id '$t' is not an integer — expected vecCells=col:1,5,9") }
-            }
-            (c, parsed.toSeq)
-          case _ => throw new IllegalArgumentException(
-            s"vecCells option '$s' malformed — expected vecCells=col:1,5,9")
-        }
-      },
-      vecNorm = Option(options.get("vecNorm")).map { s =>
-        s.split(":", 3) match {
-          case Array(c, lo, hi) if c.nonEmpty =>
-            val (l, h) =
-              try (lo.toDouble, hi.toDouble)
-              catch { case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"vecNorm bounds '$lo:$hi' are not numbers — expected vecNorm=col:lo:hi") }
-            (c, l, h)
-          case _ => throw new IllegalArgumentException(
-            s"vecNorm option '$s' malformed — expected vecNorm=col:lo:hi")
-        }
-      })
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)
       throw new UnsupportedOperationException(

@@ -2806,13 +2806,18 @@ object JsonlStatsQueries extends QueryModule {
     dir
   }
 
-  /** q278 (r11): VECTOR FILE STATISTICS — the r10 "arrays carry no
-    * stats" residual closed: the writer always records per-file
-    * `#norm` (L2) and `#cell` (sign-pattern coarse code) bounds for
-    * float/double arrays, and an LSH-style probe — the query's cell
-    * plus its Hamming-1 neighbors, passed as the `vecCells` scan
-    * option — plans only the files whose cell range intersects the
-    * probe set (JsonlStatsSpec pins the planned-file fraction). The
+  /** q278 (r11, predicate-derived since r12): VECTOR FILE STATISTICS —
+    * the writer always records per-file `#norm` (L2) and `#cell`
+    * (sign-pattern coarse code) stats for float/double arrays, plus
+    * (r12) the EXACT 64-bit cell-set bitmap. The LSH-style probe — the
+    * query's cell plus its Hamming-1 neighbors — is now an ordinary
+    * WHERE clause over the `graft_cell` V2 catalog function; the scan
+    * builder derives the probe set FROM the pushed predicate
+    * ([[JsonlStatsScanBuilder.pushPredicates]]) and plans only the
+    * files whose cell SET intersects it — no side-channel scan option,
+    * so pruning can never under-cover the filter, and the bitmap makes
+    * the prune exact where the r11 interval over-kept straddled files
+    * (JsonlStatsSpec pins planned == true cell coverage). The
     * candidates then rank by the exact decimal cosine, so the oracle —
     * which mirrors the cell arithmetic and probe set in DuckDB — is
     * bit-exact. At 100 TB this is the ANN shape that never lists the
@@ -2820,18 +2825,17 @@ object JsonlStatsQueries extends QueryModule {
     * files only. */
   def connectorCellProbe(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    import graft.ext.SimilarityMath.{dotDec, normDec, vecCellCol}
+    import graft.ext.SimilarityMath.{dotDec, normDec}
+    val cat = ensureCatalog(spark, d)
     val dir = ensureCellFixture(spark, d)
+    val t = spark.table(s"$cat.${Paths.get(dir).getFileName}")
     // the query vector and its cell (one bounded 1-row lookup)
-    val q = spark.read.format("graft-jsonl-stats").option("path", dir).load()
-      .filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val q = t.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
     val qCell = (0 until JsonlStats.VecCellBits)
       .map(i => if (i < q.length && q(i) > 0) 1 << i else 0).sum
     val probes = qCell +: (0 until JsonlStats.VecCellBits).map(i => qCell ^ (1 << i))
-    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
-      .option("vecCells", s"embedding:${probes.mkString(",")}").load()
     val qv = typedLit(q)
-    t.filter(vecCellCol($"embedding").isin(probes: _*))
+    t.filter(expr(s"$cat.graft_cell(embedding) IN (${probes.mkString(", ")})"))
       .withColumn("cosine", dotDec(qv, $"embedding") / (normDec(qv) * normDec($"embedding")))
       .filter($"cosine" >= 0.15)
       .select($"vec_id", round($"cosine", 6).as("cosine"))
@@ -2982,9 +2986,12 @@ object JsonlStatsQueries extends QueryModule {
     * (derived exact-eighth vectors, so every distance is an exact
     * multiple of 1/64 and the oracle is integer arithmetic): by the
     * triangle inequality no vector with ‖x‖ outside [‖q‖−r, ‖q‖+r]
-    * can sit within distance r of q, so the scan's `vecNorm` option
-    * prunes a norm-ranged layout down to the band's files before the
-    * exact distance filter runs. At 100 TB this is the radius-query
+    * can sit within distance r of q, so a `graft_norm(emb) BETWEEN`
+    * predicate (r12: derived from the PUSHED predicate, not a scan
+    * option) prunes a norm-ranged layout down to the band's files
+    * before the exact distance filter runs. The band is implied by the
+    * d² filter (triangle inequality), so adding it changes no rows —
+    * only the planned-file set. At 100 TB this is the radius-query
     * shape for non-normalized embedding spaces (the normalized-space
     * twin is q278). */
   def normBandRadius(spark: SparkSession, d: String): DataFrame = {
@@ -3013,8 +3020,9 @@ object JsonlStatsQueries extends QueryModule {
     val d2 = aggregate(transform($"emb",
         x => (x.cast("double") - 0.125d) * (x.cast("double") - 0.125d)),
       lit(0.0), (a, v) => a + v)
-    spark.read.format("graft-jsonl-stats").option("path", dir)
-      .option("vecNorm", "emb:0.0:2.25").load()
+    val cat = ensureCatalog(spark, d)
+    spark.table(s"$cat.${Paths.get(dir).getFileName}")
+      .filter(expr(s"$cat.graft_norm(emb) BETWEEN 0.0 AND 2.25"))
       .withColumn("d2", d2)
       .filter($"d2" <= 4.0)
       .select($"doc_id", ($"d2" * 64).cast("long").as("d2_64"))

@@ -21,10 +21,14 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             columnMapping: Map[String, String] = Map.empty,
                             gramCol: Option[String] = None,
                             maxFilesPerTrigger: Option[Int] = None,
-                            maxBytesPerTrigger: Option[Long] = None,
-                            vecCells: Option[(String, Seq[Int])] = None,
-                            vecNorm: Option[(String, Double, Double)] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+                            maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
+    // NOT SupportsPushDownFilters: Spark's PushDownUtils checks the v1
+    // interface FIRST, so declaring both would route planning around
+    // [[pushPredicates]] and lose every V2-only predicate (the
+    // graft_cell/graft_norm function probes). pushFilters stays as a
+    // plain method — the internal workhorse pushPredicates feeds.
+    with SupportsPushDownV2Filters
+    with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = full
@@ -34,6 +38,14 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   private var aggSchema: Option[StructType] = None
   private var limitK: Option[Int] = None
   private var topN: Option[JsonlStatsScan.TopNPush] = None
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  // vector probe pruning, PREDICATE-DERIVED (r12): filled by
+  // [[pushPredicates]] from pushed `graft_cell`/`graft_norm` V2
+  // function predicates — never from a side-channel option, so the
+  // prune can not under-cover the filter Spark evaluates
+  private var vecCellProbes: Seq[(String, Seq[Int])] = Nil
+  private var vecNormBands: Seq[(String, Double, Double)] = Nil
 
   /** LIMIT pushdown (r9c, partial): the scan may serve ANY k rows, so
     * planning keeps only a file prefix whose GUARANTEED output rows
@@ -91,7 +103,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     * ([[Bloom]]). Return EVERY filter as a residual — bounds prove a
     * file irrelevant (never that all rows match) and blooms have false
     * positives. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // numeric range/equality AND (r8) string range/equality/startsWith —
     // string columns prune via truncated Iceberg-style bounds (`scols`)
     pushed = filters.filter(f =>
@@ -120,7 +132,111 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     }
     filters
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  def pushedFilters(): Array[Filter] = pushed
+
+  /** V2 predicate pushdown (r12) — the entry Spark actually calls (the
+    * v1 [[pushFilters]] stays as the internal workhorse and the legacy
+    * test surface). Standard predicates convert to v1 filters and flow
+    * through the existing bounds/bloom/gram machinery; predicates over
+    * the `graft_cell`/`graft_norm` V2 catalog functions arrive as
+    * [[org.apache.spark.sql.connector.expressions.UserDefinedScalarFunc]]
+    * and become planning-time vector probes — the probe set/band is
+    * DERIVED from the very predicate Spark will evaluate over the
+    * surviving rows, so pruning and filtering cannot disagree (the r11
+    * `vecCells`/`vecNorm` trust-me scan options are gone). Every
+    * predicate returns as residual: bounds prove a file irrelevant,
+    * never that all its rows match. */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expression,
+      GeneralScalarExpression, Literal, NamedReference, UserDefinedScalarFunc}
+    if (sys.env.contains("GRAFT_DEBUG_PUSH"))
+      predicates.foreach(p => println(s"[push-debug] ${p.getClass.getName}: $p " +
+        s"(name=${p.name()}, children=${p.children().map(c => c.getClass.getSimpleName + ":" + c).mkString(" | ")})"))
+    val v1 = predicates.flatMap(p =>
+      org.apache.spark.sql.graft.PredicateBridge.toV1(p).toSeq)
+    pushFilters(v1)
+    // ---- vector probe derivation ----------------------------------
+    // `<canonical fn>(<single column>)` on either side of a comparison
+    def fnCol(e: V2Expression, canonical: String): Option[String] = e match {
+      case u: UserDefinedScalarFunc
+          if u.canonicalName() == canonical && u.children().length == 1 =>
+        u.children()(0) match {
+          case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
+          case _ => None
+        }
+      case _ => None
+    }
+    def numLit(e: V2Expression): Option[Double] = e match {
+      case l: Literal[_] => JsonlStats.filterDouble(l.value)
+      case _ => None
+    }
+    def intLit(e: V2Expression): Option[Int] = numLit(e).collect {
+      case d if d.isWhole => d.toInt
+    }
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int])]
+    val bands = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    predicates.foreach {
+      case g: GeneralScalarExpression => (g.name(), g.children()) match {
+        // graft_cell(col) IN (c1, c2, ...) / = c — the LSH probe shape
+        case ("IN", ch) if ch.length >= 2 =>
+          fnCol(ch(0), GraftCatalog.CellCanonical).foreach { c =>
+            val ids = ch.drop(1).map(intLit)
+            if (ids.forall(_.isDefined)) cells += ((c, ids.flatten.toSeq))
+          }
+        case ("=", Array(a, b)) =>
+          fnCol(a, GraftCatalog.CellCanonical).zip(intLit(b))
+            .foreach { case (c, id) => cells += ((c, Seq(id))) }
+          fnCol(b, GraftCatalog.CellCanonical).zip(intLit(a))
+            .foreach { case (c, id) => cells += ((c, Seq(id))) }
+          // graft_norm(col) = v is the degenerate band [v, v]
+          fnCol(a, GraftCatalog.NormCanonical).zip(numLit(b))
+            .foreach { case (c, v) => bands += ((c, v, v)) }
+          fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
+            .foreach { case (c, v) => bands += ((c, v, v)) }
+        // graft_norm(col) </<= v → upper bound; v </<= graft_norm(col)
+        // → lower bound (BETWEEN arrives as two conjuncts; strictness
+        // is immaterial against closed file bounds — conservative)
+        case ("<" | "<=", Array(a, b)) =>
+          fnCol(a, GraftCatalog.NormCanonical).zip(numLit(b))
+            .foreach { case (c, v) => bands += ((c, Double.NegativeInfinity, v)) }
+          fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
+            .foreach { case (c, v) => bands += ((c, v, Double.PositiveInfinity)) }
+        case (">" | ">=", Array(a, b)) =>
+          fnCol(a, GraftCatalog.NormCanonical).zip(numLit(b))
+            .foreach { case (c, v) => bands += ((c, v, Double.PositiveInfinity)) }
+          fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
+            .foreach { case (c, v) => bands += ((c, Double.NegativeInfinity, v)) }
+        case _ => // OR/NOT/unknown shapes never prune — conservative
+      }
+      case _ =>
+    }
+    // conjuncts on the same column compose: probe sets intersect,
+    // bands tighten — a file must satisfy EVERY derived constraint
+    vecCellProbes = cells.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }.toSeq
+    vecNormBands = bands.groupBy(_._1).map { case (c, bs) =>
+      (c, bs.map(_._2).max, bs.map(_._3).min)
+    }.toSeq
+    pushedV2 = predicates.filter { p =>
+      org.apache.spark.sql.graft.PredicateBridge.toV1(p)
+        .exists(f => pushed.contains(f) || bloomPushed.contains(f)) ||
+      (p match {
+        case g: GeneralScalarExpression =>
+          def anyVecFn(e: V2Expression): Boolean =
+            fnCol(e, GraftCatalog.CellCanonical).isDefined ||
+              fnCol(e, GraftCatalog.NormCanonical).isDefined
+          g.children().exists(anyVecFn)
+        case _ => false
+      })
+    }
+    predicates
+  }
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   /** The third pushdown leg: a global COUNT(*)/MIN/MAX over the stats
@@ -241,7 +357,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
-        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCells, vecNorm)
+        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCellProbes, vecNormBands)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -320,8 +436,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      topN: Option[JsonlStatsScan.TopNPush] = None,
                      maxFilesPerTrigger: Option[Int] = None,
                      maxBytesPerTrigger: Option[Long] = None,
-                     vecCells: Option[(String, Seq[Int])] = None,
-                     vecNorm: Option[(String, Double, Double)] = None)
+                     vecCells: Seq[(String, Seq[Int])] = Nil,
+                     vecNorm: Seq[(String, Double, Double)] = Nil)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -710,13 +826,20 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       })
       .filter(s => runtimeKeep.forall(_.exists(v => s.min <= v && v <= s.max)))
       .filter(s => runtimeFileKeep.forall(_.contains(Paths.get(root, s.file).toString)))
-      // vector probe pruning (r11): the per-file `#cell`/`#norm`
-      // bounds the writer always records for float/double arrays —
-      // absent bounds keep the file (legacy manifests, rewritten
-      // entries), the engine-wide conservative rule
+      // vector probe pruning (r11, predicate-derived since r12): the
+      // per-file stats the writer always records for float/double
+      // arrays — absent stats keep the file (legacy manifests), the
+      // engine-wide conservative rule. The cell test prefers the EXACT
+      // 64-bit cell-set bitmap (r12, `vcells`) and falls back to the
+      // r11 [min, max] interval for pre-bitmap manifests.
       .filter(s => vecCells.forall { case (c, ids) =>
-        JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#cell", statsCol)
-          .forall { case (lo, hi) => ids.exists(id => lo <= id && id <= hi) }
+        val pc = columnMapping.getOrElse(c, c)
+        s.vcells.get(pc) match {
+          case Some(bm) => ids.exists(id => id >= 0 && id < 64 && ((bm >> id) & 1L) != 0L)
+          case None =>
+            JsonlStats.colBounds(s, pc + "#cell", statsCol)
+              .forall { case (lo, hi) => ids.exists(id => lo <= id && id <= hi) }
+        }
       })
       .filter(s => vecNorm.forall { case (c, lo, hi) =>
         JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#norm", statsCol)

@@ -152,7 +152,8 @@ class JsonlStreamingWrite(root: String, writeSchema: StructType, queryId: String
           // partition evolution (r9): every keyed entry records the
           // spec its pkey derives from, so an append racing an
           // evolution stays self-describing
-          pspec = if (c.pkey.isDefined) partitionCol else None))
+          pspec = if (c.pkey.isDefined) partitionCol else None,
+          vcells = c.vcells))
     // STREAMING UPSERT (r9b): the epoch's retraction (its tasks'
     // equality-delete files) and its inserts land in the SAME
     // exactly-once commit as the txn watermark — a replayed epoch can
@@ -203,7 +204,10 @@ final case class JsonlFileCommit(file: String, min: Double, max: Double, rows: L
                                  // `_row_id` — the commit publishes frid=-2
                                  // (ids live in-row); an all-null file stays
                                  // unassigned and gets stamped fresh
-                                 sawLineage: Boolean = false)
+                                 sawLineage: Boolean = false,
+                                 // vector cell bitmaps (r12): exact
+                                 // per-column sign-cell sets
+                                 vcells: Map[String, Long] = Map.empty)
   extends WriterCommitMessage
 
 /** One task's commits — several files when the layout is keyed (one
@@ -336,7 +340,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           // rewrite projected `_row_id` through itself) publishes
           // frid = -2 so the commit never re-stamps it; an all-null
           // carrier file stays unassigned and stamps fresh
-          frid = if (c.sawLineage) -2L else -1L))
+          frid = if (c.sawLineage) -2L else -1L,
+          vcells = c.vcells))
     val freshLines = freshStats.map(JsonlStats.statsLine)
     // equality-delete upsert (r9b): the tasks' delete files, registered
     // in the SAME commit as their data (retract + insert atomically);
@@ -554,7 +559,8 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
           // metadata attrs through the plan ([[JsonlRowLevelOperation
           // .requiredMetadataAttributes]]), so carried rows land with
           // materialized in-row ids — frid = -2, never re-stamped
-          frid = if (c.sawLineage) -2L else -1L))
+          frid = if (c.sawLineage) -2L else -1L,
+          vcells = c.vcells))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass
@@ -696,6 +702,10 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val vecNormMx = Array.fill(vecIdx.length)(Double.NegativeInfinity)
   private val vecCellMn = Array.fill(vecIdx.length)(Int.MaxValue)
   private val vecCellMx = Array.fill(vecIdx.length)(Int.MinValue)
+  // the exact cell SET (r12): VecCellBits = 6 ⇒ 64 possible cells, the
+  // whole domain in one long — `vcells` makes the probe prune exact
+  // where the [min, max] interval over-keeps straddled files
+  private val vecCellBm = Array.fill(vecIdx.length)(0L)
 
   /** Recursive JSON encoding of one non-null value (r11): scalars,
     * typed arrays (r10) and STRUCTS compose arbitrarily — the
@@ -833,6 +843,7 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         }
         if (cellId < vecCellMn(vi)) vecCellMn(vi) = cellId
         if (cellId > vecCellMx(vi)) vecCellMx(vi) = cellId
+        vecCellBm(vi) |= 1L << cellId
       }
       vi += 1
     }
@@ -892,13 +903,19 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
           JsonlStats.truncUpper(strMx(si).toString))
     }.toMap
     val segZones = zones.zones(ckpts.nonEmpty)
+    // exact cell sets (r12): published iff the column saw at least one
+    // non-null vector — same condition as its `#cell` bounds
+    val vcells = vecIdx.indices.collect {
+      case vi if vecCellMn(vi) <= vecCellMx(vi) =>
+        physOf(vecIdx(vi)) -> vecCellBm(vi)
+    }.toMap
     if (mn > mx)
       // rows exist but the stats column was all-null: publish the whole
       // real line so the file is never pruned (conservative, correct)
       JsonlFileCommit(fileName, Double.MinValue, Double.MaxValue, rows, pkey, cols, colN,
-        strCols, ckpts.toSeq, segZones, sawLineage = sawLineage)
+        strCols, ckpts.toSeq, segZones, sawLineage = sawLineage, vcells = vcells)
     else JsonlFileCommit(fileName, mn, mx, rows, pkey, cols, colN, strCols, ckpts.toSeq,
-      segZones, sawLineage = sawLineage)
+      segZones, sawLineage = sawLineage, vcells = vcells)
   }
 
   def abort(): Unit = {

@@ -246,7 +246,7 @@ class TypedColumnsSpec extends SparkSpec {
     assert(probe.count() === 40L, "pruning must not change the answer")
   }
 
-  test("malformed vecCells/vecNorm options refuse with the expected syntax (r12, ADVICE r11 low)") {
+  test("removed vecCells/vecNorm scan options refuse loudly, naming the function route (r12)") {
     val dir = Files.createTempDirectory("typed_vopt").toString
     spark.range(4).select($"id", array(lit(0.5f), lit(-0.5f)).as("emb"))
       .coalesce(1).write.format("graft-jsonl-stats").option("path", dir)
@@ -260,14 +260,39 @@ class TypedColumnsSpec extends SparkSpec {
         if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
       chain(ex)
     }
-    assert(attempt("vecCells", "emb").contains("vecCells=col:1,5,9"),
-      "a missing ':' must name the expected shape, not a MatchError")
-    assert(attempt("vecCells", "emb:1,x,9").contains("not an integer"))
-    assert(attempt("vecNorm", "emb:0.5").contains("vecNorm=col:lo:hi"))
-    assert(attempt("vecNorm", "emb:a:b").contains("not numbers"))
+    // an r11 caller must learn the new route, not silently scan more
+    assert(attempt("vecCells", "emb:1,5,9").contains("graft_cell"),
+      "a leftover vecCells option must refuse and name the predicate route")
+    assert(attempt("vecNorm", "emb:0.0:2.0").contains("graft_norm"))
   }
 
-  test("vector file stats: #cell/#norm bounds recorded; vecCells probes prune files (r11)") {
+  /** Catalog scoped to `dir`'s parent so `graft_cell`/`graft_norm`
+    * resolve; returns (catalog, table ident). */
+  private def vecCatalog(dir: String): (String, String) = {
+    val cat = "graft_vec_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    (cat, s"$cat.`${java.nio.file.Paths.get(dir).getFileName}`")
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    df.collect()
+    nodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+  }
+
+  test("vector probes derive from pushed graft_cell/graft_norm predicates; bitmap prune is exact (r12)") {
     import graft.ext.SimilarityMath.vecCellCol
     val dir = Files.createTempDirectory("typed_vec").toString
     // 64 vectors, one per sign-cell: embedding(i) = the sign pattern of
@@ -282,46 +307,78 @@ class TypedColumnsSpec extends SparkSpec {
       .select($"id", $"emb")
       .write.format("graft-jsonl-stats").option("path", dir)
       .option("statsColumn", "id").mode("overwrite").save()
-    // every entry carries both derived bounds, and the cell ranges are
-    // narrow (cell-clustered layout)
+    // every entry carries the derived bounds AND the exact cell bitmap
     val entries = JsonlStats.readStats(dir)
     assert(entries.forall(e => e.cols.contains("emb#cell") && e.cols.contains("emb#norm")),
       s"vector bounds missing: ${entries.map(_.cols.keys)}")
+    assert(entries.forall(_.vcells.contains("emb")),
+      s"cell bitmaps missing: ${entries.map(_.vcells.keys)}")
+    // the bitmap IS the file's cell set (one vector per cell here)
     assert(entries.forall { e =>
-      val (lo, hi) = e.cols("emb#cell"); hi - lo <= 8.0 })
-    // cell(id-vector) == id by construction: probe 3 cells -> few files
+      val (lo, hi) = e.cols("emb#cell")
+      java.lang.Long.bitCount(e.vcells("emb")) === (hi - lo + 1).toInt
+    })
+    val (cat, table) = vecCatalog(dir)
+    // the function agrees with the arithmetic expansion on every row
+    assert(spark.sql(s"SELECT count(*) FROM $table").head().getLong(0) === 64L)
+    val disagree = spark.table(table)
+      .filter(expr(s"$cat.graft_cell(emb)") =!= vecCellCol($"emb")).count()
+    assert(disagree === 0L, "graft_cell must equal the vecCellCol arithmetic row-for-row")
+    // cell(id-vector) == id by construction: a pushed 3-cell probe —
+    // NO scan option anywhere — returns exactly its cells
     val probe = Seq(5, 6, 7)
-    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
-      .option("vecCells", s"emb:${probe.mkString(",")}").load()
-    val got = t.filter(vecCellCol($"emb").isin(probe: _*))
-      .select($"id").collect().map(_.getLong(0)).sorted
-    assert(got.toSeq === Seq(5L, 6L, 7L), s"probe must return exactly its cells: ${got.toSeq}")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    val probed = t.select($"id")
-    probed.collect()
-    val planned = nodes(probed.queryExecution.executedPlan)
-      .collect { case b: BatchScanExec => b }
-      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
-      .toBatch.planInputPartitions().length
-    assert(planned <= 2,
-      s"a 3-cell probe over a 16-file cell-ranged layout must plan <= 2 files, got $planned")
-    // norm-band pruning: every vector here has norm sqrt(8*0.25) = ~1.414;
-    // a disjoint band plans zero files
-    val none = spark.read.format("graft-jsonl-stats").option("path", dir)
-      .option("vecNorm", "emb:9.0:10.0").load()
-    none.collect()
-    val planned0 = nodes(none.queryExecution.executedPlan)
-      .collect { case b: BatchScanExec => b }
-      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
-      .toBatch.planInputPartitions().length
-    assert(planned0 === 0, s"a disjoint norm band must plan zero files, got $planned0")
+    val probed = spark.sql(
+      s"SELECT id FROM $table WHERE $cat.graft_cell(emb) IN (${probe.mkString(",")})")
+    assert(probed.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 6L, 7L))
+    // planning law: planned files == files whose BITMAP holds a probed
+    // cell == true coverage (exactness — the r11 interval could only
+    // bound this from above)
+    val trueCover = entries.count(e => probe.exists(id => ((e.vcells("emb") >> id) & 1L) != 0L))
+    assert(plannedFiles(probed) === trueCover,
+      s"pushed-probe planning must equal exact bitmap coverage ($trueCover)")
+    // norm-band pruning through the pushed predicate: every vector
+    // here has norm sqrt(8*0.25) ~ 1.414; a disjoint band plans zero
+    val none = spark.sql(
+      s"SELECT id FROM $table WHERE $cat.graft_norm(emb) BETWEEN 9.0 AND 10.0")
+    assert(plannedFiles(none) === 0, "a disjoint norm band must plan zero files")
+    // ... and a covering band keeps everything but still filters rows
+    val all = spark.sql(
+      s"SELECT count(*) AS n FROM $table WHERE $cat.graft_norm(emb) <= 2.0")
+    assert(all.head().getLong(0) === 64L)
+  }
+
+  test("bitmap beats interval: scattered-cell files prune to true coverage (r12)") {
+    import graft.ext.SimilarityMath.vecCellCol
+    val dir = Files.createTempDirectory("typed_vec_scatter").toString
+    // adversarial layout for the r11 interval: file k holds cells
+    // {k, k+8, ..., k+56} (id % 8 routing), so every file's [min, max]
+    // interval spans nearly the whole domain while its true cell SET
+    // is 8 scattered values — the straddle shape VecStatsBench measured
+    // at 37.5% planned vs 11% true in r11
+    val df = spark.range(64).select($"id",
+      transform(sequence(lit(0), lit(7)),
+        j => when(j < lit(graft.sources.JsonlStats.VecCellBits) &&
+            ($"id" / pow(lit(2.0), j.cast("double"))).cast("long") % 2 === 1, lit(0.5f))
+          .otherwise(lit(-0.5f))).as("emb"))
+    df.repartition(8, $"id" % 8)
+      .sortWithinPartitions($"id")
+      .select($"id", $"emb")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val entries = JsonlStats.readStats(dir)
+    val (cat, table) = vecCatalog(dir)
+    val probe = Seq(3) // a single cell lives in exactly ONE file
+    // the r11 interval keeps every straddling file...
+    val intervalKept = entries.count(e => e.cols.get("emb#cell")
+      .forall { case (lo, hi) => probe.exists(id => lo <= id && id <= hi) })
+    assert(intervalKept > 1,
+      s"fixture must be the straddle shape the interval over-keeps (kept $intervalKept)")
+    // ...the bitmap plans exactly the one true file
+    val probed = spark.sql(
+      s"SELECT id FROM $table WHERE $cat.graft_cell(emb) = ${probe.head}")
+    assert(probed.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(plannedFiles(probed) === 1,
+      "the exact cell-set bitmap must prune a scattered layout to true coverage")
   }
 
   test("string-keyed map columns round-trip: the props bag, typed (r11)") {

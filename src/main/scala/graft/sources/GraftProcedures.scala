@@ -1174,6 +1174,15 @@ object GraftProcedures {
     // the sink ([[JsonlStats.vecNormOf]]/[[JsonlStats.vecCellOf]]).
     val vecNames: Array[String] = schema.fields
       .filter(f => JsonlStats.isVectorType(f.dataType)).map(f => physOf(f.name))
+    // nested leaf stats (r12): the collapse regenerates the per-leaf
+    // bounds too — JSON-byte navigation by path segments
+    val leafDefs: Array[JsonlStats.LeafRef] =
+      JsonlStats.structLeaves(schema, physOf).toArray
+    val leafMn = scala.collection.mutable.Map.empty[String, Double]
+    val leafMx = scala.collection.mutable.Map.empty[String, Double]
+    val leafCnt = scala.collection.mutable.Map.empty[String, Long]
+    val leafSMn = scala.collection.mutable.Map.empty[String, String]
+    val leafSMx = scala.collection.mutable.Map.empty[String, String]
     val vecNormMn = scala.collection.mutable.Map.empty[String, Double]
     val vecNormMx = scala.collection.mutable.Map.empty[String, Double]
     val vecCellMn = scala.collection.mutable.Map.empty[String, Int]
@@ -1308,6 +1317,30 @@ object GraftProcedures {
                 colCnt(c) += 1L
               }
             }
+            leafDefs.foreach { l =>
+              var v: com.fasterxml.jackson.databind.JsonNode = n
+              var k = 0
+              while (v != null && !v.isNull && k < l.names.length) {
+                v = v.get(l.names(k)); k += 1
+              }
+              if (v != null && !v.isNull) {
+                if (l.dt == StringType) {
+                  val s = v.asText()
+                  if (!leafSMn.contains(l.key) ||
+                    JsonlStats.strCompare(s, leafSMn(l.key)) < 0) leafSMn(l.key) = s
+                  if (!leafSMx.contains(l.key) ||
+                    JsonlStats.strCompare(s, leafSMx(l.key)) > 0) leafSMx(l.key) = s
+                } else {
+                  val d = v.asDouble()
+                  if (d.isNaN) { leafMn(l.key) = Double.MinValue; leafMx(l.key) = Double.MaxValue }
+                  else {
+                    if (d < leafMn.getOrElse(l.key, Double.PositiveInfinity)) leafMn(l.key) = d
+                    if (d > leafMx.getOrElse(l.key, Double.NegativeInfinity)) leafMx(l.key) = d
+                  }
+                }
+                leafCnt(l.key) = leafCnt.getOrElse(l.key, 0L) + 1L
+              }
+            }
             vecNames.foreach { c =>
               val v = n.get(c)
               if (v != null && v.isArray) {
@@ -1368,9 +1401,12 @@ object GraftProcedures {
     val cols = colMn.keySet.map(c => c -> (colMn(c), colMx(c))).toMap ++
       vecNormMn.keySet.map(c => s"$c#norm" -> (vecNormMn(c), vecNormMx(c))).toMap ++
       vecCellMn.keySet.map(c => s"$c#cell" ->
-        (vecCellMn(c).toDouble, vecCellMx(c).toDouble)).toMap
+        (vecCellMn(c).toDouble, vecCellMx(c).toDouble)).toMap ++
+      leafMn.keySet.map(k => k -> (leafMn(k), leafMx(k))).toMap
     val strCols = strMn.keySet.map(c =>
-      c -> (JsonlStats.truncLower(strMn(c)), JsonlStats.truncUpper(strMx(c)))).toMap
+      c -> (JsonlStats.truncLower(strMn(c)), JsonlStats.truncUpper(strMx(c)))).toMap ++
+      leafSMn.keySet.map(k => k -> (JsonlStats.truncLower(leafSMn(k)),
+        JsonlStats.truncUpper(leafSMx(k)))).toMap
     val (mn, mx) = cols.get(statsCol) match {
       case Some(b) => b
       case None => (Double.MinValue, Double.MaxValue) // all-null sentinel
@@ -1389,7 +1425,8 @@ object GraftProcedures {
     val carriedLuv =
       if (lin.frid >= 0L || lin.frid == -2L) lin.luv
       else lin.runs.map(_._4).foldLeft(0L)(math.max)
-    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols, colNonNull = colCnt.toMap,
+    JsonlStats.FileStats(out, mn, mx, rows, pkey, cols,
+      colNonNull = colCnt.toMap ++ leafCnt.toMap,
       strCols = strCols, ckpts = ckpts.toSeq,
       segb = zones.zones(ckpts.nonEmpty), pspec = pspec,
       frid = if (hadLineage) -2L else -1L, luv = carriedLuv,

@@ -924,6 +924,57 @@ object JsonlStats {
     case _ => false
   }
 
+  /** One prunable STRUCT LEAF (r12): `key` is the dotted path the
+    * pushed nested predicate names (`doc.n_chars` — physical top
+    * segment; nested names are declared verbatim, column mapping
+    * renames top-level columns only), `chain` the getStruct navigation
+    * (ordinal-in-parent, child field count) from the row to the leaf's
+    * parent, `idx`/`dt` the leaf ordinal and type. Leaves under arrays
+    * or maps are NOT enumerated — a per-element bound answers no
+    * predicate Spark pushes. */
+  final case class LeafRef(key: String, chain: Array[(Int, Int)], idx: Int,
+                           dt: org.apache.spark.sql.types.DataType,
+                           // the path as segments (physical top name +
+                           // declared nested names) — JSON-byte
+                           // navigation for the rewrite regenerator
+                           names: Array[String])
+
+  /** Enumerate every numeric/string leaf reachable through pure-struct
+    * nesting — the Iceberg leaf-field-bounds idea on this manifest:
+    * the writer records bounds per leaf path in the SAME cols/scols
+    * maps scalar columns use, so merge, pruning and serialization all
+    * ride the existing machinery. */
+  def structLeaves(schema: org.apache.spark.sql.types.StructType,
+                   physOf: String => String = identity): Seq[LeafRef] = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    def walk(segs: Vector[String], chain: Vector[(Int, Int)], st: StructType): Seq[LeafRef] =
+      st.fields.zipWithIndex.toSeq.flatMap { case (f, j) =>
+        f.dataType match {
+          case s: StructType =>
+            walk(segs :+ f.name, chain :+ ((j, s.fields.length)), s)
+          case dt if numericStatType(dt) || dt == StringType =>
+            val path = segs :+ f.name
+            Seq(LeafRef(path.mkString("."), chain.toArray, j, dt, path.toArray))
+          case _ => Nil
+        }
+      }
+    schema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+      f.dataType match {
+        case s: StructType =>
+          walk(Vector(physOf(f.name)), Vector((i, s.fields.length)), s)
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Physical image of a possibly-nested pushed-filter column name:
+    * column mapping renames the TOP segment only. */
+  def physPath(c: String, columnMapping: Map[String, String]): String = {
+    val i = c.indexOf('.')
+    if (i < 0) columnMapping.getOrElse(c, c)
+    else columnMapping.getOrElse(c.take(i), c.take(i)) + c.substring(i)
+  }
+
   /** THE sign-cell derivation (r12): the 6-bit sign pattern of the
     * first [[VecCellBits]] elements (null element → 0.0, strict `> 0`,
     * NaN → bit clear). One definition consulted by the file sink, the

@@ -3063,6 +3063,41 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q285 (r12): NESTED LEAF STATISTICS — the multimodal corpus
+    * clustered by LANGUAGE, sliced by a nested-field predicate. The
+    * writer records numeric/string bounds per pure-struct leaf path
+    * (`doc.lang`, `doc.n_chars`) in the same cols/scols maps scalar
+    * columns use; a pushed `doc.lang = 'de'` predicate (a dotted
+    * FieldReference through the V2 pushdown) prunes the lang-ranged
+    * layout to the language's files at PLANNING time
+    * (TypedColumnsSpec pins the planned-file fraction). This closes
+    * the r11 residual where struct columns carried no stats at all —
+    * at 100 TB the per-language curation slice reads one language's
+    * files, not the corpus. The oracle recomputes the slice from raw
+    * parquet. */
+  def nestedLeafSlice(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_mm_bylang")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.documents(spark, d)
+        .select($"doc_id",
+          struct($"lang", struct($"n_chars", $"source").as("meta")).as("doc"))
+        .repartitionByRange(8, $"doc.lang", $"doc_id")
+        .sortWithinPartitions($"doc.lang", $"doc_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("overwrite").save()
+    }
+    spark.read.format("graft-jsonl-stats").option("path", dir).load()
+      .filter($"doc.lang" === "de" && $"doc.meta.n_chars" >= 100)
+      .groupBy($"doc.lang".as("lang"), $"doc.meta.source".as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum($"doc.meta.n_chars").as("chars"),
+        min($"doc_id").as("lo_id"), max($"doc_id").as("hi_id"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3151,6 +3186,7 @@ object JsonlStatsQueries extends QueryModule {
     "q282_multimodal_corpus" -> multimodalCorpus,
     "q283_norm_band_radius" -> normBandRadius,
     "q284_daily_layout_scan" -> dailyLayoutScan,
+    "q285_nested_leaf_slice" -> nestedLeafSlice,
   )
 
   val oracles = Map(
@@ -3470,6 +3506,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q285_nested_leaf_slice" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS lo_id, max(doc_id) AS hi_id
+        |FROM documents
+        |WHERE lang = 'de' AND n_chars >= 100
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "q283_norm_band_radius" ->
       """WITH per AS (
         |  SELECT doc_id,

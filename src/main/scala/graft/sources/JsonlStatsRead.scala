@@ -789,13 +789,15 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         // per-column bounds (legacy stats interval as statsCol fallback);
         // a column with no recorded bounds never prunes — conservative.
         // Filter columns are LOGICAL; the stats keys physical (r7c).
+        // Nested leaf paths (r12, `doc.n_chars`) resolve through
+        // physPath — column mapping renames the top segment only.
         JsonlStats.skipColumn(f)
-          .flatMap(c => JsonlStats.colBounds(s, columnMapping.getOrElse(c, c), statsCol))
+          .flatMap(c => JsonlStats.colBounds(s, JsonlStats.physPath(c, columnMapping), statsCol))
           .forall { case (mn, mx) => JsonlStats.intervalMayMatch(f, mn, mx) } &&
         // string bounds (r8): truncated min/max with the one-sided
         // invariants — same absence-is-conservative rule
         JsonlStats.strSkipColumn(f)
-          .flatMap(c => s.strCols.get(columnMapping.getOrElse(c, c)))
+          .flatMap(c => s.strCols.get(JsonlStats.physPath(c, columnMapping)))
           .forall { case (lo, hi) => JsonlStats.strIntervalMayMatch(f, lo, hi) }
       })
       // row lineage (r10): `_last_updated_version` predicates prune at

@@ -688,6 +688,24 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val strMn = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
   private val strMx = new Array[org.apache.spark.unsafe.types.UTF8String](strIdx.length)
   private val strCnt = Array.fill(strIdx.length)(0L)
+  // nested leaf statistics (r12, the Iceberg leaf-field-bounds idea):
+  // numeric/string bounds per pure-struct leaf path, tracked into the
+  // SAME cols/scols maps as scalar columns under dotted keys
+  // (`doc.n_chars`) — merge, serialization and pruning all ride the
+  // existing machinery; pushed nested predicates name exactly these
+  // paths. Leaves under arrays/maps are not enumerated.
+  private val leafRefs: Array[JsonlStats.LeafRef] = {
+    val topPhys = writeSchema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> physOf(i) }.toMap
+    JsonlStats.structLeaves(writeSchema, n => topPhys(n)).toArray
+  }
+  private val leafMn = scala.collection.mutable.Map.empty[String, Double]
+  private val leafMx = scala.collection.mutable.Map.empty[String, Double]
+  private val leafCnt = scala.collection.mutable.Map.empty[String, Long]
+  private val leafSMn =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.unsafe.types.UTF8String]
+  private val leafSMx =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.unsafe.types.UTF8String]
   // vector stats (r11): L2-norm and sign-cell bounds for every
   // top-level float/double array — always on (one multiply-add per
   // element, noise against the JSON encode), published as derived
@@ -815,6 +833,38 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       si += 1
     }
+    var li = 0
+    while (li < leafRefs.length) {
+      val l = leafRefs(li)
+      // navigate the struct chain; a null anywhere on the way means
+      // the leaf is absent for this row (counts as null — tracked
+      // bounds stay attained-only, the conservatism TypedColumnsSpec
+      // pins for null/absent leaves)
+      var g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters = row
+      var ok = true
+      var k = 0
+      while (ok && k < l.chain.length) {
+        val (ord, n) = l.chain(k)
+        if (g.isNullAt(ord)) ok = false else g = g.getStruct(ord, n)
+        k += 1
+      }
+      if (ok && !g.isNullAt(l.idx)) {
+        if (l.dt == StringType) {
+          val v = g.getUTF8String(l.idx).clone()
+          if (!leafSMn.contains(l.key) || v.compareTo(leafSMn(l.key)) < 0) leafSMn(l.key) = v
+          if (!leafSMx.contains(l.key) || v.compareTo(leafSMx(l.key)) > 0) leafSMx(l.key) = v
+        } else {
+          val v = JsonlStats.numericStatValue(l.dt, g, l.idx)
+          if (v.isNaN) { leafMn(l.key) = Double.MinValue; leafMx(l.key) = Double.MaxValue }
+          else {
+            if (v < leafMn.getOrElse(l.key, Double.PositiveInfinity)) leafMn(l.key) = v
+            if (v > leafMx.getOrElse(l.key, Double.NegativeInfinity)) leafMx(l.key) = v
+          }
+        }
+        leafCnt(l.key) = leafCnt.getOrElse(l.key, 0L) + 1L
+      }
+      li += 1
+    }
     var vi = 0
     while (vi < vecIdx.length) {
       val i = vecIdx(vi)
@@ -889,19 +939,25 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     }.toMap ++ vecIdx.indices.collect {
       case vi if vecCellMn(vi) <= vecCellMx(vi) =>
         s"${physOf(vecIdx(vi))}#cell" -> (vecCellMn(vi).toDouble, vecCellMx(vi).toDouble)
-    }.toMap
+    }.toMap ++
+      // nested leaf bounds (r12) under their dotted paths
+      leafMn.keySet.map(k => k -> (leafMn(k), leafMx(k))).toMap
     // non-null counts for EVERY column, numeric and string, including
     // all-null ones (a zero count is knowledge — COUNT(col) pushdown
     // serves it as 0)
     val colN = numIdx.indices.map(ci => physOf(numIdx(ci)) -> colCnt(ci)).toMap ++
-      strIdx.indices.map(si => physOf(strIdx(si)) -> strCnt(si)).toMap
+      strIdx.indices.map(si => physOf(strIdx(si)) -> strCnt(si)).toMap ++
+      leafCnt.toMap // nested leaf non-null counts (r12)
     // string bounds, truncated at publish time (Iceberg law: lower
     // truncates down, upper truncates up or goes unknown)
     val strCols = strIdx.indices.collect {
       case si if strMn(si) != null =>
         physOf(strIdx(si)) -> (JsonlStats.truncLower(strMn(si).toString),
           JsonlStats.truncUpper(strMx(si).toString))
-    }.toMap
+    }.toMap ++
+      // nested string leaves (r12), same truncation law
+      leafSMn.keySet.map(k => k -> (JsonlStats.truncLower(leafSMn(k).toString),
+        JsonlStats.truncUpper(leafSMx(k).toString))).toMap
     val segZones = zones.zones(ckpts.nonEmpty)
     // exact cell sets (r12): published iff the column saw at least one
     // non-null vector — same condition as its `#cell` bounds

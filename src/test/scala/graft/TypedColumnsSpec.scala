@@ -347,6 +347,72 @@ class TypedColumnsSpec extends SparkSpec {
     assert(all.head().getLong(0) === 64L)
   }
 
+  test("nested leaf statistics: struct-field predicates prune files; null/absent leaves stay conservative (r12)") {
+    val dir = Files.createTempDirectory("typed_leafstats").toString
+    // 160 docs in 8 id-ranged files; doc.n_chars tracks id, doc.meta.lang
+    // cycles en/de/fr in id-order runs so both leaf depths get bounds
+    val df = spark.range(160).select($"id",
+      struct(
+        ($"id" * 10).as("n_chars"),
+        struct(
+          element_at(array(lit("de"), lit("en"), lit("fr")),
+            (($"id" / lit(54)).cast("int") + 1)).as("lang")).as("meta")).as("doc"))
+    df.repartitionByRange(8, $"id").sortWithinPartitions($"id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").mode("overwrite").save()
+    // the manifest carries per-leaf bounds under dotted paths
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.cols.contains("doc.n_chars")),
+      s"numeric leaf bounds missing: ${entries.map(_.cols.keys)}")
+    assert(entries.forall(_.strCols.contains("doc.meta.lang")),
+      s"string leaf bounds missing: ${entries.map(_.strCols.keys)}")
+    val back = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // numeric leaf range: first quarter of ids -> 2 of 8 files
+    val probe = back.filter($"doc.n_chars" < 400)
+    assert(probe.count() === 40L)
+    assert(plannedFiles(back.filter($"doc.n_chars" < 400)) === 2,
+      "a doc.n_chars < 400 predicate must plan 2 of 8 files")
+    // string leaf equality: 'fr' lives in the id >= 108 run -> a suffix
+    // of the ranged files (id-order runs of 54)
+    val fr = back.filter($"doc.meta.lang" === "fr")
+    assert(fr.count() === 52L)
+    val frPlanned = plannedFiles(back.filter($"doc.meta.lang" === "fr"))
+    assert(frPlanned <= 4, s"a leaf language slice must prune, planned $frPlanned of 8")
+    // null-struct / absent-leaf conservatism: rows whose doc is null
+    // carry no leaf values; the file records attained-only bounds and
+    // the predicate still answers from the ROWS, never the gap
+    val dir2 = Files.createTempDirectory("typed_leafnull").toString
+    spark.range(10).select($"id",
+      when($"id" < 5, struct(($"id" * 10).as("n_chars"))).as("doc"))
+      .coalesce(1).write.format("graft-jsonl-stats").option("path", dir2)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val e2 = JsonlStats.readStats(dir2)
+    assert(e2.head.cols("doc.n_chars") === ((0.0, 40.0)),
+      "attained-only bounds over the non-null leaves")
+    assert(e2.head.colNonNull("doc.n_chars") === 5L,
+      "leaf non-null count excludes null-struct rows")
+    val b2 = spark.read.format("graft-jsonl-stats").option("path", dir2).load()
+    assert(b2.filter($"doc.n_chars" >= 30).count() === 2L)
+    assert(b2.filter($"doc".isNull).count() === 5L)
+    // ...and the leaf bounds survive the collapse (rewrite_deletes
+    // regenerates them like every other stat)
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    val cat = "graft_leaf_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val t = java.nio.file.Paths.get(dir).getFileName.toString
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE id % 20 = 3")
+    spark.sql(s"CALL $cat.rewrite_deletes('$t')").collect()
+    val e3 = JsonlStats.readStats(dir)
+    assert(e3.forall(e => e.cols.contains("doc.n_chars") &&
+      e.strCols.contains("doc.meta.lang")),
+      s"the collapse must regenerate leaf bounds: ${e3.map(_.cols.keys)}")
+    assert(plannedFiles(spark.table(s"$cat.`$t`").filter($"doc.n_chars" < 400)) === 2,
+      "leaf pruning must survive rewrite_deletes")
+  }
+
   test("bitmap beats interval: scattered-cell files prune to true coverage (r12)") {
     import graft.ext.SimilarityMath.vecCellCol
     val dir = Files.createTempDirectory("typed_vec_scatter").toString

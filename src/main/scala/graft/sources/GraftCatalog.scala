@@ -342,7 +342,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val dir = dirOf(ident)
     if (!java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
       throw new NoSuchTableException(ident)
-    val meta = JsonlStats.readTableMeta(dir.toString)
+    val meta0 = JsonlStats.readTableMeta(dir.toString)
+    var meta = meta0
     var schema = meta.schema.getOrElse(JsonlStats.schema)
     var constraints = meta.constraints
     var mapping = meta.columnMapping
@@ -515,6 +516,46 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           mapping = mapping - col
           reserved = (reserved :+ physical).distinct
         }
+      // ALTER TABLE ... SET TBLPROPERTIES (r12): the SQL route to the
+      // TableMeta slots the engine's own queries used to poke through
+      // writeTableMeta directly. Known properties route to their
+      // slots with the same validation DDL applies elsewhere; an
+      // unknown property REFUSES (a typo'd 'deleteMode' must not
+      // silently become an inert bag entry). Layout-contract
+      // properties (statsColumn, partitionColumn) refuse with a
+      // pointer to the operation that CAN change them.
+      case set: TableChange.SetProperty => (set.property(), set.value()) match {
+        case ("deleteMode", v) =>
+          require(v == "copy-on-write" || v == "merge-on-read",
+            s"deleteMode must be copy-on-write | merge-on-read, got '$v'")
+          meta = meta.copy(deleteMode = Some(v))
+        case ("sortColumn", v) =>
+          require(schema.fieldNames.contains(v),
+            s"sortColumn '$v' is not a column of ${schema.fieldNames.mkString(", ")}")
+          meta = meta.copy(sortCol = Some(v))
+        case ("gramColumn", v) =>
+          require(schema.fields.exists(f => f.name == v && f.dataType == StringType),
+            s"gramColumn '$v' must be an existing string column")
+          // declaring the column arms FUTURE writes; existing files
+          // have no sidecar and stay conservatively unpruned until
+          // CALL build_gram_index backfills them
+          meta = meta.copy(gramCol = Some(v))
+        case ("statsColumn" | "partitionColumn", _) =>
+          throw new UnsupportedOperationException(
+            s"$catName: ${set.property()} is the physical layout contract — " +
+              "set it at CREATE, or CALL evolve_partition_spec for the partition transform")
+        case (p, _) => throw new IllegalArgumentException(
+          s"$catName: unknown table property '$p' — settable: deleteMode, " +
+            "sortColumn, gramColumn")
+      }
+      case rm: TableChange.RemoveProperty => rm.property() match {
+        case "deleteMode" => meta = meta.copy(deleteMode = None)
+        case "sortColumn" => meta = meta.copy(sortCol = None)
+        case "gramColumn" => meta = meta.copy(gramCol = None)
+        case p => throw new IllegalArgumentException(
+          s"$catName: unknown table property '$p' — unsettable: deleteMode, " +
+            "sortColumn, gramColumn")
+      }
       case other => throw new UnsupportedOperationException(
         s"$catName: unsupported ALTER $other — retype reinterprets existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")

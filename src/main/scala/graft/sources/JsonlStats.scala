@@ -105,13 +105,18 @@ class JsonlStats extends TableProvider with DataSourceRegister {
         java.nio.file.Paths.get(properties.get("path"), Refs.branchManifest(b))),
         s"no such branch '$b' of ${properties.get("path")} (create_branch first)")
     }
+    // declared layout columns resolve from the option OR the table
+    // sidecar (r12, ADVICE-shaped symmetry with gramColumn/sortColumn
+    // below): a plain path read of a keyed/bloomed table prunes and
+    // SPJ-groups without re-passing what is already a stored property.
     new JsonlStatsTable(properties.get("path"), schema,
-      opts.getOrDefault("statsColumn", JsonlStats.statsColumn),
-      Option(opts.get("partitionColumn")),
+      Option(opts.get("statsColumn")).orElse(meta0.flatMap(_.statsCol))
+        .getOrElse(JsonlStats.statsColumn),
+      Option(opts.get("partitionColumn")).orElse(meta0.flatMap(_.partitionCol)),
       branch.map(Refs.branchManifest)
         .getOrElse(opts.getOrDefault("manifest", "_stats.jsonl")),
-      Option(opts.get("bloomColumn")),
-      Option(opts.get("deleteMode")),
+      Option(opts.get("bloomColumn")).orElse(meta0.flatMap(_.bloomCol)),
+      Option(opts.get("deleteMode")).orElse(meta0.flatMap(_.deleteMode)),
       mapping,
       // gram index resolves from the option OR the table sidecar — a
       // plain path read of an indexed table skips without being told

@@ -2965,10 +2965,10 @@ object JsonlStatsQueries extends QueryModule {
          |  e.embedding
          |FROM mm_docs_src d JOIN mm_embs_src e ON d.doc_id = e.vec_id
          |ORDER BY d.doc_id""".stripMargin)
-    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"),
-      "jsonl_mm_corpus").toString
-    val m0 = JsonlStats.readTableMeta(dir)
-    JsonlStats.writeTableMeta(dir, m0.copy(deleteMode = Some("merge-on-read")))
+    // the SQL route (r12): deleteMode is an ALTER TABLE property now —
+    // what a SQL-only user can do, not an engine-internal sidecar poke
+    spark.sql(s"ALTER TABLE $cat.jsonl_mm_corpus " +
+      "SET TBLPROPERTIES ('deleteMode' = 'merge-on-read')")
     spark.sql(s"DELETE FROM $cat.jsonl_mm_corpus WHERE n_chars < 200")
     spark.sql(
       s"""SELECT doc.lang AS lang, count(*) AS n,
@@ -3051,8 +3051,10 @@ object JsonlStatsQueries extends QueryModule {
         .option("partitionColumn", "days(ts)")
         .mode("overwrite").save()
     }
-    val t = spark.read.format("graft-jsonl-stats").option("path", dir)
-      .option("partitionColumn", "days(ts)").load()
+    // no read-side option (r12): `days(ts)` is a STORED table property
+    // — the plain path read resolves it from the sidecar, so layout
+    // pruning is table contract, not caller discipline
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir).load()
     t.createOrReplaceTempView("events_daily")
     spark.sql(
       """SELECT event_type, count(*) AS n,

@@ -693,6 +693,83 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES routes known properties; unknown refuse (r12)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.props_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.props_spec AS
+         |SELECT event_id, user_id, event_type, value
+         |FROM $cat.jsonl_stats_table ORDER BY event_id""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "props_spec").toString
+    // deleteMode round-trips AND is honored by the next DML
+    spark.sql(s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('deleteMode'='merge-on-read')")
+    assert(JsonlStats.readTableMeta(dir).deleteMode === Some("merge-on-read"))
+    val victim = spark.table(s"$cat.props_spec").select(min($"event_id")).head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.props_spec WHERE event_id = $victim")
+    assert(JsonlStats.readStats(dir).exists(_.dvs.nonEmpty),
+      "a DELETE after SET deleteMode=merge-on-read must mask, not rewrite")
+    // sortColumn/gramColumn validate against the schema
+    spark.sql(s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('sortColumn'='value')")
+    assert(JsonlStats.readTableMeta(dir).sortCol === Some("value"))
+    spark.sql(s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('gramColumn'='event_type')")
+    assert(JsonlStats.readTableMeta(dir).gramCol === Some("event_type"))
+    val badGram = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('gramColumn'='value')"))
+    assert(badGram.getMessage.contains("string column"), badGram.getMessage)
+    // UNSET clears the slot
+    spark.sql(s"ALTER TABLE $cat.props_spec UNSET TBLPROPERTIES ('deleteMode')")
+    assert(JsonlStats.readTableMeta(dir).deleteMode === None)
+    // a typo must refuse, never become an inert bag entry
+    val unk = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('deletMode'='merge-on-read')"))
+    assert(unk.getMessage.contains("unknown table property"), unk.getMessage)
+    // layout-contract properties refuse with the operation that can
+    val lay = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('partitionColumn'='event_type')"))
+    assert(lay.getMessage.contains("layout contract"), lay.getMessage)
+    // bad deleteMode value refuses
+    val badDm = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.props_spec SET TBLPROPERTIES ('deleteMode'='maybe')"))
+    assert(badDm.getMessage.contains("copy-on-write | merge-on-read"), badDm.getMessage)
+  }
+
+  test("path reads resolve statsColumn/partitionColumn from the stored sidecar (r12)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("meta_fallback").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .repartitionByRange(4, $"ts").sortWithinPartitions($"ts")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "event_id").option("partitionColumn", "days(ts)")
+      .mode("overwrite").save()
+    // a PLAIN read — no options — must prune a day window through the
+    // stored days(ts) property (pre-r12 it required re-passing the
+    // option, making layout pruning caller discipline)
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    val probe = t.filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")) &&
+      $"ts" < lit(java.sql.Timestamp.valueOf("2024-01-13 00:00:00")))
+    val rows = probe.count()
+    assert(rows > 0, "fixture must cover the probed day")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    probe.collect()
+    val planned = nodes(probe.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.JsonlStatsScan]
+      .toBatch.planInputPartitions().length
+    val total = JsonlStats.readStats(dir).size
+    assert(planned < total,
+      s"a one-day window must prune the daily layout without a read-side option " +
+        s"($planned of $total)")
+  }
+
   test("q203: CHECK constraints — violating writes fail before the commit; DDL round-trips (r7c)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

@@ -41,9 +41,15 @@ import scala.jdk.CollectionConverters._
 object GraftProcedures {
 
   /** One compaction bin: member data files (relative names) → the
-    * merged output file, with its ready-made manifest entry. */
+    * merged output file, with its ready-made manifest entry.
+    * `matLineages` (r12): present when the bin's run list crossed
+    * [[JsonlStats.MaxRunsPerEntry]] — the copy job then SPLICES each
+    * member's manifest lineage in-row (one `Lineage` per member, in
+    * order) instead of a pure byte concat, and the entry declares
+    * frid = -2 with no runs. */
   private final case class Bin(members: Seq[String], out: String,
-                               entry: JsonlStats.FileStats)
+                               entry: JsonlStats.FileStats,
+                               matLineages: Option[Seq[JsonlStats.Lineage]] = None)
 
   class CompactUnbound(root: String) extends UnboundProcedure {
     override def name(): String = "compact"
@@ -1478,7 +1484,18 @@ object GraftProcedures {
             case i  => val (g, tot) = groups(i); g += ((s, b)); groups(i) = (g, tot + b)
           }
         }
-        groups.filter(_._1.size >= 2).map { case (g, _) =>
+        groups.filter(_._1.size >= 2).map { case (g0, _) =>
+          // bin membership is packed big-first, but the CONCAT order
+          // within a bin is free — order by first row id (r12) so
+          // same-commit neighbors land position-contiguous and their
+          // runs coalesce; unstamped/materialized members follow by
+          // file name (any order is correct, this one compresses)
+          val g = g0.sortBy { case (m, _) =>
+            val firstId =
+              if (m.frid >= 0L) m.frid
+              else m.runs.filter(_._2 >= 0L).map(_._2).minOption.getOrElse(Long.MaxValue)
+            (firstId, m.file)
+          }
           val members = g.map(_._1).toSeq
           val out = f"part-compact-$runId-$binSeq%05d.jsonl"
           binSeq += 1
@@ -1567,7 +1584,7 @@ object GraftProcedures {
           // member contributes nothing (its rows never had ids); the
           // merged entry still declares `frids` so the commit never
           // re-stamps rows whose neighbors hold assigned ids.
-          val mergedRuns = g.toSeq.zip(offs).flatMap { case ((m, _), (_, ro)) =>
+          val mergedRuns0 = g.toSeq.zip(offs).flatMap { case ((m, _), (_, ro)) =>
             if (m.frid >= 0L) Seq((ro, m.frid, m.rows, m.luv))
             // luv-only run (r12, ADVICE r11 high): a materialized
             // member whose ENTRY carried a luv backs its null-luv rows
@@ -1578,27 +1595,52 @@ object GraftProcedures {
             else if (m.frid == -2L && m.luv > 0L) Seq((ro, -1L, m.rows, m.luv))
             else m.runs.map(r => (ro + r._1, r._2, r._3, r._4))
           }
+          // run-list hygiene (r12): same-commit neighbors coalesce
+          // (contiguous positions + consecutive ids + one luv); a list
+          // still past the ceiling trips the MATERIALIZE path — the
+          // copy job splices lineage in-row and the entry stays O(1)
+          // instead of accreting one run per member per generation
+          // (LineageDeepBench's kilocommit bloat).
+          val mergedRuns = JsonlStats.coalesceRuns(mergedRuns0)
+          val materialize = mergedRuns.size > JsonlStats.MaxRunsPerEntry
           // an ALL-materialized bin produces no runs — the entry must
           // still declare in-row lineage (frid = -2) or the commit
           // would re-stamp it and override every row's carried id
           // (r10 review)
           val mergedFrid =
-            if (mergedRuns.isEmpty && members.exists(_.frid == -2L)) -2L else -1L
-          Bin(members.map(_.file), out,
-            JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
-              colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
-              segb = mergedSegB, pspec = pspec, seq = seq,
-              frid = mergedFrid, runs = mergedRuns, vcells = mergedV))
+            if (materialize || (mergedRuns.isEmpty && members.exists(_.frid == -2L))) -2L
+            else -1L
+          if (!materialize)
+            Bin(members.map(_.file), out,
+              JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
+                colNonNull = mergedN, strCols = mergedS, ckpts = mergedK,
+                segb = mergedSegB, pspec = pspec, seq = seq,
+                frid = mergedFrid, runs = mergedRuns, vcells = mergedV))
+          else
+            // the splice shifts byte offsets, so checkpoint/zone pairs
+            // are dropped (conservative: whole-file tasks until the
+            // next rewrite regenerates them); row-content stats are
+            // untouched — lineage fields are provenance, not data
+            Bin(members.map(_.file), out,
+              JsonlStats.FileStats(out, mn, mx, members.map(_.rows).sum, pkey, mergedCols,
+                colNonNull = mergedN, strCols = mergedS, ckpts = Nil,
+                segb = Nil, pspec = pspec, seq = seq,
+                frid = -2L, runs = Nil, vcells = mergedV),
+              matLineages = Some(members.map(JsonlStats.Lineage.of)))
         }
     }
     if (bins.isEmpty) return (stats.size, stats.size, 0)
     // bins copy in parallel as one job — a metadata-bounded maintenance
     // task list, each task a streaming byte concat on shared storage
     val rootCopy = tableRoot
-    val work = bins.map(b => (b.members, b.out))
+    val work = bins.map(b => (b.members, b.out, b.matLineages))
     SparkSession.active.sparkContext
       .parallelize(work, math.min(work.size, 32))
-      .foreach { case (members, out) => GraftProcedures.concatFiles(rootCopy, members, out) }
+      .foreach {
+        case (members, out, None) => GraftProcedures.concatFiles(rootCopy, members, out)
+        case (members, out, Some(lins)) =>
+          GraftProcedures.concatMaterialize(rootCopy, members.zip(lins), out)
+      }
     // OCC rewrite (r8): every bin member's planned entry must survive
     // verbatim — a DV attached to a member since planning would have
     // its masked rows resurrected by the byte concat, so that
@@ -1802,6 +1844,84 @@ object GraftProcedures {
         override def description(): String = s"fast_forward_all ${legs.size} legs"
       }).iterator()
     }
+  }
+
+  /** Splice-concat for runaway-run bins (r12): like [[concatFiles]],
+    * but each member's manifest lineage MATERIALIZES in-row as it
+    * streams — stamped ids/luvs land as the `_row_id`/`_luv` prefix
+    * (the rewriteOneFile splice), and null-luv materialized rows get
+    * their backing fallback luv written into the bytes. The merged
+    * entry then declares frid = -2 with ZERO runs, whatever the bin's
+    * member count — the manifest stays O(1) per entry while compaction
+    * cadence grows unbounded. Costs one JSON parse only for rows that
+    * might need the fallback splice; stamped rows pay a string prefix. */
+  private[sources] def concatMaterialize(tableRoot: String,
+      members: Seq[(String, JsonlStats.Lineage)], out: String): Unit = {
+    val dest = Paths.get(tableRoot, out)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val os = Files.newBufferedWriter(dest)
+    try {
+      members.foreach { case (m, lin) =>
+        val in = Files.newBufferedReader(Paths.get(tableRoot, m))
+        // monotone run cursor (the rewriteOneFile discipline): positions
+        // stream in increasing order, so the lookup is O(1) amortized —
+        // the bins that trip this path are exactly the many-run ones
+        val linRuns: Array[(Long, Long, Long, Long)] = lin.runs.sortBy(_._1).toArray
+        var linIdx = 0
+        def runAt(p: Long): Int = {
+          if (linRuns.isEmpty) -1
+          else {
+            while (linIdx < linRuns.length && p >= linRuns(linIdx)._1 + linRuns(linIdx)._3)
+              linIdx += 1
+            if (linIdx < linRuns.length && p >= linRuns(linIdx)._1) linIdx else -1
+          }
+        }
+        try {
+          var pos = -1L
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty && line != "\r") {
+              pos += 1
+              val ri = if (lin.frid >= 0L) -1 else runAt(pos)
+              val luvOnly = ri >= 0 && linRuns(ri)._2 == -1L
+              val rid =
+                if (lin.frid >= 0L) lin.frid + pos
+                else if (ri >= 0 && !luvOnly) linRuns(ri)._2 + (pos - linRuns(ri)._1)
+                else -1L
+              val rluv =
+                if (lin.frid >= 0L) lin.luv
+                else if (ri >= 0 && !luvOnly) linRuns(ri)._4
+                else -1L
+              val outLine =
+                if (rid >= 0L && line.startsWith("{")) {
+                  val pre =
+                    s"""{"${JsonlStats.RowIdMeta}":$rid,"${JsonlStats.LuvField}":$rluv"""
+                  if (line.length > 2) pre + "," + line.substring(1) else pre + "}"
+                } else {
+                  val back =
+                    if (lin.frid == -2L) lin.luv
+                    else if (luvOnly) linRuns(ri)._4
+                    else 0L
+                  if (back > 0L) {
+                    // a materialized member with an entry luv / a
+                    // luv-only run: splice the fallback into null-luv
+                    // rows so it survives without any manifest carrier
+                    val n = mapper.readTree(line)
+                    if (n.hasNonNull(JsonlStats.RowIdMeta) &&
+                        !n.hasNonNull(JsonlStats.LuvField)) {
+                      n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                        .put(JsonlStats.LuvField, back)
+                      mapper.writeValueAsString(n)
+                    } else line
+                  } else line
+                }
+              os.write(outLine); os.write('\n')
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+    } finally os.close()
   }
 
   private[sources] def concatFiles(tableRoot: String, members: Seq[String], out: String): Unit = {

@@ -193,21 +193,48 @@ object JsonlStats {
     * answer lives in-row). */
   final case class Lineage(frid: Long = -1L, luv: Long = 0L,
                            runs: Seq[(Long, Long, Long, Long)] = Nil) {
+    /** -1 on luv-only runs (firstId = -1, r12): ids live in-row there. */
     def rowIdAt(pos: Long): Long =
       if (frid >= 0L) frid + pos
       else if (runs.nonEmpty)
         runs.find(r => pos >= r._1 && pos < r._1 + r._3)
-          .map(r => r._2 + (pos - r._1)).getOrElse(-1L)
+          .map(r => if (r._2 == -1L) -1L else r._2 + (pos - r._1)).getOrElse(-1L)
       else -1L
     def luvAt(pos: Long): Long =
       if (frid >= 0L) luv
       else if (runs.nonEmpty)
         runs.find(r => pos >= r._1 && pos < r._1 + r._3).map(_._4).getOrElse(-1L)
       else -1L
+    /** The luv backing null-luv MATERIALIZED rows at `pos` (the
+      * entry-luv / luv-only-run fallback, r12). 0 = none. */
+    def backLuvAt(pos: Long): Long =
+      if (frid == -2L) luv
+      else runs.find(r => pos >= r._1 && pos < r._1 + r._3 && r._2 == -1L)
+        .map(_._4).getOrElse(0L)
   }
   object Lineage {
     def of(s: FileStats): Lineage = Lineage(s.frid, s.luv, s.runs)
   }
+
+  /** Coalesce adjacent lineage runs (r12): contiguous positions, same
+    * luv, and consecutive ids (or both luv-only) merge into one run —
+    * a rolling-compaction product of same-commit neighbors stops
+    * accreting one run per member. Sorted by start position. */
+  def coalesceRuns(runs: Seq[(Long, Long, Long, Long)]): Seq[(Long, Long, Long, Long)] =
+    runs.sortBy(_._1).foldLeft(Vector.empty[(Long, Long, Long, Long)]) { (acc, r) =>
+      acc.lastOption match {
+        case Some(p) if p._1 + p._3 == r._1 && p._4 == r._4 &&
+            ((p._2 == -1L && r._2 == -1L) || (p._2 >= 0L && r._2 == p._2 + p._3)) =>
+          acc.init :+ ((p._1, p._2, p._3 + r._3, p._4))
+        case _ => acc :+ r
+      }
+    }
+
+  /** Run-count ceiling per manifest entry (r12): past this, compact
+    * MATERIALIZES the bin's lineage in-row instead of publishing a
+    * runaway run list — manifest entries stay O(1) regardless of
+    * compaction cadence (LineageDeepBench's kilocommit law). */
+  val MaxRunsPerEntry = 32
 
   /** Manifest entry: data file path (relative to the table root), its
     * closed [min, max] interval over [[statsColumn]], its row count,

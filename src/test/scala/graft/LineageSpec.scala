@@ -479,6 +479,56 @@ class LineageSpec extends SparkSpec {
       "the commit must not re-stamp a bin whose ids live in its rows")
   }
 
+  test("adjacent same-commit runs coalesce: one run per commit, not per member (r12)") {
+    // scratch writes FOUR files in ONE commit: same luv, densely
+    // consecutive ids across file boundaries — the compaction product
+    // must publish ONE coalesced run, not four
+    val (cat, t, dir) = scratch("coalesce")
+    val before = idsOf(cat, t)
+    assert(JsonlStats.readStats(dir).size === 4)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size === 1 && entries.head.runs.size === 1,
+      s"four same-commit members must coalesce to one run: ${entries.head.runs}")
+    assert(idsOf(cat, t) === before, "coalescing is pure arithmetic — no id moves")
+  }
+
+  test("run-count ceiling: a runaway bin MATERIALIZES lineage in-row; versions exact (r12)") {
+    // one file per COMMIT (distinct luv every time) — the shape rolling
+    // compaction accretes: pre-r12 each generation's entry grew one run
+    // per member, linear in cadence. Past MaxRunsPerEntry the bin now
+    // splices ids+luvs into the bytes and publishes frid = -2, zero runs.
+    val dir = Files.createTempDirectory("lineage_ceiling").toString
+    val n = JsonlStats.MaxRunsPerEntry + 3
+    (0 until n).foreach { j =>
+      Seq((j.toLong, j.toLong, s"c$j", j.toDouble))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1)
+        .write.format("graft-jsonl-stats").option("path", dir)
+        .option("statsColumn", "event_id")
+        .mode(if (j == 0) "overwrite" else "append").save()
+    }
+    val cat = "graft_ceil_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", Paths.get(dir).getParent.toString)
+    val t = Paths.get(dir).getFileName.toString
+    val before = idsOf(cat, t)
+    // the fixture really would have blown the ceiling: n distinct luvs
+    assert(before.values.map(_._2).toSet.size === n)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.size === 1 && entries.head.frid === -2L && entries.head.runs.isEmpty,
+      s"past the ceiling the entry must hold ZERO runs: ${entries.map(e => (e.frid, e.runs.size))}")
+    assert(idsOf(cat, t) === before,
+      "every (id, version) must survive the splice bit-for-bit — versions are per-commit")
+    // and the bytes really carry them (no manifest carrier left):
+    // append j landed at version j+1, so the event_id = n-1 row holds
+    // _luv = n in its own bytes
+    val ln = Files.readAllLines(Paths.get(dir, entries.head.file)).toArray
+      .map(_.toString).find(_.contains(s""""event_id":${n - 1},""")).get
+    assert(ln.contains("\"_row_id\":") && ln.contains(s"\"_luv\":$n"), ln.take(120))
+  }
+
   test("next_row_id survives compact_history: watermark holds, archived ids serve verbatim (r11)") {
     val (cat, t, dir) = scratch("histcnt")
     val n0 = idsOf(cat, t).size.toLong

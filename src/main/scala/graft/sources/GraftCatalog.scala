@@ -226,20 +226,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
                 s"$catName: truncate($w, $c) needs a long or string source, " +
                   s"got ${f.dataType.simpleString}")
             Some(PartitionTransforms.Trunc(w, c).encoded)
-          // daily layout (r11): pkey = epoch day of a timestamp/date
-          // source — the reference's daily event feed as a table
-          // property, pruned by time-window predicates alone
-          case "days" =>
+          // temporal layouts (r11 days, r12 months/years): pkey = the
+          // calendar unit index of a timestamp/date source — daily
+          // feeds, monthly rollups and yearly archives as table
+          // properties, pruned by time-window predicates alone
+          case unit @ ("days" | "months" | "years") =>
             if (f.dataType != org.apache.spark.sql.types.TimestampType &&
                 f.dataType != org.apache.spark.sql.types.TimestampNTZType &&
                 f.dataType != org.apache.spark.sql.types.DateType)
               throw new UnsupportedOperationException(
-                s"$catName: days($c) needs a timestamp or date source, " +
+                s"$catName: $unit($c) needs a timestamp or date source, " +
                   s"got ${f.dataType.simpleString}")
-            Some(PartitionTransforms.Days(c).encoded)
+            Some(unit match {
+              case "days"   => PartitionTransforms.Days(c).encoded
+              case "months" => PartitionTransforms.Months(c).encoded
+              case _        => PartitionTransforms.Years(c).encoded
+            })
           case other => throw new UnsupportedOperationException(
             s"$catName: unsupported partition transform $other — identity, " +
-              "bucket(n, col), truncate(w, col) and days(col) are the supported layouts")
+              "bucket(n, col), truncate(w, col), days(col), months(col) and " +
+              "years(col) are the supported layouts")
         }
       case many => throw new UnsupportedOperationException(
         s"$catName: at most one partition column (got ${many.size})")

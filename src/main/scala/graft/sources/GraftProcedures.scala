@@ -790,11 +790,11 @@ object GraftProcedures {
           require(f.dataType == org.apache.spark.sql.types.LongType ||
               f.dataType == org.apache.spark.sql.types.StringType,
             s"hidden transforms need a long or string source, got ${f.dataType}")
-        case PartitionTransforms.Days(c) =>
+        case t: PartitionTransforms.TimeSpec =>
           require(f.dataType == org.apache.spark.sql.types.TimestampType ||
               f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
               f.dataType == org.apache.spark.sql.types.DateType,
-            s"days($c) needs a timestamp or date source, got ${f.dataType}")
+            s"${t.encoded} needs a timestamp or date source, got ${f.dataType}")
       }
     }
     val oldSpec = meta.partitionCol

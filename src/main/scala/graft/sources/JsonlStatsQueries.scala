@@ -3100,6 +3100,40 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** q286 (r12): MONTHLY HIDDEN LAYOUT — `PARTITIONED BY
+    * (months(o_orderdate))`, the coarser sibling of q284's daily
+    * layout for tables whose natural slice is a month (the
+    * reference's MTD/YoY rollup tier): pkey = months since 1970-01,
+    * so six years of orders land ~80 month keys and a one-quarter
+    * window prunes to 3 of them at PLANNING time through the stored
+    * transform — no partition column in the query, no read-side
+    * option. The oracle recomputes the window aggregate from raw
+    * parquet. */
+  def monthlyLayoutScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_orders_monthly")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.orders(spark, d)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderdate")
+        .sortWithinPartitions($"o_orderdate")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "o_orderkey")
+        .option("partitionColumn", "months(o_orderdate)")
+        .mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    t.createOrReplaceTempView("orders_monthly")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+        |FROM orders_monthly
+        |WHERE o_orderdate >= TIMESTAMP'1997-03-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP'1997-06-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3189,6 +3223,7 @@ object JsonlStatsQueries extends QueryModule {
     "q283_norm_band_radius" -> normBandRadius,
     "q284_daily_layout_scan" -> dailyLayoutScan,
     "q285_nested_leaf_slice" -> nestedLeafSlice,
+    "q286_monthly_layout_scan" -> monthlyLayoutScan,
   )
 
   val oracles = Map(
@@ -3508,6 +3543,13 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q286_monthly_layout_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP'1997-03-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP'1997-06-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q285_nested_leaf_slice" ->
       """SELECT lang, source, count(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars,

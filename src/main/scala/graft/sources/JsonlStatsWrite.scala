@@ -1012,9 +1012,9 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   spec.filter(_ => hidden).foreach { sp =>
     val dt = writeSchema.fields(keyIdx).dataType
     sp match {
-      case PartitionTransforms.Days(_) =>
+      case _: PartitionTransforms.TimeSpec =>
         require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
-          s"days(${sp.col}) needs a timestamp or date source, got $dt")
+          s"${sp.encoded} needs a timestamp or date source, got $dt")
       case _ =>
         require(dt == LongType || dt == StringType,
           s"hidden partition transform ${sp.encoded} needs a long or string source, got $dt")
@@ -1066,10 +1066,10 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
       case LongType => PartitionTransforms.truncLong(w, row.getLong(keyIdx)).toString
       case _ => PartitionTransforms.truncString(w, row.getUTF8String(keyIdx).toString)
     }
-    case PartitionTransforms.Days(_) => writeSchema.fields(keyIdx).dataType match {
+    case t: PartitionTransforms.TimeSpec => writeSchema.fields(keyIdx).dataType match {
       case TimestampType | TimestampNTZType =>
-        PartitionTransforms.dayOfMicros(row.getLong(keyIdx)).toString
-      case _ => row.getInt(keyIdx).toString // DateType: days already
+        t.keyOfDay(PartitionTransforms.dayOfMicros(row.getLong(keyIdx))).toString
+      case _ => t.keyOfDay(row.getInt(keyIdx).toLong).toString // DateType: days already
     }
   }
 

@@ -63,24 +63,57 @@ object PartitionTransforms {
   final case class Trunc(w: Long, col: String) extends Spec {
     def encoded: String = s"truncate($w,$col)"
   }
+  /** Temporal layouts share one pruning law: a file's single pkey
+    * names a contiguous DAY RANGE, and predicates on the source column
+    * test against it (micros for timestamp values, epoch days for date
+    * values). Days/Months/Years differ only in the range a key names —
+    * Iceberg's transform family, indices since epoch (1970-01-01). */
+  sealed trait TimeSpec extends Spec {
+    /** The row's pkey from its epoch day. */
+    def keyOfDay(day: Long): Long
+    /** Inclusive [firstDay, lastDay] a pkey covers. */
+    def dayRange(key: Long): (Long, Long)
+  }
   /** Daily layout over a timestamp/date source (r11, the Iceberg
     * `days(ts)` classic): pkey = epoch day, so the reference's daily
     * event feed lands one-key-per-day with hidden pruning for
     * time-window predicates — the 100-TB nightly slice reads one
     * day's files with no partition column in any query. */
-  final case class Days(col: String) extends Spec {
+  final case class Days(col: String) extends TimeSpec {
     def encoded: String = s"days($col)"
+    def keyOfDay(day: Long): Long = day
+    def dayRange(key: Long): (Long, Long) = (key, key)
+  }
+  /** Monthly layout (r12): pkey = months since 1970-01 — the
+    * reference's MTD/rollup tier as a coarser hidden layout for
+    * tables whose natural slice is a month, not a day. */
+  final case class Months(col: String) extends TimeSpec {
+    def encoded: String = s"months($col)"
+    def keyOfDay(day: Long): Long = monthOfDay(day)
+    def dayRange(key: Long): (Long, Long) =
+      (monthStartDay(key), monthStartDay(key + 1) - 1)
+  }
+  /** Yearly layout (r12): pkey = years since 1970 (the YoY tier). */
+  final case class Years(col: String) extends TimeSpec {
+    def encoded: String = s"years($col)"
+    def keyOfDay(day: Long): Long = yearOfDay(day)
+    def dayRange(key: Long): (Long, Long) =
+      (yearStartDay(key), yearStartDay(key + 1) - 1)
   }
 
   private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
   private val TruncRe = """truncate\((\d+),([^)]+)\)""".r
   private val DaysRe = """days\(([^)]+)\)""".r
+  private val MonthsRe = """months\(([^)]+)\)""".r
+  private val YearsRe = """years\(([^)]+)\)""".r
 
   /** Decode an encoded partition column; a bare name is identity. */
   def parse(encoded: String): Spec = encoded match {
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c)  => Trunc(w.toLong, c)
     case DaysRe(c)      => Days(c)
+    case MonthsRe(c)    => Months(c)
+    case YearsRe(c)     => Years(c)
     case c              => Identity(c)
   }
 
@@ -94,6 +127,21 @@ object PartitionTransforms {
   def truncString(w: Long, s: String): String =
     if (s.length <= w) s else s.substring(0, w.toInt)
   def dayOfMicros(us: Long): Long = Math.floorDiv(us, MicrosPerDay)
+  /** Months since 1970-01 of an epoch day (proleptic Gregorian, UTC —
+    * `LocalDate` is exactly that calendar; Iceberg's `months()`). */
+  def monthOfDay(day: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(day)
+    (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+  }
+  /** Years since 1970 of an epoch day (Iceberg's `years()`). */
+  def yearOfDay(day: Long): Long = java.time.LocalDate.ofEpochDay(day).getYear - 1970L
+  /** Epoch day of the first day of month index `m`. */
+  def monthStartDay(m: Long): Long =
+    java.time.LocalDate.of((1970 + Math.floorDiv(m, 12)).toInt,
+      Math.floorMod(m, 12).toInt + 1, 1).toEpochDay
+  /** Epoch day of Jan 1 of year index `y`. */
+  def yearStartDay(y: Long): Long =
+    java.time.LocalDate.of((1970 + y).toInt, 1, 1).toEpochDay
 
   /** May a file whose single derived partition key is `pkey` contain a
     * row matching `f`? Conservative: an unrecognized predicate shape
@@ -125,12 +173,14 @@ object PartitionTransforms {
           JsonlStats.intervalMayMatch(f, p.toDouble, (p + w - 1).toDouble))
       case _ => true
     }
-    // days(ts): the file's rows live inside ONE calendar day — a
-    // timestamp predicate tests against [day·µs, (day+1)·µs − 1], a
-    // date predicate against [day, day] (filterDouble maps both value
+    // days/months/years(ts): the file's rows live inside ONE calendar
+    // unit — the key names an inclusive day range [d0, d1]; a
+    // timestamp predicate tests against [d0·µs, (d1+1)·µs − 1], a
+    // date predicate against [d0, d1] (filterDouble maps both value
     // families onto the matching epoch unit). Mixed-type value lists
     // keep the file — the unit would be ambiguous.
-    case Days(c) =>
+    case t: TimeSpec =>
+      val c = t.col
       val vals: Seq[Any] = f match {
         case GreaterThan(`c`, v)        => Seq(v)
         case GreaterThanOrEqual(`c`, v) => Seq(v)
@@ -147,11 +197,16 @@ object PartitionTransforms {
         v.isInstanceOf[java.time.LocalDate] || v.isInstanceOf[java.sql.Date]
       if (vals.isEmpty) true
       else if (vals.forall(isTs))
-        pkey.toLongOption.forall(day => JsonlStats.intervalMayMatch(f,
-          (day * MicrosPerDay).toDouble, (day * MicrosPerDay + MicrosPerDay - 1).toDouble))
+        pkey.toLongOption.forall { key =>
+          val (d0, d1) = t.dayRange(key)
+          JsonlStats.intervalMayMatch(f,
+            (d0 * MicrosPerDay).toDouble, (d1 * MicrosPerDay + MicrosPerDay - 1).toDouble)
+        }
       else if (vals.forall(isDate))
-        pkey.toLongOption.forall(day =>
-          JsonlStats.intervalMayMatch(f, day.toDouble, day.toDouble))
+        pkey.toLongOption.forall { key =>
+          val (d0, d1) = t.dayRange(key)
+          JsonlStats.intervalMayMatch(f, d0.toDouble, d1.toDouble)
+        }
       else true
   }
 }

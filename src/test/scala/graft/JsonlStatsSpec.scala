@@ -113,6 +113,66 @@ class JsonlStatsSpec extends SparkSpec {
       s"a one-day window over a days(ts) layout must plan ~1 of ${entries.size} files, got $planned")
   }
 
+  test("months/years hidden layouts: calendar-unit pkeys prune time windows (r12)") {
+    import org.apache.spark.sql.types.{TimestampType, StructField => SF}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    import spark.implicits._
+    // unit laws first — the shared TimeSpec contract: keyOfDay and
+    // dayRange agree (every day maps into its own key's range), and a
+    // timestamp/date inside unit U matches only U's pkey
+    val feb24 = java.time.LocalDate.of(2024, 2, 15).toEpochDay
+    val mSpec = PartitionTransforms.Months("ts")
+    val ySpec = PartitionTransforms.Years("ts")
+    val mKey = mSpec.keyOfDay(feb24)
+    assert(mKey === (2024 - 1970) * 12 + 1, "months since 1970-01 of 2024-02")
+    val (m0, m1) = mSpec.dayRange(mKey)
+    assert(m1 - m0 + 1 === 29, "2024-02 is a leap February: 29 days")
+    assert(m0 === java.time.LocalDate.of(2024, 2, 1).toEpochDay)
+    val yKey = ySpec.keyOfDay(feb24)
+    assert(yKey === 54L)
+    val (y0, y1) = ySpec.dayRange(yKey)
+    assert(y1 - y0 + 1 === 366, "2024 is a leap year")
+    // every day maps inside its own key's range (spot a span incl. DST
+    // / leap boundaries — the proleptic UTC calendar has no gaps)
+    (feb24 - 400 to feb24 + 400 by 37).foreach { d =>
+      val (a, b) = mSpec.dayRange(mSpec.keyOfDay(d)); assert(a <= d && d <= b)
+      val (c, e) = ySpec.dayRange(ySpec.keyOfDay(d)); assert(c <= d && d <= e)
+    }
+    val inFeb = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(feb24 * 86400L + 7200L))
+    assert(PartitionTransforms.pkeyMayMatch(mSpec, EqualTo("ts", inFeb), mKey.toString))
+    assert(!PartitionTransforms.pkeyMayMatch(mSpec, EqualTo("ts", inFeb), (mKey + 1).toString))
+    assert(PartitionTransforms.pkeyMayMatch(mSpec,
+      EqualTo("ts", java.sql.Date.valueOf("2024-02-15")), mKey.toString))
+    assert(!PartitionTransforms.pkeyMayMatch(ySpec, EqualTo("ts", inFeb), (yKey - 1).toString))
+    // end-to-end: six years of orders land ~80 month keys; a one-month
+    // window plans ~1 file through the stored transform
+    val dir = java.nio.file.Files.createTempDirectory("monthsl").toString
+    graft.ingest.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderdate").sortWithinPartitions($"o_orderdate")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "o_orderkey")
+      .option("partitionColumn", "months(o_orderdate)")
+      .mode("overwrite").save()
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.pkey.isDefined), "every file carries its month pkey")
+    val months = entries.flatMap(_.pkey).distinct
+    assert(months.size >= 60, s"six years of orders must span ~80 month keys, got ${months.size}")
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      SF("o_orderkey", org.apache.spark.sql.types.LongType),
+      SF("o_orderdate", TimestampType),
+      SF("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+    val sb = new JsonlStatsScanBuilder(dir, schema2, "o_orderkey",
+      Some("months(o_orderdate)"))
+    sb.pushFilters(Array(
+      GreaterThanOrEqual("o_orderdate", java.sql.Timestamp.valueOf("1997-03-01 00:00:00")),
+      LessThan("o_orderdate", java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))))
+    val planned = sb.build().toBatch.planInputPartitions().length
+    assert(planned <= 3 && planned >= 1,
+      s"a one-month window over months() must plan ~1 of ${entries.size} files, got $planned")
+  }
+
   test("planning-time file skipping: range predicates prune manifest files, never rows") {
     val root = fixture
     val total = JsonlStats.readStats(root).size

@@ -233,11 +233,20 @@ object Refs {
     * main version. The branch ref survives the publish (dropping it is
     * the caller's cleanup decision, like Iceberg's). */
   def fastForward(root: String, name: String, queryId: String): Int = {
-    val ref = readRef(root, branchManifest(name))
-    require(ref.kind == "branch", s"$name is a ${ref.kind}, not a branch")
-    val forkHash = ref.baseHash.getOrElse(
+    val ref0 = readRef(root, branchManifest(name))
+    require(ref0.kind == "branch", s"$name is a ${ref0.kind}, not a branch")
+    ref0.baseHash.getOrElse(
       throw new IllegalStateException(s"branch $name has no fork hash"))
     JsonlStats.commitAtomic(root, queryId, base => {
+      // re-read the branch head EACH attempt (r12): a branch commit
+      // (append, DML) landing between the publish's first read and its
+      // commit must be IN the published image — fast-forward serializes
+      // with branch commits instead of publishing a stale snapshot of
+      // the head (the branch's fork hash never moves under rebases, so
+      // the ancestry check is unaffected by the re-read).
+      val ref = readRef(root, branchManifest(name))
+      val forkHash = ref.baseHash.getOrElse(
+        throw new IllegalStateException(s"branch $name has no fork hash"))
       if (entriesHash(base) != forkHash)
         JsonlStats.conflict(
           s"main diverged since branch '$name' forked (base_version=${ref.baseVersion}); " +

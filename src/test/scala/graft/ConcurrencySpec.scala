@@ -208,6 +208,94 @@ class ConcurrencySpec extends SparkSpec {
       "the losing delete must not have double-counted dels")
   }
 
+  test("branch-head DML: disjoint rewrites compose, a same-member race conflicts, main appends commute then wedge the publish (r12)") {
+    import graft.sources.Refs
+    val root = Files.createTempDirectory("occ_branch").toString
+    JsonlStats.commitAtomic(root, "seed",
+      _ => Seq(entry("a.jsonl", 0, 1, 5), entry("b.jsonl", 1, 2, 5)))
+    val mainLines = JsonlStats.readStats(root).map(JsonlStats.statsLine).sorted
+    Refs.createBranch(root, "fix")
+    def headLine(file: String): String =
+      Refs.readRef(root, Refs.branchManifest("fix")).entries
+        .find(_.contains("\"" + file + "\"")).get
+    def headFiles: Set[String] =
+      JsonlStats.parseStatsLines(
+        Refs.readRef(root, Refs.branchManifest("fix")).entries).map(_.file).toSet
+    // stage a load, then two row-level fixes planned against the same
+    // branch head touching DISJOINT members: both compose — the exact
+    // main-side rewrite law, applied to the branch file
+    Refs.commitBranch(root, "fix", base => base :+ entry("staged.jsonl", 2, 3, 4))
+    val aLine = headLine("a.jsonl"); val stagedLine = headLine("staged.jsonl")
+    Refs.commitBranch(root, "fix",
+      JsonlStats.rebaseRewrite(Seq(aLine), Seq(entry("a-cow.jsonl", 0, 1, 4))))
+    Refs.commitBranch(root, "fix",
+      JsonlStats.rebaseRewrite(Seq(stagedLine), Seq(entry("staged-cow.jsonl", 2, 3, 3))))
+    assert(headFiles === Set("a-cow.jsonl", "b.jsonl", "staged-cow.jsonl"))
+    // a rival that planned against the SUPERSEDED head (its member was
+    // rewritten under it) conflicts loudly — never applies twice
+    intercept[java.util.ConcurrentModificationException] {
+      Refs.commitBranch(root, "fix",
+        JsonlStats.rebaseRewrite(Seq(stagedLine), Seq(entry("late.jsonl", 2, 3, 1))))
+    }
+    assert(headFiles === Set("a-cow.jsonl", "b.jsonl", "staged-cow.jsonl"),
+      "the losing DML must leave the head untouched")
+    // every branch mutation left main byte-identical (isolation)
+    assert(JsonlStats.readStats(root).map(JsonlStats.statsLine).sorted === mainLines)
+    // a rival append to MAIN post-fork commutes with branch DML — both
+    // histories advance — and the PUBLISH then wedges loudly (WAP:
+    // fast-forward is append-only ancestry, never a silent merge)
+    JsonlStats.commitAtomic(root, "rival", base => base :+ entry("rival.jsonl", 9, 10, 1))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Refs.fastForward(root, "fix", "publish")
+    }
+    assert(ex.getMessage.contains("diverged"))
+    assert(JsonlStats.readStats(root).map(_.file).toSet === Set("a.jsonl", "b.jsonl", "rival.jsonl"),
+      "failed publish must not touch main")
+    assert(headFiles === Set("a-cow.jsonl", "b.jsonl", "staged-cow.jsonl"),
+      "failed publish must not touch the branch")
+  }
+
+  test("fast_forward serializes with racing branch commits: published main is never a lost-update head (r12)") {
+    import graft.sources.Refs
+    (0 until 10).foreach { i =>
+      val root = Files.createTempDirectory(s"occ_ffrace$i").toString
+      JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("base.jsonl", 0, 1, 5)))
+      Refs.createBranch(root, "stage")
+      Refs.commitBranch(root, "stage", base => base :+ entry("staged.jsonl", 1, 2, 3))
+      val pool = Executors.newFixedThreadPool(2)
+      val barrier = new CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      pool.submit(new Runnable { override def run(): Unit =
+        try { barrier.await(20, TimeUnit.SECONDS); Refs.fastForward(root, "stage", s"ff-$i") }
+        catch { case e: Throwable => errs.add(e) } })
+      pool.submit(new Runnable { override def run(): Unit =
+        try {
+          barrier.await(20, TimeUnit.SECONDS)
+          Refs.commitBranch(root, "stage", base => base :+ entry("late.jsonl", 2, 3, 1))
+        } catch { case e: Throwable => errs.add(e) } })
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"racer failed: ${Option(errs.peek()).map(_.toString)}")
+      val head = JsonlStats.parseStatsLines(
+        Refs.readRef(root, Refs.branchManifest("stage")).entries).map(_.file).toSet
+      val main = JsonlStats.readStats(root).map(_.file).toSet
+      // the branch commit is NEVER lost from the head…
+      assert(head === Set("base.jsonl", "staged.jsonl", "late.jsonl"))
+      // …and main is the branch head AS OF the publish's commit — with
+      // the late commit when it serialized first, without it when the
+      // publish won; never anything else (the pre-r12 stale-snapshot
+      // read could publish neither).
+      assert(main === head || main === head - "late.jsonl",
+        s"published main must be a branch head, got $main")
+      // a publish that missed the late commit is not a silent drop:
+      // the re-publish says so loudly (main moved past the fork)
+      if (main != head)
+        assert(intercept[java.util.ConcurrentModificationException] {
+          Refs.fastForward(root, "stage", s"ff2-$i")
+        }.getMessage.contains("diverged"))
+    }
+  }
+
   test("streaming-txn watermarks survive whichever base wins") {
     val root = Files.createTempDirectory("occ_txn").toString
     JsonlStats.commitAtomic(root, "seed", _ => Seq(entry("seed.jsonl")),

@@ -68,7 +68,11 @@ object JsonlEqualityDeletes {
   }
 
   def readEqDeletes(root: String, manifest: String): Seq[EqDelete] =
-    parseLines(JsonlStats.readManifestLines(root, manifest))
+    if (manifest != "_stats.jsonl")
+      parseLines(JsonlStats.readManifestLines(root, manifest))
+    else JsonlStats.cachedLive(root, "eqdels") {
+      parseLines(JsonlStats.readManifestLines(root, manifest))
+    }
 
   /** Is this raw line an eqdel entry? (vacuum/refs refcounting). */
   def filesOf(raw: Seq[String]): Seq[String] = parseLines(raw).map(_.file)

@@ -410,8 +410,59 @@ object JsonlStats {
 
   def readStats(root: String): Seq[FileStats] = readStats(root, "_stats.jsonl")
 
+  // ---- live-manifest snapshot cache (r12) -------------------------------
+  // Planning parses the live manifest once per manifest IDENTITY, not
+  // once per query. Soundness rides the commit protocol itself: every
+  // swap of `_stats.jsonl` is an ATOMIC_MOVE of a fresh temp file — a
+  // NEW inode — so (fileKey, size, mtime-ns) names one snapshot's
+  // content for the file's whole life (the Delta/Iceberg snapshot-cache
+  // posture, keyed on filesystem identity instead of a version pointer).
+  // The attributes are re-checked AFTER the parse: a swap racing the
+  // read returns the (still wholly-consistent) parse uncached instead of
+  // poisoning the map. Archived manifests, branch heads and raw-line
+  // consumers (the OCC base read compares bytes) stay uncached — this is
+  // a PLANNING cache, never a commit-protocol participant. Driver-side
+  // only: executors receive planned partitions, never the manifest.
+  private final case class SnapKey(fileKey: String, size: Long, mtimeNs: Long)
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, String), (SnapKey, AnyRef)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (SnapKey, AnyRef)]): Boolean =
+        size() > 256 // tables actively planned; evicted snapshots just re-parse
+    }
+  private def snapKeyOf(p: Path): Option[SnapKey] =
+    try {
+      val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      // no usable identity (exotic FS) -> never cache, never collide
+      Option(a.fileKey).map(k => SnapKey(k.toString, a.size,
+        a.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)))
+    } catch { case _: java.io.IOException => None }
+
+  /** Memoize a pure derivation of the LIVE manifest under its current
+    * identity. `tag` names the derivation (parsed stats, eqdel set) —
+    * each pays its own cold pass per commit, every later plan is a map
+    * lookup. */
+  private[sources] def cachedLive[T <: AnyRef](root: String, tag: String)(derive: => T): T = {
+    val p = Paths.get(root, "_stats.jsonl")
+    val before = snapKeyOf(p)
+    val hit = before.flatMap(k =>
+      snapCache.synchronized(Option(snapCache.get((root, tag)))).filter(_._1 == k))
+    hit match {
+      case Some((_, cached)) => cached.asInstanceOf[T]
+      case None =>
+        val derived = derive
+        if (before.isDefined && snapKeyOf(p) == before)
+          snapCache.synchronized { snapCache.put((root, tag), (before.get, derived)) }
+        derived
+    }
+  }
+
   def readStats(root: String, manifest: String): Seq[FileStats] =
-    parseStatsLines(readManifestLines(root, manifest))
+    if (manifest != "_stats.jsonl")
+      parseStatsLines(readManifestLines(root, manifest))
+    else cachedLive(root, "stats") {
+      parseStatsLines(readManifestLines(root, manifest))
+    }
 
   /** Resolve a manifest to its full line set. HISTORY COMPACTION (r9):
     * an archived snapshot may have been re-encoded as a REVERSE DELTA

@@ -208,6 +208,26 @@ class ConcurrencySpec extends SparkSpec {
       "the losing delete must not have double-counted dels")
   }
 
+  test("live-manifest snapshot cache: identity hits, every mutation visible (r12)") {
+    val root = Files.createTempDirectory("snapcache").toString
+    JsonlStats.commitAtomic(root, "a", _ => Seq(entry("a.jsonl", 0, 1, 5)))
+    val s1 = JsonlStats.readStats(root)
+    // same manifest identity -> the cache serves the SAME parsed
+    // snapshot instance (reference equality is the hit's witness)
+    assert(JsonlStats.readStats(root) eq s1, "unchanged manifest must hit the cache")
+    // a commit swaps a fresh inode in -> new snapshot, immediately
+    JsonlStats.commitAtomic(root, "b", base => base :+ entry("b.jsonl", 1, 2, 5))
+    val s2 = JsonlStats.readStats(root)
+    assert(s2.map(_.file).toSet === Set("a.jsonl", "b.jsonl"))
+    // even an IN-PLACE edit (same inode — the crash-injection shape,
+    // not a protocol write) changes size/mtime and must be visible
+    val live = Paths.get(root, "_stats.jsonl")
+    val lines = (Files.readAllLines(live).asScala.toSeq :+ entry("c.jsonl", 2, 3, 5)).sorted
+    Files.write(live, lines.asJava, StandardOpenOption.TRUNCATE_EXISTING)
+    assert(JsonlStats.readStats(root).map(_.file).toSet ===
+      Set("a.jsonl", "b.jsonl", "c.jsonl"), "in-place mutation must invalidate")
+  }
+
   test("branch-head DML: disjoint rewrites compose, a same-member race conflicts, main appends commute then wedge the publish (r12)") {
     import graft.sources.Refs
     val root = Files.createTempDirectory("occ_branch").toString

@@ -172,9 +172,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       throw new UnsupportedOperationException(
         s"$catName only serves manifest-listed JSONL tables; USING ${provider.get} " +
           "belongs to another catalog")
-    val partitionCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) =>
+    def encodeTransform(t: Transform): String = {
         val refs = t.references()
         if (refs.length != 1 || refs(0).fieldNames().length != 1)
           throw new UnsupportedOperationException(
@@ -200,7 +198,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               throw new UnsupportedOperationException(
                 s"$catName: partition column $c must be string (manifest pkeys are " +
                   s"strings), got ${f.dataType.simpleString}")
-            Some(c)
+            c
           // hidden partitioning (r9, [[PartitionTransforms]]): the
           // DERIVED key is what the manifest records; queries prune on
           // the source column alone
@@ -215,7 +213,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               throw new UnsupportedOperationException(
                 s"$catName: bucket($n, $c) needs a long or string source, " +
                   s"got ${f.dataType.simpleString}")
-            Some(PartitionTransforms.Bucket(n.toInt, c).encoded)
+            PartitionTransforms.Bucket(n.toInt, c).encoded
           case "truncate" =>
             val w = litArg
             if (w < 1)
@@ -225,7 +223,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               throw new UnsupportedOperationException(
                 s"$catName: truncate($w, $c) needs a long or string source, " +
                   s"got ${f.dataType.simpleString}")
-            Some(PartitionTransforms.Trunc(w, c).encoded)
+            PartitionTransforms.Trunc(w, c).encoded
           // temporal layouts (r11 days, r12 months/years): pkey = the
           // calendar unit index of a timestamp/date source — daily
           // feeds, monthly rollups and yearly archives as table
@@ -237,18 +235,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               throw new UnsupportedOperationException(
                 s"$catName: $unit($c) needs a timestamp or date source, " +
                   s"got ${f.dataType.simpleString}")
-            Some(unit match {
+            unit match {
               case "days"   => PartitionTransforms.Days(c).encoded
               case "months" => PartitionTransforms.Months(c).encoded
               case _        => PartitionTransforms.Years(c).encoded
-            })
+            }
           case other => throw new UnsupportedOperationException(
             s"$catName: unsupported partition transform $other — identity, " +
               "bucket(n, col), truncate(w, col), days(col), months(col) and " +
               "years(col) are the supported layouts")
         }
+    }
+    val partitionCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) => Some(encodeTransform(t))
+      // composite layouts (r12): exactly one time transform plus one
+      // bucket — the classic time-window x point-lookup 100-TB layout;
+      // [[PartitionTransforms.requireValidMulti]] is the contract
+      case Seq(t1, t2) =>
+        val specs = Seq(t1, t2).map(t => PartitionTransforms.parse(encodeTransform(t)))
+        try PartitionTransforms.requireValidMulti(specs)
+        catch { case e: IllegalArgumentException =>
+          throw new UnsupportedOperationException(s"$catName: ${e.getMessage}") }
+        Some(PartitionTransforms.encodedMulti(specs))
       case many => throw new UnsupportedOperationException(
-        s"$catName: at most one partition column (got ${many.size})")
+        s"$catName: at most two partition transforms (a time unit x a bucket), " +
+          s"got ${many.size}")
     }
     schema.fields.foreach { f =>
       if (!JsonlStats.supportedType(f.dataType))
@@ -468,7 +480,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               "old files still carry its bytes — pick another name")
         val physical = mapping.getOrElse(from, from)
         val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-          meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
+          meta.partitionCol.toSeq.flatMap(PartitionTransforms.parseMulti(_).map(_.col)) ++
           meta.bloomCol ++ meta.gramCol
         // match the LOGICAL name too (r9 review): a gram index declared
         // on an already-renamed column records the logical name, and
@@ -508,7 +520,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
               s"$catName: cannot drop $col — it is the table's only column")
           val physical = mapping.getOrElse(col, col)
           val declared = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
-            meta.partitionCol.map(PartitionTransforms.parse(_).col) ++
+            meta.partitionCol.toSeq.flatMap(PartitionTransforms.parseMulti(_).map(_.col)) ++
             meta.bloomCol ++ meta.gramCol
           if (declared.contains(physical) || declared.contains(col))
             throw new UnsupportedOperationException(

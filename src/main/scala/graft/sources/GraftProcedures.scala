@@ -771,7 +771,9 @@ object GraftProcedures {
     val meta = JsonlStats.readTableMeta(tableRoot)
     val schema = meta.schema.getOrElse(JsonlStats.schema)
     newSpec.foreach { ns =>
-      val spec = PartitionTransforms.parse(ns)
+      // composite targets validate per component (parseMulti enforces
+      // the one-time-unit-plus-one-bucket contract itself, r12)
+      PartitionTransforms.parseMulti(ns).foreach { spec =>
       val f = schema.fields.find(_.name == spec.col).getOrElse(
         throw new IllegalArgumentException(
           s"partition source column ${spec.col} not in ${schema.simpleString}"))
@@ -795,6 +797,7 @@ object GraftProcedures {
               f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
               f.dataType == org.apache.spark.sql.types.DateType,
             s"${t.encoded} needs a timestamp or date source, got ${f.dataType}")
+      }
       }
     }
     val oldSpec = meta.partitionCol

@@ -1484,14 +1484,23 @@ object JsonlStats {
       // writer routes rows to per-derived-key sinks instead (bucket
       // keys interleave under any source ordering — a bounded router,
       // not clustering discipline, is what keeps one pkey per file).
-      val spec = PartitionTransforms.parse(c)
+      // composite layouts (r12): cluster on every source column and
+      // order by the TIME source first — the writer's bounded bucket
+      // router flushes on each (monotone) time-key advance, so the
+      // ordering IS the handle bound's proof.
+      val specs = PartitionTransforms.parseMulti(c)
+      val orderCols = (specs.collect { case t: PartitionTransforms.TimeSpec => t.col } ++
+        specs.collect { case s if !s.isInstanceOf[PartitionTransforms.TimeSpec] => s.col }).distinct
       new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
-        Distributions.clustered(Array(Expressions.identity(spec.col)))
+        Distributions.clustered(specs.map(sp =>
+          Expressions.identity(sp.col): org.apache.spark.sql.connector.expressions.Expression
+        ).toArray)
       override def requiredOrdering(): Array[SortOrder] =
-        Array(Expressions.sort(Expressions.column(spec.col), SortDirection.ASCENDING)) ++
-          sortCol.filter(_ != spec.col).map(sc =>
-            Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))
+        (orderCols.map(oc =>
+          Expressions.sort(Expressions.column(oc), SortDirection.ASCENDING)) ++
+          sortCol.filter(sc => !orderCols.contains(sc)).map(sc =>
+            Expressions.sort(Expressions.column(sc), SortDirection.ASCENDING))).toArray
       override def toBatch: BatchWrite = inner.toBatch
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         inner.toStreaming

@@ -3134,6 +3134,43 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q287 (r12): COMPOSITE HIDDEN LAYOUT — `PARTITIONED BY (days(ts),
+    * bucket(8, user_id))`, the classic 100-TB layout: a time unit for
+    * window pruning × a bucket for point lookups, as ONE table
+    * property. Each file's pkey is "epochDay|bucket"; the pruner tests
+    * pushed predicates against every component CONJUNCTIVELY, so the
+    * day-window predicate cuts to the window's days and the user
+    * equality cuts those 8 ways — the slice below plans ~3 of ~240
+    * files with no partition column named anywhere. The writer stays
+    * handle-bounded: rows arrive time-ordered (the write's required
+    * ordering), and the bucket router flushes at each day boundary.
+    * The oracle recomputes the slice from raw parquet. */
+  def compositeLayoutScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = Landing.fixtureDir(d, "jsonl_events_day_bucket")
+    Landing.ensureBuilt(dir) { out =>
+      Files.createDirectories(Paths.get(out))
+      Tables.events(spark, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .repartitionByRange(4, $"ts")
+        .sortWithinPartitions($"ts", $"user_id")
+        .write.format("graft-jsonl-stats")
+        .option("path", out).option("statsColumn", "event_id")
+        .option("partitionColumn", "days(ts),bucket(8,user_id)")
+        .mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    t.createOrReplaceTempView("events_day_bucket")
+    spark.sql(
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events_day_bucket
+        |WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-11 00:00:00'
+        |  AND user_id = 7
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3224,6 +3261,7 @@ object JsonlStatsQueries extends QueryModule {
     "q284_daily_layout_scan" -> dailyLayoutScan,
     "q285_nested_leaf_slice" -> nestedLeafSlice,
     "q286_monthly_layout_scan" -> monthlyLayoutScan,
+    "q287_composite_layout_scan" -> compositeLayoutScan,
   )
 
   val oracles = Map(
@@ -3543,6 +3581,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q287_composite_layout_scan" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-11 00:00:00'
+        |  AND user_id = 7
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "q286_monthly_layout_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum

@@ -594,7 +594,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * every file; several files may share a bucket — Spark's
     * v2-bucketing partition grouping coalesces them per key. */
   private lazy val bucketSpec: Option[PartitionTransforms.Bucket] =
-    partitionSpec.collect { case b: PartitionTransforms.Bucket => b }
+    // single-transform layouts only: a composite pkey is not the bucket
+    // id, so a composite table never reports bucket grouping (it prunes
+    // conjunctively instead — the SPJ story stays the single-spec one)
+    partitionSpecs.filter(_.size == 1)
+      .flatMap(_.collectFirst { case b: PartitionTransforms.Bucket => b })
 
   private lazy val bucketGrouped: Boolean =
     bucketSpec.exists(b => required.fieldNames.contains(b.col)) && {
@@ -760,9 +764,10 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       .toArray
   }
 
-  /** Hidden-partitioning spec (r9), decoded once per scan. */
-  private lazy val partitionSpec: Option[PartitionTransforms.Spec] =
-    partitionCol.map(PartitionTransforms.parse)
+  /** Hidden-partitioning spec list (r9; composite since r12), decoded
+    * once per scan. */
+  private lazy val partitionSpecs: Option[Seq[PartitionTransforms.Spec]] =
+    partitionCol.map(PartitionTransforms.parseMulti)
 
   private def survivingStats(): Seq[JsonlStats.FileStats] =
     statsSnapshot
@@ -780,10 +785,10 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         // entry without `ps` must not be interpreted under the CURRENT
         // spec — its pkey may derive from a transform the sidecar no
         // longer names (time travel across an evolution).
-        val fileSpec = s.pspec.map(PartitionTransforms.parse)
-          .orElse(if (manifest == "_stats.jsonl") partitionSpec else None)
-        fileSpec.forall(spec => s.pkey.isEmpty ||
-          pushed.forall(f => PartitionTransforms.pkeyMayMatch(spec, f, s.pkey.get)))
+        val fileSpecs = s.pspec.map(PartitionTransforms.parseMulti)
+          .orElse(if (manifest == "_stats.jsonl") partitionSpecs else None)
+        fileSpecs.forall(sps => s.pkey.isEmpty ||
+          pushed.forall(f => PartitionTransforms.pkeyMayMatchMulti(sps, f, s.pkey.get)))
       }
       .filter(s => pushed.forall { f =>
         // per-column bounds (legacy stats interval as statsCol fallback);

@@ -291,16 +291,17 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
   }
 
   /** Does the manifest PROVE no row of `s` matches `f`? */
-  private lazy val writeSpec: Option[PartitionTransforms.Spec] =
-    partitionCol.map(PartitionTransforms.parse)
+  private lazy val writeSpecs: Option[Seq[PartitionTransforms.Spec]] =
+    partitionCol.map(PartitionTransforms.parseMulti)
 
   private def fileNoMatch(f: Filter, s: JsonlStats.FileStats): Boolean = {
     // hidden partitioning (r9): the derived pkey, mapped through the
-    // transform, can prove no row of the file matches a source-column
-    // predicate — replaceWhere keeps such files exactly
-    val fileSpec = s.pspec.map(PartitionTransforms.parse).orElse(writeSpec)
-    val hiddenNo = fileSpec.exists(sp => PartitionTransforms.isHidden(sp) &&
-      s.pkey.exists(p => !PartitionTransforms.pkeyMayMatch(sp, f, p)))
+    // transform (conjunctively through a composite, r12), can prove no
+    // row of the file matches a source-column predicate — replaceWhere
+    // keeps such files exactly
+    val fileSpecs = s.pspec.map(PartitionTransforms.parseMulti).orElse(writeSpecs)
+    val hiddenNo = fileSpecs.exists(sps => sps.exists(PartitionTransforms.isHidden) &&
+      s.pkey.exists(p => !PartitionTransforms.pkeyMayMatchMulti(sps, f, p)))
     hiddenNo || (f match {
       case EqualTo(c, v) if partitionCol.contains(c) &&
           s.pspec.forall(ps => partitionCol.contains(ps)) =>
@@ -1003,14 +1004,14 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   // no base read; the commit stamps sequence numbers
   private val eqTracker = upsertCols.map(cs =>
     new JsonlEqualityDeletes.KeyTracker(writeSchema, cs, columnMapping))
-  private val spec: Option[PartitionTransforms.Spec] =
-    partitionCol.map(PartitionTransforms.parse)
-  private val keyIdx = spec.map(sp => writeSchema.fieldNames.indexOf(sp.col)).getOrElse(-1)
-  require(partitionCol.isEmpty || keyIdx >= 0,
-    s"partition column ${partitionCol.orNull} missing from write schema $writeSchema")
-  private val hidden = spec.exists(PartitionTransforms.isHidden)
-  spec.filter(_ => hidden).foreach { sp =>
-    val dt = writeSchema.fields(keyIdx).dataType
+  private val specs: Seq[PartitionTransforms.Spec] =
+    partitionCol.map(PartitionTransforms.parseMulti).getOrElse(Nil)
+  private val keyIdxs: Seq[Int] = specs.map(sp => writeSchema.fieldNames.indexOf(sp.col))
+  private val keyIdx = if (keyIdxs.isEmpty) -1 else keyIdxs.head
+  require(partitionCol.isEmpty || keyIdxs.forall(_ >= 0),
+    s"partition column(s) ${partitionCol.orNull} missing from write schema $writeSchema")
+  specs.zip(keyIdxs).filter(p => PartitionTransforms.isHidden(p._1)).foreach { case (sp, idx) =>
+    val dt = writeSchema.fields(idx).dataType
     sp match {
       case _: PartitionTransforms.TimeSpec =>
         require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
@@ -1033,12 +1034,20 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   // identity close-on-key-change path bounds it at ONE open sink —
   // a resident router there would hold an unbounded handle set open
   // for the task's whole life.
-  private val routed = spec.exists(_.isInstanceOf[PartitionTransforms.Bucket])
-  spec.collect { case PartitionTransforms.Bucket(n, _) =>
+  private val routed = specs.exists(_.isInstanceOf[PartitionTransforms.Bucket])
+  specs.collect { case PartitionTransforms.Bucket(n, _) =>
     require(n <= 4096,
       s"bucket($n): at most 4096 buckets — every writer task holds one open sink " +
         "per bucket it sees")
   }
+  // composite layouts (r12, time × bucket): the bucket component
+  // interleaves inside a time run, so composite rows ROUTE too — but
+  // the router is FLUSHED whenever the time key advances (time keys
+  // arrive monotone under the write's required ordering by the time
+  // source), so the resident bound stays ≤ N whatever the task's span.
+  private val timeComponent: Int =
+    if (specs.size > 1) specs.indexWhere(_.isInstanceOf[PartitionTransforms.TimeSpec]) else -1
+  private var curTimeKey: String = _
   private val router =
     if (routed) scala.collection.mutable.LinkedHashMap.empty[String, JsonlFileSink] else null
   private val done = scala.collection.mutable.ArrayBuffer.empty[JsonlFileCommit]
@@ -1048,28 +1057,55 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
     seq += 1
     // bucket-routed tasks keep up to N sinks resident, so each sink's
     // gram tracker gets 1/N of the single-sink memory budget
-    val share = spec.collect { case PartitionTransforms.Bucket(n, _) => n }
+    val share = specs.collectFirst { case PartitionTransforms.Bucket(n, _) => n }
       .filter(_ => routed).getOrElse(1)
     new JsonlFileSink(root, name, writeSchema, statsCol, bloomCol, columnMapping,
       gramCol, gramShare = share)
   }
 
-  /** The row's partition key under the declared transform (derivation
-    * definitions shared with the pruner — [[PartitionTransforms]]). */
-  private def derivedKey(row: InternalRow): String = spec.get match {
-    case PartitionTransforms.Identity(_) => row.getUTF8String(keyIdx).toString
-    case PartitionTransforms.Bucket(n, _) => writeSchema.fields(keyIdx).dataType match {
-      case LongType => PartitionTransforms.bucketLong(n, row.getLong(keyIdx)).toString
-      case _ => PartitionTransforms.bucketString(n, row.getUTF8String(keyIdx).toString).toString
+  /** One component's key (derivation definitions shared with the
+    * pruner — [[PartitionTransforms]]). */
+  private def componentKey(sp: PartitionTransforms.Spec, idx: Int, row: InternalRow): String =
+    sp match {
+      case PartitionTransforms.Identity(_) => row.getUTF8String(idx).toString
+      case PartitionTransforms.Bucket(n, _) => writeSchema.fields(idx).dataType match {
+        case LongType => PartitionTransforms.bucketLong(n, row.getLong(idx)).toString
+        case _ => PartitionTransforms.bucketString(n, row.getUTF8String(idx).toString).toString
+      }
+      case PartitionTransforms.Trunc(w, _) => writeSchema.fields(idx).dataType match {
+        case LongType => PartitionTransforms.truncLong(w, row.getLong(idx)).toString
+        case _ => PartitionTransforms.truncString(w, row.getUTF8String(idx).toString)
+      }
+      case t: PartitionTransforms.TimeSpec => writeSchema.fields(idx).dataType match {
+        case TimestampType | TimestampNTZType =>
+          t.keyOfDay(PartitionTransforms.dayOfMicros(row.getLong(idx))).toString
+        case _ => t.keyOfDay(row.getInt(idx).toLong).toString // DateType: days already
+      }
     }
-    case PartitionTransforms.Trunc(w, _) => writeSchema.fields(keyIdx).dataType match {
-      case LongType => PartitionTransforms.truncLong(w, row.getLong(keyIdx)).toString
-      case _ => PartitionTransforms.truncString(w, row.getUTF8String(keyIdx).toString)
-    }
-    case t: PartitionTransforms.TimeSpec => writeSchema.fields(keyIdx).dataType match {
-      case TimestampType | TimestampNTZType =>
-        t.keyOfDay(PartitionTransforms.dayOfMicros(row.getLong(keyIdx))).toString
-      case _ => t.keyOfDay(row.getInt(keyIdx).toLong).toString // DateType: days already
+
+  /** The row's partition key under the declared layout: a single
+    * transform's key, or composite components joined with "|" in
+    * declared order. */
+  private def derivedKey(row: InternalRow): String =
+    if (specs.size == 1) componentKey(specs.head, keyIdx, row)
+    else specs.zip(keyIdxs).map { case (sp, i) => componentKey(sp, i, row) }.mkString("|")
+
+  /** Composite time-run boundary: when the (ordering-monotone) time
+    * component advances, release every resident bucket sink of the
+    * finished run — both the data router and the lineage one. */
+  private def advanceTimeRun(row: InternalRow): Unit = {
+    if (timeComponent < 0) return
+    val tk = componentKey(specs(timeComponent), keyIdxs(timeComponent), row)
+    if (tk != curTimeKey) {
+      if (router != null && router.nonEmpty) {
+        router.foreach { case (k, snk) => done += snk.finish(Some(k)) }
+        router.clear()
+      }
+      if (linRouter != null && linRouter.nonEmpty) {
+        linRouter.foreach { case (k, snk) => done += snk.finish(Some(k)) }
+        linRouter.clear()
+      }
+      curTimeKey = tk
     }
   }
 
@@ -1097,7 +1133,7 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   private def rollLin(): JsonlFileSink = {
     val name = f"part-$queryId-$partitionId%05d-$taskId-lin$linSeq.jsonl"
     linSeq += 1
-    val share = spec.collect { case PartitionTransforms.Bucket(n, _) => n }
+    val share = specs.collectFirst { case PartitionTransforms.Bucket(n, _) => n }
       .filter(_ => routed).getOrElse(1)
     new JsonlFileSink(root, name, linSchema, statsCol, bloomCol, columnMapping,
       gramCol, gramShare = share)
@@ -1110,9 +1146,10 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
         if (metaLuv >= 0 && !meta.isNullAt(metaLuv)) meta.getLong(metaLuv) else null))
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, extra)
     if (keyIdx >= 0) {
-      if (row.isNullAt(keyIdx))
+      if (keyIdxs.exists(row.isNullAt))
         throw new IllegalArgumentException(
           s"partition column ${partitionCol.get} must not be null in a keyed layout")
+      advanceTimeRun(row)
       val k = derivedKey(row)
       if (routed) { linRouter.getOrElseUpdate(k, rollLin()).write(joined); return }
       if (linSink == null || k != linCurKey) {
@@ -1130,9 +1167,10 @@ class JsonlDataWriter(root: String, writeSchema: StructType, queryId: String,
   override def write(row: InternalRow): Unit = {
     eqTracker.foreach(_.add(row))
     if (keyIdx >= 0) {
-      if (row.isNullAt(keyIdx))
+      if (keyIdxs.exists(row.isNullAt))
         throw new IllegalArgumentException(
           s"partition column ${partitionCol.get} must not be null in a keyed layout")
+      advanceTimeRun(row)
       val k = derivedKey(row)
       if (routed) { router.getOrElseUpdate(k, roll()).write(row); return }
       if (sink == null || k != curKey) {

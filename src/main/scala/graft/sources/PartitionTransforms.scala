@@ -119,6 +119,63 @@ object PartitionTransforms {
 
   def isHidden(spec: Spec): Boolean = !spec.isInstanceOf[Identity]
 
+  // ---- multi-transform specs (r12) --------------------------------------
+  // `PARTITIONED BY (days(ts), bucket(16, user_id))` — the classic
+  // 100-TB layout: a time unit for window pruning × a bucket for point
+  // lookups and SPJ-shaped clustering. Encoding: component encodings
+  // joined with "," in DECLARED order; the composite pkey is the
+  // components' derived keys joined with "|". Composites are restricted
+  // to exactly ONE time transform (days/months/years) plus ONE bucket:
+  // both derive NUMERIC key strings (no separator collisions — identity
+  // and truncate-on-string keys are raw text and stay single-spec), and
+  // the writer's resident-sink bound stays provable (≤ N bucket sinks
+  // inside one time-key run; time keys arrive monotone under the
+  // write's required ordering by the time source).
+
+  /** Split an encoded multi spec on top-level commas (commas inside
+    * `bucket(8,col)` parens stay put). */
+  def parseMulti(encoded: String): Seq[Spec] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    encoded.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => parts += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    parts += sb.result().trim
+    val specs = parts.filter(_.nonEmpty).map(parse).toSeq
+    if (specs.size > 1) requireValidMulti(specs)
+    specs
+  }
+
+  def encodedMulti(specs: Seq[Spec]): String = specs.map(_.encoded).mkString(",")
+
+  /** The composite contract: exactly one TimeSpec + one Bucket. */
+  def requireValidMulti(specs: Seq[Spec]): Unit = {
+    require(specs.size == 2 &&
+        specs.count(_.isInstanceOf[TimeSpec]) == 1 &&
+        specs.count(_.isInstanceOf[Bucket]) == 1,
+      s"multi-transform layouts are exactly one of days/months/years(col) plus one " +
+        s"bucket(n, col) (any order), got ${encodedMulti(specs)}")
+    val cols = specs.map(_.col)
+    require(cols.distinct.size == cols.size,
+      s"multi-transform components must name distinct source columns, got ${encodedMulti(specs)}")
+  }
+
+  /** Conjunctive pruning over a composite pkey: every component gets
+    * its own derived key; a file survives only if EVERY component may
+    * match. A component-count mismatch (evolution debris) keeps the
+    * file — conservative, like every other skipping tier. */
+  def pkeyMayMatchMulti(specs: Seq[Spec], f: Filter, pkey: String): Boolean =
+    if (specs.size <= 1) specs.forall(pkeyMayMatch(_, f, pkey))
+    else {
+      val parts = pkey.split("\\|", -1)
+      parts.length != specs.size ||
+        specs.zip(parts).forall { case (s, p) => pkeyMayMatch(s, f, p) }
+    }
+
   val MicrosPerDay: Long = 86400000000L
 
   def bucketLong(n: Int, v: Long): Int = (((Bloom.hashLong(v) % n) + n) % n).toInt

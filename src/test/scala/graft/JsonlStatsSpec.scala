@@ -173,6 +173,69 @@ class JsonlStatsSpec extends SparkSpec {
       s"a one-month window over months() must plan ~1 of ${entries.size} files, got $planned")
   }
 
+  test("composite layout days(ts) x bucket(n,user): conjunctive pruning, bounded writer (r12)") {
+    import org.apache.spark.sql.types.{TimestampType, StructField => SF}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    import spark.implicits._
+    // contract laws: composites are exactly one time unit + one bucket
+    intercept[IllegalArgumentException](PartitionTransforms.parseMulti("days(ts),months(ts)"))
+    intercept[IllegalArgumentException](PartitionTransforms.parseMulti("bucket(4,a),bucket(8,b)"))
+    intercept[IllegalArgumentException](PartitionTransforms.parseMulti("event_type,bucket(8,u)"))
+    intercept[IllegalArgumentException](PartitionTransforms.parseMulti("days(ts),bucket(8,ts)"))
+    val specs = PartitionTransforms.parseMulti("days(ts),bucket(8,user_id)")
+    assert(specs === Seq(PartitionTransforms.Days("ts"), PartitionTransforms.Bucket(8, "user_id")))
+    // conjunctive pkey test: BOTH components must admit the predicate set
+    val day = java.time.LocalDate.of(2024, 1, 8).toEpochDay
+    val b7 = PartitionTransforms.bucketLong(8, 7L)
+    val inDay = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L + 60L))
+    assert(PartitionTransforms.pkeyMayMatchMulti(specs, EqualTo("ts", inDay), s"$day|$b7"))
+    assert(!PartitionTransforms.pkeyMayMatchMulti(specs, EqualTo("ts", inDay), s"${day + 1}|$b7"))
+    assert(PartitionTransforms.pkeyMayMatchMulti(specs, EqualTo("user_id", 7L), s"$day|$b7"))
+    assert(!PartitionTransforms.pkeyMayMatchMulti(
+      specs, EqualTo("user_id", 7L), s"$day|${(b7 + 1) % 8}"))
+    // component-count mismatch (evolution debris) keeps — conservative
+    assert(PartitionTransforms.pkeyMayMatchMulti(specs, EqualTo("user_id", 7L), s"$day"))
+    // end-to-end: a month of events lands day|bucket pkeys; a one-day
+    // window alone keeps that day's buckets, adding the user equality
+    // cuts them ~8x further — both with no partition column named
+    val dir = java.nio.file.Files.createTempDirectory("composite").toString
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .repartitionByRange(4, $"ts").sortWithinPartitions($"ts", $"user_id")
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "event_id")
+      .option("partitionColumn", "days(ts),bucket(8,user_id)")
+      .mode("overwrite").save()
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.pkey.exists(_.matches("""-?\d+\|\d+"""))),
+      s"every file carries a day|bucket pkey: ${entries.flatMap(_.pkey).take(3)}")
+    val days = entries.flatMap(_.pkey).map(_.split("\\|")(0)).distinct
+    assert(days.size >= 25, s"a month of events must span ~30 day keys, got ${days.size}")
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      SF("event_id", org.apache.spark.sql.types.LongType),
+      SF("ts", TimestampType),
+      SF("user_id", org.apache.spark.sql.types.LongType),
+      SF("value", org.apache.spark.sql.types.DoubleType)))
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val sb = new JsonlStatsScanBuilder(dir, schema2, "event_id",
+        Some("days(ts),bucket(8,user_id)"))
+      sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val d0 = days.map(_.toLong).sorted.apply(days.size / 2)
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d0 * 86400L))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond((d0 + 1) * 86400L))
+    val dayOnly = planned(GreaterThanOrEqual("ts", lo), LessThan("ts", hi))
+    val dayAndUser = planned(GreaterThanOrEqual("ts", lo), LessThan("ts", hi),
+      EqualTo("user_id", 7L))
+    val total = entries.size
+    assert(dayOnly < total / 5,
+      s"a one-day window must prune the month: $dayOnly of $total")
+    assert(dayAndUser * 3 <= dayOnly,
+      s"the user equality must cut the day's buckets: $dayAndUser vs $dayOnly")
+    assert(dayAndUser >= 1)
+  }
+
   test("planning-time file skipping: range predicates prune manifest files, never rows") {
     val root = fixture
     val total = JsonlStats.readStats(root).size

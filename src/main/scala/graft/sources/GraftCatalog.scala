@@ -574,6 +574,76 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           s"$catName: unknown table property '$p' — unsettable: deleteMode, " +
             "sortColumn, gramColumn")
       }
+      // SAFE TYPE PROMOTION (r12): a retype is metadata-only exactly
+      // when every EXISTING byte reads correctly under the new type.
+      // JSON text gives three such promotions (values are decimal
+      // text, so re-parsing wider is exact): float -> double,
+      // long -> decimal(>=20, 0) (decimal(20,0) holds every long),
+      // decimal(p, s) -> decimal(p' >= p, s). Everything else —
+      // including long -> double, which silently rounds magnitudes
+      // past 2^53 — reinterprets bytes and stays refused. Stale
+      // numeric bounds under a promoted column remain TRUE bounds
+      // (values unchanged), so pruning stays sound; manifest-served
+      // MIN/MAX pushdown simply declines non-long/double types.
+      case upd: TableChange.UpdateColumnType =>
+        if (upd.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested retype unsupported")
+        val col = upd.fieldNames()(0)
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no such column $col"))
+        val ok = (f.dataType, upd.newDataType()) match {
+          case (FloatType, DoubleType) => true
+          case (LongType, d: DecimalType) => d.scale == 0 && d.precision >= 20
+          case (a: DecimalType, b: DecimalType) =>
+            b.scale == a.scale && b.precision >= a.precision
+          case _ => false
+        }
+        if (!ok)
+          throw new UnsupportedOperationException(
+            s"$catName: unsafe retype of $col: ${f.dataType.simpleString} -> " +
+              s"${upd.newDataType().simpleString} reinterprets existing bytes — safe " +
+              "promotions are float->double, long->decimal(>=20,0) and " +
+              "decimal(p,s)->decimal(p'>=p,s); anything else publishes a new " +
+              "generation via REPLACE TABLE AS SELECT")
+        // the declared layout columns' arithmetic is TYPE-directed
+        // (bucket derivation reads getLong, stats pushdown serves
+        // long/double bounds) — their physical contract refuses retype
+        // like it refuses rename/drop
+        val declaredT = Seq(meta.statsCol.getOrElse(JsonlStats.statsColumn)) ++
+          meta.partitionCol.toSeq.flatMap(PartitionTransforms.parseMulti(_).map(_.col)) ++
+          meta.bloomCol ++ meta.gramCol
+        if (declaredT.contains(mapping.getOrElse(col, col)) || declaredT.contains(col))
+          throw new UnsupportedOperationException(
+            s"$catName: cannot retype $col — it is the table's declared " +
+              "stats/partition/bloom/gram column (the physical layout contract)")
+        schema = StructType(schema.fields.map(sf =>
+          if (sf.name == col) sf.copy(dataType = upd.newDataType()) else sf))
+      // nullability: every column of this format is physically nullable
+      // (absent JSON fields read as SQL null), so RELAXING is pure
+      // metadata; TIGHTENING would assert a fact about existing bytes
+      // no metadata write can prove — add a CHECK constraint instead
+      // (AddConstraint validates by scan).
+      case upd: TableChange.UpdateColumnNullability =>
+        if (upd.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested column unsupported")
+        val col = upd.fieldNames()(0)
+        if (!schema.fieldNames.contains(col))
+          throw new IllegalArgumentException(s"no such column $col")
+        if (!upd.nullable())
+          throw new UnsupportedOperationException(
+            s"$catName: cannot mark $col NOT NULL by metadata alone — existing files " +
+              "may hold nulls; add a CHECK ($col IS NOT NULL) constraint, which " +
+              "validates by scan")
+        schema = StructType(schema.fields.map(sf =>
+          if (sf.name == col) sf.copy(nullable = true) else sf))
+      case upd: TableChange.UpdateColumnComment =>
+        if (upd.fieldNames().length != 1)
+          throw new UnsupportedOperationException(s"$catName: nested column unsupported")
+        val col = upd.fieldNames()(0)
+        if (!schema.fieldNames.contains(col))
+          throw new IllegalArgumentException(s"no such column $col")
+        schema = StructType(schema.fields.map(sf =>
+          if (sf.name == col) sf.withComment(upd.newComment()) else sf))
       case other => throw new UnsupportedOperationException(
         s"$catName: unsupported ALTER $other — retype reinterprets existing " +
           "bytes; publish a new generation via REPLACE TABLE AS SELECT")

@@ -816,6 +816,52 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN safe type promotions: metadata-only, exact re-read; unsafe refuse (r12)") {
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.promo_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.promo_spec USING `graft-jsonl-stats`
+         |AS SELECT * FROM VALUES
+         |  (1L, 9007199254740993L, CAST(1.5 AS FLOAT)),
+         |  (2L, -9007199254740995L, CAST(0.25 AS FLOAT))
+         |AS t(event_id, big, f)""".stripMargin)
+    // long -> decimal(20,0): decimal text re-parses the stored long
+    // EXACTLY — 2^53 + 1 survives, which a long -> double retype (the
+    // refused one) would silently round
+    spark.sql(s"ALTER TABLE $cat.promo_spec ALTER COLUMN big TYPE DECIMAL(20,0)")
+    spark.sql(s"ALTER TABLE $cat.promo_spec ALTER COLUMN f TYPE DOUBLE")
+    val r = spark.sql(
+      s"SELECT big, f FROM $cat.promo_spec ORDER BY event_id").collect()
+    assert(r(0).getDecimal(0).toBigInteger.toString === "9007199254740993")
+    assert(r(1).getDecimal(0).toBigInteger.toString === "-9007199254740995")
+    assert(r(0).getDouble(1) === 1.5 && r(1).getDouble(1) === 0.25)
+    // decimal widening composes; schema reflects it
+    spark.sql(s"ALTER TABLE $cat.promo_spec ALTER COLUMN big TYPE DECIMAL(30,0)")
+    assert(spark.table(s"$cat.promo_spec").schema("big").dataType ===
+      org.apache.spark.sql.types.DecimalType(30, 0))
+    // refusals: lossy/reinterpreting retypes, scale changes, the
+    // declared stats column, and NOT NULL by metadata alone
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(t: Throwable) =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6).toSeq
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains(frag))),
+        s"$sql must refuse with '$frag', got: ${e.getMessage}")
+    }
+    // scale changes die in Spark's own up-cast gate before the catalog
+    refuses(s"ALTER TABLE $cat.promo_spec ALTER COLUMN big TYPE DECIMAL(30,2)",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    refuses(s"ALTER TABLE $cat.promo_spec ALTER COLUMN f TYPE STRING", "unsafe retype")
+    refuses(s"ALTER TABLE $cat.promo_spec ALTER COLUMN event_id TYPE DECIMAL(20,0)",
+      "physical layout contract")
+    refuses(s"ALTER TABLE $cat.promo_spec ALTER COLUMN big SET NOT NULL", "CHECK")
+    // comments are pure metadata
+    spark.sql(s"ALTER TABLE $cat.promo_spec ALTER COLUMN big COMMENT 'exact id'")
+    assert(spark.table(s"$cat.promo_spec").schema("big")
+      .getComment().contains("exact id"))
+    spark.sql(s"DROP TABLE $cat.promo_spec")
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES routes known properties; unknown refuse (r12)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

@@ -127,7 +127,12 @@ object GraftProcedures {
       ProcedureParameter.in("col_a", StringType).build(),
       ProcedureParameter.in("col_b", StringType).build(),
       ProcedureParameter.in("target_bytes", LongType)
-        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build())
+        .defaultValue(JsonlStats.DefaultSplitBytes.toString).build(),
+      // SCOPED maintenance (r12, the `OPTIMIZE ... WHERE` shape): '' =
+      // whole table (unkeyed layouts only); a partition value
+      // re-clusters ONE pkey's files — at 100 TB you zorder
+      // yesterday's partition after it closes, never the table
+      ProcedureParameter.in("partition", StringType).defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -135,9 +140,13 @@ object GraftProcedures {
       val colB = input.getUTF8String(2).toString
       val target = input.getLong(3)
       require(target > 0, s"target_bytes must be positive, got $target")
+      val part = Option(input.getUTF8String(4)).map(_.toString).filter(_.nonEmpty)
       val dir = Paths.get(root, table)
       require(Files.exists(dir.resolve("_stats.jsonl")), s"no such table $table under $root")
-      val (before, after, rows) = GraftProcedures.zorder(dir.toString, colA, colB, target)
+      val (before, after, rows) = part match {
+        case Some(p) => GraftProcedures.zorderScoped(dir.toString, colA, colB, target, p)
+        case None => GraftProcedures.zorder(dir.toString, colA, colB, target)
+      }
       java.util.List.of[Scan](new ZOrderResultScan(before, after, rows)).iterator()
     }
   }
@@ -1020,13 +1029,134 @@ object GraftProcedures {
     * the manifest bounds the writer measures ARE the index).
     * Null dimension values rank as bucket 0 (clustered together,
     * still within every file's recorded non-null bounds only). */
+  /** SCOPED zorder (r12, the `OPTIMIZE ... WHERE` shape for keyed
+    * layouts): re-cluster ONE partition's files by the Morton
+    * interleave, leaving every other entry byte-untouched. At 100 TB
+    * you zorder yesterday's `days(ts)` partition after it closes —
+    * never the table. The scope's rows are read through a TEMPORARY
+    * manifest naming exactly the scoped entries (plus the table's
+    * eqdel/txn lines, so masks apply with their seq semantics), the
+    * z-clustered output lands via a STAGED plain write (no keyed
+    * distribution requirement to fight the z range-partitioning — the
+    * pkey is a constant over the scope, so it is stamped onto the
+    * fresh entries directly, `pspec` included), files move into the
+    * table directory, and ONE rewrite commit replaces the scoped
+    * entries under the same OCC law as row-level DML: a rival that
+    * touched a scoped file (DV attach, compaction) conflicts loudly.
+    * Lineage rides in-row exactly like the global path (ids project
+    * through the rewrite, entries publish frid = -2); an unassigned
+    * table's fresh entries stay unassigned. */
+  def zorderScoped(tableRoot: String, colA: String, colB: String,
+                   targetBytes: Long, partition: String): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
+    val spark = SparkSession.active
+    val raw = JsonlStats.readManifestLines(tableRoot, "_stats.jsonl").filter(_.nonEmpty)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def isEntry(l: String) = mapper.readTree(l).hasNonNull("file")
+    val all = JsonlStats.parseStatsLines(raw)
+    val scoped = all.filter(_.pkey.contains(partition))
+    require(scoped.nonEmpty,
+      s"zorder($tableRoot, partition => '$partition'): no live file carries that pkey " +
+        s"(pkeys: ${all.flatMap(_.pkey).distinct.sorted.take(10).mkString(", ")})")
+    if (scoped.size == 1 && scoped.head.dvs.isEmpty) return (all.size, all.size, scoped.head.rows)
+    val scopedNames = scoped.map(_.file).toSet
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // a read-only snapshot manifest of exactly the scope: scoped entry
+    // lines verbatim + every non-entry line except the counter (eqdels
+    // keep their seq semantics; the counter is commit-protocol state)
+    val tmpManifest = s"_zscope-$runId.jsonl"
+    val tmpLines = raw.filter(l =>
+      if (isEntry(l)) scopedNames.contains(mapper.readTree(l).get("file").asText())
+      else !l.contains(JsonlStats.NextRowIdKey))
+    Files.write(Paths.get(tableRoot, tmpManifest), tmpLines.asJava)
+    val staging = Paths.get(tableRoot, s"_zorder-staging-$runId")
+    try {
+      var reader = spark.read.format("graft-jsonl-stats")
+        .option("path", tableRoot).option("manifest", tmpManifest)
+        .option("statsColumn", statsCol)
+      meta.schema.foreach(s => reader = reader.schema(s))
+      val df = reader.load()
+      require(df.columns.contains(colA) && df.columns.contains(colB),
+        s"zorder columns must exist in the table schema: $colA, $colB vs ${df.columns.mkString(",")}")
+      val b = df.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      if (b.isNullAt(0) || b.isNullAt(2)) return (all.size, all.size, scoped.map(_.rows).sum)
+      val zc = mortonColumn(colA, colB, b.getDouble(0), b.getDouble(1),
+        b.getDouble(2), b.getDouble(3))
+      val hasLineage = scoped.exists(s => s.frid >= 0L || s.frid == -2L || s.runs.nonEmpty)
+      val src =
+        if (!hasLineage) df
+        else df.select(col("*"), col(JsonlStats.RowIdMeta),
+          col(JsonlStats.LuvMeta).as(JsonlStats.LuvField))
+      val liveBytes = scoped.map { s =>
+        val p = Paths.get(tableRoot, s.file)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+      Files.createDirectories(staging)
+      var writer = src.withColumn("__graft_z", zc)
+        .repartitionByRange(nOut, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .write.format("graft-jsonl-stats")
+        .option("path", staging.toString).option("statsColumn", statsCol)
+      meta.bloomCol.foreach(bc => writer = writer.option("bloomColumn", bc))
+      meta.gramCol.foreach(gc => writer = writer.option("gramColumn", gc))
+      writer.mode("overwrite").save()
+      val staged = JsonlStats.readStats(staging.toString)
+      staged.foreach(s => Files.move(staging.resolve(s.file), Paths.get(tableRoot, s.file)))
+      // the scope's pkey is a row-level invariant (every source file
+      // carried it), so fresh entries stamp it directly — the staged
+      // write was deliberately UNKEYED so z range-partitioning survives
+      val fresh = staged.map { s =>
+        val keyed = s.copy(pkey = Some(partition), pspec = meta.partitionCol)
+        if (hasLineage) keyed // frid = -2, ids materialized in-row
+        else keyed.copy(frid = -1L, luv = 0L, runs = Nil) // stays unassigned/restamps like any rewrite
+      }
+      val removedLines = scoped.map(JsonlStats.statsLine)
+      JsonlStats.commitAtomic(tableRoot, s"zorder-scoped-$runId", base => {
+        val m = JsonlEqualityDeletes.maxSeq(base)
+        val freshLines = fresh.map(fs => JsonlStats.statsLine(
+          if (m == 0L) fs else fs.copy(seq = m)))
+        JsonlStats.rebaseRewrite(removedLines, freshLines)(base)
+      })
+      (all.size, all.size - scoped.size + staged.size, fresh.map(_.rows).sum)
+    } finally {
+      Files.deleteIfExists(Paths.get(tableRoot, tmpManifest))
+      if (Files.exists(staging)) graft.util.Fs.deleteRecursively(staging.toString)
+    }
+  }
+
+  /** Morton z-value of two 256-rank range buckets (shared by the
+    * global and scoped zorder paths). */
+  private def mortonColumn(colA: String, colB: String,
+      aLo: Double, aHi: Double, bLo: Double, bHi: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def bucket(c: Column, mn: Double, mx: Double): Column =
+      if (mx <= mn) lit(0)
+      else least(lit(255), greatest(lit(0),
+        floor((c.cast("double") - lit(mn)) / lit(mx - mn) * 256).cast("int")))
+    val bx = coalesce(bucket(col(colA), aLo, aHi), lit(0))
+    val by = coalesce(bucket(col(colB), bLo, bHi), lit(0))
+    (0 until 8).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
   def zorder(tableRoot: String, colA: String, colB: String, targetBytes: Long): (Int, Int, Long) = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     val meta = JsonlStats.readTableMeta(tableRoot)
     require(meta.partitionCol.isEmpty,
       "zorder refuses key-grouped layouts: re-clustering would destroy the " +
-        "one-pkey-per-file SPJ contract (compact preserves keys; zorder cannot)")
+        "one-pkey-per-file SPJ contract (compact preserves keys; zorder cannot) — " +
+        "scope it instead: zorder(table, a, b, target, partition => '<pkey>') " +
+        "re-clusters ONE partition and keeps the contract")
     val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
     val spark = SparkSession.active
     val stats = JsonlStats.readStats(tableRoot)
@@ -1050,16 +1180,8 @@ object GraftProcedures {
       // empty table or an all-null dimension: no meaningful clustering
       return (stats.size, stats.size, math.max(0L, stats.map(_.rows).sum))
     // 256 range buckets per dimension (8 bits each → 16-bit z), monotone
-    def bucket(c: Column, mn: Double, mx: Double): Column =
-      if (mx <= mn) lit(0)
-      else least(lit(255), greatest(lit(0),
-        floor((c.cast("double") - lit(mn)) / lit(mx - mn) * 256).cast("int")))
-    val bx = coalesce(bucket(col(colA), b.getDouble(0), b.getDouble(1)), lit(0))
-    val by = coalesce(bucket(col(colB), b.getDouble(2), b.getDouble(3)), lit(0))
-    val zc = (0 until 8).map { i =>
-      shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
-    }.reduce(_ bitwiseOR _)
+    val zc = mortonColumn(colA, colB, b.getDouble(0), b.getDouble(1),
+      b.getDouble(2), b.getDouble(3))
     // row lineage (r10): a clustering rewrite SCATTERS rows, so ids
     // ride through the rewrite as projected metadata columns and land
     // as materialized in-row fields (the write sees `_row_id`/`_luv`

@@ -3171,6 +3171,44 @@ object JsonlStatsQueries extends QueryModule {
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin)
   }
 
+  /** q288 (r12): SCOPED ZORDER — `OPTIMIZE ... WHERE` for keyed
+    * layouts: re-cluster ONE `days(ts)` partition by the Morton
+    * interleave of (user_id, value) and leave every other day's entry
+    * byte-untouched. At 100 TB the maintenance window touches
+    * yesterday's partition, never the table; the 2-D box slice below
+    * then prunes from per-file bounds that are tight on BOTH
+    * dimensions at once inside the re-clustered day. Global zorder
+    * refuses keyed layouts (it would destroy the one-pkey-per-file SPJ
+    * contract); the scope keeps the contract because the pkey is a
+    * row-level constant over it. The oracle recomputes the slice from
+    * raw parquet — the layout is a pure access path. */
+  def scopedZorderSlice(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.events_zscope")
+    Tables.events(spark, d)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .createOrReplaceTempView("zscope_q_src")
+    // two commits so the scoped day really holds multiple files
+    spark.sql(
+      s"""CREATE TABLE $cat.events_zscope USING `graft-jsonl-stats`
+         |PARTITIONED BY (days(ts))
+         |AS SELECT * FROM zscope_q_src WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.events_zscope SELECT * FROM zscope_q_src WHERE event_id % 2 = 1")
+    val day = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+    spark.sql(s"CALL $cat.zorder('events_zscope', 'user_id', 'value', " +
+      s"${4L * 1024}, partition => '$day')")
+    spark.sql(
+      s"""SELECT user_id, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.events_zscope
+         |WHERE ts >= TIMESTAMP'2024-01-15 00:00:00'
+         |  AND ts <  TIMESTAMP'2024-01-16 00:00:00'
+         |  AND user_id BETWEEN 3 AND 9 AND value BETWEEN 5.0 AND 120.0
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3262,6 +3300,7 @@ object JsonlStatsQueries extends QueryModule {
     "q285_nested_leaf_slice" -> nestedLeafSlice,
     "q286_monthly_layout_scan" -> monthlyLayoutScan,
     "q287_composite_layout_scan" -> compositeLayoutScan,
+    "q288_scoped_zorder" -> scopedZorderSlice,
   )
 
   val oracles = Map(
@@ -3581,6 +3620,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q288_scoped_zorder" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP'2024-01-15 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-16 00:00:00'
+        |  AND user_id BETWEEN 3 AND 9 AND value BETWEEN 5.0 AND 120.0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q287_composite_layout_scan" ->
       """SELECT user_id, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

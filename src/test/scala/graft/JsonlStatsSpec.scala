@@ -816,6 +816,69 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("scoped zorder: one partition re-clusters, every other entry byte-identical (r12)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.zscope_spec")
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .createOrReplaceTempView("zscope_src")
+    // two commits -> every day holds (at least) two files, so the
+    // scope is a real multi-file re-cluster even at tiny sf (AQE
+    // coalesces a small CTAS to one task = one file per day)
+    spark.sql(
+      s"""CREATE TABLE $cat.zscope_spec USING `graft-jsonl-stats`
+         |PARTITIONED BY (days(ts))
+         |AS SELECT * FROM zscope_src WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.zscope_spec SELECT * FROM zscope_src WHERE event_id % 2 = 1")
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "zscope_spec").toString
+    val before = JsonlStats.readStats(dir)
+    assert(before.forall(_.pkey.isDefined))
+    // pick the day with the most files (the scope worth re-clustering)
+    val day = before.groupBy(_.pkey.get).maxBy(_._2.size)._1
+    val content0 = spark.table(s"$cat.zscope_spec")
+      .selectExpr("event_id", "user_id", "value", "_row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val otherLines = before.filterNot(_.pkey.contains(day)).map(JsonlStats.statsLine).sorted
+    // half the scope's bytes as the target -> the rewrite must fan out
+    // to >= 2 z-ranged files at ANY sf
+    val scopeBytes = before.filter(_.pkey.contains(day))
+      .map(st => java.nio.file.Files.size(Paths.get(dir, st.file))).sum
+    val target = math.max(512L, scopeBytes / 2)
+    spark.sql(
+      s"CALL $cat.zorder('zscope_spec', 'user_id', 'value', $target, partition => '$day')")
+    val after = JsonlStats.readStats(dir)
+    // every entry outside the scope survives BYTE-identical
+    assert(after.filterNot(_.pkey.contains(day)).map(JsonlStats.statsLine).sorted === otherLines,
+      "scoped zorder must not touch a single entry outside its partition")
+    // the scope stays keyed under the table's spec (SPJ contract intact)
+    val fresh = after.filter(_.pkey.contains(day))
+    assert(fresh.nonEmpty && fresh.forall(_.pspec.exists(_ == "days(ts)")),
+      s"fresh entries must carry the pkey and its spec: ${fresh.map(s => (s.pkey, s.pspec))}")
+    // content AND row identity survive the re-cluster bit-for-bit
+    val content1 = spark.table(s"$cat.zscope_spec")
+      .selectExpr("event_id", "user_id", "value", "_row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(content1 === content0, "scoped zorder is a pure layout move")
+    // the z-clustering actually happened: with a small target the scope
+    // fans out, and each fresh file's user_id bounds are tighter than
+    // the whole scope's (range-partitioned by z => per-file 2-D locality)
+    assert(fresh.size >= 2, s"a half-scope target must split the day, got ${fresh.size}")
+    val scopeBounds = fresh.flatMap(s => JsonlStats.colBounds(s, "user_id", "event_id"))
+    assert(scopeBounds.nonEmpty)
+    val widest = scopeBounds.map { case (lo, hi) => hi - lo }.max
+    val full = (scopeBounds.map(_._1).min, scopeBounds.map(_._2).max)
+    assert(widest < (full._2 - full._1),
+      s"at least the widest file must be tighter than the scope: $widest vs $full")
+    // unknown pkey refuses loudly, naming candidates
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.zorder('zscope_spec', 'user_id', 'value', ${16L * 1024}, partition => 'nope')"))
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("no live file"))))
+    spark.sql(s"DROP TABLE $cat.zscope_spec")
+  }
+
   test("ALTER COLUMN safe type promotions: metadata-only, exact re-read; unsafe refuse (r12)") {
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
     spark.sql(s"DROP TABLE IF EXISTS $cat.promo_spec")

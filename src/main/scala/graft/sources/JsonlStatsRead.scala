@@ -769,7 +769,26 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
   private lazy val partitionSpecs: Option[Seq[PartitionTransforms.Spec]] =
     partitionCol.map(PartitionTransforms.parseMulti)
 
-  private def survivingStats(): Seq[JsonlStats.FileStats] =
+  /** Planning consults the surviving set several times (statistics,
+    * partitioning report, partition planning, rewrite accounting) —
+    * memoized per runtime-filter state (r12), since the filter pass is
+    * O(entries × predicates) and a 100 k-entry manifest pays ~6 ms per
+    * evaluation. The vars only ever move wholesale in [[filter]], so
+    * reference identity is the correct key. */
+  @volatile private var survivingMemo:
+      ((Seq[Array[Double]], Option[Set[String]]), Seq[JsonlStats.FileStats]) = _
+  private def survivingStats(): Seq[JsonlStats.FileStats] = {
+    val key = (runtimeKeep, runtimeFileKeep)
+    val m = survivingMemo
+    if (m != null && (m._1._1 eq key._1) && (m._1._2 eq key._2)) m._2
+    else {
+      val v = computeSurviving()
+      survivingMemo = (key, v)
+      v
+    }
+  }
+
+  private def computeSurviving(): Seq[JsonlStats.FileStats] =
     statsSnapshot
       // hidden partitioning (r9): a file's single DERIVED pkey, mapped
       // through the transform, can prove the file irrelevant for

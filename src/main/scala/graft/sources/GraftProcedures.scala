@@ -1097,6 +1097,13 @@ object GraftProcedures {
       }.sum
       val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
       Files.createDirectories(staging)
+      // the staged write must speak the TABLE's physical dialect —
+      // column mapping renames are metadata-only and files carry
+      // PHYSICAL keys, so seed the staging sidecar with the table meta
+      // (minus the layout columns: partitionCol would re-key the write
+      // and fight the z range-partitioning; sortCol would re-sort it)
+      JsonlStats.writeTableMeta(staging.toString,
+        meta.copy(partitionCol = None, sortCol = None))
       var writer = src.withColumn("__graft_z", zc)
         .repartitionByRange(nOut, col("__graft_z"))
         .sortWithinPartitions("__graft_z")

@@ -876,6 +876,24 @@ class JsonlStatsSpec extends SparkSpec {
       s"CALL $cat.zorder('zscope_spec', 'user_id', 'value', ${16L * 1024}, partition => 'nope')"))
     def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6).toSeq
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("no live file"))))
+    // column-mapped tables keep the PHYSICAL dialect through the scoped
+    // rewrite: rename, re-cluster ANOTHER day, content identical and the
+    // fresh stats key the physical name (the staging sidecar carries the
+    // table meta, so staged files never write logical keys)
+    spark.sql(s"ALTER TABLE $cat.zscope_spec RENAME COLUMN user_id TO uid")
+    val day2 = before.groupBy(_.pkey.get).filter(_._1 != day).maxBy(_._2.size)._1
+    val sum0 = spark.sql(
+      s"SELECT CAST(SUM(CAST(uid AS DECIMAL(18,6))) AS DOUBLE) FROM $cat.zscope_spec")
+      .head().getDouble(0)
+    spark.sql(
+      s"CALL $cat.zorder('zscope_spec', 'uid', 'value', $target, partition => '$day2')")
+    val sum1 = spark.sql(
+      s"SELECT CAST(SUM(CAST(uid AS DECIMAL(18,6))) AS DOUBLE) FROM $cat.zscope_spec")
+      .head().getDouble(0)
+    assert(sum1 === sum0, "renamed column must survive the scoped rewrite bit-for-bit")
+    val fresh2 = JsonlStats.readStats(dir).filter(_.pkey.contains(day2))
+    assert(fresh2.nonEmpty && fresh2.forall(_.cols.contains("user_id")),
+      s"staged files must record stats under the PHYSICAL name: ${fresh2.map(_.cols.keySet)}")
     spark.sql(s"DROP TABLE $cat.zscope_spec")
   }
 

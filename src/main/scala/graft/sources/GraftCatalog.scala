@@ -47,7 +47,7 @@ import scala.jdk.CollectionConverters._
   * row boxing) instead of the reflective `produceResult` path.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with SupportsNamespaces {
   private var catName: String = _
   private var root: String = _
 
@@ -667,6 +667,93 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val existed = java.nio.file.Files.exists(dir.resolve("_stats.jsonl"))
     if (existed) graft.util.Fs.deleteRecursively(dir.toString)
     existed
+  }
+
+  // ---- SupportsNamespaces (r12) ------------------------------------------
+  // A namespace IS a directory under the warehouse root (nested allowed),
+  // exactly the layout `dirOf`/`listTables` have resolved since r7 — this
+  // wires the SQL verbs (CREATE/DROP/SHOW NAMESPACES, SHOW TABLES IN)
+  // onto it. A directory holding `_stats.jsonl` is a TABLE, not a
+  // namespace; `_`-prefixed entries are engine internals (history,
+  // refs, staging debris). Namespace properties (comment/owner) land in
+  // a `_namespace.json` sidecar so DESCRIBE NAMESPACE round-trips.
+  private def nsDir(namespace: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get(root, namespace: _*)
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(p.resolve("_stats.jsonl"))
+  private def isNamespaceDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) && !isTableDir(p) &&
+      !p.getFileName.toString.startsWith("_")
+  private val nsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsDir(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val base = nsDir(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!java.nio.file.Files.isDirectory(base)) return Array.empty
+    val s = java.nio.file.Files.list(base)
+    try s.iterator().asScala.filter(isNamespaceDir)
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally s.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    val p = nsDir(namespace).resolve("_namespace.json")
+    val m = new java.util.HashMap[String, String]()
+    if (java.nio.file.Files.exists(p)) {
+      val n = nsMapper.readTree(java.nio.file.Files.readString(p))
+      n.fields().asScala.foreach(e => m.put(e.getKey, e.getValue.asText()))
+    }
+    m
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty, s"$catName: namespace must be non-empty")
+    require(!namespace.exists(_.startsWith("_")),
+      s"$catName: namespace segments must not start with '_' (engine-internal prefix)")
+    val dir = nsDir(namespace)
+    if (isNamespaceDir(dir) || isTableDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(dir)
+    writeNsMeta(dir, metadata.asScala.toMap.filter(_._2 != null))
+  }
+
+  private def writeNsMeta(dir: java.nio.file.Path, props: Map[String, String]): Unit = {
+    val n = nsMapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    java.nio.file.Files.writeString(dir.resolve("_namespace.json"), n.toString)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    var props = loadNamespaceMetadata(namespace).asScala.toMap
+    changes.foreach {
+      case set: NamespaceChange.SetProperty => props += (set.property() -> set.value())
+      case rm: NamespaceChange.RemoveProperty => props -= rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"$catName: unsupported namespace change $other")
+    }
+    writeNsMeta(nsDir(namespace), props)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (namespace.isEmpty) return false
+    val dir = nsDir(namespace)
+    if (!isNamespaceDir(dir)) return false
+    val hasContent = listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty
+    if (hasContent && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    graft.util.Fs.deleteRecursively(dir.toString)
+    true
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

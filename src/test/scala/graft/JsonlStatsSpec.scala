@@ -816,6 +816,82 @@ class JsonlStatsSpec extends SparkSpec {
     }
   }
 
+  test("composite layout DML: COW rewrites re-derive day|bucket pkeys (r12)") {
+    import spark.implicits._
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.cdml_spec")
+    graft.ingest.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .createOrReplaceTempView("cdml_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.cdml_spec USING `graft-jsonl-stats`
+         |PARTITIONED BY (days(ts), bucket(8, user_id))
+         |AS SELECT * FROM cdml_src""".stripMargin)
+    val dir = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.root"), "cdml_spec").toString
+    val total = spark.table(s"$cat.cdml_spec").count()
+    val hit = spark.sql(
+      s"SELECT count(*) FROM $cat.cdml_spec WHERE user_id = 7 AND value < 50").head().getLong(0)
+    assert(hit > 0, "fixture must have rows to delete")
+    spark.sql(s"DELETE FROM $cat.cdml_spec WHERE user_id = 7 AND value < 50")
+    assert(spark.table(s"$cat.cdml_spec").count() === total - hit)
+    spark.sql(s"UPDATE $cat.cdml_spec SET value = 0.0 WHERE user_id = 9")
+    assert(spark.sql(s"SELECT sum(value) FROM $cat.cdml_spec WHERE user_id = 9")
+      .head().getDouble(0) === 0.0)
+    // every entry — original and COW replacement alike — carries a
+    // well-formed composite pkey under the table's spec
+    val entries = JsonlStats.readStats(dir)
+    assert(entries.forall(_.pkey.exists(_.matches("""-?\d+\|\d+"""))),
+      s"COW replacements must re-derive composite pkeys: ${entries.flatMap(_.pkey).take(5)}")
+    assert(entries.forall(_.pspec.forall(_ == "days(ts),bucket(8,user_id)")))
+    // and the layout still prunes: the day+user point query plans a
+    // small fraction (conjunctive pruning through the rewritten layout)
+    val planned = {
+      val sb = new JsonlStatsScanBuilder(dir,
+        spark.table(s"$cat.cdml_spec").schema, "event_id",
+        Some("days(ts),bucket(8,user_id)"))
+      sb.pushFilters(Array(
+        org.apache.spark.sql.sources.EqualTo("user_id", 9L)))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(planned * 3 <= entries.size,
+      s"bucket pruning must survive DML: $planned of ${entries.size}")
+    spark.sql(s"DROP TABLE $cat.cdml_spec")
+  }
+
+  test("namespaces: directories under the warehouse root, full SQL verb surface (r12)") {
+    val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)
+    spark.sql(s"DROP NAMESPACE IF EXISTS $cat.rawzone CASCADE")
+    spark.sql(s"CREATE NAMESPACE $cat.rawzone COMMENT 'landing zone'")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("rawzone"))
+    // tables resolve under the namespace path (dirOf has composed the
+    // path since r7 — this wires the verbs onto it)
+    spark.sql(s"CREATE TABLE $cat.rawzone.t USING `graft-jsonl-stats` " +
+      "AS SELECT 1L AS event_id, 10L AS v")
+    assert(spark.sql(s"SHOW TABLES IN $cat.rawzone").collect()
+      .map(_.getString(1)).contains("t"))
+    assert(spark.table(s"$cat.rawzone.t").count() === 1L)
+    // properties round-trip through DESCRIBE and ALTER
+    val desc = spark.sql(s"DESCRIBE NAMESPACE EXTENDED $cat.rawzone").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.exists(_._2.contains("landing zone")), s"comment must surface: $desc")
+    spark.sql(s"ALTER NAMESPACE $cat.rawzone SET PROPERTIES ('team' = 'etl')")
+    val desc2 = spark.sql(s"DESCRIBE NAMESPACE EXTENDED $cat.rawzone").collect()
+      .map(r => r.getString(1)).mkString(";")
+    assert(desc2.contains("etl"), s"team property must surface after ALTER: $desc2")
+    // nested namespaces list hierarchically
+    spark.sql(s"CREATE NAMESPACE $cat.rawzone.sub")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat.rawzone").collect()
+      .map(_.getString(0)).exists(_.endsWith("sub")))
+    // a non-empty namespace refuses a plain drop; CASCADE clears it
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.rawzone"))
+    spark.sql(s"DROP NAMESPACE $cat.rawzone CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("rawzone"))
+    // a TABLE directory is not a namespace (and vice versa)
+    intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.jsonl_stats_table"))
+  }
+
   test("scoped zorder: one partition re-clusters, every other entry byte-identical (r12)") {
     import spark.implicits._
     val cat = JsonlStatsQueries.ensureCatalog(spark, sfDir)

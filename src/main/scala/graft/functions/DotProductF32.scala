@@ -83,6 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // persistent-view resolution (r12b): Spark 4.1 ships the V2
+    // ViewCatalog interface but no analyzer wiring — this rule is it
+    ext.injectResolutionRule(s => new graft.plans.ResolveGraftViews(s))
   }
 }
 

@@ -1,0 +1,171 @@
+package graft.plans
+
+import graft.sources.{GraftCatalog, GraftViews}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, FunctionRegistry, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+
+/** Analyzer rule that resolves SELECTs over [[GraftCatalog]]'s stored
+  * views ([[GraftViews]]).
+  *
+  * Spark 4.1 ships the V2 `ViewCatalog` INTERFACE but wires none of it
+  * into the analyzer — `grep ViewCatalog` over spark-sql/spark-catalyst
+  * bytecode hits only the interface itself, and `CREATE VIEW cat.v`
+  * fails with MISSING_CATALOG_ABILITY before the catalog is consulted.
+  * Engines that persist views (Iceberg's Spark extensions are the
+  * public reference for the approach) therefore resolve them with an
+  * injected rule. This rule is that seam, registered by
+  * [[graft.functions.GraftExtensions]] (`injectResolutionRule`).
+  *
+  * Expansion is a MACRO expansion, done eagerly and completely in one
+  * rule invocation:
+  *
+  *   1. an `UnresolvedRelation` whose identifier names a stored view in
+  *      a registered GraftCatalog (head-is-catalog, or the session's
+  *      current catalog for shorter names) is looked up;
+  *   2. the stored SQL is parsed, its own WITH clauses substituted
+  *      ([[CTESubstitution]] — the body never sees the outer query's
+  *      CTE names, and vice versa);
+  *   3. every remaining table reference in the body is QUALIFIED
+  *      against the view's stored definition-time context
+  *      (`currentCatalog`/`currentNamespace`), including inside
+  *      subquery expressions — so the body resolves exactly as written
+  *      no matter which catalog the READING session has current; bare
+  *      non-builtin function names are qualified the same way (the V2
+  *      FunctionCatalog's `graft_cell` et al.);
+  *   4. nested graft views expand recursively THROUGH the same path
+  *      with an explicit ancestor set — a definition cycle (possible
+  *      via CREATE OR REPLACE after definition) fails loudly naming
+  *      the cycle, never an analyzer fixed-point overrun;
+  *   5. the stored output contract is re-applied: the body's columns
+  *      are projected by the stored `queryColumnNames` and re-aliased
+  *      to the stored `columnAliases` — a view whose underlying table
+  *      dropped a referenced column fails naming that column, and a
+  *      table that GAINED columns leaks nothing through a `SELECT *`
+  *      view (the projection pins the definition-time column list).
+  *
+  * Because the result is ordinary analyzed relations, every scan-side
+  * capability — filter/column pushdown, manifest file pruning, runtime
+  * filtering, SPJ — applies through a view unchanged; `q289` pins the
+  * planned-file fraction of a predicate THROUGH a view equal to the
+  * direct scan's. Streaming reads (`readStream.table`) are left
+  * untouched: a view is a batch macro, and expanding one under a
+  * streaming relation would silently change micro-batch semantics.
+  */
+class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val MaxDepth = 32
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u @ UnresolvedRelation(parts, _, false) =>
+      lookupView(parts).map { case (catName, ident, d) =>
+        expand(catName, ident, d, Set(viewKey(catName, ident)))
+      }.getOrElse(u)
+  }
+
+  private def viewKey(catName: String, ident: Identifier): String =
+    (catName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  /** A registered GraftCatalog by name, or None — never throws (this
+    * probe runs for EVERY unresolved relation in every query). */
+  private def graftCatalog(name: String): Option[(String, GraftCatalog)] = {
+    val cm = spark.sessionState.catalogManager
+    if (!cm.isCatalogRegistered(name)) return None
+    cm.catalog(name) match {
+      case g: GraftCatalog => Some((name, g))
+      case _ => None
+    }
+  }
+
+  /** Resolve `parts` to a stored view, mirroring Spark's name rules:
+    * a leading registered catalog name is the catalog and the rest the
+    * namespace-qualified view; otherwise the session's CURRENT catalog
+    * is tried with the whole name, both namespace-absolute and
+    * relative to the current namespace for single-part names. */
+  private def lookupView(parts: Seq[String]): Option[(String, Identifier, GraftViews.ViewDef)] = {
+    def tryIdent(catName: String, cat: GraftCatalog, ns: Seq[String], name: String) = {
+      val ident = Identifier.of(ns.toArray, name)
+      if (cat.viewExists(ident))
+        GraftViews.read(cat.namespaceDir(ident.namespace()), name).map((catName, ident, _))
+      else None
+    }
+    val headCat = if (parts.size >= 2) graftCatalog(parts.head).flatMap { case (n, c) =>
+      tryIdent(n, c, parts.tail.init, parts.last)
+    } else None
+    headCat.orElse {
+      val cm = spark.sessionState.catalogManager
+      graftCatalog(cm.currentCatalog.name()).flatMap { case (n, c) =>
+        val absolute = tryIdent(n, c, parts.init, parts.last)
+        if (parts.size == 1)
+          absolute.orElse(tryIdent(n, c, cm.currentNamespace.toSeq, parts.head))
+        else absolute
+      }
+    }
+  }
+
+  private def expand(catName: String, ident: Identifier, d: GraftViews.ViewDef,
+                     seen: Set[String]): LogicalPlan = {
+    if (seen.size > MaxDepth)
+      throw new IllegalArgumentException(
+        s"view nesting deeper than $MaxDepth at ${viewKey(catName, ident)} — " +
+          "flatten the definition chain")
+    val parsed = spark.sessionState.sqlParser.parsePlan(d.sql)
+    val substituted = CTESubstitution.apply(parsed)
+    val ctx = d.currentCatalog +: d.currentNamespace
+    val qualified = qualifyIdentifiers(substituted, ctx, seen)
+    val projected =
+      if (d.queryColumnNames.nonEmpty) {
+        val aliases =
+          if (d.columnAliases.size == d.queryColumnNames.size) d.columnAliases
+          else d.queryColumnNames
+        Project(d.queryColumnNames.zip(aliases).map { case (q, a) =>
+          Alias(UnresolvedAttribute.quoted(q), a)()
+        }, qualified)
+      } else qualified
+    SubqueryAlias((catName +: ident.namespace()).mkString("."), // Spark collapses the qualifier
+      SubqueryAlias(ident.name(), projected))
+  }
+
+  /** Qualify every table/function identifier in a view body against the
+    * view's definition-time context, expanding nested graft views as
+    * they surface (cycle-guarded by `seen`). */
+  private def qualifyIdentifiers(plan: LogicalPlan, ctx: Seq[String],
+                                 seen: Set[String]): LogicalPlan = {
+    val qualifiedRels = plan.transformUp {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        val full =
+          if (parts.size == 1) ctx ++ parts
+          else if (graftCatalog(parts.head).isDefined ||
+            spark.sessionState.catalogManager.isCatalogRegistered(parts.head)) parts
+          else ctx.head +: parts
+        lookupView(full) match {
+          case Some((catName, ident, d)) =>
+            val key = viewKey(catName, ident)
+            if (seen.contains(key))
+              throw new IllegalArgumentException(
+                s"cyclic view definition: $key expands through itself " +
+                  s"(chain: ${seen.mkString(" -> ")} -> $key)")
+            expand(catName, ident, d, seen + key)
+          case None => u.copy(multipartIdentifier = full)
+        }
+    }
+    qualifiedRels.transformAllExpressions {
+      case sq: SubqueryExpression =>
+        sq.withNewPlan(qualifyIdentifiers(sq.plan, ctx, seen))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 && !isKnownSessionFunction(f.nameParts.head) =>
+        f.copy(nameParts = ctx.head +: f.nameParts)
+    }
+  }
+
+  /** Builtin or session-registered (injected/temp) function names stay
+    * bare; anything else written bare in a view body can only have
+    * meant the defining catalog's FunctionCatalog. */
+  private def isKnownSessionFunction(name: String): Boolean =
+    FunctionRegistry.builtin.functionExists(FunctionIdentifier(name)) ||
+      spark.sessionState.catalog.isRegisteredFunction(FunctionIdentifier(name))
+}

@@ -47,7 +47,7 @@ import scala.jdk.CollectionConverters._
   * row boxing) instead of the reflective `produceResult` path.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog
-    with ProcedureCatalog with SupportsNamespaces {
+    with ProcedureCatalog with SupportsNamespaces with ViewCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -172,6 +172,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       throw new UnsupportedOperationException(
         s"$catName only serves manifest-listed JSONL tables; USING ${provider.get} " +
           "belongs to another catalog")
+    // one identifier space with views (r12b): a table must never shadow
+    // a stored view — the mirror of createView's table guard
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     def encodeTransform(t: Transform): String = {
         val refs = t.references()
         if (refs.length != 1 || refs(0).fieldNames().length != 1)
@@ -679,6 +683,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   // a `_namespace.json` sidecar so DESCRIBE NAMESPACE round-trips.
   private def nsDir(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get(root, namespace: _*)
+  /** The namespace's directory — [[graft.plans.ResolveGraftViews]]
+    * reads stored view definitions through this. */
+  def namespaceDir(namespace: Array[String]): java.nio.file.Path = nsDir(namespace)
   private def isTableDir(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(p.resolve("_stats.jsonl"))
   private def isNamespaceDir(p: java.nio.file.Path): Boolean =
@@ -759,6 +766,114 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catName: rename would break the path-addressed readers of the old name")
+
+  // ---- ViewCatalog (r12b) --------------------------------------------
+  // Persistent SQL views, stored as `_views/<name>.json` sidecars in
+  // their namespace directory ([[GraftViews]]). Spark's analyzer
+  // resolves a SELECT over one natively (ResolveRelations consults
+  // ViewCatalog), re-parsing the stored SQL with the stored
+  // catalog/namespace as context — so the view is a macro: every
+  // scan capability (pushdown, file pruning, runtime filtering)
+  // applies through it unchanged. Tables and views share one
+  // identifier space by refusal: createView refuses a table's name,
+  // validateCreate refuses a view's ([[GraftViews.requireValidName]]
+  // keeps both out of the engine-internal `_` prefix).
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    GraftViews.list(nsDir(ns)).map(Identifier.of(ns, _)).toArray
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.read(nsDir(ident.namespace()), ident.name())
+      .map(new GraftViews.GraftView(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(nsDir(ident.namespace()), ident.name())
+
+  private def viewDefOf(info: ViewInfo): GraftViews.ViewDef =
+    GraftViews.ViewDef(
+      name = info.ident().name(),
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schema = info.schema(),
+      queryColumnNames = Option(info.queryColumnNames()).map(_.toSeq).getOrElse(Seq.empty),
+      columnAliases = Option(info.columnAliases()).map(_.toSeq).getOrElse(Seq.empty),
+      columnComments = Option(info.columnComments()).map(_.toSeq.map(c => if (c == null) "" else c))
+        .getOrElse(Seq.empty),
+      properties = Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    GraftViews.requireValidName(ident.name())
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    // one identifier space: a view must never shadow a table — the
+    // analyzer would otherwise answer SELECTs with whichever it
+    // consults first, silently
+    if (java.nio.file.Files.exists(dirOf(ident).resolve("_stats.jsonl")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    GraftViews.write(nsDir(ident.namespace()), viewDefOf(info), replace = false)
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    GraftViews.requireValidName(ident.name())
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (java.nio.file.Files.exists(dirOf(ident).resolve("_stats.jsonl")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    // ATOMIC_MOVE with REPLACE_EXISTING: a concurrent reader sees the
+    // old definition or the new one, never a torn file
+    GraftViews.write(nsDir(ident.namespace()), viewDefOf(info), replace = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val d = GraftViews.read(nsDir(ident.namespace()), ident.name())
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    var props = d.properties
+    changes.foreach {
+      case set: ViewChange.SetProperty => props += (set.property() -> set.value())
+      case rm: ViewChange.RemoveProperty => props -= rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"$catName: unsupported view change $other")
+    }
+    GraftViews.write(nsDir(ident.namespace()), d.copy(properties = props), replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(nsDir(ident.namespace()), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    GraftViews.requireValidName(newIdent.name())
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    if (java.nio.file.Files.exists(dirOf(newIdent).resolve("_stats.jsonl")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    // the stored definition's currentCatalog/currentNamespace stay —
+    // the view's BODY still resolves exactly as written; only its
+    // address moves (rename is an address operation, not a re-analysis)
+    val target = GraftViews.viewFile(nsDir(newIdent.namespace()), newIdent.name())
+    java.nio.file.Files.createDirectories(target.getParent)
+    val d = GraftViews.read(nsDir(oldIdent.namespace()), oldIdent.name()).get
+    GraftViews.write(nsDir(newIdent.namespace()), d.copy(name = newIdent.name()),
+      replace = false)
+    GraftViews.drop(nsDir(oldIdent.namespace()), oldIdent.name())
+  }
 
   /** Time travel (r7): `VERSION AS OF K` reads the archived manifest
     * `_history/v{K}.jsonl` ([[JsonlStats.publishManifest]] archives
@@ -874,6 +989,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "cherry_pick"   => new GraftProcedures.RefUnbound(root, "cherry_pick")
       case "analyze_table" => new GraftProcedures.AnalyzeUnbound(root)
       case "detail"  => new GraftProcedures.DetailUnbound(root)
+      case v @ ("create_view" | "drop_view" | "rename_view" | "list_views" |
+                "describe_view") => new GraftProcedures.ViewDdlUnbound(root, v)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
@@ -908,7 +1025,8 @@ object GraftCatalog {
     "build_gram_index", "evolve_partition_spec", "compact_history",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
     "fast_forward", "fast_forward_pair", "fast_forward_all",
-    "rollback", "cherry_pick", "analyze_table", "detail")
+    "rollback", "cherry_pick", "analyze_table", "detail",
+    "create_view", "drop_view", "rename_view", "list_views", "describe_view")
 
   /** The staged side of an atomic CTAS/RTAS. Data files land in the
     * final directory under attempt-unique names but are INVISIBLE until

@@ -2074,4 +2074,162 @@ object GraftProcedures {
       }
     } finally os.close()
   }
+
+  // ---- view DDL (r12b, [[GraftViews]]) -----------------------------------
+  // Spark 4.1 has no native SQL route to a V2 ViewCatalog (CREATE VIEW
+  // cat.v fails with MISSING_CATALOG_ABILITY before the catalog is
+  // consulted), so the DDL verbs ride the engine's CALL surface — the
+  // same place every other engine verb without parser support lives.
+  // READS need no verb: [[graft.plans.ResolveGraftViews]] resolves
+  // SELECT over a stored view natively. `create_view` analyzes the body
+  // UP FRONT in the calling session (schema + output-column capture,
+  // loud failure on a body that doesn't resolve) and stores the
+  // session's current catalog/namespace as the definition context, so
+  // the body later re-resolves exactly as the author saw it.
+
+  private def splitViewName(root: String, dotted: String): (java.nio.file.Path, Array[String], String) = {
+    val parts = dotted.split('.')
+    val ns = parts.init
+    val nsDir = Paths.get(root, ns: _*)
+    require(parts.forall(_.nonEmpty), s"malformed view name '$dotted'")
+    require(ns.isEmpty || Files.isDirectory(nsDir),
+      s"no such namespace ${ns.mkString(".")} under $root")
+    require(!Files.exists(nsDir.resolve("_stats.jsonl")),
+      s"'${ns.mkString(".")}' is a table, not a namespace")
+    (nsDir, ns, parts.last)
+  }
+
+  class ViewDdlUnbound(root: String, verb: String) extends UnboundProcedure {
+    override def name(): String = verb
+    override def description(): String = verb match {
+      case "create_view" => "create_view(name, sql[, comment][, or_replace]): store a persistent SQL view"
+      case "drop_view" => "drop_view(name): delete a stored view definition"
+      case "rename_view" => "rename_view(name, to): move a stored view to a new name/namespace"
+      case "list_views" => "list_views([namespace]): the stored views of a namespace"
+      case _ => "describe_view(name): a stored view's definition, context and schema"
+    }
+    override def bind(inputType: StructType): BoundProcedure = new ViewDdlBound(root, verb)
+  }
+
+  class ViewDdlBound(root: String, verb: String) extends BoundProcedure {
+    override def name(): String = verb
+    override def description(): String = s"$verb on the stored-view tier"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = verb match {
+      case "create_view" => Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build(),
+        ProcedureParameter.in("comment", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("or_replace", BooleanType).defaultValue("false").build())
+      case "rename_view" => Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("to", StringType).build())
+      case "list_views" => Array(
+        ProcedureParameter.in("namespace", StringType).defaultValue("''").build())
+      case _ => Array(ProcedureParameter.in("name", StringType).build())
+    }
+
+    private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+    private def oneRowScan(fields: Seq[(String, String)], desc: String): java.util.Iterator[Scan] = {
+      val schema = StructType(fields.map { case (n, _) => StructField(n, StringType, nullable = false) })
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(fields.map(f => utf8(f._2)): _*))
+        override def description(): String = desc
+      }).iterator()
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = verb match {
+      case "create_view" =>
+        val dotted = input.getUTF8String(0).toString
+        val sql = input.getUTF8String(1).toString
+        val comment = Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+        val orReplace = input.getBoolean(3)
+        val (nsDir, _, vname) = splitViewName(root, dotted)
+        GraftViews.requireValidName(vname)
+        require(!Files.exists(nsDir.resolve(vname).resolve("_stats.jsonl")),
+          s"a TABLE named '$dotted' exists — views and tables share one identifier space")
+        require(orReplace || !GraftViews.exists(nsDir, vname),
+          s"view '$dotted' already exists (pass or_replace => true to redefine)")
+        // analyze NOW, in the calling session: schema capture plus the
+        // loud create-time failure for a body that doesn't resolve
+        val spark = SparkSession.active
+        val schema = spark.sql(sql).schema
+        require(schema.fieldNames.toSeq.distinct.size == schema.size,
+          s"view body output has duplicate column names " +
+            s"(${schema.fieldNames.mkString(", ")}) — alias them apart")
+        val cm = spark.sessionState.catalogManager
+        GraftViews.write(nsDir, GraftViews.ViewDef(
+          name = vname, sql = sql,
+          currentCatalog = cm.currentCatalog.name(),
+          currentNamespace = cm.currentNamespace.toSeq,
+          schema = schema,
+          queryColumnNames = schema.fieldNames.toSeq,
+          columnAliases = schema.fieldNames.toSeq,
+          columnComments = Seq.empty,
+          properties = comment.map(c => Map("comment" -> c)).getOrElse(Map.empty)),
+          replace = orReplace)
+        oneRowScan(Seq("view" -> dotted, "action" -> "created",
+          "columns" -> schema.fieldNames.mkString(",")), s"create_view $dotted")
+
+      case "drop_view" =>
+        val dotted = input.getUTF8String(0).toString
+        val (nsDir, _, vname) = splitViewName(root, dotted)
+        require(GraftViews.drop(nsDir, vname), s"no such view '$dotted' under $root")
+        oneRowScan(Seq("view" -> dotted, "action" -> "dropped"), s"drop_view $dotted")
+
+      case "rename_view" =>
+        val from = input.getUTF8String(0).toString
+        val to = input.getUTF8String(1).toString
+        val (fromDir, _, fromName) = splitViewName(root, from)
+        val (toDir, _, toName) = splitViewName(root, to)
+        GraftViews.requireValidName(toName)
+        val d = GraftViews.read(fromDir, fromName)
+          .getOrElse(throw new IllegalArgumentException(s"no such view '$from' under $root"))
+        require(!GraftViews.exists(toDir, toName), s"view '$to' already exists")
+        require(!Files.exists(toDir.resolve(toName).resolve("_stats.jsonl")),
+          s"a TABLE named '$to' exists — views and tables share one identifier space")
+        // definition context stays: rename moves the ADDRESS, the body
+        // still resolves exactly as written
+        GraftViews.write(toDir, d.copy(name = toName), replace = false)
+        GraftViews.drop(fromDir, fromName)
+        oneRowScan(Seq("view" -> from, "action" -> "renamed", "to" -> to),
+          s"rename_view $from -> $to")
+
+      case "list_views" =>
+        val ns = Option(input.getUTF8String(0)).map(_.toString).filter(_.nonEmpty)
+        val nsDir = ns.map(s => Paths.get(root, s.split('.'): _*)).getOrElse(Paths.get(root))
+        require(ns.isEmpty || Files.isDirectory(nsDir), s"no such namespace ${ns.get} under $root")
+        val names = GraftViews.list(nsDir)
+        val schema = StructType(Seq(
+          StructField("namespace", StringType, nullable = false),
+          StructField("view", StringType, nullable = false),
+          StructField("comment", StringType, nullable = true)))
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[InternalRow] = names.map { n =>
+            val c = GraftViews.read(nsDir, n).flatMap(_.properties.get("comment"))
+            InternalRow(utf8(ns.getOrElse("")), utf8(n), c.map(utf8).orNull)
+          }.toArray
+          override def description(): String = s"views of ${ns.getOrElse("(root)")}"
+        }).iterator()
+
+      case "describe_view" =>
+        val dotted = input.getUTF8String(0).toString
+        val (nsDir, ns, vname) = splitViewName(root, dotted)
+        val d = GraftViews.read(nsDir, vname)
+          .getOrElse(throw new IllegalArgumentException(s"no such view '$dotted' under $root"))
+        oneRowScan(Seq(
+          "view" -> dotted,
+          "sql" -> d.sql,
+          "current_catalog" -> d.currentCatalog,
+          "current_namespace" -> d.currentNamespace.mkString("."),
+          "schema" -> d.schema.toDDL,
+          "properties" -> d.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")),
+          s"describe_view $dotted")
+    }
+  }
 }

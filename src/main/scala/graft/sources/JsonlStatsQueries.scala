@@ -3209,6 +3209,39 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** q289 (r12b): PERSISTENT SQL VIEWS — the warehouse's curated
+    * slices as durable names. Spark 4.1 ships the V2 `ViewCatalog`
+    * interface with zero analyzer wiring, so the engine supplies both
+    * halves: the catalog stores definitions as `_views/<name>.json`
+    * sidecars ([[GraftViews]]) and an injected resolution rule
+    * ([[graft.plans.ResolveGraftViews]]) macro-expands a SELECT over
+    * one — which means every scan capability (filter pushdown, file
+    * skipping, column pruning) applies THROUGH the view unchanged.
+    * This query exercises the full lifecycle a SQL user sees: CALL
+    * create_view (body analyzed at definition time — unresolvable
+    * bodies refuse loudly), a NESTED view over the first, and an
+    * aggregate through both layers whose predicate still reaches the
+    * manifest (ViewsSpec pins planned-files-through-view == direct).
+    * The oracle recomputes the composed slice from raw parquet — a
+    * view is a macro, so composition must equal inlining by law. */
+  def persistentViewSlice(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    // bodies are written fully qualified: the defining "session" here
+    // has spark_catalog current, exactly a mixed-catalog user's shape
+    spark.sql(s"CALL $cat.create_view('v_purchases', " +
+      s"'SELECT event_id, user_id, value FROM $cat.jsonl_stats_table " +
+      "WHERE event_type = ''purchase''', " +
+      "comment => 'purchase slice', or_replace => true)")
+    spark.sql(s"CALL $cat.create_view('v_purch_hot', " +
+      s"'SELECT event_id % 8 AS b, value FROM $cat.v_purchases WHERE value > 50', " +
+      "or_replace => true)")
+    spark.sql(
+      s"""SELECT b, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.v_purch_hot
+         |GROUP BY b ORDER BY b""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3301,6 +3334,7 @@ object JsonlStatsQueries extends QueryModule {
     "q286_monthly_layout_scan" -> monthlyLayoutScan,
     "q287_composite_layout_scan" -> compositeLayoutScan,
     "q288_scoped_zorder" -> scopedZorderSlice,
+    "q289_persistent_view" -> persistentViewSlice,
   )
 
   val oracles = Map(
@@ -3620,6 +3654,12 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q289_persistent_view" ->
+      """SELECT event_id % 8 AS b, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE event_type = 'purchase' AND value > 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q288_scoped_zorder" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .getOrCreate()
 

@@ -1,0 +1,206 @@
+package graft
+
+import graft.sources.{GraftCatalog, GraftViews}
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import java.nio.file.Files
+
+/** Persistent SQL views ([[graft.sources.GraftViews]] +
+  * [[graft.plans.ResolveGraftViews]] + the view DDL procedures).
+  *
+  * The load-bearing laws:
+  *   - a view is a MACRO: reading through it equals inlining its body,
+  *     and pushdown/file-pruning reach the scan unchanged (planned
+  *     input partitions through a view == direct);
+  *   - the stored definition context governs: bodies resolve as the
+  *     AUTHOR saw them, regardless of the reader's current catalog;
+  *   - the output contract is definition-time: a table that gains
+  *     columns leaks nothing through `SELECT *`, one that drops a
+  *     referenced column fails naming it;
+  *   - cycles (constructible only via REPLACE) fail loudly naming the
+  *     chain, never an analyzer fixed-point overrun;
+  *   - tables and views share one identifier space by mutual refusal.
+  */
+class ViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("views_spec").toString
+  private lazy val cat: GraftCatalog = {
+    spark.conf.set("spark.sql.catalog.vspec", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vspec.root", root)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "k", "v")
+      .repartitionByRange(2, $"id")
+      .writeTo("vspec.t1").create()
+    spark.sessionState.catalogManager.catalog("vspec").asInstanceOf[GraftCatalog]
+  }
+
+  /** Author a view the way a real session does: current catalog =
+    * vspec while the body is analyzed, so unqualified names (tables,
+    * sibling views, catalog functions) resolve exactly as stored. */
+  private def mkView(name: String, sql: String, ns: Array[String] = Array.empty): Unit = {
+    val c = cat // force the fixture before analyzing the body
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("USE vspec")
+    try {
+      val schema = spark.sql(sql).schema
+      c.createView(new ViewInfo(
+        Identifier.of(ns, name), sql, "vspec", Array.empty[String],
+        schema, schema.fieldNames, Array.empty[String], Array.empty[String],
+        java.util.Map.of[String, String]()))
+    } finally spark.sql(s"USE $prev")
+  }
+
+  test("a view resolves, through SQL and the DataFrame API, and its body " +
+    "resolves in the STORED context (unqualified names, any reader catalog)") {
+    mkView("v_sum", "SELECT k, sum(v) AS sv FROM t1 GROUP BY k")
+    // reader session has spark_catalog current — the stored context wins
+    val rows = spark.sql("SELECT * FROM vspec.v_sum ORDER BY k").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(rows(0).getDouble(1) === 40.0)
+    assert(spark.table("vspec.v_sum").count() === 3)
+  }
+
+  test("CTE bodies substitute inside the view, nested views expand, and a " +
+    "view is visible from another view's body") {
+    mkView("v_cte",
+      "WITH big AS (SELECT * FROM t1 WHERE v > 15) SELECT k, count(*) AS n FROM big GROUP BY k")
+    assert(spark.sql("SELECT * FROM vspec.v_cte").count() === 3)
+    mkView("v_nest", "SELECT k FROM v_sum WHERE sv > 35")
+    assert(spark.sql("SELECT * FROM vspec.v_nest ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "c"))
+  }
+
+  test("macro law: pushdown and file pruning through a view equal the " +
+    "direct scan's — planned input partitions match") {
+    mkView("v_raw", "SELECT id, k, v FROM t1")
+    def plannedAndScan(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.size === 1)
+      (scans.head.scan.toBatch.planInputPartitions().length,
+        scans.head.scan.readSchema().fieldNames.toSet)
+    }
+    val (viaView, viewCols) =
+      plannedAndScan(spark.sql("SELECT v FROM vspec.v_raw WHERE id = 1"))
+    val (direct, directCols) =
+      plannedAndScan(spark.sql("SELECT v FROM vspec.t1 WHERE id = 1"))
+    assert(viaView === direct, "view must not widen the planned file set")
+    assert(viaView === 1, "point predicate should prune to one file")
+    // column pruning THROUGH the view's projection too
+    assert(viewCols === directCols)
+    assert(viewCols === Set("id", "v"))
+  }
+
+  test("output contract is definition-time: gained table columns do not " +
+    "leak, dropped referenced columns fail loudly") {
+    spark.sql("ALTER TABLE vspec.t1 ADD COLUMN extra DOUBLE")
+    assert(spark.table("vspec.v_raw").columns.toSeq === Seq("id", "k", "v"))
+    mkView("v_doom", "SELECT extra FROM t1")
+    spark.sql("ALTER TABLE vspec.t1 DROP COLUMN extra")
+    val e = intercept[Exception] { spark.table("vspec.v_doom").collect() }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+  }
+
+  test("a REPLACE-constructed cycle fails naming the chain") {
+    mkView("c1", "SELECT 1 AS x")
+    mkView("c2", "SELECT x FROM c1")
+    val schema = spark.table("vspec.c2").schema
+    cat.replaceView(new ViewInfo(
+      Identifier.of(Array.empty[String], "c1"), "SELECT x FROM c2", "vspec",
+      Array.empty[String], schema, schema.fieldNames, Array.empty[String],
+      Array.empty[String], java.util.Map.of[String, String]()), false)
+    val e = intercept[Exception] { spark.table("vspec.c1").collect() }
+    assert(e.getMessage.contains("cyclic") && e.getMessage.contains("vspec.c2"),
+      e.getMessage)
+  }
+
+  test("one identifier space: createView refuses a table's name, " +
+    "createTable refuses a view's, and names stay out of '_'") {
+    val schema = spark.table("vspec.t1").schema
+    val clash = intercept[Exception] {
+      cat.createView(new ViewInfo(
+        Identifier.of(Array.empty[String], "t1"), "SELECT 1 AS x", "vspec",
+        Array.empty[String], schema, schema.fieldNames, Array.empty[String],
+        Array.empty[String], java.util.Map.of[String, String]()))
+    }
+    assert(clash.getMessage.toLowerCase.contains("already exists"), clash.getMessage)
+    val tclash = intercept[Exception] {
+      Seq((1L, "z", 0.0, 0.0)).toDF("id", "k", "v", "w").writeTo("vspec.v_sum").create()
+    }
+    assert(tclash.getMessage.toLowerCase.contains("already exists"), tclash.getMessage)
+    intercept[Exception] { GraftViews.requireValidName("_hidden") }
+  }
+
+  test("V2 ViewCatalog verbs round-trip: list, alter properties, rename " +
+    "across namespaces, drop") {
+    cat // force fixture
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.lab")
+    mkView("v_life", "SELECT k FROM t1")
+    assert(cat.listViews().map(_.name()).contains("v_life"))
+    cat.alterView(Identifier.of(Array.empty[String], "v_life"),
+      ViewChange.setProperty("comment", "slice"))
+    assert(cat.loadView(Identifier.of(Array.empty[String], "v_life"))
+      .properties().get("comment") === "slice")
+    cat.alterView(Identifier.of(Array.empty[String], "v_life"),
+      ViewChange.removeProperty("comment"))
+    assert(!cat.loadView(Identifier.of(Array.empty[String], "v_life"))
+      .properties().containsKey("comment"))
+    cat.renameView(Identifier.of(Array.empty[String], "v_life"),
+      Identifier.of(Array("lab"), "v_life2"))
+    assert(spark.table("vspec.lab.v_life2").count() === 4)
+    assert(cat.listViews("lab").map(_.name()).toSeq === Seq("v_life2"))
+    assert(cat.dropView(Identifier.of(Array("lab"), "v_life2")))
+    assert(!cat.viewExists(Identifier.of(Array("lab"), "v_life2")))
+  }
+
+  test("CALL surface: create_view analyzes up front and refuses garbage, " +
+    "or_replace redefines, list/describe/rename/drop round-trip") {
+    cat // force fixture
+    spark.sql("CALL vspec.create_view('v_call', " +
+      "'SELECT k, count(*) AS n FROM vspec.t1 GROUP BY k', comment => 'by key')")
+    assert(spark.sql("SELECT * FROM vspec.v_call").count() === 3)
+    val listed = spark.sql("CALL vspec.list_views()").collect()
+      .map(r => r.getString(1) -> Option(r.getString(2))).toMap
+    assert(listed("v_call") === Some("by key"))
+    val desc = spark.sql("CALL vspec.describe_view('v_call')").collect().head
+    assert(desc.getString(1).contains("GROUP BY k"))
+    assert(desc.getString(2) === "spark_catalog") // the defining session's catalog
+    intercept[Exception] {
+      spark.sql("CALL vspec.create_view('v_call', 'SELECT 1 AS x')")
+    }
+    spark.sql("CALL vspec.create_view('v_call', " +
+      "'SELECT count(*) AS n FROM vspec.t1', or_replace => true)")
+    assert(spark.sql("SELECT n FROM vspec.v_call").collect().head.getLong(0) === 4L)
+    intercept[Exception] {
+      spark.sql("CALL vspec.create_view('v_bad', 'SELECT * FROM no_such_table')")
+    }
+    assert(!spark.sql("CALL vspec.list_views()").collect().exists(_.getString(1) == "v_bad"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.lab")
+    spark.sql("CALL vspec.rename_view('v_call', 'lab.v_call2')")
+    assert(spark.sql("SELECT * FROM vspec.lab.v_call2").collect().head.getLong(0) === 4L)
+    spark.sql("CALL vspec.drop_view('lab.v_call2')")
+    intercept[Exception] { spark.sql("CALL vspec.drop_view('lab.v_call2')") }
+  }
+
+  test("bare non-builtin functions in a body qualify to the defining " +
+    "catalog; session-registered functions stay bare") {
+    mkView("v_fn",
+      "SELECT k, sqnorm(cast(array(v) AS array<float>)) AS n2, " +
+        "graft_dot(cast(array(v) AS array<float>), cast(array(v) AS array<float>)) AS d " +
+        "FROM t1")
+    val r = spark.sql("SELECT * FROM vspec.v_fn WHERE k = 'b'").collect().head
+    assert(r.getDouble(1) === 400.0) // sqnorm([20])
+    assert(r.getDouble(2) === 400.0) // graft_dot([20],[20])
+  }
+
+  test("streaming reads are left untouched — a view is a batch macro") {
+    cat // force fixture
+    val e = intercept[Exception] {
+      spark.readStream.table("vspec.v_sum")
+    }
+    // table-not-found (the rule skipped it), never a silent expansion
+    assert(e.getMessage.contains("v_sum"))
+  }
+}

@@ -151,7 +151,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       deleteMode = meta.deleteMode,
       columnMapping = meta.columnMapping,
       gramCol = meta.gramCol,
-      sortCol = meta.sortCol)
+      sortCol = meta.sortCol,
+      sampleMode = meta.sampleMode)
   }
 
   /** Shared validation for every create path. Returns (statsCol,
@@ -562,21 +563,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           // have no sidecar and stay conservatively unpruned until
           // CALL build_gram_index backfills them
           meta = meta.copy(gramCol = Some(v))
+        case ("sampleMode", v) =>
+          // TABLESAMPLE pushdown opt-in (r12b): 'system' declares that
+          // sampling this table is FILE-level (block) sampling — the
+          // DuckDB/Trino TABLESAMPLE SYSTEM semantics; without it the
+          // scan declines the pushdown and Spark samples rows itself
+          require(v == "system",
+            s"sampleMode must be 'system' (file-level block sampling), got '$v'")
+          meta = meta.copy(sampleMode = Some(v))
         case ("statsColumn" | "partitionColumn", _) =>
           throw new UnsupportedOperationException(
             s"$catName: ${set.property()} is the physical layout contract — " +
               "set it at CREATE, or CALL evolve_partition_spec for the partition transform")
         case (p, _) => throw new IllegalArgumentException(
           s"$catName: unknown table property '$p' — settable: deleteMode, " +
-            "sortColumn, gramColumn")
+            "sortColumn, gramColumn, sampleMode")
       }
       case rm: TableChange.RemoveProperty => rm.property() match {
         case "deleteMode" => meta = meta.copy(deleteMode = None)
         case "sortColumn" => meta = meta.copy(sortCol = None)
         case "gramColumn" => meta = meta.copy(gramCol = None)
+        case "sampleMode" => meta = meta.copy(sampleMode = None)
         case p => throw new IllegalArgumentException(
           s"$catName: unknown table property '$p' — unsettable: deleteMode, " +
-            "sortColumn, gramColumn")
+            "sortColumn, gramColumn, sampleMode")
       }
       // SAFE TYPE PROMOTION (r12): a retype is metadata-only exactly
       // when every EXISTING byte reads correctly under the new type.

@@ -123,7 +123,9 @@ class JsonlStats extends TableProvider with DataSourceRegister {
       gramCol = Option(opts.get("gramColumn")).orElse(meta0.flatMap(_.gramCol)),
       branch = branch,
       // declared write sort (r9c): a table property, not job discipline
-      sortCol = Option(opts.get("sortColumn")).orElse(meta0.flatMap(_.sortCol)))
+      sortCol = Option(opts.get("sortColumn")).orElse(meta0.flatMap(_.sortCol)),
+      // TABLESAMPLE semantics declaration (r12b): a table property
+      sampleMode = Option(opts.get("sampleMode")).orElse(meta0.flatMap(_.sampleMode)))
   }
 }
 
@@ -156,6 +158,31 @@ object JsonlStats {
     * manifest format is column-agnostic, the option names the column
     * its `min_value`/`max_value` describe). */
   val statsColumn = "value"
+
+  /** TABLESAMPLE pushdown (r12b): a file's deterministic sample
+    * coordinate u ∈ [0, 1). The anchor is the file's STABLE identity —
+    * its pkey on keyed layouts (so the decision survives compaction,
+    * which never crosses keys, and is mirrorable by anything that can
+    * recompute the key), the file name otherwise. The arithmetic is
+    * deliberately elementary — one multiplicative hash over a 31-bit
+    * ring — so an external system (the DuckDB oracle, a downstream
+    * auditor) can reproduce the exact kept set from the key alone:
+    * u = ((anchor · 2654435761 + seed · 40503 + 17) mod 2³¹) / 2³¹,
+    * with a numeric pkey used AS the anchor and any other string
+    * folded by h ← h·31 + codepoint first. Files keep iff
+    * lower ≤ u < upper, so same-seed fractions NEST (f₁ < f₂ ⇒
+    * sample(f₁) ⊆ sample(f₂)) and the kept fraction converges to
+    * (upper − lower) as files grow. */
+  def sampleU(s: FileStats, seed: Long): Double = {
+    val anchor: Long = s.pkey match {
+      case Some(p) =>
+        try p.toLong
+        catch { case _: NumberFormatException => p.foldLeft(7L)((h, c) => h * 31 + c) }
+      case None => s.file.foldLeft(7L)((h, c) => h * 31 + c)
+    }
+    val h = java.lang.Math.floorMod(anchor * 2654435761L + seed * 40503L + 17L, 1L << 31)
+    h.toDouble / (1L << 31).toDouble
+  }
 
   /** Metadata columns (SupportsMetadataColumns): provenance the data
     * rows don't carry. Resolved by name like ordinary columns but ONLY
@@ -714,7 +741,8 @@ object JsonlStats {
                              features: Seq[String] = Nil,
                              reserved: Seq[String] = Nil,
                              gramCol: Option[String] = None,
-                             sortCol: Option[String] = None)
+                             sortCol: Option[String] = None,
+                             sampleMode: Option[String] = None)
 
   // ---- protocol features (r8): the Delta reader-features idea -----------
 
@@ -769,7 +797,8 @@ object JsonlStats {
                      features: Seq[String] = Nil,
                      reserved: Seq[String] = Nil,
                      gramCol: Option[String] = None,
-                     sortCol: Option[String] = None): Unit = {
+                     sortCol: Option[String] = None,
+                     sampleMode: Option[String] = None): Unit = {
     val mapper = new ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("statsColumn", statsCol)
@@ -780,6 +809,10 @@ object JsonlStats {
     // read-gating feature — a reader ignoring it merely reads every file
     gramCol.foreach(n.put("gramColumn", _))
     deleteMode.foreach(n.put("deleteMode", _))
+    // TABLESAMPLE pushdown opt-in (r12b): 'system' declares file-level
+    // (block) sampling semantics for this table — absent, the scan
+    // declines the pushdown and Spark samples rows itself
+    sampleMode.foreach(n.put("sampleMode", _))
     if (constraints.nonEmpty) {
       val arr = n.putArray("constraints")
       constraints.foreach { case (name, sql) =>
@@ -1570,7 +1603,8 @@ object JsonlStats {
         if (!n.hasNonNull("reserved")) Nil
         else (0 until n.get("reserved").size()).map(i => n.get("reserved").get(i).asText()),
         if (n.hasNonNull("gramColumn")) Some(n.get("gramColumn").asText()) else None,
-        if (n.hasNonNull("sortColumn")) Some(n.get("sortColumn").asText()) else None))
+        if (n.hasNonNull("sortColumn")) Some(n.get("sortColumn").asText()) else None,
+        if (n.hasNonNull("sampleMode")) Some(n.get("sampleMode").asText()) else None))
     }
   }
 
@@ -1603,7 +1637,7 @@ object JsonlStats {
       meta.schema.getOrElse(throw new IllegalStateException(
         s"cannot rewrite _table.json of $root without a schema")),
       meta.bloomCol, meta.deleteMode, meta.constraints, meta.columnMapping,
-      meta.features, meta.reserved, meta.gramCol, meta.sortCol)
+      meta.features, meta.reserved, meta.gramCol, meta.sortCol, meta.sampleMode)
 
   /** Protocol gate (r8): refuse a table whose sidecar names a
     * READ-gating feature this build does not implement — the one
@@ -1778,7 +1812,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
                       columnMapping: Map[String, String] = Map.empty,
                       gramCol: Option[String] = None,
                       branch: Option[String] = None,
-                      sortCol: Option[String] = None) extends Table
+                      sortCol: Option[String] = None,
+                      sampleMode: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1939,7 +1974,8 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       gramCol = gramCol,
       // streaming admission control (r9c, the Delta option names)
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      sampleMode = sampleMode)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (isSnapshot)

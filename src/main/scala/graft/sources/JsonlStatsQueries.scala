@@ -3242,6 +3242,37 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY b ORDER BY b""".stripMargin)
   }
 
+  /** q290 (r12b): TABLESAMPLE PUSHDOWN — file-level (block) sampling
+    * decided from the manifest alone. The table DECLARES the semantics
+    * (`ALTER TABLE ... SET TBLPROPERTIES('sampleMode'='system')`, the
+    * DuckDB/Trino TABLESAMPLE SYSTEM shape); the scan then accepts
+    * Spark's pushed sample and keeps exactly the files whose
+    * deterministic coordinate [[JsonlStats.sampleU]] lands in the
+    * band — at 100 TB, `TABLESAMPLE (1 PERCENT)` plans ~1% of the
+    * files and never opens the rest, where an undeclared table pays a
+    * FULL scan before Spark's row-Bernoulli drops 99% of what it read.
+    * The sampler is pkey-anchored elementary arithmetic, so the DuckDB
+    * oracle recomputes the exact kept shard set and the hash compare
+    * pins the whole kept universe, not just its size. */
+  def systemSampleScan(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.events_sampled")
+    Tables.events(spark, d)
+      .selectExpr("event_id", "value", "CAST(user_id % 16 AS STRING) AS shard")
+      .createOrReplaceTempView("samp_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.events_sampled USING `graft-jsonl-stats`
+         |PARTITIONED BY (shard)
+         |AS SELECT * FROM samp_src ORDER BY shard, event_id""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.events_sampled " +
+      "SET TBLPROPERTIES ('sampleMode' = 'system')")
+    spark.sql(
+      s"""SELECT shard, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.events_sampled TABLESAMPLE (37.5 PERCENT) REPEATABLE (42)
+         |GROUP BY shard ORDER BY shard""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3335,6 +3366,7 @@ object JsonlStatsQueries extends QueryModule {
     "q287_composite_layout_scan" -> compositeLayoutScan,
     "q288_scoped_zorder" -> scopedZorderSlice,
     "q289_persistent_view" -> persistentViewSlice,
+    "q290_system_sample" -> systemSampleScan,
   )
 
   val oracles = Map(
@@ -3654,6 +3686,14 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q290_system_sample" ->
+      """WITH base AS (SELECT user_id % 16 AS shard, value FROM events)
+        |SELECT CAST(shard AS VARCHAR) AS shard, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM base
+        |WHERE ((shard * 2654435761 + 42 * 40503 + 17) % 2147483648)
+        |      < CAST(0.375 * 2147483648 AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q289_persistent_view" ->
       """SELECT event_id % 8 AS b, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

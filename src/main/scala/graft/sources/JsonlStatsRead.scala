@@ -21,7 +21,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
                             columnMapping: Map[String, String] = Map.empty,
                             gramCol: Option[String] = None,
                             maxFilesPerTrigger: Option[Int] = None,
-                            maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
+                            maxBytesPerTrigger: Option[Long] = None,
+                            sampleMode: Option[String] = None) extends ScanBuilder
     // NOT SupportsPushDownFilters: Spark's PushDownUtils checks the v1
     // interface FIRST, so declaring both would route planning around
     // [[pushPredicates]] and lose every V2-only predicate (the
@@ -30,7 +31,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownTableSample {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var bloomPushed: Array[Filter] = Array.empty
@@ -38,6 +40,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   private var aggSchema: Option[StructType] = None
   private var limitK: Option[Int] = None
   private var topN: Option[JsonlStatsScan.TopNPush] = None
+  private var sample: Option[(Double, Double, Long)] = None
   private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
   // vector probe pruning, PREDICATE-DERIVED (r12): filled by
@@ -56,6 +59,27 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   override def pushLimit(limit: Int): Boolean = {
     if (rewriteOp.isDefined || limit <= 0) return false
     limitK = Some(limit)
+    true
+  }
+
+  /** TABLESAMPLE pushdown (r12b): accepted ONLY when the table declares
+    * `sampleMode = 'system'` (ALTER TABLE SET TBLPROPERTIES) — the
+    * declaration that sampling this table means FILE-level (block)
+    * sampling, the DuckDB/Trino `TABLESAMPLE SYSTEM` semantics. The
+    * payoff is the 100-TB one: `TABLESAMPLE (1 PERCENT)` plans ~1% of
+    * the FILES from the manifest alone — without the pushdown Spark
+    * samples rows AFTER reading all of them. Kept files are decided by
+    * [[JsonlStats.sampleU]] (deterministic, seed-keyed, pkey-anchored),
+    * so the sample is reproducible and same-seed fractions nest.
+    * Without the declaration the pushdown DECLINES and Spark's own
+    * row-Bernoulli applies — a table must opt in to the semantic
+    * shift, never discover it. Rewrites (DML must see every row),
+    * with-replacement, and aggregate-pushed scans all decline. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || rewriteOp.isDefined || aggSchema.isDefined) return false
+    if (!sampleMode.contains("system")) return false
+    sample = Some((lowerBound, upperBound, seed))
     true
   }
 
@@ -255,6 +279,9 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case _ => None
     }
     if (pushed.nonEmpty) return false
+    // a pushed block sample keeps a file SUBSET: manifest-served
+    // aggregates would answer for the whole table — decline
+    if (sample.isDefined) return false
     val stats = JsonlStats.readStats(root, manifest)
     // a manifest without row counts cannot serve aggregates
     if (stats.exists(_.rows < 0)) return false
@@ -357,7 +384,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         gramNeedles.flatMap(Bloom.gramHashes).distinct
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
-        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCellProbes, vecNormBands)
+        limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCellProbes, vecNormBands,
+        sample)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -437,7 +465,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      maxFilesPerTrigger: Option[Int] = None,
                      maxBytesPerTrigger: Option[Long] = None,
                      vecCells: Seq[(String, Seq[Int])] = Nil,
-                     vecNorm: Seq[(String, Double, Double)] = Nil)
+                     vecNorm: Seq[(String, Double, Double)] = Nil,
+                     sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -477,7 +506,9 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     s"graft-jsonl-stats root=$root, skipping=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(", ")}], runtimeFilterable=[$statsCol], " +
       s"splitBytes=$splitBytes, bloomProbes=${bloomSets.size}, " +
-      s"gramProbes=${gramRequired.length}"
+      s"gramProbes=${gramRequired.length}" +
+      sample.map { case (lo, hi, seed) =>
+        f", sample=[$lo%.4f,$hi%.4f) seed=$seed mode=system" }.getOrElse("")
 
   /** The runtime-filtering leg (the DPP analogue for connectors): a
     * broadcast join on the stats column hands the scan the join side's
@@ -871,6 +902,14 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#norm", statsCol)
           .forall { case (mn, mx) => mx >= lo && mn <= hi }
       })
+      // pushed TABLESAMPLE (r12b): deterministic file-level (block)
+      // sampling — the kept set is decided here, from the manifest
+      // alone, so a 1% sample plans ~1% of the files and never opens
+      // the rest. Filtering inside computeSurviving makes every other
+      // consumer (statistics, partitioning report, limit prefix)
+      // automatically see the sampled universe.
+      .filter(s => sample.forall { case (lo, hi, seed) =>
+        val u = JsonlStats.sampleU(s, seed); u >= lo && u < hi })
 
   /** Manifest-derived statistics: row count is the sum of surviving
     * files' exact counts, bytes the sum of their on-disk sizes (a

@@ -3814,4 +3814,80 @@ class JsonlStatsSpec extends SparkSpec {
     val Some((w2, m2)) = graft.sources.Bloom.readGramSidecar(data2)
     assert(graft.sources.Bloom.gramHashes("abcdefgh").forall(h => graft.sources.Bloom.mightContain(w2, m2, h)))
   }
+
+  test("q290 laws: TABLESAMPLE pushdown is declared, deterministic, " +
+    "nesting, file-exact, and declines everything it must (r12b)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.{JsonlStats, JsonlStatsScan}
+    val dir = Files.createTempDirectory("jsonl_sample").toString
+    val cat = "graft_smp_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val table = java.nio.file.Paths.get(dir).getFileName.toString
+    import spark.implicits._
+    (0L until 1600L).map(i => (i, i % 16, (i % 100).toDouble))
+      .toDF("id", "s", "v").selectExpr("id", "v", "CAST(s AS STRING) AS shard")
+      .createOrReplaceTempView("smp_src")
+    spark.sql(s"""CREATE TABLE $cat.`$table` USING `graft-jsonl-stats`
+                 |PARTITIONED BY (shard)
+                 |AS SELECT * FROM smp_src ORDER BY shard, id""".stripMargin)
+    def scanOf(sql: String): JsonlStatsScan = {
+      val scans = spark.sql(sql)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.size === 1)
+      scans.head.scan.asInstanceOf[JsonlStatsScan]
+    }
+    val q = s"SELECT id FROM $cat.`$table` TABLESAMPLE (37.5 PERCENT) REPEATABLE (42)"
+    // UNDECLARED table: the pushdown declines — the scan carries no
+    // sample (Spark row-samples after the full read) and plans ALL files
+    val undeclared = scanOf(q)
+    assert(!undeclared.description().contains("sample="),
+      "sample must not push without the table's sampleMode declaration")
+    val total = JsonlStats.readStats(dir).size
+    assert(undeclared.toBatch.planInputPartitions().length === total)
+    // invalid declaration refuses loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`$table` SET TBLPROPERTIES('sampleMode'='bernoulli')")
+    }
+    assert(bad.getMessage.contains("system"), bad.getMessage)
+    spark.sql(s"ALTER TABLE $cat.`$table` SET TBLPROPERTIES('sampleMode'='system')")
+    // DECLARED: kept files are exactly the manifest entries whose
+    // deterministic coordinate lands in [0, 0.375) — recomputed here
+    // from the same published arithmetic
+    val sampled = scanOf(q)
+    assert(sampled.description().contains("sample=[0.0000,0.3750) seed=42 mode=system"),
+      sampled.description())
+    val expected = JsonlStats.readStats(dir)
+      .filter(s => JsonlStats.sampleU(s, 42L) < 0.375).map(_.file).toSet
+    assert(expected.nonEmpty && expected.size < total, s"degenerate fixture: $expected")
+    assert(sampled.toBatch.planInputPartitions().length === expected.size)
+    // deterministic: the same statement returns identical rows
+    assert(spark.sql(q).orderBy("id").collect().toSeq ===
+      spark.sql(q).orderBy("id").collect().toSeq)
+    // row counts equal the kept files' manifest counts exactly — block
+    // sampling serves kept files WHOLE
+    val keptRows = JsonlStats.readStats(dir)
+      .filter(s => expected(s.file)).map(_.rows).sum
+    assert(spark.sql(q).count() === keptRows)
+    // nesting: same seed, growing fraction — kept sets are supersets
+    def kept(pct: String): Set[String] = {
+      val sc = scanOf(s"SELECT id FROM $cat.`$table` TABLESAMPLE ($pct PERCENT) REPEATABLE (42)")
+      JsonlStats.readStats(dir).filter(s => {
+        val u = JsonlStats.sampleU(s, 42L); u < pct.toDouble / 100.0
+      }).map(_.file).toSet
+    }
+    assert(kept("20").subsetOf(kept("60")), "same-seed fractions must nest")
+    // manifest-served aggregates DECLINE under a pushed sample: the
+    // sampled count comes from data tasks and equals the kept subset,
+    // never the whole-table manifest sum
+    val c = spark.sql(s"SELECT count(*) AS n FROM $cat.`$table` " +
+      "TABLESAMPLE (37.5 PERCENT) REPEATABLE (42)").collect().head.getLong(0)
+    assert(c === keptRows)
+    // row-level DML never samples: a rewrite scan sees every row
+    spark.sql(s"DELETE FROM $cat.`$table` WHERE id = 7")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table`").collect().head.getLong(0)
+      === 1599L)
+  }
 }

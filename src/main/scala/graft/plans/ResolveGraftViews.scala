@@ -62,10 +62,20 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u @ UnresolvedRelation(parts, _, false) =>
-      lookupView(parts).map { case (catName, ident, d) =>
-        expand(catName, ident, d, Set(viewKey(catName, ident)))
+      lookupView(parts).map { case (catName, cat, ident, d) =>
+        expand(catName, cat, ident, d, Set(viewKey(catName, ident)))
       }.getOrElse(u)
   }
+
+  /** The MATERIALIZED-VIEW body, expanded exactly as a stale read would
+    * see it (materialization ignored) — the refresh procedure builds
+    * the backing table from this plan, so the precomputed rows and the
+    * stale-path rows are the same derivation by construction. */
+  def bodyPlan(catName: String, cat: GraftCatalog, ident: Identifier,
+               d: GraftViews.ViewDef): LogicalPlan =
+    expand(catName, cat, ident,
+      d.copy(properties = d.properties - GraftViews.MvTableProp),
+      Set(viewKey(catName, ident)))
 
   private def viewKey(catName: String, ident: Identifier): String =
     (catName +: ident.namespace() :+ ident.name()).mkString(".")
@@ -86,11 +96,12 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     * namespace-qualified view; otherwise the session's CURRENT catalog
     * is tried with the whole name, both namespace-absolute and
     * relative to the current namespace for single-part names. */
-  private def lookupView(parts: Seq[String]): Option[(String, Identifier, GraftViews.ViewDef)] = {
+  private def lookupView(parts: Seq[String])
+      : Option[(String, GraftCatalog, Identifier, GraftViews.ViewDef)] = {
     def tryIdent(catName: String, cat: GraftCatalog, ns: Seq[String], name: String) = {
       val ident = Identifier.of(ns.toArray, name)
       if (cat.viewExists(ident))
-        GraftViews.read(cat.namespaceDir(ident.namespace()), name).map((catName, ident, _))
+        GraftViews.read(cat.namespaceDir(ident.namespace()), name).map((catName, cat, ident, _))
       else None
     }
     val headCat = if (parts.size >= 2) graftCatalog(parts.head).flatMap { case (n, c) =>
@@ -107,12 +118,37 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def expand(catName: String, ident: Identifier, d: GraftViews.ViewDef,
-                     seen: Set[String]): LogicalPlan = {
+  private def expand(catName: String, cat: GraftCatalog, ident: Identifier,
+                     d: GraftViews.ViewDef, seen: Set[String]): LogicalPlan = {
     if (seen.size > MaxDepth)
       throw new IllegalArgumentException(
         s"view nesting deeper than $MaxDepth at ${viewKey(catName, ident)} — " +
           "flatten the definition chain")
+    // MATERIALIZED view, FRESH (r12b): every recorded source table still
+    // sits at its refresh-time version, so the backing table IS the
+    // body's result — serve it and skip the recomputation entirely. Any
+    // source that moved makes the view STALE and the body expands below
+    // instead: reads are correct by construction in both states, the
+    // materialization only decides which plan computes them. The
+    // freshness probe is one manifest-version read per source — cheap,
+    // and raced commits merely flip a fresh read into a (correct)
+    // stale one.
+    d.properties.get(GraftViews.MvTableProp) match {
+      case Some(backing) if GraftViews.mvFresh(cat.warehouseRoot, d) =>
+        val rel = UnresolvedRelation(
+          (catName +: ident.namespace() :+ backing).toSeq,
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), false)
+        // same output contract as the body path: projection by the
+        // stored column list, loud failure on a drifted backing table
+        val projected =
+          if (d.queryColumnNames.nonEmpty)
+            Project(d.queryColumnNames.map(q =>
+              Alias(UnresolvedAttribute.quoted(q), q)()), rel)
+          else rel
+        return SubqueryAlias((catName +: ident.namespace()).mkString("."),
+          SubqueryAlias(ident.name(), projected))
+      case _ => ()
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(d.sql)
     val substituted = CTESubstitution.apply(parsed)
     val ctx = d.currentCatalog +: d.currentNamespace
@@ -143,13 +179,13 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
             spark.sessionState.catalogManager.isCatalogRegistered(parts.head)) parts
           else ctx.head +: parts
         lookupView(full) match {
-          case Some((catName, ident, d)) =>
+          case Some((catName, cat, ident, d)) =>
             val key = viewKey(catName, ident)
             if (seen.contains(key))
               throw new IllegalArgumentException(
                 s"cyclic view definition: $key expands through itself " +
                   s"(chain: ${seen.mkString(" -> ")} -> $key)")
-            expand(catName, ident, d, seen + key)
+            expand(catName, cat, ident, d, seen + key)
           case None => u.copy(multipartIdentifier = full)
         }
     }

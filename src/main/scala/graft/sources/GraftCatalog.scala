@@ -65,6 +65,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     require(root != null, s"catalog $name needs a 'root' option")
   }
   override def name(): String = catName
+  /** The warehouse root this catalog serves — view resolution and the
+    * MV freshness probe key source versions off it. */
+  def warehouseRoot: String = root
 
   private def dirOf(ident: Identifier) =
     java.nio.file.Paths.get(root, (ident.namespace() :+ ident.name()): _*)
@@ -75,6 +78,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val s = java.nio.file.Files.list(base)
     try s.iterator().asScala
       .filter(p => java.nio.file.Files.exists(p.resolve("_stats.jsonl")))
+      // engine-internal tables (`_mv_<view>` backing tables) stay out of
+      // listings — loadTable still resolves them (r12b)
+      .filter(p => !p.getFileName.toString.startsWith("_"))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally s.close()
@@ -766,7 +772,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     if (namespace.isEmpty) return false
     val dir = nsDir(namespace)
     if (!isNamespaceDir(dir)) return false
-    val hasContent = listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty
+    val hasContent = listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty ||
+      GraftViews.list(dir).nonEmpty // stored views are content too (r12b)
     if (hasContent && !cascade)
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
     graft.util.Fs.deleteRecursively(dir.toString)
@@ -1001,6 +1008,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case "detail"  => new GraftProcedures.DetailUnbound(root)
       case v @ ("create_view" | "drop_view" | "rename_view" | "list_views" |
                 "describe_view") => new GraftProcedures.ViewDdlUnbound(root, v)
+      case v @ ("create_materialized_view" | "refresh_materialized_view") =>
+        new GraftProcedures.MvDdlUnbound(catName, root, v)
       case _ => throw new RuntimeException(s"no such procedure $ident in $catName")
     }
 
@@ -1036,7 +1045,8 @@ object GraftCatalog {
     "create_tag", "drop_tag", "create_branch", "drop_branch",
     "fast_forward", "fast_forward_pair", "fast_forward_all",
     "rollback", "cherry_pick", "analyze_table", "detail",
-    "create_view", "drop_view", "rename_view", "list_views", "describe_view")
+    "create_view", "drop_view", "rename_view", "list_views", "describe_view",
+    "create_materialized_view", "refresh_materialized_view")
 
   /** The staged side of an atomic CTAS/RTAS. Data files land in the
     * final directory under attempt-unique names but are INVISIBLE until

@@ -2177,7 +2177,17 @@ object GraftProcedures {
       case "drop_view" =>
         val dotted = input.getUTF8String(0).toString
         val (nsDir, _, vname) = splitViewName(root, dotted)
+        // a materialized view owns its backing table — dropping the
+        // definition removes both (the backing is engine-managed and
+        // unreachable from listings; leaving it would orphan storage)
+        val backing = GraftViews.read(nsDir, vname)
+          .flatMap(_.properties.get(GraftViews.MvTableProp))
         require(GraftViews.drop(nsDir, vname), s"no such view '$dotted' under $root")
+        backing.foreach { b =>
+          val dir = nsDir.resolve(b)
+          if (Files.exists(dir.resolve("_stats.jsonl")))
+            graft.util.Fs.deleteRecursively(dir.toString)
+        }
         oneRowScan(Seq("view" -> dotted, "action" -> "dropped"), s"drop_view $dotted")
 
       case "rename_view" =>
@@ -2230,6 +2240,180 @@ object GraftProcedures {
           "properties" -> d.properties.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString(", ")),
           s"describe_view $dotted")
+    }
+  }
+
+  // ---- materialized views (r12b) -----------------------------------------
+  // `create_materialized_view(name, sql)` = the stored view plus an
+  // engine-managed backing table `_mv_<name>` (atomic CTAS) plus the
+  // source tables' manifest versions recorded BEFORE the build (a
+  // commit racing the build makes the MV stale, never wrong).
+  // `refresh_materialized_view(name)` rebuilds the backing atomically
+  // (RTAS) from [[graft.plans.ResolveGraftViews.bodyPlan]] — the SAME
+  // derivation a stale read expands, so precomputed and recomputed
+  // rows agree by construction. Reads route in the resolution rule:
+  // fresh -> backing table, stale -> body; both correct, the
+  // materialization only picks the cheaper plan.
+
+  class MvDdlUnbound(catName: String, root: String, verb: String) extends UnboundProcedure {
+    override def name(): String = verb
+    override def description(): String = verb match {
+      case "create_materialized_view" =>
+        "create_materialized_view(name, sql[, or_replace]): store a view with a precomputed backing table"
+      case _ =>
+        "refresh_materialized_view(name): rebuild the backing table and re-record source versions"
+    }
+    override def bind(inputType: StructType): BoundProcedure = new MvDdlBound(catName, root, verb)
+  }
+
+  class MvDdlBound(catName: String, root: String, verb: String) extends BoundProcedure {
+    override def name(): String = verb
+    override def description(): String = s"$verb on the stored-view tier"
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = verb match {
+      case "create_materialized_view" => Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build(),
+        ProcedureParameter.in("or_replace", BooleanType).defaultValue("false").build())
+      case _ => Array(ProcedureParameter.in("name", StringType).build())
+    }
+
+    private def utf8(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+
+    private def oneRow(fields: Seq[(String, String)], desc: String): java.util.Iterator[Scan] = {
+      val schema = StructType(fields.map { case (n, _) => StructField(n, StringType, nullable = false) })
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(fields.map(f => utf8(f._2)): _*))
+        override def description(): String = desc
+      }).iterator()
+    }
+
+    /** The body's source TABLES as warehouse-relative paths, resolved
+      * under the calling session's context — exactly the context the
+      * definition stores. Every source must be a plain table of THIS
+      * catalog (versions are per-manifest); a view source refuses with
+      * the flattening remediation. */
+    private def sourceTables(spark: SparkSession, sql: String): Seq[String] = {
+      import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedRelation}
+      import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+      val cm = spark.sessionState.catalogManager
+      val ctx = cm.currentCatalog.name() +: cm.currentNamespace.toSeq
+      def rels(pl: LogicalPlan): Seq[Seq[String]] = {
+        val direct = pl.collect { case UnresolvedRelation(parts, _, false) => parts }
+        val inSubq = pl.flatMap(_.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression => rels(sq.plan)
+        }.flatten))
+        direct ++ inSubq
+      }
+      val parsed = CTESubstitution.apply(spark.sessionState.sqlParser.parsePlan(sql))
+      rels(parsed).map { parts =>
+        val full =
+          if (parts.size == 1) ctx ++ parts
+          else if (cm.isCatalogRegistered(parts.head)) parts
+          else ctx.head +: parts
+        val sameCat = cm.isCatalogRegistered(full.head) && (cm.catalog(full.head) match {
+          case g: GraftCatalog => g.warehouseRoot == root
+          case _ => false
+        })
+        require(sameCat,
+          s"materialized view sources must be tables of catalog '$catName' — " +
+            s"'${parts.mkString(".")}' resolves to '${full.mkString(".")}' " +
+            "(temp views and foreign catalogs have no trackable versions)")
+        val rel = full.tail.mkString("/")
+        val dir = Paths.get(root, full.tail: _*)
+        if (!Files.exists(dir.resolve("_stats.jsonl"))) {
+          val nsDir = if (full.tail.size > 1)
+            Paths.get(root, full.tail.init: _*) else Paths.get(root)
+          require(!GraftViews.exists(nsDir, full.last),
+            s"materialized view source '${full.mkString(".")}' is a VIEW — " +
+              "reference tables directly (flatten the definition) so versions are trackable")
+          throw new IllegalArgumentException(
+            s"no such source table '${full.mkString(".")}' for the materialized view")
+        }
+        rel
+      }.distinct
+    }
+
+    private def quoted(parts: Seq[String]): String = parts.map(p => s"`$p`").mkString(".")
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = verb match {
+      case "create_materialized_view" =>
+        val dotted = input.getUTF8String(0).toString
+        val sql = input.getUTF8String(1).toString
+        val orReplace = input.getBoolean(2)
+        val (nsDir, ns, vname) = splitViewName(root, dotted)
+        GraftViews.requireValidName(vname)
+        require(!Files.exists(nsDir.resolve(vname).resolve("_stats.jsonl")),
+          s"a TABLE named '$dotted' exists — views and tables share one identifier space")
+        val existing = GraftViews.read(nsDir, vname)
+        require(orReplace || existing.isEmpty,
+          s"view '$dotted' already exists (pass or_replace => true to redefine)")
+        val spark = SparkSession.active
+        // source versions recorded BEFORE the build: a source commit
+        // racing the CTAS leaves the MV stale (correct), never serving
+        // a backing built from data newer than the recorded versions
+        val sources = sourceTables(spark, sql)
+        require(sources.nonEmpty, "a materialized view needs at least one source table")
+        val versions = sources.map(t =>
+          (t, JsonlStats.currentVersion(Paths.get(root, t.split('/').toSeq: _*).toString)))
+        val df = spark.sql(sql)
+        val schema = df.schema
+        require(schema.fieldNames.toSeq.distinct.size == schema.size,
+          s"view body output has duplicate column names " +
+            s"(${schema.fieldNames.mkString(", ")}) — alias them apart")
+        val backing = s"_mv_$vname"
+        val w = df.writeTo(quoted(catName +: (ns :+ backing)))
+        if (orReplace) w.createOrReplace() else w.create()
+        val cm = spark.sessionState.catalogManager
+        GraftViews.write(nsDir, GraftViews.ViewDef(
+          name = vname, sql = sql,
+          currentCatalog = cm.currentCatalog.name(),
+          currentNamespace = cm.currentNamespace.toSeq,
+          schema = schema,
+          queryColumnNames = schema.fieldNames.toSeq,
+          columnAliases = schema.fieldNames.toSeq,
+          columnComments = Seq.empty,
+          properties = Map(
+            GraftViews.MvTableProp -> backing,
+            GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))),
+          replace = orReplace)
+        oneRow(Seq("view" -> dotted, "action" -> "created", "backing" -> backing,
+          "sources" -> GraftViews.mvSourcesEncode(versions)),
+          s"create_materialized_view $dotted")
+
+      case "refresh_materialized_view" =>
+        val dotted = input.getUTF8String(0).toString
+        val (nsDir, ns, vname) = splitViewName(root, dotted)
+        val d = GraftViews.read(nsDir, vname)
+          .getOrElse(throw new IllegalArgumentException(s"no such view '$dotted' under $root"))
+        val backing = d.properties.getOrElse(GraftViews.MvTableProp,
+          throw new IllegalArgumentException(
+            s"'$dotted' is a plain view — only materialized views refresh"))
+        val spark = SparkSession.active
+        val cat = spark.sessionState.catalogManager.catalog(catName)
+          .asInstanceOf[GraftCatalog]
+        val sources = GraftViews.mvSourcesDecode(
+          d.properties.getOrElse(GraftViews.MvSourcesProp, ""))
+        // versions re-recorded BEFORE the rebuild — same conservatism
+        val versions = sources.map { case (t, _) =>
+          (t, JsonlStats.currentVersion(Paths.get(root, t.split('/').toSeq: _*).toString)) }
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(ns, vname)
+        val plan = new graft.plans.ResolveGraftViews(spark)
+          .bodyPlan(catName, cat, ident, d)
+        val df = org.apache.spark.sql.graftops.Bridge.ofRows(spark, plan)
+        // atomic RTAS: readers see the old backing or the new one,
+        // and the stored definition updates only AFTER the swap — a
+        // crashed refresh leaves a stale (correct) MV
+        df.writeTo(quoted(catName +: (ns.toSeq :+ backing))).createOrReplace()
+        GraftViews.write(nsDir, d.copy(properties = d.properties +
+          (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))),
+          replace = true)
+        oneRow(Seq("view" -> dotted, "action" -> "refreshed",
+          "sources" -> GraftViews.mvSourcesEncode(versions)),
+          s"refresh_materialized_view $dotted")
     }
   }
 }

@@ -3273,6 +3273,48 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY shard ORDER BY shard""".stripMargin)
   }
 
+  /** q291 (r12b): MATERIALIZED VIEWS with a version-based staleness
+    * contract — correct in BOTH states by construction. A materialized
+    * view is the stored view plus an engine-managed backing table and
+    * the source manifests' versions recorded at refresh: a FRESH read
+    * (every source still at its recorded version) serves the backing
+    * table — the precomputed aggregate, zero recomputation; a STALE
+    * read expands the body exactly like a plain view — slower, never
+    * wrong. This query pins both paths to the same oracle: define the
+    * MV, append to the source (making it stale), read through the MV
+    * (stale path — must see the appended rows), refresh (atomic RTAS),
+    * read again (fresh path — backing table scan), and return both
+    * readouts tagged. The oracle computes the post-append aggregate
+    * once and expects it twice — any divergence between the
+    * precomputed and recomputed derivations fails the hash. At 100 TB
+    * this is the daily-dashboard contract: the expensive aggregate is
+    * paid at refresh, reads between refreshes are metadata-cheap, and
+    * a late source commit degrades to correctness, not to lies. */
+  def materializedViewLifecycle(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mv_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mv_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mv_src AS
+         |SELECT event_type, value FROM mv_src_in WHERE event_id % 3 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_rev', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mv_src GROUP BY event_type', or_replace => true)")
+    // the append moves mv_src's version past the recorded one: STALE
+    spark.sql(
+      s"INSERT INTO $cat.mv_src SELECT event_type, value FROM mv_src_in WHERE event_id % 3 = 1")
+    // analyzed NOW (stale -> body expansion); executes post-refresh but
+    // the plan is pinned at analysis, so this IS the recompute path
+    val stale = spark.sql(
+      s"SELECT 'stale' AS phase, event_type, n, value_sum FROM $cat.mv_rev")
+    spark.sql(s"CALL $cat.refresh_materialized_view('mv_rev')")
+    val fresh = spark.sql(
+      s"SELECT 'fresh' AS phase, event_type, n, value_sum FROM $cat.mv_rev")
+    stale.unionAll(fresh).orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3367,6 +3409,7 @@ object JsonlStatsQueries extends QueryModule {
     "q288_scoped_zorder" -> scopedZorderSlice,
     "q289_persistent_view" -> persistentViewSlice,
     "q290_system_sample" -> systemSampleScan,
+    "q291_materialized_view" -> materializedViewLifecycle,
   )
 
   val oracles = Map(
@@ -3686,6 +3729,18 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q291_materialized_view" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 3 IN (0, 1)),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM src GROUP BY event_type)
+        |SELECT phase, event_type, n, value_sum FROM (
+        |  SELECT 'stale' AS phase, * FROM agg
+        |  UNION ALL
+        |  SELECT 'fresh' AS phase, * FROM agg)
+        |ORDER BY phase, event_type""".stripMargin,
     "q290_system_sample" ->
       """WITH base AS (SELECT user_id % 16 AS shard, value FROM events)
         |SELECT CAST(shard AS VARCHAR) AS shard, count(*) AS n,

@@ -195,6 +195,72 @@ class ViewsSpec extends SparkSpec {
     assert(r.getDouble(2) === 400.0) // graft_dot([20],[20])
   }
 
+  test("materialized views: fresh reads plan the backing table, stale " +
+    "reads plan the body, refresh restores the fast path, drop removes " +
+    "the backing — and every refusal is loud") {
+    cat // force fixture
+    import graft.sources.JsonlStatsScan
+    spark.sql("DROP TABLE IF EXISTS vspec.mv_t")
+    spark.sql("CREATE TABLE vspec.mv_t AS SELECT k, v FROM vspec.t1 WHERE id <= 2")
+    spark.sql("CALL vspec.create_materialized_view('mv_agg', " +
+      "'SELECT k, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      "FROM vspec.mv_t GROUP BY k', or_replace => true)")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scanRoots(sql: String): Seq[String] =
+      nodes(spark.sql(sql)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    // FRESH: the one scan reads the engine-managed backing table
+    val freshScans = scanRoots("SELECT * FROM vspec.mv_agg")
+    assert(freshScans.size === 1 && freshScans.head.contains("_mv_mv_agg"), freshScans)
+    val freshRows = spark.sql("SELECT * FROM vspec.mv_agg ORDER BY k").collect()
+    // the backing is engine-internal: invisible to SHOW TABLES, loadable
+    assert(!spark.sql("SHOW TABLES IN vspec").collect()
+      .exists(_.getString(1) == "_mv_mv_agg"))
+    assert(spark.table("vspec.`_mv_mv_agg`").count() === freshRows.length)
+    // STALE: a source commit flips the read to the body — which SEES it
+    spark.sql("INSERT INTO vspec.mv_t VALUES ('z', 100.0)")
+    val staleScans = scanRoots("SELECT * FROM vspec.mv_agg")
+    assert(staleScans.size === 1 && staleScans.head.contains("mv_t") &&
+      !staleScans.head.contains("_mv_"), staleScans)
+    val staleRows = spark.sql("SELECT * FROM vspec.mv_agg ORDER BY k").collect()
+    assert(staleRows.exists(_.getString(0) == "z"), "stale read must see the append")
+    // REFRESH: atomic RTAS + re-recorded versions — fast path is back
+    spark.sql("CALL vspec.refresh_materialized_view('mv_agg')")
+    val refreshedScans = scanRoots("SELECT * FROM vspec.mv_agg")
+    assert(refreshedScans.size === 1 && refreshedScans.head.contains("_mv_mv_agg"))
+    assert(spark.sql("SELECT * FROM vspec.mv_agg ORDER BY k").collect().toSeq
+      === staleRows.toSeq, "precomputed and recomputed rows must agree")
+    // refusals: temp-view source, view source, plain-view refresh
+    Seq((1L, 1.0)).toDF("a", "b").createOrReplaceTempView("mv_tmp")
+    val e1 = intercept[Exception] {
+      spark.sql("CALL vspec.create_materialized_view('mv_bad1', 'SELECT a FROM mv_tmp')")
+    }
+    assert(e1.getMessage.contains("trackable"), e1.getMessage)
+    mkView("v_mv_plain", "SELECT k FROM t1")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL vspec.create_materialized_view('mv_bad2', " +
+        "'SELECT k FROM vspec.v_mv_plain')")
+    }
+    assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CALL vspec.refresh_materialized_view('v_mv_plain')")
+    }
+    assert(e3.getMessage.contains("plain view"), e3.getMessage)
+    // DROP removes the definition AND the backing table
+    spark.sql("CALL vspec.drop_view('mv_agg')")
+    intercept[Exception] { spark.table("vspec.mv_agg").collect() }
+    intercept[Exception] { spark.table("vspec.`_mv_mv_agg`").collect() }
+  }
+
   test("streaming reads are left untouched — a view is a batch macro") {
     cat // force fixture
     val e = intercept[Exception] {

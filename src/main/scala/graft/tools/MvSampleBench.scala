@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Measured laws for the r12b tier (SCALING.md): TABLESAMPLE pushdown
+  * and materialized-view read routing, priced at sf0.1 scale.
+  *
+  *   - SAMPLE: a 1%-band TABLESAMPLE on a declared (`sampleMode =
+  *     'system'`) 256-key table must PLAN ~1% of the files (manifest-
+  *     decided) and cost a small fraction of the full scan; the same
+  *     statement on an undeclared table reads EVERY file and row-
+  *     samples afterwards — the delta is the pushdown's value.
+  *   - MV: a fresh materialized-view read costs the backing-table scan
+  *     plus one version probe per source; a stale read re-runs the
+  *     aggregation (measured against the direct aggregate as the
+  *     honesty baseline); refresh restores the fast path.
+  *
+  * Usage: tools/benchrun.sh graft.tools.MvSampleBench — one JSON line.
+  * SPARK_GRAFT_SF_DIR overrides the input (default sf0.1). */
+object MvSampleBench {
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e9)
+  }
+  private def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("mvsample_bench").toString
+    val cat = "mvb"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+
+    graft.ingest.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "event_type", "value",
+        "CAST(user_id % 256 AS STRING) AS shard")
+      .createOrReplaceTempView("mvb_src")
+    val (_, buildS) = timed {
+      spark.sql(
+        s"""CREATE TABLE $cat.ev USING `graft-jsonl-stats`
+           |PARTITIONED BY (shard)
+           |AS SELECT * FROM mvb_src ORDER BY shard, event_id""".stripMargin)
+    }
+    val totalFiles = graft.sources.JsonlStats.readStats(Paths.get(root, "ev").toString).size
+
+    def agg(extra: String): Double =
+      spark.sql(s"SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) v " +
+        s"FROM $cat.ev $extra").collect().head.getDouble(0)
+
+    // undeclared: Spark row-samples AFTER a full read
+    val undeclared = (1 to 3).map(_ => timed(
+      agg("TABLESAMPLE (1 PERCENT) REPEATABLE (7)"))._2)
+    val full = (1 to 3).map(_ => timed(agg(""))._2)
+
+    spark.sql(s"ALTER TABLE $cat.ev SET TBLPROPERTIES('sampleMode'='system')")
+    // declared: the pushdown keeps ~1% of the files at planning
+    val declared = (1 to 3).map(_ => timed(
+      agg("TABLESAMPLE (1 PERCENT) REPEATABLE (7)"))._2)
+    val plannedFiles = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val df = spark.sql(s"SELECT value FROM $cat.ev TABLESAMPLE (1 PERCENT) REPEATABLE (7)")
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: graft.sources.JsonlStatsScan => s.toBatch.planInputPartitions().length }
+        .sum
+    }
+
+    // ---- materialized view routing ----
+    spark.sql(s"CALL $cat.create_materialized_view('mv_rev', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.ev GROUP BY event_type')")
+    def mvRead(): Double =
+      timed(spark.sql(s"SELECT * FROM $cat.mv_rev").collect())._2
+    val freshMs = (1 to 5).map(_ => mvRead())
+    val direct = (1 to 3).map(_ => timed(spark.sql(
+      s"SELECT event_type, count(*) AS n, " +
+        s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+        s"FROM $cat.ev GROUP BY event_type").collect())._2)
+    spark.sql(s"INSERT INTO $cat.ev VALUES (0, 'probe', 1.0, '0')") // -> stale
+    val staleMs = (1 to 3).map(_ => mvRead())
+    val (_, refreshS) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_rev')").collect())
+    val refreshedMs = (1 to 5).map(_ => mvRead())
+
+    println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
+      s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
+      s""""full_scan_s":${f"${med(full)}%.3f"},"sample_undeclared_s":${f"${med(undeclared)}%.3f"},""" +
+      s""""sample_declared_s":${f"${med(declared)}%.3f"},""" +
+      s""""mv_fresh_s":${f"${med(freshMs)}%.4f"},"mv_stale_s":${f"${med(staleMs)}%.3f"},""" +
+      s""""mv_direct_agg_s":${f"${med(direct)}%.3f"},"mv_refresh_s":${f"$refreshS%.2f"},""" +
+      s""""mv_refreshed_s":${f"${med(refreshedMs)}%.4f"}}""")
+    spark.stop()
+  }
+}

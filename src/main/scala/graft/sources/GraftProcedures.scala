@@ -1243,16 +1243,16 @@ object GraftProcedures {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val work = dirty.zipWithIndex.map { case (s, i) =>
       (s.file, s.dvs, s.pkey, s.pspec, f"part-rwdel-$runId-$i%05d.jsonl", eqdsFor(s),
-        JsonlStats.Lineage.of(s))
+        JsonlStats.Lineage.of(s), s.sorted)
     }
     val rootCopy = tableRoot
     val fresh: Seq[JsonlStats.FileStats] =
       if (work.isEmpty) Nil
       else SparkSession.active.sparkContext
         .parallelize(work, math.min(work.size, 32))
-        .map { case (file, dvs, pkey, pspec, out, eqds, lin) =>
+        .map { case (file, dvs, pkey, pspec, out, eqds, lin, sorted) =>
           GraftProcedures.rewriteOneFile(rootCopy, file, dvs, pkey, out,
-            schemaJson, statsCol, bloomCol, mapping, gramCol, pspec, eqds, lin)
+            schemaJson, statsCol, bloomCol, mapping, gramCol, pspec, eqds, lin, sorted)
         }
         .collect().toSeq // file-count-bounded: one manifest entry per task
     // OCC rewrite (r8): the collapsed files' planned entries must
@@ -1287,7 +1287,8 @@ object GraftProcedures {
                                       gramCol: Option[String] = None,
                                       pspec: Option[String] = None,
                                       eqds: Seq[(String, Seq[String])] = Nil,
-                                      lin: JsonlStats.Lineage = JsonlStats.Lineage()): JsonlStats.FileStats = {
+                                      lin: JsonlStats.Lineage = JsonlStats.Lineage(),
+                                      sorted: Option[String] = None): JsonlStats.FileStats = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val deleted = JsonlDeleteVectors.readDvPositions(dvs.map(d => Paths.get(root, d).toString))
@@ -1568,7 +1569,9 @@ object GraftProcedures {
       strCols = strCols, ckpts = ckpts.toSeq,
       segb = zones.zones(ckpts.nonEmpty), pspec = pspec,
       frid = if (hadLineage) -2L else -1L, luv = carriedLuv,
-      vcells = vecBm.toMap)
+      vcells = vecBm.toMap,
+      // survivors keep the source's row order — the stamp carries
+      sorted = sorted)
   }
 
   def compact(tableRoot: String, targetBytes: Long,

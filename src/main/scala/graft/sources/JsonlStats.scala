@@ -332,7 +332,17 @@ object JsonlStats {
                              // straddle the probe; the bitmap prunes
                              // EXACTLY. Absent = unknown = interval
                              // fallback (legacy manifests).
-                             vcells: Map[String, Long] = Map.empty)
+                             vcells: Map[String, Long] = Map.empty,
+                             // declared-sort discipline (r12b): the
+                             // PHYSICAL column this file's rows are
+                             // sorted by (ascending, nulls first) —
+                             // stamped by the write path when the
+                             // table's sortColumn ordering was actually
+                             // requested, DROPPED by any rewrite that
+                             // breaks it (compaction byte-concat,
+                             // zorder). Absent = unknown = report no
+                             // ordering (conservative).
+                             sorted: Option[String] = None)
 
   /** Bounds of `col` for a file: the multi-column map first, falling
     * back to the legacy single-stats interval (whose all-null sentinel
@@ -632,7 +642,9 @@ object JsonlStats {
             val b = Map.newBuilder[String, Long]
             c.fieldNames().asScala.foreach(f => b += f -> c.get(f).asLong())
             b.result()
-          })
+          },
+          // declared-sort stamp (r12b) — absent on every older manifest
+          if (n.hasNonNull("sorted")) Some(n.get("sorted").asText()) else None)
       }
   }
 
@@ -667,6 +679,7 @@ object JsonlStats {
       val c = n.putObject("vcells")
       s.vcells.toSeq.sortBy(_._1).foreach { case (f, bm) => c.put(f, bm) }
     }
+    s.sorted.foreach(n.put("sorted", _))
     if (s.dvs.nonEmpty) {
       val a = n.putArray("dvs")
       s.dvs.foreach(a.add)
@@ -1540,6 +1553,24 @@ object JsonlStats {
       override def description(): String = s"keyed($c) ${inner.description()}"
     }
   }
+
+  /** The `sorted` stamp a write's produced files earn (r12b): the
+    * PHYSICAL sort column, iff the write actually requested a
+    * within-file sort by it — a declared `sortColumn` on an UNKEYED
+    * layout (the task sort IS by that column) or an identity-keyed one
+    * (each file is a single-key run, so the secondary sort leaves the
+    * file ascending by it). Routed layouts (bucket/truncate/time,
+    * composites) interleave rows per sink under the SOURCE ordering —
+    * their files are not sortColumn-runs, so no stamp (conservative:
+    * [[graft.sources.JsonlStatsScan.outputOrdering]] simply reports
+    * nothing). */
+  def sortedStampFor(partitionCol: Option[String], sortCol: Option[String],
+                     columnMapping: Map[String, String]): Option[String] =
+    sortCol.filter(_ => partitionCol.forall(pc =>
+      PartitionTransforms.parseMulti(pc) match {
+        case Seq(_: PartitionTransforms.Identity) => true
+        case _ => false
+      })).map(c => columnMapping.getOrElse(c, c))
 
   /** Flatten task commit messages (each task commits one or — keyed —
     * several files) to the real per-file entries. */

@@ -469,7 +469,7 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
@@ -602,6 +602,51 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     * never receives runtime filters ([[filterAttributes]] declines
     * them), so this decision is stable across re-planning. */
   private lazy val keyGrouped: Boolean = identityGrouped || bucketGrouped
+
+  /** Declared-order reporting (r12b, [[SupportsReportOrdering]]): the
+    * per-partition orderings the LAYOUT proves, so downstream sorts
+    * are ELIMINATED instead of re-proving them over the data:
+    *
+    *   - an identity-keyed scan's every partition carries ONE value of
+    *     the partition column, so ascending-by-key holds trivially —
+    *     reported first, it makes the storage-partitioned merge join
+    *     sort-free as well as exchange-free;
+    *   - when EVERY surviving file carries the same `sorted` stamp
+    *     (the write-path proof that its rows ascend by the declared
+    *     sortColumn — compaction's byte-concat DROPS the stamp, DV
+    *     collapse carries it), the scan reports that column too. The
+    *     secondary leg needs partitions that are single files or byte
+    *     ranges of one: a key-GROUPED partition may concatenate
+    *     several files of one key, which preserves the key leg but
+    *     not the within-file one — so under grouping it is reported
+    *     only when no key holds two files.
+    *
+    * Rewrite scans report nothing (their partitions are replacement
+    * groups, not query output). Absence is always safe: Spark just
+    * keeps its own sort. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (rewriteOp.isDefined) return Array.empty
+    val surv = survivingStats()
+    if (surv.isEmpty) return Array.empty
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    if (identityGrouped)
+      buf += Expressions.sort(Expressions.column(partitionCol.get),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    val stamps = surv.map(_.sorted).distinct
+    stamps match {
+      case Seq(Some(pc)) =>
+        val logical = columnMapping.collectFirst { case (l, p) if p == pc => l }.getOrElse(pc)
+        val singleFileKeys = !keyGrouped ||
+          surv.groupBy(_.pkey).valuesIterator.forall(_.size == 1)
+        if (required.fieldNames.contains(logical) && singleFileKeys &&
+            !partitionCol.contains(logical))
+          buf += Expressions.sort(Expressions.column(logical),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      case _ => ()
+    }
+    buf.toArray
+  }
 
   /** Every surviving file's pkey derives from the table's CURRENT
     * spec — a mixed-layout table (mid partition evolution) must not

@@ -342,7 +342,10 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
           // frid = -2 so the commit never re-stamps it; an all-null
           // carrier file stays unassigned and stamps fresh
           frid = if (c.sawLineage) -2L else -1L,
-          vcells = c.vcells))
+          vcells = c.vcells,
+          // declared-order stamp (r12b): this write REQUESTED the sort,
+          // so its files are provably runs of it
+          sorted = JsonlStats.sortedStampFor(partitionCol, sortCol, columnMapping)))
     val freshLines = freshStats.map(JsonlStats.statsLine)
     // equality-delete upsert (r9b): the tasks' delete files, registered
     // in the SAME commit as their data (retract + insert atomically);

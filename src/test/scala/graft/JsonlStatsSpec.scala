@@ -3815,6 +3815,69 @@ class JsonlStatsSpec extends SparkSpec {
     assert(graft.sources.Bloom.gramHashes("abcdefgh").forall(h => graft.sources.Bloom.mightContain(w2, m2, h)))
   }
 
+  test("r12b ordering report: the SPJ merge join is SORT-free as well as " +
+    "exchange-free, and the sorted stamp lives and dies with the layout") {
+    import spark.implicits._
+    // 1. the flagship plan: q169's sort-merge join consumes both keyed
+    // scans DIRECTLY — the reported per-partition key ordering
+    // (identity-keyed: every partition is one key) satisfies the
+    // join's requirement, so EnsureRequirements inserts no SortExec
+    val df = JsonlStatsQueries.storagePartitionedJoin(spark, sfDir)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val plan = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+    val smjs = plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.size === 1)
+    assert(smjs.head.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"sort under the storage-partitioned merge join:\n${smjs.head}")
+    // 2. stamp lifecycle on a sorted keyed table
+    val dir = Files.createTempDirectory("jsonl_sorted_rep").toString
+    val cat = "graft_ord_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val t = java.nio.file.Paths.get(dir).getFileName.toString
+    (0L until 400L).map(i => (i % 4, (i * 37 % 100).toDouble, i))
+      .toDF("k", "v", "id").selectExpr("CAST(k AS STRING) AS k", "v", "id")
+      .createOrReplaceTempView("ord_src")
+    spark.sql(s"CREATE TABLE $cat.`$t` USING `graft-jsonl-stats` " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('sortColumn' = 'v') " +
+      "AS SELECT * FROM ord_src")
+    def scanOf(sql: String): JsonlStatsScan =
+      nodes(spark.sql(sql)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case sc: JsonlStatsScan => sc }.get
+    def orderCols(sc: JsonlStatsScan): Seq[String] =
+      sc.outputOrdering().toSeq.map(_.expression().describe())
+    // one commit -> one file per key, every entry stamped: both legs
+    assert(JsonlStats.readStats(dir).forall(_.sorted.contains("v")))
+    assert(orderCols(scanOf(s"SELECT k, v FROM $cat.`$t`")) === Seq("k", "v"))
+    // the rows really do ascend per partition (the stamp's meaning)
+    val perPart = spark.sql(s"SELECT k, v FROM $cat.`$t`").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getDouble(1)).toSeq)).collect()
+    assert(perPart.forall(vs => vs == vs.sorted), "partition rows must ascend by v")
+    // a second commit doubles the files per key: the key leg holds,
+    // the within-file leg is no longer a per-PARTITION truth (grouped
+    // partitions concatenate the key's files) — dropped
+    spark.sql(s"INSERT INTO $cat.`$t` SELECT * FROM ord_src")
+    assert(orderCols(scanOf(s"SELECT k, v FROM $cat.`$t`")) === Seq("k"))
+    // compaction byte-concats: the merged entries lose the stamp —
+    // reported order stays key-only FOREVER after (conservative)
+    spark.sql(s"CALL $cat.compact('$t', ${64L * 1024 * 1024})")
+    assert(JsonlStats.readStats(dir).forall(_.sorted.isEmpty),
+      "compacted entries must drop the sorted stamp")
+    assert(orderCols(scanOf(s"SELECT k, v FROM $cat.`$t`")) === Seq("k"))
+    // an unprojected sort column reports nothing it can't name
+    assert(orderCols(scanOf(s"SELECT k FROM $cat.`$t`")) === Seq("k"))
+  }
+
   test("q290 laws: TABLESAMPLE pushdown is declared, deterministic, " +
     "nesting, file-exact, and declines everything it must (r12b)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

@@ -1985,6 +1985,9 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      // r12b: INSERT OVERWRITE under dynamic mode / overwritePartitions()
+      // — the builder still refuses unkeyed layouts loudly
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // r12: the r11 `vecCells`/`vecNorm` scan options are GONE — vector

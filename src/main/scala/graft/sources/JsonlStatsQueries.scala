@@ -3315,6 +3315,39 @@ object JsonlStatsQueries extends QueryModule {
     stale.unionAll(fresh).orderBy(col("phase"), col("event_type"))
   }
 
+  /** q292 (r12b): DYNAMIC PARTITION OVERWRITE — the nightly
+    * partition-reload idiom (`df.writeTo(t).overwritePartitions()` /
+    * `INSERT OVERWRITE` under dynamic mode). The incoming rows' derived
+    * keys ARE the replace set: those partitions' entries leave the live
+    * manifest (still time-travelable until vacuum), every other key's
+    * files survive byte-verbatim in one atomic swap — Iceberg's
+    * ReplacePartitions semantics on this manifest protocol. Here: the
+    * table seeds with half of every event type, then two partitions
+    * (purchase, error) are RELOADED in full; the readout shows full
+    * counts for the reloaded keys and half counts for the untouched
+    * ones, recomputed by the oracle from raw parquet. At 100 TB this is
+    * the recompute-yesterday pattern: one day's partitions swap, the
+    * year's files never move. */
+  def dynamicPartitionOverwrite(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.events_dyn")
+    Tables.events(spark, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .createOrReplaceTempView("dyn_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.events_dyn USING `graft-jsonl-stats`
+         |PARTITIONED BY (event_type)
+         |AS SELECT * FROM dyn_src WHERE event_id % 2 = 0""".stripMargin)
+    spark.table("dyn_src")
+      .where(col("event_type").isin("purchase", "error"))
+      .writeTo(s"$cat.events_dyn").overwritePartitions()
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.events_dyn
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3410,6 +3443,7 @@ object JsonlStatsQueries extends QueryModule {
     "q289_persistent_view" -> persistentViewSlice,
     "q290_system_sample" -> systemSampleScan,
     "q291_materialized_view" -> materializedViewLifecycle,
+    "q292_dynamic_overwrite" -> dynamicPartitionOverwrite,
   )
 
   val oracles = Map(
@@ -3729,6 +3763,13 @@ object JsonlStatsQueries extends QueryModule {
         |WHERE ts >= TIMESTAMP'2024-01-12 00:00:00'
         |  AND ts <  TIMESTAMP'2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q292_dynamic_overwrite" ->
+      ("WITH rows AS (\n" +
+      "  SELECT event_type, value FROM events\n" +
+      "  WHERE event_type IN ('purchase', 'error') OR event_id % 2 = 0)\n" +
+      "SELECT event_type, count(*) AS n,\n" +
+      "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum\n" +
+      "FROM rows GROUP BY event_type ORDER BY event_type"),
     "q291_materialized_view" ->
       """WITH src AS (
         |  SELECT event_type, value FROM events WHERE event_id % 3 IN (0, 1)),

@@ -33,7 +33,8 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
                         branch: Option[String] = None,
                         upsertCols: Option[Seq[String]] = None,
                         sortCol: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
   // fail-fast at planning, not first task: the same key-column gate the
   // task-side tracker enforces (long/string only — float keys don't
   // round-trip text reliably)
@@ -46,6 +47,32 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   })
   private var truncateFirst = false
   private var replaceFilters: Option[Array[Filter]] = None
+  private var dynamicOverwrite = false
+
+  /** Dynamic partition overwrite (r12b — `INSERT OVERWRITE` under
+    * dynamic mode / `df.writeTo(t).overwritePartitions()`): replace
+    * exactly the partitions the incoming data lands in, keep every
+    * other key's files byte-untouched — the nightly partition-reload
+    * idiom (recompute one day, leave the year alone). Needs a keyed
+    * layout: the arriving rows' pkeys ARE the replace set. Semantics
+    * are Iceberg's ReplacePartitions: the swap is blind per key
+    * (commutes with commits on other keys; a concurrent commit on a
+    * REPLACED key is superseded — last writer wins per partition). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (upsertCols.isDefined)
+      throw new UnsupportedOperationException(
+        "upsertKeys with dynamic overwrite: pick one retraction semantics per write")
+    if (partitionCol.isEmpty)
+      throw new UnsupportedOperationException(
+        "dynamic partition overwrite needs a keyed layout (PARTITIONED BY) — " +
+          "the arriving keys define the replace set; on an unkeyed table use " +
+          "truncate or replaceWhere")
+    if (branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"dynamic overwrite on branch '${branch.get}': branch heads take appends " +
+          "and TRUNCATE only (r9 scope)")
+    dynamicOverwrite = true; this
+  }
   override def truncate(): WriteBuilder = {
     if (upsertCols.isDefined)
       throw new UnsupportedOperationException(
@@ -84,13 +111,14 @@ class JsonlWriteBuilder(root: String, writeSchema: StructType, queryId: String,
   override def build(): Write = JsonlStats.keyedWrite(partitionCol, sortCol, new Write {
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(root, writeSchema, queryId, truncateFirst, statsCol, partitionCol,
-        replaceFilters, bloomCol, columnMapping, gramCol, branch, upsertCols, sortCol)
+        replaceFilters, bloomCol, columnMapping, gramCol, branch, upsertCols, sortCol,
+        dynamicOverwrite)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (branch.isDefined)
         throw new UnsupportedOperationException(
           s"streaming write to branch '${branch.get}': txn watermarks are main-only " +
             "— stream into main, or stage batches on the branch")
-      if (truncateFirst || replaceFilters.isDefined)
+      if (truncateFirst || replaceFilters.isDefined || dynamicOverwrite)
         throw new UnsupportedOperationException(
           "streaming writes to graft-jsonl-stats are append-only: Complete output " +
             "mode and replaceWhere would re-truncate the table every micro-batch")
@@ -228,7 +256,8 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
                       gramCol: Option[String] = None,
                       branch: Option[String] = None,
                       upsertCols: Option[Seq[String]] = None,
-                      sortCol: Option[String] = None) extends BatchWrite {
+                      sortCol: Option[String] = None,
+                      dynamicOverwrite: Boolean = false) extends BatchWrite {
   /** Overwrite conflict reference (r8 review): captured when the WRITE
     * is CONSTRUCTED — physical planning, before the job's tasks run —
     * not at commit() time. A truncate/replaceWhere logically reads the
@@ -405,6 +434,31 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // the files their keep-or-drop verdicts were derived from, so they
     // demand a base unchanged since WRITE CONSTRUCTION (`plannedBase`)
     // and CONFLICT loudly otherwise.
+    // dynamic partition overwrite (r12b): replace the arriving keys'
+    // entries on the LATEST base — per-key blind, so it commutes with
+    // commits on untouched keys (the rebase keeps their lines VERBATIM)
+    // and supersedes same-key racers (Iceberg ReplacePartitions'
+    // last-writer-wins). Old files leave the live manifest only —
+    // VERSION AS OF reads them until vacuum.
+    if (dynamicOverwrite) {
+      require(freshStats.forall(_.pkey.isDefined),
+        "dynamic overwrite produced an unkeyed file — keyed write discipline broken")
+      val freshKeys = freshStats.flatMap(_.pkey).toSet
+      val mapper = new ObjectMapper()
+      JsonlStats.commitAtomic(root, queryId, { base =>
+        val kept = base.filter { l =>
+          val n = mapper.readTree(l)
+          val k = n.path("pkey").asText("")
+          !n.hasNonNull("file") || k.isEmpty || !freshKeys.contains(k)
+        }
+        // kept eqdels must not retract the replacement rows (the
+        // replaceWhere r9c stance): fresh entries stamp at the kept max
+        val mEq = JsonlEqualityDeletes.parseLines(kept).map(_.seq).maxOption.getOrElse(0L)
+        kept ++ (if (mEq == 0L) freshLines
+                 else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = mEq))))
+      })
+      return
+    }
     (truncateFirst, replaceFilters) match {
       case (true, _) =>
         // truncate clears eqdel lines with everything else: the new

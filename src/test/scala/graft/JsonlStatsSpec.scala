@@ -3815,6 +3815,46 @@ class JsonlStatsSpec extends SparkSpec {
     assert(graft.sources.Bloom.gramHashes("abcdefgh").forall(h => graft.sources.Bloom.mightContain(w2, m2, h)))
   }
 
+  test("q292 laws: dynamic overwrite replaces exactly the arriving keys, " +
+    "keeps other files verbatim, time-travels, and refuses unkeyed layouts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_dynover").toString
+    val cat = "graft_dyn_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val t = java.nio.file.Paths.get(dir).getFileName.toString
+    (0L until 300L).map(i => (Seq("a", "b", "c")(i.toInt % 3), i, i.toDouble))
+      .toDF("k", "id", "v").createOrReplaceTempView("dyn_spec_src")
+    spark.sql(s"CREATE TABLE $cat.`$t` USING `graft-jsonl-stats` " +
+      "PARTITIONED BY (k) AS SELECT * FROM dyn_spec_src WHERE id % 2 = 0")
+    val before = JsonlStats.readStats(dir)
+    // reload partition 'b' in full via the dynamic-overwrite API
+    spark.table("dyn_spec_src").where($"k" === "b")
+      .writeTo(s"$cat.`$t`").overwritePartitions()
+    val after = JsonlStats.readStats(dir)
+    // untouched keys' entries survive byte-verbatim (same file names)
+    val keptBefore = before.filter(!_.pkey.contains("b")).map(_.file).toSet
+    assert(keptBefore.subsetOf(after.map(_.file).toSet),
+      "untouched partitions were rewritten")
+    // the replaced key is the full reload, others are the half seed
+    val counts = spark.sql(s"SELECT k, count(*) FROM $cat.`$t` GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 50L, "b" -> 100L, "c" -> 50L), counts)
+    // the pre-overwrite generation is one VERSION AS OF away
+    val v = JsonlStats.currentVersion(dir) - 1
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF $v")
+      .collect().head.getLong(0) === 150L)
+    // unkeyed layouts refuse with the remediation
+    spark.sql(s"CREATE TABLE $cat.dyn_unkeyed AS SELECT * FROM dyn_spec_src LIMIT 10")
+    val e = intercept[Exception] {
+      spark.table("dyn_spec_src").limit(5)
+        .writeTo(s"$cat.dyn_unkeyed").overwritePartitions()
+    }
+    assert(e.getMessage.contains("keyed layout"), e.getMessage)
+    spark.sql(s"DROP TABLE $cat.dyn_unkeyed")
+  }
+
   test("r12b ordering report: the SPJ merge join is SORT-free as well as " +
     "exchange-free, and the sorted stamp lives and dies with the layout") {
     import spark.implicits._

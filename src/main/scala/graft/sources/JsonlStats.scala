@@ -1915,7 +1915,7 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
         bloom, mapping, branch = branch)
     else
       () => new JsonlRowLevelOperation(root, tableSchema, statsCol, info.command(), keyed,
-        bloom, mapping, branch = branch)
+        bloom, mapping, branch = branch, sortCol = sortCol)
   }
   override def name(): String = s"graft-jsonl-stats($root)"
   override def schema(): StructType = tableSchema

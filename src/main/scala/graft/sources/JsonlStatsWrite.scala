@@ -527,7 +527,8 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
                              bloomCol: Option[String] = None,
                              columnMapping: Map[String, String] = Map.empty,
                              gramCol: Option[String] = None,
-                             branch: Option[String] = None)
+                             branch: Option[String] = None,
+                             sortCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -570,7 +571,11 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
     * clustered + sorted on the partition column, one file per key run,
     * pkey'd manifest entries — the mutation preserves the SPJ layout. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
-    override def build(): Write = JsonlStats.keyedWrite(partitionCol, new Write {
+    // the replacement write keeps BOTH layout disciplines (r12b): the
+    // keyed clustering AND the declared write sort, so a mutated
+    // sorted table's fresh files carry tight bounds and the `sorted`
+    // stamp — DML no longer demotes the scan's reported ordering
+    override def build(): Write = JsonlStats.keyedWrite(partitionCol, sortCol, new Write {
       override def toBatch: BatchWrite =
         new JsonlReplaceBatchWrite(root, info.schema(), info.queryId(), statsCol,
           () => rewriteScan match {
@@ -578,6 +583,7 @@ class JsonlRowLevelOperation(root: String, tableSchema: StructType, statsCol: St
             case None => throw new IllegalStateException(
               "rewrite write committed before its scan was planned")
           }, partitionCol, bloomCol, columnMapping, gramCol, branch,
+          sortCol = sortCol,
           // lineage preservation (r11): the metadata projection's shape,
           // so the writer can find _row_id/_luv in the metadata rows
           metaSchema = if (info.metadataSchema().isPresent)
@@ -597,7 +603,8 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
                              columnMapping: Map[String, String] = Map.empty,
                              gramCol: Option[String] = None,
                              branch: Option[String] = None,
-                             metaSchema: Option[StructType] = None) extends BatchWrite {
+                             metaSchema: Option[StructType] = None,
+                             sortCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(root, writeSchema, queryId, statsCol, partitionCol, bloomCol,
       columnMapping, gramCol, metaSchema = metaSchema)
@@ -618,7 +625,8 @@ class JsonlReplaceBatchWrite(root: String, writeSchema: StructType, queryId: Str
           // .requiredMetadataAttributes]]), so carried rows land with
           // materialized in-row ids — frid = -2, never re-stamped
           frid = if (c.sawLineage) -2L else -1L,
-          vcells = c.vcells))
+          vcells = c.vcells,
+          sorted = JsonlStats.sortedStampFor(partitionCol, sortCol, columnMapping)))
     // OCC rewrite (r8): the replaced files' entries must survive
     // verbatim — a concurrent commit that touched one of them (a DV
     // attach, another rewrite) invalidates the survivors this COW pass

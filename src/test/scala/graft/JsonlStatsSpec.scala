@@ -3903,6 +3903,12 @@ class JsonlStatsSpec extends SparkSpec {
     val perPart = spark.sql(s"SELECT k, v FROM $cat.`$t`").rdd
       .mapPartitions(it => Iterator.single(it.map(_.getDouble(1)).toSeq)).collect()
     assert(perPart.forall(vs => vs == vs.sorted), "partition rows must ascend by v")
+    // row-level DML keeps BOTH disciplines: the rewrite re-sorts and
+    // re-stamps its replacement files, so the report survives mutation
+    spark.sql(s"DELETE FROM $cat.`$t` WHERE id = 1")
+    assert(JsonlStats.readStats(dir).forall(_.sorted.contains("v")),
+      "COW replacement files must keep the sorted stamp")
+    assert(orderCols(scanOf(s"SELECT k, v FROM $cat.`$t`")) === Seq("k", "v"))
     // a second commit doubles the files per key: the key leg holds,
     // the within-file leg is no longer a per-PARTITION truth (grouped
     // partitions concatenate the key's files) — dropped

@@ -94,8 +94,11 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Resolve `parts` to a stored view, mirroring Spark's name rules:
     * a leading registered catalog name is the catalog and the rest the
     * namespace-qualified view; otherwise the session's CURRENT catalog
-    * is tried with the whole name, both namespace-absolute and
-    * relative to the current namespace for single-part names. */
+    * is tried. A single-part name resolves relative to the CURRENT
+    * namespace first, catalog-root-absolute second — Spark's own
+    * precedence for tables (a bare name means "here", the root form is
+    * the fallback), so a view named `v` both at root and in the current
+    * namespace reads the near one, never silently the far one. */
   private def lookupView(parts: Seq[String])
       : Option[(String, GraftCatalog, Identifier, GraftViews.ViewDef)] = {
     def tryIdent(catName: String, cat: GraftCatalog, ns: Seq[String], name: String) = {
@@ -110,10 +113,10 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     headCat.orElse {
       val cm = spark.sessionState.catalogManager
       graftCatalog(cm.currentCatalog.name()).flatMap { case (n, c) =>
-        val absolute = tryIdent(n, c, parts.init, parts.last)
         if (parts.size == 1)
-          absolute.orElse(tryIdent(n, c, cm.currentNamespace.toSeq, parts.head))
-        else absolute
+          tryIdent(n, c, cm.currentNamespace.toSeq, parts.head)
+            .orElse(tryIdent(n, c, Seq.empty, parts.head))
+        else tryIdent(n, c, parts.init, parts.last)
       }
     }
   }
@@ -133,8 +136,12 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     // freshness probe is one manifest-version read per source — cheap,
     // and raced commits merely flip a fresh read into a (correct)
     // stale one.
+    // The backing-existence probe guards the crash window of a rename
+    // (backing moved, sidecar not yet): a fresh-looking sidecar whose
+    // backing is gone expands the body instead — correct, just uncached.
     d.properties.get(GraftViews.MvTableProp) match {
-      case Some(backing) if GraftViews.mvFresh(cat.warehouseRoot, d) =>
+      case Some(backing) if GraftViews.mvFresh(cat.warehouseRoot, d) &&
+          GraftViews.mvBackingExists(cat.namespaceDir(ident.namespace()), d) =>
         val rel = UnresolvedRelation(
           (catName +: ident.namespace() :+ backing).toSeq,
           org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), false)

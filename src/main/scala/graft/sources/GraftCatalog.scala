@@ -887,7 +887,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     val target = GraftViews.viewFile(nsDir(newIdent.namespace()), newIdent.name())
     java.nio.file.Files.createDirectories(target.getParent)
     val d = GraftViews.read(nsDir(oldIdent.namespace()), oldIdent.name()).get
-    GraftViews.write(nsDir(newIdent.namespace()), d.copy(name = newIdent.name()),
+    // a MATERIALIZED view owns its backing table (`_mv_<name>`, named
+    // after the view and living in the view's namespace): the backing
+    // moves WITH the definition, else a fresh read after the rename
+    // would resolve a backing that no longer exists and a later drop
+    // would delete an unrelated directory in the new namespace.
+    // Manifest entries are table-root-relative (JsonlStats), so a
+    // directory move is safe. Order: backing first, sidecar second —
+    // a crash between the two leaves the OLD sidecar pointing at a
+    // missing backing, which the resolution rule treats as stale
+    // (body expansion), never a wrong answer.
+    val renamed = GraftViews.moveMvBacking(
+      nsDir(oldIdent.namespace()), nsDir(newIdent.namespace()), d, newIdent.name())
+    GraftViews.write(nsDir(newIdent.namespace()), renamed.copy(name = newIdent.name()),
       replace = false)
     GraftViews.drop(nsDir(oldIdent.namespace()), oldIdent.name())
   }

@@ -2205,8 +2205,11 @@ object GraftProcedures {
         require(!Files.exists(toDir.resolve(toName).resolve("_stats.jsonl")),
           s"a TABLE named '$to' exists — views and tables share one identifier space")
         // definition context stays: rename moves the ADDRESS, the body
-        // still resolves exactly as written
-        GraftViews.write(toDir, d.copy(name = toName), replace = false)
+        // still resolves exactly as written. A materialized view's
+        // backing table moves with it (backing first, sidecar second —
+        // a crash in between reads as a stale MV, never a lost one)
+        val moved = GraftViews.moveMvBacking(fromDir, toDir, d, toName)
+        GraftViews.write(toDir, moved.copy(name = toName), replace = false)
         GraftViews.drop(fromDir, fromName)
         oneRowScan(Seq("view" -> from, "action" -> "renamed", "to" -> to),
           s"rename_view $from -> $to")

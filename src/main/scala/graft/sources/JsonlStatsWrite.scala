@@ -446,10 +446,28 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
       val freshKeys = freshStats.flatMap(_.pkey).toSet
       val mapper = new ObjectMapper()
       JsonlStats.commitAtomic(root, queryId, { base =>
+        // "replace exactly the arriving keys" is only provable when
+        // every base file's key derives from the CURRENT spec — the
+        // scan side's uniformSpec condition. An unkeyed or old-spec
+        // file (mid partition evolution, legacy data) may hold rows of
+        // a replaced partition that string-matching can't see; keeping
+        // it verbatim would silently duplicate the replaced partitions.
+        base.foreach { l =>
+          val n = mapper.readTree(l)
+          if (n.hasNonNull("file")) {
+            val k = n.path("pkey").asText("")
+            val ps = n.path("ps").asText("")
+            require(k.nonEmpty && partitionCol.contains(ps),
+              s"dynamic partition overwrite needs every existing file keyed under the " +
+                s"current partition spec (${partitionCol.getOrElse("<none>")}); " +
+                s"'${n.get("file").asText()}' has pkey='$k' spec='$ps' — rewrite the " +
+                "table under the current spec first (CALL compact / rewrite_data_files)")
+          }
+        }
         val kept = base.filter { l =>
           val n = mapper.readTree(l)
           val k = n.path("pkey").asText("")
-          !n.hasNonNull("file") || k.isEmpty || !freshKeys.contains(k)
+          !n.hasNonNull("file") || !freshKeys.contains(k)
         }
         // kept eqdels must not retract the replacement rows (the
         // replaceWhere r9c stance): fresh entries stamp at the kept max

@@ -3853,6 +3853,19 @@ class JsonlStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("keyed layout"), e.getMessage)
     spark.sql(s"DROP TABLE $cat.dyn_unkeyed")
+    // mid partition evolution the base holds OLD-SPEC files whose rows
+    // the arriving keys can't see by string match — "replace exactly
+    // these partitions" is unprovable, so the overwrite must refuse
+    // loudly (the scan side's uniformSpec condition, applied to DML)
+    // rather than keep them verbatim and silently duplicate rows
+    spark.sql(s"CALL $cat.evolve_partition_spec('$t', 'bucket(4,id)')")
+    val e2 = intercept[Exception] {
+      spark.table("dyn_spec_src").where($"k" === "a")
+        .writeTo(s"$cat.`$t`").overwritePartitions()
+    }
+    assert(e2.getMessage.contains("current partition spec"), e2.getMessage)
+    // row counts unchanged: the refused overwrite committed nothing
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$t`").collect().head.getLong(0) === 200L)
   }
 
   test("r12b ordering report: the SPJ merge join is SORT-free as well as " +

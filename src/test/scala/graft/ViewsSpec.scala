@@ -261,6 +261,85 @@ class ViewsSpec extends SparkSpec {
     intercept[Exception] { spark.table("vspec.`_mv_mv_agg`").collect() }
   }
 
+  test("renaming a materialized view moves its backing table with it " +
+    "(both DDL surfaces), and a fresh-looking sidecar whose backing is " +
+    "gone degrades to body expansion, never a failed read") {
+    cat // force fixture
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scanRoots(sql: String): Seq[String] =
+      nodes(spark.sql(sql)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.mvr_t")
+    spark.sql("CREATE TABLE vspec.mvr_t AS SELECT k, v FROM vspec.t1")
+    spark.sql("CALL vspec.create_materialized_view('mv_ren', " +
+      "'SELECT k, count(*) AS n FROM vspec.mvr_t GROUP BY k', or_replace => true)")
+    val expected = spark.sql("SELECT * FROM vspec.mv_ren ORDER BY k").collect().toSeq
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.lab2")
+    // CALL surface: cross-namespace rename carries the backing along
+    spark.sql("CALL vspec.rename_view('mv_ren', 'lab2.mv_ren2')")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_mv_mv_ren")),
+      "old backing directory must move, not linger")
+    assert(Files.exists(java.nio.file.Paths.get(root, "lab2", "_mv_mv_ren2", "_stats.jsonl")),
+      "backing table must exist at the renamed address")
+    val renScans = scanRoots("SELECT * FROM vspec.lab2.mv_ren2")
+    assert(renScans.size === 1 && renScans.head.contains("_mv_mv_ren2"),
+      s"fresh read after rename must plan the MOVED backing: $renScans")
+    assert(spark.sql("SELECT * FROM vspec.lab2.mv_ren2 ORDER BY k").collect().toSeq === expected)
+    // V2 catalog surface: rename back to root, same law
+    cat.renameView(Identifier.of(Array("lab2"), "mv_ren2"),
+      Identifier.of(Array.empty[String], "mv_ren3"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "lab2", "_mv_mv_ren2")))
+    assert(spark.sql("SELECT * FROM vspec.mv_ren3 ORDER BY k").collect().toSeq === expected)
+    // a sidecar whose backing vanished (crash window / external cleanup)
+    // reads through the BODY — correct rows, no _mv_ scan, no failure
+    graft.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(root, "_mv_mv_ren3").toString)
+    val orphanScans = scanRoots("SELECT * FROM vspec.mv_ren3")
+    assert(orphanScans.nonEmpty && orphanScans.forall(!_.contains("_mv_")),
+      s"missing backing must expand the body: $orphanScans")
+    assert(spark.sql("SELECT * FROM vspec.mv_ren3 ORDER BY k").collect().toSeq === expected)
+    // drop after the fallback still succeeds (backing already gone)
+    spark.sql("CALL vspec.drop_view('mv_ren3')")
+  }
+
+  test("single-part view names resolve current-namespace first, root " +
+    "second; dotted NAMES are refused at definition") {
+    cat // force fixture
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.lab3")
+    mkView("v_prec", "SELECT k FROM t1 WHERE k = 'a'") // root: 2 rows
+    mkView("v_prec", "SELECT k FROM t1 WHERE k = 'b'", Array("lab3")) // lab3: 1 row
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("USE vspec.lab3")
+    try {
+      assert(spark.sql("SELECT * FROM v_prec").count() === 1,
+        "bare name must read the CURRENT namespace's view, not root's")
+      assert(spark.sql("SELECT * FROM vspec.v_prec").count() === 2,
+        "the root view stays addressable by its qualified name")
+    } finally spark.sql(s"USE $prev")
+    // a dotted NAME could be stored but never addressed (the dotted CALL
+    // surface and the analyzer both split on '.') — refuse at definition
+    val e = intercept[Exception] {
+      cat.createView(new ViewInfo(
+        Identifier.of(Array.empty[String], "a.b"), "SELECT 1 AS x", "vspec",
+        Array.empty[String],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType))),
+        Array("x"), Array.empty[String], Array.empty[String],
+        java.util.Map.of[String, String]()))
+    }
+    assert(e.getMessage.contains("'.'"), e.getMessage)
+  }
+
   test("streaming reads are left untouched — a view is a batch macro") {
     cat // force fixture
     val e = intercept[Exception] {

@@ -272,7 +272,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     * (r9b), which `readStats` alone would drop and thereby make every
     * truncate of an upsert table a spurious conflict. */
   private val plannedRaw: Option[Seq[String]] =
-    if (!truncateFirst && replaceFilters.isEmpty) None
+    if (!truncateFirst && replaceFilters.isEmpty && !dynamicOverwrite) None
     else if (branch.isDefined)
       // branch TRUNCATE plans against the BRANCH head, not main
       Some(Refs.readRef(root, Refs.branchManifest(branch.get)).entries)
@@ -395,13 +395,65 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // add entries, TRUNCATE restages from empty. The table CONTRACT is
     // main's (`_table.json` untouched: a branch stages data, never DDL),
     // and main's manifest is untouched until fast_forward publishes.
+    // dynamic partition overwrite (r12b, OCC-hardened r13): one rebase
+    // for both routes (main commitAtomic, branch head) — defined here
+    // so the branch arm below can share it
+    def dynamicOverwriteRebase(base: Seq[String]): Seq[String] = {
+      require(freshStats.forall(_.pkey.isDefined),
+        "dynamic overwrite produced an unkeyed file — keyed write discipline broken")
+      val freshKeys = freshStats.flatMap(_.pkey).toSet
+      val plannedFiles = plannedBase.get.map(_.file).toSet
+      val mapper = new ObjectMapper()
+      base.foreach { l =>
+        val n = mapper.readTree(l)
+        if (n.hasNonNull("file")) {
+          val k = n.path("pkey").asText("")
+          val ps = n.path("ps").asText("")
+          // "replace exactly the arriving keys" is only provable when
+          // every base file's key derives from the CURRENT spec — the
+          // scan side's uniformSpec condition. An unkeyed or old-spec
+          // file (mid partition evolution, legacy data) may hold rows
+          // of a replaced partition that string-matching can't see;
+          // keeping it verbatim would silently duplicate rows.
+          require(k.nonEmpty && partitionCol.contains(ps),
+            s"dynamic partition overwrite needs every existing file keyed under the " +
+              s"current partition spec (${partitionCol.getOrElse("<none>")}); " +
+              s"'${n.get("file").asText()}' has pkey='$k' spec='$ps' — rewrite the " +
+              "table under the current spec first (CALL compact / rewrite_data_files)")
+          // OCC (r13): data committed to a REPLACED partition since this
+          // write was PLANNED would be silently destroyed by the swap —
+          // the overwrite job never saw it. Conflict loudly (the
+          // truncate/replaceWhere stance, scoped to the replaced keys);
+          // commits on untouched keys ride the rebase verbatim and
+          // commute, keeping Delta's append-never-conflicts guarantee
+          // everywhere the overwrite doesn't reach.
+          if (freshKeys.contains(k) && !plannedFiles.contains(n.get("file").asText()))
+            throw new java.util.ConcurrentModificationException(
+              s"dynamic partition overwrite of keys ${freshKeys.toSeq.sorted.mkString(", ")}: " +
+                s"concurrent commit added '${n.get("file").asText()}' (pkey='$k') to a " +
+                "replaced partition since this overwrite was planned — rerun the " +
+                "overwrite against the new base")
+        }
+      }
+      val kept = base.filter { l =>
+        val n = mapper.readTree(l)
+        val k = n.path("pkey").asText("")
+        !n.hasNonNull("file") || !freshKeys.contains(k)
+      }
+      // kept eqdels must not retract the replacement rows (the
+      // replaceWhere r9c stance): fresh entries stamp at the kept max
+      val mEq = JsonlEqualityDeletes.parseLines(kept).map(_.seq).maxOption.getOrElse(0L)
+      kept ++ (if (mEq == 0L) freshLines
+               else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = mEq))))
+    }
     branch match {
       case Some(b) =>
         // staged upserts gate MAIN's readers too: fast_forward will
         // publish these eqdel lines (conservative over-declaration
         // until then — the crash-between stance)
         if (eqs.nonEmpty) JsonlStats.stampFeature(root, JsonlStats.FeatureEqDeletes)
-        if (truncateFirst) Refs.commitBranch(root, b, _ => freshLines)
+        if (dynamicOverwrite) Refs.commitBranch(root, b, dynamicOverwriteRebase)
+        else if (truncateFirst) Refs.commitBranch(root, b, _ => freshLines)
         else Refs.commitBranch(root, b, appendRebase)
         return
       case None => ()
@@ -441,40 +493,7 @@ class JsonlBatchWrite(root: String, writeSchema: StructType, queryId: String,
     // last-writer-wins). Old files leave the live manifest only —
     // VERSION AS OF reads them until vacuum.
     if (dynamicOverwrite) {
-      require(freshStats.forall(_.pkey.isDefined),
-        "dynamic overwrite produced an unkeyed file — keyed write discipline broken")
-      val freshKeys = freshStats.flatMap(_.pkey).toSet
-      val mapper = new ObjectMapper()
-      JsonlStats.commitAtomic(root, queryId, { base =>
-        // "replace exactly the arriving keys" is only provable when
-        // every base file's key derives from the CURRENT spec — the
-        // scan side's uniformSpec condition. An unkeyed or old-spec
-        // file (mid partition evolution, legacy data) may hold rows of
-        // a replaced partition that string-matching can't see; keeping
-        // it verbatim would silently duplicate the replaced partitions.
-        base.foreach { l =>
-          val n = mapper.readTree(l)
-          if (n.hasNonNull("file")) {
-            val k = n.path("pkey").asText("")
-            val ps = n.path("ps").asText("")
-            require(k.nonEmpty && partitionCol.contains(ps),
-              s"dynamic partition overwrite needs every existing file keyed under the " +
-                s"current partition spec (${partitionCol.getOrElse("<none>")}); " +
-                s"'${n.get("file").asText()}' has pkey='$k' spec='$ps' — rewrite the " +
-                "table under the current spec first (CALL compact / rewrite_data_files)")
-          }
-        }
-        val kept = base.filter { l =>
-          val n = mapper.readTree(l)
-          val k = n.path("pkey").asText("")
-          !n.hasNonNull("file") || !freshKeys.contains(k)
-        }
-        // kept eqdels must not retract the replacement rows (the
-        // replaceWhere r9c stance): fresh entries stamp at the kept max
-        val mEq = JsonlEqualityDeletes.parseLines(kept).map(_.seq).maxOption.getOrElse(0L)
-        kept ++ (if (mEq == 0L) freshLines
-                 else freshStats.map(fs => JsonlStats.statsLine(fs.copy(seq = mEq))))
-      })
+      JsonlStats.commitAtomic(root, queryId, dynamicOverwriteRebase)
       return
     }
     (truncateFirst, replaceFilters) match {

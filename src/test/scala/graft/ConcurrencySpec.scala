@@ -368,4 +368,52 @@ class ConcurrencySpec extends SparkSpec {
     assert(got === want, "every concurrent INSERT's rows must be readable — no lost update")
     assert(spark.sql(s"SELECT count(*) FROM $cat.$table").head().getLong(0) === 10L + threads * perThread)
   }
+
+  test("dynamic partition overwrite OCC: appends to untouched keys commute, " +
+    "a replaced-key racer conflicts loudly, branch routing isolates main (r13)") {
+    import graft.sources.{JsonlBatchWrite, JsonlFileCommit, Refs}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
+    val root = Files.createTempDirectory("occ_dynover").toString
+    val schema = new StructType().add("k", StringType).add("v", DoubleType)
+    def keyed(name: String, k: String): String =
+      JsonlStats.statsLine(JsonlStats.FileStats(name, 0.0, 1.0, 5L,
+        pkey = Some(k), pspec = Some("k")))
+    def msg(name: String, k: String): Array[WriterCommitMessage] =
+      Array(JsonlFileCommit(name, 0.0, 1.0, 5L, pkey = Some(k)))
+    def mkWrite(qid: String, branch: Option[String] = None) =
+      new JsonlBatchWrite(root, schema, qid, false, "v",
+        partitionCol = Some("k"), branch = branch, dynamicOverwrite = true)
+    JsonlStats.commitAtomic(root, "seed",
+      _ => Seq(keyed("a1.jsonl", "a"), keyed("b1.jsonl", "b")))
+    // 1. racer on an UNTOUCHED key lands between plan and commit: both
+    // survive — the overwrite stays per-key blind outside its keys
+    val w1 = mkWrite("dyn-1") // plans the base NOW
+    JsonlStats.commitAtomic(root, "racer-c", base => base :+ keyed("c1.jsonl", "c"))
+    w1.commit(msg("b2.jsonl", "b"))
+    assert(liveEntries(root).map(l => JsonlStats.parseStatsLines(Seq(l)).head.file)
+      === Set("a1.jsonl", "c1.jsonl", "b2.jsonl"),
+      "untouched-key racer must commute; replaced key must swap")
+    // 2. racer on a REPLACED key: its data was never seen by the
+    // overwrite job — the swap would silently destroy it, so the
+    // overwrite must conflict loudly and leave the table untouched
+    val w2 = mkWrite("dyn-2")
+    JsonlStats.commitAtomic(root, "racer-a", base => base :+ keyed("a9.jsonl", "a"))
+    val before = liveEntries(root)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      w2.commit(msg("a2.jsonl", "a"))
+    }
+    assert(ex.getMessage.contains("a9.jsonl"), ex.getMessage)
+    assert(liveEntries(root) === before, "the losing overwrite must change nothing")
+    // 3. branch routing: the overwrite rebases the BRANCH head; main
+    // stays byte-identical until fast_forward publishes
+    Refs.createBranch(root, "reload")
+    val mainBefore = liveEntries(root)
+    val wb = mkWrite("dyn-b", branch = Some("reload"))
+    wb.commit(msg("a3.jsonl", "a"))
+    val headFiles = JsonlStats.parseStatsLines(
+      Refs.readRef(root, Refs.branchManifest("reload")).entries).map(_.file).toSet
+    assert(headFiles === Set("a3.jsonl", "b2.jsonl", "c1.jsonl"),
+      "branch overwrite must replace the key AT the branch")
+    assert(liveEntries(root) === mainBefore, "main must be untouched by branch DML")
+  }
 }

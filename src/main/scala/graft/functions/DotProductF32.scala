@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // persistent-view resolution (r12b): Spark 4.1 ships the V2
     // ViewCatalog interface but no analyzer wiring — this rule is it
     ext.injectResolutionRule(s => new graft.plans.ResolveGraftViews(s))
+    // transparent aggregate rewrite onto FRESH covering catalog MVs
+    // (r13) — runs in the operator-optimization batch, where graft
+    // relations are still DataSourceV2Relation (pre scan pushdown)
+    ext.injectOptimizerRule(s => new graft.plans.CatalogMvRewrite(s))
+    // view DDL SQL surface (r13): CREATE/DROP VIEW + SHOW VIEWS on a
+    // graft catalog rewrite to the CALL procedures; everything else
+    // passes through verbatim
+    ext.injectParser((s, delegate) => new graft.plans.GraftViewDdlParser(s, delegate))
   }
 }
 

@@ -1,0 +1,126 @@
+package graft.plans
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for persistent-view DDL on graft catalogs (r13).
+  *
+  * Spark 4.1 ships the V2 `ViewCatalog` interface with no parser/
+  * analyzer wiring: `CREATE VIEW cat.v AS ...` dies on
+  * MISSING_CATALOG_ABILITY before the catalog is consulted
+  * ([[ResolveGraftViews]] documents the wall), which left SQL users on
+  * the `CALL create_view(...)` procedures. This injected parser closes
+  * that gap the cheapest sound way: it recognizes exactly the three
+  * statement shapes Spark cannot route —
+  *
+  *   - `CREATE [OR REPLACE] VIEW <name> AS <body>`
+  *   - `DROP VIEW [IF EXISTS] <name>`
+  *   - `SHOW VIEWS [IN <namespace>]`
+  *
+  * — and, ONLY when the target resolves to a registered
+  * [[GraftCatalog]], rewrites the statement into the equivalent CALL
+  * and hands that to the delegate parser. Everything else (including
+  * TEMPORARY views, column-list/comment/TBLPROPERTIES variants, and
+  * any statement over a non-graft catalog) passes through verbatim, so
+  * the parser is invisible outside the gap it fills. Rewriting to the
+  * CALL keeps ONE implementation of the verbs: analysis-at-create,
+  * the shared-identifier-space refusals, and the drop-side dependency
+  * check all live in the procedures.
+  *
+  * Name resolution mirrors the read side: a leading registered graft
+  * catalog name is explicit; otherwise the statement targets the
+  * session's CURRENT catalog (when it is a graft catalog), with a
+  * single-part name resolving into the current namespace. */
+class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val Create =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val Drop =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val Show =
+    """(?is)^\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w.`]+))?\s*;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(sqlText) match {
+      case Some(call) => delegate.parsePlan(call)
+      case None => delegate.parsePlan(sqlText)
+    }
+
+  private def cm = spark.sessionState.catalogManager
+
+  private def isGraftCat(name: String): Boolean =
+    GraftCatalog.rootsSnapshot.exists(_._1 == name) &&
+      cm.isCatalogRegistered(name) &&
+      (try cm.catalog(name).isInstanceOf[GraftCatalog] catch { case _: Exception => false })
+
+  /** (catalog, warehouse-relative dotted name) for a view identifier,
+    * or None when the target is not a graft catalog. */
+  private def target(ident: String): Option[(String, String)] = {
+    val parts = try delegate.parseMultipartIdentifier(ident)
+      catch { case _: Exception => return None }
+    if (parts.size > 1 && isGraftCat(parts.head))
+      Some((parts.head, parts.tail.mkString(".")))
+    else if (isGraftCat(cm.currentCatalog.name())) {
+      val rel = if (parts.size == 1) (cm.currentNamespace :+ parts.head).toSeq else parts
+      Some((cm.currentCatalog.name(), rel.mkString(".")))
+    } else None
+  }
+
+  /** Namespace target of SHOW VIEWS — like [[target]] but the whole
+    * identifier is the namespace. */
+  private def nsTarget(ident: Option[String]): Option[(String, String)] = ident match {
+    case None =>
+      val cur = cm.currentCatalog.name()
+      if (isGraftCat(cur)) Some((cur, cm.currentNamespace.mkString("."))) else None
+    case Some(id) =>
+      val parts = try delegate.parseMultipartIdentifier(id)
+        catch { case _: Exception => return None }
+      if (isGraftCat(parts.head)) Some((parts.head, parts.tail.mkString(".")))
+      else if (isGraftCat(cm.currentCatalog.name()))
+        Some((cm.currentCatalog.name(), parts.mkString(".")))
+      else None
+  }
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def rewrite(sqlText: String): Option[String] = sqlText match {
+    case Create(orReplace, ident, body) =>
+      target(ident).map { case (cat, rel) =>
+        s"CALL `$cat`.create_view(${lit(rel)}, ${lit(body)}, " +
+          s"or_replace => ${orReplace != null})"
+      }
+    case Drop(ifExists, ident) =>
+      target(ident).map { case (cat, rel) =>
+        s"CALL `$cat`.drop_view(${lit(rel)}, if_exists => ${ifExists != null})"
+      }
+    case Show(ident) =>
+      nsTarget(Option(ident)).map { case (cat, ns) =>
+        s"CALL `$cat`.list_views(${lit(ns)})"
+      }
+    case _ => None
+  }
+
+  // ---- pure delegation ------------------------------------------------------
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -1,0 +1,354 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
+
+/** Incremental materialized-view maintenance (r13) — the planning half.
+  *
+  * `refresh_materialized_view` used to be a full RTAS: at 100 TB the
+  * nightly refresh re-read the whole source even when the delta was one
+  * partition. This module proves when a cheaper derivation exists and
+  * builds it. The soundness argument is the classic distributive-IVM
+  * one (self-maintainable aggregate views — Gupta/Mumick's incremental
+  * view maintenance framing, re-derived here on this engine's signed
+  * change feed):
+  *
+  *   - a body of shape `SELECT g*, f_i(AGG_i(e_i))... FROM t [WHERE p]
+  *     GROUP BY g*` with AGG in {SUM over DECIMAL/LONG, COUNT} is a
+  *     GROUP-WISE SUM over the source multiset;
+  *   - [[graft.sources.ChangeFeed.signedChanges]] serves the multiset
+  *     DELTA between two table versions as rows tagged `_sign` = ±1 —
+  *     no unique key needed, copy-on-write re-emissions cancel
+  *     arithmetically inside the signed sums;
+  *   - therefore `AGG(version B) = AGG(version A) ⊕ AGG_signed(delta)`
+  *     per group, where ⊕ is addition of the RAW aggregate state.
+  *
+  * The raw state lives in hidden backing columns (`graft_ivm_*`),
+  * written by the (augmented) CTAS and invisible to readers — the
+  * fresh-read path projects the view's declared columns. Per SUM slot
+  * the state is (raw sum, non-null count): the count restores SQL's
+  * NULL-sum semantics when every contributing non-null row has been
+  * deleted, which plain sum arithmetic cannot distinguish from 0. A
+  * `graft_ivm_n` COUNT(*) decides group LIVENESS — a group whose net
+  * row count reaches zero leaves the backing table, exactly as it
+  * leaves the recomputed aggregate.
+  *
+  * Exactness, not approximation: eligible SUMs are restricted to
+  * DECIMAL and integral results (float addition is not associative, so
+  * a float sum maintained incrementally could drift a ulp from the
+  * recompute — those fall back to RTAS). Outer scalar wrappers around
+  * the aggregate (the engine's Det idiom `CAST(SUM(DECIMAL) AS
+  * DOUBLE)`) are kept as TEMPLATES and re-applied to the merged raw
+  * state, so the visible column is bit-identical to a full recompute.
+  *
+  * Everything here DECLINES loudly-by-returning-None on any shape it
+  * cannot prove (joins, DISTINCT, FILTER clauses, MIN/MAX, HAVING,
+  * non-deterministic expressions, group keys not in the output, map
+  * keys) — the caller falls back to the always-correct RTAS.
+  */
+object MvIncremental {
+
+  /** Hidden liveness column: net COUNT(*) per group. */
+  val LivenessCol = "graft_ivm_n"
+
+  private def auxName(j: Int) = s"graft_ivm_a$j"
+  private def nnName(j: Int) = s"graft_ivm_c$j"
+  private def placeholder(j: Int) = s"GRAFT_IVM_P$j"
+
+  sealed trait SlotKind
+  case object SumSlot extends SlotKind
+  case object CountSlot extends SlotKind
+
+  /** One aggregate occurrence in the body's SELECT list. `raw` is the
+    * resolved AggregateExpression (bound to the body's child), kept for
+    * the augmented CTAS; the *Sql fields are syntactic and evaluate
+    * against the signed-changes view. */
+  case class Slot(j: Int, kind: SlotKind, raw: AggregateExpression,
+                  deltaSql: String, nnDeltaSql: Option[String], typeSql: String) {
+    def aux: String = auxName(j)
+    def nn: String = nnName(j)
+    /** The aggregate function's input expressions, resolved against the
+      * body's relation — [[CatalogMvRewrite]] rebases these by name onto
+      * a query's relation to prove measure coverage. */
+    def fnChildren: Seq[Expression] = raw.aggregateFunction match {
+      case su: Sum => Seq(su.child)
+      case c: Count => c.children
+      case _ => Nil
+    }
+  }
+
+  /** A visible output column: either a group key (with the grouping
+    * expression's SQL) or an aggregate-bearing expression (with a
+    * template whose `GRAFT_IVM_P<j>` placeholders substitute per-slot
+    * SQL). */
+  case class OutCol(name: String, groupSql: Option[String], template: Option[String],
+                    slotIdxs: Seq[Int], groupExpr: Option[Expression] = None) {
+    def isGroup: Boolean = groupSql.isDefined
+  }
+
+  /** The proven-maintainable body shape. */
+  case class Shape(outs: Seq[OutCol], slots: Seq[Slot], condSql: Option[String],
+                   aggregate: Aggregate, contract: Option[Project]) {
+    def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
+    def auxCols: Seq[String] =
+      LivenessCol +: slots.flatMap(s =>
+        s.aux +: (if (s.kind == SumSlot) Seq(s.nn) else Nil))
+  }
+
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripAliases(c)
+    case other => other
+  }
+
+  private def isLeafRelation(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+    case _ => false
+  }
+
+  /** SUM is mergeable bit-exactly only when its addition is associative
+    * and lossless: decimal and integral results qualify, floats do not. */
+  private def exactSumType(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case LongType => true
+    case _ => false
+  }
+
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  private def q(name: String) = s"`$name`"
+
+  /** Render an expression as SQL that resolves against the signed
+    * temp view: resolved attributes carry their source-table qualifier
+    * (`cat.ns.t.k`), which means nothing there — strip to bare names. */
+  private def bareSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  /** Prove the ANALYZED body plan maintainable, or None. Accepts the
+    * two shapes both callers produce: the bare `Aggregate [ge] [ae]
+    * (Filter? (relation))` of a freshly-analyzed CREATE body, and the
+    * view-contract form `Project(1:1 aliases)(Aggregate ...)` that
+    * [[ResolveGraftViews.bodyPlan]] wraps (SubqueryAlias layers are
+    * transparent everywhere). */
+  def detect(analyzed: LogicalPlan): Option[Shape] = {
+    val top = stripAliases(analyzed)
+    // unwrap the output-contract projection, tracking the visible name
+    // each aggregate output is published under
+    val (visible: Seq[(String, NamedExpression)], agg: Aggregate) = top match {
+      case p @ Project(projList, child) =>
+        val a = stripAliases(child) match {
+          case ag: Aggregate => ag
+          case _ => return None
+        }
+        val byId = a.aggregateExpressions.map(ne => ne.exprId -> ne).toMap
+        val mapped = projList.map {
+          case al @ Alias(ar: AttributeReference, _) =>
+            byId.get(ar.exprId).map(ne => (al.name, ne))
+          case ar: AttributeReference => byId.get(ar.exprId).map(ne => (ar.name, ne))
+          case _ => None
+        }
+        if (mapped.exists(_.isEmpty)) return None
+        (mapped.flatten, a)
+      case a: Aggregate => (a.aggregateExpressions.map(ne => (ne.name, ne)), a)
+      case _ => return None
+    }
+    // source side: at most one Filter over one leaf relation
+    val (cond, leaf) = stripAliases(agg.child) match {
+      case Filter(c, ch) => (Some(c), stripAliases(ch))
+      case other => (None, other)
+    }
+    if (!isLeafRelation(leaf)) return None
+    // determinism end-to-end: replaying an expression over the delta
+    // must mean what it meant over the source
+    val allExprs = agg.groupingExpressions ++ agg.aggregateExpressions ++ cond.toSeq
+    if (!allExprs.forall(_.deterministic)) return None
+    if (agg.groupingExpressions.exists(g => hasMap(g.dataType))) return None
+    // a GLOBAL aggregate always has exactly one output row — even over
+    // an empty source — but the liveness model deletes the group when
+    // its net count reaches zero. Rather than special-case the empty
+    // table, decline: global aggregates re-read everything anyway.
+    if (agg.groupingExpressions.isEmpty) return None
+
+    val slots = scala.collection.mutable.ArrayBuffer.empty[Slot]
+    def mkSlot(ae: AggregateExpression): Option[Int] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case s: Sum if exactSumType(ae.dataType) =>
+          val j = slots.size
+          val e = bareSql(s.child)
+          slots += Slot(j, SumSlot, ae,
+            deltaSql = s"CAST(SUM(($e) * _sign) AS ${ae.dataType.sql})",
+            nnDeltaSql = Some(
+              s"CAST(SUM(CASE WHEN ($e) IS NOT NULL THEN _sign ELSE 0 END) AS BIGINT)"),
+            typeSql = ae.dataType.sql)
+          Some(j)
+        case c: Count =>
+          val j = slots.size
+          val conds = c.children.map(ch => s"(${bareSql(ch)}) IS NOT NULL").mkString(" AND ")
+          slots += Slot(j, CountSlot, ae,
+            deltaSql = s"CAST(SUM(CASE WHEN $conds THEN _sign ELSE 0 END) AS BIGINT)",
+            nnDeltaSql = None, typeSql = LongType.sql)
+          Some(j)
+        case _ => None
+      }
+    }
+
+    val groupExprsOut = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val outs = visible.map { case (name, namedOut) =>
+      val expr = namedOut match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      val aggsInside = expr.collect { case ae: AggregateExpression => ae }
+      if (aggsInside.isEmpty) {
+        // a pure group output must BE one of the grouping expressions —
+        // anything else (an expression of group keys we can't invert,
+        // a literal) keeps the shape unproven
+        if (!agg.groupingExpressions.exists(_.semanticEquals(expr))) return None
+        groupExprsOut += expr
+        OutCol(name, groupSql = Some(bareSql(expr)), template = None, slotIdxs = Nil,
+          groupExpr = Some(expr))
+      } else {
+        val idxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val templ = expr.transform {
+          case ae: AggregateExpression =>
+            val j = mkSlot(ae).getOrElse(return None)
+            idxs += j
+            UnresolvedAttribute(placeholder(j))
+        }
+        // the wrapper around the aggregates must itself be replayable
+        // over merged state: no lingering source attributes allowed
+        // (e.g. `sum(v) + k` mixes state with a group column — the
+        // merge could substitute d.`k`, but decline and stay simple)
+        if (templ.collect {
+          case a: Attribute if !a.name.startsWith("GRAFT_IVM_P") => a
+        }.nonEmpty) return None
+        OutCol(name, groupSql = None, template = Some(bareSql(templ)), slotIdxs = idxs.toSeq)
+      }
+    }
+    // bijection: every grouping expression must surface exactly once as
+    // an output, else the backing's grain differs from the aggregate's
+    // and group rows would collide (or duplicate) in the merge
+    if (groupExprsOut.size != agg.groupingExpressions.size) return None
+    if (!agg.groupingExpressions.forall(g => groupExprsOut.exists(_.semanticEquals(g))))
+      return None
+    // hidden-column names must be free
+    if (outs.exists(_.name.startsWith("graft_ivm_"))) return None
+    Some(Shape(outs, slots.toSeq, cond.map(bareSql), agg,
+      top match { case p: Project => Some(p); case _ => None }))
+  }
+
+  /** The body plan with the hidden state columns appended: same
+    * grouping, same child, aggregate list extended with the liveness
+    * COUNT(*), each slot's raw aggregate, and each SUM slot's non-null
+    * counter. Resolved throughout — callers hand it to ofRows. */
+  def augmentedPlan(shape: Shape): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId
+    val agg = shape.aggregate
+    val liveness = Alias(
+      Count(Seq(Literal(1))).toAggregateExpression(), LivenessCol)()
+    val auxAliases: Seq[NamedExpression] = liveness +: shape.slots.flatMap { s =>
+      val raw = Alias(s.raw.copy(resultId = newExprId), s.aux)()
+      s.kind match {
+        case SumSlot =>
+          val child = s.raw.aggregateFunction.asInstanceOf[Sum].child
+          Seq(raw, Alias(Count(Seq(child)).toAggregateExpression(), s.nn)())
+        case CountSlot => Seq(raw)
+      }
+    }
+    val augAgg = agg.copy(aggregateExpressions = agg.aggregateExpressions ++ auxAliases)
+    shape.contract match {
+      case Some(p) =>
+        Project(p.projectList ++ auxAliases.map(_.toAttribute), augAgg)
+      case None => augAgg
+    }
+  }
+
+  /** The delta aggregate over a temp view of
+    * [[graft.sources.ChangeFeed.signedChanges]] output: group keys by
+    * the SAME expressions, every slot as a signed sum. Negative or
+    * zero net groups are legitimate (deletions); the merge consumes
+    * the signs. */
+  def deltaSql(shape: Shape, signedView: String): String = {
+    val groupSel = shape.groupOuts.map(o => s"(${o.groupSql.get}) AS ${q(o.name)}")
+    val slotSel = shape.slots.flatMap { s =>
+      s"${s.deltaSql} AS ${q(s.aux)}" +:
+        s.nnDeltaSql.map(n => s"$n AS ${q(s.nn)}").toSeq
+    }
+    val livenessSel = s"CAST(SUM(_sign) AS BIGINT) AS ${q(LivenessCol)}"
+    val where = shape.condSql.map(c => s"\nWHERE $c").getOrElse("")
+    val groupBy =
+      if (shape.groupOuts.nonEmpty)
+        "\nGROUP BY " + shape.groupOuts.map(o => s"(${o.groupSql.get})").mkString(", ")
+      else ""
+    s"""SELECT ${(groupSel ++ slotSel :+ livenessSel).mkString(",\n  ")}
+       |FROM $signedView$where$groupBy""".stripMargin
+  }
+
+  /** Merged raw state for slot `s`, as SQL over MERGE aliases b/d. A
+    * SUM whose surviving non-null count is zero is NULL (SQL sum
+    * semantics the raw addition cannot express); counts add. */
+  private def mergedSql(s: Slot): String = s.kind match {
+    case SumSlot =>
+      s"CASE WHEN (b.${q(s.nn)} + d.${q(s.nn)}) = 0 THEN CAST(NULL AS ${s.typeSql}) " +
+        s"ELSE CAST(coalesce(b.${q(s.aux)}, 0) + coalesce(d.${q(s.aux)}, 0) AS ${s.typeSql}) END"
+    case CountSlot => s"CAST(b.${q(s.aux)} + d.${q(s.aux)} AS BIGINT)"
+  }
+
+  /** Slot value for a group new to the backing: the delta IS the state
+    * (only net-positive groups can be new — their rows were inserted
+    * inside the window). */
+  private def insertSql(s: Slot): String = s"d.${q(s.aux)}"
+
+  private def fillTemplate(template: String, shape: Shape, bySlot: Slot => String): String =
+    // descending index so P10 never matches inside a P1 replacement
+    shape.slots.sortBy(-_.j).foldLeft(template) { (t, s) =>
+      val sql = bySlot(s)
+      t.replace(s"`${placeholder(s.j)}`", sql).replace(placeholder(s.j), sql)
+    }
+
+  /** The maintenance MERGE: group-key null-safe match; a group whose
+    * net liveness reaches zero is DELETED; matched groups re-derive
+    * every visible aggregate column from the MERGED raw state (so the
+    * stored value is bit-identical to a recompute); new groups insert
+    * the delta state directly. */
+  def mergeSql(shape: Shape, backingFqn: String, deltaView: String): String = {
+    val on = shape.groupOuts.map(o => s"b.${q(o.name)} <=> d.${q(o.name)}")
+      .mkString(" AND ")
+    val onClause = if (on.nonEmpty) on else "true"
+    val updateSets =
+      (s"${q(LivenessCol)} = b.${q(LivenessCol)} + d.${q(LivenessCol)}" +:
+        shape.slots.flatMap { s =>
+          s"${q(s.aux)} = ${mergedSql(s)}" +:
+            (if (s.kind == SumSlot) Seq(s"${q(s.nn)} = b.${q(s.nn)} + d.${q(s.nn)}") else Nil)
+        }) ++
+        shape.outs.filterNot(_.isGroup).map(o =>
+          s"${q(o.name)} = ${fillTemplate(o.template.get, shape, mergedSql)}")
+    val insertCols =
+      shape.outs.map(o => q(o.name)) ++ shape.auxCols.map(q)
+    val insertVals =
+      shape.outs.map {
+        case o if o.isGroup => s"d.${q(o.name)}"
+        case o => fillTemplate(o.template.get, shape, insertSql)
+      } ++ shape.auxCols.map(c => s"d.${q(c)}")
+    // the NOT MATCHED guard: a group inserted AND fully deleted inside
+    // one window nets liveness 0 — inserting it would fabricate a
+    // phantom group the recompute does not have
+    s"""MERGE INTO $backingFqn b
+       |USING $deltaView d
+       |ON $onClause
+       |WHEN MATCHED AND (b.${q(LivenessCol)} + d.${q(LivenessCol)}) = 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET ${updateSets.mkString(",\n  ")}
+       |WHEN NOT MATCHED AND d.${q(LivenessCol)} > 0 THEN INSERT (${insertCols.mkString(", ")})
+       |VALUES (${insertVals.mkString(",\n  ")})""".stripMargin
+  }
+}

@@ -46,6 +46,65 @@ object ChangeFeed {
     }
   }
 
+  /** SIGNED multiset delta from version `fromV` to `toV` — the change
+    * feed shape incremental AGGREGATE maintenance wants (r13): every
+    * row of a file-identity that LEFT the manifest at `_sign` = -1
+    * (read under the FROM version's dv/eqdel masks) unioned with every
+    * row of an identity that ENTERED at `_sign` = +1 (under the TO
+    * masks). No unique key needed: distributive aggregates consume the
+    * delta arithmetically, and copy-on-write noise (a rewrite re-emits
+    * its untouched rows) CANCELS inside SUM/COUNT — each untouched row
+    * appears once at -1 and once at +1, contributing exactly zero.
+    * That is the same cancellation [[tableChanges]] buys with its
+    * image-comparing full-outer join, obtained for free from the
+    * algebra, which is why this leg needs no keyCols. Cost is
+    * proportional to the CHANGED files, never table size — the same
+    * manifest-arithmetic scaling argument as tableChanges. */
+  def signedChanges(spark: SparkSession, root: String,
+                    fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    val (pre, post) = diffLegs(spark, root, fromV, toV, tag = "ivm")
+    pre.withColumn("_sign", lit(-1)).unionByName(post.withColumn("_sign", lit(1)))
+  }
+
+  /** The (removed, added) file-identity legs of a version window, each
+    * as a DataFrame over a derived manifest carrying its own version's
+    * dv/eqdel masks — shared by [[tableChanges]] and
+    * [[signedChanges]]. */
+  private def diffLegs(spark: SparkSession, root: String,
+                       fromV: Int, toV: Int, tag: String): (DataFrame, DataFrame) = {
+    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
+    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
+    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
+    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
+    def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
+        s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
+      (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)
+    val fromKeys = fromStats.map(ident(eqFrom)).toSet
+    val toKeys = toStats.map(ident(eqTo)).toSet
+    val removed = fromStats.filterNot(s => toKeys.contains(ident(eqFrom)(s)))
+    val added = toStats.filterNot(s => fromKeys.contains(ident(eqTo)(s)))
+    val cdfDir = Paths.get(root, "_cdf")
+    Files.createDirectories(cdfDir)
+    def derived(leg: String, entries: Seq[JsonlStats.FileStats],
+                eqs: Seq[JsonlEqualityDeletes.EqDelete]): String = {
+      val name = s"_cdf/v${fromV}_v${toV}_$tag$leg.jsonl"
+      Files.write(Paths.get(root, name),
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          entries.map(JsonlStats.statsLine) ++
+            eqs.map(JsonlEqualityDeletes.line)).asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      name
+    }
+    val schema = JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
+    def readSet(manifest: String): DataFrame =
+      spark.read.format("graft-jsonl-stats")
+        .schema(schema)
+        .option("path", root).option("manifest", manifest).load()
+    (readSet(derived("removed", removed, eqFrom)),
+      readSet(derived("added", added, eqTo)))
+  }
+
   /** Row-level changes from version `fromV` (exclusive base) to
     * `toV`: one row per inserted, deleted or updated key, with the
     * before/after images side by side.
@@ -60,8 +119,6 @@ object ChangeFeed {
                    keyCols: Seq[String]): DataFrame = {
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
     require(keyCols.nonEmpty, "keyCols must name the table's unique key")
-    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
-    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
     // immutable data files ⇒ same name = same BYTES; but the LOGICAL
     // content is (file, deletion vectors, applicable equality deletes)
     // — a merge-on-read DELETE changes a file's dv list without
@@ -72,34 +129,8 @@ object ChangeFeed {
     // carries its VERSION's eqdel lines — so the before side reads the
     // old masked view and the after side the new one; surviving rows
     // cancel in the join, masked ones surface as deletes/updates.
-    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
-    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
-    def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
-        s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
-      (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)
-    val fromKeys = fromStats.map(ident(eqFrom)).toSet
-    val toKeys = toStats.map(ident(eqTo)).toSet
-    val removed = fromStats.filterNot(s => toKeys.contains(ident(eqFrom)(s)))
-    val added = toStats.filterNot(s => fromKeys.contains(ident(eqTo)(s)))
-    val cdfDir = Paths.get(root, "_cdf")
-    Files.createDirectories(cdfDir)
-    def derived(tag: String, entries: Seq[JsonlStats.FileStats],
-                eqs: Seq[JsonlEqualityDeletes.EqDelete]): String = {
-      val name = s"_cdf/v${fromV}_v${toV}_$tag.jsonl"
-      Files.write(Paths.get(root, name),
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          entries.map(JsonlStats.statsLine) ++
-            eqs.map(JsonlEqualityDeletes.line)).asJava,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      name
-    }
+    val (pre, post) = diffLegs(spark, root, fromV, toV, tag = "")
     val schema = JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
-    def readSet(manifest: String): DataFrame =
-      spark.read.format("graft-jsonl-stats")
-        .schema(schema)
-        .option("path", root).option("manifest", manifest).load()
-    val pre = readSet(derived("removed", removed, eqFrom))
-    val post = readSet(derived("added", added, eqTo))
     val dataCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def tagged(df: DataFrame, prefix: String): DataFrame =
       dataCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))

@@ -63,6 +63,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     catName = name
     root = options.get("root")
     require(root != null, s"catalog $name needs a 'root' option")
+    GraftCatalog.registeredRoots.put(name, root)
   }
   override def name(): String = catName
   /** The warehouse root this catalog serves — view resolution and the
@@ -868,8 +869,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     loadView(ident)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    GraftViews.drop(nsDir(ident.namespace()), ident.name())
+  override def dropView(ident: Identifier): Boolean = {
+    // same contract as the CALL surface: refuse while other stored
+    // views expand through this one, and take an MV's backing table
+    // with the definition
+    val dependents = GraftViews.referencingViews(
+      s => org.apache.spark.sql.SparkSession.active.sessionState.sqlParser.parsePlan(s),
+      root, ident.namespace().toSeq, ident.name())
+    require(dependents.isEmpty,
+      s"cannot drop view '${ident}': referenced by stored view(s) " +
+        s"${dependents.mkString(", ")} — drop or redefine the dependents first")
+    val backing = GraftViews.read(nsDir(ident.namespace()), ident.name())
+      .flatMap(_.properties.get(GraftViews.MvTableProp))
+    val dropped = GraftViews.drop(nsDir(ident.namespace()), ident.name())
+    if (dropped) backing.foreach { b =>
+      val dir = nsDir(ident.namespace()).resolve(b)
+      if (java.nio.file.Files.exists(dir.resolve("_stats.jsonl")))
+        graft.util.Fs.deleteRecursively(dir.toString)
+    }
+    dropped
+  }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!viewExists(oldIdent))
@@ -1047,6 +1066,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 }
 
 object GraftCatalog {
+
+  /** catalog name → warehouse root, recorded at [[initialize]] — the
+    * lookup [[graft.plans.CatalogMvRewrite]] uses to map a table's root
+    * path back to its owning catalog without guessing at the
+    * CatalogManager's registration listing. Names re-registered with a
+    * new root overwrite (latest wins, matching session conf). */
+  private[graft] val registeredRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def rootsSnapshot: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    registeredRoots.asScala.toSeq
+  }
 
   /** Every CALL-addressable procedure; [[GraftCatalog]]'s
     * `loadProcedure` match and `listProcedures` both answer from this

@@ -2127,6 +2127,9 @@ object GraftProcedures {
       case "rename_view" => Array(
         ProcedureParameter.in("name", StringType).build(),
         ProcedureParameter.in("to", StringType).build())
+      case "drop_view" => Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("if_exists", BooleanType).defaultValue("false").build())
       case "list_views" => Array(
         ProcedureParameter.in("namespace", StringType).defaultValue("''").build())
       case _ => Array(ProcedureParameter.in("name", StringType).build())
@@ -2179,7 +2182,21 @@ object GraftProcedures {
 
       case "drop_view" =>
         val dotted = input.getUTF8String(0).toString
-        val (nsDir, _, vname) = splitViewName(root, dotted)
+        val ifExists = input.getBoolean(1)
+        val (nsDir, ns, vname) = splitViewName(root, dotted)
+        if (ifExists && !GraftViews.exists(nsDir, vname))
+          return oneRowScan(Seq("view" -> dotted, "action" -> "not-found"),
+            s"drop_view $dotted")
+        // a view referenced by OTHER stored views must not vanish out
+        // from under them — fail loudly naming every dependent (the
+        // alternative, a nested view that errors at next read, debugs
+        // like a corruption)
+        val dependents = GraftViews.referencingViews(
+          s => SparkSession.active.sessionState.sqlParser.parsePlan(s),
+          root, ns.toSeq, vname)
+        require(dependents.isEmpty,
+          s"cannot drop view '$dotted': referenced by stored view(s) " +
+            s"${dependents.mkString(", ")} — drop or redefine the dependents first")
         // a materialized view owns its backing table — dropping the
         // definition removes both (the backing is engine-managed and
         // unreachable from listings; leaving it would orphan storage)
@@ -2371,7 +2388,21 @@ object GraftProcedures {
           s"view body output has duplicate column names " +
             s"(${schema.fieldNames.mkString(", ")}) — alias them apart")
         val backing = s"_mv_$vname"
-        val w = df.writeTo(quoted(catName +: (ns :+ backing)))
+        // maintainable bodies (distributive SUM/COUNT at the stored
+        // grain) back with the AUGMENTED aggregate — visible columns
+        // plus hidden graft_ivm_* state — so refresh can later apply
+        // the change-feed delta instead of re-reading the source. The
+        // fresh-read path projects the declared columns, so the state
+        // columns never surface.
+        val shape = graft.plans.MvIncremental.detect(
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+            .queryExecution.analyzed)
+        val ctasDf = shape match {
+          case Some(sh) => org.apache.spark.sql.graftops.Bridge.ofRows(
+            spark, graft.plans.MvIncremental.augmentedPlan(sh))
+          case None => df
+        }
+        val w = ctasDf.writeTo(quoted(catName +: (ns :+ backing)))
         if (orReplace) w.createOrReplace() else w.create()
         val cm = spark.sessionState.catalogManager
         GraftViews.write(nsDir, GraftViews.ViewDef(
@@ -2401,25 +2432,132 @@ object GraftProcedures {
         val spark = SparkSession.active
         val cat = spark.sessionState.catalogManager.catalog(catName)
           .asInstanceOf[GraftCatalog]
-        val sources = GraftViews.mvSourcesDecode(
+        val recorded = GraftViews.mvSourcesDecode(
           d.properties.getOrElse(GraftViews.MvSourcesProp, ""))
         // versions re-recorded BEFORE the rebuild — same conservatism
-        val versions = sources.map { case (t, _) =>
+        val versions = recorded.map { case (t, _) =>
           (t, JsonlStats.currentVersion(Paths.get(root, t.split('/').toSeq: _*).toString)) }
+        val backingFqn = quoted(catName +: (ns.toSeq :+ backing))
         val ident = org.apache.spark.sql.connector.catalog.Identifier.of(ns, vname)
-        val plan = new graft.plans.ResolveGraftViews(spark)
-          .bodyPlan(catName, cat, ident, d)
-        val df = org.apache.spark.sql.graftops.Bridge.ofRows(spark, plan)
-        // atomic RTAS: readers see the old backing or the new one,
-        // and the stored definition updates only AFTER the swap — a
-        // crashed refresh leaves a stale (correct) MV
-        df.writeTo(quoted(catName +: (ns.toSeq :+ backing))).createOrReplace()
-        GraftViews.write(nsDir, d.copy(properties = d.properties +
-          (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))),
-          replace = true)
-        oneRow(Seq("view" -> dotted, "action" -> "refreshed",
+        def bodyDf() = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+          new graft.plans.ResolveGraftViews(spark).bodyPlan(catName, cat, ident, d))
+
+        // INCREMENTAL path (r13): a single-source distributive body
+        // whose backing carries the graft_ivm_* state refreshes by
+        // applying the signed change feed of (recorded, head] to the
+        // backing with one maintenance MERGE — cost proportional to the
+        // DELTA, not the source. Crash protocol: a pending marker
+        // brackets the MERGE; while it stands, reads take the (correct)
+        // body path and the next refresh rebuilds fully — an
+        // interrupted window can never be applied twice.
+        val mode = MvDdlBound.tryIncrementalRefresh(
+          spark, root, nsDir, catName, cat, ident, backingFqn, d, recorded, versions) match {
+          case Some(m) => m
+          case None =>
+            // full RTAS fallback — always correct, and it (re)writes
+            // the hidden state columns when the body is maintainable,
+            // so the NEXT refresh can go incremental. Atomic: readers
+            // see the old backing or the new one, and the definition
+            // updates only AFTER the swap.
+            val df = bodyDf()
+            val shape = graft.plans.MvIncremental.detect(
+              df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+                .queryExecution.analyzed)
+            val rtasDf = shape match {
+              case Some(sh) => org.apache.spark.sql.graftops.Bridge.ofRows(
+                spark, graft.plans.MvIncremental.augmentedPlan(sh))
+              case None => df
+            }
+            rtasDf.writeTo(backingFqn).createOrReplace()
+            GraftViews.write(nsDir, d.copy(properties = d.properties +
+              (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))
+              - GraftViews.MvPendingProp),
+              replace = true)
+            "full"
+        }
+        oneRow(Seq("view" -> dotted, "action" -> "refreshed", "mode" -> mode,
           "sources" -> GraftViews.mvSourcesEncode(versions)),
           s"refresh_materialized_view $dotted")
+    }
+  }
+
+  object MvDdlBound {
+    /** Attempt the delta-merge refresh; Some(mode) when it (or a no-op)
+      * settled the MV, None to fall back to the full rebuild. Every
+      * unprovable condition declines BEFORE any state is touched; only
+      * the MERGE itself runs inside the pending bracket. */
+    private[sources] def tryIncrementalRefresh(
+        spark: SparkSession, root: String, nsDir: java.nio.file.Path,
+        catName: String, cat: GraftCatalog,
+        ident: org.apache.spark.sql.connector.catalog.Identifier,
+        backingFqn: String, d: GraftViews.ViewDef,
+        recorded: Seq[(String, Int)], head: Seq[(String, Int)]): Option[String] = {
+      import graft.plans.MvIncremental
+      // a pending marker from a died refresh: the backing is suspect —
+      // force the full rebuild (never re-apply a maybe-applied window)
+      if (d.properties.contains(GraftViews.MvPendingProp)) return None
+      if (recorded == head) {
+        // nothing moved: re-stamp nothing, report the no-op
+        return Some("noop")
+      }
+      if (recorded.size != 1 || head.size != 1) return None
+      val (srcRel, fromV) = recorded.head
+      val toV = head.head._2
+      if (fromV >= toV) return None // rollback/replace: windows don't subtract
+      try {
+        val analyzed = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+          new graft.plans.ResolveGraftViews(spark).bodyPlan(catName, cat, ident, d))
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.analyzed
+        val shape = MvIncremental.detect(analyzed).getOrElse(return None)
+        // the backing must already carry the state columns (it might
+        // predate r13 or have been built by a non-maintainable twin)
+        val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
+        if (!shape.auxCols.forall(backingCols.contains)) return None
+        val srcRoot = Paths.get(root, srcRel.split('/').toSeq: _*).toString
+        // signed delta + the delta aggregate, ANALYZED before anything
+        // mutates (a vacuumed window or unrenderable expression lands
+        // here, declining to RTAS)
+        val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
+        val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
+        ChangeFeed.signedChanges(spark, srcRoot, fromV, toV)
+          .createOrReplaceTempView(signedView)
+        val delta = spark.sql(MvIncremental.deltaSql(shape, signedView))
+        delta.createOrReplaceTempView(deltaView)
+        val merge = MvIncremental.mergeSql(shape, backingFqn, deltaView)
+        // analyze WITHOUT executing (spark.sql would run the command
+        // eagerly): unresolvable merges decline here, before any state
+        spark.sessionState.executePlan(
+          spark.sessionState.sqlParser.parsePlan(merge)).assertAnalyzed()
+        // pending bracket: marker down, ONE atomic MERGE, marker up
+        // with the new versions. A crash inside the bracket leaves the
+        // marker standing — reads stay on the body path, repair is RTAS.
+        GraftViews.write(nsDir, d.copy(properties = d.properties +
+          (GraftViews.MvPendingProp -> s"$fromV->$toV")), replace = true)
+        try {
+          spark.sql(merge)
+          GraftViews.write(nsDir, d.copy(properties = d.properties +
+            (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(head))
+            - GraftViews.MvPendingProp), replace = true)
+          Some("incremental")
+        } catch {
+          case _: Exception =>
+            // the MERGE statement either committed or didn't (single
+            // atomic commit); on failure nothing applied — clear the
+            // marker and let the caller rebuild
+            GraftViews.write(nsDir,
+              d.copy(properties = d.properties - GraftViews.MvPendingProp),
+              replace = true)
+            None
+        } finally {
+          spark.catalog.dropTempView(signedView)
+          spark.catalog.dropTempView(deltaView)
+        }
+      } catch {
+        case e: Exception => // any unprovable leg: RTAS
+          if (sys.env.contains("GRAFT_IVM_DEBUG")) e.printStackTrace()
+          None
+      }
     }
   }
 }

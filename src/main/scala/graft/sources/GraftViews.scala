@@ -71,6 +71,16 @@ object GraftViews {
     * warehouse-relative with `/` separators — never `,` or `@`). */
   val MvSourcesProp = "graft.mv.sources"
 
+  /** In-progress INCREMENTAL refresh marker (r13): written before the
+    * maintenance MERGE, cleared with the post-merge version re-record.
+    * Its presence means the backing may hold a half-window of applied
+    * delta — [[mvFresh]] refuses the fast path while it stands, and
+    * the next refresh rebuilds via full RTAS instead of re-applying
+    * the same window twice (the crash-safety story: a died refresh
+    * degrades reads to the correct body expansion and repair to the
+    * always-correct full rebuild — never double-counted state). */
+  val MvPendingProp = "graft.mv.pending"
+
   def mvSourcesEncode(sources: Seq[(String, Int)]): String =
     sources.map { case (t, v) => s"$t@$v" }.mkString(",")
 
@@ -86,13 +96,14 @@ object GraftViews {
     * body expansion then fails with the real resolution error instead
     * of serving a silently orphaned backing table. */
   def mvFresh(warehouseRoot: String, d: ViewDef): Boolean =
-    d.properties.get(MvSourcesProp).exists { enc =>
-      mvSourcesDecode(enc).forall { case (t, v) =>
-        try JsonlStats.currentVersion(
-          Paths.get(warehouseRoot, t.split('/').toSeq: _*).toString) == v
-        catch { case _: Exception => false }
+    !d.properties.contains(MvPendingProp) &&
+      d.properties.get(MvSourcesProp).exists { enc =>
+        mvSourcesDecode(enc).forall { case (t, v) =>
+          try JsonlStats.currentVersion(
+            Paths.get(warehouseRoot, t.split('/').toSeq: _*).toString) == v
+          catch { case _: Exception => false }
+        }
       }
-    }
 
   /** Does the MV's backing table actually exist where the definition
     * says? The resolution rule gates the fresh path on this: a sidecar
@@ -199,6 +210,80 @@ object GraftViews {
 
   def drop(nsDir: Path, name: String): Boolean =
     Files.deleteIfExists(viewFile(nsDir, name))
+
+  /** Every namespace directory under `root` (root itself included) —
+    * directories that are neither engine-internal (`_` prefix) nor
+    * tables (`_stats.jsonl`). Depth-bounded only by the namespace tree:
+    * the walk never descends into table data. */
+  private def namespaceDirs(root: Path): Seq[(Seq[String], Path)] = {
+    def rec(dir: Path, ns: Seq[String]): Seq[(Seq[String], Path)] = {
+      val kids =
+        if (!Files.isDirectory(dir)) Seq.empty
+        else {
+          val s = Files.list(dir)
+          try s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isDirectory(p) && !n.startsWith("_") && !n.startsWith(".") &&
+              !Files.exists(p.resolve("_stats.jsonl"))
+          }.toSeq
+          finally s.close()
+        }
+      (ns, dir) +: kids.flatMap(k => rec(k, ns :+ k.getFileName.toString))
+    }
+    rec(root, Seq.empty)
+  }
+
+  /** Dotted names of stored views whose BODY references the view at
+    * (`ns`, `name`) — the drop-side dependency probe: dropping a view
+    * another view expands through must fail naming the dependents,
+    * never succeed and turn the dependents into delayed read errors.
+    *
+    * Reference detection re-runs the resolution rule's qualification
+    * on each candidate's parsed body: a single-part table name means
+    * the candidate's stored definition namespace; a name led by the
+    * candidate's stored catalog is warehouse-absolute; any other
+    * multipart name is a namespace path of the same warehouse
+    * (catalogs are per-root, so cross-catalog references cannot point
+    * back into this warehouse). Subquery expressions are scanned too.
+    * Drop is rare — the full-warehouse walk is fine. */
+  def referencingViews(parse: String => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                       root: String, ns: Seq[String], name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val targetParts = ns :+ name
+    // catalog names currently registered FOR THIS warehouse root — a
+    // reference led by one of them is warehouse-absolute; one led by a
+    // catalog of a DIFFERENT root can never point back here
+    val catsForRoot = GraftCatalog.rootsSnapshot.filter(_._2 == root).map(_._1).toSet
+    val foreignCats = GraftCatalog.rootsSnapshot.filterNot(_._2 == root).map(_._1).toSet
+    def rels(pl: LogicalPlan): Seq[Seq[String]] = {
+      val direct = pl.collect { case UnresolvedRelation(parts, _, _) => parts }
+      val nested = pl.flatMap(_.expressions.flatMap(_.collect {
+        case sq: SubqueryExpression => rels(sq.plan)
+      }.flatten))
+      direct ++ nested
+    }
+    namespaceDirs(Paths.get(root)).flatMap { case (candNs, nsDir) =>
+      list(nsDir).filterNot(n => candNs == ns && n == name).flatMap { n =>
+        read(nsDir, n).filter { d =>
+          val defCtxHere = catsForRoot.contains(d.currentCatalog)
+          val refs = try rels(parse(d.sql)) catch { case _: Exception => Seq.empty }
+          refs.exists { parts =>
+            val abs: Option[Seq[String]] =
+              if (parts.size == 1)
+                (if (defCtxHere) Some(d.currentNamespace ++ parts) else None)
+              else if (catsForRoot.contains(parts.head)) Some(parts.tail)
+              else if (foreignCats.contains(parts.head)) None
+              else if (parts.head == d.currentCatalog) Some(parts.tail)
+              else if (defCtxHere) Some(parts) // ns path under the defining catalog
+              else None
+            abs.contains(targetParts)
+          }
+        }.map(_ => (candNs :+ n).mkString("."))
+      }
+    }
+  }
 
   /** Spark's `View` over a stored definition. Column comments are
     * nullable PER ENTRY (the interface contract); an empty stored list

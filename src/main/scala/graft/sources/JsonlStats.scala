@@ -1867,6 +1867,16 @@ class JsonlStatsTable(root: String, tableSchema: StructType,
     * ones. */
   private def isSnapshot: Boolean = manifest != "_stats.jsonl" && branch.isEmpty
 
+  /** The table's root directory — exposed for planner rules
+    * ([[graft.plans.CatalogMvRewrite]]) that key rewrites off table
+    * identity. */
+  private[graft] def tableRoot: String = root
+
+  /** Does this table instance read the LIVE manifest of the main
+    * branch? Snapshot (time travel) and branch reads must never be
+    * rewritten against a head-versioned materialization. */
+  private[graft] def isLiveRead: Boolean = manifest == "_stats.jsonl" && branch.isEmpty
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {

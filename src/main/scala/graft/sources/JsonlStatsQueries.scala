@@ -3217,24 +3217,25 @@ object JsonlStatsQueries extends QueryModule {
     * ([[graft.plans.ResolveGraftViews]]) macro-expands a SELECT over
     * one — which means every scan capability (filter pushdown, file
     * skipping, column pruning) applies THROUGH the view unchanged.
-    * This query exercises the full lifecycle a SQL user sees: CALL
-    * create_view (body analyzed at definition time — unresolvable
-    * bodies refuse loudly), a NESTED view over the first, and an
-    * aggregate through both layers whose predicate still reaches the
-    * manifest (ViewsSpec pins planned-files-through-view == direct).
-    * The oracle recomputes the composed slice from raw parquet — a
-    * view is a macro, so composition must equal inlining by law. */
+    * This query exercises the full lifecycle a SQL user sees: plain
+    * `CREATE OR REPLACE VIEW` DDL (r13 —
+    * [[graft.plans.GraftViewDdlParser]] routes the statement shapes
+    * Spark 4.1 cannot, so nobody needs the CALL spelling; the body is
+    * analyzed at definition time and unresolvable bodies refuse
+    * loudly), a NESTED view over the first, and an aggregate through
+    * both layers whose predicate still reaches the manifest (ViewsSpec
+    * pins planned-files-through-view == direct). The oracle recomputes
+    * the composed slice from raw parquet — a view is a macro, so
+    * composition must equal inlining by law. */
   def persistentViewSlice(spark: SparkSession, d: String): DataFrame = {
     val cat = ensureCatalog(spark, d)
     // bodies are written fully qualified: the defining "session" here
     // has spark_catalog current, exactly a mixed-catalog user's shape
-    spark.sql(s"CALL $cat.create_view('v_purchases', " +
-      s"'SELECT event_id, user_id, value FROM $cat.jsonl_stats_table " +
-      "WHERE event_type = ''purchase''', " +
-      "comment => 'purchase slice', or_replace => true)")
-    spark.sql(s"CALL $cat.create_view('v_purch_hot', " +
-      s"'SELECT event_id % 8 AS b, value FROM $cat.v_purchases WHERE value > 50', " +
-      "or_replace => true)")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_purchases AS " +
+      s"SELECT event_id, user_id, value FROM $cat.jsonl_stats_table " +
+      "WHERE event_type = 'purchase'")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_purch_hot AS " +
+      s"SELECT event_id % 8 AS b, value FROM $cat.v_purchases WHERE value > 50")
     spark.sql(
       s"""SELECT b, count(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -3348,6 +3349,104 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q293 (r13): INCREMENTAL materialized-view refresh from the change
+    * feed. `refresh_materialized_view` used to be a full RTAS; for a
+    * single-source distributive body (SUM over DECIMAL/LONG, COUNT at
+    * the stored grain) it now applies the SIGNED delta of
+    * (recorded version, head] to the backing table with one
+    * maintenance MERGE — removed file-identities contribute their rows
+    * at -1, added ones at +1, copy-on-write noise cancels inside the
+    * signed sums, and hidden graft_ivm_* state columns (raw decimal
+    * sums + non-null counters + a liveness COUNT(*)) make the merge
+    * bit-exact, including NULL-sum restoration and group death. The
+    * readout UNIONS a literal 'mode' row carrying which path ran, so
+    * the ORACLE ITSELF pins the incremental path — a silent fallback
+    * to RTAS would flip that cell and fail the hash. The lifecycle:
+    * seed a third of the events feed, record the MV, append another
+    * third, row-level-DELETE every fifth event id, refresh
+    * (incrementally), read through the fresh path. The oracle
+    * recomputes the post-churn aggregate from raw parquet — delta
+    * application must equal recomputation exactly. At 100 TB this is
+    * the nightly-refresh contract: cost proportional to the DELTA, not
+    * the source (MvSampleBench's refresh law measures it). */
+  def incrementalMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvi_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mvi_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvi_src AS
+         |SELECT event_id, event_type, value FROM mvi_src_in WHERE event_id % 3 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_inc', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mvi_src GROUP BY event_type', or_replace => true)")
+    // the churn window: an append commit and a row-level DELETE commit
+    spark.sql(s"INSERT INTO $cat.mvi_src " +
+      "SELECT event_id, event_type, value FROM mvi_src_in WHERE event_id % 3 = 1")
+    spark.sql(s"DELETE FROM $cat.mvi_src WHERE event_id % 5 = 0")
+    val mode = spark.sql(s"CALL $cat.refresh_materialized_view('mv_inc')")
+      .collect().head.getString(2)
+    spark.sql(s"SELECT 'mode' AS phase, '$mode' AS event_type, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum")
+      .unionAll(spark.sql(
+        s"SELECT 'rows' AS phase, event_type, n, value_sum FROM $cat.mv_inc"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
+  /** q294 (r13): TRANSPARENT aggregate rewrite onto a covering catalog
+    * MV ([[graft.plans.CatalogMvRewrite]]) — the half that unifies the
+    * two MV stories: q210/q228 prove the rewrite posture on one
+    * registered parquet layout, q291 gave catalog MVs read-through-the-
+    * name; this query writes a dashboard aggregate AGAINST THE RAW
+    * TABLE (with a grain predicate riding) and the optimizer routes it
+    * to the MV's backing table because a FRESH covering MV exists —
+    * grain covered, measures derivable from the hidden graft_ivm_*
+    * state (raw decimal sums re-aggregate bit-exactly), the predicate a
+    * function of a bare-attribute grain column (pushed to the backing
+    * scan, where file pruning applies to the small table). The readout
+    * UNIONS a literal 'plan' row that says whether the executed plan
+    * scanned the backing — the ORACLE pins 'mv-routed', so a silent
+    * decline fails the hash; the data rows are recomputed by DuckDB
+    * from raw parquet, so rewrite soundness is re-proven every round.
+    * At 100 TB: the fact-table dashboard query reads a type-sized MV,
+    * and nobody had to rewrite their SQL. */
+  def transparentMvRewrite(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvr_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mvr_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvr_src AS
+         |SELECT event_type, value FROM mvr_src_in WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_cover', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mvr_src GROUP BY event_type', or_replace => true)")
+    val agg = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.mvr_src WHERE event_type <> 'view'
+         |GROUP BY event_type""".stripMargin)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    val routed = scans.nonEmpty && scans.forall(_.contains("_mv_mv_cover"))
+    spark.sql("SELECT 'plan' AS phase, " +
+      s"'${if (routed) "mv-routed" else "raw-scan"}' AS event_type, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum")
+      .unionAll(agg.selectExpr("'rows' AS phase", "event_type", "n", "value_sum"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3444,6 +3543,8 @@ object JsonlStatsQueries extends QueryModule {
     "q290_system_sample" -> systemSampleScan,
     "q291_materialized_view" -> materializedViewLifecycle,
     "q292_dynamic_overwrite" -> dynamicPartitionOverwrite,
+    "q293_incremental_mv_refresh" -> incrementalMvRefresh,
+    "q294_transparent_mv_rewrite" -> transparentMvRewrite,
   )
 
   val oracles = Map(
@@ -3770,6 +3871,28 @@ object JsonlStatsQueries extends QueryModule {
       "SELECT event_type, count(*) AS n,\n" +
       "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum\n" +
       "FROM rows GROUP BY event_type ORDER BY event_type"),
+    "q294_transparent_mv_rewrite" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type <> 'view')
+        |SELECT 'plan' AS phase, 'mv-routed' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+    "q293_incremental_mv_refresh" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 3 IN (0, 1) AND event_id % 5 <> 0)
+        |SELECT 'mode' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q291_materialized_view" ->
       """WITH src AS (
         |  SELECT event_type, value FROM events WHERE event_id % 3 IN (0, 1)),

@@ -97,16 +97,56 @@ object MvSampleBench {
         s"FROM $cat.ev GROUP BY event_type").collect())._2)
     spark.sql(s"INSERT INTO $cat.ev VALUES (0, 'probe', 1.0, '0')") // -> stale
     val staleMs = (1 to 3).map(_ => mvRead())
-    val (_, refreshS) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_rev')").collect())
+    val (refreshMode0, refreshS) = timed(
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_rev')")
+        .collect().head.getString(2))
     val refreshedMs = (1 to 5).map(_ => mvRead())
+
+    // ---- r13: refresh cost ∝ delta, not source ----
+    // Twin MVs per source size: mv_d* (decimal sum + count — the
+    // maintainable shape, refresh = delta merge) vs mv_f* (float sum —
+    // not associative, refresh = full RTAS). Same ONE-ROW delta on a
+    // 1x (100k-row) and a 256x (25.6M-row) source: the full refresh
+    // scales with the source, the incremental one does not — that cost
+    // curve IS the law.
+    def refreshPair(src: String, tag: String): (String, Double, String, Double) = {
+      spark.sql(s"CALL $cat.create_materialized_view('mv_d$tag', " +
+        s"'SELECT event_type, count(*) AS n, " +
+        s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+        s"FROM $cat.$src GROUP BY event_type')")
+      spark.sql(s"CALL $cat.create_materialized_view('mv_f$tag', " +
+        s"'SELECT event_type, count(*) AS n, SUM(value) AS value_sum " +
+        s"FROM $cat.$src GROUP BY event_type')")
+      // warm-up window (untimed): first-refresh one-time costs (code
+      // paths, body analysis) must not be charged to the law
+      spark.sql(s"INSERT INTO $cat.$src VALUES (2, 'probe', 1.0, '2')")
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_d$tag')").collect()
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_f$tag')").collect()
+      // timed window: the same one-row delta on both twins
+      spark.sql(s"INSERT INTO $cat.$src VALUES (1, 'probe', 2.0, '1')")
+      val (im, is) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_d$tag')")
+        .collect().head.getString(2))
+      val (fm, fs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_f$tag')")
+        .collect().head.getString(2))
+      (im, is, fm, fs)
+    }
+    val (incMode1, inc1, fullMode1, full1) = refreshPair("ev", "1")
+    spark.sql(s"CREATE TABLE $cat.ev256 USING `graft-jsonl-stats` PARTITIONED BY (shard) " +
+      "AS SELECT s.event_id, s.event_type, s.value, s.shard FROM mvb_src s, range(256)")
+    val (incMode8, inc8, fullMode8, full8) = refreshPair("ev256", "256")
 
     println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
       s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
       s""""full_scan_s":${f"${med(full)}%.3f"},"sample_undeclared_s":${f"${med(undeclared)}%.3f"},""" +
       s""""sample_declared_s":${f"${med(declared)}%.3f"},""" +
       s""""mv_fresh_s":${f"${med(freshMs)}%.4f"},"mv_stale_s":${f"${med(staleMs)}%.3f"},""" +
-      s""""mv_direct_agg_s":${f"${med(direct)}%.3f"},"mv_refresh_s":${f"$refreshS%.2f"},""" +
-      s""""mv_refreshed_s":${f"${med(refreshedMs)}%.4f"}}""")
+      s""""mv_direct_agg_s":${f"${med(direct)}%.3f"},""" +
+      s""""mv_refresh_s":${f"$refreshS%.2f"},"mv_refresh_mode":"$refreshMode0",""" +
+      s""""mv_refreshed_s":${f"${med(refreshedMs)}%.4f"},""" +
+      s""""ivm_refresh_1x_s":${f"$inc1%.3f"},"ivm_mode_1x":"$incMode1",""" +
+      s""""rtas_refresh_1x_s":${f"$full1%.3f"},"rtas_mode_1x":"$fullMode1",""" +
+      s""""ivm_refresh_256x_s":${f"$inc8%.3f"},"ivm_mode_256x":"$incMode8",""" +
+      s""""rtas_refresh_256x_s":${f"$full8%.3f"},"rtas_mode_256x":"$fullMode8"}""")
     spark.stop()
   }
 }

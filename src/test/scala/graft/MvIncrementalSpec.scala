@@ -1,0 +1,164 @@
+package graft
+
+import graft.sources.{GraftCatalog, GraftViews}
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.Files
+
+/** Incremental materialized-view refresh
+  * ([[graft.plans.MvIncremental]] + the refresh procedure's delta-merge
+  * path + [[graft.sources.ChangeFeed.signedChanges]]).
+  *
+  * The load-bearing laws:
+  *   - equivalence: after ANY mix of appends, row-level deletes and
+  *     copy-on-write rewrites, the incrementally-refreshed backing
+  *     equals the full recompute BIT-EXACTLY (decimal raw state,
+  *     wrappers re-applied to merged state);
+  *   - the mode is observable: the refresh readout says which path ran,
+  *     so a silent fallback can never masquerade as the fast path;
+  *   - NULL-sum semantics survive: deleting every non-null contributor
+  *     of a surviving group restores SQL's NULL, not 0;
+  *   - group lifecycle: net-zero groups leave the backing, groups born
+  *     in the window enter it, insert+delete-in-window phantoms don't;
+  *   - ineligible shapes (MIN/MAX, float sums, joins, global
+  *     aggregates) and suspect states (pending marker from a died
+  *     refresh) fall back to the always-correct full rebuild.
+  */
+class MvIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("mvinc_spec").toString
+  private lazy val cat: GraftCatalog = {
+    spark.conf.set("spark.sql.catalog.mvinc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvinc.root", root)
+    spark.sessionState.catalogManager.catalog("mvinc").asInstanceOf[GraftCatalog]
+  }
+
+  private def refreshMode(view: String): String =
+    spark.sql(s"CALL mvinc.refresh_materialized_view('$view')")
+      .collect().head.getString(2)
+
+  private def mvRows(view: String): Seq[org.apache.spark.sql.Row] =
+    spark.sql(s"SELECT * FROM mvinc.$view ORDER BY 1").collect().toSeq
+
+  private def direct(sql: String): Seq[org.apache.spark.sql.Row] =
+    spark.sql(sql + " ORDER BY 1").collect().toSeq
+
+  test("delta-merge refresh equals the full recompute through appends, " +
+    "deletes, group birth/death, and NULL-sum restoration") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src1")
+    Seq(("a", Some(10.0)), ("a", Some(20.0)), ("b", Some(5.0)),
+      ("c", Some(7.0)), ("d", None), ("d", Some(3.0)))
+      .toDF("k", "v").createOrReplaceTempView("mvinc_seed")
+    spark.sql("CREATE TABLE mvinc.src1 AS SELECT * FROM mvinc_seed")
+    val body = "SELECT k, count(*) AS n, count(v) AS nv, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM mvinc.src1 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv1', '$body', or_replace => true)")
+    // the backing carries the hidden state columns from birth
+    val backingCols = spark.table("mvinc.`_mv_mv1`").schema.fieldNames.toSet
+    assert(backingCols.contains("graft_ivm_n"), backingCols)
+    assert(backingCols.exists(_.startsWith("graft_ivm_a")), backingCols)
+    // window 1: new group e is born, group c dies, d loses its only
+    // non-null contributor (sum must go NULL), a grows
+    spark.sql("INSERT INTO mvinc.src1 VALUES ('e', 100.0), ('a', 30.0)")
+    spark.sql("DELETE FROM mvinc.src1 WHERE k = 'c' OR (k = 'd' AND v IS NOT NULL)")
+    assert(refreshMode("mv1") === "incremental")
+    assert(mvRows("mv1") === direct(body))
+    val d = mvRows("mv1").find(_.getString(0) == "d").get
+    assert(d.getLong(1) === 1L && d.getLong(2) === 0L && d.isNullAt(3),
+      s"NULL-sum restoration failed: $d")
+    assert(!mvRows("mv1").exists(_.getString(0) == "c"), "dead group must leave")
+    // window 2: insert+delete inside one window — no phantom group
+    spark.sql("INSERT INTO mvinc.src1 VALUES ('ph', 1.0)")
+    spark.sql("DELETE FROM mvinc.src1 WHERE k = 'ph'")
+    assert(refreshMode("mv1") === "incremental")
+    assert(!mvRows("mv1").exists(_.getString(0) == "ph"), "phantom group inserted")
+    assert(mvRows("mv1") === direct(body))
+    // the fresh path serves the backing (and hides the state columns)
+    assert(spark.table("mvinc.mv1").schema.fieldNames.toSeq === Seq("k", "n", "nv", "sv"))
+    // window 3: nothing moved
+    assert(refreshMode("mv1") === "noop")
+  }
+
+  test("WHERE bodies maintain over the filtered delta; expression group " +
+    "keys group the delta by the same expression") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src2")
+    Seq(("aa", 1L, 10.0), ("ab", 2L, 20.0), ("ba", 3L, 30.0), ("bb", 4L, 5.0))
+      .toDF("k", "id", "v").createOrReplaceTempView("mvinc_seed2")
+    spark.sql("CREATE TABLE mvinc.src2 AS SELECT * FROM mvinc_seed2")
+    val body = "SELECT substring(k, 1, 1) AS fam, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sv " +
+      "FROM mvinc.src2 WHERE id % 2 = 0 GROUP BY substring(k, 1, 1)"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv2', '$body', or_replace => true)")
+    spark.sql("INSERT INTO mvinc.src2 VALUES ('ac', 6, 7.0), ('ad', 7, 9.0)") // 7 filtered out
+    spark.sql("DELETE FROM mvinc.src2 WHERE id = 4")
+    assert(refreshMode("mv2") === "incremental")
+    assert(mvRows("mv2") === direct(body))
+    // 'b' family: only id=4 passed the filter and it was deleted
+    assert(!mvRows("mv2").exists(_.getString(0) == "b"))
+  }
+
+  test("ineligible shapes decline to the full rebuild and say so: MIN, " +
+    "float sum, join body, global aggregate") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src3")
+    spark.sql("DROP TABLE IF EXISTS mvinc.dim3")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_seed3")
+    spark.sql("CREATE TABLE mvinc.src3 AS SELECT * FROM mvinc_seed3")
+    spark.sql("CREATE TABLE mvinc.dim3 AS SELECT 'a' AS k, 'x' AS tag")
+    def check(name: String, body: String): Unit = {
+      spark.sql(s"CALL mvinc.create_materialized_view('$name', '$body', or_replace => true)")
+      spark.sql("INSERT INTO mvinc.src3 VALUES ('a', 9.0)")
+      assert(refreshMode(name) === "full", name)
+      assert(mvRows(name) === direct(body), name)
+    }
+    check("mv_min", "SELECT k, min(v) AS mn FROM mvinc.src3 GROUP BY k")
+    check("mv_float", "SELECT k, sum(v) AS sv FROM mvinc.src3 GROUP BY k")
+    check("mv_glob", "SELECT count(*) AS n FROM mvinc.src3")
+  }
+
+  test("a standing pending marker (died refresh) forces the full rebuild, " +
+    "clears, and reads stay correct throughout") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src4")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_seed4")
+    spark.sql("CREATE TABLE mvinc.src4 AS SELECT * FROM mvinc_seed4")
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM mvinc.src4 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv4', '$body', or_replace => true)")
+    spark.sql("INSERT INTO mvinc.src4 VALUES ('a', 5.0)")
+    // simulate the crash window: marker down, backing suspect
+    val nsDir = java.nio.file.Paths.get(root)
+    val d0 = GraftViews.read(nsDir, "mv4").get
+    GraftViews.write(nsDir, d0.copy(properties =
+      d0.properties + (GraftViews.MvPendingProp -> "1->2")), replace = true)
+    // pending alone makes the read STALE (body path) even if versions match
+    assert(!GraftViews.mvFresh(root, GraftViews.read(nsDir, "mv4").get))
+    assert(mvRows("mv4") === direct(body), "pending read must expand the body")
+    // repair: refresh refuses the delta path, rebuilds, clears the marker
+    assert(refreshMode("mv4") === "full")
+    assert(!GraftViews.read(nsDir, "mv4").get.properties.contains(GraftViews.MvPendingProp))
+    assert(mvRows("mv4") === direct(body))
+    // and the NEXT window is incremental again
+    spark.sql("INSERT INTO mvinc.src4 VALUES ('b', 7.0)")
+    assert(refreshMode("mv4") === "incremental")
+    assert(mvRows("mv4") === direct(body))
+  }
+
+  test("merge-on-read deletes (deletion vectors) flow through the signed " +
+    "delta: a DV-grown file contributes its newly-masked rows at -1") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src5")
+    spark.sql("CREATE TABLE mvinc.src5 (k STRING, v DOUBLE) USING `graft-jsonl-stats`")
+    spark.sql("ALTER TABLE mvinc.src5 SET TBLPROPERTIES ('deleteMode'='merge-on-read')")
+    spark.sql("INSERT INTO mvinc.src5 VALUES ('a', 1.0), ('a', 2.0), ('b', 3.0)")
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM mvinc.src5 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv5', '$body', or_replace => true)")
+    spark.sql("DELETE FROM mvinc.src5 WHERE v = 2.0")
+    assert(refreshMode("mv5") === "incremental")
+    assert(mvRows("mv5") === direct(body))
+  }
+}

@@ -340,6 +340,127 @@ class ViewsSpec extends SparkSpec {
     assert(e.getMessage.contains("'.'"), e.getMessage)
   }
 
+  test("transparent rewrite: a raw-table aggregate plans the FRESH covering " +
+    "MV's backing; stale MVs, non-grain predicates and snapshot reads decline") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.rw_t")
+    Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("b", 5.0, 3L), ("c", 7.0, 4L))
+      .toDF("k", "v", "id").createOrReplaceTempView("rw_seed")
+    spark.sql("CREATE TABLE vspec.rw_t AS SELECT * FROM rw_seed")
+    spark.sql("CALL vspec.create_materialized_view('mv_rw', " +
+      "'SELECT k, count(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      "FROM vspec.rw_t GROUP BY k', or_replace => true)")
+    val q = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      "FROM vspec.rw_t GROUP BY k ORDER BY k"
+    val expect = spark.sql(q.replace("vspec.rw_t", "rw_seed")).collect().toSeq
+    // FRESH: the raw-table aggregate reads the backing, never the raw
+    val hit = spark.sql(q)
+    assert(scans(hit).forall(_.contains("_mv_mv_rw")), scans(hit))
+    assert(hit.collect().toSeq === expect)
+    // a GRAIN predicate rides the rewrite, pushed to the backing scan
+    val grained = spark.sql(
+      "SELECT k, count(*) AS n FROM vspec.rw_t WHERE k <> 'a' GROUP BY k ORDER BY k")
+    assert(scans(grained).forall(_.contains("_mv_mv_rw")), scans(grained))
+    assert(grained.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("b", 1L), ("c", 1L)))
+    // a NON-GRAIN predicate could cut rows the MV already merged: decline
+    val nonGrain = spark.sql(
+      "SELECT k, count(*) AS n FROM vspec.rw_t WHERE v > 6 GROUP BY k")
+    assert(scans(nonGrain).forall(s => s.contains("rw_t") && !s.contains("_mv_")),
+      scans(nonGrain))
+    // DISTINCT declines (not derivable from the merged state)
+    val distinct = spark.sql(
+      "SELECT k, count(DISTINCT id) AS n FROM vspec.rw_t GROUP BY k")
+    assert(scans(distinct).forall(s => s.contains("rw_t") && !s.contains("_mv_")))
+    // STALE: a source commit flips the plan back to the raw table —
+    // and the rows see the new data immediately
+    spark.sql("INSERT INTO vspec.rw_t VALUES ('d', 1.0, 5)")
+    val stale = spark.sql(q)
+    assert(scans(stale).forall(s => s.contains("rw_t") && !s.contains("_mv_")),
+      scans(stale))
+    assert(stale.collect().exists(_.getString(0) == "d"))
+    // REFRESH restores the rewrite
+    spark.sql("CALL vspec.refresh_materialized_view('mv_rw')")
+    val back = spark.sql(q)
+    assert(scans(back).forall(_.contains("_mv_mv_rw")), scans(back))
+    assert(back.collect().toSeq === spark.sql(q.replace("vspec.rw_t", "rw_seed"))
+      .collect().toSeq ++ Seq(org.apache.spark.sql.Row("d", 1L, 1.0)))
+    // a SNAPSHOT read of an OLD version must not see head-versioned
+    // state, even while the MV is fresh
+    val travel = spark.sql(
+      "SELECT k, count(*) AS n FROM vspec.rw_t VERSION AS OF 1 GROUP BY k")
+    assert(scans(travel).forall(s => !s.contains("_mv_")), scans(travel))
+    assert(!travel.collect().exists(_.getString(0) == "d"),
+      "the v1 snapshot must not contain the v2 append")
+  }
+
+  test("plain SQL view DDL: CREATE/DROP VIEW and SHOW VIEWS route to the " +
+    "catalog; temp views and non-graft statements pass through untouched") {
+    cat
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    // explicit catalog prefix, reader on a foreign current catalog
+    spark.sql("CREATE VIEW vspec.v_ddl AS SELECT k, sum(v) AS sv FROM vspec.t1 GROUP BY k")
+    assert(spark.sql("SELECT * FROM vspec.v_ddl").count() === 3)
+    // OR REPLACE redefines; a second plain CREATE refuses
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_ddl AS SELECT k FROM vspec.t1")
+    assert(spark.table("vspec.v_ddl").schema.fieldNames.toSeq === Seq("k"))
+    intercept[Exception] {
+      spark.sql("CREATE VIEW vspec.v_ddl AS SELECT k FROM vspec.t1")
+    }
+    // SHOW VIEWS lists it (IN <catalog> form and current-catalog form)
+    assert(spark.sql("SHOW VIEWS IN vspec").collect().exists(_.getString(1) == "v_ddl"))
+    spark.sql("USE vspec")
+    try {
+      assert(spark.sql("SHOW VIEWS").collect().exists(_.getString(1) == "v_ddl"))
+      // single-part names resolve into the current namespace
+      spark.sql("CREATE VIEW v_ddl2 AS SELECT k FROM t1 WHERE k = 'a'")
+      assert(spark.sql("SELECT * FROM vspec.v_ddl2").count() === 2)
+      spark.sql("DROP VIEW v_ddl2")
+    } finally spark.sql(s"USE $prev")
+    // DROP VIEW + IF EXISTS semantics
+    spark.sql("DROP VIEW vspec.v_ddl")
+    intercept[Exception] { spark.sql("DROP VIEW vspec.v_ddl") }
+    spark.sql("DROP VIEW IF EXISTS vspec.v_ddl") // no-op, no error
+    // TEMPORARY views are Spark's own — the parser must not intercept
+    spark.sql("CREATE TEMPORARY VIEW v_ddl_tmp AS SELECT 1 AS x")
+    assert(spark.sql("SELECT * FROM v_ddl_tmp").count() === 1)
+    spark.sql("DROP VIEW v_ddl_tmp") // session temp view: Spark resolves it first
+    // non-view statements are untouched
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
+  }
+
+  test("dropping a view another view expands through fails loudly naming " +
+    "the dependent, on both DDL surfaces") {
+    cat
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_base AS SELECT k, v FROM vspec.t1")
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_over AS " +
+      "SELECT k, sum(v) AS sv FROM vspec.v_base GROUP BY k")
+    val e1 = intercept[Exception] { spark.sql("DROP VIEW vspec.v_base") }
+    assert(e1.getMessage.contains("v_over"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      cat.dropView(Identifier.of(Array.empty[String], "v_base"))
+    }
+    assert(e2.getMessage.contains("v_over"), e2.getMessage)
+    // drop the dependent first, then the base — both succeed
+    spark.sql("DROP VIEW vspec.v_over")
+    spark.sql("DROP VIEW vspec.v_base")
+    intercept[Exception] { spark.table("vspec.v_base").collect() }
+  }
+
   test("streaming reads are left untouched — a view is a batch macro") {
     cat // force fixture
     val e = intercept[Exception] {

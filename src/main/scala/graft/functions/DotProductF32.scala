@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (r13) — runs in the operator-optimization batch, where graft
     // relations are still DataSourceV2Relation (pre scan pushdown)
     ext.injectOptimizerRule(s => new graft.plans.CatalogMvRewrite(s))
+    // map-key predicate pushdown (r13): m['k'] filter conjuncts over
+    // graft relations rewrite to the pushable graft_map_get function,
+    // so the per-key file statistics prune from the very predicate
+    ext.injectOptimizerRule(s => new graft.plans.MapKeyPushdown(s))
     // view DDL SQL surface (r13): CREATE/DROP VIEW + SHOW VIEWS on a
     // graft catalog rewrite to the CALL procedures; everything else
     // passes through verbatim

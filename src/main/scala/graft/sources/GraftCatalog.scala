@@ -1054,7 +1054,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("sqnorm", "graft_cell", "graft_norm").map(Identifier.of(namespace, _))
+      Array("sqnorm", "graft_cell", "graft_norm", "graft_map_get")
+        .map(Identifier.of(namespace, _))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
@@ -1062,6 +1063,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     else if (ident.name() == "bucket") GraftCatalog.BucketFn
     else if (ident.name() == "graft_cell") GraftCatalog.VecCellFn
     else if (ident.name() == "graft_norm") GraftCatalog.VecNormFn
+    else if (ident.name() == "graft_map_get") GraftCatalog.MapGetFn
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -1271,6 +1273,62 @@ object GraftCatalog {
     * it, and the scan builder matches pushed predicates BY it. */
   val CellCanonical = "graft.graft_cell"
   val NormCanonical = "graft.graft_norm"
+  val MapGetCanonical = "graft.graft_map_get"
+
+  /** `graft_map_get(map, key)` (r13): string-keyed map access with
+    * Spark's own `m[k]` semantics (null on a missing key, null value
+    * passes through, null map/key gives null), as a V2 catalog
+    * function so predicates over it PUSH — the same contract as
+    * `graft_cell`/`graft_norm`. Queries rarely write it by hand:
+    * [[graft.plans.MapKeyPushdown]] rewrites `m['k'] cmp v` filter
+    * conjuncts over graft relations into it, so the map-key file
+    * statistics prune from the very predicate Spark evaluates. */
+  object MapGetFn extends UnboundFunction {
+    override def name(): String = "graft_map_get"
+    override def description(): String =
+      "graft_map_get(map<string,V>, key) -> V: map access (pushdown-prunable)"
+    override def bind(inputType: StructType): BoundFunction =
+      inputType.fields.map(_.dataType) match {
+        case Array(MapType(StringType, vt, _), StringType) => MapGetBound(vt)
+        case other => throw new UnsupportedOperationException(
+          s"graft_map_get expects (map<string,V>, string), got ${other.mkString(", ")}")
+      }
+  }
+
+  final case class MapGetBound(vt: DataType) extends ScalarFunction[AnyRef] {
+    override def inputTypes(): Array[DataType] = Array(MapType(StringType, vt), StringType)
+    override def resultType(): DataType = vt
+    override def name(): String = "graft_map_get"
+    override def canonicalName(): String = MapGetCanonical
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): AnyRef = {
+      if (input.isNullAt(0) || input.isNullAt(1)) return null
+      val m = input.getMap(0)
+      val k = input.getUTF8String(1)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        if (ks.getUTF8String(j) == k) {
+          if (vs.isNullAt(j)) return null
+          return vt match {
+            case LongType => java.lang.Long.valueOf(vs.getLong(j))
+            case IntegerType => java.lang.Integer.valueOf(vs.getInt(j))
+            case DoubleType => java.lang.Double.valueOf(vs.getDouble(j))
+            case FloatType => java.lang.Float.valueOf(vs.getFloat(j))
+            case TimestampType | TimestampNTZType => java.lang.Long.valueOf(vs.getLong(j))
+            case DateType => java.lang.Integer.valueOf(vs.getInt(j))
+            case StringType => vs.getUTF8String(j)
+            case BooleanType => java.lang.Boolean.valueOf(vs.getBoolean(j))
+            case dt: DecimalType => vs.getDecimal(j, dt.precision, dt.scale)
+            case other => throw new UnsupportedOperationException(
+              s"graft_map_get value type $other")
+          }
+        }
+        j += 1
+      }
+      null
+    }
+  }
   object CellFloatBound extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(ArrayType(FloatType))
     override def resultType(): DataType = IntegerType

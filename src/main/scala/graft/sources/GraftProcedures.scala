@@ -1650,9 +1650,27 @@ object GraftProcedures {
           // column poisons that column (absent = never pruned), the
           // same conservatism as the sentinel rule above
           val sharedCols = members.map(_.cols.keySet).reduce(_ intersect _)
-          val mergedCols = sharedCols.map { c =>
+          val mergedCols0 = sharedCols.map { c =>
             c -> (members.map(_.cols(c)._1).min, members.map(_.cols(c)._2).max)
           }.toMap
+          // map-key stats (r13) merge by UNION under the completeness
+          // marker: when EVERY member carries `<col>#mk`, a key absent
+          // from a member means "no row of that member has it" — the
+          // interval union over the members that DO is exact. The
+          // intersection rule above would DROP such keys while keeping
+          // the marker, and the marker would then prune files that
+          // hold the key — wrong results after compaction. A member
+          // without the marker (poisoned cap, legacy) drops the
+          // column's key stats wholesale, the usual conservatism.
+          val mapMerged = sharedCols.filter(_.endsWith("#mk")).flatMap { mk =>
+            val pre = mk.stripSuffix("#mk") + "."
+            members.flatMap(_.cols.keySet.filter(_.startsWith(pre))).toSet.map {
+              (k: String) =>
+                val bs = members.flatMap(_.cols.get(k))
+                k -> (bs.map(_._1).min, bs.map(_._2).max)
+            }
+          }.toMap
+          val mergedCols = mergedCols0 ++ mapMerged
           // vector cell bitmaps (r12) merge by UNION — exact, like the
           // members themselves; a member without the bitmap poisons the
           // column (absent = interval fallback), same conservatism

@@ -1015,6 +1015,29 @@ object JsonlStats {
     case _ => false
   }
 
+  /** Map-key statistics (r13): the most distinct keys one file tracks
+    * per map column before the column's key stats poison to "none"
+    * (absence = never pruned). Property bags have tens of keys; a
+    * high-cardinality map (ids as keys) must not bloat the manifest. */
+  val MapKeyCap = 64
+
+  /** Keys the per-key stats namespace can carry: the stat key is
+    * `<column>.<key>` in the shared cols map, so a key containing the
+    * path separator, the derived-stat marker or exotic bytes is
+    * untrackable — such a key poisons the column's map stats. */
+  def mapStatKeyOk(k: String): Boolean =
+    k.nonEmpty && k.length <= 64 &&
+      k.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-')
+
+  /** The completeness marker for a map column's key stats: its presence
+    * in the cols map says "every present (key, non-null value) pair of
+    * this file is bounded" — which is what lets an ABSENT key prune
+    * (no row of the file carries it). Without the marker, absence just
+    * means unknown (untracked writer, poisoned cap) and keeps the
+    * file. */
+  def mapMarkerKey(physCol: String): String = s"$physCol#mk"
+
   def numericStatValue(dt: org.apache.spark.sql.types.DataType,
                        g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
                        i: Int): Double = dt match {

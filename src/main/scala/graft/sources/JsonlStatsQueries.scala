@@ -3447,6 +3447,97 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q295 (r13): MAP-KEY FILE STATISTICS — `props['k'] BETWEEN x AND y`
+    * prunes FILES at planning. The writer records per-key numeric
+    * bounds for string-keyed maps as `<col>.<key>` entries in the same
+    * cols map every scalar column uses, plus a `<col>#mk` completeness
+    * marker that lets an ABSENT key prune a file outright; Spark's
+    * V2ExpressionBuilder cannot translate `GetMapValue`, so the
+    * injected [[graft.plans.MapKeyPushdown]] rule rewrites the filter
+    * conjunct into the pushable `graft_map_get` V2 catalog function —
+    * value-identical (null on missing key) — and the scan derives the
+    * interval band FROM the pushed predicate, the r12 contract (never
+    * a side-channel option). The layout ranges `uid = user_id % 64`
+    * into 8-wide shards, so the pushed band plans exactly the shards
+    * it straddles; the readout UNIONS a literal 'plan' row pinning
+    * that files were pruned (planned < total), and DuckDB recomputes
+    * the slice from the raw source columns. At 100 TB this is the
+    * property-bag slice (`props['lang'] = ...`, `props['quality'] >
+    * ...`) reading its shard of files instead of the corpus. */
+  def mapKeySlice(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.map_props")
+    Tables.events(spark, d)
+      .selectExpr("event_id", "user_id", "value",
+        "CAST((user_id % 64) DIV 8 AS STRING) AS shard")
+      .createOrReplaceTempView("map_props_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.map_props USING `graft-jsonl-stats`
+         |PARTITIONED BY (shard)
+         |AS SELECT event_id, shard,
+         |  map('uid', user_id % 64, 'eid', event_id) AS props
+         |FROM map_props_in""".stripMargin)
+    val slice = spark.sql(
+      s"""SELECT shard, count(*) AS n, sum(props['eid']) AS eid_sum
+         |FROM $cat.map_props
+         |WHERE props['uid'] >= 8 AND props['uid'] <= 15
+         |GROUP BY shard""".stripMargin)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val total = JsonlStats.readStats(Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "map_props").toString).size
+    val planned = nodes(slice.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan }
+      .collect { case sc: JsonlStatsScan => sc.toBatch.planInputPartitions().length }.sum
+    spark.sql("SELECT 'plan' AS phase, " +
+      s"'${if (planned < total) "pruned" else "full"}' AS shard, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS eid_sum")
+      .unionAll(slice.selectExpr("'rows' AS phase", "shard", "n", "eid_sum"))
+      .orderBy(col("phase"), col("shard"))
+  }
+
+  /** q296 (r13): TABLESAMPLE THROUGH A VIEW — the sample/view
+    * composition law as an oracle-gated query. A graft view is a macro
+    * ([[graft.plans.ResolveGraftViews]]), so `FROM <view> TABLESAMPLE
+    * (p) REPEATABLE (s)` must behave exactly like sampling the
+    * expansion: the view's output-contract projection collapses, the
+    * declared (`sampleMode='system'`) block sample pushes to the scan,
+    * and the kept files are the SAME deterministic pkey-anchored band
+    * q290 pins directly — the DuckDB oracle recomputes the exact kept
+    * shard universe from the published LCG, so a view that silently
+    * degraded the sample to row-Bernoulli (different kept set) fails
+    * the hash. ViewsSpec pins the planned-file equality and both
+    * predicate-composition shapes. At 100 TB: the curated-slice NAME
+    * and the 1%-of-files sampling contract compose — analysts sample
+    * the view, the scan reads the band. */
+  def sampledViewScan(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.events_vsamp")
+    Tables.events(spark, d)
+      .selectExpr("event_id", "value", "CAST(user_id % 16 AS STRING) AS shard")
+      .createOrReplaceTempView("vsamp_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.events_vsamp USING `graft-jsonl-stats`
+         |PARTITIONED BY (shard)
+         |AS SELECT * FROM vsamp_src ORDER BY shard, event_id""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.events_vsamp " +
+      "SET TBLPROPERTIES ('sampleMode' = 'system')")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_evs AS " +
+      s"SELECT shard, value FROM $cat.events_vsamp")
+    spark.sql(
+      s"""SELECT shard, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.v_evs TABLESAMPLE (37.5 PERCENT) REPEATABLE (42)
+         |GROUP BY shard ORDER BY shard""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3545,6 +3636,8 @@ object JsonlStatsQueries extends QueryModule {
     "q292_dynamic_overwrite" -> dynamicPartitionOverwrite,
     "q293_incremental_mv_refresh" -> incrementalMvRefresh,
     "q294_transparent_mv_rewrite" -> transparentMvRewrite,
+    "q295_map_key_slice" -> mapKeySlice,
+    "q296_sampled_view" -> sampledViewScan,
   )
 
   val oracles = Map(
@@ -3871,6 +3964,25 @@ object JsonlStatsQueries extends QueryModule {
       "SELECT event_type, count(*) AS n,\n" +
       "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum\n" +
       "FROM rows GROUP BY event_type ORDER BY event_type"),
+    "q296_sampled_view" ->
+      """WITH base AS (SELECT user_id % 16 AS shard, value FROM events)
+        |SELECT CAST(shard AS VARCHAR) AS shard, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM base
+        |WHERE ((shard * 2654435761 + 42 * 40503 + 17) % 2147483648)
+        |      < CAST(0.375 * 2147483648 AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_map_key_slice" ->
+      """WITH src AS (
+        |  SELECT CAST((user_id % 64) // 8 AS VARCHAR) AS shard, event_id
+        |  FROM events WHERE (user_id % 64) BETWEEN 8 AND 15)
+        |SELECT 'plan' AS phase, 'pruned' AS shard,
+        |  CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS eid_sum
+        |UNION ALL
+        |SELECT 'rows' AS phase, shard, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS eid_sum
+        |FROM src GROUP BY shard
+        |ORDER BY phase, shard""".stripMargin,
     "q294_transparent_mv_rewrite" ->
       """WITH src AS (
         |  SELECT event_type, value FROM events

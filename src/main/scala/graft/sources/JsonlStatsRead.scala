@@ -49,6 +49,9 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   // prune can not under-cover the filter Spark evaluates
   private var vecCellProbes: Seq[(String, Seq[Int])] = Nil
   private var vecNormBands: Seq[(String, Double, Double)] = Nil
+  // map-key interval constraints (r13), derived from pushed
+  // graft_map_get predicates: ("<col>.<key>" logical, lo, hi)
+  private var mapKeyBands: Seq[(String, Double, Double)] = Nil
 
   /** LIMIT pushdown (r9c, partial): the scan may serve ANY k rows, so
     * planning keeps only a file prefix whose GUARANTEED output rows
@@ -196,11 +199,26 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       case l: Literal[_] => JsonlStats.filterDouble(l.value)
       case _ => None
     }
+    // graft_map_get(<map column>, '<key>') — the map-key stats probe
+    // ([[graft.plans.MapKeyPushdown]] rewrites m['k'] into it)
+    def mapGetKey(e: V2Expression): Option[String] = e match {
+      case u: UserDefinedScalarFunc
+          if u.canonicalName() == GraftCatalog.MapGetCanonical &&
+            u.children().length == 2 =>
+        (u.children()(0), u.children()(1)) match {
+          case (n: NamedReference, l: Literal[_])
+              if n.fieldNames().length == 1 && l.value != null =>
+            Some(s"${n.fieldNames()(0)}.${l.value}")
+          case _ => None
+        }
+      case _ => None
+    }
     def intLit(e: V2Expression): Option[Int] = numLit(e).collect {
       case d if d.isWhole => d.toInt
     }
     val cells = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int])]
     val bands = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val mbands = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     predicates.foreach {
       case g: GeneralScalarExpression => (g.name(), g.children()) match {
         // graft_cell(col) IN (c1, c2, ...) / = c — the LSH probe shape
@@ -219,6 +237,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
             .foreach { case (c, v) => bands += ((c, v, v)) }
           fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
             .foreach { case (c, v) => bands += ((c, v, v)) }
+          mapGetKey(a).zip(numLit(b)).foreach { case (c, v) => mbands += ((c, v, v)) }
+          mapGetKey(b).zip(numLit(a)).foreach { case (c, v) => mbands += ((c, v, v)) }
         // graft_norm(col) </<= v → upper bound; v </<= graft_norm(col)
         // → lower bound (BETWEEN arrives as two conjuncts; strictness
         // is immaterial against closed file bounds — conservative)
@@ -227,11 +247,19 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
             .foreach { case (c, v) => bands += ((c, Double.NegativeInfinity, v)) }
           fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
             .foreach { case (c, v) => bands += ((c, v, Double.PositiveInfinity)) }
+          mapGetKey(a).zip(numLit(b))
+            .foreach { case (c, v) => mbands += ((c, Double.NegativeInfinity, v)) }
+          mapGetKey(b).zip(numLit(a))
+            .foreach { case (c, v) => mbands += ((c, v, Double.PositiveInfinity)) }
         case (">" | ">=", Array(a, b)) =>
           fnCol(a, GraftCatalog.NormCanonical).zip(numLit(b))
             .foreach { case (c, v) => bands += ((c, v, Double.PositiveInfinity)) }
           fnCol(b, GraftCatalog.NormCanonical).zip(numLit(a))
             .foreach { case (c, v) => bands += ((c, Double.NegativeInfinity, v)) }
+          mapGetKey(a).zip(numLit(b))
+            .foreach { case (c, v) => mbands += ((c, v, Double.PositiveInfinity)) }
+          mapGetKey(b).zip(numLit(a))
+            .foreach { case (c, v) => mbands += ((c, Double.NegativeInfinity, v)) }
         case _ => // OR/NOT/unknown shapes never prune — conservative
       }
       case _ =>
@@ -244,6 +272,9 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     vecNormBands = bands.groupBy(_._1).map { case (c, bs) =>
       (c, bs.map(_._2).max, bs.map(_._3).min)
     }.toSeq
+    mapKeyBands = mbands.groupBy(_._1).map { case (c, bs) =>
+      (c, bs.map(_._2).max, bs.map(_._3).min)
+    }.toSeq
     pushedV2 = predicates.filter { p =>
       org.apache.spark.sql.graft.PredicateBridge.toV1(p)
         .exists(f => pushed.contains(f) || bloomPushed.contains(f)) ||
@@ -251,7 +282,8 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
         case g: GeneralScalarExpression =>
           def anyVecFn(e: V2Expression): Boolean =
             fnCol(e, GraftCatalog.CellCanonical).isDefined ||
-              fnCol(e, GraftCatalog.NormCanonical).isDefined
+              fnCol(e, GraftCatalog.NormCanonical).isDefined ||
+              mapGetKey(e).isDefined
           g.children().exists(anyVecFn)
         case _ => false
       })
@@ -385,7 +417,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
         limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCellProbes, vecNormBands,
-        sample)
+        sample, mapKeyBands)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -466,7 +498,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      maxBytesPerTrigger: Option[Long] = None,
                      vecCells: Seq[(String, Seq[Int])] = Nil,
                      vecNorm: Seq[(String, Double, Double)] = Nil,
-                     sample: Option[(Double, Double, Long)] = None)
+                     sample: Option[(Double, Double, Long)] = None,
+                     mapBands: Seq[(String, Double, Double)] = Nil)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -508,7 +541,10 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       s"splitBytes=$splitBytes, bloomProbes=${bloomSets.size}, " +
       s"gramProbes=${gramRequired.length}" +
       sample.map { case (lo, hi, seed) =>
-        f", sample=[$lo%.4f,$hi%.4f) seed=$seed mode=system" }.getOrElse("")
+        f", sample=[$lo%.4f,$hi%.4f) seed=$seed mode=system" }.getOrElse("") +
+      (if (mapBands.isEmpty) ""
+       else s", mapBands=[${mapBands.map { case (k, lo, hi) => s"$k:[$lo,$hi]" }
+         .mkString(", ")}]")
 
   /** The runtime-filtering leg (the DPP analogue for connectors): a
     * broadcast join on the stats column hands the scan the join side's
@@ -946,6 +982,20 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
       .filter(s => vecNorm.forall { case (c, lo, hi) =>
         JsonlStats.colBounds(s, columnMapping.getOrElse(c, c) + "#norm", statsCol)
           .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      })
+      // map-key statistics (r13): the `<col>.<key>` interval must touch
+      // the derived band. An ABSENT key prunes ONLY under the file's
+      // completeness marker (`<col>#mk` — every present key bounded):
+      // without it, absence is just unknown (legacy manifest, poisoned
+      // cap, stats-free rewrite) and keeps the file.
+      .filter(s => mapBands.forall { case (ck, lo, hi) =>
+        val phys = JsonlStats.physPath(ck, columnMapping)
+        s.cols.get(phys) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None =>
+            val top = phys.take(math.max(0, phys.indexOf('.')))
+            top.isEmpty || !s.cols.contains(JsonlStats.mapMarkerKey(top))
+        }
       })
       // pushed TABLESAMPLE (r12b): deterministic file-level (block)
       // sampling — the kept set is decided here, from the manifest

@@ -809,6 +809,27 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     scala.collection.mutable.Map.empty[String, org.apache.spark.unsafe.types.UTF8String]
   private val leafSMx =
     scala.collection.mutable.Map.empty[String, org.apache.spark.unsafe.types.UTF8String]
+  // map-key statistics (r13): per-KEY numeric bounds for string-keyed
+  // maps with numeric-stat value types, published as `<col>.<key>`
+  // entries in the SAME cols map (merge/serialization ride the
+  // existing machinery) plus a `<col>#mk` completeness marker — the
+  // marker is what lets an ABSENT key prune a file. A column poisons
+  // (all entries dropped, no marker) past [[JsonlStats.MapKeyCap]]
+  // distinct keys or on any untrackable key string.
+  private val mapIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if (f.dataType match {
+      case MapType(StringType, vt, _) => JsonlStats.numericStatType(vt)
+      case _ => false
+    }) => i
+  }
+  private val mapVt: Array[DataType] =
+    mapIdx.map(i => writeSchema.fields(i).dataType.asInstanceOf[MapType].valueType)
+  private val mapKeyMn = Array.fill(mapIdx.length)(
+    scala.collection.mutable.Map.empty[String, Double])
+  private val mapKeyMx = Array.fill(mapIdx.length)(
+    scala.collection.mutable.Map.empty[String, Double])
+  private val mapPoison = Array.fill(mapIdx.length)(false)
+
   // vector stats (r11): L2-norm and sign-cell bounds for every
   // top-level float/double array — always on (one multiply-add per
   // element, noise against the JSON encode), published as derived
@@ -968,6 +989,38 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       li += 1
     }
+    var mi = 0
+    while (mi < mapIdx.length) {
+      val i = mapIdx(mi)
+      if (!mapPoison(mi) && !row.isNullAt(i)) {
+        val mp = row.getMap(i)
+        val ks = mp.keyArray(); val vs = mp.valueArray()
+        var j = 0
+        while (j < mp.numElements() && !mapPoison(mi)) {
+          if (!vs.isNullAt(j)) {
+            val k = ks.getUTF8String(j).toString
+            val known = mapKeyMn(mi).contains(k)
+            if (!JsonlStats.mapStatKeyOk(k) ||
+              (!known && mapKeyMn(mi).size >= JsonlStats.MapKeyCap)) {
+              mapPoison(mi) = true
+              mapKeyMn(mi).clear(); mapKeyMx(mi).clear()
+            } else {
+              val v = JsonlStats.numericStatValue(mapVt(mi), vs, j)
+              if (v.isNaN) {
+                // NaN poisons THIS key's bounds to the vacuous interval
+                mapKeyMn(mi)(k) = Double.MinValue
+                mapKeyMx(mi)(k) = Double.MaxValue
+              } else {
+                if (v < mapKeyMn(mi).getOrElse(k, Double.PositiveInfinity)) mapKeyMn(mi)(k) = v
+                if (v > mapKeyMx(mi).getOrElse(k, Double.NegativeInfinity)) mapKeyMx(mi)(k) = v
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      mi += 1
+    }
     var vi = 0
     while (vi < vecIdx.length) {
       val i = vecIdx(vi)
@@ -1044,7 +1097,18 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
         s"${physOf(vecIdx(vi))}#cell" -> (vecCellMn(vi).toDouble, vecCellMx(vi).toDouble)
     }.toMap ++
       // nested leaf bounds (r12) under their dotted paths
-      leafMn.keySet.map(k => k -> (leafMn(k), leafMx(k))).toMap
+      leafMn.keySet.map(k => k -> (leafMn(k), leafMx(k))).toMap ++
+      // map-key bounds (r13) + the completeness marker; a poisoned
+      // column publishes NOTHING (absence = never pruned). The marker
+      // rides even for a column that saw no keys at all — "no key k
+      // anywhere in this file" is exactly what lets absence prune.
+      mapIdx.indices.filterNot(mapPoison).flatMap { mi =>
+        val base = physOf(mapIdx(mi))
+        (JsonlStats.mapMarkerKey(base) -> (1.0, 1.0)) +:
+          mapKeyMn(mi).toSeq.map { case (k, lo) =>
+            s"$base.$k" -> (lo, mapKeyMx(mi)(k))
+          }
+      }.toMap
     // non-null counts for EVERY column, numeric and string, including
     // all-null ones (a zero count is knowledge — COUNT(col) pushdown
     // serves it as 0)

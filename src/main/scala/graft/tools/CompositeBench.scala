@@ -67,13 +67,52 @@ object CompositeBench {
       EqualTo("user_id", 7L))
     val (userFiles, userBytes) = planned(EqualTo("user_id", 7L))
 
+    // ---- r13: scoped zorder of ONE (day, bucket) cell ----
+    // the maintenance unit of a composite layout is a cell: before the
+    // re-cluster the cell's files are (ts, user)-ordered runs whose
+    // per-file (event_id × value) bounds all straddle a 2-D box; after
+    // the Morton re-cluster (small targetBytes so the cell yields
+    // several files) each file is a 2-D tile and the box keeps a
+    // fraction. Every OTHER cell's manifest entry must be
+    // byte-identical — the scoped-maintenance contract.
+    val cell = entries.groupBy(_.pkey.get).maxBy(_._2.map(_.rows).sum)._1
+    def boxSurvivors(): (Int, Int) = {
+      val cellEntries = JsonlStats.readStats(dir).filter(_.pkey.contains(cell))
+      val idLo = cellEntries.map(_.min).min
+      val idHi = cellEntries.map(_.max).max
+      val bandLo = idLo + (idHi - idLo) * 0.45
+      val bandHi = idLo + (idHi - idLo) * 0.55
+      val hit = cellEntries.count { e =>
+        val idTouch = e.max >= bandLo && e.min <= bandHi
+        val vTouch = e.cols.get("value").forall { case (mn, mx) => mx >= 20.0 && mn <= 40.0 }
+        idTouch && vTouch
+      }
+      (hit, cellEntries.size)
+    }
+    val othersBefore = entries.filterNot(_.pkey.contains(cell))
+      .map(JsonlStats.statsLine).sorted
+    val (boxHitBefore, cellFilesBefore) = boxSurvivors()
+    val tz0 = System.nanoTime()
+    graft.sources.GraftProcedures.zorderScoped(dir, "event_id", "value",
+      4L * 1024, cell)
+    val zorderSec = (System.nanoTime() - tz0) / 1e9
+    val afterEntries = JsonlStats.readStats(dir)
+    val othersAfter = afterEntries.filterNot(_.pkey.contains(cell))
+      .map(JsonlStats.statsLine).sorted
+    val othersIdentical = othersBefore == othersAfter
+    val (boxHitAfter, cellFilesAfter) = boxSurvivors()
+
     println(
       s"""{"metric":"composite_layout","files_total":${entries.size},""" +
       s""""bytes_total":$totalBytes,"days":${days.size},""" +
       s""""files_day_window":$dayFiles,"bytes_day_window":$dayBytes,""" +
       s""""files_day_and_user":$bothFiles,"bytes_day_and_user":$bothBytes,""" +
       s""""files_user_only":$userFiles,"bytes_user_only":$userBytes,""" +
-      s""""ingest_sec":${"%.2f".format(ingestSec)}}""")
+      s""""ingest_sec":${"%.2f".format(ingestSec)},""" +
+      s""""zorder_cell":"$cell","zorder_cell_sec":${"%.2f".format(zorderSec)},""" +
+      s""""cell_box_files_before":"$boxHitBefore/$cellFilesBefore",""" +
+      s""""cell_box_files_after":"$boxHitAfter/$cellFilesAfter",""" +
+      s""""other_cells_byte_identical":$othersIdentical}""")
     spark.stop()
   }
 }

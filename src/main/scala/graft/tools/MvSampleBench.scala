@@ -66,6 +66,13 @@ object MvSampleBench {
     // declared: the pushdown keeps ~1% of the files at planning
     val declared = (1 to 3).map(_ => timed(
       agg("TABLESAMPLE (1 PERCENT) REPEATABLE (7)"))._2)
+    // r13: the same declared sample THROUGH a stored view — the macro
+    // expansion must not change the sample's planning or cost
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_ev AS SELECT value FROM $cat.ev")
+    val declaredView = (1 to 3).map(_ => timed(
+      spark.sql(s"SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) v " +
+        s"FROM $cat.v_ev TABLESAMPLE (1 PERCENT) REPEATABLE (7)")
+        .collect().head.getDouble(0))._2)
     val plannedFiles = {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -84,6 +91,14 @@ object MvSampleBench {
     }
 
     // ---- materialized view routing ----
+    // the honesty baseline is measured BEFORE the MV exists: once a
+    // fresh covering MV is up, CatalogMvRewrite (r13) routes this very
+    // aggregate to the backing table — which is the feature, not the
+    // baseline
+    val direct = (1 to 3).map(_ => timed(spark.sql(
+      s"SELECT event_type, count(*) AS n, " +
+        s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+        s"FROM $cat.ev GROUP BY event_type").collect())._2)
     spark.sql(s"CALL $cat.create_materialized_view('mv_rev', " +
       s"'SELECT event_type, count(*) AS n, " +
       s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
@@ -91,7 +106,9 @@ object MvSampleBench {
     def mvRead(): Double =
       timed(spark.sql(s"SELECT * FROM $cat.mv_rev").collect())._2
     val freshMs = (1 to 5).map(_ => mvRead())
-    val direct = (1 to 3).map(_ => timed(spark.sql(
+    // r13: the raw-table aggregate TRANSPARENTLY routed to the backing
+    // while the MV is fresh — the rewrite's measured win over `direct`
+    val rewritten = (1 to 5).map(_ => timed(spark.sql(
       s"SELECT event_type, count(*) AS n, " +
         s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
         s"FROM $cat.ev GROUP BY event_type").collect())._2)
@@ -138,9 +155,9 @@ object MvSampleBench {
     println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
       s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
       s""""full_scan_s":${f"${med(full)}%.3f"},"sample_undeclared_s":${f"${med(undeclared)}%.3f"},""" +
-      s""""sample_declared_s":${f"${med(declared)}%.3f"},""" +
+      s""""sample_declared_s":${f"${med(declared)}%.3f"},"sample_via_view_s":${f"${med(declaredView)}%.3f"},""" +
       s""""mv_fresh_s":${f"${med(freshMs)}%.4f"},"mv_stale_s":${f"${med(staleMs)}%.3f"},""" +
-      s""""mv_direct_agg_s":${f"${med(direct)}%.3f"},""" +
+      s""""mv_direct_agg_s":${f"${med(direct)}%.3f"},"mv_rewrite_routed_s":${f"${med(rewritten)}%.4f"},""" +
       s""""mv_refresh_s":${f"$refreshS%.2f"},"mv_refresh_mode":"$refreshMode0",""" +
       s""""mv_refreshed_s":${f"${med(refreshedMs)}%.4f"},""" +
       s""""ivm_refresh_1x_s":${f"$inc1%.3f"},"ivm_mode_1x":"$incMode1",""" +

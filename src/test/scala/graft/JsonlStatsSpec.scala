@@ -4012,4 +4012,84 @@ class JsonlStatsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.`$table`").collect().head.getLong(0)
       === 1599L)
   }
+
+  test("r13 composite-layout laws: declared TABLESAMPLE prunes the " +
+    "days-x-bucket manifest deterministically, and scoped zorder " +
+    "re-clusters ONE (day, bucket) cell with every other entry " +
+    "byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl_comp13").toString
+    val cat = "graft_c13_" + java.lang.Integer.toHexString(dir.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(dir).getParent.toString)
+    val t = java.nio.file.Paths.get(dir).getFileName.toString
+    // 4 days x 4 buckets; two commits so cells carry MULTIPLE files
+    // day and user derive from EVEN bit positions, so the two parity
+    // halves (the two commits) land in the SAME (day, bucket) cells
+    (0L until 1600L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-03-${(i % 8) / 2 + 1}%02d 10:00:00"),
+        (i % 32) / 2, (i * 37 % 100).toDouble)
+    }.toDF("id", "ts", "user_id", "v").createOrReplaceTempView("comp13_src")
+    spark.sql(s"CREATE TABLE $cat.`$t` USING `graft-jsonl-stats` " +
+      "PARTITIONED BY (days(ts), bucket(4, user_id)) " +
+      "AS SELECT * FROM comp13_src WHERE id % 2 = 0")
+    spark.sql(s"INSERT INTO $cat.`$t` SELECT * FROM comp13_src WHERE id % 2 = 1")
+    val before = JsonlStats.readStats(dir)
+    assert(before.map(_.pkey.get).distinct.size >= 8,
+      "composite grain: several (day, bucket) cells")
+    // ---- declared block sampling over the composite layout ----
+    spark.sql(s"ALTER TABLE $cat.`$t` SET TBLPROPERTIES ('sampleMode'='system')")
+    def sampled() = spark.sql(s"SELECT id FROM $cat.`$t` " +
+      "TABLESAMPLE (30 PERCENT) REPEATABLE (5) ORDER BY id")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case sc: JsonlStatsScan => sc.toBatch.planInputPartitions().length }.sum
+    val kept = planned(sampled())
+    assert(kept > 0 && kept < before.size,
+      s"composite sample must plan a strict band subset ($kept of ${before.size})")
+    assert(sampled().collect().toSeq === sampled().collect().toSeq,
+      "REPEATABLE sampling must be deterministic on a composite layout")
+    // a day predicate ABOVE the sample composes: same-or-fewer rows,
+    // the band's files still decide planning (ViewsSpec pins the
+    // shape laws; here: correctness on the composite pkey hash path)
+    val dayCut = spark.sql(s"SELECT id FROM $cat.`$t` " +
+      "TABLESAMPLE (30 PERCENT) REPEATABLE (5) " +
+      "WHERE ts >= TIMESTAMP'2024-03-02 00:00:00' AND ts < TIMESTAMP'2024-03-03 00:00:00' " +
+      "ORDER BY id")
+    val full = sampled().collect().map(_.getLong(0)).toSet
+    assert(dayCut.collect().map(_.getLong(0)).forall(id =>
+      full.contains(id) && (id % 8 == 2 || id % 8 == 3)),
+      "filter-above must subset the sampled band")
+    // ---- scoped zorder on ONE (day, bucket) cell ----
+    spark.sql(s"ALTER TABLE $cat.`$t` UNSET TBLPROPERTIES ('sampleMode')")
+    val cell = before.groupBy(_.pkey.get).collect { case (k, fs) if fs.size > 1 => k }
+      .toSeq.sorted.head
+    val box = spark.sql(s"SELECT id, user_id, v FROM $cat.`$t` " +
+      "WHERE user_id BETWEEN 2 AND 9 AND v BETWEEN 10 AND 40 ORDER BY id").collect().toSeq
+    spark.sql(s"CALL $cat.zorder('$t', 'user_id', 'v', ${64L * 1024 * 1024}, " +
+      s"partition => '$cell')")
+    val after = JsonlStats.readStats(dir)
+    val beforeOther = before.filterNot(_.pkey.contains(cell)).map(JsonlStats.statsLine).toSet
+    val afterOther = after.filterNot(_.pkey.contains(cell)).map(JsonlStats.statsLine).toSet
+    assert(afterOther === beforeOther,
+      "every entry outside the re-clustered cell must be byte-identical")
+    val cellAfter = after.filter(_.pkey.contains(cell))
+    assert(cellAfter.nonEmpty && cellAfter.map(_.file).toSet
+      .intersect(before.filter(_.pkey.contains(cell)).map(_.file).toSet).isEmpty,
+      "the scoped cell must have been rewritten")
+    assert(cellAfter.forall(_.pspec.contains("days(ts),bucket(4,user_id)")),
+      "fresh entries must carry the composite spec stamp")
+    // the 2-D box reads the same rows after the re-cluster
+    assert(spark.sql(s"SELECT id, user_id, v FROM $cat.`$t` " +
+      "WHERE user_id BETWEEN 2 AND 9 AND v BETWEEN 10 AND 40 ORDER BY id")
+      .collect().toSeq === box, "re-clustering must not change any result")
+  }
 }

@@ -530,4 +530,82 @@ class TypedColumnsSpec extends SparkSpec {
     val v1 = spark.sql(s"SELECT count(*) FROM $cat.`$t` VERSION AS OF 1").head().getLong(0)
     assert(v1 === 20L)
   }
+
+  test("map-key statistics: per-key bounds prune files, absent keys prune " +
+    "under the completeness marker, null values and poisoned columns stay " +
+    "conservative, compaction merges by union (r13)") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("shard", StringType, nullable = false),
+      StructField("props", MapType(StringType, LongType), nullable = true)))
+    val dir = Files.createTempDirectory("typed_mapstats").toString
+    // 8 shards, one file each; shard k carries props['a'] = k, plus a
+    // null-valued key and (shard 0 only) a key 'rare' no other file has
+    val rows = (0L until 800L).map { i =>
+      val k = i % 8
+      val base = Map[String, Any]("a" -> k, "b" -> i, "nul" -> null)
+      Row(i, k.toString, if (k == 0) base + ("rare" -> 7L) else base)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").option("partitionColumn", "shard")
+      .mode("overwrite").save()
+    val stats = graft.sources.JsonlStats.readStats(dir)
+    assert(stats.size === 8)
+    // the writer published per-key bounds + the completeness marker
+    assert(stats.forall(_.cols.contains("props#mk")), stats.head.cols.keySet)
+    assert(stats.forall(_.cols.contains("props.a")))
+    // a null VALUE contributes no bounds: the key is absent from stats
+    assert(stats.forall(st => !st.cols.contains("props.nul")))
+    def read() = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // point lookup on a per-file-constant key: 1 of 8 files
+    assert(plannedFiles(read().filter("props['a'] = 3")) === 1)
+    val hitRows = read().filter("props['a'] = 3").collect()
+    assert(hitRows.length === 100 && hitRows.forall(_.getString(1) == "3"))
+    // range band composes conjunctively
+    assert(plannedFiles(read().filter("props['a'] >= 2 AND props['a'] <= 4")) === 3)
+    // ABSENT key + marker: zero files planned, zero rows — and the
+    // 'rare' key present only in shard 0 plans exactly that file
+    assert(plannedFiles(read().filter("props['zz'] > 0")) === 0)
+    assert(read().filter("props['zz'] > 0").count() === 0)
+    assert(plannedFiles(read().filter("props['rare'] = 7")) === 1)
+    assert(read().filter("props['rare'] = 7").count() === 100)
+    // null-valued keys never match a comparison and never mis-prune
+    assert(read().filter("props['nul'] > 0").count() === 0)
+    // POISON: >64 distinct keys in one file drops that file's key stats
+    // (no marker), so even absent keys keep it — conservative, correct
+    val dirP = Files.createTempDirectory("typed_mapstats_poison").toString
+    val wide = (0L until 10L).map(i =>
+      Row(i, "w", (0 until 70).map(j => s"k$j" -> (j.toLong: Any)).toMap))
+    spark.createDataFrame(spark.sparkContext.parallelize(wide, 1), s)
+      .write.format("graft-jsonl-stats").option("path", dirP)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val pStats = graft.sources.JsonlStats.readStats(dirP)
+    assert(pStats.forall(st => !st.cols.contains("props#mk")),
+      "cap overflow must drop the marker")
+    def readP() = spark.read.format("graft-jsonl-stats").option("path", dirP).load()
+    assert(plannedFiles(readP().filter("props['zz'] > 0")) === pStats.size,
+      "a poisoned column must never prune")
+    assert(readP().filter("props['k3'] = 3").count() === 10L)
+    // COMPACTION merges by UNION under the marker: append a second
+    // shard-0 file WITHOUT 'rare', then compact — the bin merges two
+    // marked files with different key sets, and the merged entry must
+    // keep the union of keys (the intersection rule would drop 'rare'
+    // while keeping the marker and wrongly prune the merged file)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9000L, "0", Map[String, Any]("a" -> 0L, "b" -> 9000L))), 1), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").option("partitionColumn", "shard")
+      .mode("append").save()
+    graft.sources.GraftProcedures.compact(dir, targetBytes = Long.MaxValue)
+    val merged = graft.sources.JsonlStats.readStats(dir)
+    val shard0 = merged.filter(_.pkey.contains("0"))
+    assert(shard0.size === 1, "shard 0 must have compacted to one file")
+    assert(shard0.head.cols.contains("props.rare"),
+      "union merge must keep the rare key's bounds")
+    assert(shard0.head.cols.contains("props#mk"))
+    assert(read().filter("props['rare'] = 7").count() === 100,
+      "post-compaction rare-key slice must still find its rows")
+    assert(read().filter("props['zz'] > 0").count() === 0)
+  }
 }

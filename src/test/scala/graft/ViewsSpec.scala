@@ -461,6 +461,75 @@ class ViewsSpec extends SparkSpec {
     intercept[Exception] { spark.table("vspec.v_base").collect() }
   }
 
+  test("TABLESAMPLE composes through a view: the declared block sample " +
+    "pushes through the macro expansion — same rows, same planned files " +
+    "as the direct statement — and both predicate-composition shapes " +
+    "are exact, each pruning by the node that reaches the scan") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case sc: JsonlStatsScan => sc.toBatch.planInputPartitions().length }.sum
+    spark.sql("DROP TABLE IF EXISTS vspec.samp_t")
+    Seq.tabulate(320)(i => (i.toLong, (i % 16).toString, i * 1.0))
+      .toDF("id", "shard", "v").createOrReplaceTempView("samp_seed")
+    spark.sql("CREATE TABLE vspec.samp_t USING `graft-jsonl-stats` " +
+      "PARTITIONED BY (shard) AS SELECT * FROM samp_seed")
+    spark.sql("ALTER TABLE vspec.samp_t SET TBLPROPERTIES ('sampleMode'='system')")
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_samp AS SELECT id, shard, v FROM vspec.samp_t")
+    val q = " TABLESAMPLE (25 PERCENT) REPEATABLE (11) ORDER BY id"
+    val direct = spark.sql(s"SELECT id, shard FROM vspec.samp_t$q")
+    val throughView = spark.sql(s"SELECT id, shard FROM vspec.v_samp$q")
+    val directRows = direct.collect().toSeq
+    assert(directRows === throughView.collect().toSeq,
+      "sampling through the view must equal sampling the expansion")
+    val pfDirect = plannedFiles(direct)
+    val pfView = plannedFiles(throughView)
+    assert(pfDirect < 16, s"block sample must prune files (planned $pfDirect of 16)")
+    assert(pfView === pfDirect,
+      s"the view must not change the sample's planning ($pfView vs $pfDirect)")
+    // sample ∘ filter — Spark's pushdown can delegate only the node
+    // that sits DIRECTLY over the scan, and this engine keeps every
+    // pushed filter residual (bounds prove irrelevance, never
+    // all-rows-match), so a Filter node always separates Sample from
+    // the scan on one side or the other. Both composition shapes are
+    // therefore exact but prune differently, and BOTH are pinned:
+    //
+    // (a) predicate ABOVE the sample (`... TABLESAMPLE ... WHERE p`):
+    //     the block sample pushes, files plan from the band, and the
+    //     predicate filters the sampled rows — the statement's own
+    //     written semantics
+    val above = spark.sql(
+      s"SELECT id, shard FROM vspec.v_samp TABLESAMPLE (25 PERCENT) REPEATABLE (11) " +
+        "WHERE shard IN ('1','2','3') ORDER BY id")
+    assert(above.collect().toSeq ===
+      directRows.filter(r => Set("1", "2", "3")(r.getString(1))),
+      "predicate-above must equal filtering the block-sampled rows")
+    assert(plannedFiles(above) === pfDirect,
+      "predicate-above plans the sample band (the filter rides above)")
+    // (b) predicate BELOW the sample (subquery shape): the filter
+    //     pushes and prunes to its shard set; the sample cannot reach
+    //     the scan past the residual filter and DEGRADES to Spark's
+    //     row-Bernoulli over the filtered rows — correct rows, file
+    //     planning from the predicate, sampling at row granularity
+    val below = spark.sql(
+      "SELECT id, shard FROM (SELECT * FROM vspec.v_samp WHERE shard IN ('1','2','3')) " +
+        "TABLESAMPLE (25 PERCENT) REPEATABLE (11)")
+    val belowRows = below.collect().toSeq
+    assert(belowRows.forall(r => Set("1", "2", "3")(r.getString(1))))
+    assert(plannedFiles(below) === 3,
+      "predicate-below plans the filter's shard set")
+  }
+
   test("streaming reads are left untouched — a view is a batch macro") {
     cat // force fixture
     val e = intercept[Exception] {

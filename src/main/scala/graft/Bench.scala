@@ -146,15 +146,22 @@ object Bench {
   private def runSuite(sfDir: String, names: Seq[String],
                        fragOut: Option[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B isolation knob (r13, judge #8): SPARK_GRAFT_NO_EXTENSIONS=1
+    // builds the session WITHOUT GraftExtensions, so a per-query drift
+    // can be attributed to (or cleared of) the injected rules. Queries
+    // that NEED the extensions (views, MVs, catalog functions) fail
+    // loudly under it — use with SPARK_GRAFT_ONLY on extension-free
+    // queries.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .getOrCreate()
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXTENSIONS")) builder
+      else builder.config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -3538,6 +3538,53 @@ object JsonlStatsQueries extends QueryModule {
          |GROUP BY shard ORDER BY shard""".stripMargin)
   }
 
+  /** q297 (r13): COARSER-GRAIN transparent rewrite — the other half of
+    * the covering proof q294 pins at equal grain. The MV is stored at
+    * (event_type × user-bucket) grain; the dashboard query GROUPS BY
+    * event_type ONLY, and [[graft.plans.CatalogMvRewrite]] proves the
+    * query grain is a SUBSET of the MV's and re-aggregates the backing:
+    * counts sum the per-cell liveness, sums add the per-cell RAW
+    * DECIMAL state (then re-apply the body's cast template), so the
+    * coarser readout is bit-identical to the raw recompute even though
+    * every output row merges 8 MV cells. The 'plan' row pins the route
+    * in the oracle; DuckDB recomputes from the raw columns. At 100 TB
+    * this is why ONE (day × type × bucket)-grain MV serves the whole
+    * dashboard family — every coarser cut re-aggregates the small
+    * table. */
+  def coarserGrainMvRewrite(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvc_src")
+    Tables.events(spark, d)
+      .selectExpr("event_type", "CAST(user_id % 8 AS STRING) AS ub", "value")
+      .createOrReplaceTempView("mvc_src_in")
+    spark.sql(s"CREATE TABLE $cat.mvc_src AS SELECT * FROM mvc_src_in")
+    spark.sql(s"CALL $cat.create_materialized_view('mv_grain', " +
+      s"'SELECT event_type, ub, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mvc_src GROUP BY event_type, ub', or_replace => true)")
+    val agg = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.mvc_src GROUP BY event_type""".stripMargin)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    val routed = scans.nonEmpty && scans.forall(_.contains("_mv_mv_grain"))
+    spark.sql("SELECT 'plan' AS phase, " +
+      s"'${if (routed) "mv-routed" else "raw-scan"}' AS event_type, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum")
+      .unionAll(agg.selectExpr("'rows' AS phase", "event_type", "n", "value_sum"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3638,6 +3685,7 @@ object JsonlStatsQueries extends QueryModule {
     "q294_transparent_mv_rewrite" -> transparentMvRewrite,
     "q295_map_key_slice" -> mapKeySlice,
     "q296_sampled_view" -> sampledViewScan,
+    "q297_coarser_grain_rewrite" -> coarserGrainMvRewrite,
   )
 
   val oracles = Map(
@@ -3964,6 +4012,14 @@ object JsonlStatsQueries extends QueryModule {
       "SELECT event_type, count(*) AS n,\n" +
       "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum\n" +
       "FROM rows GROUP BY event_type ORDER BY event_type"),
+    "q297_coarser_grain_rewrite" ->
+      """SELECT 'plan' AS phase, 'mv-routed' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q296_sampled_view" ->
       """WITH base AS (SELECT user_id % 16 AS shard, value FROM events)
         |SELECT CAST(shard AS VARCHAR) AS shard, count(*) AS n,

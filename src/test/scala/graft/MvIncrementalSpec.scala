@@ -161,4 +161,26 @@ class MvIncrementalSpec extends SparkSpec {
     assert(refreshMode("mv5") === "incremental")
     assert(mvRows("mv5") === direct(body))
   }
+
+  test("a source COMPACTION window cancels arithmetically: re-emitted rows " +
+    "net zero in the signed delta, the merge only applies the true change") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src6")
+    spark.sql("CREATE TABLE mvinc.src6 (k STRING, v DOUBLE) USING `graft-jsonl-stats`")
+    spark.sql("INSERT INTO mvinc.src6 VALUES ('a', 1.0), ('b', 2.0)")
+    spark.sql("INSERT INTO mvinc.src6 VALUES ('a', 3.0), ('c', 4.0)")
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM mvinc.src6 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv6', '$body', or_replace => true)")
+    // the window: one real append + a compaction that rewrites EVERY
+    // file (each untouched row appears at -1 and +1 and must net zero)
+    spark.sql("INSERT INTO mvinc.src6 VALUES ('b', 10.0)")
+    val root6 = java.nio.file.Paths.get(root, "src6").toString
+    graft.sources.GraftProcedures.compact(root6, targetBytes = Long.MaxValue)
+    assert(refreshMode("mv6") === "incremental")
+    assert(mvRows("mv6") === direct(body),
+      "compaction noise must cancel inside the signed sums")
+    // and a second no-change refresh is a noop
+    assert(refreshMode("mv6") === "noop")
+  }
 }

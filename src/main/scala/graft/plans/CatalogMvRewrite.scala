@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.{GraftCatalog, GraftViews, JsonlStatsTable}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -63,7 +63,7 @@ import java.nio.file.{Files, Path, Paths}
   * analysis cached by (sidecar file, mtime).
   */
 class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
-  import MvIncremental.{CountSlot, LivenessCol, Shape, SumSlot}
+  import MvIncremental.{CountSlot, LivenessCol, MaxSlot, MinSlot, Shape, SumSlot}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(gs, res, child, _) if gs.nonEmpty =>
@@ -259,6 +259,19 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               rebase(b, rel.output).exists(_.semanticEquals(q)) })
             .flatMap(s => sumOf(s.aux))
             .map(s => Coalesce(Seq(s, Literal(0L, LongType))))
+        // MIN/MAX re-aggregate exactly from the per-group extrema (the
+        // backing is FRESH, so deletions are already folded in) — the
+        // insert-only restriction is the REFRESH's, not the rewrite's
+        case mn: Min =>
+          val e = inline(mn.child)
+          sh.slots.find(s => s.kind == MinSlot &&
+            rebase(s.fnChildren.head, rel.output).exists(_.semanticEquals(e)))
+            .flatMap(s => mvAttr(s.aux).map(a => ae.copy(aggregateFunction = Min(a))))
+        case mx: Max =>
+          val e = inline(mx.child)
+          sh.slots.find(s => s.kind == MaxSlot &&
+            rebase(s.fnChildren.head, rel.output).exists(_.semanticEquals(e)))
+            .flatMap(s => mvAttr(s.aux).map(a => ae.copy(aggregateFunction = Max(a))))
         case _ => None
       }
     }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
 
@@ -61,6 +61,13 @@ object MvIncremental {
   sealed trait SlotKind
   case object SumSlot extends SlotKind
   case object CountSlot extends SlotKind
+  /** MIN/MAX (r13b): exact under ANY merge (comparisons, no
+    * arithmetic), but a DELETION can retract the stored extremum — so
+    * these slots are INSERT-ONLY-maintainable: the refresh takes the
+    * delta path only when the window removed no file identity
+    * ([[graft.sources.ChangeFeed.windowInsertOnly]]), else RTAS. */
+  case object MinSlot extends SlotKind
+  case object MaxSlot extends SlotKind
 
   /** One aggregate occurrence in the body's SELECT list. `raw` is the
     * resolved AggregateExpression (bound to the body's child), kept for
@@ -76,6 +83,8 @@ object MvIncremental {
     def fnChildren: Seq[Expression] = raw.aggregateFunction match {
       case su: Sum => Seq(su.child)
       case c: Count => c.children
+      case m: Min => Seq(m.child)
+      case m: Max => Seq(m.child)
       case _ => Nil
     }
   }
@@ -93,6 +102,10 @@ object MvIncremental {
   case class Shape(outs: Seq[OutCol], slots: Seq[Slot], condSql: Option[String],
                    aggregate: Aggregate, contract: Option[Project]) {
     def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
+    /** MIN/MAX present ⇒ the delta path additionally requires an
+      * insert-only window. */
+    def needsInsertOnly: Boolean =
+      slots.exists(sl => sl.kind == MinSlot || sl.kind == MaxSlot)
     def auxCols: Seq[String] =
       LivenessCol +: slots.flatMap(s =>
         s.aux +: (if (s.kind == SumSlot) Seq(s.nn) else Nil))
@@ -198,6 +211,22 @@ object MvIncremental {
             deltaSql = s"CAST(SUM(CASE WHEN $conds THEN _sign ELSE 0 END) AS BIGINT)",
             nnDeltaSql = None, typeSql = LongType.sql)
           Some(j)
+        // MIN/MAX: exact for every orderable type (comparisons only),
+        // gated to insert-only windows by the caller. The delta ignores
+        // _sign — a MIN over inserted rows IS the window's contribution
+        // (deletions force RTAS before this SQL ever runs).
+        case m: Min if !hasMap(ae.dataType) =>
+          val j = slots.size
+          slots += Slot(j, MinSlot, ae,
+            deltaSql = s"MIN(${bareSql(m.child)})",
+            nnDeltaSql = None, typeSql = ae.dataType.sql)
+          Some(j)
+        case m: Max if !hasMap(ae.dataType) =>
+          val j = slots.size
+          slots += Slot(j, MaxSlot, ae,
+            deltaSql = s"MAX(${bareSql(m.child)})",
+            nnDeltaSql = None, typeSql = ae.dataType.sql)
+          Some(j)
         case _ => None
       }
     }
@@ -262,7 +291,7 @@ object MvIncremental {
         case SumSlot =>
           val child = s.raw.aggregateFunction.asInstanceOf[Sum].child
           Seq(raw, Alias(Count(Seq(child)).toAggregateExpression(), s.nn)())
-        case CountSlot => Seq(raw)
+        case _ => Seq(raw)
       }
     }
     val augAgg = agg.copy(aggregateExpressions = agg.aggregateExpressions ++ auxAliases)
@@ -302,6 +331,10 @@ object MvIncremental {
       s"CASE WHEN (b.${q(s.nn)} + d.${q(s.nn)}) = 0 THEN CAST(NULL AS ${s.typeSql}) " +
         s"ELSE CAST(coalesce(b.${q(s.aux)}, 0) + coalesce(d.${q(s.aux)}, 0) AS ${s.typeSql}) END"
     case CountSlot => s"CAST(b.${q(s.aux)} + d.${q(s.aux)} AS BIGINT)"
+    // Spark's least/greatest SKIP nulls (both-null gives NULL) —
+    // exactly SQL's MIN/MAX-ignore-nulls merge, no counters needed
+    case MinSlot => s"least(b.${q(s.aux)}, d.${q(s.aux)})"
+    case MaxSlot => s"greatest(b.${q(s.aux)}, d.${q(s.aux)})"
   }
 
   /** Slot value for a group new to the backing: the delta IS the state

@@ -67,6 +67,24 @@ object ChangeFeed {
     pre.withColumn("_sign", lit(-1)).unionByName(post.withColumn("_sign", lit(1)))
   }
 
+  /** Is the (fromV, toV] window INSERT-ONLY — no file-identity left the
+    * manifest? Pure manifest arithmetic (no data IO). A removal means
+    * rows disappeared or changed (COW rewrite, DV growth, eqdel upsert,
+    * compaction all change identities), which is what decides whether
+    * MIN/MAX aggregates can maintain incrementally: inserts only ever
+    * extend an extremum, deletions can retract one. */
+  def windowInsertOnly(root: String, fromV: Int, toV: Int): Boolean = {
+    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
+    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
+    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
+    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
+    def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
+        s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
+      (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)
+    val toKeys = toStats.map(ident(eqTo)).toSet
+    fromStats.forall(s => toKeys.contains(ident(eqFrom)(s)))
+  }
+
   /** The (removed, added) file-identity legs of a version window, each
     * as a DataFrame over a derived manifest carrying its own version's
     * dv/eqdel masks — shared by [[tableChanges]] and

@@ -2533,6 +2533,12 @@ object GraftProcedures {
         val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
         if (!shape.auxCols.forall(backingCols.contains)) return None
         val srcRoot = Paths.get(root, srcRel.split('/').toSeq: _*).toString
+        // MIN/MAX slots maintain only over INSERT-ONLY windows: a
+        // removed file identity could retract the stored extremum,
+        // which no merge of extrema can express — fall back to RTAS
+        // (windowInsertOnly is pure manifest arithmetic)
+        if (shape.needsInsertOnly &&
+          !ChangeFeed.windowInsertOnly(srcRoot, fromV, toV)) return None
         // signed delta + the delta aggregate, ANALYZED before anything
         // mutates (a vacuumed window or unrenderable expression lands
         // here, declining to RTAS)

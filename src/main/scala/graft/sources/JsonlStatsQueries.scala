@@ -3585,6 +3585,47 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q298 (r13b): MIN/MAX incremental refresh under the INSERT-ONLY
+    * window contract. Extrema are exact under any merge (comparisons,
+    * not arithmetic — `least`/`greatest` skip nulls exactly like SQL
+    * MIN/MAX), but a deletion can RETRACT a stored extremum, which no
+    * merge of extrema can express; so the refresh takes the delta path
+    * only when the window removed no file identity (pure manifest
+    * arithmetic) and rebuilds otherwise. This lifecycle pins BOTH modes
+    * in the ORACLE: an append window refreshes 'incremental', a
+    * row-level DELETE window refreshes 'full', and the final rows must
+    * equal DuckDB's recompute either way. At 100 TB this is the
+    * append-only fact stream: the overwhelmingly common window keeps
+    * min/max/count/sum dashboards fresh at delta cost, and the rare
+    * corrective delete pays one rebuild instead of serving a stale
+    * extremum. */
+  def minMaxMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvm_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mvm_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvm_src AS
+         |SELECT event_id, event_type, value FROM mvm_src_in WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_minmax', " +
+      s"'SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n " +
+      s"FROM $cat.mvm_src GROUP BY event_type', or_replace => true)")
+    spark.sql(s"INSERT INTO $cat.mvm_src " +
+      "SELECT event_id, event_type, value FROM mvm_src_in WHERE event_id % 2 = 1")
+    val mode1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_minmax')")
+      .collect().head.getString(2)
+    spark.sql(s"DELETE FROM $cat.mvm_src WHERE event_id % 7 = 0")
+    val mode2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_minmax')")
+      .collect().head.getString(2)
+    spark.sql(s"SELECT 'mode-append' AS phase, '$mode1' AS event_type, " +
+      "CAST(0.0 AS DOUBLE) AS mn, CAST(0.0 AS DOUBLE) AS mx, CAST(0 AS BIGINT) AS n")
+      .unionAll(spark.sql(s"SELECT 'mode-delete' AS phase, '$mode2' AS event_type, " +
+        "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)"))
+      .unionAll(spark.sql(
+        s"SELECT 'rows' AS phase, event_type, mn, mx, n FROM $cat.mv_minmax"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3686,6 +3727,7 @@ object JsonlStatsQueries extends QueryModule {
     "q295_map_key_slice" -> mapKeySlice,
     "q296_sampled_view" -> sampledViewScan,
     "q297_coarser_grain_rewrite" -> coarserGrainMvRewrite,
+    "q298_minmax_mv_refresh" -> minMaxMvRefresh,
   )
 
   val oracles = Map(
@@ -4012,6 +4054,19 @@ object JsonlStatsQueries extends QueryModule {
       "SELECT event_type, count(*) AS n,\n" +
       "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum\n" +
       "FROM rows GROUP BY event_type ORDER BY event_type"),
+    "q298_minmax_mv_refresh" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 7 <> 0)
+        |SELECT 'mode-append' AS phase, 'incremental' AS event_type,
+        |  CAST(0.0 AS DOUBLE) AS mn, CAST(0.0 AS DOUBLE) AS mx, CAST(0 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'mode-delete', 'full', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, min(value) AS mn, max(value) AS mx,
+        |  count(*) AS n
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q297_coarser_grain_rewrite" ->
       """SELECT 'plan' AS phase, 'mv-routed' AS event_type,
         |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum

@@ -227,6 +227,13 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
             val ids = ch.drop(1).map(intLit)
             if (ids.forall(_.isDefined)) cells += ((c, ids.flatten.toSeq))
           }
+          // graft_map_get(m,'k') IN (v1..vn) -> the covering interval
+          // [min, max] (conservative: straddled files keep)
+          mapGetKey(ch(0)).foreach { c =>
+            val vs = ch.drop(1).map(numLit)
+            if (vs.forall(_.isDefined))
+              mbands += ((c, vs.flatten.min, vs.flatten.max))
+          }
         case ("=", Array(a, b)) =>
           fnCol(a, GraftCatalog.CellCanonical).zip(intLit(b))
             .foreach { case (c, id) => cells += ((c, Seq(id))) }

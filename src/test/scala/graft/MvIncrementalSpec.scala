@@ -100,8 +100,8 @@ class MvIncrementalSpec extends SparkSpec {
     assert(!mvRows("mv2").exists(_.getString(0) == "b"))
   }
 
-  test("ineligible shapes decline to the full rebuild and say so: MIN, " +
-    "float sum, join body, global aggregate") {
+  test("ineligible shapes decline to the full rebuild and say so: AVG, " +
+    "float sum, global aggregate") {
     cat
     spark.sql("DROP TABLE IF EXISTS mvinc.src3")
     spark.sql("DROP TABLE IF EXISTS mvinc.dim3")
@@ -114,7 +114,7 @@ class MvIncrementalSpec extends SparkSpec {
       assert(refreshMode(name) === "full", name)
       assert(mvRows(name) === direct(body), name)
     }
-    check("mv_min", "SELECT k, min(v) AS mn FROM mvinc.src3 GROUP BY k")
+    check("mv_avg", "SELECT k, avg(v) AS av FROM mvinc.src3 GROUP BY k")
     check("mv_float", "SELECT k, sum(v) AS sv FROM mvinc.src3 GROUP BY k")
     check("mv_glob", "SELECT count(*) AS n FROM mvinc.src3")
   }
@@ -182,5 +182,34 @@ class MvIncrementalSpec extends SparkSpec {
       "compaction noise must cancel inside the signed sums")
     // and a second no-change refresh is a noop
     assert(refreshMode("mv6") === "noop")
+  }
+
+  test("MIN/MAX maintain over INSERT-ONLY windows (least/greatest merge, " +
+    "null-skipping); any removed file identity forces the full rebuild") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src7")
+    Seq(("a", Some(5.0)), ("a", Some(9.0)), ("b", None: Option[Double]))
+      .toDF("k", "v").createOrReplaceTempView("mvinc_seed7")
+    spark.sql("CREATE TABLE mvinc.src7 AS SELECT * FROM mvinc_seed7")
+    val body = "SELECT k, min(v) AS mn, max(v) AS mx, count(*) AS n " +
+      "FROM mvinc.src7 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv7', '$body', or_replace => true)")
+    // append window: new extremum for a, first non-null for b, new group c
+    spark.sql("INSERT INTO mvinc.src7 VALUES ('a', 1.0), ('b', 7.0), ('c', 3.0)")
+    assert(refreshMode("mv7") === "incremental")
+    assert(mvRows("mv7") === direct(body))
+    // a second append that does NOT move the extrema still merges right
+    spark.sql("INSERT INTO mvinc.src7 VALUES ('a', 4.0)")
+    assert(refreshMode("mv7") === "incremental")
+    assert(mvRows("mv7") === direct(body))
+    // a DELETE could retract a stored extremum: the window is no longer
+    // insert-only, so the refresh rebuilds — and says so
+    spark.sql("DELETE FROM mvinc.src7 WHERE v = 1.0")
+    assert(refreshMode("mv7") === "full")
+    assert(mvRows("mv7") === direct(body))
+    // and the NEXT pure-append window is incremental again
+    spark.sql("INSERT INTO mvinc.src7 VALUES ('c', -2.0)")
+    assert(refreshMode("mv7") === "incremental")
+    assert(mvRows("mv7") === direct(body))
   }
 }

@@ -562,8 +562,11 @@ class TypedColumnsSpec extends SparkSpec {
     assert(plannedFiles(read().filter("props['a'] = 3")) === 1)
     val hitRows = read().filter("props['a'] = 3").collect()
     assert(hitRows.length === 100 && hitRows.forall(_.getString(1) == "3"))
-    // range band composes conjunctively
+    // range band composes conjunctively; IN lists derive the covering
+    // interval (conservative: straddled files keep)
     assert(plannedFiles(read().filter("props['a'] >= 2 AND props['a'] <= 4")) === 3)
+    assert(plannedFiles(read().filter("props['a'] IN (1, 6)")) === 6)
+    assert(read().filter("props['a'] IN (1, 6)").count() === 200)
     // ABSENT key + marker: zero files planned, zero rows — and the
     // 'rare' key present only in shard 0 plans exactly that file
     assert(plannedFiles(read().filter("props['zz'] > 0")) === 0)

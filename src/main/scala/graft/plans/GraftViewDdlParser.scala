@@ -59,6 +59,14 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
       cm.isCatalogRegistered(name) &&
       (try cm.catalog(name).isInstanceOf[GraftCatalog] catch { case _: Exception => false })
 
+  /** An identifier whose head names a DIFFERENT registered catalog is
+    * never ours — `CREATE VIEW spark_catalog.db.v` from a graft-current
+    * session must reach Spark's own (working) v1 path, not be read as
+    * a warehouse-relative namespace. */
+  private def foreignCatalogHead(parts: Seq[String]): Boolean =
+    parts.size > 1 && !isGraftCat(parts.head) &&
+      (parts.head == "spark_catalog" || cm.isCatalogRegistered(parts.head))
+
   /** (catalog, warehouse-relative dotted name) for a view identifier,
     * or None when the target is not a graft catalog. */
   private def target(ident: String): Option[(String, String)] = {
@@ -66,7 +74,7 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
       catch { case _: Exception => return None }
     if (parts.size > 1 && isGraftCat(parts.head))
       Some((parts.head, parts.tail.mkString(".")))
-    else if (isGraftCat(cm.currentCatalog.name())) {
+    else if (!foreignCatalogHead(parts) && isGraftCat(cm.currentCatalog.name())) {
       val rel = if (parts.size == 1) (cm.currentNamespace :+ parts.head).toSeq else parts
       Some((cm.currentCatalog.name(), rel.mkString(".")))
     } else None
@@ -82,7 +90,8 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
       val parts = try delegate.parseMultipartIdentifier(id)
         catch { case _: Exception => return None }
       if (isGraftCat(parts.head)) Some((parts.head, parts.tail.mkString(".")))
-      else if (isGraftCat(cm.currentCatalog.name()))
+      else if (parts.size == 1 && parts.head == "spark_catalog") None
+      else if (!foreignCatalogHead(parts) && isGraftCat(cm.currentCatalog.name()))
         Some((cm.currentCatalog.name(), parts.mkString(".")))
       else None
   }

@@ -441,6 +441,18 @@ class ViewsSpec extends SparkSpec {
     spark.sql("DROP VIEW v_ddl_tmp") // session temp view: Spark resolves it first
     // non-view statements are untouched
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
+    // an explicit FOREIGN catalog head delegates to Spark even from a
+    // graft-current session: spark_catalog's own v1 persistent views
+    // must keep working (and never land in the warehouse)
+    spark.sql("USE vspec")
+    try {
+      spark.sql("CREATE VIEW spark_catalog.default.v_foreign AS SELECT 2 AS y")
+      assert(spark.sql("SELECT * FROM spark_catalog.default.v_foreign")
+        .collect().head.getInt(0) === 2)
+      assert(!spark.sql("SHOW VIEWS IN vspec").collect()
+        .exists(_.getString(1) == "v_foreign"), "foreign view must not land here")
+      spark.sql("DROP VIEW spark_catalog.default.v_foreign")
+    } finally spark.sql(s"USE $prev")
   }
 
   test("dropping a view another view expands through fails loudly naming " +

@@ -130,16 +130,30 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class CachedMv(d: GraftViews.ViewDef, ns: Seq[String],
                               srcRel: String, shape: Shape)
 
-  /** (sidecar path, mtime) → analyzed candidate; None = not rewritable
-    * (plain view, multi-source, non-distributive body, WHERE). The
-    * candidate carries its OWN source table — callers filter, so a
-    * probe from an unrelated table can never poison the entry. */
+  /** sidecar path → (content hash, analyzed candidate); None = not
+    * rewritable (plain view, multi-source, non-distributive body). ONE
+    * entry per path, replaced on content change — a replace/refresh
+    * never accumulates dead keys, and the identity is the sidecar's
+    * BYTES (SHA-256), so a same-millisecond CREATE OR REPLACE with a
+    * different body can never serve the prior body's shape (the old
+    * mtime key could). The candidate carries its OWN source table —
+    * callers filter, so a probe from an unrelated table can never
+    * poison the entry. */
   private val shapeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[CachedMv]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Option[CachedMv])]()
 
-  /** Fresh covering-MV candidates for a source table: sidecars in the
-    * source's own namespace and at the warehouse root whose single
-    * recorded source is this table. */
+  private def sha256(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Fresh covering-MV candidates for a source table. PLACEMENT
+    * CONTRACT (pinned in ViewsSpec): sidecars are searched in the
+    * source table's own namespace and at the warehouse root — an MV
+    * created in a SIBLING namespace over this source never fires the
+    * transparent rewrite (reads through its own name still work). The
+    * bound keeps the per-aggregate probe at two directory listings
+    * instead of a warehouse walk. */
   private def candidates(catName: String, cat: GraftCatalog,
                          srcRel: String): Seq[CachedMv] = {
     val root = Paths.get(cat.warehouseRoot)
@@ -150,10 +164,18 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     nsDirs.flatMap { case (ns, nsDir) =>
       GraftViews.list(nsDir).flatMap { name =>
         val f = GraftViews.viewFile(nsDir, name)
-        val mtime = try Files.getLastModifiedTime(f).toMillis catch { case _: Exception => -1L }
-        shapeCache.computeIfAbsent((f.toString, mtime), { _ =>
-          analyzeCandidate(catName, cat, ns, nsDir, name)
-        })
+        val bytes = try Files.readAllBytes(f) catch { case _: Exception => null }
+        if (bytes == null) None
+        else {
+          val h = sha256(bytes)
+          val cached = shapeCache.get(f.toString)
+          if (cached != null && cached._1 == h) cached._2
+          else {
+            val fresh = analyzeCandidate(catName, cat, ns, nsDir, name)
+            shapeCache.put(f.toString, (h, fresh))
+            fresh
+          }
+        }
       }
     }.filter(c => c.srcRel == srcRel && GraftViews.mvFresh(cat.warehouseRoot, c.d))
   }

@@ -18,16 +18,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * that gap the cheapest sound way: it recognizes exactly the three
   * statement shapes Spark cannot route —
   *
-  *   - `CREATE [OR REPLACE] VIEW <name> AS <body>`
+  *   - `CREATE [OR REPLACE] VIEW <name> [(col, ...)] [COMMENT '...']
+  *     AS <body>` (r14: column lists and the view comment map onto the
+  *     CALL's `columns`/`comment` parameters)
   *   - `DROP VIEW [IF EXISTS] <name>`
   *   - `SHOW VIEWS [IN <namespace>]`
   *
   * — and, ONLY when the target resolves to a registered
   * [[GraftCatalog]], rewrites the statement into the equivalent CALL
-  * and hands that to the delegate parser. Everything else (including
-  * TEMPORARY views, column-list/comment/TBLPROPERTIES variants, and
-  * any statement over a non-graft catalog) passes through verbatim, so
-  * the parser is invisible outside the gap it fills. Rewriting to the
+  * and hands that to the delegate parser. TEMPORARY views and any
+  * statement over a non-graft catalog pass through verbatim, as does a
+  * single-part `DROP VIEW` whose name is a session temp view (Spark's
+  * documented precedence: the temp view drops, not the stored one —
+  * ADVICE r13). A CREATE VIEW over a graft catalog carrying a clause
+  * with no CALL mapping (TBLPROPERTIES, per-column COMMENT) fails
+  * HELPFULLY, naming `CALL create_view`, instead of falling through to
+  * Spark's opaque MISSING_CATALOG_ABILITY wall (r14). Rewriting to the
   * CALL keeps ONE implementation of the verbs: analysis-at-create,
   * the shared-identifier-space refusals, and the drop-side dependency
   * check all live in the procedures.
@@ -40,7 +46,14 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Create =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s*""" +
+      """(?:\(([^)]*)\)\s*)?(?:COMMENT\s+'((?:[^']|'')*)'\s*)?AS\s+(.+?)\s*;?\s*$""").r
+  /** A CREATE VIEW that targets a graft catalog but carries a clause
+    * [[Create]] does not recognize (TBLPROPERTIES, per-column COMMENT,
+    * ...) — intercepted to fail HELPFULLY instead of falling through to
+    * Spark's opaque MISSING_CATALOG_ABILITY wall. */
+  private val CreateHead =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)[\s(].*$""".r
   private val Drop =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val Show =
@@ -98,14 +111,54 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
 
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** A session TEMP view of this name exists — single-part DROP VIEW
+    * must reach Spark's own path (which drops the temp view, Spark's
+    * documented precedence), never the stored view of the same name.
+    * CREATE VIEW needs no such guard: Spark's non-temporary CREATE
+    * always targets the catalog even when a temp view shadows the name.
+    * Known gap: SHOW VIEWS over a graft namespace lists stored views
+    * only — session temp views don't surface through the CALL. */
+  private def hasTempView(name: String): Boolean =
+    try spark.sessionState.catalog.getTempView(name).isDefined
+    catch { case _: Exception => false }
+
+  /** The parenthesised column list of a CREATE VIEW: plain names only
+    * (backticks stripped). A decorated entry (COMMENT, types, ...) has
+    * no CALL mapping — fail naming the supported surface. */
+  private def columnList(raw: String, ident: String): Seq[String] = {
+    val cols = raw.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cols.map { c =>
+      val bare = c.stripPrefix("`").stripSuffix("`")
+      if (bare.isEmpty || bare.exists(ch => ch.isWhitespace || ch == '`' || ch == '\''))
+        throw new IllegalArgumentException(
+          s"unsupported column-list entry '$c' in CREATE VIEW $ident over a graft " +
+            "catalog — plain column names only (per-column COMMENT and types are " +
+            s"not supported here; use CALL <catalog>.create_view(...) for the full surface)")
+      bare
+    }
+  }
+
   private def rewrite(sqlText: String): Option[String] = sqlText match {
-    case Create(orReplace, ident, body) =>
+    case Create(orReplace, ident, colList, comment, body) =>
       target(ident).map { case (cat, rel) =>
+        val colsArg = Option(colList).map(cl =>
+          s", columns => ${lit(columnList(cl, ident).mkString(","))}").getOrElse("")
+        val commentArg = Option(comment).map(c =>
+          s", comment => ${lit(c.replace("''", "'"))}").getOrElse("")
         s"CALL `$cat`.create_view(${lit(rel)}, ${lit(body)}, " +
-          s"or_replace => ${orReplace != null})"
+          s"or_replace => ${orReplace != null}$colsArg$commentArg)"
       }
+    case CreateHead(ident) if target(ident).isDefined =>
+      throw new IllegalArgumentException(
+        s"unsupported CREATE VIEW clause for graft-catalog view $ident — the SQL " +
+          "surface supports CREATE [OR REPLACE] VIEW <name> [(col, ...)] " +
+          "[COMMENT '...'] AS <query>; for anything else (TBLPROPERTIES, " +
+          "per-column COMMENT, ...) use CALL <catalog>.create_view(...)")
     case Drop(ifExists, ident) =>
-      target(ident).map { case (cat, rel) =>
+      val parts = try delegate.parseMultipartIdentifier(ident)
+        catch { case _: Exception => Seq.empty }
+      if (parts.size == 1 && hasTempView(parts.head)) None
+      else target(ident).map { case (cat, rel) =>
         s"CALL `$cat`.drop_view(${lit(rel)}, if_exists => ${ifExists != null})"
       }
     case Show(ident) =>

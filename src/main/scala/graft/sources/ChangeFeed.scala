@@ -61,11 +61,28 @@ object ChangeFeed {
     * proportional to the CHANGED files, never table size — the same
     * manifest-arithmetic scaling argument as tableChanges. */
   def signedChanges(spark: SparkSession, root: String,
-                    fromV: Int, toV: Int): DataFrame = {
+                    fromV: Int, toV: Int, nonce: String = ""): DataFrame = {
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
-    val (pre, post) = diffLegs(spark, root, fromV, toV, tag = "ivm")
+    // a source column literally named `_sign` would be silently REPLACED
+    // by the tag below — the delta aggregate would then replay the tag
+    // where the body meant the data column. Decline loudly; the IVM
+    // caller catches and falls back to the always-correct full rebuild.
+    val schema = JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
+    require(!schema.fieldNames.contains("_sign"),
+      s"table at $root has a column named '_sign' — the signed change feed " +
+        "reserves that name for its multiset tag")
+    val (pre, post) = diffLegs(spark, root, fromV, toV, tag = s"ivm$nonce")
     pre.withColumn("_sign", lit(-1)).unionByName(post.withColumn("_sign", lit(1)))
   }
+
+  /** The two derived `_cdf` manifests a [[signedChanges]] call with this
+    * (window, nonce) wrote — callers delete them once the delta has been
+    * consumed (an incremental refresh would otherwise accrue one pair
+    * per window that vacuum knows nothing about). */
+  def signedManifests(root: String, fromV: Int, toV: Int,
+                      nonce: String = ""): Seq[java.nio.file.Path] =
+    Seq("removed", "added").map(leg =>
+      Paths.get(root, s"_cdf/v${fromV}_v${toV}_ivm$nonce$leg.jsonl"))
 
   /** Is the (fromV, toV] window INSERT-ONLY — no file-identity left the
     * manifest? Pure manifest arithmetic (no data IO). A removal means

@@ -2123,7 +2123,7 @@ object GraftProcedures {
   class ViewDdlUnbound(root: String, verb: String) extends UnboundProcedure {
     override def name(): String = verb
     override def description(): String = verb match {
-      case "create_view" => "create_view(name, sql[, comment][, or_replace]): store a persistent SQL view"
+      case "create_view" => "create_view(name, sql[, comment][, or_replace][, columns]): store a persistent SQL view"
       case "drop_view" => "drop_view(name): delete a stored view definition"
       case "rename_view" => "rename_view(name, to): move a stored view to a new name/namespace"
       case "list_views" => "list_views([namespace]): the stored views of a namespace"
@@ -2141,7 +2141,11 @@ object GraftProcedures {
         ProcedureParameter.in("name", StringType).build(),
         ProcedureParameter.in("sql", StringType).build(),
         ProcedureParameter.in("comment", StringType).defaultValue("''").build(),
-        ProcedureParameter.in("or_replace", BooleanType).defaultValue("false").build())
+        ProcedureParameter.in("or_replace", BooleanType).defaultValue("false").build(),
+        // r14: comma-joined column ALIASES — the view's visible column
+        // names, positionally over the body's output (the CREATE VIEW
+        // `(a, b, ...)` column-list form)
+        ProcedureParameter.in("columns", StringType).defaultValue("''").build())
       case "rename_view" => Array(
         ProcedureParameter.in("name", StringType).build(),
         ProcedureParameter.in("to", StringType).build())
@@ -2184,19 +2188,37 @@ object GraftProcedures {
         require(schema.fieldNames.toSeq.distinct.size == schema.size,
           s"view body output has duplicate column names " +
             s"(${schema.fieldNames.mkString(", ")}) — alias them apart")
+        // r14: an explicit column list renames the body's output
+        // positionally (the `CREATE VIEW v (a, b) AS ...` form) — the
+        // stored schema carries the ALIAS names (what readers see), the
+        // queryColumnNames keep the body's names (what the expansion
+        // projects by)
+        val aliases = Option(input.getUTF8String(4)).map(_.toString).filter(_.nonEmpty)
+          .map(_.split(',').map(_.trim).toSeq)
+        aliases.foreach { as =>
+          require(as.size == schema.size,
+            s"column list has ${as.size} names but the view body produces " +
+              s"${schema.size} columns (${schema.fieldNames.mkString(", ")})")
+          require(as.forall(_.nonEmpty) && as.distinct.size == as.size,
+            s"view column list must be distinct non-empty names: ${as.mkString(", ")}")
+        }
+        val visibleSchema = aliases match {
+          case Some(as) => StructType(schema.fields.zip(as).map { case (f, a) => f.copy(name = a) })
+          case None => schema
+        }
         val cm = spark.sessionState.catalogManager
         GraftViews.write(nsDir, GraftViews.ViewDef(
           name = vname, sql = sql,
           currentCatalog = cm.currentCatalog.name(),
           currentNamespace = cm.currentNamespace.toSeq,
-          schema = schema,
+          schema = visibleSchema,
           queryColumnNames = schema.fieldNames.toSeq,
-          columnAliases = schema.fieldNames.toSeq,
+          columnAliases = visibleSchema.fieldNames.toSeq,
           columnComments = Seq.empty,
           properties = comment.map(c => Map("comment" -> c)).getOrElse(Map.empty)),
           replace = orReplace)
         oneRowScan(Seq("view" -> dotted, "action" -> "created",
-          "columns" -> schema.fieldNames.mkString(",")), s"create_view $dotted")
+          "columns" -> visibleSchema.fieldNames.mkString(",")), s"create_view $dotted")
 
       case "drop_view" =>
         val dotted = input.getUTF8String(0).toString
@@ -2442,6 +2464,17 @@ object GraftProcedures {
       case "refresh_materialized_view" =>
         val dotted = input.getUTF8String(0).toString
         val (nsDir, ns, vname) = splitViewName(root, dotted)
+        // ATOMIC CLAIM (r14, ADVICE r13): refreshes of one view
+        // serialize on a per-view file lock — without it two concurrent
+        // calls could both pass the pending check and both apply the
+        // same (fromV, toV] delta window, double-counting it. The lock
+        // is an OS FileLock (released on process death, no stale-lock
+        // sweep needed) behind a JVM monitor (same-process threads
+        // would otherwise hit OverlappingFileLockException). The loser
+        // BLOCKS, then re-reads the sidecar: the winner's re-recorded
+        // versions make the second refresh a noop (or a genuinely new,
+        // disjoint window) — never the same window twice.
+        MvRefreshLock.withLock(nsDir, vname) {
         val d = GraftViews.read(nsDir, vname)
           .getOrElse(throw new IllegalArgumentException(s"no such view '$dotted' under $root"))
         val backing = d.properties.getOrElse(GraftViews.MvTableProp,
@@ -2496,6 +2529,29 @@ object GraftProcedures {
         oneRow(Seq("view" -> dotted, "action" -> "refreshed", "mode" -> mode,
           "sources" -> GraftViews.mvSourcesEncode(versions)),
           s"refresh_materialized_view $dotted")
+        }
+    }
+  }
+
+  /** Per-view refresh serialization (r14): JVM monitor for same-process
+    * threads + OS [[java.nio.channels.FileLock]] for cross-process —
+    * the OS releases the lock on process death, so a crashed holder
+    * never wedges future refreshes (the pending MARKER, not this lock,
+    * carries crash-recovery semantics). */
+  private object MvRefreshLock {
+    private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def withLock[T](nsDir: java.nio.file.Path, vname: String)(f: => T): T = {
+      val lockPath = nsDir.resolve("_views").resolve(s".$vname.refresh.lock")
+      Files.createDirectories(lockPath.getParent)
+      val key = lockPath.toAbsolutePath.normalize.toString
+      monitors.computeIfAbsent(key, _ => new Object).synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try f finally lock.release()
+        } finally ch.close()
+      }
     }
   }
 
@@ -2541,10 +2597,14 @@ object GraftProcedures {
           !ChangeFeed.windowInsertOnly(srcRoot, fromV, toV)) return None
         // signed delta + the delta aggregate, ANALYZED before anything
         // mutates (a vacuumed window or unrenderable expression lands
-        // here, declining to RTAS)
+        // here, declining to RTAS). The nonce makes this call's derived
+        // _cdf manifests private — deletable on exit without racing a
+        // concurrent refresh of ANOTHER view over the same source.
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
         val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
         val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
-        ChangeFeed.signedChanges(spark, srcRoot, fromV, toV)
+        try {
+        ChangeFeed.signedChanges(spark, srcRoot, fromV, toV, nonce)
           .createOrReplaceTempView(signedView)
         val delta = spark.sql(MvIncremental.deltaSql(shape, signedView))
         delta.createOrReplaceTempView(deltaView)
@@ -2576,6 +2636,13 @@ object GraftProcedures {
         } finally {
           spark.catalog.dropTempView(signedView)
           spark.catalog.dropTempView(deltaView)
+        }
+        } finally {
+          // the delta was consumed (or the attempt declined) — the
+          // derived window manifests are garbage now, and nothing else
+          // (vacuum included) would ever sweep them (ADVICE r13)
+          ChangeFeed.signedManifests(srcRoot, fromV, toV, nonce)
+            .foreach(java.nio.file.Files.deleteIfExists)
         }
       } catch {
         case e: Exception => // any unprovable leg: RTAS

@@ -4,6 +4,7 @@ import graft.sources.{GraftCatalog, GraftViews}
 import org.apache.spark.sql.DataFrame
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Incremental materialized-view refresh
   * ([[graft.plans.MvIncremental]] + the refresh procedure's delta-merge
@@ -182,6 +183,69 @@ class MvIncrementalSpec extends SparkSpec {
       "compaction noise must cancel inside the signed sums")
     // and a second no-change refresh is a noop
     assert(refreshMode("mv6") === "noop")
+  }
+
+  test("concurrent refreshes of one view serialize on the per-view claim: " +
+    "the delta window applies exactly once (ADVICE r13)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src8")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_seed8")
+    spark.sql("CREATE TABLE mvinc.src8 AS SELECT * FROM mvinc_seed8")
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM mvinc.src8 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv8', '$body', or_replace => true)")
+    spark.sql("INSERT INTO mvinc.src8 VALUES ('a', 5.0), ('c', 9.0)")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val modes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val futures = (1 to 2).map(_ => pool.submit(new Runnable {
+      override def run(): Unit = { barrier.await(); modes.add(refreshMode("mv8")) }
+    }))
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // the claim serializes: the winner applies the window, the loser
+    // re-reads the sidecar and sees NOTHING left to do — never the same
+    // window applied twice (doubled sums would fail the recompute check)
+    assert(modes.asScala.toSeq.sorted === Seq("incremental", "noop").sorted
+      || modes.asScala.toSeq.sorted === Seq("full", "noop").sorted, modes.asScala)
+    assert(mvRows("mv8") === direct(body),
+      "a doubled delta window would show here as doubled sums")
+  }
+
+  test("a source column named _sign declines the signed delta (the tag " +
+    "would shadow it) and rebuilds fully — correct either way (ADVICE r13)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src9")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "_sign").createOrReplaceTempView("mvinc_seed9")
+    spark.sql("CREATE TABLE mvinc.src9 AS SELECT * FROM mvinc_seed9")
+    val body = "SELECT k, sum(_sign) AS s9, count(*) AS n FROM mvinc.src9 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv9', '$body', or_replace => true)")
+    spark.sql("INSERT INTO mvinc.src9 VALUES ('a', 7)")
+    assert(refreshMode("mv9") === "full",
+      "a _sign source column must force the full rebuild, never replay the tag")
+    assert(mvRows("mv9") === direct(body))
+  }
+
+  test("consumed signed-delta manifests are swept: an incremental refresh " +
+    "leaves no _cdf ivm files behind (ADVICE r13)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.src10")
+    Seq(("a", 1.0)).toDF("k", "v").createOrReplaceTempView("mvinc_seed10")
+    spark.sql("CREATE TABLE mvinc.src10 AS SELECT * FROM mvinc_seed10")
+    val body = "SELECT k, count(*) AS n FROM mvinc.src10 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv10', '$body', or_replace => true)")
+    spark.sql("INSERT INTO mvinc.src10 VALUES ('b', 2.0)")
+    assert(refreshMode("mv10") === "incremental")
+    val cdf = java.nio.file.Paths.get(root, "src10", "_cdf")
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(cdf)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(cdf)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains("ivm")).toSeq
+        finally s.close()
+      }
+    assert(leftover.isEmpty, s"ivm manifests must be swept after the merge: $leftover")
   }
 
   test("MIN/MAX maintain over INSERT-ONLY windows (least/greatest merge, " +

@@ -550,4 +550,133 @@ class ViewsSpec extends SparkSpec {
     // table-not-found (the rule skipped it), never a silent expansion
     assert(e.getMessage.contains("v_sum"))
   }
+
+  test("CREATE VIEW column lists and COMMENT map onto the CALL surface; " +
+    "clauses with no mapping fail naming CALL create_view (r14)") {
+    cat
+    // column list renames the body's output positionally
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_cols (grp, total) AS " +
+      "SELECT k, sum(v) AS sv FROM vspec.t1 GROUP BY k")
+    assert(spark.table("vspec.v_cols").schema.fieldNames.toSeq === Seq("grp", "total"))
+    assert(spark.sql("SELECT grp, total FROM vspec.v_cols WHERE grp = 'a'")
+      .collect().head.getDouble(1) === 40.0)
+    // the view COMMENT lands in the stored properties
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_com COMMENT 'it''s documented' AS " +
+      "SELECT k FROM vspec.t1")
+    val d = GraftViews.read(java.nio.file.Paths.get(root), "v_com").get
+    assert(d.properties.get("comment").contains("it's documented"))
+    // both forms together
+    spark.sql("CREATE OR REPLACE VIEW vspec.v_both (kk) COMMENT 'both' AS " +
+      "SELECT k FROM vspec.t1")
+    assert(spark.table("vspec.v_both").schema.fieldNames.toSeq === Seq("kk"))
+    // a count mismatch fails loudly at create
+    val bad = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW vspec.v_badcols (a, b, c) AS SELECT k FROM vspec.t1")
+    }
+    assert(bad.getMessage.contains("column list"), bad.getMessage)
+    // TBLPROPERTIES has no CALL mapping: fail HELPFULLY, not with
+    // Spark's MISSING_CATALOG_ABILITY wall
+    val tbl = intercept[Exception] {
+      spark.sql("CREATE VIEW vspec.v_props TBLPROPERTIES ('a'='b') AS SELECT 1 AS x")
+    }
+    assert(tbl.getMessage.contains("create_view"), tbl.getMessage)
+    // per-column COMMENT likewise
+    val colc = intercept[Exception] {
+      spark.sql("CREATE VIEW vspec.v_colc (a COMMENT 'c') AS SELECT k FROM vspec.t1")
+    }
+    assert(colc.getMessage.contains("create_view"), colc.getMessage)
+    spark.sql("DROP VIEW vspec.v_cols")
+    spark.sql("DROP VIEW vspec.v_com")
+    spark.sql("DROP VIEW vspec.v_both")
+  }
+
+  test("single-part DROP VIEW prefers a session TEMP view over the stored " +
+    "one — Spark's documented precedence (ADVICE r13)") {
+    cat
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("USE vspec")
+    try {
+      spark.sql("CREATE VIEW v_shadow AS SELECT k FROM t1")
+      spark.sql("CREATE TEMPORARY VIEW v_shadow AS SELECT 42 AS x")
+      // the temp view shadows reads AND single-part DROP
+      spark.sql("DROP VIEW v_shadow")
+      // the STORED view survived the drop
+      assert(GraftViews.exists(java.nio.file.Paths.get(root), "v_shadow"))
+      assert(spark.sql("SELECT * FROM v_shadow").columns.toSeq === Seq("k"))
+      // with the temp view gone, the same statement now drops the stored one
+      spark.sql("DROP VIEW v_shadow")
+      assert(!GraftViews.exists(java.nio.file.Paths.get(root), "v_shadow"))
+    } finally spark.sql(s"USE $prev")
+  }
+
+  test("rewrite candidate identity is the sidecar's CONTENT: a replace " +
+    "serving the same mtime still evicts the cached shape (ADVICE r13)") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.cc_t")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("cc_seed")
+    spark.sql("CREATE TABLE vspec.cc_t AS SELECT * FROM cc_seed")
+    spark.sql("CALL vspec.create_materialized_view('mv_cc', " +
+      "'SELECT k, count(*) AS n FROM vspec.cc_t GROUP BY k', or_replace => true)")
+    val q = "SELECT k, count(*) AS n FROM vspec.cc_t GROUP BY k"
+    assert(scans(spark.sql(q)).forall(_.contains("_mv_mv_cc")), "prime the cache")
+    val sidecar = GraftViews.viewFile(java.nio.file.Paths.get(root), "mv_cc")
+    val mtime = java.nio.file.Files.getLastModifiedTime(sidecar)
+    // replace with a NON-rewritable body (DISTINCT) and pin the mtime
+    // back — only content identity can notice the change
+    spark.sql("CALL vspec.create_materialized_view('mv_cc', " +
+      "'SELECT k, count(DISTINCT v) AS n FROM vspec.cc_t GROUP BY k', or_replace => true)")
+    java.nio.file.Files.setLastModifiedTime(sidecar, mtime)
+    val after = spark.sql(q)
+    assert(scans(after).forall(s => s.contains("cc_t") && !s.contains("_mv_")),
+      s"stale cached shape served after same-mtime replace: ${scans(after)}")
+    spark.sql("CALL vspec.drop_view('mv_cc')")
+  }
+
+  test("rewrite placement contract: an MV in a SIBLING namespace over the " +
+    "source never fires the transparent rewrite; reads through its own " +
+    "name still serve the backing (r14)") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.nsa")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vspec.nsb")
+    spark.sql("DROP TABLE IF EXISTS vspec.nsa.pc_t")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("pc_seed")
+    spark.sql("CREATE TABLE vspec.nsa.pc_t AS SELECT * FROM pc_seed")
+    spark.sql("CALL vspec.create_materialized_view('nsb.mv_pc', " +
+      "'SELECT k, count(*) AS n FROM vspec.nsa.pc_t GROUP BY k', or_replace => true)")
+    // the sibling-namespace MV is invisible to the rewrite probe —
+    // the raw aggregate keeps its raw scan (the documented contract:
+    // MVs rewrite only from the source's namespace or the root)
+    val agg = spark.sql("SELECT k, count(*) AS n FROM vspec.nsa.pc_t GROUP BY k")
+    assert(scans(agg).forall(s => s.contains("pc_t") && !s.contains("_mv_")), scans(agg))
+    // reading through the MV's own name serves the backing as usual
+    val direct = spark.sql("SELECT * FROM vspec.nsb.mv_pc")
+    assert(scans(direct).forall(_.contains("_mv_mv_pc")), scans(direct))
+    spark.sql("CALL vspec.drop_view('nsb.mv_pc')")
+  }
 }

@@ -3,11 +3,11 @@ package graft.plans
 import graft.sources.{GraftCatalog, GraftViews, JsonlStatsTable}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import java.nio.file.{Files, Path, Paths}
 
@@ -281,6 +281,35 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               rebase(b, rel.output).exists(_.semanticEquals(q)) })
             .flatMap(s => sumOf(s.aux))
             .map(s => Coalesce(Seq(s, Literal(0L, LongType))))
+        // AVG (r14) re-derives from the SAME (sum, count) state AVG
+        // maintenance stores: total = Sum(raw sum state) cast back down
+        // to Average's own sum type (lossless — the true total fits it,
+        // or the recompute would have overflowed too), divided by the
+        // summed non-null count under null-on-zero semantics — the
+        // exact expression Average evaluates, so coarser-grain AVG
+        // re-aggregation is bit-identical to the raw recompute
+        case avg: Average if avg.child.dataType.isInstanceOf[DecimalType] =>
+          val e = inline(avg.child)
+          def slotFor(kind: MvIncremental.SlotKind) =
+            sh.slots.find(s => s.kind == kind && s.fnChildren.size == 1 &&
+              rebase(s.fnChildren.head, rel.output).exists(_.semanticEquals(e)))
+          for {
+            ss <- slotFor(SumSlot)
+            cs <- slotFor(CountSlot)
+            sumA <- mvAttr(ss.aux)
+            cntA <- mvAttr(cs.aux)
+          } yield {
+            // fresh resultIds: the two state aggregates must NOT share
+            // the query expression's id, or the result projection binds
+            // both to one buffer slot
+            import org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId
+            val total = Cast(ae.copy(aggregateFunction = Sum(sumA),
+              resultId = newExprId), sumA.dataType)
+            val n = Cast(ae.copy(aggregateFunction = Sum(cntA),
+              resultId = newExprId), DecimalType(20, 0))
+            Cast(Divide(total, n,
+              org.apache.spark.sql.catalyst.expressions.EvalMode.TRY), ae.dataType)
+          }
         // MIN/MAX re-aggregate exactly from the per-group extrema (the
         // backing is FRESH, so deletions are already folded in) — the
         // insert-only restriction is the REFRESH's, not the rewrite's
@@ -301,11 +330,19 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val newGs = sequence(agg.groupingExpressions.map(g => grainOf(inline(g))
       .map(a => a: Expression)))
     val newRes = sequence(agg.aggregateExpressions.map {
-      case al @ Alias(ae: AggregateExpression, name) =>
-        measure(ae).map(m => Alias(m, name)(al.exprId, al.qualifier, al.explicitMetadata))
-      case al @ Alias(Cast(ae: AggregateExpression, dt, tz, mode), name) =>
-        measure(ae).map(m => Alias(Cast(m, dt, tz, mode), name)(
-          al.exprId, al.qualifier, al.explicitMetadata))
+      // an aggregate-bearing output: every aggregate occurrence maps to
+      // a state measure, and the WRAPPER (cast chains, arithmetic over
+      // aggregates) replays over the measures — after substitution no
+      // raw-relation attribute may remain (a wrapper mixing aggregates
+      // with grain columns declines, matching the maintenance posture)
+      case al @ Alias(e, name) if e.exists(_.isInstanceOf[AggregateExpression]) =>
+        var ok = e.deterministic
+        val t = e.transformUp {
+          case ae: AggregateExpression => measure(ae).getOrElse { ok = false; ae }
+        }
+        if (ok && t.references.subsetOf(mvPlan.outputSet))
+          Some(Alias(t, name)(al.exprId, al.qualifier, al.explicitMetadata))
+        else None
       case al @ Alias(e, name) =>
         grainOf(inline(e)).map(a => Alias(a, name)(al.exprId, al.qualifier, al.explicitMetadata))
       case a: Attribute =>

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
 
@@ -248,11 +249,34 @@ object MvIncremental {
           groupExpr = Some(expr))
       } else {
         val idxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // AVG (r14): not a slot of its own — CANONICALIZED into the
+        // (sum, count) state the backing already knows how to maintain,
+        // with a division template replayed over the merged state.
+        // Exact for DECIMAL inputs only: the fragment reproduces
+        // Spark's own Average evaluation bit-for-bit — Divide(sum :
+        // DECIMAL(p+10,s), count : DECIMAL(20,0)) under null-on-zero
+        // semantics (try_divide), cast to Average's result type
+        // DECIMAL(p+4,s+4) — so an incrementally-merged AVG equals the
+        // recompute to the last digit. Float/integral AVG keeps the
+        // float decline (its sum state is a double).
+        def replacementFor(ae: AggregateExpression): Option[Expression] =
+          ae.aggregateFunction match {
+            case avg: Average if !ae.isDistinct && ae.filter.isEmpty &&
+                avg.child.dataType.isInstanceOf[DecimalType] =>
+              val js = mkSlot(Sum(avg.child).toAggregateExpression())
+                .getOrElse(return None)
+              val jc = mkSlot(Count(Seq(avg.child)).toAggregateExpression())
+                .getOrElse(return None)
+              idxs += js; idxs += jc
+              Some(CatalystSqlParser.parseExpression(
+                s"CAST(try_divide(${placeholder(js)}, " +
+                  s"CAST(${placeholder(jc)} AS DECIMAL(20,0))) AS ${ae.dataType.sql})"))
+            case _: Average => None
+            case _ =>
+              mkSlot(ae).map { j => idxs += j; UnresolvedAttribute(placeholder(j)) }
+          }
         val templ = expr.transform {
-          case ae: AggregateExpression =>
-            val j = mkSlot(ae).getOrElse(return None)
-            idxs += j
-            UnresolvedAttribute(placeholder(j))
+          case ae: AggregateExpression => replacementFor(ae).getOrElse(return None)
         }
         // the wrapper around the aggregates must itself be replayable
         // over merged state: no lingering source attributes allowed

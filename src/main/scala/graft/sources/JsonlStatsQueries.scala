@@ -3626,6 +3626,72 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q300 (r14): AVG as a DERIVED IVM slot pair — the single most
+    * common dashboard aggregate joins the incremental tier. An
+    * `avg(DECIMAL)` body is exactly `sum/count` over state the backing
+    * already stores, so [[graft.plans.MvIncremental]] canonicalizes
+    * `Average` into a (SumSlot, CountSlot) pair with a division
+    * template that reproduces Spark's own Average evaluation
+    * bit-for-bit (Divide(sum : DECIMAL(p+10,s), count : DECIMAL(20,0))
+    * under null-on-zero semantics, cast to DECIMAL(p+4,s+4)); the
+    * refresh applies the signed delta to both slots and re-derives the
+    * visible average from MERGED state, and
+    * [[graft.plans.CatalogMvRewrite]] routes raw-table AVG queries
+    * through the same slots (total = Sum of sum-state cast back down —
+    * lossless, the true total fits Average's own sum type — divided by
+    * the summed counts). The lifecycle pins BOTH capabilities in the
+    * ORACLE: the refresh after an append+delete window must say
+    * 'incremental' (float AVG would say 'full'), the raw-table readout
+    * must say 'mv-routed', and the rows must equal DuckDB recomputing
+    * the average by exact integer arithmetic (the oracle replays the
+    * HALF_UP rounding chain — quotient at scale 16, cast to 10, cast
+    * to 2 — in HUGEINT units, so the compare is bit-exact, not
+    * float-fuzzy). At 100 TB: the revenue-per-type dashboard average
+    * refreshes at delta cost and reads type-sized state. */
+  def avgMvRefreshAndRoute(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mva_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mva_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mva_src AS
+         |SELECT event_id, event_type, value FROM mva_src_in WHERE event_id % 3 <> 2""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_avg', " +
+      s"'SELECT event_type, avg(CAST(value AS DECIMAL(18,6))) AS av, count(*) AS n " +
+      s"FROM $cat.mva_src GROUP BY event_type', or_replace => true)")
+    // churn window: an append and a row-level delete — AVG must merge
+    spark.sql(s"INSERT INTO $cat.mva_src " +
+      "SELECT event_id, event_type, value FROM mva_src_in WHERE event_id % 3 = 2")
+    spark.sql(s"DELETE FROM $cat.mva_src WHERE event_id % 11 = 0")
+    val mode = spark.sql(s"CALL $cat.refresh_materialized_view('mv_avg')")
+      .collect().head.getString(2)
+    // the dashboard query is written against the RAW table — the
+    // transparent rewrite must route it through the (sum, count) state
+    val agg = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS av2
+         |FROM $cat.mva_src GROUP BY event_type""".stripMargin)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    val routed = scans.nonEmpty && scans.forall(_.contains("_mv_mv_avg"))
+    spark.sql(s"SELECT 'mode' AS phase, '$mode' AS event_type, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS av2")
+      .unionAll(spark.sql("SELECT 'plan' AS phase, " +
+        s"'${if (routed) "mv-routed" else "raw-scan"}' AS event_type, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS av2"))
+      .unionAll(agg.selectExpr("'rows' AS phase", "event_type", "n", "av2"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3728,6 +3794,7 @@ object JsonlStatsQueries extends QueryModule {
     "q296_sampled_view" -> sampledViewScan,
     "q297_coarser_grain_rewrite" -> coarserGrainMvRewrite,
     "q298_minmax_mv_refresh" -> minMaxMvRefresh,
+    "q300_avg_mv" -> avgMvRefreshAndRoute,
   )
 
   val oracles = Map(
@@ -4066,6 +4133,32 @@ object JsonlStatsQueries extends QueryModule {
         |SELECT 'rows' AS phase, event_type, min(value) AS mn, max(value) AS mx,
         |  count(*) AS n
         |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+    // q300's oracle replays Spark's decimal-average rounding chain in
+    // exact HUGEINT arithmetic (values are nonnegative, so HALF_UP is
+    // (2a+n) DIV 2n): quotient at scale 16 (the Divide result type),
+    // cast to scale 10 (Average's DECIMAL(22,10)), cast to scale 2
+    // (the readout) — bit-exact, never float-fuzzy.
+    "q300_avg_mv" ->
+      """WITH src AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS vd
+        |  FROM events WHERE event_id % 11 <> 0),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(vd) * 1000000 AS HUGEINT) AS s6,
+        |    CAST(count(vd) AS HUGEINT) AS cnt
+        |  FROM src GROUP BY event_type),
+        |r16 AS (SELECT event_type, n,
+        |    (2 * s6 * 10000000000 + cnt) // (2 * cnt) AS v16 FROM agg),
+        |r10 AS (SELECT event_type, n, (2 * v16 + 1000000) // 2000000 AS v10 FROM r16),
+        |r2 AS (SELECT event_type, n, (2 * v10 + 100000000) // 200000000 AS v2 FROM r10)
+        |SELECT 'mode' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS av2
+        |UNION ALL
+        |SELECT 'plan', 'mv-routed', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(v2 AS DOUBLE) / 100.0 AS av2 FROM r2
         |ORDER BY phase, event_type""".stripMargin,
     "q297_coarser_grain_rewrite" ->
       """SELECT 'plan' AS phase, 'mv-routed' AS event_type,

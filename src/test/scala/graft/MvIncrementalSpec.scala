@@ -185,6 +185,39 @@ class MvIncrementalSpec extends SparkSpec {
     assert(refreshMode("mv6") === "noop")
   }
 
+  test("AVG over DECIMAL maintains incrementally as derived (sum, count) " +
+    "slots: bit-equal to the recompute through appends and deletes, NULL " +
+    "when every non-null contributor leaves (r14)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.srcavg")
+    Seq(("a", Some(10.5)), ("a", Some(20.25)), ("b", Some(7.0)),
+      ("d", None: Option[Double]), ("d", Some(3.0)))
+      .toDF("k", "v").createOrReplaceTempView("mvinc_seedavg")
+    spark.sql("CREATE TABLE mvinc.srcavg AS SELECT * FROM mvinc_seedavg")
+    val body = "SELECT k, avg(CAST(v AS DECIMAL(18,6))) AS av, count(*) AS n " +
+      "FROM mvinc.srcavg GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv_avgdec', '$body', " +
+      "or_replace => true)")
+    // the backing carries BOTH derived slots (sum state + count state)
+    val backingCols = spark.table("mvinc.`_mv_mv_avgdec`").schema.fieldNames.toSet
+    assert(backingCols.count(_.startsWith("graft_ivm_a")) >= 2, backingCols)
+    // window: appends move two averages, a delete retracts a value,
+    // and d loses its only NON-NULL contributor (average must go NULL)
+    spark.sql("INSERT INTO mvinc.srcavg VALUES ('a', 1.0), ('c', 99.5)")
+    spark.sql("DELETE FROM mvinc.srcavg WHERE k = 'b' AND v = 7.0 " +
+      "OR (k = 'd' AND v IS NOT NULL)")
+    assert(refreshMode("mv_avgdec") === "incremental")
+    assert(mvRows("mv_avgdec") === direct(body),
+      "incrementally-merged AVG must equal Spark's Average bit-for-bit")
+    val d = mvRows("mv_avgdec").find(_.getString(0) == "d").get
+    assert(d.isNullAt(1) && d.getLong(2) === 1L,
+      s"all non-null contributors deleted: AVG must be NULL, not 0/0: $d")
+    // averages with a remainder (non-terminating division) still match
+    spark.sql("INSERT INTO mvinc.srcavg VALUES ('a', 0.1), ('a', 0.1), ('a', 0.1)")
+    assert(refreshMode("mv_avgdec") === "incremental")
+    assert(mvRows("mv_avgdec") === direct(body))
+  }
+
   test("concurrent refreshes of one view serialize on the per-view claim: " +
     "the delta window applies exactly once (ADVICE r13)") {
     cat

@@ -609,6 +609,55 @@ class ViewsSpec extends SparkSpec {
     } finally spark.sql(s"USE $prev")
   }
 
+  test("AVG routes through the transparent rewrite from the stored " +
+    "(sum, count) state — equal AND coarser grain, bit-equal to the raw " +
+    "recompute (r14)") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.av_t")
+    Seq(("a", "x", 10.5), ("a", "y", 20.25), ("a", "y", 0.1),
+      ("b", "x", 7.0), ("b", "x", 0.2), ("c", "z", 99.5))
+      .toDF("k", "b", "v").createOrReplaceTempView("av_seed")
+    spark.sql("CREATE TABLE vspec.av_t AS SELECT * FROM av_seed")
+    spark.sql("CALL vspec.create_materialized_view('mv_av', " +
+      "'SELECT k, b, avg(CAST(v AS DECIMAL(18,6))) AS av, count(*) AS n " +
+      "FROM vspec.av_t GROUP BY k, b', or_replace => true)")
+    // equal grain
+    val qe = "SELECT k, b, avg(CAST(v AS DECIMAL(18,6))) AS av " +
+      "FROM vspec.av_t GROUP BY k, b ORDER BY k, b"
+    val he = spark.sql(qe)
+    assert(scans(he).forall(_.contains("_mv_mv_av")), scans(he))
+    assert(he.collect().toSeq ===
+      spark.sql(qe.replace("vspec.av_t", "av_seed")).collect().toSeq,
+      "equal-grain routed AVG must be bit-identical to the raw recompute")
+    // coarser grain: every output row re-derives from MERGED cell state
+    val qc = "SELECT k, avg(CAST(v AS DECIMAL(18,6))) AS av, count(*) AS n " +
+      "FROM vspec.av_t GROUP BY k ORDER BY k"
+    val hc = spark.sql(qc)
+    assert(scans(hc).forall(_.contains("_mv_mv_av")), scans(hc))
+    assert(hc.collect().toSeq ===
+      spark.sql(qc.replace("vspec.av_t", "av_seed")).collect().toSeq,
+      "coarser-grain routed AVG must be bit-identical to the raw recompute")
+    // float AVG (no decimal cast) must NOT route — its state is a double
+    val qf = "SELECT k, avg(v) AS av FROM vspec.av_t GROUP BY k"
+    assert(scans(spark.sql(qf)).forall(s => s.contains("av_t") && !s.contains("_mv_")),
+      "float AVG must keep the raw scan")
+    spark.sql("CALL vspec.drop_view('mv_av')")
+    spark.sql("DROP TABLE vspec.av_t")
+  }
+
   test("rewrite candidate identity is the sidecar's CONTENT: a replace " +
     "serving the same mtime still evicts the cached shape (ADVICE r13)") {
     cat

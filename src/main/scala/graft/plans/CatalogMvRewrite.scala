@@ -197,6 +197,9 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // an MV WHERE pre-filters the merged rows — a query without
         // that exact predicate would read too few; decline the shape
         .filter(_.condSql.isEmpty)
+        // join/self-join bodies maintain (r14) but do not rewrite: the
+        // grain/measure rebasing below assumes ONE relation's columns
+        .filter(_.rewriteEligible)
         .map(sh => CachedMv(d, ns, sources.head._1, sh))
     } catch { case _: Exception => None }
 

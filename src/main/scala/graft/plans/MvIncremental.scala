@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
 
 /** Incremental materialized-view maintenance (r13) — the planning half.
@@ -45,10 +47,21 @@ import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
   * DOUBLE)`) are kept as TEMPLATES and re-applied to the merged raw
   * state, so the visible column is bit-identical to a full recompute.
   *
+  * r14 widens the source side: a tree of INNER joins over graft
+  * relations (with deterministic Filters/Projects riding) is LINEAR in
+  * every leaf, so when exactly ONE leaf moved and every other sits at
+  * its recorded version, the view's delta is the tree with that leaf
+  * replaced by its signed changes ([[splicedChild]]) — the standard
+  * fact⋈dim restricted-IVM case. A moved dim declines to RTAS (dim
+  * deltas need join-multiplicity algebra). AVG over DECIMAL
+  * canonicalizes into derived (sum, count) slots with a division
+  * template that reproduces Spark's Average bit-for-bit.
+  *
   * Everything here DECLINES loudly-by-returning-None on any shape it
-  * cannot prove (joins, DISTINCT, FILTER clauses, MIN/MAX, HAVING,
-  * non-deterministic expressions, group keys not in the output, map
-  * keys) — the caller falls back to the always-correct RTAS.
+  * cannot prove (outer joins, DISTINCT, FILTER clauses, HAVING,
+  * subquery expressions, non-deterministic expressions, float
+  * SUM/AVG, group keys not in the output, map keys) — the caller
+  * falls back to the always-correct RTAS.
   */
 object MvIncremental {
 
@@ -99,9 +112,23 @@ object MvIncremental {
     def isGroup: Boolean = groupSql.isDefined
   }
 
-  /** The proven-maintainable body shape. */
+  /** The proven-maintainable body shape.
+    *
+    * `leaves` are the source tree's relation nodes in left-to-right
+    * order (r14: the source side may be a tree of INNER joins over
+    * graft relations, with Filters/Projects riding — the aggregate is
+    * LINEAR in each leaf, so replacing exactly one leaf by its signed
+    * delta derives the view's delta, the standard fact⋈dim restricted
+    * IVM case). `condSql`/`condExpr` are populated only for the
+    * `[Filter?] over single leaf` shape — what the transparent rewrite
+    * ([[CatalogMvRewrite]]) can reason about; `rewriteEligible` gates
+    * it (a self-join has one SOURCE but two leaves and must not
+    * rewrite). */
   case class Shape(outs: Seq[OutCol], slots: Seq[Slot], condSql: Option[String],
-                   aggregate: Aggregate, contract: Option[Project]) {
+                   aggregate: Aggregate, contract: Option[Project],
+                   leaves: Seq[DataSourceV2Relation] = Nil,
+                   condExpr: Option[Expression] = None,
+                   rewriteEligible: Boolean = true) {
     def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
     /** MIN/MAX present ⇒ the delta path additionally requires an
       * insert-only window. */
@@ -175,16 +202,47 @@ object MvIncremental {
       case a: Aggregate => (a.aggregateExpressions.map(ne => (ne.name, ne)), a)
       case _ => return None
     }
-    // source side: at most one Filter over one leaf relation
-    val (cond, leaf) = stripAliases(agg.child) match {
-      case Filter(c, ch) => (Some(c), stripAliases(ch))
-      case other => (None, other)
+    // source side (generalized r14): a tree of INNER joins over leaf
+    // relations, with deterministic Filters/Projects riding anywhere —
+    // the aggregate is LINEAR in every leaf (inner join is bilinear,
+    // filter/project linear), so the delta w.r.t. ONE moved leaf is the
+    // tree with that leaf replaced by its signed changes. Outer joins
+    // are NOT linear (a fact delta can flip a dim row's null-extension)
+    // and decline; subquery expressions can reference tables of their
+    // own (mixing versions inside one delta) and decline everywhere.
+    def noSubquery(es: Seq[Expression]): Boolean =
+      !es.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def walkSource(p: LogicalPlan): Option[Seq[DataSourceV2Relation]] =
+      stripAliases(p) match {
+        case r: DataSourceV2Relation => Some(Seq(r))
+        case Filter(c, ch) if c.deterministic && noSubquery(Seq(c)) =>
+          walkSource(ch)
+        case pr @ Project(pl, ch)
+            if pl.forall(_.deterministic) && noSubquery(pl) =>
+          walkSource(ch)
+        case j: Join if j.joinType == Inner &&
+            j.condition.forall(c => c.deterministic && noSubquery(Seq(c))) =>
+          for (l <- walkSource(j.left); r <- walkSource(j.right)) yield l ++ r
+        case _ => None
+      }
+    val leaves = walkSource(agg.child).getOrElse(return None)
+    if (leaves.isEmpty) return None
+    // the delta aggregate renders bare-name SQL over the source tree's
+    // output: names must be unambiguous, and `_sign` must be free for
+    // the multiset tag
+    val childNames = agg.child.output.map(_.name.toLowerCase(java.util.Locale.ROOT))
+    if (childNames.distinct.size != childNames.size || childNames.contains("_sign"))
+      return None
+    // the single-leaf [Filter?] shape is additionally REWRITE-eligible:
+    // condSql/condExpr feed the transparent rewrite's subsumption proof
+    val (cond, rewriteOk) = stripAliases(agg.child) match {
+      case Filter(c, ch) if isLeafRelation(stripAliases(ch)) => (Some(c), true)
+      case other => (None, isLeafRelation(other))
     }
-    if (!isLeafRelation(leaf)) return None
     // determinism end-to-end: replaying an expression over the delta
     // must mean what it meant over the source
     val allExprs = agg.groupingExpressions ++ agg.aggregateExpressions ++ cond.toSeq
-    if (!allExprs.forall(_.deterministic)) return None
+    if (!allExprs.forall(_.deterministic) || !noSubquery(allExprs)) return None
     if (agg.groupingExpressions.exists(g => hasMap(g.dataType))) return None
     // a GLOBAL aggregate always has exactly one output row — even over
     // an empty source — but the liveness model deletes the group when
@@ -297,7 +355,45 @@ object MvIncremental {
     // hidden-column names must be free
     if (outs.exists(_.name.startsWith("graft_ivm_"))) return None
     Some(Shape(outs, slots.toSeq, cond.map(bareSql), agg,
-      top match { case p: Project => Some(p); case _ => None }))
+      top match { case p: Project => Some(p); case _ => None },
+      leaves = leaves, condExpr = cond, rewriteEligible = rewriteOk))
+  }
+
+  /** The body's source tree (everything under the Aggregate — filters,
+    * projections and joins included) with the MOVED leaf replaced by
+    * the signed change feed, re-keyed onto the original relation's
+    * exprIds so every expression above resolves unchanged; the `_sign`
+    * tag threads up through each Project on the path (Joins and
+    * Filters pass child output through untouched). The result computes
+    * the signed multiset delta of the WHOLE source expression: with
+    * every other leaf unchanged at its recorded version, linearity
+    * gives Δ(σ p (F ⋈ D...)) = σ p (ΔF ⋈ D...) — inner-join
+    * multiplicities multiply the ±1 tags through unchanged. */
+  def splicedChild(shape: Shape, moved: DataSourceV2Relation,
+                   signed: LogicalPlan): Option[LogicalPlan] = {
+    val byName = signed.output.map(a => a.name -> a).toMap
+    val sign0 = byName.getOrElse("_sign", return None)
+    if (!moved.output.forall(a => byName.contains(a.name))) return None
+    val reKeyed = Project(
+      moved.output.map(a =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)) :+
+        Alias(sign0, "_sign")(),
+      signed)
+    val signAttr = reKeyed.projectList.last.toAttribute
+    def hasMoved(p: LogicalPlan): Boolean =
+      p.exists { case r: DataSourceV2Relation => r eq moved; case _ => false }
+    def rec(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case r: DataSourceV2Relation if r eq moved => Some(reKeyed)
+      case f @ Filter(_, ch) => rec(ch).map(c2 => f.copy(child = c2))
+      case pr @ Project(pl, ch) =>
+        rec(ch).map(c2 => pr.copy(projectList = pl :+ signAttr, child = c2))
+      case j @ Join(l, r, _, _, _) =>
+        if (hasMoved(l)) rec(l).map(l2 => j.copy(left = l2))
+        else rec(r).map(r2 => j.copy(right = r2))
+      case s @ SubqueryAlias(_, ch) => rec(ch).map(c2 => s.copy(child = c2))
+      case _ => None
+    }
+    rec(shape.aggregate.child)
   }
 
   /** The body plan with the hidden state columns appended: same
@@ -326,11 +422,11 @@ object MvIncremental {
     }
   }
 
-  /** The delta aggregate over a temp view of
-    * [[graft.sources.ChangeFeed.signedChanges]] output: group keys by
-    * the SAME expressions, every slot as a signed sum. Negative or
-    * zero net groups are legitimate (deletions); the merge consumes
-    * the signs. */
+  /** The delta aggregate over a temp view of the SPLICED source tree
+    * ([[splicedChild]] — body filter, projections and joins already
+    * applied, `_sign` riding): group keys by the SAME expressions,
+    * every slot as a signed sum. Negative or zero net groups are
+    * legitimate (deletions); the merge consumes the signs. */
   def deltaSql(shape: Shape, signedView: String): String = {
     val groupSel = shape.groupOuts.map(o => s"(${o.groupSql.get}) AS ${q(o.name)}")
     val slotSel = shape.slots.flatMap { s =>
@@ -338,13 +434,12 @@ object MvIncremental {
         s.nnDeltaSql.map(n => s"$n AS ${q(s.nn)}").toSeq
     }
     val livenessSel = s"CAST(SUM(_sign) AS BIGINT) AS ${q(LivenessCol)}"
-    val where = shape.condSql.map(c => s"\nWHERE $c").getOrElse("")
     val groupBy =
       if (shape.groupOuts.nonEmpty)
         "\nGROUP BY " + shape.groupOuts.map(o => s"(${o.groupSql.get})").mkString(", ")
       else ""
     s"""SELECT ${(groupSel ++ slotSel :+ livenessSel).mkString(",\n  ")}
-       |FROM $signedView$where$groupBy""".stripMargin
+       |FROM $signedView$groupBy""".stripMargin
   }
 
   /** Merged raw state for slot `s`, as SQL over MERGE aliases b/d. A

@@ -2574,9 +2574,20 @@ object GraftProcedures {
         // nothing moved: re-stamp nothing, report the no-op
         return Some("noop")
       }
-      if (recorded.size != 1 || head.size != 1) return None
-      val (srcRel, fromV) = recorded.head
-      val toV = head.head._2
+      // r14 (join-aware): the delta path applies whenever exactly ONE
+      // source moved forward and every other source sits at its
+      // recorded version — the view is LINEAR in each leaf (inner join
+      // is bilinear), so Δview = body with that leaf replaced by its
+      // signed changes, whichever side moved: a fact window joins the
+      // recorded dims, a dim window joins the live (unchanged) fact —
+      // the connector's runtime filtering prunes the big side by the
+      // delta's join keys either way. TWO movers in one window would
+      // need the cross term ΔF⋈ΔD: decline to RTAS, always correct.
+      val headMap = head.toMap
+      val moved = recorded.filter { case (t, v) => headMap.get(t).exists(_ != v) }
+      if (moved.size != 1) return None
+      val (srcRel, fromV) = moved.head
+      val toV = headMap(srcRel)
       if (fromV >= toV) return None // rollback/replace: windows don't subtract
       try {
         val analyzed = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
@@ -2589,6 +2600,15 @@ object GraftProcedures {
         val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
         if (!shape.auxCols.forall(backingCols.contains)) return None
         val srcRoot = Paths.get(root, srcRel.split('/').toSeq: _*).toString
+        // the moved table must appear EXACTLY ONCE as a source leaf: a
+        // self-joined mover is quadratic in its own delta (Δ(F⋈F) ≠
+        // ΔF⋈F), and a mover absent from the leaves (subquery-only
+        // reference) was already declined by detect
+        val movedLeaves = shape.leaves.filter(_.table match {
+          case t: JsonlStatsTable => t.tableRoot == srcRoot
+          case _ => false
+        })
+        if (movedLeaves.size != 1) return None
         // MIN/MAX slots maintain only over INSERT-ONLY windows: a
         // removed file identity could retract the stored extremum,
         // which no merge of extrema can express — fall back to RTAS
@@ -2604,7 +2624,16 @@ object GraftProcedures {
         val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
         val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
         try {
-        ChangeFeed.signedChanges(spark, srcRoot, fromV, toV, nonce)
+        // splice the signed feed into the body's source tree: unchanged
+        // dims read live (== their recorded version), the moved leaf
+        // reads the (fromV, toV] window at ±1, and the body's own
+        // filter/join structure applies verbatim above
+        val signedPlan = ChangeFeed.signedChanges(spark, srcRoot, fromV, toV, nonce)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.analyzed
+        val spliced = MvIncremental.splicedChild(shape, movedLeaves.head, signedPlan)
+          .getOrElse(return None)
+        org.apache.spark.sql.graftops.Bridge.ofRows(spark, spliced)
           .createOrReplaceTempView(signedView)
         val delta = spark.sql(MvIncremental.deltaSql(shape, signedView))
         delta.createOrReplaceTempView(deltaView)

@@ -3626,6 +3626,66 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q299 (r14): JOIN-AWARE incremental MV refresh — the Phase-2
+    * star-schema MV (`fact ⋈ dim GROUP BY segment`, the reference's
+    * dashboard shape at `Stream_Analytics_Phase_2.md:135-161`) no
+    * longer rebuilds nightly. The body's source side may be a tree of
+    * INNER joins: it is LINEAR in each leaf, so when exactly ONE
+    * source moved the refresh splices that leaf's SIGNED window into
+    * the body ([[graft.plans.MvIncremental.splicedChild]]) — a fact
+    * window joins the recorded dims, and the one maintenance MERGE
+    * applies the result; group birth/death flows through the join.
+    * TWO movers in one window decline to RTAS (the ΔF⋈ΔD cross term).
+    * The lifecycle pins THREE modes in the ORACLE: a fact append
+    * window refreshes 'incremental', a fact row-level DELETE window
+    * refreshes 'incremental', and a window where the dim ALSO moved
+    * refreshes 'full'; the final rows must equal DuckDB recomputing
+    * the join-aggregate from raw parquet either way. At 100 TB this is
+    * THE nightly-refresh win: the 100-TB fact's daily partition joins
+    * a broadcast dim at delta cost instead of re-reading the year. */
+  def joinMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvj_fact")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvj_dim")
+    Tables.events(spark, d).select(col("event_id"), col("user_id"), col("value"))
+      .createOrReplaceTempView("mvj_fact_in")
+    Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("mvj_dim_in")
+    spark.sql(s"CREATE TABLE $cat.mvj_dim AS SELECT * FROM mvj_dim_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvj_fact AS
+         |SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 0""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_star', " +
+      s"'SELECT c_mktsegment AS seg, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mvj_fact JOIN $cat.mvj_dim ON user_id = c_custkey " +
+      s"GROUP BY c_mktsegment', or_replace => true)")
+    // window 1: fact append — incremental through the join
+    spark.sql(s"INSERT INTO $cat.mvj_fact " +
+      "SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 1")
+    val m1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')")
+      .collect().head.getString(2)
+    // window 2: fact row-level DELETE — still incremental
+    spark.sql(s"DELETE FROM $cat.mvj_fact WHERE event_id % 7 = 0")
+    val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')")
+      .collect().head.getString(2)
+    // window 3: BOTH sides move — the cross term forces the rebuild
+    spark.sql(s"INSERT INTO $cat.mvj_fact " +
+      "SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 2")
+    spark.sql(s"INSERT INTO $cat.mvj_dim VALUES (99999991, 'SYNTHETIC')")
+    val m3 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')")
+      .collect().head.getString(2)
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS seg, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum")
+    modeRow("mode-append", m1)
+      .unionAll(modeRow("mode-delete", m2))
+      .unionAll(modeRow("mode-dim-moved", m3))
+      .unionAll(spark.sql(
+        s"SELECT 'rows' AS phase, seg, n, value_sum FROM $cat.mv_star"))
+      .orderBy(col("phase"), col("seg"))
+  }
+
   /** q300 (r14): AVG as a DERIVED IVM slot pair — the single most
     * common dashboard aggregate joins the incremental tier. An
     * `avg(DECIMAL)` body is exactly `sum/count` over state the backing
@@ -3794,6 +3854,7 @@ object JsonlStatsQueries extends QueryModule {
     "q296_sampled_view" -> sampledViewScan,
     "q297_coarser_grain_rewrite" -> coarserGrainMvRewrite,
     "q298_minmax_mv_refresh" -> minMaxMvRefresh,
+    "q299_join_mv_refresh" -> joinMvRefresh,
     "q300_avg_mv" -> avgMvRefreshAndRoute,
   )
 
@@ -4134,6 +4195,24 @@ object JsonlStatsQueries extends QueryModule {
         |  count(*) AS n
         |FROM src GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    "q299_join_mv_refresh" ->
+      """WITH fact AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE (event_id % 3 = 2) OR (event_id % 7 <> 0)),
+        |j AS (
+        |  SELECT c.c_mktsegment AS seg, f.value
+        |  FROM fact f JOIN customer c ON f.user_id = c.c_custkey)
+        |SELECT 'mode-append' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum
+        |UNION ALL
+        |SELECT 'mode-delete', 'incremental', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |UNION ALL
+        |SELECT 'mode-dim-moved', 'full', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |UNION ALL
+        |SELECT 'rows' AS phase, seg, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM j GROUP BY seg
+        |ORDER BY phase, seg""".stripMargin,
     // q300's oracle replays Spark's decimal-average rounding chain in
     // exact HUGEINT arithmetic (values are nonnegative, so HALF_UP is
     // (2a+n) DIV 2n): quotient at scale 16 (the Divide result type),

@@ -185,6 +185,87 @@ class MvIncrementalSpec extends SparkSpec {
     assert(refreshMode("mv6") === "noop")
   }
 
+  test("fact⋈dim bodies maintain incrementally when ONLY the fact moved: " +
+    "append and row-level-delete windows apply the spliced signed delta, " +
+    "group birth/death flows through the join, a moved dim rebuilds (r14)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.jfact")
+    spark.sql("DROP TABLE IF EXISTS mvinc.jdim")
+    Seq((1L, "gold"), (2L, "iron"), (3L, "gold"), (4L, "salt"))
+      .toDF("did", "seg").createOrReplaceTempView("mvinc_jdim_seed")
+    spark.sql("CREATE TABLE mvinc.jdim AS SELECT * FROM mvinc_jdim_seed")
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (9L, 99.0)) // 9 has no dim row
+      .toDF("fid", "v").createOrReplaceTempView("mvinc_jfact_seed")
+    spark.sql("CREATE TABLE mvinc.jfact AS SELECT * FROM mvinc_jfact_seed")
+    val body = "SELECT seg, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      "FROM mvinc.jfact JOIN mvinc.jdim ON fid = did WHERE v > 0 GROUP BY seg"
+    spark.sql(s"CALL mvinc.create_materialized_view('mvj', '$body', or_replace => true)")
+    val backingCols = spark.table("mvinc.`_mv_mvj`").schema.fieldNames.toSet
+    assert(backingCols.contains("graft_ivm_n"), backingCols)
+    // fact APPEND window: group 'salt' is born through the join (fid 4),
+    // 'gold' grows, an unmatched fid contributes nothing
+    spark.sql("INSERT INTO mvinc.jfact VALUES (4, 7.0), (3, 1.0), (11, 3.0)")
+    assert(refreshMode("mvj") === "incremental")
+    assert(mvRows("mvj") === direct(body))
+    // fact DELETE window: 'iron' loses its only row and must leave
+    spark.sql("DELETE FROM mvinc.jfact WHERE fid = 2")
+    assert(refreshMode("mvj") === "incremental")
+    assert(mvRows("mvj") === direct(body))
+    assert(!mvRows("mvj").exists(_.getString(0) == "iron"), "dead group must leave")
+    // a moved DIM is the same single-mover case by symmetry: the inner
+    // join is bilinear, so Δ(F⋈D) = F⋈ΔD when only D moved — the
+    // spliced delta joins the dim's signed window against the LIVE
+    // (unchanged) fact, and the new dim row's matches appear
+    spark.sql("INSERT INTO mvinc.jdim VALUES (11, 'ash')")
+    assert(refreshMode("mvj") === "incremental")
+    assert(mvRows("mvj") === direct(body))
+    assert(mvRows("mvj").exists(_.getString(0) == "ash"),
+      "the dim delta must see the live fact's join matches")
+    // BOTH sides moved inside one window: the cross term ΔF⋈ΔD breaks
+    // single-splice linearity — decline to the rebuild, loudly
+    spark.sql("INSERT INTO mvinc.jfact VALUES (4, 2.0)")
+    spark.sql("INSERT INTO mvinc.jdim VALUES (12, 'tin')")
+    assert(refreshMode("mvj") === "full")
+    assert(mvRows("mvj") === direct(body))
+    // and the NEXT fact-only window is incremental again
+    spark.sql("INSERT INTO mvinc.jfact VALUES (11, 2.5)")
+    assert(refreshMode("mvj") === "incremental")
+    assert(mvRows("mvj") === direct(body))
+  }
+
+  test("join-shape declines stay loud: ambiguous output names, a " +
+    "self-joined mover, outer joins, and WHERE subqueries rebuild (r14)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.sfact")
+    spark.sql("DROP TABLE IF EXISTS mvinc.sdim")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("mvinc_sj_seed")
+    spark.sql("CREATE TABLE mvinc.sfact AS SELECT * FROM mvinc_sj_seed")
+    spark.sql("CREATE TABLE mvinc.sdim AS SELECT id AS did, k AS dk FROM mvinc_sj_seed")
+    def check(name: String, body: String): Unit = {
+      spark.sql(s"CALL mvinc.create_materialized_view('$name', '$body', or_replace => true)")
+      spark.sql("INSERT INTO mvinc.sfact VALUES (1, 'a', 9.0)")
+      assert(refreshMode(name) === "full", name)
+      assert(mvRows(name) === direct(body), name)
+    }
+    // duplicate bare names across the join (both sides carry `id`)
+    spark.sql("DROP TABLE IF EXISTS mvinc.sdup")
+    spark.sql("CREATE TABLE mvinc.sdup AS SELECT id, k AS dk FROM mvinc_sj_seed")
+    check("mv_dup", "SELECT dk, count(*) AS n FROM mvinc.sfact f " +
+      "JOIN mvinc.sdup d ON f.id = d.id GROUP BY dk")
+    // self-join of the mover: Δ(F⋈F) ≠ ΔF⋈F
+    check("mv_self", "SELECT a.k AS ak, count(*) AS n FROM mvinc.sfact a " +
+      "JOIN mvinc.sdim b ON a.id = b.did JOIN mvinc.sfact c ON a.id = c.id " +
+      "GROUP BY a.k")
+    // outer joins are not linear in the fact
+    check("mv_outer", "SELECT dk, count(*) AS n FROM mvinc.sdim " +
+      "LEFT JOIN mvinc.sfact ON did = id GROUP BY dk")
+    // a WHERE subquery over the source mixes versions inside one delta
+    check("mv_subq", "SELECT k, count(*) AS n FROM mvinc.sfact " +
+      "WHERE v > (SELECT min(v) FROM mvinc.sfact) GROUP BY k")
+  }
+
   test("AVG over DECIMAL maintains incrementally as derived (sum, count) " +
     "slots: bit-equal to the recompute through appends and deletes, NULL " +
     "when every non-null contributor leaves (r14)") {

@@ -461,6 +461,41 @@ object MvIncremental {
     * inside the window). */
   private def insertSql(s: Slot): String = s"d.${q(s.aux)}"
 
+  /** Do any visible outputs or slots need the group-scoped repair pass
+    * under a deleting window? Exactly the MIN/MAX slots. */
+  def minMaxSlots(shape: Shape): Seq[Slot] =
+    shape.slots.filter(s => s.kind == MinSlot || s.kind == MaxSlot)
+
+  /** Group-scoped MIN/MAX repair (r14): under a DELETING window the
+    * signed merge cannot derive extrema (a deletion can retract the
+    * stored one), so the refresh recomputes MIN/MAX for exactly the
+    * AFFECTED groups (the delta's groups) from the live source and
+    * overwrites those columns with this second MERGE — matched-only
+    * (groups the first merge deleted are gone; extra superset rows in
+    * the repair view touch nothing). SUM/COUNT state is already final
+    * in `b` after the first merge, so mixed templates re-fill from
+    * `b`'s state for those slots and `r`'s truth for the extrema. */
+  def repairMergeSql(shape: Shape, backingFqn: String, repairView: String): String = {
+    val mm = minMaxSlots(shape).map(_.j).toSet
+    val on = shape.groupOuts.map(o => s"b.${q(o.name)} <=> r.${q(o.name)}")
+      .mkString(" AND ")
+    def bySlot(s: Slot): String = s.kind match {
+      case MinSlot | MaxSlot => s"r.${q(s.aux)}"
+      // post-merge b.aux is the FINAL state (the first merge already
+      // wrote the NULL-when-empty case into it)
+      case SumSlot => s"CAST(b.${q(s.aux)} AS ${s.typeSql})"
+      case CountSlot => s"b.${q(s.aux)}"
+    }
+    val sets =
+      minMaxSlots(shape).map(s => s"${q(s.aux)} = r.${q(s.aux)}") ++
+        shape.outs.filter(o => !o.isGroup && o.slotIdxs.exists(mm.contains))
+          .map(o => s"${q(o.name)} = ${fillTemplate(o.template.get, shape, bySlot)}")
+    s"""MERGE INTO $backingFqn b
+       |USING $repairView r
+       |ON $on
+       |WHEN MATCHED THEN UPDATE SET ${sets.mkString(",\n  ")}""".stripMargin
+  }
+
   private def fillTemplate(template: String, shape: Shape, bySlot: Slot => String): String =
     // descending index so P10 never matches inside a P1 replacement
     shape.slots.sortBy(-_.j).foldLeft(template) { (t, s) =>

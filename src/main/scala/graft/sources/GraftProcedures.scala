@@ -2609,12 +2609,17 @@ object GraftProcedures {
           case _ => false
         })
         if (movedLeaves.size != 1) return None
-        // MIN/MAX slots maintain only over INSERT-ONLY windows: a
-        // removed file identity could retract the stored extremum,
-        // which no merge of extrema can express — fall back to RTAS
-        // (windowInsertOnly is pure manifest arithmetic)
-        if (shape.needsInsertOnly &&
-          !ChangeFeed.windowInsertOnly(srcRoot, fromV, toV)) return None
+        // MIN/MAX slots merge freely over INSERT-ONLY windows (an
+        // insert only ever extends an extremum); a DELETING window can
+        // retract one, which no merge of extrema can express — r14
+        // repairs GROUP-SCOPED instead of rebuilding: the SUM/COUNT/
+        // liveness legs still merge from the signed delta, then the
+        // MIN/MAX columns of exactly the AFFECTED groups (the delta's
+        // groups) recompute from the live source — a grain-predicate
+        // scan the connector prunes — via a second, matched-only MERGE.
+        // Cost ∝ affected groups' rows, never the source.
+        val needsRepair = shape.needsInsertOnly &&
+          !ChangeFeed.windowInsertOnly(srcRoot, fromV, toV)
         // signed delta + the delta aggregate, ANALYZED before anything
         // mutates (a vacuumed window or unrenderable expression lands
         // here, declining to RTAS). The nonce makes this call's derived
@@ -2642,22 +2647,78 @@ object GraftProcedures {
         // eagerly): unresolvable merges decline here, before any state
         spark.sessionState.executePlan(
           spark.sessionState.sqlParser.parsePlan(merge)).assertAnalyzed()
-        // pending bracket: marker down, ONE atomic MERGE, marker up
-        // with the new versions. A crash inside the bracket leaves the
-        // marker standing — reads stay on the body path, repair is RTAS.
+        // group-scoped MIN/MAX repair plan, built and analyzed BEFORE
+        // any state moves: collect the delta's group keys (bounded —
+        // past the cap RTAS is the cheaper honest answer), restrict the
+        // live source to those groups per grain column (an IN-list the
+        // connector's file pruning understands; a per-column list is a
+        // SUPERSET of the affected tuples — the matched-only repair
+        // merge ignores the extras), and recompute only the extrema.
+        val repairView = s"graft_ivm_repair_${math.abs(backingFqn.hashCode)}"
+        val repairMerge: Option[String] = if (!needsRepair) None else {
+          import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
+          val maxGroups = spark.conf.getOption("spark.graft.mv.repairMaxGroups")
+            .map(_.toInt).getOrElse(10000)
+          val groupCols = shape.groupOuts.map(_.name)
+          val affected = delta.select(groupCols.map(n => fcol(s"`$n`")): _*)
+            .distinct().limit(maxGroups + 1).collect()
+          if (affected.length > maxGroups) return None
+          if (affected.isEmpty) None
+          else {
+            val src = org.apache.spark.sql.graftops.Bridge.ofRows(
+              spark, shape.aggregate.child)
+            val conds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
+              val e = fexpr(o.groupSql.get)
+              val vals = affected.map(_.get(i)).toSeq
+              val nonNull = vals.filter(_ != null).distinct
+              val inList =
+                if (nonNull.isEmpty) flit(false) else e.isin(nonNull: _*)
+              if (vals.contains(null)) inList || e.isNull else inList
+            }
+            val mmAggs = MvIncremental.minMaxSlots(shape).map(s =>
+              fexpr(s.deltaSql).as(s.aux))
+            val repairSrc = src.filter(conds.reduce(_ && _))
+              .groupBy(shape.groupOuts.map(o =>
+                fexpr(o.groupSql.get).as(o.name)): _*)
+              .agg(mmAggs.head, mmAggs.tail: _*)
+            // MATERIALIZED to a local relation: the output is one row
+            // per affected group (cap-bounded above), and a temp view
+            // over a resolved catalog relation trips Spark 4.1's MERGE
+            // analysis (V2TableReference survives into planning). The
+            // distributed work — the pruned scan + aggregate — happens
+            // in this collect; the MERGE source is then driver-sized.
+            val repairRows = repairSrc.collect()
+            spark.createDataFrame(
+              java.util.Arrays.asList(repairRows: _*), repairSrc.schema)
+              .createOrReplaceTempView(repairView)
+            val sql = MvIncremental.repairMergeSql(shape, backingFqn, repairView)
+            spark.sessionState.executePlan(
+              spark.sessionState.sqlParser.parsePlan(sql)).assertAnalyzed()
+            Some(sql)
+          }
+        }
+        // pending bracket: marker down, the MERGE(s), marker up with
+        // the new versions. A crash inside the bracket leaves the
+        // marker standing — reads stay on the body path, repair is RTAS
+        // (the bracket covers the gap BETWEEN the two merges too: a
+        // half-repaired backing is never served).
         GraftViews.write(nsDir, d.copy(properties = d.properties +
           (GraftViews.MvPendingProp -> s"$fromV->$toV")), replace = true)
         try {
           spark.sql(merge)
+          repairMerge.foreach(spark.sql(_))
           GraftViews.write(nsDir, d.copy(properties = d.properties +
             (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(head))
             - GraftViews.MvPendingProp), replace = true)
-          Some("incremental")
+          Some(if (needsRepair) "incremental-repair" else "incremental")
         } catch {
           case _: Exception =>
-            // the MERGE statement either committed or didn't (single
-            // atomic commit); on failure nothing applied — clear the
-            // marker and let the caller rebuild
+            // each MERGE either committed or didn't (single atomic
+            // commit each); a failure may leave the first merge applied
+            // with the repair missing — clearing the marker is still
+            // safe because the RECORDED versions were not advanced:
+            // reads take the (correct) body path and the caller's RTAS
+            // rebuilds the backing wholesale
             GraftViews.write(nsDir,
               d.copy(properties = d.properties - GraftViews.MvPendingProp),
               replace = true)
@@ -2665,6 +2726,7 @@ object GraftProcedures {
         } finally {
           spark.catalog.dropTempView(signedView)
           spark.catalog.dropTempView(deltaView)
+          spark.catalog.dropTempView(repairView)
         }
         } finally {
           // the delta was consumed (or the attempt declined) — the

@@ -3585,20 +3585,21 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
-  /** q298 (r13b): MIN/MAX incremental refresh under the INSERT-ONLY
-    * window contract. Extrema are exact under any merge (comparisons,
-    * not arithmetic — `least`/`greatest` skip nulls exactly like SQL
-    * MIN/MAX), but a deletion can RETRACT a stored extremum, which no
-    * merge of extrema can express; so the refresh takes the delta path
-    * only when the window removed no file identity (pure manifest
-    * arithmetic) and rebuilds otherwise. This lifecycle pins BOTH modes
-    * in the ORACLE: an append window refreshes 'incremental', a
-    * row-level DELETE window refreshes 'full', and the final rows must
-    * equal DuckDB's recompute either way. At 100 TB this is the
-    * append-only fact stream: the overwhelmingly common window keeps
-    * min/max/count/sum dashboards fresh at delta cost, and the rare
-    * corrective delete pays one rebuild instead of serving a stale
-    * extremum. */
+  /** q298 (r13b, repair-upgraded r14): MIN/MAX incremental refresh.
+    * Extrema are exact under any merge over INSERT-ONLY windows
+    * (`least`/`greatest` skip nulls exactly like SQL MIN/MAX), but a
+    * deletion can RETRACT a stored extremum, which no merge of extrema
+    * can express. r13 rebuilt on any removed file identity; r14
+    * repairs GROUP-SCOPED instead: sums/counts/liveness still merge
+    * from the signed delta, then the MIN/MAX columns of exactly the
+    * AFFECTED groups (the delta's groups) recompute from the live
+    * source — a grain-predicate scan the connector prunes — via a
+    * second matched-only MERGE inside the same pending bracket. This
+    * lifecycle pins BOTH modes in the ORACLE: an append window
+    * refreshes 'incremental', a row-level DELETE window refreshes
+    * 'incremental-repair', and the final rows must equal DuckDB's
+    * recompute either way. At 100 TB: the rare corrective delete pays
+    * a scan of the touched groups' rows, never the year's fact. */
   def minMaxMvRefresh(spark: SparkSession, d: String): DataFrame = {
     val cat = ensureCatalog(spark, d)
     spark.sql(s"DROP TABLE IF EXISTS $cat.mvm_src")
@@ -4188,8 +4189,8 @@ object JsonlStatsQueries extends QueryModule {
         |SELECT 'mode-append' AS phase, 'incremental' AS event_type,
         |  CAST(0.0 AS DOUBLE) AS mn, CAST(0.0 AS DOUBLE) AS mx, CAST(0 AS BIGINT) AS n
         |UNION ALL
-        |SELECT 'mode-delete', 'full', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-        |  CAST(0 AS BIGINT)
+        |SELECT 'mode-delete', 'incremental-repair', CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
         |UNION ALL
         |SELECT 'rows' AS phase, event_type, min(value) AS mn, max(value) AS mx,
         |  count(*) AS n

@@ -21,9 +21,11 @@ import scala.jdk.CollectionConverters._
   *     of a surviving group restores SQL's NULL, not 0;
   *   - group lifecycle: net-zero groups leave the backing, groups born
   *     in the window enter it, insert+delete-in-window phantoms don't;
-  *   - ineligible shapes (MIN/MAX, float sums, joins, global
-  *     aggregates) and suspect states (pending marker from a died
-  *     refresh) fall back to the always-correct full rebuild.
+  *   - ineligible shapes (float sums/averages, outer joins, global
+  *     aggregates, two movers in one window) and suspect states
+  *     (pending marker from a died refresh) fall back to the
+  *     always-correct full rebuild; MIN/MAX under deleting windows
+  *     repair group-scoped (r14) instead of rebuilding.
   */
 class MvIncrementalSpec extends SparkSpec {
   import spark.implicits._
@@ -363,7 +365,8 @@ class MvIncrementalSpec extends SparkSpec {
   }
 
   test("MIN/MAX maintain over INSERT-ONLY windows (least/greatest merge, " +
-    "null-skipping); any removed file identity forces the full rebuild") {
+    "null-skipping); a deleting window repairs GROUP-SCOPED, only the " +
+    "affected groups' extrema recompute from source (r14)") {
     cat
     spark.sql("DROP TABLE IF EXISTS mvinc.src7")
     Seq(("a", Some(5.0)), ("a", Some(9.0)), ("b", None: Option[Double]))
@@ -380,11 +383,28 @@ class MvIncrementalSpec extends SparkSpec {
     spark.sql("INSERT INTO mvinc.src7 VALUES ('a', 4.0)")
     assert(refreshMode("mv7") === "incremental")
     assert(mvRows("mv7") === direct(body))
-    // a DELETE could retract a stored extremum: the window is no longer
-    // insert-only, so the refresh rebuilds — and says so
+    // a DELETE retracts group a's stored MIN (1.0): the window is not
+    // insert-only, so the refresh repairs the AFFECTED groups' extrema
+    // from source (and says so) — sums/counts still merge signed
     spark.sql("DELETE FROM mvinc.src7 WHERE v = 1.0")
-    assert(refreshMode("mv7") === "full")
+    assert(refreshMode("mv7") === "incremental-repair")
     assert(mvRows("mv7") === direct(body))
+    val a = mvRows("mv7").find(_.getString(0) == "a").get
+    assert(a.getDouble(1) === 4.0, s"retracted MIN must re-derive from source: $a")
+    // deleting a group's last NON-NULL value: the repaired extrema go
+    // NULL while the group survives
+    spark.sql("DELETE FROM mvinc.src7 WHERE k = 'b' AND v IS NOT NULL")
+    assert(refreshMode("mv7") === "incremental-repair")
+    assert(mvRows("mv7") === direct(body))
+    val b = mvRows("mv7").find(_.getString(0) == "b").get
+    assert(b.isNullAt(1) && b.isNullAt(2) && b.getLong(3) === 1L, b.toString)
+    // a deleting window past the affected-group cap declines to RTAS
+    spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
+    try {
+      spark.sql("DELETE FROM mvinc.src7 WHERE v = 4.0")
+      assert(refreshMode("mv7") === "full")
+      assert(mvRows("mv7") === direct(body))
+    } finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
     // and the NEXT pure-append window is incremental again
     spark.sql("INSERT INTO mvinc.src7 VALUES ('c', -2.0)")
     assert(refreshMode("mv7") === "incremental")

@@ -39,17 +39,23 @@ import java.nio.file.{Files, Path, Paths}
   *
   *   - the query aggregates the LIVE main branch of a graft table (a
   *     snapshot/branch read must not see head-versioned state);
-  *   - a sidecar MV lists exactly that table as its ONLY source, has
-  *     no WHERE of its own, and [[GraftViews.mvFresh]] holds (recorded
-  *     source version == live version, no pending refresh) — stale MVs
-  *     decline, so reads NEVER trade correctness for speed;
+  *   - a sidecar MV lists exactly that table as its ONLY source (one
+  *     leaf — join bodies maintain but don't rewrite) and
+  *     [[GraftViews.mvFresh]] holds (recorded source version == live
+  *     version, no pending refresh) — stale MVs decline, so reads
+  *     NEVER trade correctness for speed;
   *   - every query grouping expression matches an MV grain expression
   *     (rebased by column name onto the query's relation attributes);
   *   - every aggregate matches a slot as above (DISTINCT/FILTER
-  *     decline);
-  *   - any riding Filter references only BARE-ATTRIBUTE grain columns,
-  *     and is pushed onto the backing scan (where the connector's file
-  *     pruning applies to the much smaller table).
+  *     decline); AVG over DECIMAL re-derives from its (sum, count)
+  *     slots (r14);
+  *   - an MV body WHERE is SUBSUMED by the query's predicate (r14):
+  *     every MV conjunct appears semantically among the query's
+  *     conjuncts — the "last-90-days" MV answers its own window and
+  *     any conjunctive strengthening of it;
+  *   - whatever query conjuncts remain reference only BARE-ATTRIBUTE
+  *     grain columns, and are pushed onto the backing scan (where the
+  *     connector's file pruning applies to the much smaller table).
   *
   * Freshness is probed at REWRITE time: a source commit racing the
   * query flips later plans back to the raw scan; the in-flight plan
@@ -62,7 +68,8 @@ import java.nio.file.{Files, Path, Paths}
   * node over a graft table (usually empty), definition + body-shape
   * analysis cached by (sidecar file, mtime).
   */
-class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
   import MvIncremental.{CountSlot, LivenessCol, MaxSlot, MinSlot, Shape, SumSlot}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -194,11 +201,10 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.analyzed
       MvIncremental.detect(analyzed)
-        // an MV WHERE pre-filters the merged rows — a query without
-        // that exact predicate would read too few; decline the shape
-        .filter(_.condSql.isEmpty)
         // join/self-join bodies maintain (r14) but do not rewrite: the
-        // grain/measure rebasing below assumes ONE relation's columns
+        // grain/measure rebasing below assumes ONE relation's columns.
+        // Filtered bodies (condExpr) DO rewrite since r14, under the
+        // predicate-subsumption proof in rewriteAgainst.
         .filter(_.rewriteEligible)
         .map(sh => CachedMv(d, ns, sources.head._1, sh))
     } catch { case _: Exception => None }
@@ -257,6 +263,37 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case _: Exception => return None }
     def mvAttr(n: String): Option[Attribute] = mvPlan.output.find(_.name == n)
     if (!sh.auxCols.forall(a => mvAttr(a).isDefined)) return None
+
+    // predicate subsumption (r14): a FILTERED MV (a WHERE in the body)
+    // answers a query only when the query's predicate IMPLIES the MV's.
+    // Supported proof: conjunctive strengthening — every MV conjunct
+    // appears (semantically equal, rebased onto the query's relation)
+    // among the query's conjuncts; each matches away exactly once, and
+    // whatever conjuncts REMAIN ride onto the backing through the
+    // existing grain-predicate gate. A query missing an MV conjunct
+    // (weaker predicate — it needs rows the MV never merged) declines.
+    // the MV side is ANALYZED-but-unoptimized (`id < CAST(5 AS
+    // BIGINT)`) while the query side arrives constant-folded — fold
+    // foldable subtrees on both before comparing, or equal predicates
+    // look different
+    def fold(e: Expression): Expression = e.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        try Literal.create(x.eval(null), x.dataType) catch { case _: Exception => x }
+    }
+    val residual: Option[Expression] = sh.condExpr
+      .map(e => rebase(e, rel.output).getOrElse(return None)) match {
+      case None => cond
+      case Some(_) if cond.isEmpty => return None
+      case Some(mvC) =>
+        val mcs = splitConjunctivePredicates(mvC).map(fold)
+        var qcs = splitConjunctivePredicates(cond.get).map(fold)
+        mcs.foreach { mc =>
+          val i = qcs.indexWhere(_.semanticEquals(mc))
+          if (i < 0) return None
+          qcs = qcs.patch(i, Nil, 1)
+        }
+        qcs.reduceOption(And)
+    }
 
     def grainOf(e: Expression): Option[Attribute] =
       grains.find(_._2.semanticEquals(e)).flatMap(g => mvAttr(g._1.name))
@@ -358,7 +395,7 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val attrGrains: Map[ExprId, Attribute] = grains.collect {
       case (o, a: AttributeReference) => a.exprId -> mvAttr(o.name)
     }.collect { case (id, Some(a)) => id -> a }.toMap
-    val newCond: Option[Option[Expression]] = cond match {
+    val newCond: Option[Option[Expression]] = residual match {
       case None => Some(None)
       case Some(cnd) if cnd.deterministic =>
         val t = cnd.transformUp {

@@ -3753,6 +3753,66 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q301 (r14): FILTERED-MV rewrite via predicate subsumption — the
+    * second-most-common production MV shape ("last-90-days revenue")
+    * can now answer its own dashboard. A body WHERE used to veto the
+    * transparent rewrite outright; [[graft.plans.CatalogMvRewrite]]
+    * now fires when the query's predicate IMPLIES the MV's under
+    * conjunctive strengthening: every MV conjunct appears semantically
+    * among the query's conjuncts (matched away once each) and the
+    * REMAINING query conjuncts ride onto the backing scan through the
+    * existing grain-predicate gate, where file pruning applies to the
+    * small table. The lifecycle pins BOTH shapes in the ORACLE: the
+    * exact-predicate query routes ('mv-routed-exact'), the
+    * strengthened query routes with its residual pushed
+    * ('mv-routed-strong'), and the strengthened rows must equal
+    * DuckDB's raw recompute. Weaker predicates and non-grain residuals
+    * still decline (pinned in ViewsSpec). At 100 TB: the windowed MV
+    * serves every dashboard cut whose WHERE starts from its own. */
+  def filteredMvRewrite(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvf_src")
+    Tables.events(spark, d).select(col("event_type"), col("value"))
+      .createOrReplaceTempView("mvf_src_in")
+    spark.sql(s"CREATE TABLE $cat.mvf_src AS SELECT * FROM mvf_src_in")
+    spark.sql(s"CALL $cat.create_materialized_view('mv_filt', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+      s"FROM $cat.mvf_src WHERE event_type <> ''view'' GROUP BY event_type', " +
+      "or_replace => true)")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def routed(df: DataFrame): Boolean = {
+      val scans = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan.description() }
+      scans.nonEmpty && scans.forall(_.contains("_mv_mv_filt"))
+    }
+    val exact = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.mvf_src WHERE event_type <> 'view' GROUP BY event_type""".stripMargin)
+    val strong = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         |FROM $cat.mvf_src WHERE event_type <> 'view' AND event_type <> 'error'
+         |GROUP BY event_type""".stripMargin)
+    def planRow(phase: String, ok: Boolean, tag: String) =
+      spark.sql(s"SELECT '$phase' AS phase, " +
+        s"'${if (ok) s"mv-routed-$tag" else s"raw-scan-$tag"}' AS event_type, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum")
+    planRow("plan-exact", routed(exact), "exact")
+      .unionAll(planRow("plan-strong", routed(strong), "strong"))
+      .unionAll(strong.selectExpr("'rows' AS phase", "event_type", "n", "value_sum"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3857,6 +3917,7 @@ object JsonlStatsQueries extends QueryModule {
     "q298_minmax_mv_refresh" -> minMaxMvRefresh,
     "q299_join_mv_refresh" -> joinMvRefresh,
     "q300_avg_mv" -> avgMvRefreshAndRoute,
+    "q301_filtered_mv_rewrite" -> filteredMvRewrite,
   )
 
   val oracles = Map(
@@ -4195,6 +4256,17 @@ object JsonlStatsQueries extends QueryModule {
         |SELECT 'rows' AS phase, event_type, min(value) AS mn, max(value) AS mx,
         |  count(*) AS n
         |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+    "q301_filtered_mv_rewrite" ->
+      """SELECT 'plan-exact' AS phase, 'mv-routed-exact' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum
+        |UNION ALL
+        |SELECT 'plan-strong', 'mv-routed-strong', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events WHERE event_type <> 'view' AND event_type <> 'error'
+        |GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
     "q299_join_mv_refresh" ->
       """WITH fact AS (

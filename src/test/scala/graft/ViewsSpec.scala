@@ -658,6 +658,57 @@ class ViewsSpec extends SparkSpec {
     spark.sql("DROP TABLE vspec.av_t")
   }
 
+  test("filtered-MV rewrite fires under predicate subsumption: exact and " +
+    "conjunctively-strengthened queries route, weaker predicates and " +
+    "non-grain residuals decline (r14)") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.fw_t")
+    Seq(("a", 10.0, 1L), ("a", 20.0, 9L), ("b", 5.0, 3L), ("c", 7.0, 4L))
+      .toDF("k", "v", "id").createOrReplaceTempView("fw_seed")
+    spark.sql("CREATE TABLE vspec.fw_t AS SELECT * FROM fw_seed")
+    spark.sql("CALL vspec.create_materialized_view('mv_fw', " +
+      "'SELECT k, count(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      "FROM vspec.fw_t WHERE id < 5 GROUP BY k', or_replace => true)")
+    def q(where: String) = "SELECT k, count(*) AS n, " +
+      s"CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM vspec.fw_t $where " +
+      "GROUP BY k ORDER BY k"
+    // exact predicate: routed, rows equal the seed recompute
+    val exact = spark.sql(q("WHERE id < 5"))
+    assert(scans(exact).forall(_.contains("_mv_mv_fw")), scans(exact))
+    assert(exact.collect().toSeq ===
+      spark.sql(q("WHERE id < 5").replace("vspec.fw_t", "fw_seed")).collect().toSeq)
+    // conjunctive strengthening: the residual (a grain conjunct) rides
+    // onto the backing scan
+    val strong = spark.sql(q("WHERE id < 5 AND k <> 'a'"))
+    assert(scans(strong).forall(_.contains("_mv_mv_fw")), scans(strong))
+    assert(strong.collect().toSeq ===
+      spark.sql(q("WHERE id < 5 AND k <> 'a'").replace("vspec.fw_t", "fw_seed"))
+        .collect().toSeq)
+    // WEAKER predicate (missing the MV conjunct): the query needs rows
+    // the MV never merged — raw scan
+    val weak = spark.sql(q(""))
+    assert(scans(weak).forall(s => s.contains("fw_t") && !s.contains("_mv_")), scans(weak))
+    // a NON-GRAIN residual cuts rows the MV already merged — raw scan
+    val nonGrain = spark.sql(q("WHERE id < 5 AND v > 6"))
+    assert(scans(nonGrain).forall(s => s.contains("fw_t") && !s.contains("_mv_")),
+      scans(nonGrain))
+    spark.sql("CALL vspec.drop_view('mv_fw')")
+    spark.sql("DROP TABLE vspec.fw_t")
+  }
+
   test("rewrite candidate identity is the sidecar's CONTENT: a replace " +
     "serving the same mtime still evicts the cached shape (ADVICE r13)") {
     cat

@@ -41,6 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class MapKeyPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def eligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    // r14: string-valued maps carry truncated per-key bounds in scols
+    case MapType(StringType, StringType, _) => true
     case MapType(StringType, vt, _) => JsonlStats.numericStatType(vt)
     case _ => false
   }

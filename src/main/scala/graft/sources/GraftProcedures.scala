@@ -1693,6 +1693,26 @@ object GraftProcedures {
               else Some(bs.map(_._2.get).max(Ordering.fromLessThan[String](
                 JsonlStats.strCompare(_, _) < 0)))
             c -> (lo, hi)
+          }.toMap ++
+          // STRING map-key bounds (r14) merge by UNION under the
+          // completeness marker, like the numeric leg above: a key
+          // absent from a marker-carrying member has no rows there, so
+          // the union over the members that DO carry it is exact — the
+          // intersection rule would drop such keys while keeping the
+          // marker, which would then WRONGLY prune files holding them
+          sharedCols.filter(_.endsWith("#mk")).flatMap { mk =>
+            val pre = mk.stripSuffix("#mk") + "."
+            members.flatMap(_.strCols.keySet.filter(_.startsWith(pre))).toSet.map {
+              (k: String) =>
+                val bs = members.flatMap(_.strCols.get(k))
+                val lo = bs.map(_._1).min(Ordering.fromLessThan[String](
+                  JsonlStats.strCompare(_, _) < 0))
+                val hi =
+                  if (bs.exists(_._2.isEmpty)) None
+                  else Some(bs.map(_._2.get).max(Ordering.fromLessThan[String](
+                    JsonlStats.strCompare(_, _) < 0)))
+                k -> (lo, hi)
+            }
           }.toMap
           // checkpoints (r8) survive the byte concat: each member's
           // pairs shift by its byte/row offset in the bin, and every

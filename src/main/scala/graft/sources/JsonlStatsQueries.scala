@@ -3813,6 +3813,60 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q302 (r14): STRING map-key statistics — `props['lang'] = 'de'`,
+    * the single most common property-bag predicate in a curation
+    * pipeline, prunes FILES at planning. q295 covered numeric map
+    * values; the writer now records truncated per-key STRING bounds
+    * for MAP<STRING,STRING> columns as `<col>.<key>` entries in the
+    * same scols map every string column uses (r8 one-sided truncation
+    * laws apply unchanged), under the same `<col>#mk` completeness
+    * marker — an ABSENT key still prunes a file outright. The injected
+    * [[graft.plans.MapKeyPushdown]] rewrite covers string-valued maps
+    * too, and the scan derives v1-style string filters on the dotted
+    * key FROM the pushed predicate. The layout ranges `lang` with the
+    * shard, so the equality slice plans exactly its shard's files; the
+    * 'plan' row pins pruning (planned < total) and DuckDB recomputes
+    * the slice from the raw columns. At 100 TB: the language slice of
+    * a multilingual corpus reads its band of files, not the corpus. */
+  def mapKeyStringSlice(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.map_lang")
+    Tables.events(spark, d)
+      .selectExpr("event_id", "user_id", "value",
+        "CAST((user_id % 64) DIV 8 AS STRING) AS shard")
+      .createOrReplaceTempView("map_lang_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.map_lang USING `graft-jsonl-stats`
+         |PARTITIONED BY (shard)
+         |AS SELECT event_id, shard,
+         |  map('lang', concat('l', shard), 'src', concat('s', CAST(event_id % 3 AS STRING))) AS props
+         |FROM map_lang_in""".stripMargin)
+    val slice = spark.sql(
+      s"""SELECT shard, count(*) AS n, count(props['src']) AS n_src
+         |FROM $cat.map_lang
+         |WHERE props['lang'] = 'l1'
+         |GROUP BY shard""".stripMargin)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val total = JsonlStats.readStats(Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.root"), "map_lang").toString).size
+    val planned = nodes(slice.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan }
+      .collect { case sc: JsonlStatsScan => sc.toBatch.planInputPartitions().length }.sum
+    spark.sql("SELECT 'plan' AS phase, " +
+      s"'${if (planned < total) "pruned" else "full"}' AS shard, " +
+      "CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_src")
+      .unionAll(slice.selectExpr("'rows' AS phase", "shard", "n", "n_src"))
+      .orderBy(col("phase"), col("shard"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q152_dsv2_stats_scan" -> statsSkippingScan,
     "q159_dsv2_agg_pushdown" -> manifestAggregate,
@@ -3918,6 +3972,7 @@ object JsonlStatsQueries extends QueryModule {
     "q299_join_mv_refresh" -> joinMvRefresh,
     "q300_avg_mv" -> avgMvRefreshAndRoute,
     "q301_filtered_mv_rewrite" -> filteredMvRewrite,
+    "q302_map_key_string_slice" -> mapKeyStringSlice,
   )
 
   val oracles = Map(
@@ -4257,6 +4312,16 @@ object JsonlStatsQueries extends QueryModule {
         |  count(*) AS n
         |FROM src GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    "q302_map_key_string_slice" ->
+      """WITH src AS (
+        |  SELECT event_id, CAST((user_id % 64) // 8 AS VARCHAR) AS shard
+        |  FROM events)
+        |SELECT 'plan' AS phase, 'pruned' AS shard,
+        |  CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_src
+        |UNION ALL
+        |SELECT 'rows' AS phase, shard, count(*) AS n, count(*) AS n_src
+        |FROM src WHERE shard = '1' GROUP BY shard
+        |ORDER BY phase, shard""".stripMargin,
     "q301_filtered_mv_rewrite" ->
       """SELECT 'plan-exact' AS phase, 'mv-routed-exact' AS event_type,
         |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS value_sum

@@ -52,6 +52,11 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
   // map-key interval constraints (r13), derived from pushed
   // graft_map_get predicates: ("<col>.<key>" logical, lo, hi)
   private var mapKeyBands: Seq[(String, Double, Double)] = Nil
+  // STRING map-key constraints (r14): the same graft_map_get shapes
+  // with string literals, kept as v1-style filters whose "column" is
+  // the dotted "<col>.<key>" — pruning reuses the truncated
+  // string-bounds laws (strIntervalMayMatch)
+  private var mapKeyStrPreds: Seq[Filter] = Nil
 
   /** LIMIT pushdown (r9c, partial): the scan may serve ANY k rows, so
     * planning keeps only a file prefix whose GUARANTEED output rows
@@ -282,6 +287,45 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
     mapKeyBands = mbands.groupBy(_._1).map { case (c, bs) =>
       (c, bs.map(_._2).max, bs.map(_._3).min)
     }.toSeq
+    // string-valued map-key predicates (r14): the same graft_map_get
+    // comparison shapes carrying STRING literals become v1-style
+    // filters on the dotted key — conjuncts stack (forall at pruning)
+    def strLit(e: V2Expression): Option[String] = e match {
+      case l: Literal[_]
+          if l.value.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+        Some(l.value.toString)
+      case _ => None
+    }
+    val msp = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    predicates.foreach {
+      case g: GeneralScalarExpression =>
+        val ch = g.children()
+        g.name() match {
+          case "=" if ch.length == 2 =>
+            mapGetKey(ch(0)).zip(strLit(ch(1))).foreach { case (c, v) => msp += EqualTo(c, v) }
+            mapGetKey(ch(1)).zip(strLit(ch(0))).foreach { case (c, v) => msp += EqualTo(c, v) }
+          case "<" if ch.length == 2 =>
+            mapGetKey(ch(0)).zip(strLit(ch(1))).foreach { case (c, v) => msp += LessThan(c, v) }
+            mapGetKey(ch(1)).zip(strLit(ch(0))).foreach { case (c, v) => msp += GreaterThan(c, v) }
+          case "<=" if ch.length == 2 =>
+            mapGetKey(ch(0)).zip(strLit(ch(1))).foreach { case (c, v) => msp += LessThanOrEqual(c, v) }
+            mapGetKey(ch(1)).zip(strLit(ch(0))).foreach { case (c, v) => msp += GreaterThanOrEqual(c, v) }
+          case ">" if ch.length == 2 =>
+            mapGetKey(ch(0)).zip(strLit(ch(1))).foreach { case (c, v) => msp += GreaterThan(c, v) }
+            mapGetKey(ch(1)).zip(strLit(ch(0))).foreach { case (c, v) => msp += LessThan(c, v) }
+          case ">=" if ch.length == 2 =>
+            mapGetKey(ch(0)).zip(strLit(ch(1))).foreach { case (c, v) => msp += GreaterThanOrEqual(c, v) }
+            mapGetKey(ch(1)).zip(strLit(ch(0))).foreach { case (c, v) => msp += LessThanOrEqual(c, v) }
+          case "IN" if ch.length >= 2 =>
+            mapGetKey(ch(0)).foreach { c =>
+              val vs = ch.drop(1).map(strLit)
+              if (vs.forall(_.isDefined)) msp += In(c, vs.flatten.toArray[Any])
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    mapKeyStrPreds = msp.toSeq
     pushedV2 = predicates.filter { p =>
       org.apache.spark.sql.graft.PredicateBridge.toV1(p)
         .exists(f => pushed.contains(f) || bloomPushed.contains(f)) ||
@@ -424,7 +468,7 @@ class JsonlStatsScanBuilder(root: String, full: StructType,
       val scan = new JsonlStatsScan(root, required, pushed, statsCol, partitionCol,
         rewriteOp, splitBytes, manifest, bloomSets, columnMapping, gramRequired,
         limitK, topN, maxFilesPerTrigger, maxBytesPerTrigger, vecCellProbes, vecNormBands,
-        sample, mapKeyBands)
+        sample, mapKeyBands, mapKeyStrPreds)
       // the operation's commit must know what this scan replaced
       rewriteOp.foreach(_.rewriteScan = Some(scan))
       scan
@@ -506,7 +550,8 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
                      vecCells: Seq[(String, Seq[Int])] = Nil,
                      vecNorm: Seq[(String, Double, Double)] = Nil,
                      sample: Option[(Double, Double, Long)] = None,
-                     mapBands: Seq[(String, Double, Double)] = Nil)
+                     mapBands: Seq[(String, Double, Double)] = Nil,
+                     mapStrPreds: Seq[Filter] = Nil)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -907,6 +952,11 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
     }
   }
 
+  /** Pair each string map-key filter with its dotted column (always
+    * defined — the derivation only emits strSkipColumn shapes). */
+  private def mapKeyStrPredsOf(fs: Seq[Filter]): Seq[(Filter, String)] =
+    fs.flatMap(f => JsonlStats.strSkipColumn(f).map(f -> _))
+
   private def computeSurviving(): Seq[JsonlStats.FileStats] =
     statsSnapshot
       // hidden partitioning (r9): a file's single DERIVED pkey, mapped
@@ -999,6 +1049,19 @@ class JsonlStatsScan(root: String, required: StructType, pushed: Array[Filter],
         val phys = JsonlStats.physPath(ck, columnMapping)
         s.cols.get(phys) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None =>
+            val top = phys.take(math.max(0, phys.indexOf('.')))
+            top.isEmpty || !s.cols.contains(JsonlStats.mapMarkerKey(top))
+        }
+      })
+      // STRING map-key predicates (r14): the `<col>.<key>` truncated
+      // string bounds prune under the r8 one-sided laws; an ABSENT key
+      // prunes only under the file's completeness marker — the same
+      // absence semantics as the numeric leg above
+      .filter(s => mapKeyStrPredsOf(mapStrPreds).forall { case (f, ck) =>
+        val phys = JsonlStats.physPath(ck, columnMapping)
+        s.strCols.get(phys) match {
+          case Some((lo, hi)) => JsonlStats.strIntervalMayMatch(f, lo, hi)
           case None =>
             val top = phys.take(math.max(0, phys.indexOf('.')))
             top.isEmpty || !s.cols.contains(JsonlStats.mapMarkerKey(top))

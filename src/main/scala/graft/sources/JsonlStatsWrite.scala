@@ -829,6 +829,23 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
   private val mapKeyMx = Array.fill(mapIdx.length)(
     scala.collection.mutable.Map.empty[String, Double])
   private val mapPoison = Array.fill(mapIdx.length)(false)
+  // string-VALUED map keys (r14): per-key string bounds for
+  // MAP<STRING, STRING> columns — the single most common property-bag
+  // predicate (`props['lang'] = 'de'`) — published into the SAME scols
+  // map as truncated `<col>.<key>` entries (the r8 one-sided truncation
+  // laws apply unchanged) under the SAME `<col>#mk` completeness
+  // marker. Cap and key hygiene mirror the numeric machinery.
+  private val mapSIdx: Array[Int] = writeSchema.fields.zipWithIndex.collect {
+    case (f, i) if (f.dataType match {
+      case MapType(StringType, StringType, _) => true
+      case _ => false
+    }) => i
+  }
+  private val mapKeySMn = Array.fill(mapSIdx.length)(
+    scala.collection.mutable.Map.empty[String, UTF8String])
+  private val mapKeySMx = Array.fill(mapSIdx.length)(
+    scala.collection.mutable.Map.empty[String, UTF8String])
+  private val mapSPoison = Array.fill(mapSIdx.length)(false)
 
   // vector stats (r11): L2-norm and sign-cell bounds for every
   // top-level float/double array — always on (one multiply-add per
@@ -1021,6 +1038,35 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       }
       mi += 1
     }
+    var msi = 0
+    while (msi < mapSIdx.length) {
+      val i = mapSIdx(msi)
+      if (!mapSPoison(msi) && !row.isNullAt(i)) {
+        val mp = row.getMap(i)
+        val ks = mp.keyArray(); val vs = mp.valueArray()
+        var j = 0
+        while (j < mp.numElements() && !mapSPoison(msi)) {
+          if (!vs.isNullAt(j)) {
+            val k = ks.getUTF8String(j).toString
+            val known = mapKeySMn(msi).contains(k)
+            if (!JsonlStats.mapStatKeyOk(k) ||
+              (!known && mapKeySMn(msi).size >= JsonlStats.MapKeyCap)) {
+              mapSPoison(msi) = true
+              mapKeySMn(msi).clear(); mapKeySMx(msi).clear()
+            } else {
+              // clone: the map's UTF8String may alias a reused buffer
+              val v = vs.getUTF8String(j).clone()
+              val curMn = mapKeySMn(msi).get(k)
+              if (curMn.isEmpty || v.compareTo(curMn.get) < 0) mapKeySMn(msi)(k) = v
+              val curMx = mapKeySMx(msi).get(k)
+              if (curMx.isEmpty || v.compareTo(curMx.get) > 0) mapKeySMx(msi)(k) = v
+            }
+          }
+          j += 1
+        }
+      }
+      msi += 1
+    }
     var vi = 0
     while (vi < vecIdx.length) {
       val i = vecIdx(vi)
@@ -1108,6 +1154,11 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
           mapKeyMn(mi).toSeq.map { case (k, lo) =>
             s"$base.$k" -> (lo, mapKeyMx(mi)(k))
           }
+      }.toMap ++
+      // string-valued maps (r14) publish the same completeness marker
+      // (their per-key BOUNDS live in scols, truncated)
+      mapSIdx.indices.filterNot(mapSPoison).map { msi =>
+        JsonlStats.mapMarkerKey(physOf(mapSIdx(msi))) -> (1.0, 1.0)
       }.toMap
     // non-null counts for EVERY column, numeric and string, including
     // all-null ones (a zero count is knowledge — COUNT(col) pushdown
@@ -1124,7 +1175,15 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     }.toMap ++
       // nested string leaves (r12), same truncation law
       leafSMn.keySet.map(k => k -> (JsonlStats.truncLower(leafSMn(k).toString),
-        JsonlStats.truncUpper(leafSMx(k).toString))).toMap
+        JsonlStats.truncUpper(leafSMx(k).toString))).toMap ++
+      // string map-key bounds (r14) under their dotted keys, same law
+      mapSIdx.indices.filterNot(mapSPoison).flatMap { msi =>
+        val base = physOf(mapSIdx(msi))
+        mapKeySMn(msi).toSeq.map { case (k, lo) =>
+          s"$base.$k" -> (JsonlStats.truncLower(lo.toString),
+            JsonlStats.truncUpper(mapKeySMx(msi)(k).toString))
+        }
+      }.toMap
     val segZones = zones.zones(ckpts.nonEmpty)
     // exact cell sets (r12): published iff the column saw at least one
     // non-null vector — same condition as its `#cell` bounds

@@ -611,4 +611,95 @@ class TypedColumnsSpec extends SparkSpec {
       "post-compaction rare-key slice must still find its rows")
     assert(read().filter("props['zz'] > 0").count() === 0)
   }
+
+  test("STRING map-key statistics: per-key truncated bounds prune files " +
+    "under the r8 one-sided laws, absent keys prune under the marker, " +
+    "compaction merges by union (r14)") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("shard", StringType, nullable = false),
+      StructField("props", MapType(StringType, StringType), nullable = true)))
+    val dir = Files.createTempDirectory("typed_mapstr").toString
+    // 8 shards, one file each; shard k carries a short per-file-constant
+    // 'lang' = lk, a LONG 'doc' value exercising the truncation laws,
+    // a null-valued key, and (shard 0 only) a 'rare' key
+    val P = "abcdefghijklmnop" // 16 codepoints — at the truncation edge
+    val rows = (0L until 800L).map { i =>
+      val k = i % 8
+      val base = Map[String, Any](
+        "lang" -> s"l$k", "doc" -> s"$P-$k", "nul" -> null)
+      Row(i, k.toString, if (k == 0) base + ("rare" -> "yes") else base)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").option("partitionColumn", "shard")
+      .mode("overwrite").save()
+    val stats = graft.sources.JsonlStats.readStats(dir)
+    assert(stats.size === 8)
+    // bounds live in scols; the marker in cols — one publication model
+    assert(stats.forall(_.cols.contains("props#mk")), stats.head.cols.keySet)
+    assert(stats.forall(_.strCols.contains("props.lang")),
+      stats.head.strCols.keySet)
+    // null VALUES contribute no bounds: the key is absent from stats
+    assert(stats.forall(st => !st.strCols.contains("props.nul")))
+    // the r8 truncation laws hold on the long value: lo ≤ attained min
+    // (truncate-down), hi ≥ attained max (truncate-up-or-unknown)
+    stats.foreach { st =>
+      val (lo, hi) = st.strCols("props.doc")
+      val full = s"$P-${st.pkey.get}"
+      assert(graft.sources.JsonlStats.strCompare(lo, full) <= 0, s"$lo !<= $full")
+      assert(hi.forall(h => graft.sources.JsonlStats.strCompare(h, full) >= 0),
+        s"$hi !>= $full")
+      assert(lo.length <= 16 && hi.forall(_.length <= 16), s"untruncated: $lo / $hi")
+    }
+    def read() = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    // equality on the short constant key: 1 of 8 files, all rows found
+    assert(plannedFiles(read().filter("props['lang'] = 'l3'")) === 1)
+    val hit = read().filter("props['lang'] = 'l3'").collect()
+    assert(hit.length === 100 && hit.forall(_.getString(1) == "3"))
+    // equality on the LONG value: truncation cannot split same-prefix
+    // files apart, but the rows still come back exactly (conservative)
+    assert(read().filter(s"props['doc'] = '$P-3'").count() === 100)
+    // a value outside every file's truncated interval prunes everything
+    assert(plannedFiles(read().filter("props['doc'] = 'zzz'")) === 0)
+    // range band and IN list over the short key
+    assert(plannedFiles(read().filter(
+      "props['lang'] >= 'l2' AND props['lang'] <= 'l4'")) === 3)
+    assert(plannedFiles(read().filter("props['lang'] IN ('l1', 'l6')")) === 2)
+    assert(read().filter("props['lang'] IN ('l1', 'l6')").count() === 200)
+    // ABSENT key + marker: zero files; the shard-0-only key plans 1
+    assert(plannedFiles(read().filter("props['zz'] = 'x'")) === 0)
+    assert(read().filter("props['zz'] = 'x'").count() === 0)
+    assert(plannedFiles(read().filter("props['rare'] = 'yes'")) === 1)
+    // POISON: >64 distinct keys drops the file's key stats + marker
+    val dirP = Files.createTempDirectory("typed_mapstr_poison").toString
+    val wide = (0L until 10L).map(i =>
+      Row(i, "w", (0 until 70).map(j => s"k$j" -> (s"v$j": Any)).toMap))
+    spark.createDataFrame(spark.sparkContext.parallelize(wide, 1), s)
+      .write.format("graft-jsonl-stats").option("path", dirP)
+      .option("statsColumn", "id").mode("overwrite").save()
+    val pStats = graft.sources.JsonlStats.readStats(dirP)
+    assert(pStats.forall(st => !st.cols.contains("props#mk")),
+      "cap overflow must drop the marker")
+    def readP() = spark.read.format("graft-jsonl-stats").option("path", dirP).load()
+    assert(plannedFiles(readP().filter("props['zz'] = 'x'")) === pStats.size,
+      "a poisoned column must never prune")
+    assert(readP().filter("props['k3'] = 'v3'").count() === 10L)
+    // COMPACTION merges string key bounds by UNION under the marker
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9000L, "0", Map[String, Any]("lang" -> "l0", "doc" -> s"$P-0"))), 1), s)
+      .write.format("graft-jsonl-stats").option("path", dir)
+      .option("statsColumn", "id").option("partitionColumn", "shard")
+      .mode("append").save()
+    graft.sources.GraftProcedures.compact(dir, targetBytes = Long.MaxValue)
+    val merged = graft.sources.JsonlStats.readStats(dir)
+    val shard0 = merged.filter(_.pkey.contains("0"))
+    assert(shard0.size === 1, "shard 0 must have compacted to one file")
+    assert(shard0.head.strCols.contains("props.rare"),
+      "union merge must keep the rare key's bounds")
+    assert(shard0.head.cols.contains("props#mk"))
+    assert(read().filter("props['rare'] = 'yes'").count() === 100,
+      "post-compaction rare-key slice must still find its rows")
+    assert(read().filter("props['zz'] = 'x'").count() === 0)
+  }
 }

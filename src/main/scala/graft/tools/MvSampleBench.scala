@@ -152,6 +152,64 @@ object MvSampleBench {
       "AS SELECT s.event_id, s.event_type, s.value, s.shard FROM mvb_src s, range(256)")
     val (incMode8, inc8, fullMode8, full8) = refreshPair("ev256", "256")
 
+    // ---- r14: join-aware refresh ∝ fact delta ----
+    // Twin fact⋈dim MVs per fact size: mv_jd* (decimal — the spliced
+    // signed-delta path) vs mv_jf* (float sum — RTAS). Same one-row
+    // fact delta on the 1x and 256x facts: the rebuild re-runs the
+    // whole join, the incremental one joins the DELTA to the dim.
+    spark.sql(s"CREATE TABLE $cat.dim AS " +
+      "SELECT id AS did, CAST(id % 8 AS STRING) AS seg FROM range(0, 200000)")
+    def joinPair(src: String, tag: String): (String, Double, String, Double) = {
+      spark.sql(s"CALL $cat.create_materialized_view('mv_jd$tag', " +
+        s"'SELECT seg, count(*) AS n, " +
+        s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+        s"FROM $cat.$src JOIN $cat.dim ON event_id = did GROUP BY seg')")
+      spark.sql(s"CALL $cat.create_materialized_view('mv_jf$tag', " +
+        s"'SELECT seg, count(*) AS n, SUM(value) AS value_sum " +
+        s"FROM $cat.$src JOIN $cat.dim ON event_id = did GROUP BY seg')")
+      spark.sql(s"INSERT INTO $cat.$src VALUES (5, 'probe', 1.0, '5')") // warm-up
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_jd$tag')").collect()
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_jf$tag')").collect()
+      spark.sql(s"INSERT INTO $cat.$src VALUES (6, 'probe', 2.0, '6')") // timed
+      val (im, is) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_jd$tag')")
+        .collect().head.getString(2))
+      val (fm, fs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_jf$tag')")
+        .collect().head.getString(2))
+      (im, is, fm, fs)
+    }
+    val (jIncMode1, jInc1, jFullMode1, jFull1) = joinPair("ev", "1")
+    val (jIncMode8, jInc8, jFullMode8, jFull8) = joinPair("ev256", "256")
+
+    // ---- r14: group-scoped MIN/MAX repair ∝ affected groups ----
+    // One MIN/MAX MV at the PARTITION grain, twice: the repair path
+    // (delete one key's rows → recompute ONE shard's extrema, file
+    // pruning cuts the rest) vs the RTAS control (same window, repair
+    // declined via the zero cap). Cost ratio is the law.
+    def repairPair(src: String, tag: String): (String, Double, String, Double) = {
+      // the SUM keeps the control honest: a pure min/max/count body at
+      // the partition grain is answered from the MANIFEST by grouped
+      // aggregate pushdown, which would make the "full rebuild" free
+      def body = s"'SELECT shard, min(value) AS mn, max(value) AS mx, " +
+        s"count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vs " +
+        s"FROM $cat.$src GROUP BY shard'"
+      spark.sql(s"CALL $cat.create_materialized_view('mv_m$tag', " + body + ")")
+      spark.sql(s"CALL $cat.create_materialized_view('mv_m2$tag', " + body + ")")
+      spark.sql(s"INSERT INTO $cat.$src VALUES (7, 'probe', 3.0, '7')") // warm-up
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_m$tag')").collect()
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_m2$tag')").collect()
+      // the deleting window: one event id, one shard's group affected
+      spark.sql(s"DELETE FROM $cat.$src WHERE event_id = 6 AND event_type = 'probe'")
+      val (rm, rs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_m$tag')")
+        .collect().head.getString(2))
+      spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
+      val (fm, fs) = try timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_m2$tag')")
+        .collect().head.getString(2))
+      finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
+      (rm, rs, fm, fs)
+    }
+    val (repMode1, rep1, repCtlMode1, repCtl1) = repairPair("ev", "1")
+    val (repMode8, rep8, repCtlMode8, repCtl8) = repairPair("ev256", "256")
+
     println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
       s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
       s""""full_scan_s":${f"${med(full)}%.3f"},"sample_undeclared_s":${f"${med(undeclared)}%.3f"},""" +
@@ -163,7 +221,15 @@ object MvSampleBench {
       s""""ivm_refresh_1x_s":${f"$inc1%.3f"},"ivm_mode_1x":"$incMode1",""" +
       s""""rtas_refresh_1x_s":${f"$full1%.3f"},"rtas_mode_1x":"$fullMode1",""" +
       s""""ivm_refresh_256x_s":${f"$inc8%.3f"},"ivm_mode_256x":"$incMode8",""" +
-      s""""rtas_refresh_256x_s":${f"$full8%.3f"},"rtas_mode_256x":"$fullMode8"}""")
+      s""""rtas_refresh_256x_s":${f"$full8%.3f"},"rtas_mode_256x":"$fullMode8",""" +
+      s""""join_ivm_1x_s":${f"$jInc1%.3f"},"join_ivm_mode_1x":"$jIncMode1",""" +
+      s""""join_rtas_1x_s":${f"$jFull1%.3f"},"join_rtas_mode_1x":"$jFullMode1",""" +
+      s""""join_ivm_256x_s":${f"$jInc8%.3f"},"join_ivm_mode_256x":"$jIncMode8",""" +
+      s""""join_rtas_256x_s":${f"$jFull8%.3f"},"join_rtas_mode_256x":"$jFullMode8",""" +
+      s""""repair_1x_s":${f"$rep1%.3f"},"repair_mode_1x":"$repMode1",""" +
+      s""""repair_ctl_1x_s":${f"$repCtl1%.3f"},"repair_ctl_mode_1x":"$repCtlMode1",""" +
+      s""""repair_256x_s":${f"$rep8%.3f"},"repair_mode_256x":"$repMode8",""" +
+      s""""repair_ctl_256x_s":${f"$repCtl8%.3f"},"repair_ctl_mode_256x":"$repCtlMode8"}""")
     spark.stop()
   }
 }

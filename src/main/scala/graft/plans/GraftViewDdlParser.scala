@@ -67,9 +67,16 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
 
   private def cm = spark.sessionState.catalogManager
 
+  /** Registered AND resolves to a GraftCatalog. `cm.catalog(name)`
+    * deliberately FORCES initialization (r14): gating on the
+    * initialized-roots snapshot first meant the very first view DDL of
+    * a fresh session — before anything had touched the catalog —
+    * passed through to Spark's MISSING_CATALOG_ABILITY wall. Spark
+    * would initialize the registered catalog during that statement's
+    * analysis anyway, so eager initialization here changes nothing but
+    * the first statement's outcome. */
   private def isGraftCat(name: String): Boolean =
-    GraftCatalog.rootsSnapshot.exists(_._1 == name) &&
-      cm.isCatalogRegistered(name) &&
+    cm.isCatalogRegistered(name) &&
       (try cm.catalog(name).isInstanceOf[GraftCatalog] catch { case _: Exception => false })
 
   /** An identifier whose head names a DIFFERENT registered catalog is

@@ -47,15 +47,16 @@ import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
   * DOUBLE)`) are kept as TEMPLATES and re-applied to the merged raw
   * state, so the visible column is bit-identical to a full recompute.
   *
-  * r14 widens the source side: a tree of INNER joins over graft
+  * r14/r15 widen the source side: a tree of INNER joins over graft
   * relations (with deterministic Filters/Projects riding) is LINEAR in
-  * every leaf, so when exactly ONE leaf moved and every other sits at
-  * its recorded version, the view's delta is the tree with that leaf
-  * replaced by its signed changes ([[splicedChild]]) — the standard
-  * fact⋈dim restricted-IVM case. A moved dim declines to RTAS (dim
-  * deltas need join-multiplicity algebra). AVG over DECIMAL
-  * canonicalizes into derived (sum, count) slots with a division
-  * template that reproduces Spark's Average bit-for-bit.
+  * every LEAF OCCURRENCE, so the view's delta TELESCOPES over the
+  * moved occurrences ([[splicedTerm]]) — one term per mover, earlier
+  * leaves reading head (live), later mover occurrences version-pinned
+  * at their recorded manifests. One mover is the fact⋈dim case
+  * (either side); several movers and self-joined movers union their
+  * terms. AVG over DECIMAL canonicalizes into derived (sum, count)
+  * slots with a division template that reproduces Spark's Average
+  * bit-for-bit.
   *
   * Everything here DECLINES loudly-by-returning-None on any shape it
   * cannot prove (outer joins, DISTINCT, FILTER clauses, HAVING,
@@ -359,42 +360,80 @@ object MvIncremental {
       leaves = leaves, condExpr = cond, rewriteEligible = rewriteOk))
   }
 
-  /** The body's source tree (everything under the Aggregate — filters,
-    * projections and joins included) with the MOVED leaf replaced by
-    * the signed change feed, re-keyed onto the original relation's
-    * exprIds so every expression above resolves unchanged; the `_sign`
-    * tag threads up through each Project on the path (Joins and
-    * Filters pass child output through untouched). The result computes
-    * the signed multiset delta of the WHOLE source expression: with
-    * every other leaf unchanged at its recorded version, linearity
-    * gives Δ(σ p (F ⋈ D...)) = σ p (ΔF ⋈ D...) — inner-join
-    * multiplicities multiply the ±1 tags through unchanged. */
-  def splicedChild(shape: Shape, moved: DataSourceV2Relation,
-                   signed: LogicalPlan): Option[LogicalPlan] = {
-    val byName = signed.output.map(a => a.name -> a).toMap
-    val sign0 = byName.getOrElse("_sign", return None)
-    if (!moved.output.forall(a => byName.contains(a.name))) return None
-    val reKeyed = Project(
-      moved.output.map(a =>
-        Alias(byName(a.name), a.name)(exprId = a.exprId)) :+
-        Alias(sign0, "_sign")(),
-      signed)
-    val signAttr = reKeyed.projectList.last.toAttribute
-    def hasMoved(p: LogicalPlan): Boolean =
-      p.exists { case r: DataSourceV2Relation => r eq moved; case _ => false }
-    def rec(p: LogicalPlan): Option[LogicalPlan] = p match {
-      case r: DataSourceV2Relation if r eq moved => Some(reKeyed)
-      case f @ Filter(_, ch) => rec(ch).map(c2 => f.copy(child = c2))
-      case pr @ Project(pl, ch) =>
-        rec(ch).map(c2 => pr.copy(projectList = pl :+ signAttr, child = c2))
-      case j @ Join(l, r, _, _, _) =>
-        if (hasMoved(l)) rec(l).map(l2 => j.copy(left = l2))
-        else rec(r).map(r2 => j.copy(right = r2))
-      case s @ SubqueryAlias(_, ch) => rec(ch).map(c2 => s.copy(child = c2))
+  /** ONE telescoping term of the source tree's multiset delta (r15):
+    * the body's source tree (filters, projections and joins included)
+    * with the leaf OCCURRENCE at `signedIdx` replaced by its signed
+    * change window, every leaf occurrence in `pinned` replaced by a
+    * version-pinned scan (recorded version), and every other leaf
+    * reading live. All replacements re-key onto the original
+    * relation's exprIds so every expression above resolves unchanged;
+    * the `_sign` tag threads up through each Project on the signed
+    * leaf's path (Joins and Filters pass child output through).
+    *
+    * Soundness is the leaf-wise telescoping of bilinearity: for leaf
+    * occurrences L_1..L_n in walk order with recorded states L_i^0 and
+    * head states L_i^1,
+    *   E(L^1) − E(L^0) = Σ_i E(L_1^1, ..., L_{i-1}^1, ΔL_i,
+    *                          L_{i+1}^0, ..., L_n^0)
+    * — each term is this function with signedIdx = i and pinned =
+    * {j > i and L_j moved → recorded scan} (unmoved leaves are
+    * identical at head and recorded, so live reads serve both sides).
+    * Self-joined movers are just two occurrences with distinct i. */
+  def splicedTerm(shape: Shape, signedIdx: Int, signed: LogicalPlan,
+                  pinned: Map[Int, LogicalPlan]): Option[LogicalPlan] = {
+    def reKey(leaf: DataSourceV2Relation, repl: LogicalPlan,
+              withSign: Boolean): Option[LogicalPlan] = {
+      val byName = repl.output.map(a => a.name -> a).toMap
+      if (!leaf.output.forall(a => byName.contains(a.name))) return None
+      val base = leaf.output.map(a =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId))
+      val pl = if (withSign) {
+        val sign0 = byName.getOrElse("_sign", return None)
+        base :+ Alias(sign0, "_sign")()
+      } else base
+      Some(Project(pl, repl))
+    }
+    // visit leaves in the SAME order walkSource collected them; thread
+    // the sign attribute up only along the signed occurrence's path
+    var idx = -1
+    def rec(p: LogicalPlan): Option[(LogicalPlan, Option[Attribute])] =
+      p match {
+        case r: DataSourceV2Relation =>
+          idx += 1
+          if (idx == signedIdx)
+            reKey(r, signed, withSign = true).map { pr =>
+              (pr, Some(pr.asInstanceOf[Project].projectList.last.toAttribute))
+            }
+          else pinned.get(idx) match {
+            case Some(pin) => reKey(r, pin, withSign = false).map((_, None))
+            case None => Some((r, None))
+          }
+        case f @ Filter(_, ch) =>
+          rec(ch).map { case (c2, s) => (f.copy(child = c2), s) }
+        case pr @ Project(pl, ch) =>
+          rec(ch).map { case (c2, s) =>
+            (pr.copy(projectList = s.map(pl :+ _).getOrElse(pl), child = c2), s)
+          }
+        case j @ Join(l, r, _, _, _) =>
+          for ((l2, sl) <- rec(l); (r2, sr) <- rec(r))
+            yield (j.copy(left = l2, right = r2), sl.orElse(sr))
+        case s @ SubqueryAlias(_, ch) =>
+          rec(ch).map { case (c2, sg) => (s.copy(child = c2), sg) }
+        case _ => None
+      }
+    rec(shape.aggregate.child).flatMap {
+      case (plan, Some(_)) => Some(plan)
       case _ => None
     }
-    rec(shape.aggregate.child)
   }
+
+  /** Back-compat single-mover shape: the tree with ONE moved leaf
+    * signed and everything else live. */
+  def splicedChild(shape: Shape, moved: DataSourceV2Relation,
+                   signed: LogicalPlan): Option[LogicalPlan] =
+    shape.leaves.zipWithIndex.collectFirst {
+      case (l, i) if l eq moved => i
+    }.flatMap(i => splicedTerm(shape, i, signed, Map.empty))
 
   /** The body plan with the hidden state columns appended: same
     * grouping, same child, aggregate list extended with the liveness

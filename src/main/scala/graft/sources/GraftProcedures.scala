@@ -2594,21 +2594,23 @@ object GraftProcedures {
         // nothing moved: re-stamp nothing, report the no-op
         return Some("noop")
       }
-      // r14 (join-aware): the delta path applies whenever exactly ONE
-      // source moved forward and every other source sits at its
-      // recorded version — the view is LINEAR in each leaf (inner join
-      // is bilinear), so Δview = body with that leaf replaced by its
-      // signed changes, whichever side moved: a fact window joins the
-      // recorded dims, a dim window joins the live (unchanged) fact —
-      // the connector's runtime filtering prunes the big side by the
-      // delta's join keys either way. TWO movers in one window would
-      // need the cross term ΔF⋈ΔD: decline to RTAS, always correct.
+      // r14/r15 (join-aware, telescoping): the view is LINEAR in every
+      // LEAF OCCURRENCE (inner join is bilinear), so the multiset delta
+      // telescopes — for mover occurrences L_i in leaf order,
+      //   Δview = Σ_i E(..earlier leaves at HEAD.., ΔL_i,
+      //                 ..later mover leaves at RECORDED..)
+      // — one spliced term per mover occurrence, earlier leaves reading
+      // live (unmoved leaves are identical in both states), later mover
+      // occurrences version-PINNED at their recorded manifest. One
+      // mover is the fact⋈dim case (either side); several movers (and
+      // self-joined movers — two occurrences, two terms) union their
+      // terms into the same delta aggregate. Rollbacks (a mover whose
+      // head precedes its recorded version) decline: windows don't
+      // subtract.
       val headMap = head.toMap
-      val moved = recorded.filter { case (t, v) => headMap.get(t).exists(_ != v) }
-      if (moved.size != 1) return None
-      val (srcRel, fromV) = moved.head
-      val toV = headMap(srcRel)
-      if (fromV >= toV) return None // rollback/replace: windows don't subtract
+      val movers = recorded.filter { case (t, v) => headMap.get(t).exists(_ != v) }
+      if (movers.isEmpty) return None // set drift (shouldn't happen): RTAS
+      if (movers.exists { case (t, v) => v >= headMap(t) }) return None
       try {
         val analyzed = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
           new graft.plans.ResolveGraftViews(spark).bodyPlan(catName, cat, ident, d))
@@ -2619,16 +2621,18 @@ object GraftProcedures {
         // predate r13 or have been built by a non-maintainable twin)
         val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
         if (!shape.auxCols.forall(backingCols.contains)) return None
-        val srcRoot = Paths.get(root, srcRel.split('/').toSeq: _*).toString
-        // the moved table must appear EXACTLY ONCE as a source leaf: a
-        // self-joined mover is quadratic in its own delta (Δ(F⋈F) ≠
-        // ΔF⋈F), and a mover absent from the leaves (subquery-only
-        // reference) was already declined by detect
-        val movedLeaves = shape.leaves.filter(_.table match {
-          case t: JsonlStatsTable => t.tableRoot == srcRoot
-          case _ => false
+        case class Mover(root: String, fromV: Int, toV: Int)
+        val ms = movers.map { case (t, v) =>
+          Mover(Paths.get(root, t.split('/').toSeq: _*).toString, v, headMap(t)) }
+        val moverRoots = ms.map(_.root).toSet
+        val leafRoots: Seq[Option[String]] = shape.leaves.map(_.table match {
+          case t: JsonlStatsTable => Some(t.tableRoot)
+          case _ => None
         })
-        if (movedLeaves.size != 1) return None
+        // every mover must surface as at least one source leaf (a
+        // subquery-only mover was already declined by detect, but stay
+        // defensive — a missed occurrence would silently drop its term)
+        if (!moverRoots.forall(r => leafRoots.exists(_.contains(r)))) return None
         // MIN/MAX slots merge freely over INSERT-ONLY windows (an
         // insert only ever extends an extremum); a DELETING window can
         // retract one, which no merge of extrema can express — r14
@@ -2638,8 +2642,8 @@ object GraftProcedures {
         // groups) recompute from the live source — a grain-predicate
         // scan the connector prunes — via a second, matched-only MERGE.
         // Cost ∝ affected groups' rows, never the source.
-        val needsRepair = shape.needsInsertOnly &&
-          !ChangeFeed.windowInsertOnly(srcRoot, fromV, toV)
+        val needsRepair = shape.needsInsertOnly && ms.exists(m =>
+          !ChangeFeed.windowInsertOnly(m.root, m.fromV, m.toV))
         // signed delta + the delta aggregate, ANALYZED before anything
         // mutates (a vacuumed window or unrenderable expression lands
         // here, declining to RTAS). The nonce makes this call's derived
@@ -2648,17 +2652,44 @@ object GraftProcedures {
         val nonce = java.util.UUID.randomUUID().toString.take(8)
         val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
         val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
+        val moverIdxs = leafRoots.zipWithIndex.collect {
+          case (Some(r), i) if moverRoots.contains(r) => i }
+        val termViews = moverIdxs.indices.map(k => s"${signedView}_t$k")
         try {
-        // splice the signed feed into the body's source tree: unchanged
-        // dims read live (== their recorded version), the moved leaf
-        // reads the (fromV, toV] window at ±1, and the body's own
-        // filter/join structure applies verbatim above
-        val signedPlan = ChangeFeed.signedChanges(spark, srcRoot, fromV, toV, nonce)
-          .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-          .queryExecution.analyzed
-        val spliced = MvIncremental.splicedChild(shape, movedLeaves.head, signedPlan)
-          .getOrElse(return None)
-        org.apache.spark.sql.graftops.Bridge.ofRows(spark, spliced)
+        // one telescoping term per mover occurrence: that leaf reads
+        // its signed (fromV, toV] window at ±1, EARLIER leaves read
+        // live, LATER mover occurrences read their recorded manifest
+        // (version-pinned scan) — the body's own filter/join structure
+        // applies verbatim above each term, and the terms union into
+        // one signed view (Δview telescopes over leaf occurrences)
+        def classicPlan(df: org.apache.spark.sql.DataFrame) =
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+            .queryExecution.analyzed
+        val signedByRoot = ms.map(m => m.root ->
+          classicPlan(ChangeFeed.signedChanges(spark, m.root, m.fromV, m.toV, nonce))).toMap
+        val pinnedByRoot = scala.collection.mutable.Map.empty[String,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        def pinned(r: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          pinnedByRoot.getOrElseUpdate(r, {
+            val m = ms.find(_.root == r).get
+            val schema = JsonlStats.readTableMeta(r).schema.getOrElse(JsonlStats.schema)
+            classicPlan(spark.read.format("graft-jsonl-stats").schema(schema)
+              .option("path", r)
+              .option("manifest", ChangeFeed.manifestOf(r, m.fromV)).load())
+          })
+        val childNames = shape.aggregate.child.output.map(_.name)
+        moverIdxs.zipWithIndex.foreach { case (i, k) =>
+          val pin = moverIdxs.filter(_ > i)
+            .map(j => j -> pinned(leafRoots(j).get)).toMap
+          val term = MvIncremental.splicedTerm(
+            shape, i, signedByRoot(leafRoots(i).get), pin).getOrElse(return None)
+          // normalize column ORDER across terms (the `_sign` tag sits
+          // wherever the signed leaf sits in the join output)
+          org.apache.spark.sql.graftops.Bridge.ofRows(spark, term)
+            .selectExpr((childNames.map(n => s"`$n`") :+ "_sign"): _*)
+            .createOrReplaceTempView(termViews(k))
+        }
+        spark.sql(termViews.map(v => s"SELECT * FROM $v").mkString("\nUNION ALL\n"))
           .createOrReplaceTempView(signedView)
         val delta = spark.sql(MvIncremental.deltaSql(shape, signedView))
         delta.createOrReplaceTempView(deltaView)
@@ -2723,7 +2754,8 @@ object GraftProcedures {
         // (the bracket covers the gap BETWEEN the two merges too: a
         // half-repaired backing is never served).
         GraftViews.write(nsDir, d.copy(properties = d.properties +
-          (GraftViews.MvPendingProp -> s"$fromV->$toV")), replace = true)
+          (GraftViews.MvPendingProp ->
+            ms.map(m => s"${m.fromV}->${m.toV}").mkString(","))), replace = true)
         try {
           spark.sql(merge)
           repairMerge.foreach(spark.sql(_))
@@ -2747,13 +2779,14 @@ object GraftProcedures {
           spark.catalog.dropTempView(signedView)
           spark.catalog.dropTempView(deltaView)
           spark.catalog.dropTempView(repairView)
+          termViews.foreach(spark.catalog.dropTempView)
         }
         } finally {
-          // the delta was consumed (or the attempt declined) — the
+          // the deltas were consumed (or the attempt declined) — the
           // derived window manifests are garbage now, and nothing else
           // (vacuum included) would ever sweep them (ADVICE r13)
-          ChangeFeed.signedManifests(srcRoot, fromV, toV, nonce)
-            .foreach(java.nio.file.Files.deleteIfExists)
+          ms.foreach(m => ChangeFeed.signedManifests(m.root, m.fromV, m.toV, nonce)
+            .foreach(java.nio.file.Files.deleteIfExists))
         }
       } catch {
         case e: Exception => // any unprovable leg: RTAS

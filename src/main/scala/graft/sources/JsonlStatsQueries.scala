@@ -3636,11 +3636,15 @@ object JsonlStatsQueries extends QueryModule {
     * the body ([[graft.plans.MvIncremental.splicedChild]]) — a fact
     * window joins the recorded dims, and the one maintenance MERGE
     * applies the result; group birth/death flows through the join.
-    * TWO movers in one window decline to RTAS (the ΔF⋈ΔD cross term).
+    * TWO movers in one window TELESCOPE (r15): Δview = ΔF⋈D_head +
+    * F_recorded⋈ΔD, the second term version-pinning the fact at its
+    * recorded manifest — the cross term is covered, and self-joined
+    * movers telescope over their occurrences the same way.
     * The lifecycle pins THREE modes in the ORACLE: a fact append
     * window refreshes 'incremental', a fact row-level DELETE window
     * refreshes 'incremental', and a window where the dim ALSO moved
-    * refreshes 'full'; the final rows must equal DuckDB recomputing
+    * stays 'incremental' via the telescoping (r14 pinned 'full' here);
+    * the final rows must equal DuckDB recomputing
     * the join-aggregate from raw parquet either way. At 100 TB this is
     * THE nightly-refresh win: the 100-TB fact's daily partition joins
     * a broadcast dim at delta cost instead of re-reading the year. */
@@ -3670,7 +3674,7 @@ object JsonlStatsQueries extends QueryModule {
     spark.sql(s"DELETE FROM $cat.mvj_fact WHERE event_id % 7 = 0")
     val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')")
       .collect().head.getString(2)
-    // window 3: BOTH sides move — the cross term forces the rebuild
+    // window 3: BOTH sides move — the telescoping covers the cross term
     spark.sql(s"INSERT INTO $cat.mvj_fact " +
       "SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 2")
     spark.sql(s"INSERT INTO $cat.mvj_dim VALUES (99999991, 'SYNTHETIC')")
@@ -4345,7 +4349,7 @@ object JsonlStatsQueries extends QueryModule {
         |UNION ALL
         |SELECT 'mode-delete', 'incremental', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
         |UNION ALL
-        |SELECT 'mode-dim-moved', 'full', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |SELECT 'mode-dim-moved', 'incremental', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
         |UNION ALL
         |SELECT 'rows' AS phase, seg, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

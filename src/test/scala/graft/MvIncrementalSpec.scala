@@ -22,10 +22,12 @@ import scala.jdk.CollectionConverters._
   *   - group lifecycle: net-zero groups leave the backing, groups born
   *     in the window enter it, insert+delete-in-window phantoms don't;
   *   - ineligible shapes (float sums/averages, outer joins, global
-  *     aggregates, two movers in one window) and suspect states
-  *     (pending marker from a died refresh) fall back to the
+  *     aggregates, ambiguous join names, WHERE subqueries) and suspect
+  *     states (pending marker from a died refresh) fall back to the
   *     always-correct full rebuild; MIN/MAX under deleting windows
-  *     repair group-scoped (r14) instead of rebuilding.
+  *     repair group-scoped (r14) instead of rebuilding; multiple
+  *     movers and self-joined movers TELESCOPE (r15) and stay
+  *     incremental.
   */
 class MvIncrementalSpec extends SparkSpec {
   import spark.implicits._
@@ -224,20 +226,52 @@ class MvIncrementalSpec extends SparkSpec {
     assert(mvRows("mvj") === direct(body))
     assert(mvRows("mvj").exists(_.getString(0) == "ash"),
       "the dim delta must see the live fact's join matches")
-    // BOTH sides moved inside one window: the cross term ΔF⋈ΔD breaks
-    // single-splice linearity — decline to the rebuild, loudly
-    spark.sql("INSERT INTO mvinc.jfact VALUES (4, 2.0)")
+    // BOTH sides moved inside one window (r15): the delta TELESCOPES —
+    // ΔF ⋈ D_head + F_recorded ⋈ ΔD, the second term version-pinning
+    // the fact at its recorded manifest — so the cross term is covered
+    // and the refresh stays incremental; tin's matches (old fact rows
+    // AND the new fact row via the first term) must all appear
+    spark.sql("INSERT INTO mvinc.jfact VALUES (4, 2.0), (12, 6.0)")
     spark.sql("INSERT INTO mvinc.jdim VALUES (12, 'tin')")
-    assert(refreshMode("mvj") === "full")
+    assert(refreshMode("mvj") === "incremental")
     assert(mvRows("mvj") === direct(body))
+    assert(mvRows("mvj").exists(_.getString(0) == "tin"),
+      "the cross term ΔF⋈ΔD must be covered by the telescoping")
     // and the NEXT fact-only window is incremental again
     spark.sql("INSERT INTO mvinc.jfact VALUES (11, 2.5)")
     assert(refreshMode("mvj") === "incremental")
     assert(mvRows("mvj") === direct(body))
   }
 
-  test("join-shape declines stay loud: ambiguous output names, a " +
-    "self-joined mover, outer joins, and WHERE subqueries rebuild (r14)") {
+  test("a self-joined mover telescopes over its occurrences (r15): " +
+    "Δ(F⋈F) = ΔF⋈F₀ + F₁⋈ΔF — appends AND deletes stay incremental") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.pairs")
+    Seq((1L, "a", 2L), (2L, "b", 3L), (3L, "a", 1L), (4L, "c", 4L))
+      .toDF("id", "k", "nxt").createOrReplaceTempView("mvinc_pairs_seed")
+    spark.sql("CREATE TABLE mvinc.pairs AS SELECT * FROM mvinc_pairs_seed")
+    // the second occurrence aliases its columns apart (same-table bare
+    // names would be ambiguous in the delta SQL and decline)
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(nxt AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s " +
+      "FROM mvinc.pairs p JOIN " +
+      "(SELECT id AS id2, k AS k2 FROM mvinc.pairs) q ON p.nxt = q.id2 GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv_pairs', '$body', " +
+      "or_replace => true)")
+    // append window: new rows join EXISTING rows in both directions
+    // (5→1 hits the old table via occurrence 1; 4→5 via occurrence 2),
+    // and the ΔF⋈ΔF cross term (5→5? no — 5 links itself via 6) rides
+    spark.sql("INSERT INTO mvinc.pairs VALUES (5, 'd', 1), (6, 'a', 5)")
+    assert(refreshMode("mv_pairs") === "incremental")
+    assert(mvRows("mv_pairs") === direct(body))
+    // delete window: removed rows retract from BOTH occurrences
+    spark.sql("DELETE FROM mvinc.pairs WHERE id = 2")
+    assert(refreshMode("mv_pairs") === "incremental")
+    assert(mvRows("mv_pairs") === direct(body))
+  }
+
+  test("join-shape declines stay loud: ambiguous output names, outer " +
+    "joins, and WHERE subqueries rebuild (r14)") {
     cat
     spark.sql("DROP TABLE IF EXISTS mvinc.sfact")
     spark.sql("DROP TABLE IF EXISTS mvinc.sdim")
@@ -256,10 +290,11 @@ class MvIncrementalSpec extends SparkSpec {
     spark.sql("CREATE TABLE mvinc.sdup AS SELECT id, k AS dk FROM mvinc_sj_seed")
     check("mv_dup", "SELECT dk, count(*) AS n FROM mvinc.sfact f " +
       "JOIN mvinc.sdup d ON f.id = d.id GROUP BY dk")
-    // self-join of the mover: Δ(F⋈F) ≠ ΔF⋈F
-    check("mv_self", "SELECT a.k AS ak, count(*) AS n FROM mvinc.sfact a " +
-      "JOIN mvinc.sdim b ON a.id = b.did JOIN mvinc.sfact c ON a.id = c.id " +
-      "GROUP BY a.k")
+    // a self-joined mover TELESCOPES over its two occurrences (r15):
+    // Δ(F⋈F) = ΔF⋈F_recorded + F_head⋈ΔF — incremental, not a rebuild.
+    // (Its columns are ambiguous bare names here, so it lands in the
+    // mv_dup decline below; the maintainable self-join arm lives in
+    // the aliased-columns test.)
     // outer joins are not linear in the fact
     check("mv_outer", "SELECT dk, count(*) AS n FROM mvinc.sdim " +
       "LEFT JOIN mvinc.sfact ON did = id GROUP BY dk")

@@ -133,10 +133,27 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
     * (backticks stripped). A decorated entry (COMMENT, types, ...) has
     * no CALL mapping — fail naming the supported surface. */
   private def columnList(raw: String, ident: String): Seq[String] = {
-    val cols = raw.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // split on TOP-LEVEL commas only — a comma inside backticks is part
+    // of a quoted identifier, not a separator, so `a,b` must surface as
+    // ONE entry (and then be rejected below: the CALL's columns
+    // parameter is itself comma-joined, so such a name cannot round-
+    // trip) rather than silently mis-aliasing as two names (ADVICE r14)
+    val cols = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inTick = false
+      raw.foreach {
+        case '`' => inTick = !inTick; sb += '`'
+        case ',' if !inTick => out += sb.toString; sb.clear()
+        case ch => sb += ch
+      }
+      out += sb.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
     cols.map { c =>
       val bare = c.stripPrefix("`").stripSuffix("`")
-      if (bare.isEmpty || bare.exists(ch => ch.isWhitespace || ch == '`' || ch == '\''))
+      if (bare.isEmpty || bare.exists(ch => ch.isWhitespace || ch == '`' ||
+          ch == '\'' || ch == ','))
         throw new IllegalArgumentException(
           s"unsupported column-list entry '$c' in CREATE VIEW $ident over a graft " +
             "catalog — plain column names only (per-column COMMENT and types are " +

@@ -380,7 +380,24 @@ object MvIncremental {
     * identical at head and recorded, so live reads serve both sides).
     * Self-joined movers are just two occurrences with distinct i. */
   def splicedTerm(shape: Shape, signedIdx: Int, signed: LogicalPlan,
-                  pinned: Map[Int, LogicalPlan]): Option[LogicalPlan] = {
+                  pinned: Map[Int, LogicalPlan]): Option[LogicalPlan] =
+    rebaseLeaves(shape, signedIdx, Some(signed), pinned).flatMap {
+      case (plan, Some(_)) => Some(plan)
+      case _ => None
+    }
+
+  /** The body's source tree with every leaf occurrence in `pinned`
+    * replaced by a version-pinned scan and NO signed leaf — the repair
+    * pass reads the source at the refresh's recorded HEAD versions,
+    * never live (ADVICE r14: a source commit racing the refresh would
+    * otherwise repair extrema from data newer than the versions the
+    * refresh records). */
+  def pinnedChild(shape: Shape, pinned: Map[Int, LogicalPlan]): Option[LogicalPlan] =
+    rebaseLeaves(shape, -1, None, pinned).map(_._1)
+
+  private def rebaseLeaves(shape: Shape, signedIdx: Int, signed: Option[LogicalPlan],
+                           pinned: Map[Int, LogicalPlan])
+      : Option[(LogicalPlan, Option[Attribute])] = {
     def reKey(leaf: DataSourceV2Relation, repl: LogicalPlan,
               withSign: Boolean): Option[LogicalPlan] = {
       val byName = repl.output.map(a => a.name -> a).toMap
@@ -401,7 +418,7 @@ object MvIncremental {
         case r: DataSourceV2Relation =>
           idx += 1
           if (idx == signedIdx)
-            reKey(r, signed, withSign = true).map { pr =>
+            reKey(r, signed.get, withSign = true).map { pr =>
               (pr, Some(pr.asInstanceOf[Project].projectList.last.toAttribute))
             }
           else pinned.get(idx) match {
@@ -421,10 +438,7 @@ object MvIncremental {
           rec(ch).map { case (c2, sg) => (s.copy(child = c2), sg) }
         case _ => None
       }
-    rec(shape.aggregate.child).flatMap {
-      case (plan, Some(_)) => Some(plan)
-      case _ => None
-    }
+    rec(shape.aggregate.child)
   }
 
   /** Back-compat single-mover shape: the tree with ONE moved leaf

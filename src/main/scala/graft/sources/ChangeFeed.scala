@@ -46,6 +46,48 @@ object ChangeFeed {
     }
   }
 
+  /** Version v's manifest entries (file stats + equality-delete lines)
+    * with a TOCTOU guard: when v resolves to the LIVE `_stats.jsonl`, a
+    * commit racing the read can overwrite the file mid-read — so after
+    * reading, re-check the current version; if the table advanced, v's
+    * content is now frozen in its immutable `_history/vN.jsonl` and the
+    * re-resolve reads that instead. One retry suffices: history files
+    * never change after publication. */
+  private def statsAt(root: String, v: Int)
+      : (Seq[JsonlStats.FileStats], Seq[JsonlEqualityDeletes.EqDelete]) = {
+    val m = manifestOf(root, v)
+    val stats = JsonlStats.readStats(root, m)
+    val eqs = JsonlEqualityDeletes.readEqDeletes(root, m)
+    if (m == "_stats.jsonl" && JsonlStats.currentVersion(root) != v) statsAt(root, v)
+    else (stats, eqs)
+  }
+
+  /** Version `v` of the table as a DataFrame over a PRIVATE manifest
+    * snapshot materialized under `_cdf/` (ADVICE r14): reading the live
+    * `_stats.jsonl` cannot pin anything — a source commit racing the
+    * caller advances the scanned file set between planning and
+    * execution. This copy is immutable, so the incremental MV refresh
+    * version-pins EVERY leaf occurrence on it and the executed delta
+    * exactly matches the versions it records. Callers sweep the file
+    * via [[pinnedManifest]] once the plan has been consumed. */
+  def pinnedScan(spark: SparkSession, root: String, v: Int, nonce: String): DataFrame = {
+    val (stats, eqs) = statsAt(root, v)
+    val name = s"_cdf/v${v}_pin$nonce.jsonl"
+    Files.createDirectories(Paths.get(root, "_cdf"))
+    Files.write(Paths.get(root, name),
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        stats.map(JsonlStats.statsLine) ++ eqs.map(JsonlEqualityDeletes.line)).asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val schema = JsonlStats.readTableMeta(root).schema.getOrElse(JsonlStats.schema)
+    spark.read.format("graft-jsonl-stats").schema(schema)
+      .option("path", root).option("manifest", name).load()
+  }
+
+  /** The derived manifest a [[pinnedScan]] call with this (version,
+    * nonce) wrote — callers delete it once the pinned plan is spent. */
+  def pinnedManifest(root: String, v: Int, nonce: String): java.nio.file.Path =
+    Paths.get(root, s"_cdf/v${v}_pin$nonce.jsonl")
+
   /** SIGNED multiset delta from version `fromV` to `toV` — the change
     * feed shape incremental AGGREGATE maintenance wants (r13): every
     * row of a file-identity that LEFT the manifest at `_sign` = -1
@@ -91,10 +133,8 @@ object ChangeFeed {
     * MIN/MAX aggregates can maintain incrementally: inserts only ever
     * extend an extremum, deletions can retract one. */
   def windowInsertOnly(root: String, fromV: Int, toV: Int): Boolean = {
-    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
-    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
-    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
-    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
+    val (fromStats, eqFrom) = statsAt(root, fromV)
+    val (toStats, eqTo) = statsAt(root, toV)
     def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
         s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
       (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)
@@ -108,10 +148,8 @@ object ChangeFeed {
     * [[signedChanges]]. */
   private def diffLegs(spark: SparkSession, root: String,
                        fromV: Int, toV: Int, tag: String): (DataFrame, DataFrame) = {
-    val fromStats = JsonlStats.readStats(root, manifestOf(root, fromV))
-    val toStats = JsonlStats.readStats(root, manifestOf(root, toV))
-    val eqFrom = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, fromV))
-    val eqTo = JsonlEqualityDeletes.readEqDeletes(root, manifestOf(root, toV))
+    val (fromStats, eqFrom) = statsAt(root, fromV)
+    val (toStats, eqTo) = statsAt(root, toV)
     def ident(eqs: Seq[JsonlEqualityDeletes.EqDelete])(
         s: JsonlStats.FileStats): (String, Seq[String], Seq[String]) =
       (s.file, s.dvs, eqs.filter(_.seq > s.seq).map(_.file).sorted)

@@ -2625,14 +2625,25 @@ object GraftProcedures {
         val ms = movers.map { case (t, v) =>
           Mover(Paths.get(root, t.split('/').toSeq: _*).toString, v, headMap(t)) }
         val moverRoots = ms.map(_.root).toSet
-        val leafRoots: Seq[Option[String]] = shape.leaves.map(_.table match {
+        val leafRootOpts: Seq[Option[String]] = shape.leaves.map(_.table match {
           case t: JsonlStatsTable => Some(t.tableRoot)
           case _ => None
         })
+        // EVERY leaf must be a graft table we can version-pin (ADVICE
+        // r14): a leaf we cannot pin would read live at merge-execution
+        // time, and a source commit racing the refresh would make the
+        // executed delta disagree with the versions recorded below
+        if (leafRootOpts.exists(_.isEmpty)) return None
+        val leafRoots: Seq[String] = leafRootOpts.map(_.get)
         // every mover must surface as at least one source leaf (a
         // subquery-only mover was already declined by detect, but stay
         // defensive — a missed occurrence would silently drop its term)
-        if (!moverRoots.forall(r => leafRoots.exists(_.contains(r)))) return None
+        if (!moverRoots.forall(leafRoots.contains)) return None
+        // head version of every leaf's table — recorded for ALL sources
+        // at refresh start, so every leaf occurrence can pin on it
+        val headVerByRoot: Map[String, Int] = head.map { case (t, v) =>
+          Paths.get(root, t.split('/').toSeq: _*).toString -> v }.toMap
+        if (!leafRoots.forall(headVerByRoot.contains)) return None
         // MIN/MAX slots merge freely over INSERT-ONLY windows (an
         // insert only ever extends an extremum); a DELETING window can
         // retract one, which no merge of extrema can express — r14
@@ -2652,9 +2663,14 @@ object GraftProcedures {
         val nonce = java.util.UUID.randomUUID().toString.take(8)
         val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
         val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
+        val repairView = s"graft_ivm_repair_${math.abs(backingFqn.hashCode)}"
         val moverIdxs = leafRoots.zipWithIndex.collect {
-          case (Some(r), i) if moverRoots.contains(r) => i }
+          case (r, i) if moverRoots.contains(r) => i }
         val termViews = moverIdxs.indices.map(k => s"${signedView}_t$k")
+        // version-pinned scans, one per (root, version) actually used —
+        // each a PRIVATE manifest snapshot under _cdf/ (swept below)
+        val pinnedScans = scala.collection.mutable.Map.empty[(String, Int),
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
         try {
         // one telescoping term per mover occurrence: that leaf reads
         // its signed (fromV, toV] window at ±1, EARLIER leaves read
@@ -2667,22 +2683,27 @@ object GraftProcedures {
             .queryExecution.analyzed
         val signedByRoot = ms.map(m => m.root ->
           classicPlan(ChangeFeed.signedChanges(spark, m.root, m.fromV, m.toV, nonce))).toMap
-        val pinnedByRoot = scala.collection.mutable.Map.empty[String,
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-        def pinned(r: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-          pinnedByRoot.getOrElseUpdate(r, {
-            val m = ms.find(_.root == r).get
-            val schema = JsonlStats.readTableMeta(r).schema.getOrElse(JsonlStats.schema)
-            classicPlan(spark.read.format("graft-jsonl-stats").schema(schema)
-              .option("path", r)
-              .option("manifest", ChangeFeed.manifestOf(r, m.fromV)).load())
-          })
+        def pinnedAt(r: String, v: Int): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          pinnedScans.getOrElseUpdate((r, v),
+            classicPlan(ChangeFeed.pinnedScan(spark, r, v, nonce)))
+        val recordedVerByRoot = ms.map(m => m.root -> m.fromV).toMap
+        // the pin version for leaf occurrence j inside the term whose
+        // signed occurrence is i (ADVICE r14 — EVERY leaf pins, so the
+        // executed delta matches the recorded versions even under a
+        // racing source commit): mover occurrences AFTER the signed one
+        // read their RECORDED version, everything else reads the
+        // recorded HEAD (for unmoved leaves the two coincide)
+        def pinVersion(j: Int, signedI: Int): Int = {
+          val r = leafRoots(j)
+          if (j > signedI && moverRoots.contains(r)) recordedVerByRoot(r)
+          else headVerByRoot(r)
+        }
         val childNames = shape.aggregate.child.output.map(_.name)
         moverIdxs.zipWithIndex.foreach { case (i, k) =>
-          val pin = moverIdxs.filter(_ > i)
-            .map(j => j -> pinned(leafRoots(j).get)).toMap
+          val pin = leafRoots.indices.filter(_ != i)
+            .map(j => j -> pinnedAt(leafRoots(j), pinVersion(j, i))).toMap
           val term = MvIncremental.splicedTerm(
-            shape, i, signedByRoot(leafRoots(i).get), pin).getOrElse(return None)
+            shape, i, signedByRoot(leafRoots(i)), pin).getOrElse(return None)
           // normalize column ORDER across terms (the `_sign` tag sits
           // wherever the signed leaf sits in the join output)
           org.apache.spark.sql.graftops.Bridge.ofRows(spark, term)
@@ -2705,7 +2726,6 @@ object GraftProcedures {
         // connector's file pruning understands; a per-column list is a
         // SUPERSET of the affected tuples — the matched-only repair
         // merge ignores the extras), and recompute only the extrema.
-        val repairView = s"graft_ivm_repair_${math.abs(backingFqn.hashCode)}"
         val repairMerge: Option[String] = if (!needsRepair) None else {
           import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
           val maxGroups = spark.conf.getOption("spark.graft.mv.repairMaxGroups")
@@ -2716,8 +2736,14 @@ object GraftProcedures {
           if (affected.length > maxGroups) return None
           if (affected.isEmpty) None
           else {
+            // the repair reads the source at the recorded HEAD versions
+            // (every leaf pinned), never live — ADVICE r14: a racing
+            // source commit would otherwise repair extrema from data
+            // newer than the versions this refresh records
+            val pinnedAll = leafRoots.indices
+              .map(j => j -> pinnedAt(leafRoots(j), headVerByRoot(leafRoots(j)))).toMap
             val src = org.apache.spark.sql.graftops.Bridge.ofRows(
-              spark, shape.aggregate.child)
+              spark, MvIncremental.pinnedChild(shape, pinnedAll).getOrElse(return None))
             val conds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
               val e = fexpr(o.groupSql.get)
               val vals = affected.map(_.get(i)).toSeq
@@ -2765,28 +2791,33 @@ object GraftProcedures {
           Some(if (needsRepair) "incremental-repair" else "incremental")
         } catch {
           case _: Exception =>
-            // each MERGE either committed or didn't (single atomic
-            // commit each); a failure may leave the first merge applied
-            // with the repair missing — clearing the marker is still
-            // safe because the RECORDED versions were not advanced:
-            // reads take the (correct) body path and the caller's RTAS
-            // rebuilds the backing wholesale
-            GraftViews.write(nsDir,
-              d.copy(properties = d.properties - GraftViews.MvPendingProp),
-              replace = true)
+            // once spark.sql(merge) has been INVOKED, a failure cannot
+            // prove the first MERGE did not commit (the repair merge,
+            // or the version re-record, may be what failed) — so the
+            // marker STAYS STANDING (ADVICE r14): reads keep taking the
+            // correct body path, and whichever refresh completes next
+            // is forced through the full RTAS, which clears the marker
+            // AFTER the rebuild commits. Clearing it here would open a
+            // crash window (marker gone, half-applied backing, stale
+            // recorded versions) in which the same delta window could
+            // be applied twice.
             None
+        }
         } finally {
+          // every exit path — success, merge failure, or a decline
+          // AFTER temp views were created (a failed splice term, the
+          // repair cap) — drops the session temp views it created and
+          // sweeps the derived _cdf manifests: the signed window pair
+          // per mover plus every version-pin snapshot. Nothing else
+          // (vacuum included) would ever sweep them (ADVICE r13/r14).
+          termViews.foreach(spark.catalog.dropTempView)
           spark.catalog.dropTempView(signedView)
           spark.catalog.dropTempView(deltaView)
           spark.catalog.dropTempView(repairView)
-          termViews.foreach(spark.catalog.dropTempView)
-        }
-        } finally {
-          // the deltas were consumed (or the attempt declined) — the
-          // derived window manifests are garbage now, and nothing else
-          // (vacuum included) would ever sweep them (ADVICE r13)
           ms.foreach(m => ChangeFeed.signedManifests(m.root, m.fromV, m.toV, nonce)
             .foreach(java.nio.file.Files.deleteIfExists))
+          pinnedScans.keys.foreach { case (r, v) =>
+            java.nio.file.Files.deleteIfExists(ChangeFeed.pinnedManifest(r, v, nonce)) }
         }
       } catch {
         case e: Exception => // any unprovable leg: RTAS

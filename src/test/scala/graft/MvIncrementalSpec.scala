@@ -399,6 +399,56 @@ class MvIncrementalSpec extends SparkSpec {
     assert(leftover.isEmpty, s"ivm manifests must be swept after the merge: $leftover")
   }
 
+  test("pinnedScan freezes a version: a commit racing the refresh cannot " +
+    "advance the scanned file set — every IVM leaf occurrence version-pins " +
+    "on this, so the executed delta matches the recorded versions (ADVICE r14)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.pinsrc")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_pin_seed")
+    spark.sql("CREATE TABLE mvinc.pinsrc AS SELECT * FROM mvinc_pin_seed")
+    val troot = java.nio.file.Paths.get(root, "pinsrc").toString
+    val v = graft.sources.JsonlStats.currentVersion(troot)
+    val pinned = graft.sources.ChangeFeed.pinnedScan(spark, troot, v, "spec")
+    try {
+      // the race: a commit lands AFTER the pin was taken but BEFORE the
+      // pinned plan executes — a live read would see three rows
+      spark.sql("INSERT INTO mvinc.pinsrc VALUES ('c', 3.0)")
+      assert(spark.table("mvinc.pinsrc").count() === 3)
+      assert(pinned.count() === 2, "a pinned scan must not see the racing commit")
+      assert(pinned.orderBy("k").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    } finally java.nio.file.Files.deleteIfExists(
+      graft.sources.ChangeFeed.pinnedManifest(troot, v, "spec"))
+  }
+
+  test("a decline AFTER the window's temp views exist (the repair cap) " +
+    "still drops every graft_ivm_* temp view and sweeps every derived " +
+    "_cdf manifest — signed pairs and version pins alike (ADVICE r14)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.capsrc")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_cap_seed")
+    spark.sql("CREATE TABLE mvinc.capsrc AS SELECT * FROM mvinc_cap_seed")
+    val body = "SELECT k, min(v) AS mn, count(*) AS n FROM mvinc.capsrc GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv_cap', '$body', or_replace => true)")
+    // a deleting window + cap 0: the refresh builds the signed/term/
+    // delta views, then declines at the repair cap and rebuilds fully
+    spark.sql("DELETE FROM mvinc.capsrc WHERE k = 'a'")
+    spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
+    try assert(refreshMode("mv_cap") === "full")
+    finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
+    assert(mvRows("mv_cap") === direct(body))
+    val leaked = spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("graft_ivm_")).map(_.name).toSeq
+    assert(leaked.isEmpty, s"decline paths must drop their temp views: $leaked")
+    val cdf = java.nio.file.Paths.get(root, "capsrc", "_cdf")
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(cdf)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(cdf)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+      }
+    assert(leftover.isEmpty, s"_cdf manifests must be swept on decline: $leftover")
+  }
+
   test("MIN/MAX maintain over INSERT-ONLY windows (least/greatest merge, " +
     "null-skipping); a deleting window repairs GROUP-SCOPED, only the " +
     "affected groups' extrema recompute from source (r14)") {

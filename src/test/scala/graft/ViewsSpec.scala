@@ -585,6 +585,14 @@ class ViewsSpec extends SparkSpec {
       spark.sql("CREATE VIEW vspec.v_colc (a COMMENT 'c') AS SELECT k FROM vspec.t1")
     }
     assert(colc.getMessage.contains("create_view"), colc.getMessage)
+    // a backticked comma is ONE quoted identifier, not a separator — it
+    // cannot round-trip through the CALL's comma-joined columns
+    // parameter, so it must fail naming the CALL, never silently split
+    // into two names that happen to match the body's arity (ADVICE r14)
+    val tick = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW vspec.v_tick (`a,b`) AS SELECT k, v FROM vspec.t1")
+    }
+    assert(tick.getMessage.contains("create_view"), tick.getMessage)
     spark.sql("DROP VIEW vspec.v_cols")
     spark.sql("DROP VIEW vspec.v_com")
     spark.sql("DROP VIEW vspec.v_both")

@@ -58,11 +58,15 @@ import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
   * slots with a division template that reproduces Spark's Average
   * bit-for-bit.
   *
+  * r15 adds COUNT(DISTINCT x) — not distributive, so it maintains via
+  * a hidden per-(group, value) liveness table under the same signed
+  * MERGE discipline ([[DistinctSlot]]).
+  *
   * Everything here DECLINES loudly-by-returning-None on any shape it
-  * cannot prove (outer joins, DISTINCT, FILTER clauses, HAVING,
-  * subquery expressions, non-deterministic expressions, float
-  * SUM/AVG, group keys not in the output, map keys) — the caller
-  * falls back to the always-correct RTAS.
+  * cannot prove (outer joins, DISTINCT other than single-arg COUNT,
+  * FILTER clauses, HAVING, subquery expressions, non-deterministic
+  * expressions, float SUM/AVG, group keys not in the output, map
+  * keys) — the caller falls back to the always-correct RTAS.
   */
 object MvIncremental {
 
@@ -83,6 +87,19 @@ object MvIncremental {
     * ([[graft.sources.ChangeFeed.windowInsertOnly]]), else RTAS. */
   case object MinSlot extends SlotKind
   case object MaxSlot extends SlotKind
+  /** COUNT(DISTINCT x) (r15): not distributive over the signed delta —
+    * whether a deleted occurrence decrements the count depends on
+    * whether it was the LAST one. Maintained exactly via a hidden
+    * per-(group, value) LIVENESS table (`_mv_<view>_d<j>`): rows keyed
+    * (group keys, value) carrying the value's net occurrence count.
+    * The window's per-(group, value) net counts MERGE into it under
+    * the same signed arithmetic as everything else, and the distinct
+    * count's per-group delta is +1 per value BORN in the window
+    * (absent before, net positive after) and -1 per value that DIED
+    * (present before, net zero after) — read off a delta⋈aux join
+    * against the PRE-merge aux state. Deleting windows need no
+    * insert-only gate: the liveness count is signed-exact. */
+  case object DistinctSlot extends SlotKind
 
   /** One aggregate occurrence in the body's SELECT list. `raw` is the
     * resolved AggregateExpression (bound to the body's child), kept for
@@ -135,6 +152,9 @@ object MvIncremental {
       * insert-only window. */
     def needsInsertOnly: Boolean =
       slots.exists(sl => sl.kind == MinSlot || sl.kind == MaxSlot)
+    /** COUNT(DISTINCT) slots — each owns a per-(group, value) liveness
+      * table the refresh maintains alongside the backing (r15). */
+    def distinctSlots: Seq[Slot] = slots.filter(_.kind == DistinctSlot)
     def auxCols: Seq[String] =
       LivenessCol +: slots.flatMap(s =>
         s.aux +: (if (s.kind == SumSlot) Seq(s.nn) else Nil))
@@ -253,7 +273,21 @@ object MvIncremental {
 
     val slots = scala.collection.mutable.ArrayBuffer.empty[Slot]
     def mkSlot(ae: AggregateExpression): Option[Int] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT x) (r15): maintained via the per-(group,
+        // value) liveness table — see [[DistinctSlot]]. Single-arg
+        // only (multi-arg distinct tuples decline), non-map values
+        // (no order/equality for map keys in the liveness grain).
+        case c: Count if c.children.size == 1 && !hasMap(c.children.head.dataType) =>
+          val j = slots.size
+          slots += Slot(j, DistinctSlot, ae,
+            // the per-group delta is NOT a signed sum over the window —
+            // [[deltaSql]] joins the per-slot distinct leg instead
+            deltaSql = "", nnDeltaSql = None, typeSql = LongType.sql)
+          Some(j)
+        case _ => None
+      }
       ae.aggregateFunction match {
         case s: Sum if exactSumType(ae.dataType) =>
           val j = slots.size
@@ -452,8 +486,12 @@ object MvIncremental {
   /** The body plan with the hidden state columns appended: same
     * grouping, same child, aggregate list extended with the liveness
     * COUNT(*), each slot's raw aggregate, and each SUM slot's non-null
-    * counter. Resolved throughout — callers hand it to ofRows. */
-  def augmentedPlan(shape: Shape): LogicalPlan = {
+    * counter. Resolved throughout — callers hand it to ofRows.
+    * `childOverride` (r15) swaps the source tree for a version-PINNED
+    * rebase ([[pinnedChild]]): state-bearing backings are built only
+    * from pinned reads, so the recorded source versions exactly
+    * describe the written state even under a racing source commit. */
+  def augmentedPlan(shape: Shape, childOverride: Option[LogicalPlan] = None): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId
     val agg = shape.aggregate
     val liveness = Alias(
@@ -467,7 +505,9 @@ object MvIncremental {
         case _ => Seq(raw)
       }
     }
-    val augAgg = agg.copy(aggregateExpressions = agg.aggregateExpressions ++ auxAliases)
+    val augAgg = agg.copy(
+      aggregateExpressions = agg.aggregateExpressions ++ auxAliases,
+      child = childOverride.getOrElse(agg.child))
     shape.contract match {
       case Some(p) =>
         Project(p.projectList ++ auxAliases.map(_.toAttribute), augAgg)
@@ -475,14 +515,89 @@ object MvIncremental {
     }
   }
 
+  /** Engine-managed name of a COUNT(DISTINCT) slot's liveness table,
+    * a sibling of the `_mv_<view>` backing in the view's namespace. */
+  def auxTableName(vname: String, j: Int): String = s"_mv_${vname}_d$j"
+
+  /** CTAS plan for a DISTINCT slot's per-(group, value) liveness table:
+    * group keys (published under their visible names), the value under
+    * `graft_ivm_v`, and the value's occurrence count `graft_ivm_c` —
+    * NULL values excluded (COUNT(DISTINCT) ignores them). The same
+    * `childOverride` pinning contract as [[augmentedPlan]]. */
+  def auxTablePlan(shape: Shape, s: Slot,
+                   childOverride: Option[LogicalPlan] = None): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    val x = s.fnChildren.head
+    val agg = shape.aggregate
+    val outs: Seq[NamedExpression] =
+      shape.groupOuts.map(o => Alias(o.groupExpr.get, o.name)()) ++
+        Seq(Alias(x, "graft_ivm_v")(),
+          Alias(Count(Seq(Literal(1))).toAggregateExpression(), "graft_ivm_c")())
+    Aggregate(agg.groupingExpressions :+ x, outs,
+      Filter(IsNotNull(x), childOverride.getOrElse(agg.child)))
+  }
+
+  /** The signed per-(group, value) window over the spliced source: one
+    * row per (group, value) whose net occurrence count moved, feeding
+    * both the liveness-table MERGE and the distinct-count delta leg. */
+  def auxDeltaSql(shape: Shape, s: Slot, signedView: String): String = {
+    val e = bareSql(s.fnChildren.head)
+    val groupSel = shape.groupOuts.map(o => s"(${o.groupSql.get}) AS ${q(o.name)}")
+    s"""SELECT ${groupSel.mkString(", ")}, ($e) AS graft_ivm_v,
+       |  CAST(SUM(_sign) AS BIGINT) AS graft_ivm_c
+       |FROM $signedView
+       |WHERE ($e) IS NOT NULL
+       |GROUP BY ${(shape.groupOuts.map(o => s"(${o.groupSql.get})") :+ s"($e)").mkString(", ")}
+       |HAVING SUM(_sign) <> 0""".stripMargin
+  }
+
+  /** Per-group distinct-count delta for slot `s`: the window's value
+    * rows LEFT-joined against the PRE-merge liveness state — a value
+    * absent before with positive net count is BORN (+1), one present
+    * before whose count nets zero DIES (-1), everything else moves the
+    * occurrence count without moving the distinct count. Cost ∝ the
+    * window's (group, value) rows, never the corpus. */
+  private def distinctLegSql(shape: Shape, s: Slot,
+                             auxDeltaView: String, auxReadView: String): String = {
+    val gw = shape.groupOuts.map(o => s"w.${q(o.name)} AS ${q(o.name)}")
+    val on = (shape.groupOuts.map(o => s"w.${q(o.name)} <=> b.${q(o.name)}") :+
+      "w.`graft_ivm_v` <=> b.`graft_ivm_v`").mkString(" AND ")
+    s"""SELECT ${gw.mkString(", ")},
+       |  CAST(SUM(CASE
+       |    WHEN COALESCE(b.`graft_ivm_c`, 0) = 0 AND w.`graft_ivm_c` > 0 THEN 1
+       |    WHEN COALESCE(b.`graft_ivm_c`, 0) > 0
+       |         AND COALESCE(b.`graft_ivm_c`, 0) + w.`graft_ivm_c` = 0 THEN -1
+       |    ELSE 0 END) AS BIGINT) AS graft_ivm_dd
+       |FROM $auxDeltaView w LEFT JOIN $auxReadView b ON $on
+       |GROUP BY ${shape.groupOuts.map(o => s"w.${q(o.name)}").mkString(", ")}""".stripMargin
+  }
+
+  /** Maintenance MERGE for a DISTINCT slot's liveness table: signed
+    * occurrence counts add; a (group, value) whose count nets zero
+    * leaves the table; values born in the window enter it. */
+  def auxMergeSql(shape: Shape, auxFqn: String, auxDeltaView: String): String = {
+    val on = (shape.groupOuts.map(o => s"b.${q(o.name)} <=> w.${q(o.name)}") :+
+      "b.`graft_ivm_v` <=> w.`graft_ivm_v`").mkString(" AND ")
+    val cols = shape.groupOuts.map(o => q(o.name)) ++ Seq("`graft_ivm_v`", "`graft_ivm_c`")
+    s"""MERGE INTO $auxFqn b
+       |USING $auxDeltaView w
+       |ON $on
+       |WHEN MATCHED AND (b.`graft_ivm_c` + w.`graft_ivm_c`) = 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET `graft_ivm_c` = b.`graft_ivm_c` + w.`graft_ivm_c`
+       |WHEN NOT MATCHED AND w.`graft_ivm_c` > 0 THEN INSERT (${cols.mkString(", ")})
+       |VALUES (${cols.map(c => s"w.$c").mkString(", ")})""".stripMargin
+  }
+
   /** The delta aggregate over a temp view of the SPLICED source tree
     * ([[splicedChild]] — body filter, projections and joins already
     * applied, `_sign` riding): group keys by the SAME expressions,
     * every slot as a signed sum. Negative or zero net groups are
     * legitimate (deletions); the merge consumes the signs. */
-  def deltaSql(shape: Shape, signedView: String): String = {
+  def deltaSql(shape: Shape, signedView: String,
+               auxReadViews: Map[Int, String] = Map.empty,
+               auxDeltaViews: Map[Int, String] = Map.empty): String = {
     val groupSel = shape.groupOuts.map(o => s"(${o.groupSql.get}) AS ${q(o.name)}")
-    val slotSel = shape.slots.flatMap { s =>
+    val slotSel = shape.slots.filterNot(_.kind == DistinctSlot).flatMap { s =>
       s"${s.deltaSql} AS ${q(s.aux)}" +:
         s.nnDeltaSql.map(n => s"$n AS ${q(s.nn)}").toSeq
     }
@@ -491,8 +606,30 @@ object MvIncremental {
       if (shape.groupOuts.nonEmpty)
         "\nGROUP BY " + shape.groupOuts.map(o => s"(${o.groupSql.get})").mkString(", ")
       else ""
-    s"""SELECT ${(groupSel ++ slotSel :+ livenessSel).mkString(",\n  ")}
-       |FROM $signedView$groupBy""".stripMargin
+    val base =
+      s"""SELECT ${(groupSel ++ slotSel :+ livenessSel).mkString(",\n  ")}
+         |FROM $signedView$groupBy""".stripMargin
+    val ds = shape.distinctSlots
+    if (ds.isEmpty) base
+    else {
+      // each DISTINCT slot left-joins its per-group distinct-count
+      // delta leg onto the base delta (both derive from the same
+      // signed window, so the leg's groups ⊆ the base's; groups whose
+      // window moved no non-null value coalesce to a zero delta)
+      val joins = ds.map { s =>
+        val leg = distinctLegSql(shape, s, auxDeltaViews(s.j), auxReadViews(s.j))
+        val on = shape.groupOuts
+          .map(o => s"base.${q(o.name)} <=> dd${s.j}.${q(o.name)}").mkString(" AND ")
+        s"LEFT JOIN (\n$leg\n) dd${s.j} ON $on"
+      }
+      val extra = ds.map(s =>
+        s"COALESCE(dd${s.j}.`graft_ivm_dd`, CAST(0 AS BIGINT)) AS ${q(s.aux)}")
+      s"""SELECT base.*, ${extra.mkString(", ")}
+         |FROM (
+         |$base
+         |) base
+         |${joins.mkString("\n")}""".stripMargin
+    }
   }
 
   /** Merged raw state for slot `s`, as SQL over MERGE aliases b/d. A
@@ -503,6 +640,10 @@ object MvIncremental {
       s"CASE WHEN (b.${q(s.nn)} + d.${q(s.nn)}) = 0 THEN CAST(NULL AS ${s.typeSql}) " +
         s"ELSE CAST(coalesce(b.${q(s.aux)}, 0) + coalesce(d.${q(s.aux)}, 0) AS ${s.typeSql}) END"
     case CountSlot => s"CAST(b.${q(s.aux)} + d.${q(s.aux)} AS BIGINT)"
+    // the delta view already resolved born/died against pre-merge
+    // liveness state — the backing's count just shifts by it
+    case DistinctSlot =>
+      s"CAST(coalesce(b.${q(s.aux)}, 0) + coalesce(d.${q(s.aux)}, 0) AS BIGINT)"
     // Spark's least/greatest SKIP nulls (both-null gives NULL) —
     // exactly SQL's MIN/MAX-ignore-nulls merge, no counters needed
     case MinSlot => s"least(b.${q(s.aux)}, d.${q(s.aux)})"
@@ -537,7 +678,7 @@ object MvIncremental {
       // post-merge b.aux is the FINAL state (the first merge already
       // wrote the NULL-when-empty case into it)
       case SumSlot => s"CAST(b.${q(s.aux)} AS ${s.typeSql})"
-      case CountSlot => s"b.${q(s.aux)}"
+      case CountSlot | DistinctSlot => s"b.${q(s.aux)}"
     }
     val sets =
       minMaxSlots(shape).map(s => s"${q(s.aux)} = r.${q(s.aux)}") ++

@@ -2257,13 +2257,16 @@ object GraftProcedures {
         require(dependents.isEmpty,
           s"cannot drop view '$dotted': referenced by stored view(s) " +
             s"${dependents.mkString(", ")} — drop or redefine the dependents first")
-        // a materialized view owns its backing table — dropping the
-        // definition removes both (the backing is engine-managed and
-        // unreachable from listings; leaving it would orphan storage)
-        val backing = GraftViews.read(nsDir, vname)
-          .flatMap(_.properties.get(GraftViews.MvTableProp))
+        // a materialized view owns its backing table and any
+        // COUNT(DISTINCT) liveness tables (r15) — dropping the
+        // definition removes all of them (engine-managed storage,
+        // unreachable from listings; leaving them would orphan it)
+        val defn = GraftViews.read(nsDir, vname)
+        val owned = defn.flatMap(_.properties.get(GraftViews.MvTableProp)).toSeq ++
+          defn.flatMap(_.properties.get(GraftViews.MvAuxProp)).toSeq
+            .flatMap(_.split(',').filter(_.nonEmpty))
         require(GraftViews.drop(nsDir, vname), s"no such view '$dotted' under $root")
-        backing.foreach { b =>
+        owned.foreach { b =>
           val dir = nsDir.resolve(b)
           if (Files.exists(dir.resolve("_stats.jsonl")))
             graft.util.Fs.deleteRecursively(dir.toString)
@@ -2450,20 +2453,21 @@ object GraftProcedures {
         val backing = s"_mv_$vname"
         // maintainable bodies (distributive SUM/COUNT at the stored
         // grain) back with the AUGMENTED aggregate — visible columns
-        // plus hidden graft_ivm_* state — so refresh can later apply
-        // the change-feed delta instead of re-reading the source. The
+        // plus hidden graft_ivm_* state (and one liveness table per
+        // COUNT(DISTINCT) slot, r15) — built from version-PINNED reads
+        // so the recorded versions exactly describe the state. The
         // fresh-read path projects the declared columns, so the state
         // columns never surface.
-        val shape = graft.plans.MvIncremental.detect(
-          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-            .queryExecution.analyzed)
-        val ctasDf = shape match {
-          case Some(sh) => org.apache.spark.sql.graftops.Bridge.ofRows(
-            spark, graft.plans.MvIncremental.augmentedPlan(sh))
-          case None => df
-        }
-        val w = ctasDf.writeTo(quoted(catName +: (ns :+ backing)))
-        if (orReplace) w.createOrReplace() else w.create()
+        val auxTables = MvDdlBound.buildMvBacking(
+          spark, root, catName, ns.toSeq, vname, df, versions, orReplace)
+        // a replaced MV may have owned MORE liveness tables than the
+        // new shape: drop the orphans (engine-managed storage)
+        existing.foreach(_.properties.get(GraftViews.MvAuxProp).foreach(
+          _.split(',').filter(_.nonEmpty).filterNot(auxTables.contains).foreach { an =>
+            val dir = nsDir.resolve(an)
+            if (Files.exists(dir.resolve("_stats.jsonl")))
+              graft.util.Fs.deleteRecursively(dir.toString)
+          }))
         val cm = spark.sessionState.catalogManager
         GraftViews.write(nsDir, GraftViews.ViewDef(
           name = vname, sql = sql,
@@ -2475,7 +2479,9 @@ object GraftProcedures {
           columnComments = Seq.empty,
           properties = Map(
             GraftViews.MvTableProp -> backing,
-            GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))),
+            GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) ++
+            (if (auxTables.nonEmpty)
+              Map(GraftViews.MvAuxProp -> auxTables.mkString(",")) else Map.empty)),
           replace = orReplace)
         oneRow(Seq("view" -> dotted, "action" -> "created", "backing" -> backing,
           "sources" -> GraftViews.mvSourcesEncode(versions)),
@@ -2526,24 +2532,30 @@ object GraftProcedures {
           case Some(m) => m
           case None =>
             // full RTAS fallback — always correct, and it (re)writes
-            // the hidden state columns when the body is maintainable,
-            // so the NEXT refresh can go incremental. Atomic: readers
-            // see the old backing or the new one, and the definition
-            // updates only AFTER the swap.
+            // the hidden state columns (and COUNT(DISTINCT) liveness
+            // tables, r15) when the body is maintainable, from
+            // version-PINNED reads of `versions`, so the NEXT refresh
+            // can go incremental. Atomic: readers see the old backing
+            // or the new one, and the definition updates only AFTER
+            // the swap.
             val df = bodyDf()
-            val shape = graft.plans.MvIncremental.detect(
-              df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-                .queryExecution.analyzed)
-            val rtasDf = shape match {
-              case Some(sh) => org.apache.spark.sql.graftops.Bridge.ofRows(
-                spark, graft.plans.MvIncremental.augmentedPlan(sh))
-              case None => df
+            val oldAux = d.properties.getOrElse(GraftViews.MvAuxProp, "")
+              .split(',').filter(_.nonEmpty).toSeq
+            val auxTables = MvDdlBound.buildMvBacking(
+              spark, root, catName, ns.toSeq, vname, df, versions, orReplace = true)
+            oldAux.filterNot(auxTables.contains).foreach { an =>
+              val dir = nsDir.resolve(an)
+              if (Files.exists(dir.resolve("_stats.jsonl")))
+                graft.util.Fs.deleteRecursively(dir.toString)
             }
-            rtasDf.writeTo(backingFqn).createOrReplace()
-            GraftViews.write(nsDir, d.copy(properties = d.properties +
-              (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions))
-              - GraftViews.MvPendingProp),
-              replace = true)
+            GraftViews.write(nsDir, d.copy(properties = {
+              val base = d.properties +
+                (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) -
+                GraftViews.MvPendingProp
+              if (auxTables.nonEmpty)
+                base + (GraftViews.MvAuxProp -> auxTables.mkString(","))
+              else base - GraftViews.MvAuxProp
+            }), replace = true)
             "full"
         }
         oneRow(Seq("view" -> dotted, "action" -> "refreshed", "mode" -> mode,
@@ -2576,6 +2588,68 @@ object GraftProcedures {
   }
 
   object MvDdlBound {
+    /** Build (or rebuild) an MV backing and its COUNT(DISTINCT)
+      * liveness tables from the analyzed body. Maintainable shapes
+      * write their hidden `graft_ivm_*` state ONLY from version-PINNED
+      * reads of the recorded source versions (r15): a source commit
+      * racing the build can then never make the written state disagree
+      * with the versions recorded beside it — the MV is merely stale,
+      * exactly as recorded. (Without the pin, a racing commit makes the
+      * backing NEWER than the recorded versions, and the next
+      * incremental refresh re-applies the already-included window —
+      * the same double-count family ADVICE r14 closed on the delta
+      * path.) Unpinnable shapes write the plain body: correct, and
+      * never incrementally refreshed. Returns the liveness table
+      * names created. */
+    private[sources] def buildMvBacking(
+        spark: SparkSession, root: String, catName: String, ns: Seq[String],
+        vname: String, df: org.apache.spark.sql.DataFrame,
+        versions: Seq[(String, Int)], orReplace: Boolean): Seq[String] = {
+      import graft.plans.MvIncremental
+      def quoted(parts: Seq[String]) = parts.map(p => s"`$p`").mkString(".")
+      def classicPlan(d: org.apache.spark.sql.DataFrame) =
+        d.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.analyzed
+      val backingFqn = quoted(catName +: (ns :+ s"_mv_$vname"))
+      def write(d: org.apache.spark.sql.DataFrame, fqn: String): Unit = {
+        val w = d.writeTo(fqn)
+        if (orReplace) w.createOrReplace() else w.create()
+      }
+      val verByRoot = versions.map { case (t, v) =>
+        Paths.get(root, t.split('/').toSeq: _*).toString -> v }.toMap
+      val pinnable = MvIncremental.detect(classicPlan(df)).filter(_.leaves.forall(_.table match {
+        case t: JsonlStatsTable => verByRoot.contains(t.tableRoot)
+        case _ => false
+      }))
+      pinnable match {
+        case Some(sh) =>
+          val nonce = java.util.UUID.randomUUID().toString.take(8)
+          val pins = scala.collection.mutable.Map.empty[(String, Int),
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+          try {
+            val leafRoots = sh.leaves.map(_.table.asInstanceOf[JsonlStatsTable].tableRoot)
+            def pinnedAt(r: String) = pins.getOrElseUpdate((r, verByRoot(r)),
+              classicPlan(ChangeFeed.pinnedScan(spark, r, verByRoot(r), nonce)))
+            val pinMap = leafRoots.indices.map(j => j -> pinnedAt(leafRoots(j))).toMap
+            MvIncremental.pinnedChild(sh, pinMap) match {
+              case Some(pc) =>
+                write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+                  MvIncremental.augmentedPlan(sh, Some(pc))), backingFqn)
+                sh.distinctSlots.map { s =>
+                  val an = MvIncremental.auxTableName(vname, s.j)
+                  write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+                    MvIncremental.auxTablePlan(sh, s, Some(pc))),
+                    quoted(catName +: (ns :+ an)))
+                  an
+                }
+              case None => write(df, backingFqn); Nil
+            }
+          } finally pins.keys.foreach { case (r, v) =>
+            java.nio.file.Files.deleteIfExists(ChangeFeed.pinnedManifest(r, v, nonce)) }
+        case None => write(df, backingFqn); Nil
+      }
+    }
+
     /** Attempt the delta-merge refresh; Some(mode) when it (or a no-op)
       * settled the MV, None to fall back to the full rebuild. Every
       * unprovable condition declines BEFORE any state is touched; only
@@ -2621,6 +2695,13 @@ object GraftProcedures {
         // predate r13 or have been built by a non-maintainable twin)
         val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
         if (!shape.auxCols.forall(backingCols.contains)) return None
+        // COUNT(DISTINCT) slots (r15) additionally need their
+        // per-(group, value) liveness tables — a backing predating the
+        // slot's aux table cannot maintain it incrementally
+        val auxNameByJ: Map[Int, String] = shape.distinctSlots.map(s =>
+          s.j -> MvIncremental.auxTableName(ident.name(), s.j)).toMap
+        if (!auxNameByJ.values.forall(an =>
+          Files.exists(nsDir.resolve(an).resolve("_stats.jsonl")))) return None
         case class Mover(root: String, fromV: Int, toV: Int)
         val ms = movers.map { case (t, v) =>
           Mover(Paths.get(root, t.split('/').toSeq: _*).toString, v, headMap(t)) }
@@ -2664,6 +2745,10 @@ object GraftProcedures {
         val signedView = s"graft_ivm_signed_${math.abs(backingFqn.hashCode)}"
         val deltaView = s"graft_ivm_delta_${math.abs(backingFqn.hashCode)}"
         val repairView = s"graft_ivm_repair_${math.abs(backingFqn.hashCode)}"
+        val auxDeltaViews = shape.distinctSlots.map(s =>
+          s.j -> s"graft_ivm_dvals_${math.abs(backingFqn.hashCode)}_${s.j}").toMap
+        val auxReadViews = shape.distinctSlots.map(s =>
+          s.j -> s"graft_ivm_dcur_${math.abs(backingFqn.hashCode)}_${s.j}").toMap
         val moverIdxs = leafRoots.zipWithIndex.collect {
           case (r, i) if moverRoots.contains(r) => i }
         val termViews = moverIdxs.indices.map(k => s"${signedView}_t$k")
@@ -2712,13 +2797,37 @@ object GraftProcedures {
         }
         spark.sql(termViews.map(v => s"SELECT * FROM $v").mkString("\nUNION ALL\n"))
           .createOrReplaceTempView(signedView)
-        val delta = spark.sql(MvIncremental.deltaSql(shape, signedView))
+        // each DISTINCT slot (r15): the window's per-(group, value) net
+        // counts, plus a PATH-based read of the liveness table (a temp
+        // view over a catalog-resolved relation trips Spark 4.1's
+        // MERGE analysis). The liveness table is only ever mutated
+        // under this view's refresh lock, so the live read is stable.
+        shape.distinctSlots.foreach { s =>
+          spark.sql(MvIncremental.auxDeltaSql(shape, s, signedView))
+            .createOrReplaceTempView(auxDeltaViews(s.j))
+          val auxRoot = nsDir.resolve(auxNameByJ(s.j)).toString
+          val aschema = JsonlStats.readTableMeta(auxRoot).schema.getOrElse(JsonlStats.schema)
+          spark.read.format("graft-jsonl-stats").schema(aschema)
+            .option("path", auxRoot).load().createOrReplaceTempView(auxReadViews(s.j))
+        }
+        val delta = spark.sql(
+          MvIncremental.deltaSql(shape, signedView, auxReadViews, auxDeltaViews))
         delta.createOrReplaceTempView(deltaView)
         val merge = MvIncremental.mergeSql(shape, backingFqn, deltaView)
         // analyze WITHOUT executing (spark.sql would run the command
         // eagerly): unresolvable merges decline here, before any state
         spark.sessionState.executePlan(
           spark.sessionState.sqlParser.parsePlan(merge)).assertAnalyzed()
+        // liveness-table merges (r15), one per DISTINCT slot — analyzed
+        // up front like everything else, EXECUTED after the main merge
+        // (whose delta leg must read the PRE-merge liveness state)
+        val auxMerges = shape.distinctSlots.map { s =>
+          val auxFqn = (catName +: (ident.namespace().toSeq :+ auxNameByJ(s.j)))
+            .map(p => s"`$p`").mkString(".")
+          MvIncremental.auxMergeSql(shape, auxFqn, auxDeltaViews(s.j))
+        }
+        auxMerges.foreach(m => spark.sessionState.executePlan(
+          spark.sessionState.sqlParser.parsePlan(m)).assertAnalyzed())
         // group-scoped MIN/MAX repair plan, built and analyzed BEFORE
         // any state moves: collect the delta's group keys (bounded —
         // past the cap RTAS is the cheaper honest answer), restrict the
@@ -2785,6 +2894,7 @@ object GraftProcedures {
         try {
           spark.sql(merge)
           repairMerge.foreach(spark.sql(_))
+          auxMerges.foreach(spark.sql(_))
           GraftViews.write(nsDir, d.copy(properties = d.properties +
             (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(head))
             - GraftViews.MvPendingProp), replace = true)
@@ -2814,6 +2924,8 @@ object GraftProcedures {
           spark.catalog.dropTempView(signedView)
           spark.catalog.dropTempView(deltaView)
           spark.catalog.dropTempView(repairView)
+          auxDeltaViews.values.foreach(spark.catalog.dropTempView)
+          auxReadViews.values.foreach(spark.catalog.dropTempView)
           ms.foreach(m => ChangeFeed.signedManifests(m.root, m.fromV, m.toV, nonce)
             .foreach(java.nio.file.Files.deleteIfExists))
           pinnedScans.keys.foreach { case (r, v) =>

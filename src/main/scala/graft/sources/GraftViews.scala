@@ -81,6 +81,11 @@ object GraftViews {
     * always-correct full rebuild — never double-counted state). */
   val MvPendingProp = "graft.mv.pending"
 
+  /** COUNT(DISTINCT) liveness tables (r15): comma-joined names of the
+    * engine-managed `_mv_<view>_d<j>` siblings holding per-(group,
+    * value) occurrence counts — dropped/moved with the backing. */
+  val MvAuxProp = "graft.mv.aux"
+
   def mvSourcesEncode(sources: Seq[(String, Int)]): String =
     sources.map { case (t, v) => s"$t@$v" }.mkString(",")
 
@@ -132,7 +137,22 @@ object GraftViews {
           s"cannot move materialized-view backing: '$target' already exists")
         Files.createDirectories(newNsDir)
         Files.move(oldNsDir.resolve(oldBacking), target)
-        d.copy(properties = d.properties + (MvTableProp -> newBacking))
+        // COUNT(DISTINCT) liveness tables (r15) move with the backing:
+        // `_mv_<old>_d<j>` -> `_mv_<new>_d<j>`
+        val movedAux = d.properties.get(MvAuxProp).map { enc =>
+          enc.split(',').filter(_.nonEmpty).toSeq.map { aux =>
+            val slotSuffix = aux.substring(aux.lastIndexOf("_d"))
+            val newAux = s"_mv_$newName$slotSuffix"
+            if (Files.exists(oldNsDir.resolve(aux).resolve("_stats.jsonl"))) {
+              require(!Files.exists(newNsDir.resolve(newAux)),
+                s"cannot move liveness table: '${newNsDir.resolve(newAux)}' already exists")
+              Files.move(oldNsDir.resolve(aux), newNsDir.resolve(newAux))
+            }
+            newAux
+          }.mkString(",")
+        }
+        d.copy(properties = d.properties + (MvTableProp -> newBacking) ++
+          movedAux.map(MvAuxProp -> _))
       case _ => d
     }
 

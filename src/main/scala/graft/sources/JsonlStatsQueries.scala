@@ -3757,6 +3757,57 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q303 (r15): COUNT(DISTINCT) joins the incremental MV tier — the
+    * reference's own headline DAX measure (DISTINCTCOUNT of users per
+    * segment, `Stream_Analytics_Phase_2.md:117`) was the last
+    * decline-to-RTAS among its dashboard aggregates. The count is not
+    * distributive (whether a deleted occurrence decrements depends on
+    * whether it was the LAST one), so [[graft.plans.MvIncremental]]
+    * maintains a hidden per-(group, value) LIVENESS table
+    * (`_mv_<view>_d<j>`) under the same signed MERGE: the window's
+    * per-(group, value) net counts merge into it, and the visible
+    * count moves by +1 per value BORN in the window and -1 per value
+    * that DIED — read off a delta⋈liveness join against the pre-merge
+    * state, cost ∝ the window's value rows. The lifecycle pins BOTH
+    * window modes in the ORACLE: an append window AND a row-level
+    * DELETE window (which removes every occurrence of some users —
+    * the non-distributive case) must each say 'incremental', and the
+    * rows must equal DuckDB recomputing COUNT(DISTINCT) from the raw
+    * final state. At 100 TB: the distinct-users dashboard refreshes at
+    * delta cost; the liveness table is value-grain but group-pruned,
+    * and only the window's values are ever touched. */
+  def distinctMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvd_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("user_id"))
+      .createOrReplaceTempView("mvd_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvd_src AS
+         |SELECT event_id, event_type, user_id FROM mvd_src_in WHERE event_id % 3 <> 2""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_du', " +
+      s"'SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n " +
+      s"FROM $cat.mvd_src GROUP BY event_type', or_replace => true)")
+    // window 1: append — mostly duplicate users (no distinct move) plus
+    // genuinely new ones; the liveness merge separates the two
+    spark.sql(s"INSERT INTO $cat.mvd_src " +
+      "SELECT event_id, event_type, user_id FROM mvd_src_in WHERE event_id % 3 = 2")
+    val m1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_du')")
+      .collect().head.getString(2)
+    // window 2: row-level DELETE removing EVERY occurrence of some
+    // users — the last-occurrence decrements that make DISTINCTCOUNT
+    // non-distributive — must still refresh incrementally
+    spark.sql(s"DELETE FROM $cat.mvd_src WHERE user_id % 5 = 0")
+    val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_du')")
+      .collect().head.getString(2)
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS event_type, " +
+        "CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n")
+    modeRow("mode-append", m1)
+      .unionAll(modeRow("mode-delete", m2))
+      .unionAll(spark.sql(s"SELECT 'rows' AS phase, event_type, du, n FROM $cat.mv_du"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   /** q301 (r14): FILTERED-MV rewrite via predicate subsumption — the
     * second-most-common production MV shape ("last-90-days revenue")
     * can now answer its own dashboard. A body WHERE used to veto the
@@ -3977,9 +4028,23 @@ object JsonlStatsQueries extends QueryModule {
     "q300_avg_mv" -> avgMvRefreshAndRoute,
     "q301_filtered_mv_rewrite" -> filteredMvRewrite,
     "q302_map_key_string_slice" -> mapKeyStringSlice,
+    "q303_distinct_mv_refresh" -> distinctMvRefresh,
   )
 
   val oracles = Map(
+    "q303_distinct_mv_refresh" ->
+      """WITH src AS (
+        |  SELECT event_type, user_id FROM events WHERE user_id % 5 <> 0)
+        |SELECT 'mode-append' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'mode-delete' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS du, count(*) AS n
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q152_dsv2_stats_scan" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

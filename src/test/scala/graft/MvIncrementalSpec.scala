@@ -399,6 +399,81 @@ class MvIncrementalSpec extends SparkSpec {
     assert(leftover.isEmpty, s"ivm manifests must be swept after the merge: $leftover")
   }
 
+  test("COUNT(DISTINCT) maintains incrementally via the per-(group, value) " +
+    "liveness table: duplicate appends don't inflate, deleting a non-last " +
+    "occurrence doesn't decrement, deleting the LAST occurrence does, and a " +
+    "re-inserted value counts exactly once again (r15)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.srcd")
+    Seq((1L, "a", "u1"), (2L, "a", "u1"), (3L, "a", "u2"), (4L, "b", "u1"),
+      (5L, "d", null: String))
+      .toDF("id", "k", "u").createOrReplaceTempView("mvinc_seedd")
+    spark.sql("CREATE TABLE mvinc.srcd AS SELECT * FROM mvinc_seedd")
+    val body = "SELECT k, count(DISTINCT u) AS du, count(*) AS n, " +
+      "CAST(SUM(CAST(id AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS s FROM mvinc.srcd GROUP BY k"
+    spark.sql(s"CALL mvinc.create_materialized_view('mvd', '$body', or_replace => true)")
+    // the liveness table exists alongside the backing and holds one row
+    // per (group, non-null value)
+    val auxRoot = java.nio.file.Paths.get(root, "_mv_mvd_d0")
+    assert(java.nio.file.Files.exists(auxRoot.resolve("_stats.jsonl")))
+    def auxRows(): Seq[(String, String, Long)] =
+      spark.read.format("graft-jsonl-stats").option("path", auxRoot.toString).load()
+        .orderBy("k", "graft_ivm_v").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(auxRows() === Seq(("a", "u1", 2L), ("a", "u2", 1L), ("b", "u1", 1L)))
+    def du(k: String): Long =
+      mvRows("mvd").find(_.getString(0) == k).map(_.getLong(1)).getOrElse(-1L)
+    // window 1: a DUPLICATE value, a NEW value, a new group, a null
+    spark.sql("INSERT INTO mvinc.srcd VALUES (6, 'a', 'u1'), (7, 'a', 'u3'), " +
+      "(8, 'c', 'u9'), (9, 'd', NULL)")
+    assert(refreshMode("mvd") === "incremental")
+    assert(mvRows("mvd") === direct(body))
+    assert(du("a") === 3L && du("c") === 1L && du("d") === 0L)
+    // window 2: delete ONE of a's three u1 occurrences — no decrement
+    spark.sql("DELETE FROM mvinc.srcd WHERE id = 1")
+    assert(refreshMode("mvd") === "incremental")
+    assert(mvRows("mvd") === direct(body))
+    assert(du("a") === 3L)
+    // window 3: delete the LAST u1 occurrences of a — du drops to 2
+    spark.sql("DELETE FROM mvinc.srcd WHERE id IN (2, 6)")
+    assert(refreshMode("mvd") === "incremental")
+    assert(mvRows("mvd") === direct(body))
+    assert(du("a") === 2L)
+    // window 4: RE-INSERT the deleted value — counts exactly once again
+    spark.sql("INSERT INTO mvinc.srcd VALUES (10, 'a', 'u1')")
+    assert(refreshMode("mvd") === "incremental")
+    assert(mvRows("mvd") === direct(body))
+    assert(du("a") === 3L)
+    // window 5: group b dies — its liveness rows leave with it
+    spark.sql("DELETE FROM mvinc.srcd WHERE k = 'b'")
+    assert(refreshMode("mvd") === "incremental")
+    assert(mvRows("mvd") === direct(body))
+    assert(!mvRows("mvd").exists(_.getString(0) == "b"))
+    assert(!auxRows().exists(_._1 == "b"),
+      "a dead group's liveness rows must leave the aux table")
+    // dropping the MV drops the liveness table with the backing
+    spark.sql("CALL mvinc.drop_view('mvd')")
+    assert(!java.nio.file.Files.exists(auxRoot),
+      "the liveness table is engine-managed and drops with the view")
+  }
+
+  test("DISTINCT shapes beyond single-arg COUNT decline to the full " +
+    "rebuild: SUM(DISTINCT) and multi-arg COUNT(DISTINCT) (r15)") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.srcdd")
+    Seq(("a", 1L, 2L), ("b", 2L, 3L)).toDF("k", "x", "y")
+      .createOrReplaceTempView("mvinc_seeddd")
+    spark.sql("CREATE TABLE mvinc.srcdd AS SELECT * FROM mvinc_seeddd")
+    def check(name: String, body: String): Unit = {
+      spark.sql(s"CALL mvinc.create_materialized_view('$name', '$body', or_replace => true)")
+      spark.sql("INSERT INTO mvinc.srcdd VALUES ('a', 9, 9)")
+      assert(refreshMode(name) === "full", name)
+      assert(mvRows(name) === direct(body), name)
+    }
+    check("mv_sumd", "SELECT k, sum(DISTINCT x) AS sx FROM mvinc.srcdd GROUP BY k")
+    check("mv_cd2", "SELECT k, count(DISTINCT x, y) AS c2 FROM mvinc.srcdd GROUP BY k")
+  }
+
   test("pinnedScan freezes a version: a commit racing the refresh cannot " +
     "advance the scanned file set — every IVM leaf occurrence version-pins " +
     "on this, so the executed delta matches the recorded versions (ADVICE r14)") {

@@ -742,10 +742,11 @@ class ViewsSpec extends SparkSpec {
     assert(scans(spark.sql(q)).forall(_.contains("_mv_mv_cc")), "prime the cache")
     val sidecar = GraftViews.viewFile(java.nio.file.Paths.get(root), "mv_cc")
     val mtime = java.nio.file.Files.getLastModifiedTime(sidecar)
-    // replace with a NON-rewritable body (DISTINCT) and pin the mtime
-    // back — only content identity can notice the change
+    // replace with a NON-rewritable body (float AVG — r15 made
+    // COUNT(DISTINCT) maintainable, so it no longer serves here) and
+    // pin the mtime back — only content identity can notice the change
     spark.sql("CALL vspec.create_materialized_view('mv_cc', " +
-      "'SELECT k, count(DISTINCT v) AS n FROM vspec.cc_t GROUP BY k', or_replace => true)")
+      "'SELECT k, avg(v) AS n FROM vspec.cc_t GROUP BY k', or_replace => true)")
     java.nio.file.Files.setLastModifiedTime(sidecar, mtime)
     val after = spark.sql(q)
     assert(scans(after).forall(s => s.contains("cc_t") && !s.contains("_mv_")),

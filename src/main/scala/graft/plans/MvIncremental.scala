@@ -146,7 +146,8 @@ object MvIncremental {
                    aggregate: Aggregate, contract: Option[Project],
                    leaves: Seq[DataSourceV2Relation] = Nil,
                    condExpr: Option[Expression] = None,
-                   rewriteEligible: Boolean = true) {
+                   rewriteEligible: Boolean = true,
+                   havingSql: Option[String] = None) {
     def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
     /** MIN/MAX present ⇒ the delta path additionally requires an
       * insert-only window. */
@@ -204,13 +205,25 @@ object MvIncremental {
   def detect(analyzed: LogicalPlan): Option[Shape] = {
     val top = stripAliases(analyzed)
     // unwrap the output-contract projection, tracking the visible name
-    // each aggregate output is published under
-    val (visible: Seq[(String, NamedExpression)], agg: Aggregate) = top match {
-      case p @ Project(projList, child) =>
-        val a = stripAliases(child) match {
-          case ag: Aggregate => ag
-          case _ => return None
+    // each aggregate output is published under. A HAVING clause (r15)
+    // analyzes as a Filter over the Aggregate (optionally under the
+    // contract Project): state maintenance ignores it — the backing
+    // stores ALL groups — and the predicate re-applies at READ over
+    // the visible columns (it filters whole groups, so the maintained
+    // aggregates are exactly what it evaluates against).
+    def unAgg(p: LogicalPlan): Option[(Aggregate, Option[Expression])] =
+      stripAliases(p) match {
+        case Filter(c, fch) => stripAliases(fch) match {
+          case ag: Aggregate => Some((ag, Some(c)))
+          case _ => None
         }
+        case ag: Aggregate => Some((ag, None))
+        case _ => None
+      }
+    val (visible: Seq[(String, NamedExpression)], agg: Aggregate,
+         havingCond: Option[Expression]) = top match {
+      case p @ Project(projList, child) =>
+        val (a, hc) = unAgg(child).getOrElse(return None)
         val byId = a.aggregateExpressions.map(ne => ne.exprId -> ne).toMap
         val mapped = projList.map {
           case al @ Alias(ar: AttributeReference, _) =>
@@ -219,9 +232,10 @@ object MvIncremental {
           case _ => None
         }
         if (mapped.exists(_.isEmpty)) return None
-        (mapped.flatten, a)
-      case a: Aggregate => (a.aggregateExpressions.map(ne => (ne.name, ne)), a)
-      case _ => return None
+        (mapped.flatten, a, hc)
+      case _ =>
+        val (a, hc) = unAgg(top).getOrElse(return None)
+        (a.aggregateExpressions.map(ne => (ne.name, ne)), a, hc)
     }
     // source side (generalized r14): a tree of INNER joins over leaf
     // relations, with deterministic Filters/Projects riding anywhere —
@@ -262,7 +276,8 @@ object MvIncremental {
     }
     // determinism end-to-end: replaying an expression over the delta
     // must mean what it meant over the source
-    val allExprs = agg.groupingExpressions ++ agg.aggregateExpressions ++ cond.toSeq
+    val allExprs = agg.groupingExpressions ++ agg.aggregateExpressions ++
+      cond.toSeq ++ havingCond.toSeq
     if (!allExprs.forall(_.deterministic) || !noSubquery(allExprs)) return None
     if (agg.groupingExpressions.exists(g => hasMap(g.dataType))) return None
     // a GLOBAL aggregate always has exactly one output row — even over
@@ -389,9 +404,32 @@ object MvIncremental {
       return None
     // hidden-column names must be free
     if (outs.exists(_.name.startsWith("graft_ivm_"))) return None
+    // HAVING (r15): render the predicate over the VISIBLE column names
+    // (the read path re-applies it over the backing). A reference to a
+    // NON-visible output — the synthesized aggregate Spark adds for a
+    // HAVING aggregate not in the SELECT list — declines: its state is
+    // not maintained, so the read could not evaluate it.
+    val havingSqlOpt: Option[String] = havingCond match {
+      case None => None
+      case Some(c) =>
+        val nameById = visible.map { case (n, ne) => ne.exprId -> n }.toMap
+        var allVisible = true
+        val renamed = c.transform {
+          case a: AttributeReference => nameById.get(a.exprId) match {
+            case Some(n) => a.withName(n).withQualifier(Seq.empty)
+            case None => allVisible = false; a
+          }
+        }
+        if (!allVisible) return None
+        Some(renamed.sql)
+    }
     Some(Shape(outs, slots.toSeq, cond.map(bareSql), agg,
       top match { case p: Project => Some(p); case _ => None },
-      leaves = leaves, condExpr = cond, rewriteEligible = rewriteOk))
+      leaves = leaves, condExpr = cond,
+      // a HAVING body's backing is a SUPERSET of the view's rows — the
+      // transparent rewrite must not serve it for raw-table queries
+      rewriteEligible = rewriteOk && havingCond.isEmpty,
+      havingSql = havingSqlOpt))
   }
 
   /** ONE telescoping term of the source tree's multiset delta (r15):

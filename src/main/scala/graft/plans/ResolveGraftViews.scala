@@ -145,13 +145,22 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         val rel = UnresolvedRelation(
           (catName +: ident.namespace() :+ backing).toSeq,
           org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), false)
+        // a HAVING body's backing stores ALL groups (r15) — state
+        // maintenance is HAVING-blind — so the fresh path re-applies
+        // the stored predicate over the backing's visible columns; the
+        // body path computes the same filter by construction
+        val filtered = d.properties.get(GraftViews.MvHavingProp) match {
+          case Some(h) => org.apache.spark.sql.catalyst.plans.logical.Filter(
+            spark.sessionState.sqlParser.parseExpression(h), rel)
+          case None => rel
+        }
         // same output contract as the body path: projection by the
         // stored column list, loud failure on a drifted backing table
         val projected =
           if (d.queryColumnNames.nonEmpty)
             Project(d.queryColumnNames.map(q =>
-              Alias(UnresolvedAttribute.quoted(q), q)()), rel)
-          else rel
+              Alias(UnresolvedAttribute.quoted(q), q)()), filtered)
+          else filtered
         return SubqueryAlias((catName +: ident.namespace()).mkString("."),
           SubqueryAlias(ident.name(), projected))
       case _ => ()

@@ -2458,7 +2458,7 @@ object GraftProcedures {
         // so the recorded versions exactly describe the state. The
         // fresh-read path projects the declared columns, so the state
         // columns never surface.
-        val auxTables = MvDdlBound.buildMvBacking(
+        val (auxTables, havingSql) = MvDdlBound.buildMvBacking(
           spark, root, catName, ns.toSeq, vname, df, versions, orReplace)
         // a replaced MV may have owned MORE liveness tables than the
         // new shape: drop the orphans (engine-managed storage)
@@ -2481,7 +2481,8 @@ object GraftProcedures {
             GraftViews.MvTableProp -> backing,
             GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) ++
             (if (auxTables.nonEmpty)
-              Map(GraftViews.MvAuxProp -> auxTables.mkString(",")) else Map.empty)),
+              Map(GraftViews.MvAuxProp -> auxTables.mkString(",")) else Map.empty) ++
+            havingSql.map(GraftViews.MvHavingProp -> _)),
           replace = orReplace)
         oneRow(Seq("view" -> dotted, "action" -> "created", "backing" -> backing,
           "sources" -> GraftViews.mvSourcesEncode(versions)),
@@ -2541,7 +2542,7 @@ object GraftProcedures {
             val df = bodyDf()
             val oldAux = d.properties.getOrElse(GraftViews.MvAuxProp, "")
               .split(',').filter(_.nonEmpty).toSeq
-            val auxTables = MvDdlBound.buildMvBacking(
+            val (auxTables, havingSql) = MvDdlBound.buildMvBacking(
               spark, root, catName, ns.toSeq, vname, df, versions, orReplace = true)
             oldAux.filterNot(auxTables.contains).foreach { an =>
               val dir = nsDir.resolve(an)
@@ -2552,9 +2553,14 @@ object GraftProcedures {
               val base = d.properties +
                 (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) -
                 GraftViews.MvPendingProp
-              if (auxTables.nonEmpty)
-                base + (GraftViews.MvAuxProp -> auxTables.mkString(","))
-              else base - GraftViews.MvAuxProp
+              val withAux =
+                if (auxTables.nonEmpty)
+                  base + (GraftViews.MvAuxProp -> auxTables.mkString(","))
+                else base - GraftViews.MvAuxProp
+              havingSql match {
+                case Some(h) => withAux + (GraftViews.MvHavingProp -> h)
+                case None => withAux - GraftViews.MvHavingProp
+              }
             }), replace = true)
             "full"
         }
@@ -2599,12 +2605,15 @@ object GraftProcedures {
       * incremental refresh re-applies the already-included window —
       * the same double-count family ADVICE r14 closed on the delta
       * path.) Unpinnable shapes write the plain body: correct, and
-      * never incrementally refreshed. Returns the liveness table
-      * names created. */
+      * never incrementally refreshed. Returns the liveness table names
+      * created, and the body's HAVING predicate (rendered over visible
+      * columns) when the backing was built UNFILTERED — the caller
+      * stores it so reads re-apply it (r15). */
     private[sources] def buildMvBacking(
         spark: SparkSession, root: String, catName: String, ns: Seq[String],
         vname: String, df: org.apache.spark.sql.DataFrame,
-        versions: Seq[(String, Int)], orReplace: Boolean): Seq[String] = {
+        versions: Seq[(String, Int)], orReplace: Boolean)
+        : (Seq[String], Option[String]) = {
       import graft.plans.MvIncremental
       def quoted(parts: Seq[String]) = parts.map(p => s"`$p`").mkString(".")
       def classicPlan(d: org.apache.spark.sql.DataFrame) =
@@ -2635,18 +2644,19 @@ object GraftProcedures {
               case Some(pc) =>
                 write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
                   MvIncremental.augmentedPlan(sh, Some(pc))), backingFqn)
-                sh.distinctSlots.map { s =>
+                val auxes = sh.distinctSlots.map { s =>
                   val an = MvIncremental.auxTableName(vname, s.j)
                   write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
                     MvIncremental.auxTablePlan(sh, s, Some(pc))),
                     quoted(catName +: (ns :+ an)))
                   an
                 }
-              case None => write(df, backingFqn); Nil
+                (auxes, sh.havingSql)
+              case None => write(df, backingFqn); (Nil, None)
             }
           } finally pins.keys.foreach { case (r, v) =>
             java.nio.file.Files.deleteIfExists(ChangeFeed.pinnedManifest(r, v, nonce)) }
-        case None => write(df, backingFqn); Nil
+        case None => write(df, backingFqn); (Nil, None)
       }
     }
 

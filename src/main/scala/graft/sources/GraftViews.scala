@@ -86,6 +86,14 @@ object GraftViews {
     * value) occurrence counts — dropped/moved with the backing. */
   val MvAuxProp = "graft.mv.aux"
 
+  /** HAVING predicate of a maintainable body (r15), rendered over the
+    * view's VISIBLE column names. The backing stores ALL groups (state
+    * maintenance is HAVING-blind — the predicate filters whole groups,
+    * never rows inside them); the fresh-read path re-applies this
+    * filter over the backing. Present only when the backing was built
+    * unfiltered (the augmented/pinned path). */
+  val MvHavingProp = "graft.mv.having"
+
   def mvSourcesEncode(sources: Seq[(String, Int)]): String =
     sources.map { case (t, v) => s"$t@$v" }.mkString(",")
 

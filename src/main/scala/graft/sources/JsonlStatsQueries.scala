@@ -3808,6 +3808,61 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q305 (r15): HAVING bodies join the incremental MV tier — the
+    * dashboard's "segments above threshold" shape
+    * (`Stream_Analytics_Phase_2.md` measure filters) used to decline
+    * to RTAS. The insight: HAVING filters WHOLE GROUPS over the
+    * grouped aggregates, so state maintenance is HAVING-blind — the
+    * backing stores ALL groups and the predicate re-applies at READ
+    * over the visible columns ([[graft.plans.ResolveGraftViews]]
+    * splices a Filter from the stored `graft.mv.having` property).
+    * The threshold here is computed from the INITIAL load and embedded
+    * as a literal (integer count — bit-exact in both engines), so the
+    * append window pushes the 'error' segment ACROSS the boundary into
+    * the view and the delete window pushes it back out — while both
+    * refreshes stay 'incremental' (pinned in the ORACLE, which
+    * recomputes the same HAVING from raw parquet). At 100 TB: the
+    * filtered dashboard refreshes at delta cost, and the boundary
+    * crossing costs nothing — the groups were maintained all along. */
+  def havingMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvh_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mvh_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvh_src AS
+         |SELECT event_id, event_type, value FROM mvh_src_in WHERE event_id % 3 <> 2""".stripMargin)
+    val thr = spark.sql(
+      s"SELECT count(*) FROM $cat.mvh_src WHERE event_type = 'error'")
+      .collect().head.getLong(0)
+    // the segment merges view+click (≈2× the others) so the boundary
+    // splits the groups non-trivially at EVERY scale factor: after the
+    // append all segments clear the threshold, after the delete only
+    // the merged one does — the singles cross back OUT
+    val seg = "CASE WHEN event_type IN (''view'', ''click'') " +
+      "THEN ''engage'' ELSE event_type END"
+    spark.sql(s"CALL $cat.create_materialized_view('mv_hav', " +
+      s"'SELECT $seg AS seg, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      s"FROM $cat.mvh_src GROUP BY $seg HAVING n > $thr', or_replace => true)")
+    // window 1: append — every segment grows past the threshold
+    spark.sql(s"INSERT INTO $cat.mvh_src " +
+      "SELECT event_id, event_type, value FROM mvh_src_in WHERE event_id % 3 = 2")
+    val m1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_hav')")
+      .collect().head.getString(2)
+    // window 2: delete roughly half — the single-type segments cross OUT
+    spark.sql(s"DELETE FROM $cat.mvh_src WHERE event_id % 2 = 0")
+    val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_hav')")
+      .collect().head.getString(2)
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS seg, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv")
+    modeRow("mode-append", m1)
+      .unionAll(modeRow("mode-delete", m2))
+      .unionAll(spark.sql(s"SELECT 'rows' AS phase, seg, n, sv FROM $cat.mv_hav"))
+      .orderBy(col("phase"), col("seg"))
+  }
+
   /** q301 (r14): FILTERED-MV rewrite via predicate subsumption — the
     * second-most-common production MV shape ("last-90-days revenue")
     * can now answer its own dashboard. A body WHERE used to veto the
@@ -4029,9 +4084,29 @@ object JsonlStatsQueries extends QueryModule {
     "q301_filtered_mv_rewrite" -> filteredMvRewrite,
     "q302_map_key_string_slice" -> mapKeyStringSlice,
     "q303_distinct_mv_refresh" -> distinctMvRefresh,
+    "q305_having_mv_refresh" -> havingMvRefresh,
   )
 
   val oracles = Map(
+    "q305_having_mv_refresh" ->
+      """WITH thr AS (
+        |  SELECT count(*) AS t FROM events
+        |  WHERE event_id % 3 <> 2 AND event_type = 'error'),
+        |final AS (
+        |  SELECT CASE WHEN event_type IN ('view', 'click')
+        |    THEN 'engage' ELSE event_type END AS seg, value
+        |  FROM events WHERE event_id % 2 <> 0)
+        |SELECT 'mode-append' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'mode-delete' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'rows' AS phase, seg, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM final GROUP BY seg
+        |HAVING count(*) > (SELECT t FROM thr)
+        |ORDER BY phase, seg""".stripMargin,
     "q303_distinct_mv_refresh" ->
       """WITH src AS (
         |  SELECT event_type, user_id FROM events WHERE user_id % 5 <> 0)

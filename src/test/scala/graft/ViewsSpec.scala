@@ -717,6 +717,53 @@ class ViewsSpec extends SparkSpec {
     spark.sql("DROP TABLE vspec.fw_t")
   }
 
+  test("HAVING bodies maintain incrementally (r15): the backing stores ALL " +
+    "groups, reads re-apply the predicate, and groups CROSSING the boundary " +
+    "appear/disappear after the incremental refresh; non-visible HAVING " +
+    "aggregates decline") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS vspec.hv_t")
+    Seq(("a", 3.0), ("a", 4.0), ("b", 1.0), ("c", 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("hv_seed")
+    spark.sql("CREATE TABLE vspec.hv_t AS SELECT * FROM hv_seed")
+    val body = "SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sv " +
+      "FROM vspec.hv_t GROUP BY k HAVING sv > 5"
+    spark.sql(s"CALL vspec.create_materialized_view('mv_hv', '$body', or_replace => true)")
+    def rows() = spark.sql("SELECT * FROM vspec.mv_hv ORDER BY k").collect().toSeq
+    def direct() = spark.sql(body + " ORDER BY k").collect().toSeq
+    def mode() = spark.sql("CALL vspec.refresh_materialized_view('mv_hv')")
+      .collect().head.getString(2)
+    // fresh read filters: a (7) and c (9) pass, b (1) does not — while
+    // the backing stores ALL three groups (state is HAVING-blind)
+    assert(rows().map(_.getString(0)) === Seq("a", "c"))
+    assert(rows() === direct())
+    assert(spark.table("vspec.`_mv_mv_hv`").count() === 3,
+      "the backing must store all groups, visible and filtered alike")
+    // window: b crosses INTO the boundary, a crosses OUT of it
+    spark.sql("INSERT INTO vspec.hv_t VALUES ('b', 10.0)")
+    spark.sql("DELETE FROM vspec.hv_t WHERE k = 'a' AND v = 4.0")
+    // the STALE read (body path) is already correct before the refresh
+    assert(rows() === direct())
+    assert(mode() === "incremental")
+    assert(rows().map(_.getString(0)) === Seq("b", "c"))
+    assert(rows() === direct())
+    // a HAVING aggregate NOT in the SELECT list has no maintained
+    // state — the refresh declines to the full rebuild and stays right
+    spark.sql("CALL vspec.create_materialized_view('mv_hv2', " +
+      "'SELECT k, count(*) AS n FROM vspec.hv_t GROUP BY k HAVING max(v) > 2', " +
+      "or_replace => true)")
+    spark.sql("INSERT INTO vspec.hv_t VALUES ('d', 8.0)")
+    assert(spark.sql("CALL vspec.refresh_materialized_view('mv_hv2')")
+      .collect().head.getString(2) === "full")
+    assert(spark.sql("SELECT * FROM vspec.mv_hv2 ORDER BY k").collect().toSeq ===
+      spark.sql("SELECT k, count(*) AS n FROM vspec.hv_t GROUP BY k HAVING max(v) > 2 " +
+        "ORDER BY k").collect().toSeq)
+    spark.sql("CALL vspec.drop_view('mv_hv')")
+    spark.sql("CALL vspec.drop_view('mv_hv2')")
+    spark.sql("DROP TABLE vspec.hv_t")
+  }
+
   test("rewrite candidate identity is the sidecar's CONTENT: a replace " +
     "serving the same mtime still evicts the cached shape (ADVICE r13)") {
     cat

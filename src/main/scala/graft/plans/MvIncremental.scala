@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeRef
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
 
@@ -147,7 +147,8 @@ object MvIncremental {
                    leaves: Seq[DataSourceV2Relation] = Nil,
                    condExpr: Option[Expression] = None,
                    rewriteEligible: Boolean = true,
-                   havingSql: Option[String] = None) {
+                   havingSql: Option[String] = None,
+                   moverEligible: Seq[Boolean] = Nil) {
     def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
     /** MIN/MAX present ⇒ the delta path additionally requires an
       * insert-only window. */
@@ -237,30 +238,43 @@ object MvIncremental {
         val (a, hc) = unAgg(top).getOrElse(return None)
         (a.aggregateExpressions.map(ne => (ne.name, ne)), a, hc)
     }
-    // source side (generalized r14): a tree of INNER joins over leaf
-    // relations, with deterministic Filters/Projects riding anywhere —
-    // the aggregate is LINEAR in every leaf (inner join is bilinear,
-    // filter/project linear), so the delta w.r.t. ONE moved leaf is the
-    // tree with that leaf replaced by its signed changes. Outer joins
-    // are NOT linear (a fact delta can flip a dim row's null-extension)
-    // and decline; subquery expressions can reference tables of their
-    // own (mixing versions inside one delta) and decline everywhere.
+    // source side (generalized r14, left-outer r15): a tree of INNER
+    // and LEFT OUTER joins over leaf relations, with deterministic
+    // Filters/Projects riding anywhere — the aggregate is LINEAR in
+    // every inner-join leaf and in a left-outer join's LEFT leaves
+    // ({f} ⟕ D is one independent term per left row), so the delta
+    // w.r.t. ONE moved eligible leaf is the tree with that leaf
+    // replaced by its signed changes. Right-outer/full-outer decline;
+    // right-side leaves of a left-outer join FREEZE (eligibility
+    // false). Subquery expressions can reference tables of their own
+    // (mixing versions inside one delta) and decline everywhere.
     def noSubquery(es: Seq[Expression]): Boolean =
       !es.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
-    def walkSource(p: LogicalPlan): Option[Seq[DataSourceV2Relation]] =
+    // each leaf carries its MOVER ELIGIBILITY (r15): the view is linear
+    // in a leaf only when every join edge above it is linear in its
+    // side — inner joins are bilinear (both sides eligible), a LEFT
+    // OUTER join is linear in its LEFT side only (a right-side delta
+    // can flip a left row's null-extension, which no spliced term
+    // expresses), so right-side leaves FREEZE: the shape still
+    // maintains, but a window in which a frozen leaf moved declines
+    // to RTAS (the Griffin–Libkin null-compensation case).
+    def walkSource(p: LogicalPlan): Option[Seq[(DataSourceV2Relation, Boolean)]] =
       stripAliases(p) match {
-        case r: DataSourceV2Relation => Some(Seq(r))
+        case r: DataSourceV2Relation => Some(Seq((r, true)))
         case Filter(c, ch) if c.deterministic && noSubquery(Seq(c)) =>
           walkSource(ch)
         case pr @ Project(pl, ch)
             if pl.forall(_.deterministic) && noSubquery(pl) =>
           walkSource(ch)
-        case j: Join if j.joinType == Inner &&
+        case j: Join if (j.joinType == Inner || j.joinType == LeftOuter) &&
             j.condition.forall(c => c.deterministic && noSubquery(Seq(c))) =>
-          for (l <- walkSource(j.left); r <- walkSource(j.right)) yield l ++ r
+          for (l <- walkSource(j.left); r <- walkSource(j.right))
+            yield if (j.joinType == Inner) l ++ r
+            else l ++ r.map { case (leaf, _) => (leaf, false) }
         case _ => None
       }
-    val leaves = walkSource(agg.child).getOrElse(return None)
+    val leafPairs = walkSource(agg.child).getOrElse(return None)
+    val leaves = leafPairs.map(_._1)
     if (leaves.isEmpty) return None
     // the delta aggregate renders bare-name SQL over the source tree's
     // output: names must be unambiguous, and `_sign` must be free for
@@ -429,7 +443,8 @@ object MvIncremental {
       // a HAVING body's backing is a SUPERSET of the view's rows — the
       // transparent rewrite must not serve it for raw-table queries
       rewriteEligible = rewriteOk && havingCond.isEmpty,
-      havingSql = havingSqlOpt))
+      havingSql = havingSqlOpt,
+      moverEligible = leafPairs.map(_._2)))
   }
 
   /** ONE telescoping term of the source tree's multiset delta (r15):

@@ -2761,6 +2761,12 @@ object GraftProcedures {
           s.j -> s"graft_ivm_dcur_${math.abs(backingFqn.hashCode)}_${s.j}").toMap
         val moverIdxs = leafRoots.zipWithIndex.collect {
           case (r, i) if moverRoots.contains(r) => i }
+        // left-outer bodies (r15): a mover occurrence on the FROZEN
+        // (right) side of a left-outer join has no spliced term — a
+        // right-side delta can flip a left row's null-extension, which
+        // only the full rebuild expresses. Decline before any state.
+        if (moverIdxs.exists(i => !shape.moverEligible.lift(i).getOrElse(false)))
+          return None
         val termViews = moverIdxs.indices.map(k => s"${signedView}_t$k")
         // version-pinned scans, one per (root, version) actually used —
         // each a PRIVATE manifest snapshot under _cdf/ (swept below)

@@ -3808,6 +3808,65 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q304 (r15): LEFT-OUTER-JOIN bodies join the incremental MV tier —
+    * the star schema's real shape when dims LAG facts
+    * (`Stream_Analytics_Platform.md:84`'s J2): facts whose dim row
+    * hasn't arrived yet must still count, in a null-extended group. A
+    * left-outer join is linear in its LEFT side ({f} ⟕ D is one
+    * independent term per fact row), so fact windows splice exactly as
+    * inner joins do; the RIGHT side is FROZEN (a dim delta can flip a
+    * fact row's null-extension — Griffin–Libkin compensation — which
+    * only the rebuild expresses), so a dim mover declines loudly. The
+    * lifecycle pins all three modes in the ORACLE: fact append
+    * 'incremental', fact delete 'incremental', dim insert 'full' —
+    * and the dim insert genuinely re-homes formerly-unmatched facts
+    * out of the 'none' group, recomputed by DuckDB either way. At
+    * 100 TB: late-arriving dimension feeds stop forcing nightly fact
+    * re-reads — the fact delta refreshes against the pinned dim. */
+  def leftOuterMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvlo_fact")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvlo_dim")
+    Tables.events(spark, d).select(col("event_id"), col("user_id"), col("value"))
+      .createOrReplaceTempView("mvlo_fact_in")
+    Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("mvlo_dim_in")
+    // the dim LAGS: every 4th customer key is missing, so those users'
+    // events ride in the null-extended 'none' group
+    spark.sql(s"CREATE TABLE $cat.mvlo_dim AS " +
+      "SELECT * FROM mvlo_dim_in WHERE c_custkey % 4 <> 3")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvlo_fact AS
+         |SELECT event_id, user_id, value FROM mvlo_fact_in WHERE event_id % 3 <> 2""".stripMargin)
+    spark.sql(s"CALL $cat.create_materialized_view('mv_lo', " +
+      s"'SELECT COALESCE(c_mktsegment, ''none'') AS seg, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      s"FROM $cat.mvlo_fact LEFT JOIN $cat.mvlo_dim ON user_id = c_custkey " +
+      s"GROUP BY COALESCE(c_mktsegment, ''none'')', or_replace => true)")
+    // window 1: fact append — matched and unmatched rows alike splice
+    spark.sql(s"INSERT INTO $cat.mvlo_fact " +
+      "SELECT event_id, user_id, value FROM mvlo_fact_in WHERE event_id % 3 = 2")
+    val m1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
+      .collect().head.getString(2)
+    // window 2: fact row-level DELETE — still incremental
+    spark.sql(s"DELETE FROM $cat.mvlo_fact WHERE event_id % 7 = 0")
+    val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
+      .collect().head.getString(2)
+    // window 3: the LAGGING dim row arrives — frozen side, full rebuild,
+    // and user 3's events re-home from 'none' into the real segment
+    spark.sql(s"INSERT INTO $cat.mvlo_dim VALUES (3, 'SYNTHETIC')")
+    val m3 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
+      .collect().head.getString(2)
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS seg, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv")
+    modeRow("mode-append", m1)
+      .unionAll(modeRow("mode-delete", m2))
+      .unionAll(modeRow("mode-dim-moved", m3))
+      .unionAll(spark.sql(s"SELECT 'rows' AS phase, seg, n, sv FROM $cat.mv_lo"))
+      .orderBy(col("phase"), col("seg"))
+  }
+
   /** q305 (r15): HAVING bodies join the incremental MV tier — the
     * dashboard's "segments above threshold" shape
     * (`Stream_Analytics_Phase_2.md` measure filters) used to decline
@@ -4084,10 +4143,32 @@ object JsonlStatsQueries extends QueryModule {
     "q301_filtered_mv_rewrite" -> filteredMvRewrite,
     "q302_map_key_string_slice" -> mapKeyStringSlice,
     "q303_distinct_mv_refresh" -> distinctMvRefresh,
+    "q304_leftouter_mv_refresh" -> leftOuterMvRefresh,
     "q305_having_mv_refresh" -> havingMvRefresh,
   )
 
   val oracles = Map(
+    "q304_leftouter_mv_refresh" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 <> 3
+        |  UNION ALL SELECT 3, 'SYNTHETIC'),
+        |fact AS (
+        |  SELECT user_id, value FROM events WHERE event_id % 7 <> 0)
+        |SELECT 'mode-append' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'mode-delete' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'mode-dim-moved' AS phase, 'full' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'rows' AS phase, COALESCE(c_mktsegment, 'none') AS seg,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM fact LEFT JOIN dim ON user_id = c_custkey
+        |GROUP BY COALESCE(c_mktsegment, 'none')
+        |ORDER BY phase, seg""".stripMargin,
     "q305_having_mv_refresh" ->
       """WITH thr AS (
         |  SELECT count(*) AS t FROM events

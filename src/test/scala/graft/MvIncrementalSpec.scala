@@ -399,6 +399,48 @@ class MvIncrementalSpec extends SparkSpec {
     assert(leftover.isEmpty, s"ivm manifests must be swept after the merge: $leftover")
   }
 
+  test("left-outer fact⋈dim bodies maintain incrementally when the LEFT " +
+    "side moved (r15): unmatched facts ride as null-extended groups through " +
+    "appends AND deletes; a frozen (right) dim mover declines to the rebuild") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS mvinc.lofact")
+    spark.sql("DROP TABLE IF EXISTS mvinc.lodim")
+    Seq((1L, "gold"), (2L, "iron")).toDF("did", "seg")
+      .createOrReplaceTempView("mvinc_lodim_seed")
+    spark.sql("CREATE TABLE mvinc.lodim AS SELECT * FROM mvinc_lodim_seed")
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (9L, 99.0)) // 9 has no dim row
+      .toDF("fid", "v").createOrReplaceTempView("mvinc_lofact_seed")
+    spark.sql("CREATE TABLE mvinc.lofact AS SELECT * FROM mvinc_lofact_seed")
+    val body = "SELECT seg, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sv " +
+      "FROM mvinc.lofact LEFT JOIN mvinc.lodim ON fid = did GROUP BY seg"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv_lo', '$body', or_replace => true)")
+    def nullSeg() = mvRows("mv_lo").find(_.isNullAt(0))
+    assert(nullSeg().exists(_.getLong(1) == 1L), "fact 9 null-extends into the NULL group")
+    // fact APPEND window: a matched row grows iron, an unmatched row
+    // grows the null-extended group — both through the spliced delta
+    spark.sql("INSERT INTO mvinc.lofact VALUES (2, 7.0), (11, 3.0)")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(nullSeg().exists(_.getLong(1) == 2L))
+    // fact DELETE window: iron loses every row and must leave
+    spark.sql("DELETE FROM mvinc.lofact WHERE fid = 2")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(!mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "iron"))
+    // a DIM mover sits on the FROZEN side of the left-outer join — its
+    // delta can flip null-extensions, so the refresh rebuilds fully
+    spark.sql("INSERT INTO mvinc.lodim VALUES (9, 'ash')")
+    assert(refreshMode("mv_lo") === "full")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "ash"),
+      "the rebuilt view must re-match the formerly null-extended fact")
+    // and the NEXT fact-only window is incremental again
+    spark.sql("INSERT INTO mvinc.lofact VALUES (9, 1.0)")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+  }
+
   test("COUNT(DISTINCT) maintains incrementally via the per-(group, value) " +
     "liveness table: duplicate appends don't inflate, deleting a non-last " +
     "occurrence doesn't decrement, deleting the LAST occurrence does, and a " +

@@ -2746,6 +2746,10 @@ object GraftProcedures {
         // Cost ∝ affected groups' rows, never the source.
         val needsRepair = shape.needsInsertOnly && ms.exists(m =>
           !ChangeFeed.windowInsertOnly(m.root, m.fromV, m.toV))
+        // operator escape hatch (r15, also the bench's RTAS control):
+        // disabling repair declines deleting windows to the rebuild
+        if (needsRepair && spark.conf.getOption("spark.graft.mv.repairDisable")
+          .contains("true")) return None
         // signed delta + the delta aggregate, ANALYZED before anything
         // mutates (a vacuumed window or unrenderable expression lands
         // here, declining to RTAS). The nonce makes this call's derived
@@ -2772,6 +2776,8 @@ object GraftProcedures {
         // each a PRIVATE manifest snapshot under _cdf/ (swept below)
         val pinnedScans = scala.collection.mutable.Map.empty[(String, Int),
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        // parquet spools of past-the-cap repair restrictions (swept below)
+        val repairSpools = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
         try {
         // one telescoping term per mover occurrence: that leaf reads
         // its signed (fromV, toV] window at ±1, EARLIER leaves read
@@ -2845,20 +2851,27 @@ object GraftProcedures {
         auxMerges.foreach(m => spark.sessionState.executePlan(
           spark.sessionState.sqlParser.parsePlan(m)).assertAnalyzed())
         // group-scoped MIN/MAX repair plan, built and analyzed BEFORE
-        // any state moves: collect the delta's group keys (bounded —
-        // past the cap RTAS is the cheaper honest answer), restrict the
-        // live source to those groups per grain column (an IN-list the
-        // connector's file pruning understands; a per-column list is a
-        // SUPERSET of the affected tuples — the matched-only repair
-        // merge ignores the extras), and recompute only the extrema.
+        // any state moves. Two restriction strategies by affected-group
+        // cardinality (r15 — the cap no longer forces RTAS):
+        //   - up to `spark.graft.mv.repairMaxGroups` (10k): a driver
+        //     IN-list per grain column, which the connector's file
+        //     pruning understands (a per-column list is a SUPERSET of
+        //     the affected tuples — the matched-only repair merge
+        //     ignores the extras); the group-count output is
+        //     driver-sized, so the MERGE source materializes locally.
+        //   - past the cap: a BROADCAST LEFT-SEMI join of the pinned
+        //     source against the delta's distinct groups — unbounded
+        //     group count, no driver materialization; the repair rows
+        //     spill to a private parquet spool the MERGE reads back
+        //     (a temp view over a resolved catalog relation trips
+        //     Spark 4.1's MERGE analysis; a parquet relation doesn't).
         val repairMerge: Option[String] = if (!needsRepair) None else {
-          import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
+          import org.apache.spark.sql.functions.{broadcast, col => fcol, expr => fexpr, lit => flit}
           val maxGroups = spark.conf.getOption("spark.graft.mv.repairMaxGroups")
             .map(_.toInt).getOrElse(10000)
           val groupCols = shape.groupOuts.map(_.name)
           val affected = delta.select(groupCols.map(n => fcol(s"`$n`")): _*)
             .distinct().limit(maxGroups + 1).collect()
-          if (affected.length > maxGroups) return None
           if (affected.isEmpty) None
           else {
             // the repair reads the source at the recorded HEAD versions
@@ -2869,30 +2882,37 @@ object GraftProcedures {
               .map(j => j -> pinnedAt(leafRoots(j), headVerByRoot(leafRoots(j)))).toMap
             val src = org.apache.spark.sql.graftops.Bridge.ofRows(
               spark, MvIncremental.pinnedChild(shape, pinnedAll).getOrElse(return None))
-            val conds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
-              val e = fexpr(o.groupSql.get)
-              val vals = affected.map(_.get(i)).toSeq
-              val nonNull = vals.filter(_ != null).distinct
-              val inList =
-                if (nonNull.isEmpty) flit(false) else e.isin(nonNull: _*)
-              if (vals.contains(null)) inList || e.isNull else inList
-            }
             val mmAggs = MvIncremental.minMaxSlots(shape).map(s =>
               fexpr(s.deltaSql).as(s.aux))
-            val repairSrc = src.filter(conds.reduce(_ && _))
-              .groupBy(shape.groupOuts.map(o =>
+            def grouped(restricted: org.apache.spark.sql.DataFrame) =
+              restricted.groupBy(shape.groupOuts.map(o =>
                 fexpr(o.groupSql.get).as(o.name)): _*)
-              .agg(mmAggs.head, mmAggs.tail: _*)
-            // MATERIALIZED to a local relation: the output is one row
-            // per affected group (cap-bounded above), and a temp view
-            // over a resolved catalog relation trips Spark 4.1's MERGE
-            // analysis (V2TableReference survives into planning). The
-            // distributed work — the pruned scan + aggregate — happens
-            // in this collect; the MERGE source is then driver-sized.
-            val repairRows = repairSrc.collect()
-            spark.createDataFrame(
-              java.util.Arrays.asList(repairRows: _*), repairSrc.schema)
-              .createOrReplaceTempView(repairView)
+                .agg(mmAggs.head, mmAggs.tail: _*)
+            if (affected.length <= maxGroups) {
+              val conds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
+                val e = fexpr(o.groupSql.get)
+                val vals = affected.map(_.get(i)).toSeq
+                val nonNull = vals.filter(_ != null).distinct
+                val inList =
+                  if (nonNull.isEmpty) flit(false) else e.isin(nonNull: _*)
+                if (vals.contains(null)) inList || e.isNull else inList
+              }
+              val repairSrc = grouped(src.filter(conds.reduce(_ && _)))
+              val repairRows = repairSrc.collect()
+              spark.createDataFrame(
+                java.util.Arrays.asList(repairRows: _*), repairSrc.schema)
+                .createOrReplaceTempView(repairView)
+            } else {
+              val gdf = delta.select(shape.groupOuts.zipWithIndex.map { case (o, i) =>
+                fcol(s"`${o.name}`").as(s"graft_ivm_g$i") }: _*).distinct()
+              val cond = shape.groupOuts.zipWithIndex.map { case (o, i) =>
+                fexpr(o.groupSql.get) <=> fcol(s"`graft_ivm_g$i`") }.reduce(_ && _)
+              val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_repair")
+              repairSpools += tmp
+              grouped(src.join(broadcast(gdf), cond, "left_semi"))
+                .write.mode("overwrite").parquet(tmp.toString)
+              spark.read.parquet(tmp.toString).createOrReplaceTempView(repairView)
+            }
             val sql = MvIncremental.repairMergeSql(shape, backingFqn, repairView)
             spark.sessionState.executePlan(
               spark.sessionState.sqlParser.parsePlan(sql)).assertAnalyzed()
@@ -2946,6 +2966,7 @@ object GraftProcedures {
             .foreach(java.nio.file.Files.deleteIfExists))
           pinnedScans.keys.foreach { case (r, v) =>
             java.nio.file.Files.deleteIfExists(ChangeFeed.pinnedManifest(r, v, nonce)) }
+          repairSpools.foreach(p => graft.util.Fs.deleteRecursively(p.toString))
         }
       } catch {
         case e: Exception => // any unprovable leg: RTAS

@@ -201,14 +201,45 @@ object MvSampleBench {
       spark.sql(s"DELETE FROM $cat.$src WHERE event_id = 6 AND event_type = 'probe'")
       val (rm, rs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_m$tag')")
         .collect().head.getString(2))
-      spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
+      spark.conf.set("spark.graft.mv.repairDisable", "true")
       val (fm, fs) = try timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_m2$tag')")
         .collect().head.getString(2))
-      finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
+      finally spark.conf.unset("spark.graft.mv.repairDisable")
       (rm, rs, fm, fs)
     }
     val (repMode1, rep1, repCtlMode1, repCtl1) = repairPair("ev", "1")
     val (repMode8, rep8, repCtlMode8, repCtl8) = repairPair("ev256", "256")
+
+    // ---- r15: PAST-THE-CAP repair (broadcast semi-join) vs its old RTAS ----
+    // An MV at the EVENT grain (~100k groups): a delete window touching
+    // ~20k groups exceeds the 10k IN-list cap. r14 forfeited the repair
+    // win here (decline to RTAS); r15 restricts the pinned source by a
+    // broadcast semi-join against the delta's groups instead — no
+    // driver materialization, unbounded group count. The control
+    // (repairDisable) is the old behavior on the same window.
+    val hiCard: (String, Double, String, Double) = {
+      def body = s"'SELECT event_id, min(value) AS mn, max(value) AS mx, " +
+        s"count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vs " +
+        s"FROM $cat.ev256 GROUP BY event_id'"
+      spark.sql(s"CALL $cat.create_materialized_view('mv_hc', " + body + ")")
+      spark.sql(s"CALL $cat.create_materialized_view('mv_hc2', " + body + ")")
+      spark.sql(s"INSERT INTO $cat.ev256 VALUES (8, 'probe', 3.0, '8')") // warm-up
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc')").collect()
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc2')").collect()
+      // the window: retract extrema of ~20k groups (every 'error'
+      // event id), but only half of each group's copies — survivors
+      // keep the group alive, so the repair genuinely recomputes
+      spark.sql(s"DELETE FROM $cat.ev256 WHERE event_type = 'error' " +
+        "AND CAST(shard AS INT) % 2 = 0")
+      val (rm, rs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc')")
+        .collect().head.getString(2))
+      spark.conf.set("spark.graft.mv.repairDisable", "true")
+      val (fm, fs) = try timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc2')")
+        .collect().head.getString(2))
+      finally spark.conf.unset("spark.graft.mv.repairDisable")
+      (rm, rs, fm, fs)
+    }
+    val (hcMode, hcS, hcCtlMode, hcCtlS) = hiCard
 
     println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
       s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
@@ -229,7 +260,9 @@ object MvSampleBench {
       s""""repair_1x_s":${f"$rep1%.3f"},"repair_mode_1x":"$repMode1",""" +
       s""""repair_ctl_1x_s":${f"$repCtl1%.3f"},"repair_ctl_mode_1x":"$repCtlMode1",""" +
       s""""repair_256x_s":${f"$rep8%.3f"},"repair_mode_256x":"$repMode8",""" +
-      s""""repair_ctl_256x_s":${f"$repCtl8%.3f"},"repair_ctl_mode_256x":"$repCtlMode8"}""")
+      s""""repair_ctl_256x_s":${f"$repCtl8%.3f"},"repair_ctl_mode_256x":"$repCtlMode8",""" +
+      s""""repair_hicard_s":${f"$hcS%.3f"},"repair_hicard_mode":"$hcMode",""" +
+      s""""repair_hicard_ctl_s":${f"$hcCtlS%.3f"},"repair_hicard_ctl_mode":"$hcCtlMode"}""")
     spark.stop()
   }
 }

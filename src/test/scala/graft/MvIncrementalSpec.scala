@@ -537,20 +537,20 @@ class MvIncrementalSpec extends SparkSpec {
       graft.sources.ChangeFeed.pinnedManifest(troot, v, "spec"))
   }
 
-  test("a decline AFTER the window's temp views exist (the repair cap) " +
+  test("the past-the-cap repair path (broadcast semi-join + parquet spool) " +
     "still drops every graft_ivm_* temp view and sweeps every derived " +
-    "_cdf manifest — signed pairs and version pins alike (ADVICE r14)") {
+    "_cdf manifest — signed pairs and version pins alike (ADVICE r14/r15)") {
     cat
     spark.sql("DROP TABLE IF EXISTS mvinc.capsrc")
     Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").createOrReplaceTempView("mvinc_cap_seed")
     spark.sql("CREATE TABLE mvinc.capsrc AS SELECT * FROM mvinc_cap_seed")
     val body = "SELECT k, min(v) AS mn, count(*) AS n FROM mvinc.capsrc GROUP BY k"
     spark.sql(s"CALL mvinc.create_materialized_view('mv_cap', '$body', or_replace => true)")
-    // a deleting window + cap 0: the refresh builds the signed/term/
-    // delta views, then declines at the repair cap and rebuilds fully
+    // a deleting window + cap 0 exercises the SEMI-JOIN restriction
+    // (r15): the repair stays incremental past any group cardinality
     spark.sql("DELETE FROM mvinc.capsrc WHERE k = 'a'")
     spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
-    try assert(refreshMode("mv_cap") === "full")
+    try assert(refreshMode("mv_cap") === "incremental-repair")
     finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
     assert(mvRows("mv_cap") === direct(body))
     val leaked = spark.catalog.listTables().collect()
@@ -600,13 +600,23 @@ class MvIncrementalSpec extends SparkSpec {
     assert(mvRows("mv7") === direct(body))
     val b = mvRows("mv7").find(_.getString(0) == "b").get
     assert(b.isNullAt(1) && b.isNullAt(2) && b.getLong(3) === 1L, b.toString)
-    // a deleting window past the affected-group cap declines to RTAS
+    // a deleting window past the affected-group cap no longer declines
+    // (r15): the restriction switches from the driver IN-list to a
+    // broadcast semi-join of the pinned source against the delta's
+    // groups, and the repair STAYS incremental
     spark.conf.set("spark.graft.mv.repairMaxGroups", "0")
     try {
       spark.sql("DELETE FROM mvinc.src7 WHERE v = 4.0")
-      assert(refreshMode("mv7") === "full")
+      assert(refreshMode("mv7") === "incremental-repair")
       assert(mvRows("mv7") === direct(body))
     } finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
+    // the operator escape hatch declines repair entirely — RTAS
+    spark.conf.set("spark.graft.mv.repairDisable", "true")
+    try {
+      spark.sql("DELETE FROM mvinc.src7 WHERE v = 5.0")
+      assert(refreshMode("mv7") === "full")
+      assert(mvRows("mv7") === direct(body))
+    } finally spark.conf.unset("spark.graft.mv.repairDisable")
     // and the NEXT pure-append window is incremental again
     spark.sql("INSERT INTO mvinc.src7 VALUES ('c', -2.0)")
     assert(refreshMode("mv7") === "incremental")

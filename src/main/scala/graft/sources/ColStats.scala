@@ -94,16 +94,211 @@ object ColStats {
       }.toMap))
   }
 
+  // ---------------------------------------------------------------------------
+  // Incremental ANALYZE (r15): per-file MERGEABLE sketches, maintained
+  // by ANALYZE itself.
+  //
+  // The r9c design note above still holds for COMMITS — shipping a
+  // sketch per file per column through every write would tax every
+  // write path. But ANALYZE re-reading the WHOLE table when one
+  // partition landed is the same waste at maintenance cadence: at
+  // 100 TB the nightly stats pass re-scanned a year to see a day. So
+  // ANALYZE now keeps its own sidecar cache (`_colstats_files.jsonl`):
+  // one line per LIVE FILE IDENTITY — (file, deletion vectors,
+  // applicable equality deletes), the change-feed identity, so a
+  // masked or rewritten file re-sketches — carrying a DataSketches HLL
+  // sketch per column (mergeable, unlike a bare HLL++ number) plus
+  // exact row/length moments. The ANALYZE pass scans ONLY identities
+  // missing from the cache (a derived-manifest scan, the change-feed
+  // trick), merges every live identity's sketches, and prunes dropped
+  // identities — cost ∝ the DELTA, never table size. NDV values are
+  // sketched over 64-bit column hashes (uniform across types; ~2%
+  // relative error at lgK=12, exact at small cardinalities); row
+  // counts and string-length stats merge exactly.
+  // ---------------------------------------------------------------------------
+
+  val FilesSidecar = "_colstats_files.jsonl"
+  private val LgK = 12
+
+  /** Per-(file identity, column) mergeable state: the HLL sketch bytes
+    * (empty = no non-null values seen) and exact string-length moments
+    * (-1 when not a string column). */
+  final case class ColSketch(sk: Array[Byte], lenSum: Long, lenMax: Long, lenCnt: Long)
+  final case class FileSketches(id: String, rows: Long, cols: Map[String, ColSketch])
+
+  private def writeFileSketches(root: String, all: Seq[FileSketches]): Unit = {
+    val mapper = new ObjectMapper()
+    val lines = all.map { fs =>
+      val n = mapper.createObjectNode()
+      n.put("id", fs.id)
+      n.put("rows", fs.rows)
+      val cs = n.putObject("cols")
+      fs.cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        val o = cs.putObject(c)
+        o.put("sk", java.util.Base64.getEncoder.encodeToString(st.sk))
+        if (st.lenSum >= 0) o.put("ls", st.lenSum)
+        if (st.lenMax >= 0) o.put("lm", st.lenMax)
+        if (st.lenCnt >= 0) o.put("lc", st.lenCnt)
+      }
+      n.toString
+    }
+    val tmp = Paths.get(root,
+      s"$FilesSidecar.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, FilesSidecar),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readFileSketches(root: String): Map[String, FileSketches] = {
+    val p = Paths.get(root, FilesSidecar)
+    if (!Files.exists(p)) return Map.empty
+    val mapper = new ObjectMapper()
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      val cols = n.get("cols").properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColSketch(
+          java.util.Base64.getDecoder.decode(v.get("sk").asText()),
+          if (v.hasNonNull("ls")) v.get("ls").asLong() else -1L,
+          if (v.hasNonNull("lm")) v.get("lm").asLong() else -1L,
+          if (v.hasNonNull("lc")) v.get("lc").asLong() else -1L)
+      }.toMap
+      val fs = FileSketches(n.get("id").asText(), n.get("rows").asLong(), cols)
+      fs.id -> fs
+    }.toMap
+  }
+
+  /** The delta-proportional ANALYZE: scan only live file identities
+    * missing from the sketch cache, merge everything live, prune the
+    * rest. Returns the stats and how many files were actually read. */
+  def analyzeIncremental(spark: SparkSession, tableRoot: String): (TableColStats, Int) = {
+    import org.apache.spark.sql.functions._
+    val meta = JsonlStats.readTableMeta(tableRoot)
+    val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)
+    def mkReader = {
+      var r = spark.read.format("graft-jsonl-stats")
+        .option("path", tableRoot).option("statsColumn", statsCol)
+      meta.schema.foreach(s => r = r.schema(s))
+      r
+    }
+    val schema = mkReader.load().schema
+    val physOf: Map[String, String] =
+      schema.fields.map(f => f.name -> meta.columnMapping.getOrElse(f.name, f.name)).toMap
+    val version = JsonlStats.currentVersion(tableRoot)
+    val stats = JsonlStats.readStats(tableRoot)
+    val eqs = JsonlEqualityDeletes.readEqDeletes(tableRoot, "_stats.jsonl")
+    def identOf(s: JsonlStats.FileStats): String =
+      s.file + "|" + s.dvs.sorted.mkString(",") + "|" +
+        eqs.filter(_.seq > s.seq).map(_.file).sorted.mkString(",")
+    val live: Seq[(JsonlStats.FileStats, String)] = stats.map(s => (s, identOf(s)))
+    // a cached line is usable only if it covers every CURRENT column
+    // (schema evolution invalidates per-file state the cheap way: that
+    // file re-sketches)
+    val cache = readFileSketches(tableRoot).filter { case (_, fs) =>
+      physOf.values.forall(fs.cols.contains)
+    }
+    val missing = live.filterNot { case (_, id) => cache.contains(id) }
+    val fresh: Map[String, FileSketches] = if (missing.isEmpty) Map.empty else {
+      val name = s"_cdf/colstats_${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
+      Files.createDirectories(Paths.get(tableRoot, "_cdf"))
+      Files.write(Paths.get(tableRoot, name),
+        (missing.map(m => JsonlStats.statsLine(m._1)) ++
+          eqs.map(JsonlEqualityDeletes.line)).asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val df = mkReader.option("manifest", name).load()
+        val aggs = schema.fields.flatMap { f =>
+          // NDV over the 64-bit column hash: uniform across types
+          // (doubles/timestamps/decimals have no native sketch input),
+          // null-guarded so nulls never count as a value
+          val sk = hll_sketch_agg(
+            when(col(f.name).isNotNull, xxhash64(col(f.name))), lit(LgK))
+            .as(s"sk_${f.name}")
+          f.dataType match {
+            case StringType => Seq(sk,
+              sum(length(col(f.name))).cast("long").as(s"ls_${f.name}"),
+              max(length(col(f.name))).cast("long").as(s"lm_${f.name}"),
+              count(col(f.name)).as(s"lc_${f.name}"))
+            case _ => Seq(sk)
+          }
+        }
+        val perFile = df.groupBy(col(JsonlStats.FileMeta).as("__f"))
+          .agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect()
+        val byAbs = missing.map { case (s, id) =>
+          Paths.get(tableRoot, s.file).toAbsolutePath.normalize.toString -> id }.toMap
+        def colsOf(r: org.apache.spark.sql.Row): Map[String, ColSketch] =
+          schema.fields.map { f =>
+            def longAt(n: String): Long = {
+              val i = r.fieldIndex(n); if (r.isNullAt(i)) -1L else r.getLong(i)
+            }
+            val ski = r.fieldIndex(s"sk_${f.name}")
+            val sk = if (r.isNullAt(ski)) Array.emptyByteArray
+              else r.getAs[Array[Byte]](ski)
+            val (ls, lm, lc) = f.dataType match {
+              case StringType =>
+                (math.max(0L, longAt(s"ls_${f.name}")), longAt(s"lm_${f.name}"),
+                  longAt(s"lc_${f.name}"))
+              case _ => (-1L, -1L, -1L)
+            }
+            physOf(f.name) -> ColSketch(sk, ls, lm, lc)
+          }.toMap
+        val scanned = perFile.map { r =>
+          val id = byAbs(Paths.get(r.getString(r.fieldIndex("__f")))
+            .toAbsolutePath.normalize.toString)
+          id -> FileSketches(id, r.getAs[Long]("__rows"), colsOf(r))
+        }.toMap
+        // fully-masked files produce no group row — record them empty
+        // so they never rescan
+        val emptyCols = schema.fields.map(f => physOf(f.name) ->
+          ColSketch(Array.emptyByteArray,
+            if (f.dataType == StringType) 0L else -1L,
+            -1L, if (f.dataType == StringType) 0L else -1L)).toMap
+        missing.map { case (_, id) =>
+          id -> scanned.getOrElse(id, FileSketches(id, 0L, emptyCols))
+        }.toMap
+      } finally Files.deleteIfExists(Paths.get(tableRoot, name))
+    }
+    val all: Seq[FileSketches] = live.map { case (_, id) =>
+      cache.getOrElse(id, fresh(id)) }
+    val totalRows = all.map(_.rows).sum
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val cols = schema.fields.map { f =>
+      val phys = physOf(f.name)
+      val states = all.map(_.cols(phys))
+      val u = new Union(LgK)
+      states.filter(_.sk.nonEmpty).foreach(b => u.update(HllSketch.heapify(b.sk)))
+      val ndv = Math.round(u.getEstimate)
+      val (a, m) = f.dataType match {
+        case StringType =>
+          val cnt = states.map(s => math.max(0L, s.lenCnt)).sum
+          val sumL = states.map(s => math.max(0L, s.lenSum)).sum
+          val maxL = states.map(_.lenMax).max
+          (if (cnt > 0) math.ceil(sumL.toDouble / cnt.toDouble).toLong else -1L,
+            if (maxL >= 0) maxL else -1L)
+        case _ => (-1L, -1L)
+      }
+      phys -> ColStat(ndv, a, m, None)
+    }.toMap
+    writeFileSketches(tableRoot, all)
+    val s = TableColStats(version, System.currentTimeMillis(), totalRows, cols)
+    write(tableRoot, s)
+    (s, missing.size)
+  }
+
   /** ONE distributed pass over the live table: HLL++ NDV (relative
     * error ~2.5% at rsd=0.025 — the tradeoff every warehouse ANALYZE
     * makes; exact NDV is a full shuffle of every distinct value) plus
     * string length moments, all map-side-combinable aggregates in a
     * single scan whatever the column count. Masked rows (DVs, equality
     * deletes) are excluded by construction — the scan IS the read
-    * path. */
+    * path. Since r15 this full pass serves the HISTOGRAM request (a
+    * bounded second pass per column, inherently non-incremental);
+    * plain ANALYZE routes through [[analyzeIncremental]]. */
   def analyze(spark: SparkSession, tableRoot: String,
               histogram: Boolean = false, histBins: Int = 32,
               histCols: Option[Seq[String]] = None): TableColStats = {
+    if (!histogram) return analyzeIncremental(spark, tableRoot)._1
     import org.apache.spark.sql.functions._
     val meta = JsonlStats.readTableMeta(tableRoot)
     val statsCol = meta.statsCol.getOrElse(JsonlStats.statsColumn)

@@ -472,18 +472,26 @@ object GraftProcedures {
       val prev = ColStats.read(dir.toString)
       val hc = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      val s = ColStats.analyze(SparkSession.active, dir.toString,
-        histogram = input.getBoolean(1), histBins = input.getInt(2), histCols = hc)
+      // plain ANALYZE is delta-proportional (r15): only file identities
+      // missing from the sketch cache are read; histograms keep the
+      // full pass (a second bounded pass is inherently non-incremental)
+      val (s, filesScanned) =
+        if (input.getBoolean(1))
+          (ColStats.analyze(SparkSession.active, dir.toString,
+            histogram = true, histBins = input.getInt(2), histCols = hc),
+            JsonlStats.readStats(dir.toString).size)
+        else ColStats.analyzeIncremental(SparkSession.active, dir.toString)
       val schema = StructType(Seq(
         StructField("columns_analyzed", IntegerType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("analyzed_version", IntegerType, nullable = false),
-        StructField("versions_stale_before", IntegerType, nullable = false)))
+        StructField("versions_stale_before", IntegerType, nullable = false),
+        StructField("files_scanned", IntegerType, nullable = false)))
       java.util.List.of[Scan](new LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = Array(InternalRow(
           s.cols.size, s.rows, s.version,
-          prev.map(p => s.version - p.version).getOrElse(-1)))
+          prev.map(p => s.version - p.version).getOrElse(-1), filesScanned))
         override def description(): String = s"analyze_table $table"
       }).iterator()
     }

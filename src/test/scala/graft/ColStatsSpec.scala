@@ -58,6 +58,43 @@ class ColStatsSpec extends SparkSpec {
     assert(s.cols("event_id").avgLen === -1, "length stats are string-only")
   }
 
+  test("ANALYZE is delta-proportional (r15): the first pass sketches every " +
+    "file, a post-append re-ANALYZE reads ONLY the new files, a no-change " +
+    "re-ANALYZE reads none — and the merged NDV stays within HLL tolerance " +
+    "of the exact count; rewritten identities (delete) re-sketch") {
+    val (cat, dir) = scratch("inc")
+    val t = Paths.get(dir).getFileName.toString
+    def analyze() = spark.sql(s"CALL $cat.analyze_table('$t')").head()
+    def liveFiles() = JsonlStats.readStats(dir).size
+    val first = analyze()
+    assert(first.getInt(4) === liveFiles(), "first pass sketches every file")
+    // no-change re-ANALYZE: the cache answers everything
+    assert(analyze().getInt(4) === 0, "nothing moved, nothing read")
+    // append: only the NEW files are read
+    val before = liveFiles()
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1000001, 42, 'probe', 7.5)")
+    val post = analyze()
+    val added = liveFiles() - before
+    assert(added >= 1 && post.getInt(4) === added,
+      s"post-append pass must read only the ${added} new file(s), read ${post.getInt(4)}")
+    // merged numbers stay honest: exact rows, NDV within tolerance
+    val s = ColStats.read(dir).get
+    val df = spark.read.format("graft-jsonl-stats").option("path", dir).load()
+    assert(s.rows === df.count())
+    val exact = df.agg(countDistinct($"user_id"), countDistinct($"event_type")).head()
+    assert(math.abs(s.cols("user_id").ndv.toDouble - exact.getLong(0)) /
+      exact.getLong(0) < 0.10, s"merged NDV ${s.cols("user_id").ndv} vs ${exact.getLong(0)}")
+    assert(s.cols("event_type").ndv >= exact.getLong(1) - 1 &&
+      s.cols("event_type").ndv <= exact.getLong(1) + 1)
+    // a DELETE rewrites (or masks) file identities: those re-sketch,
+    // untouched identities stay cached, and the counts re-merge exactly
+    spark.sql(s"DELETE FROM $cat.$t WHERE event_id % 10 = 3")
+    val afterDelete = analyze()
+    assert(afterDelete.getInt(4) > 0 && afterDelete.getInt(4) <= liveFiles(),
+      s"a delete must re-sketch only the touched identities: ${afterDelete.getInt(4)}")
+    assert(ColStats.read(dir).get.rows === df.count())
+  }
+
   test("CBO sees the stats: attribute NDV/min/max/nulls on the scan, cardinality on the join") {
     val (cat, dir) = scratch("cbo")
     val t = Paths.get(dir).getFileName.toString

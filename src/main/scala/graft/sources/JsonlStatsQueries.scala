@@ -3808,6 +3808,66 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q306 (r15): CONTINUOUS MV refresh — the CDF→IVM composition
+    * (q235) lands on CATALOG MVs: [[graft.streaming.MvAutoRefresh]]
+    * reads the source's streaming change feed and CALLs the one-code-
+    * path refresh per micro-batch under the per-view lock. The stream
+    * is only a TRIGGER — exactly-once comes from the refresh's version
+    * discipline, not the checkpoint: after each drain a MANUAL refresh
+    * must say 'noop' (the stream already applied the window), and the
+    * run then WIPES the checkpoint and re-drains the whole feed — the
+    * replayed batches find their windows recorded and the MV stays
+    * hash-equal to DuckDB's recompute of the final state (pinned).
+    * Windows exercised: an append and a merge-on-read DELETE. At
+    * 100 TB: dashboard MVs follow the fact stream at micro-batch
+    * freshness with per-window delta cost and no scheduler glue. */
+  def continuousMvRefresh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cat = ensureCatalog(spark, d)
+    val dir = Landing.fixtureDir(d, "jsonl_mv_stream")
+    val ckpt = Landing.fixtureDir(d, "jsonl_mv_stream_ckpt")
+    Seq(dir, ckpt).foreach(graft.util.Fs.deleteRecursively)
+    Files.createDirectories(Paths.get(dir))
+    val ev = Tables.events(spark, d).select($"event_id", $"event_type", $"value")
+    ev.filter($"event_id" % 3 === 0).repartitionByRange(3, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("overwrite").save()
+    val m0 = JsonlStats.readTableMeta(dir)
+    JsonlStats.writeTableMeta(dir, m0.statsCol.get, m0.partitionCol, m0.schema.get,
+      m0.bloomCol, deleteMode = Some("merge-on-read"))
+    val table = Paths.get(dir).getFileName.toString
+    spark.sql(s"DROP VIEW IF EXISTS $cat.mv_cms")
+    spark.sql(s"CALL $cat.create_materialized_view('mv_cms', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      s"FROM $cat.$table GROUP BY event_type', or_replace => true)")
+    def drain(): Unit = graft.streaming.MvAutoRefresh
+      .start(spark, cat, "mv_cms", dir, ckpt).awaitTermination()
+    def manualMode(): String = spark.sql(
+      s"CALL $cat.refresh_materialized_view('mv_cms')").collect().head.getString(2)
+    // window 1: append — the drain's refresh leaves nothing to do
+    ev.filter($"event_id" % 3 === 1).repartitionByRange(2, $"value")
+      .write.format("graft-jsonl-stats").option("path", dir).mode("append").save()
+    drain()
+    val m1 = manualMode()
+    // window 2: merge-on-read DELETE flows through the same trigger
+    spark.sql(s"DELETE FROM $cat.$table WHERE value < 100.0")
+    drain()
+    val m2 = manualMode()
+    // replay: wipe the checkpoint and re-drain the WHOLE feed — every
+    // replayed batch no-ops against the recorded versions
+    graft.util.Fs.deleteRecursively(ckpt)
+    drain()
+    val m3 = manualMode()
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS event_type, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv")
+    modeRow("post-append", m1)
+      .unionAll(modeRow("post-delete", m2))
+      .unionAll(modeRow("post-replay", m3))
+      .unionAll(spark.sql(s"SELECT 'rows' AS phase, event_type, n, sv FROM $cat.mv_cms"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   /** q304 (r15): LEFT-OUTER-JOIN bodies join the incremental MV tier —
     * the star schema's real shape when dims LAG facts
     * (`Stream_Analytics_Platform.md:84`'s J2): facts whose dim row
@@ -4145,9 +4205,27 @@ object JsonlStatsQueries extends QueryModule {
     "q303_distinct_mv_refresh" -> distinctMvRefresh,
     "q304_leftouter_mv_refresh" -> leftOuterMvRefresh,
     "q305_having_mv_refresh" -> havingMvRefresh,
+    "q306_continuous_mv_refresh" -> continuousMvRefresh,
   )
 
   val oracles = Map(
+    "q306_continuous_mv_refresh" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 3 <> 2 AND value >= 100.0)
+        |SELECT 'post-append' AS phase, 'noop' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'post-delete' AS phase, 'noop' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'post-replay' AS phase, 'noop' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q304_leftouter_mv_refresh" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 <> 3

@@ -2385,16 +2385,20 @@ object GraftProcedures {
     }
 
     /** The body's source TABLES as warehouse-relative paths, resolved
-      * under the calling session's context — exactly the context the
-      * definition stores. Every source must be a plain table of THIS
-      * catalog (versions are per-manifest); a view source refuses with
-      * the flattening remediation. */
-    private def sourceTables(spark: SparkSession, sql: String): Seq[String] = {
+      * under `ctx` (the calling session's context at create — exactly
+      * the context the definition stores — or the stored context at
+      * refresh). A stored-VIEW source FLATTENS (r15): the walk recurses
+      * into its body under the view's OWN stored context, collecting
+      * the underlying tables for version tracking plus the view itself
+      * as a definition-hash dependency ([[GraftViews.MvViewDepsProp]] —
+      * views have no versions, so freshness pins the definition).
+      * Every leaf must be a plain table of THIS catalog. */
+    private def sourceTables(spark: SparkSession, sql: String, ctx: Seq[String])
+        : (Seq[String], Seq[(String, String)]) = {
       import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedRelation}
       import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
       import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
       val cm = spark.sessionState.catalogManager
-      val ctx = cm.currentCatalog.name() +: cm.currentNamespace.toSeq
       def rels(pl: LogicalPlan): Seq[Seq[String]] = {
         val direct = pl.collect { case UnresolvedRelation(parts, _, false) => parts }
         val inSubq = pl.flatMap(_.expressions.flatMap(_.collect {
@@ -2402,33 +2406,46 @@ object GraftProcedures {
         }.flatten))
         direct ++ inSubq
       }
-      val parsed = CTESubstitution.apply(spark.sessionState.sqlParser.parsePlan(sql))
-      rels(parsed).map { parts =>
-        val full =
-          if (parts.size == 1) ctx ++ parts
-          else if (cm.isCatalogRegistered(parts.head)) parts
-          else ctx.head +: parts
-        val sameCat = cm.isCatalogRegistered(full.head) && (cm.catalog(full.head) match {
-          case g: GraftCatalog => g.warehouseRoot == root
-          case _ => false
-        })
-        require(sameCat,
-          s"materialized view sources must be tables of catalog '$catName' — " +
-            s"'${parts.mkString(".")}' resolves to '${full.mkString(".")}' " +
-            "(temp views and foreign catalogs have no trackable versions)")
-        val rel = full.tail.mkString("/")
-        val dir = Paths.get(root, full.tail: _*)
-        if (!Files.exists(dir.resolve("_stats.jsonl"))) {
-          val nsDir = if (full.tail.size > 1)
-            Paths.get(root, full.tail.init: _*) else Paths.get(root)
-          require(!GraftViews.exists(nsDir, full.last),
-            s"materialized view source '${full.mkString(".")}' is a VIEW — " +
-              "reference tables directly (flatten the definition) so versions are trackable")
-          throw new IllegalArgumentException(
-            s"no such source table '${full.mkString(".")}' for the materialized view")
+      val tables = scala.collection.mutable.LinkedHashSet.empty[String]
+      val viewDeps = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      def walk(sql: String, ctx: Seq[String], seen: Set[String], depth: Int): Unit = {
+        require(depth < 16,
+          "materialized view source nesting deeper than 16 — flatten the chain")
+        val parsed = CTESubstitution.apply(spark.sessionState.sqlParser.parsePlan(sql))
+        rels(parsed).foreach { parts =>
+          val full =
+            if (parts.size == 1) ctx ++ parts
+            else if (cm.isCatalogRegistered(parts.head)) parts
+            else ctx.head +: parts
+          val sameCat = cm.isCatalogRegistered(full.head) && (cm.catalog(full.head) match {
+            case g: GraftCatalog => g.warehouseRoot == root
+            case _ => false
+          })
+          require(sameCat,
+            s"materialized view sources must be tables of catalog '$catName' — " +
+              s"'${parts.mkString(".")}' resolves to '${full.mkString(".")}' " +
+              "(temp views and foreign catalogs have no trackable versions)")
+          val rel = full.tail.mkString("/")
+          val dir = Paths.get(root, full.tail: _*)
+          if (Files.exists(dir.resolve("_stats.jsonl"))) tables += rel
+          else {
+            val nsDir = if (full.tail.size > 1)
+              Paths.get(root, full.tail.init: _*) else Paths.get(root)
+            GraftViews.read(nsDir, full.last) match {
+              case Some(vd) =>
+                require(!seen.contains(rel),
+                  s"cyclic view reference through '${full.mkString(".")}'")
+                viewDeps += (rel -> GraftViews.defHash(nsDir, full.last))
+                walk(vd.sql, vd.currentCatalog +: vd.currentNamespace,
+                  seen + rel, depth + 1)
+              case None => throw new IllegalArgumentException(
+                s"no such source table '${full.mkString(".")}' for the materialized view")
+            }
+          }
         }
-        rel
-      }.distinct
+      }
+      walk(sql, ctx, Set.empty, 0)
+      (tables.toSeq, viewDeps.toSeq)
     }
 
     private def quoted(parts: Seq[String]): String = parts.map(p => s"`$p`").mkString(".")
@@ -2449,7 +2466,9 @@ object GraftProcedures {
         // source versions recorded BEFORE the build: a source commit
         // racing the CTAS leaves the MV stale (correct), never serving
         // a backing built from data newer than the recorded versions
-        val sources = sourceTables(spark, sql)
+        val cm0 = spark.sessionState.catalogManager
+        val (sources, viewDeps) = sourceTables(spark, sql,
+          cm0.currentCatalog.name() +: cm0.currentNamespace.toSeq)
         require(sources.nonEmpty, "a materialized view needs at least one source table")
         val versions = sources.map(t =>
           (t, JsonlStats.currentVersion(Paths.get(root, t.split('/').toSeq: _*).toString)))
@@ -2490,7 +2509,10 @@ object GraftProcedures {
             GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) ++
             (if (auxTables.nonEmpty)
               Map(GraftViews.MvAuxProp -> auxTables.mkString(",")) else Map.empty) ++
-            havingSql.map(GraftViews.MvHavingProp -> _)),
+            havingSql.map(GraftViews.MvHavingProp -> _) ++
+            (if (viewDeps.nonEmpty)
+              Map(GraftViews.MvViewDepsProp ->
+                viewDeps.map { case (r, h) => s"$r@$h" }.mkString(",")) else Map.empty)),
           replace = orReplace)
         oneRow(Seq("view" -> dotted, "action" -> "created", "backing" -> backing,
           "sources" -> GraftViews.mvSourcesEncode(versions)),
@@ -2536,8 +2558,15 @@ object GraftProcedures {
         // brackets the MERGE; while it stands, reads take the (correct)
         // body path and the next refresh rebuilds fully — an
         // interrupted window can never be applied twice.
-        val mode = MvDdlBound.tryIncrementalRefresh(
-          spark, root, nsDir, catName, cat, ident, backingFqn, d, recorded, versions) match {
+        // a redefined VIEW dependency (r15) changes the body's meaning
+        // with no table version moving — the incremental window cannot
+        // express that, so stale deps force the rebuild (which also
+        // re-derives the source set: the new definition may reference
+        // different tables)
+        val depsFresh = GraftViews.mvViewDepsFresh(root, d)
+        val mode = (if (depsFresh) MvDdlBound.tryIncrementalRefresh(
+          spark, root, nsDir, catName, cat, ident, backingFqn, d, recorded, versions)
+          else None) match {
           case Some(m) => m
           case None =>
             // full RTAS fallback — always correct, and it (re)writes
@@ -2547,11 +2576,18 @@ object GraftProcedures {
             // can go incremental. Atomic: readers see the old backing
             // or the new one, and the definition updates only AFTER
             // the swap.
+            // re-derive the source set from the body (a redefined view
+            // dependency may reference different tables) and re-record
+            // its versions BEFORE the rebuild — same conservatism
+            val (srcTabs, newDeps) = sourceTables(spark, d.sql,
+              d.currentCatalog +: d.currentNamespace)
+            val newVersions = srcTabs.map(t => (t,
+              JsonlStats.currentVersion(Paths.get(root, t.split('/').toSeq: _*).toString)))
             val df = bodyDf()
             val oldAux = d.properties.getOrElse(GraftViews.MvAuxProp, "")
               .split(',').filter(_.nonEmpty).toSeq
             val (auxTables, havingSql) = MvDdlBound.buildMvBacking(
-              spark, root, catName, ns.toSeq, vname, df, versions, orReplace = true)
+              spark, root, catName, ns.toSeq, vname, df, newVersions, orReplace = true)
             oldAux.filterNot(auxTables.contains).foreach { an =>
               val dir = nsDir.resolve(an)
               if (Files.exists(dir.resolve("_stats.jsonl")))
@@ -2559,21 +2595,30 @@ object GraftProcedures {
             }
             GraftViews.write(nsDir, d.copy(properties = {
               val base = d.properties +
-                (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(versions)) -
+                (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(newVersions)) -
                 GraftViews.MvPendingProp
               val withAux =
                 if (auxTables.nonEmpty)
                   base + (GraftViews.MvAuxProp -> auxTables.mkString(","))
                 else base - GraftViews.MvAuxProp
-              havingSql match {
+              val withHaving = havingSql match {
                 case Some(h) => withAux + (GraftViews.MvHavingProp -> h)
                 case None => withAux - GraftViews.MvHavingProp
               }
+              if (newDeps.nonEmpty)
+                withHaving + (GraftViews.MvViewDepsProp ->
+                  newDeps.map { case (r, h) => s"$r@$h" }.mkString(","))
+              else withHaving - GraftViews.MvViewDepsProp
             }), replace = true)
             "full"
         }
+        // readout sources from the POST-refresh sidecar: a rebuild may
+        // have re-derived the set through redefined view dependencies
+        val sourcesNow = GraftViews.read(nsDir, vname)
+          .flatMap(_.properties.get(GraftViews.MvSourcesProp))
+          .getOrElse(GraftViews.mvSourcesEncode(versions))
         oneRow(Seq("view" -> dotted, "action" -> "refreshed", "mode" -> mode,
-          "sources" -> GraftViews.mvSourcesEncode(versions)),
+          "sources" -> sourcesNow),
           s"refresh_materialized_view $dotted")
         }
     }

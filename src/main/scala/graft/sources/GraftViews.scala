@@ -86,6 +86,36 @@ object GraftViews {
     * value) occurrence counts — dropped/moved with the backing. */
   val MvAuxProp = "graft.mv.aux"
 
+  /** View DEPENDENCIES of a materialized view whose body references
+    * stored views (r15 — MV-over-view flattening): `<relpath>@<hash>`
+    * legs, one per stored view the body expands through, where hash is
+    * the dependency's definition-content hash. Views have no versions,
+    * so freshness pins the DEFINITION: redefining a dependency makes
+    * the MV stale (reads take the correct body path, the next refresh
+    * rebuilds and re-records). */
+  val MvViewDepsProp = "graft.mv.viewdeps"
+
+  /** Content hash of a stored view definition (the sidecar bytes) —
+    * the identity [[MvViewDepsProp]] legs pin. */
+  def defHash(nsDir: Path, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(md.digest(Files.readAllBytes(viewFile(nsDir, name)))).take(22)
+  }
+
+  /** Every recorded view dependency still at its recorded definition
+    * hash? (Trivially true for MVs over plain tables.) */
+  def mvViewDepsFresh(warehouseRoot: String, d: ViewDef): Boolean =
+    d.properties.getOrElse(MvViewDepsProp, "").split(',').filter(_.nonEmpty).forall { leg =>
+      val at = leg.lastIndexOf('@')
+      at > 0 && {
+        val parts = leg.substring(0, at).split('/').toSeq
+        val nsDir = Paths.get(warehouseRoot, parts.init: _*)
+        try defHash(nsDir, parts.last) == leg.substring(at + 1)
+        catch { case _: Exception => false }
+      }
+    }
+
   /** HAVING predicate of a maintainable body (r15), rendered over the
     * view's VISIBLE column names. The backing stores ALL groups (state
     * maintenance is HAVING-blind — the predicate filters whole groups,
@@ -116,7 +146,7 @@ object GraftViews {
             Paths.get(warehouseRoot, t.split('/').toSeq: _*).toString) == v
           catch { case _: Exception => false }
         }
-      }
+      } && mvViewDepsFresh(warehouseRoot, d)
 
   /** Does the MV's backing table actually exist where the definition
     * says? The resolution rule gates the fresh path on this: a sidecar

@@ -3808,6 +3808,60 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** q307 (r15): MV OVER A STORED VIEW — the semantic-layer shape
+    * (dashboard MV over a curated view) used to refuse with a
+    * flatten-it-yourself remediation. The create now FLATTENS view
+    * sources through the stored expansion: version tracking lands on
+    * the view's UNDERLYING TABLES, and each view dependency is pinned
+    * by its definition-content hash (`graft.mv.viewdeps`) — views have
+    * no versions, so freshness pins the definition. The lifecycle pins
+    * both legs in the ORACLE: a TABLE append window refreshes
+    * 'incremental' (the delta splices through the expansion), then the
+    * VIEW is REDEFINED — no table version moves, but the MV goes stale
+    * and the refresh says 'full', rebuilding under the new definition;
+    * the rows must equal DuckDB recomputing the REDEFINED view's
+    * aggregate. At 100 TB: the semantic layer stays declarative — MVs
+    * over curated views refresh at delta cost, and a governance change
+    * to the view propagates on the next refresh instead of silently
+    * serving the old meaning. */
+  def mvOverViewRefresh(spark: SparkSession, d: String): DataFrame = {
+    val cat = ensureCatalog(spark, d)
+    spark.sql(s"DROP VIEW IF EXISTS $cat.mv_sem")
+    spark.sql(s"DROP VIEW IF EXISTS $cat.v_sem")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mvf_src")
+    Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("mvf_src_in")
+    spark.sql(
+      s"""CREATE TABLE $cat.mvf_src AS
+         |SELECT event_id, event_type, value FROM mvf_src_in WHERE event_id % 3 <> 2""".stripMargin)
+    spark.sql(s"CALL $cat.create_view('v_sem', " +
+      s"'SELECT event_type, value FROM $cat.mvf_src WHERE value >= 50.0', " +
+      "or_replace => true)")
+    spark.sql(s"CALL $cat.create_materialized_view('mv_sem', " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv " +
+      s"FROM $cat.v_sem GROUP BY event_type', or_replace => true)")
+    // window 1: a TABLE append — incremental THROUGH the view expansion
+    spark.sql(s"INSERT INTO $cat.mvf_src " +
+      "SELECT event_id, event_type, value FROM mvf_src_in WHERE event_id % 3 = 2")
+    val m1 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_sem')")
+      .collect().head.getString(2)
+    // window 2: REDEFINE the view — no table version moves, the MV is
+    // stale by definition-hash and rebuilds under the new meaning
+    spark.sql(s"CALL $cat.create_view('v_sem', " +
+      s"'SELECT event_type, value FROM $cat.mvf_src WHERE value >= 100.0', " +
+      "or_replace => true)")
+    val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_sem')")
+      .collect().head.getString(2)
+    def modeRow(phase: String, mode: String) =
+      spark.sql(s"SELECT '$phase' AS phase, '$mode' AS event_type, " +
+        "CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv")
+    modeRow("mode-append", m1)
+      .unionAll(modeRow("mode-redefine", m2))
+      .unionAll(spark.sql(s"SELECT 'rows' AS phase, event_type, n, sv FROM $cat.mv_sem"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   /** q306 (r15): CONTINUOUS MV refresh — the CDF→IVM composition
     * (q235) lands on CATALOG MVs: [[graft.streaming.MvAutoRefresh]]
     * reads the source's streaming change feed and CALLs the one-code-
@@ -4206,9 +4260,23 @@ object JsonlStatsQueries extends QueryModule {
     "q304_leftouter_mv_refresh" -> leftOuterMvRefresh,
     "q305_having_mv_refresh" -> havingMvRefresh,
     "q306_continuous_mv_refresh" -> continuousMvRefresh,
+    "q307_mv_over_view" -> mvOverViewRefresh,
   )
 
   val oracles = Map(
+    "q307_mv_over_view" ->
+      """WITH src AS (
+        |  SELECT event_type, value FROM events WHERE value >= 100.0)
+        |SELECT 'mode-append' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'mode-redefine' AS phase, 'full' AS event_type,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'rows' AS phase, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM src GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q306_continuous_mv_refresh" ->
       """WITH src AS (
         |  SELECT event_type, value FROM events

@@ -245,12 +245,15 @@ class ViewsSpec extends SparkSpec {
       spark.sql("CALL vspec.create_materialized_view('mv_bad1', 'SELECT a FROM mv_tmp')")
     }
     assert(e1.getMessage.contains("trackable"), e1.getMessage)
+    // a stored-view source FLATTENS (r15): versions track the view's
+    // underlying tables (the dedicated arm covers the full lifecycle)
     mkView("v_mv_plain", "SELECT k FROM t1")
-    val e2 = intercept[Exception] {
-      spark.sql("CALL vspec.create_materialized_view('mv_bad2', " +
-        "'SELECT k FROM vspec.v_mv_plain')")
-    }
-    assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+    spark.sql("CALL vspec.create_materialized_view('mv_overv', " +
+      "'SELECT k, count(*) AS n FROM vspec.v_mv_plain GROUP BY k', or_replace => true)")
+    assert(GraftViews.read(java.nio.file.Paths.get(root), "mv_overv").get
+      .properties.get(GraftViews.MvSourcesProp).exists(_.contains("t1")),
+      "the MV must record the view's underlying TABLE as its source")
+    spark.sql("CALL vspec.drop_view('mv_overv')")
     val e3 = intercept[Exception] {
       spark.sql("CALL vspec.refresh_materialized_view('v_mv_plain')")
     }
@@ -715,6 +718,55 @@ class ViewsSpec extends SparkSpec {
       scans(nonGrain))
     spark.sql("CALL vspec.drop_view('mv_fw')")
     spark.sql("DROP TABLE vspec.fw_t")
+  }
+
+  test("MV over a stored view flattens (r15): versions track the underlying " +
+    "tables, refresh is incremental through the expansion, and REDEFINING " +
+    "the view makes the MV stale — reads take the body path, the next " +
+    "refresh rebuilds under the new definition") {
+    cat
+    spark.sql("DROP TABLE IF EXISTS vspec.fl_t")
+    Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("fl_seed")
+    spark.sql("CREATE TABLE vspec.fl_t AS SELECT * FROM fl_seed")
+    spark.sql("CALL vspec.create_view('v_fl', " +
+      "'SELECT k, v FROM vspec.fl_t WHERE v > 0', or_replace => true)")
+    spark.sql("CALL vspec.create_materialized_view('mv_fl', " +
+      "'SELECT k, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sv " +
+      "FROM vspec.v_fl GROUP BY k', or_replace => true)")
+    val d0 = GraftViews.read(java.nio.file.Paths.get(root), "mv_fl").get
+    assert(d0.properties.get(GraftViews.MvSourcesProp).exists(_.contains("fl_t")))
+    assert(d0.properties.get(GraftViews.MvViewDepsProp).exists(_.contains("v_fl")))
+    def rows() = spark.sql("SELECT * FROM vspec.mv_fl ORDER BY k").collect().toSeq
+    def mode() = spark.sql("CALL vspec.refresh_materialized_view('mv_fl')")
+      .collect().head.getString(2)
+    // a TABLE window refreshes INCREMENTALLY through the expansion
+    spark.sql("INSERT INTO vspec.fl_t VALUES ('c', 5.0), ('a', -1.0)") // -1 filtered
+    assert(mode() === "incremental")
+    assert(rows().map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    // REDEFINE the view: no table version moved, but the MV is STALE
+    // (definition-hash dependency) and reads expand the NEW body
+    spark.sql("CALL vspec.create_view('v_fl', " +
+      "'SELECT k, v FROM vspec.fl_t WHERE v > 2', or_replace => true)")
+    assert(!GraftViews.mvFresh(root,
+      GraftViews.read(java.nio.file.Paths.get(root), "mv_fl").get))
+    assert(rows().map(_.getString(0)) === Seq("b", "c"),
+      "a stale read must expand the redefined view's body")
+    // the refresh notices (a noop would strand the backing) — full
+    // rebuild under the new definition, fresh again after
+    assert(mode() === "full")
+    assert(GraftViews.mvFresh(root,
+      GraftViews.read(java.nio.file.Paths.get(root), "mv_fl").get))
+    assert(rows().map(_.getString(0)) === Seq("b", "c"))
+    // and the next TABLE window is incremental again
+    spark.sql("INSERT INTO vspec.fl_t VALUES ('d', 9.0)")
+    assert(mode() === "incremental")
+    assert(rows().map(_.getString(0)) === Seq("b", "c", "d"))
+    spark.sql("CALL vspec.drop_view('mv_fl')")
+    spark.sql("CALL vspec.drop_view('v_fl')")
+    spark.sql("DROP TABLE vspec.fl_t")
   }
 
   test("HAVING bodies maintain incrementally (r15): the backing stores ALL " +

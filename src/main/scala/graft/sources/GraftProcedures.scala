@@ -2831,6 +2831,8 @@ object GraftProcedures {
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
         // parquet spools of past-the-cap repair restrictions (swept below)
         val repairSpools = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val persistedDeltas =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
         try {
         // one telescoping term per mover occurrence: that leaf reads
         // its signed (fromV, toV] window at ±1, EARLIER leaves read
@@ -2878,15 +2880,48 @@ object GraftProcedures {
         // MERGE analysis). The liveness table is only ever mutated
         // under this view's refresh lock, so the live read is stable.
         shape.distinctSlots.foreach { s =>
-          spark.sql(MvIncremental.auxDeltaSql(shape, s, signedView))
-            .createOrReplaceTempView(auxDeltaViews(s.j))
+          val auxDelta = spark.sql(MvIncremental.auxDeltaSql(shape, s, signedView))
+          // consumed by the distinct leg AND the liveness merge — one
+          // signed-window scan, not two
+          auxDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persistedDeltas += auxDelta
+          auxDelta.createOrReplaceTempView(auxDeltaViews(s.j))
           val auxRoot = nsDir.resolve(auxNameByJ(s.j)).toString
           val aschema = JsonlStats.readTableMeta(auxRoot).schema.getOrElse(JsonlStats.schema)
-          spark.read.format("graft-jsonl-stats").schema(aschema)
-            .option("path", auxRoot).load().createOrReplaceTempView(auxReadViews(s.j))
+          val auxRead = spark.read.format("graft-jsonl-stats").schema(aschema)
+            .option("path", auxRoot).load()
+          // the leg's LEFT JOIN only ever matches inside the window's
+          // group bounds — range-restrict the liveness read so
+          // clustered grains prune its files instead of scanning the
+          // whole value-grain table per refresh (null class only when
+          // the window holds null group values)
+          import org.apache.spark.sql.functions.{col => fcol, lit => flit,
+            min => fmin, max => fmax, when => fwhen}
+          val gNames = shape.groupOuts.map(_.name)
+          val b = auxDelta.select(gNames.flatMap(n => Seq(
+            fmin(fcol(s"`$n`")), fmax(fcol(s"`$n`")),
+            org.apache.spark.sql.functions.sum(
+              fwhen(fcol(s"`$n`").isNull, 1L).otherwise(0L)))): _*).head()
+          val restricted = gNames.zipWithIndex.foldLeft(auxRead) { case (df, (n, i)) =>
+            if (b.isNullAt(3 * i)) df.filter(fcol(s"`$n`").isNull)
+            else {
+              val range = fcol(s"`$n`") >= flit(b.get(3 * i)) &&
+                fcol(s"`$n`") <= flit(b.get(3 * i + 1))
+              val hasNull = !b.isNullAt(3 * i + 2) && b.getLong(3 * i + 2) > 0
+              df.filter(if (hasNull) range || fcol(s"`$n`").isNull else range)
+            }
+          }
+          restricted.createOrReplaceTempView(auxReadViews(s.j))
         }
         val delta = spark.sql(
           MvIncremental.deltaSql(shape, signedView, auxReadViews, auxDeltaViews))
+        // the delta is consumed several times on deleting windows (the
+        // affected-group probe, the repair restriction's bounds and
+        // semi-join build, the maintenance MERGE itself) — persist it
+        // so the signed window is SCANNED ONCE however many consumers
+        // read it (delta-sized state, spills if ever large)
+        delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedDeltas += delta
         delta.createOrReplaceTempView(deltaView)
         val merge = MvIncremental.mergeSql(shape, backingFqn, deltaView)
         // analyze WITHOUT executing (spark.sql would run the command
@@ -2960,9 +2995,31 @@ object GraftProcedures {
                 fcol(s"`${o.name}`").as(s"graft_ivm_g$i") }: _*).distinct()
               val cond = shape.groupOuts.zipWithIndex.map { case (o, i) =>
                 fexpr(o.groupSql.get) <=> fcol(s"`graft_ivm_g$i`") }.reduce(_ && _)
+              // per-grain RANGE bounds of the affected groups ride as an
+              // extra pushable filter: the semi-join restricts exactly,
+              // the [min, max] band (plus the null class ONLY when the
+              // delta actually has null group values — an always-on OR
+              // IS NULL disjunct would block partition/file pruning) is
+              // a SUPERSET the connector's file pruning understands —
+              // clustered grains keep their pruning at any cardinality
+              import org.apache.spark.sql.functions.{min => fmin, max => fmax, sum => fsum}
+              val bounds = delta.select(shape.groupOuts.flatMap(o => Seq(
+                fmin(fcol(s"`${o.name}`")), fmax(fcol(s"`${o.name}`")),
+                fsum(org.apache.spark.sql.functions.when(
+                  fcol(s"`${o.name}`").isNull, 1L).otherwise(0L)))): _*).head()
+              val rangeConds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
+                val e = fexpr(o.groupSql.get)
+                val hasNull = !bounds.isNullAt(3 * i + 2) && bounds.getLong(3 * i + 2) > 0
+                if (bounds.isNullAt(3 * i)) e.isNull
+                else {
+                  val range = e >= flit(bounds.get(3 * i)) && e <= flit(bounds.get(3 * i + 1))
+                  if (hasNull) range || e.isNull else range
+                }
+              }
               val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_repair")
               repairSpools += tmp
-              grouped(src.join(broadcast(gdf), cond, "left_semi"))
+              grouped(src.filter(rangeConds.reduce(_ && _))
+                .join(broadcast(gdf), cond, "left_semi"))
                 .write.mode("overwrite").parquet(tmp.toString)
               spark.read.parquet(tmp.toString).createOrReplaceTempView(repairView)
             }
@@ -3020,6 +3077,7 @@ object GraftProcedures {
           pinnedScans.keys.foreach { case (r, v) =>
             java.nio.file.Files.deleteIfExists(ChangeFeed.pinnedManifest(r, v, nonce)) }
           repairSpools.foreach(p => graft.util.Fs.deleteRecursively(p.toString))
+          persistedDeltas.foreach(_.unpersist(false))
         }
       } catch {
         case e: Exception => // any unprovable leg: RTAS

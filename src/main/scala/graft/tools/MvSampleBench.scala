@@ -211,35 +211,56 @@ object MvSampleBench {
     val (repMode8, rep8, repCtlMode8, repCtl8) = repairPair("ev256", "256")
 
     // ---- r15: PAST-THE-CAP repair (broadcast semi-join) vs its old RTAS ----
-    // An MV at the EVENT grain (~100k groups): a delete window touching
-    // ~20k groups exceeds the 10k IN-list cap. r14 forfeited the repair
-    // win here (decline to RTAS); r15 restricts the pinned source by a
-    // broadcast semi-join against the delta's groups instead — no
-    // driver materialization, unbounded group count. The control
-    // (repairDisable) is the old behavior on the same window.
-    val hiCard: (String, Double, String, Double) = {
-      def body = s"'SELECT event_id, min(value) AS mn, max(value) AS mx, " +
+    // A 25.6M-row fact partitioned by DAY (lpad keeps lexicographic =
+    // numeric order; copies perturbed so a group's 256 values differ),
+    // MV at the fine (day, event) grain — ~100k groups, ~780 per day.
+    // A ONE-DAY correction window (the production shape: re-state one
+    // day) retracts extrema across ~200 groups; with the IN-list cap
+    // forced to 100 the repair takes the r15 SEMI-JOIN path — the
+    // delta's groups broadcast against the pinned source with the
+    // affected-day RANGE bound riding as a pushable filter, so the
+    // probe scans ONE partition of 128. The control (repairDisable)
+    // is the r14 behavior on the same window: full RTAS. The law:
+    // past-the-cap repair on a CLUSTERED grain beats the rebuild it
+    // used to forfeit to. (An UNCLUSTERED grain's probe cannot prune
+    // and degrades to ~rebuild cost — measured 8.6 vs 5.8 s on an
+    // event-grain-over-shards twin — which is why the IN-list stays
+    // preferred below the cap and repairDisable exists.)
+    val hiCard: (String, Double, String, Double, String, Double) = {
+      spark.sql(s"CREATE TABLE $cat.evd USING `graft-jsonl-stats` PARTITIONED BY (day) " +
+        "AS SELECT s.event_id, s.event_type, s.value + r.id * 0.001 AS value, " +
+        "lpad(CAST(s.event_id % 128 AS STRING), 3, '0') AS day " +
+        "FROM mvb_src s, range(256) r")
+      def body = s"'SELECT day, event_id, min(value) AS mn, max(value) AS mx, " +
         s"count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vs " +
-        s"FROM $cat.ev256 GROUP BY event_id'"
+        s"FROM $cat.evd GROUP BY day, event_id'"
       spark.sql(s"CALL $cat.create_materialized_view('mv_hc', " + body + ")")
       spark.sql(s"CALL $cat.create_materialized_view('mv_hc2', " + body + ")")
-      spark.sql(s"INSERT INTO $cat.ev256 VALUES (8, 'probe', 3.0, '8')") // warm-up
+      spark.sql(s"CALL $cat.create_materialized_view('mv_hc3', " + body + ")")
+      spark.sql(s"INSERT INTO $cat.evd VALUES (0, 'probe', 3.0, '000')") // warm-up
       spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc')").collect()
       spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc2')").collect()
-      // the window: retract extrema of ~20k groups (every 'error'
-      // event id), but only half of each group's copies — survivors
-      // keep the group alive, so the repair genuinely recomputes
-      spark.sql(s"DELETE FROM $cat.ev256 WHERE event_type = 'error' " +
-        "AND CAST(shard AS INT) % 2 = 0")
-      val (rm, rs) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc')")
+      spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc3')").collect()
+      // the window: one day's low outliers retract — most affected
+      // groups SURVIVE (their higher copies remain), so the repair
+      // genuinely recomputes extrema from the pruned probe
+      spark.sql(s"DELETE FROM $cat.evd WHERE day = '013' AND value < 50.0")
+      spark.conf.set("spark.graft.mv.repairMaxGroups", "100")
+      val (rm, rs) = try timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc')")
         .collect().head.getString(2))
+      finally spark.conf.unset("spark.graft.mv.repairMaxGroups")
       spark.conf.set("spark.graft.mv.repairDisable", "true")
       val (fm, fs) = try timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc2')")
         .collect().head.getString(2))
       finally spark.conf.unset("spark.graft.mv.repairDisable")
-      (rm, rs, fm, fs)
+      // the SAME window through the default-cap IN-LIST strategy (the
+      // 200 groups fit): isolates the semi-join probe's cost from the
+      // shared window machinery
+      val (im, is) = timed(spark.sql(s"CALL $cat.refresh_materialized_view('mv_hc3')")
+        .collect().head.getString(2))
+      (rm, rs, fm, fs, im, is)
     }
-    val (hcMode, hcS, hcCtlMode, hcCtlS) = hiCard
+    val (hcMode, hcS, hcCtlMode, hcCtlS, hcInMode, hcInS) = hiCard
 
     println(s"""{"bench":"mv_sample","sf_dir":"$sfDir","build_s":${f"$buildS%.2f"},""" +
       s""""total_files":$totalFiles,"sample_planned_files":$plannedFiles,""" +
@@ -262,7 +283,8 @@ object MvSampleBench {
       s""""repair_256x_s":${f"$rep8%.3f"},"repair_mode_256x":"$repMode8",""" +
       s""""repair_ctl_256x_s":${f"$repCtl8%.3f"},"repair_ctl_mode_256x":"$repCtlMode8",""" +
       s""""repair_hicard_s":${f"$hcS%.3f"},"repair_hicard_mode":"$hcMode",""" +
-      s""""repair_hicard_ctl_s":${f"$hcCtlS%.3f"},"repair_hicard_ctl_mode":"$hcCtlMode"}""")
+      s""""repair_hicard_ctl_s":${f"$hcCtlS%.3f"},"repair_hicard_ctl_mode":"$hcCtlMode",""" +
+      s""""repair_hicard_inlist_s":${f"$hcInS%.3f"},"repair_hicard_inlist_mode":"$hcInMode"}""")
     spark.stop()
   }
 }

@@ -2872,8 +2872,16 @@ object GraftProcedures {
             .selectExpr((childNames.map(n => s"`$n`") :+ "_sign"): _*)
             .createOrReplaceTempView(termViews(k))
         }
-        spark.sql(termViews.map(v => s"SELECT * FROM $v").mkString("\nUNION ALL\n"))
-          .createOrReplaceTempView(signedView)
+        val signedUnion =
+          spark.sql(termViews.map(v => s"SELECT * FROM $v").mkString("\nUNION ALL\n"))
+        // DISTINCT slots read the signed window once more (the
+        // per-(group, value) delta) on top of the main delta — persist
+        // it so the window's files are scanned once either way
+        if (shape.distinctSlots.nonEmpty) {
+          signedUnion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persistedDeltas += signedUnion
+        }
+        signedUnion.createOrReplaceTempView(signedView)
         // each DISTINCT slot (r15): the window's per-(group, value) net
         // counts, plus a PATH-based read of the liveness table (a temp
         // view over a catalog-resolved relation trips Spark 4.1's

@@ -50,4 +50,17 @@ object MvAutoRefresh {
         ()
       }
       .start()
+
+  /** Join MVs: one trigger stream PER SOURCE (each under its own
+    * checkpoint subdirectory), all CALLing the same locked refresh —
+    * whichever source commits, the next micro-batch refreshes, and a
+    * refresh consumes EVERY mover's window at once (the telescoped
+    * delta), so concurrent triggers serialize on the per-view lock
+    * with the losers seeing a no-op. */
+  def startAll(spark: SparkSession, catalog: String, view: String,
+               sourceRoots: Seq[String], checkpointRoot: String,
+               trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] =
+    sourceRoots.zipWithIndex.map { case (root, i) =>
+      start(spark, catalog, view, root, s"$checkpointRoot/src$i", trigger)
+    }
 }

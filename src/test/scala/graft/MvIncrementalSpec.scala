@@ -516,6 +516,44 @@ class MvIncrementalSpec extends SparkSpec {
     check("mv_cd2", "SELECT k, count(DISTINCT x, y) AS c2 FROM mvinc.srcdd GROUP BY k")
   }
 
+  test("continuous refresh of a JOIN MV (r15): one trigger stream per " +
+    "source, both drains land through the per-view lock, manual refresh " +
+    "says noop after, and a checkpoint-wiped replay no-ops by version " +
+    "idempotence") {
+    cat
+    spark.sql("DROP VIEW IF EXISTS mvinc.mv_cj")
+    spark.sql("DROP TABLE IF EXISTS mvinc.cjf")
+    spark.sql("DROP TABLE IF EXISTS mvinc.cjd")
+    Seq((1L, "gold"), (2L, "iron")).toDF("did", "seg")
+      .createOrReplaceTempView("mvinc_cjd_seed")
+    spark.sql("CREATE TABLE mvinc.cjd AS SELECT * FROM mvinc_cjd_seed")
+    Seq((1L, 10.0), (2L, 5.0)).toDF("fid", "v").createOrReplaceTempView("mvinc_cjf_seed")
+    spark.sql("CREATE TABLE mvinc.cjf AS SELECT * FROM mvinc_cjf_seed")
+    val body = "SELECT seg, count(*) AS n, " +
+      "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sv " +
+      "FROM mvinc.cjf JOIN mvinc.cjd ON fid = did GROUP BY seg"
+    spark.sql(s"CALL mvinc.create_materialized_view('mv_cj', '$body', or_replace => true)")
+    val ckpt = java.nio.file.Files.createTempDirectory("mvinc_cj_ckpt").toString
+    def drain(): Unit = graft.streaming.MvAutoRefresh.startAll(spark, "mvinc", "mv_cj",
+      Seq(java.nio.file.Paths.get(root, "cjf").toString,
+        java.nio.file.Paths.get(root, "cjd").toString), ckpt)
+      .foreach(_.awaitTermination())
+    // BOTH sources commit inside one window: the fact grows gold, the
+    // new dim row re-homes fact 9 — the refresh consumes both movers
+    spark.sql("INSERT INTO mvinc.cjf VALUES (1, 2.0), (9, 4.0)")
+    spark.sql("INSERT INTO mvinc.cjd VALUES (9, 'ash')")
+    drain()
+    assert(refreshMode("mv_cj") === "noop",
+      "the drains must have consumed every mover's window")
+    assert(mvRows("mv_cj") === direct(body))
+    assert(mvRows("mv_cj").exists(_.getString(0) == "ash"))
+    // replay with a WIPED checkpoint: every batch no-ops, rows unchanged
+    graft.util.Fs.deleteRecursively(ckpt)
+    drain()
+    assert(refreshMode("mv_cj") === "noop")
+    assert(mvRows("mv_cj") === direct(body))
+  }
+
   test("pinnedScan freezes a version: a commit racing the refresh cannot " +
     "advance the scanned file set — every IVM leaf occurrence version-pins " +
     "on this, so the executed delta matches the recorded versions (ADVICE r14)") {

@@ -298,8 +298,29 @@ class CatalogMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     def grainOf(e: Expression): Option[Attribute] =
       grains.find(_._2.semanticEquals(e)).flatMap(g => mvAttr(g._1.name))
 
+    // EXACT grain (r15): every MV grain expression appears among the
+    // query's grouping expressions (the reverse containment is what
+    // newGs proves), so each backing row IS one query group — the only
+    // setting in which a stored COUNT(DISTINCT) can be served (distinct
+    // counts do not merge across groups; coarser grains decline)
+    val queryGrainExprs = agg.groupingExpressions.map(inline)
+    lazy val exactGrain = grains.forall { case (_, rebased) =>
+      queryGrainExprs.exists(_.semanticEquals(rebased)) }
+
     def measure(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT x) at the EXACT grain: one backing row per
+        // group, so a degenerate MAX over the maintained liveness
+        // count reads the stored value verbatim
+        case cnt: Count if cnt.children.size == 1 && exactGrain =>
+          val e = inline(cnt.children.head)
+          sh.slots.find(s => s.kind == MvIncremental.DistinctSlot &&
+            rebase(s.fnChildren.head, rel.output).exists(_.semanticEquals(e)))
+            .flatMap(s => mvAttr(s.aux).map(a =>
+              ae.copy(aggregateFunction = Max(a), isDistinct = false)))
+        case _ => None
+      }
       def sumOf(aux: String): Option[AggregateExpression] =
         mvAttr(aux).map(a => ae.copy(aggregateFunction = Sum(a)))
       ae.aggregateFunction match {

@@ -3799,12 +3799,31 @@ object JsonlStatsQueries extends QueryModule {
     spark.sql(s"DELETE FROM $cat.mvd_src WHERE user_id % 5 = 0")
     val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_du')")
       .collect().head.getString(2)
+    // the dashboard query is written against the RAW table — at the
+    // EXACT grain the transparent rewrite serves the stored liveness
+    // count (r15); a coarser grain would decline (distinct counts do
+    // not merge), so the 'plan' row pins the exact-grain route
+    val agg = spark.sql(s"SELECT event_type, count(DISTINCT user_id) AS du, " +
+      s"count(*) AS n FROM $cat.mvd_src GROUP BY event_type")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    val routed = scans.nonEmpty && scans.forall(_.contains("_mv_mv_du"))
     def modeRow(phase: String, mode: String) =
       spark.sql(s"SELECT '$phase' AS phase, '$mode' AS event_type, " +
         "CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n")
     modeRow("mode-append", m1)
       .unionAll(modeRow("mode-delete", m2))
-      .unionAll(spark.sql(s"SELECT 'rows' AS phase, event_type, du, n FROM $cat.mv_du"))
+      .unionAll(modeRow("plan", if (routed) "mv-routed" else "raw-scan"))
+      .unionAll(agg.selectExpr("'rows' AS phase", "event_type", "du", "n"))
       .orderBy(col("phase"), col("event_type"))
   }
 
@@ -4341,6 +4360,9 @@ object JsonlStatsQueries extends QueryModule {
         |  CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n
         |UNION ALL
         |SELECT 'mode-delete' AS phase, 'incremental' AS event_type,
+        |  CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'plan' AS phase, 'mv-routed' AS event_type,
         |  CAST(0 AS BIGINT) AS du, CAST(0 AS BIGINT) AS n
         |UNION ALL
         |SELECT 'rows' AS phase, event_type,

@@ -816,6 +816,48 @@ class ViewsSpec extends SparkSpec {
     spark.sql("DROP TABLE vspec.hv_t")
   }
 
+  test("COUNT(DISTINCT) routes through the transparent rewrite at the " +
+    "EXACT grain only (r15): the stored liveness count serves the " +
+    "dashboard verbatim, a coarser grain re-aggregation declines to the " +
+    "raw scan — correct rows either way") {
+    cat
+    import graft.sources.JsonlStatsScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case s: JsonlStatsScan => s.description() }
+    spark.sql("DROP TABLE IF EXISTS vspec.dv_t")
+    Seq(("a", "u1"), ("a", "u1"), ("a", "u2"), ("b", "u1"), ("b", "u3"))
+      .toDF("k", "u").createOrReplaceTempView("dv_seed")
+    spark.sql("CREATE TABLE vspec.dv_t AS SELECT * FROM dv_seed")
+    spark.sql("CALL vspec.create_materialized_view('mv_dv', " +
+      "'SELECT k, count(DISTINCT u) AS du, count(*) AS n " +
+      "FROM vspec.dv_t GROUP BY k', or_replace => true)")
+    // EXACT grain: the raw-table dashboard query routes to the backing
+    val exact = spark.sql(
+      "SELECT k, count(DISTINCT u) AS du, count(*) AS n FROM vspec.dv_t GROUP BY k")
+    assert(scans(exact).nonEmpty && scans(exact).forall(_.contains("_mv_mv_dv")),
+      s"exact-grain COUNT(DISTINCT) must route: ${scans(exact)}")
+    assert(exact.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 2L, 3L), ("b", 2L, 2L)))
+    // COARSER grain (global): distinct counts do not merge — raw scan
+    val coarse = spark.sql("SELECT count(DISTINCT u) AS du FROM vspec.dv_t")
+    assert(scans(coarse).forall(s => s.contains("dv_t") && !s.contains("_mv_")),
+      s"coarser-grain COUNT(DISTINCT) must not route: ${scans(coarse)}")
+    assert(coarse.collect().head.getLong(0) === 3L)
+    spark.sql("CALL vspec.drop_view('mv_dv')")
+    spark.sql("DROP TABLE vspec.dv_t")
+  }
+
   test("rewrite candidate identity is the sidecar's CONTENT: a replace " +
     "serving the same mtime still evicts the cached shape (ADVICE r13)") {
     cat

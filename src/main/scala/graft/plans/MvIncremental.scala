@@ -90,7 +90,7 @@ object MvIncremental {
   /** COUNT(DISTINCT x) (r15): not distributive over the signed delta —
     * whether a deleted occurrence decrements the count depends on
     * whether it was the LAST one. Maintained exactly via a hidden
-    * per-(group, value) LIVENESS table (`_mv_<view>_d<j>`): rows keyed
+    * per-(group, value) LIVENESS table (`_mvaux_<view>_d<j>`): rows keyed
     * (group keys, value) carrying the value's net occurrence count.
     * The window's per-(group, value) net counts MERGE into it under
     * the same signed arithmetic as everything else, and the distinct
@@ -569,8 +569,15 @@ object MvIncremental {
   }
 
   /** Engine-managed name of a COUNT(DISTINCT) slot's liveness table,
-    * a sibling of the `_mv_<view>` backing in the view's namespace. */
-  def auxTableName(vname: String, j: Int): String = s"_mv_${vname}_d$j"
+    * a sibling of the `_mv_<view>` backing in the view's namespace.
+    * The prefix is `_mvaux_`, NOT `_mv_` (ADVICE r15): under the old
+    * `_mv_<view>_d<j>` scheme, the slot table of a view named `sales`
+    * collided with the BACKING of a sibling view literally named
+    * `sales_d0` — a create/refresh would createOrReplace-clobber the
+    * other view's rows and drop_view would delete them. No view name
+    * can start with `_` (name validation), so `_mvaux_` is a namespace
+    * only the engine writes. */
+  def auxTableName(vname: String, j: Int): String = s"_mvaux_${vname}_d$j"
 
   /** CTAS plan for a DISTINCT slot's per-(group, value) liveness table:
     * group keys (published under their visible names), the value under

@@ -185,9 +185,24 @@ object ColStats {
     val schema = mkReader.load().schema
     val physOf: Map[String, String] =
       schema.fields.map(f => f.name -> meta.columnMapping.getOrElse(f.name, f.name)).toMap
-    val version = JsonlStats.currentVersion(tableRoot)
-    val stats = JsonlStats.readStats(tableRoot)
-    val eqs = JsonlEqualityDeletes.readEqDeletes(tableRoot, "_stats.jsonl")
+    // TOCTOU guard (ADVICE r15, same discipline as ChangeFeed.statsAt):
+    // version, manifest and eq-deletes are three separate live reads —
+    // a commit racing them could pair version N with version N+1's
+    // file set (or a torn manifest), recording a misleading
+    // analyzed_version over a mixed identity set. Re-check the version
+    // AFTER reading; if the table advanced, re-read at the new head —
+    // each retry observes a strictly newer version, so this terminates
+    // as soon as no commit races the read.
+    @annotation.tailrec
+    def liveAtOneVersion(): (Int, Seq[JsonlStats.FileStats],
+        Seq[JsonlEqualityDeletes.EqDelete]) = {
+      val v = JsonlStats.currentVersion(tableRoot)
+      val stats = JsonlStats.readStats(tableRoot)
+      val eqs = JsonlEqualityDeletes.readEqDeletes(tableRoot, "_stats.jsonl")
+      if (JsonlStats.currentVersion(tableRoot) != v) liveAtOneVersion()
+      else (v, stats, eqs)
+    }
+    val (version, stats, eqs) = liveAtOneVersion()
     def identOf(s: JsonlStats.FileStats): String =
       s.file + "|" + s.dvs.sorted.mkString(",") + "|" +
         eqs.filter(_.seq > s.seq).map(_.file).sorted.mkString(",")

@@ -2485,6 +2485,21 @@ object GraftProcedures {
         // so the recorded versions exactly describe the state. The
         // fresh-read path projects the declared columns, so the state
         // columns never surface.
+        // REPLACE crash bracket (ADVICE r15, same family as the refresh
+        // rebuild): the OLD sidecar stays live while the shared backing
+        // `_mv_<name>` is createOrReplace'd with the NEW body — a crash
+        // before the new sidecar publishes would leave the old
+        // definition pointing at a backing built from a different body,
+        // and its next refresh would merge the old body's delta into
+        // it. The standing marker forces that refresh through the
+        // rebuild; the new sidecar write below (marker-free properties)
+        // clears it.
+        existing.foreach { old =>
+          if (old.properties.contains(GraftViews.MvTableProp) &&
+              !old.properties.contains(GraftViews.MvPendingProp))
+            GraftViews.write(nsDir, old.copy(properties = old.properties +
+              (GraftViews.MvPendingProp -> "replace")), replace = true)
+        }
         val (auxTables, havingSql) = MvDdlBound.buildMvBacking(
           spark, root, catName, ns.toSeq, vname, df, versions, orReplace)
         // a replaced MV may have owned MORE liveness tables than the
@@ -2576,6 +2591,19 @@ object GraftProcedures {
             // can go incremental. Atomic: readers see the old backing
             // or the new one, and the definition updates only AFTER
             // the swap.
+            // crash bracket (ADVICE r15): the backing's createOrReplace
+            // commits BEFORE the sidecar re-records versions — reached
+            // via a pre-marker decline (stale backing schema,
+            // repairDisable, a frozen mover), no marker may be standing,
+            // and a crash between the two writes would leave the backing
+            // NEWER than the recorded versions: the next refresh's
+            // incremental MERGE would re-apply the already-included
+            // window (the r14 double-count family). Put the marker down
+            // first; the sidecar publish below clears it in the same
+            // write that re-records versions.
+            if (!d.properties.contains(GraftViews.MvPendingProp))
+              GraftViews.write(nsDir, d.copy(properties = d.properties +
+                (GraftViews.MvPendingProp -> "rebuild")), replace = true)
             // re-derive the source set from the body (a redefined view
             // dependency may reference different tables) and re-record
             // its versions BEFORE the rebuild — same conservatism
@@ -2953,16 +2981,20 @@ object GraftProcedures {
         //     IN-list per grain column, which the connector's file
         //     pruning understands (a per-column list is a SUPERSET of
         //     the affected tuples — the matched-only repair merge
-        //     ignores the extras); the group-count output is
-        //     driver-sized, so the MERGE source materializes locally.
-        //   - past the cap: a BROADCAST LEFT-SEMI join of the pinned
-        //     source against the delta's distinct groups — unbounded
-        //     group count, no driver materialization; the repair rows
-        //     spill to a private parquet spool the MERGE reads back
-        //     (a temp view over a resolved catalog relation trips
-        //     Spark 4.1's MERGE analysis; a parquet relation doesn't).
+        //     ignores the extras).
+        //   - past the cap: a LEFT-SEMI join of the pinned source
+        //     against the delta's distinct groups — unbounded group
+        //     count, no driver materialization. No broadcast HINT
+        //     (ADVICE r15): past the cap is exactly the regime where
+        //     the group set can be huge, and a hint ignores
+        //     autoBroadcastJoinThreshold — the planner picks broadcast
+        //     when the build side is actually small, shuffles otherwise.
+        // Either way the repair rows land in a private parquet spool
+        // the MERGE reads back — never the driver (ADVICE r15 task 9;
+        // also: a temp view over a resolved catalog relation trips
+        // Spark 4.1's MERGE analysis, a parquet relation doesn't).
         val repairMerge: Option[String] = if (!needsRepair) None else {
-          import org.apache.spark.sql.functions.{broadcast, col => fcol, expr => fexpr, lit => flit}
+          import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
           val maxGroups = spark.conf.getOption("spark.graft.mv.repairMaxGroups")
             .map(_.toInt).getOrElse(10000)
           val groupCols = shape.groupOuts.map(_.name)
@@ -2984,6 +3016,12 @@ object GraftProcedures {
               restricted.groupBy(shape.groupOuts.map(o =>
                 fexpr(o.groupSql.get).as(o.name)): _*)
                 .agg(mmAggs.head, mmAggs.tail: _*)
+            def spool(repairSrc: org.apache.spark.sql.DataFrame): Unit = {
+              val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_repair")
+              repairSpools += tmp
+              repairSrc.write.mode("overwrite").parquet(tmp.toString)
+              spark.read.parquet(tmp.toString).createOrReplaceTempView(repairView)
+            }
             if (affected.length <= maxGroups) {
               val conds = shape.groupOuts.zipWithIndex.map { case (o, i) =>
                 val e = fexpr(o.groupSql.get)
@@ -2993,11 +3031,7 @@ object GraftProcedures {
                   if (nonNull.isEmpty) flit(false) else e.isin(nonNull: _*)
                 if (vals.contains(null)) inList || e.isNull else inList
               }
-              val repairSrc = grouped(src.filter(conds.reduce(_ && _)))
-              val repairRows = repairSrc.collect()
-              spark.createDataFrame(
-                java.util.Arrays.asList(repairRows: _*), repairSrc.schema)
-                .createOrReplaceTempView(repairView)
+              spool(grouped(src.filter(conds.reduce(_ && _))))
             } else {
               val gdf = delta.select(shape.groupOuts.zipWithIndex.map { case (o, i) =>
                 fcol(s"`${o.name}`").as(s"graft_ivm_g$i") }: _*).distinct()
@@ -3024,12 +3058,8 @@ object GraftProcedures {
                   if (hasNull) range || e.isNull else range
                 }
               }
-              val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_repair")
-              repairSpools += tmp
-              grouped(src.filter(rangeConds.reduce(_ && _))
-                .join(broadcast(gdf), cond, "left_semi"))
-                .write.mode("overwrite").parquet(tmp.toString)
-              spark.read.parquet(tmp.toString).createOrReplaceTempView(repairView)
+              spool(grouped(src.filter(rangeConds.reduce(_ && _))
+                .join(gdf, cond, "left_semi")))
             }
             val sql = MvIncremental.repairMergeSql(shape, backingFqn, repairView)
             spark.sessionState.executePlan(

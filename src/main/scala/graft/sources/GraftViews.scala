@@ -176,11 +176,13 @@ object GraftViews {
         Files.createDirectories(newNsDir)
         Files.move(oldNsDir.resolve(oldBacking), target)
         // COUNT(DISTINCT) liveness tables (r15) move with the backing:
-        // `_mv_<old>_d<j>` -> `_mv_<new>_d<j>`
+        // `_mvaux_<old>_d<j>` -> `_mvaux_<new>_d<j>` (the source name
+        // comes from the stored property, so pre-rename tables under
+        // the retired `_mv_` prefix still move — to the new prefix)
         val movedAux = d.properties.get(MvAuxProp).map { enc =>
           enc.split(',').filter(_.nonEmpty).toSeq.map { aux =>
             val slotSuffix = aux.substring(aux.lastIndexOf("_d"))
-            val newAux = s"_mv_$newName$slotSuffix"
+            val newAux = s"_mvaux_$newName$slotSuffix"
             if (Files.exists(oldNsDir.resolve(aux).resolve("_stats.jsonl"))) {
               require(!Files.exists(newNsDir.resolve(newAux)),
                 s"cannot move liveness table: '${newNsDir.resolve(newAux)}' already exists")

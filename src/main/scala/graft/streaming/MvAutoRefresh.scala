@@ -39,17 +39,25 @@ object MvAutoRefresh {
     * trigger follows the source continuously. */
   def start(spark: SparkSession, catalog: String, view: String,
             sourceRoot: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the CALL is assembled by interpolation — escape the quoting
+    // character of each position (ADVICE r15): a view name carrying a
+    // single quote (legal nowhere today, but names flow in from
+    // callers) or a catalog name carrying a backtick would otherwise
+    // escape its literal and break — or redirect — the statement
+    val catSql = s"`${catalog.replace("`", "``")}`"
+    val viewSql = s"'${view.replace("'", "''")}'"
     spark.readStream.format("graft-jsonl-stats")
       .option("path", sourceRoot).option("readChangeFeed", "true").load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        spark.sql(s"CALL `$catalog`.refresh_materialized_view('$view')")
+        spark.sql(s"CALL $catSql.refresh_materialized_view($viewSql)")
         ()
       }
       .start()
+  }
 
   /** Join MVs: one trigger stream PER SOURCE (each under its own
     * checkpoint subdirectory), all CALLing the same locked refresh —

@@ -456,7 +456,7 @@ class MvIncrementalSpec extends SparkSpec {
     spark.sql(s"CALL mvinc.create_materialized_view('mvd', '$body', or_replace => true)")
     // the liveness table exists alongside the backing and holds one row
     // per (group, non-null value)
-    val auxRoot = java.nio.file.Paths.get(root, "_mv_mvd_d0")
+    val auxRoot = java.nio.file.Paths.get(root, "_mvaux_mvd_d0")
     assert(java.nio.file.Files.exists(auxRoot.resolve("_stats.jsonl")))
     def auxRows(): Seq[(String, String, Long)] =
       spark.read.format("graft-jsonl-stats").option("path", auxRoot.toString).load()

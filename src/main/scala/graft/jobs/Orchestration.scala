@@ -33,34 +33,72 @@ object Orchestration {
 
   /** One DAG task: `retries` re-attempts after the first failure, with
     * `retryDelayMs` between attempts — the reference's
-    * `default_args` shape. */
+    * `default_args` shape. `slaMs` (r16) is the declared service-level
+    * bound on the task's wall time, the Airflow `sla` /
+    * `sla_miss_callback` shape (Stream_Analytics_Platform.md:113):
+    * exceeding it never aborts the task — monitoring is observation,
+    * not control — it records an [[SlaMiss]] in the run report and
+    * fires the runner's callback. */
   final case class Task(id: String,
                         upstream: Seq[String] = Nil,
                         retries: Int = 3,
-                        retryDelayMs: Long = 60000L)(val body: () => Unit)
+                        retryDelayMs: Long = 60000L,
+                        slaMs: Option[Long] = None)(val body: () => Unit)
+
+  /** An SLA alert record: task `taskId` declared `slaMs` and took
+    * `elapsedMs` wall-clock from first attempt to terminal status
+    * (retry sleeps included — the consumer waits through them too). */
+  final case class SlaMiss(taskId: String, slaMs: Long, elapsedMs: Long)
+
+  /** A run's full report: terminal status per task plus every SLA miss
+    * (a task can succeed AND miss — the two are independent signals). */
+  final case class RunReport(status: Map[String, Status], slaMisses: Seq[SlaMiss])
 
   /** Execute the DAG: topological waves, tasks within a wave running
     * concurrently (the two ingest legs), each task retried per its own
     * policy. Returns the terminal status of every task. */
   def run(tasks: Seq[Task],
           sleep: Long => Unit = Thread.sleep)
-         (implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Status] = {
+         (implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Status] =
+    runReport(tasks, sleep).status
+
+  /** [[run]] with the full [[RunReport]]: per-task terminal status plus
+    * SLA misses. `slaMissCallback` fires as each miss is detected (the
+    * alerting hook — Airflow's `sla_miss_callback`); the misses also
+    * land in the report so batch consumers need no callback. `now` is
+    * injectable for the same reason `sleep` is: specs assert the
+    * SLA arithmetic without depending on host timing. */
+  def runReport(tasks: Seq[Task],
+                sleep: Long => Unit = Thread.sleep,
+                slaMissCallback: SlaMiss => Unit = _ => (),
+                now: () => Long = () => System.nanoTime() / 1000000L)
+               (implicit ec: ExecutionContext = ExecutionContext.global): RunReport = {
     val byId = tasks.map(t => t.id -> t).toMap
     require(byId.size == tasks.size, "duplicate task id")
     tasks.foreach(t => t.upstream.foreach(u =>
       require(byId.contains(u), s"${t.id}: unknown upstream $u")))
     val status = mutable.Map.empty[String, Status]
+    val misses = new java.util.concurrent.ConcurrentLinkedQueue[SlaMiss]()
 
     def attempt(t: Task): Status = {
+      val start = now()
+      def checkSla(): Unit = t.slaMs.foreach { sla =>
+        val elapsed = now() - start
+        if (elapsed > sla) {
+          val m = SlaMiss(t.id, sla, elapsed)
+          misses.add(m)
+          slaMissCallback(m)
+        }
+      }
       var n = 0
       while (true) {
         n += 1
         // NonFatal only: an OOM/StackOverflow must kill the runner, not
         // be retried 1+retries times against a corrupted JVM
-        try { t.body(); return Success }
+        try { t.body(); checkSla(); return Success }
         catch {
           case scala.util.control.NonFatal(e) =>
-            if (n > t.retries) return Failed(n, e)
+            if (n > t.retries) { checkSla(); return Failed(n, e) }
             // blocking{}: a wave of sleeping retries must not pin the
             // fixed-size global pool and starve its runnable siblings
             scala.concurrent.blocking { sleep(t.retryDelayMs) }
@@ -84,7 +122,7 @@ object Orchestration {
       done.foreach { case (id, s) => status(id) = s }
       remaining = blocked
     }
-    status.toMap
+    RunReport(status.toMap, misses.toArray(Array.empty[SlaMiss]).toSeq)
   }
 
   /** The reference's `streamflow_main` task graph over THIS engine's

@@ -38,6 +38,41 @@ class OrchestrationSpec extends SparkSpec {
     assert(st("independent") === Success, "an unrelated branch still runs")
   }
 
+  test("SLA semantics (r16): a slow task COMPLETES and flags the miss with its " +
+    "elapsed time, a fast task doesn't, and the miss callback fires — " +
+    "monitoring is observation, not control") {
+    // injected clock: each body advances simulated time, so the SLA
+    // arithmetic is asserted exactly, independent of host timing
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[Orchestration.SlaMiss]()
+    val dag = Seq(
+      Task("slow", slaMs = Some(100L))(() => { clock.addAndGet(250L); () }),
+      Task("fast", upstream = Seq("slow"), slaMs = Some(100L))(() => { clock.addAndGet(10L); () }),
+      Task("unbounded", upstream = Seq("fast"))(() => { clock.addAndGet(10000L); () }),
+    )
+    val report = Orchestration.runReport(dag, sleep = noSleep,
+      slaMissCallback = fired.add(_), now = () => clock.get())
+    assert(report.status.values.forall(_ == Success),
+      "an exceeded SLA never aborts the task — it completes AND flags")
+    assert(report.slaMisses === Seq(Orchestration.SlaMiss("slow", 100L, 250L)))
+    assert(fired.toArray.toSeq === Seq(Orchestration.SlaMiss("slow", 100L, 250L)),
+      "the alerting callback fires once, for the missing task only")
+  }
+
+  test("SLA clock covers retry backoff: a task that only succeeds after retries " +
+    "misses when the attempts+sleeps exceed the declared bound") {
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val attempts = new AtomicInteger(0)
+    val t = Task("flaky_slow", retries = 2, retryDelayMs = 60L, slaMs = Some(100L))(
+      () => { clock.addAndGet(30L); if (attempts.incrementAndGet() < 3) sys.error("transient") })
+    val report = Orchestration.runReport(Seq(t),
+      sleep = d => { clock.addAndGet(d); () }, now = () => clock.get())
+    assert(report.status("flaky_slow") === Success)
+    // 3 attempts x 30ms + 2 sleeps x 60ms = 210ms elapsed > 100ms SLA
+    assert(report.slaMisses === Seq(Orchestration.SlaMiss("flaky_slow", 100L, 210L)),
+      "retry sleeps count toward the SLA — the consumer waits through them too")
+  }
+
   test("chaining: both ingest legs complete before etl, etl before validate") {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val dag = Orchestration.streamflowDag(

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, AttributeSet, CaseWhen, Coalesce, EqualNullSafe, EqualTo, Expression, GreaterThan, Literal, NamedExpression, Not, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, MapType}
 
@@ -101,6 +101,21 @@ object MvIncremental {
     * insert-only gate: the liveness count is signed-exact. */
   case object DistinctSlot extends SlotKind
 
+  /** How the view responds to a delta in one leaf OCCURRENCE (r16). */
+  sealed trait MoverStatus
+  /** Every join edge above the leaf is linear in its side — the delta
+    * splices directly ([[splicedTerm]] with the leaf signed). */
+  case object LinearMover extends MoverStatus
+  /** The leaf is the SINGLE leaf of a left-outer join's right subtree
+    * with an equi-splittable condition: not linear (a dim delta can
+    * flip a fact row's null-extension), but the flip is COMPUTABLE —
+    * the Griffin–Libkin compensation ([[splicedTerm]] with
+    * `signedOldPin` builds it). */
+  case object CompMover extends MoverStatus
+  /** No spliced term exists (multi-leaf outer right subtree, non-equi
+    * outer condition): a window moving this leaf declines to RTAS. */
+  case object FrozenMover extends MoverStatus
+
   /** One aggregate occurrence in the body's SELECT list. `raw` is the
     * resolved AggregateExpression (bound to the body's child), kept for
     * the augmented CTAS; the *Sql fields are syntactic and evaluate
@@ -148,7 +163,7 @@ object MvIncremental {
                    condExpr: Option[Expression] = None,
                    rewriteEligible: Boolean = true,
                    havingSql: Option[String] = None,
-                   moverEligible: Seq[Boolean] = Nil) {
+                   moverStatus: Seq[MoverStatus] = Nil) {
     def groupOuts: Seq[OutCol] = outs.filter(_.isGroup)
     /** MIN/MAX present ⇒ the delta path additionally requires an
       * insert-only window. */
@@ -250,17 +265,21 @@ object MvIncremental {
     // (mixing versions inside one delta) and decline everywhere.
     def noSubquery(es: Seq[Expression]): Boolean =
       !es.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
-    // each leaf carries its MOVER ELIGIBILITY (r15): the view is linear
-    // in a leaf only when every join edge above it is linear in its
-    // side — inner joins are bilinear (both sides eligible), a LEFT
-    // OUTER join is linear in its LEFT side only (a right-side delta
-    // can flip a left row's null-extension, which no spliced term
-    // expresses), so right-side leaves FREEZE: the shape still
-    // maintains, but a window in which a frozen leaf moved declines
-    // to RTAS (the Griffin–Libkin null-compensation case).
-    def walkSource(p: LogicalPlan): Option[Seq[(DataSourceV2Relation, Boolean)]] =
+    // each leaf carries its MOVER STATUS (r15, refined r16): the view
+    // is LINEAR in a leaf only when every join edge above it is linear
+    // in its side — inner joins are bilinear (both sides linear), a
+    // LEFT OUTER join is linear in its LEFT side only (a right-side
+    // delta can flip a left row's null-extension, which no simple
+    // spliced term expresses). r16: the single-leaf right subtree of a
+    // left-outer join with an equi-splittable condition is COMPENSABLE
+    // — the Griffin–Libkin construction derives the flip set from the
+    // window's join keys, so a dim mover refreshes incrementally
+    // instead of declining. Everything else on an outer right side
+    // FREEZES: the shape still maintains, but a window in which a
+    // frozen leaf moved declines to RTAS.
+    def walkSource(p: LogicalPlan): Option[Seq[(DataSourceV2Relation, MoverStatus)]] =
       stripAliases(p) match {
-        case r: DataSourceV2Relation => Some(Seq((r, true)))
+        case r: DataSourceV2Relation => Some(Seq((r, LinearMover)))
         case Filter(c, ch) if c.deterministic && noSubquery(Seq(c)) =>
           walkSource(ch)
         case pr @ Project(pl, ch)
@@ -270,7 +289,18 @@ object MvIncremental {
             j.condition.forall(c => c.deterministic && noSubquery(Seq(c))) =>
           for (l <- walkSource(j.left); r <- walkSource(j.right))
             yield if (j.joinType == Inner) l ++ r
-            else l ++ r.map { case (leaf, _) => (leaf, false) }
+            else {
+              // one leaf ⇒ no joins inside the right subtree (a join
+              // needs two leaf-bearing sides), only Filters/Projects —
+              // exactly what the compensation can rebuild at the OLD
+              // version; it must still be LINEAR below (trivially true
+              // for a bare leaf) and the condition must split
+              val comp = r.size == 1 && r.head._2 == LinearMover &&
+                splitLojCondition(j.condition,
+                  j.left.outputSet, j.right.outputSet).isDefined
+              l ++ r.map { case (leaf, _) =>
+                (leaf, if (comp) CompMover else FrozenMover) }
+            }
         case _ => None
       }
     val leafPairs = walkSource(agg.child).getOrElse(return None)
@@ -444,7 +474,45 @@ object MvIncremental {
       // transparent rewrite must not serve it for raw-table queries
       rewriteEligible = rewriteOk && havingCond.isEmpty,
       havingSql = havingSqlOpt,
-      moverEligible = leafPairs.map(_._2)))
+      moverStatus = leafPairs.map(_._2)))
+  }
+
+  /** A left-outer join condition split for the Griffin–Libkin
+    * compensation: equality pairs (left expr, right expr, null-safe?),
+    * plus conjuncts referencing only one side. The flip set of a
+    * right-side window is then computable PER KEY TUPLE — two left rows
+    * equal on the key expressions have identical match sets, so the
+    * per-row match counts the compensation needs reduce to per-key
+    * aggregates of the window and the old right state. Any mixed
+    * non-equality conjunct defeats that reduction → None (the leaf
+    * freezes). */
+  private case class LojSplit(eqs: Seq[(Expression, Expression, Boolean)],
+                              leftOnly: Seq[Expression],
+                              rightOnly: Seq[Expression])
+
+  private def splitLojCondition(cond: Option[Expression], leftOut: AttributeSet,
+                                rightOut: AttributeSet): Option[LojSplit] = {
+    val c = cond.getOrElse(return None)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val eqs = scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression, Boolean)]
+    val lo = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val ro = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    def left(e: Expression) = e.references.subsetOf(leftOut)
+    def right(e: Expression) = e.references.subsetOf(rightOut)
+    conjuncts(c).foreach {
+      case e if left(e) => lo += e
+      case e if right(e) => ro += e
+      case EqualTo(a, b) if left(a) && right(b) => eqs += ((a, b, false))
+      case EqualTo(a, b) if left(b) && right(a) => eqs += ((b, a, false))
+      case EqualNullSafe(a, b) if left(a) && right(b) => eqs += ((a, b, true))
+      case EqualNullSafe(a, b) if left(b) && right(a) => eqs += ((b, a, true))
+      case _ => return None
+    }
+    if (eqs.isEmpty) return None
+    Some(LojSplit(eqs.toSeq, lo.toSeq, ro.toSeq))
   }
 
   /** ONE telescoping term of the source tree's multiset delta (r15):
@@ -467,8 +535,9 @@ object MvIncremental {
     * identical at head and recorded, so live reads serve both sides).
     * Self-joined movers are just two occurrences with distinct i. */
   def splicedTerm(shape: Shape, signedIdx: Int, signed: LogicalPlan,
-                  pinned: Map[Int, LogicalPlan]): Option[LogicalPlan] =
-    rebaseLeaves(shape, signedIdx, Some(signed), pinned).flatMap {
+                  pinned: Map[Int, LogicalPlan],
+                  signedOldPin: Option[LogicalPlan] = None): Option[LogicalPlan] =
+    rebaseLeaves(shape, signedIdx, Some(signed), pinned, signedOldPin).flatMap {
       case (plan, Some(_)) => Some(plan)
       case _ => None
     }
@@ -483,7 +552,8 @@ object MvIncremental {
     rebaseLeaves(shape, -1, None, pinned).map(_._1)
 
   private def rebaseLeaves(shape: Shape, signedIdx: Int, signed: Option[LogicalPlan],
-                           pinned: Map[Int, LogicalPlan])
+                           pinned: Map[Int, LogicalPlan],
+                           signedOldPin: Option[LogicalPlan] = None)
       : Option[(LogicalPlan, Option[Attribute])] = {
     def reKey(leaf: DataSourceV2Relation, repl: LogicalPlan,
               withSign: Boolean): Option[LogicalPlan] = {
@@ -497,6 +567,99 @@ object MvIncremental {
       } else base
       Some(Project(pl, repl))
     }
+    // the signed occurrence's right subtree at the OLD version (comp
+    // case): single leaf ⇒ only Filters/Projects ride — rebuild it with
+    // the leaf re-keyed onto the version-pinned scan
+    def mapSingleLeaf(p: LogicalPlan,
+                      f: DataSourceV2Relation => Option[LogicalPlan]): Option[LogicalPlan] =
+      p match {
+        case r: DataSourceV2Relation => f(r)
+        case fl @ Filter(_, ch) => mapSingleLeaf(ch, f).map(c2 => fl.copy(child = c2))
+        case pr: Project => mapSingleLeaf(pr.child, f).map(c2 => pr.copy(child = c2))
+        case s: SubqueryAlias => mapSingleLeaf(s.child, f).map(c2 => s.copy(child = c2))
+        case _ => None
+      }
+
+    /** Griffin–Libkin compensation at a LEFT OUTER join whose signed
+      * leaf sits in the (single-leaf) right subtree. The join output's
+      * exact multiset delta w.r.t. the right side moving from OLD to
+      * NEW has two parts:
+      *
+      *   1. `L ⋈ ΔR` — the INNER join of the (term-state) left side
+      *      against the signed right window: every (l, r) pairing that
+      *      appeared or disappeared, at the window row's sign;
+      *   2. the NULL-EXTENSION FLIP — for each left row l, with n0 =
+      *      |matches in R_old| and m = signed matches in ΔR (so
+      *      n1 = n0 + m): the null-extended row (l, NULLs) leaves the
+      *      output when n0 = 0 ∧ m > 0 (sign −1) and enters it when
+      *      n0 > 0 ∧ n0 + m = 0 (sign +1).
+      *
+      * Because the condition is equi-split, n0 and m are functions of
+      * l's KEY TUPLE — both reduce to per-key aggregates: m over the
+      * signed window (tiny), n0 over the OLD right state SEMI-JOINED to
+      * the window's keys (key-bounded, file-prunable — never the whole
+      * dim). Left rows failing a left-only conjunct never match and
+      * never flip (they ride in the flip join's condition). */
+    def compensatedLoj(j: Join, l2: LogicalPlan, r2: LogicalPlan,
+                       signAttr: Attribute): Option[(LogicalPlan, Option[Attribute])] = {
+      val split = splitLojCondition(j.condition, j.left.outputSet, j.right.outputSet)
+        .getOrElse(return None)
+      val oldPin = signedOldPin.getOrElse(return None)
+      val r2old = mapSingleLeaf(j.right,
+        leaf => reKey(leaf, oldPin, withSign = false)).getOrElse(return None)
+      def riding(base: LogicalPlan) =
+        split.rightOnly.reduceOption(And).map(Filter(_, base)).getOrElse(base)
+      // m per key over the signed window (right-only join conjuncts
+      // restrict it — a window row failing them never matches anything)
+      val rKeys = split.eqs.map(_._2)
+      val mKeyAliases = rKeys.zipWithIndex.map { case (e, i) =>
+        Alias(e, s"graft_ivm_mk$i")() }
+      val mAgg = Alias(Sum(signAttr).toAggregateExpression(), "graft_ivm_m")()
+      val m = Aggregate(rKeys, mKeyAliases :+ mAgg, riding(r2))
+      val mkAttrs = mKeyAliases.map(_.toAttribute)
+      // n0 per key over the OLD right state, key-bounded by the window
+      val semiCond = split.eqs.zip(mkAttrs).map { case ((_, re, ns), mk) =>
+        if (ns) EqualNullSafe(re, mk) else EqualTo(re, mk) }
+        .reduce[Expression](And)
+      val n0Src = Join(riding(r2old), m, LeftSemi, Some(semiCond), JoinHint.NONE)
+      val nKeyAliases = rKeys.zipWithIndex.map { case (e, i) =>
+        Alias(e, s"graft_ivm_nk$i")() }
+      val n0Agg = Alias(Count(Seq(Literal(1))).toAggregateExpression(), "graft_ivm_n0")()
+      val n0 = Aggregate(rKeys, nKeyAliases :+ n0Agg, n0Src)
+      val nkAttrs = nKeyAliases.map(_.toAttribute)
+      // keys whose flip sign is nonzero (the M↔N0 probe matches
+      // null-safe: under a plain-equality condition a null-keyed window
+      // row matches no left row, and the flip join below drops it)
+      val probeCond = mkAttrs.zip(nkAttrs)
+        .map { case (mk, nk) => EqualNullSafe(mk, nk) }.reduce[Expression](And)
+      val probe = Join(m, n0, LeftOuter, Some(probeCond), JoinHint.NONE)
+      val n0c = Coalesce(Seq(n0Agg.toAttribute, Literal(0L)))
+      val mAttr = mAgg.toAttribute
+      val flip = CaseWhen(Seq(
+        (And(EqualTo(n0c, Literal(0L)), GreaterThan(mAttr, Literal(0L))),
+          Literal(-1)),
+        (And(GreaterThan(n0c, Literal(0L)), EqualTo(Add(n0c, mAttr), Literal(0L))),
+          Literal(1))), Literal(0))
+      val flipAlias = Alias(flip, "graft_ivm_flip")()
+      val flipKeys = Filter(Not(EqualTo(flipAlias.toAttribute, Literal(0))),
+        Project(mkAttrs :+ flipAlias, probe))
+      // the flip rows: left rows matching a flipped key (and the
+      // left-only conjuncts), null-extended on the right's columns
+      val flipJoinCond = (split.eqs.zip(mkAttrs).map { case ((le, _, ns), mk) =>
+        if (ns) EqualNullSafe(le, mk) else EqualTo(le, mk): Expression
+      } ++ split.leftOnly).reduce(And)
+      val flipJoin = Join(l2, flipKeys, Inner, Some(flipJoinCond), JoinHint.NONE)
+      val nullRight = j.right.output.map(a =>
+        Alias(Literal(null, a.dataType), a.name)())
+      val flipRows = Project(
+        (j.left.output: Seq[NamedExpression]) ++ nullRight :+
+          Alias(flipAlias.toAttribute, "_sign")(), flipJoin)
+      // part 1 ⊎ part 2; Union keeps the FIRST child's attribute ids,
+      // so everything above (and the threaded sign) resolves unchanged
+      val innerPart = Join(l2, r2, Inner, j.condition, j.hint)
+      Some((Union(Seq(innerPart, flipRows)), Some(signAttr)))
+    }
+
     // visit leaves in the SAME order walkSource collected them; thread
     // the sign attribute up only along the signed occurrence's path
     var idx = -1
@@ -519,8 +682,13 @@ object MvIncremental {
             (pr.copy(projectList = s.map(pl :+ _).getOrElse(pl), child = c2), s)
           }
         case j @ Join(l, r, _, _, _) =>
-          for ((l2, sl) <- rec(l); (r2, sr) <- rec(r))
-            yield (j.copy(left = l2, right = r2), sl.orElse(sr))
+          rec(l).flatMap { case (l2, sl) =>
+            rec(r).flatMap { case (r2, sr) =>
+              if (j.joinType == LeftOuter && sr.isDefined)
+                compensatedLoj(j, l2, r2, sr.get)
+              else Some((j.copy(left = l2, right = r2), sl.orElse(sr)))
+            }
+          }
         case s @ SubqueryAlias(_, ch) =>
           rec(ch).map { case (c2, sg) => (s.copy(child = c2), sg) }
         case _ => None

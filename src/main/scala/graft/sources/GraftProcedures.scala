@@ -2816,6 +2816,16 @@ object GraftProcedures {
         val headVerByRoot: Map[String, Int] = head.map { case (t, v) =>
           Paths.get(root, t.split('/').toSeq: _*).toString -> v }.toMap
         if (!leafRoots.forall(headVerByRoot.contains)) return None
+        val moverIdxsPre = leafRoots.zipWithIndex.collect {
+          case (r, i) if moverRoots.contains(r) => i }
+        // compensated movers (r16): a window moving the single-leaf
+        // right side of a left-outer join refreshes via the
+        // Griffin–Libkin flip term — its spliced term contains signed
+        // DELETIONS (the null-extended rows that flip out) even when
+        // the window itself is insert-only
+        def statusOf(i: Int) = shape.moverStatus.lift(i)
+        val compMover = moverIdxsPre.exists(i =>
+          statusOf(i).contains(MvIncremental.CompMover))
         // MIN/MAX slots merge freely over INSERT-ONLY windows (an
         // insert only ever extends an extremum); a DELETING window can
         // retract one, which no merge of extrema can express — r14
@@ -2824,9 +2834,11 @@ object GraftProcedures {
         // MIN/MAX columns of exactly the AFFECTED groups (the delta's
         // groups) recompute from the live source — a grain-predicate
         // scan the connector prunes — via a second, matched-only MERGE.
-        // Cost ∝ affected groups' rows, never the source.
-        val needsRepair = shape.needsInsertOnly && ms.exists(m =>
-          !ChangeFeed.windowInsertOnly(m.root, m.fromV, m.toV))
+        // Cost ∝ affected groups' rows, never the source. A comp-mover
+        // window needs the repair regardless of its own insert-onlyness
+        // (its flip rows retract).
+        val needsRepair = shape.needsInsertOnly && (compMover || ms.exists(m =>
+          !ChangeFeed.windowInsertOnly(m.root, m.fromV, m.toV)))
         // operator escape hatch (r15, also the bench's RTAS control):
         // disabling repair declines deleting windows to the rebuild
         if (needsRepair && spark.conf.getOption("spark.graft.mv.repairDisable")
@@ -2844,13 +2856,14 @@ object GraftProcedures {
           s.j -> s"graft_ivm_dvals_${math.abs(backingFqn.hashCode)}_${s.j}").toMap
         val auxReadViews = shape.distinctSlots.map(s =>
           s.j -> s"graft_ivm_dcur_${math.abs(backingFqn.hashCode)}_${s.j}").toMap
-        val moverIdxs = leafRoots.zipWithIndex.collect {
-          case (r, i) if moverRoots.contains(r) => i }
-        // left-outer bodies (r15): a mover occurrence on the FROZEN
-        // (right) side of a left-outer join has no spliced term — a
-        // right-side delta can flip a left row's null-extension, which
-        // only the full rebuild expresses. Decline before any state.
-        if (moverIdxs.exists(i => !shape.moverEligible.lift(i).getOrElse(false)))
+        val moverIdxs = moverIdxsPre
+        // left-outer bodies (r15/r16): a LINEAR mover splices directly;
+        // a COMP mover (single-leaf right side of a left-outer join)
+        // splices via the Griffin–Libkin flip term, built below with
+        // its recorded-version pin; a FROZEN mover (anything else on an
+        // outer right side) has no term — only the full rebuild
+        // expresses it. Decline before any state.
+        if (moverIdxs.exists(i => !statusOf(i).exists(_ != MvIncremental.FrozenMover)))
           return None
         val termViews = moverIdxs.indices.map(k => s"${signedView}_t$k")
         // version-pinned scans, one per (root, version) actually used —
@@ -2892,8 +2905,15 @@ object GraftProcedures {
         moverIdxs.zipWithIndex.foreach { case (i, k) =>
           val pin = leafRoots.indices.filter(_ != i)
             .map(j => j -> pinnedAt(leafRoots(j), pinVersion(j, i))).toMap
+          // a COMP mover's flip set needs the moved leaf's OLD state
+          // too: the n0 probe reads it at the RECORDED version (the
+          // window's fromV), key-bounded by the window's join keys
+          val oldPin =
+            if (statusOf(i).contains(MvIncremental.CompMover))
+              Some(pinnedAt(leafRoots(i), recordedVerByRoot(leafRoots(i))))
+            else None
           val term = MvIncremental.splicedTerm(
-            shape, i, signedByRoot(leafRoots(i)), pin).getOrElse(return None)
+            shape, i, signedByRoot(leafRoots(i)), pin, oldPin).getOrElse(return None)
           // normalize column ORDER across terms (the `_sign` tag sits
           // wherever the signed leaf sits in the join output)
           org.apache.spark.sql.graftops.Bridge.ofRows(spark, term)

@@ -3941,21 +3941,26 @@ object JsonlStatsQueries extends QueryModule {
       .orderBy(col("phase"), col("event_type"))
   }
 
-  /** q304 (r15): LEFT-OUTER-JOIN bodies join the incremental MV tier —
-    * the star schema's real shape when dims LAG facts
-    * (`Stream_Analytics_Platform.md:84`'s J2): facts whose dim row
-    * hasn't arrived yet must still count, in a null-extended group. A
-    * left-outer join is linear in its LEFT side ({f} ⟕ D is one
-    * independent term per fact row), so fact windows splice exactly as
-    * inner joins do; the RIGHT side is FROZEN (a dim delta can flip a
-    * fact row's null-extension — Griffin–Libkin compensation — which
-    * only the rebuild expresses), so a dim mover declines loudly. The
-    * lifecycle pins all three modes in the ORACLE: fact append
-    * 'incremental', fact delete 'incremental', dim insert 'full' —
-    * and the dim insert genuinely re-homes formerly-unmatched facts
-    * out of the 'none' group, recomputed by DuckDB either way. At
-    * 100 TB: late-arriving dimension feeds stop forcing nightly fact
-    * re-reads — the fact delta refreshes against the pinned dim. */
+  /** q304 (r15, dim movers r16): LEFT-OUTER-JOIN bodies join the
+    * incremental MV tier — the star schema's real shape when dims LAG
+    * facts (`Stream_Analytics_Platform.md:84`'s J2): facts whose dim
+    * row hasn't arrived yet must still count, in a null-extended
+    * group. A left-outer join is linear in its LEFT side ({f} ⟕ D is
+    * one independent term per fact row), so fact windows splice
+    * exactly as inner joins do. r16 closes the RIGHT side via the
+    * Griffin–Libkin compensation: a dim window's term is the INNER
+    * join of the facts against the signed dim delta PLUS the
+    * null-extension flips — per join key, a fact flips out of the
+    * 'none' group when its first match arrives (old match count 0,
+    * window net > 0) and back in when its last match dies — with the
+    * old match counts probed from the dim's RECORDED version,
+    * key-bounded by the window ([[graft.plans.MvIncremental]]). The
+    * lifecycle pins all four modes in the ORACLE: fact append, fact
+    * delete, dim insert AND dim delete all 'incremental' — and the dim
+    * windows genuinely re-home facts across the 'none' boundary,
+    * recomputed by DuckDB either way. At 100 TB: late-arriving
+    * dimension feeds cost their own delta plus a key-bounded dim
+    * probe — never a fact re-read in either direction. */
   def leftOuterMvRefresh(spark: SparkSession, d: String): DataFrame = {
     val cat = ensureCatalog(spark, d)
     spark.sql(s"DROP TABLE IF EXISTS $cat.mvlo_fact")
@@ -3985,10 +3990,17 @@ object JsonlStatsQueries extends QueryModule {
     spark.sql(s"DELETE FROM $cat.mvlo_fact WHERE event_id % 7 = 0")
     val m2 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
       .collect().head.getString(2)
-    // window 3: the LAGGING dim row arrives — frozen side, full rebuild,
-    // and user 3's events re-home from 'none' into the real segment
+    // window 3: the LAGGING dim row arrives — Griffin–Libkin
+    // compensation (r16): user 3's events re-home from 'none' into the
+    // real segment INCREMENTALLY (flip −1 on the 'none' group, inner
+    // term +matches), where r15 declined to the rebuild
     spark.sql(s"INSERT INTO $cat.mvlo_dim VALUES (3, 'SYNTHETIC')")
     val m3 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
+      .collect().head.getString(2)
+    // window 4 (r16): dim rows DIE — their facts flip back INTO 'none'
+    // (old match count > 0, window nets it to 0), still incremental
+    spark.sql(s"DELETE FROM $cat.mvlo_dim WHERE c_custkey % 10 = 6")
+    val m4 = spark.sql(s"CALL $cat.refresh_materialized_view('mv_lo')")
       .collect().head.getString(2)
     def modeRow(phase: String, mode: String) =
       spark.sql(s"SELECT '$phase' AS phase, '$mode' AS seg, " +
@@ -3996,6 +4008,7 @@ object JsonlStatsQueries extends QueryModule {
     modeRow("mode-append", m1)
       .unionAll(modeRow("mode-delete", m2))
       .unionAll(modeRow("mode-dim-moved", m3))
+      .unionAll(modeRow("mode-dim-deleted", m4))
       .unionAll(spark.sql(s"SELECT 'rows' AS phase, seg, n, sv FROM $cat.mv_lo"))
       .orderBy(col("phase"), col("seg"))
   }
@@ -4315,8 +4328,10 @@ object JsonlStatsQueries extends QueryModule {
         |ORDER BY phase, event_type""".stripMargin,
     "q304_leftouter_mv_refresh" ->
       """WITH dim AS (
-        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 <> 3
-        |  UNION ALL SELECT 3, 'SYNTHETIC'),
+        |  SELECT * FROM (
+        |    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 <> 3
+        |    UNION ALL SELECT 3, 'SYNTHETIC')
+        |  WHERE c_custkey % 10 <> 6),
         |fact AS (
         |  SELECT user_id, value FROM events WHERE event_id % 7 <> 0)
         |SELECT 'mode-append' AS phase, 'incremental' AS seg,
@@ -4325,7 +4340,10 @@ object JsonlStatsQueries extends QueryModule {
         |SELECT 'mode-delete' AS phase, 'incremental' AS seg,
         |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
         |UNION ALL
-        |SELECT 'mode-dim-moved' AS phase, 'full' AS seg,
+        |SELECT 'mode-dim-moved' AS phase, 'incremental' AS seg,
+        |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
+        |UNION ALL
+        |SELECT 'mode-dim-deleted' AS phase, 'incremental' AS seg,
         |  CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sv
         |UNION ALL
         |SELECT 'rows' AS phase, COALESCE(c_mktsegment, 'none') AS seg,

@@ -295,9 +295,17 @@ class MvIncrementalSpec extends SparkSpec {
     // (Its columns are ambiguous bare names here, so it lands in the
     // mv_dup decline below; the maintainable self-join arm lives in
     // the aliased-columns test.)
-    // outer joins are not linear in the fact
+    // outer-right movers STAY frozen past the compensation's reach
+    // (r16): a non-equi outer condition defeats the per-key reduction
+    // the Griffin–Libkin flip needs (the equi single-leaf case now
+    // maintains — pinned in the left-outer lifecycle test)
     check("mv_outer", "SELECT dk, count(*) AS n FROM mvinc.sdim " +
-      "LEFT JOIN mvinc.sfact ON did = id GROUP BY dk")
+      "LEFT JOIN mvinc.sfact ON did < id GROUP BY dk")
+    // ... and so does a multi-leaf outer right subtree (the old state
+    // of a joined right side is not a single pinnable leaf)
+    check("mv_outer2", "SELECT dk, count(*) AS n FROM mvinc.sdim " +
+      "LEFT JOIN (SELECT f.id AS jid FROM mvinc.sfact f " +
+      "JOIN mvinc.sdup d2 ON f.id = d2.id) j ON did = jid GROUP BY dk")
     // a WHERE subquery over the source mixes versions inside one delta
     check("mv_subq", "SELECT k, count(*) AS n FROM mvinc.sfact " +
       "WHERE v > (SELECT min(v) FROM mvinc.sfact) GROUP BY k")
@@ -399,9 +407,11 @@ class MvIncrementalSpec extends SparkSpec {
     assert(leftover.isEmpty, s"ivm manifests must be swept after the merge: $leftover")
   }
 
-  test("left-outer fact⋈dim bodies maintain incrementally when the LEFT " +
-    "side moved (r15): unmatched facts ride as null-extended groups through " +
-    "appends AND deletes; a frozen (right) dim mover declines to the rebuild") {
+  test("left-outer fact⋈dim bodies maintain incrementally on BOTH sides " +
+    "(r15/r16): fact windows splice; dim windows compensate Griffin–Libkin " +
+    "style — a dim insert re-homes null-extended facts, a dim delete flips " +
+    "matched facts back to the null group, and a mixed fact+dim window " +
+    "telescopes a spliced term with a compensated one") {
     cat
     spark.sql("DROP TABLE IF EXISTS mvinc.lofact")
     spark.sql("DROP TABLE IF EXISTS mvinc.lodim")
@@ -428,17 +438,45 @@ class MvIncrementalSpec extends SparkSpec {
     assert(refreshMode("mv_lo") === "incremental")
     assert(mvRows("mv_lo").toString === direct(body).toString)
     assert(!mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "iron"))
-    // a DIM mover sits on the FROZEN side of the left-outer join — its
-    // delta can flip null-extensions, so the refresh rebuilds fully
+    // DIM INSERT window (r16): the lagging dim row arrives — the
+    // Griffin–Libkin compensation re-homes fact 9 OUT of the
+    // null-extended group (flip −1) and the inner term grows 'ash':
+    // incremental now, where r15 declined to the rebuild
     spark.sql("INSERT INTO mvinc.lodim VALUES (9, 'ash')")
-    assert(refreshMode("mv_lo") === "full")
+    assert(refreshMode("mv_lo") === "incremental")
     assert(mvRows("mv_lo").toString === direct(body).toString)
     assert(mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "ash"),
-      "the rebuilt view must re-match the formerly null-extended fact")
-    // and the NEXT fact-only window is incremental again
+      "the compensated refresh must re-match the formerly null-extended fact")
+    assert(nullSeg().exists(_.getLong(1) == 1L),
+      "fact 9 must leave the NULL group (flip −1), fact 11 stays")
+    // fact-only window stays incremental
     spark.sql("INSERT INTO mvinc.lofact VALUES (9, 1.0)")
     assert(refreshMode("mv_lo") === "incremental")
     assert(mvRows("mv_lo").toString === direct(body).toString)
+    // DIM DELETE window (r16): gold's dim row dies — the inner term
+    // retracts the matched pairings and the flip (+1) re-null-extends
+    // gold's facts into the NULL group
+    spark.sql("DELETE FROM mvinc.lodim WHERE did = 1")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(!mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "gold"),
+      "gold lost its dim row and every fact with it — the group leaves")
+    assert(nullSeg().exists(_.getLong(1) == 3L),
+      "facts 1,1 flip back to the NULL group beside fact 11")
+    // MIXED window (r16): a fact insert AND a dim insert in one refresh
+    // window — the delta telescopes a spliced fact term (dim pinned at
+    // its recorded version) with a compensated dim term (fact at head)
+    spark.sql("INSERT INTO mvinc.lofact VALUES (12, 4.0)")
+    spark.sql("INSERT INTO mvinc.lodim VALUES (11, 'oak')")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "oak"))
+    // a dim row whose key matches NOTHING: pure insert, no flip
+    spark.sql("INSERT INTO mvinc.lodim VALUES (777, 'veil')")
+    assert(refreshMode("mv_lo") === "incremental")
+    assert(mvRows("mv_lo").toString === direct(body).toString)
+    assert(!mvRows("mv_lo").exists(r => !r.isNullAt(0) && r.getString(0) == "veil"),
+      "an unmatched dim row contributes no group to a fact-driven view")
   }
 
   test("COUNT(DISTINCT) maintains incrementally via the per-(group, value) " +

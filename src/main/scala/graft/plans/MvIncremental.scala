@@ -643,21 +643,54 @@ object MvIncremental {
       val flipAlias = Alias(flip, "graft_ivm_flip")()
       val flipKeys = Filter(Not(EqualTo(flipAlias.toAttribute, Literal(0))),
         Project(mkAttrs :+ flipAlias, probe))
-      // the flip rows: left rows matching a flipped key (and the
-      // left-only conjuncts), null-extended on the right's columns
-      val flipJoinCond = (split.eqs.zip(mkAttrs).map { case ((le, _, ns), mk) =>
-        if (ns) EqualNullSafe(le, mk) else EqualTo(le, mk): Expression
+      // ONE left-side pass (r16 optimization): the flip keys are a
+      // subset of the window's keys, and both the inner term `L ⋈ ΔR`
+      // and the flip rows join the left side by the SAME equi keys (+
+      // the left-only conjuncts) — so instead of two joins that each
+      // scan the left subtree (twice the dominant fact read), union the
+      // window rows and the flip keys into ONE key-shaped right side
+      // and join once:
+      //   - window rows carry their key exprs, their real right
+      //     columns, and the threaded window sign;
+      //   - flip rows carry the flipped key, NULL right columns (the
+      //     null extension), and the flip sign.
+      // Union keeps the FIRST child's attribute ids, so the original
+      // right-output ids keep resolving above — with NULLs exactly on
+      // the flip rows. Semantics are unchanged term by term: the window
+      // leg's condition (eqs ∧ leftOnly here, rightOnly already applied
+      // in riding(r2)) is j.condition conjunct-for-conjunct, and the
+      // flip leg's is the old flipJoin condition verbatim.
+      val wKeyAliases = split.eqs.zipWithIndex.map { case ((_, re, _), i) =>
+        Alias(re, s"graft_ivm_uk$i")() }
+      val wSide = Project(
+        (wKeyAliases: Seq[NamedExpression]) ++ j.right.output :+
+          Alias(signAttr, "graft_ivm_us")(), riding(r2))
+      val ukAttrs = wKeyAliases.map(_.toAttribute)
+      val fSide = Project(
+        mkAttrs.zipWithIndex.map { case (mk, i) =>
+          Alias(mk, s"graft_ivm_uk$i")(): NamedExpression } ++
+          j.right.output.map(a => Alias(Literal(null, a.dataType), a.name)()) :+
+          Alias(flipAlias.toAttribute, "graft_ivm_us")(), flipKeys)
+      val unioned = Union(Seq(wSide, fSide))
+      val joinCond = (split.eqs.zip(ukAttrs).map { case ((le, _, ns), uk) =>
+        if (ns) EqualNullSafe(le, uk) else EqualTo(le, uk): Expression
       } ++ split.leftOnly).reduce(And)
-      val flipJoin = Join(l2, flipKeys, Inner, Some(flipJoinCond), JoinHint.NONE)
-      val nullRight = j.right.output.map(a =>
-        Alias(Literal(null, a.dataType), a.name)())
-      val flipRows = Project(
-        (j.left.output: Seq[NamedExpression]) ++ nullRight :+
-          Alias(flipAlias.toAttribute, "_sign")(), flipJoin)
-      // part 1 ⊎ part 2; Union keeps the FIRST child's attribute ids,
-      // so everything above (and the threaded sign) resolves unchanged
-      val innerPart = Join(l2, r2, Inner, j.condition, j.hint)
-      Some((Union(Seq(innerPart, flipRows)), Some(signAttr)))
+      // never broadcast the LEFT side: it is the body's fact subtree —
+      // table-sized at 100 TB — while the union side is window-shaped.
+      // Without the hint, the union's aggregate-laden size ESTIMATE can
+      // exceed the fact scan's and the planner broadcasts the fact
+      // (measured: q304's compensated merges regressed ~20% locally,
+      // and at scale it would OOM). NO_BROADCAST_HASH only forbids the
+      // left build; the planner still broadcasts the union when it is
+      // actually small, and degrades to ONE shuffle otherwise — still a
+      // single fact pass in every regime.
+      import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, NO_BROADCAST_HASH}
+      val oneJoin = Join(l2, unioned, Inner, Some(joinCond),
+        JoinHint(Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))), None))
+      val signOut = Alias(wSide.projectList.last.toAttribute, "_sign")()
+      val out = Project(
+        (j.left.output: Seq[NamedExpression]) ++ j.right.output :+ signOut, oneJoin)
+      Some((out, Some(signOut.toAttribute)))
     }
 
     // visit leaves in the SAME order walkSource collected them; thread

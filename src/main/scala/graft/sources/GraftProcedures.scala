@@ -2723,6 +2723,11 @@ object GraftProcedures {
             val pinMap = leafRoots.indices.map(j => j -> pinnedAt(leafRoots(j))).toMap
             MvIncremental.pinnedChild(sh, pinMap) match {
               case Some(pc) =>
+                // NOT shared-scan-cached across the backing + aux CTAS:
+                // persisting the pinned source for the two builds was
+                // measured SLOWER than re-scanning it (r16 — cache fill
+                // ~0.2-0.4 s vs ~0.3 s JSONL re-scan at sf0.1, and the
+                // cached copy pressures execution memory at scale)
                 write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
                   MvIncremental.augmentedPlan(sh, Some(pc))), backingFqn)
                 val auxes = sh.distinctSlots.map { s =>
@@ -2759,6 +2764,16 @@ object GraftProcedures {
         // nothing moved: re-stamp nothing, report the no-op
         return Some("noop")
       }
+      // step profiler (optimization rounds): spark.graft.mv.profile=true
+      // prints per-step wall time to stderr; zero cost when off
+      val profOn = spark.conf.getOption("spark.graft.mv.profile").contains("true")
+      def prof[T](label: String)(f: => T): T =
+        if (!profOn) f else {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(f"    [mv-refresh] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          r
+        }
       // r14/r15 (join-aware, telescoping): the view is LINEAR in every
       // LEAF OCCURRENCE (inner join is bilinear), so the multiset delta
       // telescopes — for mover occurrences L_i in leaf order,
@@ -2777,14 +2792,14 @@ object GraftProcedures {
       if (movers.isEmpty) return None // set drift (shouldn't happen): RTAS
       if (movers.exists { case (t, v) => v >= headMap(t) }) return None
       try {
-        val analyzed = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+        val analyzed = prof("body-analyze")(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
           new graft.plans.ResolveGraftViews(spark).bodyPlan(catName, cat, ident, d))
           .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-          .queryExecution.analyzed
-        val shape = MvIncremental.detect(analyzed).getOrElse(return None)
+          .queryExecution.analyzed)
+        val shape = prof("detect")(MvIncremental.detect(analyzed)).getOrElse(return None)
         // the backing must already carry the state columns (it might
         // predate r13 or have been built by a non-maintainable twin)
-        val backingCols = spark.table(backingFqn).schema.fieldNames.toSet
+        val backingCols = prof("backing-schema")(spark.table(backingFqn).schema.fieldNames.toSet)
         if (!shape.auxCols.forall(backingCols.contains)) return None
         // COUNT(DISTINCT) slots (r15) additionally need their
         // per-(group, value) liveness tables — a backing predating the
@@ -2902,7 +2917,7 @@ object GraftProcedures {
           else headVerByRoot(r)
         }
         val childNames = shape.aggregate.child.output.map(_.name)
-        moverIdxs.zipWithIndex.foreach { case (i, k) =>
+        prof("term-views")(moverIdxs.zipWithIndex.foreach { case (i, k) =>
           val pin = leafRoots.indices.filter(_ != i)
             .map(j => j -> pinnedAt(leafRoots(j), pinVersion(j, i))).toMap
           // a COMP mover's flip set needs the moved leaf's OLD state
@@ -2919,7 +2934,7 @@ object GraftProcedures {
           org.apache.spark.sql.graftops.Bridge.ofRows(spark, term)
             .selectExpr((childNames.map(n => s"`$n`") :+ "_sign"): _*)
             .createOrReplaceTempView(termViews(k))
-        }
+        })
         val signedUnion =
           spark.sql(termViews.map(v => s"SELECT * FROM $v").mkString("\nUNION ALL\n"))
         // DISTINCT slots read the signed window once more (the
@@ -2954,10 +2969,10 @@ object GraftProcedures {
           import org.apache.spark.sql.functions.{col => fcol, lit => flit,
             min => fmin, max => fmax, when => fwhen}
           val gNames = shape.groupOuts.map(_.name)
-          val b = auxDelta.select(gNames.flatMap(n => Seq(
+          val b = prof("aux-bounds-head")(auxDelta.select(gNames.flatMap(n => Seq(
             fmin(fcol(s"`$n`")), fmax(fcol(s"`$n`")),
             org.apache.spark.sql.functions.sum(
-              fwhen(fcol(s"`$n`").isNull, 1L).otherwise(0L)))): _*).head()
+              fwhen(fcol(s"`$n`").isNull, 1L).otherwise(0L)))): _*).head())
           val restricted = gNames.zipWithIndex.foldLeft(auxRead) { case (df, (n, i)) =>
             if (b.isNullAt(3 * i)) df.filter(fcol(s"`$n`").isNull)
             else {
@@ -2969,8 +2984,8 @@ object GraftProcedures {
           }
           restricted.createOrReplaceTempView(auxReadViews(s.j))
         }
-        val delta = spark.sql(
-          MvIncremental.deltaSql(shape, signedView, auxReadViews, auxDeltaViews))
+        val delta = prof("delta-analyze")(spark.sql(
+          MvIncremental.deltaSql(shape, signedView, auxReadViews, auxDeltaViews)))
         // the delta is consumed several times on deleting windows (the
         // affected-group probe, the repair restriction's bounds and
         // semi-join build, the maintenance MERGE itself) — persist it
@@ -2982,8 +2997,8 @@ object GraftProcedures {
         val merge = MvIncremental.mergeSql(shape, backingFqn, deltaView)
         // analyze WITHOUT executing (spark.sql would run the command
         // eagerly): unresolvable merges decline here, before any state
-        spark.sessionState.executePlan(
-          spark.sessionState.sqlParser.parsePlan(merge)).assertAnalyzed()
+        prof("merge-analyze")(spark.sessionState.executePlan(
+          spark.sessionState.sqlParser.parsePlan(merge)).assertAnalyzed())
         // liveness-table merges (r15), one per DISTINCT slot — analyzed
         // up front like everything else, EXECUTED after the main merge
         // (whose delta leg must read the PRE-merge liveness state)
@@ -3018,8 +3033,8 @@ object GraftProcedures {
           val maxGroups = spark.conf.getOption("spark.graft.mv.repairMaxGroups")
             .map(_.toInt).getOrElse(10000)
           val groupCols = shape.groupOuts.map(_.name)
-          val affected = delta.select(groupCols.map(n => fcol(s"`$n`")): _*)
-            .distinct().limit(maxGroups + 1).collect()
+          val affected = prof("repair-affected")(delta.select(groupCols.map(n => fcol(s"`$n`")): _*)
+            .distinct().limit(maxGroups + 1).collect())
           if (affected.isEmpty) None
           else {
             // the repair reads the source at the recorded HEAD versions
@@ -3051,7 +3066,7 @@ object GraftProcedures {
                   if (nonNull.isEmpty) flit(false) else e.isin(nonNull: _*)
                 if (vals.contains(null)) inList || e.isNull else inList
               }
-              spool(grouped(src.filter(conds.reduce(_ && _))))
+              prof("repair-spool")(spool(grouped(src.filter(conds.reduce(_ && _)))))
             } else {
               val gdf = delta.select(shape.groupOuts.zipWithIndex.map { case (o, i) =>
                 fcol(s"`${o.name}`").as(s"graft_ivm_g$i") }: _*).distinct()
@@ -3096,12 +3111,15 @@ object GraftProcedures {
           (GraftViews.MvPendingProp ->
             ms.map(m => s"${m.fromV}->${m.toV}").mkString(","))), replace = true)
         try {
-          spark.sql(merge)
-          repairMerge.foreach(spark.sql(_))
-          auxMerges.foreach(spark.sql(_))
-          GraftViews.write(nsDir, d.copy(properties = d.properties +
+          if (profOn && sys.env.contains("GRAFT_MV_EXPLAIN"))
+            spark.sql("EXPLAIN FORMATTED " + merge).collect()
+              .foreach(r => System.err.println(r.getString(0)))
+          prof("main-merge")(spark.sql(merge))
+          prof("repair-merge")(repairMerge.foreach(spark.sql(_)))
+          prof("aux-merges")(auxMerges.foreach(spark.sql(_)))
+          prof("sidecar-write")(GraftViews.write(nsDir, d.copy(properties = d.properties +
             (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(head))
-            - GraftViews.MvPendingProp), replace = true)
+            - GraftViews.MvPendingProp), replace = true))
           Some(if (needsRepair) "incremental-repair" else "incremental")
         } catch {
           case _: Exception =>

@@ -3,6 +3,7 @@ package graft.ext
 import graft.QueryModule
 import graft.ingest.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-corpus SPAN dedup (SURVEY.md §2.12 E1+) — the C4 rule at
@@ -98,11 +99,26 @@ object SpanDedup extends QueryModule {
       .select($"doc_id", $"text",
         explode(sequence(lit(1), length($"text") - (gramLen - 1))).as("i"))
       .select($"doc_id", expr(s"substr(text, i, $gramLen)").as("g"))
-    val counts = grams.groupBy($"g").agg(count(lit(1)).as("c"))
-    grams.join(counts, "g")
+    // One pass instead of two (r16, guide §2.3/§2.4): the old
+    // groupBy(g) + join-back referenced `grams` from two subtrees, so
+    // the stride-1 explode (1.3M 30-char substrings at sf0.1)
+    // materialized TWICE and raw positions shuffled TWICE (once
+    // partial-aggregated, once raw for the join). Pre-aggregating to
+    // (g, doc_id) grain — map-side combinable, and a doc's grams
+    // originate in its own input partition so within-doc repeats
+    // combine before the exchange — then a window-sum over g serves
+    // the global count without re-reading positions: one explode, two
+    // exchanges, and the per-doc readout sums k instead of counting
+    // rows. Identical arithmetic: c = Σ_doc k is the gram's global
+    // occurrence count; n_grams = Σ_g k; n_dup = Σ_{g: c≥2} k.
+    // (The window partitions by gram CONTENT — a corpus-hot gram is a
+    // hot partition, which AQE cannot split for windows; that regime
+    // is exactly what the two-tier q226 production variant bounds.)
+    val dgc = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("k"))
+    dgc.withColumn("c", sum($"k").over(Window.partitionBy($"g")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum($"k").as("n_grams"),
+        sum(when($"c" >= 2, $"k").otherwise(0L)).as("n_dup"))
       .withColumn("dup_milli", expr("(1000 * n_dup) div n_grams"))
       .orderBy($"doc_id")
   }
@@ -136,22 +152,33 @@ object SpanDedup extends QueryModule {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val eligible = docs.filter(length($"text") >= gramLen)
-    // tier 1: (doc_id, position, 8-byte hash) — no gram strings yet
+    // tier 1: (doc_id, position, 8-byte hash) — no gram strings yet.
+    // Bucket sizes come from a count-window over the SAME shuffled rows
+    // (r16, guide §2.4): the old groupBy(h) + join-back referenced
+    // `pos` from two subtrees, so the rolling-hash explode ran TWICE
+    // and positions crossed two exchanges; the window form explodes
+    // once and shuffles once (the window's by-h exchange is the join's
+    // by-h exchange, minus the second pipeline).
     val pos = eligible
       .select($"doc_id",
         posexplode(call_function("graft_rolling_hashes", $"text", lit(gramLen))))
       .toDF("doc_id", "p", "h")
-    val colliding = pos.groupBy($"h").agg(count(lit(1)).as("hc"))
-      .filter($"hc" >= 2).select($"h")
-    val cand = pos.join(colliding, "h").select($"doc_id", $"p")
+    val cand = pos
+      .withColumn("hc", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"hc" >= 2).select($"doc_id", $"p")
     // tier 2: materialize candidate grams only; exact counts are global
     // counts for these grams (all occurrences of a colliding string are
-    // candidates), so c >= 2 is exactly q200's duplication predicate
+    // candidates), so c >= 2 is exactly q200's duplication predicate.
+    // Same single-pass shape as tier 1 (and as q200's r16 form): the
+    // candidate grams pre-aggregate to (g, doc_id) grain, the global
+    // count is a window-sum over g, and the per-doc dup count sums k —
+    // one candidate-gram materialization instead of two.
     val grams = cand.join(eligible.select($"doc_id", $"text"), "doc_id")
       .select($"doc_id", expr(s"substr(text, p + 1, $gramLen)").as("g"))
-    val exact = grams.groupBy($"g").agg(count(lit(1)).as("c"))
-    val dup = grams.join(exact, "g").filter($"c" >= 2)
-      .groupBy($"doc_id").agg(count(lit(1)).as("dup0"))
+    val dgc = grams.groupBy($"g", $"doc_id").agg(count(lit(1)).as("k"))
+    val dup = dgc.withColumn("c", sum($"k").over(Window.partitionBy($"g")))
+      .filter($"c" >= 2)
+      .groupBy($"doc_id").agg(sum($"k").as("dup0"))
     // n_grams needs no explode at all: positions = length - (L-1)
     eligible
       .select($"doc_id", (length($"text") - (gramLen - 1)).cast("long").as("n_grams"))

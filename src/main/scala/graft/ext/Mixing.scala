@@ -37,11 +37,32 @@ object Mixing extends QueryModule {
   private val shardSize = 64
   private val enWeight = 3 // en emitted 3:1 against every other language
 
+  /** Range-partition fan-out for the two-pass enumerations, derived
+    * from the PLAN's size estimate (file bytes at the scan) instead of
+    * a `count()` action (r16, guide §1.2: the count was a full extra
+    * pass over the input thrown away after sizing). The output of every
+    * consumer is nPart-INVARIANT by the enumeration laws (offsets adapt
+    * to any boundary set), so an estimate is exactly as correct as the
+    * row count — ~64 MB per range partition, floor 8. */
+  def sizeBasedNPart(df: DataFrame): Int = {
+    val bytes = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(8, (bytes / (64L << 20)).toInt)
+  }
+
   /** Exact global 1-based position along `sortCols` without a global
     * single-reducer sort. `nPart` fixes the range-partition fan-out so
     * the enumeration is deterministic run to run. */
   def withGlobalPosition(df: DataFrame, sortCols: Seq[Column], nPart: Int,
-                         outCol: String): DataFrame = {
+                         outCol: String): DataFrame =
+    withGlobalPositionAndTotal(df, sortCols, nPart, outCol)._1
+
+  /** [[withGlobalPosition]] plus the EXACT total row count, read off
+    * the enumeration's own pass-1 per-partition counts — callers that
+    * need both (q225's decile denominator) no longer pay a separate
+    * corpus-sized `count()` action (r16, guide §1.2). */
+  def withGlobalPositionAndTotal(df: DataFrame, sortCols: Seq[Column], nPart: Int,
+                                 outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     // localCheckpoint pins the range partitioning ONCE (ADVICE r4): the
@@ -66,10 +87,11 @@ object Mixing extends QueryModule {
     // pass 2: rank locally within each range partition (window keyed by
     // _pid — parallelism = nPart, no global collapse), add the offset
     val local = Window.partitionBy($"_pid").orderBy(sortCols: _*)
-    sorted
+    (sorted
       .join(broadcast(offsetDf), "_pid")
       .withColumn(outCol, row_number().over(local) + $"_offset")
-      .drop("_pid", "_offset")
+      .drop("_pid", "_offset"),
+      offsets(nPart))
   }
 
   /** q104: weighted source interleave → fixed-size shards → per-shard
@@ -81,11 +103,12 @@ object Mixing extends QueryModule {
       .withColumn("rn", row_number().over(perSource))
       .withColumn("w", when($"lang" === "en", enWeight).otherwise(1))
       .withColumn("ikey", $"rn".cast("double") / $"w")
-    // Fan-out sized to the corpus (~1M rows per range partition, floor 8)
-    // rather than fixed: global positions are exact for ANY boundary set
-    // (the offsets adapt), so this is a pure throughput knob — the
-    // oracle is unaffected.
-    val nPart = math.max(8, (Tables.documents(spark, d).count() / 1000000L).toInt)
+    // Fan-out sized to the corpus (~64 MB per range partition, floor 8)
+    // from the plan's size estimate rather than a count() action: global
+    // positions are exact for ANY boundary set (the offsets adapt), so
+    // this is a pure throughput knob — the oracle is unaffected, and the
+    // sizing no longer costs a full extra pass over the corpus (r16).
+    val nPart = sizeBasedNPart(Tables.documents(spark, d))
     val positioned = withGlobalPosition(
       keyed, Seq($"ikey", $"source", $"doc_id"), nPart, outCol = "gpos")
     positioned

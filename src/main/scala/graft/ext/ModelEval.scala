@@ -78,8 +78,9 @@ object ModelEval extends QueryModule {
       .select($"o_totalprice".as("score"),
         when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
     // Fan-out is a pure throughput knob (offsets adapt to any boundary
-    // set); size it like Mixing does rather than hard-coding test scale.
-    val nPart = math.max(8, (Tables.orders(spark, d).count() / 1000000L).toInt)
+    // set); sized from the plan's size estimate — a count() action here
+    // was a full extra pass over orders thrown away after sizing (r16).
+    val nPart = Mixing.sizeBasedNPart(Tables.orders(spark, d))
     aucFrom(scored, nPart)
   }
 
@@ -117,9 +118,11 @@ object ModelEval extends QueryModule {
     val scored = Tables.orders(spark, d)
       .select($"o_orderkey".as("k"), $"o_totalprice".as("score"),
         when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
-    val total = scored.count()
-    val nPart = math.max(8, (total / 1000000L).toInt)
-    val positioned = Mixing.withGlobalPosition(
+    // the decile denominator needs the EXACT total — read it off the
+    // enumeration's own pass-1 counts instead of a separate corpus-sized
+    // count() action (r16); fan-out sizing needs only the estimate
+    val nPart = Mixing.sizeBasedNPart(Tables.orders(spark, d))
+    val (positioned, total) = Mixing.withGlobalPositionAndTotal(
       scored, Seq($"score".desc, $"k"), nPart, outCol = "gpos")
     val g = positioned
       .withColumn("decile", expr(s"((gpos - 1) * 10) div $total"))

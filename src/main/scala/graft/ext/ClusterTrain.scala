@@ -78,13 +78,32 @@ object ClusterTrain extends QueryModule {
     val pts = Tables.embeddings(spark, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("x"))
 
+    // Nearest-centroid argmin as a MAP-SIDE expression (r16, guide
+    // §2.4): the old form crossJoined each point with the K broadcast
+    // centroid ROWS and took min(struct(d2, cid)) via groupBy(vec_id,
+    // x) — a corpus-sized exchange of N 64-double vectors PER PASS
+    // (seeding + Lloyd + eval ≈ 6 passes), with the array as a group
+    // key. Folding the centroids into ONE broadcast array row and
+    // taking array_min over per-centroid (d2, cid) structs computes
+    // the identical argmin (same dist2 arithmetic, same lowest-cid
+    // tie-break — struct ordering is lexicographic) with ZERO
+    // exchange: the only shuffles left are the K×dim model-sized
+    // recompute/readout aggregates, which is what the scale-shape
+    // note always claimed.
+    def centArray(c: DataFrame): DataFrame =
+      c.agg(sort_array(collect_list(struct($"cid", $"cvec"))).as("cents"))
+    def withBest(c: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(centArray(c)))
+        .withColumn("b", array_min(transform($"cents",
+          ct => struct(dist2($"x", ct.getField("cvec")).as("d2"),
+            ct.getField("cid").as("cid")))))
+
     // ---- farthest-first seeding: K-1 broadcast passes -------------
     var cents: DataFrame = pts.filter($"vec_id" === 0)
       .select(lit(0).as("cid"), $"x".as("cvec"))
     for (i <- 1 until K) {
-      val next = pts.crossJoin(broadcast(cents))
-        .groupBy($"vec_id", $"x")
-        .agg(min(dist2($"x", $"cvec")).as("dn"))
+      val next = withBest(cents)
+        .select($"vec_id", $"x", $"b.d2".as("dn"))
         .orderBy($"dn".desc, $"vec_id".asc).limit(1)
         .select(lit(i).as("cid"), $"x".as("cvec"))
       cents = cents.unionByName(next)
@@ -92,10 +111,7 @@ object ClusterTrain extends QueryModule {
 
     // ---- Lloyd: assign → exact-mean recompute (micro-quantized) ---
     def assign(c: DataFrame): DataFrame =
-      pts.crossJoin(broadcast(c))
-        .withColumn("d2", dist2($"x", $"cvec"))
-        .groupBy($"vec_id", $"x")
-        .agg(min(struct($"d2", $"cid")).as("b"))
+      withBest(c)
         .select($"vec_id", $"x", $"b.cid".as("cid"), $"b.d2".as("d2"))
     def recompute(a: DataFrame): DataFrame =
       a.select($"cid", posexplode($"x").as(Seq("pos", "v")))

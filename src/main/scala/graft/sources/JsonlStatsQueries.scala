@@ -1797,7 +1797,12 @@ object JsonlStatsQueries extends QueryModule {
            |WHERE t.type_len >= 4
            |GROUP BY t.event_type
            |ORDER BY t.event_type""".stripMargin)
-      df.collect() // execute under CBO before the conf restores
+      // force PLANNING (not execution) under CBO before the confs
+      // restore: executedPlan is a cached lazy val, so the caller's
+      // action runs this exact cost-reordered plan — the old collect()
+      // here executed the star join a second, thrown-away time (r16)
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan
       df
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
@@ -1923,7 +1928,9 @@ object JsonlStatsQueries extends QueryModule {
            |  CAST(SUM(CAST(sk AS DECIMAL(18,6))) AS DOUBLE) AS sk_sum
            |FROM $cat.jsonl_hist_skew
            |WHERE sk >= 262144.0""".stripMargin)
-      df.collect()
+      // plan (don't execute) under CBO — see q257's note (r16)
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan
       df
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }

@@ -55,8 +55,19 @@ object ClusterTrain extends QueryModule {
   /** Lloyd recompute rounds before the evaluation assignment. */
   private val lloydRounds = 2
 
-  /** Exact order-independent squared L2 distance of two double arrays. */
-  private def dist2(a: Column, b: Column): Column =
+  /** Exact order-independent squared L2 distance of two double arrays.
+    * r16 (guide §4): native [[graft.functions.DecVecFold]] — same
+    * decimal chain as [[dist2Hof]] bit-for-bit (DecFoldSpec), minus the
+    * per-element interpreted lambda and the intermediate Decimal array;
+    * this fold runs N·K·dim times per pass, the trainer's hot loop. */
+  private def dist2(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dec_dist2", a, b)
+  }
+
+  /** HOF specification twin of [[dist2]] (see DecFoldSpec). */
+  private[graft] def dist2Hof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast(Dec)),
       lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double")

@@ -16,14 +16,36 @@ private[graft] object SimilarityMath {
 
   val Dec = DecimalType(38, 25)
 
-  /** Exact order-independent dot product of two float arrays, as double. */
-  def dotDec(a: Column, b: Column): Column =
+  /** Exact order-independent dot product of two float arrays, as double.
+    *
+    * r16 (guide §4): runs as the native [[graft.functions.DecVecFold]]
+    * expression — a tight loop replicating the [[dotDecHof]] decimal
+    * chain bit-for-bit (DecFoldSpec pins the equivalence on adversarial
+    * magnitudes/NaN/null/overflow corners) without the per-element
+    * interpreted lambda dispatch or the intermediate Decimal array the
+    * HOF materializes per row. */
+  def dotDec(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("graft_dec_dot", a, b)
+  }
+
+  /** Exact L2 norm of a float array, as double. */
+  def normDec(a: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    sqrt(call_function("graft_dec_dot", a, a))
+  }
+
+  /** The higher-order-function formulation [[dotDec]] replaced — kept
+    * as the executable SPECIFICATION of the decimal chain: DecFoldSpec
+    * asserts the native expression is bit-identical to this on every
+    * adversarial corner. Not used on any query path. */
+  private[graft] def dotDecHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
       lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double")
 
-  /** Exact L2 norm of a float array, as double. */
-  def normDec(a: Column): Column =
+  /** HOF specification twin of [[normDec]] (see [[dotDecHof]]). */
+  private[graft] def normDecHof(a: Column): Column =
     sqrt(aggregate(
       transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
       lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec)).cast("double"))

@@ -78,6 +78,8 @@ case class DotProductF32(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectFunction(GraftFunctions.decDotDescriptor)
+    ext.injectFunction(GraftFunctions.decDist2Descriptor)
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
     ext.injectFunction(GraftFunctions.cmsEstimateDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
@@ -108,6 +110,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProductF32(children.head, children(1)))
 
+  private[functions] val decDotDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dec_dot"),
+    new ExpressionInfo(classOf[DecVecFold].getName, "graft_dec_dot"),
+    (children: Seq[Expression]) => DecVecFold(children.head, children(1), squaredDiff = false))
+
+  private[functions] val decDist2Descriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dec_dist2"),
+    new ExpressionInfo(classOf[DecVecFold].getName, "graft_dec_dist2"),
+    (children: Seq[Expression]) => DecVecFold(children.head, children(1), squaredDiff = true))
+
   private[functions] val rollingHashDescriptor
   : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_rolling_hashes"),
@@ -136,7 +150,8 @@ object GraftFunctions {
 
   /** Idempotent programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotProductDescriptor, rollingHashDescriptor,
+    Seq(dotProductDescriptor, decDotDescriptor, decDist2Descriptor,
+        rollingHashDescriptor,
         cmsEstimateDescriptor, bloomContainsDescriptor).foreach { case (id, info, builder) =>
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -1647,15 +1647,35 @@ class JsonlPartitionReader(file: String, required: StructType,
   /** Any sidecar probe that proved this range irrelevant. */
   private val indexSkipped: Boolean = bloomSkipped || gramSkipped
 
-  private val in = if (indexSkipped) null else new java.io.BufferedInputStream(
-    Files.newInputStream(Paths.get(file)), 1 << 16)
+  private val in =
+    if (indexSkipped) null else Files.newInputStream(Paths.get(file))
   private val filePath = UTF8String.fromString(file)
-  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  // block-buffered line scanner (r16, guide §4/§6): the old reader
+  // pulled one byte per virtual in.read() call and copied it through a
+  // ByteArrayOutputStream — two megamorphic calls PER BYTE on the path
+  // every graft-table scan rides. This scanner reads 64 KiB blocks and
+  // memchr-scans for '\n'; a line fully inside the block is served as a
+  // zero-copy slice (valid until the next readLine, which Spark's
+  // next()/get() discipline guarantees), only block-spanning lines copy
+  // into the scratch buffer. Byte accounting (bpos) is unchanged.
+  private val rbuf = new Array[Byte](1 << 16)
+  private var rlen = 0
+  private var rpos = 0
+  private val lineScratch = new java.io.ByteArrayOutputStream(256)
+  // current line slice (set by readLine)
+  private var lineBytes: Array[Byte] = _
+  private var lineOff = 0
+  private var lineLen = 0
   private var bpos = 0L   // byte position of the next unread byte
-  private var line: String = _
   // dense physical row index: 0-based from file start on whole-file
   // partitions, seeded from the manifest checkpoint on exact ranges
   private var pos = if (exactStart) startRow - 1 else -1L
+
+  private def fillBuf(): Boolean = {
+    rlen = in.read(rbuf)
+    rpos = 0
+    rlen > 0
+  }
 
   locally {
     var toSkip = if (indexSkipped) 0L else start
@@ -1672,20 +1692,58 @@ class JsonlPartitionReader(file: String, required: StructType,
   }
 
   private def discardThroughNewline(): Unit = {
-    var b = in.read()
-    while (b >= 0 && b != '\n') { bpos += 1; b = in.read() }
-    if (b >= 0) bpos += 1
+    while (true) {
+      if (rpos >= rlen && !fillBuf()) return
+      var p = rpos
+      while (p < rlen && rbuf(p) != '\n') p += 1
+      bpos += p - rpos
+      if (p < rlen) { bpos += 1; rpos = p + 1; return }
+      rpos = rlen
+    }
   }
 
-  /** Next line's bytes (trailing newline consumed, not included), or
-    * null at EOF. Advances [[bpos]] to the following line's start. */
-  private def readLineBytes(): Array[Byte] = {
-    var b = in.read()
-    if (b < 0) return null
-    lineBuf.reset()
-    while (b >= 0 && b != '\n') { lineBuf.write(b); bpos += 1; b = in.read() }
-    if (b >= 0) bpos += 1
-    lineBuf.toByteArray
+  /** Scan the next line into [[lineBytes]]/[[lineOff]]/[[lineLen]]
+    * (trailing newline consumed, not included); false at EOF. Advances
+    * [[bpos]] to the following line's start. */
+  private def readLine(): Boolean = {
+    var spanning = false
+    while (true) {
+      if (rpos >= rlen) {
+        if (!fillBuf()) {
+          if (!spanning || lineScratch.size() == 0) return false
+          // final line without a trailing newline
+          lineBytes = lineScratch.toByteArray; lineOff = 0; lineLen = lineBytes.length
+          return true
+        }
+      }
+      var p = rpos
+      while (p < rlen && rbuf(p) != '\n') p += 1
+      if (p < rlen) {
+        val segLen = p - rpos
+        bpos += segLen + 1
+        if (!spanning) { lineBytes = rbuf; lineOff = rpos; lineLen = segLen }
+        else {
+          lineScratch.write(rbuf, rpos, segLen)
+          lineBytes = lineScratch.toByteArray; lineOff = 0; lineLen = lineBytes.length
+        }
+        rpos = p + 1
+        return true
+      }
+      // line continues past the block: spill the segment and refill
+      if (!spanning) { lineScratch.reset(); spanning = true }
+      lineScratch.write(rbuf, rpos, rlen - rpos)
+      bpos += rlen - rpos
+      rpos = rlen
+    }
+    false // unreachable
+  }
+
+  /** Parse the current line slice — UTF-8 bytes straight into Jackson,
+    * no intermediate String decode. */
+  private def parseLine(): com.fasterxml.jackson.databind.JsonNode = {
+    val p = mapper.getFactory.createParser(lineBytes, lineOff, lineLen)
+    try mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+    finally p.close()
   }
 
   override def next(): Boolean = {
@@ -1696,32 +1754,30 @@ class JsonlPartitionReader(file: String, required: StructType,
       // ownership: (start, end] on blind ranges, [start, end) on exact
       // ones (a line starting AT `end` is the next range's checkpoint)
       if (if (exactStart) bpos >= end else bpos > end) eof = true
-      else readLineBytes() match {
-        case null => eof = true
-        case bytes =>
-          // skip blank lines (they advance bpos but carry no row); a
-          // lone \r (CRLF feed) is blank too
-          if (bytes.length > 0 && !(bytes.length == 1 && bytes(0) == '\r')) {
-            pos += 1
-            // DV mask: pos counts every physical line (so positions stay
-            // stable across deletes), masked rows are simply not emitted.
-            // INVERTED mode (r8, the streaming change feed's delete leg)
-            // emits ONLY the masked positions — the before-images of the
-            // rows a DV commit deleted.
-            val masked = deleted != null && deleted.contains(pos)
-            if (if (invertMask) masked else !masked) {
-              line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              if (eqMasks.isEmpty) { node = null; found = true }
-              else {
-                // key-equality mask: parse (get() reuses the node) and
-                // drop the row iff some applicable delete names its key
-                val n = mapper.readTree(line)
-                val eqMasked = eqMasks.exists { case (cols, set) =>
-                  set.contains(JsonlEqualityDeletes.canonicalKey(n, cols)) }
-                if (!eqMasked) { node = n; found = true }
-              }
+      else if (!readLine()) eof = true
+      else {
+        // skip blank lines (they advance bpos but carry no row); a
+        // lone \r (CRLF feed) is blank too
+        if (lineLen > 0 && !(lineLen == 1 && lineBytes(lineOff) == '\r')) {
+          pos += 1
+          // DV mask: pos counts every physical line (so positions stay
+          // stable across deletes), masked rows are simply not emitted.
+          // INVERTED mode (r8, the streaming change feed's delete leg)
+          // emits ONLY the masked positions — the before-images of the
+          // rows a DV commit deleted.
+          val masked = deleted != null && deleted.contains(pos)
+          if (if (invertMask) masked else !masked) {
+            if (eqMasks.isEmpty) { node = null; found = true }
+            else {
+              // key-equality mask: parse (get() reuses the node) and
+              // drop the row iff some applicable delete names its key
+              val n = parseLine()
+              val eqMasked = eqMasks.exists { case (cols, set) =>
+                set.contains(JsonlEqualityDeletes.canonicalKey(n, cols)) }
+              if (!eqMasked) { node = n; found = true }
             }
           }
+        }
       }
     }
     found
@@ -1740,28 +1796,59 @@ class JsonlPartitionReader(file: String, required: StructType,
     if (linIdx < linRuns.length && p >= linRuns(linIdx)._1) linIdx else -1
   }
 
+  // per-field dispatch resolved ONCE (r16): the old get() re-zipped the
+  // schema and string-compared every field name against the four
+  // metadata names PER ROW — this is the row-materialization loop of
+  // every graft-table scan
+  private val fieldKind: Array[Int] = required.fields.map { f =>
+    if (f.name == JsonlStats.FileMeta) 0
+    else if (f.name == JsonlStats.PosMeta) 1
+    else if (f.name == JsonlStats.RowIdMeta) 2
+    else if (f.name == JsonlStats.LuvMeta) 3
+    else 4
+  }
+  private val fieldTypes: Array[org.apache.spark.sql.types.DataType] =
+    required.fields.map(_.dataType)
+
   override def get(): InternalRow = {
-    val n = if (node != null) node else mapper.readTree(line)
-    InternalRow.fromSeq(required.fields.toSeq.zipWithIndex.map { case (f, fi) =>
-      if (f.name == JsonlStats.FileMeta) filePath
-      else if (f.name == JsonlStats.PosMeta) pos
-      else if (f.name == JsonlStats.RowIdMeta) {
-        // row lineage (r10): manifest arithmetic first (frid + pos /
-        // concat runs via the monotone cursor), in-row materialized
-        // field for scattering rewrites, NULL when never assigned
-        val ri = linRunAt(pos)
-        if (lin.frid >= 0L) java.lang.Long.valueOf(lin.frid + pos)
-        // luv-only run (r12): firstId = -1 means ids are IN-ROW — the
-        // run exists only to back null-luv rows' versions
-        else if (ri >= 0 && linRuns(ri)._2 >= 0L)
-          java.lang.Long.valueOf(linRuns(ri)._2 + (pos - linRuns(ri)._1))
-        else {
-          val v = n.get(JsonlStats.RowIdMeta)
-          if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
-        }
+    val n = if (node != null) node else parseLine()
+    val out = new Array[Any](fieldKind.length)
+    var fi = 0
+    while (fi < fieldKind.length) {
+      out(fi) = fieldKind(fi) match {
+        case 0 => filePath
+        case 1 => pos
+        case 2 => rowIdValue(n)
+        case 3 => luvValue(n)
+        case _ =>
+          val v = n.get(physName(fi))
+          if (v == null) fieldDefault(fi) // absent field: row predates the column
+          else if (v.isNull) null         // written null stays null
+          else parseJson(fieldTypes(fi), v)
       }
-      else if (f.name == JsonlStats.LuvMeta) {
-        val ri = linRunAt(pos)
+      fi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  private def rowIdValue(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    // row lineage (r10): manifest arithmetic first (frid + pos /
+    // concat runs via the monotone cursor), in-row materialized
+    // field for scattering rewrites, NULL when never assigned
+    val ri = linRunAt(pos)
+    if (lin.frid >= 0L) java.lang.Long.valueOf(lin.frid + pos)
+    // luv-only run (r12): firstId = -1 means ids are IN-ROW — the
+    // run exists only to back null-luv rows' versions
+    else if (ri >= 0 && linRuns(ri)._2 >= 0L)
+      java.lang.Long.valueOf(linRuns(ri)._2 + (pos - linRuns(ri)._1))
+    else {
+      val v = n.get(JsonlStats.RowIdMeta)
+      if (v != null && !v.isNull) java.lang.Long.valueOf(v.asLong()) else null
+    }
+  }
+
+  private def luvValue(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    val ri = linRunAt(pos)
         if (lin.frid >= 0L) java.lang.Long.valueOf(lin.luv)
         else if (ri >= 0 && linRuns(ri)._2 >= 0L) java.lang.Long.valueOf(linRuns(ri)._4)
         else {
@@ -1784,16 +1871,8 @@ class JsonlPartitionReader(file: String, required: StructType,
             if (back > 0L && rid != null && !rid.isNull)
               java.lang.Long.valueOf(back)
             else null
-          }
-        }
       }
-      else {
-        val v = n.get(physName(fi))
-        if (v == null) fieldDefault(fi) // absent field: row predates the column
-        else if (v.isNull) null         // written null stays null
-        else parseJson(f.dataType, v)
-      }
-    })
+    }
   }
 
   /** Recursive JSON decoding (r11): scalars, typed arrays (r10) and

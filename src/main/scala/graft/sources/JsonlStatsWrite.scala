@@ -875,69 +875,92 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
     * data bytes, which mapping exists to avoid). Numeric elements
     * round-trip exactly — Jackson prints the shortest decimal that
     * reparses to the same float/double/long. No stats are tracked for
-    * arrays or structs (absence = never pruned — conservative). */
-  private val jnf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
-  private def jsonOf(dt: DataType,
-                     g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
-                     i: Int): com.fasterxml.jackson.databind.JsonNode = dt match {
-    case LongType    => jnf.numberNode(g.getLong(i))
-    case DoubleType  => jnf.numberNode(g.getDouble(i))
-    case FloatType   => jnf.numberNode(g.getFloat(i))
-    case StringType  => jnf.textNode(g.getUTF8String(i).toString)
-    case BooleanType => jnf.booleanNode(g.getBoolean(i))
+    * arrays or structs (absence = never pruned — conservative).
+    *
+    * r16 (guide §4): encodes through a streaming JsonGenerator straight
+    * into the (reused) line buffer instead of building a JsonNode tree
+    * and round-tripping it through node.toString → String → UTF-8
+    * bytes. Same Jackson serializers underneath (the tree's
+    * DoubleNode/TextNode serialize() call the very writeNumber/
+    * writeString used here), so the emitted bytes are IDENTICAL —
+    * FormatBytesSpec pins that against the old tree formulation. */
+  private def genJson(dt: DataType,
+                      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                      i: Int,
+                      gen: com.fasterxml.jackson.core.JsonGenerator): Unit = dt match {
+    case LongType    => gen.writeNumber(g.getLong(i))
+    case DoubleType  => gen.writeNumber(g.getDouble(i))
+    case FloatType   => gen.writeNumber(g.getFloat(i))
+    case StringType  => gen.writeString(g.getUTF8String(i).toString)
+    case BooleanType => gen.writeBoolean(g.getBoolean(i))
     // temporal types (r11): the INTERNAL representations verbatim —
     // epoch micros / epoch days as JSON integers. Exact round-trip,
     // and the numeric stats map bounds them for planning-time pruning.
-    case TimestampType | TimestampNTZType => jnf.numberNode(g.getLong(i))
-    case DateType => jnf.numberNode(g.getInt(i))
+    case TimestampType | TimestampNTZType => gen.writeNumber(g.getLong(i))
+    case DateType => gen.writeNumber(g.getInt(i))
     // decimals (r11): plain text — exact at any precision/scale
     case dt: DecimalType =>
-      jnf.textNode(g.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal.toPlainString)
+      gen.writeString(g.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal.toPlainString)
     case ArrayType(et, _) =>
       val arr = g.getArray(i)
-      val a = jnf.arrayNode(arr.numElements())
+      gen.writeStartArray()
       var j = 0
       while (j < arr.numElements()) {
-        if (arr.isNullAt(j)) a.addNull()
-        else a.add(jsonOf(et, arr, j))
+        if (arr.isNullAt(j)) gen.writeNull()
+        else genJson(et, arr, j, gen)
         j += 1
       }
-      a
+      gen.writeEndArray()
     case st: StructType =>
       val sr = g.getStruct(i, st.fields.length)
-      val o = jnf.objectNode()
+      gen.writeStartObject()
       var j = 0
       while (j < st.fields.length) {
-        if (sr.isNullAt(j)) o.putNull(st.fields(j).name)
-        else o.set[com.fasterxml.jackson.databind.JsonNode](
-          st.fields(j).name, jsonOf(st.fields(j).dataType, sr, j))
+        if (sr.isNullAt(j)) gen.writeNullField(st.fields(j).name)
+        else { gen.writeFieldName(st.fields(j).name); genJson(st.fields(j).dataType, sr, j, gen) }
         j += 1
       }
-      o
+      gen.writeEndObject()
     // string-keyed maps (r11): the natural JSON-object image
     case MapType(StringType, vt, _) =>
       val mp = g.getMap(i)
       val ks = mp.keyArray(); val vs = mp.valueArray()
-      val o = jnf.objectNode()
+      gen.writeStartObject()
       var j = 0
       while (j < mp.numElements()) {
         val k = ks.getUTF8String(j).toString
-        if (vs.isNullAt(j)) o.putNull(k)
-        else o.set[com.fasterxml.jackson.databind.JsonNode](k, jsonOf(vt, vs, j))
+        if (vs.isNullAt(j)) gen.writeNullField(k)
+        else { gen.writeFieldName(k); genJson(vt, vs, j, gen) }
         j += 1
       }
-      o
+      gen.writeEndObject()
     case dt => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 
+  // schema walk hoisted out of the row loop (r16): the old write()
+  // re-zipped writeSchema.fields per row
+  private val fieldDts: Array[DataType] = writeSchema.fields.map(_.dataType)
+  private val lineOut = new java.io.ByteArrayOutputStream(1024)
+  private val jfactory = mapper.getFactory
+
   def write(row: InternalRow): Unit = {
     if (rowIdIdx >= 0 && !row.isNullAt(rowIdIdx)) sawLineage = true
-    val node = mapper.createObjectNode()
-    writeSchema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) node.putNull(physOf(i))
-      else node.set[com.fasterxml.jackson.databind.JsonNode](
-        physOf(i), jsonOf(f.dataType, row, i))
+    lineOut.reset()
+    val gen = jfactory.createGenerator(lineOut)
+    // the byte-backed generator escapes non-BMP chars as surrogate pairs
+    // by default; the tree formulation (char-based) emitted raw UTF-8 —
+    // keep existing tables' bytes (FormatBytesSpec pins an emoji)
+    gen.enable(com.fasterxml.jackson.core.json.JsonWriteFeature
+      .COMBINE_UNICODE_SURROGATES_IN_UTF8.mappedFeature())
+    gen.writeStartObject()
+    var fi = 0
+    while (fi < fieldDts.length) {
+      if (row.isNullAt(fi)) gen.writeNullField(physOf(fi))
+      else { gen.writeFieldName(physOf(fi)); genJson(fieldDts(fi), row, fi, gen) }
+      fi += 1
     }
+    gen.writeEndObject()
+    gen.close()
     var rowStats = 0.0
     var rowHasStats = false
     if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
@@ -1116,9 +1139,8 @@ private[sources] class JsonlFileSink(root: String, val fileName: String,
       zones.seal() // BEFORE this row's value: the row starts the next segment
     }
     if (rowHasStats) zones.add(rowStats)
-    val lineBytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    out.write(lineBytes); out.write('\n')
-    bytesOut += lineBytes.length + 1
+    lineOut.writeTo(out); out.write('\n')
+    bytesOut += lineOut.size() + 1
     rows += 1
   }
 

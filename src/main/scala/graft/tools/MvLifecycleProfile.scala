@@ -89,6 +89,25 @@ object MvLifecycleProfile {
           val ro = t("readout-build")(spark.sql(
             s"SELECT 'rows' AS phase, seg, n, sv FROM $cat.mv_lo"))
           t("readout")(ro.write.format("noop").mode("overwrite").save())
+        case "q300" =>
+          t("drop")(spark.sql(s"DROP TABLE IF EXISTS $cat.mva_src"))
+          Tables.events(spark, d).select(col("event_id"), col("event_type"), col("value"))
+            .createOrReplaceTempView("mva_src_in")
+          t("ctas-src")(spark.sql(
+            s"""CREATE TABLE $cat.mva_src AS
+               |SELECT event_id, event_type, value FROM mva_src_in WHERE event_id % 3 <> 2""".stripMargin))
+          t("create-mv")(spark.sql(s"CALL $cat.create_materialized_view('mv_avg', " +
+            s"'SELECT event_type, avg(CAST(value AS DECIMAL(18,6))) AS av, count(*) AS n " +
+            s"FROM $cat.mva_src GROUP BY event_type', or_replace => true)"))
+          t("insert-window")(spark.sql(s"INSERT INTO $cat.mva_src " +
+            "SELECT event_id, event_type, value FROM mva_src_in WHERE event_id % 3 = 2"))
+          t("delete-window")(spark.sql(s"DELETE FROM $cat.mva_src WHERE event_id % 11 = 0"))
+          t("refresh")(spark.sql(s"CALL $cat.refresh_materialized_view('mv_avg')").collect())
+          val agg300 = t("agg-plan")(spark.sql(
+            s"""SELECT event_type, count(*) AS n,
+               |  CAST(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS av2
+               |FROM $cat.mva_src GROUP BY event_type""".stripMargin))
+          t("readout")(agg300.write.format("noop").mode("overwrite").save())
         case other => sys.error(s"unknown profile target $other")
       }
     }

@@ -55,6 +55,13 @@ object CorpusModels extends QueryModule {
     import spark.implicits._
     val t = tok(spark, d)
     val docTok = t.groupBy($"doc_id", $"lang", $"w").agg(count(lit(1)).as("m"))
+    // NOTE (r16 measured): deriving classTok/classTot/vocab from docTok
+    // ("scan once, re-aggregate") was tried and is WRONG here, locally
+    // AND at scale — docTok's (doc, lang, w) grain is corpus-sized, so
+    // the derivation chains a corpus-grain exchange where these direct
+    // passes shuffle only DICTIONARY-sized bytes after map-side partial
+    // aggregation (re-scans are cheap; shuffles are not). Measured
+    // q193 2.09 → 2.44 s before reverting.
     val classTok = t.groupBy($"lang".as("cand"), $"w").agg(count(lit(1)).as("n"))
     val classTot = t.groupBy($"lang".as("cand")).agg(count(lit(1)).as("nc"))
     val docsPerClass = Tables.documents(spark, d)
@@ -112,8 +119,11 @@ object CorpusModels extends QueryModule {
       .select($"bg.w1", $"bg.w2")
     val pairs = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
     val uni = t.groupBy($"w").agg(count(lit(1)).as("c"))
-    val stats = t.agg(count(lit(1)).as("ntok")).withColumn("one", lit(1))
-      .join(bg.agg(count(lit(1)).as("btot")).withColumn("one", lit(1)), "one")
+    // corpus totals derive from the count tables (r16, guide §2.3):
+    // ntok = Σ c, btot = Σ cab BEFORE the min-count filter — two more
+    // corpus passes removed, identical integer totals by associativity
+    val stats = uni.agg(sum($"c").as("ntok")).withColumn("one", lit(1))
+      .join(pairs.agg(sum($"cab").as("btot")).withColumn("one", lit(1)), "one")
     pairs.filter($"cab" >= pmiMinCount)
       .join(broadcast(uni.select($"w".as("w1"), $"c".as("ca"))), "w1")
       .join(broadcast(uni.select($"w".as("w2"), $"c".as("cb"))), "w2")

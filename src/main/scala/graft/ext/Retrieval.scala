@@ -74,7 +74,10 @@ object Retrieval extends QueryModule {
       bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")), d, "bigram_lm")
     val ctx = Landing.ensureParquetFixture(
       bg.groupBy($"w1").agg(count(lit(1)).as("cu")), d, "bigram_ctx")
-    val vocabN = toks(spark, d).select(explode($"ws").as("w"))
+    // per-doc array_distinct BEFORE the explode (r16, guide §2.3): the
+    // distinct aggregate sees each (doc, token-type) once instead of
+    // every position — countDistinct is invariant to the pre-dedup
+    val vocabN = toks(spark, d).select(explode(array_distinct($"ws")).as("w"))
       .agg(countDistinct($"w").as("v")).withColumn("one", lit(1))
     bg.join(broadcast(lm), Seq("w1", "w2"))
       .join(broadcast(ctx), Seq("w1"))

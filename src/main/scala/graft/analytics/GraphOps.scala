@@ -159,11 +159,17 @@ object GraphOps extends QueryModule {
     val nOrders = items.select($"ok").distinct()
       .agg(count(lit(1)).as("n")).withColumn("one", lit(1))
     val itemSupp = items.groupBy($"pk").agg(count(lit(1)).as("supp"))
-    val pairSupp = items.as("a").join(items.as("b"),
-        $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
-      .groupBy($"a.pk".as("ante"), $"b.pk".as("cons"))
+    // supp is SYMMETRIC (items are distinct per order, so cnt(a,b) =
+    // #orders containing both = cnt(b,a)): count each unordered pair
+    // once (a < b — half the join fan-out and half the pair-grain
+    // aggregate) and mirror after the support floor (r16, guide §2.3)
+    val half = items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("x"), $"b.pk".as("y"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter($"supp_ab" >= minSupport)
+    val pairSupp = half.select($"x".as("ante"), $"y".as("cons"), $"supp_ab")
+      .unionAll(half.select($"y".as("ante"), $"x".as("cons"), $"supp_ab"))
     pairSupp
       .join(broadcast(itemSupp.select($"pk".as("ante"), $"supp".as("supp_a"))), "ante")
       .join(broadcast(itemSupp.select($"pk".as("cons"), $"supp".as("supp_b"))), "cons")

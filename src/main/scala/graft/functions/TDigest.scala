@@ -44,6 +44,25 @@ object TDigest {
   private val MaxPairs = Pending + 2 * Delta.toInt + 8
   private val Cap = 1 + 2 * MaxPairs
 
+  /** Buffers START small and grow by doubling toward [[Cap]] (r17,
+    * guide §2.3 "shuffle fewer bytes"): the buffer encoder serializes
+    * the array's full CAPACITY, and a fixed Cap-sized zero() made every
+    * partial-aggregate group ship ~16 KB of mostly-zero padding — at
+    * day grain each map task holds thousands of 2-3-row groups, ~1 GB
+    * of shuffled zeros at sf0.1. Growth only changes capacity, never
+    * the append/compaction cadence (driven by pair COUNT), so the
+    * resulting centroids — and the query output — are bit-identical. */
+  private val InitPairs = 8
+
+  private def grown(b: Array[Double], needPairs: Int): Array[Double] =
+    if (1 + 2 * needPairs <= b.length) b
+    else {
+      val cap = math.min(Cap, math.max(b.length * 2, 1 + 2 * needPairs))
+      val nb = new Array[Double](cap)
+      Array.copy(b, 0, nb, 0, 1 + 2 * b(0).toInt)
+      nb
+    }
+
   private def kOf(q: Double): Double =
     Delta / (2 * math.Pi) * math.asin(math.max(-1.0, math.min(1.0, 2 * q - 1)))
   private def kInv(k: Double): Double =
@@ -77,26 +96,32 @@ object TDigest {
     b(0) = out + 1.0
   }
 
-  private def append(b: Array[Double], m: Double, w: Double): Unit = {
-    var n = b(0).toInt
-    if (n == MaxPairs) { compact(b); n = b(0).toInt }
-    b(1 + 2 * n) = m; b(2 + 2 * n) = w
-    b(0) = n + 1.0
+  /** Append one (mean, weight) pair, compacting at the scratch bound
+    * and growing capacity on demand — returns the (possibly replaced)
+    * buffer, which callers must rebind. */
+  private def append(b: Array[Double], m: Double, w: Double): Array[Double] = {
+    var buf = b
+    var n = buf(0).toInt
+    if (n == MaxPairs) { compact(buf); n = buf(0).toInt }
+    buf = grown(buf, n + 1)
+    buf(1 + 2 * n) = m; buf(2 + 2 * n) = w
+    buf(0) = n + 1.0
+    buf
   }
 
   /** IN = the value; OUT = the digest as a flat mean-sorted
     * (mean, weight, mean, weight, …) sequence. */
   val agg: Aggregator[Double, Array[Double], Seq[Double]] =
     new Aggregator[Double, Array[Double], Seq[Double]] {
-      override def zero: Array[Double] = new Array[Double](Cap)
-      override def reduce(b: Array[Double], x: Double): Array[Double] = {
-        append(b, x, 1.0); b
-      }
+      override def zero: Array[Double] = new Array[Double](1 + 2 * InitPairs)
+      override def reduce(b: Array[Double], x: Double): Array[Double] =
+        append(b, x, 1.0)
       override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
         val nb = b(0).toInt
+        var acc = a
         var i = 0
-        while (i < nb) { append(a, b(1 + 2 * i), b(2 + 2 * i)); i += 1 }
-        a
+        while (i < nb) { acc = append(acc, b(1 + 2 * i), b(2 + 2 * i)); i += 1 }
+        acc
       }
       override def finish(b: Array[Double]): Seq[Double] = {
         compact(b)
@@ -113,11 +138,12 @@ object TDigest {
     * merge of the seven day artifacts, no raw value re-read. */
   val mergeAgg: Aggregator[Seq[Double], Array[Double], Seq[Double]] =
     new Aggregator[Seq[Double], Array[Double], Seq[Double]] {
-      override def zero: Array[Double] = new Array[Double](Cap)
+      override def zero: Array[Double] = new Array[Double](1 + 2 * InitPairs)
       override def reduce(b: Array[Double], sk: Seq[Double]): Array[Double] = {
+        var acc = b
         var i = 0
-        while (i + 1 < sk.size) { append(b, sk(i), sk(i + 1)); i += 2 }
-        b
+        while (i + 1 < sk.size) { acc = append(acc, sk(i), sk(i + 1)); i += 2 }
+        acc
       }
       override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
         agg.merge(a, b)

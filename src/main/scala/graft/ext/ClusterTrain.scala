@@ -87,7 +87,10 @@ object ClusterTrain extends QueryModule {
   private[graft] def trainEval(spark: SparkSession, d: String, rounds: Int): DataFrame = {
     import spark.implicits._
     val pts = Tables.embeddings(spark, d)
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("x"))
+      // array cast, not transform(_.cast): same per-element float→double
+      // widening, but Cast(array) stays whole-stage-codegen while the
+      // ArrayTransform lambda is interpreted per row per pass (r17, §4)
+      .select($"vec_id", $"embedding".cast("array<double>").as("x"))
 
     // Nearest-centroid argmin as a MAP-SIDE expression (r16, guide
     // §2.4): the old form crossJoined each point with the K broadcast
@@ -103,17 +106,27 @@ object ClusterTrain extends QueryModule {
     // note always claimed.
     def centArray(c: DataFrame): DataFrame =
       c.agg(sort_array(collect_list(struct($"cid", $"cvec"))).as("cents"))
-    def withBest(c: DataFrame): DataFrame =
+    // k is statically known at every call site (the seeding loop's
+    // running count, then K), so the per-centroid (d2, cid) structs
+    // UNROLL into a CreateArray instead of a transform(cents, ...)
+    // lambda (r17, §4): identical elements in identical order — cids
+    // are assigned 0..k-1 and sort_array orders the struct by cid — so
+    // array_min computes the same argmin, but the whole per-row
+    // expression (GetArrayItem/struct/DecVecFold/array_min) now stays
+    // inside WholeStageCodegen where ArrayTransform ran interpreted.
+    def withBest(c: DataFrame, k: Int): DataFrame =
       pts.crossJoin(broadcast(centArray(c)))
-        .withColumn("b", array_min(transform($"cents",
-          ct => struct(dist2($"x", ct.getField("cvec")).as("d2"),
-            ct.getField("cid").as("cid")))))
+        .withColumn("b", array_min(array((0 until k).map { i =>
+          val ct = $"cents" (i)
+          struct(dist2($"x", ct.getField("cvec")).as("d2"),
+            ct.getField("cid").as("cid"))
+        }: _*)))
 
     // ---- farthest-first seeding: K-1 broadcast passes -------------
     var cents: DataFrame = pts.filter($"vec_id" === 0)
       .select(lit(0).as("cid"), $"x".as("cvec"))
     for (i <- 1 until K) {
-      val next = withBest(cents)
+      val next = withBest(cents, i)
         .select($"vec_id", $"x", $"b.d2".as("dn"))
         .orderBy($"dn".desc, $"vec_id".asc).limit(1)
         .select(lit(i).as("cid"), $"x".as("cvec"))
@@ -122,7 +135,7 @@ object ClusterTrain extends QueryModule {
 
     // ---- Lloyd: assign → exact-mean recompute (micro-quantized) ---
     def assign(c: DataFrame): DataFrame =
-      withBest(c)
+      withBest(c, K)
         .select($"vec_id", $"x", $"b.cid".as("cid"), $"b.d2".as("d2"))
     def recompute(a: DataFrame): DataFrame =
       a.select($"cid", posexplode($"x").as(Seq("pos", "v")))

@@ -177,7 +177,14 @@ object GraphOps extends QueryModule {
     // supp is SYMMETRIC (items are distinct per order, so cnt(a,b) =
     // #orders containing both = cnt(b,a)): count each unordered pair
     // once (a < b — half the join fan-out and half the pair-grain
-    // aggregate) and mirror after the support floor (r16, guide §2.3)
+    // aggregate) and mirror after the support floor (r16, guide §2.3).
+    // Measured r17 (the r16 close landed this without numbers):
+    // isolated 5-rep medians 2.27 s (ordered =!=) -> 1.86 s (x1.22).
+    // Hot-key question (guide §2.5) closed by a CONSTRUCTION bound,
+    // not salting: the join key is the order id, and TPC-H orders hold
+    // at most 7 lineitems (<= 7 distinct parts), so one order fans out
+    // to at most C(7,2) = 21 pairs — there is no hot key to split at
+    // any scale factor.
     val half = items.as("a").join(items.as("b"),
         $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("x"), $"b.pk".as("y"))

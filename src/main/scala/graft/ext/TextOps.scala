@@ -41,6 +41,18 @@ object TextOps extends QueryModule {
     * score = tf · ln(N/df) evaluated in the same op order in both legs. */
   def tfidfTopTerms(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // MEASURED both ways (r17, guide §2.4): pre-repartitioning the
+    // doc-grain text by doc_id lets ONE exchange satisfy both the
+    // (doc_id, term) aggregate (subset partitioning qualifies) and the
+    // per-doc window — plan drops 16 → 14 exchanges
+    // (plans/r17/q32_repartition_rejected.txt) and at sf1 it wins
+    // ×1.40 (3.06 → 2.19 s) — but at the bench SF it LOSES ×0.82
+    // (1.22 → 1.48 s): the explicit repartition stage costs more than
+    // the two AQE-coalesced micro-shuffles it replaces. The crossover
+    // sits between the driver's SFs, so the code stays in the
+    // measured-faster-at-bench shape; at true cluster scale the
+    // one-exchange form is the right plan and the sf1 numbers are the
+    // evidence (SCALING.md r17 section).
     val tf = tokens(spark, d).groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs_total"))

@@ -108,6 +108,38 @@ object MvLifecycleProfile {
                |  CAST(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS av2
                |FROM $cat.mva_src GROUP BY event_type""".stripMargin))
           t("readout")(agg300.write.format("noop").mode("overwrite").save())
+        case "q299" =>
+          t("drops") {
+            spark.sql(s"DROP TABLE IF EXISTS $cat.mvj_fact")
+            spark.sql(s"DROP TABLE IF EXISTS $cat.mvj_dim")
+          }
+          Tables.events(spark, d).select(col("event_id"), col("user_id"), col("value"))
+            .createOrReplaceTempView("mvj_fact_in")
+          Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+            .createOrReplaceTempView("mvj_dim_in")
+          t("ctas-dim")(spark.sql(s"CREATE TABLE $cat.mvj_dim AS SELECT * FROM mvj_dim_in"))
+          t("ctas-fact")(spark.sql(
+            s"""CREATE TABLE $cat.mvj_fact AS
+               |SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 0""".stripMargin))
+          t("create-mv")(spark.sql(s"CALL $cat.create_materialized_view('mv_star', " +
+            s"'SELECT c_mktsegment AS seg, count(*) AS n, " +
+            s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum " +
+            s"FROM $cat.mvj_fact JOIN $cat.mvj_dim ON user_id = c_custkey " +
+            s"GROUP BY c_mktsegment', or_replace => true)"))
+          t("fact-append")(spark.sql(s"INSERT INTO $cat.mvj_fact " +
+            "SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 1"))
+          t("refresh-append")(spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')").collect())
+          t("fact-delete")(spark.sql(s"DELETE FROM $cat.mvj_fact WHERE event_id % 7 = 0"))
+          t("refresh-delete")(spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')").collect())
+          t("both-move") {
+            spark.sql(s"INSERT INTO $cat.mvj_fact " +
+              "SELECT event_id, user_id, value FROM mvj_fact_in WHERE event_id % 3 = 2")
+            spark.sql(s"INSERT INTO $cat.mvj_dim VALUES (99999991, 'SYNTHETIC')")
+          }
+          t("refresh-both")(spark.sql(s"CALL $cat.refresh_materialized_view('mv_star')").collect())
+          val ro299 = t("readout-build")(spark.sql(
+            s"SELECT 'rows' AS phase, seg, n, value_sum FROM $cat.mv_star"))
+          t("readout")(ro299.write.format("noop").mode("overwrite").save())
         case other => sys.error(s"unknown profile target $other")
       }
     }

@@ -3151,6 +3151,39 @@ object GraftProcedures {
         GraftViews.write(nsDir, d.copy(properties = d.properties +
           (GraftViews.MvPendingProp ->
             ms.map(m => s"${m.fromV}->${m.toV}").mkString(","))), replace = true)
+        // Cost-based ELISION of Spark's runtime group-filter subquery
+        // (r17, guide §3.2's own logic turned around): for group-based
+        // row-level ops the optimizer injects a runtime subquery that
+        // pre-computes the affected _file set so the rewrite prunes
+        // unaffected files — one extra subquery JOB per MERGE whose
+        // only possible benefit is the files it prunes. When the
+        // TARGET fits in a single scan task (total bytes ≤
+        // maxPartitionBytes over at most a handful of files) the prune
+        // can never repay the job, exactly the inverse of the
+        // application-side-size threshold Spark's runtime bloom-filter
+        // injection uses. The gate reads the target's ACTUAL manifest:
+        // a large backing at cluster scale keeps its group filter
+        // automatically (past 64 manifest entries the gate does not
+        // even stat the files). Semantics are unchanged either way —
+        // the filter is purely a rewrite-set prune; without it the
+        // rewrite re-emits unmatched rows of unpruned files verbatim.
+        val gfKey = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+        def singleTaskTable(r: String): Boolean = {
+          val st = JsonlStats.readStats(r)
+          st.length <= 64 && {
+            val bytes = st.iterator.map { e =>
+              try Files.size(Paths.get(r, e.file))
+              catch { case _: Exception => Long.MaxValue / 128 }
+            }.sum
+            bytes <= spark.sessionState.conf.filesMaxPartitionBytes
+          }
+        }
+        val backingRoot = nsDir.resolve(
+          d.properties(GraftViews.MvTableProp)).toString
+        val elideGroupFilter = singleTaskTable(backingRoot) &&
+          auxNameByJ.values.forall(an => singleTaskTable(nsDir.resolve(an).toString))
+        val gfSaved = spark.conf.getOption(gfKey)
+        if (elideGroupFilter) spark.conf.set(gfKey, "false")
         try {
           if (profOn && sys.env.contains("GRAFT_MV_EXPLAIN"))
             spark.sql("EXPLAIN FORMATTED " + merge).collect()
@@ -3217,6 +3250,11 @@ object GraftProcedures {
             // recorded versions) in which the same delta window could
             // be applied twice.
             None
+        } finally {
+          if (elideGroupFilter) gfSaved match {
+            case Some(v) => spark.conf.set(gfKey, v)
+            case None => spark.conf.unset(gfKey)
+          }
         }
         } finally {
           // every exit path — success, merge failure, or a decline
